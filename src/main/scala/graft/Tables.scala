@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Central fixture loader. Every operator goes through [[load]]/[[view]] so
+  * per-table normalization lives in exactly one place — notably the
+  * `events.parquet` nanosecond-timestamp workaround (SURVEY.md §1.2): the
+  * file carries INT64 TIMESTAMP(NANOS), which Spark's parquet reader rejects
+  * by default; we read the raw ns longs and truncate to microseconds, which
+  * matches DuckDB's own ns→µs truncation.
+  *
+  * 100 TB notes: at scale these become partitioned table layouts (date/lang
+  * partition columns) registered in a catalog; schema-on-read from parquet
+  * footers either way. The ns normalization is a pure projection, so filter
+  * pushdown and column pruning pass straight through it.
+  */
+object Tables {
+  val all: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Load one table as a DataFrame, applying per-table normalization. */
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = name match {
+    case "events" =>
+      // Must be set before the FIRST read of events.parquet in the session
+      // (the footer is parsed at read time). Verified working at runtime.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$sfDir/events.parquet")
+        .withColumn("ts", expr("timestamp_micros(cast(ts div 1000 as long))"))
+    case n =>
+      spark.read.parquet(s"$sfDir/$n.parquet")
+  }
+
+  /** Load + register as a temp view named `name`. Returns the DataFrame. */
+  def view(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = load(spark, sfDir, name)
+    df.createOrReplaceTempView(name)
+    df
+  }
+
+  /** Register every fixture table as a temp view (for SQL-text entry points). */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    all.foreach(view(spark, sfDir, _))
+}

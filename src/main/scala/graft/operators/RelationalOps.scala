@@ -1,0 +1,609 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Relational core (SURVEY.md §2.A, B, C, D, F, G, H).
+  *
+  * Scale posture (100 TB): every op below is a declarative DataFrame plan —
+  * Catalyst provides predicate pushdown, column pruning, partial aggregation
+  * and join selection; AQE handles skew splitting and partition coalescing
+  * at runtime. Dimension joins are explicitly broadcast; fact-fact joins are
+  * left to sort-merge on their shuffle keys. No driver-side loops.
+  */
+object RelationalOps {
+  type Q = (SparkSession, String) => DataFrame
+  private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
+
+  // ---------------------------------------------------------------- A. scans
+
+  /** A1: full scan, all columns, total order. */
+  def scanParquet(s: SparkSession, d: String): DataFrame =
+    t(s, d, "nation").orderBy("n_nationkey")
+
+  /** A2: 3-column projection + filter — exercises parquet column pruning and
+    * predicate pushdown (PushedFilters visible in the physical plan). */
+  def scanPruned(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .filter(col("l_orderkey") % 500 === 0)
+      .select("l_orderkey", "l_partkey", "l_quantity")
+      .orderBy("l_orderkey", "l_partkey", "l_quantity")
+
+  /** A3: the events ns-timestamp normalization, ordered head. */
+  def scanEventsNs(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .filter(col("event_id") < 500)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .orderBy("event_id")
+
+  /** A4: JSON extraction from the props string column. */
+  def jsonExtractProps(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .orderBy("event_id")
+
+  /** A5: CSV round-trip — write region to CSV, read back with explicit
+    * schema. Exercises a non-parquet source with pinned header/quote opts. */
+  def csvRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val r = t(s, d, "region")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    r.write.mode("overwrite").option("header", "true").csv(tmp)
+    s.read.option("header", "true").schema(r.schema).csv(tmp)
+      .orderBy("r_regionkey")
+  }
+
+  // ------------------------------------------------- B. projection / filter
+
+  /** B1: per-row computed net revenue. Rounding uses floor(x*100+0.5)/100
+    * rather than round(): the inputs carry exactly 2 decimal digits, so the
+    * product lands on .xx5 boundaries where Spark's decimal HALF_UP and
+    * DuckDB's binary rounding disagree; the floor formula is pure IEEE
+    * arithmetic and therefore bit-identical on both engines. */
+  def projectCompute(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        (floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100 + 0.5) / 100.0).as("net_price"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** B2: compound predicate — comparisons, AND/OR, BETWEEN, IN. */
+  def filterCombo(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .filter(col("o_orderstatus").isin("F", "O") &&
+        col("o_totalprice").between(50000, 300000) &&
+        (col("o_orderpriority") === "1-URGENT" || col("o_orderpriority") === "2-HIGH"))
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+      .orderBy("o_orderkey")
+
+  /** B3: LIKE + regexp_extract (brand number from "Brand#<n>"). */
+  def filterLikeRegex(s: SparkSession, d: String): DataFrame =
+    t(s, d, "part")
+      .withColumn("brand_num", regexp_extract(col("p_brand"), "#(\\d+)", 1).cast("int"))
+      .filter(col("p_name").like("%gear%") && col("brand_num") > 10)
+      .select("p_partkey", "p_name", "p_brand", "brand_num")
+      .orderBy("p_partkey")
+
+  /** B4: NULL logic — fixtures are null-free, so manufacture NULLs with
+    * nullif, then exercise IS NULL / coalesce / CASE three-valued logic.
+    * Never ordered on the nullable columns (SURVEY.md §5.3.4). */
+  def filterNullLogic(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .withColumn("nd", nullif(col("l_discount"), lit(0.0)))
+      .select(col("l_orderkey"), col("l_linenumber"), col("nd"),
+        coalesce(col("nd"), lit(-1.0)).as("disc_or_neg"),
+        col("nd").isNull.as("was_zero"),
+        when(col("nd") > 0.05, "hi").when(col("nd").isNull, "none").otherwise("lo").as("tier"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** B5: CASE WHEN bucketing + per-tier aggregates. */
+  def caseBucketing(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .withColumn("tier",
+        when(col("o_totalprice") < 100000, "low")
+          .when(col("o_totalprice") < 300000, "mid")
+          .otherwise("high"))
+      .groupBy("tier")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .orderBy("tier")
+
+  // ----------------------------------------------------------------- C. joins
+
+  /** C1: inner equi-join (sort-merge at scale; AQE may demote to broadcast). */
+  def joinInnerEqui(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey", "c_custkey", "c_name", "o_totalprice")
+      .orderBy("o_orderkey")
+
+  /** C2: dimension joins with explicit broadcast hints — at 100 TB the fact
+    * side streams while nation/region (25 / 5 rows) replicate to executors. */
+  def joinBroadcastDims(s: SparkSession, d: String): DataFrame =
+    t(s, d, "customer")
+      .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+      .select("c_custkey", "n_name", "r_name")
+      .orderBy("c_custkey")
+
+  private def bigOrders(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders").filter(col("o_totalprice") > 400000)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+
+  /** C3: left outer join — unmatched customers keep NULL order columns. */
+  def joinLeftOuter(s: SparkSession, d: String): DataFrame =
+    t(s, d, "customer")
+      .join(bigOrders(s, d), col("o_custkey") === col("c_custkey"), "left")
+      .select("c_custkey", "o_orderkey", "o_totalprice")
+      .orderBy(col("c_custkey"), col("o_orderkey").asc_nulls_first)
+
+  /** C4: right outer mirror of C3. */
+  def joinRightOuter(s: SparkSession, d: String): DataFrame =
+    bigOrders(s, d)
+      .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"), "right")
+      .select("c_custkey", "o_orderkey", "o_totalprice")
+      .orderBy(col("c_custkey"), col("o_orderkey").asc_nulls_first)
+
+  /** C5: full outer join of per-nation supplier vs customer counts, with
+    * asymmetric filters so each side has nations the other lacks. */
+  def joinFullOuter(s: SparkSession, d: String): DataFrame = {
+    val sup = t(s, d, "supplier").filter(col("s_acctbal") > 5000)
+      .groupBy("s_nationkey").agg(count(lit(1)).as("n_supp"))
+    val cus = t(s, d, "customer").filter(col("c_acctbal") > 9000)
+      .groupBy("c_nationkey").agg(count(lit(1)).as("n_cust"))
+    sup.join(cus, col("s_nationkey") === col("c_nationkey"), "full")
+      .select(coalesce(col("s_nationkey"), col("c_nationkey")).as("nationkey"),
+        col("n_supp"), col("n_cust"))
+      .orderBy("nationkey")
+  }
+
+  /** C6: left semi — customers having a qualifying order (EXISTS). */
+  def joinSemi(s: SparkSession, d: String): DataFrame =
+    t(s, d, "customer")
+      .join(t(s, d, "orders").filter(col("o_totalprice") > 450000),
+        col("o_custkey") === col("c_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** C7: left anti — customers with NO qualifying order (NOT EXISTS). */
+  def joinAnti(s: SparkSession, d: String): DataFrame =
+    t(s, d, "customer")
+      .join(t(s, d, "orders").filter(col("o_totalprice") > 450000),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** C8: cross join — bounded (5 × 25 rows). */
+  def joinCross(s: SparkSession, d: String): DataFrame =
+    t(s, d, "region").crossJoin(t(s, d, "nation"))
+      .select("r_name", "n_name")
+      .orderBy("r_name", "n_name")
+
+  /** C9: theta/range join — events within 10 min after a signup by the same
+    * user. Interval arithmetic pinned to integer µs on both engines. At
+    * 100 TB this becomes a range join: pre-filter + bucket by user, never a
+    * full cartesian. */
+  def joinThetaRange(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "events")
+    val sig = e.filter(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"), col("user_id").as("su"),
+        unix_micros(col("ts")).as("ts1"))
+    val ev = e.select(col("event_id"), col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("ts2"))
+    sig.join(ev, col("su") === col("user_id") &&
+        col("ts2") > col("ts1") && col("ts2") <= col("ts1") + lit(600000000L))
+      .select("signup_id", "event_id", "event_type")
+      .orderBy("signup_id", "event_id")
+  }
+
+  /** C10: as-of join — for each purchase, the latest prior-or-equal signup of
+    * the same user; tie-break on signup event_id. Spark has no native as-of
+    * join, so: conditional join + window argmax (row_number = 1). At 100 TB:
+    * range-partition by user, sort by ts, merge within partitions. */
+  def joinAsof(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = t(s, d, "events")
+    val pur = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
+    val sig = e.filter(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"), col("user_id").as("su"), col("ts").as("s_ts"))
+    val w = Window.partitionBy("purchase_id")
+      .orderBy(col("s_ts").desc, col("signup_id").desc)
+    pur.join(sig, col("user_id") === col("su") && col("s_ts") <= col("p_ts"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("purchase_id", "user_id", "signup_id")
+      .orderBy("purchase_id")
+  }
+
+  /** C11: TPC-H-Q5-shaped star join — revenue by nation for one region and
+    * one order-date year, with the supplier-nation co-location condition. */
+  def joinStarTpch(s: SparkSession, d: String): DataFrame =
+    t(s, d, "region").filter(col("r_name") === "ASIA")
+      .join(t(s, d, "nation"), col("n_regionkey") === col("r_regionkey"))
+      .join(t(s, d, "customer"), col("c_nationkey") === col("n_nationkey"))
+      .join(t(s, d, "orders"), col("o_custkey") === col("c_custkey"))
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .join(t(s, d, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, d, "supplier"),
+        col("l_suppkey") === col("s_suppkey") && col("s_nationkey") === col("c_nationkey"))
+      .groupBy("n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+
+  // ----------------------------------------------------------- D. aggregation
+
+  /** D1: ungrouped global aggregates. */
+  def aggGlobal(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem").agg(
+      count(lit(1)).as("cnt"),
+      round(sum("l_quantity"), 2).as("sum_qty"),
+      round(avg("l_extendedprice"), 4).as("avg_price"),
+      min("l_quantity").as("min_qty"),
+      max("l_quantity").as("max_qty"),
+      min("l_shipdate").as("min_ship"),
+      max("l_shipdate").as("max_ship"))
+
+  /** D2: TPC-H Q1 pricing summary — 2-phase hash aggregation. */
+  def aggGroupbyQ1(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(avg("l_extendedprice"), 4).as("avg_price"),
+        round(avg("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** D3: exact multi-distinct aggregation (Expand + 2-phase agg). */
+  def aggCountDistinct(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(countDistinct("l_partkey").as("nd_part"),
+        countDistinct("l_suppkey").as("nd_supp"),
+        count(lit(1)).as("cnt"))
+      .orderBy("l_returnflag")
+
+  /** D4: HLL++ approximate distinct — algorithm-specific, no oracle;
+    * unit-tested against exact counts (rel err ≤ 5%). */
+  def aggApproxHll(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(approx_count_distinct("l_partkey").as("approx_nd_part"))
+      .orderBy("l_returnflag")
+
+  /** D5: statistical aggregates per group. */
+  def aggStats(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        round(stddev_samp("l_quantity"), 4).as("sd_qty"),
+        round(var_samp("l_quantity"), 4).as("var_qty"),
+        round(corr("l_extendedprice", "l_quantity"), 4).as("corr_pq"),
+        round(covar_samp("l_extendedprice", "l_quantity"), 4).as("cov_pq"))
+      .orderBy("l_returnflag")
+
+  /** D6: exact interpolated percentiles (sort-based). */
+  def aggPercentile(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .groupBy("o_orderstatus")
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"))
+      .orderBy("o_orderstatus")
+
+  /** D7: ROLLUP with GROUPING markers; subtotal keys coalesced to 'ALL' so
+    * no NULL ever reaches an ORDER BY (SURVEY.md §5.3.4). */
+  def aggRollup(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("cnt"),
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        grouping("l_returnflag").cast("int").as("g_rf"),
+        grouping("l_linestatus").cast("int").as("g_ls"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("cnt"), col("sum_qty"), col("g_rf"), col("g_ls"))
+      .orderBy("rf", "ls")
+
+  /** D8: CUBE over order status × priority. */
+  def aggCube(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("cnt"),
+        round(avg("o_totalprice"), 4).as("avg_price"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("cnt"), col("avg_price"))
+      .orderBy("status", "priority")
+
+  /** D9: explicit GROUPING SETS (SQL-text entry point, SURVEY.md §3.2). */
+  def aggGroupingSets(s: SparkSession, d: String): DataFrame = {
+    Tables.view(s, d, "lineitem")
+    s.sql("""
+      SELECT coalesce(l_returnflag, 'ALL') AS rf,
+             coalesce(l_linestatus, 'ALL') AS ls,
+             count(1) AS cnt,
+             round(sum(l_quantity), 2) AS sum_qty
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      ORDER BY rf, ls""")
+  }
+
+  /** D10: ordered string aggregation — sorted CSV of nation names per
+    * region (string output sidesteps list-encoding differences). */
+  def aggCollectSorted(s: SparkSession, d: String): DataFrame =
+    t(s, d, "nation")
+      .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(concat_ws(",", sort_array(collect_list("n_name"))).as("nations"))
+      .orderBy("r_name")
+
+  /** D11: manual conditional pivot over the closed 5-value event_type domain
+    * (sum(CASE WHEN ...) rather than the pivot() API keeps the oracle ANSI). */
+  def aggConditionalPivot(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "events")
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val aggs = types.map(ty =>
+      round(sum(when(col("event_type") === ty, col("value"))), 2).as(s"${ty}_v")) :+
+      count(lit(1)).as("n")
+    e.groupBy("user_id").agg(aggs.head, aggs.tail: _*).orderBy("user_id")
+  }
+
+  // -------------------------------------------------------- F. sort / top-k
+
+  /** F1: multi-column global sort (range-partitioned SortExec). */
+  def sortMulticol(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .filter(col("l_partkey") % 10 === 0)
+      .select("l_orderkey", "l_linenumber", "l_returnflag", "l_shipdate", "l_quantity")
+      .orderBy(col("l_returnflag"), col("l_shipdate").desc, col("l_orderkey"), col("l_linenumber"))
+
+  /** F2: top-k with tie-break (TakeOrderedAndProject — no full sort). */
+  def topkLimit(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+
+  // ------------------------------------------------------------ G. set ops
+
+  /** G1: UNION ALL with side tags (Spark union is by position — columns
+    * aligned explicitly). */
+  def setUnionAll(s: SparkSession, d: String): DataFrame =
+    t(s, d, "customer").select(col("c_nationkey").as("nationkey"), lit("cust").as("side"))
+      .unionAll(
+        t(s, d, "supplier").select(col("s_nationkey").as("nationkey"), lit("supp").as("side")))
+      .orderBy("nationkey", "side")
+
+  /** G2: distinct union. */
+  def setUnionDistinct(s: SparkSession, d: String): DataFrame =
+    t(s, d, "customer").select(col("c_nationkey").as("nationkey"))
+      .union(t(s, d, "supplier").select(col("s_nationkey")))
+      .distinct()
+      .orderBy("nationkey")
+
+  /** G3: INTERSECT (distinct semantics on both engines). */
+  def setIntersect(s: SparkSession, d: String): DataFrame =
+    t(s, d, "customer").select(col("c_nationkey").as("nationkey"))
+      .intersect(t(s, d, "supplier").select(col("s_nationkey")))
+      .orderBy("nationkey")
+
+  /** G4: EXCEPT with selective sides. */
+  def setExcept(s: SparkSession, d: String): DataFrame =
+    t(s, d, "customer").filter(col("c_acctbal") > 9900)
+      .select(col("c_nationkey").as("nationkey"))
+      .except(t(s, d, "supplier").filter(col("s_acctbal") > 9000).select(col("s_nationkey")))
+      .orderBy("nationkey")
+
+  // ------------------------------------------------- H. scalar function lib
+
+  /** H1: string function suite. */
+  def fnStringSuite(s: SparkSession, d: String): DataFrame =
+    t(s, d, "customer").select(
+      col("c_custkey"),
+      upper(col("c_name")).as("up_name"),
+      lower(col("c_mktsegment")).as("lo_seg"),
+      length(col("c_name")).as("name_len"),
+      substring(col("c_name"), 10, 4).as("sub4"),
+      concat(col("c_mktsegment"), lit("-"), col("c_name")).as("cat"),
+      lpad(col("c_custkey").cast("string"), 8, "0").as("padded"),
+      regexp_replace(col("c_name"), "Customer", "C").as("repl"),
+      trim(concat(lit(" "), col("c_mktsegment"), lit(" "))).as("trimmed"),
+      split(col("c_name"), "#").getItem(0).as("prefix"))
+      .orderBy("c_custkey")
+
+  /** H2: date/time function suite — ISO weekday only (Spark weekday()+1 ≡
+    * DuckDB isodow; the engines' dayofweek disagree), UTC pinned. */
+  def fnDateSuite(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders").select(
+      col("o_orderkey"),
+      year(col("o_orderdate")).as("y"),
+      month(col("o_orderdate")).as("m"),
+      dayofmonth(col("o_orderdate")).as("dom"),
+      (weekday(col("o_orderdate")) + 1).as("isodow"),
+      date_trunc("month", col("o_orderdate")).as("month_start"),
+      date_add(col("o_orderdate").cast("date"), 30).as("plus30"),
+      datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date")).as("days_since"),
+      last_day(col("o_orderdate").cast("date")).as("month_end"))
+      .orderBy("o_orderkey")
+
+  /** H3: math function suite — transcendental outputs rounded to 6 dp to
+    * absorb last-ulp libm differences. */
+  def fnMathSuite(s: SparkSession, d: String): DataFrame =
+    t(s, d, "part").select(
+      col("p_partkey"),
+      round(abs(col("p_retailprice") - 1000.0), 6).as("a"),
+      ceil(col("p_retailprice")).as("c"),
+      floor(col("p_retailprice")).as("f"),
+      round(pow(col("p_retailprice"), 0.5), 6).as("pw"),
+      round(sqrt(col("p_size").cast("double")), 6).as("sq"),
+      round(log(col("p_retailprice")), 6).as("l"),
+      round(log10(col("p_retailprice")), 6).as("lg"),
+      (col("p_partkey") % 7).as("m"),
+      signum(col("p_retailprice") - 1200.0).cast("int").as("sg"))
+      .orderBy("p_partkey")
+
+  /** H4: array functions over the 64-dim embedding column. */
+  def fnArraySuite(s: SparkSession, d: String): DataFrame =
+    t(s, d, "embeddings").select(
+      col("vec_id"),
+      size(col("embedding")).as("dim"),
+      round(element_at(col("embedding"), 1).cast("double"), 6).as("e1"),
+      round(element_at(col("embedding"), 2).cast("double"), 6).as("e2"),
+      col("label"))
+      .orderBy("vec_id")
+
+  /** H5: conditional scalar functions. */
+  def fnConditional(s: SparkSession, d: String): DataFrame =
+    t(s, d, "customer").select(
+      col("c_custkey"),
+      coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("OTHER")).as("seg"),
+      greatest(col("c_acctbal"), lit(0.0)).as("pos_bal"),
+      least(col("c_acctbal"), lit(5000.0)).as("capped"),
+      when(nullif(col("c_acctbal"), lit(0.0)).isNull, 1).otherwise(0).as("zero_flag"))
+      .orderBy("c_custkey")
+
+  // --------------------------------------------------------------- registry
+
+  val queries: Map[String, Q] = Map(
+    "scan_parquet" -> (scanParquet _),
+    "scan_pruned" -> (scanPruned _),
+    "scan_events_ns" -> (scanEventsNs _),
+    "json_extract_props" -> (jsonExtractProps _),
+    "csv_roundtrip" -> (csvRoundtrip _),
+    "project_compute" -> (projectCompute _),
+    "filter_combo" -> (filterCombo _),
+    "filter_like_regex" -> (filterLikeRegex _),
+    "filter_null_logic" -> (filterNullLogic _),
+    "case_bucketing" -> (caseBucketing _),
+    "join_inner_equi" -> (joinInnerEqui _),
+    "join_broadcast_dims" -> (joinBroadcastDims _),
+    "join_left_outer" -> (joinLeftOuter _),
+    "join_right_outer" -> (joinRightOuter _),
+    "join_full_outer" -> (joinFullOuter _),
+    "join_semi" -> (joinSemi _),
+    "join_anti" -> (joinAnti _),
+    "join_cross" -> (joinCross _),
+    "join_theta_range" -> (joinThetaRange _),
+    "join_asof" -> (joinAsof _),
+    "join_star_tpch" -> (joinStarTpch _),
+    "agg_global" -> (aggGlobal _),
+    "agg_groupby_q1" -> (aggGroupbyQ1 _),
+    "agg_count_distinct" -> (aggCountDistinct _),
+    "agg_approx_hll" -> (aggApproxHll _),
+    "agg_stats" -> (aggStats _),
+    "agg_percentile" -> (aggPercentile _),
+    "agg_rollup" -> (aggRollup _),
+    "agg_cube" -> (aggCube _),
+    "agg_grouping_sets" -> (aggGroupingSets _),
+    "agg_collect_sorted" -> (aggCollectSorted _),
+    "agg_conditional_pivot" -> (aggConditionalPivot _),
+    "sort_multicol" -> (sortMulticol _),
+    "topk_limit" -> (topkLimit _),
+    "set_union_all" -> (setUnionAll _),
+    "set_union_distinct" -> (setUnionDistinct _),
+    "set_intersect" -> (setIntersect _),
+    "set_except" -> (setExcept _),
+    "fn_string_suite" -> (fnStringSuite _),
+    "fn_date_suite" -> (fnDateSuite _),
+    "fn_math_suite" -> (fnMathSuite _),
+    "fn_array_suite" -> (fnArraySuite _),
+    "fn_conditional" -> (fnConditional _),
+  )
+
+  /** DuckDB oracle SQL per query key. Dialect notes: integer-width CASTs
+    * align DuckDB result types with Spark's (BIGINT vs INTEGER); events.ts
+    * is CAST to µs TIMESTAMP to mirror the Spark-side ns normalization. */
+  val oracles: Map[String, String] = Map(
+    "scan_parquet" ->
+      "SELECT * FROM nation ORDER BY n_nationkey",
+    "scan_pruned" ->
+      "SELECT l_orderkey, l_partkey, l_quantity FROM lineitem WHERE l_orderkey % 500 = 0 ORDER BY l_orderkey, l_partkey, l_quantity",
+    "scan_events_ns" ->
+      "SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value FROM events WHERE event_id < 500 ORDER BY event_id",
+    "json_extract_props" ->
+      "SELECT event_id, CAST(props->>'$.k' AS INTEGER) AS k FROM events ORDER BY event_id",
+    "csv_roundtrip" ->
+      "SELECT * FROM region ORDER BY r_regionkey",
+    "project_compute" ->
+      "SELECT l_orderkey, l_linenumber, floor(l_extendedprice * (1.0 - l_discount) * 100 + 0.5) / 100.0 AS net_price FROM lineitem ORDER BY l_orderkey, l_linenumber",
+    "filter_combo" ->
+      "SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM orders WHERE o_orderstatus IN ('F','O') AND o_totalprice BETWEEN 50000 AND 300000 AND (o_orderpriority = '1-URGENT' OR o_orderpriority = '2-HIGH') ORDER BY o_orderkey",
+    "filter_like_regex" ->
+      "SELECT p_partkey, p_name, p_brand, CAST(regexp_extract(p_brand, '#(\\d+)', 1) AS INTEGER) AS brand_num FROM part WHERE p_name LIKE '%gear%' AND CAST(regexp_extract(p_brand, '#(\\d+)', 1) AS INTEGER) > 10 ORDER BY p_partkey",
+    "filter_null_logic" ->
+      "SELECT l_orderkey, l_linenumber, nullif(l_discount, 0.0) AS nd, coalesce(nullif(l_discount, 0.0), -1.0) AS disc_or_neg, (nullif(l_discount, 0.0) IS NULL) AS was_zero, CASE WHEN nullif(l_discount, 0.0) > 0.05 THEN 'hi' WHEN nullif(l_discount, 0.0) IS NULL THEN 'none' ELSE 'lo' END AS tier FROM lineitem ORDER BY l_orderkey, l_linenumber",
+    "case_bucketing" ->
+      "SELECT CASE WHEN o_totalprice < 100000 THEN 'low' WHEN o_totalprice < 300000 THEN 'mid' ELSE 'high' END AS tier, count(*) AS n, round(sum(o_totalprice), 2) AS total FROM orders GROUP BY 1 ORDER BY tier",
+    "join_inner_equi" ->
+      "SELECT o_orderkey, c_custkey, c_name, o_totalprice FROM orders JOIN customer ON o_custkey = c_custkey ORDER BY o_orderkey",
+    "join_broadcast_dims" ->
+      "SELECT c_custkey, n_name, r_name FROM customer JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey ORDER BY c_custkey",
+    "join_left_outer" ->
+      "SELECT c_custkey, o_orderkey, o_totalprice FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 400000) o ON o_custkey = c_custkey ORDER BY c_custkey, o_orderkey NULLS FIRST",
+    "join_right_outer" ->
+      "SELECT c_custkey, o_orderkey, o_totalprice FROM (SELECT * FROM orders WHERE o_totalprice > 400000) o RIGHT JOIN customer ON o_custkey = c_custkey ORDER BY c_custkey, o_orderkey NULLS FIRST",
+    "join_full_outer" ->
+      "SELECT coalesce(s.s_nationkey, c.c_nationkey) AS nationkey, s.n_supp, c.n_cust FROM (SELECT s_nationkey, count(*) AS n_supp FROM supplier WHERE s_acctbal > 5000 GROUP BY s_nationkey) s FULL JOIN (SELECT c_nationkey, count(*) AS n_cust FROM customer WHERE c_acctbal > 9000 GROUP BY c_nationkey) c ON s.s_nationkey = c.c_nationkey ORDER BY nationkey",
+    "join_semi" ->
+      "SELECT c_custkey, c_name FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 450000) ORDER BY c_custkey",
+    "join_anti" ->
+      "SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 450000) ORDER BY c_custkey",
+    "join_cross" ->
+      "SELECT r_name, n_name FROM region CROSS JOIN nation ORDER BY r_name, n_name",
+    "join_theta_range" ->
+      "WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type FROM events) SELECT s.event_id AS signup_id, e.event_id AS event_id, e.event_type FROM ev s JOIN ev e ON e.user_id = s.user_id AND epoch_us(e.ts) > epoch_us(s.ts) AND epoch_us(e.ts) <= epoch_us(s.ts) + 600000000 WHERE s.event_type = 'signup' ORDER BY signup_id, event_id",
+    "join_asof" ->
+      "WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type FROM events), pairs AS (SELECT p.event_id AS purchase_id, p.user_id AS user_id, s.event_id AS signup_id, row_number() OVER (PARTITION BY p.event_id ORDER BY s.ts DESC, s.event_id DESC) AS rn FROM ev p JOIN ev s ON s.user_id = p.user_id AND s.event_type = 'signup' AND s.ts <= p.ts WHERE p.event_type = 'purchase') SELECT purchase_id, user_id, signup_id FROM pairs WHERE rn = 1 ORDER BY purchase_id",
+    "join_star_tpch" ->
+      "SELECT n_name, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue FROM region JOIN nation ON n_regionkey = r_regionkey JOIN customer ON c_nationkey = n_nationkey JOIN orders ON o_custkey = c_custkey JOIN lineitem ON l_orderkey = o_orderkey JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01' GROUP BY n_name ORDER BY revenue DESC, n_name",
+    "agg_global" ->
+      "SELECT count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty, round(avg(l_extendedprice), 4) AS avg_price, min(l_quantity) AS min_qty, max(l_quantity) AS max_qty, min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship FROM lineitem",
+    "agg_groupby_q1" ->
+      "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, round(sum(l_extendedprice), 2) AS sum_base_price, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price, round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2) AS sum_charge, round(avg(l_quantity), 4) AS avg_qty, round(avg(l_extendedprice), 4) AS avg_price, round(avg(l_discount), 4) AS avg_disc, count(*) AS count_order FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus",
+    "agg_count_distinct" ->
+      "SELECT l_returnflag, count(DISTINCT l_partkey) AS nd_part, count(DISTINCT l_suppkey) AS nd_supp, count(*) AS cnt FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
+    "agg_stats" ->
+      "SELECT l_returnflag, round(stddev_samp(l_quantity), 4) AS sd_qty, round(var_samp(l_quantity), 4) AS var_qty, round(corr(l_extendedprice, l_quantity), 4) AS corr_pq, round(covar_samp(l_extendedprice, l_quantity), 4) AS cov_pq FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
+    "agg_percentile" ->
+      "SELECT o_orderstatus, round(quantile_cont(o_totalprice, 0.5), 4) AS p50, round(quantile_cont(o_totalprice, 0.9), 4) AS p90 FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus",
+    "agg_rollup" ->
+      "SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls, count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty, CAST(GROUPING(l_returnflag) AS INTEGER) AS g_rf, CAST(GROUPING(l_linestatus) AS INTEGER) AS g_ls FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) ORDER BY rf, ls",
+    "agg_cube" ->
+      "SELECT coalesce(o_orderstatus, 'ALL') AS status, coalesce(o_orderpriority, 'ALL') AS priority, count(*) AS cnt, round(avg(o_totalprice), 4) AS avg_price FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority) ORDER BY status, priority",
+    "agg_grouping_sets" ->
+      "SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls, count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ()) ORDER BY rf, ls",
+    "agg_collect_sorted" ->
+      "SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations FROM nation JOIN region ON n_regionkey = r_regionkey GROUP BY r_name ORDER BY r_name",
+    "agg_conditional_pivot" ->
+      "SELECT user_id, round(sum(CASE WHEN event_type = 'click' THEN value END), 2) AS click_v, round(sum(CASE WHEN event_type = 'error' THEN value END), 2) AS error_v, round(sum(CASE WHEN event_type = 'purchase' THEN value END), 2) AS purchase_v, round(sum(CASE WHEN event_type = 'signup' THEN value END), 2) AS signup_v, round(sum(CASE WHEN event_type = 'view' THEN value END), 2) AS view_v, count(*) AS n FROM events GROUP BY user_id ORDER BY user_id",
+    "sort_multicol" ->
+      "SELECT l_orderkey, l_linenumber, l_returnflag, l_shipdate, l_quantity FROM lineitem WHERE l_partkey % 10 = 0 ORDER BY l_returnflag, l_shipdate DESC, l_orderkey, l_linenumber",
+    "topk_limit" ->
+      "SELECT o_orderkey, o_custkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
+    "set_union_all" ->
+      "SELECT c_nationkey AS nationkey, 'cust' AS side FROM customer UNION ALL SELECT s_nationkey, 'supp' FROM supplier ORDER BY nationkey, side",
+    "set_union_distinct" ->
+      "SELECT c_nationkey AS nationkey FROM customer UNION SELECT s_nationkey FROM supplier ORDER BY nationkey",
+    "set_intersect" ->
+      "SELECT c_nationkey AS nationkey FROM customer INTERSECT SELECT s_nationkey FROM supplier ORDER BY nationkey",
+    "set_except" ->
+      "SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9900 EXCEPT SELECT s_nationkey FROM supplier WHERE s_acctbal > 9000 ORDER BY nationkey",
+    "fn_string_suite" ->
+      "SELECT c_custkey, upper(c_name) AS up_name, lower(c_mktsegment) AS lo_seg, CAST(length(c_name) AS INTEGER) AS name_len, substr(c_name, 10, 4) AS sub4, concat(c_mktsegment, '-', c_name) AS cat, lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded, regexp_replace(c_name, 'Customer', 'C') AS repl, trim(concat(' ', c_mktsegment, ' ')) AS trimmed, split_part(c_name, '#', 1) AS prefix FROM customer ORDER BY c_custkey",
+    "fn_date_suite" ->
+      "SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS y, CAST(month(o_orderdate) AS INTEGER) AS m, CAST(day(o_orderdate) AS INTEGER) AS dom, CAST(isodow(o_orderdate) AS INTEGER) AS isodow, date_trunc('month', o_orderdate) AS month_start, CAST(o_orderdate AS DATE) + 30 AS plus30, CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since, last_day(CAST(o_orderdate AS DATE)) AS month_end FROM orders ORDER BY o_orderkey",
+    "fn_math_suite" ->
+      "SELECT p_partkey, round(abs(p_retailprice - 1000.0), 6) AS a, CAST(ceil(p_retailprice) AS BIGINT) AS c, CAST(floor(p_retailprice) AS BIGINT) AS f, round(pow(p_retailprice, 0.5), 6) AS pw, round(sqrt(CAST(p_size AS DOUBLE)), 6) AS sq, round(ln(p_retailprice), 6) AS l, round(log10(p_retailprice), 6) AS lg, p_partkey % 7 AS m, CAST(sign(p_retailprice - 1200.0) AS INTEGER) AS sg FROM part ORDER BY p_partkey",
+    "fn_array_suite" ->
+      "SELECT vec_id, CAST(len(embedding) AS INTEGER) AS dim, round(CAST(embedding[1] AS DOUBLE), 6) AS e1, round(CAST(embedding[2] AS DOUBLE), 6) AS e2, label FROM embeddings ORDER BY vec_id",
+    "fn_conditional" ->
+      "SELECT c_custkey, coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg, greatest(c_acctbal, 0.0) AS pos_bal, least(c_acctbal, 5000.0) AS capped, CASE WHEN nullif(c_acctbal, 0.0) IS NULL THEN 1 ELSE 0 END AS zero_flag FROM customer ORDER BY c_custkey",
+  )
+}
