@@ -1,0 +1,62 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.udf
+
+/** Vector similarity primitives over ArrayType(FloatType) embedding columns.
+  *
+  * The cosine kernel is a compiled Scala UDF with double accumulation — the
+  * SQL higher-order-function formulation measured 36.7 s at sf0.1 vs well
+  * under a second for this UDF (SURVEY.md §6). A codegen'd Catalyst
+  * Expression is the next step only if BENCH demands it.
+  *
+  * 100 TB notes: brute-force pairwise cosine is O(n²) and only for bounded
+  * candidate sets; the scale path is LSH/IVF bucketing (see LlmOps ANN ops)
+  * so each bucket's pairwise work is small and buckets shard across
+  * executors.
+  */
+object VectorFunctions {
+  private def dotNorm(a: Seq[Float], b: Seq[Float]): (Double, Double, Double) = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    (dot, na, nb)
+  }
+
+  /** Cosine similarity, double-accumulated. */
+  val cosine = udf { (a: Seq[Float], b: Seq[Float]) =>
+    val (dot, na, nb) = dotNorm(a, b)
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  def cosineSim(a: Column, b: Column): Column = cosine(a, b)
+
+  /** 16-bit random-hyperplane (SimHash-for-cosine) bucket id. Hyperplane
+    * j's component i is a deterministic pseudo-random value derived from
+    * (j, i) — no RNG state, so buckets are stable across runs and engines.
+    * Used by the ANN scale path: candidates only within a bucket. */
+  val hyperplaneBucket = udf { (v: Seq[Float]) =>
+    var bucket = 0
+    var j = 0
+    while (j < 16) {
+      var dot = 0.0
+      var i = 0
+      while (i < v.length) {
+        // Deterministic "random" weight in [-0.5, 0.5): fractional part of
+        // sin-based hash of (j, i). Public trick (e.g. GLSL one-liners).
+        val h = math.sin(j * 374761.393 + i * 668265.263) * 43758.5453
+        val w = h - math.floor(h) - 0.5
+        dot += v(i) * w
+        i += 1
+      }
+      if (dot >= 0) bucket |= (1 << j)
+      j += 1
+    }
+    bucket
+  }
+}

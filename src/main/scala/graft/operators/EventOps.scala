@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Event-time operators, batch formulations (SURVEY.md §2.I1-I4). Each has
+  * a Structured Streaming twin in graft.streaming (watermarks, session
+  * windows, stateful dedup) verified by MemoryStream unit tests — batch
+  * formulations here are the oracle-checkable semantics.
+  *
+  * All event-time arithmetic is integer microseconds on both engines
+  * (SURVEY.md §5.3.3); `ts` is the µs-normalized column from Tables.
+  *
+  * 100 TB notes: tumbling/sliding windows are plain hash aggregations over
+  * (window, keys) — partial agg + shuffle on the window key. Sessionization
+  * shuffles once on user_id then runs two sorted window passes within each
+  * partition; streaming twin bounds state via watermark + session_window.
+  */
+object EventOps {
+  type Q = (SparkSession, String) => DataFrame
+  private def ev(s: SparkSession, d: String) = Tables.load(s, d, "events")
+
+  /** I1: hourly tumbling counts + value sums per event type. window.start ≡
+    * date_trunc('hour') for epoch-aligned origins. */
+  def streamTumbling(s: SparkSession, d: String): DataFrame =
+    ev(s, d)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("sum_v"))
+      .select(col("w.start").as("hour_start"), col("event_type"), col("cnt"), col("sum_v"))
+      .orderBy("hour_start", "event_type")
+
+  /** I2: 1-hour windows sliding every 30 min (each event lands in 2). */
+  def streamSliding(s: SparkSession, d: String): DataFrame =
+    ev(s, d)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.start").as("wstart"), col("cnt"))
+      .orderBy("wstart")
+
+  /** I3: 30-min-gap sessionization per user (lag + gap flag + running sum —
+    * the portable batch formulation; cross-validated row counts in SURVEY
+    * §5.2). Session ids are per-user ordinals, deterministic. */
+  def streamSession(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev(s, d)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("prev_us", lag("us", 1).over(w))
+      .withColumn("new_s",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > 1800000000L, 1).otherwise(0))
+      .withColumn("sess_id", sum("new_s").over(wRun))
+      .groupBy("user_id", "sess_id")
+      .agg(count(lit(1)).as("n_events"),
+        min("ts").as("session_start"), max("ts").as("session_end"))
+      .orderBy("user_id", "sess_id")
+  }
+
+  /** I4: exact dedup on event_id with a deterministic survivor (per-column
+    * min — not dropDuplicates, whose survivor is partition-order dependent). */
+  def streamDedup(s: SparkSession, d: String): DataFrame =
+    ev(s, d)
+      .groupBy("event_id")
+      .agg(min("ts").as("ts"), min("user_id").as("user_id"),
+        min("event_type").as("event_type"), min("value").as("value"))
+      .orderBy("event_id")
+
+  val queries: Map[String, Q] = Map(
+    "stream_tumbling" -> (streamTumbling _),
+    "stream_sliding" -> (streamSliding _),
+    "stream_session" -> (streamSession _),
+    "stream_dedup" -> (streamDedup _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "stream_tumbling" ->
+      "SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start, event_type, count(*) AS cnt, round(sum(value), 2) AS sum_v FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type",
+    "stream_sliding" ->
+      "WITH g AS (SELECT unnest(generate_series(TIMESTAMP '2023-12-31 23:30:00', TIMESTAMP '2024-01-31 00:00:00', INTERVAL 30 MINUTE)) AS wstart) SELECT wstart, count(*) AS cnt FROM g JOIN events e ON CAST(e.ts AS TIMESTAMP) >= g.wstart AND CAST(e.ts AS TIMESTAMP) < g.wstart + INTERVAL 1 HOUR GROUP BY wstart ORDER BY wstart",
+    "stream_session" ->
+      "WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events), l AS (SELECT user_id, ts, event_id, CASE WHEN lag(epoch_us(ts)) OVER w IS NULL OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), s AS (SELECT user_id, ts, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_id FROM l) SELECT user_id, sess_id, count(*) AS n_events, min(ts) AS session_start, max(ts) AS session_end FROM s GROUP BY user_id, sess_id ORDER BY user_id, sess_id",
+    "stream_dedup" ->
+      "SELECT event_id, min(CAST(ts AS TIMESTAMP)) AS ts, min(user_id) AS user_id, min(event_type) AS event_type, min(value) AS value FROM events GROUP BY event_id ORDER BY event_id",
+  )
+}

@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Window functions (SURVEY.md §2.E). Every window's ORDER BY includes a
+  * unique tie-break column, frames are written explicitly where default
+  * frames could differ, and range frames are expressed over numeric epoch
+  * columns only (Spark range frames are numeric-only).
+  *
+  * 100 TB notes: window partitions shuffle on partitionBy keys — per-user /
+  * per-customer cardinality keeps partitions small; AQE handles skewed
+  * users. No unpartitioned global windows except the bounded E7 ntile.
+  */
+object WindowOps {
+  type Q = (SparkSession, String) => DataFrame
+  private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
+
+  /** E1: top-2 orders per customer by price (row_number ≤ 2). */
+  def winTopkGroup(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, d, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** E2: rank + dense_rank of parts by retail price within type. */
+  def winRankDense(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("p_type").orderBy(col("p_retailprice").desc, col("p_partkey"))
+    t(s, d, "part")
+      .select(col("p_type"), col("p_partkey"), col("p_retailprice"),
+        rank().over(w).as("rnk"), dense_rank().over(w).as("drnk"))
+      .orderBy("p_type", "rnk", "p_partkey")
+  }
+
+  /** E3: per-user inter-event gap (µs, exact integers) + next event type. */
+  def winLagLead(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t(s, d, "events")
+      .withColumn("us", unix_micros(col("ts")))
+      .select(col("event_id"), col("user_id"),
+        (col("us") - lag("us", 1).over(w)).as("gap_us"),
+        lead("event_type", 1).over(w).as("next_type"))
+      .orderBy("event_id")
+  }
+
+  /** E4: running revenue per customer (rows frame, unique order key). */
+  def winRunningSum(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, d, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        round(sum("o_totalprice").over(w), 2).as("cum_rev"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** E5: 3-preceding-rows moving average of order price per customer. */
+  def winSlidingAvg(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(-3, 0)
+    t(s, d, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(avg("o_totalprice").over(w), 4).as("mov_avg"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** E6: trailing-1h event count per user — RANGE frame over integer epoch
+    * seconds (numeric on both engines; peers share the frame). */
+  def winRangeFrame(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("epoch_s").rangeBetween(-3600, 0)
+    t(s, d, "events")
+      .withColumn("epoch_s", (unix_micros(col("ts")) / lit(1000000L)).cast("long"))
+      .select(col("event_id"), col("user_id"), col("epoch_s"),
+        count(lit(1)).over(w).as("cnt_1h"))
+      .orderBy("event_id")
+  }
+
+  /** E7: ntile + first_value/last_value with explicit full frames. */
+  def winNtileFirstLast(s: SparkSession, d: String): DataFrame = {
+    val wOrder = Window.partitionBy("o_orderstatus")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val wFull = wOrder.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t(s, d, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        ntile(4).over(wOrder).as("quartile"),
+        first_value(col("o_orderkey")).over(wFull).as("top_key"),
+        last_value(col("o_orderkey")).over(wFull).as("bottom_key"))
+      .orderBy("o_orderkey")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "win_topk_group" -> (winTopkGroup _),
+    "win_rank_dense" -> (winRankDense _),
+    "win_lag_lead" -> (winLagLead _),
+    "win_running_sum" -> (winRunningSum _),
+    "win_sliding_avg" -> (winSlidingAvg _),
+    "win_range_frame" -> (winRangeFrame _),
+    "win_ntile_first_last" -> (winNtileFirstLast _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "win_topk_group" ->
+      "SELECT o_custkey, CAST(rn AS INTEGER) AS rn, o_orderkey, o_totalprice FROM (SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) WHERE rn <= 2 ORDER BY o_custkey, rn",
+    "win_rank_dense" ->
+      "SELECT p_type, p_partkey, p_retailprice, CAST(rank() OVER w AS INTEGER) AS rnk, CAST(dense_rank() OVER w AS INTEGER) AS drnk FROM part WINDOW w AS (PARTITION BY p_type ORDER BY p_retailprice DESC, p_partkey) ORDER BY p_type, rnk, p_partkey",
+    "win_lag_lead" ->
+      "SELECT event_id, user_id, epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us, lead(event_type) OVER w AS next_type FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events) WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id) ORDER BY event_id",
+    "win_running_sum" ->
+      "SELECT o_custkey, o_orderkey, o_orderdate, round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_rev FROM orders ORDER BY o_custkey, o_orderkey",
+    "win_sliding_avg" ->
+      "SELECT o_custkey, o_orderkey, round(avg(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS mov_avg FROM orders ORDER BY o_custkey, o_orderkey",
+    "win_range_frame" ->
+      "SELECT event_id, user_id, epoch_s, count(*) OVER (PARTITION BY user_id ORDER BY epoch_s RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS cnt_1h FROM (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS epoch_s FROM events) ORDER BY event_id",
+    "win_ntile_first_last" ->
+      "SELECT o_orderkey, o_orderstatus, o_totalprice, CAST(ntile(4) OVER w AS INTEGER) AS quartile, first_value(o_orderkey) OVER wf AS top_key, last_value(o_orderkey) OVER wf AS bottom_key FROM orders WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey), wf AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) ORDER BY o_orderkey",
+  )
+}
