@@ -15,11 +15,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalOps.queries ++ WindowOps.queries ++ EventOps.queries ++
-      LlmOps.queries
+      LlmOps.queries ++ MlOps.queries ++ LlmTextOps.queries ++
+      MultimodalOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalOps.oracles ++ WindowOps.oracles ++ EventOps.oracles ++
-      LlmOps.oracles
+      LlmOps.oracles ++ MlOps.oracles ++ LlmTextOps.oracles ++
+      MultimodalOps.oracles
 }

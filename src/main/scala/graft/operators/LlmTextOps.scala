@@ -1,0 +1,184 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.VectorFunctions
+
+/** Text-analysis + near-dup operators beyond SURVEY §2.K — the rest of a
+  * large-scale training-data pipeline: language ID, quality scoring, token
+  * counting, document fingerprinting, n-gram Jaccard near-dup, SimHash,
+  * and the LSH-bucketed ANN scale path.
+  *
+  * Everything except the two hash UDF ops (SimHash, ANN buckets) is pure
+  * codegen'd built-ins and carries a DuckDB oracle. All per-document ops
+  * are row-local projections — no shuffle, arbitrarily wide at 100 TB.
+  */
+object LlmTextOps {
+  type Q = (SparkSession, String) => DataFrame
+  private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
+
+  private val langs: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and"),
+    "fr" -> Seq("le", "la", "et", "les"),
+    "de" -> Seq("der", "die", "und", "das"),
+    "es" -> Seq("el", "los", "y", "que"),
+    "zh" -> Seq("de", "shi", "zai", "he"))
+
+  /** Language-ID heuristic: count pinned marker words per language, argmax
+    * with fixed priority order on ties. (The fixture corpus shares one
+    * vocabulary across langs, so predictions skew 'en' — the op grades the
+    * deterministic scoring machinery, not model quality.) */
+  def llmLangId(s: SparkSession, d: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val scored = langs.foldLeft(t(s, d, "documents").withColumn("ws", toks)) {
+      case (df, (lang, markers)) =>
+        df.withColumn(s"s_$lang",
+          size(filter(col("ws"), tk => tk.isin(markers.map(lit): _*))))
+    }
+    val scores = langs.map { case (l, _) => col(s"s_$l") }
+    val pred = langs.zip(scores).foldRight(lit("und"): Column) {
+      case (((lang, _), sc), rest) =>
+        when(scores.map(o => sc >= o).reduce(_ && _), lang).otherwise(rest)
+    }
+    scored.select(col("doc_id") +: langs.map { case (l, _) => col(s"s_$l") } :+
+        pred.as("pred_lang") :+ col("lang"): _*)
+      .orderBy("doc_id")
+  }
+
+  /** Token counting: whitespace tokens + a BPE-ish subword estimate
+    * (⌈len/4⌉ pieces per word, via higher-order aggregate — codegen'd,
+    * no UDF). */
+  def llmTokenCount(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .withColumn("ws", split(col("text"), " "))
+      .select(col("doc_id"),
+        size(col("ws")).as("ws_cnt"),
+        aggregate(col("ws"), lit(0L),
+          (acc, x) => acc + ceil(length(x) / lit(4.0))).as("bpe_cnt"))
+      .orderBy("doc_id")
+
+  /** Quality scoring: length band + average word length, composed into a
+    * [0,1] score with exact-portable arithmetic. */
+  def llmQualityScore(s: SparkSession, d: String): DataFrame = {
+    val wordCnt = size(split(col("text"), " "))
+    val lenScore = least(col("n_chars") / lit(500.0), lit(1.0))
+    val avgWlen = (col("n_chars") - (wordCnt - lit(1))) / wordCnt.cast("double")
+    t(s, d, "documents")
+      .select(col("doc_id"), wordCnt.as("word_cnt"),
+        round(lit(0.6) * lenScore + lit(0.4) * least(avgWlen / lit(10.0), lit(1.0)), 6).as("score"))
+      .orderBy("doc_id")
+  }
+
+  private def shingles(n: Int): Column =
+    expr(s"transform(sequence(1, size(ws) - ${n - 1}), i -> concat_ws(' ', slice(ws, i, $n)))")
+
+  /** Document fingerprint: min MD5 over 5-gram word shingles (MinHash with
+    * one hash function) — fully row-local, portable to SQL, and stable
+    * under small edits elsewhere in the document. */
+  def llmFingerprint(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .withColumn("ws", split(col("text"), " "))
+      .select(col("doc_id"),
+        array_min(transform(shingles(5), sh => md5(sh.cast("binary")))).as("fp"))
+      .orderBy("doc_id")
+
+  /** 3-gram Jaccard near-dup pairs (≥ 0.2): explode distinct shingles,
+    * self-join on shingle, |∩| / (|A|+|B|−|∩|). Fixtures have no near-dups
+    * so the fixture output is empty; recall on constructed dups is
+    * unit-tested. 100 TB: this IS the scale shape — pairs are generated
+    * only for docs sharing a shingle (inverted index), never all-pairs. */
+  def llmNgramJaccard(s: SparkSession, d: String): DataFrame = {
+    val sh = t(s, d, "documents")
+      .withColumn("ws", split(col("text"), " "))
+      .select(col("doc_id"), explode(shingles(3)).as("sh"))
+      .distinct()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val pairs = sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.select(col("doc_id").as("a_id"), col("n_sh").as("n_a")), "a_id")
+      .join(sizes.select(col("doc_id").as("b_id"), col("n_sh").as("n_b")), "b_id")
+      .withColumn("jac", round(col("inter") / (col("n_a") + col("n_b") - col("inter")), 4))
+      .filter(col("jac") >= 0.2)
+      .select("a_id", "b_id", "jac")
+      .orderBy("a_id", "b_id")
+  }
+
+  /** SimHash near-dup buckets (no oracle — hash-algorithm specific; recall
+    * unit-tested). 64-bit SimHash from per-token MD5, bucketed exactly. */
+  def llmDedupSimhash(s: SparkSession, d: String): DataFrame = {
+    val simhash = udf { (toks: Seq[String]) =>
+      val acc = new Array[Int](64)
+      toks.foreach { tk =>
+        val md = java.security.MessageDigest.getInstance("MD5").digest(tk.getBytes("UTF-8"))
+        var h = 0L
+        var i = 0
+        while (i < 8) { h = (h << 8) | (md(i) & 0xffL); i += 1 }
+        var b = 0
+        while (b < 64) { if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1; b += 1 }
+      }
+      var out = 0L
+      var b = 0
+      while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
+      out
+    }
+    t(s, d, "documents")
+      .withColumn("sh64", simhash(split(lower(col("text")), "\\W+")))
+      .groupBy("sh64")
+      .agg(min("doc_id").as("survivor_id"), count(lit(1)).as("n_docs"))
+      .orderBy("survivor_id")
+  }
+
+  /** ANN scale path (no oracle): random-hyperplane LSH buckets, brute-force
+    * cosine only within buckets, global approximate top-20. At 100 TB the
+    * bucket join replaces the O(n²) candidate generation of llm_cosine_topk. */
+  def annLshTopk(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "embeddings")
+      .withColumn("bucket", VectorFunctions.hyperplaneBucket(col("embedding")))
+    val a = e.select(col("bucket"), col("vec_id").as("a_id"), col("embedding").as("a_vec"))
+    val b = e.select(col("bucket").as("b_bucket"), col("vec_id").as("b_id"), col("embedding").as("b_vec"))
+    a.join(b, col("bucket") === col("b_bucket") && col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(VectorFunctions.cosineSim(col("a_vec"), col("b_vec")), 4).as("sim"))
+      .orderBy(col("sim").desc, col("a_id"), col("b_id"))
+      .limit(20)
+  }
+
+  val queries: Map[String, Q] = Map(
+    "llm_lang_id" -> (llmLangId _),
+    "llm_token_count" -> (llmTokenCount _),
+    "llm_quality_score" -> (llmQualityScore _),
+    "llm_fingerprint" -> (llmFingerprint _),
+    "llm_ngram_jaccard" -> (llmNgramJaccard _),
+    "llm_dedup_simhash" -> (llmDedupSimhash _),
+    "ann_lsh_topk" -> (annLshTopk _),
+  )
+
+  private val markerSql: Map[String, String] = langs.toMap.map { case (l, ms) =>
+    l -> ms.map(m => s"'$m'").mkString(", ")
+  }
+
+  val oracles: Map[String, String] = Map(
+    "llm_lang_id" -> {
+      val scoreCols = langs.map { case (l, _) =>
+        s"CAST(len(list_filter(string_split(text, ' '), t -> t IN (${markerSql(l)}))) AS INTEGER) AS s_$l"
+      }.mkString(", ")
+      val caseExpr = langs.map { case (l, _) =>
+        val conds = langs.map { case (o, _) => s"s_$l >= s_$o" }.mkString(" AND ")
+        s"WHEN $conds THEN '$l'"
+      }.mkString(" ")
+      s"SELECT doc_id, s_en, s_fr, s_de, s_es, s_zh, CASE $caseExpr ELSE 'und' END AS pred_lang, lang FROM (SELECT doc_id, lang, $scoreCols FROM documents) ORDER BY doc_id"
+    },
+    "llm_token_count" ->
+      "SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_cnt, CAST(list_sum(list_transform(string_split(text, ' '), x -> ceil(length(x) / 4.0))) AS BIGINT) AS bpe_cnt FROM documents ORDER BY doc_id",
+    "llm_quality_score" ->
+      "SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS word_cnt, round(0.6 * least(n_chars / 500.0, 1.0) + 0.4 * least(((n_chars - (len(string_split(text, ' ')) - 1)) / CAST(len(string_split(text, ' ')) AS DOUBLE)) / 10.0, 1.0), 6) AS score FROM documents ORDER BY doc_id",
+    "llm_fingerprint" ->
+      "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), x AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 4)) AS i FROM w), sh AS (SELECT doc_id, md5(array_to_string(ws[i:i+4], ' ')) AS h FROM x) SELECT doc_id, min(h) AS fp FROM sh GROUP BY doc_id ORDER BY doc_id",
+    "llm_ngram_jaccard" ->
+      "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), x AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i FROM w), sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS sh FROM x), sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id), pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT a_id, b_id, round(inter / (sa.n_sh + sb.n_sh - inter), 4) AS jac FROM pairs JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id WHERE round(inter / (sa.n_sh + sb.n_sh - inter), 4) >= 0.2 ORDER BY a_id, b_id",
+  )
+}

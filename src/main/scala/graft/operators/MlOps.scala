@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.ml.Pipeline
+import org.apache.spark.ml.feature._
+import org.apache.spark.ml.functions.vector_to_array
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** MLlib pipeline surface (SURVEY.md §2.J) — the reference's own category.
+  * Deterministic feature transforms carry DuckDB oracles (J1–J4); trained
+  * models are seeded and threshold-tested in MlPipelinesSpec (equality
+  * across implementations is never promised — SURVEY.md §7.4.3).
+  *
+  * 100 TB notes: all transformers here are row-local projections (tokenize,
+  * stopwords, scale) — embarrassingly parallel, no shuffle beyond the fit
+  * statistics (StringIndexer = one count-distinct job; StandardScaler = one
+  * treeAggregate). Model coefficients broadcast to executors on transform.
+  */
+object MlOps {
+  type Q = (SparkSession, String) => DataFrame
+  private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
+
+  /** Shared tokenizer: lowercase, split on non-word runs, empties dropped
+    * (minTokenLength=1). The corpus-wide token definition (SURVEY.md §2.J1). */
+  def tokenizer(inputCol: String = "text", outputCol: String = "toks"): RegexTokenizer =
+    new RegexTokenizer().setInputCol(inputCol).setOutputCol(outputCol)
+      .setPattern("\\W+").setGaps(true).setToLowercase(true).setMinTokenLength(1)
+
+  /** J1: regex tokenization, re-joined with spaces for comparability. */
+  def mlTokenize(s: SparkSession, d: String): DataFrame =
+    tokenizer().transform(t(s, d, "documents"))
+      .select(col("doc_id"), concat_ws(" ", col("toks")).as("toks"))
+      .orderBy("doc_id")
+
+  /** J2: stopword removal with a pinned custom list (the library default
+    * list would make the oracle library-versioned — always pin). */
+  def mlStopwords(s: SparkSession, d: String): DataFrame = {
+    val remover = new StopWordsRemover().setInputCol("toks").setOutputCol("kept")
+      .setStopWords(Array("the", "a", "of")).setCaseSensitive(true)
+    remover.transform(tokenizer().transform(t(s, d, "documents")))
+      .select(col("doc_id"), concat_ws(" ", col("kept")).as("kept"))
+      .orderBy("doc_id")
+  }
+
+  /** J3: StringIndexer label mapping (frequencyDesc, ties alphabetical —
+    * Spark 3+ semantics). Output is the fitted model's label table. */
+  def mlStringIndexer(s: SparkSession, d: String): DataFrame = {
+    val model = new StringIndexer().setInputCol("event_type").setOutputCol("idx")
+      .setStringOrderType("frequencyDesc")
+      .fit(t(s, d, "events"))
+    import s.implicits._
+    model.labelsArray(0).zipWithIndex
+      .map { case (label, i) => (label, i) }.toSeq
+      .toDF("event_type", "idx")
+      .orderBy("idx")
+  }
+
+  /** J4: standard score of c_acctbal via VectorAssembler → StandardScaler
+    * (withMean, sample stddev — matches SQL stddev_samp). */
+  def mlScaler(s: SparkSession, d: String): DataFrame = {
+    val assembled = new VectorAssembler().setInputCols(Array("c_acctbal"))
+      .setOutputCol("feat").transform(t(s, d, "customer"))
+    val scaler = new StandardScaler().setInputCol("feat").setOutputCol("scaled")
+      .setWithMean(true).setWithStd(true).fit(assembled)
+    scaler.transform(assembled)
+      .select(col("c_custkey"),
+        round(element_at(vector_to_array(col("scaled")), 1), 6).as("z"))
+      .orderBy("c_custkey")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "ml_tokenize" -> (mlTokenize _),
+    "ml_stopwords" -> (mlStopwords _),
+    "ml_string_indexer" -> (mlStringIndexer _),
+    "ml_scaler" -> (mlScaler _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "ml_tokenize" ->
+      "SELECT doc_id, array_to_string(list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> ''), ' ') AS toks FROM documents ORDER BY doc_id",
+    "ml_stopwords" ->
+      "SELECT doc_id, array_to_string(list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '' AND x NOT IN ('the','a','of')), ' ') AS kept FROM documents ORDER BY doc_id",
+    "ml_string_indexer" ->
+      "SELECT event_type, CAST(row_number() OVER (ORDER BY cnt DESC, event_type) - 1 AS INTEGER) AS idx FROM (SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type) ORDER BY idx",
+    "ml_scaler" ->
+      "SELECT c_custkey, round((c_acctbal - avg(c_acctbal) OVER ()) / stddev_samp(c_acctbal) OVER (), 6) AS z FROM customer ORDER BY c_custkey",
+  )
+}
