@@ -28,11 +28,14 @@ object VectorFunctions {
     (dot, na, nb)
   }
 
-  /** Cosine similarity, double-accumulated. */
-  val cosine = udf { (a: Seq[Float], b: Seq[Float]) =>
+  /** Plain-Scala cosine (exposed for property tests). */
+  def cosineValue(a: Seq[Float], b: Seq[Float]): Double = {
     val (dot, na, nb) = dotNorm(a, b)
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
+
+  /** Cosine similarity, double-accumulated. */
+  val cosine = udf(cosineValue _)
 
   def cosineSim(a: Column, b: Column): Column = cosine(a, b)
 

@@ -1,0 +1,138 @@
+package graft.ml
+
+import org.apache.spark.ml.{Pipeline, PipelineModel}
+import org.apache.spark.ml.classification.LogisticRegression
+import org.apache.spark.ml.clustering.{KMeans, KMeansModel}
+import org.apache.spark.ml.evaluation.{MulticlassClassificationEvaluator, RegressionEvaluator}
+import org.apache.spark.ml.feature._
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.ml.recommendation.ALS
+import org.apache.spark.ml.tuning.{CrossValidator, ParamGridBuilder}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.MlOps
+
+/** MLlib pipeline surface beyond the oracle-checked feature transforms
+  * (SURVEY.md §2.J5–J10, K2). Everything seeded; behavior is threshold-
+  * tested in MlPipelinesSpec — never cross-engine equality (hash spaces
+  * and seeded initializations are implementation-specific).
+  *
+  * 100 TB notes: HashingTF/IDF are one pass + one broadcast (the IDF
+  * vector); KMeans is one treeAggregate per iteration with broadcast
+  * centroids; LogisticRegression is L-BFGS with one aggregation job per
+  * step; ALS block-partitions the rating matrix. All fit the
+  * driver-coordinates / executors-aggregate pattern — nothing collects
+  * raw data to the driver.
+  */
+object MlPipelines {
+  val Seed = 42L
+
+  /** J5: tokenize → HashingTF(2^18, murmur3) → IDF. Returns the fitted
+    * model and the transformed corpus with a `tfidf` vector column. */
+  def tfidf(docs: DataFrame, numFeatures: Int = 1 << 18): (PipelineModel, DataFrame) = {
+    val pipe = new Pipeline().setStages(Array(
+      MlOps.tokenizer(),
+      new HashingTF().setInputCol("toks").setOutputCol("tf").setNumFeatures(numFeatures),
+      new IDF().setInputCol("tf").setOutputCol("tfidf")))
+    val model = pipe.fit(docs)
+    (model, model.transform(docs))
+  }
+
+  /** J6: StringIndexer → OneHotEncoder → VectorAssembler feature prep over
+    * customer (mktsegment one-hot + acctbal). */
+  def customerFeatures(customer: DataFrame): DataFrame = {
+    val pipe = new Pipeline().setStages(Array(
+      new StringIndexer().setInputCol("c_mktsegment").setOutputCol("seg_idx")
+        .setStringOrderType("frequencyDesc"),
+      new OneHotEncoder().setInputCol("seg_idx").setOutputCol("seg_oh"),
+      new VectorAssembler().setInputCols(Array("seg_oh", "c_acctbal")).setOutputCol("features")))
+    pipe.fit(customer).transform(customer)
+  }
+
+  /** J7: seeded KMeans over the embedding vectors. */
+  def kmeansEmbeddings(spark: SparkSession, sfDir: String, k: Int = 10): (KMeansModel, DataFrame) = {
+    val vecs = Tables.load(spark, sfDir, "embeddings")
+      .withColumn("features", array_to_vector(col("embedding")))
+    val model = new KMeans().setK(k).setSeed(Seed).setFeaturesCol("features").fit(vecs)
+    (model, model.transform(vecs))
+  }
+
+  /** J8: end-to-end text-classification pipeline — tokenize → stopwords →
+    * HashingTF → IDF → LogisticRegression predicting `lang`. Returns the
+    * fitted model and the seeded-split test accuracy. */
+  def langClassifier(spark: SparkSession, sfDir: String): (PipelineModel, Double) = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val Array(train, test) = docs.randomSplit(Array(0.8, 0.2), Seed)
+    val pipe = new Pipeline().setStages(Array(
+      MlOps.tokenizer(),
+      new StopWordsRemover().setInputCol("toks").setOutputCol("kept")
+        .setStopWords(Array("the", "a", "of")).setCaseSensitive(true),
+      new HashingTF().setInputCol("kept").setOutputCol("tf").setNumFeatures(1 << 16),
+      new IDF().setInputCol("tf").setOutputCol("features"),
+      new StringIndexer().setInputCol("lang").setOutputCol("label")
+        .setStringOrderType("frequencyDesc"),
+      new LogisticRegression().setMaxIter(20).setRegParam(0.01)))
+    val model = pipe.fit(train)
+    val acc = new MulticlassClassificationEvaluator()
+      .setLabelCol("label").setPredictionCol("prediction").setMetricName("accuracy")
+      .evaluate(model.transform(test))
+    (model, acc)
+  }
+
+  /** J9: ALS recommender on ratings synthesized from purchase events
+    * (item = the JSON props key, rating = event value). Returns train RMSE. */
+  def alsPurchases(spark: SparkSession, sfDir: String): Double = {
+    val ratings = Tables.load(spark, sfDir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").cast("int").as("user"),
+        get_json_object(col("props"), "$.k").cast("int").as("item"),
+        col("value").cast("float").as("rating"))
+    val model = new ALS().setSeed(Seed).setRank(8).setMaxIter(5)
+      .setUserCol("user").setItemCol("item").setRatingCol("rating")
+      .fit(ratings)
+    model.setColdStartStrategy("drop")
+    new RegressionEvaluator().setMetricName("rmse")
+      .setLabelCol("rating").setPredictionCol("prediction")
+      .evaluate(model.transform(ratings))
+  }
+
+  /** J10: CrossValidator over the LogReg regularization grid (small grid /
+    * folds — the surface, not a tuning exercise). */
+  def crossValidatedLangClassifier(spark: SparkSession, sfDir: String): (Double, Double) = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val lr = new LogisticRegression().setMaxIter(10)
+    val pipe = new Pipeline().setStages(Array(
+      MlOps.tokenizer(),
+      new HashingTF().setInputCol("toks").setOutputCol("tf").setNumFeatures(1 << 14),
+      new IDF().setInputCol("tf").setOutputCol("features"),
+      new StringIndexer().setInputCol("lang").setOutputCol("label"),
+      lr))
+    val grid = new ParamGridBuilder().addGrid(lr.regParam, Array(0.01, 0.5)).build()
+    val cv = new CrossValidator().setSeed(Seed).setNumFolds(2)
+      .setEstimator(pipe).setEvaluator(new MulticlassClassificationEvaluator()
+        .setLabelCol("label").setPredictionCol("prediction").setMetricName("accuracy"))
+      .setEstimatorParamMaps(grid)
+    val model = cv.fit(docs)
+    (model.avgMetrics.max, model.avgMetrics.min)
+  }
+
+  /** K2: near-duplicate detection — 5-gram word shingles → binary
+    * HashingTF → seeded MinHashLSH self-join at Jaccard distance ≤
+    * maxDistance. The 100 TB dedup path: banded hashes shard candidate
+    * generation; only same-band pairs are compared. */
+  def nearDupMinhash(docs: DataFrame, maxDistance: Double = 0.2): DataFrame = {
+    val withShingles = new NGram().setN(5).setInputCol("toks").setOutputCol("shingles")
+      .transform(MlOps.tokenizer().transform(docs))
+      .filter(size(col("shingles")) > 0)
+    val tf = new HashingTF().setInputCol("shingles").setOutputCol("features")
+      .setNumFeatures(1 << 18).setBinary(true)
+    val hashed = tf.transform(withShingles)
+    val lsh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
+      .setNumHashTables(5).setSeed(Seed).fit(hashed)
+    lsh.approxSimilarityJoin(hashed, hashed, maxDistance, "dist")
+      .select(col("datasetA.doc_id").as("a_id"), col("datasetB.doc_id").as("b_id"),
+        round(col("dist"), 4).as("dist"))
+      .filter(col("a_id") < col("b_id"))
+  }
+}

@@ -39,32 +39,39 @@ object EventOps {
       .select(col("w.start").as("wstart"), col("cnt"))
       .orderBy("wstart")
 
-  /** I3: 30-min-gap sessionization per user (lag + gap flag + running sum —
-    * the portable batch formulation; cross-validated row counts in SURVEY
-    * §5.2). Session ids are per-user ordinals, deterministic. */
-  def streamSession(s: SparkSession, d: String): DataFrame = {
+  /** Core sessionization over any (user_id, ts, event_id) frame — exposed
+    * for reuse and testing on constructed inputs. */
+  def sessionize(events: DataFrame, gapSeconds: Long = 1800L): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ev(s, d)
+    events
       .withColumn("us", unix_micros(col("ts")))
       .withColumn("prev_us", lag("us", 1).over(w))
       .withColumn("new_s",
-        when(col("prev_us").isNull || col("us") - col("prev_us") > 1800000000L, 1).otherwise(0))
+        when(col("prev_us").isNull || col("us") - col("prev_us") > gapSeconds * 1000000L, 1).otherwise(0))
       .withColumn("sess_id", sum("new_s").over(wRun))
       .groupBy("user_id", "sess_id")
       .agg(count(lit(1)).as("n_events"),
         min("ts").as("session_start"), max("ts").as("session_end"))
-      .orderBy("user_id", "sess_id")
   }
+
+  /** Core deterministic-survivor dedup — per-column min per key. */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events
+      .groupBy("event_id")
+      .agg(min("ts").as("ts"), min("user_id").as("user_id"),
+        min("event_type").as("event_type"), min("value").as("value"))
+
+  /** I3: 30-min-gap sessionization per user (lag + gap flag + running sum —
+    * the portable batch formulation; cross-validated row counts in SURVEY
+    * §5.2). Session ids are per-user ordinals, deterministic. */
+  def streamSession(s: SparkSession, d: String): DataFrame =
+    sessionize(ev(s, d)).orderBy("user_id", "sess_id")
 
   /** I4: exact dedup on event_id with a deterministic survivor (per-column
     * min — not dropDuplicates, whose survivor is partition-order dependent). */
   def streamDedup(s: SparkSession, d: String): DataFrame =
-    ev(s, d)
-      .groupBy("event_id")
-      .agg(min("ts").as("ts"), min("user_id").as("user_id"),
-        min("event_type").as("event_type"), min("value").as("value"))
-      .orderBy("event_id")
+    dedupEvents(ev(s, d)).orderBy("event_id")
 
   val queries: Map[String, Q] = Map(
     "stream_tumbling" -> (streamTumbling _),

@@ -23,14 +23,17 @@ object LlmOps {
   type Q = (SparkSession, String) => DataFrame
   private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
 
+  /** Core exact-dedup: content-hash groups with deterministic survivor. */
+  def dedupExact(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(md5(col("text").cast("binary")).as("h"))
+      .agg(min("doc_id").as("survivor_id"), count(lit(1)).as("n_dups"))
+
   /** K1: exact text dedup — content hash, survivor = min doc_id per hash.
     * Fixtures carry no exact duplicates (verified), so output ≅ input;
     * constructed-duplicate behavior is unit-tested. */
   def llmDedupExact(s: SparkSession, d: String): DataFrame =
-    t(s, d, "documents")
-      .groupBy(md5(col("text").cast("binary")).as("h"))
-      .agg(min("doc_id").as("survivor_id"), count(lit(1)).as("n_dups"))
-      .orderBy("survivor_id")
+    dedupExact(t(s, d, "documents")).orderBy("survivor_id")
 
   /** K3: global top-20 most-similar embedding pairs, brute-force cosine via
     * the compiled UDF (SURVEY.md §6: the HOF formulation is 36.7 s at

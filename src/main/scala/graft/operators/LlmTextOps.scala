@@ -88,8 +88,12 @@ object LlmTextOps {
     * so the fixture output is empty; recall on constructed dups is
     * unit-tested. 100 TB: this IS the scale shape — pairs are generated
     * only for docs sharing a shingle (inverted index), never all-pairs. */
-  def llmNgramJaccard(s: SparkSession, d: String): DataFrame = {
-    val sh = t(s, d, "documents")
+  def llmNgramJaccard(s: SparkSession, d: String): DataFrame =
+    ngramJaccard(t(s, d, "documents"), 0.2).orderBy("a_id", "b_id")
+
+  /** Core n-gram Jaccard over any (doc_id, text) frame. */
+  def ngramJaccard(docs: DataFrame, threshold: Double): DataFrame = {
+    val sh = docs
       .withColumn("ws", split(col("text"), " "))
       .select(col("doc_id"), explode(shingles(3)).as("sh"))
       .distinct()
@@ -102,9 +106,8 @@ object LlmTextOps {
       .join(sizes.select(col("doc_id").as("a_id"), col("n_sh").as("n_a")), "a_id")
       .join(sizes.select(col("doc_id").as("b_id"), col("n_sh").as("n_b")), "b_id")
       .withColumn("jac", round(col("inter") / (col("n_a") + col("n_b") - col("inter")), 4))
-      .filter(col("jac") >= 0.2)
+      .filter(col("jac") >= threshold)
       .select("a_id", "b_id", "jac")
-      .orderBy("a_id", "b_id")
   }
 
   /** SimHash near-dup buckets (no oracle — hash-algorithm specific; recall

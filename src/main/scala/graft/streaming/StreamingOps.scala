@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+
+/** Structured Streaming twins of the batch event-time operators
+  * (SURVEY.md §2.I5/I6 + the streaming halves of I1/I3/I4). Each takes a
+  * (possibly streaming) events frame so MemoryStream unit tests drive the
+  * exact production code path.
+  *
+  * 100 TB notes: state lives on executors in the state store (RocksDB in
+  * production deployments); watermarks bound state size — tumbling windows
+  * evict once watermark passes window end, session windows once the gap
+  * closes, dedup keys once older than the watermark. The driver only
+  * coordinates watermark advancement between micro-batches.
+  */
+object StreamingOps {
+
+  /** I5 (tumbling twin of I1): hourly counts per event type, 10-minute
+    * watermark — rows later than the watermark are dropped; in append mode
+    * a window emits only once the watermark passes its end. */
+  def tumblingCounts(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.start").as("hour_start"), col("event_type"), col("cnt"))
+
+  /** Streaming twin of I3: native session windows with a 30-minute gap. */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes",
+                    watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"))
+
+  /** Streaming twin of I4: exact dedup on event_id; watermark bounds the
+    * dedup state (keys older than the watermark are evicted). */
+  def dedupStream(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicates("event_id")
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                         event_type: String, value: Double)
+  final case class UserCount(user_id: Long, count: Long)
+
+  /** I6: custom stateful operator — per-user running event counter via
+    * mapGroupsWithState. State schema: one Long per user (documented for
+    * scale: state is per-key-tiny, partitioned by user across executors). */
+  def runningCounts(events: Dataset[Event]): Dataset[UserCount] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (uid: Long, batch: Iterator[Event], state: GroupState[Long]) =>
+          val next = state.getOption.getOrElse(0L) + batch.size
+          state.update(next)
+          UserCount(uid, next)
+      }
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.operators.EventOps
+
+class EventOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  test("sessionize: gap > 30min splits, events are conserved, sessions don't overlap") {
+    val sessions = EventOps.sessionize(Tables.load(spark, SF, "events")).collect()
+    val total = Tables.load(spark, SF, "events").count()
+    assert(sessions.map(_.getAs[Long]("n_events")).sum == total)
+    sessions.groupBy(_.getAs[Long]("user_id")).foreach { case (_, ss) =>
+      val sorted = ss.sortBy(_.getAs[Long]("sess_id"))
+      sorted.foreach(r => assert(!r.getAs[Timestamp]("session_start").after(r.getAs[Timestamp]("session_end"))))
+      sorted.zip(sorted.tail).foreach { case (a, b) =>
+        val gapMs = b.getAs[Timestamp]("session_start").getTime - a.getAs[Timestamp]("session_end").getTime
+        assert(gapMs > 30 * 60 * 1000L, s"adjacent sessions closer than the gap: $gapMs ms")
+      }
+    }
+  }
+
+  test("sessionize on constructed input: 0,10,50min -> two sessions") {
+    val df = Seq(
+      (1L, ts(0), 7L), (2L, ts(10), 7L), (3L, ts(50), 7L)
+    ).toDF("event_id", "ts", "user_id")
+    val out = EventOps.sessionize(df).orderBy("sess_id").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Long]("n_events") == 2 && out(1).getAs[Long]("n_events") == 1)
+  }
+
+  test("dedupEvents keeps one deterministic survivor per event_id") {
+    val df = Seq(
+      (1L, ts(5), 7L, "view", 2.0),
+      (1L, ts(3), 9L, "click", 1.0), // duplicate id, earlier ts, other cols
+      (2L, ts(8), 7L, "view", 5.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = EventOps.dedupEvents(df).orderBy("event_id").collect()
+    assert(out.length == 2)
+    val r1 = out(0)
+    assert(r1.getAs[Timestamp]("ts") == ts(3) && r1.getAs[Long]("user_id") == 7L &&
+      r1.getAs[String]("event_type") == "click" && r1.getAs[Double]("value") == 1.0)
+  }
+
+  test("tumbling windows conserve events and align to the hour") {
+    val out = EventOps.streamTumbling(spark, SF).collect()
+    val total = Tables.load(spark, SF, "events").count()
+    assert(out.map(_.getAs[Long]("cnt")).sum == total)
+    out.foreach { r =>
+      val start = r.getAs[Timestamp]("hour_start").getTime
+      assert(start % (3600 * 1000L) == 0, s"window start not hour-aligned: $start")
+    }
+  }
+
+  test("sliding 1h/30min windows count each event exactly twice") {
+    val slidingTotal = EventOps.streamSliding(spark, SF).agg(sum("cnt")).head.getLong(0)
+    val total = Tables.load(spark, SF, "events").count()
+    assert(slidingTotal == 2 * total)
+  }
+}

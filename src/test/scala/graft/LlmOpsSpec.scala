@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{LlmOps, LlmTextOps}
+import graft.ml.MlPipelines
+
+class LlmOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val salad = new scala.util.Random(7)
+  private val vocab = Vector("query", "engine", "scan", "join", "hash", "sort",
+    "merge", "filter", "window", "batch", "stream", "vector", "table", "row")
+  private def doc(n: Int): String = Seq.fill(n)(vocab(salad.nextInt(vocab.size))).mkString(" ")
+
+  test("exact dedup groups constructed duplicates under one survivor") {
+    val texts = Seq.tabulate(20)(i => (i.toLong, if (i < 2) "identical duplicate text" else doc(30)))
+    val out = LlmOps.dedupExact(texts.toDF("doc_id", "text")).collect()
+    val dupGroup = out.find(_.getAs[Long]("n_dups") > 1).get
+    assert(dupGroup.getAs[Long]("survivor_id") == 0L && dupGroup.getAs[Long]("n_dups") == 2L)
+    assert(out.map(_.getAs[Long]("n_dups")).sum == 20L)
+  }
+
+  test("ngram jaccard recalls a constructed near-duplicate pair") {
+    val base = doc(40)
+    val nearDup = base.split(" ").updated(5, "changedword").mkString(" ")
+    val docs = (Seq((100L, base), (101L, nearDup)) ++
+      Seq.tabulate(20)(i => (i.toLong, doc(40)))).toDF("doc_id", "text")
+    val pairs = LlmTextOps.ngramJaccard(docs, 0.5).collect()
+    assert(pairs.exists(r => r.getAs[Long]("a_id") == 100L && r.getAs[Long]("b_id") == 101L),
+      s"expected (100,101) in ${pairs.mkString(",")}")
+  }
+
+  test("both near-dup detectors find the planted fixture near-duplicates") {
+    // the generator plants ~28 near-dup pairs (3-gram jaccard ≈ 0.99)
+    val docs = Tables.load(spark, SF, "documents")
+    val strong = LlmTextOps.ngramJaccard(docs, 0.8).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    assert(strong.nonEmpty, "expected planted near-dup pairs in the fixture")
+    val minhash = MlPipelines.nearDupMinhash(docs, 0.3).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    // LSH recall on jaccard≈0.99 pairs is ~certain with 5 hash tables
+    val missed = strong -- minhash
+    assert(missed.isEmpty, s"MinHashLSH missed strong pairs: $missed")
+  }
+
+  test("MinHashLSH recalls a constructed near-duplicate pair") {
+    val base = doc(60)
+    val nearDup = base.split(" ").updated(7, "zzz").mkString(" ")
+    val docs = (Seq((100L, base), (101L, nearDup)) ++
+      Seq.tabulate(20)(i => (i.toLong, doc(60)))).toDF("doc_id", "text")
+    val pairs = MlPipelines.nearDupMinhash(docs, 0.5).collect()
+    assert(pairs.exists(r => r.getAs[Long]("a_id") == 100L && r.getAs[Long]("b_id") == 101L),
+      s"expected (100,101) in ${pairs.mkString(",")}")
+  }
+
+  test("cosine top-k pairs agree between brute force and rounded oracle semantics") {
+    val topk = LlmOps.llmCosineTopk(spark, SF).collect()
+    assert(topk.length == 20)
+    val sims = topk.map(_.getAs[Double]("sim"))
+    assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    assert(sims.forall(s => s >= -1.0 && s <= 1.0))
+  }
+
+  test("LSH ANN candidates are a subset of brute-force pairs with matching sims") {
+    val ann = LlmTextOps.annLshTopk(spark, SF).collect()
+    assert(ann.nonEmpty)
+    // every reported pair must carry the exact brute-force cosine (same UDF)
+    val brute = LlmOps.llmCosineTopk(spark, SF).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")) -> r.getAs[Double]("sim")).toMap
+    ann.foreach { r =>
+      val key = (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))
+      brute.get(key).foreach(s => assert(s == r.getAs[Double]("sim")))
+    }
+  }
+
+  test("simhash buckets conserve docs with only incidental collisions") {
+    val out = LlmTextOps.llmDedupSimhash(spark, SF).collect()
+    val total = Tables.load(spark, SF, "documents").count()
+    assert(out.map(_.getAs[Long]("n_docs")).sum == total)
+    // small-vocabulary salad collides a handful of 64-bit sketches; the
+    // overwhelming majority of docs must still be unique.
+    assert(out.length >= total * 0.97)
+  }
+}

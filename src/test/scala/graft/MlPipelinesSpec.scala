@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.ml.linalg.Vector
+import graft.ml.MlPipelines
+
+class MlPipelinesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("tfidf: IDF values on a 3-doc micro corpus match ln((n+1)/(df+1))") {
+    val docs = Seq((0L, "alpha beta"), (1L, "alpha gamma"), (2L, "alpha delta"))
+      .toDF("doc_id", "text")
+    val (model, transformed) = MlPipelines.tfidf(docs, numFeatures = 1 << 18)
+    assert(transformed.count() == 3)
+    val idfModel = model.stages.last.asInstanceOf[org.apache.spark.ml.feature.IDFModel]
+    // idf is dense over all buckets: unseen buckets carry ln((3+1)/(0+1)),
+    // alpha (df=3) -> ln(4/4)=0, beta/gamma/delta (df=1) -> ln(4/2).
+    val counts = idfModel.idf.toArray.groupBy(identity).view.mapValues(_.length).toMap
+    assert(counts.count { case (v, _) => math.abs(v - math.log(2.0)) < 1e-12 } == 1)
+    assert(counts.find { case (v, _) => math.abs(v - math.log(2.0)) < 1e-12 }.get._2 == 3)
+    assert(counts.getOrElse(0.0, 0) == 1)
+  }
+
+  test("tfidf is deterministic across runs") {
+    val docs = Tables.load(spark, SF, "documents").limit(50)
+    val v1 = MlPipelines.tfidf(docs)._2.select("doc_id", "tfidf").collect()
+      .map(r => r.getLong(0) -> r.getAs[Vector](1)).toMap
+    val v2 = MlPipelines.tfidf(docs)._2.select("doc_id", "tfidf").collect()
+      .map(r => r.getLong(0) -> r.getAs[Vector](1)).toMap
+    assert(v1 == v2)
+  }
+
+  test("customer feature prep: one-hot(5 segments) + acctbal = 5-dim vector") {
+    val out = MlPipelines.customerFeatures(Tables.load(spark, SF, "customer"))
+    val v = out.select("features").head.getAs[Vector](0)
+    assert(v.size == 5) // 4 one-hot (dropLast) + 1 numeric
+    assert(out.count() == Tables.load(spark, SF, "customer").count())
+  }
+
+  test("seeded kmeans partitions embeddings into k clusters") {
+    val (model, preds) = MlPipelines.kmeansEmbeddings(spark, SF, k = 10)
+    assert(model.clusterCenters.length == 10)
+    val clusters = preds.select("prediction").distinct().count()
+    assert(clusters > 1 && clusters <= 10)
+    assert(preds.count() == Tables.load(spark, SF, "embeddings").count())
+    assert(model.summary.trainingCost > 0 && !model.summary.trainingCost.isNaN)
+  }
+
+  test("lang classification pipeline trains and evaluates") {
+    val (model, acc) = MlPipelines.langClassifier(spark, SF)
+    // corpus vocabulary is shared across langs (verified) — the classifier
+    // can't beat the majority class by much; floor = better-than-nothing.
+    assert(acc >= 0.15 && acc <= 1.0, s"accuracy $acc")
+    assert(model.stages.length == 6)
+  }
+
+  test("ALS trains on synthesized purchase ratings") {
+    val rmse = MlPipelines.alsPurchases(spark, SF)
+    assert(rmse >= 0 && !rmse.isNaN && !rmse.isInfinite)
+  }
+
+  test("cross-validated grid orders metrics sanely") {
+    val (best, worst) = MlPipelines.crossValidatedLangClassifier(spark, SF)
+    assert(best >= worst)
+    assert(best >= 0.0 && best <= 1.0)
+  }
+}

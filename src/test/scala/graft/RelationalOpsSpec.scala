@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.RelationalOps
+
+class RelationalOpsSpec extends SparkTestBase {
+
+  test("q1 pricing summary groups cover the filtered lineitem exactly") {
+    val q1 = RelationalOps.aggGroupbyQ1(spark, SF).collect()
+    assert(q1.length >= 4)
+    val totalFromGroups = q1.map(_.getAs[Long]("count_order")).sum
+    val expected = Tables.load(spark, SF, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp")).count()
+    assert(totalFromGroups == expected)
+  }
+
+  test("scan_pruned pushes its filter into the parquet scan") {
+    val plan = RelationalOps.scanPruned(spark, SF).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters"), s"no pushdown in plan:\n$plan")
+    // column pruning: scan schema carries only the 3 projected columns
+    assert(plan.contains("l_orderkey") && !plan.contains("l_extendedprice"))
+  }
+
+  test("join_broadcast_dims plans broadcast hash joins for the dims") {
+    val plan = RelationalOps.joinBroadcastDims(spark, SF).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+  }
+
+  test("semi and anti joins partition the customer table") {
+    val semi = RelationalOps.joinSemi(spark, SF).count()
+    val anti = RelationalOps.joinAnti(spark, SF).count()
+    val all = Tables.load(spark, SF, "customer").count()
+    assert(semi + anti == all)
+  }
+
+  test("filter composition: filter(p).filter(q) == filter(p && q)") {
+    val o = Tables.load(spark, SF, "orders")
+    val p = col("o_totalprice") > 100000
+    val q = col("o_orderstatus") === "O"
+    assert(o.filter(p).filter(q).count() == o.filter(p && q).count())
+  }
+
+  test("union all preserves cardinality") {
+    val n = RelationalOps.setUnionAll(spark, SF).count()
+    val c = Tables.load(spark, SF, "customer").count()
+    val s = Tables.load(spark, SF, "supplier").count()
+    assert(n == c + s)
+  }
+
+  test("sort is idempotent") {
+    val once = RelationalOps.sortMulticol(spark, SF).collect()
+    val twice = RelationalOps.sortMulticol(spark, SF)
+      .orderBy(col("l_returnflag"), col("l_shipdate").desc, col("l_orderkey"), col("l_linenumber"))
+      .collect()
+    assert(once.toSeq == twice.toSeq)
+  }
+
+  test("topk_limit returns 10 rows in descending price order") {
+    val rows = RelationalOps.topkLimit(spark, SF).collect()
+    assert(rows.length == 10)
+    val prices = rows.map(_.getAs[Double]("o_totalprice"))
+    assert(prices.zip(prices.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("approx_count_distinct within 5% of exact") {
+    val approx = RelationalOps.aggApproxHll(spark, SF).collect()
+      .map(r => r.getAs[String]("l_returnflag") -> r.getAs[Long]("approx_nd_part")).toMap
+    val exact = RelationalOps.aggCountDistinct(spark, SF).collect()
+      .map(r => r.getAs[String]("l_returnflag") -> r.getAs[Long]("nd_part")).toMap
+    exact.foreach { case (flag, ex) =>
+      val ap = approx(flag)
+      assert(math.abs(ap - ex).toDouble / ex <= 0.05, s"$flag: approx $ap vs exact $ex")
+    }
+  }
+
+  test("rollup subtotals are consistent with the grand total") {
+    val rows = RelationalOps.aggRollup(spark, SF).collect()
+    val grand = rows.find(r => r.getAs[String]("rf") == "ALL" && r.getAs[String]("ls") == "ALL").get
+    val leaves = rows.filter(r => r.getAs[String]("rf") != "ALL" && r.getAs[String]("ls") != "ALL")
+    assert(leaves.map(_.getAs[Long]("cnt")).sum == grand.getAs[Long]("cnt"))
+  }
+}

@@ -1,0 +1,88 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.StreamingQuery
+import graft.streaming.StreamingOps
+import graft.streaming.StreamingOps.Event
+
+/** MemoryStream tests for the Structured Streaming surface (SURVEY.md
+  * §2.I5/I6): watermark late-data drops, session windows, stateful dedup,
+  * and the mapGroupsWithState custom operator. */
+class StreamingOpsSpec extends SparkTestBase {
+  import spark.implicits._
+  implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def ts(h: Int, m: Int = 0): Timestamp = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+  private def ev(id: Long, t: Timestamp, uid: Long = 1L, typ: String = "view"): Event =
+    Event(id, t, uid, typ, 1.0)
+
+  private def drain(q: StreamingQuery): Unit = { q.processAllAvailable() }
+
+  test("I5: tumbling agg with watermark drops late rows, emits on watermark pass") {
+    val input = MemoryStream[Event]
+    val q = StreamingOps.tumblingCounts(input.toDF())
+      .writeStream.format("memory").queryName("tumb").outputMode("append").start()
+    try {
+      input.addData(ev(1, ts(10, 5)), ev(2, ts(10, 20)))
+      drain(q)
+      // advance watermark past 11:00 -> [10:00,11:00) finalizes with 2 rows
+      input.addData(ev(3, ts(12, 0)))
+      drain(q)
+      // LATE: 10:40 is far behind the 11:50 watermark -> dropped
+      input.addData(ev(4, ts(10, 40)))
+      drain(q)
+      // close the 12:00 window too
+      input.addData(ev(5, ts(13, 30)))
+      drain(q)
+      val rows = spark.sql("SELECT hour_start, cnt FROM tumb").collect()
+        .map(r => r.getAs[Timestamp]("hour_start") -> r.getAs[Long]("cnt")).toMap
+      assert(rows(ts(10)) == 2L, s"late row must not count: $rows")
+      assert(rows(ts(12)) == 1L)
+    } finally q.stop()
+  }
+
+  test("streaming session_window merges events within the gap") {
+    val input = MemoryStream[Event]
+    val q = StreamingOps.sessionCounts(input.toDF())
+      .writeStream.format("memory").queryName("sess").outputMode("append").start()
+    try {
+      input.addData(ev(1, ts(1, 0)), ev(2, ts(1, 10)), ev(3, ts(1, 50)))
+      drain(q)
+      input.addData(ev(9, ts(9, 0))) // push watermark far ahead to emit all
+      drain(q)
+      val rows = spark.sql("SELECT n_events FROM sess WHERE user_id = 1 ORDER BY session_start")
+        .collect().map(_.getLong(0)).toSeq
+      assert(rows == Seq(2L, 1L), s"expected sessions (2,1), got $rows")
+    } finally q.stop()
+  }
+
+  test("streaming dedup suppresses a duplicate id arriving in a later batch") {
+    val input = MemoryStream[Event]
+    val q = StreamingOps.dedupStream(input.toDF())
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    try {
+      input.addData(ev(1, ts(1, 0)), ev(2, ts(1, 1)))
+      drain(q)
+      input.addData(ev(1, ts(1, 2)), ev(3, ts(1, 3))) // id 1 again
+      drain(q)
+      val ids = spark.sql("SELECT event_id FROM dedup").collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids == Seq(1L, 2L, 3L), s"got $ids")
+    } finally q.stop()
+  }
+
+  test("I6: mapGroupsWithState keeps a running per-user counter across batches") {
+    val input = MemoryStream[Event]
+    val q = StreamingOps.runningCounts(input.toDS())
+      .writeStream.format("memory").queryName("counts").outputMode("update").start()
+    try {
+      input.addData(ev(1, ts(1), uid = 1), ev(2, ts(1, 1), uid = 1), ev(3, ts(1, 2), uid = 2))
+      drain(q)
+      input.addData(ev(4, ts(1, 3), uid = 1))
+      drain(q)
+      val latest = spark.sql("SELECT user_id, max(count) FROM counts GROUP BY user_id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(latest == Map(1L -> 3L, 2L -> 1L), s"got $latest")
+    } finally q.stop()
+  }
+}

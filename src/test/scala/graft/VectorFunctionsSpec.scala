@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.{GeoMean, VectorFunctions}
+
+/** Property-style tests with seeded sampling (scalacheck's scalatest bridge
+  * isn't on the offline classpath; explicit loops keep the same coverage). */
+class VectorFunctionsSpec extends AnyFunSuite {
+  private val rnd = new scala.util.Random(42)
+  private def randVec(n: Int): Seq[Float] =
+    Seq.fill(n)((rnd.nextFloat() - 0.5f) * 20f)
+
+  test("cosine of a vector with itself is 1") {
+    (1 to 100).foreach { _ =>
+      val v = randVec(1 + rnd.nextInt(64))
+      assert(math.abs(VectorFunctions.cosineValue(v, v) - 1.0) < 1e-9)
+    }
+  }
+
+  test("cosine is symmetric and bounded") {
+    (1 to 100).foreach { _ =>
+      val n = 1 + rnd.nextInt(64)
+      val (a, b) = (randVec(n), randVec(n))
+      val ab = VectorFunctions.cosineValue(a, b)
+      assert(ab == VectorFunctions.cosineValue(b, a))
+      assert(ab >= -1.0 - 1e-9 && ab <= 1.0 + 1e-9)
+    }
+  }
+
+  test("cosine known values") {
+    assert(VectorFunctions.cosineValue(Seq(1f, 0f), Seq(0f, 1f)) == 0.0)
+    assert(math.abs(VectorFunctions.cosineValue(Seq(1f, 0f), Seq(1f, 1f)) - 1.0 / math.sqrt(2)) < 1e-12)
+  }
+
+  test("geomean merge is associative (partial aggregation safe)") {
+    (1 to 50).foreach { _ =>
+      val xs = Seq.fill(1 + rnd.nextInt(200))(0.1 + rnd.nextDouble() * 100)
+      val whole = xs.foldLeft(GeoMean.zero)(GeoMean.reduce)
+      val (l, r) = xs.splitAt(xs.length / 2)
+      val split = GeoMean.merge(l.foldLeft(GeoMean.zero)(GeoMean.reduce),
+        r.foldLeft(GeoMean.zero)(GeoMean.reduce))
+      assert(whole.n == split.n)
+      assert(math.abs(whole.sumLn - split.sumLn) < 1e-9)
+      val expected = math.exp(xs.map(math.log).sum / xs.length)
+      assert(math.abs(GeoMean.finish(whole) - expected) < 1e-9)
+    }
+  }
+
+  test("hyperplane buckets are deterministic and 16-bit") {
+    val v = randVec(64)
+    val spark0 = TestSpark.spark
+    import spark0.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq((1L, v), (2L, v)).toDF("id", "vec")
+      .select(col("id"), VectorFunctions.hyperplaneBucket(col("vec")).as("b"))
+    val buckets = df.collect().map(_.getAs[Int]("b"))
+    assert(buckets(0) == buckets(1))
+    assert(buckets(0) >= 0 && buckets(0) < 65536)
+  }
+}
