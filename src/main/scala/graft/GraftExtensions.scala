@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.{Column, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.graftnative.{DotProduct, GraftNative}
+
+/** Session extension installer — the public plug-in point for the engine's
+  * native expressions. Activate with
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")` to get the
+  * SQL-callable `graft_dot(a, b)`; the DataFrame API goes through
+  * [[GraftFunctions]] and needs no session config.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+  }
+}
+
+/** Column-level entry points for the native expressions. */
+object GraftFunctions {
+  /** Codegen'd float-array dot product (see [[org.apache.spark.sql.graftnative.DotProduct]]). */
+  def dotProduct(a: Column, b: Column): Column = GraftNative.dotProduct(a, b)
+}

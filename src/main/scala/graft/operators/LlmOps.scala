@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.{GeoMean, VectorFunctions}
+import graft.GraftFunctions
 
 /** LLM-training-data-pipeline operators (SURVEY.md §2.K): dedup, similarity
   * search, multimodal columns, text analysis, plus the UDF/UDAF/UDTF
@@ -41,11 +42,13 @@ object LlmOps {
     * top-k ordering so selection is deterministic cross-engine. */
   def llmCosineTopk(s: SparkSession, d: String): DataFrame = {
     val e = t(s, d, "embeddings")
-    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_vec"))
-    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_vec"))
+      .select(col("vec_id"), col("embedding"),
+        VectorFunctions.norm(col("embedding")).as("nrm"))
+    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_vec"), col("nrm").as("a_nrm"))
+    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_vec"), col("nrm").as("b_nrm"))
     a.join(broadcast(b), col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
-        round(VectorFunctions.cosineSim(col("a_vec"), col("b_vec")), 4).as("sim"))
+        round(GraftFunctions.dotProduct(col("a_vec"), col("b_vec")) / (col("a_nrm") * col("b_nrm")), 4).as("sim"))
       .orderBy(col("sim").desc, col("a_id"), col("b_id"))
       .limit(20)
   }
@@ -54,13 +57,15 @@ object LlmOps {
     * per query over the brute-force candidate set. */
   def llmKnnQueries(s: SparkSession, d: String): DataFrame = {
     val e = t(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        VectorFunctions.norm(col("embedding")).as("nrm"))
     val q = e.filter(col("vec_id") <= 4)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
-    val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("n_vec"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"), col("nrm").as("q_nrm"))
+    val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("n_vec"), col("nrm").as("n_nrm"))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
     broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        round(VectorFunctions.cosineSim(col("q_vec"), col("n_vec")), 4).as("sim"))
+        round(GraftFunctions.dotProduct(col("q_vec"), col("n_vec")) / (col("q_nrm") * col("n_nrm")), 4).as("sim"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
       .select("query_id", "rank", "neighbor_id", "sim")

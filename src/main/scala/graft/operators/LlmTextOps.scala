@@ -114,9 +114,10 @@ object LlmTextOps {
     * unit-tested). 64-bit SimHash from per-token MD5, bucketed exactly. */
   def llmDedupSimhash(s: SparkSession, d: String): DataFrame = {
     val simhash = udf { (toks: Seq[String]) =>
+      val digest = java.security.MessageDigest.getInstance("MD5") // one per row; digest() resets it
       val acc = new Array[Int](64)
       toks.foreach { tk =>
-        val md = java.security.MessageDigest.getInstance("MD5").digest(tk.getBytes("UTF-8"))
+        val md = digest.digest(tk.getBytes("UTF-8"))
         var h = 0L
         var i = 0
         while (i < 8) { h = (h << 8) | (md(i) & 0xffL); i += 1 }

@@ -46,6 +46,20 @@ class VectorFunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("native DotProduct expression matches the scala kernel bit-for-bit") {
+    val spark0 = TestSpark.spark
+    import spark0.implicits._
+    import org.apache.spark.sql.functions.col
+    val vecs = Seq.tabulate(50)(i => (i.toLong, randVec(64), randVec(64)))
+    val out = vecs.toDF("id", "a", "b")
+      .select(col("id"), graft.GraftFunctions.dotProduct(col("a"), col("b")).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    vecs.foreach { case (id, a, b) =>
+      val expected = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      assert(out(id) == expected, s"id $id")
+    }
+  }
+
   test("hyperplane buckets are deterministic and 16-bit") {
     val v = randVec(64)
     val spark0 = TestSpark.spark
