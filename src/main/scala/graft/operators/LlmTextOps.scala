@@ -151,7 +151,42 @@ object LlmTextOps {
       .limit(20)
   }
 
+  /** Embedding-cosine near-dup pairs (threshold form of the similarity
+    * join): all pairs with rounded cosine ≥ 0.45. Brute force over the
+    * bounded fixture; at 100 TB the candidate set comes from the LSH/IVF
+    * buckets below and this threshold filter runs per bucket. */
+  def llmDedupEmbedding(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        VectorFunctions.norm(col("embedding")).as("nrm"))
+    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_vec"), col("nrm").as("a_nrm"))
+    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_vec"), col("nrm").as("b_nrm"))
+    a.join(broadcast(b), col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(graft.GraftFunctions.dotProduct(col("a_vec"), col("b_vec")) / (col("a_nrm") * col("b_nrm")), 4).as("sim"))
+      .filter(col("sim") >= 0.45)
+      .orderBy("a_id", "b_id")
+  }
+
+  /** IVF ANN scale path (no oracle — KMeans-assignment specific): seeded
+    * centroids partition the vectors; pairwise similarity only within each
+    * inverted list. Complements the hyperplane-LSH variant. */
+  def annIvfTopk(s: SparkSession, d: String): DataFrame = {
+    val (_, preds) = graft.ml.MlPipelines.kmeansEmbeddings(s, d, k = 16)
+    val e = preds.select(col("vec_id"), col("embedding"), col("prediction").as("cl"),
+      VectorFunctions.norm(col("embedding")).as("nrm"))
+    val a = e.select(col("cl"), col("vec_id").as("a_id"), col("embedding").as("a_vec"), col("nrm").as("a_nrm"))
+    val b = e.select(col("cl").as("b_cl"), col("vec_id").as("b_id"), col("embedding").as("b_vec"), col("nrm").as("b_nrm"))
+    a.join(b, col("cl") === col("b_cl") && col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(graft.GraftFunctions.dotProduct(col("a_vec"), col("b_vec")) / (col("a_nrm") * col("b_nrm")), 4).as("sim"))
+      .orderBy(col("sim").desc, col("a_id"), col("b_id"))
+      .limit(20)
+  }
+
   val queries: Map[String, Q] = Map(
+    "llm_dedup_embedding" -> (llmDedupEmbedding _),
+    "ann_ivf_topk" -> (annIvfTopk _),
     "llm_lang_id" -> (llmLangId _),
     "llm_token_count" -> (llmTokenCount _),
     "llm_quality_score" -> (llmQualityScore _),
@@ -166,6 +201,8 @@ object LlmTextOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "llm_dedup_embedding" ->
+      "SELECT a.vec_id AS a_id, b.vec_id AS b_id, round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS sim FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) >= 0.45 ORDER BY a_id, b_id",
     "llm_lang_id" -> {
       val scoreCols = langs.map { case (l, _) =>
         s"CAST(len(list_filter(string_split(text, ' '), t -> t IN (${markerSql(l)}))) AS INTEGER) AS s_$l"

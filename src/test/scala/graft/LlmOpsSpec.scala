@@ -73,6 +73,18 @@ class LlmOpsSpec extends SparkTestBase {
     }
   }
 
+  test("IVF ANN reports real pairs with exact brute-force sims") {
+    val ivf = LlmTextOps.annIvfTopk(spark, SF).collect()
+    assert(ivf.nonEmpty)
+    val dup = LlmTextOps.llmDedupEmbedding(spark, SF).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")) -> r.getAs[Double]("sim")).toMap
+    // IVF pairs above the dedup threshold must carry identical sims
+    ivf.filter(_.getAs[Double]("sim") >= 0.45).foreach { r =>
+      val key = (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))
+      assert(dup.get(key).contains(r.getAs[Double]("sim")), s"pair $key")
+    }
+  }
+
   test("simhash buckets conserve docs with only incidental collisions") {
     val out = LlmTextOps.llmDedupSimhash(spark, SF).collect()
     val total = Tables.load(spark, SF, "documents").count()

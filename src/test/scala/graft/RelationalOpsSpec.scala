@@ -73,6 +73,22 @@ class RelationalOpsSpec extends SparkTestBase {
     }
   }
 
+  test("map construction and higher-order functions (engine surface, no oracle)") {
+    // str_to_map / transform / filter / aggregate are supported but carry
+    // no DuckDB oracle (dialects differ) — SURVEY.md §2.H note.
+    import spark.implicits._
+    val df = Seq("a:1,b:2,c:3").toDF("s").selectExpr(
+      "str_to_map(s, ',', ':') AS m",
+      "transform(map_values(str_to_map(s, ',', ':')), v -> cast(v AS int) * 10) AS tens",
+      "filter(map_keys(str_to_map(s, ',', ':')), k -> k != 'b') AS keys",
+      "aggregate(transform(map_values(str_to_map(s, ',', ':')), v -> cast(v AS int)), 0, (acc, x) -> acc + x) AS total")
+    val r = df.head
+    assert(r.getAs[Map[String, String]]("m") == Map("a" -> "1", "b" -> "2", "c" -> "3"))
+    assert(r.getSeq[Int](r.fieldIndex("tens")).toSeq == Seq(10, 20, 30))
+    assert(r.getSeq[String](r.fieldIndex("keys")).toSeq == Seq("a", "c"))
+    assert(r.getAs[Int]("total") == 6)
+  }
+
   test("rollup subtotals are consistent with the grand total") {
     val rows = RelationalOps.aggRollup(spark, SF).collect()
     val grand = rows.find(r => r.getAs[String]("rf") == "ALL" && r.getAs[String]("ls") == "ALL").get
