@@ -54,9 +54,21 @@ object RelationalOps {
       .orderBy("r_regionkey")
   }
 
+  /** A5b: JSON round-trip — write region to JSON lines, read back with
+    * explicit schema (schema-on-read; no inference job). */
+  def jsonRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val r = t(s, d, "region")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_json").toString
+    r.write.mode("overwrite").json(tmp)
+    s.read.schema(r.schema).json(tmp)
+      .orderBy("r_regionkey")
+  }
+
   // ------------------------------------------------- B. projection / filter
 
-  /** B1: per-row computed net revenue. Rounding uses floor(x*100+0.5)/100
+  /** B1: per-row computed net revenue. NOTE: (l_orderkey, l_linenumber) is
+    * NOT unique in the synthetic lineitem — every lineitem ORDER BY must
+    * extend to all output columns. Rounding uses floor(x*100+0.5)/100
     * rather than round(): the inputs carry exactly 2 decimal digits, so the
     * product lands on .xx5 boundaries where Spark's decimal HALF_UP and
     * DuckDB's binary rounding disagree; the floor formula is pure IEEE
@@ -65,7 +77,7 @@ object RelationalOps {
     t(s, d, "lineitem")
       .select(col("l_orderkey"), col("l_linenumber"),
         (floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100 + 0.5) / 100.0).as("net_price"))
-      .orderBy("l_orderkey", "l_linenumber")
+      .orderBy("l_orderkey", "l_linenumber", "net_price")
 
   /** B2: compound predicate — comparisons, AND/OR, BETWEEN, IN. */
   def filterCombo(s: SparkSession, d: String): DataFrame =
@@ -94,7 +106,7 @@ object RelationalOps {
         coalesce(col("nd"), lit(-1.0)).as("disc_or_neg"),
         col("nd").isNull.as("was_zero"),
         when(col("nd") > 0.05, "hi").when(col("nd").isNull, "none").otherwise("lo").as("tier"))
-      .orderBy("l_orderkey", "l_linenumber")
+      .orderBy("l_orderkey", "l_linenumber", "disc_or_neg")
 
   /** B5: CASE WHEN bucketing + per-tier aggregates. */
   def caseBucketing(s: SparkSession, d: String): DataFrame =
@@ -362,7 +374,7 @@ object RelationalOps {
     t(s, d, "lineitem")
       .filter(col("l_partkey") % 10 === 0)
       .select("l_orderkey", "l_linenumber", "l_returnflag", "l_shipdate", "l_quantity")
-      .orderBy(col("l_returnflag"), col("l_shipdate").desc, col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_returnflag"), col("l_shipdate").desc, col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
 
   /** F2: top-k with tie-break (TakeOrderedAndProject — no full sort). */
   def topkLimit(s: SparkSession, d: String): DataFrame =
@@ -477,6 +489,7 @@ object RelationalOps {
     "scan_events_ns" -> (scanEventsNs _),
     "json_extract_props" -> (jsonExtractProps _),
     "csv_roundtrip" -> (csvRoundtrip _),
+    "json_roundtrip" -> (jsonRoundtrip _),
     "project_compute" -> (projectCompute _),
     "filter_combo" -> (filterCombo _),
     "filter_like_regex" -> (filterLikeRegex _),
@@ -531,14 +544,16 @@ object RelationalOps {
       "SELECT event_id, CAST(props->>'$.k' AS INTEGER) AS k FROM events ORDER BY event_id",
     "csv_roundtrip" ->
       "SELECT * FROM region ORDER BY r_regionkey",
+    "json_roundtrip" ->
+      "SELECT * FROM region ORDER BY r_regionkey",
     "project_compute" ->
-      "SELECT l_orderkey, l_linenumber, floor(l_extendedprice * (1.0 - l_discount) * 100 + 0.5) / 100.0 AS net_price FROM lineitem ORDER BY l_orderkey, l_linenumber",
+      "SELECT l_orderkey, l_linenumber, floor(l_extendedprice * (1.0 - l_discount) * 100 + 0.5) / 100.0 AS net_price FROM lineitem ORDER BY l_orderkey, l_linenumber, net_price",
     "filter_combo" ->
       "SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM orders WHERE o_orderstatus IN ('F','O') AND o_totalprice BETWEEN 50000 AND 300000 AND (o_orderpriority = '1-URGENT' OR o_orderpriority = '2-HIGH') ORDER BY o_orderkey",
     "filter_like_regex" ->
       "SELECT p_partkey, p_name, p_brand, CAST(regexp_extract(p_brand, '#(\\d+)', 1) AS INTEGER) AS brand_num FROM part WHERE p_name LIKE '%gear%' AND CAST(regexp_extract(p_brand, '#(\\d+)', 1) AS INTEGER) > 10 ORDER BY p_partkey",
     "filter_null_logic" ->
-      "SELECT l_orderkey, l_linenumber, nullif(l_discount, 0.0) AS nd, coalesce(nullif(l_discount, 0.0), -1.0) AS disc_or_neg, (nullif(l_discount, 0.0) IS NULL) AS was_zero, CASE WHEN nullif(l_discount, 0.0) > 0.05 THEN 'hi' WHEN nullif(l_discount, 0.0) IS NULL THEN 'none' ELSE 'lo' END AS tier FROM lineitem ORDER BY l_orderkey, l_linenumber",
+      "SELECT l_orderkey, l_linenumber, nullif(l_discount, 0.0) AS nd, coalesce(nullif(l_discount, 0.0), -1.0) AS disc_or_neg, (nullif(l_discount, 0.0) IS NULL) AS was_zero, CASE WHEN nullif(l_discount, 0.0) > 0.05 THEN 'hi' WHEN nullif(l_discount, 0.0) IS NULL THEN 'none' ELSE 'lo' END AS tier FROM lineitem ORDER BY l_orderkey, l_linenumber, disc_or_neg",
     "case_bucketing" ->
       "SELECT CASE WHEN o_totalprice < 100000 THEN 'low' WHEN o_totalprice < 300000 THEN 'mid' ELSE 'high' END AS tier, count(*) AS n, round(sum(o_totalprice), 2) AS total FROM orders GROUP BY 1 ORDER BY tier",
     "join_inner_equi" ->
@@ -584,7 +599,7 @@ object RelationalOps {
     "agg_conditional_pivot" ->
       "SELECT user_id, round(sum(CASE WHEN event_type = 'click' THEN value END), 2) AS click_v, round(sum(CASE WHEN event_type = 'error' THEN value END), 2) AS error_v, round(sum(CASE WHEN event_type = 'purchase' THEN value END), 2) AS purchase_v, round(sum(CASE WHEN event_type = 'signup' THEN value END), 2) AS signup_v, round(sum(CASE WHEN event_type = 'view' THEN value END), 2) AS view_v, count(*) AS n FROM events GROUP BY user_id ORDER BY user_id",
     "sort_multicol" ->
-      "SELECT l_orderkey, l_linenumber, l_returnflag, l_shipdate, l_quantity FROM lineitem WHERE l_partkey % 10 = 0 ORDER BY l_returnflag, l_shipdate DESC, l_orderkey, l_linenumber",
+      "SELECT l_orderkey, l_linenumber, l_returnflag, l_shipdate, l_quantity FROM lineitem WHERE l_partkey % 10 = 0 ORDER BY l_returnflag, l_shipdate DESC, l_orderkey, l_linenumber, l_quantity",
     "topk_limit" ->
       "SELECT o_orderkey, o_custkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
     "set_union_all" ->
