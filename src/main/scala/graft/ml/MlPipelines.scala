@@ -117,6 +117,77 @@ object MlPipelines {
     (model.avgMetrics.max, model.avgMetrics.min)
   }
 
+  /** Classic learner surface (unit-tested thresholds, seeded). */
+
+  /** Decision tree over embeddings → label. */
+  def decisionTreeEmbeddings(spark: SparkSession, sfDir: String): Double = {
+    val vecs = Tables.load(spark, sfDir, "embeddings")
+      .withColumn("features", array_to_vector(col("embedding")))
+      .withColumn("label", col("label").cast("double"))
+    val model = new org.apache.spark.ml.classification.DecisionTreeClassifier()
+      .setSeed(Seed).setMaxDepth(5).fit(vecs)
+    new MulticlassClassificationEvaluator().setMetricName("accuracy")
+      .evaluate(model.transform(vecs))
+  }
+
+  /** Multinomial NaiveBayes on term counts → lang (the classic text
+    * classifier; counts are non-negative as NB requires). */
+  def naiveBayesLang(spark: SparkSession, sfDir: String): Double = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val pipe = new Pipeline().setStages(Array(
+      MlOps.tokenizer(),
+      new HashingTF().setInputCol("toks").setOutputCol("features").setNumFeatures(1 << 14),
+      new StringIndexer().setInputCol("lang").setOutputCol("label"),
+      new org.apache.spark.ml.classification.NaiveBayes().setModelType("multinomial")))
+    val model = pipe.fit(docs)
+    new MulticlassClassificationEvaluator().setMetricName("accuracy")
+      .evaluate(model.transform(docs))
+  }
+
+  /** Linear regression on a known linear target (the synthetic lineitem has
+    * no quantity~price correlation, so the estimator is checked by
+    * coefficient recovery: label = 100·qty + 10·discount).
+    * Returns (r2, qtyCoefficient). */
+  def linearRegressionLineitem(spark: SparkSession, sfDir: String): (Double, Double) = {
+    val df = new VectorAssembler().setInputCols(Array("l_quantity", "l_discount"))
+      .setOutputCol("features")
+      .transform(Tables.load(spark, sfDir, "lineitem"))
+      .withColumn("label", col("l_quantity") * 100.0 + col("l_discount") * 10.0)
+    val model = new org.apache.spark.ml.regression.LinearRegression()
+      .setMaxIter(20).fit(df)
+    (model.summary.r2, model.coefficients(0))
+  }
+
+  /** PCA of the 64-dim embeddings down to k components. */
+  def pcaEmbeddings(spark: SparkSession, sfDir: String, k: Int = 8): (Int, Array[Double]) = {
+    val vecs = Tables.load(spark, sfDir, "embeddings")
+      .withColumn("features", array_to_vector(col("embedding")))
+    val model = new org.apache.spark.ml.feature.PCA().setK(k)
+      .setInputCol("features").setOutputCol("pca").fit(vecs)
+    val dim = model.transform(vecs).select("pca").head
+      .getAs[org.apache.spark.ml.linalg.Vector](0).size
+    (dim, model.explainedVariance.toArray)
+  }
+
+  /** Seeded Word2Vec over document tokens. Returns (vocabSize, vectorDim). */
+  def word2vecDocs(spark: SparkSession, sfDir: String, dim: Int = 16): (Long, Int) = {
+    val toks = MlOps.tokenizer().transform(Tables.load(spark, sfDir, "documents"))
+    val model = new org.apache.spark.ml.feature.Word2Vec().setSeed(Seed)
+      .setInputCol("toks").setOutputCol("w2v").setVectorSize(dim).setMinCount(2)
+      .fit(toks)
+    (model.getVectors.count(), dim)
+  }
+
+  /** ml.stat surface: Pearson correlation matrix over assembled columns. */
+  def correlationMatrix(spark: SparkSession, sfDir: String): org.apache.spark.ml.linalg.Matrix = {
+    val df = new VectorAssembler()
+      .setInputCols(Array("l_quantity", "l_extendedprice", "l_discount"))
+      .setOutputCol("features")
+      .transform(Tables.load(spark, sfDir, "lineitem"))
+    org.apache.spark.ml.stat.Correlation.corr(df, "features").head
+      .getAs[org.apache.spark.ml.linalg.Matrix](0)
+  }
+
   /** K2: near-duplicate detection — 5-gram word shingles → binary
     * HashingTF → seeded MinHashLSH self-join at Jaccard distance ≤
     * maxDistance. The 100 TB dedup path: banded hashes shard candidate

@@ -69,11 +69,35 @@ object MlOps {
       .orderBy("c_custkey")
   }
 
+  /** J4b: min-max scaling of c_acctbal to [0,1] — deterministic math,
+    * portable oracle. */
+  def mlMinmax(s: SparkSession, d: String): DataFrame = {
+    val assembled = new VectorAssembler().setInputCols(Array("c_acctbal"))
+      .setOutputCol("feat").transform(t(s, d, "customer"))
+    val scaler = new MinMaxScaler().setInputCol("feat").setOutputCol("scaled")
+      .fit(assembled)
+    scaler.transform(assembled)
+      .select(col("c_custkey"),
+        round(element_at(vector_to_array(col("scaled")), 1), 6).as("z"))
+      .orderBy("c_custkey")
+  }
+
+  /** J4c: Bucketizer over pinned split points (left-closed buckets). */
+  def mlBucketize(s: SparkSession, d: String): DataFrame = {
+    val buck = new Bucketizer().setInputCol("c_acctbal").setOutputCol("bucket")
+      .setSplits(Array(Double.NegativeInfinity, 0.0, 1000.0, 5000.0, Double.PositiveInfinity))
+    buck.transform(t(s, d, "customer"))
+      .select(col("c_custkey"), col("c_acctbal"), col("bucket").cast("int").as("bucket"))
+      .orderBy("c_custkey")
+  }
+
   val queries: Map[String, Q] = Map(
     "ml_tokenize" -> (mlTokenize _),
     "ml_stopwords" -> (mlStopwords _),
     "ml_string_indexer" -> (mlStringIndexer _),
     "ml_scaler" -> (mlScaler _),
+    "ml_minmax" -> (mlMinmax _),
+    "ml_bucketize" -> (mlBucketize _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -85,5 +109,9 @@ object MlOps {
       "SELECT event_type, CAST(row_number() OVER (ORDER BY cnt DESC, event_type) - 1 AS INTEGER) AS idx FROM (SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type) ORDER BY idx",
     "ml_scaler" ->
       "SELECT c_custkey, round((c_acctbal - avg(c_acctbal) OVER ()) / stddev_samp(c_acctbal) OVER (), 6) AS z FROM customer ORDER BY c_custkey",
+    "ml_minmax" ->
+      "SELECT c_custkey, round((c_acctbal - min(c_acctbal) OVER ()) / (max(c_acctbal) OVER () - min(c_acctbal) OVER ()), 6) AS z FROM customer ORDER BY c_custkey",
+    "ml_bucketize" ->
+      "SELECT c_custkey, c_acctbal, CASE WHEN c_acctbal < 0.0 THEN 0 WHEN c_acctbal < 1000.0 THEN 1 WHEN c_acctbal < 5000.0 THEN 2 ELSE 3 END AS bucket FROM customer ORDER BY c_custkey",
   )
 }

@@ -64,6 +64,15 @@ object RelationalOps {
       .orderBy("r_regionkey")
   }
 
+  /** A5c: ORC round-trip — the third file format surface. */
+  def orcRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val r = t(s, d, "region")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    r.write.mode("overwrite").orc(tmp)
+    s.read.schema(r.schema).orc(tmp)
+      .orderBy("r_regionkey")
+  }
+
   // ------------------------------------------------- B. projection / filter
 
   /** B1: per-row computed net revenue. NOTE: (l_orderkey, l_linenumber) is
@@ -490,6 +499,7 @@ object RelationalOps {
     "json_extract_props" -> (jsonExtractProps _),
     "csv_roundtrip" -> (csvRoundtrip _),
     "json_roundtrip" -> (jsonRoundtrip _),
+    "orc_roundtrip" -> (orcRoundtrip _),
     "project_compute" -> (projectCompute _),
     "filter_combo" -> (filterCombo _),
     "filter_like_regex" -> (filterLikeRegex _),
@@ -545,6 +555,8 @@ object RelationalOps {
     "csv_roundtrip" ->
       "SELECT * FROM region ORDER BY r_regionkey",
     "json_roundtrip" ->
+      "SELECT * FROM region ORDER BY r_regionkey",
+    "orc_roundtrip" ->
       "SELECT * FROM region ORDER BY r_regionkey",
     "project_compute" ->
       "SELECT l_orderkey, l_linenumber, floor(l_extendedprice * (1.0 - l_discount) * 100 + 0.5) / 100.0 AS net_price FROM lineitem ORDER BY l_orderkey, l_linenumber, net_price",

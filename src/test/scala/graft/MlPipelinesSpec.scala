@@ -58,6 +58,41 @@ class MlPipelinesSpec extends SparkTestBase {
     assert(rmse >= 0 && !rmse.isNaN && !rmse.isInfinite)
   }
 
+  test("decision tree and naive bayes train to sane accuracies") {
+    val dt = MlPipelines.decisionTreeEmbeddings(spark, SF)
+    assert(dt >= 0.0 && dt <= 1.0)
+    val nb = MlPipelines.naiveBayesLang(spark, SF)
+    assert(nb >= 0.2 && nb <= 1.0, s"NB train accuracy $nb below majority-class floor")
+  }
+
+  test("linear regression recovers known coefficients on a linear target") {
+    val (r2, qtyCoef) = MlPipelines.linearRegressionLineitem(spark, SF)
+    assert(r2 > 0.999, s"r2 $r2")
+    assert(math.abs(qtyCoef - 100.0) < 0.5, s"qty coefficient $qtyCoef")
+  }
+
+  test("PCA projects to k dims with decreasing explained variance") {
+    val (dim, ev) = MlPipelines.pcaEmbeddings(spark, SF, k = 8)
+    assert(dim == 8)
+    assert(ev.length == 8)
+    assert(ev.zip(ev.tail).forall { case (a, b) => a >= b - 1e-12 })
+  }
+
+  test("word2vec fits a seeded embedding table") {
+    val (vocab, dim) = MlPipelines.word2vecDocs(spark, SF)
+    assert(vocab > 10 && dim == 16)
+  }
+
+  test("correlation matrix matches SQL corr within 1e-6") {
+    val m = MlPipelines.correlationMatrix(spark, SF)
+    assert(m.numRows == 3 && m.numCols == 3)
+    (0 until 3).foreach(i => assert(math.abs(m(i, i) - 1.0) < 1e-12))
+    val sqlCorr = Tables.load(spark, SF, "lineitem")
+      .agg(org.apache.spark.sql.functions.corr("l_quantity", "l_extendedprice"))
+      .head.getDouble(0)
+    assert(math.abs(m(0, 1) - sqlCorr) < 1e-6)
+  }
+
   test("cross-validated grid orders metrics sanely") {
     val (best, worst) = MlPipelines.crossValidatedLangClassifier(spark, SF)
     assert(best >= worst)
