@@ -33,6 +33,36 @@ class ScaleOpsSpec extends SparkTestBase {
     assert(pruned.count() == expected && expected > 0)
   }
 
+  test("bucketed tables join without a shuffle (co-located sort-merge)") {
+    val o = Tables.load(spark, SF, "orders")
+    val c = Tables.load(spark, SF, "customer")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_customer")
+    // a prior aborted run can leave orphaned managed-table dirs behind
+    Seq("b_orders", "b_customer").foreach { t =>
+      val dir = new java.io.File(s"spark-warehouse/$t")
+      if (dir.exists()) {
+        java.nio.file.Files.walk(dir.toPath).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }
+    o.write.mode("overwrite").bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable("b_orders")
+    c.write.mode("overwrite").bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable("b_customer")
+    // force sort-merge so the bucketing (not a broadcast) carries the join
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val smj = spark.table("b_orders")
+        .join(spark.table("b_customer"), col("o_custkey") === col("c_custkey"))
+        .select("o_orderkey", "c_name")
+      val plan = smj.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ in:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle:\n$plan")
+      assert(smj.count() == o.count()) // every order matches its customer
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
   test("dynamic partition pruning fires on a selective dim join") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_dpp").toString
