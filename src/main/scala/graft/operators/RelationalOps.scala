@@ -252,6 +252,30 @@ object RelationalOps {
       .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
 
+  /** C12: correlated scalar subquery — orders above 2× their customer's
+    * average (Catalyst decorrelates to an aggregate + join; SQL-text entry
+    * point). */
+  def subScalarCorr(s: SparkSession, d: String): DataFrame = {
+    Tables.view(s, d, "orders")
+    s.sql("""
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders o
+      WHERE o_totalprice > 2 * (SELECT avg(o2.o_totalprice) FROM orders o2
+                                WHERE o2.o_custkey = o.o_custkey)
+      ORDER BY o_orderkey""")
+  }
+
+  /** C13: uncorrelated IN subquery (rewritten to a semi join). */
+  def subInUncorr(s: SparkSession, d: String): DataFrame = {
+    Tables.view(s, d, "orders")
+    Tables.view(s, d, "customer")
+    s.sql("""
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders
+      WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9500)
+      ORDER BY o_orderkey""")
+  }
+
   // ----------------------------------------------------------- D. aggregation
 
   /** D1: ungrouped global aggregates. */
@@ -516,6 +540,8 @@ object RelationalOps {
     "join_theta_range" -> (joinThetaRange _),
     "join_asof" -> (joinAsof _),
     "join_star_tpch" -> (joinStarTpch _),
+    "sub_scalar_corr" -> (subScalarCorr _),
+    "sub_in_uncorr" -> (subInUncorr _),
     "agg_global" -> (aggGlobal _),
     "agg_groupby_q1" -> (aggGroupbyQ1 _),
     "agg_count_distinct" -> (aggCountDistinct _),
@@ -590,6 +616,10 @@ object RelationalOps {
       "WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type FROM events), pairs AS (SELECT p.event_id AS purchase_id, p.user_id AS user_id, s.event_id AS signup_id, row_number() OVER (PARTITION BY p.event_id ORDER BY s.ts DESC, s.event_id DESC) AS rn FROM ev p JOIN ev s ON s.user_id = p.user_id AND s.event_type = 'signup' AND s.ts <= p.ts WHERE p.event_type = 'purchase') SELECT purchase_id, user_id, signup_id FROM pairs WHERE rn = 1 ORDER BY purchase_id",
     "join_star_tpch" ->
       "SELECT n_name, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue FROM region JOIN nation ON n_regionkey = r_regionkey JOIN customer ON c_nationkey = n_nationkey JOIN orders ON o_custkey = c_custkey JOIN lineitem ON l_orderkey = o_orderkey JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01' GROUP BY n_name ORDER BY revenue DESC, n_name",
+    "sub_scalar_corr" ->
+      "SELECT o_orderkey, o_custkey, o_totalprice FROM orders o WHERE o_totalprice > 2 * (SELECT avg(o2.o_totalprice) FROM orders o2 WHERE o2.o_custkey = o.o_custkey) ORDER BY o_orderkey",
+    "sub_in_uncorr" ->
+      "SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9500) ORDER BY o_orderkey",
     "agg_global" ->
       "SELECT count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty, round(avg(l_extendedprice), 4) AS avg_price, min(l_quantity) AS min_qty, max(l_quantity) AS max_qty, min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship FROM lineitem",
     "agg_groupby_q1" ->

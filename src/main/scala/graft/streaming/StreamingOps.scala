@@ -62,4 +62,41 @@ object StreamingOps {
           UserCount(uid, next)
       }
   }
+
+  final case class SessionAgg(user_id: Long, n_events: Long, startMs: Long, endMs: Long)
+  final case class SessionState(n: Long, startMs: Long, endMs: Long)
+
+  /** I6b: flatMapGroupsWithState with an event-time timeout — hand-rolled
+    * session aggregation: state accumulates per-user events and is emitted
+    * ONLY when the watermark passes the session gap (timeout fires with an
+    * empty batch). The custom-state analogue of session_window; state is
+    * bounded by the watermark exactly as the built-in is. */
+  def sessionizeWithState(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L): Dataset[SessionAgg] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          if (batch.isEmpty && state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionAgg(uid, s.n, s.startMs, s.endMs))
+          } else {
+            val times = batch.map(_.ts.getTime).toSeq
+            val prev = state.getOption
+            val merged = prev match {
+              case Some(s) => SessionState(s.n + times.size,
+                math.min(s.startMs, times.min), math.max(s.endMs, times.max))
+              case None => SessionState(times.size, times.min, times.max)
+            }
+            state.update(merged)
+            // emit when the watermark passes session end + gap
+            state.setTimeoutTimestamp(merged.endMs + gapMs)
+            Iterator.empty
+          }
+      }
+  }
 }

@@ -71,6 +71,44 @@ class StreamingOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("I6b: flatMapGroupsWithState emits a session only after its timeout") {
+    val input = MemoryStream[Event]
+    val q = StreamingOps.sessionizeWithState(input.toDS())
+      .writeStream.format("memory").queryName("fmgs").outputMode("append").start()
+    try {
+      input.addData(ev(1, ts(1, 0)), ev(2, ts(1, 10)))
+      drain(q)
+      // watermark still at 1:00-ish: nothing emitted yet
+      assert(spark.sql("SELECT * FROM fmgs").count() == 0)
+      // jump event time far forward -> watermark passes end+gap -> emit
+      input.addData(ev(9, ts(9, 0), uid = 2))
+      drain(q)
+      input.addData(ev(10, ts(9, 30), uid = 2)) // extra batch to advance watermark processing
+      drain(q)
+      val rows = spark.sql("SELECT user_id, n_events FROM fmgs").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(rows.get(1L).contains(2L), s"expected closed session for user 1, got ${rows.mkString(",")}")
+    } finally q.stop()
+  }
+
+  test("foreachBatch sink receives every micro-batch") {
+    val input = MemoryStream[Event]
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = input.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        seen.add(batch.count()); ()
+      }
+      .start()
+    try {
+      input.addData(ev(1, ts(1)), ev(2, ts(1, 1)))
+      drain(q)
+      input.addData(ev(3, ts(1, 2)))
+      drain(q)
+      val counts = seen.toArray(Array.empty[java.lang.Long]).map(_.toLong).toSeq
+      assert(counts.sum == 3, s"got $counts")
+    } finally q.stop()
+  }
+
   test("I6: mapGroupsWithState keeps a running per-user counter across batches") {
     val input = MemoryStream[Event]
     val q = StreamingOps.runningCounts(input.toDS())
