@@ -342,6 +342,15 @@ object RelationalOps {
         round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"))
       .orderBy("o_orderstatus")
 
+  /** D6b: approximate percentiles (algorithm-specific sketch — no oracle;
+    * unit-tested against the exact percentile within tolerance). */
+  def aggApproxPercentile(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .groupBy("o_orderstatus")
+      .agg(expr("approx_percentile(o_totalprice, 0.5, 1000)").as("ap50"),
+        expr("approx_percentile(o_totalprice, 0.9, 1000)").as("ap90"))
+      .orderBy("o_orderstatus")
+
   /** D7: ROLLUP with GROUPING markers; subtotal keys coalesced to 'ALL' so
     * no NULL ever reaches an ORDER BY (SURVEY.md §5.3.4). */
   def aggRollup(s: SparkSession, d: String): DataFrame =
@@ -546,6 +555,7 @@ object RelationalOps {
     "agg_groupby_q1" -> (aggGroupbyQ1 _),
     "agg_count_distinct" -> (aggCountDistinct _),
     "agg_approx_hll" -> (aggApproxHll _),
+    "agg_approx_percentile" -> (aggApproxPercentile _),
     "agg_stats" -> (aggStats _),
     "agg_percentile" -> (aggPercentile _),
     "agg_rollup" -> (aggRollup _),

@@ -89,6 +89,18 @@ class RelationalOpsSpec extends SparkTestBase {
     assert(r.getAs[Int]("total") == 6)
   }
 
+  test("approx_percentile within 2% of exact percentile") {
+    val approx = RelationalOps.aggApproxPercentile(spark, SF).collect()
+      .map(r => r.getAs[String]("o_orderstatus") -> (r.getAs[Double]("ap50"), r.getAs[Double]("ap90"))).toMap
+    val exact = RelationalOps.aggPercentile(spark, SF).collect()
+      .map(r => r.getAs[String]("o_orderstatus") -> (r.getAs[Double]("p50"), r.getAs[Double]("p90"))).toMap
+    exact.foreach { case (st, (p50, p90)) =>
+      val (a50, a90) = approx(st)
+      assert(math.abs(a50 - p50) / p50 < 0.02, s"$st p50 $a50 vs $p50")
+      assert(math.abs(a90 - p90) / p90 < 0.02, s"$st p90 $a90 vs $p90")
+    }
+  }
+
   test("rollup subtotals are consistent with the grand total") {
     val rows = RelationalOps.aggRollup(spark, SF).collect()
     val grand = rows.find(r => r.getAs[String]("rf") == "ALL" && r.getAs[String]("ls") == "ALL").get
