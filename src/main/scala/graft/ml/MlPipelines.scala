@@ -50,11 +50,15 @@ object MlPipelines {
     pipe.fit(customer).transform(customer)
   }
 
-  /** J7: seeded KMeans over the embedding vectors. */
-  def kmeansEmbeddings(spark: SparkSession, sfDir: String, k: Int = 10): (KMeansModel, DataFrame) = {
+  /** J7: seeded KMeans over the embedding vectors. maxIter is modest —
+    * downstream uses (IVF bucketing) need stable assignments, not a
+    * converged objective. */
+  def kmeansEmbeddings(spark: SparkSession, sfDir: String, k: Int = 10,
+                       maxIter: Int = 8): (KMeansModel, DataFrame) = {
     val vecs = Tables.load(spark, sfDir, "embeddings")
       .withColumn("features", array_to_vector(col("embedding")))
-    val model = new KMeans().setK(k).setSeed(Seed).setFeaturesCol("features").fit(vecs)
+    val model = new KMeans().setK(k).setSeed(Seed).setMaxIter(maxIter)
+      .setFeaturesCol("features").fit(vecs)
     (model, model.transform(vecs))
   }
 
