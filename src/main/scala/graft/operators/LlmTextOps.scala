@@ -110,30 +110,54 @@ object LlmTextOps {
       .select("a_id", "b_id", "jac")
   }
 
-  /** SimHash near-dup buckets (no oracle — hash-algorithm specific; recall
-    * unit-tested). 64-bit SimHash from per-token MD5, bucketed exactly. */
-  def llmDedupSimhash(s: SparkSession, d: String): DataFrame = {
-    val simhash = udf { (toks: Seq[String]) =>
-      val digest = java.security.MessageDigest.getInstance("MD5") // one per row; digest() resets it
-      val acc = new Array[Int](64)
-      toks.foreach { tk =>
-        val md = digest.digest(tk.getBytes("UTF-8"))
-        var h = 0L
-        var i = 0
-        while (i < 8) { h = (h << 8) | (md(i) & 0xffL); i += 1 }
-        var b = 0
-        while (b < 64) { if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1; b += 1 }
-      }
-      var out = 0L
+  /** 64-bit SimHash UDF (per-token MD5, sign-sum sketch). */
+  val simhash64 = udf { (toks: Seq[String]) =>
+    val digest = java.security.MessageDigest.getInstance("MD5") // one per row; digest() resets it
+    val acc = new Array[Int](64)
+    toks.foreach { tk =>
+      val md = digest.digest(tk.getBytes("UTF-8"))
+      var h = 0L
+      var i = 0
+      while (i < 8) { h = (h << 8) | (md(i) & 0xffL); i += 1 }
       var b = 0
-      while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
-      out
+      while (b < 64) { if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1; b += 1 }
     }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  /** SimHash sketch buckets (no oracle — hash-algorithm specific; recall
+    * unit-tested through [[simhashNearDup]]). */
+  def llmDedupSimhash(s: SparkSession, d: String): DataFrame =
     t(s, d, "documents")
-      .withColumn("sh64", simhash(split(lower(col("text")), "\\W+")))
+      .withColumn("sh64", simhash64(split(lower(col("text")), "\\W+")))
       .groupBy("sh64")
       .agg(min("doc_id").as("survivor_id"), count(lit(1)).as("n_docs"))
       .orderBy("survivor_id")
+
+  /** Full SimHash near-dup detection — the standard banded algorithm:
+    * split each 64-bit sketch into 4 × 16-bit bands; any shared band makes
+    * a candidate pair (a pair within Hamming distance 3 must agree on at
+    * least one band — pigeonhole); verify candidates by exact Hamming
+    * distance. At 100 TB the band join IS the shuffle key — candidate
+    * generation never goes all-pairs. */
+  def simhashNearDup(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sketched = docs
+      .withColumn("sh64", simhash64(split(lower(col("text")), "\\W+")))
+    val banded = sketched.select(col("doc_id"), col("sh64"),
+        explode(expr("transform(sequence(0, 3), b -> named_struct('band', b, 'key', (sh64 >> (b * 16)) & 65535))")).as("bk"))
+      .select(col("doc_id"), col("sh64"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val a = banded.select(col("band"), col("key"), col("doc_id").as("a_id"), col("sh64").as("a_sh"))
+    val b = banded.select(col("band").as("band_b"), col("key").as("key_b"),
+      col("doc_id").as("b_id"), col("sh64").as("b_sh"))
+    a.join(b, col("band") === col("band_b") && col("key") === col("key_b") &&
+        col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        expr("bit_count(a_sh ^ b_sh)").as("hamming"))
+      .distinct() // a pair can share multiple bands
+      .filter(col("hamming") <= maxHamming)
   }
 
   /** ANN scale path (no oracle): random-hyperplane LSH buckets, brute-force
@@ -193,6 +217,8 @@ object LlmTextOps {
     "llm_fingerprint" -> (llmFingerprint _),
     "llm_ngram_jaccard" -> (llmNgramJaccard _),
     "llm_dedup_simhash" -> (llmDedupSimhash _),
+    "llm_dedup_simhash_pairs" -> ((s: SparkSession, d: String) =>
+      simhashNearDup(t(s, d, "documents"), maxHamming = 8).orderBy("a_id", "b_id")),
     "ann_lsh_topk" -> (annLshTopk _),
   )
 

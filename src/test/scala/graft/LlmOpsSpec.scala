@@ -85,6 +85,20 @@ class LlmOpsSpec extends SparkTestBase {
     }
   }
 
+  test("banded simhash near-dup recalls a constructed near-duplicate pair") {
+    val base = doc(60)
+    val nearDup = base.split(" ").updated(9, "zzz").mkString(" ")
+    val docs = (Seq((100L, base), (101L, nearDup)) ++
+      Seq.tabulate(20)(i => (i.toLong, doc(60)))).toDF("doc_id", "text")
+    val pairs = LlmTextOps.simhashNearDup(docs, maxHamming = 8).collect()
+    assert(pairs.exists(r => r.getAs[Long]("a_id") == 100L && r.getAs[Long]("b_id") == 101L),
+      s"expected (100,101) in ${pairs.mkString(",")}")
+    // identical docs must be at hamming 0
+    val same = LlmTextOps.simhashNearDup(
+      Seq((1L, base), (2L, base)).toDF("doc_id", "text"), 0).collect()
+    assert(same.length == 1 && same.head.getAs[Int]("hamming") == 0)
+  }
+
   test("simhash buckets conserve docs with only incidental collisions") {
     val out = LlmTextOps.llmDedupSimhash(spark, SF).collect()
     val total = Tables.load(spark, SF, "documents").count()
