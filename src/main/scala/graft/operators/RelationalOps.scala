@@ -409,6 +409,12 @@ object RelationalOps {
     e.groupBy("user_id").agg(aggs.head, aggs.tail: _*).orderBy("user_id")
   }
 
+  /** D12: contingency table via DataFrameStatFunctions.crosstab (counts
+    * are exact → oracle-able as a manual pivot). */
+  def statCrosstab(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem").stat.crosstab("l_returnflag", "l_linestatus")
+      .orderBy("l_returnflag_l_linestatus")
+
   // -------------------------------------------------------- F. sort / top-k
 
   /** F1: multi-column global sort (range-partitioned SortExec). */
@@ -563,6 +569,7 @@ object RelationalOps {
     "agg_grouping_sets" -> (aggGroupingSets _),
     "agg_collect_sorted" -> (aggCollectSorted _),
     "agg_conditional_pivot" -> (aggConditionalPivot _),
+    "stat_crosstab" -> (statCrosstab _),
     "sort_multicol" -> (sortMulticol _),
     "topk_limit" -> (topkLimit _),
     "set_union_all" -> (setUnionAll _),
@@ -650,6 +657,8 @@ object RelationalOps {
       "SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations FROM nation JOIN region ON n_regionkey = r_regionkey GROUP BY r_name ORDER BY r_name",
     "agg_conditional_pivot" ->
       "SELECT user_id, round(sum(CASE WHEN event_type = 'click' THEN value END), 2) AS click_v, round(sum(CASE WHEN event_type = 'error' THEN value END), 2) AS error_v, round(sum(CASE WHEN event_type = 'purchase' THEN value END), 2) AS purchase_v, round(sum(CASE WHEN event_type = 'signup' THEN value END), 2) AS signup_v, round(sum(CASE WHEN event_type = 'view' THEN value END), 2) AS view_v, count(*) AS n FROM events GROUP BY user_id ORDER BY user_id",
+    "stat_crosstab" ->
+      "SELECT CAST(l_returnflag AS VARCHAR) AS l_returnflag_l_linestatus, count(*) FILTER (WHERE l_linestatus = 'F') AS F, count(*) FILTER (WHERE l_linestatus = 'O') AS O FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag_l_linestatus",
     "sort_multicol" ->
       "SELECT l_orderkey, l_linenumber, l_returnflag, l_shipdate, l_quantity FROM lineitem WHERE l_partkey % 10 = 0 ORDER BY l_returnflag, l_shipdate DESC, l_orderkey, l_linenumber, l_quantity",
     "topk_limit" ->

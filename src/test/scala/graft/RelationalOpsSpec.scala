@@ -73,6 +73,18 @@ class RelationalOpsSpec extends SparkTestBase {
     }
   }
 
+  test("stat functions: freqItems finds the frequent flags, sampleBy is seeded") {
+    val li = Tables.load(spark, SF, "lineitem")
+    val freq = li.stat.freqItems(Array("l_returnflag"), 0.4).head
+      .getSeq[String](0).toSet
+    assert(freq.subsetOf(Set("A", "N", "R")) && freq.nonEmpty)
+    val sampled = li.stat.sampleBy("l_returnflag",
+      Map("A" -> 0.5, "N" -> 0.1, "R" -> 0.5), 42L)
+    val again = li.stat.sampleBy("l_returnflag",
+      Map("A" -> 0.5, "N" -> 0.1, "R" -> 0.5), 42L)
+    assert(sampled.count() == again.count() && sampled.count() > 0)
+  }
+
   test("map construction and higher-order functions (engine surface, no oracle)") {
     // str_to_map / transform / filter / aggregate are supported but carry
     // no DuckDB oracle (dialects differ) — SURVEY.md §2.H note.
