@@ -16,7 +16,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-      (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+      (children: Seq[Expression]) => {
+        if (children.size != 2)
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+            messageParameters = Map(
+              "functionName" -> "`graft_dot`",
+              "expectedNum" -> "2",
+              "actualNum" -> children.size.toString,
+              "docroot" -> "https://spark.apache.org/docs/latest"))
+        DotProduct(children(0), children(1))
+      }))
   }
 }
 

@@ -45,7 +45,11 @@ object VectorFunctions {
   /** Dot product alone — used with per-vector precomputed norms so the
     * O(n²) pair loop does one pass instead of three. sqrt(Σx²) per vector
     * is computed once per row; dot/(normA*normB) is the exact same IEEE
-    * expression as the fused kernel, so results stay bit-identical. */
+    * expression as the fused kernel, so results stay bit-identical —
+    * PRECONDITION: equal-length vectors. The fused kernel accumulates
+    * norms over min(|a|,|b|) while the standalone [[norm]] sums the full
+    * array, so the two paths only agree when |a| == |b| (true of the
+    * fixtures: all embeddings are 64-dim, SURVEY.md §1.2). */
   val dot = udf { (a: Array[Float], b: Array[Float]) =>
     var d = 0.0
     var i = 0

@@ -55,12 +55,20 @@ object EventOps {
         min("ts").as("session_start"), max("ts").as("session_end"))
   }
 
-  /** Core deterministic-survivor dedup — per-column min per key. */
-  def dedupEvents(events: DataFrame): DataFrame =
+  /** Core deterministic-survivor dedup — keeps ONE REAL ROW per event_id:
+    * the lexicographically smallest on (ts, user_id, event_type, value).
+    * (A per-column min would fabricate a row mixing fields from different
+    * duplicates.) The streaming twin keeps the first-seen arrival row
+    * instead — same "one real row" guarantee, but arrival-order rather
+    * than value-order; only the batch form is oracle-checked. */
+  def dedupEvents(events: DataFrame): DataFrame = {
+    val cols = Seq("ts", "user_id", "event_type", "value")
+    val w = Window.partitionBy("event_id").orderBy(cols.map(col): _*)
     events
-      .groupBy("event_id")
-      .agg(min("ts").as("ts"), min("user_id").as("user_id"),
-        min("event_type").as("event_type"), min("value").as("value"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("event_id") +: cols.map(col): _*)
+  }
 
   /** I3: 30-min-gap sessionization per user (lag + gap flag + running sum —
     * the portable batch formulation; cross-validated row counts in SURVEY
@@ -68,8 +76,9 @@ object EventOps {
   def streamSession(s: SparkSession, d: String): DataFrame =
     sessionize(ev(s, d)).orderBy("user_id", "sess_id")
 
-  /** I4: exact dedup on event_id with a deterministic survivor (per-column
-    * min — not dropDuplicates, whose survivor is partition-order dependent). */
+  /** I4: exact dedup on event_id with a deterministic real-row survivor
+    * (smallest full row — not dropDuplicates, whose survivor is
+    * partition-order dependent). */
   def streamDedup(s: SparkSession, d: String): DataFrame =
     dedupEvents(ev(s, d)).orderBy("event_id")
 
@@ -83,11 +92,14 @@ object EventOps {
   val oracles: Map[String, String] = Map(
     "stream_tumbling" ->
       "SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start, event_type, count(*) AS cnt, round(sum(value), 2) AS sum_v FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type",
+    // Series bounds derived from the data (not the fixture's date span):
+    // 30-min buckets are epoch-aligned in both engines, so time_bucket
+    // reproduces Spark's slide grid at any scale factor.
     "stream_sliding" ->
-      "WITH g AS (SELECT unnest(generate_series(TIMESTAMP '2023-12-31 23:30:00', TIMESTAMP '2024-01-31 00:00:00', INTERVAL 30 MINUTE)) AS wstart) SELECT wstart, count(*) AS cnt FROM g JOIN events e ON CAST(e.ts AS TIMESTAMP) >= g.wstart AND CAST(e.ts AS TIMESTAMP) < g.wstart + INTERVAL 1 HOUR GROUP BY wstart ORDER BY wstart",
+      "WITH b AS (SELECT time_bucket(INTERVAL 30 MINUTE, min(CAST(ts AS TIMESTAMP))) - INTERVAL 30 MINUTE AS lo, time_bucket(INTERVAL 30 MINUTE, max(CAST(ts AS TIMESTAMP))) AS hi FROM events), g AS (SELECT unnest(generate_series((SELECT lo FROM b), (SELECT hi FROM b), INTERVAL 30 MINUTE)) AS wstart) SELECT wstart, count(*) AS cnt FROM g JOIN events e ON CAST(e.ts AS TIMESTAMP) >= g.wstart AND CAST(e.ts AS TIMESTAMP) < g.wstart + INTERVAL 1 HOUR GROUP BY wstart ORDER BY wstart",
     "stream_session" ->
       "WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events), l AS (SELECT user_id, ts, event_id, CASE WHEN lag(epoch_us(ts)) OVER w IS NULL OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), s AS (SELECT user_id, ts, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_id FROM l) SELECT user_id, sess_id, count(*) AS n_events, min(ts) AS session_start, max(ts) AS session_end FROM s GROUP BY user_id, sess_id ORDER BY user_id, sess_id",
     "stream_dedup" ->
-      "SELECT event_id, min(CAST(ts AS TIMESTAMP)) AS ts, min(user_id) AS user_id, min(event_type) AS event_type, min(value) AS value FROM events GROUP BY event_id ORDER BY event_id",
+      "SELECT event_id, ts, user_id, event_type, value FROM (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, row_number() OVER (PARTITION BY event_id ORDER BY CAST(ts AS TIMESTAMP), user_id, event_type, value) AS rn FROM events) WHERE rn = 1 ORDER BY event_id",
   )
 }

@@ -70,18 +70,28 @@ object LlmTextOps {
       .orderBy("doc_id")
   }
 
+  /** Word n-gram shingles over a pre-split `ws` column. Documents with
+    * fewer than n words yield an empty array — without the guard,
+    * sequence(1, size-n+1) would count DOWN (Spark defaults to step -1 when
+    * start > stop) and slice(ws, 0, n) throws; DuckDB's generate_series
+    * returns empty for the same bounds, so the guard is also what keeps
+    * batch and oracle semantics aligned on short documents. */
   private def shingles(n: Int): Column =
-    expr(s"transform(sequence(1, size(ws) - ${n - 1}), i -> concat_ws(' ', slice(ws, i, $n)))")
+    expr(s"if(size(ws) >= $n, transform(sequence(1, size(ws) - ${n - 1}), i -> concat_ws(' ', slice(ws, i, $n))), array())")
 
   /** Document fingerprint: min MD5 over 5-gram word shingles (MinHash with
     * one hash function) — fully row-local, portable to SQL, and stable
     * under small edits elsewhere in the document. */
   def llmFingerprint(s: SparkSession, d: String): DataFrame =
-    t(s, d, "documents")
+    fingerprint(t(s, d, "documents")).orderBy("doc_id")
+
+  /** Core fingerprint over any (doc_id, text) frame; docs shorter than 5
+    * words have no 5-gram shingles and fingerprint NULL. */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs
       .withColumn("ws", split(col("text"), " "))
       .select(col("doc_id"),
         array_min(transform(shingles(5), sh => md5(sh.cast("binary")))).as("fp"))
-      .orderBy("doc_id")
 
   /** 3-gram Jaccard near-dup pairs (≥ 0.2): explode distinct shingles,
     * self-join on shingle, |∩| / (|A|+|B|−|∩|). Fixtures have no near-dups

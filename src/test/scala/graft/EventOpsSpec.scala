@@ -40,8 +40,10 @@ class EventOpsSpec extends SparkTestBase {
     ).toDF("event_id", "ts", "user_id", "event_type", "value")
     val out = EventOps.dedupEvents(df).orderBy("event_id").collect()
     assert(out.length == 2)
+    // Survivor is a REAL row — the full (ts, user_id, event_type, value)
+    // tuple of the earliest duplicate, never a column-wise mix.
     val r1 = out(0)
-    assert(r1.getAs[Timestamp]("ts") == ts(3) && r1.getAs[Long]("user_id") == 7L &&
+    assert(r1.getAs[Timestamp]("ts") == ts(3) && r1.getAs[Long]("user_id") == 9L &&
       r1.getAs[String]("event_type") == "click" && r1.getAs[Double]("value") == 1.0)
   }
 

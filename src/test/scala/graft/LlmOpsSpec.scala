@@ -30,6 +30,19 @@ class LlmOpsSpec extends SparkTestBase {
       s"expected (100,101) in ${pairs.mkString(",")}")
   }
 
+  test("shingle ops are total on documents shorter than n words") {
+    // Without the size(ws) >= n guard, sequence(1, size-n+1) counts DOWN
+    // for short docs and slice(ws, 0, n) throws at runtime.
+    val docs = (Seq((100L, "one two"), (101L, "single"), (102L, "")) ++
+      Seq.tabulate(5)(i => (i.toLong, doc(12)))).toDF("doc_id", "text")
+    val pairs = LlmTextOps.ngramJaccard(docs, 0.0).collect() // 3-gram path
+    assert(!pairs.exists(r => r.getAs[Long]("a_id") >= 100L || r.getAs[Long]("b_id") >= 100L))
+    val fps = LlmTextOps.fingerprint(docs).collect() // 5-gram path
+    assert(fps.length == 8)
+    fps.filter(_.getAs[Long]("doc_id") >= 100L).foreach(r => assert(r.getAs[String]("fp") == null))
+    fps.filter(_.getAs[Long]("doc_id") < 100L).foreach(r => assert(r.getAs[String]("fp") != null))
+  }
+
   test("both near-dup detectors find the planted fixture near-duplicates") {
     // the generator plants ~28 near-dup pairs (3-gram jaccard ≈ 0.99)
     val docs = Tables.load(spark, SF, "documents")
