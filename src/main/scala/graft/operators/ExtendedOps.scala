@@ -1,0 +1,182 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Second-wave surface coverage: argmax aggregates, boolean/bitwise
+  * aggregates, distribution window functions, bitwise/hash/regex/interval
+  * scalar suites, higher-order array functions, unpivot (melt), and a
+  * partition-pruned scan.
+  *
+  * Scale posture: every op is a declarative single-pass plan — the scalar
+  * suites are row-local projections (no shuffle), the aggregates are
+  * 2-phase hash aggs, unpivot is a row-expanding projection (Expand node,
+  * no shuffle), and scan_partitioned demonstrates the layout that makes
+  * 100 TB scans cheap: directory partitioning + partition pruning, so a
+  * selective filter reads only its partition's files.
+  */
+object ExtendedOps {
+  type Q = (SparkSession, String) => DataFrame
+  private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
+
+  /** max_by/min_by with struct ordering — (price, key) lexicographic, so
+    * ties on price break deterministically on key (plain max_by ties are
+    * engine-arbitrary; SURVEY.md §5.3.1). */
+  def aggMinmaxBy(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .groupBy("o_orderstatus")
+      .agg(
+        expr("max_by(o_orderkey, struct(o_totalprice, o_orderkey))").as("best_key"),
+        expr("min_by(o_orderkey, struct(o_totalprice, o_orderkey))").as("worst_key"),
+        round(max("o_totalprice"), 2).as("max_price"),
+        round(min("o_totalprice"), 2).as("min_price"))
+      .orderBy("o_orderstatus")
+
+  /** Boolean + bitwise aggregates (bool_and/bool_or, bit_and/or/xor). */
+  def aggBoolBit(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        expr("bool_and(l_quantity >= 1.0)").as("all_qty"),
+        expr("bool_or(l_discount > 0.09)").as("any_disc"),
+        expr("bit_and(l_linenumber)").as("b_and"),
+        expr("bit_or(l_linenumber)").as("b_or"),
+        expr("bit_xor(l_linenumber)").as("b_xor"))
+      .orderBy("l_returnflag")
+
+  /** percent_rank / cume_dist / nth_value per brand — the ordering key
+    * includes p_partkey so ranks are tie-free; nth_value takes the
+    * explicit full frame (default frames differ across engines). */
+  def winPercentCume(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("p_brand").orderBy("p_retailprice", "p_partkey")
+    val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t(s, d, "part")
+      .select(col("p_partkey"), col("p_brand"), col("p_retailprice"),
+        round(percent_rank().over(w), 6).as("pr"),
+        round(cume_dist().over(w), 6).as("cd"),
+        nth_value(col("p_partkey"), 2).over(full).as("second_key"))
+      .orderBy("p_brand", "p_retailprice", "p_partkey")
+  }
+
+  /** Scalar bitwise suite: and/or/xor, shifts, popcount. */
+  def fnBitwise(s: SparkSession, d: String): DataFrame =
+    t(s, d, "part")
+      .select(col("p_partkey"),
+        (col("p_partkey").bitwiseAND(lit(255L))).as("b_and"),
+        (col("p_partkey").bitwiseOR(lit(4096L))).as("b_or"),
+        (col("p_partkey").bitwiseXOR(lit(85L))).as("b_xor"),
+        shiftleft(col("p_partkey") % 16, 2).as("shl"),
+        shiftright(col("p_partkey"), 3).as("shr"),
+        bit_count(col("p_partkey")).as("pop"))
+      .orderBy("p_partkey")
+
+  /** Hash function suite — md5 + sha2-256 hex digests (both lowercase hex
+    * on both engines; probed in SURVEY §5.2 style). */
+  def fnHash(s: SparkSession, d: String): DataFrame =
+    t(s, d, "customer")
+      .select(col("c_custkey"),
+        md5(col("c_name").cast("binary")).as("h_md5"),
+        sha2(col("c_name").cast("binary"), 256).as("h_sha256"))
+      .orderBy("c_custkey")
+
+  /** Regex suite: extract-all counts, rlike flags, global replace, group
+    * extraction. DuckDB regexp_replace needs the 'g' flag to match
+    * Spark's replace-all semantics. */
+  def fnRegexSuite(s: SparkSession, d: String): DataFrame =
+    t(s, d, "part")
+      .select(col("p_partkey"),
+        size(regexp_extract_all(col("p_name"), lit("[aeiou]+"), lit(0))).as("n_vowel_runs"),
+        col("p_name").rlike("^[a-m]").as("starts_early"),
+        regexp_replace(col("p_name"), "[aeiou]", "_").as("devoweled"),
+        length(regexp_extract(col("p_name"), "^(\\w+)", 1)).as("first_word_len"))
+      .orderBy("p_partkey")
+
+  /** Interval / calendar arithmetic: quarter, ISO week, month-clamped
+    * add_months, day subtraction, month-start construction. */
+  def fnInterval(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .select(col("o_orderkey"),
+        quarter(col("o_orderdate")).as("q"),
+        weekofyear(col("o_orderdate")).as("iso_week"),
+        add_months(col("o_orderdate").cast("date"), 1).as("plus_month"),
+        date_sub(col("o_orderdate").cast("date"), 15).as("minus_15d"),
+        make_date(year(col("o_orderdate")), month(col("o_orderdate")), lit(1)).as("month_start"))
+      .orderBy("o_orderkey")
+
+  /** Higher-order array functions over the embedding column — transform /
+    * filter / aggregate lambdas, all codegen'd (no UDF). Elements are cast
+    * to double BEFORE arithmetic on both engines (DuckDB computes in
+    * float32 on FLOAT[] inputs). */
+  def fnHigherOrder(s: SparkSession, d: String): DataFrame = {
+    val arr = col("embedding").cast("array<double>")
+    t(s, d, "embeddings")
+      .select(col("vec_id"),
+        round(aggregate(transform(arr, x => x * x), lit(0.0), (acc, x) => acc + x), 4).as("ssq"),
+        size(filter(arr, x => x > 0)).as("n_pos"),
+        round(array_max(transform(arr, x => abs(x))), 6).as("max_abs"))
+      .orderBy("vec_id")
+  }
+
+  /** Unpivot (melt): wide per-part metrics to long (metric, val) rows.
+    * Spark's Expand-based unpivot; the oracle is the UNION ALL spelling. */
+  def unpivotMelt(s: SparkSession, d: String): DataFrame =
+    t(s, d, "part")
+      .select(col("p_partkey"), col("p_size").cast("double").as("size"),
+        col("p_retailprice").as("retail"))
+      .unpivot(Array(col("p_partkey")), Array(col("size"), col("retail")), "metric", "val")
+      .orderBy("p_partkey", "metric")
+
+  /** Partition-pruned scan: write lineitem partitioned by l_returnflag,
+    * read back one partition. The filter prunes at the directory level —
+    * the physical plan's PartitionFilters carries the predicate and only
+    * 1/3 of the files are listed/read. This is the 100 TB layout: facts
+    * partitioned by a low-cardinality routing column (date/lang/flag). */
+  def scanPartitioned(s: SparkSession, d: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_part").toString
+    t(s, d, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+      .write.mode("overwrite").partitionBy("l_returnflag").parquet(tmp)
+    s.read.parquet(tmp)
+      .filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "agg_minmax_by" -> (aggMinmaxBy _),
+    "agg_bool_bit" -> (aggBoolBit _),
+    "win_percent_cume" -> (winPercentCume _),
+    "fn_bitwise" -> (fnBitwise _),
+    "fn_hash" -> (fnHash _),
+    "fn_regex_suite" -> (fnRegexSuite _),
+    "fn_interval" -> (fnInterval _),
+    "fn_higher_order" -> (fnHigherOrder _),
+    "unpivot_melt" -> (unpivotMelt _),
+    "scan_partitioned" -> (scanPartitioned _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "agg_minmax_by" ->
+      "SELECT o_orderstatus, (max(struct_pack(p := o_totalprice, k := o_orderkey))).k AS best_key, (min(struct_pack(p := o_totalprice, k := o_orderkey))).k AS worst_key, round(max(o_totalprice), 2) AS max_price, round(min(o_totalprice), 2) AS min_price FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus",
+    "agg_bool_bit" ->
+      "SELECT l_returnflag, bool_and(l_quantity >= 1.0) AS all_qty, bool_or(l_discount > 0.09) AS any_disc, bit_and(l_linenumber) AS b_and, bit_or(l_linenumber) AS b_or, bit_xor(l_linenumber) AS b_xor FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
+    "win_percent_cume" ->
+      "SELECT p_partkey, p_brand, p_retailprice, round(percent_rank() OVER w, 6) AS pr, round(cume_dist() OVER w, 6) AS cd, nth_value(p_partkey, 2) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_key FROM part WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice, p_partkey) ORDER BY p_brand, p_retailprice, p_partkey",
+    "fn_bitwise" ->
+      "SELECT p_partkey, p_partkey & 255 AS b_and, p_partkey | 4096 AS b_or, xor(p_partkey, 85) AS b_xor, (p_partkey % 16) << 2 AS shl, p_partkey >> 3 AS shr, CAST(bit_count(p_partkey) AS INTEGER) AS pop FROM part ORDER BY p_partkey",
+    "fn_hash" ->
+      "SELECT c_custkey, md5(c_name) AS h_md5, sha256(c_name) AS h_sha256 FROM customer ORDER BY c_custkey",
+    "fn_regex_suite" ->
+      "SELECT p_partkey, CAST(len(regexp_extract_all(p_name, '[aeiou]+')) AS INTEGER) AS n_vowel_runs, regexp_matches(p_name, '^[a-m]') AS starts_early, regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled, CAST(length(regexp_extract(p_name, '^(\\w+)', 1)) AS INTEGER) AS first_word_len FROM part ORDER BY p_partkey",
+    "fn_interval" ->
+      "SELECT o_orderkey, CAST(quarter(o_orderdate) AS INTEGER) AS q, CAST(weekofyear(o_orderdate) AS INTEGER) AS iso_week, CAST(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH AS DATE) AS plus_month, CAST(o_orderdate AS DATE) - 15 AS minus_15d, make_date(CAST(year(o_orderdate) AS INTEGER), CAST(month(o_orderdate) AS INTEGER), 1) AS month_start FROM orders ORDER BY o_orderkey",
+    "fn_higher_order" ->
+      "SELECT vec_id, round(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)), 4) AS ssq, CAST(len(list_filter(CAST(embedding AS DOUBLE[]), x -> x > 0)) AS INTEGER) AS n_pos, round(list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))), 6) AS max_abs FROM embeddings ORDER BY vec_id",
+    "unpivot_melt" ->
+      "SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS val FROM part UNION ALL SELECT p_partkey, 'retail', p_retailprice FROM part ORDER BY p_partkey, metric",
+    "scan_partitioned" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem WHERE l_returnflag = 'R' ORDER BY l_orderkey, l_linenumber, l_quantity",
+  )
+}

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.ExtendedOps
+
+class ExtendedOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("scan_partitioned prunes at the partition level") {
+    val df = ExtendedOps.scanPartitioned(spark, SF)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("l_returnflag"),
+      s"no partition pruning in plan:\n$plan")
+    // pruned read returns exactly the R rows of the source
+    val expected = Tables.load(spark, SF, "lineitem")
+      .filter(col("l_returnflag") === "R").count()
+    assert(df.count() == expected)
+  }
+
+  test("struct-ordered max_by breaks value ties deterministically on key") {
+    val df = Seq((1L, 5.0), (2L, 5.0), (3L, 1.0)).toDF("k", "v")
+    val out = df.agg(
+      expr("max_by(k, struct(v, k))").as("best"),
+      expr("min_by(k, struct(v, k))").as("worst")).head
+    assert(out.getAs[Long]("best") == 2L, "tie on v must resolve to larger k")
+    assert(out.getAs[Long]("worst") == 3L)
+  }
+
+  test("unpivot conserves rows and values") {
+    val wide = ExtendedOps.unpivotMelt(spark, SF)
+    val nParts = Tables.load(spark, SF, "part").count()
+    assert(wide.count() == 2 * nParts)
+    val bySide = wide.groupBy("metric").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySide == Map("size" -> nParts, "retail" -> nParts))
+  }
+
+  test("higher-order suite matches a hand-computed row") {
+    val row = ExtendedOps.fnHigherOrder(spark, SF).head
+    val first = Tables.load(spark, SF, "embeddings").orderBy("vec_id").head
+    val vec = first.getSeq[Float](first.fieldIndex("embedding")).map(_.toDouble)
+    val ssq = BigDecimal(vec.map(x => x * x).sum)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(row.getAs[Double]("ssq") - ssq) <= 1e-4)
+    assert(row.getAs[Int]("n_pos") == vec.count(_ > 0))
+  }
+}
