@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** MinHash + LSH near-duplicate detection with a PORTABLE, fully
+  * deterministic hash family — unlike the MLlib MinHashLSH twin
+  * (graft.ml.MlPipelines.nearDupMinhash, seeded but implementation-
+  * specific), this variant is pure integer arithmetic over md5-derived
+  * shingle ids, so it carries a DuckDB oracle and is graded end-to-end.
+  *
+  * Pipeline: 3-gram word shingles (distinct per doc) → 60-bit shingle id
+  * from the md5 hex prefix → 16 universal hashes h_j(x) = (a_j·x + b_j)
+  * mod p (p = 2^31−1; products stay under 2^63) → per-doc signature =
+  * column-wise min → 4 bands × 4 rows → docs sharing any band key become
+  * a candidate pair, scored by how many bands agree.
+  *
+  * Scale posture (100 TB): the band key IS the shuffle key — candidates
+  * are generated per bucket, never all-pairs. Signatures are one
+  * shuffle (groupBy doc); banding is a projection; the pair join's
+  * fan-out is bounded by bucket size, with hot buckets (boilerplate
+  * docs) handled by AQE skew splitting or a bucket-size cap upstream.
+  * Probability a pair with Jaccard s becomes a candidate:
+  * 1 − (1 − s⁴)⁴ (≈ 1 for s ≥ 0.9, ≈ 0.04 for s = 0.5).
+  */
+object MinHashOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val P = 2147483647L // 2^31 - 1 (prime)
+  private val NumHashes = 16
+  private val BandRows = 4
+  private val NumBands = NumHashes / BandRows
+  /** Pinned hash-family coefficients — identical literals are emitted
+    * into the DuckDB oracle, so both engines run the same arithmetic. */
+  private val As: IndexedSeq[Long] = (0 until NumHashes).map(j => 976369L + 104729L * j)
+  private val Bs: IndexedSeq[Long] = (0 until NumHashes).map(j => 1234567L + 7919L * j)
+
+  /** Per-doc 16-slot MinHash signature over distinct 3-gram shingles.
+    * No explode over hash functions: the 16 mins are 16 aggregate
+    * expressions in ONE 2-phase hash aggregation (partial min map-side). */
+  def minhashSignatures(docs: DataFrame): DataFrame = {
+    val sh = docs
+      .withColumn("ws", split(col("text"), " "))
+      .select(col("doc_id"), explode(expr(
+        "if(size(ws) >= 3, transform(sequence(1, size(ws) - 2), i -> concat_ws(' ', slice(ws, i, 3))), array())")).as("sh"))
+      .distinct()
+      .withColumn("h32",
+        conv(substring(md5(col("sh").cast("binary")), 1, 15), 16, 10).cast("long") % P)
+    val mins = (0 until NumHashes).map(j =>
+      min((lit(As(j)) * col("h32") + lit(Bs(j))) % P).as(s"s$j"))
+    sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+  }
+
+  /** LSH candidate pairs: explode each signature into 4 band keys, join
+    * docs sharing a (band, key), count agreeing bands per pair. */
+  def minhashCandidates(docs: DataFrame): DataFrame = {
+    val sig = minhashSignatures(docs)
+    val bandCols = (0 until NumBands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws(",", (0 until BandRows).map(r => col(s"s${BandRows * b + r}")): _*).as("key"))
+    }
+    val banded = sig
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("n_bands"))
+  }
+
+  def llmDedupMinhash(s: SparkSession, d: String): DataFrame =
+    minhashCandidates(Tables.load(s, d, "documents")).orderBy("a_id", "b_id")
+
+  val queries: Map[String, Q] = Map(
+    "llm_dedup_minhash" -> (llmDedupMinhash _),
+  )
+
+  val oracles: Map[String, String] = {
+    val sigCols = (0 until NumHashes)
+      .map(j => s"min((${As(j)} * h32 + ${Bs(j)}) % $P) AS s$j").mkString(", ")
+    val bandSelects = (0 until NumBands).map { b =>
+      val key = (0 until BandRows).map(r => s"s${BandRows * b + r}").mkString(", ")
+      s"SELECT doc_id, $b AS band, concat_ws(',', $key) AS key FROM sig"
+    }.mkString(" UNION ALL ")
+    Map(
+      "llm_dedup_minhash" ->
+        (s"WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), " +
+          "x AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i FROM w), " +
+          "sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS sh FROM x), " +
+          s"h AS (SELECT doc_id, CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT) % $P AS h32 FROM sh), " +
+          s"sig AS (SELECT doc_id, $sigCols FROM h GROUP BY doc_id), " +
+          s"bands AS ($bandSelects) " +
+          "SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_bands " +
+          "FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id " +
+          "GROUP BY 1, 2 ORDER BY a_id, b_id"),
+    )
+  }
+}

@@ -66,6 +66,26 @@ class LlmOpsSpec extends SparkTestBase {
       s"expected (100,101) in ${pairs.mkString(",")}")
   }
 
+  test("portable MinHash LSH recalls constructed and planted near-dups") {
+    import graft.operators.MinHashOps
+    val base = doc(60)
+    val nearDup = base.split(" ").updated(7, "zzz").mkString(" ")
+    val docs = (Seq((100L, base), (101L, nearDup), (102L, base)) ++
+      Seq.tabulate(20)(i => (i.toLong, doc(60)))).toDF("doc_id", "text")
+    val cands = MinHashOps.minhashCandidates(docs).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")) -> r.getAs[Long]("n_bands")).toMap
+    // identical docs agree on all 4 bands; a 1-word edit on all bands w.h.p.
+    assert(cands.get((100L, 102L)).contains(4L), s"identical pair missing: $cands")
+    assert(cands.contains((100L, 101L)), s"near-dup pair missing: $cands")
+    // fixture: every strong n-gram-Jaccard pair must surface as a candidate
+    val fixture = Tables.load(spark, SF, "documents")
+    val strong = LlmTextOps.ngramJaccard(fixture, 0.9).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    val recalled = MinHashOps.minhashCandidates(fixture).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    assert((strong -- recalled).isEmpty, s"LSH missed strong pairs: ${strong -- recalled}")
+  }
+
   test("cosine top-k pairs agree between brute force and rounded oracle semantics") {
     val topk = LlmOps.llmCosineTopk(spark, SF).collect()
     assert(topk.length == 20)
