@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions.udf
 
 /** Vector similarity primitives over ArrayType(FloatType) embedding columns.
@@ -67,6 +67,63 @@ object VectorFunctions {
   }
 
   def cosineSim(a: Column, b: Column): Column = cosine(a, b)
+
+  /** Plain-Scala twins of the [[dot]]/[[norm]] UDF loops — identical
+    * accumulation order, so kernel results are bit-identical to the
+    * expression path. */
+  def dotValue(a: Array[Float], b: Array[Float]): Double = {
+    var d = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { d += a(i).toDouble * b(i).toDouble; i += 1 }
+    d
+  }
+
+  def normValue(a: Array[Float]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) { s += a(i).toDouble * a(i).toDouble; i += 1 }
+    math.sqrt(s)
+  }
+
+  /** Spark's Round(double, 4) semantics (BigDecimal.valueOf + HALF_UP),
+    * replicated so kernel sims match the round() expression bit-for-bit. */
+  private def round4(x: Double): Double =
+    java.math.BigDecimal.valueOf(x).setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** All-pairs cosine (a_id < b_id, sim rounded 4 dp, filtered to
+    * sim >= minSim) via a per-partition kernel. The vector set is
+    * collected and broadcast exactly as Spark's own BroadcastExchange
+    * would collect a broadcast join side; the difference is the pair loop
+    * runs in place over primitive arrays — no joined-row materialization,
+    * no per-pair UnsafeArrayData copies. Partitions split the outer side,
+    * so the O(n²) work shards across executors.
+    *
+    * Bounded candidate sets only (the broadcast side must fit in
+    * executor memory — ~0.5 MB per 2 k vectors at 64 dims). The 100 TB
+    * path is LSH/IVF bucketing (annLshTopk / annIvfTopk), which bounds
+    * each bucket to exactly this kernel's scale. */
+  def cosinePairsKernel(s: SparkSession, e: DataFrame, minSim: Double): DataFrame = {
+    import s.implicits._
+    val vecs = e.select("vec_id", "embedding").as[(Long, Array[Float])]
+    val entries = vecs.collect().sortBy(_._1)
+    val ids = entries.map(_._1)
+    val arrs = entries.map(_._2)
+    val nrms = arrs.map(normValue)
+    val bc = s.sparkContext.broadcast((ids, arrs, nrms))
+    vecs.mapPartitions { it =>
+      val (bIds, bArrs, bNrms) = bc.value
+      it.flatMap { case (aId, aVec) =>
+        val aNrm = normValue(aVec)
+        val hit = java.util.Arrays.binarySearch(bIds, aId)
+        val start = if (hit >= 0) hit + 1 else -hit - 1
+        (start until bIds.length).iterator.flatMap { i =>
+          val sim = round4(dotValue(aVec, bArrs(i)) / (aNrm * bNrms(i)))
+          if (sim >= minSim) Iterator.single((aId, bIds(i), sim)) else Iterator.empty
+        }
+      }
+    }.toDF("a_id", "b_id", "sim")
+  }
 
   /** 16-bit random-hyperplane (SimHash-for-cosine) bucket id. Hyperplane
     * j's component i is a deterministic pseudo-random value derived from

@@ -55,8 +55,11 @@ object MlPipelines {
     * converged objective. */
   def kmeansEmbeddings(spark: SparkSession, sfDir: String, k: Int = 10,
                        maxIter: Int = 8): (KMeansModel, DataFrame) = {
+    // cache: KMeans re-scans its input every iteration (one job each) —
+    // without this the parquet read + vector conversion reruns 8×.
     val vecs = Tables.load(spark, sfDir, "embeddings")
       .withColumn("features", array_to_vector(col("embedding")))
+      .cache()
     val model = new KMeans().setK(k).setSeed(Seed).setMaxIter(maxIter)
       .setFeaturesCol("features").fit(vecs)
     (model, model.transform(vecs))

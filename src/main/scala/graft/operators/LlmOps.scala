@@ -37,21 +37,15 @@ object LlmOps {
     dedupExact(t(s, d, "documents")).orderBy("survivor_id")
 
   /** K3: global top-20 most-similar embedding pairs, brute-force cosine via
-    * the compiled UDF (SURVEY.md §6: the HOF formulation is 36.7 s at
-    * sf0.1 — this runs in ~1 s). Similarity rounded to 4 dp before the
-    * top-k ordering so selection is deterministic cross-engine. */
-  def llmCosineTopk(s: SparkSession, d: String): DataFrame = {
-    val e = t(s, d, "embeddings")
-      .select(col("vec_id"), col("embedding"),
-        VectorFunctions.norm(col("embedding")).as("nrm"))
-    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_vec"), col("nrm").as("a_nrm"))
-    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_vec"), col("nrm").as("b_nrm"))
-    a.join(broadcast(b), col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"),
-        round(GraftFunctions.dotProduct(col("a_vec"), col("b_vec")) / (col("a_nrm") * col("b_nrm")), 4).as("sim"))
+    * the per-partition broadcast kernel (VectorFunctions.cosinePairsKernel
+    * — the UDF-join form materialized 2M joined rows and ran ~4 s at
+    * sf0.1; the SQL HOF form was 36.7 s, SURVEY.md §6). Similarity rounded
+    * to 4 dp before the top-k ordering so selection is deterministic
+    * cross-engine. */
+  def llmCosineTopk(s: SparkSession, d: String): DataFrame =
+    VectorFunctions.cosinePairsKernel(s, t(s, d, "embeddings"), -1.1)
       .orderBy(col("sim").desc, col("a_id"), col("b_id"))
       .limit(20)
-  }
 
   /** K4: 3 nearest neighbors (cosine) for query vectors 0–4 — window top-k
     * per query over the brute-force candidate set. */

@@ -101,20 +101,31 @@ object LlmTextOps {
   def llmNgramJaccard(s: SparkSession, d: String): DataFrame =
     ngramJaccard(t(s, d, "documents"), 0.2).orderBy("a_id", "b_id")
 
-  /** Core n-gram Jaccard over any (doc_id, text) frame. */
+  /** Core n-gram Jaccard over any (doc_id, text) frame. Shingle dedup is
+    * row-local (array_distinct before explode — no distinct() shuffle) and
+    * each exploded row carries its doc's shingle count, so |A| and |B|
+    * ride through the pair join as grouping keys instead of two extra
+    * shuffle joins. One shuffle to co-locate shingles, one aggregation —
+    * the minimal shape for an inverted-index similarity join. */
   def ngramJaccard(docs: DataFrame, threshold: Double): DataFrame = {
+    // Both join sides must stay the SAME canonical subplan (self-join via
+    // alias, no per-side projections) so Catalyst's ReuseExchange shuffles
+    // the exploded shingles once, not twice. The distinct() is a no-op on
+    // the data (rows are already unique after array_distinct) but acts as
+    // the materialization barrier: without it the planner broadcasts one
+    // side and RE-COMPUTES the expensive shingle expression per side (and
+    // again inside the explode's pushed-down size()>0 filter) — measured
+    // 9.5 s vs 2.9 s at sf0.1.
     val sh = docs
       .withColumn("ws", split(col("text"), " "))
-      .select(col("doc_id"), explode(shingles(3)).as("sh"))
+      .withColumn("shs", array_distinct(shingles(3)))
+      .select(col("doc_id"), size(col("shs")).as("n_sh"), explode(col("shs")).as("sh"))
       .distinct()
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val pairs = sh.as("a").join(sh.as("b"),
+    sh.as("a").join(sh.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
       .agg(count(lit(1)).as("inter"))
-    pairs
-      .join(sizes.select(col("doc_id").as("a_id"), col("n_sh").as("n_a")), "a_id")
-      .join(sizes.select(col("doc_id").as("b_id"), col("n_sh").as("n_b")), "b_id")
       .withColumn("jac", round(col("inter") / (col("n_a") + col("n_b") - col("inter")), 4))
       .filter(col("jac") >= threshold)
       .select("a_id", "b_id", "jac")
@@ -189,18 +200,9 @@ object LlmTextOps {
     * join): all pairs with rounded cosine ≥ 0.45. Brute force over the
     * bounded fixture; at 100 TB the candidate set comes from the LSH/IVF
     * buckets below and this threshold filter runs per bucket. */
-  def llmDedupEmbedding(s: SparkSession, d: String): DataFrame = {
-    val e = t(s, d, "embeddings")
-      .select(col("vec_id"), col("embedding"),
-        VectorFunctions.norm(col("embedding")).as("nrm"))
-    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_vec"), col("nrm").as("a_nrm"))
-    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_vec"), col("nrm").as("b_nrm"))
-    a.join(broadcast(b), col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"),
-        round(graft.GraftFunctions.dotProduct(col("a_vec"), col("b_vec")) / (col("a_nrm") * col("b_nrm")), 4).as("sim"))
-      .filter(col("sim") >= 0.45)
+  def llmDedupEmbedding(s: SparkSession, d: String): DataFrame =
+    VectorFunctions.cosinePairsKernel(s, t(s, d, "embeddings"), 0.45)
       .orderBy("a_id", "b_id")
-  }
 
   /** IVF ANN scale path (no oracle — KMeans-assignment specific): seeded
     * centroids partition the vectors; pairwise similarity only within each

@@ -42,9 +42,8 @@ object MinHashOps {
   def minhashSignatures(docs: DataFrame): DataFrame = {
     val sh = docs
       .withColumn("ws", split(col("text"), " "))
-      .select(col("doc_id"), explode(expr(
-        "if(size(ws) >= 3, transform(sequence(1, size(ws) - 2), i -> concat_ws(' ', slice(ws, i, 3))), array())")).as("sh"))
-      .distinct()
+      .select(col("doc_id"), explode(array_distinct(expr(
+        "if(size(ws) >= 3, transform(sequence(1, size(ws) - 2), i -> concat_ws(' ', slice(ws, i, 3))), array())"))).as("sh"))
       .withColumn("h32",
         conv(substring(md5(col("sh").cast("binary")), 1, 15), 16, 10).cast("long") % P)
     val mins = (0 until NumHashes).map(j =>
