@@ -56,12 +56,100 @@ object MultimodalOps {
       .orderBy("doc_id")
   }
 
+  /** Resized metadata (the stub "resize" output): cap the long edge at
+    * 256, preserve aspect ratio with pure integer arithmetic. */
+  case class MediaResized(doc_id: Long, width: Int, height: Int,
+                          out_w: Int, out_h: Int, out_bytes: Long)
+
+  def resizeStub(m: MediaMeta): MediaResized = {
+    val outW = math.min(m.width, 256)
+    val outH = (m.height.toLong * outW / m.width).toInt
+    MediaResized(m.doc_id, m.width, m.height, outW, outH, outW.toLong * outH * 3L)
+  }
+
+  /** mm_resize_stub: decode → resize as two typed mapPartitions stages —
+    * the shape of a real thumbnailing pipeline (decoder and scaler
+    * initialized once per partition, rows streamed through both). */
+  def mmResizeStub(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, d, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[MediaIn]
+      .mapPartitions(_.map(decodeStub))
+      .mapPartitions(_.map(resizeStub))
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  /** Feature vector stub: 4 floats derived from the payload's md5 — the
+    * per-partition "embedding model" shape. Each feature is a 32-bit
+    * integer over 2^32, an exact dyadic rational, so no rounding is
+    * needed for the oracle. */
+  case class MediaFeatures(doc_id: Long, n_bytes: Int,
+                           f0: Double, f1: Double, f2: Double, f3: Double)
+
+  def mmFeatureExtract(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, d, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[MediaIn]
+      .mapPartitions { rows =>
+        // one digest instance per partition, reset per row by digest()
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.map { in =>
+          val hex = md.digest(in.payload).map("%02x".format(_)).mkString
+          def f(i: Int): Double =
+            java.lang.Long.parseLong(hex.substring(i * 8, i * 8 + 8), 16).toDouble / 4294967296.0
+          MediaFeatures(in.doc_id, in.payload.length, f(0), f(1), f(2), f(3))
+        }
+      }
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  /** mm_frame_sample: every 5th frame of each "video" payload, with a
+    * 25 fps timestamp and a per-frame content fingerprint. Generator op:
+    * one row per sampled frame. */
+  def mmFrameSample(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, d, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[MediaIn]
+      .mapPartitions(_.map(decodeStub))
+      .toDF()
+      .select(col("doc_id"), explode(expr("sequence(0, frames - 1, 5)")).as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx"),
+        (col("frame_idx") * 40).as("t_ms"),
+        md5(concat_ws(":", col("doc_id"), col("frame_idx")).cast("binary")).as("frame_fp"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
   val queries: Map[String, Q] = Map(
     "mm_decode_meta" -> (mmDecodeMeta _),
+    "mm_resize_stub" -> (mmResizeStub _),
+    "mm_feature_extract" -> (mmFeatureExtract _),
+    "mm_frame_sample" -> (mmFrameSample _),
   )
+
+  private val nBytes = "octet_length(encode(text))"
 
   val oracles: Map[String, String] = Map(
     "mm_decode_meta" ->
-      "SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes, CAST(64 + octet_length(encode(text)) % 512 AS INTEGER) AS width, CAST(64 + (octet_length(encode(text)) * 7) % 512 AS INTEGER) AS height, CAST(1 + octet_length(encode(text)) % 30 AS INTEGER) AS frames, CASE octet_length(encode(text)) % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format FROM documents ORDER BY doc_id",
+      s"SELECT doc_id, CAST($nBytes AS INTEGER) AS n_bytes, CAST(64 + $nBytes % 512 AS INTEGER) AS width, CAST(64 + ($nBytes * 7) % 512 AS INTEGER) AS height, CAST(1 + $nBytes % 30 AS INTEGER) AS frames, CASE $nBytes % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format FROM documents ORDER BY doc_id",
+    "mm_resize_stub" ->
+      (s"WITH m AS (SELECT doc_id, 64 + $nBytes % 512 AS width, 64 + ($nBytes * 7) % 512 AS height FROM documents), " +
+        "r AS (SELECT doc_id, width, height, least(width, 256) AS out_w, (height * least(width, 256)) // width AS out_h FROM m) " +
+        "SELECT doc_id, CAST(width AS INTEGER) AS width, CAST(height AS INTEGER) AS height, CAST(out_w AS INTEGER) AS out_w, CAST(out_h AS INTEGER) AS out_h, CAST(out_w * out_h * 3 AS BIGINT) AS out_bytes FROM r ORDER BY doc_id"),
+    "mm_feature_extract" ->
+      (s"SELECT doc_id, CAST($nBytes AS INTEGER) AS n_bytes, " +
+        "CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) / 4294967296.0 AS f0, " +
+        "CAST('0x' || substr(md5(text), 9, 8) AS BIGINT) / 4294967296.0 AS f1, " +
+        "CAST('0x' || substr(md5(text), 17, 8) AS BIGINT) / 4294967296.0 AS f2, " +
+        "CAST('0x' || substr(md5(text), 25, 8) AS BIGINT) / 4294967296.0 AS f3 " +
+        "FROM documents ORDER BY doc_id"),
+    "mm_frame_sample" ->
+      (s"WITH m AS (SELECT doc_id, 1 + $nBytes % 30 AS frames FROM documents), " +
+        "fr AS (SELECT doc_id, unnest(generate_series(0, frames - 1, 5)) AS frame_idx FROM m) " +
+        "SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx, CAST(frame_idx * 40 AS INTEGER) AS t_ms, md5(concat_ws(':', doc_id, frame_idx)) AS frame_fp FROM fr ORDER BY doc_id, frame_idx"),
   )
 }

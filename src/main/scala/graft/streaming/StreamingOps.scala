@@ -44,6 +44,24 @@ object StreamingOps {
       .withWatermark("ts", watermark)
       .dropDuplicates("event_id")
 
+  /** Stream-stream interval join: each purchase joins signups of the same
+    * user from the preceding hour. Watermarks on BOTH sides plus the time
+    * bound let Spark evict join state — a buffered signup is dropped once
+    * the watermark passes its ts + 1 hour, so state stays proportional to
+    * the interval, not the stream history. The batch twin is
+    * RelationalOps.joinThetaRange / joinAsof. */
+  def purchaseAttribution(purchases: DataFrame, signups: DataFrame,
+                          watermark: String = "10 minutes"): DataFrame = {
+    val p = purchases.withWatermark("ts", watermark)
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
+    val s = signups.withWatermark("ts", watermark)
+      .select(col("event_id").as("signup_id"), col("user_id").as("s_uid"), col("ts").as("s_ts"))
+    p.join(s, col("user_id") === col("s_uid") &&
+        col("s_ts") <= col("p_ts") &&
+        col("s_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+      .select("purchase_id", "signup_id", "user_id", "p_ts", "s_ts")
+  }
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                          event_type: String, value: Double)
   final case class UserCount(user_id: Long, count: Long)

@@ -91,6 +91,31 @@ class StreamingOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches signups within the window only") {
+    val purchases = MemoryStream[Event]
+    val signups = MemoryStream[Event]
+    val q = StreamingOps.purchaseAttribution(purchases.toDF(), signups.toDF())
+      .writeStream.format("memory").queryName("attr").outputMode("append").start()
+    try {
+      signups.addData(ev(100, ts(1, 0), uid = 1, typ = "signup"),
+        ev(101, ts(5, 0), uid = 2, typ = "signup"))
+      purchases.addData(
+        ev(200, ts(1, 30), uid = 1, typ = "purchase"), // 30 min after signup -> match
+        ev(201, ts(3, 0), uid = 1, typ = "purchase"),  // 2 h after -> no match
+        ev(202, ts(5, 30), uid = 2, typ = "purchase")) // other user, in window -> match
+      drain(q)
+      // advance both watermarks so all joinable pairs are emitted
+      purchases.addData(ev(299, ts(12, 0), uid = 9))
+      signups.addData(ev(399, ts(12, 0), uid = 9, typ = "signup"))
+      drain(q)
+      val pairs = spark.sql("SELECT purchase_id, signup_id FROM attr").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toSet
+      assert(pairs.contains(200L -> 100L) && pairs.contains(202L -> 101L),
+        s"expected in-window matches, got $pairs")
+      assert(!pairs.exists(_._1 == 201L), s"out-of-window purchase matched: $pairs")
+    } finally q.stop()
+  }
+
   test("foreachBatch sink receives every micro-batch") {
     val input = MemoryStream[Event]
     val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
