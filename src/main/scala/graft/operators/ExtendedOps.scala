@@ -144,7 +144,64 @@ object ExtendedOps {
       .orderBy("l_orderkey", "l_linenumber", "l_quantity")
   }
 
+  /** Population-moment statistics — var_pop/stddev_pop plus skewness and
+    * excess kurtosis. Spark's skewness/kurtosis are POPULATION moments
+    * (m3/m2^1.5, m4/m2²−3) while DuckDB's builtins are sample-adjusted
+    * estimators, so the oracle recomputes the central moments explicitly. */
+  def aggStatsPop(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .groupBy("o_orderstatus")
+      .agg(
+        round(var_pop("o_totalprice"), 4).as("vp"),
+        round(stddev_pop("o_totalprice"), 4).as("sp"),
+        round(skewness(col("o_totalprice")), 4).as("skew"),
+        round(kurtosis(col("o_totalprice")), 4).as("kurt"))
+      .orderBy("o_orderstatus")
+
+  /** try_-prefixed error-safe functions: division by a zero-able divisor
+    * and casts of non-numeric strings yield NULL, never an exception. */
+  def fnTrySuite(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .select(col("o_orderkey"),
+        round(expr("try_divide(o_totalprice, o_custkey % 5)"), 6).as("td"),
+        expr("try_cast(o_orderpriority AS INT)").as("tc_bad"),
+        expr("try_cast(substring(o_orderpriority, 1, 1) AS INT)").as("tc_num"))
+      .orderBy("o_orderkey")
+
+  /** posexplode generator — element index + value rows. */
+  def genPosexplode(s: SparkSession, d: String): DataFrame =
+    t(s, d, "embeddings")
+      .filter(col("vec_id") < 10)
+      .select(col("vec_id"), posexplode(slice(col("embedding"), 1, 8)))
+      .select(col("vec_id"), col("pos"),
+        round(col("col").cast("double"), 6).as("val"))
+      .orderBy("vec_id", "pos")
+
+  /** explode_outer generator — empty arrays keep their parent row with a
+    * NULL element (plain explode would drop it). */
+  def genExplodeOuter(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .filter(col("doc_id") < 40)
+      .select(col("doc_id"), explode_outer(expr(
+        "if(n_chars < 150, array(), slice(split(text, ' '), 1, 3))")).as("tok"))
+      .orderBy(col("doc_id"), col("tok").asc_nulls_first)
+
+  /** Text-source roundtrip: write the corpus as line-delimited text files,
+    * read back via spark.read.text. Graded on order-free aggregates (line
+    * files carry no row order). */
+  def textRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_text").toString
+    t(s, d, "documents").select("text").write.mode("overwrite").text(tmp)
+    s.read.text(tmp)
+      .agg(count(lit(1)).as("n_lines"), sum(length(col("value"))).as("total_chars"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "agg_stats_pop" -> (aggStatsPop _),
+    "fn_try_suite" -> (fnTrySuite _),
+    "gen_posexplode" -> (genPosexplode _),
+    "gen_explode_outer" -> (genExplodeOuter _),
+    "text_roundtrip" -> (textRoundtrip _),
     "agg_minmax_by" -> (aggMinmaxBy _),
     "agg_bool_bit" -> (aggBoolBit _),
     "win_percent_cume" -> (winPercentCume _),
@@ -158,6 +215,22 @@ object ExtendedOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "agg_stats_pop" ->
+      ("WITH m AS (SELECT o_orderstatus, avg(o_totalprice) AS mu FROM orders GROUP BY o_orderstatus) " +
+        "SELECT o.o_orderstatus, round(var_pop(o_totalprice), 4) AS vp, round(stddev_pop(o_totalprice), 4) AS sp, " +
+        "round(avg(pow(o_totalprice - mu, 3)) / pow(avg(pow(o_totalprice - mu, 2)), 1.5), 4) AS skew, " +
+        "round(avg(pow(o_totalprice - mu, 4)) / pow(avg(pow(o_totalprice - mu, 2)), 2) - 3, 4) AS kurt " +
+        "FROM orders o JOIN m ON o.o_orderstatus = m.o_orderstatus GROUP BY o.o_orderstatus, mu ORDER BY o.o_orderstatus"),
+    "fn_try_suite" ->
+      "SELECT o_orderkey, round(o_totalprice / nullif(o_custkey % 5, 0), 6) AS td, TRY_CAST(o_orderpriority AS INTEGER) AS tc_bad, TRY_CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS tc_num FROM orders ORDER BY o_orderkey",
+    "gen_posexplode" ->
+      "SELECT vec_id, CAST(i - 1 AS INTEGER) AS pos, round(CAST(embedding[i] AS DOUBLE), 6) AS val FROM (SELECT vec_id, embedding, unnest(generate_series(1, 8)) AS i FROM embeddings WHERE vec_id < 10) ORDER BY vec_id, pos",
+    "gen_explode_outer" ->
+      ("WITH d AS (SELECT doc_id, n_chars, string_split(text, ' ') AS ws FROM documents WHERE doc_id < 40) " +
+        "SELECT doc_id, tok FROM (SELECT doc_id, unnest(ws[1:3]) AS tok FROM d WHERE n_chars >= 150 " +
+        "UNION ALL SELECT doc_id, NULL FROM d WHERE n_chars < 150) ORDER BY doc_id, tok NULLS FIRST"),
+    "text_roundtrip" ->
+      "SELECT count(*) AS n_lines, CAST(sum(length(text)) AS BIGINT) AS total_chars FROM documents",
     "agg_minmax_by" ->
       "SELECT o_orderstatus, (max(struct_pack(p := o_totalprice, k := o_orderkey))).k AS best_key, (min(struct_pack(p := o_totalprice, k := o_orderkey))).k AS worst_key, round(max(o_totalprice), 2) AS max_price, round(min(o_totalprice), 2) AS min_price FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus",
     "agg_bool_bit" ->
