@@ -91,6 +91,34 @@ object MlOps {
       .orderBy("c_custkey")
   }
 
+  /** J4d: mean imputation — NULLs (manufactured: negative balances) filled
+    * with the mean of the surviving values via MLlib Imputer. */
+  def mlImputer(s: SparkSession, d: String): DataFrame = {
+    val withNulls = t(s, d, "customer")
+      .withColumn("bal", when(col("c_acctbal") < 0, lit(null)).otherwise(col("c_acctbal")))
+    val imputer = new org.apache.spark.ml.feature.Imputer()
+      .setInputCol("bal").setOutputCol("bal_imp").setStrategy("mean")
+      .fit(withNulls)
+    imputer.transform(withNulls)
+      .select(col("c_custkey"), col("bal").isNull.as("was_null"),
+        round(col("bal_imp"), 4).as("bal_imp"))
+      .orderBy("c_custkey")
+  }
+
+  /** J4e: L2 normalization of the embedding vector via MLlib Normalizer;
+    * graded on the first two normalized components. */
+  def mlNormalizer(s: SparkSession, d: String): DataFrame = {
+    val vecs = t(s, d, "embeddings")
+      .withColumn("features", org.apache.spark.ml.functions.array_to_vector(col("embedding")))
+    val norm = new org.apache.spark.ml.feature.Normalizer()
+      .setInputCol("features").setOutputCol("unit").setP(2.0)
+    norm.transform(vecs)
+      .select(col("vec_id"),
+        round(element_at(vector_to_array(col("unit")), 1), 6).as("u1"),
+        round(element_at(vector_to_array(col("unit")), 2), 6).as("u2"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "ml_tokenize" -> (mlTokenize _),
     "ml_stopwords" -> (mlStopwords _),
@@ -98,6 +126,8 @@ object MlOps {
     "ml_scaler" -> (mlScaler _),
     "ml_minmax" -> (mlMinmax _),
     "ml_bucketize" -> (mlBucketize _),
+    "ml_imputer" -> (mlImputer _),
+    "ml_normalizer" -> (mlNormalizer _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -113,5 +143,12 @@ object MlOps {
       "SELECT c_custkey, round((c_acctbal - min(c_acctbal) OVER ()) / (max(c_acctbal) OVER () - min(c_acctbal) OVER ()), 6) AS z FROM customer ORDER BY c_custkey",
     "ml_bucketize" ->
       "SELECT c_custkey, c_acctbal, CASE WHEN c_acctbal < 0.0 THEN 0 WHEN c_acctbal < 1000.0 THEN 1 WHEN c_acctbal < 5000.0 THEN 2 ELSE 3 END AS bucket FROM customer ORDER BY c_custkey",
+    "ml_imputer" ->
+      ("WITH w AS (SELECT c_custkey, CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS bal FROM customer) " +
+        "SELECT c_custkey, (bal IS NULL) AS was_null, round(coalesce(bal, avg(bal) OVER ()), 4) AS bal_imp FROM w ORDER BY c_custkey"),
+    "ml_normalizer" ->
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        "n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e) " +
+        "SELECT vec_id, round(v[1] / nrm, 6) AS u1, round(v[2] / nrm, 6) AS u2 FROM n ORDER BY vec_id"),
   )
 }
