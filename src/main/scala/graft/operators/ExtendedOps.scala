@@ -201,6 +201,33 @@ object ExtendedOps {
       ORDER BY c_custkey, o_orderkey""")
   }
 
+  /** Trigonometric / angular function suite, rounded 6 dp for libm
+    * last-ulp differences. */
+  def fnTrig(s: SparkSession, d: String): DataFrame = {
+    val x = col("p_retailprice") / 1000.0
+    t(s, d, "part")
+      .select(col("p_partkey"),
+        round(sin(x), 6).as("sn"),
+        round(cos(x), 6).as("cs"),
+        round(tan(x), 6).as("tn"),
+        round(atan(x), 6).as("at"),
+        round(atan2(x, lit(2.0)), 6).as("at2"),
+        round(degrees(x), 6).as("deg"),
+        round(radians(x), 6).as("rad"))
+      .orderBy("p_partkey")
+  }
+
+  /** Edit-distance text similarity: levenshtein between each part name
+    * and its devoweled form (identical DP definition on both engines). */
+  def fnEditDistance(s: SparkSession, d: String): DataFrame = {
+    val devowel = regexp_replace(col("p_name"), "[aeiou]", "")
+    t(s, d, "part")
+      .select(col("p_partkey"),
+        levenshtein(col("p_name"), devowel).as("lev"),
+        levenshtein(col("p_name"), reverse(col("p_name"))).as("lev_rev"))
+      .orderBy("p_partkey")
+  }
+
   /** Text-source roundtrip: write the corpus as line-delimited text files,
     * read back via spark.read.text. Graded on order-free aggregates (line
     * files carry no row order). */
@@ -217,6 +244,8 @@ object ExtendedOps {
     "gen_posexplode" -> (genPosexplode _),
     "gen_explode_outer" -> (genExplodeOuter _),
     "join_lateral" -> (joinLateral _),
+    "fn_trig" -> (fnTrig _),
+    "fn_edit_distance" -> (fnEditDistance _),
     "text_roundtrip" -> (textRoundtrip _),
     "agg_minmax_by" -> (aggMinmaxBy _),
     "agg_bool_bit" -> (aggBoolBit _),
@@ -247,6 +276,10 @@ object ExtendedOps {
         "UNION ALL SELECT doc_id, NULL FROM d WHERE n_chars < 150) ORDER BY doc_id, tok NULLS FIRST"),
     "join_lateral" ->
       "SELECT c.c_custkey, l.o_orderkey, l.o_totalprice FROM customer c, LATERAL (SELECT o_orderkey, o_totalprice FROM orders WHERE o_custkey = c.c_custkey AND o_totalprice > 400000 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) l ORDER BY c_custkey, o_orderkey",
+    "fn_trig" ->
+      "SELECT p_partkey, round(sin(p_retailprice / 1000.0), 6) AS sn, round(cos(p_retailprice / 1000.0), 6) AS cs, round(tan(p_retailprice / 1000.0), 6) AS tn, round(atan(p_retailprice / 1000.0), 6) AS at, round(atan2(p_retailprice / 1000.0, 2.0), 6) AS at2, round(degrees(p_retailprice / 1000.0), 6) AS deg, round(radians(p_retailprice / 1000.0), 6) AS rad FROM part ORDER BY p_partkey",
+    "fn_edit_distance" ->
+      "SELECT p_partkey, CAST(levenshtein(p_name, regexp_replace(p_name, '[aeiou]', '', 'g')) AS INTEGER) AS lev, CAST(levenshtein(p_name, reverse(p_name)) AS INTEGER) AS lev_rev FROM part ORDER BY p_partkey",
     "text_roundtrip" ->
       "SELECT count(*) AS n_lines, CAST(sum(length(text)) AS BIGINT) AS total_chars FROM documents",
     "agg_minmax_by" ->

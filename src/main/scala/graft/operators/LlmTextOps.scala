@@ -208,7 +208,9 @@ object LlmTextOps {
     * centroids partition the vectors; pairwise similarity only within each
     * inverted list. Complements the hyperplane-LSH variant. */
   def annIvfTopk(s: SparkSession, d: String): DataFrame = {
-    val (_, preds) = graft.ml.MlPipelines.kmeansEmbeddings(s, d, k = 16)
+    // maxIter 4: IVF needs stable bucket ASSIGNMENTS, not converged
+    // centroids — each extra iteration is a full Spark job.
+    val (_, preds) = graft.ml.MlPipelines.kmeansEmbeddings(s, d, k = 16, maxIter = 4)
     val e = preds.select(col("vec_id"), col("embedding"), col("prediction").as("cl"),
       VectorFunctions.norm(col("embedding")).as("nrm"))
     val a = e.select(col("cl"), col("vec_id").as("a_id"), col("embedding").as("a_vec"), col("nrm").as("a_nrm"))
