@@ -21,6 +21,11 @@ object ExtendedOps {
   type Q = (SparkSession, String) => DataFrame
   private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
 
+  /** Typed row for the Dataset[T] pipeline (public: Spark encoder codegen
+    * requires a public case class). */
+  final case class OrderRow(o_orderkey: Long, o_custkey: Long,
+                            o_totalprice: Double, o_orderstatus: String)
+
   /** max_by/min_by with struct ordering — (price, key) lexicographic, so
     * ties on price break deterministically on key (plain max_by ties are
     * engine-arbitrary; SURVEY.md §5.3.1). */
@@ -201,6 +206,38 @@ object ExtendedOps {
       ORDER BY c_custkey, o_orderkey""")
   }
 
+  /** Typed Dataset pipeline: as[T] → typed filter → map → groupByKey →
+    * mapGroups — the case-class API surface end-to-end. Prices are mapped
+    * to integer cents before summing so the per-group fold is order-free
+    * exact (groupByKey iterator order is nondeterministic; a double sum
+    * would drift in the last ulp). */
+  def typedPipeline(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    t(s, d, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+      .as[OrderRow]
+      .filter(_.o_totalprice > 100000.0)
+      .map(o => (o.o_custkey, math.round(o.o_totalprice * 100)))
+      .groupByKey(_._1)
+      .mapGroups { (custkey, rows) =>
+        var n = 0L; var cents = 0L
+        rows.foreach { r => n += 1; cents += r._2 }
+        (custkey, n, cents)
+      }
+      .toDF("o_custkey", "n_big", "total_cents")
+      .orderBy("o_custkey")
+  }
+
+  /** from_json with an explicit schema — the structured twin of
+    * get_json_object (A4): parse props into a typed struct, extract k. */
+  def jsonFromStruct(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .select(col("event_id"),
+        from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.IntegerType)))).getField("k").as("k"))
+      .orderBy("event_id")
+
   /** Trigonometric / angular function suite, rounded 6 dp for libm
     * last-ulp differences. */
   def fnTrig(s: SparkSession, d: String): DataFrame = {
@@ -228,6 +265,22 @@ object ExtendedOps {
       .orderBy("p_partkey")
   }
 
+  /** MapType surface: map construction, str_to_map parsing, key listing,
+    * lookup, and map_concat. No oracle (DuckDB's MAP dialect differs
+    * enough that an oracle would grade the translation, not the engine —
+    * SURVEY.md §2.H note); invariants are unit-tested. */
+  def fnMapSuite(s: SparkSession, d: String): DataFrame =
+    t(s, d, "customer")
+      .filter(col("c_custkey") <= 100)
+      .withColumn("m", map(lit("seg"), col("c_mktsegment"), lit("key"), col("c_custkey").cast("string")))
+      .withColumn("sm", expr("str_to_map(concat('seg:', c_mktsegment, ',id:', c_custkey), ',', ':')"))
+      .select(col("c_custkey"),
+        concat_ws(",", map_keys(col("m"))).as("m_keys"),
+        element_at(col("m"), "seg").as("m_seg"),
+        element_at(col("sm"), "id").as("sm_id"),
+        size(map_concat(col("m"), map(lit("extra"), lit("1")))).as("n_entries"))
+      .orderBy("c_custkey")
+
   /** Text-source roundtrip: write the corpus as line-delimited text files,
     * read back via spark.read.text. Graded on order-free aggregates (line
     * files carry no row order). */
@@ -244,8 +297,11 @@ object ExtendedOps {
     "gen_posexplode" -> (genPosexplode _),
     "gen_explode_outer" -> (genExplodeOuter _),
     "join_lateral" -> (joinLateral _),
+    "typed_pipeline" -> (typedPipeline _),
+    "json_from_struct" -> (jsonFromStruct _),
     "fn_trig" -> (fnTrig _),
     "fn_edit_distance" -> (fnEditDistance _),
+    "fn_map_suite" -> (fnMapSuite _),
     "text_roundtrip" -> (textRoundtrip _),
     "agg_minmax_by" -> (aggMinmaxBy _),
     "agg_bool_bit" -> (aggBoolBit _),
@@ -276,6 +332,10 @@ object ExtendedOps {
         "UNION ALL SELECT doc_id, NULL FROM d WHERE n_chars < 150) ORDER BY doc_id, tok NULLS FIRST"),
     "join_lateral" ->
       "SELECT c.c_custkey, l.o_orderkey, l.o_totalprice FROM customer c, LATERAL (SELECT o_orderkey, o_totalprice FROM orders WHERE o_custkey = c.c_custkey AND o_totalprice > 400000 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) l ORDER BY c_custkey, o_orderkey",
+    "typed_pipeline" ->
+      "SELECT o_custkey, count(*) AS n_big, CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS total_cents FROM orders WHERE o_totalprice > 100000.0 GROUP BY o_custkey ORDER BY o_custkey",
+    "json_from_struct" ->
+      "SELECT event_id, CAST(props->>'$.k' AS INTEGER) AS k FROM events ORDER BY event_id",
     "fn_trig" ->
       "SELECT p_partkey, round(sin(p_retailprice / 1000.0), 6) AS sn, round(cos(p_retailprice / 1000.0), 6) AS cs, round(tan(p_retailprice / 1000.0), 6) AS tn, round(atan(p_retailprice / 1000.0), 6) AS at, round(atan2(p_retailprice / 1000.0, 2.0), 6) AS at2, round(degrees(p_retailprice / 1000.0), 6) AS deg, round(radians(p_retailprice / 1000.0), 6) AS rad FROM part ORDER BY p_partkey",
     "fn_edit_distance" ->

@@ -35,6 +35,28 @@ class ExtendedOpsSpec extends SparkTestBase {
     assert(bySide == Map("size" -> nParts, "retail" -> nParts))
   }
 
+  test("map suite: construction, parsing, lookup, concat") {
+    val rows = ExtendedOps.fnMapSuite(spark, SF).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[String]("m_keys") == "seg,key")
+      assert(r.getAs[String]("sm_id") == r.getAs[Long]("c_custkey").toString)
+      assert(r.getAs[Int]("n_entries") == 3)
+      assert(r.getAs[String]("m_seg") != null)
+    }
+  }
+
+  test("typed pipeline matches the untyped aggregation") {
+    import org.apache.spark.sql.functions._
+    val typed = ExtendedOps.typedPipeline(spark, SF)
+    val untyped = Tables.load(spark, SF, "orders")
+      .filter(col("o_totalprice") > 100000.0)
+      .groupBy("o_custkey").agg(count(lit(1)).as("n_big"))
+    assert(typed.count() == untyped.count())
+    assert(typed.agg(sum("n_big")).head.getLong(0) ==
+      untyped.agg(sum("n_big")).head.getLong(0))
+  }
+
   test("higher-order suite matches a hand-computed row") {
     val row = ExtendedOps.fnHigherOrder(spark, SF).head
     val first = Tables.load(spark, SF, "embeddings").orderBy("vec_id").head
