@@ -131,6 +131,42 @@ object LlmTextOps {
       .select("a_id", "b_id", "jac")
   }
 
+  /** Training-data chunking: fixed 32-token windows with stride 24
+    * (8-token overlap), the standard context-packing pre-step. Pure
+    * row-local generator — arbitrarily wide at 100 TB, no shuffle. */
+  def llmChunking(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .withColumn("ws", split(col("text"), " "))
+      .select(col("doc_id"), col("ws"),
+        explode(expr("sequence(1, greatest(size(ws), 1), 24)")).as("start"))
+      .select(col("doc_id"),
+        ((col("start") - 1) / 24).cast("int").as("chunk_idx"),
+        expr("concat_ws(' ', slice(ws, start, 32))").as("chunk"),
+        least(lit(32), size(col("ws")) - col("start") + 1).as("n_tokens"))
+      .orderBy("doc_id", "chunk_idx")
+
+  /** Text scrubbing: digit runs and pinned marker words redacted with
+    * global regex replaces, plus a per-doc redaction count. */
+  def llmRedact(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(col("doc_id"),
+        regexp_replace(regexp_replace(col("text"), "\\d+", "<NUM>"),
+          "\\b(the|a|of)\\b", "<STOP>").as("redacted"),
+        (size(regexp_extract_all(col("text"), lit("\\d+"), lit(0))) +
+          size(regexp_extract_all(col("text"), lit("\\b(the|a|of)\\b"), lit(0)))).as("n_red"))
+      .orderBy("doc_id")
+
+  /** Deterministic train/val split: md5-of-content bucket (stable across
+    * runs, engines, and cluster layouts — the reproducible way to split a
+    * corpus; a seeded random split changes with partitioning). */
+  def llmSampleSplit(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .withColumn("bucket",
+        (conv(substring(md5(col("text").cast("binary")), 1, 8), 16, 10).cast("long") % 100).cast("int"))
+      .select(col("doc_id"), col("bucket"),
+        when(col("bucket") < 90, "train").otherwise("val").as("split"))
+      .orderBy("doc_id")
+
   /** 64-bit SimHash UDF (per-token MD5, sign-sum sketch). */
   val simhash64 = udf { (toks: Seq[String]) =>
     val digest = java.security.MessageDigest.getInstance("MD5") // one per row; digest() resets it
@@ -230,6 +266,9 @@ object LlmTextOps {
     "llm_quality_score" -> (llmQualityScore _),
     "llm_fingerprint" -> (llmFingerprint _),
     "llm_ngram_jaccard" -> (llmNgramJaccard _),
+    "llm_chunking" -> (llmChunking _),
+    "llm_redact" -> (llmRedact _),
+    "llm_sample_split" -> (llmSampleSplit _),
     "llm_dedup_simhash" -> (llmDedupSimhash _),
     "llm_dedup_simhash_pairs" -> ((s: SparkSession, d: String) =>
       simhashNearDup(t(s, d, "documents"), maxHamming = 8).orderBy("a_id", "b_id")),
@@ -259,6 +298,14 @@ object LlmTextOps {
       "SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS word_cnt, round(0.6 * least(n_chars / 500.0, 1.0) + 0.4 * least(((n_chars - (len(string_split(text, ' ')) - 1)) / CAST(len(string_split(text, ' ')) AS DOUBLE)) / 10.0, 1.0), 6) AS score FROM documents ORDER BY doc_id",
     "llm_fingerprint" ->
       "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), x AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 4)) AS i FROM w), sh AS (SELECT doc_id, md5(array_to_string(ws[i:i+4], ' ')) AS h FROM x) SELECT doc_id, min(h) AS fp FROM sh GROUP BY doc_id ORDER BY doc_id",
+    "llm_chunking" ->
+      ("WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), " +
+        "x AS (SELECT doc_id, ws, unnest(generate_series(1, greatest(len(ws), 1), 24)) AS start FROM w) " +
+        "SELECT doc_id, CAST((start - 1) // 24 AS INTEGER) AS chunk_idx, array_to_string(ws[start:start+31], ' ') AS chunk, CAST(least(32, len(ws) - start + 1) AS INTEGER) AS n_tokens FROM x ORDER BY doc_id, chunk_idx"),
+    "llm_redact" ->
+      "SELECT doc_id, regexp_replace(regexp_replace(text, '\\d+', '<NUM>', 'g'), '\\b(the|a|of)\\b', '<STOP>', 'g') AS redacted, CAST(len(regexp_extract_all(text, '\\d+')) + len(regexp_extract_all(text, '\\b(the|a|of)\\b')) AS INTEGER) AS n_red FROM documents ORDER BY doc_id",
+    "llm_sample_split" ->
+      "SELECT doc_id, CAST(CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) % 100 AS INTEGER) AS bucket, CASE WHEN CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) % 100 < 90 THEN 'train' ELSE 'val' END AS split FROM documents ORDER BY doc_id",
     "llm_ngram_jaccard" ->
       "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), x AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i FROM w), sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS sh FROM x), sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id), pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT a_id, b_id, round(inter / (sa.n_sh + sb.n_sh - inter), 4) AS jac FROM pairs JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id WHERE round(inter / (sa.n_sh + sb.n_sh - inter), 4) >= 0.2 ORDER BY a_id, b_id",
   )

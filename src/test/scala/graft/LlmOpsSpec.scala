@@ -86,6 +86,23 @@ class LlmOpsSpec extends SparkTestBase {
     assert((strong -- recalled).isEmpty, s"LSH missed strong pairs: ${strong -- recalled}")
   }
 
+  test("chunking covers every token with the configured stride/overlap") {
+    val chunks = LlmTextOps.llmChunking(spark, SF).collect()
+    val docs = Tables.load(spark, SF, "documents").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text").split(" ").length).toMap
+    val byDoc = chunks.groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.keySet == docs.keySet, "every doc must chunk")
+    byDoc.foreach { case (id, cs) =>
+      val n = docs(id)
+      val sorted = cs.sortBy(_.getAs[Int]("chunk_idx"))
+      // starts are 1, 25, 49, ... <= n -> floor((n-1)/24) + 1 chunks
+      assert(sorted.length == (n - 1) / 24 + 1,
+        s"doc $id: $n tokens -> ${sorted.length} chunks")
+      assert(sorted.last.getAs[Int]("n_tokens") <= 32)
+      assert(sorted.init.forall(_.getAs[Int]("n_tokens") == 32) || n < 32)
+    }
+  }
+
   test("cosine top-k pairs agree between brute force and rounded oracle semantics") {
     val topk = LlmOps.llmCosineTopk(spark, SF).collect()
     assert(topk.length == 20)
