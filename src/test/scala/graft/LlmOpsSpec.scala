@@ -98,8 +98,10 @@ class LlmOpsSpec extends SparkTestBase {
       // starts are 1, 25, 49, ... <= n -> floor((n-1)/24) + 1 chunks
       assert(sorted.length == (n - 1) / 24 + 1,
         s"doc $id: $n tokens -> ${sorted.length} chunks")
-      assert(sorted.last.getAs[Int]("n_tokens") <= 32)
-      assert(sorted.init.forall(_.getAs[Int]("n_tokens") == 32) || n < 32)
+      // each chunk holds min(32, tokens remaining from its start)
+      sorted.zipWithIndex.foreach { case (c, i) =>
+        assert(c.getAs[Int]("n_tokens") == math.min(32, n - 24 * i), s"doc $id chunk $i")
+      }
     }
   }
 
