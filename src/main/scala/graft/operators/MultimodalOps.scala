@@ -124,8 +124,20 @@ object MultimodalOps {
       .orderBy("doc_id", "frame_idx")
   }
 
+  /** mm_binary_source: the media-ingest path — write the corpus as raw
+    * files, re-ingest them via the binaryFile data source (path + opaque
+    * content bytes). Graded on order-free byte totals: Σ(bytes) over the
+    * ingested files equals Σ(octet_length(text) + 1 newline) over docs. */
+  def mmBinarySource(s: SparkSession, d: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bin").toString
+    Tables.load(s, d, "documents").select("text").write.mode("overwrite").text(tmp)
+    s.read.format("binaryFile").option("pathGlobFilter", "part-*").load(tmp)
+      .agg(sum(length(col("content"))).as("total_bytes"))
+  }
+
   val queries: Map[String, Q] = Map(
     "mm_decode_meta" -> (mmDecodeMeta _),
+    "mm_binary_source" -> (mmBinarySource _),
     "mm_resize_stub" -> (mmResizeStub _),
     "mm_feature_extract" -> (mmFeatureExtract _),
     "mm_frame_sample" -> (mmFrameSample _),
@@ -134,6 +146,8 @@ object MultimodalOps {
   private val nBytes = "octet_length(encode(text))"
 
   val oracles: Map[String, String] = Map(
+    "mm_binary_source" ->
+      s"SELECT CAST(sum($nBytes + 1) AS BIGINT) AS total_bytes FROM documents",
     "mm_decode_meta" ->
       s"SELECT doc_id, CAST($nBytes AS INTEGER) AS n_bytes, CAST(64 + $nBytes % 512 AS INTEGER) AS width, CAST(64 + ($nBytes * 7) % 512 AS INTEGER) AS height, CAST(1 + $nBytes % 30 AS INTEGER) AS frames, CASE $nBytes % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format FROM documents ORDER BY doc_id",
     "mm_resize_stub" ->

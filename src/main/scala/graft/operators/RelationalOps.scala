@@ -73,6 +73,16 @@ object RelationalOps {
       .orderBy("r_regionkey")
   }
 
+  /** A5d: XML round-trip — Spark 4's built-in XML data source, explicit
+    * schema on read (rowTag pinned). */
+  def xmlRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val r = t(s, d, "region")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_xml").toString
+    r.write.mode("overwrite").option("rowTag", "row").format("xml").save(tmp)
+    s.read.schema(r.schema).option("rowTag", "row").format("xml").load(tmp)
+      .orderBy("r_regionkey")
+  }
+
   // ------------------------------------------------- B. projection / filter
 
   /** B1: per-row computed net revenue. NOTE: (l_orderkey, l_linenumber) is
@@ -539,6 +549,7 @@ object RelationalOps {
     "csv_roundtrip" -> (csvRoundtrip _),
     "json_roundtrip" -> (jsonRoundtrip _),
     "orc_roundtrip" -> (orcRoundtrip _),
+    "xml_roundtrip" -> (xmlRoundtrip _),
     "project_compute" -> (projectCompute _),
     "filter_combo" -> (filterCombo _),
     "filter_like_regex" -> (filterLikeRegex _),
@@ -600,6 +611,8 @@ object RelationalOps {
     "json_roundtrip" ->
       "SELECT * FROM region ORDER BY r_regionkey",
     "orc_roundtrip" ->
+      "SELECT * FROM region ORDER BY r_regionkey",
+    "xml_roundtrip" ->
       "SELECT * FROM region ORDER BY r_regionkey",
     "project_compute" ->
       "SELECT l_orderkey, l_linenumber, floor(l_extendedprice * (1.0 - l_discount) * 100 + 0.5) / 100.0 AS net_price FROM lineitem ORDER BY l_orderkey, l_linenumber, net_price",
