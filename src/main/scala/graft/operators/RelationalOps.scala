@@ -332,6 +332,24 @@ object RelationalOps {
       .agg(approx_count_distinct("l_partkey").as("approx_nd_part"))
       .orderBy("l_returnflag")
 
+  /** D4b: Apache DataSketches HLL — unlike approx_count_distinct's
+    * internal HLL++, the sketch itself is a first-class mergeable value
+    * (union partial sketches across partitions/days, estimate once) —
+    * the 100 TB pattern for incremental distinct counts. No oracle
+    * (sketch-specific); rel-err vs exact is unit-tested. */
+  def aggHllSketch(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(cast(l_partkey as string)))").as("sketch_nd"))
+      .orderBy("l_returnflag")
+
+  /** D4c: approx_top_k sketch — heavy-hitters per group. Exact on the
+    * closed 5-value event_type domain, but tie order inside the sketch
+    * is impl-specific → unit-tested against the exact counts, no oracle. */
+  def aggApproxTopk(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .agg(expr("approx_top_k(event_type, 3)").as("top3"))
+
   /** D5: statistical aggregates per group. */
   def aggStats(s: SparkSession, d: String): DataFrame =
     t(s, d, "lineitem")
@@ -573,6 +591,8 @@ object RelationalOps {
     "agg_count_distinct" -> (aggCountDistinct _),
     "agg_approx_hll" -> (aggApproxHll _),
     "agg_approx_percentile" -> (aggApproxPercentile _),
+    "agg_hll_sketch" -> (aggHllSketch _),
+    "agg_approx_topk" -> (aggApproxTopk _),
     "agg_stats" -> (aggStats _),
     "agg_percentile" -> (aggPercentile _),
     "agg_rollup" -> (aggRollup _),

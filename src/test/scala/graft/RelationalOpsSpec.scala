@@ -5,6 +5,28 @@ import graft.operators.RelationalOps
 
 class RelationalOpsSpec extends SparkTestBase {
 
+  test("datasketches HLL estimate within 5% of exact distinct counts") {
+    import org.apache.spark.sql.functions._
+    val est = RelationalOps.aggHllSketch(spark, SF).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.load(spark, SF, "lineitem")
+      .groupBy("l_returnflag").agg(countDistinct("l_partkey")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, v) =>
+      assert(math.abs(est(k) - v) <= math.max(1, v * 0.05), s"flag $k: est ${est(k)} vs $v")
+    }
+  }
+
+  test("approx_top_k matches exact counts on the closed event_type domain") {
+    import org.apache.spark.sql.functions._
+    val top = RelationalOpsSpecHelper.topkAsMap(RelationalOps.aggApproxTopk(spark, SF))
+    val exact = Tables.load(spark, SF, "events")
+      .groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(top.size == 3)
+    top.foreach { case (k, v) => assert(exact(k) == v, s"$k: $v vs ${exact(k)}") }
+  }
+
   test("q1 pricing summary groups cover the filtered lineitem exactly") {
     val q1 = RelationalOps.aggGroupbyQ1(spark, SF).collect()
     assert(q1.length >= 4)
@@ -118,5 +140,14 @@ class RelationalOpsSpec extends SparkTestBase {
     val grand = rows.find(r => r.getAs[String]("rf") == "ALL" && r.getAs[String]("ls") == "ALL").get
     val leaves = rows.filter(r => r.getAs[String]("rf") != "ALL" && r.getAs[String]("ls") != "ALL")
     assert(leaves.map(_.getAs[Long]("cnt")).sum == grand.getAs[Long]("cnt"))
+  }
+}
+
+/** Helper: flatten the approx_top_k struct array to item -> count. */
+object RelationalOpsSpecHelper {
+  def topkAsMap(df: org.apache.spark.sql.DataFrame): Map[String, Long] = {
+    import org.apache.spark.sql.functions._
+    df.select(explode(col("top3")).as("e")).select("e.*").collect()
+      .map(r => r.get(0).toString -> r.getLong(1)).toMap
   }
 }
