@@ -241,7 +241,7 @@ object ExtendedOps {
   /** VARIANT semi-structured type (Spark 4): parse props once into a
     * variant, then typed-path extraction — the open-schema ingestion
     * pattern (vs from_json's fixed schema). The extracted VALUE is
-    * portable, so the oracle greades it even though the type is
+    * portable, so the oracle grades it even though the type is
     * Spark-specific. */
   def jsonVariant(s: SparkSession, d: String): DataFrame =
     t(s, d, "events")
