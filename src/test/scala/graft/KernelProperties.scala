@@ -1,0 +1,93 @@
+package graft
+
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+import graft.functions.{GeoMean, VectorFunctions}
+
+/** ScalaCheck properties for the pure kernels (SURVEY.md §5.4) — these
+  * run generator-driven without a Spark job per case, so hundreds of
+  * cases cost milliseconds. Spark-level invariants (sessionize, dedup,
+  * filter composition) live in the example-based specs.
+  */
+object KernelProperties extends Properties("graft.kernels") {
+
+  private val vec: Gen[Array[Float]] =
+    Gen.nonEmptyListOf(Gen.chooseNum(-10.0f, 10.0f)).map(_.toArray)
+      .suchThat(v => v.exists(_ != 0.0f))
+
+  property("cosine is symmetric") = forAll(vec, vec) { (a, b) =>
+    val n = math.min(a.length, b.length)
+    val (x, y) = (a.take(n), b.take(n))
+    // bit-compare: a truncated all-zero vector yields NaN on both sides
+    java.lang.Double.doubleToLongBits(VectorFunctions.cosineValue(x.toSeq, y.toSeq)) ==
+      java.lang.Double.doubleToLongBits(VectorFunctions.cosineValue(y.toSeq, x.toSeq))
+  }
+
+  property("cosine of a vector with itself is 1") = forAll(vec) { a =>
+    math.abs(VectorFunctions.cosineValue(a.toSeq, a.toSeq) - 1.0) < 1e-9
+  }
+
+  property("cosine is positive-scale invariant") =
+    forAll(vec, Gen.chooseNum(0.1, 100.0)) { (a, k) =>
+      val scaled = a.map(x => (x * k).toFloat)
+      // float re-quantization of the scaled vector perturbs the angle
+      math.abs(VectorFunctions.cosineValue(a.toSeq, a.toSeq) -
+        VectorFunctions.cosineValue(a.toSeq, scaled.toSeq)) < 1e-3
+    }
+
+  property("dot+norms equals the fused kernel on equal-length vectors") =
+    forAll(vec, vec) { (a0, b0) =>
+      val n = math.min(a0.length, b0.length)
+      val (a, b) = (a0.take(n), b0.take(n))
+      var dot = 0.0
+      var i = 0
+      while (i < n) { dot += a(i).toDouble * b(i).toDouble; i += 1 }
+      val viaNorms = dot / (VectorFunctions.normValue(a) * VectorFunctions.normValue(b))
+      java.lang.Double.doubleToLongBits(viaNorms) ==
+        java.lang.Double.doubleToLongBits(VectorFunctions.cosineValue(a.toSeq, b.toSeq))
+    }
+
+  private val positives: Gen[List[Double]] =
+    Gen.nonEmptyListOf(Gen.chooseNum(0.1, 1000.0))
+
+  property("geomean merge is associative across arbitrary splits") =
+    forAll(positives, Gen.chooseNum(0, 100)) { (xs, cut) =>
+      val k = cut % xs.length
+      val (l, r) = xs.splitAt(k)
+      val whole = xs.foldLeft(GeoMean.zero)(GeoMean.reduce)
+      val split = GeoMean.merge(
+        l.foldLeft(GeoMean.zero)(GeoMean.reduce),
+        r.foldLeft(GeoMean.zero)(GeoMean.reduce))
+      math.abs(GeoMean.finish(whole) - GeoMean.finish(split)) < 1e-9
+    }
+
+  private val doc: Gen[List[String]] =
+    Gen.nonEmptyListOf(Gen.oneOf("alpha", "beta", "gamma", "delta", "epsilon"))
+
+  property("simhash sketch is token-order invariant") = forAll(doc) { toks =>
+    KernelPropertiesHelper.sketch(toks) ==
+      KernelPropertiesHelper.sketch(scala.util.Random.shuffle(toks))
+  }
+}
+
+/** Plain-Scala twin of the simhash64 UDF body (the UDF wraps this
+  * computation; order-invariance holds because the sketch is a sum of
+  * per-token sign vectors). */
+object KernelPropertiesHelper {
+  def sketch(toks: Seq[String]): Long = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+    val acc = new Array[Int](64)
+    toks.foreach { tk =>
+      val md = digest.digest(tk.getBytes("UTF-8"))
+      var h = 0L
+      var i = 0
+      while (i < 8) { h = (h << 8) | (md(i) & 0xffL); i += 1 }
+      var b = 0
+      while (b < 64) { if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1; b += 1 }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+}
