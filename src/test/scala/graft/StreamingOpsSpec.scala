@@ -134,6 +134,33 @@ class StreamingOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stateful query resumes from its checkpoint after a stop/restart") {
+    val input = MemoryStream[Event]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    def start() = StreamingOps.runningCounts(input.toDS())
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[StreamingOps.UserCount], _: Long) =>
+        batch.collect().foreach(u => seen.add(u.user_id -> u.count)); ()
+      }
+      .start()
+    val q1 = start()
+    try {
+      input.addData(ev(1, ts(1), uid = 7), ev(2, ts(1, 1), uid = 7))
+      drain(q1)
+    } finally q1.stop()
+    assert(seen.contains(7L -> 2L), s"pre-restart state missing: $seen")
+    // restart from the same checkpoint: the per-user count must CONTINUE
+    // from the recovered state store, not restart at 1
+    val q2 = start()
+    try {
+      input.addData(ev(3, ts(1, 2), uid = 7))
+      drain(q2)
+      assert(seen.contains(7L -> 3L), s"state lost across restart: $seen")
+    } finally q2.stop()
+  }
+
   test("I6: mapGroupsWithState keeps a running per-user counter across batches") {
     val input = MemoryStream[Event]
     val q = StreamingOps.runningCounts(input.toDS())
