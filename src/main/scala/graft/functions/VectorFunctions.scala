@@ -87,9 +87,12 @@ object VectorFunctions {
   }
 
   /** Spark's Round(double, 4) semantics (BigDecimal.valueOf + HALF_UP),
-    * replicated so kernel sims match the round() expression bit-for-bit. */
+    * replicated so kernel sims match the round() expression bit-for-bit —
+    * including the NaN/Infinity pass-through (BigDecimal.valueOf would
+    * throw on a zero-norm vector's 0/0). */
   private def round4(x: Double): Double =
-    java.math.BigDecimal.valueOf(x).setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+    if (x.isNaN || x.isInfinite) x
+    else java.math.BigDecimal.valueOf(x).setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
 
   /** All-pairs cosine (a_id < b_id, sim rounded 4 dp, filtered to
     * sim >= minSim) via a per-partition kernel. The vector set is
@@ -116,7 +119,10 @@ object VectorFunctions {
       it.flatMap { case (aId, aVec) =>
         val aNrm = normValue(aVec)
         val hit = java.util.Arrays.binarySearch(bIds, aId)
-        val start = if (hit >= 0) hit + 1 else -hit - 1
+        var start = if (hit >= 0) hit + 1 else -hit - 1
+        // duplicate ids: a_id < b_id excludes equal-id pairs, so skip ALL
+        // broadcast entries sharing this id (binarySearch lands on any one)
+        while (start < bIds.length && bIds(start) == aId) start += 1
         (start until bIds.length).iterator.flatMap { i =>
           val sim = round4(dotValue(aVec, bArrs(i)) / (aNrm * bNrms(i)))
           if (sim >= minSim) Iterator.single((aId, bIds(i), sim)) else Iterator.empty

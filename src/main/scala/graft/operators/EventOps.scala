@@ -63,7 +63,10 @@ object EventOps {
     * than value-order; only the batch form is oracle-checked. */
   def dedupEvents(events: DataFrame): DataFrame = {
     val cols = Seq("ts", "user_id", "event_type", "value")
-    val w = Window.partitionBy("event_id").orderBy(cols.map(col): _*)
+    // explicit NULLS FIRST: Spark's asc default, but DuckDB's default is
+    // NULLS LAST — survivor choice must not depend on engine defaults
+    // (SURVEY.md §5.3.4) even though fixtures are null-free today
+    val w = Window.partitionBy("event_id").orderBy(cols.map(c => col(c).asc_nulls_first): _*)
     events
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
@@ -100,6 +103,6 @@ object EventOps {
     "stream_session" ->
       "WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events), l AS (SELECT user_id, ts, event_id, CASE WHEN lag(epoch_us(ts)) OVER w IS NULL OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), s AS (SELECT user_id, ts, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_id FROM l) SELECT user_id, sess_id, count(*) AS n_events, min(ts) AS session_start, max(ts) AS session_end FROM s GROUP BY user_id, sess_id ORDER BY user_id, sess_id",
     "stream_dedup" ->
-      "SELECT event_id, ts, user_id, event_type, value FROM (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, row_number() OVER (PARTITION BY event_id ORDER BY CAST(ts AS TIMESTAMP), user_id, event_type, value) AS rn FROM events) WHERE rn = 1 ORDER BY event_id",
+      "SELECT event_id, ts, user_id, event_type, value FROM (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, row_number() OVER (PARTITION BY event_id ORDER BY CAST(ts AS TIMESTAMP) NULLS FIRST, user_id NULLS FIRST, event_type NULLS FIRST, value NULLS FIRST) AS rn FROM events) WHERE rn = 1 ORDER BY event_id",
   )
 }

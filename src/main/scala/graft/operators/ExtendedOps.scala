@@ -138,11 +138,19 @@ object ExtendedOps {
     * the physical plan's PartitionFilters carries the predicate and only
     * 1/3 of the files are listed/read. This is the 100 TB layout: facts
     * partitioned by a low-cardinality routing column (date/lang/flag). */
+  /** One partitioned copy per (JVM, sfDir) — repeated invocations (bench
+    * reps, verify+bench in one session) reuse the layout instead of
+    * re-copying the largest fixture table into a fresh temp dir each call. */
+  private val partitionedDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   def scanPartitioned(s: SparkSession, d: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_part").toString
-    t(s, d, "lineitem")
-      .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
-      .write.mode("overwrite").partitionBy("l_returnflag").parquet(tmp)
+    val tmp = partitionedDirs.computeIfAbsent(d, { _ =>
+      val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+      t(s, d, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+        .write.mode("overwrite").partitionBy("l_returnflag").parquet(dir)
+      dir
+    })
     s.read.parquet(tmp)
       .filter(col("l_returnflag") === "R")
       .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")

@@ -146,15 +146,19 @@ object LlmTextOps {
       .orderBy("doc_id", "chunk_idx")
 
   /** Text scrubbing: digit runs and pinned marker words redacted with
-    * global regex replaces, plus a per-doc redaction count. */
-  def llmRedact(s: SparkSession, d: String): DataFrame =
+    * global regex replaces, plus a per-doc redaction count. The stopword
+    * COUNT runs over the digit-replaced text (same input as the stopword
+    * REPLACE), so n_red equals the number of substitutions actually made
+    * even when a digit replacement creates a new word boundary. */
+  def llmRedact(s: SparkSession, d: String): DataFrame = {
+    val denum = regexp_replace(col("text"), "\\d+", "<NUM>")
     t(s, d, "documents")
       .select(col("doc_id"),
-        regexp_replace(regexp_replace(col("text"), "\\d+", "<NUM>"),
-          "\\b(the|a|of)\\b", "<STOP>").as("redacted"),
+        regexp_replace(denum, "\\b(the|a|of)\\b", "<STOP>").as("redacted"),
         (size(regexp_extract_all(col("text"), lit("\\d+"), lit(0))) +
-          size(regexp_extract_all(col("text"), lit("\\b(the|a|of)\\b"), lit(0)))).as("n_red"))
+          size(regexp_extract_all(denum, lit("\\b(the|a|of)\\b"), lit(0)))).as("n_red"))
       .orderBy("doc_id")
+  }
 
   /** Deterministic train/val split: md5-of-content bucket (stable across
     * runs, engines, and cluster layouts — the reproducible way to split a
@@ -296,14 +300,17 @@ object LlmTextOps {
       "SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_cnt, CAST(list_sum(list_transform(string_split(text, ' '), x -> ceil(length(x) / 4.0))) AS BIGINT) AS bpe_cnt FROM documents ORDER BY doc_id",
     "llm_quality_score" ->
       "SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS word_cnt, round(0.6 * least(n_chars / 500.0, 1.0) + 0.4 * least(((n_chars - (len(string_split(text, ' ')) - 1)) / CAST(len(string_split(text, ' ')) AS DOUBLE)) / 10.0, 1.0), 6) AS score FROM documents ORDER BY doc_id",
+    // LEFT JOIN back to documents so docs shorter than 5 words keep a
+    // NULL-fingerprint row, matching Spark's array_min over an empty
+    // shingle array (GROUP BY alone would drop them).
     "llm_fingerprint" ->
-      "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), x AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 4)) AS i FROM w), sh AS (SELECT doc_id, md5(array_to_string(ws[i:i+4], ' ')) AS h FROM x) SELECT doc_id, min(h) AS fp FROM sh GROUP BY doc_id ORDER BY doc_id",
+      "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), x AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 4)) AS i FROM w), sh AS (SELECT doc_id, md5(array_to_string(ws[i:i+4], ' ')) AS h FROM x), f AS (SELECT doc_id, min(h) AS fp FROM sh GROUP BY doc_id) SELECT d.doc_id, f.fp FROM documents d LEFT JOIN f ON d.doc_id = f.doc_id ORDER BY d.doc_id",
     "llm_chunking" ->
       ("WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), " +
         "x AS (SELECT doc_id, ws, unnest(generate_series(1, greatest(len(ws), 1), 24)) AS start FROM w) " +
         "SELECT doc_id, CAST((start - 1) // 24 AS INTEGER) AS chunk_idx, array_to_string(ws[start:start+31], ' ') AS chunk, CAST(least(32, len(ws) - start + 1) AS INTEGER) AS n_tokens FROM x ORDER BY doc_id, chunk_idx"),
     "llm_redact" ->
-      "SELECT doc_id, regexp_replace(regexp_replace(text, '\\d+', '<NUM>', 'g'), '\\b(the|a|of)\\b', '<STOP>', 'g') AS redacted, CAST(len(regexp_extract_all(text, '\\d+')) + len(regexp_extract_all(text, '\\b(the|a|of)\\b')) AS INTEGER) AS n_red FROM documents ORDER BY doc_id",
+      "SELECT doc_id, regexp_replace(regexp_replace(text, '\\d+', '<NUM>', 'g'), '\\b(the|a|of)\\b', '<STOP>', 'g') AS redacted, CAST(len(regexp_extract_all(text, '\\d+')) + len(regexp_extract_all(regexp_replace(text, '\\d+', '<NUM>', 'g'), '\\b(the|a|of)\\b')) AS INTEGER) AS n_red FROM documents ORDER BY doc_id",
     "llm_sample_split" ->
       "SELECT doc_id, CAST(CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) % 100 AS INTEGER) AS bucket, CASE WHEN CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) % 100 < 90 THEN 'train' ELSE 'val' END AS split FROM documents ORDER BY doc_id",
     "llm_ngram_jaccard" ->
