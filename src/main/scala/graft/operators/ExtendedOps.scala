@@ -171,6 +171,40 @@ object ExtendedOps {
         round(kurtosis(col("o_totalprice")), 4).as("kurt"))
       .orderBy("o_orderstatus")
 
+  /** OLS regression aggregates (regr_* family) — slope/intercept/R²/
+    * count/mean-x of extendedprice ~ quantity per flag. */
+  def aggRegression(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("regr_slope(l_extendedprice, l_quantity)"), 4).as("slope"),
+        round(expr("regr_intercept(l_extendedprice, l_quantity)"), 4).as("icept"),
+        round(expr("regr_r2(l_extendedprice, l_quantity)"), 4).as("r2"),
+        expr("regr_count(l_extendedprice, l_quantity)").as("n"),
+        round(expr("regr_avgx(l_extendedprice, l_quantity)"), 4).as("avgx"))
+      .orderBy("l_returnflag")
+
+  /** Distinct ordered string aggregation (collect_set twin of D10). */
+  def aggCollectSet(s: SparkSession, d: String): DataFrame =
+    t(s, d, "customer")
+      .groupBy("c_nationkey")
+      .agg(concat_ws(",", sort_array(collect_set("c_mktsegment"))).as("segs"))
+      .orderBy("c_nationkey")
+
+  /** Array membership / position / ordering / set algebra — the second
+    * array suite (fn_array_suite covers size/element access). */
+  def fnArraySuite2(s: SparkSession, d: String): DataFrame = {
+    val arr = array(col("p_size"), (col("p_partkey") % 10).cast("int"), lit(3))
+    t(s, d, "part")
+      .select(col("p_partkey"),
+        array_contains(arr, 3).as("has3"),
+        array_position(arr, lit(3)).as("pos3"),
+        concat_ws(",", sort_array(arr)).as("sorted"),
+        arrays_overlap(arr, array(lit(1), lit(2), lit(48))).as("ovl"),
+        concat_ws(",", sort_array(array_union(arr, array(lit(1), lit(2))))).as("uni"))
+      .orderBy("p_partkey")
+  }
+
   /** try_-prefixed error-safe functions: division by a zero-able divisor
     * and casts of non-numeric strings yield NULL, never an exception. */
   def fnTrySuite(s: SparkSession, d: String): DataFrame =
@@ -323,6 +357,9 @@ object ExtendedOps {
 
   val queries: Map[String, Q] = Map(
     "agg_stats_pop" -> (aggStatsPop _),
+    "agg_regression" -> (aggRegression _),
+    "agg_collect_set" -> (aggCollectSet _),
+    "fn_array_suite2" -> (fnArraySuite2 _),
     "fn_try_suite" -> (fnTrySuite _),
     "gen_posexplode" -> (genPosexplode _),
     "gen_explode_outer" -> (genExplodeOuter _),
@@ -354,6 +391,13 @@ object ExtendedOps {
         "round(avg(pow(o_totalprice - mu, 3)) / pow(avg(pow(o_totalprice - mu, 2)), 1.5), 4) AS skew, " +
         "round(avg(pow(o_totalprice - mu, 4)) / pow(avg(pow(o_totalprice - mu, 2)), 2) - 3, 4) AS kurt " +
         "FROM orders o JOIN m ON o.o_orderstatus = m.o_orderstatus GROUP BY o.o_orderstatus, mu ORDER BY o.o_orderstatus"),
+    "agg_regression" ->
+      "SELECT l_returnflag, round(regr_slope(l_extendedprice, l_quantity), 4) AS slope, round(regr_intercept(l_extendedprice, l_quantity), 4) AS icept, round(regr_r2(l_extendedprice, l_quantity), 4) AS r2, CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n, round(regr_avgx(l_extendedprice, l_quantity), 4) AS avgx FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
+    "agg_collect_set" ->
+      "SELECT c_nationkey, string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segs FROM customer GROUP BY c_nationkey ORDER BY c_nationkey",
+    "fn_array_suite2" ->
+      ("WITH p AS (SELECT p_partkey, [p_size, CAST(p_partkey % 10 AS INTEGER), 3] AS arr FROM part) " +
+        "SELECT p_partkey, list_contains(arr, 3) AS has3, CAST(list_position(arr, 3) AS BIGINT) AS pos3, array_to_string(list_sort(arr), ',') AS sorted, len(list_intersect(arr, [1, 2, 48])) > 0 AS ovl, array_to_string(list_sort(list_distinct(arr || [1, 2])), ',') AS uni FROM p ORDER BY p_partkey"),
     "fn_try_suite" ->
       "SELECT o_orderkey, round(o_totalprice / nullif(o_custkey % 5, 0), 6) AS td, TRY_CAST(o_orderpriority AS INTEGER) AS tc_bad, TRY_CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS tc_num FROM orders ORDER BY o_orderkey",
     "gen_posexplode" ->
