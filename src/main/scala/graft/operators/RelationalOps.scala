@@ -489,6 +489,33 @@ object RelationalOps {
       .except(t(s, d, "supplier").filter(col("s_acctbal") > 9000).select(col("s_nationkey")))
       .orderBy("nationkey")
 
+  /** G5: INTERSECT ALL — multiset semantics: each nationkey appears
+    * min(customer-count, supplier-count) times. */
+  def setIntersectAll(s: SparkSession, d: String): DataFrame =
+    t(s, d, "customer").select(col("c_nationkey").as("nationkey"))
+      .intersectAll(t(s, d, "supplier").select(col("s_nationkey")))
+      .orderBy("nationkey")
+
+  /** G6: EXCEPT ALL — multiset difference: customer occurrences minus
+    * supplier occurrences per nationkey. */
+  def setExceptAll(s: SparkSession, d: String): DataFrame =
+    t(s, d, "customer").select(col("c_nationkey").as("nationkey"))
+      .exceptAll(t(s, d, "supplier").select(col("s_nationkey")))
+      .orderBy("nationkey")
+
+  /** G7: unionByName with allowMissingColumns — schema-aligned union by
+    * column NAME (Spark's plain union is by position); the side lacking a
+    * column gets NULLs. */
+  def setUnionByName(s: SparkSession, d: String): DataFrame = {
+    val cust = t(s, d, "customer")
+      .select(col("c_nationkey").as("nationkey"), lit("cust").as("side"),
+        col("c_acctbal").as("acctbal"))
+    val supp = t(s, d, "supplier")
+      .select(lit("supp").as("side"), col("s_nationkey").as("nationkey"))
+    cust.unionByName(supp, allowMissingColumns = true)
+      .orderBy(col("nationkey"), col("side"), col("acctbal").asc_nulls_first)
+  }
+
   // ------------------------------------------------- H. scalar function lib
 
   /** H1: string function suite. */
@@ -607,6 +634,9 @@ object RelationalOps {
     "set_union_distinct" -> (setUnionDistinct _),
     "set_intersect" -> (setIntersect _),
     "set_except" -> (setExcept _),
+    "set_intersect_all" -> (setIntersectAll _),
+    "set_except_all" -> (setExceptAll _),
+    "set_union_by_name" -> (setUnionByName _),
     "fn_string_suite" -> (fnStringSuite _),
     "fn_date_suite" -> (fnDateSuite _),
     "fn_math_suite" -> (fnMathSuite _),
@@ -704,6 +734,12 @@ object RelationalOps {
       "SELECT c_nationkey AS nationkey FROM customer INTERSECT SELECT s_nationkey FROM supplier ORDER BY nationkey",
     "set_except" ->
       "SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9900 EXCEPT SELECT s_nationkey FROM supplier WHERE s_acctbal > 9000 ORDER BY nationkey",
+    "set_intersect_all" ->
+      "SELECT * FROM (SELECT c_nationkey AS nationkey FROM customer INTERSECT ALL SELECT s_nationkey FROM supplier) ORDER BY nationkey",
+    "set_except_all" ->
+      "SELECT * FROM (SELECT c_nationkey AS nationkey FROM customer EXCEPT ALL SELECT s_nationkey FROM supplier) ORDER BY nationkey",
+    "set_union_by_name" ->
+      "SELECT * FROM (SELECT c_nationkey AS nationkey, 'cust' AS side, c_acctbal AS acctbal FROM customer UNION ALL SELECT s_nationkey, 'supp', NULL FROM supplier) ORDER BY nationkey, side, acctbal NULLS FIRST",
     "fn_string_suite" ->
       "SELECT c_custkey, upper(c_name) AS up_name, lower(c_mktsegment) AS lo_seg, CAST(length(c_name) AS INTEGER) AS name_len, substr(c_name, 10, 4) AS sub4, concat(c_mktsegment, '-', c_name) AS cat, lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded, regexp_replace(c_name, 'Customer', 'C') AS repl, trim(concat(' ', c_mktsegment, ' ')) AS trimmed, split_part(c_name, '#', 1) AS prefix FROM customer ORDER BY c_custkey",
     "fn_date_suite" ->

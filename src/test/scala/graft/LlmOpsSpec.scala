@@ -86,6 +86,19 @@ class LlmOpsSpec extends SparkTestBase {
     assert((strong -- recalled).isEmpty, s"LSH missed strong pairs: ${strong -- recalled}")
   }
 
+  test("cosine kernel: duplicate ids make no self-pairs, zero vectors never crash or match") {
+    import graft.functions.VectorFunctions
+    val df = Seq((1L, Array(1f, 0f)), (1L, Array(1f, 0f)), (2L, Array(0f, 0f)),
+      (3L, Array(0f, 1f))).toDF("vec_id", "embedding")
+    val all = VectorFunctions.cosinePairsKernel(spark, df, -2.0).collect()
+    assert(!all.exists(r => r.getAs[Long]("a_id") == r.getAs[Long]("b_id")),
+      s"self-pair emitted: ${all.mkString(",")}")
+    // zero-norm sims are NaN; NaN >= minSim is false, so they are filtered
+    assert(all.forall(r => !r.getAs[Double]("sim").isNaN))
+    assert(all.map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet ==
+      Set((1L, 3L)), s"got ${all.mkString(",")}")
+  }
+
   test("chunking covers every token with the configured stride/overlap") {
     val chunks = LlmTextOps.llmChunking(spark, SF).collect()
     val docs = Tables.load(spark, SF, "documents").collect()
