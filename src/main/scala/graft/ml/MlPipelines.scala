@@ -165,6 +165,32 @@ object MlPipelines {
     (model.summary.r2, model.coefficients(0))
   }
 
+  /** Random forest over embeddings → label (ensemble twin of the single
+    * decision tree; seeded). Returns training accuracy. */
+  def randomForestEmbeddings(spark: SparkSession, sfDir: String): Double = {
+    val vecs = Tables.load(spark, sfDir, "embeddings")
+      .withColumn("features", array_to_vector(col("embedding")))
+      .withColumn("label", col("label").cast("double"))
+    val model = new org.apache.spark.ml.classification.RandomForestClassifier()
+      .setSeed(Seed).setNumTrees(20).setMaxDepth(5).fit(vecs)
+    new MulticlassClassificationEvaluator().setMetricName("accuracy")
+      .evaluate(model.transform(vecs))
+  }
+
+  /** FPGrowth frequent itemsets over per-order part baskets (market-basket
+    * mining — the classic MLlib-era workload). Returns the itemsets frame
+    * (items array + freq). */
+  def fpGrowthBaskets(spark: SparkSession, sfDir: String,
+                      minSupport: Double = 0.01): DataFrame = {
+    val baskets = Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), (col("l_partkey") % 50).as("item"))
+      .groupBy("l_orderkey")
+      .agg(collect_set("item").as("items"))
+    new org.apache.spark.ml.fpm.FPGrowth()
+      .setItemsCol("items").setMinSupport(minSupport).setMinConfidence(0.1)
+      .fit(baskets).freqItemsets
+  }
+
   /** PCA of the 64-dim embeddings down to k components. */
   def pcaEmbeddings(spark: SparkSession, sfDir: String, k: Int = 8): (Int, Array[Double]) = {
     val vecs = Tables.load(spark, sfDir, "embeddings")

@@ -119,8 +119,26 @@ object MlOps {
       .orderBy("vec_id")
   }
 
+  /** J4f: ml.stat Summarizer — elementwise mean of the embedding vectors
+    * (one treeAggregate job), emitted one row per dimension. The mean
+    * vector is a model-sized driver value (64 doubles), like any fitted
+    * transformer's params. */
+  def mlSummarizer(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.ml.stat.Summarizer
+    val vecs = t(s, d, "embeddings")
+      .withColumn("features", org.apache.spark.ml.functions.array_to_vector(col("embedding")))
+    val mean = vecs.select(Summarizer.mean(col("features")).as("m")).head
+      .getAs[org.apache.spark.ml.linalg.Vector]("m")
+    import s.implicits._
+    mean.toArray.zipWithIndex
+      .map { case (m, i) => (i + 1, BigDecimal(m).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+      .toSeq.toDF("pos", "mean")
+      .orderBy("pos")
+  }
+
   val queries: Map[String, Q] = Map(
     "ml_tokenize" -> (mlTokenize _),
+    "ml_summarizer" -> (mlSummarizer _),
     "ml_stopwords" -> (mlStopwords _),
     "ml_string_indexer" -> (mlStringIndexer _),
     "ml_scaler" -> (mlScaler _),
@@ -150,5 +168,9 @@ object MlOps {
       ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
         "n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e) " +
         "SELECT vec_id, round(v[1] / nrm, 6) AS u1, round(v[2] / nrm, 6) AS u2 FROM n ORDER BY vec_id"),
+    "ml_summarizer" ->
+      ("WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        "x AS (SELECT unnest(generate_series(1, 64)) AS pos, v FROM e) " +
+        "SELECT CAST(pos AS INTEGER) AS pos, round(avg(v[pos]), 4) AS mean FROM x GROUP BY pos ORDER BY pos"),
   )
 }

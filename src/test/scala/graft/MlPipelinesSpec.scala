@@ -65,6 +65,33 @@ class MlPipelinesSpec extends SparkTestBase {
     assert(nb >= 0.2 && nb <= 1.0, s"NB train accuracy $nb below majority-class floor")
   }
 
+  test("random forest beats the single decision tree on training accuracy") {
+    val rf = MlPipelines.randomForestEmbeddings(spark, SF)
+    val dt = MlPipelines.decisionTreeEmbeddings(spark, SF)
+    assert(rf >= 0.0 && rf <= 1.0)
+    // an ensemble of depth-5 trees should fit train at least as well
+    assert(rf >= dt - 0.05, s"rf $rf much worse than dt $dt")
+  }
+
+  test("FPGrowth finds frequent itemsets with support-consistent counts") {
+    import org.apache.spark.sql.functions._
+    val sets = MlPipelines.fpGrowthBaskets(spark, SF, minSupport = 0.02)
+    val n = sets.count()
+    assert(n > 0, "no frequent itemsets at 2% support")
+    val baskets = Tables.load(spark, SF, "lineitem")
+      .select(col("l_orderkey")).distinct().count()
+    // every reported itemset must meet the support threshold
+    val minFreq = sets.agg(min("freq")).head.getLong(0)
+    assert(minFreq >= math.ceil(0.02 * baskets).toLong - 1, s"minFreq $minFreq of $baskets baskets")
+    // anti-monotonicity: a singleton superset count never exceeds the singleton's
+    val freqs = sets.collect().map(r => r.getSeq[Int](0).toSet -> r.getLong(1)).toMap
+    freqs.filter(_._1.size == 2).foreach { case (pair, f) =>
+      pair.subsets(1).foreach { sub =>
+        freqs.get(sub).foreach(fs => assert(f <= fs, s"$pair freq $f > subset $sub freq $fs"))
+      }
+    }
+  }
+
   test("linear regression recovers known coefficients on a linear target") {
     val (r2, qtyCoef) = MlPipelines.linearRegressionLineitem(spark, SF)
     assert(r2 > 0.999, s"r2 $r2")
