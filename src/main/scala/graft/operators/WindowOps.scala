@@ -92,7 +92,23 @@ object WindowOps {
       .orderBy("o_orderkey")
   }
 
+  /** E8: IGNORE NULLS analytics — forward-fill (last non-null value
+    * carried forward per user) and previous-non-null via lag; NULLs are
+    * manufactured by voiding 'error' events' values. The classic
+    * time-series gap-fill. */
+  def winFillForward(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.load(s, d, "events")
+      .withColumn("v", when(col("event_type") === "error", lit(null)).otherwise(col("value")))
+      .select(col("event_id"), col("user_id"),
+        round(last(col("v"), ignoreNulls = true).over(wRun), 2).as("filled"),
+        round(lag(col("v"), 1, null, ignoreNulls = true).over(w), 2).as("prev_v"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "win_fill_forward" -> (winFillForward _),
     "win_topk_group" -> (winTopkGroup _),
     "win_rank_dense" -> (winRankDense _),
     "win_lag_lead" -> (winLagLead _),
@@ -103,6 +119,9 @@ object WindowOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "win_fill_forward" ->
+      ("WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v FROM events) " +
+        "SELECT event_id, user_id, round(last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS filled, round(lag(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id), 2) AS prev_v FROM e ORDER BY event_id"),
     "win_topk_group" ->
       "SELECT o_custkey, CAST(rn AS INTEGER) AS rn, o_orderkey, o_totalprice FROM (SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) WHERE rn <= 2 ORDER BY o_custkey, rn",
     "win_rank_dense" ->
