@@ -60,8 +60,10 @@ object MlPipelines {
     val vecs = Tables.load(spark, sfDir, "embeddings")
       .withColumn("features", array_to_vector(col("embedding")))
       .cache()
+    // random init: kmeans|| costs extra full passes; for IVF bucketing
+    // (and seeded tests) random centroids converge just as usefully
     val model = new KMeans().setK(k).setSeed(Seed).setMaxIter(maxIter)
-      .setFeaturesCol("features").fit(vecs)
+      .setInitMode("random").setFeaturesCol("features").fit(vecs)
     (model, model.transform(vecs))
   }
 
