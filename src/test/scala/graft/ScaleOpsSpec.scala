@@ -63,6 +63,18 @@ class ScaleOpsSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 
+  test("top-k limit plans TakeOrderedAndProject, never a global sort") {
+    import graft.operators.RelationalOps
+    val plan = RelationalOps.topkLimit(spark, SF).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-k operator in:\n$plan")
+  }
+
+  test("as-of join pushes its per-group top-1 below the shuffle (WindowGroupLimit)") {
+    import graft.operators.RelationalOps
+    val plan = RelationalOps.joinAsof(spark, SF).queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"expected group-limit pushdown in:\n$plan")
+  }
+
   test("dynamic partition pruning fires on a selective dim join") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_dpp").toString
