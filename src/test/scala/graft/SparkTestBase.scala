@@ -7,12 +7,10 @@ import org.scalatest.funsuite.AnyFunSuite
   * wall-clock otherwise). Config mirrors Verify.scala. */
 object TestSpark {
   lazy val spark: SparkSession = {
-    val s = SparkSession.builder()
-      .master("local[4]")
+    // the engine's own factory (installs graft.GraftExtensions, so the
+    // SQL-registered native functions are testable)
+    val s = GraftSession.builder(master = "local[4]", shufflePartitions = 4)
       .appName("graft-tests")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
