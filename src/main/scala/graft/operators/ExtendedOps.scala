@@ -270,6 +270,43 @@ object ExtendedOps {
       .orderBy("o_custkey")
   }
 
+  /** Typed joinWith: Dataset[(OrderRow, CustomerRow)] tuples instead of a
+    * flattened row — graded on a flattened projection. */
+  final case class CustomerRow(c_custkey: Long, c_name: String, c_acctbal: Double)
+
+  def typedJoinWith(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val orders = t(s, d, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus").as[OrderRow]
+      .filter(_.o_totalprice > 450000.0)
+    val cust = t(s, d, "customer")
+      .select("c_custkey", "c_name", "c_acctbal").as[CustomerRow]
+    orders.joinWith(cust, orders("o_custkey") === cust("c_custkey"))
+      .map { case (o, c) => (o.o_orderkey, c.c_custkey, c.c_name, o.o_totalprice) }
+      .toDF("o_orderkey", "c_custkey", "c_name", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
+  /** Typed cogroup: both sides grouped by the key, one function over the
+    * two iterators — the general two-sided custom-merge shape (full outer
+    * by construction: keys from either side appear). */
+  def typedCogroup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val orders = t(s, d, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus").as[OrderRow]
+      .groupByKey(_.o_custkey)
+    val cust = t(s, d, "customer")
+      .select("c_custkey", "c_name", "c_acctbal").as[CustomerRow]
+      .groupByKey(_.c_custkey)
+    orders.cogroup(cust) { (key, os, cs) =>
+      var n = 0L; var cents = 0L
+      os.foreach { o => n += 1; cents += math.round(o.o_totalprice * 100) }
+      Iterator.single((key, n, cents, cs.nonEmpty))
+    }
+      .toDF("custkey", "n_orders", "total_cents", "known_customer")
+      .orderBy("custkey")
+  }
+
   /** from_json with an explicit schema — the structured twin of
     * get_json_object (A4): parse props into a typed struct, extract k. */
   def jsonFromStruct(s: SparkSession, d: String): DataFrame =
@@ -365,6 +402,8 @@ object ExtendedOps {
     "gen_explode_outer" -> (genExplodeOuter _),
     "join_lateral" -> (joinLateral _),
     "typed_pipeline" -> (typedPipeline _),
+    "typed_joinwith" -> (typedJoinWith _),
+    "typed_cogroup" -> (typedCogroup _),
     "json_from_struct" -> (jsonFromStruct _),
     "json_variant" -> (jsonVariant _),
     "fn_collation" -> (fnCollation _),
@@ -410,6 +449,12 @@ object ExtendedOps {
       "SELECT c.c_custkey, l.o_orderkey, l.o_totalprice FROM customer c, LATERAL (SELECT o_orderkey, o_totalprice FROM orders WHERE o_custkey = c.c_custkey AND o_totalprice > 400000 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) l ORDER BY c_custkey, o_orderkey",
     "typed_pipeline" ->
       "SELECT o_custkey, count(*) AS n_big, CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS total_cents FROM orders WHERE o_totalprice > 100000.0 GROUP BY o_custkey ORDER BY o_custkey",
+    "typed_joinwith" ->
+      "SELECT o_orderkey, c_custkey, c_name, o_totalprice FROM orders JOIN customer ON o_custkey = c_custkey WHERE o_totalprice > 450000.0 ORDER BY o_orderkey",
+    "typed_cogroup" ->
+      ("WITH o AS (SELECT o_custkey AS custkey, count(*) AS n_orders, CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS total_cents FROM orders GROUP BY o_custkey) " +
+        "SELECT coalesce(o.custkey, c.c_custkey) AS custkey, coalesce(o.n_orders, 0) AS n_orders, coalesce(o.total_cents, 0) AS total_cents, c.c_custkey IS NOT NULL AS known_customer " +
+        "FROM o FULL JOIN customer c ON o.custkey = c.c_custkey ORDER BY custkey"),
     "json_from_struct" ->
       "SELECT event_id, CAST(props->>'$.k' AS INTEGER) AS k FROM events ORDER BY event_id",
     "json_variant" ->
