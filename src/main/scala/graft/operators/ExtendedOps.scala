@@ -339,6 +339,34 @@ object ExtendedOps {
         expr("startswith(c_name COLLATE UTF8_LCASE, 'CUSTOMER')").as("starts_ci"))
       .orderBy("c_custkey")
 
+  /** MERGE-style upsert without a table format: base ⟗ updates with
+    * per-row op semantics (update / insert / delete). The updates frame
+    * is derived deterministically from the base. At 100 TB this is the
+    * compaction shape: shuffle both sides on the key once, emit the
+    * merged snapshot (Delta/Iceberg MERGE INTO compiles to the same
+    * join). */
+  def mergeUpsert(s: SparkSession, d: String): DataFrame = {
+    val base = t(s, d, "customer").select("c_custkey", "c_name", "c_acctbal")
+    val updates = base
+      .filter(col("c_custkey") % 10 === 0)
+      .select(col("c_custkey").as("u_key"),
+        when(col("c_custkey") % 30 === 0, lit("d")).otherwise(lit("u")).as("op"),
+        (col("c_acctbal") + 100.0).as("u_acctbal"))
+      .unionAll(base.filter(col("c_custkey") % 1000 === 1)
+        .select((col("c_custkey") + 1000000L).as("u_key"), lit("i").as("op"),
+          lit(0.0).as("u_acctbal")))
+    base.join(updates, col("c_custkey") === col("u_key"), "full")
+      .filter(coalesce(col("op"), lit("keep")) =!= "d")
+      .select(
+        coalesce(col("c_custkey"), col("u_key")).as("key"),
+        coalesce(col("c_name"), lit("NEW")).as("name"),
+        round(when(col("op") === "u", col("u_acctbal"))
+          .when(col("op") === "i", col("u_acctbal"))
+          .otherwise(col("c_acctbal")), 2).as("acctbal"),
+        coalesce(col("op"), lit("keep")).as("op"))
+      .orderBy("key")
+  }
+
   /** Trigonometric / angular function suite, rounded 6 dp for libm
     * last-ulp differences. */
   def fnTrig(s: SparkSession, d: String): DataFrame = {
@@ -354,6 +382,22 @@ object ExtendedOps {
         round(radians(x), 6).as("rad"))
       .orderBy("p_partkey")
   }
+
+  /** Second string suite: repeat / reverse / translate / ascii / chr /
+    * instr / left / right (fn_string_suite covers case, trim, pad,
+    * substring, split). */
+  def fnStringSuite2(s: SparkSession, d: String): DataFrame =
+    t(s, d, "customer")
+      .select(col("c_custkey"),
+        repeat(col("c_mktsegment"), 2).as("rep2"),
+        reverse(col("c_name")).as("rev"),
+        translate(col("c_mktsegment"), "AEIOU", "aeiou").as("tr"),
+        ascii(col("c_mktsegment")).as("first_code"),
+        chr(col("c_custkey") % 26 + 65).as("letter"),
+        instr(col("c_name"), "#").as("hash_pos"),
+        expr("left(c_name, 8)").as("l8"),
+        expr("right(c_name, 3)").as("r3"))
+      .orderBy("c_custkey")
 
   /** Edit-distance text similarity: levenshtein between each part name
     * and its devoweled form (identical DP definition on both engines). */
@@ -409,7 +453,9 @@ object ExtendedOps {
     "fn_collation" -> (fnCollation _),
     "fn_trig" -> (fnTrig _),
     "fn_edit_distance" -> (fnEditDistance _),
+    "fn_string_suite2" -> (fnStringSuite2 _),
     "fn_map_suite" -> (fnMapSuite _),
+    "merge_upsert" -> (mergeUpsert _),
     "text_roundtrip" -> (textRoundtrip _),
     "agg_minmax_by" -> (aggMinmaxBy _),
     "agg_bool_bit" -> (aggBoolBit _),
@@ -465,6 +511,14 @@ object ExtendedOps {
       "SELECT p_partkey, round(sin(p_retailprice / 1000.0), 6) AS sn, round(cos(p_retailprice / 1000.0), 6) AS cs, round(tan(p_retailprice / 1000.0), 6) AS tn, round(atan(p_retailprice / 1000.0), 6) AS at, round(atan2(p_retailprice / 1000.0, 2.0), 6) AS at2, round(degrees(p_retailprice / 1000.0), 6) AS deg, round(radians(p_retailprice / 1000.0), 6) AS rad FROM part ORDER BY p_partkey",
     "fn_edit_distance" ->
       "SELECT p_partkey, CAST(levenshtein(p_name, regexp_replace(p_name, '[aeiou]', '', 'g')) AS INTEGER) AS lev, CAST(levenshtein(p_name, reverse(p_name)) AS INTEGER) AS lev_rev FROM part ORDER BY p_partkey",
+    "fn_string_suite2" ->
+      "SELECT c_custkey, repeat(c_mktsegment, 2) AS rep2, reverse(c_name) AS rev, translate(c_mktsegment, 'AEIOU', 'aeiou') AS tr, CAST(ascii(c_mktsegment) AS INTEGER) AS first_code, chr(CAST(c_custkey % 26 + 65 AS INTEGER)) AS letter, CAST(strpos(c_name, '#') AS INTEGER) AS hash_pos, left(c_name, 8) AS l8, right(c_name, 3) AS r3 FROM customer ORDER BY c_custkey",
+    "merge_upsert" ->
+      ("WITH base AS (SELECT c_custkey, c_name, c_acctbal FROM customer), " +
+        "u AS (SELECT c_custkey AS u_key, CASE WHEN c_custkey % 30 = 0 THEN 'd' ELSE 'u' END AS op, c_acctbal + 100.0 AS u_acctbal FROM base WHERE c_custkey % 10 = 0 " +
+        "UNION ALL SELECT c_custkey + 1000000, 'i', 0.0 FROM base WHERE c_custkey % 1000 = 1), " +
+        "m AS (SELECT * FROM base FULL JOIN u ON c_custkey = u_key) " +
+        "SELECT coalesce(c_custkey, u_key) AS key, coalesce(c_name, 'NEW') AS name, round(CASE WHEN op IN ('u', 'i') THEN u_acctbal ELSE c_acctbal END, 2) AS acctbal, coalesce(op, 'keep') AS op FROM m WHERE coalesce(op, 'keep') <> 'd' ORDER BY key"),
     "text_roundtrip" ->
       "SELECT count(*) AS n_lines, CAST(sum(length(text)) AS BIGINT) AS total_chars FROM documents",
     "agg_minmax_by" ->
