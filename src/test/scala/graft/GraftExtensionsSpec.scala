@@ -20,4 +20,19 @@ class GraftExtensionsSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("graft_dot"), s"unhelpful message: ${e.getMessage}")
   }
+
+  test("RedundantRoundRule drops a finer outer round and keeps an unsafe one") {
+    import org.apache.spark.sql.functions._
+    val df = Tables.load(spark, SF, "customer")
+    def nRounds(p: org.apache.spark.sql.DataFrame): Int =
+      "round\\(".r.findAllIn(p.queryExecution.optimizedPlan.toString.toLowerCase).length
+    val redundant = df.select(round(round(col("c_acctbal") / 3.0, 2), 4).as("x"))
+    assert(nRounds(redundant) == 1, s"outer round(.,4) over round(.,2) must fold:\n${redundant.queryExecution.optimizedPlan}")
+    val unsafe = df.select(round(round(col("c_acctbal") / 3.0, 4), 2).as("x"))
+    assert(nRounds(unsafe) == 2, "coarser outer round is double-rounding; must NOT fold")
+    // semantics: the folded plan equals the unoptimized composition
+    val a = redundant.collect().map(_.getDouble(0))
+    val b = df.select(round(col("c_acctbal") / 3.0, 2).as("x")).collect().map(_.getDouble(0))
+    assert(a.sameElements(b))
+  }
 }
