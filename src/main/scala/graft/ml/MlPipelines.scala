@@ -128,11 +128,16 @@ object MlPipelines {
 
   /** Classic learner surface (unit-tested thresholds, seeded). */
 
-  /** Decision tree over embeddings → label. */
-  def decisionTreeEmbeddings(spark: SparkSession, sfDir: String): Double = {
-    val vecs = Tables.load(spark, sfDir, "embeddings")
+  /** Shared featurized frame for the embedding classifiers — one prep so
+    * tree and forest provably train on identical data. */
+  private def labeledEmbeddings(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "embeddings")
       .withColumn("features", array_to_vector(col("embedding")))
       .withColumn("label", col("label").cast("double"))
+
+  /** Decision tree over embeddings → label. */
+  def decisionTreeEmbeddings(spark: SparkSession, sfDir: String): Double = {
+    val vecs = labeledEmbeddings(spark, sfDir)
     val model = new org.apache.spark.ml.classification.DecisionTreeClassifier()
       .setSeed(Seed).setMaxDepth(5).fit(vecs)
     new MulticlassClassificationEvaluator().setMetricName("accuracy")
@@ -170,9 +175,7 @@ object MlPipelines {
   /** Random forest over embeddings → label (ensemble twin of the single
     * decision tree; seeded). Returns training accuracy. */
   def randomForestEmbeddings(spark: SparkSession, sfDir: String): Double = {
-    val vecs = Tables.load(spark, sfDir, "embeddings")
-      .withColumn("features", array_to_vector(col("embedding")))
-      .withColumn("label", col("label").cast("double"))
+    val vecs = labeledEmbeddings(spark, sfDir)
     val model = new org.apache.spark.ml.classification.RandomForestClassifier()
       .setSeed(Seed).setNumTrees(20).setMaxDepth(5).fit(vecs)
     new MulticlassClassificationEvaluator().setMetricName("accuracy")

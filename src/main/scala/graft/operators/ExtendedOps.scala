@@ -352,8 +352,11 @@ object ExtendedOps {
       .select(col("c_custkey").as("u_key"),
         when(col("c_custkey") % 30 === 0, lit("d")).otherwise(lit("u")).as("op"),
         (col("c_acctbal") + 100.0).as("u_acctbal"))
+      // insert keys are NEGATED base keys: base keys are positive at every
+      // scale factor, so synthetic inserts can never collide with a real
+      // key (an additive offset would collide once the table outgrows it)
       .unionAll(base.filter(col("c_custkey") % 1000 === 1)
-        .select((col("c_custkey") + 1000000L).as("u_key"), lit("i").as("op"),
+        .select((-col("c_custkey")).as("u_key"), lit("i").as("op"),
           lit(0.0).as("u_acctbal")))
     base.join(updates, col("c_custkey") === col("u_key"), "full")
       .filter(coalesce(col("op"), lit("keep")) =!= "d")
@@ -516,7 +519,7 @@ object ExtendedOps {
     "merge_upsert" ->
       ("WITH base AS (SELECT c_custkey, c_name, c_acctbal FROM customer), " +
         "u AS (SELECT c_custkey AS u_key, CASE WHEN c_custkey % 30 = 0 THEN 'd' ELSE 'u' END AS op, c_acctbal + 100.0 AS u_acctbal FROM base WHERE c_custkey % 10 = 0 " +
-        "UNION ALL SELECT c_custkey + 1000000, 'i', 0.0 FROM base WHERE c_custkey % 1000 = 1), " +
+        "UNION ALL SELECT -c_custkey, 'i', 0.0 FROM base WHERE c_custkey % 1000 = 1), " +
         "m AS (SELECT * FROM base FULL JOIN u ON c_custkey = u_key) " +
         "SELECT coalesce(c_custkey, u_key) AS key, coalesce(c_name, 'NEW') AS name, round(CASE WHEN op IN ('u', 'i') THEN u_acctbal ELSE c_acctbal END, 2) AS acctbal, coalesce(op, 'keep') AS op FROM m WHERE coalesce(op, 'keep') <> 'd' ORDER BY key"),
     "text_roundtrip" ->

@@ -99,7 +99,7 @@ object WindowOps {
   def winFillForward(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.load(s, d, "events")
+    t(s, d, "events")
       .withColumn("v", when(col("event_type") === "error", lit(null)).otherwise(col("value")))
       .select(col("event_id"), col("user_id"),
         round(last(col("v"), ignoreNulls = true).over(wRun), 2).as("filled"),

@@ -31,8 +31,9 @@ class GraftExtensionsSpec extends SparkTestBase {
     val unsafe = df.select(round(round(col("c_acctbal") / 3.0, 4), 2).as("x"))
     assert(nRounds(unsafe) == 2, "coarser outer round is double-rounding; must NOT fold")
     // semantics: the folded plan equals the unoptimized composition
-    val a = redundant.collect().map(_.getDouble(0))
-    val b = df.select(round(col("c_acctbal") / 3.0, 2).as("x")).collect().map(_.getDouble(0))
+    // (sorted — two separate collects carry no row-order guarantee)
+    val a = redundant.collect().map(_.getDouble(0)).sorted
+    val b = df.select(round(col("c_acctbal") / 3.0, 2).as("x")).collect().map(_.getDouble(0)).sorted
     assert(a.sameElements(b))
   }
 }

@@ -65,12 +65,13 @@ class MlPipelinesSpec extends SparkTestBase {
     assert(nb >= 0.2 && nb <= 1.0, s"NB train accuracy $nb below majority-class floor")
   }
 
-  test("random forest beats the single decision tree on training accuracy") {
+  test("random forest trains to an accuracy comparable to the single tree") {
     val rf = MlPipelines.randomForestEmbeddings(spark, SF)
     val dt = MlPipelines.decisionTreeEmbeddings(spark, SF)
     assert(rf >= 0.0 && rf <= 1.0)
-    // an ensemble of depth-5 trees should fit train at least as well
-    assert(rf >= dt - 0.05, s"rf $rf much worse than dt $dt")
+    // feature-subset randomness means the ensemble may trail the single
+    // all-features tree slightly on TRAIN accuracy; bound the gap
+    assert(rf >= dt - 0.05, s"rf $rf far below dt $dt")
   }
 
   test("FPGrowth finds frequent itemsets with support-consistent counts") {
@@ -84,7 +85,7 @@ class MlPipelinesSpec extends SparkTestBase {
     val minFreq = sets.agg(min("freq")).head.getLong(0)
     assert(minFreq >= math.ceil(0.02 * baskets).toLong - 1, s"minFreq $minFreq of $baskets baskets")
     // anti-monotonicity: a singleton superset count never exceeds the singleton's
-    val freqs = sets.collect().map(r => r.getSeq[Int](0).toSet -> r.getLong(1)).toMap
+    val freqs = sets.collect().map(r => r.getSeq[Long](0).toSet -> r.getLong(1)).toMap
     freqs.filter(_._1.size == 2).foreach { case (pair, f) =>
       pair.subsets(1).foreach { sub =>
         freqs.get(sub).foreach(fs => assert(f <= fs, s"$pair freq $f > subset $sub freq $fs"))
