@@ -160,6 +160,17 @@ object LlmTextOps {
       .orderBy("doc_id")
   }
 
+  /** Benchmark-contamination check: near-dup pairs that CROSS the
+    * train/eval split (docs sharing ≥ 0.5 3-gram Jaccard with the held-out
+    * set are contaminated training examples). The eval set is simulated as
+    * every 50th doc; in production it is the benchmark corpus unioned in.
+    * Same inverted-index shape as ngramJaccard — never all-pairs. */
+  def llmContamination(s: SparkSession, d: String): DataFrame =
+    ngramJaccard(t(s, d, "documents"), 0.5)
+      .filter((col("a_id") % 50 === 0) =!= (col("b_id") % 50 === 0))
+      .select(col("a_id"), col("b_id"), col("jac"))
+      .orderBy("a_id", "b_id")
+
   /** Deterministic train/val split: md5-of-content bucket (stable across
     * runs, engines, and cluster layouts — the reproducible way to split a
     * corpus; a seeded random split changes with partitioning). */
@@ -273,6 +284,7 @@ object LlmTextOps {
     "llm_chunking" -> (llmChunking _),
     "llm_redact" -> (llmRedact _),
     "llm_sample_split" -> (llmSampleSplit _),
+    "llm_contamination" -> (llmContamination _),
     "llm_dedup_simhash" -> (llmDedupSimhash _),
     "llm_dedup_simhash_pairs" -> ((s: SparkSession, d: String) =>
       simhashNearDup(t(s, d, "documents"), maxHamming = 8).orderBy("a_id", "b_id")),
@@ -313,6 +325,8 @@ object LlmTextOps {
       "SELECT doc_id, regexp_replace(regexp_replace(text, '\\d+', '<NUM>', 'g'), '\\b(the|a|of)\\b', '<STOP>', 'g') AS redacted, CAST(len(regexp_extract_all(text, '\\d+')) + len(regexp_extract_all(regexp_replace(text, '\\d+', '<NUM>', 'g'), '\\b(the|a|of)\\b')) AS INTEGER) AS n_red FROM documents ORDER BY doc_id",
     "llm_sample_split" ->
       "SELECT doc_id, CAST(CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) % 100 AS INTEGER) AS bucket, CASE WHEN CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) % 100 < 90 THEN 'train' ELSE 'val' END AS split FROM documents ORDER BY doc_id",
+    "llm_contamination" ->
+      "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), x AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i FROM w), sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS sh FROM x), sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id), pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT a_id, b_id, round(inter / (sa.n_sh + sb.n_sh - inter), 4) AS jac FROM pairs JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id WHERE round(inter / (sa.n_sh + sb.n_sh - inter), 4) >= 0.5 AND ((a_id % 50 = 0) <> (b_id % 50 = 0)) ORDER BY a_id, b_id",
     "llm_ngram_jaccard" ->
       "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), x AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i FROM w), sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS sh FROM x), sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id), pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT a_id, b_id, round(inter / (sa.n_sh + sb.n_sh - inter), 4) AS jac FROM pairs JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id WHERE round(inter / (sa.n_sh + sb.n_sh - inter), 4) >= 0.2 ORDER BY a_id, b_id",
   )

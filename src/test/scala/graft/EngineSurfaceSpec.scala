@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Engine-surface behaviors with no query key: caching, range-partitioned
+  * layout, and the catalog API. */
+class EngineSurfaceSpec extends SparkTestBase {
+
+  test("cache() serves repeat reads from InMemoryTableScan") {
+    val df = Tables.load(spark, SF, "orders")
+      .filter(col("o_totalprice") > 100000).cache()
+    try {
+      val n1 = df.count()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("InMemoryTableScan"), s"expected cached scan in:\n$plan")
+      assert(df.count() == n1)
+    } finally df.unpersist()
+  }
+
+  test("repartitionByRange + sortWithinPartitions plans range partitioning") {
+    val df = Tables.load(spark, SF, "orders")
+      .repartitionByRange(4, col("o_custkey"))
+      .sortWithinPartitions("o_custkey", "o_orderkey")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning"), s"expected range exchange in:\n$plan")
+    // partition-local sort, not a global Sort node above the exchange
+    assert(df.count() == Tables.load(spark, SF, "orders").count())
+  }
+
+  test("catalog lists registered fixture views with their columns") {
+    Tables.registerAll(spark, SF)
+    val tables = spark.catalog.listTables().collect().map(_.name).toSet
+    assert(Tables.all.toSet.subsetOf(tables), s"missing views: ${Tables.all.toSet -- tables}")
+    val cols = spark.catalog.listColumns("lineitem").collect().map(_.name).toSet
+    assert(Set("l_orderkey", "l_quantity", "l_returnflag").subsetOf(cols))
+  }
+}
