@@ -76,8 +76,16 @@ object LlmTextOps {
     * start > stop) and slice(ws, 0, n) throws; DuckDB's generate_series
     * returns empty for the same bounds, so the guard is also what keeps
     * batch and oracle semantics aligned on short documents. */
-  private def shingles(n: Int): Column =
-    expr(s"if(size(ws) >= $n, transform(sequence(1, size(ws) - ${n - 1}), i -> concat_ws(' ', slice(ws, i, $n))), array())")
+  private def shinglesSql(n: Int): String =
+    s"if(size(ws) >= $n, transform(sequence(1, size(ws) - ${n - 1}), i -> concat_ws(' ', slice(ws, i, $n))), array())"
+
+  private def shingles(n: Int): Column = expr(shinglesSql(n))
+
+  /** Shingles as md5-prefix int64 ids (60 bits) — the join-key form; the
+    * DuckDB oracle computes the identical hash, so collisions (P ≈ 2⁻⁶⁰
+    * per pair) affect both engines identically. */
+  private def hashedShingles(n: Int): Column =
+    expr(s"transform(${shinglesSql(n)}, s -> cast(conv(substring(md5(cast(s as binary)), 1, 15), 16, 10) as bigint))")
 
   /** Document fingerprint: min MD5 over 5-gram word shingles (MinHash with
     * one hash function) — fully row-local, portable to SQL, and stable
@@ -108,17 +116,19 @@ object LlmTextOps {
     * shuffle joins. One shuffle to co-locate shingles, one aggregation —
     * the minimal shape for an inverted-index similarity join. */
   def ngramJaccard(docs: DataFrame, threshold: Double): DataFrame = {
-    // The distinct() is a no-op on the data (rows are already unique after
-    // array_distinct) but acts as a materialization barrier between the
-    // interpreted shingle expression and the self-join. hint("merge")
-    // forbids the planner's broadcast choice: the broadcast build side
-    // re-computes the whole shingle subtree (self-join exprId re-aliasing
-    // defeats ReuseExchange canonical equality), while the sort-merge
-    // form shuffles lean (doc_id, n_sh, sh) rows — measured 3.2 s vs
-    // 4.6 s cold, 1.6 s vs 1.9 s warm at sf0.1.
+    // Shingles are carried as md5-prefix int64 ids, not strings: the
+    // DuckDB oracle computes the IDENTICAL hash, so any collision affects
+    // both engines identically (parity by construction) while the join
+    // shuffles 8-byte keys instead of ~30-byte strings. The distinct() is
+    // a no-op on the data (rows are already unique after array_distinct)
+    // but acts as a materialization barrier between the interpreted
+    // shingle expression and the self-join. hint("merge") forbids the
+    // planner's broadcast choice: the broadcast build side re-computes
+    // the whole shingle subtree (self-join exprId re-aliasing defeats
+    // ReuseExchange canonical equality).
     val sh = docs
       .withColumn("ws", split(col("text"), " "))
-      .withColumn("shs", array_distinct(shingles(3)))
+      .withColumn("shs", array_distinct(hashedShingles(3)))
       .select(col("doc_id"), size(col("shs")).as("n_sh"), explode(col("shs")).as("sh"))
       .distinct()
     sh.as("a").hint("merge").join(sh.as("b"),
@@ -326,8 +336,8 @@ object LlmTextOps {
     "llm_sample_split" ->
       "SELECT doc_id, CAST(CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) % 100 AS INTEGER) AS bucket, CASE WHEN CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) % 100 < 90 THEN 'train' ELSE 'val' END AS split FROM documents ORDER BY doc_id",
     "llm_contamination" ->
-      "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), x AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i FROM w), sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS sh FROM x), sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id), pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT a_id, b_id, round(inter / (sa.n_sh + sb.n_sh - inter), 4) AS jac FROM pairs JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id WHERE round(inter / (sa.n_sh + sb.n_sh - inter), 4) >= 0.5 AND ((a_id % 50 = 0) <> (b_id % 50 = 0)) ORDER BY a_id, b_id",
+      "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), x AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i FROM w), sh AS (SELECT DISTINCT doc_id, CAST('0x' || substr(md5(array_to_string(ws[i:i+2], ' ')), 1, 15) AS BIGINT) AS sh FROM x), sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id), pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT a_id, b_id, round(inter / (sa.n_sh + sb.n_sh - inter), 4) AS jac FROM pairs JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id WHERE round(inter / (sa.n_sh + sb.n_sh - inter), 4) >= 0.5 AND ((a_id % 50 = 0) <> (b_id % 50 = 0)) ORDER BY a_id, b_id",
     "llm_ngram_jaccard" ->
-      "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), x AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i FROM w), sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS sh FROM x), sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id), pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT a_id, b_id, round(inter / (sa.n_sh + sb.n_sh - inter), 4) AS jac FROM pairs JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id WHERE round(inter / (sa.n_sh + sb.n_sh - inter), 4) >= 0.2 ORDER BY a_id, b_id",
+      "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), x AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i FROM w), sh AS (SELECT DISTINCT doc_id, CAST('0x' || substr(md5(array_to_string(ws[i:i+2], ' ')), 1, 15) AS BIGINT) AS sh FROM x), sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id), pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT a_id, b_id, round(inter / (sa.n_sh + sb.n_sh - inter), 4) AS jac FROM pairs JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id WHERE round(inter / (sa.n_sh + sb.n_sh - inter), 4) >= 0.2 ORDER BY a_id, b_id",
   )
 }
