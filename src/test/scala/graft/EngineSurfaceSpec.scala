@@ -27,6 +27,25 @@ class EngineSurfaceSpec extends SparkTestBase {
     assert(df.count() == Tables.load(spark, SF, "orders").count())
   }
 
+  test("corrupt JSON: PERMISSIVE isolates bad records, FAILFAST raises") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_badjson")
+    java.nio.file.Files.write(dir.resolve("data.json"),
+      "{\"id\": 1, \"v\": 10}\nTHIS IS NOT JSON\n{\"id\": 2, \"v\": 20}\n".getBytes("UTF-8"))
+    val schema = "id BIGINT, v BIGINT, _corrupt_record STRING"
+    val permissive = spark.read.schema(schema).json(dir.toString).cache()
+    try {
+      assert(permissive.count() == 3)
+      assert(permissive.filter(col("_corrupt_record").isNotNull).count() == 1)
+      assert(permissive.filter(col("id").isNotNull).count() == 2)
+    } finally permissive.unpersist()
+    val e = intercept[org.apache.spark.SparkException] {
+      spark.read.schema("id BIGINT, v BIGINT").option("mode", "FAILFAST")
+        .json(dir.toString).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("malformed") ||
+      String.valueOf(e.getCause).toLowerCase.contains("malformed"))
+  }
+
   test("catalog lists registered fixture views with their columns") {
     Tables.registerAll(spark, SF)
     val tables = spark.catalog.listTables().collect().map(_.name).toSet

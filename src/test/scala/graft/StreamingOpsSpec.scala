@@ -161,6 +161,28 @@ class StreamingOpsSpec extends SparkTestBase {
     } finally q2.stop()
   }
 
+  test("stateful op runs on the RocksDB state store provider") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[Event]
+      val q = StreamingOps.runningCounts(input.toDS())
+        .writeStream.format("memory").queryName("rocks").outputMode("update").start()
+      try {
+        input.addData(ev(1, ts(1), uid = 3), ev(2, ts(1, 1), uid = 3))
+        drain(q)
+        input.addData(ev(3, ts(1, 2), uid = 3))
+        drain(q)
+        val latest = spark.sql("SELECT max(count) FROM rocks WHERE user_id = 3").head.getLong(0)
+        assert(latest == 3L, s"RocksDB-backed state lost updates: $latest")
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("I6: mapGroupsWithState keeps a running per-user counter across batches") {
     val input = MemoryStream[Event]
     val q = StreamingOps.runningCounts(input.toDS())
