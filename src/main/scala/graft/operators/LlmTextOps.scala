@@ -170,6 +170,25 @@ object LlmTextOps {
       .orderBy("doc_id")
   }
 
+  /** Unigram language-model scoring: corpus token frequencies → per-doc
+    * mean negative log-likelihood (high = unusual vocabulary — the
+    * statistical quality filter complementing the rule-based
+    * llm_quality_score). Two aggregations + one broadcast-joined lookup;
+    * at 100 TB the vocab table shards by token and the scalar total
+    * broadcasts. */
+  def llmUnigramLogprob(s: SparkSession, d: String): DataFrame = {
+    val toks = t(s, d, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val total = vocab.agg(sum("cnt").as("total"))
+    toks.join(vocab, "tok")
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(round(avg(-log(col("cnt") / col("total"))), 4).as("nll"),
+        count(lit(1)).as("n_toks"))
+      .orderBy("doc_id")
+  }
+
   /** Benchmark-contamination check: near-dup pairs that CROSS the
     * train/eval split (docs sharing ≥ 0.5 3-gram Jaccard with the held-out
     * set are contaminated training examples). The eval set is simulated as
@@ -295,6 +314,7 @@ object LlmTextOps {
     "llm_redact" -> (llmRedact _),
     "llm_sample_split" -> (llmSampleSplit _),
     "llm_contamination" -> (llmContamination _),
+    "llm_unigram_logprob" -> (llmUnigramLogprob _),
     "llm_dedup_simhash" -> (llmDedupSimhash _),
     "llm_dedup_simhash_pairs" -> ((s: SparkSession, d: String) =>
       simhashNearDup(t(s, d, "documents"), maxHamming = 8).orderBy("a_id", "b_id")),
@@ -335,6 +355,11 @@ object LlmTextOps {
       "SELECT doc_id, regexp_replace(regexp_replace(text, '\\d+', '<NUM>', 'g'), '\\b(the|a|of)\\b', '<STOP>', 'g') AS redacted, CAST(len(regexp_extract_all(text, '\\d+')) + len(regexp_extract_all(regexp_replace(text, '\\d+', '<NUM>', 'g'), '\\b(the|a|of)\\b')) AS INTEGER) AS n_red FROM documents ORDER BY doc_id",
     "llm_sample_split" ->
       "SELECT doc_id, CAST(CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) % 100 AS INTEGER) AS bucket, CASE WHEN CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) % 100 < 90 THEN 'train' ELSE 'val' END AS split FROM documents ORDER BY doc_id",
+    "llm_unigram_logprob" ->
+      ("WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents), " +
+        "vocab AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok), " +
+        "tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM vocab) " +
+        "SELECT doc_id, round(avg(-ln(cnt / total)), 4) AS nll, count(*) AS n_toks FROM toks JOIN vocab USING (tok) CROSS JOIN tot GROUP BY doc_id ORDER BY doc_id"),
     "llm_contamination" ->
       "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), x AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i FROM w), sh AS (SELECT DISTINCT doc_id, CAST('0x' || substr(md5(array_to_string(ws[i:i+2], ' ')), 1, 15) AS BIGINT) AS sh FROM x), sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id), pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT a_id, b_id, round(inter / (sa.n_sh + sb.n_sh - inter), 4) AS jac FROM pairs JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id WHERE round(inter / (sa.n_sh + sb.n_sh - inter), 4) >= 0.5 AND ((a_id % 50 = 0) <> (b_id % 50 = 0)) ORDER BY a_id, b_id",
     "llm_ngram_jaccard" ->
