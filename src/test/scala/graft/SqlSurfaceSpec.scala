@@ -29,16 +29,17 @@ class SqlSurfaceSpec extends SparkTestBase {
     } finally { dropTable("sql_ddl_demo"); dropTable("sql_ctas_demo") }
   }
 
-  test("DataFrameWriterV2 create + append through the session catalog") {
-    // (REPLACE TABLE AS SELECT needs a v2 catalog; the built-in session
-    // catalog supports the create and append verbs)
+  test("DataFrameWriterV2 create, then v1 insertInto appends") {
+    // the built-in session catalog is v1: writeTo().create() works (CTAS
+    // path), but v2 append/replace need a v2 catalog — the append leg
+    // goes through the classic insertInto
     dropTable("wv2_demo")
     try {
       Tables.load(spark, SF, "region")
         .writeTo("wv2_demo").using("parquet").create()
       assert(spark.table("wv2_demo").count() == 5)
       Tables.load(spark, SF, "region").filter(col("r_regionkey") < 2)
-        .writeTo("wv2_demo").append()
+        .write.insertInto("wv2_demo")
       assert(spark.table("wv2_demo").count() == 7)
     } finally dropTable("wv2_demo")
   }
