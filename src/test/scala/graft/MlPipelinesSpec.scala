@@ -65,6 +65,23 @@ class MlPipelinesSpec extends SparkTestBase {
     assert(nb >= 0.2 && nb <= 1.0, s"NB train accuracy $nb below majority-class floor")
   }
 
+  test("fitted pipeline model survives a save/load roundtrip") {
+    import org.apache.spark.ml.PipelineModel
+    val docs = Tables.load(spark, SF, "documents")
+    val (model, _) = MlPipelines.tfidf(docs)
+    val dir = java.nio.file.Files.createTempDirectory("graft_model").toString
+    model.write.overwrite().save(dir)
+    val reloaded = PipelineModel.load(dir)
+    // identical stage lineup and identical transform output
+    assert(reloaded.stages.map(_.getClass.getName).toSeq ==
+      model.stages.map(_.getClass.getName).toSeq)
+    val a = model.transform(docs).select("doc_id", "tfidf").collect()
+      .map(r => r.getLong(0) -> r.get(1).toString).toMap
+    val b = reloaded.transform(docs).select("doc_id", "tfidf").collect()
+      .map(r => r.getLong(0) -> r.get(1).toString).toMap
+    assert(a == b, "reloaded model transforms differently")
+  }
+
   test("random forest trains to an accuracy comparable to the single tree") {
     val rf = MlPipelines.randomForestEmbeddings(spark, SF)
     val dt = MlPipelines.decisionTreeEmbeddings(spark, SF)
