@@ -46,6 +46,20 @@ class EngineSurfaceSpec extends SparkTestBase {
       String.valueOf(e.getCause).toLowerCase.contains("malformed"))
   }
 
+  test("Observation API collects pipeline metrics without an extra pass") {
+    val obs = org.apache.spark.sql.Observation("qa")
+    val df = Tables.load(spark, SF, "orders")
+      .observe(obs, count(lit(1)).as("n"),
+        sum(when(col("o_totalprice") > 400000, 1).otherwise(0)).as("n_big"))
+      .filter(col("o_totalprice") > 0)
+    val n = df.count()
+    val metrics = obs.get
+    assert(metrics("n") == n, s"observed ${metrics("n")} vs counted $n")
+    val expectedBig = Tables.load(spark, SF, "orders")
+      .filter(col("o_totalprice") > 400000).count()
+    assert(metrics("n_big") == expectedBig)
+  }
+
   test("catalog lists registered fixture views with their columns") {
     Tables.registerAll(spark, SF)
     val tables = spark.catalog.listTables().collect().map(_.name).toSet
