@@ -264,21 +264,25 @@ object LlmTextOps {
   /** ANN scale path (no oracle): random-hyperplane LSH buckets, brute-force
     * cosine only within buckets, global approximate top-20. At 100 TB the
     * bucket join replaces the O(n²) candidate generation of llm_cosine_topk. */
-  def annLshTopk(s: SparkSession, d: String): DataFrame = {
-    // codegen DotProduct + per-vector precomputed norms: bit-identical to
-    // the fused cosine kernel on equal-length vectors (the fixtures), but
-    // the inner pair loop stays in whole-stage codegen — no UDF calls.
-    val e = t(s, d, "embeddings")
-      .withColumn("bucket", VectorFunctions.hyperplaneBucket(col("embedding")))
-      .withColumn("nrm", VectorFunctions.norm(col("embedding")))
+  /** Shared bucketed pairwise-cosine core: same-bucket pairs (a_id <
+    * b_id), sim via the codegen DotProduct + per-vector precomputed norms
+    * — bit-identical to the fused cosine kernel on equal-length vectors,
+    * and the inner pair loop stays in whole-stage codegen (no UDF calls).
+    * Input needs (bucket, vec_id, embedding) columns. */
+  private def bucketedPairSims(e0: DataFrame): DataFrame = {
+    val e = e0.withColumn("nrm", VectorFunctions.norm(col("embedding")))
     val a = e.select(col("bucket"), col("vec_id").as("a_id"), col("embedding").as("a_vec"), col("nrm").as("a_nrm"))
     val b = e.select(col("bucket").as("b_bucket"), col("vec_id").as("b_id"), col("embedding").as("b_vec"), col("nrm").as("b_nrm"))
     a.join(b, col("bucket") === col("b_bucket") && col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
         round(graft.GraftFunctions.dotProduct(col("a_vec"), col("b_vec")) / (col("a_nrm") * col("b_nrm")), 4).as("sim"))
+  }
+
+  def annLshTopk(s: SparkSession, d: String): DataFrame =
+    bucketedPairSims(t(s, d, "embeddings")
+        .withColumn("bucket", VectorFunctions.hyperplaneBucket(col("embedding"))))
       .orderBy(col("sim").desc, col("a_id"), col("b_id"))
       .limit(20)
-  }
 
   /** Embedding-cosine near-dup pairs (threshold form of the similarity
     * join): all pairs with rounded cosine ≥ 0.45. Brute force over the
@@ -295,13 +299,8 @@ object LlmTextOps {
     // maxIter 4: IVF needs stable bucket ASSIGNMENTS, not converged
     // centroids — each extra iteration is a full Spark job.
     val (_, preds) = graft.ml.MlPipelines.kmeansEmbeddings(s, d, k = 16, maxIter = 4)
-    val e = preds.select(col("vec_id"), col("embedding"), col("prediction").as("cl"),
-      VectorFunctions.norm(col("embedding")).as("nrm"))
-    val a = e.select(col("cl"), col("vec_id").as("a_id"), col("embedding").as("a_vec"), col("nrm").as("a_nrm"))
-    val b = e.select(col("cl").as("b_cl"), col("vec_id").as("b_id"), col("embedding").as("b_vec"), col("nrm").as("b_nrm"))
-    a.join(b, col("cl") === col("b_cl") && col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"),
-        round(graft.GraftFunctions.dotProduct(col("a_vec"), col("b_vec")) / (col("a_nrm") * col("b_nrm")), 4).as("sim"))
+    bucketedPairSims(preds.select(col("vec_id"), col("embedding"),
+        col("prediction").as("bucket")))
       .orderBy(col("sim").desc, col("a_id"), col("b_id"))
       .limit(20)
   }

@@ -10,8 +10,10 @@ class SqlSurfaceSpec extends SparkTestBase {
     spark.sql(s"DROP TABLE IF EXISTS $name")
     val dir = new java.io.File(s"spark-warehouse/$name")
     if (dir.exists()) {
-      java.nio.file.Files.walk(dir.toPath).sorted(java.util.Comparator.reverseOrder())
+      val walk = java.nio.file.Files.walk(dir.toPath)
+      try walk.sorted(java.util.Comparator.reverseOrder())
         .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
     }
   }
 
