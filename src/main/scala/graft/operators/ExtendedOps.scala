@@ -39,6 +39,15 @@ object ExtendedOps {
         round(min("o_totalprice"), 2).as("min_price"))
       .orderBy("o_orderstatus")
 
+  /** The salting skew technique as a GRADED op: the salted two-stage sum
+    * must hash-match the plain GROUP BY oracle (sums rounded 2 dp absorb
+    * the re-association). At 100 TB this is how a hot key's volume spreads
+    * across reducers instead of serializing on one. */
+  def aggSalted(s: SparkSession, d: String): DataFrame =
+    ScaleOps.saltedSum(t(s, d, "lineitem"), col("l_returnflag"), col("l_quantity"))
+      .select(col("key"), round(col("sum_v"), 2).as("sum_v"))
+      .orderBy("key")
+
   /** Boolean + bitwise aggregates (bool_and/bool_or, bit_and/or/xor). */
   def aggBoolBit(s: SparkSession, d: String): DataFrame =
     t(s, d, "lineitem")
@@ -461,6 +470,7 @@ object ExtendedOps {
     "merge_upsert" -> (mergeUpsert _),
     "text_roundtrip" -> (textRoundtrip _),
     "agg_minmax_by" -> (aggMinmaxBy _),
+    "agg_salted" -> (aggSalted _),
     "agg_bool_bit" -> (aggBoolBit _),
     "win_percent_cume" -> (winPercentCume _),
     "fn_bitwise" -> (fnBitwise _),
@@ -526,6 +536,8 @@ object ExtendedOps {
       "SELECT count(*) AS n_lines, CAST(sum(length(text)) AS BIGINT) AS total_chars FROM documents",
     "agg_minmax_by" ->
       "SELECT o_orderstatus, (max(struct_pack(p := o_totalprice, k := o_orderkey))).k AS best_key, (min(struct_pack(p := o_totalprice, k := o_orderkey))).k AS worst_key, round(max(o_totalprice), 2) AS max_price, round(min(o_totalprice), 2) AS min_price FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus",
+    "agg_salted" ->
+      "SELECT l_returnflag AS key, round(sum(l_quantity), 2) AS sum_v FROM lineitem GROUP BY l_returnflag ORDER BY key",
     "agg_bool_bit" ->
       "SELECT l_returnflag, bool_and(l_quantity >= 1.0) AS all_qty, bool_or(l_discount > 0.09) AS any_disc, bit_and(l_linenumber) AS b_and, bit_or(l_linenumber) AS b_or, bit_xor(l_linenumber) AS b_xor FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
     "win_percent_cume" ->
