@@ -202,7 +202,7 @@ object MlPipelines {
       .withColumn("features", array_to_vector(col("embedding")))
     val model = new org.apache.spark.ml.feature.PCA().setK(k)
       .setInputCol("features").setOutputCol("pca").fit(vecs)
-    val dim = model.transform(vecs).select("pca").head
+    val dim = model.transform(vecs).select("pca").head()
       .getAs[org.apache.spark.ml.linalg.Vector](0).size
     (dim, model.explainedVariance.toArray)
   }
@@ -222,7 +222,7 @@ object MlPipelines {
       .setInputCols(Array("l_quantity", "l_extendedprice", "l_discount"))
       .setOutputCol("features")
       .transform(Tables.load(spark, sfDir, "lineitem"))
-    org.apache.spark.ml.stat.Correlation.corr(df, "features").head
+    org.apache.spark.ml.stat.Correlation.corr(df, "features").head()
       .getAs[org.apache.spark.ml.linalg.Matrix](0)
   }
 

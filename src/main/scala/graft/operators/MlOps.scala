@@ -127,7 +127,7 @@ object MlOps {
     import org.apache.spark.ml.stat.Summarizer
     val vecs = t(s, d, "embeddings")
       .withColumn("features", org.apache.spark.ml.functions.array_to_vector(col("embedding")))
-    val mean = vecs.select(Summarizer.mean(col("features")).as("m")).head
+    val mean = vecs.select(Summarizer.mean(col("features")).as("m")).head()
       .getAs[org.apache.spark.ml.linalg.Vector]("m")
     import s.implicits._
     mean.toArray.zipWithIndex

@@ -58,7 +58,7 @@ class EventOpsSpec extends SparkTestBase {
   }
 
   test("sliding 1h/30min windows count each event exactly twice") {
-    val slidingTotal = EventOps.streamSliding(spark, SF).agg(sum("cnt")).head.getLong(0)
+    val slidingTotal = EventOps.streamSliding(spark, SF).agg(sum("cnt")).head().getLong(0)
     val total = Tables.load(spark, SF, "events").count()
     assert(slidingTotal == 2 * total)
   }

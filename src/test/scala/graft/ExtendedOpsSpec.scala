@@ -21,7 +21,7 @@ class ExtendedOpsSpec extends SparkTestBase {
     val df = Seq((1L, 5.0), (2L, 5.0), (3L, 1.0)).toDF("k", "v")
     val out = df.agg(
       expr("max_by(k, struct(v, k))").as("best"),
-      expr("min_by(k, struct(v, k))").as("worst")).head
+      expr("min_by(k, struct(v, k))").as("worst")).head()
     assert(out.getAs[Long]("best") == 2L, "tie on v must resolve to larger k")
     assert(out.getAs[Long]("worst") == 3L)
   }
@@ -53,13 +53,13 @@ class ExtendedOpsSpec extends SparkTestBase {
       .filter(col("o_totalprice") > 100000.0)
       .groupBy("o_custkey").agg(count(lit(1)).as("n_big"))
     assert(typed.count() == untyped.count())
-    assert(typed.agg(sum("n_big")).head.getLong(0) ==
-      untyped.agg(sum("n_big")).head.getLong(0))
+    assert(typed.agg(sum("n_big")).head().getLong(0) ==
+      untyped.agg(sum("n_big")).head().getLong(0))
   }
 
   test("higher-order suite matches a hand-computed row") {
-    val row = ExtendedOps.fnHigherOrder(spark, SF).head
-    val first = Tables.load(spark, SF, "embeddings").orderBy("vec_id").head
+    val row = ExtendedOps.fnHigherOrder(spark, SF).head()
+    val first = Tables.load(spark, SF, "embeddings").orderBy("vec_id").head()
     val vec = first.getSeq[Float](first.fieldIndex("embedding")).map(_.toDouble)
     val ssq = BigDecimal(vec.map(x => x * x).sum)
       .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble

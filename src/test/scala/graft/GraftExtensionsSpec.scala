@@ -10,7 +10,7 @@ class GraftExtensionsSpec extends SparkTestBase {
   test("graft_dot is SQL-callable and matches the kernel") {
     val r = spark.sql(
       "SELECT graft_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
-        "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d").head
+        "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d").head()
     assert(r.getDouble(0) == 11.0)
   }
 

@@ -31,7 +31,7 @@ class MlPipelinesSpec extends SparkTestBase {
 
   test("customer feature prep: one-hot(5 segments) + acctbal = 5-dim vector") {
     val out = MlPipelines.customerFeatures(Tables.load(spark, SF, "customer"))
-    val v = out.select("features").head.getAs[Vector](0)
+    val v = out.select("features").head().getAs[Vector](0)
     assert(v.size == 5) // 4 one-hot (dropLast) + 1 numeric
     assert(out.count() == Tables.load(spark, SF, "customer").count())
   }
@@ -99,7 +99,7 @@ class MlPipelinesSpec extends SparkTestBase {
     val baskets = Tables.load(spark, SF, "lineitem")
       .select(col("l_orderkey")).distinct().count()
     // every reported itemset must meet the support threshold
-    val minFreq = sets.agg(min("freq")).head.getLong(0)
+    val minFreq = sets.agg(min("freq")).head().getLong(0)
     assert(minFreq >= math.ceil(0.02 * baskets).toLong - 1, s"minFreq $minFreq of $baskets baskets")
     // anti-monotonicity: a singleton superset count never exceeds the singleton's
     val freqs = sets.collect().map(r => r.getSeq[Long](0).toSet -> r.getLong(1)).toMap
@@ -134,7 +134,7 @@ class MlPipelinesSpec extends SparkTestBase {
     (0 until 3).foreach(i => assert(math.abs(m(i, i) - 1.0) < 1e-12))
     val sqlCorr = Tables.load(spark, SF, "lineitem")
       .agg(org.apache.spark.sql.functions.corr("l_quantity", "l_extendedprice"))
-      .head.getDouble(0)
+      .head().getDouble(0)
     assert(math.abs(m(0, 1) - sqlCorr) < 1e-6)
   }
 

@@ -97,7 +97,7 @@ class RelationalOpsSpec extends SparkTestBase {
 
   test("stat functions: freqItems finds the frequent flags, sampleBy is seeded") {
     val li = Tables.load(spark, SF, "lineitem")
-    val freq = li.stat.freqItems(Array("l_returnflag"), 0.4).head
+    val freq = li.stat.freqItems(Array("l_returnflag"), 0.4).head()
       .getSeq[String](0).toSet
     assert(freq.subsetOf(Set("A", "N", "R")) && freq.nonEmpty)
     val sampled = li.stat.sampleBy("l_returnflag",
@@ -116,7 +116,7 @@ class RelationalOpsSpec extends SparkTestBase {
       "transform(map_values(str_to_map(s, ',', ':')), v -> cast(v AS int) * 10) AS tens",
       "filter(map_keys(str_to_map(s, ',', ':')), k -> k != 'b') AS keys",
       "aggregate(transform(map_values(str_to_map(s, ',', ':')), v -> cast(v AS int)), 0, (acc, x) -> acc + x) AS total")
-    val r = df.head
+    val r = df.head()
     assert(r.getAs[Map[String, String]]("m") == Map("a" -> "1", "b" -> "2", "c" -> "3"))
     assert(r.getSeq[Int](r.fieldIndex("tens")).toSeq == Seq(10, 20, 30))
     assert(r.getSeq[String](r.fieldIndex("keys")).toSeq == Seq("a", "c"))

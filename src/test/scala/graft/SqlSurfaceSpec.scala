@@ -52,7 +52,7 @@ class SqlSurfaceSpec extends SparkTestBase {
     Tables.view(spark, SF, "customer")
     val n = spark.sql(
       "SELECT count(*) FROM customer WHERE graft_clip(c_acctbal, 0.0, 1000.0) = 1000.0")
-      .head.getLong(0)
+      .head().getLong(0)
     val expected = Tables.load(spark, SF, "customer")
       .filter(col("c_acctbal") >= 1000.0).count()
     assert(n == expected)

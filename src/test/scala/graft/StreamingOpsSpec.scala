@@ -174,7 +174,7 @@ class StreamingOpsSpec extends SparkTestBase {
         drain(q)
         input.addData(ev(3, ts(1, 2), uid = 3))
         drain(q)
-        val latest = spark.sql("SELECT max(count) FROM rocks WHERE user_id = 3").head.getLong(0)
+        val latest = spark.sql("SELECT max(count) FROM rocks WHERE user_id = 3").head().getLong(0)
         assert(latest == 3L, s"RocksDB-backed state lost updates: $latest")
       } finally q.stop()
     } finally prev match {
