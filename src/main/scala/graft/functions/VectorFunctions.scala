@@ -68,6 +68,13 @@ object VectorFunctions {
 
   def cosineSim(a: Column, b: Column): Column = cosine(a, b)
 
+  /** Cosine from the codegen dot product and precomputed norms, rounded
+    * 4 dp — THE sim expression every join-shaped similarity op shares
+    * (bit-identical to the fused kernel on equal-length vectors). */
+  def cosineSimPrecomputed(aVec: Column, bVec: Column, aNrm: Column, bNrm: Column): Column =
+    org.apache.spark.sql.functions.round(
+      graft.GraftFunctions.dotProduct(aVec, bVec) / (aNrm * bNrm), 4)
+
   /** Plain-Scala twins of the [[dot]]/[[norm]] UDF loops — identical
     * accumulation order, so kernel results are bit-identical to the
     * expression path. */

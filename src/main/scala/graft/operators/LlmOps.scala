@@ -59,7 +59,8 @@ object LlmOps {
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
     broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        round(GraftFunctions.dotProduct(col("q_vec"), col("n_vec")) / (col("q_nrm") * col("n_nrm")), 4).as("sim"))
+        VectorFunctions.cosineSimPrecomputed(col("q_vec"), col("n_vec"),
+          col("q_nrm"), col("n_nrm")).as("sim"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
       .select("query_id", "rank", "neighbor_id", "sim")

@@ -275,7 +275,8 @@ object LlmTextOps {
     val b = e.select(col("bucket").as("b_bucket"), col("vec_id").as("b_id"), col("embedding").as("b_vec"), col("nrm").as("b_nrm"))
     a.join(b, col("bucket") === col("b_bucket") && col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
-        round(graft.GraftFunctions.dotProduct(col("a_vec"), col("b_vec")) / (col("a_nrm") * col("b_nrm")), 4).as("sim"))
+        VectorFunctions.cosineSimPrecomputed(col("a_vec"), col("b_vec"),
+          col("a_nrm"), col("b_nrm")).as("sim"))
   }
 
   def annLshTopk(s: SparkSession, d: String): DataFrame =
