@@ -116,6 +116,21 @@ class StreamingOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("AvailableNow trigger drains pending data and self-terminates") {
+    val input = MemoryStream[Event]
+    input.addData(ev(1, ts(1)), ev(2, ts(1, 1)), ev(3, ts(1, 2)))
+    val q = input.toDF().groupBy("user_id").count()
+      .writeStream.format("memory").queryName("drain").outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      assert(q.awaitTermination(60000), "AvailableNow query did not self-terminate")
+      assert(!q.isActive)
+      val n = spark.sql("SELECT sum(count) FROM drain").head().getLong(0)
+      assert(n == 3L, s"drained $n of 3 rows")
+    } finally if (q.isActive) q.stop()
+  }
+
   test("foreachBatch sink receives every micro-batch") {
     val input = MemoryStream[Event]
     val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
