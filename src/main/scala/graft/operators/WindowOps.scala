@@ -107,8 +107,20 @@ object WindowOps {
       .orderBy("event_id")
   }
 
+  /** E9: exact percentiles as WINDOW aggregates — every row carries its
+    * partition's median and p90 (no orderBy → frame = whole partition). */
+  def winMedian(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_orderstatus")
+    t(s, d, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        round(expr("percentile(o_totalprice, 0.5)").over(w), 4).as("status_median"),
+        round(expr("percentile(o_totalprice, 0.9)").over(w), 4).as("status_p90"))
+      .orderBy("o_orderkey")
+  }
+
   val queries: Map[String, Q] = Map(
     "win_fill_forward" -> (winFillForward _),
+    "win_median" -> (winMedian _),
     "win_topk_group" -> (winTopkGroup _),
     "win_rank_dense" -> (winRankDense _),
     "win_lag_lead" -> (winLagLead _),
@@ -119,6 +131,8 @@ object WindowOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "win_median" ->
+      "SELECT o_orderkey, o_orderstatus, round(quantile_cont(o_totalprice, 0.5) OVER (PARTITION BY o_orderstatus), 4) AS status_median, round(quantile_cont(o_totalprice, 0.9) OVER (PARTITION BY o_orderstatus), 4) AS status_p90 FROM orders ORDER BY o_orderkey",
     "win_fill_forward" ->
       ("WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v FROM events) " +
         "SELECT event_id, user_id, round(last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS filled, round(lag(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id), 2) AS prev_v FROM e ORDER BY event_id"),
