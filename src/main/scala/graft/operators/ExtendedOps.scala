@@ -48,6 +48,31 @@ object ExtendedOps {
       .select(col("key"), round(col("sum_v"), 2).as("sum_v"))
       .orderBy("key")
 
+  /** Fixed-width histogram: computed bucket ids (floor division, top
+    * bucket clamped), count + bounds per bucket — the numeric-profiling
+    * shape (one hash aggregation; distinct from CASE-tier bucketing). */
+  def aggHistogram(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .withColumn("bucket", least(floor(col("o_totalprice") / 50000), lit(9)).cast("int"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        round(min("o_totalprice"), 2).as("lo"),
+        round(max("o_totalprice"), 2).as("hi"))
+      .orderBy("bucket")
+
+  /** Three-valued-logic truth table: all 9 combinations of
+    * (true, false, NULL) × (true, false, NULL) through AND / OR / NOT /
+    * equality — the NULL-semantics contract, enumerated exhaustively
+    * (SQL-text entry; fixtures are null-free so the domain is literal). */
+  def fnBoolLogic3vl(s: SparkSession, d: String): DataFrame =
+    s.sql("""
+      WITH v AS (SELECT * FROM VALUES (1, true), (2, false), (3, CAST(NULL AS BOOLEAN)) AS t(i, b))
+      SELECT a.i AS ai, b.i AS bi,
+             (a.b AND b.b) AS and_r, (a.b OR b.b) AS or_r,
+             (NOT a.b) AS not_a, (a.b = b.b) AS eq_r,
+             (a.b IS NOT DISTINCT FROM b.b) AS same_r
+      FROM v a CROSS JOIN v b ORDER BY ai, bi""")
+
   /** Boolean + bitwise aggregates (bool_and/bool_or, bit_and/or/xor). */
   def aggBoolBit(s: SparkSession, d: String): DataFrame =
     t(s, d, "lineitem")
@@ -471,6 +496,8 @@ object ExtendedOps {
     "text_roundtrip" -> (textRoundtrip _),
     "agg_minmax_by" -> (aggMinmaxBy _),
     "agg_salted" -> (aggSalted _),
+    "agg_histogram" -> (aggHistogram _),
+    "fn_bool_logic_3vl" -> (fnBoolLogic3vl _),
     "agg_bool_bit" -> (aggBoolBit _),
     "win_percent_cume" -> (winPercentCume _),
     "fn_bitwise" -> (fnBitwise _),
@@ -538,6 +565,11 @@ object ExtendedOps {
       "SELECT o_orderstatus, (max(struct_pack(p := o_totalprice, k := o_orderkey))).k AS best_key, (min(struct_pack(p := o_totalprice, k := o_orderkey))).k AS worst_key, round(max(o_totalprice), 2) AS max_price, round(min(o_totalprice), 2) AS min_price FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus",
     "agg_salted" ->
       "SELECT l_returnflag AS key, round(sum(l_quantity), 2) AS sum_v FROM lineitem GROUP BY l_returnflag ORDER BY key",
+    "agg_histogram" ->
+      "SELECT CAST(least(floor(o_totalprice / 50000), 9) AS INTEGER) AS bucket, count(*) AS n, round(min(o_totalprice), 2) AS lo, round(max(o_totalprice), 2) AS hi FROM orders GROUP BY 1 ORDER BY bucket",
+    "fn_bool_logic_3vl" ->
+      ("WITH v AS (SELECT * FROM (VALUES (1, true), (2, false), (3, CAST(NULL AS BOOLEAN))) t(i, b)) " +
+        "SELECT a.i AS ai, b.i AS bi, (a.b AND b.b) AS and_r, (a.b OR b.b) AS or_r, (NOT a.b) AS not_a, (a.b = b.b) AS eq_r, (a.b IS NOT DISTINCT FROM b.b) AS same_r FROM v a CROSS JOIN v b ORDER BY ai, bi"),
     "agg_bool_bit" ->
       "SELECT l_returnflag, bool_and(l_quantity >= 1.0) AS all_qty, bool_or(l_discount > 0.09) AS any_disc, bit_and(l_linenumber) AS b_and, bit_or(l_linenumber) AS b_or, bit_xor(l_linenumber) AS b_xor FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
     "win_percent_cume" ->
