@@ -404,6 +404,15 @@ object ExtendedOps {
       .orderBy("key")
   }
 
+  /** json_tuple generator — the multi-field JSON extraction surface
+    * (one pass per row, N output columns; get_json_object re-parses per
+    * field). */
+  def jsonTuple(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .select(col("event_id"), json_tuple(col("props"), "k").as("k"))
+      .select(col("event_id"), col("k").cast("int").as("k"))
+      .orderBy("event_id")
+
   /** Trigonometric / angular function suite, rounded 6 dp for libm
     * last-ulp differences. */
   def fnTrig(s: SparkSession, d: String): DataFrame = {
@@ -486,6 +495,7 @@ object ExtendedOps {
     "typed_joinwith" -> (typedJoinWith _),
     "typed_cogroup" -> (typedCogroup _),
     "json_from_struct" -> (jsonFromStruct _),
+    "json_tuple_gen" -> (jsonTuple _),
     "json_variant" -> (jsonVariant _),
     "fn_collation" -> (fnCollation _),
     "fn_trig" -> (fnTrig _),
@@ -542,6 +552,8 @@ object ExtendedOps {
         "SELECT coalesce(o.custkey, c.c_custkey) AS custkey, coalesce(o.n_orders, 0) AS n_orders, coalesce(o.total_cents, 0) AS total_cents, c.c_custkey IS NOT NULL AS known_customer " +
         "FROM o FULL JOIN customer c ON o.custkey = c.c_custkey ORDER BY custkey"),
     "json_from_struct" ->
+      "SELECT event_id, CAST(props->>'$.k' AS INTEGER) AS k FROM events ORDER BY event_id",
+    "json_tuple_gen" ->
       "SELECT event_id, CAST(props->>'$.k' AS INTEGER) AS k FROM events ORDER BY event_id",
     "json_variant" ->
       "SELECT event_id, CAST(props->>'$.k' AS INTEGER) AS k, CAST(props->>'$.missing' AS INTEGER) AS missing FROM events ORDER BY event_id",
