@@ -404,6 +404,27 @@ object ExtendedOps {
       .orderBy("key")
   }
 
+  /** to_json serialization — struct rows back to canonical JSON strings
+    * (both engines emit compact key:value with no whitespace). */
+  def jsonToString(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .select(col("event_id"),
+        to_json(struct(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))).as("js"))
+      .orderBy("event_id")
+
+  /** Calendar-dimension generator: one row per month over a pinned span —
+    * the date-dim builder (sequence + explode; no input table). */
+  def genDateSeries(s: SparkSession, d: String): DataFrame =
+    s.range(1)
+      .select(explode(expr(
+        "sequence(DATE'1995-01-01', DATE'1997-12-01', interval 1 month)")).as("month_start"))
+      .select(col("month_start"),
+        year(col("month_start")).as("y"),
+        month(col("month_start")).as("m"),
+        quarter(col("month_start")).as("q"))
+      .orderBy("month_start")
+
   /** json_tuple generator — the multi-field JSON extraction surface
     * (one pass per row, N output columns; get_json_object re-parses per
     * field). */
@@ -496,6 +517,8 @@ object ExtendedOps {
     "typed_cogroup" -> (typedCogroup _),
     "json_from_struct" -> (jsonFromStruct _),
     "json_tuple_gen" -> (jsonTuple _),
+    "json_to_string" -> (jsonToString _),
+    "gen_date_series" -> (genDateSeries _),
     "json_variant" -> (jsonVariant _),
     "fn_collation" -> (fnCollation _),
     "fn_trig" -> (fnTrig _),
@@ -555,6 +578,10 @@ object ExtendedOps {
       "SELECT event_id, CAST(props->>'$.k' AS INTEGER) AS k FROM events ORDER BY event_id",
     "json_tuple_gen" ->
       "SELECT event_id, CAST(props->>'$.k' AS INTEGER) AS k FROM events ORDER BY event_id",
+    "json_to_string" ->
+      "SELECT event_id, to_json(struct_pack(event_id := event_id, k := CAST(props->>'$.k' AS INTEGER))) AS js FROM events ORDER BY event_id",
+    "gen_date_series" ->
+      "SELECT CAST(ms AS DATE) AS month_start, CAST(year(ms) AS INTEGER) AS y, CAST(month(ms) AS INTEGER) AS m, CAST(quarter(ms) AS INTEGER) AS q FROM (SELECT unnest(generate_series(DATE '1995-01-01', DATE '1997-12-01', INTERVAL 1 MONTH)) AS ms) ORDER BY month_start",
     "json_variant" ->
       "SELECT event_id, CAST(props->>'$.k' AS INTEGER) AS k, CAST(props->>'$.missing' AS INTEGER) AS missing FROM events ORDER BY event_id",
     "fn_collation" ->
