@@ -24,10 +24,18 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3 dp (ms resolution) keeps the JSON line compact — the driver
+    // captures a bounded stdout tail, and sub-ms digits are noise.
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Durable copy: stdout capture is tail-truncated by the driver, so the
+    // full per-query breakdown also lands in a file for regression diffs.
+    try java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/bench.json"),
+      json.getBytes("UTF-8"))
+    catch { case _: Throwable => }
+    println(json)
     spark.stop()
   }
 }

@@ -35,4 +35,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 object GraftFunctions {
   /** Codegen'd float-array dot product (see [[org.apache.spark.sql.graftnative.DotProduct]]). */
   def dotProduct(a: Column, b: Column): Column = GraftNative.dotProduct(a, b)
+
+  /** Codegen'd float-array L2 norm (see [[org.apache.spark.sql.graftnative.VectorNorm]]). */
+  def vectorNorm(a: Column): Column = GraftNative.vectorNorm(a)
+
+  /** Codegen'd 16-bit random-hyperplane LSH bucket id
+    * (see [[org.apache.spark.sql.graftnative.HyperplaneBucket]]). */
+  def hyperplaneBucket(a: Column): Column = GraftNative.hyperplaneBucket(a)
 }

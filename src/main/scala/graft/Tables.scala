@@ -27,9 +27,19 @@ object Tables {
     * prunes nothing (fixture arrays are never empty, and no join pushdown
     * depends on it). Measured on llm_ngram_jaccard at sf0.1: 4.5 s → 1.9 s
     * warm with the rule excluded. */
-  private def tune(spark: SparkSession): Unit =
-    spark.conf.set("spark.sql.optimizer.excludedRules",
-      "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+  private val ExcludedRule =
+    "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+
+  private def tune(spark: SparkSession): Unit = {
+    // Read-modify-write: callers (tests, users) may have excluded their own
+    // rules — merge instead of clobbering, and skip the conf write once
+    // present (conf sets invalidate cached plans).
+    val cur = spark.conf.getOption("spark.sql.optimizer.excludedRules")
+      .map(_.trim).filter(_.nonEmpty)
+    if (!cur.exists(_.split(",").map(_.trim).contains(ExcludedRule)))
+      spark.conf.set("spark.sql.optimizer.excludedRules",
+        (cur.toSeq :+ ExcludedRule).mkString(","))
+  }
 
   /** Load one table as a DataFrame, applying per-table normalization. */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {

@@ -1,0 +1,36 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.Comparator
+import java.util.concurrent.ConcurrentHashMap
+
+/** One temp directory per (tag, key) per JVM for the write-roundtrip
+  * operators (csv/json/orc/xml/text/binaryFile sources and the partitioned
+  * layout). Repeated invocations — bench reps, verify + bench in one
+  * session — reuse the written layout instead of leaking a fresh corpus
+  * copy per call, and every directory is removed on JVM exit.
+  */
+object TempDirs {
+  private val dirs = new ConcurrentHashMap[String, String]()
+
+  sys.addShutdownHook {
+    dirs.values.forEach { d =>
+      val p = Paths.get(d)
+      if (Files.exists(p))
+        Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+          .forEach(f => { try Files.delete(f) catch { case _: Throwable => } })
+    }
+  }
+
+  /** Return the cached directory for (tag, key), running `write` exactly
+    * once per JVM to populate it. `write` must fully materialize the
+    * layout before returning (computeIfAbsent publishes the mapping only
+    * after it completes, so concurrent callers never see a half-written
+    * directory). */
+  def cached(tag: String, key: String)(write: String => Unit): String =
+    dirs.computeIfAbsent(s"$tag|$key", { _ =>
+      val dir = Files.createTempDirectory(s"graft_$tag").toString
+      write(dir)
+      dir
+    })
+}

@@ -113,9 +113,19 @@ object VectorFunctions {
     * executor memory — ~0.5 MB per 2 k vectors at 64 dims). The 100 TB
     * path is LSH/IVF bucketing (annLshTopk / annIvfTopk), which bounds
     * each bucket to exactly this kernel's scale. */
+  /** Hard cap for the collect-and-broadcast kernel: ~100 k × 64-dim floats
+    * ≈ 26 MB broadcast and 5×10⁹ pair evaluations — past this, the collect
+    * threatens the driver and the O(n²) loop the wall clock. */
+  val MaxKernelVectors = 100000L
+
   def cosinePairsKernel(s: SparkSession, e: DataFrame, minSim: Double): DataFrame = {
     import s.implicits._
     val vecs = e.select("vec_id", "embedding").as[(Long, Array[Float])]
+    val n = vecs.count()
+    require(n <= MaxKernelVectors,
+      s"cosinePairsKernel collects the vector table to the driver and is the BOUNDED exact path " +
+        s"(got $n vectors, cap $MaxKernelVectors). Use cosinePairsDistributed for exact pairs at scale, " +
+        "or the approximate annLshTopk / annIvfTopk bucketed paths.")
     val entries = vecs.collect().sortBy(_._1)
     val ids = entries.map(_._1)
     val arrs = entries.map(_._2)
@@ -136,6 +146,82 @@ object VectorFunctions {
         }
       }
     }.toDF("a_id", "b_id", "sim")
+  }
+
+  /** Distributed all-pairs cosine — the no-driver-collect twin of
+    * [[cosinePairsKernel]], bit-identical output (same dot/norm/round4
+    * loops, same a_id < b_id / equal-id-skip semantics). A classic
+    * block-nested-loop join:
+    *
+    *  1. vectors hash into `numChunks` blocks (`vec_id % K`); each block is
+    *     assembled by a `groupByKey.mapGroups` that runs in EXECUTORS —
+    *     the driver never holds a vector;
+    *  2. each block replicates itself K times, keyed by the ordered block
+    *     pair (i,j) it participates in;
+    *  3. each of the K(K+1)/2 pair-groups runs the primitive-array kernel
+    *     over its one or two blocks as an independent task.
+    *
+    * Scale posture: per-task memory is bounded by TWO blocks (n/K vectors
+    * each — grow K with n so a block stays ~executor-heap-sized), shuffle
+    * volume is O(K·n) rows, and the inherent O(n²) exact-join work shards
+    * over K(K+1)/2 tasks with no single process ever holding the full set.
+    * For unbounded n the approximate paths (annLshTopk / annIvfTopk)
+    * replace exactness with bucketing. */
+  def cosinePairsDistributed(s: SparkSession, e: DataFrame, minSim: Double,
+                             numChunks: Int = 16): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    import s.implicits._
+    val k = numChunks
+    val blocks = e
+      .select(pmod(col("vec_id"), lit(k)).cast("int").as("chunk"),
+        col("vec_id"), col("embedding"))
+      .as[(Int, Long, Array[Float])]
+      .groupByKey(_._1)
+      .mapGroups { (c, it) =>
+        val arr = it.map(t => (t._2, t._3)).toArray.sortBy(_._1)
+        VecBlock(c, arr.map(_._1), arr.map(_._2))
+      }
+    blocks
+      .flatMap(b => (0 until k).iterator.map { o =>
+        val lo = math.min(b.chunk, o); val hi = math.max(b.chunk, o)
+        (lo * k + hi, b)
+      })
+      .groupByKey(_._1)
+      .flatMapGroups { (key, it) =>
+        val bs = it.map(_._2).toArray
+        // An off-diagonal pair-group (i,j) with one of its chunks EMPTY
+        // receives a single block; its self-pairs already ran under the
+        // diagonal key (i,i), so emitting them here would duplicate pairs.
+        if (bs.length == 2) blockCrossPairs(bs(0), bs(1), minSim)
+        else if (key / k == key % k) blockSelfPairs(bs(0), minSim)
+        else Iterator.empty
+      }
+      .toDF("a_id", "b_id", "sim")
+  }
+
+  private def blockSelfPairs(b: VecBlock, minSim: Double): Iterator[(Long, Long, Double)] = {
+    val nrms = b.vecs.map(normValue)
+    for {
+      u <- b.ids.indices.iterator
+      v <- (u + 1 until b.ids.length).iterator
+      if b.ids(u) != b.ids(v) // ids sorted asc: u<v gives a_id < b_id
+      sim = round4(dotValue(b.vecs(u), b.vecs(v)) / (nrms(u) * nrms(v)))
+      if sim >= minSim
+    } yield (b.ids(u), b.ids(v), sim)
+  }
+
+  private def blockCrossPairs(x: VecBlock, y: VecBlock, minSim: Double): Iterator[(Long, Long, Double)] = {
+    val nx = x.vecs.map(normValue)
+    val ny = y.vecs.map(normValue)
+    // equal ids land in the same chunk (chunk = id mod K), so cross-block
+    // pairs are always distinct-id; order each pair by id.
+    for {
+      u <- x.ids.indices.iterator
+      v <- y.ids.indices.iterator
+      sim = round4(dotValue(x.vecs(u), y.vecs(v)) / (nx(u) * ny(v)))
+      if sim >= minSim
+    } yield if (x.ids(u) < y.ids(v)) (x.ids(u), y.ids(v), sim)
+            else (y.ids(v), x.ids(u), sim)
   }
 
   /** 16-bit random-hyperplane (SimHash-for-cosine) bucket id. Hyperplane

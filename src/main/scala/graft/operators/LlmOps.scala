@@ -36,14 +36,16 @@ object LlmOps {
   def llmDedupExact(s: SparkSession, d: String): DataFrame =
     dedupExact(t(s, d, "documents")).orderBy("survivor_id")
 
-  /** K3: global top-20 most-similar embedding pairs, brute-force cosine via
-    * the per-partition broadcast kernel (VectorFunctions.cosinePairsKernel
-    * — the UDF-join form materialized 2M joined rows and ran ~4 s at
-    * sf0.1; the SQL HOF form was 36.7 s, SURVEY.md §6). Similarity rounded
-    * to 4 dp before the top-k ordering so selection is deterministic
-    * cross-engine. */
+  /** K3: global top-20 most-similar embedding pairs, exact brute-force
+    * cosine via the distributed block-nested-loop join
+    * (VectorFunctions.cosinePairsDistributed — no driver collect; the
+    * UDF-join form materialized 2M joined rows and ran ~4 s at sf0.1; the
+    * SQL HOF form was 36.7 s, SURVEY.md §6). Similarity rounded to 4 dp
+    * before the top-k ordering so selection is deterministic cross-engine.
+    * Exact global top-k is inherently O(n²); past ~10⁵ vectors use the
+    * bucketed annLshTopk / annIvfTopk instead. */
   def llmCosineTopk(s: SparkSession, d: String): DataFrame =
-    VectorFunctions.cosinePairsKernel(s, t(s, d, "embeddings"), -1.1)
+    VectorFunctions.cosinePairsDistributed(s, t(s, d, "embeddings"), -1.1)
       .orderBy(col("sim").desc, col("a_id"), col("b_id"))
       .limit(20)
 
@@ -52,7 +54,7 @@ object LlmOps {
   def llmKnnQueries(s: SparkSession, d: String): DataFrame = {
     val e = t(s, d, "embeddings")
       .select(col("vec_id"), col("embedding"),
-        VectorFunctions.norm(col("embedding")).as("nrm"))
+        GraftFunctions.vectorNorm(col("embedding")).as("nrm"))
     val q = e.filter(col("vec_id") <= 4)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"), col("nrm").as("q_nrm"))
     val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("n_vec"), col("nrm").as("n_nrm"))

@@ -270,7 +270,7 @@ object LlmTextOps {
     * and the inner pair loop stays in whole-stage codegen (no UDF calls).
     * Input needs (bucket, vec_id, embedding) columns. */
   private def bucketedPairSims(e0: DataFrame): DataFrame = {
-    val e = e0.withColumn("nrm", VectorFunctions.norm(col("embedding")))
+    val e = e0.withColumn("nrm", graft.GraftFunctions.vectorNorm(col("embedding")))
     val a = e.select(col("bucket"), col("vec_id").as("a_id"), col("embedding").as("a_vec"), col("nrm").as("a_nrm"))
     val b = e.select(col("bucket").as("b_bucket"), col("vec_id").as("b_id"), col("embedding").as("b_vec"), col("nrm").as("b_nrm"))
     a.join(b, col("bucket") === col("b_bucket") && col("a_id") < col("b_id"))
@@ -281,16 +281,18 @@ object LlmTextOps {
 
   def annLshTopk(s: SparkSession, d: String): DataFrame =
     bucketedPairSims(t(s, d, "embeddings")
-        .withColumn("bucket", VectorFunctions.hyperplaneBucket(col("embedding"))))
+        .withColumn("bucket", graft.GraftFunctions.hyperplaneBucket(col("embedding"))))
       .orderBy(col("sim").desc, col("a_id"), col("b_id"))
       .limit(20)
 
   /** Embedding-cosine near-dup pairs (threshold form of the similarity
-    * join): all pairs with rounded cosine ≥ 0.45. Brute force over the
-    * bounded fixture; at 100 TB the candidate set comes from the LSH/IVF
-    * buckets below and this threshold filter runs per bucket. */
+    * join): all pairs with rounded cosine ≥ 0.45, computed by the
+    * distributed block-nested-loop join (no driver collect; per-task
+    * memory bounded by two vector blocks). At 100 TB the exact join is
+    * replaced by the LSH/IVF bucketed candidates below with the same
+    * threshold filter per bucket. */
   def llmDedupEmbedding(s: SparkSession, d: String): DataFrame =
-    VectorFunctions.cosinePairsKernel(s, t(s, d, "embeddings"), 0.45)
+    VectorFunctions.cosinePairsDistributed(s, t(s, d, "embeddings"), 0.45)
       .orderBy("a_id", "b_id")
 
   /** IVF ANN scale path (no oracle — KMeans-assignment specific): seeded

@@ -129,8 +129,9 @@ object MultimodalOps {
     * content bytes). Graded on order-free byte totals: Σ(bytes) over the
     * ingested files equals Σ(octet_length(text) + 1 newline) over docs. */
   def mmBinarySource(s: SparkSession, d: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_bin").toString
-    Tables.load(s, d, "documents").select("text").write.mode("overwrite").text(tmp)
+    val tmp = graft.TempDirs.cached("bin", d) { dir =>
+      Tables.load(s, d, "documents").select("text").write.mode("overwrite").text(dir)
+    }
     s.read.format("binaryFile").option("pathGlobFilter", "part-*").load(tmp)
       .agg(sum(length(col("content"))).as("total_bytes"))
   }

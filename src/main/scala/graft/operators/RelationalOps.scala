@@ -48,8 +48,9 @@ object RelationalOps {
     * schema. Exercises a non-parquet source with pinned header/quote opts. */
   def csvRoundtrip(s: SparkSession, d: String): DataFrame = {
     val r = t(s, d, "region")
-    val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString
-    r.write.mode("overwrite").option("header", "true").csv(tmp)
+    val tmp = graft.TempDirs.cached("csv", d) { dir =>
+      r.write.mode("overwrite").option("header", "true").csv(dir)
+    }
     s.read.option("header", "true").schema(r.schema).csv(tmp)
       .orderBy("r_regionkey")
   }
@@ -58,8 +59,7 @@ object RelationalOps {
     * explicit schema (schema-on-read; no inference job). */
   def jsonRoundtrip(s: SparkSession, d: String): DataFrame = {
     val r = t(s, d, "region")
-    val tmp = java.nio.file.Files.createTempDirectory("graft_json").toString
-    r.write.mode("overwrite").json(tmp)
+    val tmp = graft.TempDirs.cached("json", d)(dir => r.write.mode("overwrite").json(dir))
     s.read.schema(r.schema).json(tmp)
       .orderBy("r_regionkey")
   }
@@ -67,8 +67,7 @@ object RelationalOps {
   /** A5c: ORC round-trip — the third file format surface. */
   def orcRoundtrip(s: SparkSession, d: String): DataFrame = {
     val r = t(s, d, "region")
-    val tmp = java.nio.file.Files.createTempDirectory("graft_orc").toString
-    r.write.mode("overwrite").orc(tmp)
+    val tmp = graft.TempDirs.cached("orc", d)(dir => r.write.mode("overwrite").orc(dir))
     s.read.schema(r.schema).orc(tmp)
       .orderBy("r_regionkey")
   }
@@ -77,8 +76,9 @@ object RelationalOps {
     * schema on read (rowTag pinned). */
   def xmlRoundtrip(s: SparkSession, d: String): DataFrame = {
     val r = t(s, d, "region")
-    val tmp = java.nio.file.Files.createTempDirectory("graft_xml").toString
-    r.write.mode("overwrite").option("rowTag", "row").format("xml").save(tmp)
+    val tmp = graft.TempDirs.cached("xml", d) { dir =>
+      r.write.mode("overwrite").option("rowTag", "row").format("xml").save(dir)
+    }
     s.read.schema(r.schema).option("rowTag", "row").format("xml").load(tmp)
       .orderBy("r_regionkey")
   }

@@ -62,4 +62,10 @@ case class DotProduct(left: Expression, right: Expression)
 object GraftNative {
   def dotProduct(a: Column, b: Column): Column =
     ExpressionUtils.column(DotProduct(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  def vectorNorm(a: Column): Column =
+    ExpressionUtils.column(VectorNorm(ExpressionUtils.expression(a)))
+
+  def hyperplaneBucket(a: Column): Column =
+    ExpressionUtils.column(HyperplaneBucket(ExpressionUtils.expression(a)))
 }

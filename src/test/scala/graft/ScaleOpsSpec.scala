@@ -75,6 +75,29 @@ class ScaleOpsSpec extends SparkTestBase {
     assert(plan.contains("WindowGroupLimit"), s"expected group-limit pushdown in:\n$plan")
   }
 
+  test("ANN LSH path is UDF-free end-to-end (whole-stage codegen)") {
+    import graft.operators.LlmTextOps
+    val plan = LlmTextOps.annLshTopk(spark, SF).queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"),
+      s"expected native expressions only in:\n$plan")
+  }
+
+  test("no graded query collects vectors to the driver (distributed cosine)") {
+    import graft.operators.{LlmOps, LlmTextOps}
+    // the distributed block join shows up as groupByKey/mapGroups stages
+    // (SerializeFromObject), never a driver-side broadcast of the table
+    Seq(LlmOps.llmCosineTopk(spark, SF), LlmTextOps.llmDedupEmbedding(spark, SF))
+      .foreach { df =>
+        val plan = df.queryExecution.executedPlan.toString
+        // the collect kernel plans a bare MapPartitions over a driver
+        // broadcast — no shuffle, no group assembly; the distributed
+        // block join must show executor-side block assembly (MapGroups
+        // after an Exchange on the chunk key)
+        assert(plan.contains("MapGroups"), s"expected block assembly in:\n$plan")
+        assert(plan.contains("Exchange hashpartitioning"), s"expected chunk shuffle in:\n$plan")
+      }
+  }
+
   test("dynamic partition pruning fires on a selective dim join") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_dpp").toString

@@ -60,6 +60,56 @@ class VectorFunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("distributed block-join pairs match the collect kernel bit-for-bit") {
+    val spark0 = TestSpark.spark
+    import spark0.implicits._
+    // duplicate ids, a zero vector, and n chosen so chunk counts both
+    // divide and don't divide it; k > n forces EMPTY chunks (the case
+    // where a lone off-diagonal block must not re-emit self-pairs)
+    val rows = Seq.tabulate(37)(i => (i.toLong, randVec(16).toArray)) ++
+      Seq((3L, randVec(16).toArray), (50L, Array.fill(16)(0f)))
+    val df = rows.toDF("vec_id", "embedding")
+    val expected = VectorFunctions.cosinePairsKernel(spark0, df, -2.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    Seq(1, 3, 16, 64).foreach { k =>
+      val got = VectorFunctions.cosinePairsDistributed(spark0, df, -2.0, numChunks = k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+      assert(got == expected, s"numChunks=$k diverged from kernel")
+    }
+  }
+
+  test("cosine kernel guard fails loudly past the vector cap") {
+    val spark0 = TestSpark.spark
+    import spark0.implicits._
+    import org.apache.spark.sql.functions.{array, col, lit}
+    val big = spark0.range(VectorFunctions.MaxKernelVectors + 1)
+      .select(col("id").as("vec_id"),
+        array(lit(1f), lit(0f)).as("embedding"))
+    val e = intercept[IllegalArgumentException] {
+      VectorFunctions.cosinePairsKernel(spark0, big, 0.9)
+    }
+    assert(e.getMessage.contains("cosinePairsDistributed"))
+  }
+
+  test("native VectorNorm and HyperplaneBucket match their scala twins bit-for-bit") {
+    val spark0 = TestSpark.spark
+    import spark0.implicits._
+    import org.apache.spark.sql.functions.col
+    val vecs = Seq.tabulate(50)(i => (i.toLong, randVec(64)))
+    val out = vecs.toDF("id", "a")
+      .select(col("id"), graft.GraftFunctions.vectorNorm(col("a")).as("n"),
+        graft.GraftFunctions.hyperplaneBucket(col("a")).as("b"))
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getInt(2)))).toMap
+    val udfOut = vecs.toDF("id", "a")
+      .select(col("id"), VectorFunctions.norm(col("a")).as("n"),
+        VectorFunctions.hyperplaneBucket(col("a")).as("b"))
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getInt(2)))).toMap
+    vecs.foreach { case (id, a) =>
+      assert(out(id)._1 == VectorFunctions.normValue(a.toArray), s"norm id $id")
+      assert(out(id) == udfOut(id), s"native vs udf id $id")
+    }
+  }
+
   test("hyperplane buckets are deterministic and 16-bit") {
     val v = randVec(64)
     val spark0 = TestSpark.spark
