@@ -182,6 +182,31 @@ object MlPipelines {
       .evaluate(model.transform(vecs))
   }
 
+  /** Gradient-boosted trees over embeddings → binary label (GBTClassifier
+    * only supports binary — label parity keeps the fixture's 0..k labels
+    * usable). Boosting is sequential by nature: one tree fit per iteration,
+    * each a distributed job — fine at 100 TB, just latency-bound by
+    * iterations. Returns training accuracy. */
+  def gbtEmbeddings(spark: SparkSession, sfDir: String): Double = {
+    val vecs = labeledEmbeddings(spark, sfDir)
+      .withColumn("label", (col("label") % 2).cast("double"))
+    val model = new org.apache.spark.ml.classification.GBTClassifier()
+      .setSeed(Seed).setMaxIter(10).setMaxDepth(4).fit(vecs)
+    new MulticlassClassificationEvaluator().setMetricName("accuracy")
+      .evaluate(model.transform(vecs))
+  }
+
+  /** One-vs-rest multiclass reduction wrapping a binary LogisticRegression
+    * over embeddings → label (k parallel binary fits — each an independent
+    * distributed job). Returns training accuracy. */
+  def oneVsRestEmbeddings(spark: SparkSession, sfDir: String): Double = {
+    val vecs = labeledEmbeddings(spark, sfDir)
+    val ovr = new org.apache.spark.ml.classification.OneVsRest()
+      .setClassifier(new LogisticRegression().setMaxIter(15).setRegParam(0.01))
+    new MulticlassClassificationEvaluator().setMetricName("accuracy")
+      .evaluate(ovr.fit(vecs).transform(vecs))
+  }
+
   /** FPGrowth frequent itemsets over per-order part baskets (market-basket
     * mining — the classic MLlib-era workload). Returns the itemsets frame
     * (items array + freq). */

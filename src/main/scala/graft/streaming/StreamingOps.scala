@@ -37,12 +37,18 @@ object StreamingOps {
       .select(col("user_id"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_events"))
 
-  /** Streaming twin of I4: exact dedup on event_id; watermark bounds the
-    * dedup state (keys older than the watermark are evicted). */
+  /** Streaming twin of I4: exact dedup on event_id with BOUNDED state.
+    * Plain `dropDuplicates("event_id")` never evicts when the event-time
+    * column is not among the dedup keys — state grows with stream history
+    * (verified: numRowsRemoved stayed 0 across batches). The
+    * within-watermark variant expires each key once the watermark passes
+    * its first-seen time + delay: the guarantee weakens from "dedup over
+    * all history" to "dedup within the watermark window", which is the
+    * only version that survives an unbounded stream. */
   def dedupStream(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
     events
       .withWatermark("ts", watermark)
-      .dropDuplicates("event_id")
+      .dropDuplicatesWithinWatermark("event_id")
 
   /** Stream-stream interval join: each purchase joins signups of the same
     * user from the preceding hour. Watermarks on BOTH sides plus the time

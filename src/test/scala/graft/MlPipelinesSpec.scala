@@ -91,6 +91,22 @@ class MlPipelinesSpec extends SparkTestBase {
     assert(rf >= dt - 0.05, s"rf $rf far below dt $dt")
   }
 
+  test("GBT trains a binary classifier above the parity-label majority floor") {
+    val gbt = MlPipelines.gbtEmbeddings(spark, SF)
+    // label%2 is near-balanced, so majority-class is ~0.5; boosted trees on
+    // the training set must beat it clearly
+    assert(gbt >= 0.6 && gbt <= 1.0, s"GBT train accuracy $gbt")
+  }
+
+  test("OneVsRest multiclass reduction is comparable to direct multinomial logreg") {
+    val ovr = MlPipelines.oneVsRestEmbeddings(spark, SF)
+    assert(ovr >= 0.0 && ovr <= 1.0)
+    // k independent binary fits should land near the direct multiclass
+    // tree baseline on the same features
+    val dt = MlPipelines.decisionTreeEmbeddings(spark, SF)
+    assert(ovr >= dt - 0.3, s"OvR $ovr implausibly far below tree $dt")
+  }
+
   test("FPGrowth finds frequent itemsets with support-consistent counts") {
     import org.apache.spark.sql.functions._
     val sets = MlPipelines.fpGrowthBaskets(spark, SF, minSupport = 0.02)

@@ -116,6 +116,62 @@ class StreamingOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("dedup watermark EVICTS old keys and DROPS late rows (StateOperatorProgress)") {
+    val input = MemoryStream[Event]
+    val q = StreamingOps.dedupStream(input.toDF())
+      .writeStream.format("memory").queryName("dedup_evict").outputMode("append").start()
+    try {
+      input.addData(ev(1, ts(1, 0)), ev(2, ts(1, 1)))
+      drain(q)
+      // jump event time 8 hours -> watermark passes 1:xx; old dedup keys
+      // are older than the watermark and must be REMOVED from the store
+      input.addData(ev(10, ts(9, 0)))
+      drain(q)
+      input.addData(ev(11, ts(9, 1))) // extra batch so eviction lands in a progress
+      drain(q)
+      // a row far behind the watermark must be dropped, not deduped/stored
+      input.addData(ev(12, ts(1, 2)))
+      drain(q)
+      val progs = q.recentProgress.flatMap(_.stateOperators)
+      assert(progs.exists(_.numRowsRemoved > 0),
+        s"watermark never evicted dedup state: ${progs.map(_.numRowsRemoved).mkString(",")}")
+      assert(progs.exists(_.numRowsDroppedByWatermark > 0),
+        s"late row not dropped by watermark: ${progs.map(_.numRowsDroppedByWatermark).mkString(",")}")
+      // the store must hold only keys newer than the watermark, not history
+      val finalTotal = q.lastProgress.stateOperators.head.numRowsTotal
+      assert(finalTotal <= 2, s"dedup state not bounded by watermark: $finalTotal rows")
+      // and the late row must not appear in output
+      val ids = spark.sql("SELECT event_id FROM dedup_evict").collect().map(_.getLong(0)).toSet
+      assert(!ids.contains(12L), s"late row leaked into output: $ids")
+    } finally q.stop()
+  }
+
+  test("stream-stream join state is bounded: watermark advance removes buffered rows") {
+    val purchases = MemoryStream[Event]
+    val signups = MemoryStream[Event]
+    val q = StreamingOps.purchaseAttribution(purchases.toDF(), signups.toDF())
+      .writeStream.format("memory").queryName("attr_evict").outputMode("append").start()
+    try {
+      signups.addData(ev(100, ts(1, 0), uid = 1, typ = "signup"))
+      purchases.addData(ev(200, ts(1, 30), uid = 1, typ = "purchase"))
+      drain(q)
+      // both watermarks jump ~11 hours: the buffered signup's join window
+      // (ts + 1 h) is far behind -> its state row must be removed
+      purchases.addData(ev(299, ts(12, 0), uid = 9))
+      signups.addData(ev(399, ts(12, 0), uid = 9, typ = "signup"))
+      drain(q)
+      purchases.addData(ev(300, ts(12, 30), uid = 9))
+      signups.addData(ev(400, ts(12, 30), uid = 9, typ = "signup"))
+      drain(q)
+      val progs = q.recentProgress.flatMap(_.stateOperators)
+      assert(progs.exists(_.numRowsRemoved > 0),
+        s"join state never evicted: ${progs.map(_.numRowsRemoved).mkString(",")}")
+      // remaining state holds only rows inside the current interval bound
+      val finalTotal = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(finalTotal <= 4, s"join state grew beyond the interval bound: $finalTotal")
+    } finally q.stop()
+  }
+
   test("AvailableNow trigger drains pending data and self-terminates") {
     val input = MemoryStream[Event]
     input.addData(ev(1, ts(1)), ev(2, ts(1, 1)), ev(3, ts(1, 2)))
