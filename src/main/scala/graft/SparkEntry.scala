@@ -16,12 +16,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalOps.queries ++ WindowOps.queries ++ EventOps.queries ++
       LlmOps.queries ++ MlOps.queries ++ LlmTextOps.queries ++
-      MultimodalOps.queries ++ ExtendedOps.queries ++ MinHashOps.queries
+      MultimodalOps.queries ++ ExtendedOps.queries ++ MinHashOps.queries ++
+      TableOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalOps.oracles ++ WindowOps.oracles ++ EventOps.oracles ++
       LlmOps.oracles ++ MlOps.oracles ++ LlmTextOps.oracles ++
-      MultimodalOps.oracles ++ ExtendedOps.oracles ++ MinHashOps.oracles
+      MultimodalOps.oracles ++ ExtendedOps.oracles ++ MinHashOps.oracles ++
+      TableOps.oracles
 }

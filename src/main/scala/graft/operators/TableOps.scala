@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Tables, TempDirs}
+import graft.tables.VersionedTable
+
+/** Graded surface of the versioned table format (graft.tables
+  * .VersionedTable): a deterministic create → MERGE → DELETE commit
+  * sequence over the customer fixture, graded three ways — the final
+  * state, a time-travel read of the ORIGINAL version, and the audit
+  * history. Oracles re-derive each state relationally in DuckDB (the
+  * table format must agree with plain SQL over the same inputs).
+  *
+  * The three-version fixture table is built once per (JVM, sfDir) via
+  * TempDirs; queries only read manifests after that.
+  */
+object TableOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Build v0=create(customer subset), v1=MERGE(zero rich accounts +
+    * insert sentinel), v2=DELETE(negative balances). Deterministic: no
+    * timestamps, no randomness, fixed coalesce in merge. */
+  private def fixtureTable(s: SparkSession, d: String): VersionedTable = {
+    val root = TempDirs.cached("vtable", d) { dir =>
+      val base = Tables.load(s, d, "customer")
+        .select(col("c_custkey").as("id"), col("c_acctbal").as("acctbal"))
+      val t = VersionedTable.create(s, dir + "/t", base)
+      val updates = base.filter(col("acctbal") > lit(9000.0))
+        .select(col("id"), lit(0.0).as("acctbal"))
+        .union(s.range(999999L, 1000000L).select(col("id"), lit(1.0).as("acctbal")))
+      t.merge(updates, "id")
+      t.delete(col("acctbal") < lit(0.0))
+      ()
+    }
+    VersionedTable.open(s, root + "/t")
+  }
+
+  /** VT1: final state after create → merge → delete. */
+  def vtMergeDelete(s: SparkSession, d: String): DataFrame =
+    fixtureTable(s, d).read().orderBy("id")
+
+  /** VT2: time travel — v0 must still read as the ORIGINAL snapshot even
+    * after two further commits rewrote / removed its rows. */
+  def vtTimeTravel(s: SparkSession, d: String): DataFrame =
+    fixtureTable(s, d).read(asOf = Some(0)).orderBy("id")
+
+  /** VT3: audit history — one row per committed version. File counts are
+    * layout-dependent, so the graded columns are version ids + row counts
+    * (the invariant a user audits: what did each commit do to the data). */
+  def vtHistory(s: SparkSession, d: String): DataFrame = {
+    val t = fixtureTable(s, d)
+    import s.implicits._
+    t.versions.map(v => (v, t.read(Some(v)).count()))
+      .toDF("version", "n_rows").orderBy("version")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "vt_merge_delete" -> (vtMergeDelete _),
+    "vt_time_travel" -> (vtTimeTravel _),
+    "vt_history" -> (vtHistory _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    // v2 = customer with rich accounts zeroed, sentinel inserted, then
+    // negative balances deleted — re-derived purely relationally
+    "vt_merge_delete" ->
+      ("""WITH merged AS (
+         |  SELECT c_custkey AS id,
+         |         CASE WHEN c_acctbal > 9000 THEN 0.0 ELSE c_acctbal END AS acctbal
+         |  FROM customer
+         |  UNION ALL SELECT CAST(999999 AS BIGINT), CAST(1.0 AS DOUBLE)
+         |)
+         |SELECT id, acctbal FROM merged WHERE NOT (acctbal < 0.0) ORDER BY id""".stripMargin),
+    "vt_time_travel" ->
+      "SELECT c_custkey AS id, c_acctbal AS acctbal FROM customer ORDER BY id",
+    "vt_history" ->
+      ("""SELECT CAST(0 AS INTEGER) AS version, (SELECT count(*) FROM customer) AS n_rows
+         |UNION ALL SELECT 1, (SELECT count(*) FROM customer) + 1
+         |UNION ALL SELECT 2, (SELECT count(*) FROM customer) + 1
+         |                    - (SELECT count(*) FROM customer WHERE c_acctbal < 0)
+         |ORDER BY version""".stripMargin),
+  )
+}

