@@ -141,6 +141,50 @@ object LlmTextOps {
       .select("a_id", "b_id", "jac")
   }
 
+  /** Distributed connected components by min-label propagation: each node
+    * starts labeled with its own id; every iteration each node takes the
+    * min of its label and its neighbors' labels (one join + one groupBy
+    * min); converged when no label shrinks. Iteration count = graph
+    * diameter — near-dup graphs are short chains/cliques, so a handful.
+    * This is the dataframe form of the classic MapReduce CC; at larger
+    * diameters the published large-star/small-star contraction halves the
+    * rounds, same join primitive. localCheckpoint truncates the per-
+    * iteration lineage; the convergence check is a scalar count (the same
+    * driver-side loop structure GraphX/MLlib iterative algorithms use). */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val sym = edges.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .localCheckpoint(true)
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id")).localCheckpoint(true)
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val nbrMin = sym.join(labels, sym("dst") === labels("id"))
+        .groupBy(sym("src").as("id2")).agg(min("comp").as("nbr_min"))
+      val next = labels.join(nbrMin, labels("id") === nbrMin("id2"), "left")
+        .select(labels("id"),
+          least(labels("comp"), coalesce(col("nbr_min"), labels("comp"))).as("comp"))
+        .localCheckpoint(true)
+      changed = next.as("n")
+        .join(labels.select(col("id"), col("comp").as("old_comp")), "id")
+        .filter(col("comp") < col("old_comp")).count()
+      labels = next
+      i += 1
+    }
+    require(changed == 0, s"connectedComponents did not converge in $maxIter iterations")
+    labels
+  }
+
+  /** Duplicate CLUSTERS from the pairwise near-dup detector: pairwise
+    * matches are not transitive (A~B, B~C but A!~C), so survivor selection
+    * needs the connected component, not the pair list. cluster_id = min
+    * doc_id of the component (the canonical survivor). */
+  def llmDedupClusters(s: SparkSession, d: String): DataFrame =
+    connectedComponents(ngramJaccard(t(s, d, "documents"), 0.8).select("a_id", "b_id"))
+      .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
+      .orderBy("doc_id")
+
   /** Training-data chunking: fixed 32-token windows with stride 24
     * (8-token overlap), the standard context-packing pre-step. Pure
     * row-local generator — arbitrarily wide at 100 TB, no shuffle. */
@@ -316,6 +360,7 @@ object LlmTextOps {
     "llm_quality_score" -> (llmQualityScore _),
     "llm_fingerprint" -> (llmFingerprint _),
     "llm_ngram_jaccard" -> (llmNgramJaccard _),
+    "llm_dedup_clusters" -> (llmDedupClusters _),
     "llm_chunking" -> (llmChunking _),
     "llm_redact" -> (llmRedact _),
     "llm_sample_split" -> (llmSampleSplit _),
@@ -368,6 +413,21 @@ object LlmTextOps {
         "SELECT doc_id, round(avg(-ln(cnt / total)), 4) AS nll, count(*) AS n_toks FROM toks JOIN vocab USING (tok) CROSS JOIN tot GROUP BY doc_id ORDER BY doc_id"),
     "llm_contamination" ->
       "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), x AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i FROM w), sh AS (SELECT DISTINCT doc_id, CAST('0x' || substr(md5(array_to_string(ws[i:i+2], ' ')), 1, 15) AS BIGINT) AS sh FROM x), sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id), pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT a_id, b_id, round(inter / (sa.n_sh + sb.n_sh - inter), 4) AS jac FROM pairs JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id WHERE round(inter / (sa.n_sh + sb.n_sh - inter), 4) >= 0.5 AND ((a_id % 50 = 0) <> (b_id % 50 = 0)) ORDER BY a_id, b_id",
+    // transitive closure by recursive CTE: reach(id, comp) accumulates
+    // every id reachable from each node; min over the reachable set is
+    // the component minimum — identical to min-label propagation.
+    "llm_dedup_clusters" ->
+      ("WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), " +
+        "x AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i FROM w), " +
+        "sh AS (SELECT DISTINCT doc_id, CAST('0x' || substr(md5(array_to_string(ws[i:i+2], ' ')), 1, 15) AS BIGINT) AS sh FROM x), " +
+        "sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id), " +
+        "p0 AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+        "pairs AS (SELECT a_id, b_id FROM p0 JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id " +
+        "WHERE round(inter / (sa.n_sh + sb.n_sh - inter), 4) >= 0.8), " +
+        "edges AS (SELECT a_id AS src, b_id AS dst FROM pairs UNION ALL SELECT b_id, a_id FROM pairs), " +
+        "reach AS (SELECT src AS id, src AS comp FROM edges " +
+        "UNION SELECT e.src AS id, r.comp FROM edges e JOIN reach r ON e.dst = r.id) " +
+        "SELECT id AS doc_id, min(comp) AS cluster_id FROM reach GROUP BY id ORDER BY doc_id"),
     "llm_ngram_jaccard" ->
       "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), x AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i FROM w), sh AS (SELECT DISTINCT doc_id, CAST('0x' || substr(md5(array_to_string(ws[i:i+2], ' ')), 1, 15) AS BIGINT) AS sh FROM x), sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id), pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT a_id, b_id, round(inter / (sa.n_sh + sb.n_sh - inter), 4) AS jac FROM pairs JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id WHERE round(inter / (sa.n_sh + sb.n_sh - inter), 4) >= 0.2 ORDER BY a_id, b_id",
   )

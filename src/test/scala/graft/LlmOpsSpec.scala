@@ -86,6 +86,32 @@ class LlmOpsSpec extends SparkTestBase {
     assert((strong -- recalled).isEmpty, s"LSH missed strong pairs: ${strong -- recalled}")
   }
 
+  test("connected components: chains merge transitively, separate cliques stay apart") {
+    import graft.operators.LlmTextOps
+    // chain 1-2-3-4 (diameter 3), triangle 10-11-12, isolated pair 20-21
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L)).toDF("a_id", "b_id")
+    val comp = LlmTextOps.connectedComponents(edges).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("comp")).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L), s"got $comp")
+  }
+
+  test("dedup clusters agree with pairwise ground truth on the fixture") {
+    import graft.operators.LlmTextOps
+    val docs = Tables.load(spark, SF, "documents")
+    val pairs = LlmTextOps.ngramJaccard(docs, 0.8).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")))
+    val clusters = LlmTextOps.llmDedupClusters(spark, SF).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    // every paired doc lands in a cluster, paired docs share one
+    pairs.foreach { case (a, b) =>
+      assert(clusters(a) == clusters(b), s"pair ($a,$b) split across clusters")
+    }
+    // cluster id is the component min — a real member, never synthetic
+    clusters.values.foreach(c => assert(clusters(c) == c, s"survivor $c not self-labeled"))
+  }
+
   test("minhash hot-bucket cap bounds fan-out without losing cold-bucket pairs") {
     import graft.operators.MinHashOps
     // 30 identical boilerplate docs -> one bucket of 30 in EVERY band
