@@ -152,8 +152,11 @@ object LlmTextOps {
     * iteration lineage; the convergence check is a scalar count (the same
     * driver-side loop structure GraphX/MLlib iterative algorithms use). */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
-    val sym = edges.select(col("a_id").as("src"), col("b_id").as("dst"))
-      .union(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
+    // materialize the (possibly expensive) edge plan ONCE before the
+    // symmetrization union re-reads it from both branches
+    val e = edges.localCheckpoint(true)
+    val sym = e.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(e.select(col("b_id").as("src"), col("a_id").as("dst")))
       .localCheckpoint(true)
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id")).localCheckpoint(true)
