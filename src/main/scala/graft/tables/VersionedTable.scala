@@ -67,6 +67,83 @@ final class VersionedTable private (val spark: SparkSession, val root: String) {
     else spark.read.parquet(files: _*)
   }
 
+  // ------------------------------------------------------ file skipping
+
+  private def statsPath(v: Int): Path = manifestDir.resolve(f"v$v%08d.stats.json")
+
+  /** The numeric column this table keeps per-file min/max for, if any —
+    * recorded in the newest stats sidecar (create(..., statsCol) set it). */
+  def statsCol: Option[String] =
+    versions.reverse.find(v => Files.exists(statsPath(v)))
+      .map(v => readStatsJson(v)._1)
+
+  private def readStatsJson(v: Int): (String, Map[String, (Double, Double)]) = {
+    val s = new String(Files.readAllBytes(statsPath(v)), "UTF-8")
+    def arr(field: String): Seq[String] =
+      s.split("\"" + field + "\":\\[", 2)(1).split("]", 2)(0)
+        .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty).toSeq
+    val c = s.split("\"col\":\"", 2)(1).split("\"", 2)(0)
+    val fs = arr("files")
+    val mins = arr("mins").map(_.toDouble)
+    val maxs = arr("maxs").map(_.toDouble)
+    (c, fs.lazyZip(mins).lazyZip(maxs).map((f, lo, hi) => f -> (lo, hi)).toMap)
+  }
+
+  /** Compute (min,max) of `c` per fresh data file — one aggregate job over
+    * just the new files (production formats collect this in the writer;
+    * recomputing over freshly-written files is the same I/O order). */
+  private def computeStats(files: Seq[String], c: String): Seq[(String, (Double, Double))] = {
+    if (files.isEmpty) return Seq.empty
+    spark.read.parquet(files: _*)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col(c).cast("double")).as("lo"), max(col(c).cast("double")).as("hi"))
+      .collect()
+      .map(r => normalize(r.getString(0)) -> (r.getDouble(1), r.getDouble(2))).toSeq
+  }
+
+  /** Written ONLY by the winner of the manifest race, after its rename —
+    * a present sidecar is therefore always consistent with its manifest.
+    * Stats are an optimization: a missing sidecar only disables skipping. */
+  private def writeStats(v: Int, c: String, entries: Seq[(String, (Double, Double))]): Unit = {
+    val ordered = entries
+    val json = "{\"col\":\"" + c + "\"," +
+      ordered.map(_._1).mkString("\"files\":[\"", "\",\"", "\"],") +
+      ordered.map(_._2._1).mkString("\"mins\":[", ",", "],") +
+      ordered.map(_._2._2).mkString("\"maxs\":[", ",", "]}")
+    val tmp = Files.createTempFile(manifestDir, ".tmp-", ".json")
+    Files.write(tmp, json.getBytes("UTF-8"))
+    Files.move(tmp, statsPath(v), StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** File list for version `v` pruned to files whose [min,max] range on
+    * the stats column overlaps [lo,hi]. Files without a stats entry are
+    * kept (skipping must never lose rows). */
+  def pruneFiles(lo: Double, hi: Double, asOf: Option[Int] = None): Seq[String] = {
+    val v = asOf.getOrElse(currentVersion)
+    val files = readManifest(v)
+    if (!Files.exists(statsPath(v))) return files
+    val (_, stats) = readStatsJson(v)
+    files.filter { f =>
+      stats.get(normalize(f)) match {
+        case Some((mn, mx)) => !(mx < lo || mn > hi)
+        case None => true
+      }
+    }
+  }
+
+  /** Range read with file skipping: only overlapping files are even
+    * LISTED in the scan — at 100 TB on a range-layout table (partitioned
+    * or range-repartitioned writes) this is the difference between
+    * scanning a day and scanning the archive. The exact predicate still
+    * applies after pruning. */
+  def readWhere(lo: Double, hi: Double, asOf: Option[Int] = None): DataFrame = {
+    val c = statsCol.getOrElse(
+      throw new IllegalStateException("table has no stats column; use read().filter"))
+    val pruned = pruneFiles(lo, hi, asOf)
+    if (pruned.isEmpty) read(asOf).filter(lit(false))
+    else spark.read.parquet(pruned: _*).filter(col(c).cast("double").between(lo, hi))
+  }
+
   /** Write `df` as fresh immutable data files; returns their paths. */
   private def writeDataFiles(df: DataFrame): Seq[String] = {
     val dir = Paths.get(root, "data", java.util.UUID.randomUUID().toString)
@@ -76,10 +153,15 @@ final class VersionedTable private (val spark: SparkSession, val root: String) {
       .toSeq.sorted
   }
 
-  /** Publish `files` as the next version after `base` (atomic rename =
-    * commit point). Returns the committed version. Retries against a
-    * moved head up to `maxRetries` times. */
-  private def commit(base: Int, files: Seq[String], maxRetries: Int = 5): Int = {
+  /** Publish `carried ++ fresh` as the next version after `base` (atomic
+    * rename = commit point). Returns the committed version. Retries
+    * against a moved head up to `maxRetries` times. If the table keeps
+    * file stats, the winner also publishes the version's stats sidecar:
+    * carried files inherit their previous entries, only fresh files are
+    * scanned. */
+  private def commit(base: Int, carried: Seq[String], fresh: Seq[String],
+                     newStatsCol: Option[String] = None, maxRetries: Int = 5): Int = {
+    val files = carried ++ fresh
     var attempt = base + 1
     val limit = base + 1 + maxRetries
     while (attempt <= limit) {
@@ -87,6 +169,14 @@ final class VersionedTable private (val spark: SparkSession, val root: String) {
       Files.write(tmp, files.mkString("{\"files\":[\"", "\",\"", "\"]}").getBytes("UTF-8"))
       try {
         Files.move(tmp, manifestPath(attempt), StandardCopyOption.ATOMIC_MOVE)
+        newStatsCol.orElse(statsCol).foreach { c =>
+          val prev: Map[String, (Double, Double)] =
+            if (base >= 0 && Files.exists(statsPath(base))) readStatsJson(base)._2
+            else Map.empty
+          val entries = carried.flatMap(f => prev.get(normalize(f)).map(normalize(f) -> _)) ++
+            computeStats(fresh, c)
+          writeStats(attempt, c, entries)
+        }
         return attempt
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
@@ -101,7 +191,7 @@ final class VersionedTable private (val spark: SparkSession, val root: String) {
   /** Append-only commit: previous files stay, new files join the manifest. */
   def append(df: DataFrame): Int = {
     val base = currentVersion
-    commit(base, readManifest(base) ++ writeDataFiles(df))
+    commit(base, readManifest(base), writeDataFiles(df))
   }
 
   /** MERGE upsert (copy-on-write): rows of `updates` replace same-`key`
@@ -117,7 +207,7 @@ final class VersionedTable private (val spark: SparkSession, val root: String) {
     val merged = cur.as("t").join(updates.as("u"), Seq(key), "full_outer")
       .select(cols.map(c =>
         if (c == key) col(key) else coalesce(updates(c), cur(c)).as(c)): _*)
-    commit(base, writeDataFiles(merged.coalesce(math.max(1, readManifest(base).size))))
+    commit(base, Nil, writeDataFiles(merged.coalesce(math.max(1, readManifest(base).size))))
   }
 
   /** Copy-on-write DELETE with file pruning: only files that actually
@@ -136,7 +226,7 @@ final class VersionedTable private (val spark: SparkSession, val root: String) {
     val kept = files.filterNot(f => touched.contains(normalize(f)))
     val rewritten = writeDataFiles(
       spark.read.parquet(touched.toSeq: _*).filter(!condition))
-    commit(base, kept ++ rewritten)
+    commit(base, kept, rewritten)
   }
 
   /** Compaction: rewrite the current snapshot into `target` files (data
@@ -145,7 +235,7 @@ final class VersionedTable private (val spark: SparkSession, val root: String) {
     * files. */
   def compact(target: Int = 1): Int = {
     val base = currentVersion
-    commit(base, writeDataFiles(read(Some(base)).coalesce(target)))
+    commit(base, Nil, writeDataFiles(read(Some(base)).coalesce(target)))
   }
 
   /** (version, fileCount) per committed version — the audit trail. */
@@ -158,13 +248,16 @@ object VersionedTable {
   private def normalize(p: String): String =
     p.stripPrefix("file://").stripPrefix("file:")
 
-  /** Create a new table at `root` with `df` as version 0. */
-  def create(spark: SparkSession, root: String, df: DataFrame): VersionedTable = {
+  /** Create a new table at `root` with `df` as version 0. `statsCol`
+    * (numeric) turns on per-file min/max stats and [[VersionedTable
+    * .readWhere]] file skipping for the table's whole life. */
+  def create(spark: SparkSession, root: String, df: DataFrame,
+             statsCol: Option[String] = None): VersionedTable = {
     val t = new VersionedTable(spark, root)
     Files.createDirectories(t.manifestDir)
     require(t.versions.isEmpty, s"table already exists at $root")
     val files = t.writeDataFiles(df)
-    t.commit(-1, files)
+    t.commit(-1, Nil, files, newStatsCol = statsCol)
     t
   }
 

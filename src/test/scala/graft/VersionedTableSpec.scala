@@ -75,6 +75,32 @@ class VersionedTableSpec extends SparkTestBase {
     assert(t.read(Some(0)).count() == 40)
   }
 
+  test("file skipping: range reads list only overlapping files, stats survive CoW") {
+    val t = VersionedTable.create(spark, freshRoot(),
+      sampleDf(0 until 100).repartitionByRange(4, col("id")), statsCol = Some("id"))
+    assert(t.statsCol.contains("id"))
+    // range-partitioned layout -> disjoint id ranges -> a narrow range
+    // touches exactly one of four files
+    val pruned = t.pruneFiles(10.0, 12.0)
+    assert(pruned.size == 1, s"expected 1 of 4 files, got ${pruned.size}")
+    // skipping must not change results
+    val viaSkip = t.readWhere(10.0, 12.0).orderBy("id").collect().map(_.getLong(0)).toSeq
+    val viaScan = t.read().filter(col("id").between(10, 12))
+      .orderBy("id").collect().map(_.getLong(0)).toSeq
+    assert(viaSkip == viaScan && viaSkip == Seq(10L, 11L, 12L))
+    // stats follow the table through append and CoW delete: carried files
+    // inherit entries (no rescan), fresh files get scanned once
+    t.append(sampleDf(100 until 200).repartitionByRange(4, col("id")))
+    assert(t.pruneFiles(150.0, 152.0).size == 1, "appended files not skippable")
+    t.delete(col("id") === 11)
+    val afterDelete = t.readWhere(10.0, 12.0).orderBy("id").collect().map(_.getLong(0)).toSeq
+    assert(afterDelete == Seq(10L, 12L), s"got $afterDelete")
+    assert(t.pruneFiles(150.0, 152.0).size == 1, "carried stats lost by delete")
+    // no-stats table refuses readWhere loudly
+    val plain = VersionedTable.create(spark, freshRoot(), sampleDf(0 until 10))
+    intercept[IllegalStateException] { plain.readWhere(1, 2) }
+  }
+
   test("commit races: a loser retries onto the next version instead of clobbering") {
     val t = VersionedTable.create(spark, freshRoot(), sampleDf(0 until 10))
     // simulate a concurrent winner: pre-create the v1 manifest the next
