@@ -48,6 +48,20 @@ object ExtendedOps {
       .select(col("key"), round(col("sum_v"), 2).as("sum_v"))
       .orderBy("key")
 
+  /** Salted skewed JOIN graded end-to-end: lineitem ⋈ nation-sized dim
+    * with the build side replicated per salt (ScaleOps.saltedJoin) — the
+    * aggregated result must equal the plain join's (oracle is the plain
+    * SQL join). Deterministic salt = hash(l_orderkey). */
+  def joinSkewSalted(s: SparkSession, d: String): DataFrame = {
+    val dim = t(s, d, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey"))
+    ScaleOps.saltedJoin(t(s, d, "lineitem"), dim, "l_suppkey", "s_suppkey",
+        saltSource = col("l_orderkey"))
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_items"), round(sum("l_quantity"), 2).as("sum_qty"))
+      .orderBy("s_nationkey")
+  }
+
   /** Fixed-width histogram: computed bucket ids (floor division, top
     * bucket clamped), count + bounds per bucket — the numeric-profiling
     * shape (one hash aggregation; distinct from CASE-tier bucketing). */
@@ -530,6 +544,7 @@ object ExtendedOps {
     "text_roundtrip" -> (textRoundtrip _),
     "agg_minmax_by" -> (aggMinmaxBy _),
     "agg_salted" -> (aggSalted _),
+    "join_skew_salted" -> (joinSkewSalted _),
     "agg_histogram" -> (aggHistogram _),
     "fn_bool_logic_3vl" -> (fnBoolLogic3vl _),
     "agg_bool_bit" -> (aggBoolBit _),
@@ -605,6 +620,10 @@ object ExtendedOps {
       "SELECT o_orderstatus, (max(struct_pack(p := o_totalprice, k := o_orderkey))).k AS best_key, (min(struct_pack(p := o_totalprice, k := o_orderkey))).k AS worst_key, round(max(o_totalprice), 2) AS max_price, round(min(o_totalprice), 2) AS min_price FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus",
     "agg_salted" ->
       "SELECT l_returnflag AS key, round(sum(l_quantity), 2) AS sum_v FROM lineitem GROUP BY l_returnflag ORDER BY key",
+    "join_skew_salted" ->
+      ("SELECT s_nationkey, count(*) AS n_items, round(sum(l_quantity), 2) AS sum_qty " +
+        "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey " +
+        "GROUP BY s_nationkey ORDER BY s_nationkey"),
     "agg_histogram" ->
       "SELECT CAST(least(floor(o_totalprice / 50000), 9) AS INTEGER) AS bucket, count(*) AS n, round(min(o_totalprice), 2) AS lo, round(max(o_totalprice), 2) AS hi FROM orders GROUP BY 1 ORDER BY bucket",
     "fn_bool_logic_3vl" ->

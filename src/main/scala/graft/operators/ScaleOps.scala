@@ -30,6 +30,26 @@ object ScaleOps {
       .withColumnRenamed("_k", "key")
   }
 
+  /** Salted skewed JOIN: when one fact key dominates, the single reducer
+    * owning it becomes the stage's straggler. Replicate the (small) build
+    * side `buckets` times — one copy per salt — and give each fact row a
+    * deterministic salt, so the hot key's rows spread over `buckets`
+    * reducers while still meeting a matching build row. Result ≡ the
+    * plain equi-join (every (key, salt) pair exists on the build side).
+    * AQE's skew-join split handles sort-merge joins after the fact; the
+    * salt handles it by construction and also covers the shuffle-hash
+    * path. The fact salt must be DETERMINISTIC (hash of stable columns,
+    * never rand()) or retried tasks see different data. */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, factKey: String, dimKey: String,
+                 saltSource: Column, buckets: Int = 8): DataFrame = {
+    val saltedDim = dim.crossJoin(
+      dim.sparkSession.range(0, buckets).select(col("id").cast("int").as("_salt")))
+    val saltedFact = fact.withColumn("_salt", pmod(hash(saltSource), lit(buckets)))
+    saltedFact.join(saltedDim,
+        saltedFact(factKey) === saltedDim(dimKey) && saltedFact("_salt") === saltedDim("_salt"))
+      .drop("_salt")
+  }
+
   /** Write a frame as a date-partitioned parquet layout (the on-disk shape
     * a 100 TB table actually has) and return the round-trip reader. Static
     * partition pruning then turns partition predicates into directory

@@ -68,6 +68,16 @@ object StreamingOps {
       .select("purchase_id", "signup_id", "user_id", "p_ts", "s_ts")
   }
 
+  /** Exactly-once lakehouse sink: a foreachBatch function committing each
+    * micro-batch to a [[graft.tables.VersionedTable]] via idempotent
+    * txn-stamped appends. Structured Streaming replays a failed batch
+    * with the SAME batchId (at-least-once delivery); the table skips a
+    * txn it already holds, so the table contents are exactly-once. Use
+    * with `.writeStream.foreachBatch(versionedTableSink(t, "query-name"))`. */
+  def versionedTableSink(t: graft.tables.VersionedTable,
+                         queryId: String): (DataFrame, Long) => Unit =
+    (batch, batchId) => { t.appendIdempotent(batch, s"$queryId:$batchId"); () }
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                          event_type: String, value: Double)
   final case class UserCount(user_id: Long, count: Long)

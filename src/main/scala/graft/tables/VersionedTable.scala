@@ -160,13 +160,16 @@ final class VersionedTable private (val spark: SparkSession, val root: String) {
     * carried files inherit their previous entries, only fresh files are
     * scanned. */
   private def commit(base: Int, carried: Seq[String], fresh: Seq[String],
-                     newStatsCol: Option[String] = None, maxRetries: Int = 5): Int = {
+                     newStatsCol: Option[String] = None, txn: Option[String] = None,
+                     maxRetries: Int = 5): Int = {
     val files = carried ++ fresh
     var attempt = base + 1
     val limit = base + 1 + maxRetries
     while (attempt <= limit) {
       val tmp = Files.createTempFile(manifestDir, ".tmp-", ".json")
-      Files.write(tmp, files.mkString("{\"files\":[\"", "\",\"", "\"]}").getBytes("UTF-8"))
+      val body = files.mkString("{\"files\":[\"", "\",\"", "\"]") +
+        txn.map(t => s""","txn":"$t"""").getOrElse("") + "}"
+      Files.write(tmp, body.getBytes("UTF-8"))
       try {
         Files.move(tmp, manifestPath(attempt), StandardCopyOption.ATOMIC_MOVE)
         newStatsCol.orElse(statsCol).foreach { c =>
@@ -192,6 +195,29 @@ final class VersionedTable private (val spark: SparkSession, val root: String) {
   def append(df: DataFrame): Int = {
     val base = currentVersion
     commit(base, readManifest(base), writeDataFiles(df))
+  }
+
+  /** Transaction ids already recorded by [[appendIdempotent]], scanned
+    * from the manifests (the txn rides INSIDE the atomically-renamed
+    * manifest, so "batch data visible" and "batch id recorded" cannot
+    * diverge — the crash-between-them double-write window of a separate
+    * marker file does not exist). */
+  def committedTxns: Set[String] =
+    versions.flatMap { v =>
+      val s = new String(Files.readAllBytes(manifestPath(v)), "UTF-8")
+      if (s.contains("\"txn\":\"")) Some(s.split("\"txn\":\"", 2)(1).split("\"", 2)(0))
+      else None
+    }.toSet
+
+  /** Idempotent append: a `txnId` that already committed is a no-op —
+    * retried/restarted micro-batches (at-least-once delivery) yield
+    * exactly-once TABLE CONTENTS. This is the sink half of Structured
+    * Streaming's foreachBatch contract: key txnId by (queryId, batchId).
+    * Returns the committed (or already-holding) version. */
+  def appendIdempotent(df: DataFrame, txnId: String): Int = {
+    if (committedTxns.contains(txnId)) return currentVersion
+    val base = currentVersion
+    commit(base, readManifest(base), writeDataFiles(df), txn = Some(txnId))
   }
 
   /** MERGE upsert (copy-on-write): rows of `updates` replace same-`key`

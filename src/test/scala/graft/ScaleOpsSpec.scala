@@ -19,6 +19,22 @@ class ScaleOpsSpec extends SparkTestBase {
     assert(salted == plain)
   }
 
+  test("salted join equals the plain equi-join, including a constructed hot key") {
+    import spark.implicits._
+    // 90% of fact rows share one hot key — the salting motivation
+    val fact = (Seq.tabulate(900)(i => (1L, i.toDouble)) ++
+      Seq.tabulate(100)(i => ((i % 7 + 2).toLong, i.toDouble)))
+      .toDF("k", "v")
+    val dim = Seq.tabulate(10)(i => (i.toLong, s"d$i")).toDF("dk", "name")
+    val plain = fact.join(dim, col("k") === col("dk"))
+      .groupBy("dk").agg(count(lit(1)).as("n"), sum("v").as("s"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val salted = ScaleOps.saltedJoin(fact, dim, "k", "dk", saltSource = col("v"))
+      .groupBy("dk").agg(count(lit(1)).as("n"), sum("v").as("s"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(salted == plain)
+  }
+
   test("partitioned layout enables static partition pruning") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
     val orders = Tables.load(spark, SF, "orders")

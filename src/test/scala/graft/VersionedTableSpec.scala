@@ -101,6 +101,40 @@ class VersionedTableSpec extends SparkTestBase {
     intercept[IllegalStateException] { plain.readWhere(1, 2) }
   }
 
+  test("idempotent appends: a replayed txn is a no-op (exactly-once contents)") {
+    val t = VersionedTable.create(spark, freshRoot(), sampleDf(0 until 10))
+    val v1 = t.appendIdempotent(sampleDf(10 until 20), "q:0")
+    assert(t.read().count() == 20)
+    // at-least-once delivery replays the same batch id -> must not double
+    val v2 = t.appendIdempotent(sampleDf(10 until 20), "q:0")
+    assert(v2 == v1 && t.read().count() == 20, "replayed txn duplicated rows")
+    t.appendIdempotent(sampleDf(20 until 25), "q:1")
+    assert(t.read().count() == 25)
+    assert(t.committedTxns == Set("q:0", "q:1"))
+  }
+
+  test("streaming foreachBatch sink lands micro-batches exactly once") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingOps
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val t = VersionedTable.create(spark, freshRoot(),
+      Seq.empty[(Long, Long)].toDF("event_id", "user_id"))
+    val sink = StreamingOps.versionedTableSink(t, "evsink")
+    val input = MemoryStream[(Long, Long)]
+    val q = input.toDF().toDF("event_id", "user_id")
+      .writeStream.foreachBatch(sink).start()
+    try {
+      input.addData((1L, 10L), (2L, 10L))
+      q.processAllAvailable()
+      input.addData((3L, 11L))
+      q.processAllAvailable()
+      assert(t.read().count() == 3)
+      // simulate a post-crash batch replay: same (query, batchId) again
+      sink(Seq((3L, 11L)).toDF("event_id", "user_id"), 1L)
+      assert(t.read().count() == 3, "replayed micro-batch duplicated rows")
+    } finally q.stop()
+  }
+
   test("commit races: a loser retries onto the next version instead of clobbering") {
     val t = VersionedTable.create(spark, freshRoot(), sampleDf(0 until 10))
     // simulate a concurrent winner: pre-create the v1 manifest the next
