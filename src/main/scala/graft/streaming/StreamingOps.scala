@@ -97,6 +97,37 @@ object StreamingOps {
       }
   }
 
+  /** I6c: the Spark 4 arbitrary-state API (transformWithState) twin of
+    * [[runningCounts]] — typed ValueState in a StatefulProcessor instead
+    * of the single-blob GroupState. The new API's wins at scale: multiple
+    * independently-evolvable state variables per key, native TTL, and
+    * timers decoupled from input — all on the RocksDB store provider
+    * (which the API requires). */
+  class RunningCountProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, UserCount] {
+    @transient private var countState: org.apache.spark.sql.streaming.ValueState[Long] = _
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      countState = getHandle.getValueState[Long]("count",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+                                 tv: org.apache.spark.sql.streaming.TimerValues): Iterator[UserCount] = {
+      val next = (if (countState.exists()) countState.get() else 0L) + rows.size
+      countState.update(next)
+      Iterator.single(UserCount(key, next))
+    }
+  }
+
+  def runningCountsTws(events: Dataset[Event]): Dataset[UserCount] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningCountProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+  }
+
   final case class SessionAgg(user_id: Long, n_events: Long, startMs: Long, endMs: Long)
   final case class SessionState(n: Long, startMs: Long, endMs: Long)
 

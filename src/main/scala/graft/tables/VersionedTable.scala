@@ -264,6 +264,21 @@ final class VersionedTable private (val spark: SparkSession, val root: String) {
     commit(base, Nil, writeDataFiles(read(Some(base)).coalesce(target)))
   }
 
+  /** Change feed at FILE granularity: the rows of every data file that
+    * joined the manifest after `fromV` up to `toV` — what an incremental
+    * consumer tails instead of re-reading snapshots. For append-only
+    * traffic this is exactly the new rows; a CoW rewrite (merge/delete/
+    * compact) surfaces its rewritten files wholesale, the standard
+    * file-level CDC behavior of manifest formats without per-row change
+    * tracking. */
+  def addedBetween(fromV: Int, toV: Int): DataFrame = {
+    require(fromV <= toV, s"fromV $fromV > toV $toV")
+    val before = readManifest(fromV).toSet
+    val added = readManifest(toV).filterNot(before)
+    if (added.isEmpty) read(Some(toV)).filter(lit(false))
+    else spark.read.parquet(added: _*)
+  }
+
   /** (version, fileCount) per committed version — the audit trail. */
   def history: Seq[(Int, Int)] = versions.map(v => v -> readManifest(v).size)
 }

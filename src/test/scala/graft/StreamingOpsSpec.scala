@@ -254,6 +254,30 @@ class StreamingOpsSpec extends SparkTestBase {
     }
   }
 
+  test("I6c: transformWithState (Spark 4 arbitrary state) matches the GroupState twin") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    // the transformWithState operator requires the RocksDB provider
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[Event]
+      val q = StreamingOps.runningCountsTws(input.toDS())
+        .writeStream.format("memory").queryName("tws").outputMode("update").start()
+      try {
+        input.addData(ev(1, ts(1), uid = 1), ev(2, ts(1, 1), uid = 1), ev(3, ts(1, 2), uid = 2))
+        drain(q)
+        input.addData(ev(4, ts(1, 3), uid = 1))
+        drain(q)
+        val latest = spark.sql("SELECT user_id, max(count) FROM tws GROUP BY user_id")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(latest == Map(1L -> 3L, 2L -> 1L), s"got $latest")
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("I6: mapGroupsWithState keeps a running per-user counter across batches") {
     val input = MemoryStream[Event]
     val q = StreamingOps.runningCounts(input.toDS())

@@ -101,6 +101,21 @@ class VersionedTableSpec extends SparkTestBase {
     intercept[IllegalStateException] { plain.readWhere(1, 2) }
   }
 
+  test("change feed: addedBetween returns exactly the appended rows") {
+    val t = VersionedTable.create(spark, freshRoot(), sampleDf(0 until 30))
+    t.append(sampleDf(30 until 45))
+    t.append(sampleDf(45 until 50))
+    val delta01 = t.addedBetween(0, 1).collect().map(_.getLong(0)).sorted.toSeq
+    assert(delta01 == (30L until 45L), s"got $delta01")
+    val delta02 = t.addedBetween(0, 2).count()
+    assert(delta02 == 20)
+    assert(t.addedBetween(2, 2).count() == 0)
+    // a CoW delete surfaces the rewritten file(s), never silently nothing
+    t.delete(col("id") === 0)
+    val delta23 = t.addedBetween(2, 3).collect().map(_.getLong(0)).toSet
+    assert(delta23.nonEmpty && !delta23.contains(0L))
+  }
+
   test("idempotent appends: a replayed txn is a no-op (exactly-once contents)") {
     val t = VersionedTable.create(spark, freshRoot(), sampleDf(0 until 10))
     val v1 = t.appendIdempotent(sampleDf(10 until 20), "q:0")
