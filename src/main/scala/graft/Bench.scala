@@ -26,10 +26,12 @@ object Bench {
     }
     // 3 dp (ms resolution) keeps the JSON line compact — the driver
     // captures a bounded stdout tail, and sub-ms digits are noise.
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }
+    // Locale.ROOT: a comma-decimal default locale would emit broken JSON.
+    def f3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val json = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     // Durable copy: stdout capture is tail-truncated by the driver, so the
     // full per-query breakdown also lands in a file for regression diffs.
     try java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/bench.json"),

@@ -14,23 +14,28 @@ object TempDirs {
   private val dirs = new ConcurrentHashMap[String, String]()
 
   sys.addShutdownHook {
-    dirs.values.forEach { d =>
-      val p = Paths.get(d)
-      if (Files.exists(p))
-        Files.walk(p).sorted(Comparator.reverseOrder[Path]())
-          .forEach(f => { try Files.delete(f) catch { case _: Throwable => } })
-    }
+    dirs.values.forEach(d => rmTree(Paths.get(d)))
   }
+
+  private def rmTree(p: Path): Unit =
+    if (Files.exists(p)) {
+      val s = Files.walk(p)
+      try s.sorted(Comparator.reverseOrder[Path]())
+        .forEach(f => { try Files.delete(f) catch { case _: Throwable => } })
+      finally s.close()
+    }
 
   /** Return the cached directory for (tag, key), running `write` exactly
     * once per JVM to populate it. `write` must fully materialize the
     * layout before returning (computeIfAbsent publishes the mapping only
     * after it completes, so concurrent callers never see a half-written
-    * directory). */
+    * directory; `write` closures must not call cached() themselves —
+    * computeIfAbsent forbids recursive updates). A failed `write` removes
+    * its half-written directory instead of leaking it. */
   def cached(tag: String, key: String)(write: String => Unit): String =
     dirs.computeIfAbsent(s"$tag|$key", { _ =>
-      val dir = Files.createTempDirectory(s"graft_$tag").toString
-      write(dir)
-      dir
+      val dir = Files.createTempDirectory(s"graft_$tag")
+      try { write(dir.toString); dir.toString }
+      catch { case e: Throwable => rmTree(dir); throw e }
     })
 }

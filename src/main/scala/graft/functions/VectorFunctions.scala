@@ -121,12 +121,15 @@ object VectorFunctions {
   def cosinePairsKernel(s: SparkSession, e: DataFrame, minSim: Double): DataFrame = {
     import s.implicits._
     val vecs = e.select("vec_id", "embedding").as[(Long, Array[Float])]
-    val n = vecs.count()
-    require(n <= MaxKernelVectors,
+    // take(cap+1) guards AND collects in ONE job (a separate count()
+    // would run the upstream plan twice), with driver memory bounded at
+    // cap+1 rows either way.
+    val taken = vecs.take(MaxKernelVectors.toInt + 1)
+    require(taken.length <= MaxKernelVectors,
       s"cosinePairsKernel collects the vector table to the driver and is the BOUNDED exact path " +
-        s"(got $n vectors, cap $MaxKernelVectors). Use cosinePairsDistributed for exact pairs at scale, " +
+        s"(more than $MaxKernelVectors vectors). Use cosinePairsDistributed for exact pairs at scale, " +
         "or the approximate annLshTopk / annIvfTopk bucketed paths.")
-    val entries = vecs.collect().sortBy(_._1)
+    val entries = taken.sortBy(_._1)
     val ids = entries.map(_._1)
     val arrs = entries.map(_._2)
     val nrms = arrs.map(normValue)

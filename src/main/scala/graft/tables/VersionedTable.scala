@@ -39,11 +39,14 @@ final class VersionedTable private (val spark: SparkSession, val root: String) {
   private def manifestDir: Path = Paths.get(root, "_manifests")
 
   /** All committed versions, ascending. */
-  def versions: Seq[Int] =
-    Files.list(manifestDir).iterator().asScala
+  def versions: Seq[Int] = {
+    val s = Files.list(manifestDir)
+    try s.iterator().asScala
       .map(_.getFileName.toString)
       .collect { case ManifestName(v) => v.toInt }
       .toSeq.sorted
+    finally s.close() // directory streams hold an fd until closed
+  }
 
   /** Latest committed version. */
   def currentVersion: Int = versions.last
@@ -148,9 +151,11 @@ final class VersionedTable private (val spark: SparkSession, val root: String) {
   private def writeDataFiles(df: DataFrame): Seq[String] = {
     val dir = Paths.get(root, "data", java.util.UUID.randomUUID().toString)
     df.write.mode(SaveMode.ErrorIfExists).parquet(dir.toString)
-    Files.list(dir).iterator().asScala
+    val s = Files.list(dir)
+    try s.iterator().asScala
       .map(_.toString).filter(p => p.contains("part-") && p.endsWith(".parquet"))
       .toSeq.sorted
+    finally s.close()
   }
 
   /** Publish `carried ++ fresh` as the next version after `base` (atomic
@@ -159,42 +164,64 @@ final class VersionedTable private (val spark: SparkSession, val root: String) {
     * file stats, the winner also publishes the version's stats sidecar:
     * carried files inherit their previous entries, only fresh files are
     * scanned. */
-  private def commit(base: Int, carried: Seq[String], fresh: Seq[String],
-                     newStatsCol: Option[String] = None, txn: Option[String] = None,
-                     maxRetries: Int = 5): Int = {
+  /** SINGLE-attempt publish at version `base + 1`; throws [[VersionedTable
+    * .CommitConflict]] if a concurrent writer took that version. The
+    * caller must REBASE — recompute carried/fresh against the new head —
+    * before trying again: blindly republishing a stale file list at the
+    * next slot would silently drop the winner's files (lost update). */
+  private def commitOnce(base: Int, carried: Seq[String], fresh: Seq[String],
+                         newStatsCol: Option[String] = None,
+                         txn: Option[String] = None): Int = {
     val files = carried ++ fresh
-    var attempt = base + 1
-    val limit = base + 1 + maxRetries
-    while (attempt <= limit) {
-      val tmp = Files.createTempFile(manifestDir, ".tmp-", ".json")
-      val body = files.mkString("{\"files\":[\"", "\",\"", "\"]") +
-        txn.map(t => s""","txn":"$t"""").getOrElse("") + "}"
-      Files.write(tmp, body.getBytes("UTF-8"))
-      try {
-        Files.move(tmp, manifestPath(attempt), StandardCopyOption.ATOMIC_MOVE)
-        newStatsCol.orElse(statsCol).foreach { c =>
-          val prev: Map[String, (Double, Double)] =
-            if (base >= 0 && Files.exists(statsPath(base))) readStatsJson(base)._2
-            else Map.empty
-          val entries = carried.flatMap(f => prev.get(normalize(f)).map(normalize(f) -> _)) ++
-            computeStats(fresh, c)
-          writeStats(attempt, c, entries)
-        }
-        return attempt
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          Files.deleteIfExists(tmp)
-          attempt += 1 // a concurrent writer committed; retry on the new head
-      }
+    val attempt = base + 1
+    val tmp = Files.createTempFile(manifestDir, ".tmp-", ".json")
+    val body = files.mkString("{\"files\":[\"", "\",\"", "\"]") +
+      txn.map(t => s""","txn":"$t"""").getOrElse("") + "}"
+    Files.write(tmp, body.getBytes("UTF-8"))
+    try Files.move(tmp, manifestPath(attempt), StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp)
+        throw new VersionedTable.CommitConflict(attempt)
     }
-    throw new IllegalStateException(
-      s"lost $maxRetries consecutive commit races on $root (head moved past $limit)")
+    newStatsCol.orElse(statsCol).foreach { c =>
+      val prev: Map[String, (Double, Double)] =
+        if (base >= 0 && Files.exists(statsPath(base))) readStatsJson(base)._2
+        else Map.empty
+      val entries = carried.flatMap(f => prev.get(normalize(f)).map(normalize(f) -> _)) ++
+        computeStats(fresh, c)
+      writeStats(attempt, c, entries)
+    }
+    attempt
   }
 
-  /** Append-only commit: previous files stay, new files join the manifest. */
+  /** Optimistic-concurrency loop: run `body` (which must re-read the
+    * head itself) until its commit sticks; each conflict means another
+    * writer advanced the head, so the whole operation re-derives from the
+    * new snapshot. Bounded retries, then fails loudly. */
+  private def withRebase(maxRetries: Int = 5)(body: => Int): Int = {
+    var i = 0
+    while (true) {
+      try return body
+      catch {
+        case c: VersionedTable.CommitConflict =>
+          i += 1
+          if (i > maxRetries) throw new IllegalStateException(
+            s"lost $maxRetries consecutive commit races on $root (at ${c.version})")
+      }
+    }
+    -1 // unreachable
+  }
+
+  /** Append-only commit: previous files stay, new files join the manifest.
+    * Data files are written ONCE; a lost race only re-reads the new head
+    * and re-publishes the (rebased) manifest. */
   def append(df: DataFrame): Int = {
-    val base = currentVersion
-    commit(base, readManifest(base), writeDataFiles(df))
+    val fresh = writeDataFiles(df)
+    withRebase() {
+      val base = currentVersion
+      commitOnce(base, readManifest(base), fresh)
+    }
   }
 
   /** Transaction ids already recorded by [[appendIdempotent]], scanned
@@ -216,52 +243,68 @@ final class VersionedTable private (val spark: SparkSession, val root: String) {
     * Returns the committed (or already-holding) version. */
   def appendIdempotent(df: DataFrame, txnId: String): Int = {
     if (committedTxns.contains(txnId)) return currentVersion
-    val base = currentVersion
-    commit(base, readManifest(base), writeDataFiles(df), txn = Some(txnId))
+    val fresh = writeDataFiles(df)
+    withRebase() {
+      // ORDER MATTERS: read the head, THEN scan txns. A duplicate writer
+      // committing after our txn scan necessarily commits at (or past)
+      // our target version, so commitOnce conflicts and the rebase
+      // re-scans; one committing before the scan is seen by it. Either
+      // way the replay skips — no interleaving double-appends.
+      val base = currentVersion
+      if (committedTxns.contains(txnId)) currentVersion
+      else commitOnce(base, readManifest(base), fresh, txn = Some(txnId))
+    }
   }
 
   /** MERGE upsert (copy-on-write): rows of `updates` replace same-`key`
     * rows, the rest insert. The whole table rewrites into new files —
     * correct for merges touching most files; see [[delete]] for the
     * file-pruned pattern. One full-outer join, one write, one rename. */
-  def merge(updates: DataFrame, key: String): Int = {
+  def merge(updates: DataFrame, key: String): Int = withRebase() {
     val base = currentVersion
     val cur = read(Some(base))
     val cols = cur.columns
-    // join(Seq(key)) outputs ONE coalesced key column; non-key columns
-    // pick the update side when present (matched -> update, else insert)
-    val merged = cur.as("t").join(updates.as("u"), Seq(key), "full_outer")
+    // join(Seq(key)) outputs ONE coalesced key column. Row-presence is
+    // tested via an always-true marker, NOT coalesce over data columns —
+    // an update row must be able to set a column to NULL (coalesce would
+    // silently keep the stale value).
+    val u = updates.withColumn("_matched", lit(true))
+    val merged = cur.as("t").join(u.as("u"), Seq(key), "full_outer")
       .select(cols.map(c =>
-        if (c == key) col(key) else coalesce(updates(c), cur(c)).as(c)): _*)
-    commit(base, Nil, writeDataFiles(merged.coalesce(math.max(1, readManifest(base).size))))
+        if (c == key) col(key)
+        else when(col("_matched").isNotNull, u(c)).otherwise(cur(c)).as(c)): _*)
+    commitOnce(base, Nil, writeDataFiles(merged.coalesce(math.max(1, readManifest(base).size))))
   }
 
   /** Copy-on-write DELETE with file pruning: only files that actually
     * contain matching rows are rewritten (without the matching rows);
     * untouched files carry over BY PATH into the new manifest — at 100 TB
     * a selective delete rewrites a handful of files, not the table. */
-  def delete(condition: org.apache.spark.sql.Column): Int = {
+  def delete(condition: org.apache.spark.sql.Column): Int = withRebase() {
     val base = currentVersion
     val files = readManifest(base)
     val cur = spark.read.parquet(files: _*)
     // metadata-sized collect: the DISTINCT file paths containing hits
     val touched = cur.filter(condition).select(input_file_name().as("f"))
-      .distinct().collect().map(_.getString(0))
-      .map(f => f.stripPrefix("file://").stripPrefix("file:")).toSet
-    if (touched.isEmpty) return base // no-op: nothing to delete
-    val kept = files.filterNot(f => touched.contains(normalize(f)))
-    val rewritten = writeDataFiles(
-      spark.read.parquet(touched.toSeq: _*).filter(!condition))
-    commit(base, kept, rewritten)
+      .distinct().collect().map(r => normalize(r.getString(0))).toSet
+    if (touched.isEmpty) base // no-op: nothing to delete
+    else {
+      val kept = files.filterNot(f => touched.contains(normalize(f)))
+      // SQL DELETE removes rows where the condition is TRUE; a NULL
+      // predicate keeps the row (bare !condition would drop it)
+      val rewritten = writeDataFiles(
+        spark.read.parquet(touched.toSeq: _*).filter(!coalesce(condition, lit(false))))
+      commitOnce(base, kept, rewritten)
+    }
   }
 
   /** Compaction: rewrite the current snapshot into `target` files (data
     * unchanged — asserted by the spec). Old versions remain readable:
     * compaction is just another commit whose manifest points at the new
     * files. */
-  def compact(target: Int = 1): Int = {
+  def compact(target: Int = 1): Int = withRebase() {
     val base = currentVersion
-    commit(base, Nil, writeDataFiles(read(Some(base)).coalesce(target)))
+    commitOnce(base, Nil, writeDataFiles(read(Some(base)).coalesce(target)))
   }
 
   /** Change feed at FILE granularity: the rows of every data file that
@@ -284,6 +327,10 @@ final class VersionedTable private (val spark: SparkSession, val root: String) {
 }
 
 object VersionedTable {
+  /** A concurrent writer claimed the attempted version first. */
+  final class CommitConflict(val version: Int)
+    extends RuntimeException(s"version $version already committed by another writer")
+
   private val ManifestName = "v(\\d{8})\\.json".r
 
   private def normalize(p: String): String =
@@ -298,7 +345,7 @@ object VersionedTable {
     Files.createDirectories(t.manifestDir)
     require(t.versions.isEmpty, s"table already exists at $root")
     val files = t.writeDataFiles(df)
-    t.commit(-1, Nil, files, newStatsCol = statsCol)
+    t.commitOnce(-1, Nil, files, newStatsCol = statsCol)
     t
   }
 

@@ -32,14 +32,18 @@ class VersionedTableSpec extends SparkTestBase {
 
   test("merge upserts matched rows and inserts new ones") {
     val t = VersionedTable.create(spark, freshRoot(), sampleDf(0 until 10))
-    val updates = Seq((5L, "UPDATED", -1.0), (42L, "INSERTED", 420.0))
+    val updates = Seq((5L, "UPDATED", -1.0), (42L, "INSERTED", 420.0),
+      (7L, null.asInstanceOf[String], 7.0))
       .toDF("id", "name", "score")
     t.merge(updates, "id")
     val out = t.read().collect().map(r => r.getLong(0) -> r.getString(1)).toMap
-    assert(out.size == 11)
+    assert(out.size == 11) // 10 originals (2 updated in place) + 1 insert
     assert(out(5L) == "UPDATED")
     assert(out(42L) == "INSERTED")
     assert(out(3L) == "name_3") // untouched row survives
+    // an update row must be able to SET NULL (coalesce-based merges
+    // silently keep the stale value here)
+    assert(out(7L) == null, s"update-to-NULL ignored: ${out(7L)}")
     // and the pre-merge snapshot still shows the old value
     val old = t.read(Some(0)).filter(col("id") === 5).head()
     assert(old.getString(1) == "name_5")
@@ -161,5 +165,31 @@ class VersionedTableSpec extends SparkTestBase {
     assert(committed == 2, s"loser must land on v2, got v$committed")
     assert(t.read().count() == 12)
     assert(t.versions == Seq(0, 1, 2))
+  }
+
+  test("concurrent appenders: rebase-retry loses no writer's rows") {
+    // 4 threads x 5 appends racing on one table: every lost commit race
+    // must REBASE on the winner's manifest — republishing a stale file
+    // list would silently drop the winner's rows. 210 rows and 21
+    // contiguous versions prove no commit clobbered another.
+    val t = VersionedTable.create(spark, freshRoot(), sampleDf(0 until 10))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      val tasks = (0 until 4).map { w =>
+        pool.submit(new Runnable {
+          def run(): Unit = (0 until 5).foreach { i =>
+            val lo = 1000 + w * 100 + i * 10
+            t.append(sampleDf(lo until lo + 10))
+          }
+        })
+      }
+      tasks.foreach(_.get())
+    } finally pool.shutdown()
+    assert(t.read().count() == 10 + 4 * 5 * 10, "rows lost in commit races")
+    assert(t.versions == (0 to 20), s"non-contiguous versions ${t.versions}")
+    // replaying one of the same ranges idempotently must still dedup
+    val v = t.appendIdempotent(sampleDf(5000 until 5010), "cc:1")
+    assert(t.appendIdempotent(sampleDf(5000 until 5010), "cc:1") == v)
+    assert(t.read().count() == 220)
   }
 }
