@@ -307,6 +307,45 @@ final class VersionedTable private (val spark: SparkSession, val root: String) {
     commitOnce(base, Nil, writeDataFiles(read(Some(base)).coalesce(target)))
   }
 
+  /** Cluster the current snapshot by range on `sortCol`: rewrite into
+    * `numFiles` range-partitioned files so each holds a disjoint value
+    * range — the layout that makes min/max file skipping actually prune
+    * (a random layout's per-file ranges all overlap). The Z-order-lite
+    * single-column form; data unchanged, just another commit. */
+  def optimizeLayout(sortCol: String, numFiles: Int = 8): Int = withRebase() {
+    val base = currentVersion
+    commitOnce(base, Nil, writeDataFiles(
+      read(Some(base)).repartitionByRange(numFiles, col(sortCol))))
+  }
+
+  /** Retention cleanup: drop all but the newest `keepVersions` manifests
+    * (and their stats sidecars), then delete every data file no remaining
+    * manifest references — CoW rewrites and abandoned writes leave
+    * orphans that only a vacuum reclaims. Time travel before the horizon
+    * is gone afterwards, by design. Returns the number of data files
+    * deleted. */
+  def vacuum(keepVersions: Int = 1): Int = {
+    require(keepVersions >= 1, "must keep at least the current version")
+    val all = versions
+    val (dropped, kept) = all.splitAt(math.max(0, all.size - keepVersions))
+    val referenced = kept.flatMap(readManifest).map(normalize).toSet
+    dropped.foreach { v =>
+      Files.deleteIfExists(statsPath(v))
+      Files.deleteIfExists(manifestPath(v))
+    }
+    val dataDir = Paths.get(root, "data")
+    if (!Files.isDirectory(dataDir)) return 0
+    val s = Files.walk(dataDir)
+    val orphans =
+      try s.iterator().asScala
+        .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+        .filterNot(p => referenced.contains(normalize(p.toString)))
+        .toSeq
+      finally s.close()
+    orphans.foreach(Files.deleteIfExists(_))
+    orphans.size
+  }
+
   /** Change feed at FILE granularity: the rows of every data file that
     * joined the manifest after `fromV` up to `toV` — what an incremental
     * consumer tails instead of re-reading snapshots. For append-only

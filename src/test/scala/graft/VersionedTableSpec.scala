@@ -167,6 +167,37 @@ class VersionedTableSpec extends SparkTestBase {
     assert(t.versions == Seq(0, 1, 2))
   }
 
+  test("optimizeLayout turns a random layout into a skipping-effective one") {
+    import org.apache.spark.sql.functions.rand
+    // shuffle ids across writers so every file's [min,max] spans ~everything
+    val shuffled = sampleDf(0 until 200).orderBy(rand(42)).repartition(4)
+    val t = VersionedTable.create(spark, freshRoot(), shuffled, statsCol = Some("id"))
+    // a random file can coincidentally miss a narrow range; the point is
+    // the layout prunes (almost) nothing before clustering
+    val before = t.pruneFiles(10.0, 12.0).size
+    assert(before >= 3, s"random layout should prune ~nothing, pruned to $before")
+    t.optimizeLayout("id", numFiles = 4)
+    val after = t.pruneFiles(10.0, 12.0).size
+    assert(after == 1, s"clustered layout should prune to 1 file, got $after")
+    assert(t.readWhere(10.0, 12.0).count() == 3)
+    assert(t.read().count() == 200, "optimize changed data")
+  }
+
+  test("vacuum reclaims unreferenced files and drops aged versions") {
+    val t = VersionedTable.create(spark, freshRoot(), sampleDf(0 until 40))
+    t.append(sampleDf(40 until 60))
+    t.merge(Seq((0L, "X", 0.0)).toDF("id", "name", "score"), "id") // rewrites ALL files
+    assert(t.versions == Seq(0, 1, 2))
+    val deleted = t.vacuum(keepVersions = 1)
+    assert(deleted > 0, "merge left no reclaimable files?")
+    assert(t.versions == Seq(2), s"aged manifests survive: ${t.versions}")
+    // the surviving snapshot is intact
+    assert(t.read().count() == 60)
+    intercept[IllegalArgumentException] { t.read(Some(0)).count() } // horizon gone
+    // idempotent: nothing left to reclaim
+    assert(t.vacuum(keepVersions = 1) == 0)
+  }
+
   test("concurrent appenders: rebase-retry loses no writer's rows") {
     // 4 threads x 5 appends racing on one table: every lost commit race
     // must REBASE on the winner's manifest — republishing a stale file
