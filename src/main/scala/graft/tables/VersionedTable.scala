@@ -101,6 +101,10 @@ final class VersionedTable private (val spark: SparkSession, val root: String) {
       .groupBy(input_file_name().as("f"))
       .agg(min(col(c).cast("double")).as("lo"), max(col(c).cast("double")).as("hi"))
       .collect()
+      // a file whose stats column is all-NULL (or non-numeric) gets NO
+      // entry — pruneFiles keeps entry-less files, so skipping stays
+      // conservative instead of NPEing on getDouble
+      .filter(r => !r.isNullAt(1) && !r.isNullAt(2))
       .map(r => normalize(r.getString(0)) -> (r.getDouble(1), r.getDouble(2))).toSeq
   }
 
@@ -184,14 +188,21 @@ final class VersionedTable private (val spark: SparkSession, val root: String) {
         Files.deleteIfExists(tmp)
         throw new VersionedTable.CommitConflict(attempt)
     }
-    newStatsCol.orElse(statsCol).foreach { c =>
+    txn.foreach(recordTxn) // keep the incremental txn cache warm
+    // The manifest rename above IS the commit; everything past it is an
+    // optimization, so a stats failure must not surface as a commit
+    // failure (the caller would retry a commit that already happened and
+    // duplicate rows). Known benign loss: if the PREVIOUS winner hasn't
+    // published its sidecar yet, carried files get no entries and simply
+    // stop pruning — conservative, never wrong.
+    try newStatsCol.orElse(statsCol).foreach { c =>
       val prev: Map[String, (Double, Double)] =
         if (base >= 0 && Files.exists(statsPath(base))) readStatsJson(base)._2
         else Map.empty
       val entries = carried.flatMap(f => prev.get(normalize(f)).map(normalize(f) -> _)) ++
         computeStats(fresh, c)
       writeStats(attempt, c, entries)
-    }
+    } catch { case scala.util.control.NonFatal(_) => }
     attempt
   }
 
@@ -199,7 +210,7 @@ final class VersionedTable private (val spark: SparkSession, val root: String) {
     * head itself) until its commit sticks; each conflict means another
     * writer advanced the head, so the whole operation re-derives from the
     * new snapshot. Bounded retries, then fails loudly. */
-  private def withRebase(maxRetries: Int = 5)(body: => Int): Int = {
+  private def withRebase(maxRetries: Int = 50)(body: => Int): Int = {
     var i = 0
     while (true) {
       try return body
@@ -224,17 +235,53 @@ final class VersionedTable private (val spark: SparkSession, val root: String) {
     }
   }
 
-  /** Transaction ids already recorded by [[appendIdempotent]], scanned
-    * from the manifests (the txn rides INSIDE the atomically-renamed
-    * manifest, so "batch data visible" and "batch id recorded" cannot
-    * diverge — the crash-between-them double-write window of a separate
-    * marker file does not exist). */
-  def committedTxns: Set[String] =
-    versions.flatMap { v =>
-      val s = new String(Files.readAllBytes(manifestPath(v)), "UTF-8")
-      if (s.contains("\"txn\":\"")) Some(s.split("\"txn\":\"", 2)(1).split("\"", 2)(0))
-      else None
-    }.toSet
+  // ---------------------------------------------------- idempotent txns
+
+  /** Txns surviving past vacuum: manifests older than the retention
+    * horizon are deleted, so their txn ids checkpoint here first —
+    * otherwise a replayed batch after a vacuum would double-append. */
+  private def txnCheckpointPath: Path = manifestDir.resolve("_txns.json")
+
+  private def checkpointTxns: Set[String] =
+    if (!Files.exists(txnCheckpointPath)) Set.empty
+    else new String(Files.readAllBytes(txnCheckpointPath), "UTF-8")
+      .split("\"txns\":\\[", 2)(1).split("]", 2)(0)
+      .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty).toSet
+
+  private def writeTxnCheckpoint(txns: Set[String]): Unit = {
+    val tmp = Files.createTempFile(manifestDir, ".tmp-", ".json")
+    Files.write(tmp, txns.toSeq.sorted
+      .mkString("{\"txns\":[\"", "\",\"", "\"]}").getBytes("UTF-8"))
+    Files.move(tmp, txnCheckpointPath,
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  // Incremental scan state: manifests are immutable, so versions at or
+  // below txnScanned never need re-reading — a streaming sink committing
+  // per micro-batch stays O(1) manifest reads per batch instead of O(N).
+  private var txnScanned = -1
+  private val txnCache = scala.collection.mutable.Set.empty[String]
+
+  private def recordTxn(t: String): Unit = synchronized { txnCache += t }
+
+  private def txnOf(v: Int): Option[String] = {
+    val s = new String(Files.readAllBytes(manifestPath(v)), "UTF-8")
+    if (s.contains("\"txn\":\"")) Some(s.split("\"txn\":\"", 2)(1).split("\"", 2)(0))
+    else None
+  }
+
+  /** Transaction ids already recorded by [[appendIdempotent]] — from the
+    * vacuum checkpoint plus the manifests (the txn rides INSIDE the
+    * atomically-renamed manifest, so "batch data visible" and "batch id
+    * recorded" cannot diverge). Scans only manifests newer than the last
+    * scan. */
+  def committedTxns: Set[String] = synchronized {
+    if (txnScanned < 0) txnCache ++= checkpointTxns
+    val fresh = versions.filter(_ > txnScanned)
+    fresh.foreach(v => txnOf(v).foreach(txnCache += _))
+    txnScanned = math.max(txnScanned, fresh.foldLeft(txnScanned)(math.max))
+    txnCache.toSet
+  }
 
   /** Idempotent append: a `txnId` that already committed is a no-op —
     * retried/restarted micro-batches (at-least-once delivery) yield
@@ -268,11 +315,14 @@ final class VersionedTable private (val spark: SparkSession, val root: String) {
     // tested via an always-true marker, NOT coalesce over data columns —
     // an update row must be able to set a column to NULL (coalesce would
     // silently keep the stale value).
-    val u = updates.withColumn("_matched", lit(true))
+    // marker name must not collide with a real column of either frame
+    val marker = Iterator.from(0).map(i => s"_matched$i")
+      .find(m => !cols.contains(m) && !updates.columns.contains(m)).get
+    val u = updates.withColumn(marker, lit(true))
     val merged = cur.as("t").join(u.as("u"), Seq(key), "full_outer")
       .select(cols.map(c =>
         if (c == key) col(key)
-        else when(col("_matched").isNotNull, u(c)).otherwise(cur(c)).as(c)): _*)
+        else when(col(marker).isNotNull, u(c)).otherwise(cur(c)).as(c)): _*)
     commitOnce(base, Nil, writeDataFiles(merged.coalesce(math.max(1, readManifest(base).size))))
   }
 
@@ -320,14 +370,23 @@ final class VersionedTable private (val spark: SparkSession, val root: String) {
 
   /** Retention cleanup: drop all but the newest `keepVersions` manifests
     * (and their stats sidecars), then delete every data file no remaining
-    * manifest references — CoW rewrites and abandoned writes leave
-    * orphans that only a vacuum reclaims. Time travel before the horizon
-    * is gone afterwards, by design. Returns the number of data files
-    * deleted. */
-  def vacuum(keepVersions: Int = 1): Int = {
+    * manifest references AND older than `retentionMs` — CoW rewrites and
+    * abandoned writes leave orphans that only a vacuum reclaims. The age
+    * threshold is the in-flight-writer guard: a concurrent commit's
+    * freshly-written files are unreferenced until its manifest rename
+    * lands, and deleting them would corrupt that commit (the standard
+    * lakehouse vacuum-retention rule). Dropped manifests' txn ids are
+    * checkpointed first, so [[appendIdempotent]] stays exactly-once
+    * across vacuums. Time travel before the horizon is gone afterwards,
+    * by design. Returns the number of data files deleted. */
+  def vacuum(keepVersions: Int = 1, retentionMs: Long = 10 * 60 * 1000L): Int = {
     require(keepVersions >= 1, "must keep at least the current version")
+    committedTxns // warm the cache from manifests before any are dropped
     val all = versions
     val (dropped, kept) = all.splitAt(math.max(0, all.size - keepVersions))
+    val droppedTxns = dropped.flatMap(txnOf).toSet
+    if (droppedTxns.nonEmpty)
+      writeTxnCheckpoint(checkpointTxns ++ droppedTxns)
     val referenced = kept.flatMap(readManifest).map(normalize).toSet
     dropped.foreach { v =>
       Files.deleteIfExists(statsPath(v))
@@ -335,11 +394,13 @@ final class VersionedTable private (val spark: SparkSession, val root: String) {
     }
     val dataDir = Paths.get(root, "data")
     if (!Files.isDirectory(dataDir)) return 0
+    val horizon = System.currentTimeMillis() - retentionMs
     val s = Files.walk(dataDir)
     val orphans =
       try s.iterator().asScala
         .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
         .filterNot(p => referenced.contains(normalize(p.toString)))
+        .filter(p => Files.getLastModifiedTime(p).toMillis < horizon)
         .toSeq
       finally s.close()
     orphans.foreach(Files.deleteIfExists(_))

@@ -188,14 +188,33 @@ class VersionedTableSpec extends SparkTestBase {
     t.append(sampleDf(40 until 60))
     t.merge(Seq((0L, "X", 0.0)).toDF("id", "name", "score"), "id") // rewrites ALL files
     assert(t.versions == Seq(0, 1, 2))
-    val deleted = t.vacuum(keepVersions = 1)
+    // default retention spares freshly-written files — the in-flight
+    // writer guard (a concurrent commit's files are unreferenced until
+    // its manifest rename lands)
+    assert(t.vacuum(keepVersions = 1) == 0, "retention must spare fresh files")
+    val deleted = t.vacuum(keepVersions = 1, retentionMs = 0L)
     assert(deleted > 0, "merge left no reclaimable files?")
     assert(t.versions == Seq(2), s"aged manifests survive: ${t.versions}")
     // the surviving snapshot is intact
     assert(t.read().count() == 60)
     intercept[IllegalArgumentException] { t.read(Some(0)).count() } // horizon gone
     // idempotent: nothing left to reclaim
-    assert(t.vacuum(keepVersions = 1) == 0)
+    assert(t.vacuum(keepVersions = 1, retentionMs = 0L) == 0)
+  }
+
+  test("exactly-once survives vacuum: dropped manifests' txns checkpoint forward") {
+    val root = freshRoot()
+    val t = VersionedTable.create(spark, root, sampleDf(0 until 10))
+    t.appendIdempotent(sampleDf(10 until 20), "q:7")
+    t.append(sampleDf(20 until 30)) // head manifest carries NO txn
+    t.vacuum(keepVersions = 1, retentionMs = 0L)
+    assert(t.committedTxns.contains("q:7"), "txn lost by vacuum")
+    // a replay after vacuum — and from a FRESH instance (checkpoint read,
+    // not in-memory cache) — must still be a no-op
+    assert(t.appendIdempotent(sampleDf(10 until 20), "q:7") == t.currentVersion)
+    val reopened = VersionedTable.open(spark, root)
+    reopened.appendIdempotent(sampleDf(10 until 20), "q:7")
+    assert(reopened.read().count() == 30, "replayed txn duplicated after vacuum")
   }
 
   test("concurrent appenders: rebase-retry loses no writer's rows") {
