@@ -188,6 +188,21 @@ object LlmTextOps {
       .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
       .orderBy("doc_id")
 
+  /** The dedup PRODUCT: the corpus with every non-survivor cluster
+    * member removed (survivor = component-min doc). A single left-anti
+    * join against the metadata-sized non-survivor set — this is the frame
+    * a training pipeline actually feeds downstream. */
+  def llmDedupSurvivors(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val nonSurvivors = connectedComponents(
+        ngramJaccard(docs, 0.8).select("a_id", "b_id"))
+      .filter(col("id") =!= col("comp"))
+      .select(col("id").as("dup_id"))
+    docs.join(nonSurvivors, docs("doc_id") === nonSurvivors("dup_id"), "left_anti")
+      .select(col("doc_id"), length(col("text")).as("text_len"))
+      .orderBy("doc_id")
+  }
+
   /** Training-data chunking: fixed 32-token windows with stride 24
     * (8-token overlap), the standard context-packing pre-step. Pure
     * row-local generator — arbitrarily wide at 100 TB, no shuffle. */
@@ -364,6 +379,7 @@ object LlmTextOps {
     "llm_fingerprint" -> (llmFingerprint _),
     "llm_ngram_jaccard" -> (llmNgramJaccard _),
     "llm_dedup_clusters" -> (llmDedupClusters _),
+    "llm_dedup_survivors" -> (llmDedupSurvivors _),
     "llm_chunking" -> (llmChunking _),
     "llm_redact" -> (llmRedact _),
     "llm_sample_split" -> (llmSampleSplit _),
@@ -431,6 +447,20 @@ object LlmTextOps {
         "reach AS (SELECT src AS id, src AS comp FROM edges " +
         "UNION SELECT e.src AS id, r.comp FROM edges e JOIN reach r ON e.dst = r.id) " +
         "SELECT id AS doc_id, min(comp) AS cluster_id FROM reach GROUP BY id ORDER BY doc_id"),
+    "llm_dedup_survivors" ->
+      ("WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), " +
+        "x AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i FROM w), " +
+        "sh AS (SELECT DISTINCT doc_id, CAST('0x' || substr(md5(array_to_string(ws[i:i+2], ' ')), 1, 15) AS BIGINT) AS sh FROM x), " +
+        "sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id), " +
+        "p0 AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+        "pairs AS (SELECT a_id, b_id FROM p0 JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id " +
+        "WHERE round(inter / (sa.n_sh + sb.n_sh - inter), 4) >= 0.8), " +
+        "edges AS (SELECT a_id AS src, b_id AS dst FROM pairs UNION ALL SELECT b_id, a_id FROM pairs), " +
+        "reach AS (SELECT src AS id, src AS comp FROM edges " +
+        "UNION SELECT e.src AS id, r.comp FROM edges e JOIN reach r ON e.dst = r.id), " +
+        "comps AS (SELECT id, min(comp) AS cluster_id FROM reach GROUP BY id) " +
+        "SELECT doc_id, CAST(length(text) AS INTEGER) AS text_len FROM documents " +
+        "WHERE doc_id NOT IN (SELECT id FROM comps WHERE id <> cluster_id) ORDER BY doc_id"),
     "llm_ngram_jaccard" ->
       "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), x AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i FROM w), sh AS (SELECT DISTINCT doc_id, CAST('0x' || substr(md5(array_to_string(ws[i:i+2], ' ')), 1, 15) AS BIGINT) AS sh FROM x), sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id), pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT a_id, b_id, round(inter / (sa.n_sh + sb.n_sh - inter), 4) AS jac FROM pairs JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id WHERE round(inter / (sa.n_sh + sb.n_sh - inter), 4) >= 0.2 ORDER BY a_id, b_id",
   )

@@ -110,6 +110,15 @@ class LlmOpsSpec extends SparkTestBase {
     }
     // cluster id is the component min — a real member, never synthetic
     clusters.values.foreach(c => assert(clusters(c) == c, s"survivor $c not self-labeled"))
+    // the dedup product keeps exactly: all docs minus non-survivor members
+    val survivors = LlmTextOps.llmDedupSurvivors(spark, SF).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    val total = docs.count()
+    val nonSurvivors = clusters.count { case (id, c) => id != c }
+    assert(survivors.size == total - nonSurvivors)
+    clusters.foreach { case (id, c) =>
+      assert(survivors.contains(id) == (id == c), s"doc $id survivor status wrong")
+    }
   }
 
   test("minhash hot-bucket cap bounds fan-out without losing cold-bucket pairs") {
