@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Corpus-preparation operators rounding out the LLM training-data
+  * pipeline: context-window packing, text normalization, n-gram vocab
+  * statistics, and prefix-based dedup (the cheap URL/boilerplate family
+  * complementing exact / MinHash / SimHash / embedding dedup).
+  *
+  * Every op here is a row-local projection or a single 2-phase
+  * aggregation — the embarrassingly-parallel end of the pipeline; all
+  * carry DuckDB oracles.
+  */
+object LlmCorpusOps {
+  type Q = (SparkSession, String) => DataFrame
+  private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
+
+  /** Context packing: documents fill 512-token training windows per
+    * source, in doc_id order — bin = floor(tokens-before-this-doc / 512),
+    * the contiguous-fill packing a sequence-packing pre-step uses. One
+    * window over (source, doc_id): a single shuffle by source; at 100 TB
+    * the partition key is (source, day-bucket) so no stream per source
+    * grows unbounded. */
+  def llmPackSequences(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    t(s, d, "documents")
+      .withColumn("tok", size(split(col("text"), " ")).cast("long"))
+      .withColumn("cum", sum("tok").over(w))
+      .select(col("doc_id"), col("source"), col("tok"),
+        floor((col("cum") - col("tok")) / lit(512.0)).cast("int").as("bin"))
+      .orderBy("doc_id")
+  }
+
+  /** Canonical text normalization: lowercase, strip non-alphanumeric
+    * (keeping spaces), collapse runs of spaces, trim — then the md5 the
+    * normalized-dedup pass keys on. Row-local, no shuffle. */
+  def llmNormalizeText(s: SparkSession, d: String): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+    t(s, d, "documents")
+      .select(col("doc_id"), length(norm).as("norm_len"), md5(norm.cast("binary")).as("norm_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** Vocabulary statistics one level above unigrams: top-25 word bigrams
+    * by count (tie-break alphabetical). Same explode→count shape as
+    * udtf_top_tokens — 2-phase agg, map-side partials. */
+  def llmBigramTop(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .withColumn("ws", split(col("text"), " "))
+      .select(explode(expr(
+        "if(size(ws) >= 2, transform(sequence(1, size(ws) - 1), i -> concat_ws(' ', slice(ws, i, 2))), array())")).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("bigram"))
+      .limit(25)
+
+  /** Prefix dedup: documents sharing the same normalized 40-char prefix
+    * (the cheap boilerplate/mirror-page catch used before the expensive
+    * near-dup passes). Groups with one member are not duplicates and are
+    * filtered out; survivor = min doc_id. Single hash aggregation. */
+  def llmDedupPrefix(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .withColumn("prefix", substring(lower(col("text")), 1, 40))
+      .groupBy("prefix")
+      .agg(min("doc_id").as("survivor_id"), count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > 1)
+      .orderBy("survivor_id")
+
+  val queries: Map[String, Q] = Map(
+    "llm_pack_sequences" -> (llmPackSequences _),
+    "llm_normalize_text" -> (llmNormalizeText _),
+    "llm_bigram_top" -> (llmBigramTop _),
+    "llm_dedup_prefix" -> (llmDedupPrefix _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "llm_pack_sequences" ->
+      ("SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS tok, " +
+        "CAST(floor((sum(CAST(len(string_split(text, ' ')) AS BIGINT)) OVER " +
+        "(PARTITION BY source ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+        "- CAST(len(string_split(text, ' ')) AS BIGINT)) / 512.0) AS INTEGER) AS bin " +
+        "FROM documents ORDER BY doc_id"),
+    "llm_normalize_text" ->
+      ("SELECT doc_id, CAST(length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS INTEGER) AS norm_len, " +
+        "md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_md5 " +
+        "FROM documents ORDER BY doc_id"),
+    "llm_bigram_top" ->
+      ("WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents), " +
+        "x AS (SELECT ws, unnest(generate_series(1, len(ws) - 1)) AS i FROM w WHERE len(ws) >= 2) " +
+        "SELECT array_to_string(ws[i:i+1], ' ') AS bigram, count(*) AS cnt FROM x " +
+        "GROUP BY 1 ORDER BY cnt DESC, bigram LIMIT 25"),
+    "llm_dedup_prefix" ->
+      ("SELECT substr(lower(text), 1, 40) AS prefix, min(doc_id) AS survivor_id, count(*) AS n_docs " +
+        "FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY survivor_id"),
+  )
+}

@@ -163,16 +163,20 @@ object LlmTextOps {
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
-      val nbrMin = sym.join(labels, sym("dst") === labels("id"))
-        .groupBy(sym("src").as("id2")).agg(min("comp").as("nbr_min"))
-      val next = labels.join(nbrMin, labels("id") === nbrMin("id2"), "left")
-        .select(labels("id"),
-          least(labels("comp"), coalesce(col("nbr_min"), labels("comp"))).as("comp"))
+      // One join (neighbor labels via dst) + one aggregation per round.
+      // The node's OWN label rides along as a tagged union branch, so the
+      // same min-aggregation yields both the new label (min over self +
+      // neighbors) and the old label (min over the single own=true row) —
+      // no second join for the update, no third join for the convergence
+      // count (it reads the checkpointed result).
+      val prop = sym.join(labels, sym("dst") === labels("id"))
+        .select(sym("src").as("id"), col("comp"), lit(false).as("own"))
+      val next = prop.union(labels.select(col("id"), col("comp"), lit(true).as("own")))
+        .groupBy("id")
+        .agg(min("comp").as("comp"), min(when(col("own"), col("comp"))).as("old_comp"))
         .localCheckpoint(true)
-      changed = next.as("n")
-        .join(labels.select(col("id"), col("comp").as("old_comp")), "id")
-        .filter(col("comp") < col("old_comp")).count()
-      labels = next
+      changed = next.filter(col("comp") < col("old_comp")).count()
+      labels = next.select("id", "comp")
       i += 1
     }
     require(changed == 0, s"connectedComponents did not converge in $maxIter iterations")
