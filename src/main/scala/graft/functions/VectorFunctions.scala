@@ -58,6 +58,22 @@ object VectorFunctions {
     d
   }
 
+  /** Cosine between a float vector and a double vector (e.g. a computed
+    * centroid) — same sequential index-order accumulation as the
+    * float/float kernel, mirroring DuckDB's list_cosine_similarity, so
+    * rounded sims agree cross-engine. */
+  val cosineMixed = udf { (a: Array[Float], b: Array[Double]) =>
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
   /** L2 norm (double-accumulated) of a float vector. */
   val norm = udf { (a: Array[Float]) =>
     var s = 0.0

@@ -85,11 +85,49 @@ object EventOps {
   def streamDedup(s: SparkSession, d: String): DataFrame =
     dedupEvents(ev(s, d)).orderBy("event_id")
 
+  /** Conversion funnel signup → view → purchase: per user, the first
+    * signup, the first view strictly after it, the first purchase strictly
+    * after that view; graded on the three stage counts. Three hash
+    * aggregations + two joins on user_id — every join key is the same, so
+    * at scale one hash-partitioning by user_id serves all stages. */
+  def eventFunnel(s: SparkSession, d: String): DataFrame = {
+    val e = ev(s, d).select("user_id", "event_type", "ts")
+    val su = e.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("ts").as("s_ts"))
+    val vu = e.filter(col("event_type") === "view").join(su, "user_id")
+      .filter(col("ts") > col("s_ts"))
+      .groupBy("user_id").agg(min("ts").as("v_ts"))
+    val pu = e.filter(col("event_type") === "purchase").join(vu, "user_id")
+      .filter(col("ts") > col("v_ts"))
+      .groupBy("user_id").agg(min("ts").as("p_ts"))
+    su.agg(count(lit(1)).as("n_signup"))
+      .crossJoin(vu.agg(count(lit(1)).as("n_view_after")))
+      .crossJoin(pu.agg(count(lit(1)).as("n_purchase_after")))
+  }
+
+  /** Retention cohorts: users grouped by first-active day; per cohort, how
+    * many returned exactly 1 day and 7 days later. distinct (user, day)
+    * first — one shuffle — then cohort assignment and the conditional
+    * distinct counts share the user_id partitioning. */
+  def eventRetention(s: SparkSession, d: String): DataFrame = {
+    val days = ev(s, d)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day")).distinct()
+    val cohorts = days.groupBy("user_id").agg(min("day").as("cohort"))
+    cohorts.join(days, "user_id")
+      .groupBy("cohort")
+      .agg(countDistinct("user_id").as("n_users"),
+        countDistinct(when(col("day") === col("cohort") + expr("INTERVAL 1 DAY"), col("user_id"))).as("n_d1"),
+        countDistinct(when(col("day") === col("cohort") + expr("INTERVAL 7 DAY"), col("user_id"))).as("n_d7"))
+      .orderBy("cohort")
+  }
+
   val queries: Map[String, Q] = Map(
     "stream_tumbling" -> (streamTumbling _),
     "stream_sliding" -> (streamSliding _),
     "stream_session" -> (streamSession _),
     "stream_dedup" -> (streamDedup _),
+    "event_funnel" -> (eventFunnel _),
+    "event_retention" -> (eventRetention _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -104,5 +142,18 @@ object EventOps {
       "WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events), l AS (SELECT user_id, ts, event_id, CASE WHEN lag(epoch_us(ts)) OVER w IS NULL OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), s AS (SELECT user_id, ts, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_id FROM l) SELECT user_id, sess_id, count(*) AS n_events, min(ts) AS session_start, max(ts) AS session_end FROM s GROUP BY user_id, sess_id ORDER BY user_id, sess_id",
     "stream_dedup" ->
       "SELECT event_id, ts, user_id, event_type, value FROM (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, row_number() OVER (PARTITION BY event_id ORDER BY CAST(ts AS TIMESTAMP) NULLS FIRST, user_id NULLS FIRST, event_type NULLS FIRST, value NULLS FIRST) AS rn FROM events) WHERE rn = 1 ORDER BY event_id",
+    "event_funnel" ->
+      ("WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events), " +
+        "s AS (SELECT user_id, min(ts) AS s_ts FROM e WHERE event_type = 'signup' GROUP BY user_id), " +
+        "v AS (SELECT e.user_id, min(e.ts) AS v_ts FROM e JOIN s ON e.user_id = s.user_id WHERE e.event_type = 'view' AND e.ts > s.s_ts GROUP BY e.user_id), " +
+        "p AS (SELECT e.user_id, min(e.ts) AS p_ts FROM e JOIN v ON e.user_id = v.user_id WHERE e.event_type = 'purchase' AND e.ts > v.v_ts GROUP BY e.user_id) " +
+        "SELECT (SELECT count(*) FROM s) AS n_signup, (SELECT count(*) FROM v) AS n_view_after, (SELECT count(*) FROM p) AS n_purchase_after"),
+    "event_retention" ->
+      ("WITH d AS (SELECT DISTINCT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day FROM events), " +
+        "c AS (SELECT user_id, min(day) AS cohort FROM d GROUP BY user_id) " +
+        "SELECT cohort, count(DISTINCT c.user_id) AS n_users, " +
+        "count(DISTINCT CASE WHEN d.day = c.cohort + INTERVAL 1 DAY THEN c.user_id END) AS n_d1, " +
+        "count(DISTINCT CASE WHEN d.day = c.cohort + INTERVAL 7 DAY THEN c.user_id END) AS n_d7 " +
+        "FROM c JOIN d ON c.user_id = d.user_id GROUP BY cohort ORDER BY cohort"),
   )
 }

@@ -70,11 +70,30 @@ object LlmCorpusOps {
       .filter(col("n_docs") > 1)
       .orderBy("survivor_id")
 
+  /** Embedding-quality check: cosine of every vector to its label's
+    * centroid (position-wise mean). The centroid table is label-sized
+    * (10 rows) — a broadcast; the per-vector cosine is row-local. At
+    * 100 TB this is one treeAggregate-shaped pass + a map stage. */
+  def llmCentroidSim(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "embeddings")
+    val cent = e
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("label", "pos").agg(avg(col("v").cast("double")).as("c"))
+      .groupBy("label")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        x => x.getField("c")).as("centroid"))
+    e.join(broadcast(cent), "label")
+      .select(col("vec_id"), col("label"),
+        round(graft.functions.VectorFunctions.cosineMixed(col("embedding"), col("centroid")), 4).as("sim"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "llm_pack_sequences" -> (llmPackSequences _),
     "llm_normalize_text" -> (llmNormalizeText _),
     "llm_bigram_top" -> (llmBigramTop _),
     "llm_dedup_prefix" -> (llmDedupPrefix _),
+    "llm_centroid_sim" -> (llmCentroidSim _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -96,5 +115,12 @@ object LlmCorpusOps {
     "llm_dedup_prefix" ->
       ("SELECT substr(lower(text), 1, 40) AS prefix, min(doc_id) AS survivor_id, count(*) AS n_docs " +
         "FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY survivor_id"),
+    "llm_centroid_sim" ->
+      ("WITH p AS (SELECT label, i, CAST(embedding[i] AS DOUBLE) AS v FROM " +
+        "(SELECT label, embedding, unnest(generate_series(1, len(embedding))) AS i FROM embeddings)), " +
+        "c0 AS (SELECT label, i, avg(v) AS c FROM p GROUP BY label, i), " +
+        "cent AS (SELECT label, list(c ORDER BY i) AS centroid FROM c0 GROUP BY label) " +
+        "SELECT vec_id, label, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), centroid), 4) AS sim " +
+        "FROM embeddings JOIN cent USING (label) ORDER BY vec_id"),
   )
 }

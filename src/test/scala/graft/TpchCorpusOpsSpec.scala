@@ -72,6 +72,48 @@ class TpchCorpusOpsSpec extends SparkTestBase {
     }
   }
 
+  test("funnel stages are monotone and agree with a constructed funnel") {
+    import spark.implicits._
+    val r = graft.operators.EventOps.eventFunnel(spark, SF).collect().head
+    val (ns, nv, np) = (r.getAs[Long]("n_signup"), r.getAs[Long]("n_view_after"),
+      r.getAs[Long]("n_purchase_after"))
+    assert(ns >= nv && nv >= np, s"funnel not monotone: $ns/$nv/$np")
+    // constructed: u1 completes the funnel, u2 views before signup (excluded)
+    val ev = Seq(
+      (1L, "signup", "2024-01-01 00:00:00"), (1L, "view", "2024-01-01 01:00:00"),
+      (1L, "purchase", "2024-01-01 02:00:00"),
+      (2L, "view", "2024-01-01 00:00:00"), (2L, "signup", "2024-01-01 01:00:00"),
+      (2L, "purchase", "2024-01-01 02:00:00"))
+      .toDF("user_id", "event_type", "ts_s")
+      .select(col("user_id"), col("event_type"), col("ts_s").cast("timestamp").as("ts"))
+    val su = ev.filter(col("event_type") === "signup").groupBy("user_id").agg(min("ts").as("s_ts"))
+    val vu = ev.filter(col("event_type") === "view").join(su, "user_id")
+      .filter(col("ts") > col("s_ts")).groupBy("user_id").agg(min("ts").as("v_ts"))
+    val pu = ev.filter(col("event_type") === "purchase").join(vu, "user_id")
+      .filter(col("ts") > col("v_ts")).groupBy("user_id").agg(min("ts").as("p_ts"))
+    assert(su.count() == 2 && vu.count() == 1 && pu.count() == 1)
+  }
+
+  test("retention counts are bounded by cohort size") {
+    graft.operators.EventOps.eventRetention(spark, SF).collect().foreach { r =>
+      val n = r.getAs[Long]("n_users")
+      assert(r.getAs[Long]("n_d1") <= n && r.getAs[Long]("n_d7") <= n)
+    }
+  }
+
+  test("centroid sims are valid cosines and per-label centroids differ") {
+    val rows = LlmCorpusOps.llmCentroidSim(spark, SF).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val sim = r.getAs[Double]("sim")
+      assert(sim >= -1.0001 && sim <= 1.0001, s"sim out of range: $sim")
+    }
+    // a vector should on average be closer to its own centroid than a
+    // random one — sanity-check the mean is positive
+    val mean = rows.map(_.getAs[Double]("sim")).sum / rows.length
+    assert(mean > 0, s"mean centroid sim $mean not positive")
+  }
+
   test("dedup_prefix only reports real multi-member prefix groups") {
     import spark.implicits._
     val base = Tables.load(spark, SF, "documents")
