@@ -62,7 +62,7 @@ object VectorFunctions {
     * centroid) — same sequential index-order accumulation as the
     * float/float kernel, mirroring DuckDB's list_cosine_similarity, so
     * rounded sims agree cross-engine. */
-  val cosineMixed = udf { (a: Array[Float], b: Array[Double]) =>
+  def cosineMixedValue(a: Array[Float], b: Array[Double]): Double = {
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     val n = math.min(a.length, b.length)
@@ -73,6 +73,8 @@ object VectorFunctions {
     }
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
+
+  val cosineMixed = udf { (a: Array[Float], b: Array[Double]) => cosineMixedValue(a, b) }
 
   /** L2 norm (double-accumulated) of a float vector. */
   val norm = udf { (a: Array[Float]) =>

@@ -88,7 +88,27 @@ object LlmCorpusOps {
       .orderBy("vec_id")
   }
 
+  /** Data-mixing stratified sample: per-source keep rates (high-quality
+    * sources oversampled) applied via a content-hash threshold — the
+    * reproducible form of weighted corpus mixing (a seeded random sample
+    * changes with partitioning; the hash sample is a pure projection).
+    * Row-local filter, no shuffle; the grade includes per-source kept
+    * counts so rate application is checked end-to-end. */
+  def llmStratifiedSample(s: SparkSession, d: String): DataFrame = {
+    // even-numbered sources are "high quality": keep 80%; others 20%
+    val rate = when(regexp_extract(col("source"), "(\\d+)", 1).cast("int") % 2 === 0, 80)
+      .otherwise(20)
+    t(s, d, "documents")
+      .withColumn("bucket",
+        (conv(substring(md5(col("text").cast("binary")), 1, 8), 16, 10).cast("long") % 100).cast("int"))
+      .filter(col("bucket") < rate)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, Q] = Map(
+    "llm_stratified_sample" -> (llmStratifiedSample _),
     "llm_pack_sequences" -> (llmPackSequences _),
     "llm_normalize_text" -> (llmNormalizeText _),
     "llm_bigram_top" -> (llmBigramTop _),
@@ -97,6 +117,11 @@ object LlmCorpusOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "llm_stratified_sample" ->
+      ("SELECT source, count(*) AS n_kept FROM (SELECT source, " +
+        "CAST(CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) % 100 AS INTEGER) AS bucket FROM documents) " +
+        "WHERE bucket < (CASE WHEN CAST(regexp_extract(source, '(\\d+)', 1) AS INTEGER) % 2 = 0 THEN 80 ELSE 20 END) " +
+        "GROUP BY source ORDER BY source"),
     "llm_pack_sequences" ->
       ("SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS tok, " +
         "CAST(floor((sum(CAST(len(string_split(text, ' ')) AS BIGINT)) OVER " +

@@ -47,6 +47,15 @@ object KernelProperties extends Properties("graft.kernels") {
         java.lang.Double.doubleToLongBits(VectorFunctions.cosineValue(a.toSeq, b.toSeq))
     }
 
+  property("mixed float/double cosine bit-equals the float kernel on a widened copy") =
+    forAll(vec, vec) { (a0, b0) =>
+      val n = math.min(a0.length, b0.length)
+      val (a, b) = (a0.take(n), b0.take(n))
+      java.lang.Double.doubleToLongBits(
+        VectorFunctions.cosineMixedValue(a, b.map(_.toDouble))) ==
+        java.lang.Double.doubleToLongBits(VectorFunctions.cosineValue(a.toSeq, b.toSeq))
+    }
+
   private val positives: Gen[List[Double]] =
     Gen.nonEmptyListOf(Gen.chooseNum(0.1, 1000.0))
 
