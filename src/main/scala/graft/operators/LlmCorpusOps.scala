@@ -107,7 +107,39 @@ object LlmCorpusOps {
       .orderBy("source")
   }
 
+  /** The WHOLE training-data prep pipeline as one declarative plan:
+    * normalize → quality-filter → normalized-exact-dedup (deterministic
+    * min-doc_id survivor) → pack survivors into 512-token windows per
+    * source. What a user actually runs nightly; Catalyst sees all four
+    * stages at once, so filters reach the scan and the dedup window and
+    * the packing window share nothing but one exchange each. Stage
+    * semantics match the individually-graded ops (llm_normalize_text,
+    * llm_quality_filter's bounds, llm_dedup_exact's survivor rule,
+    * llm_pack_sequences' bins). */
+  def llmPipelineE2e(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+    val filtered = t(s, d, "documents")
+      .filter(col("n_chars").between(100, 500) &&
+        size(split(col("text"), " ")) >= 20)
+      .withColumn("norm_md5", md5(norm.cast("binary")))
+    val survivors = filtered
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("norm_md5").orderBy("doc_id")))
+      .filter(col("rn") === 1)
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    survivors
+      .withColumn("tok", size(split(col("text"), " ")).cast("long"))
+      .withColumn("cum", sum("tok").over(w))
+      .select(col("doc_id"), col("source"), col("tok"),
+        floor((col("cum") - col("tok")) / lit(512.0)).cast("int").as("bin"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "llm_pipeline_e2e" -> (llmPipelineE2e _),
     "llm_stratified_sample" -> (llmStratifiedSample _),
     "llm_pack_sequences" -> (llmPackSequences _),
     "llm_normalize_text" -> (llmNormalizeText _),
@@ -117,6 +149,16 @@ object LlmCorpusOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "llm_pipeline_e2e" ->
+      ("WITH f AS (SELECT doc_id, source, text, " +
+        "md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_md5 " +
+        "FROM documents WHERE n_chars BETWEEN 100 AND 500 AND len(string_split(text, ' ')) >= 20), " +
+        "s AS (SELECT doc_id, source, text FROM " +
+        "(SELECT *, row_number() OVER (PARTITION BY norm_md5 ORDER BY doc_id) AS rn FROM f) WHERE rn = 1), " +
+        "p AS (SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS tok FROM s) " +
+        "SELECT doc_id, source, tok, CAST(floor((sum(tok) OVER " +
+        "(PARTITION BY source ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tok) / 512.0) AS INTEGER) AS bin " +
+        "FROM p ORDER BY doc_id"),
     "llm_stratified_sample" ->
       ("SELECT source, count(*) AS n_kept FROM (SELECT source, " +
         "CAST(CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) % 100 AS INTEGER) AS bucket FROM documents) " +
