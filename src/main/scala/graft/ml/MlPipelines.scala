@@ -241,6 +241,24 @@ object MlPipelines {
     (model.getVectors.count(), dim)
   }
 
+  /** Seeded LDA topic model over CountVectorizer term counts (hashing-free
+    * so topics map back to real terms). Returns (k, vocabSize, per-topic
+    * top term indices). At 100 TB: online LDA (the default optimizer)
+    * processes mini-batches of documents per iteration — one
+    * treeAggregate-shaped job each — with the topic matrix broadcast. */
+  def ldaDocs(spark: SparkSession, sfDir: String, k: Int = 5): (Int, Int, Array[Array[Int]]) = {
+    val toks = MlOps.tokenizer().transform(Tables.load(spark, sfDir, "documents"))
+    val cv = new org.apache.spark.ml.feature.CountVectorizer()
+      .setInputCol("toks").setOutputCol("tf").setVocabSize(2048).setMinDF(2)
+      .fit(toks)
+    val lda = new org.apache.spark.ml.clustering.LDA()
+      .setSeed(Seed).setK(k).setMaxIter(10).setFeaturesCol("tf")
+      .fit(cv.transform(toks))
+    val topics = lda.describeTopics(5).collect()
+      .map(_.getAs[scala.collection.Seq[Int]]("termIndices").toArray)
+    (lda.getK, cv.vocabulary.length, topics)
+  }
+
   /** ml.stat surface: Pearson correlation matrix over assembled columns. */
   def correlationMatrix(spark: SparkSession, sfDir: String): org.apache.spark.ml.linalg.Matrix = {
     val df = new VectorAssembler()

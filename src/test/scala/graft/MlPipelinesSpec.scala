@@ -144,6 +144,16 @@ class MlPipelinesSpec extends SparkTestBase {
     assert(vocab > 10 && dim == 16)
   }
 
+  test("LDA fits seeded topics with real vocabulary terms") {
+    val (k, vocab, topics) = ml.MlPipelines.ldaDocs(spark, SF, k = 5)
+    assert(k == 5 && vocab > 20)
+    assert(topics.length == 5)
+    topics.foreach { t =>
+      assert(t.length == 5)
+      t.foreach(i => assert(i >= 0 && i < vocab))
+    }
+  }
+
   test("correlation matrix matches SQL corr within 1e-6") {
     val m = MlPipelines.correlationMatrix(spark, SF)
     assert(m.numRows == 3 && m.numCols == 3)
