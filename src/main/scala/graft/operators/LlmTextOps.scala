@@ -325,11 +325,19 @@ object LlmTextOps {
     out
   }
 
+  /** The SimHash sketch table — like [[shingleIndex]], a derived table of
+    * the dedup pipeline shared by the bucket-dedup and banded-pair ops
+    * (memoized per corpus on the fixture path). */
+  def simhashSketches(docs: DataFrame): DataFrame =
+    docs.withColumn("sh64", simhash64(split(lower(col("text")), "\\W+")))
+
+  private def fixtureSimhash(s: SparkSession, d: String): DataFrame =
+    memo(s, d, "simhash")(simhashSketches(t(s, d, "documents")))
+
   /** SimHash sketch buckets (no oracle — hash-algorithm specific; recall
     * unit-tested through [[simhashNearDup]]). */
   def llmDedupSimhash(s: SparkSession, d: String): DataFrame =
-    t(s, d, "documents")
-      .withColumn("sh64", simhash64(split(lower(col("text")), "\\W+")))
+    fixtureSimhash(s, d)
       .groupBy("sh64")
       .agg(min("doc_id").as("survivor_id"), count(lit(1)).as("n_docs"))
       .orderBy("survivor_id")
@@ -340,9 +348,11 @@ object LlmTextOps {
     * least one band — pigeonhole); verify candidates by exact Hamming
     * distance. At 100 TB the band join IS the shuffle key — candidate
     * generation never goes all-pairs. */
-  def simhashNearDup(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val sketched = docs
-      .withColumn("sh64", simhash64(split(lower(col("text")), "\\W+")))
+  def simhashNearDup(docs: DataFrame, maxHamming: Int = 3): DataFrame =
+    simhashBandedPairs(simhashSketches(docs), maxHamming)
+
+  /** Banded-pair core over a prepared sketch table. */
+  def simhashBandedPairs(sketched: DataFrame, maxHamming: Int): DataFrame = {
     val banded = sketched.select(col("doc_id"), col("sh64"),
         explode(expr("transform(sequence(0, 3), b -> named_struct('band', b, 'key', (sh64 >> (b * 16)) & 65535))")).as("bk"))
       .select(col("doc_id"), col("sh64"), col("bk.band").as("band"), col("bk.key").as("key"))
@@ -396,10 +406,14 @@ object LlmTextOps {
     * inverted list. Complements the hyperplane-LSH variant. */
   def annIvfTopk(s: SparkSession, d: String): DataFrame = {
     // maxIter 4: IVF needs stable bucket ASSIGNMENTS, not converged
-    // centroids — each extra iteration is a full Spark job.
-    val (_, preds) = graft.ml.MlPipelines.kmeansEmbeddings(s, d, k = 16, maxIter = 4)
-    bucketedPairSims(preds.select(col("vec_id"), col("embedding"),
-        col("prediction").as("bucket")))
+    // centroids — each extra iteration is a full Spark job. The inverted
+    // lists are an INDEX — built once per corpus (memoized like the
+    // shingle index), queried many times.
+    val assigned = memo(s, d, "ivf") {
+      val (_, preds) = graft.ml.MlPipelines.kmeansEmbeddings(s, d, k = 16, maxIter = 4)
+      preds.select(col("vec_id"), col("embedding"), col("prediction").as("bucket"))
+    }
+    bucketedPairSims(assigned)
       .orderBy(col("sim").desc, col("a_id"), col("b_id"))
       .limit(20)
   }
