@@ -121,6 +121,20 @@ object EventOps {
       .orderBy("cohort")
   }
 
+  /** Event pathing: counts of consecutive event-type transitions per
+    * user (the first-order Markov table behind "what do users do after
+    * X"). One window pass per user + one hash aggregation over a
+    * 25-value key domain. */
+  def eventTransitions(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev(s, d)
+      .withColumn("next_type", lead("event_type", 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy("event_type", "next_type")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("event_type"), col("next_type"))
+  }
+
   val queries: Map[String, Q] = Map(
     "stream_tumbling" -> (streamTumbling _),
     "stream_sliding" -> (streamSliding _),
@@ -128,6 +142,7 @@ object EventOps {
     "stream_dedup" -> (streamDedup _),
     "event_funnel" -> (eventFunnel _),
     "event_retention" -> (eventRetention _),
+    "event_transitions" -> (eventTransitions _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -155,5 +170,10 @@ object EventOps {
         "count(DISTINCT CASE WHEN d.day = c.cohort + INTERVAL 1 DAY THEN c.user_id END) AS n_d1, " +
         "count(DISTINCT CASE WHEN d.day = c.cohort + INTERVAL 7 DAY THEN c.user_id END) AS n_d7 " +
         "FROM c JOIN d ON c.user_id = d.user_id GROUP BY cohort ORDER BY cohort"),
+    "event_transitions" ->
+      ("WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events), " +
+        "t AS (SELECT event_type, lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type FROM e) " +
+        "SELECT event_type, next_type, count(*) AS cnt FROM t WHERE next_type IS NOT NULL " +
+        "GROUP BY 1, 2 ORDER BY cnt DESC, event_type, next_type"),
   )
 }

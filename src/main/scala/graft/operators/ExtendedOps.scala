@@ -518,7 +518,35 @@ object ExtendedOps {
       .agg(count(lit(1)).as("n_lines"), sum(length(col("value"))).as("total_chars"))
   }
 
+  /** Dataset profiler: per-column row/distinct/null counts and numeric
+    * min/max for `orders`, computed in ONE aggregation pass (the five
+    * count-distincts expand into the standard multi-distinct 2-phase
+    * plan; string columns profile counts only, so the output schema stays
+    * uniform). The per-column rows are exploded from the single result
+    * row — at 100 TB this is one scan, not one scan per column. */
+  def statProfile(s: SparkSession, d: String): DataFrame = {
+    val numCols = Seq("o_orderkey", "o_custkey", "o_totalprice")
+    val strCols = Seq("o_orderstatus", "o_orderpriority")
+    val aggs = numCols.flatMap(c => Seq(
+        count(col(c)).as(s"cnt_$c"), countDistinct(col(c)).as(s"nd_$c"),
+        min(col(c)).cast("double").as(s"min_$c"),
+        max(col(c)).cast("double").as(s"max_$c"))) ++
+      strCols.flatMap(c => Seq(
+        count(col(c)).as(s"cnt_$c"), countDistinct(col(c)).as(s"nd_$c")))
+    val row = t(s, d, "orders").agg(count(lit(1)).as("n_rows"), aggs: _*)
+    val entries = numCols.map(c => struct(lit(c).as("col_name"),
+        col("n_rows").as("n"), col(s"nd_$c").as("n_distinct"),
+        (col("n_rows") - col(s"cnt_$c")).as("n_null"),
+        col(s"min_$c").as("min_v"), col(s"max_$c").as("max_v"))) ++
+      strCols.map(c => struct(lit(c).as("col_name"),
+        col("n_rows").as("n"), col(s"nd_$c").as("n_distinct"),
+        (col("n_rows") - col(s"cnt_$c")).as("n_null"),
+        lit(null).cast("double").as("min_v"), lit(null).cast("double").as("max_v")))
+    row.select(explode(array(entries: _*)).as("p")).select("p.*").orderBy("col_name")
+  }
+
   val queries: Map[String, Q] = Map(
+    "stat_profile" -> (statProfile _),
     "agg_stats_pop" -> (aggStatsPop _),
     "agg_regression" -> (aggRegression _),
     "agg_collect_set" -> (aggCollectSet _),
@@ -559,6 +587,15 @@ object ExtendedOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "stat_profile" -> {
+      val num = Seq("o_orderkey", "o_custkey", "o_totalprice").map(c =>
+        s"SELECT '$c' AS col_name, count(*) AS n, count(DISTINCT $c) AS n_distinct, " +
+          s"count(*) - count($c) AS n_null, CAST(min($c) AS DOUBLE) AS min_v, CAST(max($c) AS DOUBLE) AS max_v FROM orders")
+      val str = Seq("o_orderstatus", "o_orderpriority").map(c =>
+        s"SELECT '$c', count(*), count(DISTINCT $c), count(*) - count($c), " +
+          "CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM orders")
+      (num ++ str).mkString("", " UNION ALL ", " ORDER BY col_name")
+    },
     "agg_stats_pop" ->
       ("WITH m AS (SELECT o_orderstatus, avg(o_totalprice) AS mu FROM orders GROUP BY o_orderstatus) " +
         "SELECT o.o_orderstatus, round(var_pop(o_totalprice), 4) AS vp, round(stddev_pop(o_totalprice), 4) AS sp, " +
