@@ -159,11 +159,15 @@ object LlmTextOps {
     * the checkpoint holds exactly the frame the expression tree defines
     * (preflighted at sf0.01 and sf0.1). */
   private val stageMemo =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String, String), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String, String), DataFrame]()
 
-  private def memo(s: SparkSession, d: String, tag: String)(build: => DataFrame): DataFrame =
-    stageMemo.computeIfAbsent((System.identityHashCode(s), d, tag),
-      _ => build.localCheckpoint(true))
+  private def memo(s: SparkSession, d: String, tag: String)(build: => DataFrame): DataFrame = {
+    // key by the session's UUID (stable, unique) — an identity hash could
+    // collide across sessions within one JVM and hand a caller a frame
+    // bound to a dead session
+    val sid = org.apache.spark.sql.graftnative.SessionIds.uuid(s)
+    stageMemo.computeIfAbsent((sid, d, tag), _ => build.localCheckpoint(true))
+  }
 
   private def fixtureShingleIndex(s: SparkSession, d: String): DataFrame =
     memo(s, d, "shingles")(shingleIndex(t(s, d, "documents")))
