@@ -90,8 +90,13 @@ object EventOps {
     * after that view; graded on the three stage counts. Three hash
     * aggregations + two joins on user_id — every join key is the same, so
     * at scale one hash-partitioning by user_id serves all stages. */
-  def eventFunnel(s: SparkSession, d: String): DataFrame = {
-    val e = ev(s, d).select("user_id", "event_type", "ts")
+  def eventFunnel(s: SparkSession, d: String): DataFrame =
+    funnelCounts(ev(s, d))
+
+  /** Core funnel over any (user_id, event_type, ts) frame — exposed so
+    * constructed-input tests exercise THIS code, not a reimplementation. */
+  def funnelCounts(events: DataFrame): DataFrame = {
+    val e = events.select("user_id", "event_type", "ts")
     val su = e.filter(col("event_type") === "signup")
       .groupBy("user_id").agg(min("ts").as("s_ts"))
     val vu = e.filter(col("event_type") === "view").join(su, "user_id")

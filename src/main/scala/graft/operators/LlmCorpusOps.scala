@@ -17,34 +17,42 @@ object LlmCorpusOps {
   type Q = (SparkSession, String) => DataFrame
   private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
 
-  /** Context packing: documents fill 512-token training windows per
-    * source, in doc_id order — bin = floor(tokens-before-this-doc / 512),
-    * the contiguous-fill packing a sequence-packing pre-step uses. One
+  /** THE canonical normalization expression — one definition shared by
+    * llm_normalize_text and the e2e pipeline so their semantics cannot
+    * drift apart: lowercase, strip non-alphanumeric (keeping spaces),
+    * collapse runs of spaces, trim. */
+  private[operators] val normExpr =
+    trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+
+  /** 512-token contiguous-fill packing over any (doc_id, source, text)
+    * frame — shared by llm_pack_sequences and the e2e pipeline. One
     * window over (source, doc_id): a single shuffle by source; at 100 TB
     * the partition key is (source, day-bucket) so no stream per source
     * grows unbounded. */
-  def llmPackSequences(s: SparkSession, d: String): DataFrame = {
+  def packBins(docs: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("source").orderBy("doc_id")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    t(s, d, "documents")
+    docs
       .withColumn("tok", size(split(col("text"), " ")).cast("long"))
       .withColumn("cum", sum("tok").over(w))
       .select(col("doc_id"), col("source"), col("tok"),
         floor((col("cum") - col("tok")) / lit(512.0)).cast("int").as("bin"))
-      .orderBy("doc_id")
   }
 
-  /** Canonical text normalization: lowercase, strip non-alphanumeric
-    * (keeping spaces), collapse runs of spaces, trim — then the md5 the
+  /** Context packing: documents fill 512-token training windows per
+    * source, in doc_id order — bin = floor(tokens-before-this-doc / 512),
+    * the contiguous-fill packing a sequence-packing pre-step uses. */
+  def llmPackSequences(s: SparkSession, d: String): DataFrame =
+    packBins(t(s, d, "documents")).orderBy("doc_id")
+
+  /** Canonical text normalization ([[normExpr]]) plus the md5 the
     * normalized-dedup pass keys on. Row-local, no shuffle. */
-  def llmNormalizeText(s: SparkSession, d: String): DataFrame = {
-    val norm = trim(regexp_replace(
-      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+  def llmNormalizeText(s: SparkSession, d: String): DataFrame =
     t(s, d, "documents")
-      .select(col("doc_id"), length(norm).as("norm_len"), md5(norm.cast("binary")).as("norm_md5"))
+      .select(col("doc_id"), length(normExpr).as("norm_len"),
+        md5(normExpr.cast("binary")).as("norm_md5"))
       .orderBy("doc_id")
-  }
 
   /** Vocabulary statistics one level above unigrams: top-25 word bigrams
     * by count (tie-break alphabetical). Same explode→count shape as
@@ -63,12 +71,16 @@ object LlmCorpusOps {
     * near-dup passes). Groups with one member are not duplicates and are
     * filtered out; survivor = min doc_id. Single hash aggregation. */
   def llmDedupPrefix(s: SparkSession, d: String): DataFrame =
-    t(s, d, "documents")
+    prefixDedup(t(s, d, "documents")).orderBy("survivor_id")
+
+  /** Core prefix-dedup over any (doc_id, text) frame — exposed so
+    * planted-duplicate tests exercise THIS code. */
+  def prefixDedup(docs: DataFrame): DataFrame =
+    docs
       .withColumn("prefix", substring(lower(col("text")), 1, 40))
       .groupBy("prefix")
       .agg(min("doc_id").as("survivor_id"), count(lit(1)).as("n_docs"))
       .filter(col("n_docs") > 1)
-      .orderBy("survivor_id")
 
   /** Embedding-quality check: cosine of every vector to its label's
     * centroid (position-wise mean). The centroid table is label-sized
@@ -118,24 +130,15 @@ object LlmCorpusOps {
     * llm_pack_sequences' bins). */
   def llmPipelineE2e(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val norm = trim(regexp_replace(
-      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
     val filtered = t(s, d, "documents")
       .filter(col("n_chars").between(100, 500) &&
         size(split(col("text"), " ")) >= 20)
-      .withColumn("norm_md5", md5(norm.cast("binary")))
+      .withColumn("norm_md5", md5(normExpr.cast("binary")))
     val survivors = filtered
       .withColumn("rn", row_number().over(
         Window.partitionBy("norm_md5").orderBy("doc_id")))
       .filter(col("rn") === 1)
-    val w = Window.partitionBy("source").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, 0)
-    survivors
-      .withColumn("tok", size(split(col("text"), " ")).cast("long"))
-      .withColumn("cum", sum("tok").over(w))
-      .select(col("doc_id"), col("source"), col("tok"),
-        floor((col("cum") - col("tok")) / lit(512.0)).cast("int").as("bin"))
-      .orderBy("doc_id")
+    packBins(survivors.select("doc_id", "source", "text")).orderBy("doc_id")
   }
 
   val queries: Map[String, Q] = Map(

@@ -184,6 +184,10 @@ object LlmTextOps {
     new java.util.concurrent.ConcurrentHashMap[(String, String, String), DataFrame]()
 
   private def memo(s: SparkSession, d: String, tag: String)(build: => DataFrame): DataFrame = {
+    // Entries are rebuildable caches: bound retention so a long-lived JVM
+    // cycling many sessions can't pin dead sessions' checkpointed frames
+    // forever.
+    if (stageMemo.size > 64) stageMemo.clear()
     // key by the session's UUID (stable, unique) — an identity hash could
     // collide across sessions within one JVM and hand a caller a frame
     // bound to a dead session
@@ -194,9 +198,14 @@ object LlmTextOps {
   private def fixtureShingleIndex(s: SparkSession, d: String): DataFrame =
     memo(s, d, "shingles")(shingleIndex(t(s, d, "documents")))
 
-  private def dedupLabels(s: SparkSession, d: String): DataFrame =
+  private def dedupLabels(s: SparkSession, d: String): DataFrame = {
+    // hoisted OUT of the memo lambda: a memo() call nested inside
+    // computeIfAbsent is a ConcurrentHashMap recursive update — JDK 9+
+    // throws IllegalStateException when the two keys share a bin
+    val sh = fixtureShingleIndex(s, d)
     memo(s, d, "cc_labels")(
-      connectedComponents(jaccardPairs(fixtureShingleIndex(s, d), 0.8).select("a_id", "b_id")))
+      connectedComponents(jaccardPairs(sh, 0.8).select("a_id", "b_id")))
+  }
 
   /** Distributed connected components by min-label propagation: each node
     * starts labeled with its own id; every iteration each node takes the

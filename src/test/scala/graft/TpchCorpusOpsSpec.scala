@@ -78,7 +78,8 @@ class TpchCorpusOpsSpec extends SparkTestBase {
     val (ns, nv, np) = (r.getAs[Long]("n_signup"), r.getAs[Long]("n_view_after"),
       r.getAs[Long]("n_purchase_after"))
     assert(ns >= nv && nv >= np, s"funnel not monotone: $ns/$nv/$np")
-    // constructed: u1 completes the funnel, u2 views before signup (excluded)
+    // constructed: u1 completes the funnel; u2 views BEFORE signup so u2's
+    // purchase must not count (no post-signup view precedes it)
     val ev = Seq(
       (1L, "signup", "2024-01-01 00:00:00"), (1L, "view", "2024-01-01 01:00:00"),
       (1L, "purchase", "2024-01-01 02:00:00"),
@@ -86,12 +87,10 @@ class TpchCorpusOpsSpec extends SparkTestBase {
       (2L, "purchase", "2024-01-01 02:00:00"))
       .toDF("user_id", "event_type", "ts_s")
       .select(col("user_id"), col("event_type"), col("ts_s").cast("timestamp").as("ts"))
-    val su = ev.filter(col("event_type") === "signup").groupBy("user_id").agg(min("ts").as("s_ts"))
-    val vu = ev.filter(col("event_type") === "view").join(su, "user_id")
-      .filter(col("ts") > col("s_ts")).groupBy("user_id").agg(min("ts").as("v_ts"))
-    val pu = ev.filter(col("event_type") === "purchase").join(vu, "user_id")
-      .filter(col("ts") > col("v_ts")).groupBy("user_id").agg(min("ts").as("p_ts"))
-    assert(su.count() == 2 && vu.count() == 1 && pu.count() == 1)
+    val counts = graft.operators.EventOps.funnelCounts(ev).collect().head
+    assert(counts.getAs[Long]("n_signup") == 2)
+    assert(counts.getAs[Long]("n_view_after") == 1)
+    assert(counts.getAs[Long]("n_purchase_after") == 1)
   }
 
   test("retention counts are bounded by cohort size") {
@@ -114,20 +113,22 @@ class TpchCorpusOpsSpec extends SparkTestBase {
     assert(mean > 0, s"mean centroid sim $mean not positive")
   }
 
-  test("dedup_prefix only reports real multi-member prefix groups") {
-    import spark.implicits._
+  test("dedup_prefix detects planted duplicates through the real op") {
     val base = Tables.load(spark, SF, "documents")
-    // fixtures may or may not contain prefix dups at this sf — construct some
+    val fixtureGroups = LlmCorpusOps.prefixDedup(base).count()
+    // plant 3 copies with new ids — the op must report >= 3 more groups
+    // than the fixture baseline, each with the ORIGINAL doc as survivor
     val dup = base.limit(3).withColumn("doc_id", col("doc_id") + 1000000L)
-    val rows = LlmCorpusOps.llmDedupPrefix(spark, SF)
-    rows.collect().foreach(r => assert(r.getAs[Long]("n_docs") > 1))
-    val planted = dup.select("doc_id", "text", "lang", "source", "n_chars")
-      .union(base.select("doc_id", "text", "lang", "source", "n_chars"))
-    planted.createOrReplaceTempView("documents_planted")
-    val found = planted
-      .withColumn("prefix", substring(lower(col("text")), 1, 40))
-      .groupBy("prefix").agg(min("doc_id").as("survivor_id"), count(lit(1)).as("n_docs"))
-      .filter(col("n_docs") > 1)
-    assert(found.count() >= 3, "planted prefix duplicates not detected")
+    val planted = base.select("doc_id", "text").union(dup.select("doc_id", "text"))
+    val found = LlmCorpusOps.prefixDedup(planted).collect()
+    assert(found.length >= fixtureGroups, "planting removed groups?")
+    found.foreach(r => assert(r.getAs[Long]("n_docs") > 1))
+    // every planted copy's prefix must surface as a duplicate group, with
+    // the ORIGINAL doc (smaller id) as survivor
+    val plantedPrefixes = dup.select(substring(lower(col("text")), 1, 40)).collect().map(_.getString(0))
+    val foundPrefixes = found.map(_.getAs[String]("prefix")).toSet
+    plantedPrefixes.foreach(p => assert(foundPrefixes(p), s"planted prefix not detected: $p"))
+    assert(found.forall(_.getAs[Long]("survivor_id") < 1000000L),
+      "survivor must be the original (min doc_id), not the planted copy")
   }
 }
