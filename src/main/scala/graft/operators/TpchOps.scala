@@ -95,12 +95,178 @@ object TpchOps {
       .limit(100)
   }
 
+  /** Q4 order-priority check: EXISTS rewritten as a LEFT SEMI join — the
+    * probe (orders) is date-pruned at the scan and the semi join never
+    * materializes lineitem columns, so the shuffle carries only
+    * l_orderkey. (Fixture has no l_commitdate/l_receiptdate; the EXISTS
+    * predicate is adapted to returned lineitems.) */
+  def tpchQ4Priority(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .filter(col("o_orderdate") >= lit("1996-07-01") && col("o_orderdate") < lit("1996-10-01"))
+      .join(t(s, d, "lineitem").filter(col("l_returnflag") === "R").select("l_orderkey"),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+
+  /** Q7 volume shipping between two nations: both endpoint dimensions are
+    * pre-filtered to the nation pair BEFORE touching the facts, so the
+    * supplier/customer sides broadcast; the only big shuffle is the
+    * lineitem↔orders fact join. Same-nation pairs drop in a post-filter. */
+  def tpchQ7Volume(s: SparkSession, d: String): DataFrame = {
+    val pair = Seq("NATION_3", "NATION_7")
+    val nations = t(s, d, "nation").filter(col("n_name").isin(pair: _*))
+    val supp = t(s, d, "supplier")
+      .join(broadcast(nations.select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("snk"))
+      .select("s_suppkey", "supp_nation")
+    val cust = t(s, d, "customer")
+      .join(broadcast(nations.select(col("n_nationkey").as("cnk"), col("n_name").as("cust_nation"))),
+        col("c_nationkey") === col("cnk"))
+      .select("c_custkey", "cust_nation")
+    t(s, d, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1998-01-01"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(t(s, d, "orders").select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"), year(col("l_shipdate")).as("l_year"))
+      .agg(round(sum(revenue), 2).as("rev"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** Q8 national market share: NATION_2's share of PROMO-part revenue sold
+    * into ASIA-region customers, by order year. part/supplier/nation/region
+    * all broadcast (true dimensions); the single shuffle is lineitem↔orders.
+    * The share is a conditional-sum ratio inside one aggregation — no
+    * second pass over the facts. */
+  def tpchQ8Share(s: SparkSession, d: String): DataFrame = {
+    val asiaNations = t(s, d, "nation")
+      .join(broadcast(t(s, d, "region").filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("cnk"))
+    val suppNation = t(s, d, "supplier")
+      .join(broadcast(t(s, d, "nation").select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("snk"))
+      .select("s_suppkey", "supp_nation")
+    t(s, d, "lineitem")
+      .join(broadcast(t(s, d, "part").filter(col("p_type") === "PROMO").select("p_partkey")),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .join(t(s, d, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1998-01-01"))
+          .select("o_orderkey", "o_custkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(s, d, "customer").select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(asiaNations), col("c_nationkey") === col("cnk"), "left_semi")
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(round(
+        sum(when(col("supp_nation") === "NATION_2", revenue).otherwise(lit(0.0))) / sum(revenue),
+        4).as("mkt_share"))
+      .orderBy("o_year")
+  }
+
+  /** Q13 customer order-count distribution: left join preserves never-
+    * ordered customers, then a two-level aggregation. The second groupBy
+    * keys on the (tiny-cardinality) count — at 100 TB the first agg does
+    * the heavy reduction and the second is a near-free re-shuffle of one
+    * row per customer. */
+  def tpchQ13Custdist(s: SparkSession, d: String): DataFrame =
+    t(s, d, "customer").select("c_custkey")
+      .join(t(s, d, "orders").select("o_orderkey", "o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+
+  /** Q15 top supplier: quarterly revenue per supplier, keep the max-revenue
+    * supplier(s) via a broadcast scalar (one extra row, not a second fact
+    * pass — the rev aggregate is reused for both the ranking and the
+    * output). Revenue is rounded BEFORE the max compare on both engines so
+    * the tie semantics are identical. */
+  def tpchQ15Top(s: SparkSession, d: String): DataFrame = {
+    val rev = t(s, d, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1996-04-01"))
+      .groupBy("l_suppkey")
+      .agg(round(sum(revenue), 2).as("total_rev"))
+    rev.crossJoin(broadcast(rev.agg(max(col("total_rev")).as("mx"))))
+      .filter(col("total_rev") === col("mx"))
+      .join(broadcast(t(s, d, "supplier").select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_rev"))
+      .orderBy("s_suppkey")
+  }
+
+  /** Q17 small-quantity-order revenue: the correlated per-part average is
+    * decorrelated into one aggregate over the ALREADY brand-filtered
+    * lineitem subset (the correlation key is the part, so filtering by
+    * brand first is semantics-preserving and shrinks the agg input by
+    * ~25×). Quantities are integral in the fixtures, so 0.2*avg is
+    * bit-identical across engines and the `<` boundary is deterministic. */
+  def tpchQ17SmallQty(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem")
+      .join(broadcast(t(s, d, "part").filter(col("p_brand") === "Brand#3").select("p_partkey")),
+        col("l_partkey") === col("p_partkey"))
+      .select("p_partkey", "l_quantity", "l_extendedprice")
+    val lim = li.groupBy(col("p_partkey").as("ak"))
+      .agg((avg(col("l_quantity")) * 0.2).as("qty_lim"))
+    li.join(broadcast(lim), col("p_partkey") === col("ak"))
+      .filter(col("l_quantity") < col("qty_lim"))
+      .agg(round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"))
+  }
+
+  /** Q19 disjunctive brand/size/quantity predicates: the OR-of-ANDs sits
+    * on the joined row, but the part-only conjuncts (brand, size) are
+    * extracted by Catalyst into a pushed-down scan filter on the broadcast
+    * side — the fixture-schema version of Q19's "discounted revenue"
+    * predicate-pushdown exercise. */
+  def tpchQ19Disjunct(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .join(broadcast(t(s, d, "part").select("p_partkey", "p_brand", "p_size")),
+        col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) && col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 25) && col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#4") && col("p_size").between(1, 35) && col("l_quantity").between(20, 30))
+      .agg(round(sum(revenue), 2).as("rev"))
+
+  /** Q22 idle high-balance customers: global-average scalar broadcast +
+    * anti join against recent orders (customers with no order since 1999 —
+    * the fixtures have no fully order-less customers), grouped by market
+    * segment (the fixture's stand-in for Q22's phone country code). The
+    * anti join shuffles only (c_custkey, o_custkey) key columns, and the
+    * date predicate prunes the orders scan before the shuffle. */
+  def tpchQ22Idle(s: SparkSession, d: String): DataFrame = {
+    val cust = t(s, d, "customer")
+    val avgBal = cust.filter(col("c_acctbal") > 0.0).agg(avg(col("c_acctbal")).as("ab"))
+    cust.crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("ab"))
+      .join(t(s, d, "orders")
+          .filter(col("o_orderdate") >= lit("1999-01-01")).select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("numcust"), round(sum(col("c_acctbal")), 2).as("totacctbal"))
+      .orderBy("c_mktsegment")
+  }
+
   val queries: Map[String, Q] = Map(
     "tpch_q3_shipping" -> (tpchQ3Shipping _),
+    "tpch_q4_priority" -> (tpchQ4Priority _),
     "tpch_q6_revenue" -> (tpchQ6Revenue _),
+    "tpch_q7_volume" -> (tpchQ7Volume _),
+    "tpch_q8_share" -> (tpchQ8Share _),
     "tpch_q10_returns" -> (tpchQ10Returns _),
+    "tpch_q13_custdist" -> (tpchQ13Custdist _),
     "tpch_q14_promo" -> (tpchQ14Promo _),
+    "tpch_q15_top" -> (tpchQ15Top _),
+    "tpch_q17_smallqty" -> (tpchQ17SmallQty _),
     "tpch_q18_large" -> (tpchQ18Large _),
+    "tpch_q19_disjunct" -> (tpchQ19Disjunct _),
+    "tpch_q22_idle" -> (tpchQ22Idle _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -129,5 +295,58 @@ object TpchOps {
         "SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, total_qty " +
         "FROM big JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey " +
         "ORDER BY total_qty DESC, o_orderkey LIMIT 100"),
+    "tpch_q4_priority" ->
+      ("SELECT o_orderpriority, count(*) AS order_count FROM orders " +
+        "WHERE o_orderdate >= TIMESTAMP '1996-07-01' AND o_orderdate < TIMESTAMP '1996-10-01' " +
+        "AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_returnflag = 'R') " +
+        "GROUP BY 1 ORDER BY 1"),
+    "tpch_q7_volume" ->
+      ("SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, year(l_shipdate) AS l_year, " +
+        "round(sum(l_extendedprice * (1 - l_discount)), 2) AS rev " +
+        "FROM lineitem JOIN supplier ON s_suppkey = l_suppkey JOIN orders ON o_orderkey = l_orderkey " +
+        "JOIN customer ON c_custkey = o_custkey " +
+        "JOIN nation n1 ON s_nationkey = n1.n_nationkey JOIN nation n2 ON c_nationkey = n2.n_nationkey " +
+        "WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01' " +
+        "AND n1.n_name IN ('NATION_3', 'NATION_7') AND n2.n_name IN ('NATION_3', 'NATION_7') " +
+        "AND n1.n_name <> n2.n_name " +
+        "GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"),
+    "tpch_q8_share" ->
+      ("SELECT year(o_orderdate) AS o_year, " +
+        "round(sum(CASE WHEN n2.n_name = 'NATION_2' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END) " +
+        "/ sum(l_extendedprice * (1 - l_discount)), 4) AS mkt_share " +
+        "FROM lineitem JOIN part ON p_partkey = l_partkey JOIN supplier ON s_suppkey = l_suppkey " +
+        "JOIN orders ON o_orderkey = l_orderkey JOIN customer ON c_custkey = o_custkey " +
+        "JOIN nation n1 ON c_nationkey = n1.n_nationkey JOIN region ON n1.n_regionkey = r_regionkey " +
+        "JOIN nation n2 ON s_nationkey = n2.n_nationkey " +
+        "WHERE p_type = 'PROMO' AND r_name = 'ASIA' " +
+        "AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01' " +
+        "GROUP BY 1 ORDER BY 1"),
+    "tpch_q13_custdist" ->
+      ("SELECT c_count, count(*) AS custdist FROM (" +
+        "SELECT c_custkey, count(o_orderkey) AS c_count FROM customer " +
+        "LEFT JOIN orders ON c_custkey = o_custkey GROUP BY c_custkey) " +
+        "GROUP BY c_count ORDER BY custdist DESC, c_count DESC"),
+    "tpch_q15_top" ->
+      ("WITH rev AS (SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_rev " +
+        "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01' " +
+        "GROUP BY l_suppkey) " +
+        "SELECT s_suppkey, s_name, total_rev FROM supplier JOIN rev ON s_suppkey = l_suppkey " +
+        "WHERE total_rev = (SELECT max(total_rev) FROM rev) ORDER BY s_suppkey"),
+    "tpch_q17_smallqty" ->
+      ("SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly " +
+        "FROM lineitem JOIN part ON p_partkey = l_partkey " +
+        "WHERE p_brand = 'Brand#3' " +
+        "AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2 WHERE l2.l_partkey = p_partkey)"),
+    "tpch_q19_disjunct" ->
+      ("SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS rev " +
+        "FROM lineitem JOIN part ON p_partkey = l_partkey " +
+        "WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11) " +
+        "OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20) " +
+        "OR (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)"),
+    "tpch_q22_idle" ->
+      ("SELECT c_mktsegment, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal " +
+        "FROM customer WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0) " +
+        "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '1999-01-01') " +
+        "GROUP BY 1 ORDER BY 1"),
   )
 }

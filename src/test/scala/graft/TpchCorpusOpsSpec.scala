@@ -26,6 +26,37 @@ class TpchCorpusOpsSpec extends SparkTestBase {
       s"expected fact-side aggregation below the join:\n$plan")
   }
 
+  test("q4 EXISTS runs as a LEFT SEMI join; q22 NOT EXISTS as LEFT ANTI") {
+    val q4 = TpchOps.tpchQ4Priority(spark, SF).queryExecution.executedPlan.toString
+    assert(q4.contains("LeftSemi"), s"q4 plan lacks semi join:\n$q4")
+    val q22 = TpchOps.tpchQ22Idle(spark, SF).queryExecution.executedPlan.toString
+    assert(q22.contains("LeftAnti"), s"q22 plan lacks anti join:\n$q22")
+  }
+
+  test("q7/q8/q19 broadcast every dimension side") {
+    for (key <- Seq("tpch_q7_volume", "tpch_q8_share", "tpch_q19_disjunct")) {
+      val plan = SparkEntry.queries(key)(spark, SF).queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), s"$key plan lacks BHJ:\n$plan")
+      // the only shuffle joins allowed are fact↔fact (lineitem↔orders)
+      val smj = plan.linesIterator.count(_.contains("SortMergeJoin"))
+      assert(smj <= 1, s"$key has $smj shuffle joins (expected <=1):\n$plan")
+    }
+  }
+
+  test("q13 left join preserves never-ordered customers") {
+    val n = Tables.load(spark, SF, "customer").count()
+    val dist = TpchOps.tpchQ13Custdist(spark, SF)
+      .agg(sum("custdist")).collect().head.getLong(0)
+    assert(dist == n, s"distribution covers $dist of $n customers")
+  }
+
+  test("q15 returns the max-revenue supplier(s) only") {
+    val rows = TpchOps.tpchQ15Top(spark, SF).collect()
+    assert(rows.nonEmpty)
+    val revs = rows.map(_.getAs[Double]("total_rev")).distinct
+    assert(revs.length == 1, s"multiple distinct revenues in top set: ${revs.toSeq}")
+  }
+
   test("q3/q18 top-k plans use TakeOrderedAndProject, not a global sort") {
     for (key <- Seq("tpch_q3_shipping", "tpch_q18_large")) {
       val plan = SparkEntry.queries(key)(spark, SF).queryExecution.executedPlan.toString
