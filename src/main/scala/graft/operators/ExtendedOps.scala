@@ -198,6 +198,46 @@ object ExtendedOps {
       .orderBy("l_orderkey", "l_linenumber", "l_quantity")
   }
 
+  /** Co-located bucketed join: lineitem and orders are written ONCE per
+    * JVM as parquet tables bucketed (and sorted) by the join key with
+    * matching bucket counts, then joined. The bucketed layout already IS
+    * the hash partitioning a shuffle would produce, so the sort-merge join
+    * plans with ZERO Exchange nodes on either side (asserted in
+    * ScaleOpsSpec). At 100 TB this turns the recurring fact-fact join of
+    * every downstream query into a scan-local merge — the shuffle cost is
+    * paid once at ingest, not per query. The merge hint forces SMJ so the
+    * co-location is exercised even at fixture scale where the orders side
+    * would otherwise broadcast. */
+  def joinBucketed(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    // database name carries the sfDir hash: one bucketed layout per scale
+    // dir, never cross-contaminated by mode("overwrite") across dirs
+    val db = "graft_buckets_" + (d.hashCode.toLong & 0xffffffffL).toString
+    graft.TempDirs.cached("bucketdb", d) { dir =>
+      s.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$dir'")
+      t(s, d, "lineitem")
+        .select("l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag")
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable(s"$db.lineitem_b")
+      t(s, d, "orders").select("o_orderkey", "o_orderpriority")
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable(s"$db.orders_b")
+    }
+    (s.table(s"$db.lineitem_b"), s.table(s"$db.orders_b"))
+  }
+
+  /** The graded query over the bucketed layout: exchange-free fact-fact
+    * join feeding an aggregation. */
+  def joinBucketedAgg(s: SparkSession, d: String): DataFrame = {
+    val (li, ord) = joinBucketed(s, d)
+    li.hint("merge")
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority", "l_returnflag")
+      .agg(count(lit(1)).as("n_items"), round(sum(col("l_extendedprice")), 2).as("total"))
+      .orderBy("o_orderpriority", "l_returnflag")
+  }
+
   /** Population-moment statistics — var_pop/stddev_pop plus skewness and
     * excess kurtosis. Spark's skewness/kurtosis are POPULATION moments
     * (m3/m2^1.5, m4/m2²−3) while DuckDB's builtins are sample-adjusted
@@ -584,6 +624,7 @@ object ExtendedOps {
     "fn_higher_order" -> (fnHigherOrder _),
     "unpivot_melt" -> (unpivotMelt _),
     "scan_partitioned" -> (scanPartitioned _),
+    "join_bucketed" -> (joinBucketedAgg _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -684,5 +725,9 @@ object ExtendedOps {
       "SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS val FROM part UNION ALL SELECT p_partkey, 'retail', p_retailprice FROM part ORDER BY p_partkey, metric",
     "scan_partitioned" ->
       "SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem WHERE l_returnflag = 'R' ORDER BY l_orderkey, l_linenumber, l_quantity",
+    "join_bucketed" ->
+      ("SELECT o_orderpriority, l_returnflag, count(*) AS n_items, round(sum(l_extendedprice), 2) AS total " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "GROUP BY 1, 2 ORDER BY 1, 2"),
   )
 }

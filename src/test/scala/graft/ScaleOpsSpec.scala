@@ -79,6 +79,20 @@ class ScaleOpsSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 
+  test("graded join_bucketed plans an exchange-free sort-merge join") {
+    import graft.operators.ExtendedOps
+    val (li, ord) = ExtendedOps.joinBucketed(spark, SF)
+    val joined = li.hint("merge").join(ord, col("l_orderkey") === col("o_orderkey"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"expected SMJ in:\n$plan")
+    assert(!plan.contains("Exchange"),
+      s"bucketed fact-fact join must not shuffle either side:\n$plan")
+    // and the graded aggregate's only exchange is the one the groupBy needs
+    val aggPlan = ExtendedOps.joinBucketedAgg(spark, SF).queryExecution.executedPlan.toString
+    assert(aggPlan.linesIterator.count(_.trim.startsWith("+- Exchange")) <= 2,
+      s"unexpected extra shuffles:\n$aggPlan")
+  }
+
   test("top-k limit plans TakeOrderedAndProject, never a global sort") {
     import graft.operators.RelationalOps
     val plan = RelationalOps.topkLimit(spark, SF).queryExecution.executedPlan.toString
