@@ -119,6 +119,53 @@ object LlmCorpusOps {
       .orderBy("source")
   }
 
+  /** Deterministic training-shard shuffle: every document routes to one of
+    * 16 shards by key hash and is ordered within its shard by the hash —
+    * the reproducible global shuffle a training run needs before packing.
+    * A seeded rand() permutation changes with partitioning/retries; the
+    * hash permutation is a pure function of the key. One shuffle on shard;
+    * the position window is per-shard. At 100 TB shard count scales with
+    * target file size and the window becomes the shard file's row order. */
+  def llmShuffleShards(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("hkey", "doc_id")
+    t(s, d, "documents")
+      .select(col("doc_id"),
+        conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 12), 16, 10)
+          .cast("long").as("hkey"))
+      .withColumn("shard", (col("hkey") % 16).cast("int"))
+      .withColumn("pos", row_number().over(w))
+      .select("doc_id", "shard", "pos")
+      .orderBy("doc_id")
+  }
+
+  /** PII pre-scan: per-document counts of the cheap pattern families a
+    * redaction pass routes on — long digit runs (id/phone-like), email-ish
+    * tokens, dashed number groups — plus the any-hit flag. Pure
+    * regexp_count projections, row-local, no shuffle. */
+  def llmPiiScan(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(col("doc_id"),
+        regexp_count(col("text"), lit("\\d{4,}")).cast("int").as("n_longnum"),
+        regexp_count(col("text"), lit("[a-z0-9.]+@[a-z0-9.]+")).cast("int").as("n_emailish"),
+        regexp_count(col("text"), lit("\\d{2,3}-\\d{3,4}-\\d{3,4}")).cast("int").as("n_dashed"))
+      .withColumn("pii_flag",
+        (col("n_longnum") + col("n_emailish") + col("n_dashed")) > 0)
+      .orderBy("doc_id")
+
+  /** Repetition quality signal (the Gopher-style top-token share): the
+    * most frequent token's share of the document plus the distinct-token
+    * count. Explode → two-phase aggregation; partial counts combine
+    * map-side, so the shuffle carries (doc, token) partials, not tokens. */
+  def llmTopTokenShare(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(round(max("c") / sum("c"), 4).as("top_share"),
+        count(lit(1)).as("n_unique"))
+      .orderBy("doc_id")
+
   /** The WHOLE training-data prep pipeline as one declarative plan:
     * normalize → quality-filter → normalized-exact-dedup (deterministic
     * min-doc_id survivor) → pack survivors into 512-token windows per
@@ -149,6 +196,9 @@ object LlmCorpusOps {
     "llm_bigram_top" -> (llmBigramTop _),
     "llm_dedup_prefix" -> (llmDedupPrefix _),
     "llm_centroid_sim" -> (llmCentroidSim _),
+    "llm_shuffle_shards" -> (llmShuffleShards _),
+    "llm_pii_scan" -> (llmPiiScan _),
+    "llm_top_token_share" -> (llmTopTokenShare _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -192,5 +242,22 @@ object LlmCorpusOps {
         "cent AS (SELECT label, list(c ORDER BY i) AS centroid FROM c0 GROUP BY label) " +
         "SELECT vec_id, label, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), centroid), 4) AS sim " +
         "FROM embeddings JOIN cent USING (label) ORDER BY vec_id"),
+    "llm_shuffle_shards" ->
+      ("WITH h AS (SELECT doc_id, CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT) AS hkey FROM documents), " +
+        "s AS (SELECT doc_id, hkey, CAST(hkey % 16 AS INTEGER) AS shard FROM h) " +
+        "SELECT doc_id, shard, CAST(row_number() OVER (PARTITION BY shard ORDER BY hkey, doc_id) AS INTEGER) AS pos " +
+        "FROM s ORDER BY doc_id"),
+    "llm_pii_scan" ->
+      ("SELECT doc_id, CAST(len(regexp_extract_all(text, '\\d{4,}')) AS INTEGER) AS n_longnum, " +
+        "CAST(len(regexp_extract_all(text, '[a-z0-9.]+@[a-z0-9.]+')) AS INTEGER) AS n_emailish, " +
+        "CAST(len(regexp_extract_all(text, '\\d{2,3}-\\d{3,4}-\\d{3,4}')) AS INTEGER) AS n_dashed, " +
+        "(len(regexp_extract_all(text, '\\d{4,}')) + len(regexp_extract_all(text, '[a-z0-9.]+@[a-z0-9.]+')) " +
+        "+ len(regexp_extract_all(text, '\\d{2,3}-\\d{3,4}-\\d{3,4}'))) > 0 AS pii_flag " +
+        "FROM documents ORDER BY doc_id"),
+    "llm_top_token_share" ->
+      ("WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents), " +
+        "c AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2) " +
+        "SELECT doc_id, round(max(c) / CAST(sum(c) AS DOUBLE), 4) AS top_share, count(*) AS n_unique " +
+        "FROM c GROUP BY doc_id ORDER BY doc_id"),
   )
 }

@@ -103,6 +103,35 @@ class TpchCorpusOpsSpec extends SparkTestBase {
     }
   }
 
+  test("shuffle_shards: a deterministic permutation with contiguous per-shard positions") {
+    val rows = LlmCorpusOps.llmShuffleShards(spark, SF).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("shard"), r.getAs[Int]("pos")))
+    assert(rows.map(_._1).distinct.length == rows.length)
+    rows.foreach { case (_, sh, _) => assert(sh >= 0 && sh < 16) }
+    rows.groupBy(_._2).foreach { case (sh, docs) =>
+      assert(docs.map(_._3).sorted.toSeq == (1 to docs.length), s"shard $sh positions not contiguous")
+    }
+    // same permutation on a second evaluation (hash, not rand)
+    val again = LlmCorpusOps.llmShuffleShards(spark, SF).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("shard"), r.getAs[Int]("pos")))
+    assert(rows.toSeq == again.toSeq)
+  }
+
+  test("top_token_share matches a Scala recount on sampled docs") {
+    val got = LlmCorpusOps.llmTopTokenShare(spark, SF).collect()
+      .map(r => r.getAs[Long]("doc_id") -> ((r.getAs[Double]("top_share"), r.getAs[Long]("n_unique"))))
+      .toMap
+    Tables.load(spark, SF, "documents").limit(10).collect().foreach { r =>
+      val toks = r.getAs[String]("text").split(" ", -1)
+      val counts = toks.groupBy(identity).map(_._2.length)
+      val expShare = math.rint(counts.max.toDouble / toks.length * 1e4) / 1e4
+      val (share, uniq) = got(r.getAs[Long]("doc_id"))
+      assert(uniq == counts.size && math.abs(share - expShare) < 1e-9,
+        s"doc ${r.getAs[Long]("doc_id")}: got ($share,$uniq) want ($expShare,${counts.size})")
+    }
+    got.values.foreach { case (share, _) => assert(share > 0.0 && share <= 1.0) }
+  }
+
   test("funnel stages are monotone and agree with a constructed funnel") {
     import spark.implicits._
     val r = graft.operators.EventOps.eventFunnel(spark, SF).collect().head
