@@ -226,6 +226,18 @@ object RelationalOps {
       .orderBy("signup_id", "event_id")
   }
 
+  /** C9b: PURE range self-join (no equi key) — all purchase-event pairs
+    * within 5 minutes of each other, via [[ScaleOps.rangePairsBinned]]'s
+    * interval binning. The naive formulation is a cartesian nested-loop;
+    * the binned one is an ordinary hash/merge join on the bin key
+    * (plan-asserted: no BroadcastNestedLoopJoin/CartesianProduct). */
+  def joinRangeBinned(s: SparkSession, d: String): DataFrame = {
+    val p = t(s, d, "events").filter(col("event_type") === "purchase")
+      .select(col("event_id"), unix_micros(col("ts")).as("us"))
+    ScaleOps.rangePairsBinned(p, "event_id", "us", 300000000L)
+      .orderBy("a_id", "b_id")
+  }
+
   /** C10: as-of join — for each purchase, the latest prior-or-equal signup of
     * the same user; tie-break on signup event_id. Spark has no native as-of
     * join, so: conditional join + window argmax (row_number = 1). At 100 TB:
@@ -609,6 +621,7 @@ object RelationalOps {
     "join_anti" -> (joinAnti _),
     "join_cross" -> (joinCross _),
     "join_theta_range" -> (joinThetaRange _),
+    "join_range_binned" -> (joinRangeBinned _),
     "join_asof" -> (joinAsof _),
     "join_star_tpch" -> (joinStarTpch _),
     "sub_scalar_corr" -> (subScalarCorr _),
@@ -692,6 +705,11 @@ object RelationalOps {
       "SELECT r_name, n_name FROM region CROSS JOIN nation ORDER BY r_name, n_name",
     "join_theta_range" ->
       "WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type FROM events) SELECT s.event_id AS signup_id, e.event_id AS event_id, e.event_type FROM ev s JOIN ev e ON e.user_id = s.user_id AND epoch_us(e.ts) > epoch_us(s.ts) AND epoch_us(e.ts) <= epoch_us(s.ts) + 600000000 WHERE s.event_type = 'signup' ORDER BY signup_id, event_id",
+    "join_range_binned" ->
+      ("WITH p AS (SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events WHERE event_type = 'purchase') " +
+        "SELECT a.event_id AS a_id, b.event_id AS b_id, abs(b.us - a.us) AS dt_us " +
+        "FROM p a JOIN p b ON a.event_id < b.event_id AND abs(b.us - a.us) <= 300000000 " +
+        "ORDER BY a_id, b_id"),
     "join_asof" ->
       "WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type FROM events), pairs AS (SELECT p.event_id AS purchase_id, p.user_id AS user_id, s.event_id AS signup_id, row_number() OVER (PARTITION BY p.event_id ORDER BY s.ts DESC, s.event_id DESC) AS rn FROM ev p JOIN ev s ON s.user_id = p.user_id AND s.event_type = 'signup' AND s.ts <= p.ts WHERE p.event_type = 'purchase') SELECT purchase_id, user_id, signup_id FROM pairs WHERE rn = 1 ORDER BY purchase_id",
     "join_star_tpch" ->

@@ -50,6 +50,27 @@ object ScaleOps {
       .drop("_salt")
   }
 
+  /** Big-big PURE range self-join (no equi key) via interval binning — the
+    * technique that turns an O(n²) nested-loop plan into a hash join. Each
+    * row lands in bin floor(ts/W); the probe side is replicated into its
+    * bin and both neighbors, so every pair with |t_a − t_b| ≤ W shares
+    * exactly one bin key (|bin_a − bin_b| ≤ 1 and the build row appears
+    * once per offset). The residual |Δt| ≤ W filter runs post-join. At
+    * 100 TB the shuffle is uniform in event-time density — no reducer owns
+    * more than ~3 windows of data — where the naive theta join is a
+    * cartesian product. Returns (a_id, b_id, dt_us) with a_id < b_id;
+    * binning uses integral `div`, so bin edges are exact (no FP floor). */
+  def rangePairsBinned(df: DataFrame, idCol: String, tsCol: String, windowUs: Long): DataFrame = {
+    val a = df.select(col(idCol).as("a_id"), col(tsCol).as("a_us"))
+      .withColumn("bin", expr(s"a_us div ${windowUs}L"))
+    val b = df.select(col(idCol).as("b_id"), col(tsCol).as("b_us"))
+      .withColumn("bin", explode(array((-1 to 1).map(k =>
+        expr(s"b_us div ${windowUs}L") + lit(k.toLong)): _*)))
+    a.join(b, "bin")
+      .filter(col("a_id") < col("b_id") && abs(col("b_us") - col("a_us")) <= windowUs)
+      .select(col("a_id"), col("b_id"), abs(col("b_us") - col("a_us")).as("dt_us"))
+  }
+
   /** Write a frame as a date-partitioned parquet layout (the on-disk shape
     * a 100 TB table actually has) and return the round-trip reader. Static
     * partition pruning then turns partition predicates into directory

@@ -79,6 +79,29 @@ class ScaleOpsSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 
+  test("binned range join equals the naive theta join and never plans a nested loop") {
+    import spark.implicits._
+    // constructed: ids spread over ~10 windows incl. exact-boundary deltas
+    val rows = Seq.tabulate(120)(i => (i.toLong, (i.toLong * 37 % 1000) * 100L))
+      .toDF("id", "us")
+    val w = 1000L
+    val naive = rows.as("a").crossJoin(rows.as("b"))
+      .filter(col("a.id") < col("b.id") &&
+        abs(col("b.us") - col("a.us")) <= w)
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
+        abs(col("b.us") - col("a.us")).as("dt_us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val binned = ScaleOps.rangePairsBinned(rows, "id", "us", w)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(binned == naive, s"binned ${binned.size} vs naive ${naive.size}")
+    assert(naive.nonEmpty)
+    // the graded fixture query must plan as a hash/merge join on the bin
+    val plan = graft.operators.RelationalOps.joinRangeBinned(spark, SF)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range join fell back to a nested loop:\n$plan")
+  }
+
   test("graded join_bucketed plans an exchange-free sort-merge join") {
     import graft.operators.ExtendedOps
     val (li, ord) = ExtendedOps.joinBucketed(spark, SF)
