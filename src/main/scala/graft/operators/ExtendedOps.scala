@@ -238,6 +238,16 @@ object ExtendedOps {
       .orderBy("o_orderpriority", "l_returnflag")
   }
 
+  /** Z-order clustering key over (l_partkey, l_suppkey) — the graded half
+    * of the multi-column data-skipping story ([[ScaleOps.zValue]]); the
+    * layout/locality effect is asserted in ScaleOpsSpec. Pure integer
+    * bit-interleave, row-local, cross-engine deterministic. */
+  def zorderKey(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        ScaleOps.zValue(col("l_partkey"), col("l_suppkey")).as("z"))
+      .orderBy("l_orderkey", "l_linenumber")
+
   /** Population-moment statistics — var_pop/stddev_pop plus skewness and
     * excess kurtosis. Spark's skewness/kurtosis are POPULATION moments
     * (m3/m2^1.5, m4/m2²−3) while DuckDB's builtins are sample-adjusted
@@ -625,6 +635,7 @@ object ExtendedOps {
     "unpivot_melt" -> (unpivotMelt _),
     "scan_partitioned" -> (scanPartitioned _),
     "join_bucketed" -> (joinBucketedAgg _),
+    "zorder_key" -> (zorderKey _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -729,5 +740,8 @@ object ExtendedOps {
       ("SELECT o_orderpriority, l_returnflag, count(*) AS n_items, round(sum(l_extendedprice), 2) AS total " +
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
         "GROUP BY 1, 2 ORDER BY 1, 2"),
+    "zorder_key" ->
+      (s"SELECT l_orderkey, l_linenumber, ${ScaleOps.zSql("l_partkey", "l_suppkey")} AS z " +
+        "FROM lineitem ORDER BY l_orderkey, l_linenumber"),
   )
 }

@@ -71,6 +71,40 @@ object ScaleOps {
       .select(col("a_id"), col("b_id"), abs(col("b_us") - col("a_us")).as("dt_us"))
   }
 
+  /** Morton (Z-order) key: interleave the low `bits` bits of two
+    * non-negative integer columns — bit i of x lands at position 2i, bit i
+    * of y at 2i+1. Rows sorted by z cluster BOTH dimensions: any query box
+    * over (x, y) touches a bounded run of z-values, so a z-sorted file
+    * layout gives multi-column data skipping where a single-column sort
+    * helps only its own column. 21+21 bits stay inside a long; the
+    * expression is pure integer codegen (no UDF). */
+  def zValue(x: Column, y: Column, bits: Int = 21): Column =
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(x.cast("long"), i).bitwiseAND(lit(1L)), 2 * i))
+        .bitwiseOR(shiftleft(shiftright(y.cast("long"), i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }
+
+  /** DuckDB twin of [[zValue]] for oracle SQL. */
+  def zSql(x: String, y: String, bits: Int = 21): String =
+    (0 until bits).flatMap(i => Seq(
+      s"((($x >> $i) & 1) * ${1L << (2 * i)})",
+      s"((($y >> $i) & 1) * ${1L << (2 * i + 1)})")).mkString(" + ")
+
+  /** Write a frame clustered by the z-order of two columns: range-
+    * partition on z (so files own disjoint z-ranges) and sort inside each
+    * file. This is the layout step a table format's OPTIMIZE ZORDER BY
+    * performs; with per-file min/max stats it turns 2-D predicate boxes
+    * into file-level skipping. */
+  def writeZOrdered(df: DataFrame, dir: String, x: Column, y: Column, files: Int = 8): DataFrame = {
+    df.withColumn("_z", zValue(x, y))
+      .repartitionByRange(files, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+      .write.mode("overwrite").parquet(dir)
+    df.sparkSession.read.parquet(dir)
+  }
+
   /** Write a frame as a date-partitioned parquet layout (the on-disk shape
     * a 100 TB table actually has) and return the round-trip reader. Static
     * partition pruning then turns partition predicates into directory

@@ -116,6 +116,33 @@ class ScaleOpsSpec extends SparkTestBase {
       s"unexpected extra shuffles:\n$aggPlan")
   }
 
+  test("z-order interleave is a correct Morton code and clusters 2-D boxes into fewer files") {
+    import spark.implicits._
+    // correctness of the bit interleave against a Scala reimplementation
+    val pts = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L), (12345L, 6789L), ((1L << 21) - 1, 42L))
+    def zRef(x: Long, y: Long): Long =
+      (0 until 21).foldLeft(0L)((a, i) => a | (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1)))
+    val got = pts.toDF("x", "y").select(ScaleOps.zValue(col("x"), col("y")).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == pts.map((zRef _).tupled), s"z mismatch: $got")
+
+    // locality: a 2-D predicate box on the z-clustered layout must land in
+    // strictly fewer files than on a layout sorted by an unrelated column
+    val li = Tables.load(spark, SF, "lineitem").select("l_partkey", "l_suppkey", "l_quantity")
+    val zdir = java.nio.file.Files.createTempDirectory("graft_z").toString
+    val odir = java.nio.file.Files.createTempDirectory("graft_o").toString
+    val zread = ScaleOps.writeZOrdered(li, zdir, col("l_partkey"), col("l_suppkey"))
+    li.repartitionByRange(8, col("l_quantity")).write.mode("overwrite").parquet(odir)
+    val oread = spark.read.parquet(odir)
+    val box = (df: org.apache.spark.sql.DataFrame) => df
+      .filter(col("l_partkey") < 30 && col("l_suppkey") < 4)
+    assert(box(zread).count() == box(oread).count() && box(zread).count() > 0)
+    def filesHit(df: org.apache.spark.sql.DataFrame): Long =
+      box(df).select(input_file_name()).distinct().count()
+    val (zf, of) = (filesHit(zread), filesHit(oread))
+    assert(zf < of, s"z layout hit $zf files vs $of on the quantity layout")
+  }
+
   test("top-k limit plans TakeOrderedAndProject, never a global sort") {
     import graft.operators.RelationalOps
     val plan = RelationalOps.topkLimit(spark, SF).queryExecution.executedPlan.toString
