@@ -269,4 +269,21 @@ class LlmOpsSpec extends SparkTestBase {
     // overwhelming majority of docs must still be unique.
     assert(out.length >= total * 0.97)
   }
+
+  test("DataFrame connected components agree with GraphX on a random graph") {
+    import spark.implicits._
+    import org.apache.spark.graphx.Graph
+    // seeded random graph: chains, cliques, and isolated pairs
+    val rnd = new scala.util.Random(42)
+    val edges = (Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L), (21L, 22L)) ++
+      Seq.fill(200)((rnd.nextInt(100) + 100L, rnd.nextInt(100) + 100L)))
+      .filter { case (a, b) => a != b }
+    val ours = LlmTextOps.connectedComponents(edges.toDF("a_id", "b_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val gx = Graph.fromEdgeTuples(spark.sparkContext.parallelize(edges), defaultValue = 0)
+      .connectedComponents().vertices.collect().toMap
+    // same convention: component label = min vertex id in the component
+    assert(ours == gx.map { case (k, v) => (k: Long) -> (v: Long) },
+      s"CC disagreement: ours=${ours.size} labels, graphx=${gx.size}")
+  }
 }

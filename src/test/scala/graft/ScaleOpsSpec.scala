@@ -178,6 +178,32 @@ class ScaleOpsSpec extends SparkTestBase {
       }
   }
 
+  test("AQE re-plans a sort-merge join to broadcast from runtime stats") {
+    // static threshold 1 KB forces SMJ at plan time; the adaptive
+    // threshold lets AQE convert once the runtime shuffle shows the
+    // filtered orders side is tiny — the re-plan a 100 TB job relies on
+    // when static estimates are wrong
+    val prevStatic = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1024")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "1048576")
+      val o = Tables.load(spark, SF, "orders")
+        .filter(col("o_orderdate") >= lit("2001-06-01"))
+      val j = Tables.load(spark, SF, "lineitem")
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .agg(count(lit(1)).as("n"))
+      val static = j.queryExecution.executedPlan.toString
+      assert(static.contains("SortMergeJoin"), s"expected static SMJ in:\n$static")
+      assert(j.collect().head.getLong(0) > 0)
+      val finalPlan = j.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("isFinalPlan=true") && finalPlan.contains("BroadcastHashJoin"),
+        s"AQE did not convert to broadcast:\n$finalPlan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevStatic)
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("dynamic partition pruning fires on a selective dim join") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_dpp").toString
