@@ -44,7 +44,8 @@ object Bench {
       "llm_contamination", "llm_ngram_jaccard", "scan_partitioned",
       "join_inner_equi", "join_asof", "sort_multicol", "set_intersect",
       "typed_cogroup", "ann_lsh_topk", "stream_dedup", "llm_dedup_survivors",
-      "agg_percentile", "vt_history", "mm_frame_sample")
+      "agg_percentile", "vt_history", "mm_frame_sample",
+      "join_bucketed", "join_range_binned", "tpch_q18_large", "zorder_key")
     val json = s"""{"metric":"total","value":${f3(total)},"unit":"sec",""" +
       s""""queries":${toJson(results.filter(r => headline(r._1)))},""" +
       s""""n_queries":${results.length},"full":"BENCH_FULL.json","sf":"$sfDir"}"""

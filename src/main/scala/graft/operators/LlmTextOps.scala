@@ -258,6 +258,27 @@ object LlmTextOps {
       .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
       .orderBy("doc_id")
 
+  /** Alternative survivor policy: instead of min doc_id, keep the LONGEST
+    * member of each duplicate cluster (ties → smaller doc_id) — the policy
+    * most pipelines actually want, since boilerplate-trimmed mirrors are
+    * shorter than their originals. One window over the (tiny) cluster
+    * membership, not the corpus. */
+  def llmDedupKeepLongest(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(s, d, "documents").select(col("doc_id"), length(col("text")).as("len"))
+    val members = dedupLabels(s, d)
+      .join(docs, col("id") === col("doc_id"))
+    val w = Window.partitionBy("comp").orderBy(col("len").desc, col("doc_id"))
+    members
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("comp").as("cluster_id"))
+      .agg(
+        min(when(col("rn") === 1, col("doc_id"))).as("survivor_id"),
+        count(lit(1)).as("n_docs"),
+        max(col("len")).as("max_len"))
+      .orderBy("cluster_id")
+  }
+
   /** The dedup PRODUCT: the corpus with every non-survivor cluster
     * member removed (survivor = component-min doc). A single left-anti
     * join against the metadata-sized non-survivor set — this is the frame
@@ -463,6 +484,7 @@ object LlmTextOps {
     "llm_ngram_jaccard" -> (llmNgramJaccard _),
     "llm_dedup_clusters" -> (llmDedupClusters _),
     "llm_dedup_survivors" -> (llmDedupSurvivors _),
+    "llm_dedup_keep_longest" -> (llmDedupKeepLongest _),
     "llm_chunking" -> (llmChunking _),
     "llm_redact" -> (llmRedact _),
     "llm_sample_split" -> (llmSampleSplit _),
@@ -544,6 +566,22 @@ object LlmTextOps {
         "comps AS (SELECT id, min(comp) AS cluster_id FROM reach GROUP BY id) " +
         "SELECT doc_id, CAST(length(text) AS INTEGER) AS text_len FROM documents " +
         "WHERE doc_id NOT IN (SELECT id FROM comps WHERE id <> cluster_id) ORDER BY doc_id"),
+    "llm_dedup_keep_longest" ->
+      ("WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), " +
+        "x AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i FROM w), " +
+        "sh AS (SELECT DISTINCT doc_id, CAST('0x' || substr(md5(array_to_string(ws[i:i+2], ' ')), 1, 15) AS BIGINT) AS sh FROM x), " +
+        "sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id), " +
+        "p0 AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+        "pairs AS (SELECT a_id, b_id FROM p0 JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id " +
+        "WHERE round(inter / (sa.n_sh + sb.n_sh - inter), 4) >= 0.8), " +
+        "edges AS (SELECT a_id AS src, b_id AS dst FROM pairs UNION ALL SELECT b_id, a_id FROM pairs), " +
+        "reach AS (SELECT src AS id, src AS comp FROM edges " +
+        "UNION SELECT e.src AS id, r.comp FROM edges e JOIN reach r ON e.dst = r.id), " +
+        "comps AS (SELECT id, min(comp) AS cluster_id FROM reach GROUP BY id), " +
+        "m AS (SELECT c.cluster_id, d.doc_id, CAST(length(d.text) AS INTEGER) AS len FROM comps c JOIN documents d ON d.doc_id = c.id), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY cluster_id ORDER BY len DESC, doc_id) AS rn FROM m) " +
+        "SELECT cluster_id, min(CASE WHEN rn = 1 THEN doc_id END) AS survivor_id, count(*) AS n_docs, max(len) AS max_len " +
+        "FROM r GROUP BY cluster_id ORDER BY cluster_id"),
     "llm_ngram_jaccard" ->
       "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), x AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i FROM w), sh AS (SELECT DISTINCT doc_id, CAST('0x' || substr(md5(array_to_string(ws[i:i+2], ' ')), 1, 15) AS BIGINT) AS sh FROM x), sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id), pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT a_id, b_id, round(inter / (sa.n_sh + sb.n_sh - inter), 4) AS jac FROM pairs JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id WHERE round(inter / (sa.n_sh + sb.n_sh - inter), 4) >= 0.2 ORDER BY a_id, b_id",
   )
