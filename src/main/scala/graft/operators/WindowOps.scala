@@ -118,7 +118,27 @@ object WindowOps {
       .orderBy("o_orderkey")
   }
 
+  /** E10: the custom typed UDAF ([[graft.functions.GeoMean]]) as a WINDOW
+    * aggregate — running geometric mean of quantity per returnflag. The
+    * Aggregator's associative merge is what lets one definition serve
+    * groupBy (udaf_geomean), window frames (here), and partial map-side
+    * combine at 100 TB. Frame order is pinned, so the log-sum
+    * accumulation order matches the oracle's exp(avg(ln)). */
+  def winUdafGeomean(s: SparkSession, d: String): DataFrame = {
+    val geomean = udaf(graft.functions.GeoMean)
+    // o_orderkey is the one fixture key that is globally unique, so the
+    // frame order (and thus the running log-sum) is cross-engine exact
+    val w = Window.partitionBy("o_orderstatus").orderBy("o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, d, "orders")
+      .filter(col("o_orderkey") % 20 === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        round(geomean(col("o_totalprice")).over(w), 4).as("run_gm"))
+      .orderBy("o_orderkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "win_udaf_geomean" -> (winUdafGeomean _),
     "win_fill_forward" -> (winFillForward _),
     "win_median" -> (winMedian _),
     "win_topk_group" -> (winTopkGroup _),
@@ -131,6 +151,11 @@ object WindowOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "win_udaf_geomean" ->
+      ("SELECT o_orderkey, o_orderstatus, " +
+        "round(exp(avg(ln(o_totalprice)) OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 4) AS run_gm " +
+        "FROM orders WHERE o_orderkey % 20 = 0 ORDER BY o_orderkey"),
     "win_median" ->
       "SELECT o_orderkey, o_orderstatus, round(quantile_cont(o_totalprice, 0.5) OVER (PARTITION BY o_orderstatus), 4) AS status_median, round(quantile_cont(o_totalprice, 0.9) OVER (PARTITION BY o_orderstatus), 4) AS status_p90 FROM orders ORDER BY o_orderkey",
     "win_fill_forward" ->
