@@ -355,6 +355,19 @@ object RelationalOps {
       .agg(expr("hll_sketch_estimate(hll_sketch_agg(cast(l_partkey as string)))").as("sketch_nd"))
       .orderBy("l_returnflag")
 
+  /** D4d: sketch MERGEABILITY — per-group HLL sketches union-merged into
+    * one global estimate without rescanning rows. This is the property
+    * that makes sketches the 100 TB answer: partials combine
+    * associatively at every level (map-side, reducer, cross-partition,
+    * cross-day). Sketch bytes are hash-specific → no SQL oracle; the
+    * union estimate's error bound vs exact is asserted in
+    * RelationalOpsSpec. */
+  def aggHllMerge(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(expr("hll_sketch_agg(cast(l_partkey as string))").as("sk"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("global_nd"))
+
   /** D4c: approx_top_k sketch — heavy-hitters per group. Exact on the
     * closed 5-value event_type domain, but tie order inside the sketch
     * is impl-specific → unit-tested against the exact counts, no oracle. */
@@ -632,6 +645,7 @@ object RelationalOps {
     "agg_approx_hll" -> (aggApproxHll _),
     "agg_approx_percentile" -> (aggApproxPercentile _),
     "agg_hll_sketch" -> (aggHllSketch _),
+    "agg_hll_merge" -> (aggHllMerge _),
     "agg_approx_topk" -> (aggApproxTopk _),
     "agg_stats" -> (aggStats _),
     "agg_percentile" -> (aggPercentile _),

@@ -17,6 +17,14 @@ class RelationalOpsSpec extends SparkTestBase {
     }
   }
 
+  test("HLL union-merge of per-group sketches estimates the GLOBAL distinct within 5%") {
+    val est = RelationalOps.aggHllMerge(spark, SF).collect().head.getLong(0)
+    val exact = Tables.load(spark, SF, "lineitem")
+      .agg(countDistinct("l_partkey")).collect().head.getLong(0)
+    assert(math.abs(est - exact) <= math.max(1, exact * 0.05),
+      s"merged estimate $est vs exact $exact")
+  }
+
   test("approx_top_k matches exact counts on the closed event_type domain") {
     import org.apache.spark.sql.functions._
     val top = RelationalOpsSpecHelper.topkAsMap(RelationalOps.aggApproxTopk(spark, SF))
