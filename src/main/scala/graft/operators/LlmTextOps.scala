@@ -474,7 +474,30 @@ object LlmTextOps {
       .limit(20)
   }
 
+  /** Symmetric int8 embedding quantization — the standard 4× memory/IO
+    * reduction for vector search at 100 TB (a 64-dim float corpus shrinks
+    * from 256 B to 64 B + one scale per vector; bucketed-ANN candidate
+    * scans read a quarter of the bytes and rerank the survivors at full
+    * precision). Row-local, no shuffle, arbitrarily wide. Rounding is
+    * floor(x/scale + 0.5) rather than round(): floor is exactly specified
+    * on binary doubles in both engines, so the quantized codes are
+    * cross-engine deterministic (round()'s half-tie handling is not a
+    * contract DuckDB and the JVM share). max_err (≤ scale/2 by
+    * construction) is the per-vector quantization-error certificate; max
+    * — not mean — so no summation-order sensitivity reaches the oracle. */
+  def embQuantizeInt8(s: SparkSession, d: String): DataFrame =
+    t(s, d, "embeddings")
+      .withColumn("dbl", expr("transform(embedding, x -> cast(x as double))"))
+      .withColumn("sc", expr("array_max(transform(dbl, x -> abs(x))) / 127.0d"))
+      .select(col("vec_id"),
+        round(col("sc"), 6).as("scale"),
+        expr("cast(floor(dbl[0] / sc + 0.5d) as int)").as("q0"),
+        expr("cast(array_max(transform(dbl, x -> abs(cast(floor(x / sc + 0.5d) as int)))) as int)").as("q_max"),
+        expr("round(array_max(transform(dbl, x -> abs(x - floor(x / sc + 0.5d) * sc))), 6)").as("max_err"))
+      .orderBy("vec_id")
+
   val queries: Map[String, Q] = Map(
+    "emb_quantize_int8" -> (embQuantizeInt8 _),
     "llm_dedup_embedding" -> (llmDedupEmbedding _),
     "ann_ivf_topk" -> (annIvfTopk _),
     "llm_lang_id" -> (llmLangId _),
@@ -501,6 +524,16 @@ object LlmTextOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "emb_quantize_int8" ->
+      ("WITH qd AS (SELECT vec_id, " +
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dbl, " +
+        "list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS sc " +
+        "FROM embeddings) " +
+        "SELECT vec_id, round(sc, 6) AS scale, " +
+        "CAST(floor(dbl[1] / sc + 0.5) AS INT) AS q0, " +
+        "CAST(list_max(list_transform(dbl, x -> abs(CAST(floor(x / sc + 0.5) AS INT)))) AS INT) AS q_max, " +
+        "round(list_max(list_transform(dbl, x -> abs(x - floor(x / sc + 0.5) * sc))), 6) AS max_err " +
+        "FROM qd ORDER BY vec_id"),
     "llm_dedup_embedding" ->
       "SELECT a.vec_id AS a_id, b.vec_id AS b_id, round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS sim FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) >= 0.45 ORDER BY a_id, b_id",
     "llm_lang_id" -> {

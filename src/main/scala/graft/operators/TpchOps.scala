@@ -253,8 +253,63 @@ object TpchOps {
       .orderBy("c_mktsegment")
   }
 
+  /** Q12 shipping-mode priority mix, adapted: the fixture has no
+    * l_shipmode/l_commitdate/l_receiptdate, so "late" is shipped > 90 days
+    * after the order date and l_returnflag stands in for the mode key.
+    * The ship-year predicate prunes the lineitem scan; the lateness
+    * predicate needs the joined row, so it runs post-join — but it only
+    * gates the conditional counts, never widens the shuffle (both join
+    * sides are pre-projected to the 3–4 columns the query touches). */
+  def tpchQ12Late(s: SparkSession, d: String): DataFrame = {
+    val highPri = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    t(s, d, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1997-01-01"))
+      .select("l_orderkey", "l_returnflag", "l_shipdate")
+      .join(t(s, d, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(datediff(col("l_shipdate"), col("o_orderdate")) > 90)
+      .groupBy("l_returnflag")
+      .agg(
+        sum(when(highPri, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(highPri, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Q21 suppliers-who-kept-orders-waiting, adapted to the fixture columns
+    * (lateness as in [[tpchQ12Late]]): count, per supplier, the
+    * multi-supplier orders where that supplier was the ONLY late one.
+    * The classic EXISTS + NOT-EXISTS double self-join collapses into ONE
+    * aggregation to per-(order, supplier) grain plus ONE window over the
+    * order key: n_supp/n_late ride the same partitioning, so the fact
+    * side is shuffled twice total (groupBy, window) instead of the four
+    * passes the literal SQL shape implies — at 100 TB the window reuses
+    * the exchange the groupBy's output already has modulo the suppkey
+    * column, and no branch rescans lineitem. */
+  def tpchQ21Waiting(s: SparkSession, d: String): DataFrame = {
+    val flagged = t(s, d, "lineitem")
+      .select("l_orderkey", "l_suppkey", "l_shipdate")
+      .join(t(s, d, "orders").select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey", "l_suppkey")
+      .agg(max(when(datediff(col("l_shipdate"), col("o_orderdate")) > 90, 1).otherwise(0))
+        .as("supp_late"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("l_orderkey")
+    flagged
+      .withColumn("n_supp", count(lit(1)).over(w))
+      .withColumn("n_late", sum("supp_late").over(w))
+      .filter(col("supp_late") === 1 && col("n_supp") > 1 && col("n_late") === 1)
+      .join(broadcast(t(s, d, "supplier").select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(20)
+  }
+
   val queries: Map[String, Q] = Map(
     "tpch_q3_shipping" -> (tpchQ3Shipping _),
+    "tpch_q12_late" -> (tpchQ12Late _),
+    "tpch_q21_waiting" -> (tpchQ21Waiting _),
     "tpch_q4_priority" -> (tpchQ4Priority _),
     "tpch_q6_revenue" -> (tpchQ6Revenue _),
     "tpch_q7_volume" -> (tpchQ7Volume _),
@@ -270,6 +325,24 @@ object TpchOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "tpch_q12_late" ->
+      ("SELECT l_returnflag, " +
+        "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, " +
+        "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01' " +
+        "AND date_diff('day', o_orderdate, l_shipdate) > 90 " +
+        "GROUP BY 1 ORDER BY 1"),
+    "tpch_q21_waiting" ->
+      ("WITH flagged AS (" +
+        "SELECT l_orderkey, l_suppkey, " +
+        "max(CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 90 THEN 1 ELSE 0 END) AS supp_late " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1, 2), " +
+        "per_order AS (SELECT l_orderkey, count(*) AS n_supp, sum(supp_late) AS n_late FROM flagged GROUP BY 1) " +
+        "SELECT s_name, count(*) AS numwait " +
+        "FROM flagged JOIN per_order USING (l_orderkey) JOIN supplier ON s_suppkey = l_suppkey " +
+        "WHERE supp_late = 1 AND n_supp > 1 AND n_late = 1 " +
+        "GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20"),
     "tpch_q3_shipping" ->
       ("SELECT l_orderkey, o_orderdate, o_orderpriority, round(sum(l_extendedprice * (1 - l_discount)), 2) AS rev " +
         "FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON o_orderkey = l_orderkey " +

@@ -1,0 +1,156 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Every `SparkEntry.queries` key that ships WITHOUT a DuckDB oracle is
+  * named here in a test that runs the EXACT graded entry and checks a
+  * semantic property against an exact/brute-force twin computed in-test.
+  * The driver's t2 gate records these keys as rows-only; this suite is
+  * the correctness evidence that backs them (SURVEY.md §2 "unit" column).
+  */
+class NoOracleKeysSpec extends SparkTestBase {
+
+  private def q(key: String) = SparkEntry.queries(key)(spark, SF)
+
+  private def exactDistinctPerFlag: Map[String, Long] =
+    Tables.load(spark, SF, "lineitem")
+      .groupBy("l_returnflag").agg(countDistinct("l_partkey").as("nd"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("agg_approx_hll: per-group HLL++ estimate within 5% of exact") {
+    val approx = q("agg_approx_hll").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = exactDistinctPerFlag
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, nd) =>
+      assert(math.abs(approx(k).toDouble - nd) / nd <= 0.05, s"group $k: ${approx(k)} vs $nd")
+    }
+  }
+
+  test("agg_hll_sketch: per-group DataSketches estimate within 5% of exact") {
+    val approx = q("agg_hll_sketch").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = exactDistinctPerFlag
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, nd) =>
+      assert(math.abs(approx(k).toDouble - nd) / nd <= 0.05, s"group $k")
+    }
+  }
+
+  test("agg_hll_merge: union of per-group sketches within 5% of exact global distinct") {
+    val merged = q("agg_hll_merge").collect()(0).getLong(0)
+    val exact = Tables.load(spark, SF, "lineitem")
+      .agg(countDistinct("l_partkey")).collect()(0).getLong(0)
+    assert(math.abs(merged.toDouble - exact) / exact <= 0.05, s"$merged vs $exact")
+  }
+
+  test("agg_approx_percentile: estimates bracketed by exact neighbor quantiles") {
+    // accuracy=1000 bounds the RANK error at n/1000; assert each estimate
+    // lies within the exact [p-1%, p+1%] quantile envelope per group.
+    val approx = q("agg_approx_percentile").collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val env = Tables.load(spark, SF, "orders")
+      .groupBy("o_orderstatus")
+      .agg(expr("percentile(o_totalprice, array(0.49, 0.51, 0.89, 0.91))").as("p"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    assert(approx.keySet == env.keySet)
+    env.foreach { case (k, p) =>
+      val (ap50, ap90) = approx(k)
+      assert(ap50 >= p(0) && ap50 <= p(1), s"$k ap50 $ap50 outside [${p(0)}, ${p(1)}]")
+      assert(ap90 >= p(2) && ap90 <= p(3), s"$k ap90 $ap90 outside [${p(2)}, ${p(3)}]")
+    }
+  }
+
+  test("agg_approx_topk: sketch heavy-hitters match exact counts on the closed domain") {
+    // 5-value event_type domain with k=3: the sketch tracks every value
+    // exactly, so items AND counts must equal the exact top-3.
+    val rows = q("agg_approx_topk").collect()(0).getSeq[org.apache.spark.sql.Row](0)
+    val got = rows.map(r => r.getString(0) -> r.getAs[Number](1).longValue)
+    val exact = Tables.load(spark, SF, "events")
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("event_type"))
+      .limit(3).collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(got.toMap == exact.toMap, s"$got vs ${exact.toSeq}")
+  }
+
+  test("fn_map_suite: map construction/extraction round-trips the source columns") {
+    val src = Tables.load(spark, SF, "customer").filter(col("c_custkey") <= 100)
+      .select("c_custkey", "c_mktsegment").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = q("fn_map_suite").collect()
+    assert(rows.length == src.size)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getString(1) == "seg,key", "map_keys order")
+      assert(r.getString(2) == src(id), "element_at(m, 'seg')")
+      assert(r.getString(3) == id.toString, "str_to_map extraction")
+      assert(r.getInt(4) == 3, "map_concat size")
+    }
+  }
+
+  private def embMap: Map[Long, Seq[Float]] =
+    Tables.load(spark, SF, "embeddings").select("vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+
+  /** The graded ANN entries round sims to 4 dp (determinism discipline);
+    * mirror Spark's round() (HALF_UP) on the brute-force twin. */
+  private def round4(x: Double): Double =
+    BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("ann_lsh_topk: returned sims are the true pair cosines, sorted, keys ordered") {
+    val emb = embMap
+    val rows = q("ann_lsh_topk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (a, b, sim) =>
+      assert(a < b, s"pair order ($a, $b)")
+      val exact = round4(graft.functions.VectorFunctions.cosineValue(emb(a), emb(b)))
+      assert(sim == exact, s"($a,$b): $sim vs $exact")
+    }
+    assert(rows.map(-_._3).toSeq == rows.map(-_._3).toSeq.sorted, "descending sim order")
+  }
+
+  test("ann_ivf_topk: returned sims are the true pair cosines, sorted, keys ordered") {
+    val emb = embMap
+    val rows = q("ann_ivf_topk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (a, b, sim) =>
+      assert(a < b, s"pair order ($a, $b)")
+      val exact = round4(graft.functions.VectorFunctions.cosineValue(emb(a), emb(b)))
+      assert(sim == exact, s"($a,$b): $sim vs $exact")
+    }
+    assert(rows.map(-_._3).toSeq == rows.map(-_._3).toSeq.sorted, "descending sim order")
+  }
+
+  test("llm_dedup_simhash: buckets partition the corpus; survivor is the bucket min") {
+    val rows = q("llm_dedup_simhash").collect()
+    val total = Tables.load(spark, SF, "documents").count()
+    assert(rows.map(_.getLong(2)).sum == total, "bucket sizes partition the corpus")
+    // survivor_id is strictly increasing output order and per-bucket min:
+    // recompute sketches and group independently.
+    val sketches = operators.LlmTextOps
+      .simhashSketches(Tables.load(spark, SF, "documents"))
+      .select("doc_id", "sh64").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val byBucket = sketches.groupBy(_._2).map { case (h, xs) => h -> xs.map(_._1).min }
+    rows.foreach { r =>
+      assert(byBucket(r.getLong(0)) == r.getLong(1), s"bucket ${r.getLong(0)} survivor")
+    }
+  }
+
+  test("llm_dedup_simhash_pairs: hamming column is the true sketch distance, bounded") {
+    val sk = operators.LlmTextOps
+      .simhashSketches(Tables.load(spark, SF, "documents"))
+      .select("doc_id", "sh64").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = q("llm_dedup_simhash_pairs").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).longValue))
+    rows.foreach { case (a, b, h) =>
+      assert(a < b, s"pair order ($a, $b)")
+      assert(h <= 8, s"hamming bound ($a, $b): $h")
+      assert(java.lang.Long.bitCount(sk(a) ^ sk(b)) == h, s"hamming value ($a, $b)")
+    }
+  }
+}
