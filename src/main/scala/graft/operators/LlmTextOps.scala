@@ -341,6 +341,30 @@ object LlmTextOps {
       .orderBy("doc_id")
   }
 
+  /** Bigram language-model scoring: corpus conditional frequencies
+    * P(tok|prev) = c(prev,tok)/c(prev·) → per-doc mean negative
+    * log-likelihood over its bigrams. Sharper than [[llmUnigramLogprob]]
+    * at flagging word-salad documents whose unigram mix looks normal.
+    * The bigram table shards on (prev, tok) — two aggregations + two
+    * joins of the token stream, all keyed shuffles, never driver-side;
+    * at 100 TB the long tail prunes (hapax bigrams carry no signal) or
+    * the whole table drops into a count-min sketch broadcast. prev is
+    * derived by array index (ws[pos-1]), not a window — no per-doc sort. */
+  def llmBigramLogprob(s: SparkSession, d: String): DataFrame = {
+    val pairs = t(s, d, "documents")
+      .withColumn("ws", split(col("text"), " "))
+      .select(col("doc_id"), col("ws"), posexplode(col("ws")).as(Seq("pos", "tok")))
+      .filter(col("pos") > 0)
+      .select(col("doc_id"), expr("ws[pos-1]").as("prev"), col("tok"))
+    val big = pairs.groupBy("prev", "tok").agg(count(lit(1)).as("c2"))
+    val uni = pairs.groupBy("prev").agg(count(lit(1)).as("c1"))
+    pairs.join(big, Seq("prev", "tok")).join(uni, Seq("prev"))
+      .groupBy("doc_id")
+      .agg(round(avg(-log(col("c2") / col("c1"))), 4).as("nll"),
+        count(lit(1)).as("n_bigrams"))
+      .orderBy("doc_id")
+  }
+
   /** Benchmark-contamination check: near-dup pairs that CROSS the
     * train/eval split (docs sharing ≥ 0.5 3-gram Jaccard with the held-out
     * set are contaminated training examples). The eval set is simulated as
@@ -513,6 +537,7 @@ object LlmTextOps {
     "llm_sample_split" -> (llmSampleSplit _),
     "llm_contamination" -> (llmContamination _),
     "llm_unigram_logprob" -> (llmUnigramLogprob _),
+    "llm_bigram_logprob" -> (llmBigramLogprob _),
     "llm_dedup_simhash" -> (llmDedupSimhash _),
     "llm_dedup_simhash_pairs" -> ((s: SparkSession, d: String) =>
       simhashNearDup(t(s, d, "documents"), maxHamming = 8).orderBy("a_id", "b_id")),
@@ -568,6 +593,15 @@ object LlmTextOps {
         "vocab AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok), " +
         "tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM vocab) " +
         "SELECT doc_id, round(avg(-ln(cnt / total)), 4) AS nll, count(*) AS n_toks FROM toks JOIN vocab USING (tok) CROSS JOIN tot GROUP BY doc_id ORDER BY doc_id"),
+    "llm_bigram_logprob" ->
+      ("WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), " +
+        "x AS (SELECT doc_id, ws, unnest(generate_series(2, len(ws))) AS i FROM w), " +
+        "pairs AS (SELECT doc_id, ws[i-1] AS prev, ws[i] AS tok FROM x), " +
+        "big AS (SELECT prev, tok, count(*) AS c2 FROM pairs GROUP BY 1, 2), " +
+        "uni AS (SELECT prev, count(*) AS c1 FROM pairs GROUP BY 1) " +
+        "SELECT doc_id, round(avg(-ln(c2 / c1)), 4) AS nll, count(*) AS n_bigrams " +
+        "FROM pairs JOIN big USING (prev, tok) JOIN uni USING (prev) " +
+        "GROUP BY doc_id ORDER BY doc_id"),
     "llm_contamination" ->
       "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), x AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i FROM w), sh AS (SELECT DISTINCT doc_id, CAST('0x' || substr(md5(array_to_string(ws[i:i+2], ' ')), 1, 15) AS BIGINT) AS sh FROM x), sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id), pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT a_id, b_id, round(inter / (sa.n_sh + sb.n_sh - inter), 4) AS jac FROM pairs JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id WHERE round(inter / (sa.n_sh + sb.n_sh - inter), 4) >= 0.5 AND ((a_id % 50 = 0) <> (b_id % 50 = 0)) ORDER BY a_id, b_id",
     // transitive closure by recursive CTE: reach(id, comp) accumulates

@@ -218,4 +218,37 @@ class ScaleOpsSpec extends SparkTestBase {
     assert(plan.contains("dynamicpruning") || plan.contains("PartitionFilters"),
       s"expected DPP or partition filters in:\n$plan")
   }
+
+  test("runtime bloom filter prunes the fact side of a selective shuffle join") {
+    // The non-partitioned sibling of DPP: when a shuffle join's build side
+    // carries a selective predicate, Catalyst injects a bloom-filter
+    // semi-filter on the probe side so fact rows that cannot match die at
+    // the scan instead of crossing the exchange — at 100 TB this is the
+    // difference between shuffling the whole fact table and shuffling the
+    // ~matching fraction. The size thresholds are tuned for real clusters;
+    // lower them to let the tiny fixture qualify.
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force shuffle join
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      val li = Tables.load(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+      val ord = Tables.load(spark, SF, "orders")
+        .filter(col("o_totalprice") > 400000.0).select("o_orderkey")
+      val j = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.toLowerCase.contains("bloom_filter"),
+        s"expected an injected runtime bloom filter in:\n$plan")
+      // the filter is a pure pruning hint: result must equal the plain join
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+      val expected = li.join(ord, col("l_orderkey") === col("o_orderkey")).count()
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      assert(j.count() == expected)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
+      spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.enabled")
+    }
+  }
 }
