@@ -166,6 +166,55 @@ object LlmCorpusOps {
         count(lit(1)).as("n_unique"))
       .orderBy("doc_id")
 
+  /** Tokenizer-vocabulary OOV rate: rank the corpus vocabulary by
+    * frequency (ties alphabetical), cap it at the top 1000 types, and
+    * score each document by the fraction of its tokens falling outside
+    * the cap — the coverage check run before committing to a tokenizer
+    * vocab size. The global rank runs on the AGGREGATED vocab (metadata-
+    * sized: one row per distinct type, like ml_string_indexer), never on
+    * the token stream; the capped vocab then broadcasts back onto the
+    * stream, so the only fact-sized shuffles are the two keyed aggs. */
+  def llmOovRate(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = t(s, d, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val kept = vocab
+      .withColumn("rk", row_number().over(Window.orderBy(col("cnt").desc, col("tok"))))
+      .filter(col("rk") <= 1000)
+      .select(col("tok"), lit(1).as("iv"))
+    toks.join(broadcast(kept), Seq("tok"), "left_outer")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_toks"),
+        sum(when(col("iv").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate", round(col("n_oov") / col("n_toks"), 4))
+      .orderBy("doc_id")
+  }
+
+  /** Temperature-scaled language mixture (the multilingual-training
+    * resampling rule): per-language share s_l, resampling weight
+    * w_l ∝ sqrt(s_l) normalized, and the boost factor w_l / s_l each
+    * language's documents get when the corpus is re-sampled at
+    * temperature α = 0.5 — low-resource languages are up-weighted, the
+    * head is tamed. Computed entirely on the per-language aggregate
+    * (5 rows); the two scalar totals broadcast. sqrt, not pow(·, 0.5):
+    * sqrt is correctly rounded by IEEE 754 on both engines, so the
+    * weights are cross-engine deterministic. */
+  def llmLangTemperature(s: SparkSession, d: String): DataFrame = {
+    val byLang = t(s, d, "documents").groupBy("lang").agg(count(lit(1)).as("n"))
+    val tot = byLang.agg(sum("n").as("ntot"))
+    val p = byLang.crossJoin(broadcast(tot))
+      .withColumn("share", col("n") / col("ntot"))
+      .withColumn("pw", sqrt(col("share")))
+    val z = p.agg(sum("pw").as("z"))
+    p.crossJoin(broadcast(z))
+      .select(col("lang"), col("n"),
+        round(col("share"), 6).as("share"),
+        round(col("pw") / col("z"), 6).as("w"),
+        round(col("pw") / col("z") / col("share"), 4).as("boost"))
+      .orderBy("lang")
+  }
+
   /** The WHOLE training-data prep pipeline as one declarative plan:
     * normalize → quality-filter → normalized-exact-dedup (deterministic
     * min-doc_id survivor) → pack survivors into 512-token windows per
@@ -199,6 +248,8 @@ object LlmCorpusOps {
     "llm_shuffle_shards" -> (llmShuffleShards _),
     "llm_pii_scan" -> (llmPiiScan _),
     "llm_top_token_share" -> (llmTopTokenShare _),
+    "llm_oov_rate" -> (llmOovRate _),
+    "llm_lang_temperature" -> (llmLangTemperature _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -247,6 +298,21 @@ object LlmCorpusOps {
         "s AS (SELECT doc_id, hkey, CAST(hkey % 16 AS INTEGER) AS shard FROM h) " +
         "SELECT doc_id, shard, CAST(row_number() OVER (PARTITION BY shard ORDER BY hkey, doc_id) AS INTEGER) AS pos " +
         "FROM s ORDER BY doc_id"),
+    "llm_oov_rate" ->
+      ("WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents), " +
+        "vocab AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY 1), " +
+        "kept AS (SELECT tok FROM (SELECT tok, row_number() OVER (ORDER BY cnt DESC, tok) AS rk FROM vocab) WHERE rk <= 1000) " +
+        "SELECT doc_id, count(*) AS n_toks, " +
+        "CAST(sum(CASE WHEN k.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov, " +
+        "round(sum(CASE WHEN k.tok IS NULL THEN 1 ELSE 0 END) / count(*), 4) AS oov_rate " +
+        "FROM toks LEFT JOIN kept k ON toks.tok = k.tok GROUP BY doc_id ORDER BY doc_id"),
+    "llm_lang_temperature" ->
+      ("WITH bl AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1), " +
+        "t AS (SELECT CAST(sum(n) AS BIGINT) AS ntot FROM bl), " +
+        "p AS (SELECT lang, n, n / ntot AS share, sqrt(n / ntot) AS pw FROM bl CROSS JOIN t), " +
+        "z AS (SELECT sum(pw) AS z FROM p) " +
+        "SELECT lang, n, round(share, 6) AS share, round(pw / z, 6) AS w, " +
+        "round(pw / z / share, 4) AS boost FROM p CROSS JOIN z ORDER BY lang"),
     "llm_pii_scan" ->
       ("SELECT doc_id, CAST(len(regexp_extract_all(text, '\\d{4,}')) AS INTEGER) AS n_longnum, " +
         "CAST(len(regexp_extract_all(text, '[a-z0-9.]+@[a-z0-9.]+')) AS INTEGER) AS n_emailish, " +

@@ -191,4 +191,35 @@ class TpchCorpusOpsSpec extends SparkTestBase {
     assert(found.forall(_.getAs[Long]("survivor_id") < 1000000L),
       "survivor must be the original (min doc_id), not the planted copy")
   }
+
+  test("q12 pushes the ship-date predicate into the lineitem scan") {
+    val plan = TpchOps.tpchQ12Late(spark, SF).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("l_shipdate"),
+      s"q12 ship-date filter not pushed to the scan:\n$plan")
+  }
+
+  test("q21 scans lineitem once: the window reuses the aggregated grain") {
+    val plan = TpchOps.tpchQ21Waiting(spark, SF).queryExecution.executedPlan.toString
+    val lineitemScans = plan.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("lineitem"))
+    assert(lineitemScans == 1, s"expected exactly one lineitem scan, got $lineitemScans:\n$plan")
+    assert(plan.contains("Window"), s"q21 plan lacks the per-order window:\n$plan")
+  }
+
+  test("oov_rate broadcasts the capped vocab back onto the token stream") {
+    val plan = LlmCorpusOps.llmOovRate(spark, SF).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"capped vocab should broadcast, not shuffle:\n$plan")
+  }
+
+  test("lang_temperature weights are a distribution and boost low-resource langs") {
+    val rows = LlmCorpusOps.llmLangTemperature(spark, SF).collect()
+    val ws = rows.map(_.getAs[Double]("w"))
+    assert(math.abs(ws.sum - 1.0) < 1e-3, s"weights must sum to 1: ${ws.sum}")
+    // temperature < 1 compresses the distribution: smaller shares boost up
+    val byShare = rows.sortBy(_.getAs[Double]("share"))
+    val boosts = byShare.map(_.getAs[Double]("boost"))
+    assert(boosts.zip(boosts.tail).forall { case (a, b) => a >= b },
+      s"boost must be non-increasing in share: ${boosts.toSeq}")
+  }
 }
