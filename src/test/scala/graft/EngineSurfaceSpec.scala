@@ -67,4 +67,33 @@ class EngineSurfaceSpec extends SparkTestBase {
     val cols = spark.catalog.listColumns("lineitem").collect().map(_.name).toSet
     assert(Set("l_orderkey", "l_quantity", "l_returnflag").subsetOf(cols))
   }
+
+  test("query registries merge without key collisions; every oracle key is runnable") {
+    import graft.operators._
+    // ++ on Map silently keeps the RIGHT entry on a key clash — a
+    // duplicated key across two operator objects would shadow one
+    // implementation and desync the oracle from what actually runs.
+    val registries: Seq[(String, Set[String])] = Seq(
+      "RelationalOps" -> RelationalOps.queries.keySet,
+      "WindowOps" -> WindowOps.queries.keySet,
+      "EventOps" -> EventOps.queries.keySet,
+      "LlmOps" -> LlmOps.queries.keySet,
+      "MlOps" -> MlOps.queries.keySet,
+      "LlmTextOps" -> LlmTextOps.queries.keySet,
+      "MultimodalOps" -> MultimodalOps.queries.keySet,
+      "ExtendedOps" -> ExtendedOps.queries.keySet,
+      "MinHashOps" -> MinHashOps.queries.keySet,
+      "TableOps" -> TableOps.queries.keySet,
+      "TpchOps" -> TpchOps.queries.keySet,
+      "LlmCorpusOps" -> LlmCorpusOps.queries.keySet)
+    val perRegistry = registries.map(_._2.size).sum
+    assert(perRegistry == SparkEntry.queries.size,
+      s"key collision across registries: ${
+        registries.combinations(2).flatMap { case Seq((n1, k1), (n2, k2)) =>
+          val inter = k1 & k2
+          if (inter.nonEmpty) Some(s"$n1 ∩ $n2 = $inter") else None
+        }.mkString("; ")}")
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracles without a queries entry: $orphans")
+  }
 }

@@ -77,6 +77,18 @@ object KernelProperties extends Properties("graft.kernels") {
     KernelPropertiesHelper.sketch(toks) ==
       KernelPropertiesHelper.sketch(scala.util.Random.shuffle(toks))
   }
+
+  // int8 quantization math (the scalar twin of emb_quantize_int8's
+  // column expressions): codes stay in [-127, 127] and reconstruction
+  // error never exceeds half a quantization step.
+  property("int8 quantization codes bounded and error <= scale/2") = forAll(vec) { a =>
+    val d = a.map(_.toDouble)
+    val sc = d.map(math.abs).max / 127.0
+    sc == 0.0 || d.forall { x =>
+      val q = math.floor(x / sc + 0.5)
+      math.abs(q) <= 127 && math.abs(x - q * sc) <= sc / 2.0 + 1e-12
+    }
+  }
 }
 
 /** Plain-Scala twin of the simhash64 UDF body (the UDF wraps this
