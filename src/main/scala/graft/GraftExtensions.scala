@@ -42,4 +42,10 @@ object GraftFunctions {
   /** Codegen'd 16-bit random-hyperplane LSH bucket id
     * (see [[org.apache.spark.sql.graftnative.HyperplaneBucket]]). */
   def hyperplaneBucket(a: Column): Column = GraftNative.hyperplaneBucket(a)
+
+  /** Custom sliding-window UDTF over a token array — a true Catalyst
+    * `Generator` (see [[org.apache.spark.sql.graftnative.ChunkWindows]]).
+    * Expands each row into (chunk_idx, chunk, n_tokens) rows. */
+  def chunkWindows(ws: Column, size: Int, stride: Int): Column =
+    GraftNative.chunkWindows(ws, size, stride)
 }

@@ -307,6 +307,18 @@ object LlmTextOps {
         least(lit(32), size(col("ws")) - col("start") + 1).as("n_tokens"))
       .orderBy("doc_id", "chunk_idx")
 
+  /** The custom-Generator twin of [[llmChunking]]: one
+    * [[org.apache.spark.sql.graftnative.ChunkWindows]] UDTF eval per
+    * document replaces the sequence+explode+slice composition (no
+    * intermediate start-array, single Generate operator). Same output,
+    * same oracle — the graded proof that the custom Catalyst Generator
+    * surface produces exactly what the built-in composition does. */
+  def udtfChunkWindows(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .withColumn("ws", split(col("text"), " "))
+      .select(col("doc_id"), graft.GraftFunctions.chunkWindows(col("ws"), 32, 24))
+      .orderBy("doc_id", "chunk_idx")
+
   /** Text scrubbing: digit runs and pinned marker words redacted with
     * global regex replaces, plus a per-doc redaction count. The stopword
     * COUNT runs over the digit-replaced text (same input as the stopword
@@ -533,6 +545,7 @@ object LlmTextOps {
     "llm_dedup_survivors" -> (llmDedupSurvivors _),
     "llm_dedup_keep_longest" -> (llmDedupKeepLongest _),
     "llm_chunking" -> (llmChunking _),
+    "udtf_chunk_windows" -> (udtfChunkWindows _),
     "llm_redact" -> (llmRedact _),
     "llm_sample_split" -> (llmSampleSplit _),
     "llm_contamination" -> (llmContamination _),
@@ -581,6 +594,12 @@ object LlmTextOps {
     "llm_fingerprint" ->
       "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), x AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 4)) AS i FROM w), sh AS (SELECT doc_id, md5(array_to_string(ws[i:i+4], ' ')) AS h FROM x), f AS (SELECT doc_id, min(h) AS fp FROM sh GROUP BY doc_id) SELECT d.doc_id, f.fp FROM documents d LEFT JOIN f ON d.doc_id = f.doc_id ORDER BY d.doc_id",
     "llm_chunking" ->
+      ("WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), " +
+        "x AS (SELECT doc_id, ws, unnest(generate_series(1, greatest(len(ws), 1), 24)) AS start FROM w) " +
+        "SELECT doc_id, CAST((start - 1) // 24 AS INTEGER) AS chunk_idx, array_to_string(ws[start:start+31], ' ') AS chunk, CAST(least(32, len(ws) - start + 1) AS INTEGER) AS n_tokens FROM x ORDER BY doc_id, chunk_idx"),
+    // identical semantics to llm_chunking — the custom Generator is graded
+    // against the same SQL the built-in composition is
+    "udtf_chunk_windows" ->
       ("WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), " +
         "x AS (SELECT doc_id, ws, unnest(generate_series(1, greatest(len(ws), 1), 24)) AS start FROM w) " +
         "SELECT doc_id, CAST((start - 1) // 24 AS INTEGER) AS chunk_idx, array_to_string(ws[start:start+31], ' ') AS chunk, CAST(least(32, len(ws) - start + 1) AS INTEGER) AS n_tokens FROM x ORDER BY doc_id, chunk_idx"),

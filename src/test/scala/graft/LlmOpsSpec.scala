@@ -286,4 +286,22 @@ class LlmOpsSpec extends SparkTestBase {
     assert(ours == gx.map { case (k, v) => (k: Long) -> (v: Long) },
       s"CC disagreement: ours=${ours.size} labels, graphx=${gx.size}")
   }
+
+  test("custom ChunkWindows generator matches the built-in chunking composition row-for-row") {
+    val viaUdtf = LlmTextOps.udtfChunkWindows(spark, SF).collect().map(_.toString)
+    val viaComposition = LlmTextOps.llmChunking(spark, SF).collect().map(_.toString)
+    assert(viaUdtf.toSeq == viaComposition.toSeq)
+    // and it plans as ONE Generate operator with no sequence() explode
+    val plan = LlmTextOps.udtfChunkWindows(spark, SF).queryExecution.executedPlan.toString
+    assert(plan.contains("graft_chunk_windows"), s"custom generator missing from plan:\n$plan")
+    assert(!plan.contains("sequence("), s"start-array composition leaked into the UDTF plan:\n$plan")
+    // degenerate inputs: empty token array -> one empty window; null -> no rows
+    import spark.implicits._
+    val edge = Seq((1L, Array.empty[String]), (2L, null.asInstanceOf[Array[String]]))
+      .toDF("doc_id", "ws")
+      .select(col("doc_id"), GraftFunctions.chunkWindows(col("ws"), 32, 24))
+      .collect()
+    assert(edge.length == 1 && edge(0).getLong(0) == 1L &&
+      edge(0).getInt(1) == 0 && edge(0).getString(2) == "" && edge(0).getInt(3) == 0)
+  }
 }
