@@ -14,6 +14,9 @@ import org.apache.spark.sql.graftnative.{DotProduct, GraftNative}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => RedundantRoundRule)
+    // Whole-operator extension: the native as-of join's planner strategy
+    // (logical AsOfJoinPlan → physical AsOfJoinExec merge).
+    ext.injectPlannerStrategy(_ => org.apache.spark.sql.graftnative.AsOfJoinStrategy)
     ext.injectFunction((
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),

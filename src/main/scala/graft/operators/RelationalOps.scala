@@ -258,6 +258,24 @@ object RelationalOps {
       .orderBy("purchase_id")
   }
 
+  /** C10b: the same as-of join through the engine's NATIVE plan node
+    * (graftnative.AsOfJoinPlan → AsOfJoinExec): both sides hash-cluster on
+    * user and sort by (user, ts), then a single per-partition merge pass
+    * keeps O(1) state instead of materializing every (purchase × earlier
+    * signup) pair for the window to discard. Same oracle as C10 — the two
+    * formulations must agree row-for-row. */
+  def joinAsofNative(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "events")
+    val pur = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
+    val sig = e.filter(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"), col("user_id").as("su"), col("ts").as("s_ts"))
+    org.apache.spark.sql.graftnative.AsOfJoinApi
+      .asofJoin(pur, sig, "user_id", "su", "p_ts", "s_ts", "signup_id")
+      .select("purchase_id", "user_id", "signup_id")
+      .orderBy("purchase_id")
+  }
+
   /** C11: TPC-H-Q5-shaped star join — revenue by nation for one region and
     * one order-date year, with the supplier-nation co-location condition. */
   def joinStarTpch(s: SparkSession, d: String): DataFrame =
@@ -636,6 +654,7 @@ object RelationalOps {
     "join_theta_range" -> (joinThetaRange _),
     "join_range_binned" -> (joinRangeBinned _),
     "join_asof" -> (joinAsof _),
+    "join_asof_native" -> (joinAsofNative _),
     "join_star_tpch" -> (joinStarTpch _),
     "sub_scalar_corr" -> (subScalarCorr _),
     "sub_in_uncorr" -> (subInUncorr _),
@@ -725,6 +744,8 @@ object RelationalOps {
         "FROM p a JOIN p b ON a.event_id < b.event_id AND abs(b.us - a.us) <= 300000000 " +
         "ORDER BY a_id, b_id"),
     "join_asof" ->
+      "WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type FROM events), pairs AS (SELECT p.event_id AS purchase_id, p.user_id AS user_id, s.event_id AS signup_id, row_number() OVER (PARTITION BY p.event_id ORDER BY s.ts DESC, s.event_id DESC) AS rn FROM ev p JOIN ev s ON s.user_id = p.user_id AND s.event_type = 'signup' AND s.ts <= p.ts WHERE p.event_type = 'purchase') SELECT purchase_id, user_id, signup_id FROM pairs WHERE rn = 1 ORDER BY purchase_id",
+    "join_asof_native" ->
       "WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type FROM events), pairs AS (SELECT p.event_id AS purchase_id, p.user_id AS user_id, s.event_id AS signup_id, row_number() OVER (PARTITION BY p.event_id ORDER BY s.ts DESC, s.event_id DESC) AS rn FROM ev p JOIN ev s ON s.user_id = p.user_id AND s.event_type = 'signup' AND s.ts <= p.ts WHERE p.event_type = 'purchase') SELECT purchase_id, user_id, signup_id FROM pairs WHERE rn = 1 ORDER BY purchase_id",
     "join_star_tpch" ->
       "SELECT n_name, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue FROM region JOIN nation ON n_regionkey = r_regionkey JOIN customer ON c_nationkey = n_nationkey JOIN orders ON o_custkey = c_custkey JOIN lineitem ON l_orderkey = o_orderkey JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01' GROUP BY n_name ORDER BY revenue DESC, n_name",

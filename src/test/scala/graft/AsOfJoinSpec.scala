@@ -1,0 +1,88 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftnative.AsOfJoinApi
+import graft.operators.RelationalOps
+
+/** The native as-of join plan node (AsOfJoinPlan / AsOfJoinExec): golden
+  * micro-cases (ties, no-match, nulls), equivalence with the composed
+  * window-argmax formulation on the fixture, and plan-shape assertions
+  * (the custom exec node present, exchanges satisfied by the planner). */
+class AsOfJoinSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("native as-of join: golden micro-case with ties, no-match, and interleaving") {
+    val trades = Seq(
+      (1L, 100L, ts("2024-01-01 10:00:05")), // after quotes q1,q2 → latest is q2
+      (2L, 100L, ts("2024-01-01 10:00:10")), // equal to q3's ts → q3 (<=)
+      (3L, 100L, ts("2024-01-01 09:59:00")), // before any quote → dropped
+      (4L, 200L, ts("2024-01-01 11:00:00")), // other key → q5
+      (5L, 300L, ts("2024-01-01 12:00:00"))  // key with no quotes → dropped
+    ).toDF("trade_id", "sym", "t_ts")
+    val quotes = Seq(
+      (11L, 100L, ts("2024-01-01 10:00:00")),
+      (12L, 100L, ts("2024-01-01 10:00:03")),
+      (13L, 100L, ts("2024-01-01 10:00:10")),
+      (14L, 100L, ts("2024-01-01 10:00:10")), // same ts as 13 → tie → larger id wins
+      (15L, 200L, ts("2024-01-01 10:59:59"))
+    ).toDF("quote_id", "qsym", "q_ts")
+
+    val got = AsOfJoinApi.asofJoin(trades, quotes, "sym", "qsym", "t_ts", "q_ts", "quote_id")
+      .select("trade_id", "quote_id").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 12L, 2L -> 14L, 4L -> 15L))
+  }
+
+  test("native as-of join: NULL keys and NULL timestamps never match") {
+    val l = Seq(
+      (1L, Option(10L), Option(ts("2024-01-01 10:00:00"))),
+      (2L, None: Option[Long], Option(ts("2024-01-01 10:00:00"))),
+      (3L, Option(10L), None: Option[Timestamp])
+    ).toDF("lid", "k", "lts")
+    val r = Seq(
+      (21L, Option(10L), Option(ts("2024-01-01 09:00:00"))),
+      (22L, None: Option[Long], Option(ts("2024-01-01 09:00:00"))),
+      (23L, Option(10L), None: Option[Timestamp])
+    ).toDF("rid", "rk", "rts")
+    val got = AsOfJoinApi.asofJoin(l, r, "k", "rk", "lts", "rts", "rid")
+      .select("lid", "rid").as[(Long, Long)].collect().toMap
+    // only the non-null (key, ts) pair joins, and only to the non-null quote
+    assert(got == Map(1L -> 21L))
+  }
+
+  test("native as-of join matches the composed window-argmax form on the fixture") {
+    val composed = RelationalOps.joinAsof(spark, SF)
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    val native = RelationalOps.joinAsofNative(spark, SF)
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(native.nonEmpty && native == composed)
+  }
+
+  test("native as-of join plans as AsOfJoinExec with clustered+sorted children") {
+    val df = RelationalOps.joinAsofNative(spark, SF)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), s"expected the custom exec node in:\n$plan")
+    // EnsureRequirements must have satisfied the declared distribution and
+    // ordering with hash exchanges + sorts on the key/ts columns.
+    assert(plan.contains("Exchange hashpartitioning"), s"expected hash exchanges in:\n$plan")
+    assert(plan.contains("Sort ["), s"expected sorts under the merge in:\n$plan")
+  }
+
+  test("native as-of join is a merge, not a pair blow-up: output rows == matched left rows") {
+    // a user with 50 purchases and 40 earlier signups would materialize
+    // 2000 intermediate rows in the composed form; the merge emits 50.
+    val pur = Seq.tabulate(50)(i => (i.toLong, 1L, ts(f"2024-01-02 10:00:${i % 60}%02d")))
+      .toDF("purchase_id", "user_id", "p_ts")
+    val sig = Seq.tabulate(40)(i => (1000L + i, 1L, ts(f"2024-01-01 09:00:${i % 60}%02d")))
+      .toDF("signup_id", "su", "s_ts")
+    val out = AsOfJoinApi.asofJoin(pur, sig, "user_id", "su", "p_ts", "s_ts", "signup_id")
+    assert(out.count() == 50L)
+    // every purchase matches the single latest signup (max ts, tie → max id)
+    val best = out.select("signup_id").distinct().as[Long].collect().toSeq
+    assert(best == Seq(1039L))
+  }
+}
