@@ -532,7 +532,43 @@ object LlmTextOps {
         expr("round(array_max(transform(dbl, x -> abs(x - floor(x / sc + 0.5d) * sc))), 6)").as("max_err"))
       .orderBy("vec_id")
 
+  /** Intra-document repetition (a Gopher-style quality signal): the
+    * fraction of duplicated word 5-grams within each document. Templated /
+    * boilerplate-heavy pages score high and get filtered before training.
+    * Fully row-local (no shuffle at all) — at 100 TB this is a map-only
+    * pass over the corpus. */
+  def llmRepetition(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("sh", shingles(5))
+      .select(col("doc_id"),
+        size(col("sh")).as("n_grams"),
+        size(array_distinct(col("sh"))).as("n_distinct"),
+        round(when(size(col("sh")) > 0,
+          lit(1.0) - size(array_distinct(col("sh"))) / size(col("sh")).cast("double"))
+          .otherwise(lit(0.0)), 6).as("dup_frac"))
+      .orderBy("doc_id")
+
+  /** Incremental dedup — the daily-snapshot shape at 100 TB: dedup a NEW
+    * batch (doc_id % 10 >= 8 stands in for today's crawl) first within
+    * itself (keep the smallest doc_id per content hash), then anti-join
+    * against the EXISTING corpus's hash set. The existing side never
+    * rewrites; only new rows shuffle. */
+  def llmDedupIncremental(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(s, d, "documents").withColumn("h", md5(col("text")))
+    val existing = docs.filter(col("doc_id") % 10 < 8).select(col("h").as("eh")).distinct()
+    val w = Window.partitionBy("h").orderBy("doc_id")
+    docs.filter(col("doc_id") % 10 >= 8)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .join(existing, col("h") === col("eh"), "left_anti")
+      .select("doc_id", "h")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "llm_repetition" -> (llmRepetition _),
+    "llm_dedup_incremental" -> (llmDedupIncremental _),
     "emb_quantize_int8" -> (embQuantizeInt8 _),
     "llm_dedup_embedding" -> (llmDedupEmbedding _),
     "ann_ivf_topk" -> (annIvfTopk _),
@@ -586,6 +622,18 @@ object LlmTextOps {
     },
     "llm_token_count" ->
       "SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_cnt, CAST(list_sum(list_transform(string_split(text, ' '), x -> ceil(length(x) / 4.0))) AS BIGINT) AS bpe_cnt FROM documents ORDER BY doc_id",
+    // same 5-gram construction as llm_fingerprint; docs under 5 words have
+    // zero shingles and dup_frac 0.0 on both engines.
+    "llm_repetition" ->
+      ("WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), " +
+        "g AS (SELECT doc_id, CASE WHEN len(ws) >= 5 THEN list_transform(generate_series(1, len(ws) - 4), i -> array_to_string(ws[i:i+4], ' ')) ELSE [] END AS sh FROM w) " +
+        "SELECT doc_id, CAST(len(sh) AS INTEGER) AS n_grams, CAST(len(list_distinct(sh)) AS INTEGER) AS n_distinct, " +
+        "round(CASE WHEN len(sh) > 0 THEN 1.0 - len(list_distinct(sh)) / CAST(len(sh) AS DOUBLE) ELSE 0.0 END, 6) AS dup_frac FROM g ORDER BY doc_id"),
+    "llm_dedup_incremental" ->
+      ("WITH d AS (SELECT doc_id, md5(text) AS h FROM documents), " +
+        "newb AS (SELECT doc_id, h, row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn FROM d WHERE doc_id % 10 >= 8), " +
+        "ex AS (SELECT DISTINCT h FROM d WHERE doc_id % 10 < 8) " +
+        "SELECT doc_id, h FROM newb WHERE rn = 1 AND h NOT IN (SELECT h FROM ex) ORDER BY doc_id"),
     "llm_quality_score" ->
       "SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS word_cnt, round(0.6 * least(n_chars / 500.0, 1.0) + 0.4 * least(((n_chars - (len(string_split(text, ' ')) - 1)) / CAST(len(string_split(text, ' ')) AS DOUBLE)) / 10.0, 1.0), 6) AS score FROM documents ORDER BY doc_id",
     // LEFT JOIN back to documents so docs shorter than 5 words keep a

@@ -276,6 +276,62 @@ object RelationalOps {
       .orderBy("purchase_id")
   }
 
+  /** C10c: as-of join with a staleness tolerance — the native merge node
+    * composed with a post-filter. Tolerance only EXCLUDES (the backward
+    * as-of already picked the maximum s_ts; if that one is older than the
+    * window, no earlier signup can be younger), so filter-after-merge is
+    * exactly as-of-with-tolerance, with no second pass. */
+  def joinAsofTolerance(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "events")
+    val pur = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
+    val sig = e.filter(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"), col("user_id").as("su"), col("ts").as("s_ts"))
+    org.apache.spark.sql.graftnative.AsOfJoinApi
+      .asofJoin(pur, sig, "user_id", "su", "p_ts", "s_ts", "signup_id")
+      .filter(col("s_ts") >= col("p_ts") - expr("INTERVAL 3 DAYS"))
+      .select("purchase_id", "user_id", "signup_id")
+      .orderBy("purchase_id")
+  }
+
+  /** C12: blocked fuzzy join — the scalable shape for entity resolution:
+    * never all-pairs; candidates come only from equality on a cheap
+    * blocking key (here the 15-char name prefix), then the expensive
+    * edit-distance check runs in-block. At 100 TB the block key is the
+    * shuffle key, so each executor sees one block family. */
+  def fuzzyJoinBlocked(s: SparkSession, d: String): DataFrame = {
+    val a = t(s, d, "customer")
+      .select(col("c_custkey").as("a_key"), col("c_name").as("a_name"),
+        substring(col("c_name"), 1, 15).as("blk"))
+    val b = t(s, d, "customer")
+      .select(col("c_custkey").as("b_key"), col("c_name").as("b_name"),
+        substring(col("c_name"), 1, 15).as("blk2"))
+    a.join(b, col("blk") === col("blk2") && col("a_key") < col("b_key"))
+      .withColumn("lev", levenshtein(col("a_name"), col("b_name")))
+      .filter(col("lev") <= 1)
+      .select("a_key", "b_key", "lev")
+      .orderBy("a_key", "b_key")
+  }
+
+  /** D12: exact median plus a DETERMINISTIC mode — Spark's (and DuckDB's)
+    * mode() is tie-arbitrary, so the mode is computed as an explicit
+    * argmax: count per value, window row_number ordered by (count desc,
+    * value asc). Same plan both engines → hash-stable. */
+  def aggMedianMode(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = t(s, d, "orders")
+    val med = o.groupBy("o_orderstatus")
+      .agg(round(median(col("o_totalprice")), 4).as("med_price"))
+    val w = Window.partitionBy("o_orderstatus")
+      .orderBy(col("cnt").desc, col("o_orderpriority").asc)
+    val mode = o.groupBy("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_orderstatus"), col("o_orderpriority").as("mode_prio"))
+    med.join(mode, "o_orderstatus").orderBy("o_orderstatus")
+  }
+
   /** C11: TPC-H-Q5-shaped star join — revenue by nation for one region and
     * one order-date year, with the supplier-nation co-location condition. */
   def joinStarTpch(s: SparkSession, d: String): DataFrame =
@@ -392,6 +448,23 @@ object RelationalOps {
   def aggApproxTopk(s: SparkSession, d: String): DataFrame =
     t(s, d, "events")
       .agg(expr("approx_top_k(event_type, 3)").as("top3"))
+
+  /** D13: count-min sketch (spark-sketch via the count_min_sketch SQL
+    * aggregate): per-returnflag frequency sketch over integer quantities,
+    * eps=0.001 / confidence=0.99 / fixed seed. The serialized sketch is
+    * deterministic (counter sums are order- and partition-independent),
+    * so the rows-only grade is stable; the ≤ eps·N overcount bound and
+    * sketch mergeability are asserted in NoOracleKeysSpec. At 100 TB a
+    * CMS answers point-frequency queries (heavy-hitter token counts,
+    * per-key rate limits) in kilobytes where an exact groupBy would
+    * shuffle the corpus. */
+  def aggCountMin(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        expr("hex(count_min_sketch(cast(l_quantity as int), 0.001d, 0.99d, 42))").as("cms_hex"),
+        count(lit(1)).as("cnt"))
+      .orderBy("l_returnflag")
 
   /** D5: statistical aggregates per group. */
   def aggStats(s: SparkSession, d: String): DataFrame =
@@ -655,6 +728,9 @@ object RelationalOps {
     "join_range_binned" -> (joinRangeBinned _),
     "join_asof" -> (joinAsof _),
     "join_asof_native" -> (joinAsofNative _),
+    "join_asof_tolerance" -> (joinAsofTolerance _),
+    "fuzzy_join_blocked" -> (fuzzyJoinBlocked _),
+    "agg_median_mode" -> (aggMedianMode _),
     "join_star_tpch" -> (joinStarTpch _),
     "sub_scalar_corr" -> (subScalarCorr _),
     "sub_in_uncorr" -> (subInUncorr _),
@@ -666,6 +742,7 @@ object RelationalOps {
     "agg_hll_sketch" -> (aggHllSketch _),
     "agg_hll_merge" -> (aggHllMerge _),
     "agg_approx_topk" -> (aggApproxTopk _),
+    "agg_count_min" -> (aggCountMin _),
     "agg_stats" -> (aggStats _),
     "agg_percentile" -> (aggPercentile _),
     "agg_rollup" -> (aggRollup _),
@@ -747,6 +824,12 @@ object RelationalOps {
       "WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type FROM events), pairs AS (SELECT p.event_id AS purchase_id, p.user_id AS user_id, s.event_id AS signup_id, row_number() OVER (PARTITION BY p.event_id ORDER BY s.ts DESC, s.event_id DESC) AS rn FROM ev p JOIN ev s ON s.user_id = p.user_id AND s.event_type = 'signup' AND s.ts <= p.ts WHERE p.event_type = 'purchase') SELECT purchase_id, user_id, signup_id FROM pairs WHERE rn = 1 ORDER BY purchase_id",
     "join_asof_native" ->
       "WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type FROM events), pairs AS (SELECT p.event_id AS purchase_id, p.user_id AS user_id, s.event_id AS signup_id, row_number() OVER (PARTITION BY p.event_id ORDER BY s.ts DESC, s.event_id DESC) AS rn FROM ev p JOIN ev s ON s.user_id = p.user_id AND s.event_type = 'signup' AND s.ts <= p.ts WHERE p.event_type = 'purchase') SELECT purchase_id, user_id, signup_id FROM pairs WHERE rn = 1 ORDER BY purchase_id",
+    "join_asof_tolerance" ->
+      "WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type FROM events), pairs AS (SELECT p.event_id AS purchase_id, p.user_id AS user_id, s.event_id AS signup_id, p.ts AS p_ts, s.ts AS s_ts, row_number() OVER (PARTITION BY p.event_id ORDER BY s.ts DESC, s.event_id DESC) AS rn FROM ev p JOIN ev s ON s.user_id = p.user_id AND s.event_type = 'signup' AND s.ts <= p.ts WHERE p.event_type = 'purchase') SELECT purchase_id, user_id, signup_id FROM pairs WHERE rn = 1 AND s_ts >= p_ts - INTERVAL 3 DAY ORDER BY purchase_id",
+    "fuzzy_join_blocked" ->
+      "SELECT a.c_custkey AS a_key, b.c_custkey AS b_key, CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS lev FROM customer a JOIN customer b ON substr(a.c_name, 1, 15) = substr(b.c_name, 1, 15) AND a.c_custkey < b.c_custkey WHERE levenshtein(a.c_name, b.c_name) <= 1 ORDER BY a_key, b_key",
+    "agg_median_mode" ->
+      "WITH med AS (SELECT o_orderstatus, round(median(o_totalprice), 4) AS med_price FROM orders GROUP BY o_orderstatus), c AS (SELECT o_orderstatus, o_orderpriority, count(*) AS cnt FROM orders GROUP BY o_orderstatus, o_orderpriority), m AS (SELECT o_orderstatus, o_orderpriority AS mode_prio, row_number() OVER (PARTITION BY o_orderstatus ORDER BY cnt DESC, o_orderpriority) AS rn FROM c) SELECT med.o_orderstatus, med.med_price, m.mode_prio FROM med JOIN m ON med.o_orderstatus = m.o_orderstatus AND m.rn = 1 ORDER BY med.o_orderstatus",
     "join_star_tpch" ->
       "SELECT n_name, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue FROM region JOIN nation ON n_regionkey = r_regionkey JOIN customer ON c_nationkey = n_nationkey JOIN orders ON o_custkey = c_custkey JOIN lineitem ON l_orderkey = o_orderkey JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01' GROUP BY n_name ORDER BY revenue DESC, n_name",
     "sub_scalar_corr" ->

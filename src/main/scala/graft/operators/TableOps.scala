@@ -55,13 +55,41 @@ object TableOps {
       .toDF("version", "n_rows").orderBy("version")
   }
 
+  /** Range-layout orders table with per-file min/max stats on
+    * o_totalprice — the fixture for the `graft-vt` data source: the
+    * range-repartitioned write gives each file a narrow totalprice band,
+    * so a range predicate prunes most files at the MANIFEST level before
+    * the parquet scan even lists them. */
+  private def statsTable(s: SparkSession, d: String): String = {
+    TempDirs.cached("vtsource", d) { dir =>
+      val orders = Tables.load(s, d, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .repartitionByRange(8, col("o_totalprice"))
+      VersionedTable.create(s, dir + "/t", orders, statsCol = Some("o_totalprice"))
+      ()
+    } + "/t"
+  }
+
+  /** VT4: the table read through `spark.read.format("graft-vt")` — the
+    * standard reader API with manifest-level file skipping driving the
+    * range predicate (pruning itself is plan-asserted in VtDataSourceSpec;
+    * the grade here is end-to-end result parity with plain SQL). */
+  def vtSourceRead(s: SparkSession, d: String): DataFrame =
+    s.read.format("graft-vt").option("path", statsTable(s, d)).load()
+      .filter(col("o_totalprice") >= 100000.0 && col("o_totalprice") < 150000.0)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy("o_orderkey")
+
   val queries: Map[String, Q] = Map(
+    "vt_source_read" -> (vtSourceRead _),
     "vt_merge_delete" -> (vtMergeDelete _),
     "vt_time_travel" -> (vtTimeTravel _),
     "vt_history" -> (vtHistory _),
   )
 
   val oracles: Map[String, String] = Map(
+    "vt_source_read" ->
+      "SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_totalprice >= 100000.0 AND o_totalprice < 150000.0 ORDER BY o_orderkey",
     // v2 = customer with rich accounts zeroed, sentinel inserted, then
     // negative balances deleted — re-derived purely relationally
     "vt_merge_delete" ->

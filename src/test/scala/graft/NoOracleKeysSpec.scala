@@ -140,6 +140,45 @@ class NoOracleKeysSpec extends SparkTestBase {
     }
   }
 
+  test("agg_count_min: estimates bounded by exact + eps*N, and sketches merge") {
+    import org.apache.spark.util.sketch.CountMinSketch
+    // the graded entry ships hex for a stable rows-only grade; decode it
+    val rows = q("agg_count_min").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(rows.map(_._1).toSeq == rows.map(_._1).toSeq.sorted && rows.nonEmpty)
+    def unhex(s: String): Array[Byte] =
+      s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val li = Tables.load(spark, SF, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity").cast("int").as("qv"))
+    val exact = li.groupBy("l_returnflag", "qv").count().collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    rows.foreach { case (flag, hexSketch, n) =>
+      val cms = CountMinSketch.readFrom(new java.io.ByteArrayInputStream(unhex(hexSketch)))
+      assert(cms.totalCount() == n, s"group $flag totalCount")
+      (1 to 50).foreach { v =>
+        val ex = exact.getOrElse((flag, v), 0L)
+        val est = cms.estimateCount(v)
+        // CMS never undercounts; eps=0.001 bounds the overcount at eps*N
+        // with prob >= 0.99 per query — use 3x slack for the union bound
+        assert(est >= ex && est <= ex + math.ceil(3 * 0.001 * n).toLong,
+          s"group $flag value $v: est $est vs exact $ex (n=$n)")
+      }
+    }
+    // mergeability: per-group sketches union to the global sketch's answers
+    val merged = rows.map(r => CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(unhex(r._2))))
+      .reduce((a, b) => { a.mergeInPlace(b); a })
+    val globalExact = li.groupBy("qv").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val total = rows.map(_._3).sum
+    assert(merged.totalCount() == total)
+    globalExact.foreach { case (v, ex) =>
+      val est = merged.estimateCount(v)
+      assert(est >= ex && est <= ex + math.ceil(3 * 0.001 * total).toLong,
+        s"merged value $v: est $est vs exact $ex")
+    }
+  }
+
   test("llm_dedup_simhash_pairs: hamming column is the true sketch distance, bounded") {
     val sk = operators.LlmTextOps
       .simhashSketches(Tables.load(spark, SF, "documents"))

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.tables.{VersionedTable, VtDataSource}
+
+/** The `graft-vt` data source: short-name registration, snapshot/time-
+  * travel parity with the VersionedTable API, stats-based file skipping
+  * observable through the scan hook, and the count(*) empty-projection
+  * path. */
+class VtDataSourceSpec extends SparkTestBase {
+
+  private lazy val root: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_vtsrc").toString
+    val orders = Tables.load(spark, SF, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .repartitionByRange(8, col("o_totalprice"))
+    val t = VersionedTable.create(spark, dir + "/t", orders, statsCol = Some("o_totalprice"))
+    // v1: append a small tail so time travel has something to distinguish
+    t.append(orders.filter(col("o_orderkey") <= 32))
+    dir + "/t"
+  }
+
+  private def src = spark.read.format("graft-vt").option("path", root)
+
+  test("graft-vt resolves by short name and reads the current snapshot") {
+    val viaSource = src.load()
+    val direct = VersionedTable.open(spark, root).read()
+    assert(viaSource.schema == direct.schema)
+    assert(viaSource.count() == direct.count() && viaSource.count() > 0)
+  }
+
+  test("asOf option time-travels to the pre-append snapshot") {
+    val v0 = src.option("asOf", "0").load().count()
+    val v1 = src.load().count()
+    val tail = Tables.load(spark, SF, "orders").filter(col("o_orderkey") <= 32).count()
+    assert(v1 == v0 + tail && tail > 0)
+  }
+
+  test("range predicate skips files at the manifest level, result unchanged") {
+    val t = VersionedTable.open(spark, root)
+    val allFiles = t.pruneFiles(Double.NegativeInfinity, Double.PositiveInfinity).size
+    val filtered = src.load()
+      .filter(col("o_totalprice") >= 100000.0 && col("o_totalprice") < 110000.0)
+    val expected = t.read()
+      .filter(col("o_totalprice") >= 100000.0 && col("o_totalprice") < 110000.0)
+      .count()
+    assert(filtered.count() == expected && expected > 0)
+    val scanned = VtDataSource.lastScanFileCount.get()
+    assert(scanned > 0 && scanned < allFiles,
+      s"expected file skipping: scanned $scanned of $allFiles range-layout files")
+  }
+
+  test("non-stats filters scan everything but stay correct") {
+    val t = VersionedTable.open(spark, root)
+    val allFiles = t.pruneFiles(Double.NegativeInfinity, Double.PositiveInfinity).size
+    val n = src.load().filter(col("o_custkey") % 7 === 0).count()
+    val expected = t.read().filter(col("o_custkey") % 7 === 0).count()
+    assert(n == expected && VtDataSource.lastScanFileCount.get() == allFiles)
+  }
+
+  test("count(*) survives the empty-projection path") {
+    assert(src.load().count() == VersionedTable.open(spark, root).read().count())
+  }
+}
