@@ -45,7 +45,8 @@ object Bench {
       "join_inner_equi", "join_asof", "sort_multicol", "set_intersect",
       "typed_cogroup", "ann_lsh_topk", "stream_dedup", "llm_dedup_survivors",
       "agg_percentile", "vt_history", "mm_frame_sample",
-      "join_bucketed", "join_range_binned", "tpch_q18_large", "zorder_key")
+      "join_bucketed", "join_range_binned", "tpch_q18_large", "zorder_key",
+      "join_asof_native", "vt_source_read", "fuzzy_join_blocked")
     val json = s"""{"metric":"total","value":${f3(total)},"unit":"sec",""" +
       s""""queries":${toJson(results.filter(r => headline(r._1)))},""" +
       s""""n_queries":${results.length},"full":"BENCH_FULL.json","sf":"$sfDir"}"""

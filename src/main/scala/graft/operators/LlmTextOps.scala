@@ -549,6 +549,24 @@ object LlmTextOps {
           .otherwise(lit(0.0)), 6).as("dup_frac"))
       .orderBy("doc_id")
 
+  /** Word-entropy quality signal: Shannon entropy (base 2) of each
+    * document's word distribution — low entropy flags repetitive /
+    * boilerplate text, complementing [[llmRepetition]]'s n-gram view.
+    * Computed as H = log2(n) − Σ c·log2(c) / n over per-word counts (the
+    * same explicit formula in the DuckDB oracle, NOT its entropy()
+    * aggregate, so both engines share one floating-point recipe; 4 dp
+    * rounding absorbs summation-order noise). Two hash aggregations —
+    * both shuffle on doc_id-dominated keys, linear at corpus scale. */
+  def llmEntropy(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n"), sum(col("c") * log2(col("c"))).as("clog"))
+      .select(col("doc_id"),
+        round(log2(col("n")) - col("clog") / col("n"), 4).as("entropy"))
+      .orderBy("doc_id")
+
   /** Incremental dedup — the daily-snapshot shape at 100 TB: dedup a NEW
     * batch (doc_id % 10 >= 8 stands in for today's crawl) first within
     * itself (keep the smallest doc_id per content hash), then anti-join
@@ -568,6 +586,7 @@ object LlmTextOps {
 
   val queries: Map[String, Q] = Map(
     "llm_repetition" -> (llmRepetition _),
+    "llm_entropy" -> (llmEntropy _),
     "llm_dedup_incremental" -> (llmDedupIncremental _),
     "emb_quantize_int8" -> (embQuantizeInt8 _),
     "llm_dedup_embedding" -> (llmDedupEmbedding _),
@@ -629,6 +648,11 @@ object LlmTextOps {
         "g AS (SELECT doc_id, CASE WHEN len(ws) >= 5 THEN list_transform(generate_series(1, len(ws) - 4), i -> array_to_string(ws[i:i+4], ' ')) ELSE [] END AS sh FROM w) " +
         "SELECT doc_id, CAST(len(sh) AS INTEGER) AS n_grams, CAST(len(list_distinct(sh)) AS INTEGER) AS n_distinct, " +
         "round(CASE WHEN len(sh) > 0 THEN 1.0 - len(list_distinct(sh)) / CAST(len(sh) AS DOUBLE) ELSE 0.0 END, 6) AS dup_frac FROM g ORDER BY doc_id"),
+    "llm_entropy" ->
+      ("WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents), " +
+        "c AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY doc_id, w), " +
+        "t AS (SELECT doc_id, sum(c) AS n, sum(c * log2(CAST(c AS DOUBLE))) AS clog FROM c GROUP BY doc_id) " +
+        "SELECT doc_id, round(log2(CAST(n AS DOUBLE)) - clog / n, 4) AS entropy FROM t ORDER BY doc_id"),
     "llm_dedup_incremental" ->
       ("WITH d AS (SELECT doc_id, md5(text) AS h FROM documents), " +
         "newb AS (SELECT doc_id, h, row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn FROM d WHERE doc_id % 10 >= 8), " +
