@@ -38,15 +38,47 @@ import org.apache.spark.sql.types.StructType
   * the skipping — a file without stats, a non-numeric comparison, or a
   * disjunction simply skips nothing.
   */
-class VtDataSource extends RelationProvider with DataSourceRegister {
+class VtDataSource extends RelationProvider with CreatableRelationProvider
+  with DataSourceRegister {
   override def shortName(): String = "graft-vt"
 
-  override def createRelation(
-      ctx: SQLContext, params: Map[String, String]): BaseRelation = {
-    val path = params.getOrElse("path",
+  private def pathOf(params: Map[String, String]): String =
+    params.getOrElse("path",
       throw new IllegalArgumentException("graft-vt: 'path' option is required"))
-    val asOf = params.get("asOf").map(_.trim.toInt)
-    new VtRelation(ctx, path, asOf)
+
+  override def createRelation(
+      ctx: SQLContext, params: Map[String, String]): BaseRelation =
+    new VtRelation(ctx, pathOf(params), params.get("asOf").map(_.trim.toInt))
+
+  /** Write path: `df.write.format("graft-vt").option("path", root).save()`.
+    * Append adds an ACID-committed version; Overwrite is refused (the
+    * table's contract is additive versions + MERGE/DELETE through the
+    * VersionedTable API — silently dropping history via a writer mode
+    * would defeat time travel); ErrorIfExists creates a new table
+    * (optional `statsCol` turns on file skipping from version 0);
+    * Ignore is a no-op on an existing table. */
+  override def createRelation(
+      ctx: SQLContext, mode: org.apache.spark.sql.SaveMode,
+      params: Map[String, String],
+      data: org.apache.spark.sql.Dataset[Row]): BaseRelation = {
+    import org.apache.spark.sql.SaveMode._
+    val root = pathOf(params)
+    val exists = java.nio.file.Files.isDirectory(java.nio.file.Paths.get(root, "_manifests"))
+    val df = data.toDF()
+    mode match {
+      case Append =>
+        if (exists) VersionedTable.open(ctx.sparkSession, root).append(df)
+        else VersionedTable.create(ctx.sparkSession, root, df, params.get("statsCol"))
+      case ErrorIfExists =>
+        if (exists) throw new IllegalStateException(s"graft-vt: table already exists at $root")
+        VersionedTable.create(ctx.sparkSession, root, df, params.get("statsCol"))
+      case Ignore =>
+        if (!exists) VersionedTable.create(ctx.sparkSession, root, df, params.get("statsCol"))
+      case Overwrite =>
+        throw new UnsupportedOperationException(
+          "graft-vt: Overwrite would drop table history; use the VersionedTable API (merge/delete/vacuum)")
+    }
+    new VtRelation(ctx, root, None)
   }
 }
 

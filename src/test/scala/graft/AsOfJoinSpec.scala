@@ -72,6 +72,32 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(plan.contains("Sort ["), s"expected sorts under the merge in:\n$plan")
   }
 
+  test("native as-of join equals a brute-force twin on seeded random data (ties, nulls, skew)") {
+    val rnd = new scala.util.Random(20260813L)
+    // keys 0..24 over 2000x2000 rows → heavy per-key activity; ts drawn
+    // from only 500 distinct values → frequent exact-tie timestamps;
+    // ~2% null keys and ~2% null ts exercise the exclusion rules.
+    def rows(n: Int, idBase: Long) = Seq.tabulate(n) { i =>
+      val k: java.lang.Long = if (rnd.nextInt(50) == 0) null else rnd.nextInt(25).toLong
+      val ts: java.lang.Long = if (rnd.nextInt(50) == 0) null else rnd.nextInt(500).toLong
+      (idBase + i, k, ts)
+    }
+    val lRows = rows(2000, 0L)
+    val rRows = rows(2000, 100000L)
+    val l = lRows.toDF("lid", "k", "lts")
+    val r = rRows.toDF("rid", "rk", "rts")
+    val got = AsOfJoinApi.asofJoin(l, r, "k", "rk", "lts", "rts", "rid")
+      .select("lid", "rid").as[(Long, Long)].collect().toMap
+    val expected = lRows.flatMap { case (lid, k, lts) =>
+      if (k == null || lts == null) None
+      else rRows.filter { case (_, rk, rts) =>
+          rk != null && rts != null && rk == k && rts <= lts }
+        .sortBy { case (rid, _, rts) => (rts, rid) }
+        .lastOption.map { case (rid, _, _) => lid -> rid }
+    }.toMap
+    assert(got.size == expected.size && got == expected)
+  }
+
   test("native as-of join is a merge, not a pair blow-up: output rows == matched left rows") {
     // a user with 50 purchases and 40 earlier signups would materialize
     // 2000 intermediate rows in the composed form; the merge emits 50.

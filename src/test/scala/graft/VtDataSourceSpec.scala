@@ -61,4 +61,40 @@ class VtDataSourceSpec extends SparkTestBase {
   test("count(*) survives the empty-projection path") {
     assert(src.load().count() == VersionedTable.open(spark, root).read().count())
   }
+
+  test("write path: ErrorIfExists creates, Append commits a version, Overwrite refused") {
+    import org.apache.spark.sql.SaveMode
+    val dir = java.nio.file.Files.createTempDirectory("graft_vtw").toString + "/t"
+    val nation = Tables.load(spark, SF, "nation").select("n_nationkey", "n_name")
+    nation.write.format("graft-vt").option("path", dir)
+      .mode(SaveMode.ErrorIfExists).save()
+    assert(spark.read.format("graft-vt").option("path", dir).load().count() == nation.count())
+    intercept[Exception] {
+      nation.write.format("graft-vt").option("path", dir)
+        .mode(SaveMode.ErrorIfExists).save()
+    }
+    nation.filter(col("n_nationkey") < 5).write.format("graft-vt")
+      .option("path", dir).mode(SaveMode.Append).save()
+    val t = VersionedTable.open(spark, dir)
+    assert(t.currentVersion == 1 && t.read().count() == nation.count() + 5)
+    // time travel still sees the pre-append snapshot
+    assert(t.read(Some(0)).count() == nation.count())
+    intercept[UnsupportedOperationException] {
+      nation.write.format("graft-vt").option("path", dir)
+        .mode(SaveMode.Overwrite).save()
+    }
+  }
+
+  test("write path: statsCol option enables file skipping from version 0") {
+    import org.apache.spark.sql.SaveMode
+    val dir = java.nio.file.Files.createTempDirectory("graft_vtw2").toString + "/t"
+    Tables.load(spark, SF, "orders")
+      .select("o_orderkey", "o_totalprice")
+      .repartitionByRange(4, col("o_totalprice"))
+      .write.format("graft-vt").option("path", dir).option("statsCol", "o_totalprice")
+      .mode(SaveMode.Append).save()
+    val t = VersionedTable.open(spark, dir)
+    assert(t.statsCol.contains("o_totalprice"))
+    assert(t.pruneFiles(0.0, 1.0).size < t.pruneFiles(Double.NegativeInfinity, Double.PositiveInfinity).size)
+  }
 }
