@@ -374,7 +374,7 @@ object TpchOps {
         "AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_returnflag = 'R') " +
         "GROUP BY 1 ORDER BY 1"),
     "tpch_q7_volume" ->
-      ("SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, year(l_shipdate) AS l_year, " +
+      ("SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, CAST(year(l_shipdate) AS INTEGER) AS l_year, " +
         "round(sum(l_extendedprice * (1 - l_discount)), 2) AS rev " +
         "FROM lineitem JOIN supplier ON s_suppkey = l_suppkey JOIN orders ON o_orderkey = l_orderkey " +
         "JOIN customer ON c_custkey = o_custkey " +
@@ -384,7 +384,7 @@ object TpchOps {
         "AND n1.n_name <> n2.n_name " +
         "GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"),
     "tpch_q8_share" ->
-      ("SELECT year(o_orderdate) AS o_year, " +
+      ("SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year, " +
         "round(sum(CASE WHEN n2.n_name = 'NATION_2' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END) " +
         "/ sum(l_extendedprice * (1 - l_discount)), 4) AS mkt_share " +
         "FROM lineitem JOIN part ON p_partkey = l_partkey JOIN supplier ON s_suppkey = l_suppkey " +
