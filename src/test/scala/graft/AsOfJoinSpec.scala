@@ -72,6 +72,42 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(plan.contains("Sort ["), s"expected sorts under the merge in:\n$plan")
   }
 
+  test("bucketed layout satisfies the native as-of join's distribution without a shuffle") {
+    // The exec node only DECLARES ClusteredDistribution(key); when both
+    // sides come from tables bucketed on that key, EnsureRequirements
+    // reuses the layout — the exchange-free plan a 100 TB deployment
+    // would pre-pay at ingest (SCALE.md "Joins").
+    spark.sql("DROP TABLE IF EXISTS b_asof_pur")
+    spark.sql("DROP TABLE IF EXISTS b_asof_sig")
+    Seq("b_asof_pur", "b_asof_sig").foreach { t =>
+      val dir = new java.io.File(s"spark-warehouse/$t")
+      if (dir.exists()) {
+        java.nio.file.Files.walk(dir.toPath).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }
+    val e = Tables.load(spark, SF, "events")
+    e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
+      .write.mode("overwrite").bucketBy(8, "user_id").saveAsTable("b_asof_pur")
+    e.filter(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"), col("user_id").as("su"), col("ts").as("s_ts"))
+      .write.mode("overwrite").bucketBy(8, "su").saveAsTable("b_asof_sig")
+    val joined = AsOfJoinApi.asofJoin(
+      spark.table("b_asof_pur"), spark.table("b_asof_sig"),
+      "user_id", "su", "p_ts", "s_ts", "signup_id")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), s"expected the custom node in:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed as-of join must not shuffle:\n$plan")
+    // and the exchange-free plan returns the same rows as the shuffled one
+    val viaBuckets = joined.select("purchase_id", "signup_id")
+      .as[(Long, Long)].collect().sorted.toSeq
+    val viaShuffle = RelationalOps.joinAsofNative(spark, SF)
+      .select("purchase_id", "signup_id").as[(Long, Long)].collect().sorted.toSeq
+    assert(viaBuckets == viaShuffle && viaBuckets.nonEmpty)
+  }
+
   test("native as-of join equals a brute-force twin on seeded random data (ties, nulls, skew)") {
     val rnd = new scala.util.Random(20260813L)
     // keys 0..24 over 2000x2000 rows → heavy per-key activity; ts drawn
