@@ -122,6 +122,31 @@ class VtRelation(ctx: SQLContext, root: String, asOf: Option[Int])
     (lo, hi)
   }
 
+  /** Best-effort translation of a pushed V1 Filter back to a Column for
+    * the INNER parquet read, so row-level predicates reach the parquet
+    * reader's PushedFilters (row-group / page skipping) instead of only
+    * being evaluated above the RDD boundary. Unsupported shapes return
+    * None — always safe, because every filter is also re-applied exactly
+    * by Spark (unhandledFilters above). */
+  private def toColumn(f: Filter): Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    f match {
+      case EqualTo(a, v) => Some(col(a) === lit(v))
+      case GreaterThan(a, v) => Some(col(a) > lit(v))
+      case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+      case LessThan(a, v) => Some(col(a) < lit(v))
+      case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+      case In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+      case IsNull(a) => Some(col(a).isNull)
+      case IsNotNull(a) => Some(col(a).isNotNull)
+      case StringStartsWith(a, p) => Some(col(a).startsWith(p))
+      case And(l, r) => for (lc <- toColumn(l); rc <- toColumn(r)) yield lc && rc
+      case Or(l, r) => for (lc <- toColumn(l); rc <- toColumn(r)) yield lc || rc
+      case Not(c) => toColumn(c).map(!_)
+      case _ => None
+    }
+  }
+
   override def buildScan(requiredColumns: Array[String], filters: Array[Filter]): RDD[Row] = {
     val t = table
     val files = t.statsCol match {
@@ -137,12 +162,17 @@ class VtRelation(ctx: SQLContext, root: String, asOf: Option[Int])
     val base =
       if (files.isEmpty) spark.createDataFrame(new java.util.ArrayList[Row](), schema)
       else spark.read.schema(schema).parquet(files: _*)
+    // re-apply the translatable predicates INSIDE the scan: conjunctive
+    // semantics make a partial re-application safe, and the inner
+    // DataFrame pushes them into the parquet reader (PushedFilters →
+    // row-group skipping); Spark still re-checks every filter above.
+    val filtered = filters.flatMap(toColumn).foldLeft(base)(_ filter _)
     // column pruning: hand Spark exactly the projection it asked for (an
     // empty projection happens under count(*) — keep one dummy column so
     // the row count survives)
     val projected =
-      if (requiredColumns.isEmpty) base.select(org.apache.spark.sql.functions.lit(1).as("one"))
-      else base.select(requiredColumns.head, requiredColumns.tail.toIndexedSeq: _*)
+      if (requiredColumns.isEmpty) filtered.select(org.apache.spark.sql.functions.lit(1).as("one"))
+      else filtered.select(requiredColumns.head, requiredColumns.tail.toIndexedSeq: _*)
     projected.rdd
   }
 }

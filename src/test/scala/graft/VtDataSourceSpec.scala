@@ -62,6 +62,22 @@ class VtDataSourceSpec extends SparkTestBase {
     assert(src.load().count() == VersionedTable.open(spark, root).read().count())
   }
 
+  test("mixed translatable/opaque predicates stay exact through the inner-scan re-application") {
+    val t = VersionedTable.open(spark, root)
+    // In + startsWith + range translate into the inner scan; the modulo
+    // arithmetic does not (None from toColumn) — both paths must agree
+    // with the direct read under the identical predicate set.
+    def pred(df: org.apache.spark.sql.DataFrame) = df
+      .filter(col("o_custkey").isin(1L, 2L, 3L, 5L, 8L, 13L) &&
+        col("o_totalprice") >= 50000.0 && col("o_orderkey") % 2 === 0)
+    assert(pred(src.load()).count() == pred(t.read()).count())
+    val viaSource = pred(src.load()).select("o_orderkey")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val direct = pred(t.read()).select("o_orderkey")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(viaSource == direct && viaSource.nonEmpty)
+  }
+
   test("write path: ErrorIfExists creates, Append commits a version, Overwrite refused") {
     import org.apache.spark.sql.SaveMode
     val dir = java.nio.file.Files.createTempDirectory("graft_vtw").toString + "/t"
