@@ -108,6 +108,25 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(viaBuckets == viaShuffle && viaBuckets.nonEmpty)
   }
 
+  test("mixed layouts co-partition: bucketed left, plain right, same result") {
+    // EnsureRequirements must shuffle the plain side to MATCH the bucketed
+    // side's partitioning (zipPartitions needs equal partition counts).
+    val e = Tables.load(spark, SF, "events")
+    if (!spark.catalog.tableExists("b_asof_pur")) { // self-sufficient when run alone
+      e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
+        .write.mode("overwrite").bucketBy(8, "user_id").saveAsTable("b_asof_pur")
+    }
+    val sig = e.filter(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"), col("user_id").as("su"), col("ts").as("s_ts"))
+    val mixed = AsOfJoinApi.asofJoin(
+      spark.table("b_asof_pur"), sig, "user_id", "su", "p_ts", "s_ts", "signup_id")
+      .select("purchase_id", "signup_id").as[(Long, Long)].collect().sorted.toSeq
+    val reference = RelationalOps.joinAsofNative(spark, SF)
+      .select("purchase_id", "signup_id").as[(Long, Long)].collect().sorted.toSeq
+    assert(mixed == reference && mixed.nonEmpty)
+  }
+
   test("native as-of join equals a brute-force twin on seeded random data (ties, nulls, skew)") {
     val rnd = new scala.util.Random(20260813L)
     // keys 0..24 over 2000x2000 rows → heavy per-key activity; ts drawn
