@@ -140,7 +140,29 @@ object EventOps {
       .orderBy(col("cnt").desc, col("event_type"), col("next_type"))
   }
 
+  /** Per-user anomaly detection: events whose value is > 2 sample
+    * standard deviations from that user's own purchase-value mean. One
+    * aggregation keyed on user_id + one broadcast-size join back — the
+    * classic two-pass z-score at corpus scale (a single-pass window
+    * stddev over each user partition would also work but recomputes per
+    * row). Users need >= 3 purchases for a stable std; z rounded 4 dp
+    * under the shared float discipline (both engines run the identical
+    * (value - mean) / std arithmetic). */
+  def eventAnomaly(s: SparkSession, d: String): DataFrame = {
+    val pur = ev(s, d).filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "value")
+    val stats = pur.groupBy("user_id")
+      .agg(avg("value").as("mu"), stddev_samp("value").as("sd"), count(lit(1)).as("n"))
+      .filter(col("n") >= 3 && col("sd") > 0)
+    pur.join(stats, "user_id")
+      .withColumn("z", round((col("value") - col("mu")) / col("sd"), 4))
+      .filter(abs(col("z")) > 2.0)
+      .select("event_id", "user_id", "z")
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "event_anomaly" -> (eventAnomaly _),
     "stream_tumbling" -> (streamTumbling _),
     "stream_sliding" -> (streamSliding _),
     "stream_session" -> (streamSession _),
@@ -151,6 +173,12 @@ object EventOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "event_anomaly" ->
+      ("WITH p AS (SELECT event_id, user_id, value FROM events WHERE event_type = 'purchase'), " +
+        "st AS (SELECT user_id, avg(value) AS mu, stddev_samp(value) AS sd, count(*) AS n FROM p GROUP BY user_id) " +
+        "SELECT p.event_id, p.user_id, round((p.value - st.mu) / st.sd, 4) AS z " +
+        "FROM p JOIN st ON p.user_id = st.user_id " +
+        "WHERE st.n >= 3 AND st.sd > 0 AND abs(round((p.value - st.mu) / st.sd, 4)) > 2.0 ORDER BY p.event_id"),
     "stream_tumbling" ->
       "SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start, event_type, count(*) AS cnt, round(sum(value), 2) AS sum_v FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type",
     // Series bounds derived from the data (not the fixture's date span):
