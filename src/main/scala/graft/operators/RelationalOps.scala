@@ -294,6 +294,22 @@ object RelationalOps {
       .orderBy("purchase_id")
   }
 
+  /** C10e: LEFT-OUTER as-of join — every purchase survives; those with no
+    * prior signup carry a NULL signup_id (pandas merge_asof's default
+    * shape). Same single merge pass; the outer flag only changes what the
+    * merge emits on a miss. */
+  def joinAsofOuter(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "events")
+    val pur = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
+    val sig = e.filter(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"), col("user_id").as("su"), col("ts").as("s_ts"))
+    org.apache.spark.sql.graftnative.AsOfJoinApi
+      .asofJoin(pur, sig, "user_id", "su", "p_ts", "s_ts", "signup_id", isOuter = true)
+      .select("purchase_id", "user_id", "signup_id")
+      .orderBy("purchase_id")
+  }
+
   /** C10d: FORWARD as-of join — for each purchase, the EARLIEST signup at
     * or after it — via the same native merge node on a negated time axis:
     * backward-as-of on -unix_micros(ts) picks max(-s) <= -p ⟺ min s >= p.
@@ -762,6 +778,7 @@ object RelationalOps {
     "join_asof_native" -> (joinAsofNative _),
     "join_asof_tolerance" -> (joinAsofTolerance _),
     "join_asof_forward" -> (joinAsofForward _),
+    "join_asof_outer" -> (joinAsofOuter _),
     "fuzzy_join_blocked" -> (fuzzyJoinBlocked _),
     "agg_median_mode" -> (aggMedianMode _),
     "join_star_tpch" -> (joinStarTpch _),
@@ -861,6 +878,8 @@ object RelationalOps {
       "WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type FROM events), pairs AS (SELECT p.event_id AS purchase_id, p.user_id AS user_id, s.event_id AS signup_id, p.ts AS p_ts, s.ts AS s_ts, row_number() OVER (PARTITION BY p.event_id ORDER BY s.ts DESC, s.event_id DESC) AS rn FROM ev p JOIN ev s ON s.user_id = p.user_id AND s.event_type = 'signup' AND s.ts <= p.ts WHERE p.event_type = 'purchase') SELECT purchase_id, user_id, signup_id FROM pairs WHERE rn = 1 AND s_ts >= p_ts - INTERVAL 3 DAY ORDER BY purchase_id",
     "fuzzy_join_blocked" ->
       "SELECT a.c_custkey AS a_key, b.c_custkey AS b_key, CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS lev FROM customer a JOIN customer b ON substr(a.c_name, 1, 16) = substr(b.c_name, 1, 16) AND a.c_custkey < b.c_custkey WHERE levenshtein(a.c_name, b.c_name) <= 1 ORDER BY a_key, b_key",
+    "join_asof_outer" ->
+      "WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type FROM events), pur AS (SELECT event_id AS purchase_id, user_id FROM ev WHERE event_type = 'purchase'), m AS (SELECT purchase_id, signup_id FROM (SELECT p.event_id AS purchase_id, s.event_id AS signup_id, row_number() OVER (PARTITION BY p.event_id ORDER BY s.ts DESC, s.event_id DESC) AS rn FROM ev p JOIN ev s ON s.user_id = p.user_id AND s.event_type = 'signup' AND s.ts <= p.ts WHERE p.event_type = 'purchase') WHERE rn = 1) SELECT pur.purchase_id, pur.user_id, m.signup_id FROM pur LEFT JOIN m ON pur.purchase_id = m.purchase_id ORDER BY pur.purchase_id",
     "join_asof_forward" ->
       "WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type FROM events), pairs AS (SELECT p.event_id AS purchase_id, p.user_id AS user_id, s.event_id AS signup_id, row_number() OVER (PARTITION BY p.event_id ORDER BY s.ts ASC, s.event_id ASC) AS rn FROM ev p JOIN ev s ON s.user_id = p.user_id AND s.event_type = 'signup' AND s.ts >= p.ts WHERE p.event_type = 'purchase') SELECT purchase_id, user_id, signup_id FROM pairs WHERE rn = 1 ORDER BY purchase_id",
     "agg_median_mode" ->

@@ -12,10 +12,12 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * node — custom `LogicalPlan` + `SparkStrategy` + `SparkPlan` — instead of
   * the conditional-join + window-argmax composition (`RelationalOps.joinAsof`).
   *
-  * Semantics (inner as-of, backward): for each left row, the single right
-  * row with the same key and the greatest `rightTs <= leftTs`, ties on
-  * `rightTs` broken by the greatest `rightTie`. Left rows with no prior
-  * right row are dropped; NULL keys/timestamps never match (SQL equality).
+  * Semantics (backward as-of): for each left row, the single right row
+  * with the same key and the greatest `rightTs <= leftTs`, ties on
+  * `rightTs` broken by the greatest `rightTie`. NULL keys/timestamps
+  * never match (SQL equality). Inner (default) drops unmatched left
+  * rows; `isOuter` keeps them with a null right side (pandas
+  * merge_asof's default shape), surfacing the right columns nullable.
   *
   * Why a physical operator: the composed form joins EVERY (left, right)
   * pair that satisfies `ts <= ts` — a user with p purchases and s signups
@@ -31,8 +33,11 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * the strategy is injected via `SparkSessionExtensions.injectPlannerStrategy`
   * (GraftExtensions) and, for sessions built without the extension, via
   * `spark.experimental.extraStrategies`. EnsureRequirements satisfies the
-  * declared distribution/ordering, so AQE still plans the exchanges
-  * (coalescing, skew handling) — the operator only states WHAT it needs.
+  * declared distribution/ordering, so AQE still plans and COALESCES the
+  * exchanges — the operator only states WHAT it needs. One honest limit:
+  * AQE's OptimizeSkewedJoin rewrites only SortMergeJoin/ShuffledHashJoin,
+  * never custom nodes, so an extreme hot key falls back to the manual
+  * salting pattern (ScaleOps.saltedJoin) like any non-SMJ operator.
   */
 case class AsOfJoinPlan(
     left: LogicalPlan,
@@ -41,9 +46,14 @@ case class AsOfJoinPlan(
     rightKey: Attribute,
     leftTs: Attribute,
     rightTs: Attribute,
-    rightTie: Attribute) extends BinaryNode {
+    rightTie: Attribute,
+    isOuter: Boolean = false) extends BinaryNode {
 
-  override def output: Seq[Attribute] = left.output ++ right.output
+  // left-outer keeps unmatched left rows with a null right side, so the
+  // right attributes must surface as nullable regardless of the child's
+  // schema (a non-null parquet column is still null on a miss).
+  override def output: Seq[Attribute] =
+    left.output ++ (if (isOuter) right.output.map(_.withNullability(true)) else right.output)
 
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
@@ -52,8 +62,8 @@ case class AsOfJoinPlan(
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lts, rts, tie) =>
-      AsOfJoinExec(lk, rk, lts, rts, tie, planLater(l), planLater(r)) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lts, rts, tie, outer) =>
+      AsOfJoinExec(lk, rk, lts, rts, tie, outer, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -64,6 +74,7 @@ case class AsOfJoinExec(
     leftTs: Attribute,
     rightTs: Attribute,
     rightTie: Attribute,
+    isOuter: Boolean,
     left: SparkPlan,
     right: SparkPlan) extends BinaryExecNode {
 
@@ -72,7 +83,8 @@ case class AsOfJoinExec(
   require(leftTs.dataType == rightTs.dataType,
     s"as-of join timestamp types differ: ${leftTs.dataType} vs ${rightTs.dataType}")
 
-  override def output: Seq[Attribute] = left.output ++ right.output
+  override def output: Seq[Attribute] =
+    left.output ++ (if (isOuter) right.output.map(_.withNullability(true)) else right.output)
 
   // Hash-cluster both sides on the join key; EnsureRequirements inserts
   // compatible exchanges (or reuses existing co-partitioning, e.g. a
@@ -95,6 +107,7 @@ case class AsOfJoinExec(
     val rOut = right.output
     val lk = leftKey; val rk = rightKey
     val lts = leftTs; val rts = rightTs
+    val outer = isOuter
     val outAttrs = output
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       // Executor-side projections: one instance per use site because
@@ -108,6 +121,7 @@ case class AsOfJoinExec(
       val tsOrd = RowOrdering.createNaturalAscendingOrdering(Seq(lts.dataType))
       val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
       val joined = new JoinedRow
+      val nullRight = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(rOut.size)
 
       new Iterator[InternalRow] {
         // Lookahead right row — copied because the child iterator reuses
@@ -153,7 +167,12 @@ case class AsOfJoinExec(
               }
               if (matched != null && keyOrd.compare(mKeyProj(matched), lKeyRow) == 0) {
                 nextOut = resultProj(joined(lRow, matched))
+              } else if (outer) {
+                nextOut = resultProj(joined(lRow, nullRight))
               }
+            } else if (outer) {
+              // NULL key/ts never matches, but left-outer still keeps the row
+              nextOut = resultProj(joined(lRow, nullRight))
             }
           }
         }
@@ -185,7 +204,8 @@ object AsOfJoinApi {
   def asofJoin(leftDf: DataFrame, rightDf: DataFrame,
                leftKey: String, rightKey: String,
                leftTs: String, rightTs: String,
-               rightTie: String): DataFrame = {
+               rightTie: String,
+               isOuter: Boolean = false): DataFrame = {
     val spark = leftDf.sparkSession.asInstanceOf[classic.SparkSession]
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy)) {
       spark.experimental.extraStrategies =
@@ -202,6 +222,7 @@ object AsOfJoinApi {
         s"asofJoin: no column '$n' on the $side side (has ${p.output.map(_.name).mkString(", ")})"))
     classic.Dataset.ofRows(spark, AsOfJoinPlan(l, r,
       attr(l, leftKey, "left"), attr(r, rightKey, "right"),
-      attr(l, leftTs, "left"), attr(r, rightTs, "right"), attr(r, rightTie, "right")))
+      attr(l, leftTs, "left"), attr(r, rightTs, "right"), attr(r, rightTie, "right"),
+      isOuter))
   }
 }

@@ -37,6 +37,27 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(got == Map(1L -> 12L, 2L -> 14L, 4L -> 15L))
   }
 
+  test("left-outer as-of keeps unmatched and null-key left rows with a null right side") {
+    val trades = Seq(
+      (1L, 100L, ts("2024-01-01 10:00:05")), // matches q12
+      (3L, 100L, ts("2024-01-01 09:59:00")), // before any quote → null quote
+      (5L, 300L, ts("2024-01-01 12:00:00"))  // key with no quotes → null quote
+    ).toDF("trade_id", "sym", "t_ts")
+    val quotes = Seq(
+      (11L, 100L, ts("2024-01-01 10:00:00")),
+      (12L, 100L, ts("2024-01-01 10:00:03"))
+    ).toDF("quote_id", "qsym", "q_ts")
+    val got = AsOfJoinApi.asofJoin(trades, quotes, "sym", "qsym", "t_ts", "q_ts", "quote_id",
+        isOuter = true)
+      .select("trade_id", "quote_id")
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(got == Map(1L -> Some(12L), 3L -> None, 5L -> None))
+    // inner result is exactly the outer result minus the null-right rows
+    val inner = AsOfJoinApi.asofJoin(trades, quotes, "sym", "qsym", "t_ts", "q_ts", "quote_id")
+      .select("trade_id", "quote_id").as[(Long, Long)].collect().toMap
+    assert(inner == got.collect { case (k, Some(v)) => k -> v })
+  }
+
   test("native as-of join: NULL keys and NULL timestamps never match") {
     val l = Seq(
       (1L, Option(10L), Option(ts("2024-01-01 10:00:00"))),
