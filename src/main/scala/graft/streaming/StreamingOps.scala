@@ -128,6 +128,45 @@ object StreamingOps {
         org.apache.spark.sql.streaming.OutputMode.Update())
   }
 
+  final case class AsOfMatch(purchase_id: Long, user_id: Long, signup_id: Option[Long])
+  final case class LatestSignup(signup_id: Long, tsMs: Long)
+
+  /** Streaming as-of enrichment — the unbounded twin of the batch
+    * AsOfJoinExec merge: state per user is exactly the merge's O(1)
+    * "best so far" (the latest signup seen), and each arriving purchase
+    * is enriched against it. Within a micro-batch, events are processed
+    * in (ts, event_id) order so intra-batch ordering matches the batch
+    * operator; ACROSS batches this is processing-time as-of — a signup
+    * that arrives later than a purchase it precedes in event time will
+    * not retro-enrich (exact event-time as-of over unordered streams
+    * needs watermark-delayed buffering, which purchaseAttribution's
+    * interval join provides for bounded lookback). State never grows:
+    * one (id, ts) pair per user, replaced in place. */
+  def asofEnrichStream(events: Dataset[Event]): Dataset[AsOfMatch] = {
+    import events.sparkSession.implicits._
+    events
+      .filter(e => e.event_type == "signup" || e.event_type == "purchase")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (uid: Long, batch: Iterator[Event], state: GroupState[LatestSignup]) =>
+          val out = Seq.newBuilder[AsOfMatch]
+          var latest = state.getOption
+          batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            if (e.event_type == "signup") {
+              val better = latest.forall(l => e.ts.getTime > l.tsMs ||
+                (e.ts.getTime == l.tsMs && e.event_id > l.signup_id))
+              if (better) latest = Some(LatestSignup(e.event_id, e.ts.getTime))
+            } else {
+              val m = latest.filter(_.tsMs <= e.ts.getTime).map(_.signup_id)
+              out += AsOfMatch(e.event_id, uid, m)
+            }
+          }
+          latest.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   final case class SessionAgg(user_id: Long, n_events: Long, startMs: Long, endMs: Long)
   final case class SessionState(n: Long, startMs: Long, endMs: Long)
 

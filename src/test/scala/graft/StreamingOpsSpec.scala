@@ -278,6 +278,33 @@ class StreamingOpsSpec extends SparkTestBase {
     }
   }
 
+  test("streaming as-of enrichment: O(1) per-user state matches purchases to the latest prior signup") {
+    val input = MemoryStream[Event]
+    val q = StreamingOps.asofEnrichStream(input.toDS())
+      .writeStream.format("memory").queryName("asof_s").outputMode("append").start()
+    try {
+      // batch 1: signup s1, purchase p10 after it (match), purchase p11
+      // for a user with no signup (None), intra-batch out-of-order feed
+      input.addData(
+        ev(10, ts(2, 0), uid = 1, typ = "purchase"),
+        ev(1, ts(1, 0), uid = 1, typ = "signup"),
+        ev(11, ts(2, 0), uid = 2, typ = "purchase"))
+      drain(q)
+      // batch 2: newer signup replaces state; next purchase matches IT,
+      // and a purchase timestamped before the stored signup gets None
+      input.addData(ev(2, ts(3, 0), uid = 1, typ = "signup"))
+      drain(q)
+      input.addData(
+        ev(12, ts(4, 0), uid = 1, typ = "purchase"),
+        ev(13, ts(2, 30), uid = 1, typ = "purchase"))
+      drain(q)
+      val rows = spark.sql("SELECT purchase_id, signup_id FROM asof_s").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+      assert(rows == Map(10L -> Some(1L), 11L -> None, 12L -> Some(2L), 13L -> None),
+        s"got $rows")
+    } finally q.stop()
+  }
+
   test("I6: mapGroupsWithState keeps a running per-user counter across batches") {
     val input = MemoryStream[Event]
     val q = StreamingOps.runningCounts(input.toDS())
