@@ -567,6 +567,27 @@ object LlmTextOps {
         round(log2(col("n")) - col("clog") / col("n"), 4).as("entropy"))
       .orderBy("doc_id")
 
+  /** Incremental NEAR-dup — the production daily-crawl shape: new-batch
+    * documents (doc_id % 10 >= 8) checked for n-gram-Jaccard similarity
+    * against the EXISTING corpus (doc_id % 10 < 8) through the memoized
+    * inverted shingle index. Candidate pairs come only from shared
+    * shingles (never existing × new all-pairs), and only the new slice
+    * of the index is fresh work — the existing side's postings are the
+    * already-materialized index a deployment keeps between snapshots. */
+  def llmDedupIncrementalNear(s: SparkSession, d: String): DataFrame = {
+    val sh = fixtureShingleIndex(s, d)
+    val ex = sh.filter(col("doc_id") % 10 < 8)
+    val nw = sh.filter(col("doc_id") % 10 >= 8)
+    ex.as("a").hint("merge").join(nw.as("b"), col("a.sh") === col("b.sh"))
+      .groupBy(col("a.doc_id").as("ex_id"), col("b.doc_id").as("new_id"),
+        col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jac", round(col("inter") / (col("n_a") + col("n_b") - col("inter")), 4))
+      .filter(col("jac") >= 0.2)
+      .select("ex_id", "new_id", "jac")
+      .orderBy("ex_id", "new_id")
+  }
+
   /** Incremental dedup — the daily-snapshot shape at 100 TB: dedup a NEW
     * batch (doc_id % 10 >= 8 stands in for today's crawl) first within
     * itself (keep the smallest doc_id per content hash), then anti-join
@@ -588,6 +609,7 @@ object LlmTextOps {
     "llm_repetition" -> (llmRepetition _),
     "llm_entropy" -> (llmEntropy _),
     "llm_dedup_incremental" -> (llmDedupIncremental _),
+    "llm_dedup_incremental_near" -> (llmDedupIncrementalNear _),
     "emb_quantize_int8" -> (embQuantizeInt8 _),
     "llm_dedup_embedding" -> (llmDedupEmbedding _),
     "ann_ivf_topk" -> (annIvfTopk _),
@@ -653,6 +675,15 @@ object LlmTextOps {
         "c AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY doc_id, w), " +
         "t AS (SELECT doc_id, sum(c) AS n, sum(c * log2(CAST(c AS DOUBLE))) AS clog FROM c GROUP BY doc_id) " +
         "SELECT doc_id, round(log2(CAST(n AS DOUBLE)) - clog / n, 4) AS entropy FROM t ORDER BY doc_id"),
+    "llm_dedup_incremental_near" ->
+      ("WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), " +
+        "x AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i FROM w), " +
+        "sh AS (SELECT DISTINCT doc_id, CAST('0x' || substr(md5(array_to_string(ws[i:i+2], ' ')), 1, 15) AS BIGINT) AS sh FROM x), " +
+        "sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id), " +
+        "pairs AS (SELECT a.doc_id AS ex_id, b.doc_id AS new_id, count(*) AS inter FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id % 10 < 8 AND b.doc_id % 10 >= 8 GROUP BY 1, 2) " +
+        "SELECT ex_id, new_id, round(inter / (sa.n_sh + sb.n_sh - inter), 4) AS jac FROM pairs " +
+        "JOIN sizes sa ON sa.doc_id = ex_id JOIN sizes sb ON sb.doc_id = new_id " +
+        "WHERE round(inter / (sa.n_sh + sb.n_sh - inter), 4) >= 0.2 ORDER BY ex_id, new_id"),
     "llm_dedup_incremental" ->
       ("WITH d AS (SELECT doc_id, md5(text) AS h FROM documents), " +
         "newb AS (SELECT doc_id, h, row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn FROM d WHERE doc_id % 10 >= 8), " +
