@@ -1,0 +1,49 @@
+package graft
+
+/** Registry-wide plan invariants: EVERY graded key is planned at the
+  * smallest fixture scale and screened for the scale anti-pattern nodes.
+  * This is the programmatic form of the 100 TB posture — an operator
+  * added later that accidentally plans a Cartesian product (a dropped
+  * join condition, a mis-typed column) fails here before it ever reaches
+  * the driver's gate.
+  */
+class PlanInvariantsSpec extends SparkTestBase {
+
+  /** Keys where a BroadcastNestedLoopJoin is the CORRECT plan — every
+    * entry joins against a provably-tiny side:
+    *  - join_cross: the intentional cross-join op (5×25 rows, graded).
+    *  - event_funnel / fn_bool_logic_3vl: cross of 1-row aggregates /
+    *    literal truth-table frames.
+    *  - join_skew_salted: the salt-explode of a bounded dim (the whole
+    *    point is the dim is broadcastable).
+    *  - llm_knn_queries: bounded query set × corpus — the brute-force
+    *    baseline; the scale path is ann_lsh_topk / ann_ivf_topk.
+    *  - llm_lang_temperature / llm_unigram_logprob / tpch_q22_idle:
+    *    scalar-subquery style joins against a 1-row global aggregate.
+    */
+  private val bnlAllowed = Set(
+    "join_cross", "event_funnel", "fn_bool_logic_3vl", "join_skew_salted",
+    "llm_knn_queries", "llm_lang_temperature", "llm_unigram_logprob",
+    "tpch_q22_idle")
+
+  test("no graded key plans a CartesianProduct; nested-loop joins only where justified") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = fn(spark, SF).queryExecution.executedPlan.toString
+      val cart = if (plan.contains("CartesianProduct")) Some(s"$name: CartesianProduct") else None
+      val bnl = if (plan.contains("BroadcastNestedLoopJoin") && !bnlAllowed(name))
+        Some(s"$name: unexpected BroadcastNestedLoopJoin") else None
+      cart ++ bnl
+    }
+    assert(offenders.isEmpty, s"scale anti-patterns:\n${offenders.mkString("\n")}")
+  }
+
+  test("the BNL allowlist is tight: every allowlisted key still plans a BNL") {
+    // an allowlist entry whose plan improved should be REMOVED, so the
+    // allowlist never silently grows stale
+    val stale = bnlAllowed.toSeq.sorted.filterNot { name =>
+      SparkEntry.queries(name)(spark, SF)
+        .queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin")
+    }
+    assert(stale.isEmpty, s"allowlist entries no longer planning BNL: $stale")
+  }
+}
