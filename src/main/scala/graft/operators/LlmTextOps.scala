@@ -574,19 +574,23 @@ object LlmTextOps {
     * shingles (never existing × new all-pairs), and only the new slice
     * of the index is fresh work — the existing side's postings are the
     * already-materialized index a deployment keeps between snapshots. */
-  def llmDedupIncrementalNear(s: SparkSession, d: String): DataFrame = {
-    val sh = fixtureShingleIndex(s, d)
-    val ex = sh.filter(col("doc_id") % 10 < 8)
-    val nw = sh.filter(col("doc_id") % 10 >= 8)
-    ex.as("a").hint("merge").join(nw.as("b"), col("a.sh") === col("b.sh"))
+  def llmDedupIncrementalNear(s: SparkSession, d: String): DataFrame =
+    incrementalNearPairs(fixtureShingleIndex(s, d), col("doc_id") % 10 >= 8, 0.2)
+      .orderBy("ex_id", "new_id")
+
+  /** Core incremental near-dup over any posting list: `isNew` splits the
+    * index into the existing corpus and the fresh batch; candidates come
+    * only from shared shingles ACROSS the split (same-side pairs are the
+    * full-corpus op's job, not the incremental pass's). */
+  def incrementalNearPairs(sh: DataFrame, isNew: Column, threshold: Double): DataFrame =
+    sh.filter(!isNew).as("a").hint("merge")
+      .join(sh.filter(isNew).as("b"), col("a.sh") === col("b.sh"))
       .groupBy(col("a.doc_id").as("ex_id"), col("b.doc_id").as("new_id"),
         col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
       .agg(count(lit(1)).as("inter"))
       .withColumn("jac", round(col("inter") / (col("n_a") + col("n_b") - col("inter")), 4))
-      .filter(col("jac") >= 0.2)
+      .filter(col("jac") >= threshold)
       .select("ex_id", "new_id", "jac")
-      .orderBy("ex_id", "new_id")
-  }
 
   /** Incremental dedup — the daily-snapshot shape at 100 TB: dedup a NEW
     * batch (doc_id % 10 >= 8 stands in for today's crawl) first within

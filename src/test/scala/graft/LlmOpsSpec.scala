@@ -30,6 +30,23 @@ class LlmOpsSpec extends SparkTestBase {
       s"expected (100,101) in ${pairs.mkString(",")}")
   }
 
+  test("incremental near-dup pairs only ACROSS the existing/new split") {
+    val base = doc(40)
+    val nearDup = base.split(" ").updated(5, "changedword").mkString(" ")
+    // 100 (existing) vs 108 (new) is a planted cross-split near-dup;
+    // 100 vs 101 is a planted SAME-side (existing) near-dup that the
+    // incremental pass must NOT report.
+    val docs = (Seq((100L, base), (101L, nearDup), (108L, nearDup)) ++
+      Seq.tabulate(20)(i => (i.toLong, doc(40)))).toDF("doc_id", "text")
+    val pairs = LlmTextOps.incrementalNearPairs(
+        LlmTextOps.shingleIndex(docs), col("doc_id") % 10 >= 8, 0.5)
+      .collect().map(r => (r.getAs[Long]("ex_id"), r.getAs[Long]("new_id")))
+    assert(pairs.contains((100L, 108L)), s"expected (100,108) in ${pairs.mkString(",")}")
+    assert(pairs.contains((101L, 108L)), s"expected (101,108) in ${pairs.mkString(",")}")
+    assert(!pairs.exists { case (a, b) => b % 10 < 8 || a % 10 >= 8 },
+      s"same-side pair leaked: ${pairs.mkString(",")}")
+  }
+
   test("shingle ops are total on documents shorter than n words") {
     // Without the size(ws) >= n guard, sequence(1, size-n+1) counts DOWN
     // for short docs and slice(ws, 0, n) throws at runtime.
