@@ -7,6 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, J
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 
 /** Whole-operator extension path: a true AS-OF JOIN as a first-class plan
   * node — custom `LogicalPlan` + `SparkStrategy` + `SparkPlan` — instead of
@@ -102,7 +103,15 @@ case class AsOfJoinExec(
   override def outputPartitioning: Partitioning = left.outputPartitioning
   override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
 
+  // UI/observability parity with built-in joins: without metrics a custom
+  // node renders as a blank box in the SQL tab.
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "numMatchedRows" -> SQLMetrics.createMetric(sparkContext, "number of matched left rows"))
+
   protected override def doExecute(): RDD[InternalRow] = {
+    val numOutputRows = longMetric("numOutputRows")
+    val numMatchedRows = longMetric("numMatchedRows")
     val lOut = left.output
     val rOut = right.output
     val lk = leftKey; val rk = rightKey
@@ -167,6 +176,7 @@ case class AsOfJoinExec(
               }
               if (matched != null && keyOrd.compare(mKeyProj(matched), lKeyRow) == 0) {
                 nextOut = resultProj(joined(lRow, matched))
+                numMatchedRows += 1
               } else if (outer) {
                 nextOut = resultProj(joined(lRow, nullRight))
               }
@@ -174,6 +184,7 @@ case class AsOfJoinExec(
               // NULL key/ts never matches, but left-outer still keeps the row
               nextOut = resultProj(joined(lRow, nullRight))
             }
+            if (nextOut != null) numOutputRows += 1
           }
         }
 

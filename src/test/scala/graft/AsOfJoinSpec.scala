@@ -174,6 +174,32 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(got.size == expected.size && got == expected)
   }
 
+  test("exec metrics report output and matched rows (UI observability parity)") {
+    // AQE off for this query so the AsOfJoinExec instance in the plan is
+    // the one that executes (AQE re-instantiates nodes per stage)
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      // no orderBy: a global sort's RangePartitioner SAMPLES its child,
+      // executing the merge twice and double-counting the metric
+      val e = Tables.load(spark, SF, "events")
+      val pur = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
+      val sig = e.filter(col("event_type") === "signup")
+        .select(col("event_id").as("signup_id"), col("user_id").as("su"), col("ts").as("s_ts"))
+      val df = AsOfJoinApi.asofJoin(pur, sig, "user_id", "su", "p_ts", "s_ts", "signup_id")
+      val node = df.queryExecution.executedPlan.collectFirst {
+        case a: org.apache.spark.sql.graftnative.AsOfJoinExec => a
+      }.getOrElse(fail("AsOfJoinExec not found in the non-adaptive plan"))
+      // collect() executes THIS QueryExecution's plan (count() would build
+      // a new one whose AsOfJoinExec is a different instance)
+      val n = df.collect().length.toLong
+      assert(n > 0 && node.metrics("numOutputRows").value == n,
+        s"numOutputRows ${node.metrics("numOutputRows").value} vs count $n")
+      assert(node.metrics("numMatchedRows").value == n) // inner join: all output matched
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("native as-of join is a merge, not a pair blow-up: output rows == matched left rows") {
     // a user with 50 purchases and 40 earlier signups would materialize
     // 2000 intermediate rows in the composed form; the merge emits 50.
