@@ -182,17 +182,22 @@ object VectorFunctions {
     *  3. each of the K(K+1)/2 pair-groups runs the primitive-array kernel
     *     over its one or two blocks as an independent task.
     *
-    * Scale posture: per-task memory is bounded by TWO blocks (n/K vectors
-    * each — grow K with n so a block stays ~executor-heap-sized), shuffle
-    * volume is O(K·n) rows, and the inherent O(n²) exact-join work shards
-    * over K(K+1)/2 tasks with no single process ever holding the full set.
-    * For unbounded n the approximate paths (annLshTopk / annIvfTopk)
-    * replace exactness with bucketing. */
+    * Scale posture: per-task memory is bounded by TWO blocks, and the
+    * block count is DERIVED FROM THE INPUT (K = ceil(n / TargetBlockRows),
+    * floor 16) so a block never exceeds ~TargetBlockRows vectors — growing
+    * the corpus adds tasks, not per-task memory. Shuffle volume is O(K·n)
+    * rows and the inherent O(n²) exact-join work shards over K(K+1)/2
+    * tasks with no single process ever holding the full set. The one
+    * count() job that sizes K is a narrow columnar scan — noise next to
+    * the quadratic pair work it right-sizes. For unbounded n the
+    * approximate paths (annLshTopk / annIvfTopk) replace exactness with
+    * bucketing. Pair output is invariant to K (property-tested across K
+    * values including the derived one). */
   def cosinePairsDistributed(s: SparkSession, e: DataFrame, minSim: Double,
-                             numChunks: Int = 16): DataFrame = {
+                             numChunks: Int = 0): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit, pmod}
     import s.implicits._
-    val k = numChunks
+    val k = if (numChunks > 0) numChunks else deriveChunks(e.count())
     val blocks = e
       .select(pmod(col("vec_id"), lit(k)).cast("int").as("chunk"),
         col("vec_id"), col("embedding"))
@@ -218,6 +223,23 @@ object VectorFunctions {
         else Iterator.empty
       }
       .toDF("a_id", "b_id", "sim")
+  }
+
+  /** Per-block row budget for the BNL: a 65 536 × 64-dim float block is
+    * ~17 MB plus ids/norms — two blocks per task stay far under any sane
+    * executor heap, and tasks stay small enough for AQE/speculation to
+    * balance. */
+  val TargetBlockRows = 65536L
+
+  /** Block count for [[cosinePairsDistributed]]: K = ceil(n/TargetBlockRows)
+    * with a floor of 16 (below the floor the quadratic work is trivial and
+    * extra blocks only buy parallelism, which local[32]/AQE already has).
+    * Per-task memory is thus bounded by 2·TargetBlockRows vectors at ANY
+    * corpus size — the constant that was previously K is now the block
+    * size, which is the one that must not grow with n. */
+  def deriveChunks(n: Long): Int = {
+    val blocks = (n + TargetBlockRows - 1) / TargetBlockRows
+    math.max(16L, blocks).min(Int.MaxValue.toLong).toInt
   }
 
   private def blockSelfPairs(b: VecBlock, minSim: Double): Iterator[(Long, Long, Double)] = {

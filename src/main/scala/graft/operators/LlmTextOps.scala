@@ -181,42 +181,49 @@ object LlmTextOps {
     * the checkpoint holds exactly the frame the expression tree defines
     * (preflighted at sf0.01 and sf0.1). */
   private val stageMemo =
-    new java.util.concurrent.ConcurrentHashMap[(String, String, String), DataFrame]()
+    new graft.tools.LruMemo[(String, String, String), DataFrame](64)
 
   private def memo(s: SparkSession, d: String, tag: String)(build: => DataFrame): DataFrame = {
-    // Entries are rebuildable caches: bound retention so a long-lived JVM
-    // cycling many sessions can't pin dead sessions' checkpointed frames
-    // forever.
-    if (stageMemo.size > 64) stageMemo.clear()
-    // key by the session's UUID (stable, unique) — an identity hash could
+    // Entries are rebuildable caches: LRU-bound retention so a long-lived
+    // JVM cycling many sessions can't pin dead sessions' checkpointed
+    // frames forever, while a LIVE session's hot memo survives other
+    // sessions churning past the bound (eviction is one cold entry at a
+    // time, never clear-all — LruMemo scaladoc).
+    // Key by the session's UUID (stable, unique) — an identity hash could
     // collide across sessions within one JVM and hand a caller a frame
-    // bound to a dead session
+    // bound to a dead session.
     val sid = org.apache.spark.sql.graftnative.SessionIds.uuid(s)
-    stageMemo.computeIfAbsent((sid, d, tag), _ => build.localCheckpoint(true))
+    stageMemo.get((sid, d, tag))(build.localCheckpoint(true))
   }
 
   private def fixtureShingleIndex(s: SparkSession, d: String): DataFrame =
     memo(s, d, "shingles")(shingleIndex(t(s, d, "documents")))
 
   private def dedupLabels(s: SparkSession, d: String): DataFrame = {
-    // hoisted OUT of the memo lambda: a memo() call nested inside
-    // computeIfAbsent is a ConcurrentHashMap recursive update — JDK 9+
-    // throws IllegalStateException when the two keys share a bin
+    // hoisted out of the memo lambda to keep the index build's jobs
+    // outside the label-build's lock hold (LruMemo is reentrant, so the
+    // nesting would be legal — just longer under the lock)
     val sh = fixtureShingleIndex(s, d)
     memo(s, d, "cc_labels")(
       connectedComponents(jaccardPairs(sh, 0.8).select("a_id", "b_id")))
   }
 
-  /** Distributed connected components by min-label propagation: each node
-    * starts labeled with its own id; every iteration each node takes the
-    * min of its label and its neighbors' labels (one join + one groupBy
-    * min); converged when no label shrinks. Iteration count = graph
-    * diameter — near-dup graphs are short chains/cliques, so a handful.
-    * This is the dataframe form of the classic MapReduce CC; at larger
-    * diameters the published large-star/small-star contraction halves the
-    * rounds, same join primitive. localCheckpoint truncates the per-
-    * iteration lineage; the convergence check is a scalar count (the same
-    * driver-side loop structure GraphX/MLlib iterative algorithms use). */
+  /** Distributed connected components by min-label propagation WITH
+    * pointer jumping: each node starts labeled with its own id; every
+    * iteration each node takes the min of its label and its neighbors'
+    * labels (one join + one groupBy min), then relabels once through the
+    * label of its label (one more join — "shortcutting"). Labels are
+    * always node ids inside the component, so the jump is well-defined,
+    * and each round at least halves the remaining label-chain depth:
+    * convergence in O(log n) rounds instead of O(diameter) — maxIter 20
+    * covers components of depth ~2²⁰, so the pathological boilerplate
+    * chain that would have tripped the diameter-bound require() now
+    * converges (planted 60-node chain unit-tested). Fixed point implies
+    * every node's label ≤ all neighbors' labels, hence constant per
+    * component, hence the component min. localCheckpoint truncates the
+    * per-iteration lineage; the convergence check is a scalar count (the
+    * same driver-side loop structure GraphX/MLlib iterative algorithms
+    * use). */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
     // materialize the (possibly expensive) edge plan ONCE before the
     // symmetrization union re-reads it from both branches
@@ -237,9 +244,21 @@ object LlmTextOps {
       // count (it reads the checkpointed result).
       val prop = sym.join(labels, sym("dst") === labels("id"))
         .select(sym("src").as("id"), col("comp"), lit(false).as("own"))
-      val next = prop.union(labels.select(col("id"), col("comp"), lit(true).as("own")))
+      val mins = prop.union(labels.select(col("id"), col("comp"), lit(true).as("own")))
         .groupBy("id")
         .agg(min("comp").as("comp"), min(when(col("own"), col("comp"))).as("old_comp"))
+      // Pointer jump: comp values are node ids, so labels(comp) exists
+      // (left join only for safety mid-round: a node's comp may name a
+      // node whose OWN row hasn't re-aggregated yet — coalesce keeps the
+      // un-jumped label). least() because labels(comp) is the PREVIOUS
+      // round's label for that node, which the propagation step may have
+      // already beaten.
+      val prev = labels.select(col("id").as("p_id"), col("comp").as("p_comp"))
+      val next = mins
+        .join(prev, mins("comp") === prev("p_id"), "left")
+        .select(mins("id"),
+          least(mins("comp"), coalesce(col("p_comp"), mins("comp"))).as("comp"),
+          col("old_comp"))
         .localCheckpoint(true)
       changed = next.filter(col("comp") < col("old_comp")).count()
       labels = next.select("id", "comp")
@@ -399,9 +418,21 @@ object LlmTextOps {
         when(col("bucket") < 90, "train").otherwise("val").as("split"))
       .orderBy("doc_id")
 
+  /** Per-executor-thread MessageDigest for [[simhash64]]: at 100 TB the
+    * sketch pass is a map over every document, and a per-row
+    * getInstance() is a per-row allocation + provider lookup in that hot
+    * loop. digest() resets the instance after each call, so reuse across
+    * rows is safe; thread-local because MessageDigest is not thread-safe
+    * and one Spark task thread runs one row at a time. Referenced from
+    * the UDF closure via the LlmTextOps module (static access — the
+    * ThreadLocal itself is never serialized into the task binary). */
+  @transient private lazy val md5Local =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
   /** 64-bit SimHash UDF (per-token MD5, sign-sum sketch). */
   val simhash64 = udf { (toks: Seq[String]) =>
-    val digest = java.security.MessageDigest.getInstance("MD5") // one per row; digest() resets it
+    val digest = LlmTextOps.md5Local.get() // digest() resets it; one instance per task thread
     val acc = new Array[Int](64)
     toks.foreach { tk =>
       val md = digest.digest(tk.getBytes("UTF-8"))

@@ -1,0 +1,44 @@
+package graft.tools
+
+/** Bounded least-recently-used memo for rebuildable derived values (the
+  * pipeline-stage caches in LlmTextOps: shingle index, SimHash sketches,
+  * cluster labels, IVF lists).
+  *
+  * Why not clear()-on-bound: wiping the whole map when one session crosses
+  * the limit silently drops every LIVE session's memo too — correctness-
+  * safe (entries rebuild) but a full re-index of every corpus in flight.
+  * LRU evicts exactly one cold entry per insert past capacity, so entries
+  * a live consumer keeps touching are never dropped.
+  *
+  * Concurrency: all access synchronizes on the underlying map. Builds run
+  * inside the lock, which (a) guarantees each key builds exactly once and
+  * (b) is REENTRANT — a build may itself call get() for a prerequisite key
+  * (the cluster-label memo builds on the shingle-index memo), which a
+  * ConcurrentHashMap.computeIfAbsent would reject as a recursive update.
+  * Builds here are driver-side plan construction plus one eager
+  * localCheckpoint job; serializing them across threads is the same order
+  * of contention as the shared SparkContext scheduler they all queue on.
+  */
+final class LruMemo[K, V](val capacity: Int) {
+  require(capacity > 0, "LruMemo capacity must be positive")
+
+  private val map = new java.util.LinkedHashMap[K, V](16, 0.75f, /*accessOrder=*/ true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[K, V]): Boolean =
+      this.size() > capacity
+  }
+
+  /** The memoized value for `k`, building (and caching) it on first use.
+    * Touching a key marks it most-recently-used. */
+  def get(k: K)(build: => V): V = map.synchronized {
+    val hit = map.get(k)
+    if (hit != null) hit
+    else {
+      val v = build
+      map.put(k, v)
+      v
+    }
+  }
+
+  def contains(k: K): Boolean = map.synchronized(map.containsKey(k))
+  def size: Int = map.synchronized(map.size())
+}

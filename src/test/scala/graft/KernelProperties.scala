@@ -78,6 +78,19 @@ object KernelProperties extends Properties("graft.kernels") {
       KernelPropertiesHelper.sketch(scala.util.Random.shuffle(toks))
   }
 
+  // BNL block sizing: K grows with n so per-block rows never exceed the
+  // target (per-task memory is 2 blocks — bounding the block bounds the
+  // task at ANY corpus size), K never drops below the parallelism floor,
+  // and K is monotone in n.
+  property("deriveChunks bounds block size and is monotone") =
+    forAll(Gen.chooseNum(1L, 100000000L), Gen.chooseNum(0L, 1000000L)) { (n, d) =>
+      val k = VectorFunctions.deriveChunks(n)
+      val k2 = VectorFunctions.deriveChunks(n + d)
+      k >= 16 &&
+        (n + k - 1) / k <= VectorFunctions.TargetBlockRows &&
+        k2 >= k
+    }
+
   // int8 quantization math (the scalar twin of emb_quantize_int8's
   // column expressions): codes stay in [-127, 127] and reconstruction
   // error never exceeds half a quantization step.

@@ -114,6 +114,17 @@ class LlmOpsSpec extends SparkTestBase {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L), s"got $comp")
   }
 
+  test("connected components: a 60-node chain (diameter >> maxIter) converges via pointer jumping") {
+    import graft.operators.LlmTextOps
+    // plain min-propagation needs diameter(=59) rounds and would trip the
+    // maxIter=20 require(); the jump step gives log-round convergence
+    val edges = (1L until 60L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val comp = LlmTextOps.connectedComponents(edges).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("comp")).toMap
+    assert(comp.size == 60 && comp.values.forall(_ == 1L),
+      s"chain split: ${comp.toSeq.sortBy(_._1).filter(_._2 != 1L).take(5)}")
+  }
+
   test("dedup clusters agree with pairwise ground truth on the fixture") {
     import graft.operators.LlmTextOps
     val docs = Tables.load(spark, SF, "documents")
@@ -257,6 +268,21 @@ class LlmOpsSpec extends SparkTestBase {
     val same = LlmTextOps.simhashNearDup(
       Seq((1L, base), (2L, base)).toDF("doc_id", "text"), 0).collect()
     assert(same.length == 1 && same.head.getAs[Int]("hamming") == 0)
+  }
+
+  test("simhash64 UDF (thread-local digest) bit-equals the plain-Scala sketch") {
+    import org.apache.spark.sql.functions.{col, lower, split}
+    val docs = Tables.load(spark, SF, "documents").limit(100)
+    // tokenize with the SAME Spark expression the sketch op uses, so the
+    // comparison isolates the hashing kernel (Spark's split keeps
+    // leading/trailing empties differently from String.split)
+    val expected = docs
+      .select(col("doc_id"), split(lower(col("text")), "\\W+").as("toks")).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        KernelPropertiesHelper.sketch(r.getAs[scala.collection.Seq[String]]("toks").toSeq)).toMap
+    val got = LlmTextOps.simhashSketches(docs).select("doc_id", "sh64").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("sh64")).toMap
+    assert(got == expected)
   }
 
   test("simhash pairs: recall AND precision against ngram-jaccard ground truth") {

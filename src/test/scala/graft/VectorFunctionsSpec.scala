@@ -76,6 +76,11 @@ class VectorFunctionsSpec extends AnyFunSuite {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
       assert(got == expected, s"numChunks=$k diverged from kernel")
     }
+    // the production path: numChunks omitted, K derived from a count of
+    // the input — same pairs as every explicit K
+    val derived = VectorFunctions.cosinePairsDistributed(spark0, df, -2.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    assert(derived == expected, "derived-K path diverged from kernel")
   }
 
   test("cosine kernel guard fails loudly past the vector cap") {
