@@ -198,6 +198,40 @@ object ExtendedOps {
       .orderBy("l_orderkey", "l_linenumber", "l_quantity")
   }
 
+  /** The fact side for the dynamic-partition-pruning op: customer written
+    * once per JVM partitioned by c_nationkey — 25 directory partitions,
+    * the classic nation-routed fact layout. */
+  def dppFact(s: SparkSession, d: String): DataFrame = {
+    val tmp = graft.TempDirs.cached("dppcust", d) { dir =>
+      t(s, d, "customer")
+        .select("c_custkey", "c_acctbal", "c_nationkey")
+        .write.mode("overwrite").partitionBy("c_nationkey").parquet(dir)
+    }
+    s.read.parquet(tmp)
+  }
+
+  /** Dynamic partition pruning as a GRADED op — the classic 100 TB
+    * scan-killer: the fact is partitioned on the JOIN key (c_nationkey)
+    * and the dim carries a filter on a NON-join column (n_regionkey = 0),
+    * so the set of surviving partitions is only knowable at runtime.
+    * Catalyst plants a DynamicPruningExpression in the fact scan's
+    * PartitionFilters, fed by the dim's (reused) broadcast — the fact
+    * reads 5 of 25 partitions instead of all 25, with zero rows scanned
+    * from pruned directories. A static filter can't express this: the
+    * qualifying nation keys come out of the dim scan. Plan-asserted
+    * (dynamicpruningexpression present; partitions read < total) in
+    * ExtendedOpsSpec. The filter must stay off the join column — a
+    * predicate ON n_nationkey would constraint-propagate to a static
+    * partition filter and bypass DPP entirely. */
+  def scanDpp(s: SparkSession, d: String): DataFrame = {
+    val dim = t(s, d, "nation").filter(col("n_regionkey") === 0)
+    dppFact(s, d)
+      .join(broadcast(dim), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_cust"), round(sum("c_acctbal"), 2).as("total_bal"))
+      .orderBy("n_name")
+  }
+
   /** Co-located bucketed join: lineitem and orders are written ONCE per
     * JVM as parquet tables bucketed (and sorted) by the join key with
     * matching bucket counts, then joined. The bucketed layout already IS
@@ -634,6 +668,7 @@ object ExtendedOps {
     "fn_higher_order" -> (fnHigherOrder _),
     "unpivot_melt" -> (unpivotMelt _),
     "scan_partitioned" -> (scanPartitioned _),
+    "scan_dpp" -> (scanDpp _),
     "join_bucketed" -> (joinBucketedAgg _),
     "zorder_key" -> (zorderKey _),
   )
@@ -736,6 +771,10 @@ object ExtendedOps {
       "SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS val FROM part UNION ALL SELECT p_partkey, 'retail', p_retailprice FROM part ORDER BY p_partkey, metric",
     "scan_partitioned" ->
       "SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem WHERE l_returnflag = 'R' ORDER BY l_orderkey, l_linenumber, l_quantity",
+    "scan_dpp" ->
+      ("SELECT n_name, count(*) AS n_cust, round(sum(c_acctbal), 2) AS total_bal " +
+        "FROM customer JOIN nation ON c_nationkey = n_nationkey " +
+        "WHERE n_regionkey = 0 GROUP BY n_name ORDER BY n_name"),
     "join_bucketed" ->
       ("SELECT o_orderpriority, l_returnflag, count(*) AS n_items, round(sum(l_extendedprice), 2) AS total " +
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +

@@ -343,8 +343,20 @@ object RelationalOps {
     * are disjoint by construction (pass-A pairs differ at 17, pass-B
     * pairs agree through 17), so a plain union needs no dedup. At 100 TB
     * the pass keys are the shuffle keys — candidate generation stays
-    * linear in corpus size. */
+    * linear in corpus size.
+    *
+    * PRECONDITION (enforced): every name is exactly 18 characters. The
+    * two free positions {17, 18} are derived from that length — on a
+    * mixed-length corpus a lev-1 INDEL pair (e.g. a 17-char name equal to
+    * an 18-char name with char 17 deleted) shares the 16-char prefix but
+    * matches neither pass key, a silent miss. Rather than silently lose
+    * pairs, the op fails loudly; generalizing needs one pass per suffix
+    * position (L−16 passes for uniform length L) or deletion-neighborhood
+    * keys for true mixed lengths. */
   def fuzzyJoinBlocked(s: SparkSession, d: String): DataFrame = {
+    require(t(s, d, "customer").filter(length(col("c_name")) =!= 18).isEmpty,
+      "fuzzyJoinBlocked: two-pass {17,18} blocking is complete only for 18-char names; " +
+        "this corpus has other lengths — add per-suffix-position passes before trusting it")
     def side(p: String) = t(s, d, "customer")
       .select(col("c_custkey").as(s"${p}_key"), col("c_name").as(s"${p}_name"))
     def pass(key: Column => Column): DataFrame =

@@ -1,7 +1,5 @@
 package graft.tables
 
-import java.util.concurrent.atomic.AtomicInteger
-
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Row, SQLContext}
 import org.apache.spark.sql.sources._
@@ -83,10 +81,19 @@ class VtDataSource extends RelationProvider with CreatableRelationProvider
 }
 
 object VtDataSource {
-  /** Observability hook: number of data files the most recent `buildScan`
-    * actually listed (after skipping). Read by specs to prove pruning;
-    * production monitoring would export the same counter. */
-  val lastScanFileCount = new AtomicInteger(-1)
+  /** Observability hook, keyed PER TABLE ROOT: number of data files the
+    * most recent `buildScan` of that table listed (after skipping). Read
+    * by specs to prove pruning; production monitoring would export the
+    * same counters. Per-root (not one process-global cell) so concurrent
+    * scans of different graft-vt tables can't overwrite each other's
+    * reading between a query and the assertion that checks it. */
+  private val scanFileCounts = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
+  def lastScanFileCount(root: String): Int =
+    Option(scanFileCounts.get(root)).fold(-1)(_.intValue)
+
+  private[tables] def recordScan(root: String, n: Int): Unit =
+    scanFileCounts.put(root, n)
 }
 
 class VtRelation(ctx: SQLContext, root: String, asOf: Option[Int])
@@ -157,7 +164,7 @@ class VtRelation(ctx: SQLContext, root: String, asOf: Option[Int])
         else t.pruneFiles(lo, hi, asOf)
       case None => t.pruneFiles(Double.NegativeInfinity, Double.PositiveInfinity, asOf)
     }
-    VtDataSource.lastScanFileCount.set(files.size)
+    VtDataSource.recordScan(root, files.size)
     val spark = ctx.sparkSession
     val base =
       if (files.isEmpty) spark.createDataFrame(new java.util.ArrayList[Row](), schema)

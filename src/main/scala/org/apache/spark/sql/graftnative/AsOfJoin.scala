@@ -218,9 +218,19 @@ object AsOfJoinApi {
                rightTie: String,
                isOuter: Boolean = false): DataFrame = {
     val spark = leftDf.sparkSession.asInstanceOf[classic.SparkSession]
-    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy)) {
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    // Register only when the session doesn't already plan AsOfJoinPlan:
+    // GraftExtensions-built sessions carry the strategy via
+    // injectPlannerStrategy (visible in the planner's strategy list), and
+    // touching experimental.extraStrategies for them would silently
+    // mutate session planning state the user already configured. For
+    // bare sessions, the read-check-append is guarded by a session-scoped
+    // lock so concurrent first calls can't double-register.
+    val planned = spark.sessionState.planner.strategies.contains(AsOfJoinStrategy)
+    if (!planned) spark.experimental.synchronized {
+      if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy)) {
+        spark.experimental.extraStrategies =
+          spark.experimental.extraStrategies :+ AsOfJoinStrategy
+      }
     }
     val l = leftDf.asInstanceOf[classic.Dataset[Row]].queryExecution.analyzed
     val r0 = rightDf.asInstanceOf[classic.Dataset[Row]].queryExecution.analyzed

@@ -17,6 +17,49 @@ class ExtendedOpsSpec extends SparkTestBase {
     assert(df.count() == expected)
   }
 
+  test("scan_dpp: DynamicPruningExpression on the fact scan, partitions read < total") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val df = ExtendedOps.scanDpp(spark, SF)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val finalPlan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    // the partition filter must be DYNAMIC (runtime-fed by the dim scan),
+    // not a statically-inferred IN-list
+    val planStr = finalPlan.toString
+    assert(planStr.contains("dynamicpruningexpression"),
+      s"no DynamicPruningExpression in:\n$planStr")
+    // runtime proof: the fact scan touched strictly fewer partitions than
+    // the layout holds (region 0 = 5 of 25 nations). AQE wraps executed
+    // stages in QueryStageExec leaves, so descend into them explicitly.
+    def allScans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
+      p.collect {
+        case f: FileSourceScanExec => Seq(f)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => allScans(q.plan)
+      }.flatten
+    // match on the PARTITION column — column pruning (correctly) strips
+    // c_custkey from the scan's output
+    val scan = allScans(finalPlan)
+      .find(_.output.exists(_.name == "c_nationkey"))
+      .getOrElse(fail("no FileSourceScanExec over the partitioned fact"))
+    val partsRead = scan.metrics("numPartitions").value
+    val totalParts = new java.io.File(
+      graft.TempDirs.cached("dppcust", SF)(_ => fail("dpp layout missing")))
+      .listFiles().count(f => f.isDirectory && f.getName.startsWith("c_nationkey="))
+    assert(partsRead > 0 && partsRead < totalParts,
+      s"expected pruned read, got $partsRead of $totalParts partitions")
+    // pruning must not change results
+    val expected = Tables.load(spark, SF, "customer")
+      .join(Tables.load(spark, SF, "nation").filter(col("n_regionkey") === 0),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.map(r => r.getString(0) -> r.getLong(1)).toMap == expected)
+  }
+
   test("struct-ordered max_by breaks value ties deterministically on key") {
     val df = Seq((1L, 5.0), (2L, 5.0), (3L, 1.0)).toDF("k", "v")
     val out = df.agg(

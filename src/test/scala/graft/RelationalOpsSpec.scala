@@ -4,6 +4,21 @@ import org.apache.spark.sql.functions._
 import graft.operators.RelationalOps
 
 class RelationalOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("fuzzy join's length precondition fails loudly on a mixed-length corpus") {
+    // a 17-char name equal to an 18-char name with char 17 deleted is a
+    // lev-1 pair NEITHER blocking pass can produce — the guard must trip
+    // rather than silently miss it
+    val dir = java.nio.file.Files.createTempDirectory("graft_fuzzylen").toString
+    Seq((1L, "Customer#000000001"), (2L, "Customer#00000001"))
+      .toDF("c_custkey", "c_name")
+      .write.parquet(s"$dir/customer.parquet")
+    val e = intercept[IllegalArgumentException] {
+      RelationalOps.fuzzyJoinBlocked(spark, dir).collect()
+    }
+    assert(e.getMessage.contains("18-char"), e.getMessage)
+  }
 
   test("datasketches HLL estimate within 5% of exact distinct counts") {
     import org.apache.spark.sql.functions._

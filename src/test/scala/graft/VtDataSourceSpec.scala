@@ -45,7 +45,7 @@ class VtDataSourceSpec extends SparkTestBase {
       .filter(col("o_totalprice") >= 100000.0 && col("o_totalprice") < 110000.0)
       .count()
     assert(filtered.count() == expected && expected > 0)
-    val scanned = VtDataSource.lastScanFileCount.get()
+    val scanned = VtDataSource.lastScanFileCount(root)
     assert(scanned > 0 && scanned < allFiles,
       s"expected file skipping: scanned $scanned of $allFiles range-layout files")
   }
@@ -55,7 +55,7 @@ class VtDataSourceSpec extends SparkTestBase {
     val allFiles = t.pruneFiles(Double.NegativeInfinity, Double.PositiveInfinity).size
     val n = src.load().filter(col("o_custkey") % 7 === 0).count()
     val expected = t.read().filter(col("o_custkey") % 7 === 0).count()
-    assert(n == expected && VtDataSource.lastScanFileCount.get() == allFiles)
+    assert(n == expected && VtDataSource.lastScanFileCount(root) == allFiles)
   }
 
   test("count(*) survives the empty-projection path") {
