@@ -82,6 +82,66 @@ object StreamingOps {
                          event_type: String, value: Double)
   final case class UserCount(user_id: Long, count: Long)
 
+  final case class Doc(doc_id: Long, text: String)
+  final case class NearDupHit(a_id: Long, b_id: Long, hamming: Int)
+
+  /** Streaming near-dup — the streaming half of the incremental-dedup
+    * story (batch twin: LlmTextOps.llmDedupIncrementalNear): each
+    * micro-batch's documents are checked against the ACCUMULATED corpus
+    * through banded-SimHash state.
+    *
+    * Same algorithm shape as the batch banded join: sketch row-locally
+    * (simhash64), explode each 64-bit sketch into 4 × 16-bit band keys,
+    * then group BY BAND KEY so the state store holds each band bucket's
+    * (doc_id, sketch) members — the state layout IS the LSH index
+    * (RocksDB-backed at scale), and pairwise comparison happens only
+    * within a bucket, never all-pairs across the stream's history. A new
+    * doc is compared against the bucket's accumulated members (and
+    * earlier same-batch arrivals), emitting pairs within `maxHamming`;
+    * pairs sharing several bands emit once per band, so consumers dedup
+    * exactly as the batch op's .distinct() does (asserted in the spec).
+    *
+    * State growth is linear in corpus size — the honest cost of exact
+    * recall against ALL history. Production bounds it the same way the
+    * batch incremental op bounds its index: TTL/timeout eviction of stale
+    * buckets, or snapshot-compaction of state into the batch index. */
+  def nearDupStream(docs: Dataset[Doc], maxHamming: Int = 3): Dataset[NearDupHit] = {
+    import docs.sparkSession.implicits._
+    val banded = docs
+      .withColumn("sh64",
+        graft.operators.LlmTextOps.simhash64(split(lower(col("text")), "\\W+")))
+      .select(col("doc_id"), col("sh64"),
+        explode(expr(
+          "transform(sequence(0, 3), b -> named_struct('band', b, 'key', (sh64 >> (b * 16)) & 65535))")).as("bk"))
+      .select(col("doc_id").as("docId"), col("sh64").as("sketch"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+      .as[(Long, Long, Int, Long)]
+    banded
+      .groupByKey(r => (r._3, r._4))
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (_: (Int, Long), rows: Iterator[(Long, Long, Int, Long)],
+         state: GroupState[List[(Long, Long)]]) =>
+          val existing = state.getOption.getOrElse(Nil)
+          val fresh = rows.map(r => (r._1, r._2)).toList
+          // compare each arrival against accumulated members AND earlier
+          // same-batch arrivals, so intra-batch dups are not missed
+          val (hits, all) = fresh.foldLeft((List.empty[NearDupHit], existing)) {
+            case ((acc, seen), (id, sk)) =>
+              val found = seen.collect {
+                case (oid, osk) if oid != id &&
+                  java.lang.Long.bitCount(sk ^ osk) <= maxHamming =>
+                  NearDupHit(math.min(id, oid), math.max(id, oid),
+                    java.lang.Long.bitCount(sk ^ osk))
+              }
+              (acc ++ found, (id, sk) :: seen)
+          }
+          state.update(all)
+          hits.iterator
+      }
+  }
+
   /** I6: custom stateful operator — per-user running event counter via
     * mapGroupsWithState. State schema: one Long per user (documented for
     * scale: state is per-key-tiny, partitioned by user across executors). */

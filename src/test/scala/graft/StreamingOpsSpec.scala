@@ -232,6 +232,36 @@ class StreamingOpsSpec extends SparkTestBase {
     } finally q2.stop()
   }
 
+  test("streaming near-dup: cross-batch near-duplicates surface via accumulated sketch state") {
+    import graft.streaming.StreamingOps.Doc
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val nearDup = base.split(" ").updated(9, "zzz").mkString(" ")
+    val unrelated = (1 to 60).map(i => s"other$i").mkString(" ")
+    val input = MemoryStream[Doc]
+    val q = StreamingOps.nearDupStream(input.toDS(), maxHamming = 8)
+      .writeStream.format("memory").queryName("neardup").outputMode("append").start()
+    try {
+      input.addData(Doc(1, base), Doc(2, unrelated))
+      drain(q)
+      // the near-dup arrives in a LATER batch — only the accumulated
+      // band-bucket state can pair it with doc 1
+      input.addData(Doc(50, nearDup))
+      drain(q)
+      // a pair sharing several bands emits once per band: DISTINCT is the
+      // consumer contract, same as the batch banded join's .distinct()
+      val pairs = spark.sql("SELECT DISTINCT a_id, b_id, hamming FROM neardup").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(pairs.exists(p => p._1 == 1L && p._2 == 50L && p._3 <= 8), s"got $pairs")
+      assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L), s"unrelated doc paired: $pairs")
+      // an EXACT duplicate in a third batch pairs at hamming 0
+      input.addData(Doc(60, base))
+      drain(q)
+      val p60 = spark.sql("SELECT DISTINCT a_id, hamming FROM neardup WHERE b_id = 60").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSet
+      assert(p60.contains((1L, 0)), s"identical cross-batch dup missed: $p60")
+    } finally q.stop()
+  }
+
   test("stateful op runs on the RocksDB state store provider") {
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
