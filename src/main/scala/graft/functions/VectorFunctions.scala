@@ -242,6 +242,64 @@ object VectorFunctions {
     math.max(16L, blocks).min(Int.MaxValue.toLong).toInt
   }
 
+  /** Cross-corpus exact cosine pairs — the BNL join between TWO vector
+    * sets (queries × corpus, new batch × existing corpus): every (left,
+    * right) pair with rounded sim ≥ minSim, directional output (a_id from
+    * left, b_id from right, no a<b reordering and no same-side pairs).
+    * Same kernel loops as [[cosinePairsDistributed]], so sims are
+    * bit-identical to the self-join form.
+    *
+    * Scale posture: both sides block by `vec_id % K` (K derived from the
+    * LARGER side, same TargetBlockRows bound); left block i replicates to
+    * keys (i,0..K-1), right block j to keys (0..K-1,j), so each of the K²
+    * pair-groups holds exactly one left + one right block — per-task
+    * memory two blocks, shuffle O(K·(|L|+|R|)) rows, and CROSS-side work
+    * only (the incremental shape: the same-side pairs a full self-join
+    * would recompute are never generated). */
+  def cosineCrossDistributed(s: SparkSession, left: DataFrame, right: DataFrame,
+                             minSim: Double, numChunks: Int = 0): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    import s.implicits._
+    val k = if (numChunks > 0) numChunks
+            else deriveChunks(math.max(left.count(), right.count()))
+    def blocksOf(e: DataFrame) = e
+      .select(pmod(col("vec_id"), lit(k)).cast("int").as("chunk"),
+        col("vec_id"), col("embedding"))
+      .as[(Int, Long, Array[Float])]
+      .groupByKey(_._1)
+      .mapGroups { (c, it) =>
+        val arr = it.map(t => (t._2, t._3)).toArray.sortBy(_._1)
+        VecBlock(c, arr.map(_._1), arr.map(_._2))
+      }
+    // key = leftChunk * k + rightChunk; each key receives at most one
+    // block per side (a side's chunk ids are unique), tagged by side
+    val l = blocksOf(left).flatMap(b => (0 until k).iterator.map(j => (b.chunk * k + j, true, b)))
+    val r = blocksOf(right).flatMap(b => (0 until k).iterator.map(i => (i * k + b.chunk, false, b)))
+    l.union(r)
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val bs = it.map(t => (t._2, t._3)).toArray
+        if (bs.length == 2) {
+          val lb = bs.find(_._1).map(_._2)
+          val rb = bs.find(!_._1).map(_._2)
+          if (lb.isDefined && rb.isDefined) blockCrossDirectional(lb.get, rb.get, minSim)
+          else Iterator.empty // one side's chunk is empty: no cross pairs
+        } else Iterator.empty
+      }
+      .toDF("a_id", "b_id", "sim")
+  }
+
+  private def blockCrossDirectional(x: VecBlock, y: VecBlock, minSim: Double): Iterator[(Long, Long, Double)] = {
+    val nx = x.vecs.map(normValue)
+    val ny = y.vecs.map(normValue)
+    for {
+      u <- x.ids.indices.iterator
+      v <- y.ids.indices.iterator
+      sim = round4(dotValue(x.vecs(u), y.vecs(v)) / (nx(u) * ny(v)))
+      if sim >= minSim
+    } yield (x.ids(u), y.ids(v), sim)
+  }
+
   private def blockSelfPairs(b: VecBlock, minSim: Double): Iterator[(Long, Long, Double)] = {
     val nrms = b.vecs.map(normValue)
     for {

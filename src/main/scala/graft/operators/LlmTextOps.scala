@@ -407,6 +407,44 @@ object LlmTextOps {
       .select(col("a_id"), col("b_id"), col("jac"))
       .orderBy("a_id", "b_id")
 
+  /** EXACT-overlap decontamination — the raw-count complement of
+    * [[llmContamination]]'s Jaccard form and the shape of production
+    * n-gram decontamination (flag a training doc if it shares ≥ k exact
+    * n-grams with any held-out doc, no normalization by doc length — a
+    * long training page that embeds one whole benchmark question has a
+    * tiny Jaccard but a damning overlap COUNT). Reuses the memoized
+    * shingle index: eval slice (every 50th doc) joins the train slice on
+    * shingle id, one aggregation — candidates only from shared shingles,
+    * never eval × train all-pairs. */
+  def llmContaminationExact(s: SparkSession, d: String): DataFrame = {
+    val sh = fixtureShingleIndex(s, d)
+    val isEval = col("doc_id") % 50 === 0
+    sh.filter(isEval).select(col("doc_id").as("eval_id"), col("sh"))
+      .hint("merge")
+      .join(sh.filter(!isEval).select(col("doc_id").as("train_id"), col("sh").as("sh_t")),
+        col("sh") === col("sh_t"))
+      .groupBy("eval_id", "train_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 3)
+      .select("eval_id", "train_id", "n_shared")
+      .orderBy("eval_id", "train_id")
+  }
+
+  /** Incremental EMBEDDING near-dup — the third incremental op (exact
+    * hashes: [[llmDedupIncremental]]; n-gram: [[llmDedupIncrementalNear]]):
+    * today's new vectors (vec_id % 10 ≥ 8) against the existing corpus,
+    * cross-split cosine ≥ 0.45 pairs via the directional cross-corpus BNL
+    * ([[VectorFunctions.cosineCrossDistributed]]) — only existing × new
+    * block pairs are ever generated, so the daily pass costs O(|new|·|corpus|)
+    * sharded over K² tasks, not the full corpus self-join. */
+  def llmDedupEmbeddingIncremental(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "embeddings")
+    VectorFunctions.cosineCrossDistributed(s,
+        e.filter(col("vec_id") % 10 < 8), e.filter(col("vec_id") % 10 >= 8), 0.45)
+      .select(col("a_id").as("ex_id"), col("b_id").as("new_id"), col("sim"))
+      .orderBy("ex_id", "new_id")
+  }
+
   /** Deterministic train/val split: md5-of-content bucket (stable across
     * runs, engines, and cluster layouts — the reproducible way to split a
     * corpus; a seeded random split changes with partitioning). */
@@ -661,6 +699,8 @@ object LlmTextOps {
     "llm_redact" -> (llmRedact _),
     "llm_sample_split" -> (llmSampleSplit _),
     "llm_contamination" -> (llmContamination _),
+    "llm_contamination_exact" -> (llmContaminationExact _),
+    "llm_dedup_embedding_incremental" -> (llmDedupEmbeddingIncremental _),
     "llm_unigram_logprob" -> (llmUnigramLogprob _),
     "llm_bigram_logprob" -> (llmBigramLogprob _),
     "llm_dedup_simhash" -> (llmDedupSimhash _),
@@ -759,6 +799,19 @@ object LlmTextOps {
         "SELECT doc_id, round(avg(-ln(c2 / c1)), 4) AS nll, count(*) AS n_bigrams " +
         "FROM pairs JOIN big USING (prev, tok) JOIN uni USING (prev) " +
         "GROUP BY doc_id ORDER BY doc_id"),
+    "llm_contamination_exact" ->
+      ("WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), " +
+        "x AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i FROM w), " +
+        "sh AS (SELECT DISTINCT doc_id, CAST('0x' || substr(md5(array_to_string(ws[i:i+2], ' ')), 1, 15) AS BIGINT) AS sh FROM x), " +
+        "pairs AS (SELECT a.doc_id AS eval_id, b.doc_id AS train_id, count(*) AS n_shared FROM sh a JOIN sh b ON a.sh = b.sh " +
+        "AND a.doc_id % 50 = 0 AND b.doc_id % 50 <> 0 GROUP BY 1, 2) " +
+        "SELECT eval_id, train_id, n_shared FROM pairs WHERE n_shared >= 3 ORDER BY eval_id, train_id"),
+    "llm_dedup_embedding_incremental" ->
+      ("SELECT a.vec_id AS ex_id, b.vec_id AS new_id, " +
+        "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS sim " +
+        "FROM embeddings a JOIN embeddings b ON a.vec_id % 10 < 8 AND b.vec_id % 10 >= 8 " +
+        "WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) >= 0.45 " +
+        "ORDER BY ex_id, new_id"),
     "llm_contamination" ->
       "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), x AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i FROM w), sh AS (SELECT DISTINCT doc_id, CAST('0x' || substr(md5(array_to_string(ws[i:i+2], ' ')), 1, 15) AS BIGINT) AS sh FROM x), sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id), pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT a_id, b_id, round(inter / (sa.n_sh + sb.n_sh - inter), 4) AS jac FROM pairs JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id WHERE round(inter / (sa.n_sh + sb.n_sh - inter), 4) >= 0.5 AND ((a_id % 50 = 0) <> (b_id % 50 = 0)) ORDER BY a_id, b_id",
     // transitive closure by recursive CTE: reach(id, comp) accumulates

@@ -68,6 +68,27 @@ object StreamingOps {
       .select("purchase_id", "signup_id", "user_id", "p_ts", "s_ts")
   }
 
+  /** Stream-stream LEFT OUTER interval join — [[purchaseAttribution]]'s
+    * miss-keeps-row twin (the streaming half of joinAsofOuter's
+    * contract): a purchase with NO signup in its preceding hour still
+    * emits, with a null signup side, once the watermark passes the point
+    * where a matching signup could still arrive (s_ts ≤ p_ts, so the
+    * row is held exactly until the watermark clears p_ts). Same state
+    * eviction as the inner form — the outer semantics cost watermark
+    * LATENCY, not state size. */
+  def purchaseAttributionOuter(purchases: DataFrame, signups: DataFrame,
+                               watermark: String = "10 minutes"): DataFrame = {
+    val p = purchases.withWatermark("ts", watermark)
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
+    val s = signups.withWatermark("ts", watermark)
+      .select(col("event_id").as("signup_id"), col("user_id").as("s_uid"), col("ts").as("s_ts"))
+    p.join(s, col("user_id") === col("s_uid") &&
+        col("s_ts") <= col("p_ts") &&
+        col("s_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"),
+      "left_outer")
+      .select("purchase_id", "signup_id", "user_id", "p_ts", "s_ts")
+  }
+
   /** Exactly-once lakehouse sink: a foreachBatch function committing each
     * micro-batch to a [[graft.tables.VersionedTable]] via idempotent
     * txn-stamped appends. Structured Streaming replays a failed batch

@@ -232,14 +232,39 @@ class StreamingOpsSpec extends SparkTestBase {
     } finally q2.stop()
   }
 
-  test("streaming near-dup: cross-batch near-duplicates surface via accumulated sketch state") {
+  test("stream-stream LEFT OUTER interval join emits unmatched purchases after watermark close") {
+    val pur = MemoryStream[Event]
+    val sig = MemoryStream[Event]
+    val q = StreamingOps.purchaseAttributionOuter(pur.toDF(), sig.toDF())
+      .writeStream.format("memory").queryName("attr_outer").outputMode("append").start()
+    try {
+      sig.addData(ev(100, ts(9, 30), uid = 1, typ = "signup"))
+      pur.addData(ev(1, ts(10, 0), uid = 1, typ = "purchase"),
+        ev(2, ts(10, 0), uid = 2, typ = "purchase")) // uid 2: no signup ever
+      drain(q)
+      // advance BOTH watermarks far past 10:00 so the unmatched left row
+      // can be declared match-less (two batches: watermark commits lag one)
+      pur.addData(ev(8, ts(20, 0), uid = 9))
+      sig.addData(ev(98, ts(20, 0), uid = 9, typ = "signup"))
+      drain(q)
+      pur.addData(ev(9, ts(21, 0), uid = 9))
+      sig.addData(ev(99, ts(21, 0), uid = 9, typ = "signup"))
+      drain(q)
+      val rows = spark.sql("SELECT purchase_id, signup_id FROM attr_outer").collect()
+        .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
+      assert(rows.get(1L).contains(Some(100L)), s"matched pair wrong: $rows")
+      assert(rows.get(2L).contains(None), s"unmatched purchase must emit with null signup: $rows")
+    } finally q.stop()
+  }
+
+  private def nearDupScenario(queryName: String): Unit = {
     import graft.streaming.StreamingOps.Doc
     val base = (1 to 60).map(i => s"tok$i").mkString(" ")
     val nearDup = base.split(" ").updated(9, "zzz").mkString(" ")
     val unrelated = (1 to 60).map(i => s"other$i").mkString(" ")
     val input = MemoryStream[Doc]
     val q = StreamingOps.nearDupStream(input.toDS(), maxHamming = 8)
-      .writeStream.format("memory").queryName("neardup").outputMode("append").start()
+      .writeStream.format("memory").queryName(queryName).outputMode("append").start()
     try {
       input.addData(Doc(1, base), Doc(2, unrelated))
       drain(q)
@@ -249,17 +274,32 @@ class StreamingOpsSpec extends SparkTestBase {
       drain(q)
       // a pair sharing several bands emits once per band: DISTINCT is the
       // consumer contract, same as the batch banded join's .distinct()
-      val pairs = spark.sql("SELECT DISTINCT a_id, b_id, hamming FROM neardup").collect()
+      val pairs = spark.sql(s"SELECT DISTINCT a_id, b_id, hamming FROM $queryName").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
       assert(pairs.exists(p => p._1 == 1L && p._2 == 50L && p._3 <= 8), s"got $pairs")
       assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L), s"unrelated doc paired: $pairs")
       // an EXACT duplicate in a third batch pairs at hamming 0
       input.addData(Doc(60, base))
       drain(q)
-      val p60 = spark.sql("SELECT DISTINCT a_id, hamming FROM neardup WHERE b_id = 60").collect()
+      val p60 = spark.sql(s"SELECT DISTINCT a_id, hamming FROM $queryName WHERE b_id = 60").collect()
         .map(r => (r.getLong(0), r.getInt(1))).toSet
       assert(p60.contains((1L, 0)), s"identical cross-batch dup missed: $p60")
     } finally q.stop()
+  }
+
+  test("streaming near-dup: cross-batch near-duplicates surface via accumulated sketch state") {
+    nearDupScenario("neardup")
+  }
+
+  test("streaming near-dup: same scenario on the RocksDB state store (the 100 TB state posture)") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try nearDupScenario("neardup_rocks")
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
   }
 
   test("stateful op runs on the RocksDB state store provider") {

@@ -83,6 +83,28 @@ class VectorFunctionsSpec extends AnyFunSuite {
     assert(derived == expected, "derived-K path diverged from kernel")
   }
 
+  test("cross-corpus block join matches the self-join kernel on the cross-split subset, any K") {
+    val spark0 = TestSpark.spark
+    import spark0.implicits._
+    import org.apache.spark.sql.functions.col
+    val rows = Seq.tabulate(41)(i => (i.toLong, randVec(16).toArray))
+    val df = rows.toDF("vec_id", "embedding")
+    val left = df.filter(col("vec_id") % 10 < 8)
+    val right = df.filter(col("vec_id") % 10 >= 8)
+    // ground truth: the self-join kernel restricted to cross-split pairs,
+    // re-oriented (left id first) — sims must match bit-for-bit
+    val expected = VectorFunctions.cosinePairsKernel(spark0, df, -2.0).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter { case (a, b, _) => (a % 10 < 8) != (b % 10 < 8) }
+      .map { case (a, b, s) => if (a % 10 < 8) (a, b, s) else (b, a, s) }
+      .sorted.toSeq
+    Seq(1, 3, 16, 0).foreach { k => // 0 = derive K from the larger side
+      val got = VectorFunctions.cosineCrossDistributed(spark0, left, right, -2.0, numChunks = k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+      assert(got == expected, s"numChunks=$k diverged from the self-join kernel")
+    }
+  }
+
   test("cosine kernel guard fails loudly past the vector cap") {
     val spark0 = TestSpark.spark
     import spark0.implicits._
