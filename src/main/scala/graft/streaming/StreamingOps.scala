@@ -184,14 +184,15 @@ object StreamingOps {
     * independently-evolvable state variables per key, native TTL, and
     * timers decoupled from input — all on the RocksDB store provider
     * (which the API requires). */
-  class RunningCountProcessor
+  class RunningCountProcessor(
+      ttl: org.apache.spark.sql.streaming.TTLConfig =
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
     extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, UserCount] {
     @transient private var countState: org.apache.spark.sql.streaming.ValueState[Long] = _
     override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
                       timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
       countState = getHandle.getValueState[Long]("count",
-        org.apache.spark.sql.Encoders.scalaLong,
-        org.apache.spark.sql.streaming.TTLConfig.NONE)
+        org.apache.spark.sql.Encoders.scalaLong, ttl)
     override def handleInputRows(key: Long, rows: Iterator[Event],
                                  tv: org.apache.spark.sql.streaming.TimerValues): Iterator[UserCount] = {
       val next = (if (countState.exists()) countState.get() else 0L) + rows.size
@@ -200,12 +201,22 @@ object StreamingOps {
     }
   }
 
-  def runningCountsTws(events: Dataset[Event]): Dataset[UserCount] = {
+  /** `ttl`: native per-state-variable expiry — the mechanism that BOUNDS
+    * state at 100 TB (an idle key's entry disappears after the TTL
+    * instead of accumulating forever; the near-dup stream's scaladoc
+    * names this as its production state bound). TTL requires
+    * processing-time mode; expiry is asserted in StreamingOpsSpec. */
+  def runningCountsTws(events: Dataset[Event],
+                       ttl: org.apache.spark.sql.streaming.TTLConfig =
+                         org.apache.spark.sql.streaming.TTLConfig.NONE): Dataset[UserCount] = {
     import events.sparkSession.implicits._
+    val timeMode =
+      if (ttl == org.apache.spark.sql.streaming.TTLConfig.NONE)
+        org.apache.spark.sql.streaming.TimeMode.None()
+      else org.apache.spark.sql.streaming.TimeMode.ProcessingTime()
     events
       .groupByKey(_.user_id)
-      .transformWithState(new RunningCountProcessor,
-        org.apache.spark.sql.streaming.TimeMode.None(),
+      .transformWithState(new RunningCountProcessor(ttl), timeMode,
         org.apache.spark.sql.streaming.OutputMode.Update())
   }
 

@@ -204,6 +204,49 @@ class ScaleOpsSpec extends SparkTestBase {
     }
   }
 
+  test("AQE splits a skewed join partition (skew=true in the final plan)") {
+    // The runtime complement of manual salting (join_skew_salted): one hot
+    // key concentrates half the fact in a single shuffle partition; AQE's
+    // OptimizeSkewedJoin splits that partition into sub-joins at runtime.
+    // Thresholds are tuned for real clusters — lower them so the tiny
+    // fixture-scale hot partition qualifies.
+    import spark.implicits._
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "100KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "50KB")
+      // the count() after the join would normally make AQE decline the
+      // split (it adds a shuffle); force it — at 100 TB the split is worth
+      // the extra exchange, which is exactly what this flag encodes
+      spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+      // payload column rides THROUGH the join (summed after) so the hot
+      // partition's shuffle bytes stay above the threshold — a key-only
+      // row of repeated 1s would compress to nothing
+      val fact = spark.range(0, 200000)
+        .select(when(col("id") % 2 === 0, 1L).otherwise(col("id")).as("k"),
+          md5(col("id").cast("string")).as("payload"))
+      val dim = spark.range(0, 1000).select(col("id").as("dk"))
+      // min(payload), not count(payload): count of a non-null column
+      // rewrites to count(1) and the payload gets pruned anyway
+      val j = fact.join(dim, col("k") === col("dk"))
+        .agg(count(lit(1)).as("n"), min(col("payload")).as("mp"))
+      // even ids (k=1) all match dk=1: 100000 rows; odd ids keep k=id and
+      // match dk for id<=999: 500 rows
+      assert(j.collect().head.getLong(0) == 100500L)
+      val finalPlan = j.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"AQE did not split the skewed partition:\n$finalPlan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      Seq("spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin").foreach(spark.conf.unset)
+    }
+  }
+
   test("dynamic partition pruning fires on a selective dim join") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_dpp").toString

@@ -324,6 +324,41 @@ class StreamingOpsSpec extends SparkTestBase {
     }
   }
 
+  test("I6d: ValueState TTL expires an idle key's state — the 100 TB state bound") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[Event]
+      val q = StreamingOps.runningCountsTws(input.toDS(),
+          org.apache.spark.sql.streaming.TTLConfig(java.time.Duration.ofMillis(500)))
+        .writeStream.format("memory").queryName("tws_ttl").outputMode("update").start()
+      try {
+        // ProcessingTime time-mode schedules micro-batches CONTINUOUSLY
+        // (TTL cleanup runs per batch), so processAllAvailable never
+        // idles — poll the sink for the expected row count instead
+        def waitRows(n: Int): Unit = {
+          val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+          while (spark.sql("SELECT count FROM tws_ttl WHERE user_id = 7").count() < n &&
+                 System.nanoTime() < deadline) Thread.sleep(200)
+        }
+        input.addData(ev(1, ts(1), uid = 7))
+        waitRows(1) // count = 1, TTL clock starts
+        Thread.sleep(2000) // comfortably past the 500 ms TTL
+        input.addData(ev(2, ts(1, 1), uid = 7))
+        waitRows(2)
+        val counts = spark.sql("SELECT count FROM tws_ttl WHERE user_id = 7").collect()
+          .map(_.getLong(0)).toSeq.sorted
+        // expired state reads as absent: the second event restarts at 1
+        // instead of accumulating to 2
+        assert(counts == Seq(1L, 1L), s"TTL did not expire idle state: $counts")
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("I6c: transformWithState (Spark 4 arbitrary state) matches the GroupState twin") {
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     // the transformWithState operator requires the RocksDB provider
