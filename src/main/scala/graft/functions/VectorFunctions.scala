@@ -249,20 +249,25 @@ object VectorFunctions {
     * Same kernel loops as [[cosinePairsDistributed]], so sims are
     * bit-identical to the self-join form.
     *
-    * Scale posture: both sides block by `vec_id % K` (K derived from the
-    * LARGER side, same TargetBlockRows bound); left block i replicates to
-    * keys (i,0..K-1), right block j to keys (0..K-1,j), so each of the K²
-    * pair-groups holds exactly one left + one right block — per-task
-    * memory two blocks, shuffle O(K·(|L|+|R|)) rows, and CROSS-side work
+    * Scale posture: each side blocks by `vec_id % K` with its OWN K
+    * (derived from that side's cardinality, same TargetBlockRows bound) —
+    * a small daily batch against a huge corpus costs K_corpus·K_batch
+    * pair-groups, not K_corpus², and per-task memory stays two blocks.
+    * Left block i replicates to keys (i, 0..K_r-1), right block j to
+    * (0..K_l-1, j), so each pair-group holds exactly one left + one right
+    * block; shuffle is O(K_r·|L| + K_l·|R|) rows, and CROSS-side work
     * only (the incremental shape: the same-side pairs a full self-join
     * would recompute are never generated). */
   def cosineCrossDistributed(s: SparkSession, left: DataFrame, right: DataFrame,
-                             minSim: Double, numChunks: Int = 0): DataFrame = {
+                             minSim: Double, numChunks: Int = 0,
+                             numChunksRight: Int = 0): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit, pmod}
     import s.implicits._
-    val k = if (numChunks > 0) numChunks
-            else deriveChunks(math.max(left.count(), right.count()))
-    def blocksOf(e: DataFrame) = e
+    val kL = if (numChunks > 0) numChunks else deriveChunks(left.count())
+    val kR = if (numChunksRight > 0) numChunksRight
+             else if (numChunks > 0) numChunks
+             else deriveChunks(right.count())
+    def blocksOf(e: DataFrame, k: Int) = e
       .select(pmod(col("vec_id"), lit(k)).cast("int").as("chunk"),
         col("vec_id"), col("embedding"))
       .as[(Int, Long, Array[Float])]
@@ -271,10 +276,10 @@ object VectorFunctions {
         val arr = it.map(t => (t._2, t._3)).toArray.sortBy(_._1)
         VecBlock(c, arr.map(_._1), arr.map(_._2))
       }
-    // key = leftChunk * k + rightChunk; each key receives at most one
+    // key = leftChunk * kR + rightChunk; each key receives at most one
     // block per side (a side's chunk ids are unique), tagged by side
-    val l = blocksOf(left).flatMap(b => (0 until k).iterator.map(j => (b.chunk * k + j, true, b)))
-    val r = blocksOf(right).flatMap(b => (0 until k).iterator.map(i => (i * k + b.chunk, false, b)))
+    val l = blocksOf(left, kL).flatMap(b => (0 until kR).iterator.map(j => (b.chunk * kR + j, true, b)))
+    val r = blocksOf(right, kR).flatMap(b => (0 until kL).iterator.map(i => (i * kR + b.chunk, false, b)))
     l.union(r)
       .groupByKey(_._1)
       .flatMapGroups { (_, it) =>

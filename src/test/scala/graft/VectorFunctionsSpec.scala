@@ -98,11 +98,17 @@ class VectorFunctionsSpec extends AnyFunSuite {
       .filter { case (a, b, _) => (a % 10 < 8) != (b % 10 < 8) }
       .map { case (a, b, s) => if (a % 10 < 8) (a, b, s) else (b, a, s) }
       .sorted.toSeq
-    Seq(1, 3, 16, 0).foreach { k => // 0 = derive K from the larger side
+    Seq(1, 3, 16, 0).foreach { k => // 0 = derive each side's K from its own count
       val got = VectorFunctions.cosineCrossDistributed(spark0, left, right, -2.0, numChunks = k)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
       assert(got == expected, s"numChunks=$k diverged from the self-join kernel")
     }
+    // asymmetric block counts — the big-corpus × small-batch shape where
+    // per-side derivation pays off (K_l·K_r groups, not K_max²)
+    val asym = VectorFunctions.cosineCrossDistributed(spark0, left, right, -2.0,
+        numChunks = 5, numChunksRight = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    assert(asym == expected, "asymmetric K diverged from the self-join kernel")
   }
 
   test("cosine kernel guard fails loudly past the vector cap") {
