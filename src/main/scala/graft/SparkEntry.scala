@@ -17,7 +17,8 @@ object SparkEntry {
     RelationalOps.queries ++ WindowOps.queries ++ EventOps.queries ++
       LlmOps.queries ++ MlOps.queries ++ LlmTextOps.queries ++
       MultimodalOps.queries ++ ExtendedOps.queries ++ MinHashOps.queries ++
-      TableOps.queries ++ TpchOps.queries ++ LlmCorpusOps.queries
+      TableOps.queries ++ TpchOps.queries ++ LlmCorpusOps.queries ++
+      PqOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -25,5 +26,6 @@ object SparkEntry {
     RelationalOps.oracles ++ WindowOps.oracles ++ EventOps.oracles ++
       LlmOps.oracles ++ MlOps.oracles ++ LlmTextOps.oracles ++
       MultimodalOps.oracles ++ ExtendedOps.oracles ++ MinHashOps.oracles ++
-      TableOps.oracles ++ TpchOps.oracles ++ LlmCorpusOps.oracles
+      TableOps.oracles ++ TpchOps.oracles ++ LlmCorpusOps.oracles ++
+      PqOps.oracles
 }

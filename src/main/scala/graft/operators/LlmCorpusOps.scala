@@ -191,6 +191,35 @@ object LlmCorpusOps {
       .orderBy("doc_id")
   }
 
+  /** Per-document top-3 keywords by TF-IDF — the relational, oracle-graded
+    * twin of the MLlib HashingTF→IDF pipeline (J5), with exact term counts
+    * instead of hashed buckets. Smoothed idf = ln((N+1)/(df+1)), the MLlib
+    * formula, computed identically in the DuckDB oracle; ranking is on the
+    * ROUNDED score (6 dp) with an alphabetical tie-break, so both engines
+    * compare the same doubles (SURVEY.md §5.3 float discipline).
+    *
+    * Shuffle budget: two keyed aggregations (doc×term counts, then df per
+    * term) + one equi-join of tf against the term-keyed df table + one
+    * window per doc_id. The df table is vocabulary-sized (metadata, not
+    * corpus) and the global N is a 1-row aggregate joined broadcast-style
+    * — the same allowlisted pattern as llm_unigram_logprob. */
+  def llmTfidfTopk(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = t(s, d, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val n = t(s, d, "documents").agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("tok"))
+    tf.join(df, "tok").crossJoin(broadcast(n))
+      .withColumn("score",
+        round(col("tf") * log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select("doc_id", "rank", "tok", "tf", "df", "score")
+      .orderBy("doc_id", "rank")
+  }
+
   /** Temperature-scaled language mixture (the multilingual-training
     * resampling rule): per-language share s_l, resampling weight
     * w_l ∝ sqrt(s_l) normalized, and the boost factor w_l / s_l each
@@ -249,6 +278,7 @@ object LlmCorpusOps {
     "llm_pii_scan" -> (llmPiiScan _),
     "llm_top_token_share" -> (llmTopTokenShare _),
     "llm_oov_rate" -> (llmOovRate _),
+    "llm_tfidf_topk" -> (llmTfidfTopk _),
     "llm_lang_temperature" -> (llmLangTemperature _),
   )
 
@@ -306,6 +336,16 @@ object LlmCorpusOps {
         "CAST(sum(CASE WHEN k.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov, " +
         "round(sum(CASE WHEN k.tok IS NULL THEN 1 ELSE 0 END) / count(*), 4) AS oov_rate " +
         "FROM toks LEFT JOIN kept k ON toks.tok = k.tok GROUP BY doc_id ORDER BY doc_id"),
+    // same smoothed-idf formula and rounded-score ranking as the Spark op
+    "llm_tfidf_topk" ->
+      ("WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents), " +
+        "tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2), " +
+        "dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok), " +
+        "n AS (SELECT count(*) AS n_docs FROM documents), " +
+        "sc AS (SELECT doc_id, tok, tf, df, round(tf * ln((n_docs + 1.0) / (df + 1.0)), 6) AS score " +
+        "FROM tf JOIN dfreq USING (tok) CROSS JOIN n), " +
+        "r AS (SELECT doc_id, tok, tf, df, score, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS rank FROM sc) " +
+        "SELECT doc_id, CAST(rank AS INTEGER) AS rank, tok, tf, df, score FROM r WHERE rank <= 3 ORDER BY doc_id, rank"),
     "llm_lang_temperature" ->
       ("WITH bl AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1), " +
         "t AS (SELECT CAST(sum(n) AS BIGINT) AS ntot FROM bl), " +

@@ -619,6 +619,44 @@ object RelationalOps {
     t(s, d, "lineitem").stat.crosstab("l_returnflag", "l_linestatus")
       .orderBy("l_returnflag_l_linestatus")
 
+  /** D11b: the same pivot through RelationalGroupedDataset.pivot — the
+    * API-surface twin of agg_conditional_pivot. Values are listed
+    * explicitly: pivot() without them runs an extra distinct-values job
+    * AND caps the column count at spark.sql.pivotMaxValues — on a closed
+    * domain the list is free and the plan is a single aggregation,
+    * identical to the CASE-WHEN formulation after Catalyst rewrites it. */
+  def aggPivotNative(s: SparkSession, d: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    t(s, d, "events")
+      .groupBy("user_id")
+      .pivot("event_type", types)
+      .agg(round(sum("value"), 2))
+      .select(col("user_id") +: types.map(ty => col(s"`$ty`").as(s"${ty}_v")): _*)
+      .orderBy("user_id")
+  }
+
+  /** D13: pairwise Pearson correlation matrix over lineitem's numeric
+    * measures, in tidy (col_a, col_b) long form — the profiling pass run
+    * before feature selection. One aggregation computes all 6 pairs
+    * (corr is algebraic: partial co-moments combine map-side), then the
+    * 6-row stack is driver-trivial. 4 dp rounding absorbs the
+    * summation-order noise of the distributed co-moment merge. */
+  def statCorrMatrix(s: SparkSession, d: String): DataFrame = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (cols(i), cols(j))
+    val aggs = pairs.map { case (a, b) =>
+      round(corr(col(a), col(b)), 4).as(s"${a}__$b")
+    }
+    val wide = t(s, d, "lineitem").agg(aggs.head, aggs.tail: _*)
+    val stacked = pairs.map { case (a, b) => s"'$a', '$b', `${a}__$b`" }
+      .mkString(", ")
+    wide.select(expr(
+        s"stack(${pairs.size}, $stacked) as (col_a, col_b, corr_v)"))
+      .orderBy("col_a", "col_b")
+  }
+
   // -------------------------------------------------------- F. sort / top-k
 
   /** F1: multi-column global sort (range-partitioned SortExec). */
@@ -812,7 +850,9 @@ object RelationalOps {
     "agg_grouping_sets" -> (aggGroupingSets _),
     "agg_collect_sorted" -> (aggCollectSorted _),
     "agg_conditional_pivot" -> (aggConditionalPivot _),
+    "agg_pivot_native" -> (aggPivotNative _),
     "stat_crosstab" -> (statCrosstab _),
+    "stat_corr_matrix" -> (statCorrMatrix _),
     "sort_multicol" -> (sortMulticol _),
     "topk_limit" -> (topkLimit _),
     "set_union_all" -> (setUnionAll _),
@@ -924,6 +964,17 @@ object RelationalOps {
       "SELECT user_id, round(sum(CASE WHEN event_type = 'click' THEN value END), 2) AS click_v, round(sum(CASE WHEN event_type = 'error' THEN value END), 2) AS error_v, round(sum(CASE WHEN event_type = 'purchase' THEN value END), 2) AS purchase_v, round(sum(CASE WHEN event_type = 'signup' THEN value END), 2) AS signup_v, round(sum(CASE WHEN event_type = 'view' THEN value END), 2) AS view_v, count(*) AS n FROM events GROUP BY user_id ORDER BY user_id",
     "stat_crosstab" ->
       "SELECT CAST(l_returnflag AS VARCHAR) AS l_returnflag_l_linestatus, count(*) FILTER (WHERE l_linestatus = 'F') AS F, count(*) FILTER (WHERE l_linestatus = 'O') AS O FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag_l_linestatus",
+    "agg_pivot_native" ->
+      "SELECT user_id, round(sum(CASE WHEN event_type = 'click' THEN value END), 2) AS click_v, round(sum(CASE WHEN event_type = 'error' THEN value END), 2) AS error_v, round(sum(CASE WHEN event_type = 'purchase' THEN value END), 2) AS purchase_v, round(sum(CASE WHEN event_type = 'signup' THEN value END), 2) AS signup_v, round(sum(CASE WHEN event_type = 'view' THEN value END), 2) AS view_v FROM events GROUP BY user_id ORDER BY user_id",
+    "stat_corr_matrix" ->
+      ("SELECT col_a, col_b, corr_v FROM (" +
+        "SELECT 'l_discount' AS col_a, 'l_tax' AS col_b, round(corr(l_discount, l_tax), 4) AS corr_v FROM lineitem " +
+        "UNION ALL SELECT 'l_extendedprice', 'l_discount', round(corr(l_extendedprice, l_discount), 4) FROM lineitem " +
+        "UNION ALL SELECT 'l_extendedprice', 'l_tax', round(corr(l_extendedprice, l_tax), 4) FROM lineitem " +
+        "UNION ALL SELECT 'l_quantity', 'l_extendedprice', round(corr(l_quantity, l_extendedprice), 4) FROM lineitem " +
+        "UNION ALL SELECT 'l_quantity', 'l_discount', round(corr(l_quantity, l_discount), 4) FROM lineitem " +
+        "UNION ALL SELECT 'l_quantity', 'l_tax', round(corr(l_quantity, l_tax), 4) FROM lineitem" +
+        ") ORDER BY col_a, col_b"),
     "sort_multicol" ->
       "SELECT l_orderkey, l_linenumber, l_returnflag, l_shipdate, l_quantity FROM lineitem WHERE l_partkey % 10 = 0 ORDER BY l_returnflag, l_shipdate DESC, l_orderkey, l_linenumber, l_quantity",
     "topk_limit" ->

@@ -85,7 +85,8 @@ class EngineSurfaceSpec extends SparkTestBase {
       "MinHashOps" -> MinHashOps.queries.keySet,
       "TableOps" -> TableOps.queries.keySet,
       "TpchOps" -> TpchOps.queries.keySet,
-      "LlmCorpusOps" -> LlmCorpusOps.queries.keySet)
+      "LlmCorpusOps" -> LlmCorpusOps.queries.keySet,
+      "PqOps" -> PqOps.queries.keySet)
     val perRegistry = registries.map(_._2.size).sum
     assert(perRegistry == SparkEntry.queries.size,
       s"key collision across registries: ${

@@ -179,6 +179,39 @@ class NoOracleKeysSpec extends SparkTestBase {
     }
   }
 
+  test("emb_pq_adc: shape, exact re-ranked distances, recall@10 vs brute-force L2") {
+    val rows = q("emb_pq_adc").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val queries = rows.map(_._1).distinct.sorted
+    assert(queries.toSeq == (0L to 4L), s"query set: ${queries.toSeq}")
+    val emb = embMap
+    def l2(a: Seq[Float], b: Seq[Float]): Double =
+      a.zip(b).map { case (x, y) => (x.toDouble - y) * (x.toDouble - y) }.sum
+    queries.foreach { qid =>
+      val mine = rows.filter(_._1 == qid).sortBy(_._2)
+      assert(mine.map(_._2).toSeq == (1 to 10), s"q$qid ranks")
+      assert(mine.forall(_._3 != qid), s"q$qid self-match")
+      val d = mine.map(_._4)
+      assert(d.toSeq == d.toSeq.sorted, s"q$qid re-ranked distance not ascending")
+      // the re-rank stage is EXACT: every reported distance must equal
+      // the true squared L2 (same HALF_UP 4 dp rounding as the op)
+      mine.foreach { case (_, _, nid, dd) =>
+        assert(dd == round4(l2(emb(qid), emb(nid))), s"q$qid → $nid distance $dd")
+      }
+    }
+    // recall@10 of the ADC-shortlist → exact-re-rank pipeline vs the true
+    // top-10 (16 subspaces × 16 centroids, shortlist 40). A codebook bug
+    // (wrong slice offsets, mixed-up codes) craters this to ~0.1.
+    val recalls = queries.map { qid =>
+      val exact = emb.keys.filter(_ != qid).toSeq
+        .map(v => (l2(emb(qid), emb(v)), v)).sorted.take(10).map(_._2).toSet
+      val got = rows.filter(_._1 == qid).map(_._3).toSet
+      got.intersect(exact).size / 10.0
+    }
+    val avg = recalls.sum / recalls.size
+    assert(avg >= 0.7, s"avg recall@10 $avg (per-query: ${recalls.toSeq})")
+  }
+
   test("llm_dedup_simhash_pairs: hamming column is the true sketch distance, bounded") {
     val sk = operators.LlmTextOps
       .simhashSketches(Tables.load(spark, SF, "documents"))
