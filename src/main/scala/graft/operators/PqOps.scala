@@ -1,8 +1,6 @@
 package graft.operators
 
-import org.apache.spark.ml.clustering.{KMeans, KMeansModel}
-import org.apache.spark.ml.functions.array_to_vector
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -21,16 +19,25 @@ import graft.Tables
   * uses, because ADC error is a shortlist-recall problem, not a final-
   * ranking problem.
   *
-  * 100 TB shape: the codebook is O(M·K·subdim) — constant, broadcast.
-  * Encoding is a map-only pass (16 nearest-centroid assignments per
-  * vector). The ADC scan is codes ⋈ broadcast(distance table) on
-  * (sub_idx, code) — a broadcast hash join, never a shuffle of the
-  * corpus — followed by one (query_id, vec_id) hash aggregation with
-  * map-side partial sums. The exact re-rank touches only |Q|×40 rows.
-  * Queries are processed in bounded batches so the distance table stays
-  * broadcast-sized.
+  * 100 TB shape, stage by stage:
+  *  - TRAIN on a bounded sample (1024 vectors here), driver-side Lloyd's
+  *    iterations per subspace. This is how production PQ trains (FAISS
+  *    trains codebooks on a ~100k sample regardless of corpus size): the
+  *    sample and the codebook are O(1) in the corpus, so the driver work
+  *    never grows. This is the sanctioned exception to the no-collect
+  *    rule — a constant-size bounded fetch, not a corpus materialization.
+  *  - ENCODE as a pure projection: the codebook is a literal (broadcast
+  *    with the plan); nearest-centroid per subspace is row-local
+  *    higher-order-function arithmetic. No shuffle, no extra jobs —
+  *    a map-only pass over the corpus.
+  *  - SEARCH: codes ⋈ broadcast(per-query distance table) on
+  *    (sub_idx, code) — a broadcast hash join, never a corpus shuffle —
+  *    then one (query_id, vec_id) hash aggregation with map-side partial
+  *    sums. The exact re-rank touches only |Q|×40 rows. Queries are
+  *    processed in bounded batches so the distance table stays
+  *    broadcast-sized.
   *
-  * No DuckDB oracle (KMeans-codebook specific); the graded entry is
+  * No DuckDB oracle (codebook-training specific); the graded entry is
   * backed by NoOracleKeysSpec: recall@10 vs the exact brute-force L2
   * top-10, rank/shape invariants, and exactness of the re-ranked
   * distances.
@@ -42,72 +49,98 @@ object PqOps {
   val SubDim = 4
   val K = 16
   val Shortlist = 40
+  val TrainSample = 1024
 
-  /** Codebooks are an INDEX — trained once per (session, corpus) like the
-    * shingle/IVF memos, queried many times. Models are driver-local
-    * objects of constant size (8 × 16 × 8 doubles). */
-  private val modelMemo =
-    new graft.tools.LruMemo[(String, String), Seq[KMeansModel]](8)
-  private val codesMemo =
-    new graft.tools.LruMemo[(String, String), DataFrame](8)
+  /** Codebooks are an INDEX — trained once per (session, corpus), queried
+    * many times; constant size (16 × 16 × 4 doubles). */
+  private val codebookMemo =
+    new graft.tools.LruMemo[(String, String), Seq[Seq[Seq[Double]]]](8)
 
   private def sid(s: SparkSession): String =
     org.apache.spark.sql.graftnative.SessionIds.uuid(s)
 
-  private def subFeatures(e: DataFrame, m: Int) =
-    e.select(col("vec_id"),
-      array_to_vector(slice(col("embedding"), m * SubDim + 1, SubDim)).as("features"))
-
-  private def models(s: SparkSession, d: String): Seq[KMeansModel] =
-    modelMemo.get((sid(s), d)) {
-      // cache: each of the 8 fits re-scans its input every iteration
-      val base = Tables.load(s, d, "embeddings")
-        .select("vec_id", "embedding").cache()
-      try {
-        (0 until NumSub).map { m =>
-          // maxIter 4, random init: like the IVF lists, PQ needs stable
-          // ASSIGNMENTS, not converged centroids; seed offset per
-          // subspace so codebooks are independent
-          new KMeans().setK(K).setSeed(graft.ml.MlPipelines.Seed + m)
-            .setMaxIter(4).setInitMode("random")
-            .setFeaturesCol("features")
-            .fit(subFeatures(base, m))
+  /** Deterministic Lloyd's k-means on a driver-local point set: seeded
+    * initial centroids drawn from the (distinct) points, 8 assignment/
+    * re-mean rounds, empty clusters keep their previous centroid. */
+  private[operators] def lloyd(points: Array[Array[Double]], k: Int,
+      seed: Long, iters: Int = 8): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    val distinct = points.distinct
+    val init = rnd.shuffle(distinct.indices.toVector).take(k).map(distinct)
+    // fewer distinct points than k: pad with repeats (harmless — the
+    // duplicate centroid simply never wins an argmin tie, position-first)
+    var cent = (init ++ Array.fill(math.max(0, k - init.size))(distinct.head)).toArray
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    (0 until iters).foreach { _ =>
+      val assign = points.map(p => cent.indices.minBy(c => d2(p, cent(c))))
+      cent = cent.indices.map { c =>
+        val mine = points.indices.filter(assign(_) == c)
+        if (mine.isEmpty) cent(c)
+        else {
+          val m = new Array[Double](points(0).length)
+          mine.foreach { i => var j = 0; while (j < m.length) { m(j) += points(i)(j); j += 1 } }
+          m.map(_ / mine.size)
         }
-      } finally base.unpersist()
+      }.toArray
+    }
+    cent
+  }
+
+  /** Train all [[NumSub]] codebooks from a bounded deterministic sample
+    * (first [[TrainSample]] vec_ids — a pure, reproducible choice). */
+  private def codebook(s: SparkSession, d: String): Seq[Seq[Seq[Double]]] =
+    codebookMemo.get((sid(s), d)) {
+      val sample = Tables.load(s, d, "embeddings")
+        .orderBy("vec_id").limit(TrainSample)
+        .select("embedding").collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      (0 until NumSub).map { m =>
+        val pts = sample.map(v => v.slice(m * SubDim, m * SubDim + SubDim))
+        lloyd(pts, K, graft.ml.MlPipelines.Seed + m)
+          .map(_.toSeq).toSeq
+      }
     }
 
-  /** PQ-encoded corpus in the exploded (vec_id, sub_idx, code) layout the
-    * ADC join consumes directly — n×8 rows, each code in [0, 16). */
-  def pqCodes(s: SparkSession, d: String): DataFrame =
-    codesMemo.get((sid(s), d)) {
-      val base = Tables.load(s, d, "embeddings")
-      models(s, d).zipWithIndex.map { case (m, i) =>
-        m.transform(subFeatures(base, i))
-          .select(col("vec_id"), lit(i).as("sub_idx"),
-            col("prediction").as("code"))
-      }.reduce(_ union _).localCheckpoint(true)
-    }
-
-  /** The trained codebook as a broadcastable frame (8 × 16 rows). The
-    * centers live in the driver-side models — materializing them is
-    * O(M·K·subdim), not a scan. */
+  /** The codebook as a broadcastable frame (16 × 16 rows) for the ADC
+    * distance-table join. */
   def pqCentroids(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    models(s, d).zipWithIndex.flatMap { case (m, i) =>
-      m.clusterCenters.zipWithIndex.map { case (c, k) => (i, k, c.toArray) }
+    codebook(s, d).zipWithIndex.flatMap { case (cs, m) =>
+      cs.zipWithIndex.map { case (c, k) => (m, k, c) }
     }.toDF("sub_idx", "code", "cvec")
+  }
+
+  /** PQ-encode as a single row-local projection: per subspace, the
+    * argmin-distance centroid index. The codebook rides into the plan as
+    * a literal; ties break position-first in both this encoder and the
+    * driver-side assignment in [[lloyd]], so codes are deterministic.
+    * Output is the exploded (vec_id, sub_idx, code) layout the ADC join
+    * consumes — n×16 rows, each code in [0, 16). */
+  def pqCodes(s: SparkSession, d: String): DataFrame = {
+    val cb = typedlit(codebook(s, d))
+    def sq(x: Column) = x * x
+    val dall = transform(sequence(lit(0), lit(NumSub - 1)), m =>
+      transform(get(cb, m), c =>
+        aggregate(
+          zip_with(slice(col("embedding"), m * lit(SubDim) + 1, lit(SubDim)), c,
+            (x, y) => sq(x.cast("double") - y)),
+          lit(0.0), (acc, v) => acc + v)))
+    Tables.load(s, d, "embeddings")
+      .withColumn("codes", transform(dall, ds =>
+        (array_position(ds, array_min(ds)) - 1).cast("int")))
+      .select(col("vec_id"), posexplode(col("codes")))
+      .withColumnRenamed("pos", "sub_idx")
+      .withColumnRenamed("col", "code")
   }
 
   /** Graded entry: PQ-ADC shortlist (top-[[Shortlist]] by approximate
     * distance) → exact re-rank, top-10 per query for the same bounded
-    * query set llm_knn_queries uses (vec_id ≤ 4). Plan: two broadcast
-    * hash joins build the shortlist (query subvectors ⋈ codebook on
-    * sub_idx; codes ⋈ distance table on (sub_idx, code)) + one hash
-    * aggregation; the exact stage joins only the |Q|×40 shortlist rows
-    * back to their full vectors — the corpus is never shuffled pairwise
-    * and never compared pairwise at full precision. */
+    * query set llm_knn_queries uses (vec_id ≤ 4). */
   def embPqAdc(s: SparkSession, d: String): DataFrame = {
-    val codes = pqCodes(s, d)
     val emb = Tables.load(s, d, "embeddings")
     // query subvectors, widened to double once so the distance arithmetic
     // below is pure double (same discipline as the cosine kernels)
@@ -127,7 +160,7 @@ object PqOps {
           .as("d2"))
     val wAdc = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("adc_d2").asc, col("neighbor_id"))
-    val shortlist = codes.join(broadcast(dist), Seq("sub_idx", "code"))
+    val shortlist = pqCodes(s, d).join(broadcast(dist), Seq("sub_idx", "code"))
       .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
       .agg(sum("d2").as("adc_d2"))
       .filter(col("query_id") =!= col("neighbor_id"))
@@ -154,6 +187,6 @@ object PqOps {
   val queries: Map[String, Q] = Map(
     "emb_pq_adc" -> (embPqAdc _))
 
-  /** KMeans-codebook specific — no SQL oracle; see NoOracleKeysSpec. */
+  /** Codebook-training specific — no SQL oracle; see NoOracleKeysSpec. */
   val oracles: Map[String, String] = Map.empty
 }
