@@ -277,6 +277,23 @@ object LlmTextOps {
       .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
       .orderBy("doc_id")
 
+  /** SemDeDup-style SEMANTIC dedup clusters: embedding-cosine near-dup
+    * pairs (the same thresholded, rounded pair set llm_dedup_embedding
+    * grades) closed under transitivity via the distributed connected
+    * components — cluster_id = min vec_id, the canonical survivor. The
+    * pair stage is the block-nested-loop kernel (per-task memory bounded,
+    * no driver collect); the labeling is the pointer-jumping CC
+    * (O(log n) rounds). At 100 TB the pair stage swaps to the LSH/IVF
+    * bucketed candidates with the same threshold — the CC consumes any
+    * edge list. Fully oracle-graded (recursive-CTE closure in DuckDB). */
+  def llmDedupSemantic(s: SparkSession, d: String): DataFrame =
+    connectedComponents(
+      graft.functions.VectorFunctions
+        .cosinePairsDistributed(s, t(s, d, "embeddings"), 0.45)
+        .select("a_id", "b_id"))
+      .select(col("id").as("vec_id"), col("comp").as("cluster_id"))
+      .orderBy("vec_id")
+
   /** Alternative survivor policy: instead of min doc_id, keep the LONGEST
     * member of each duplicate cluster (ties → smaller doc_id) — the policy
     * most pipelines actually want, since boilerplate-trimmed mirrors are
@@ -692,6 +709,7 @@ object LlmTextOps {
     "llm_fingerprint" -> (llmFingerprint _),
     "llm_ngram_jaccard" -> (llmNgramJaccard _),
     "llm_dedup_clusters" -> (llmDedupClusters _),
+    "llm_dedup_semantic" -> (llmDedupSemantic _),
     "llm_dedup_survivors" -> (llmDedupSurvivors _),
     "llm_dedup_keep_longest" -> (llmDedupKeepLongest _),
     "llm_chunking" -> (llmChunking _),
@@ -829,6 +847,15 @@ object LlmTextOps {
         "reach AS (SELECT src AS id, src AS comp FROM edges " +
         "UNION SELECT e.src AS id, r.comp FROM edges e JOIN reach r ON e.dst = r.id) " +
         "SELECT id AS doc_id, min(comp) AS cluster_id FROM reach GROUP BY id ORDER BY doc_id"),
+    // same pair predicate as llm_dedup_embedding, same closure as
+    // llm_dedup_clusters — the composed oracle for the semantic twin
+    "llm_dedup_semantic" ->
+      ("WITH RECURSIVE pairs AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id " +
+        "WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) >= 0.45), " +
+        "edges AS (SELECT a_id AS src, b_id AS dst FROM pairs UNION ALL SELECT b_id, a_id FROM pairs), " +
+        "reach AS (SELECT src AS id, src AS comp FROM edges " +
+        "UNION SELECT e.src AS id, r.comp FROM edges e JOIN reach r ON e.dst = r.id) " +
+        "SELECT id AS vec_id, min(comp) AS cluster_id FROM reach GROUP BY id ORDER BY vec_id"),
     "llm_dedup_survivors" ->
       ("WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), " +
         "x AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i FROM w), " +

@@ -330,6 +330,46 @@ object RelationalOps {
       .orderBy("purchase_id")
   }
 
+  /** C10f: NEAREST as-of join (pandas merge_asof direction='nearest') —
+    * for each purchase, the signup closest in time in EITHER direction.
+    * Composed from the native merge node run twice: the backward pick
+    * minimizes the time gap among s_ts ≤ p_ts (it takes the max such
+    * s_ts) and the forward pick minimizes it among s_ts ≥ p_ts, so the
+    * global nearest is always one of the two — an equi-join of the two
+    * purchase-sized outer results and a comparison finish the job. Tie
+    * rules are inherited and deterministic: equal gaps prefer backward;
+    * within a direction the merge's tie column decides (backward: max
+    * signup_id, forward: min signup_id), mirrored exactly in the oracle's
+    * rank expression. Both merges shuffle once on user_id; the alignment
+    * join shuffles two |purchases|-sized sides on purchase_id. */
+  def joinAsofNearest(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "events")
+    val pur = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
+    val sig = e.filter(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"), col("user_id").as("su"), col("ts").as("s_ts"))
+    val back = org.apache.spark.sql.graftnative.AsOfJoinApi
+      .asofJoin(pur, sig, "user_id", "su", "p_ts", "s_ts", "signup_id", isOuter = true)
+      .select(col("purchase_id"), col("user_id"), unix_micros(col("p_ts")).as("p_us"),
+        col("signup_id").as("b_id"), unix_micros(col("s_ts")).as("b_us"))
+    val purN = pur.select(col("purchase_id"), col("user_id"),
+      (-unix_micros(col("p_ts"))).as("neg_p"))
+    val sigN = sig.select(col("signup_id"), col("su"),
+      (-unix_micros(col("s_ts"))).as("neg_s"), (-col("signup_id")).as("neg_id"))
+    val fwd = org.apache.spark.sql.graftnative.AsOfJoinApi
+      .asofJoin(purN, sigN, "user_id", "su", "neg_p", "neg_s", "neg_id", isOuter = true)
+      .select(col("purchase_id").as("f_pid"), col("signup_id").as("f_id"),
+        (-col("neg_s")).as("f_us"))
+    back.join(fwd, col("purchase_id") === col("f_pid"))
+      .withColumn("pick_b", col("b_id").isNotNull &&
+        (col("f_id").isNull || col("p_us") - col("b_us") <= col("f_us") - col("p_us")))
+      .select(col("purchase_id"), col("user_id"),
+        when(col("pick_b"), col("b_id")).otherwise(col("f_id")).as("signup_id"),
+        when(col("pick_b"), lit("backward"))
+          .when(col("f_id").isNotNull, lit("forward")).as("dir"))
+      .orderBy("purchase_id")
+  }
+
   /** C12: blocked fuzzy join (entity resolution) — never all-pairs;
     * candidates come from equality on cheap blocking keys, the edit
     * distance only runs on candidates. Semantics: lev ≤ 1 pairs within
@@ -828,6 +868,7 @@ object RelationalOps {
     "join_asof_native" -> (joinAsofNative _),
     "join_asof_tolerance" -> (joinAsofTolerance _),
     "join_asof_forward" -> (joinAsofForward _),
+    "join_asof_nearest" -> (joinAsofNearest _),
     "join_asof_outer" -> (joinAsofOuter _),
     "fuzzy_join_blocked" -> (fuzzyJoinBlocked _),
     "agg_median_mode" -> (aggMedianMode _),
@@ -934,6 +975,16 @@ object RelationalOps {
       "WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type FROM events), pur AS (SELECT event_id AS purchase_id, user_id FROM ev WHERE event_type = 'purchase'), m AS (SELECT purchase_id, signup_id FROM (SELECT p.event_id AS purchase_id, s.event_id AS signup_id, row_number() OVER (PARTITION BY p.event_id ORDER BY s.ts DESC, s.event_id DESC) AS rn FROM ev p JOIN ev s ON s.user_id = p.user_id AND s.event_type = 'signup' AND s.ts <= p.ts WHERE p.event_type = 'purchase') WHERE rn = 1) SELECT pur.purchase_id, pur.user_id, m.signup_id FROM pur LEFT JOIN m ON pur.purchase_id = m.purchase_id ORDER BY pur.purchase_id",
     "join_asof_forward" ->
       "WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type FROM events), pairs AS (SELECT p.event_id AS purchase_id, p.user_id AS user_id, s.event_id AS signup_id, row_number() OVER (PARTITION BY p.event_id ORDER BY s.ts ASC, s.event_id ASC) AS rn FROM ev p JOIN ev s ON s.user_id = p.user_id AND s.event_type = 'signup' AND s.ts >= p.ts WHERE p.event_type = 'purchase') SELECT purchase_id, user_id, signup_id FROM pairs WHERE rn = 1 ORDER BY purchase_id",
+    // rank order mirrors the composition's tie rules exactly: smallest
+    // gap first, backward preferred on equal gaps, then the direction's
+    // own tie column (backward: max id, forward: min id)
+    "join_asof_nearest" ->
+      ("WITH p AS (SELECT event_id AS purchase_id, user_id, CAST(ts AS TIMESTAMP) AS p_ts FROM events WHERE event_type = 'purchase'), " +
+        "g AS (SELECT event_id AS signup_id, user_id, CAST(ts AS TIMESTAMP) AS s_ts FROM events WHERE event_type = 'signup'), " +
+        "pr AS (SELECT p.purchase_id, g.signup_id, (g.s_ts <= p.p_ts) AS is_back, abs(epoch_us(g.s_ts) - epoch_us(p.p_ts)) AS gap FROM p JOIN g ON p.user_id = g.user_id), " +
+        "r AS (SELECT purchase_id, signup_id, is_back, row_number() OVER (PARTITION BY purchase_id ORDER BY gap, is_back DESC, CASE WHEN is_back THEN -signup_id ELSE signup_id END) AS rn FROM pr) " +
+        "SELECT p.purchase_id, p.user_id, r.signup_id, CASE WHEN r.signup_id IS NULL THEN NULL WHEN r.is_back THEN 'backward' ELSE 'forward' END AS dir " +
+        "FROM p LEFT JOIN (SELECT * FROM r WHERE rn = 1) r ON p.purchase_id = r.purchase_id ORDER BY p.purchase_id"),
     "agg_median_mode" ->
       "WITH med AS (SELECT o_orderstatus, round(median(o_totalprice), 4) AS med_price FROM orders GROUP BY o_orderstatus), c AS (SELECT o_orderstatus, o_orderpriority, count(*) AS cnt FROM orders GROUP BY o_orderstatus, o_orderpriority), m AS (SELECT o_orderstatus, o_orderpriority AS mode_prio, row_number() OVER (PARTITION BY o_orderstatus ORDER BY cnt DESC, o_orderpriority) AS rn FROM c) SELECT med.o_orderstatus, med.med_price, m.mode_prio FROM med JOIN m ON med.o_orderstatus = m.o_orderstatus AND m.rn = 1 ORDER BY med.o_orderstatus",
     "join_star_tpch" ->
