@@ -93,6 +93,31 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(plan.contains("Sort ["), s"expected sorts under the merge in:\n$plan")
   }
 
+  test("nearest as-of composes TWO native merge passes and agrees with brute force") {
+    val df = RelationalOps.joinAsofNearest(spark, SF)
+    val plan = df.queryExecution.executedPlan.toString
+    assert("AsOfJoin".r.findAllIn(plan).size >= 2,
+      s"expected both directions' merge nodes in:\n$plan")
+    // brute-force twin: per purchase, scan ALL same-user signups and apply
+    // the documented preference (smallest gap, backward on ties, then the
+    // direction's own tie column)
+    val e = Tables.load(spark, SF, "events")
+      .select("event_id", "user_id", "event_type", "ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getTimestamp(3).getTime * 1000 + r.getTimestamp(3).getNanos / 1000 % 1000))
+    val signups = e.filter(_._3 == "signup").groupBy(_._2)
+    val expected = e.filter(_._3 == "purchase").map { case (pid, uid, _, pus) =>
+      val best = signups.getOrElse(uid, Array.empty).minByOption { case (sid, _, _, sus) =>
+        val back = sus <= pus
+        (math.abs(sus - pus), !back, if (back) -sid else sid)
+      }
+      pid -> best.map(_._1)
+    }.toMap
+    val got = df.collect()
+      .map(r => r.getLong(0) -> Option(r.get(2)).map(_.asInstanceOf[Long])).toMap
+    assert(got == expected, "nearest pick disagrees with the brute-force scan")
+  }
+
   test("bucketed layout satisfies the native as-of join's distribution without a shuffle") {
     // The exec node only DECLARES ClusteredDistribution(key); when both
     // sides come from tables bucketed on that key, EnsureRequirements

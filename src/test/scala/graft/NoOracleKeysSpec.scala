@@ -212,6 +212,14 @@ class NoOracleKeysSpec extends SparkTestBase {
     assert(avg >= 0.7, s"avg recall@10 $avg (per-query: ${recalls.toSeq})")
   }
 
+  test("emb_pq_adc: ADC scan and re-rank plan only broadcast joins — the corpus is never shuffled pairwise") {
+    val plan = q("emb_pq_adc").queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      s"expected the distance-table and query-vector broadcasts in:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"pairwise blow-up in the PQ plan:\n$plan")
+  }
+
   test("llm_dedup_simhash_pairs: hamming column is the true sketch distance, bounded") {
     val sk = operators.LlmTextOps
       .simhashSketches(Tables.load(spark, SF, "documents"))
