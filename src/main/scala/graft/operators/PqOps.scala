@@ -62,10 +62,13 @@ object PqOps {
   /** Deterministic Lloyd's k-means on a driver-local point set: seeded
     * initial centroids drawn from the (distinct) points, 8 assignment/
     * re-mean rounds, empty clusters keep their previous centroid. */
-  private[operators] def lloyd(points: Array[Array[Double]], k: Int,
+  private[graft] def lloyd(points: Array[Array[Double]], k: Int,
       seed: Long, iters: Int = 8): Array[Array[Double]] = {
     val rnd = new scala.util.Random(seed)
-    val distinct = points.distinct
+    // content-distinct: Array equality is by reference, so dedup via an
+    // equals-by-value view (duplicate initial centroids would silently
+    // waste codebook capacity)
+    val distinct = points.map(_.toVector).distinct.map(_.toArray)
     val init = rnd.shuffle(distinct.indices.toVector).take(k).map(distinct)
     // fewer distinct points than k: pad with repeats (harmless — the
     // duplicate centroid simply never wins an argmin tie, position-first)
