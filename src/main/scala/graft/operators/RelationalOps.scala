@@ -787,6 +787,28 @@ object RelationalOps {
       split(col("c_name"), "#").getItem(0).as("prefix"))
       .orderBy("c_custkey")
 
+  /** H6: URL function suite — parse_url field extraction over URLs
+    * constructed deterministically from document metadata (the shape a
+    * web-corpus pipeline sees: per-source hosts, per-doc paths, query
+    * params carrying language/id). The oracle replicates each field with
+    * anchored regexes over the SAME constructed string — safe because the
+    * construction guarantees well-formed URLs, where java.net.URI (Spark)
+    * and the regexes agree by inspection. Row-local, no shuffle. */
+  def fnUrlSuite(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .withColumn("url",
+        concat(lit("https://"), col("source"), lit(".example.com/docs/"),
+          col("doc_id"), lit("?lang="), col("lang"), lit("&id="), col("doc_id")))
+      .select(
+        col("doc_id"),
+        col("url"),
+        parse_url(col("url"), lit("PROTOCOL")).as("proto"),
+        parse_url(col("url"), lit("HOST")).as("host"),
+        parse_url(col("url"), lit("PATH")).as("path"),
+        parse_url(col("url"), lit("QUERY")).as("query"),
+        parse_url(col("url"), lit("QUERY"), lit("lang")).as("q_lang"))
+      .orderBy("doc_id")
+
   /** H2: date/time function suite — ISO weekday only (Spark weekday()+1 ≡
     * DuckDB isodow; the engines' dayofweek disagree), UTC pinned. */
   def fnDateSuite(s: SparkSession, d: String): DataFrame =
@@ -904,6 +926,7 @@ object RelationalOps {
     "set_except_all" -> (setExceptAll _),
     "set_union_by_name" -> (setUnionByName _),
     "fn_string_suite" -> (fnStringSuite _),
+    "fn_url_suite" -> (fnUrlSuite _),
     "fn_date_suite" -> (fnDateSuite _),
     "fn_math_suite" -> (fnMathSuite _),
     "fn_array_suite" -> (fnArraySuite _),
@@ -1046,6 +1069,13 @@ object RelationalOps {
       "SELECT * FROM (SELECT c_nationkey AS nationkey, 'cust' AS side, c_acctbal AS acctbal FROM customer UNION ALL SELECT s_nationkey, 'supp', NULL FROM supplier) ORDER BY nationkey, side, acctbal NULLS FIRST",
     "fn_string_suite" ->
       "SELECT c_custkey, upper(c_name) AS up_name, lower(c_mktsegment) AS lo_seg, CAST(length(c_name) AS INTEGER) AS name_len, substr(c_name, 10, 4) AS sub4, concat(c_mktsegment, '-', c_name) AS cat, lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded, regexp_replace(c_name, 'Customer', 'C') AS repl, trim(concat(' ', c_mktsegment, ' ')) AS trimmed, split_part(c_name, '#', 1) AS prefix FROM customer ORDER BY c_custkey",
+    "fn_url_suite" ->
+      ("WITH u AS (SELECT doc_id, 'https://' || source || '.example.com/docs/' || doc_id || '?lang=' || lang || '&id=' || doc_id AS url FROM documents) " +
+        "SELECT doc_id, url, regexp_extract(url, '^([a-z]+)://', 1) AS proto, " +
+        "regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host, " +
+        "regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path, " +
+        "regexp_extract(url, '\\?([^#]*)', 1) AS query, " +
+        "regexp_extract(url, '[?&]lang=([^&#]*)', 1) AS q_lang FROM u ORDER BY doc_id"),
     "fn_date_suite" ->
       "SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS y, CAST(month(o_orderdate) AS INTEGER) AS m, CAST(day(o_orderdate) AS INTEGER) AS dom, CAST(isodow(o_orderdate) AS INTEGER) AS isodow, date_trunc('month', o_orderdate) AS month_start, CAST(o_orderdate AS DATE) + 30 AS plus30, CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since, last_day(CAST(o_orderdate AS DATE)) AS month_end FROM orders ORDER BY o_orderkey",
     "fn_math_suite" ->
