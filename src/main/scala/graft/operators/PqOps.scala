@@ -140,16 +140,17 @@ object PqOps {
       .withColumnRenamed("col", "code")
   }
 
-  /** Graded entry: PQ-ADC shortlist (top-[[Shortlist]] by approximate
-    * distance) → exact re-rank, top-10 per query for the same bounded
-    * query set llm_knn_queries uses (vec_id ≤ 4). */
-  def embPqAdc(s: SparkSession, d: String): DataFrame = {
-    val emb = Tables.load(s, d, "embeddings")
+  /** PQ-ADC search core over an ARBITRARY (query_id, embedding) frame —
+    * the same code path serves the graded batch entry and the streaming
+    * foreachBatch enrichment (each micro-batch of query vectors is one
+    * bounded query batch). Shortlists top-[[Shortlist]] by approximate
+    * distance, then re-ranks the shortlist at full precision; returns
+    * (query_id, rank, neighbor_id, l2_d2) with rank ≤ k. */
+  def pqSearch(s: SparkSession, d: String, queries: DataFrame, k: Int = 10): DataFrame = {
     // query subvectors, widened to double once so the distance arithmetic
     // below is pure double (same discipline as the cosine kernels)
-    val qsub = emb
-      .filter(col("vec_id") <= 4)
-      .select(col("vec_id").as("query_id"),
+    val qsub = queries
+      .select(col("query_id"),
         posexplode(expr(
           s"transform(sequence(0, ${NumSub - 1}), " +
             s"m -> transform(slice(embedding, m * $SubDim + 1, $SubDim), x -> cast(x as double)))")))
@@ -171,9 +172,9 @@ object PqOps {
       .filter(col("adc_rank") <= Shortlist)
     // exact re-rank of the shortlist only: both vector joins are equi on
     // vec_id; the query side is |Q| rows → broadcast
-    val qv = emb.filter(col("vec_id") <= 4)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"))
-    val nv = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("n_vec"))
+    val qv = queries.select(col("query_id"), col("embedding").as("q_vec"))
+    val nv = Tables.load(s, d, "embeddings")
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("n_vec"))
     val wExact = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("l2_d2").asc, col("neighbor_id"))
     shortlist
@@ -182,10 +183,17 @@ object PqOps {
       .withColumn("l2_d2", round(expr(
         "aggregate(zip_with(q_vec, n_vec, (x, y) -> (cast(x as double) - cast(y as double)) * (cast(x as double) - cast(y as double))), 0D, (a, v) -> a + v)"), 4))
       .withColumn("rank", row_number().over(wExact))
-      .filter(col("rank") <= 10)
+      .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "l2_d2")
-      .orderBy("query_id", "rank")
   }
+
+  /** Graded entry: [[pqSearch]] for the same bounded query set
+    * llm_knn_queries uses (vec_id ≤ 4), top-10. */
+  def embPqAdc(s: SparkSession, d: String): DataFrame =
+    pqSearch(s, d,
+      Tables.load(s, d, "embeddings").filter(col("vec_id") <= 4)
+        .select(col("vec_id").as("query_id"), col("embedding")))
+      .orderBy("query_id", "rank")
 
   val queries: Map[String, Q] = Map(
     "emb_pq_adc" -> (embPqAdc _))

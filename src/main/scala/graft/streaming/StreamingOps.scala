@@ -99,6 +99,23 @@ object StreamingOps {
                          queryId: String): (DataFrame, Long) => Unit =
     (batch, batchId) => { t.appendIdempotent(batch, s"$queryId:$batchId"); () }
 
+  /** Streaming ANN serving: each micro-batch of query vectors is scored
+    * against the MEMOIZED PQ index of the static corpus through the exact
+    * batch search path ([[graft.operators.PqOps.pqSearch]] — ADC
+    * shortlist → exact re-rank), and the top-k results append to a
+    * [[graft.tables.VersionedTable]] via idempotent txn-stamped commits.
+    * foreachBatch + shared core means streaming and batch answers cannot
+    * drift, and a replayed micro-batch (at-least-once delivery) lands
+    * exactly once. The codebook/codes memo is built on the first batch
+    * and served from the LRU cache afterwards — the index is NOT
+    * retrained per batch. */
+  def annEnrichSink(sfDir: String, t: graft.tables.VersionedTable,
+                    queryId: String, k: Int = 10): (DataFrame, Long) => Unit =
+    (batch, batchId) => {
+      val res = graft.operators.PqOps.pqSearch(batch.sparkSession, sfDir, batch, k)
+      t.appendIdempotent(res, s"$queryId:$batchId"); ()
+    }
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                          event_type: String, value: Double)
   final case class UserCount(user_id: Long, count: Long)

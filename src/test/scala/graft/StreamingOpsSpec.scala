@@ -424,4 +424,37 @@ class StreamingOpsSpec extends SparkTestBase {
       assert(latest == Map(1L -> 3L, 2L -> 1L), s"got $latest")
     } finally q.stop()
   }
+
+  test("streaming ANN enrichment serves the PQ index per micro-batch, exactly once") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.load(spark, SF, "embeddings")
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val queries = emb.filter(col("query_id").between(10, 14))
+      .as[(Long, Array[Float])].collect().toSeq
+    assert(queries.size == 5)
+    val root = java.nio.file.Files.createTempDirectory("graft_annvt").toString + "/t"
+    val t = graft.tables.VersionedTable.create(spark, root,
+      Seq.empty[(Long, Int, Long, Double)].toDF("query_id", "rank", "neighbor_id", "l2_d2"))
+    val sink = StreamingOps.annEnrichSink(SF, t, "annq", k = 5)
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = input.toDF().toDF("query_id", "embedding")
+      .writeStream.foreachBatch(sink).start()
+    try {
+      input.addData(queries.take(2): _*)
+      q.processAllAvailable()
+      input.addData(queries.drop(2): _*)
+      q.processAllAvailable()
+      val got = t.read().as[(Long, Int, Long, Double)].collect()
+        .sortBy(x => (x._1, x._2)).toSeq
+      // streaming answers must equal the batch search on the same queries
+      val expected = graft.operators.PqOps.pqSearch(spark, SF,
+          emb.filter(col("query_id").between(10, 14)), k = 5)
+        .as[(Long, Int, Long, Double)].collect().sortBy(x => (x._1, x._2)).toSeq
+      assert(got.nonEmpty && got == expected)
+      // post-crash replay of the last micro-batch: same (query, batchId)
+      // txn → the idempotent append is a no-op
+      sink(queries.drop(2).toDF("query_id", "embedding"), 1L)
+      assert(t.read().count() == got.size, "replayed ANN batch duplicated rows")
+    } finally q.stop()
+  }
 }
