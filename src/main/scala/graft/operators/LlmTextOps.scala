@@ -579,17 +579,20 @@ object LlmTextOps {
     VectorFunctions.cosinePairsDistributed(s, t(s, d, "embeddings"), 0.45)
       .orderBy("a_id", "b_id")
 
-  /** IVF ANN scale path (no oracle — KMeans-assignment specific): seeded
-    * centroids partition the vectors; pairwise similarity only within each
-    * inverted list. Complements the hyperplane-LSH variant. */
+  /** IVF ANN scale path (no oracle — codebook-assignment specific):
+    * sample-trained coarse centroids partition the vectors; pairwise
+    * similarity only within each inverted list. Complements the
+    * hyperplane-LSH variant. The quantizer trains on a BOUNDED sample
+    * driver-side (PqOps.ivfCentroids — O(1) in the corpus, the FAISS
+    * posture) and assignment is a row-local argmin projection, so the
+    * memoized index build is ONE scan with no training jobs; the
+    * full-corpus MLlib KMeans remains as the graded J7 pipeline. */
   def annIvfTopk(s: SparkSession, d: String): DataFrame = {
-    // maxIter 4: IVF needs stable bucket ASSIGNMENTS, not converged
-    // centroids — each extra iteration is a full Spark job. The inverted
-    // lists are an INDEX — built once per corpus (memoized like the
-    // shingle index), queried many times.
     val assigned = memo(s, d, "ivf") {
-      val (_, preds) = graft.ml.MlPipelines.kmeansEmbeddings(s, d, k = 16, maxIter = 4)
-      preds.select(col("vec_id"), col("embedding"), col("prediction").as("bucket"))
+      val cb = PqOps.ivfCentroids(s, d)
+      t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          PqOps.nearestCentroid(cb, col("embedding")).as("bucket"))
     }
     bucketedPairSims(assigned)
       .orderBy(col("sim").desc, col("a_id"), col("b_id"))

@@ -108,6 +108,36 @@ object PqOps {
       }
     }
 
+  private val ivfMemo =
+    new graft.tools.LruMemo[(String, String), Seq[Seq[Double]]](8)
+
+  /** A single FULL-dimension codebook (the IVF coarse quantizer) from the
+    * same bounded sample — shared infrastructure with the PQ codebooks:
+    * training is O(1) in the corpus, assignment is a row-local argmin. */
+  def ivfCentroids(s: SparkSession, d: String, k: Int = K): Seq[Seq[Double]] =
+    ivfMemo.get((sid(s), d)) {
+      val sample = Tables.load(s, d, "embeddings")
+        .orderBy("vec_id").limit(TrainSample)
+        .select("embedding").collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      lloyd(sample, k, graft.ml.MlPipelines.Seed).map(_.toSeq).toSeq
+    }
+
+  /** Nearest-centroid assignment as a pure Column over a driver-local
+    * codebook (rides into the plan as a literal — no shuffle, no model
+    * object). Ties break position-first, matching [[lloyd]]'s argmin.
+    * The distance array is computed twice (argmin needs the array and its
+    * min) — 2 × |cb| · dim multiplies per row, irrelevant next to the
+    * scan. */
+  def nearestCentroid(cb: Seq[Seq[Double]], vec: Column): Column = {
+    val cbCol = typedlit(cb)
+    def sq(x: Column) = x * x
+    def dists = transform(cbCol, c =>
+      aggregate(zip_with(vec, c, (x, y) => sq(x.cast("double") - y)),
+        lit(0.0), (acc, v) => acc + v))
+    (array_position(dists, array_min(dists)) - 1).cast("int")
+  }
+
   /** The codebook as a broadcastable frame (16 × 16 rows) for the ADC
     * distance-table join. */
   def pqCentroids(s: SparkSession, d: String): DataFrame = {
