@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Graph analytics beyond connected components: weighted PageRank over
+  * the customer↔supplier purchase network (who buys from whom, how
+  * much), the entity-centrality pass a marketplace/eval pipeline runs.
+  *
+  * The edge list is built once from lineitem ⋈ orders (edge weight =
+  * number of lineitems between the pair) and SYMMETRIZED — the random
+  * surfer walks both directions, so the bipartite graph has no dangling
+  * mass and ranks are a proper distribution. Node ids are namespaced
+  * ('c:'/'s:' prefixes) because customer and supplier keys share the
+  * integer id space.
+  *
+  * Iteration shape at 100 TB: each round is ONE equi-join of the edge
+  * list against the current rank vector (both hash-partitioned on the
+  * node id — the partitioning is reused across rounds) plus one keyed
+  * aggregation with map-side partials; the driver holds only the round
+  * counter. Exactly the CC loop's posture (SCALE.md "Duplicate
+  * clusters"), with a FIXED round count instead of a convergence test —
+  * which is what makes the DuckDB oracle expressible as 5 unrolled CTE
+  * stages (recursive CTEs cannot aggregate in the recursive term).
+  *
+  * Float discipline: both engines run the identical damping formula on
+  * doubles and round ONLY the final rank (6 dp); per-node neighbor sums
+  * are ~dozens of terms, so cross-engine summation-order noise is
+  * O(1e-15) — far inside the rounding guard.
+  */
+object GraphOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  val Damping = 0.85
+  val Iters = 5
+
+  /** Symmetrized weighted edges: (src, dst, w) with namespaced ids. */
+  private def purchaseEdges(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.load(s, d, "lineitem").select("l_orderkey", "l_suppkey")
+    val o = Tables.load(s, d, "orders").select("o_orderkey", "o_custkey")
+    val cs = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(concat(lit("c:"), col("o_custkey")).as("src"),
+        concat(lit("s:"), col("l_suppkey")).as("dst"))
+      .agg(count(lit(1)).cast("double").as("w"))
+    cs.union(cs.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+  }
+
+  /** Core fixed-iteration weighted PageRank over any (src, dst, w) edge
+    * frame — exposed so constructed-graph tests exercise THIS loop. */
+  def pageRank(edges: DataFrame, iters: Int = Iters,
+               damping: Double = Damping): DataFrame = {
+    val e = edges.localCheckpoint(true)
+    // per-source total out-weight; edge transition prob = w / wout
+    val trans = e.join(e.groupBy(col("src").as("u")).agg(sum("w").as("wout")),
+        col("src") === col("u"))
+      .select(col("src"), col("dst"), (col("w") / col("wout")).as("p"))
+      .localCheckpoint(true)
+    val nodes = trans.select(col("src").as("id")).distinct().localCheckpoint(true)
+    val n = nodes.count()
+    var pr = nodes.withColumn("rank", lit(1.0 / n))
+    // NO per-round checkpoint: the round count is FIXED (no data-dependent
+    // control flow to cut), so the whole recurrence stays one lazy plan —
+    // 5 join+agg stages in a single job against the checkpointed edge
+    // list, instead of 5 materialization jobs. (The CC loop checkpoints
+    // each round because its convergence count is an action per round.)
+    (1 to iters).foreach { _ =>
+      pr = trans.join(pr, col("src") === col("id"))
+        .groupBy(col("dst").as("id2"))
+        .agg(sum(col("rank") * col("p")).as("in_mass"))
+        .select(col("id2").as("id"),
+          (lit((1.0 - damping) / n) + lit(damping) * col("in_mass")).as("rank"))
+    }
+    pr
+  }
+
+  /** Graded entry: 5-round PageRank on the purchase network, final ranks
+    * rounded 6 dp. Every node has in- and out-edges (symmetrized), so the
+    * join never drops a node between rounds. */
+  def graphPagerank(s: SparkSession, d: String): DataFrame =
+    pageRank(purchaseEdges(s, d))
+      .select(col("id"), round(col("rank"), 6).as("rank"))
+      .orderBy("id")
+
+  val queries: Map[String, Q] = Map(
+    "graph_pagerank" -> (graphPagerank _))
+
+  /** The identical formula with the 5 rounds unrolled as CTE stages. */
+  val oracles: Map[String, String] = Map(
+    "graph_pagerank" -> {
+      val base =
+        "WITH cs AS (SELECT 'c:' || o_custkey AS src, 's:' || l_suppkey AS dst, CAST(count(*) AS DOUBLE) AS w " +
+          "FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1, 2), " +
+          "e AS (SELECT src, dst, w FROM cs UNION ALL SELECT dst, src, w FROM cs), " +
+          "t AS (SELECT e.src, e.dst, e.w / o.wout AS p FROM e JOIN (SELECT src AS u, sum(w) AS wout FROM e GROUP BY src) o ON e.src = o.u), " +
+          "nodes AS (SELECT DISTINCT src AS id FROM t), " +
+          "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes), " +
+          "pr0 AS (SELECT id, 1.0 / n AS rank FROM nodes CROSS JOIN nn)"
+      val steps = (1 to Iters).map { i =>
+        s"pr$i AS (SELECT t.dst AS id, (1.0 - $Damping) / nn.n + $Damping * sum(pr${i - 1}.rank * t.p) AS rank " +
+          s"FROM t JOIN pr${i - 1} ON t.src = pr${i - 1}.id CROSS JOIN nn GROUP BY t.dst, nn.n)"
+      }.mkString(", ", ", ", " ")
+      base + steps +
+        s"SELECT id, round(rank, 6) AS rank FROM pr$Iters ORDER BY id"
+    })
+}

@@ -86,7 +86,8 @@ class EngineSurfaceSpec extends SparkTestBase {
       "TableOps" -> TableOps.queries.keySet,
       "TpchOps" -> TpchOps.queries.keySet,
       "LlmCorpusOps" -> LlmCorpusOps.queries.keySet,
-      "PqOps" -> PqOps.queries.keySet)
+      "PqOps" -> PqOps.queries.keySet,
+      "GraphOps" -> GraphOps.queries.keySet)
     val perRegistry = registries.map(_._2.size).sum
     assert(perRegistry == SparkEntry.queries.size,
       s"key collision across registries: ${
