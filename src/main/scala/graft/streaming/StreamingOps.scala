@@ -99,6 +99,27 @@ object StreamingOps {
                          queryId: String): (DataFrame, Long) => Unit =
     (batch, batchId) => { t.appendIdempotent(batch, s"$queryId:$batchId"); () }
 
+  /** Streaming CDC upsert sink: each micro-batch MERGEs into a
+    * [[graft.tables.VersionedTable]] on `key`. Within a batch only the
+    * LATEST row per key survives (highest `seqCol`, remaining columns as
+    * a deterministic tie-break) — the standard CDC compaction, and also
+    * what makes the merge well-defined (two same-key rows in one MERGE
+    * would race). Replay safety is CONTENT-idempotence: re-applying the
+    * same compacted upserts yields byte-identical table contents (a
+    * replayed batch adds a version whose snapshot equals the previous
+    * one), unlike append sinks which need the txn-stamp to avoid
+    * duplicate ROWS. */
+  def cdcMergeSink(t: graft.tables.VersionedTable, key: String,
+                   seqCol: String): (DataFrame, Long) => Unit =
+    (batch, _) => {
+      val others = batch.columns.toSeq.filter(c => c != key && c != seqCol)
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(key)
+        .orderBy((col(seqCol).desc +: others.map(c => col(c).desc)): _*)
+      val latest = batch.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1).drop("_rn")
+      t.merge(latest, key); ()
+    }
+
   /** Streaming ANN serving: each micro-batch of query vectors is scored
     * against the MEMOIZED PQ index of the static corpus through the exact
     * batch search path ([[graft.operators.PqOps.pqSearch]] — ADC

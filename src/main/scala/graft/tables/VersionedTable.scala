@@ -310,7 +310,7 @@ final class VersionedTable private (val spark: SparkSession, val root: String) {
   def merge(updates: DataFrame, key: String): Int = withRebase() {
     val base = currentVersion
     val cur = read(Some(base))
-    val cols = cur.columns
+    val cols = cur.columns.toSeq
     // join(Seq(key)) outputs ONE coalesced key column. Row-presence is
     // tested via an always-true marker, NOT coalesce over data columns —
     // an update row must be able to set a column to NULL (coalesce would
