@@ -161,7 +161,29 @@ object EventOps {
       .orderBy("event_id")
   }
 
+  /** DAU/WAU: per active day, the distinct-user count that day and over
+    * the trailing 7-day window. The rolling distinct can't run as a
+    * window aggregate (DISTINCT in frames is unsupported on both
+    * engines); instead each (user, day) grain row COVERS the 7 window
+    * ends it contributes to — a bounded explode (×7) — and one keyed
+    * distinct-count per cover day finishes it. Two shuffles on day-grain
+    * keys; the grain table, not the raw event stream, is what explodes,
+    * so the fan-out is capped at 7 × |user-days| at any scale. */
+  def eventDauWau(s: SparkSession, d: String): DataFrame = {
+    val days = ev(s, d)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day")).distinct()
+    val dau = days.groupBy("day").agg(countDistinct("user_id").as("dau"))
+    val wau = days
+      .select(col("user_id"),
+        explode(expr("sequence(day, day + interval 6 days, interval 1 day)")).as("day"))
+      .groupBy("day").agg(countDistinct("user_id").as("wau"))
+    dau.join(wau, "day") // only days that actually occur in the data
+      .select("day", "dau", "wau")
+      .orderBy("day")
+  }
+
   val queries: Map[String, Q] = Map(
+    "event_dau_wau" -> (eventDauWau _),
     "event_anomaly" -> (eventAnomaly _),
     "stream_tumbling" -> (streamTumbling _),
     "stream_sliding" -> (streamSliding _),
@@ -173,6 +195,12 @@ object EventOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "event_dau_wau" ->
+      ("WITH days AS (SELECT DISTINCT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day FROM events), " +
+        "dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM days GROUP BY day), " +
+        "cover AS (SELECT user_id, unnest(generate_series(day, day + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS day FROM days), " +
+        "wau AS (SELECT day, count(DISTINCT user_id) AS wau FROM cover GROUP BY day) " +
+        "SELECT dau.day, dau, wau FROM dau JOIN wau ON dau.day = wau.day ORDER BY dau.day"),
     "event_anomaly" ->
       ("WITH p AS (SELECT event_id, user_id, value FROM events WHERE event_type = 'purchase'), " +
         "st AS (SELECT user_id, avg(value) AS mu, stddev_samp(value) AS sd, count(*) AS n FROM p GROUP BY user_id) " +

@@ -137,7 +137,23 @@ object WindowOps {
       .orderBy("o_orderkey")
   }
 
+  /** E11: ratio-to-report — each order's share of its status partition's
+    * FULL total (the classic BI window; the window runs before the output
+    * filter, so shares are relative to the whole partition). Whole-
+    * partition sums accumulate in engine-specific order; the 1e-15
+    * relative noise sits far inside the 6 dp rounding on a ≤1 ratio
+    * (same discipline as win_median's full-partition quantile). */
+  def winShareOfTotal(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_orderstatus")
+    t(s, d, "orders")
+      .withColumn("share", round(col("o_totalprice") / sum("o_totalprice").over(w), 6))
+      .filter(col("o_orderkey") % 10 === 0)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice", "share")
+      .orderBy("o_orderkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "win_share_of_total" -> (winShareOfTotal _),
     "win_udaf_geomean" -> (winUdafGeomean _),
     "win_fill_forward" -> (winFillForward _),
     "win_median" -> (winMedian _),
@@ -151,6 +167,11 @@ object WindowOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "win_share_of_total" ->
+      ("SELECT o_orderkey, o_orderstatus, o_totalprice, share FROM (" +
+        "SELECT o_orderkey, o_orderstatus, o_totalprice, " +
+        "round(o_totalprice / sum(o_totalprice) OVER (PARTITION BY o_orderstatus), 6) AS share " +
+        "FROM orders) WHERE o_orderkey % 10 = 0 ORDER BY o_orderkey"),
     "win_udaf_geomean" ->
       ("SELECT o_orderkey, o_orderstatus, " +
         "round(exp(avg(ln(o_totalprice)) OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey " +
