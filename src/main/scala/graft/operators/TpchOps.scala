@@ -4,10 +4,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
-/** Classic TPC-H-shaped analytic queries adapted to the fixture schema
-  * (no partsupp / l_shipmode / l_commitdate columns exist, so Q3/Q6/Q10/
-  * Q14/Q18 are the shapes the star schema supports beyond the Q1/Q5 twins
-  * already graded as agg_groupby_q1 / join_star_tpch).
+/** Classic TPC-H-shaped analytic queries adapted to the fixture schema.
+  * With the Q2/Q9/Q11/Q16/Q20 adaptations below, all 22 TPC-H query
+  * SHAPES are graded (Q1/Q5's twins live as agg_groupby_q1 /
+  * join_star_tpch). The fixture has no partsupp table, l_shipmode, or
+  * l_commitdate: the five partsupp-dependent queries derive the
+  * supplier-part relationship from lineitem itself — distinct
+  * (l_partkey, l_suppkey) pairs, with the minimum observed unit price
+  * (l_extendedprice / l_quantity, money-rounded) standing in for
+  * ps_supplycost and shipped quantity standing in for ps_availqty.
+  * Each adaptation keeps the ORIGINAL query's plan shape (correlated
+  * min subquery, scalar-threshold, NOT-IN exclusion, nested semi join)
+  * so the optimizer exercises are the real ones.
   *
   * Scale posture: all five are the canonical warehouse patterns —
   * selective scans feed partial aggregation before any join where
@@ -306,7 +314,164 @@ object TpchOps {
       .limit(20)
   }
 
+  /** Q2 minimum-cost supplier, adapted: supply cost per (part, supplier)
+    * is the minimum unit price ever charged (money-rounded with the
+    * floor(x*100+0.5) discipline so both engines agree on .xx5
+    * boundaries). The correlated "= min cost over that part's European
+    * suppliers" subquery is decorrelated into a window min over the
+    * already-reduced pair table. Scale order matters: the 41 size-15
+    * parts broadcast-semi-prune lineitem BEFORE the pair aggregation
+    * (correlation is per part, so pre-filtering is semantics-preserving
+    * and shrinks the shuffle ~50×), and the European supplier dimension
+    * broadcasts. */
+  def tpchQ2MinCost(s: SparkSession, d: String): DataFrame = {
+    val sized = t(s, d, "part").filter(col("p_size") === 15).select("p_partkey", "p_name")
+    val eu = t(s, d, "supplier")
+      .join(broadcast(t(s, d, "nation")
+          .join(broadcast(t(s, d, "region").filter(col("r_name") === "EUROPE")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    val ps = t(s, d, "lineitem")
+      .join(broadcast(sized.select("p_partkey")),
+        col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy("l_partkey", "l_suppkey")
+      .agg((floor(min(col("l_extendedprice") / col("l_quantity")) * 100 + 0.5) / 100)
+        .as("supp_cost"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("l_partkey")
+    ps.join(broadcast(eu), col("l_suppkey") === col("s_suppkey"))
+      .withColumn("min_cost", min("supp_cost").over(w))
+      .filter(col("supp_cost") === col("min_cost"))
+      .join(broadcast(sized), col("l_partkey") === col("p_partkey"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("p_name"), col("supp_cost"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+      .limit(100)
+  }
+
+  /** Q9 product-type profit, adapted: with no ps_supplycost, the cost
+    * model is 0.6 × p_retailprice × quantity (deterministic, part-derived,
+    * so the profit expression needs no extra join). part (LIKE-filtered)
+    * and supplier→nation broadcast; the only shuffle joins the pruned
+    * lineitem to orders for the order year.
+    *
+    * The profit sum runs in DECIMAL, not double: the subtraction makes
+    * this the one headline aggregate whose true total actually landed on
+    * a .xx5 cent boundary at sf0.01, where double summation order (32
+    * partials here vs one stream in the oracle) flips the rounded cent.
+    * The inputs are fixed-point by construction (money 2 dp, discount
+    * 2 dp, retail 1 dp, integral quantity), so decimal aggregation is
+    * exact and order-independent on both engines — same cast widths on
+    * both sides, double only at the output boundary. */
+  def tpchQ9Profit(s: SparkSession, d: String): DataFrame = {
+    val suppNation = t(s, d, "supplier")
+      .join(broadcast(t(s, d, "nation").select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("nation"))
+    val profitRow =
+      col("l_extendedprice").cast("decimal(14,2)") *
+        (lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(4,2)")) -
+      lit(0.6).cast("decimal(2,1)") *
+        col("p_retailprice").cast("decimal(8,1)") * col("l_quantity").cast("decimal(4,0)")
+    t(s, d, "lineitem")
+      .join(broadcast(t(s, d, "part").filter(col("p_name").like("%gear%"))
+          .select("p_partkey", "p_retailprice")),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .join(t(s, d, "orders").select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("nation"), year(col("o_orderdate")).as("o_year"))
+      .agg(round(sum(profitRow), 2).cast("double").as("profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  /** Q11 important stock, adapted: "inventory value" per part held by one
+    * nation's suppliers is shipped quantity × retail price; keep parts
+    * whose value exceeds 3× the nation's AVERAGE part value (Q11's
+    * scalar-subquery threshold shape, but average-relative instead of
+    * the spec's fraction-of-total — the spec itself divides its fraction
+    * by SF because fraction-of-total yields 0 rows the moment the part
+    * count grows; the average form is scale-free, 19 rows at sf0.01 and
+    * 194 at sf0.1). The nation's suppliers (~4 rows) semi-prune lineitem
+    * before the per-part aggregation; the threshold re-aggregates the
+    * SAME per-part result (one extra reduction row, never a second fact
+    * pass) and broadcasts. Raw doubles feed the threshold compare on
+    * both engines; rounding is output-only. */
+  def tpchQ11Stock(s: SparkSession, d: String): DataFrame = {
+    val natSupp = t(s, d, "supplier")
+      .join(broadcast(t(s, d, "nation").filter(col("n_name") === "NATION_5")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey")
+    val perPart = t(s, d, "lineitem")
+      .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .join(broadcast(t(s, d, "part").select("p_partkey", "p_retailprice")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("l_partkey")
+      .agg(sum(col("l_quantity") * col("p_retailprice")).as("v"))
+    perPart.crossJoin(broadcast(perPart.agg((avg("v") * 3.0).as("threshold"))))
+      .filter(col("v") > col("threshold"))
+      .select(col("l_partkey").as("p_partkey"), round(col("v"), 2).as("value"))
+      .orderBy(col("value").desc, col("p_partkey"))
+  }
+
+  /** Q16 parts/supplier relationship, adapted: distinct supplier-part
+    * pairs come from lineitem, the "customer complaints" NOT-IN exclusion
+    * becomes negative-balance suppliers (a broadcast anti join — NOT IN
+    * is safe to plan as anti here because s_suppkey is never null), and
+    * the count-distinct-suppliers per (brand, type, size) group runs on
+    * the part-filtered pairs. The pair distinct is the one fact shuffle;
+    * everything else broadcasts. */
+  def tpchQ16SuppCnt(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem").select("l_partkey", "l_suppkey").distinct()
+      .join(broadcast(t(s, d, "supplier").filter(col("s_acctbal") < 0).select("s_suppkey")),
+        col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(broadcast(t(s, d, "part")
+          .filter(col("p_brand") =!= "Brand#5" && col("p_type") =!= "PROMO" &&
+            col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+          .select("p_partkey", "p_brand", "p_type", "p_size")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct("l_suppkey").as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+
+  /** Q20 potential part promotion, adapted: with no ps_availqty, "surplus
+    * stock" becomes shipment dominance — European suppliers who shipped
+    * MORE THAN HALF of a small-part's total 1996 volume. The nested
+    * IN-subqueries of the original collapse to one aggregation to
+    * (part, supplier) grain plus one window total per part (the window
+    * reuses the aggregation's data with a single partkey re-shuffle, vs
+    * the two extra fact passes the literal SQL implies), then a semi join
+    * into the 100-row supplier dimension. */
+  def tpchQ20Promo(s: SparkSession, d: String): DataFrame = {
+    val shipped = t(s, d, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1997-01-01"))
+      .join(broadcast(t(s, d, "part").filter(col("p_name").like("small%")).select("p_partkey")),
+        col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(sum("l_quantity").as("qty"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("l_partkey")
+    val dominant = shipped
+      .withColumn("total_qty", sum("qty").over(w))
+      .filter(col("qty") > lit(0.5) * col("total_qty"))
+      .select("l_suppkey")
+    t(s, d, "supplier")
+      .join(broadcast(dominant), col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .join(broadcast(t(s, d, "nation")
+          .join(broadcast(t(s, d, "region").filter(col("r_name") === "EUROPE")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_name", "n_name")
+      .orderBy("s_suppkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "tpch_q2_mincost" -> (tpchQ2MinCost _),
+    "tpch_q9_profit" -> (tpchQ9Profit _),
+    "tpch_q11_stock" -> (tpchQ11Stock _),
+    "tpch_q16_suppcnt" -> (tpchQ16SuppCnt _),
+    "tpch_q20_promo" -> (tpchQ20Promo _),
     "tpch_q3_shipping" -> (tpchQ3Shipping _),
     "tpch_q12_late" -> (tpchQ12Late _),
     "tpch_q21_waiting" -> (tpchQ21Waiting _),
@@ -325,6 +490,49 @@ object TpchOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "tpch_q2_mincost" ->
+      ("WITH ps AS (SELECT l_partkey, l_suppkey, floor(min(l_extendedprice / l_quantity)*100 + 0.5)/100 AS supp_cost " +
+        "FROM lineitem GROUP BY 1, 2), " +
+        "eu AS (SELECT s_suppkey, s_name, s_acctbal, n_name FROM supplier " +
+        "JOIN nation ON s_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'EUROPE') " +
+        "SELECT s_acctbal, s_name, n_name, p_partkey, p_name, supp_cost " +
+        "FROM ps JOIN eu ON l_suppkey = s_suppkey JOIN part ON p_partkey = l_partkey " +
+        "WHERE p_size = 15 AND supp_cost = (SELECT min(ps2.supp_cost) FROM ps ps2 " +
+        "JOIN eu eu2 ON ps2.l_suppkey = eu2.s_suppkey WHERE ps2.l_partkey = p_partkey) " +
+        "ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100"),
+    "tpch_q9_profit" ->
+      ("SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year, " +
+        "CAST(round(sum(" +
+        "CAST(l_extendedprice AS DECIMAL(14,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) " +
+        "- CAST(0.6 AS DECIMAL(2,1)) * CAST(p_retailprice AS DECIMAL(8,1)) * CAST(l_quantity AS DECIMAL(4,0))" +
+        "), 2) AS DOUBLE) AS profit " +
+        "FROM lineitem JOIN part ON p_partkey = l_partkey JOIN supplier ON s_suppkey = l_suppkey " +
+        "JOIN orders ON o_orderkey = l_orderkey JOIN nation ON s_nationkey = n_nationkey " +
+        "WHERE p_name LIKE '%gear%' GROUP BY 1, 2 ORDER BY 1, 2 DESC"),
+    "tpch_q11_stock" ->
+      ("WITH val AS (SELECT l_partkey, sum(l_quantity * p_retailprice) AS v " +
+        "FROM lineitem JOIN supplier ON s_suppkey = l_suppkey JOIN nation ON s_nationkey = n_nationkey " +
+        "JOIN part ON p_partkey = l_partkey WHERE n_name = 'NATION_5' GROUP BY 1) " +
+        "SELECT l_partkey AS p_partkey, round(v, 2) AS value FROM val " +
+        "WHERE v > (SELECT avg(v) * 3.0 FROM val) ORDER BY value DESC, p_partkey"),
+    "tpch_q16_suppcnt" ->
+      ("SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt " +
+        "FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps " +
+        "JOIN part ON p_partkey = l_partkey " +
+        "WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO' AND p_size IN (1, 4, 9, 16, 25, 36, 49) " +
+        "AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0) " +
+        "GROUP BY 1, 2, 3 ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"),
+    "tpch_q20_promo" ->
+      ("WITH shipped AS (SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty " +
+        "FROM lineitem JOIN part ON p_partkey = l_partkey " +
+        "WHERE p_name LIKE 'small%' AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01' " +
+        "GROUP BY 1, 2), " +
+        "tot AS (SELECT l_partkey, sum(qty) AS total_qty FROM shipped GROUP BY 1) " +
+        "SELECT s_suppkey, s_name, n_name FROM supplier " +
+        "JOIN nation ON s_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey " +
+        "WHERE r_name = 'EUROPE' AND s_suppkey IN " +
+        "(SELECT l_suppkey FROM shipped JOIN tot USING (l_partkey) WHERE qty > 0.5 * total_qty) " +
+        "ORDER BY s_suppkey"),
     "tpch_q12_late" ->
       ("SELECT l_returnflag, " +
         "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, " +
