@@ -182,7 +182,34 @@ object EventOps {
       .orderBy("day")
   }
 
+  /** Gap-based sessionization with stable per-user session ORDINALS — the
+    * batch classic (lag → new-session flag → running count). Differs from
+    * the I3 session window ([[streamSession]], Spark's session_window
+    * aggregate): the ordinal session_id is a join key downstream systems
+    * rely on, and the three passes (lag, running sum, per-session agg)
+    * all run inside ONE shuffle on user_id — the window sort orders by
+    * (ts, event_id) so ties can't flip session numbering between engines,
+    * and the per-session aggregation partially aggregates before its
+    * (user, session) re-shuffle. Gap arithmetic is integer microseconds
+    * on both engines (§5.3.3 discipline). */
+  def eventSessionize(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val gapUs = 86400L * 1000000L // 1 day
+    val numbered = ev(s, d).select("user_id", "event_id", "ts")
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_us").isNull || unix_micros(col("ts")) - col("prev_us") > gapUs, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum("new_session")
+        .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    numbered.groupBy("user_id", "session_id")
+      .agg(min("ts").as("session_start"), max("ts").as("session_end"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id", "session_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "event_sessionize" -> (eventSessionize _),
     "event_dau_wau" -> (eventDauWau _),
     "event_anomaly" -> (eventAnomaly _),
     "stream_tumbling" -> (streamTumbling _),
@@ -195,6 +222,16 @@ object EventOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "event_sessionize" ->
+      ("WITH ordered AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, " +
+        "CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL " +
+        "OR CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP)) OVER w > INTERVAL 1 DAY THEN 1 ELSE 0 END AS new_session " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)), " +
+        "numbered AS (SELECT user_id, ts, " +
+        "CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id " +
+        "FROM ordered) " +
+        "SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end, " +
+        "count(*) AS n_events FROM numbered GROUP BY 1, 2 ORDER BY user_id, session_id"),
     "event_dau_wau" ->
       ("WITH days AS (SELECT DISTINCT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day FROM events), " +
         "dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM days GROUP BY day), " +

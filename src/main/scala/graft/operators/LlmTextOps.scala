@@ -58,6 +58,32 @@ object LlmTextOps {
           (acc, x) => acc + ceil(length(x) / lit(4.0))).as("bpe_cnt"))
       .orderBy("doc_id")
 
+  /** Domain-mixture sampling to a per-source character budget — the data-
+    * mixing step of a training-corpus build. Each source gets an equal
+    * share of 90% of the corpus (rate = min(1, 0.9·avg-source-chars /
+    * this-source-chars)), and membership is a DETERMINISTIC per-doc coin:
+    * a Knuth multiplicative hash of doc_id mapped to [0,1) and compared
+    * to the source's rate. No RNG, so reruns/retries at any scale pick
+    * the same documents, and the whole op is one tiny per-source
+    * aggregate broadcast back over a pure projection-filter scan — the
+    * fact table shuffles zero times. Rate arithmetic stays in exact
+    * integer sums until the final double divisions (same order on both
+    * engines), so the threshold compare is engine-portable. */
+  def llmDomainMix(s: SparkSession, d: String): DataFrame = {
+    val perSrc = t(s, d, "documents").groupBy("source")
+      .agg(sum("n_chars").as("src_chars"))
+    val rates = perSrc
+      .crossJoin(broadcast(perSrc.agg(
+        sum("src_chars").as("total"), count(lit(1)).as("n_src"))))
+      .select(col("source"),
+        least(lit(1.0), col("total") * 0.9 / col("n_src") / col("src_chars")).as("rate"))
+    t(s, d, "documents").select("doc_id", "source")
+      .join(broadcast(rates), "source")
+      .filter(pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)) / 4294967296.0 < col("rate"))
+      .select(col("doc_id"), col("source"), round(col("rate"), 6).as("rate"))
+      .orderBy("doc_id")
+  }
+
   /** Quality scoring: length band + average word length, composed into a
     * [0,1] score with exact-portable arithmetic. */
   def llmQualityScore(s: SparkSession, d: String): DataFrame = {
@@ -708,6 +734,7 @@ object LlmTextOps {
     "ann_ivf_topk" -> (annIvfTopk _),
     "llm_lang_id" -> (llmLangId _),
     "llm_token_count" -> (llmTokenCount _),
+    "llm_domain_mix" -> (llmDomainMix _),
     "llm_quality_score" -> (llmQualityScore _),
     "llm_fingerprint" -> (llmFingerprint _),
     "llm_ngram_jaccard" -> (llmNgramJaccard _),
@@ -759,6 +786,14 @@ object LlmTextOps {
     },
     "llm_token_count" ->
       "SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_cnt, CAST(list_sum(list_transform(string_split(text, ' '), x -> ceil(length(x) / 4.0))) AS BIGINT) AS bpe_cnt FROM documents ORDER BY doc_id",
+    "llm_domain_mix" ->
+      ("WITH tot AS (SELECT source, sum(n_chars) AS src_chars FROM documents GROUP BY 1), " +
+        "rates AS (SELECT source, least(1.0, " +
+        "(SELECT sum(src_chars) * 0.9 / count(*) FROM tot) / src_chars) AS rate FROM tot) " +
+        "SELECT doc_id, d.source, round(rate, 6) AS rate " +
+        "FROM documents d JOIN rates USING (source) " +
+        "WHERE (doc_id * 2654435761) % 4294967296 / 4294967296.0 < rate " +
+        "ORDER BY doc_id"),
     // same 5-gram construction as llm_fingerprint; docs under 5 words have
     // zero shingles and dup_frac 0.0 on both engines.
     "llm_repetition" ->

@@ -19,16 +19,17 @@ class PlanInvariantsSpec extends SparkTestBase {
     *  - llm_knn_queries: bounded query set × corpus — the brute-force
     *    baseline; the scale path is ann_lsh_topk / ann_ivf_topk.
     *  - llm_lang_temperature / llm_unigram_logprob / llm_tfidf_topk /
-    *    tpch_q22_idle / tpch_q11_stock: scalar-subquery style joins
-    *    against a 1-row global aggregate (tfidf's corpus size N for the
-    *    idf term; q11/q22's value threshold — the inequality filter
+    *    tpch_q22_idle / tpch_q11_stock / llm_domain_mix: scalar-subquery
+    *    style joins against a 1-row global aggregate (tfidf's corpus
+    *    size N for the idf term; q11/q22's value threshold;
+    *    domain_mix's corpus-total rate — the non-equi use of the scalar
     *    can't become an equi-join, so the 1-row broadcast nested loop
     *    IS the right plan).
     */
   private val bnlAllowed = Set(
     "join_cross", "event_funnel", "fn_bool_logic_3vl", "join_skew_salted",
     "llm_knn_queries", "llm_lang_temperature", "llm_unigram_logprob",
-    "llm_tfidf_topk", "tpch_q22_idle", "tpch_q11_stock")
+    "llm_tfidf_topk", "tpch_q22_idle", "tpch_q11_stock", "llm_domain_mix")
 
   test("no graded key plans a CartesianProduct; nested-loop joins only where justified") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
