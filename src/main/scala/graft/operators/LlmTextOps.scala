@@ -84,6 +84,49 @@ object LlmTextOps {
       .orderBy("doc_id")
   }
 
+  /** URL-canonicalization dedup — the first pass of every web-corpus
+    * pipeline: the same page arrives under case-varied hosts, tracking
+    * query params, fragments, and trailing slashes. Raw URLs are
+    * CONSTRUCTED from doc_id arithmetic (the fixture has no url column)
+    * with exactly those four noise classes planted, then canonicalized by
+    * pure codegen'd string ops (strip fragment → strip query → lowercase
+    * → drop `www.` → drop trailing slash) and deduped in ONE hash shuffle
+    * on the canonical key. Survivor rule is deterministic (longest
+    * document, doc_id ascending on ties) so retries at any scale elect
+    * the same representative; at 100 TB this is the same shape as exact
+    * dedup — a map-side projection plus one exchange, no index needed. */
+  def llmDedupUrl(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val raw = t(s, d, "documents").select(
+      col("doc_id"), col("n_chars"),
+      concat(
+        lit("https://"),
+        when(pmod(col("doc_id"), lit(3)) === 0, lit("WWW.Mirror."))
+          .otherwise(lit("www.mirror.")),
+        lit("example.com/articles/"),
+        pmod(col("doc_id"), lit(197)).cast("string"),
+        when(pmod(col("doc_id"), lit(5)) === 0, lit("/")).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(2)) === 0,
+          concat(lit("?utm_source="), col("source"), lit("&utm_campaign=crawl")))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(7)) === 0, lit("#top")).otherwise(lit("")))
+        .as("url"))
+    val canon = raw.withColumn("canonical_url",
+      regexp_replace(
+        regexp_replace(
+          lower(regexp_replace(regexp_replace(col("url"), "#.*$", ""), "\\?.*$", "")),
+          "^https://www\\.", "https://"),
+        "/$", ""))
+    val byCanon = Window.partitionBy("canonical_url")
+    canon
+      .withColumn("rn", row_number().over(
+        byCanon.orderBy(col("n_chars").desc, col("doc_id"))))
+      .withColumn("n_dups", count(lit(1)).over(byCanon))
+      .filter(col("rn") === 1)
+      .select(col("canonical_url"), col("doc_id"), col("n_dups"))
+      .orderBy("canonical_url")
+  }
+
   /** Quality scoring: length band + average word length, composed into a
     * [0,1] score with exact-portable arithmetic. */
   def llmQualityScore(s: SparkSession, d: String): DataFrame = {
@@ -735,6 +778,7 @@ object LlmTextOps {
     "llm_lang_id" -> (llmLangId _),
     "llm_token_count" -> (llmTokenCount _),
     "llm_domain_mix" -> (llmDomainMix _),
+    "llm_dedup_url" -> (llmDedupUrl _),
     "llm_quality_score" -> (llmQualityScore _),
     "llm_fingerprint" -> (llmFingerprint _),
     "llm_ngram_jaccard" -> (llmNgramJaccard _),
@@ -786,6 +830,20 @@ object LlmTextOps {
     },
     "llm_token_count" ->
       "SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_cnt, CAST(list_sum(list_transform(string_split(text, ' '), x -> ceil(length(x) / 4.0))) AS BIGINT) AS bpe_cnt FROM documents ORDER BY doc_id",
+    "llm_dedup_url" ->
+      ("WITH u AS (SELECT doc_id, n_chars, 'https://' || " +
+        "(CASE WHEN doc_id % 3 = 0 THEN 'WWW.Mirror.' ELSE 'www.mirror.' END) || " +
+        "'example.com/articles/' || (doc_id % 197) || " +
+        "(CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END) || " +
+        "(CASE WHEN doc_id % 2 = 0 THEN '?utm_source=' || source || '&utm_campaign=crawl' ELSE '' END) || " +
+        "(CASE WHEN doc_id % 7 = 0 THEN '#top' ELSE '' END) AS url FROM documents), " +
+        "c AS (SELECT doc_id, n_chars, " +
+        "regexp_replace(regexp_replace(lower(regexp_replace(regexp_replace(url, '#.*$', ''), '\\?.*$', '')), '^https://www\\.', 'https://'), '/$', '') AS canonical_url FROM u), " +
+        "r AS (SELECT canonical_url, doc_id, " +
+        "row_number() OVER (PARTITION BY canonical_url ORDER BY n_chars DESC, doc_id) AS rn, " +
+        "count(*) OVER (PARTITION BY canonical_url) AS n_dups FROM c) " +
+        "SELECT canonical_url, doc_id, CAST(n_dups AS BIGINT) AS n_dups " +
+        "FROM r WHERE rn = 1 ORDER BY canonical_url"),
     "llm_domain_mix" ->
       ("WITH tot AS (SELECT source, sum(n_chars) AS src_chars FROM documents GROUP BY 1), " +
         "rates AS (SELECT source, least(1.0, " +
