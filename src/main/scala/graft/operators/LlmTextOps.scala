@@ -84,6 +84,33 @@ object LlmTextOps {
       .orderBy("doc_id")
   }
 
+  /** BPE merge-candidate counting — round one of byte-pair-encoding
+    * vocabulary training: count adjacent character pairs WITHIN words
+    * across the whole corpus and rank the top merge candidates. The
+    * pair generation is a row-local higher-order projection (sequence →
+    * transform → explode, all codegen'd, no UDF), and the count is a
+    * two-phase aggregate whose key space is bounded by charset² — the
+    * map-side combine collapses each task to at most a few thousand
+    * rows regardless of corpus size, so at 100 TB the reduce side is
+    * constant-sized and the whole op is scan-bound. Top-k lands as
+    * TakeOrderedAndProject (per-partition heap, driver merges 20 rows).
+    * Words shorter than 2 chars are filtered BEFORE pair expansion:
+    * Spark's sequence(1, 0) would count DOWNWARD where DuckDB's
+    * range(1, 1) is empty, so the guard also pins the engines to the
+    * same pair set. */
+  def llmBpeMerges(s: SparkSession, d: String): DataFrame = {
+    val words = t(s, d, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+    words
+      .select(explode(transform(
+        sequence(lit(1), length(col("w")) - 1),
+        i => col("w").substr(i, lit(2)))).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(20)
+  }
+
   /** URL-canonicalization dedup — the first pass of every web-corpus
     * pipeline: the same page arrives under case-varied hosts, tracking
     * query params, fragments, and trailing slashes. Raw URLs are
@@ -779,6 +806,7 @@ object LlmTextOps {
     "llm_token_count" -> (llmTokenCount _),
     "llm_domain_mix" -> (llmDomainMix _),
     "llm_dedup_url" -> (llmDedupUrl _),
+    "llm_bpe_merges" -> (llmBpeMerges _),
     "llm_quality_score" -> (llmQualityScore _),
     "llm_fingerprint" -> (llmFingerprint _),
     "llm_ngram_jaccard" -> (llmNgramJaccard _),
@@ -830,6 +858,11 @@ object LlmTextOps {
     },
     "llm_token_count" ->
       "SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_cnt, CAST(list_sum(list_transform(string_split(text, ' '), x -> ceil(length(x) / 4.0))) AS BIGINT) AS bpe_cnt FROM documents ORDER BY doc_id",
+    "llm_bpe_merges" ->
+      ("SELECT pair, CAST(count(*) AS BIGINT) AS cnt FROM (" +
+        "SELECT unnest(flatten(list_transform(string_split(text, ' '), " +
+        "w -> list_transform(range(1, length(w)), i -> substr(w, i, 2))))) AS pair " +
+        "FROM documents) GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20"),
     "llm_dedup_url" ->
       ("WITH u AS (SELECT doc_id, n_chars, 'https://' || " +
         "(CASE WHEN doc_id % 3 = 0 THEN 'WWW.Mirror.' ELSE 'www.mirror.' END) || " +
