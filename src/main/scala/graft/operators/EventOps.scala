@@ -188,10 +188,14 @@ object EventOps {
     * aggregate): the ordinal session_id is a join key downstream systems
     * rely on, and the three passes (lag, running sum, per-session agg)
     * all run inside ONE shuffle on user_id — the window sort orders by
-    * (ts, event_id) so ties can't flip session numbering between engines,
-    * and the per-session aggregation partially aggregates before its
-    * (user, session) re-shuffle. Gap arithmetic is integer microseconds
-    * on both engines (§5.3.3 discipline). */
+    * (ts, event_id) so ties can't flip session numbering between engines.
+    * The per-session aggregation adds NO exchange either: its grouping
+    * key (user_id, session_id) is a superset of the window's user_id
+    * hash partitioning, which Catalyst recognizes as already clustered
+    * (verified in the formatted plan — the only post-scan exchange
+    * besides the window's is the output ORDER BY's range partitioning).
+    * Gap arithmetic is integer microseconds on both engines (§5.3.3
+    * discipline). */
   def eventSessionize(s: SparkSession, d: String): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
     val gapUs = 86400L * 1000000L // 1 day
