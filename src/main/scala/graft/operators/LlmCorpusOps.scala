@@ -266,6 +266,38 @@ object LlmCorpusOps {
     packBins(survivors.select("doc_id", "source", "text")).orderBy("doc_id")
   }
 
+  /** The e2e pipeline with DATA-QUALITY OBSERVABILITY: the same plan as
+    * [[llmPipelineE2e]] plus an `observe` node on the raw scan capturing
+    * the gate's audit counters (rows seen, rows the quality filter will
+    * reject, mean document length). `CollectMetricsExec` accumulates
+    * these ON the existing pass — task-side accumulators merged at the
+    * driver, no second scan, no extra shuffle — which is how a 100 TB
+    * nightly job reports "what did the gate drop" for free; a separate
+    * auditing query would double the scan cost. The one price: the
+    * quality filter can no longer push past the metrics node (observe
+    * must see every raw row — that IS the audit), so this variant trades
+    * the scan-level row-group pruning of [[llmPipelineE2e]] for the
+    * counters; pick per job. The caller blocks on `Observation.get`
+    * AFTER an action on the returned frame. */
+  def llmPipelineObserved(s: SparkSession, d: String):
+      (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = new org.apache.spark.sql.Observation("quality_gate")
+    val keep = col("n_chars").between(100, 500) &&
+      size(split(col("text"), " ")) >= 20
+    val observed = t(s, d, "documents").observe(obs,
+      count(lit(1)).as("rows_seen"),
+      sum(when(!keep, 1L).otherwise(0L)).as("rows_rejected"),
+      avg("n_chars").as("mean_chars"))
+    import org.apache.spark.sql.expressions.Window
+    val survivors = observed.filter(keep)
+      .withColumn("norm_md5", md5(normExpr.cast("binary")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("norm_md5").orderBy("doc_id")))
+      .filter(col("rn") === 1)
+    (packBins(survivors.select("doc_id", "source", "text")).orderBy("doc_id"),
+      obs)
+  }
+
   val queries: Map[String, Q] = Map(
     "llm_pipeline_e2e" -> (llmPipelineE2e _),
     "llm_stratified_sample" -> (llmStratifiedSample _),

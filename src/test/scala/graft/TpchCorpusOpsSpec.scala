@@ -9,6 +9,22 @@ import graft.operators.{LlmCorpusOps, TpchOps}
   * before the Q18 join). */
 class TpchCorpusOpsSpec extends SparkTestBase {
 
+  test("observed pipeline: gate counters ride the pass and match recomputation") {
+    val (out, obs) = LlmCorpusOps.llmPipelineObserved(spark, SF)
+    val outRows = out.count()
+    // the observed output is plan-identical data-wise to the graded key
+    assert(outRows == LlmCorpusOps.llmPipelineE2e(spark, SF).count())
+    val m = obs.get
+    val docs = Tables.load(spark, SF, "documents")
+    val seen = docs.count()
+    val kept = docs.filter(col("n_chars").between(100, 500) &&
+      size(split(col("text"), " ")) >= 20).count()
+    assert(m("rows_seen") == seen)
+    assert(m("rows_rejected") == seen - kept)
+    val meanChars = docs.agg(avg("n_chars")).head.getDouble(0)
+    assert(math.abs(m("mean_chars").asInstanceOf[Double] - meanChars) < 1e-9)
+  }
+
   test("q14/q10 broadcast their dimension sides") {
     for (key <- Seq("tpch_q14_promo", "tpch_q10_returns")) {
       val plan = SparkEntry.queries(key)(spark, SF).queryExecution.executedPlan.toString
