@@ -62,6 +62,27 @@ object ExtendedOps {
       .orderBy("s_nationkey")
   }
 
+  /** Top-k per group via a BOUNDED-HEAP typed Aggregator
+    * ([[graft.functions.TopK]]) instead of the window formulation: the
+    * partial aggregation keeps only k rows per (group, task), so the
+    * exchange carries ~k·groups rows where `win_topk_group`'s
+    * row_number() shuffles and sorts the entire input. Same contract as
+    * the window twin — the oracle IS the row_number formulation — so
+    * both paths are proven equivalent, and a user picks by shape: window
+    * when they need ranks over everything, heap-agg when k ≪ group size
+    * (the 100 TB case). */
+  def aggTopkHeap(s: SparkSession, d: String): DataFrame = {
+    val top3 = udaf(graft.functions.TopK(3))
+    t(s, d, "orders")
+      .groupBy("o_custkey")
+      .agg(top3(col("o_totalprice"), col("o_orderkey")).as("top"))
+      .select(col("o_custkey"), posexplode(col("top.items")))
+      .select(col("o_custkey"), (col("pos") + 1).cast("int").as("rnk"),
+        col("col.id").as("o_orderkey"),
+        round(col("col.score"), 2).as("total_price"))
+      .orderBy("o_custkey", "rnk")
+  }
+
   /** Fixed-width histogram: computed bucket ids (floor division, top
     * bucket clamped), count + bounds per bucket — the numeric-profiling
     * shape (one hash aggregation; distinct from CASE-tier bucketing). */
@@ -658,6 +679,7 @@ object ExtendedOps {
     "agg_salted" -> (aggSalted _),
     "join_skew_salted" -> (joinSkewSalted _),
     "agg_histogram" -> (aggHistogram _),
+    "agg_topk_heap" -> (aggTopkHeap _),
     "fn_bool_logic_3vl" -> (fnBoolLogic3vl _),
     "agg_bool_bit" -> (aggBoolBit _),
     "win_percent_cume" -> (winPercentCume _),
@@ -750,6 +772,13 @@ object ExtendedOps {
         "GROUP BY s_nationkey ORDER BY s_nationkey"),
     "agg_histogram" ->
       "SELECT CAST(least(floor(o_totalprice / 50000), 9) AS INTEGER) AS bucket, count(*) AS n, round(min(o_totalprice), 2) AS lo, round(max(o_totalprice), 2) AS hi FROM orders GROUP BY 1 ORDER BY bucket",
+    // the window formulation IS the oracle for the heap aggregator —
+    // proving the two top-k paths equivalent on the same data.
+    "agg_topk_heap" ->
+      ("WITH r AS (SELECT o_custkey, o_orderkey, o_totalprice, " +
+        "row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk FROM orders) " +
+        "SELECT o_custkey, CAST(rnk AS INTEGER) AS rnk, o_orderkey, round(o_totalprice, 2) AS total_price " +
+        "FROM r WHERE rnk <= 3 ORDER BY o_custkey, rnk"),
     "fn_bool_logic_3vl" ->
       ("WITH v AS (SELECT * FROM (VALUES (1, true), (2, false), (3, CAST(NULL AS BOOLEAN))) t(i, b)) " +
         "SELECT a.i AS ai, b.i AS bi, (a.b AND b.b) AS and_r, (a.b OR b.b) AS or_r, (NOT a.b) AS not_a, (a.b = b.b) AS eq_r, (a.b IS NOT DISTINCT FROM b.b) AS same_r FROM v a CROSS JOIN v b ORDER BY ai, bi"),

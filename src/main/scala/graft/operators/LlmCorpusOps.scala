@@ -278,7 +278,14 @@ object LlmCorpusOps {
     * must see every raw row — that IS the audit), so this variant trades
     * the scan-level row-group pruning of [[llmPipelineE2e]] for the
     * counters; pick per job. The caller blocks on `Observation.get`
-    * AFTER an action on the returned frame. */
+    * AFTER an action on the returned frame. Caveat (observed in this
+    * repo's tests): `Observation.get` initializes the session's lazy,
+    * non-serializable ObservationManager, and Spark ML training
+    * summaries capture their SparkSession into model-transform closures
+    * — mixing observed queries and summary-bearing ML models in ONE
+    * session makes those closures unserializable. Run observed
+    * pipelines in their own `spark.newSession()` when the session also
+    * trains models. */
   def llmPipelineObserved(s: SparkSession, d: String):
       (DataFrame, org.apache.spark.sql.Observation) = {
     val obs = new org.apache.spark.sql.Observation("quality_gate")

@@ -60,6 +60,19 @@ class ExtendedOpsSpec extends SparkTestBase {
     assert(rows.map(r => r.getString(0) -> r.getLong(1)).toMap == expected)
   }
 
+  test("agg_topk_heap runs as 2-phase partial aggregation, not a window sort") {
+    val plan = ExtendedOps.aggTopkHeap(spark, SF).queryExecution.executedPlan.toString
+    // the bounded-heap claim rests on the PARTIAL ObjectHashAggregate
+    // running before the custkey exchange; a Window node would mean the
+    // whole input was shuffled and sorted instead
+    assert(plan.contains("partial_topk"), s"no partial heap aggregation:\n$plan")
+    assert(!plan.contains("Window"), s"top-k fell back to a window sort:\n$plan")
+    // buffer bound holds end-to-end: no group emits more than k rows
+    val maxPerGroup = ExtendedOps.aggTopkHeap(spark, SF)
+      .groupBy("o_custkey").count().agg(max("count")).head.getLong(0)
+    assert(maxPerGroup <= 3)
+  }
+
   test("struct-ordered max_by breaks value ties deterministically on key") {
     val df = Seq((1L, 5.0), (2L, 5.0), (3L, 1.0)).toDF("k", "v")
     val out = df.agg(

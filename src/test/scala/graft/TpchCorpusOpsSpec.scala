@@ -10,7 +10,14 @@ import graft.operators.{LlmCorpusOps, TpchOps}
 class TpchCorpusOpsSpec extends SparkTestBase {
 
   test("observed pipeline: gate counters ride the pass and match recomputation") {
-    val (out, obs) = LlmCorpusOps.llmPipelineObserved(spark, SF)
+    // isolated session: Observation.get initializes the session's lazy
+    // (non-serializable) ObservationManager, and Spark ML training
+    // summaries capture their session into model closures — observing on
+    // the shared test session would break any later suite that serializes
+    // a summary-bearing model (OneVsRest did, reproducibly). Same
+    // SparkContext, so nothing else changes.
+    val obsSession = spark.newSession()
+    val (out, obs) = LlmCorpusOps.llmPipelineObserved(obsSession, SF)
     val outRows = out.count()
     // the observed output is plan-identical data-wise to the graded key
     assert(outRows == LlmCorpusOps.llmPipelineE2e(spark, SF).count())
