@@ -2,7 +2,7 @@ package graft
 
 import org.scalacheck.{Gen, Properties}
 import org.scalacheck.Prop.forAll
-import graft.functions.{GeoMean, VectorFunctions}
+import graft.functions.{GeoMean, Scored, TopK, VectorFunctions}
 
 /** ScalaCheck properties for the pure kernels (SURVEY.md §5.4) — these
   * run generator-driven without a Spark job per case, so hundreds of
@@ -68,6 +68,32 @@ object KernelProperties extends Properties("graft.kernels") {
         l.foldLeft(GeoMean.zero)(GeoMean.reduce),
         r.foldLeft(GeoMean.zero)(GeoMean.reduce))
       math.abs(GeoMean.finish(whole) - GeoMean.finish(split)) < 1e-9
+    }
+
+  private val scoredList: Gen[List[Scored]] =
+    Gen.nonEmptyListOf(for {
+      // narrow score range so ties (the id tie-break path) actually occur
+      s <- Gen.chooseNum(0, 5)
+      id <- Gen.chooseNum(0L, 1000L)
+    } yield Scored(s.toDouble, id))
+
+  property("topk over arbitrary partition splits equals global sort-take") =
+    forAll(scoredList, Gen.chooseNum(1, 5), Gen.chooseNum(0, 100)) { (xs, k, cut) =>
+      val agg = TopK(k)
+      val expected = xs.distinct
+        .sortBy(x => (-x.score, x.id)).take(k)
+      // dedupe ids so "expected" has a unique answer (equal Scored values
+      // are interchangeable anyway); split anywhere, reduce each side,
+      // merge — must equal the single-pass reduce AND the global sort
+      val ys = xs.distinct
+      val (l, r) = ys.splitAt(cut % ys.length)
+      val whole = ys.foldLeft(agg.zero)(agg.reduce)
+      val merged = agg.merge(
+        l.foldLeft(agg.zero)(agg.reduce),
+        r.foldLeft(agg.zero)(agg.reduce))
+      agg.finish(whole).items == expected &&
+        agg.finish(merged).items == expected &&
+        agg.merge(merged, agg.zero).items == expected
     }
 
   private val doc: Gen[List[String]] =
