@@ -175,13 +175,18 @@ object LlmCorpusOps {
     * the token stream; the capped vocab then broadcasts back onto the
     * stream, so the only fact-sized shuffles are the two keyed aggs. */
   def llmOovRate(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val toks = t(s, d, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
     val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    // top-1000 via orderBy+limit = TakeOrderedAndProject (per-partition
+    // heap, driver merges 1000 rows) — NOT row_number over an empty
+    // window, which would sort the whole vocab on one partition; a web
+    // corpus's distinct-token count grows with the corpus, so that
+    // single-partition sort is a real 100 TB bottleneck. Total order
+    // (cnt desc, tok) makes the kept set deterministic.
     val kept = vocab
-      .withColumn("rk", row_number().over(Window.orderBy(col("cnt").desc, col("tok"))))
-      .filter(col("rk") <= 1000)
+      .orderBy(col("cnt").desc, col("tok"))
+      .limit(1000)
       .select(col("tok"), lit(1).as("iv"))
     toks.join(broadcast(kept), Seq("tok"), "left_outer")
       .groupBy("doc_id")
