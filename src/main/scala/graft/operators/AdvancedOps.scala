@@ -1,0 +1,186 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftnative.BloomBridge
+import graft.Tables
+
+/** Round-5 scale operators: explicit bloom-filter join pre-filtering (the
+  * manual form of Catalyst's runtime-filter injection), a shuffled-hash
+  * join exercise, key-skew diagnostics, deterministic weighted sampling
+  * (A-ES), and SCD Type-2 history construction from an event stream.
+  *
+  * Each is the kind of pass a 100 TB warehouse/pipeline runs daily; all
+  * five are fully DuckDB-oracle-graded.
+  */
+object AdvancedOps {
+  type Q = (SparkSession, String) => DataFrame
+  private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
+
+  // ---------------------------------------------------------------- bloom
+
+  /** Bloom-prefiltered fact⋈dim join. The selective dim side (URGENT
+    * orders, ~20%) is aggregated into Spark's own serialized bloom sketch
+    * (BloomFilterAggregate — the exact expression InjectRuntimeFilter
+    * plants on 10 GB+ scans), and the probe lands on the lineitem scan as
+    * a codegen'd `might_contain` predicate BEFORE the shuffle, so only
+    * surviving fact rows pay exchange + join cost. False positives are
+    * resolved by the exact join downstream; false negatives are
+    * impossible — the result is bit-identical to the plain join, which is
+    * what the oracle checks.
+    *
+    * The driver-side `head` holds only the 4 MB sketch (metadata-scale,
+    * the same payload the injected rule ships via a subquery broadcast);
+    * the fact table never leaves the executors. At 100 TB this is THE
+    * shuffle-reducer for selective dim filters: 4 MB broadcast vs
+    * shuffling the ~80% of fact rows the join would discard anyway. */
+  def joinBloomPrefilter(s: SparkSession, d: String): DataFrame = {
+    val dim = t(s, d, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_orderkey")
+    // 2^25 bits = 4 MB sized for ~4M distinct keys (fpp a few % at sf100);
+    // at fixture scale it is effectively exact.
+    val bytes = dim
+      .agg(BloomBridge.bloomFilterAgg(col("o_orderkey"), 4000000L, 33554432L).as("bf"))
+      .head.getAs[Array[Byte]](0)
+    t(s, d, "lineitem")
+      .select("l_orderkey", "l_quantity", "l_returnflag")
+      .filter(BloomBridge.mightContain(bytes, col("l_orderkey")))
+      .join(dim, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("cnt"), round(sum("l_quantity"), 2).as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  // ----------------------------------------------------- shuffled hash join
+
+  /** Shuffled-hash join, hint-forced. At fixture scale `part` would
+    * broadcast; at 100 TB both sides of a fact⋈fact join exceed the
+    * broadcast budget and the planner's default SMJ pays a full sort of
+    * BOTH shuffled sides. SHUFFLE_HASH skips the sorts by hashing the
+    * smaller side per partition — the right call whenever the build side's
+    * per-partition slice fits executor memory (here: part/32 partitions).
+    * Plan-asserted as ShuffledHashJoin in AdvancedOpsSpec. */
+  def joinShuffleHash(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .select("l_partkey", "l_extendedprice")
+      .join(t(s, d, "part").select("p_partkey", "p_brand").hint("shuffle_hash"),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("cnt"), round(sum("l_extendedprice"), 2).as("revenue"))
+      .orderBy("p_brand")
+
+  // ------------------------------------------------------------ skew report
+
+  /** Key-skew diagnostic over the fact table's supplier key: per-key
+    * volume, share of total, and ratio to the uniform expectation — the
+    * report that decides WHICH keys need salting before the big join.
+    * One groupBy pass + a 1-row global rollup broadcast back over the
+    * per-key frame (BNL with a single-row build side — allowlisted);
+    * top-15 via TakeOrderedAndProject, never a full result sort. */
+  def statSkewReport(s: SparkSession, d: String): DataFrame = {
+    val per = t(s, d, "lineitem").groupBy("l_suppkey").agg(count(lit(1)).as("cnt"))
+    val tot = per.agg(sum("cnt").as("total"), count(lit(1)).as("n_keys"))
+    // floor(x*1e4+0.5)/1e4 instead of round(,4): ratios of integers can
+    // land exactly on the .00005 boundary where engines' round() diverge
+    def r4(c: Column) = floor(c * 10000.0 + 0.5) / 10000.0
+    per.join(broadcast(tot))
+      .select(col("l_suppkey"), col("cnt"),
+        r4(col("cnt") * 100.0 / col("total")).as("share_pct"),
+        r4(col("cnt") * col("n_keys") / col("total").cast("double")).as("x_avg"))
+      .orderBy(col("cnt").desc, col("l_suppkey"))
+      .limit(15)
+  }
+
+  // ------------------------------------------------------- weighted sample
+
+  /** Deterministic weighted sampling without replacement (Efraimidis–
+    * Spirakis A-ES): each document draws u ∈ (0,1) from the md5 of its id
+    * (cross-engine-identical 60-bit prefix), and the k largest u^(1/w) win
+    * — equivalently the k largest ln(u)/w, which avoids pow's cross-engine
+    * edge cases. Weight = n_chars, so long documents are proportionally
+    * favored, the standard token-budget-aware corpus draw.
+    *
+    * Scale shape: one row-local projection + TakeOrderedAndProject (a
+    * per-partition k-heap, no global sort) — map-width at 100 TB. Being
+    * hash-seeded rather than RNG-seeded, the draw is reproducible across
+    * engines, retries, and partitionings — what makes a 100 TB sampling
+    * job auditable. */
+  def llmWeightedSample(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(col("doc_id"), col("n_chars"),
+        round(
+          log(conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+            .cast("double") / 1152921504606846976.0d) / col("n_chars"),
+          8).as("skey"))
+      .orderBy(col("skey").desc, col("doc_id"))
+      .limit(20)
+
+  // ------------------------------------------------------------ SCD type 2
+
+  /** SCD Type-2 history build from the event stream: collapse each user's
+    * event sequence to its state-CHANGE rows, then stitch validity
+    * intervals (valid_from = change time, valid_to = next change, open
+    * interval = current state). This is the standard "change feed →
+    * versioned dimension" pass of every warehouse load.
+    *
+    * Both windows partition by user_id, so the single shuffle on user_id
+    * is reused across the lag pass, the filter, and the lead pass — one
+    * exchange total. Ordering is (µs-truncated ts, event_id) on BOTH
+    * engines: the oracle must ORDER BY CAST(ts AS TIMESTAMP) — not the raw
+    * ns value — or sub-µs ordering could disagree with Spark's µs ticks. */
+  def scd2Build(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t(s, d, "events")
+      .select("user_id", "event_type", "ts", "event_id")
+      .withColumn("prev_type", lag("event_type", 1).over(w))
+      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+      .withColumn("valid_to", lead("ts", 1).over(w))
+      // event_id rides along as lineage AND the deterministic final-order
+      // tiebreak (two state changes can share a µs-truncated valid_from)
+      .select(col("user_id"), col("event_id"), col("event_type").as("state"),
+        col("ts").as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+      .orderBy("user_id", "valid_from", "event_id")
+  }
+
+  // --------------------------------------------------------------- registry
+
+  val queries: Map[String, Q] = Map(
+    "join_bloom_prefilter" -> (joinBloomPrefilter _),
+    "join_shuffle_hash" -> (joinShuffleHash _),
+    "stat_skew_report" -> (statSkewReport _),
+    "llm_weighted_sample" -> (llmWeightedSample _),
+    "scd2_build" -> (scd2Build _))
+
+  val oracles: Map[String, String] = Map(
+    // the bloom prefilter is invisible to the result — the oracle is the
+    // plain join, which is exactly the no-false-negatives guarantee
+    "join_bloom_prefilter" ->
+      ("SELECT l_returnflag, count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "WHERE o_orderpriority = '1-URGENT' GROUP BY 1 ORDER BY 1"),
+    "join_shuffle_hash" ->
+      ("SELECT p_brand, count(*) AS cnt, round(sum(l_extendedprice), 2) AS revenue " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1 ORDER BY 1"),
+    "stat_skew_report" ->
+      ("WITH per AS (SELECT l_suppkey, count(*) AS cnt FROM lineitem GROUP BY 1), " +
+        "tot AS (SELECT sum(cnt) AS total, count(*) AS n_keys FROM per) " +
+        "SELECT l_suppkey, cnt, floor(cnt * 100.0 / total * 10000.0 + 0.5) / 10000.0 AS share_pct, " +
+        "floor(cnt * n_keys / CAST(total AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS x_avg " +
+        "FROM per CROSS JOIN tot ORDER BY cnt DESC, l_suppkey LIMIT 15"),
+    "llm_weighted_sample" ->
+      ("SELECT doc_id, n_chars, round(ln(CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS DOUBLE) " +
+        "/ 1152921504606846976.0) / n_chars, 8) AS skey " +
+        "FROM documents ORDER BY skey DESC, doc_id LIMIT 20"),
+    "scd2_build" ->
+      ("WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events), " +
+        "ch AS (SELECT user_id, event_type, ts, event_id, " +
+        "lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type FROM e), " +
+        "f AS (SELECT * FROM ch WHERE prev_type IS NULL OR prev_type <> event_type) " +
+        "SELECT user_id, event_id, event_type AS state, ts AS valid_from, " +
+        "lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to, " +
+        "lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current " +
+        "FROM f ORDER BY user_id, valid_from, event_id"))
+}

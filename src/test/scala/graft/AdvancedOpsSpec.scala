@@ -1,0 +1,122 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.operators.AdvancedOps
+
+/** Plan + semantics tests for the round-5 scale operators. The DuckDB
+  * oracle grades the values; these assert the SHAPE claims the Scaladoc
+  * makes (bloom probe reaches the scan, SHJ actually plans, SCD2
+  * intervals tile) that a hash-match cannot see. */
+class AdvancedOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("bloom prefilter: probe lands as a might_contain predicate and actually prunes") {
+    val df = AdvancedOps.joinBloomPrefilter(spark, SF)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), s"no bloom probe in plan:\n$plan")
+    // the probe must prune: survivors (incl. false positives) well under
+    // the full fact table, at least the rows of the exact join result
+    val total = Tables.load(spark, SF, "lineitem").count()
+    val exact = Tables.load(spark, SF, "lineitem")
+      .join(Tables.load(spark, SF, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT").select("o_orderkey"),
+        col("l_orderkey") === col("o_orderkey")).count()
+    val bytes = Tables.load(spark, SF, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .agg(org.apache.spark.sql.graftnative.BloomBridge
+        .bloomFilterAgg(col("o_orderkey"), 4000000L, 33554432L).as("bf"))
+      .head.getAs[Array[Byte]](0)
+    val survivors = Tables.load(spark, SF, "lineitem")
+      .filter(org.apache.spark.sql.graftnative.BloomBridge
+        .mightContain(bytes, col("l_orderkey"))).count()
+    assert(survivors >= exact, "bloom produced a false negative")
+    assert(survivors < total, "bloom pruned nothing")
+    // and the prefiltered join result is bit-identical to the plain join
+    val plain = Tables.load(spark, SF, "lineitem")
+      .join(Tables.load(spark, SF, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT").select("o_orderkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("cnt"), round(sum("l_quantity"), 2).as("sum_qty"))
+      .orderBy("l_returnflag")
+    assert(df.collect().toSeq == plain.collect().toSeq)
+  }
+
+  test("shuffle_hash hint plans a ShuffledHashJoin (not broadcast, not SMJ)") {
+    val plan = AdvancedOps.joinShuffleHash(spark, SF)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"), s"expected SHJ:\n$plan")
+  }
+
+  test("skew report: top-k via TakeOrderedAndProject, shares consistent") {
+    val df = AdvancedOps.statSkewReport(spark, SF)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"full sort for a top-15:\n$plan")
+    val rows = df.collect()
+    val nKeys = Tables.load(spark, SF, "lineitem")
+      .select("l_suppkey").distinct().count()
+    assert(rows.length == math.min(15L, nKeys))
+    // ordered by volume desc; shares positive and < 100
+    val cnts = rows.map(_.getLong(1))
+    assert(cnts.sameElements(cnts.sortBy(-_)))
+    rows.foreach { r =>
+      assert(r.getDouble(2) > 0 && r.getDouble(2) < 100.0)
+      assert(r.getDouble(3) > 0)
+    }
+  }
+
+  test("weighted sample: skey matches a plain-Scala A-ES recomputation") {
+    val rows = AdvancedOps.llmWeightedSample(spark, SF).collect()
+    assert(rows.length == 20)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    rows.foreach { r =>
+      val (id, w, skey) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      val u = java.lang.Long.parseLong(hex, 16).toDouble / 1152921504606846976.0d
+      val want = math.floor(math.log(u) / w * 1e8 + 0.5) / 1e8
+      // Spark's round() is HALF_UP on the same double — compare at 8 dp
+      assert(math.abs(skey - want) < 1.5e-8, s"doc $id: $skey vs $want")
+    }
+    // keys are in descending order (it IS a top-k by skey)
+    val keys = rows.map(_.getDouble(2))
+    assert(keys.sameElements(keys.sortBy(-(_: Double))))
+  }
+
+  test("scd2: intervals tile per user on a constructed change feed") {
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val ev = Seq(
+      // user 1: A A B B A  -> 3 change rows (A, B, A)
+      (1L, ts(1), "A", 10L), (1L, ts(2), "A", 11L), (1L, ts(3), "B", 12L),
+      (1L, ts(4), "B", 13L), (1L, ts(5), "A", 14L),
+      // user 2: single state -> 1 open row
+      (2L, ts(1), "X", 20L), (2L, ts(9), "X", 21L)
+    ).toDF("user_id", "ts", "event_type", "event_id")
+    ev.createOrReplaceTempView("scd2_input")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val out = ev
+      .withColumn("prev_type", lag("event_type", 1).over(w))
+      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+      .withColumn("valid_to", lead("ts", 1).over(w))
+      .select(col("user_id"), col("event_type").as("state"),
+        col("ts").as("valid_from"), col("valid_to"))
+      .orderBy("user_id", "valid_from")
+      .collect()
+    val u1 = out.filter(_.getLong(0) == 1L)
+    assert(u1.map(_.getString(1)).toSeq == Seq("A", "B", "A"))
+    // intervals tile: each valid_to equals the next valid_from; last open
+    u1.sliding(2).foreach {
+      case Array(a, b) => assert(a.getTimestamp(3) == b.getTimestamp(2))
+      case _ =>
+    }
+    assert(u1.last.getTimestamp(3) == null)
+    val u2 = out.filter(_.getLong(0) == 2L)
+    assert(u2.length == 1 && u2.head.getTimestamp(3) == null)
+    // the graded op runs and all open intervals are flagged current
+    val graded = AdvancedOps.scd2Build(spark, SF)
+    assert(graded.filter(col("valid_to").isNull && !col("is_current")).isEmpty)
+    assert(graded.count() > 0)
+  }
+}
