@@ -145,6 +145,58 @@ object AdvancedOps {
       .orderBy("user_id", "valid_from", "event_id")
   }
 
+  // ------------------------------------------------------ incremental rollup
+
+  /** Incremental aggregation: the daily-ETL shape where yesterday's
+    * rollup is NOT recomputed — the new partition's partial aggregate is
+    * merged into the stored partial states (count and sum are algebraic:
+    * merge = sum of partials). Graded against a full recompute in DuckDB,
+    * which is exactly the invariant an incremental pipeline must hold.
+    * At 100 TB the recompute touches the whole fact history; the merge
+    * touches one day + a rollup the size of the group cardinality. */
+  def aggIncrementalRollup(s: SparkSession, d: String): DataFrame = {
+    val o = t(s, d, "orders")
+      .select(date_format(col("o_orderdate"), "yyyy-MM").as("ym"),
+        col("o_orderdate"), col("o_totalprice"))
+    def partial(df: DataFrame) = df.groupBy("ym")
+      .agg(count(lit(1)).as("cnt"), sum("o_totalprice").as("sv"))
+    // mid-month cutoff ON PURPOSE: 1997-01's key exists in BOTH partials,
+    // so the merge path (sum of partial states for one key) is exercised,
+    // not just concatenation of disjoint key sets
+    val stored = partial(o.filter(col("o_orderdate") < "1997-01-15"))
+    val delta = partial(o.filter(col("o_orderdate") >= "1997-01-15"))
+    stored.union(delta)
+      .groupBy("ym")
+      .agg(sum("cnt").as("cnt"), round(sum("sv"), 2).as("total"))
+      .orderBy("ym")
+  }
+
+  // ----------------------------------------------------------- MAD outliers
+
+  /** Robust outlier detection: per-group median + median-absolute-
+    * deviation, then count the rows above med + 2·MAD (TPC-H's uniform totalprice has thin tails: 3·MAD clears the max and grades an empty frame). Median is the
+    * exact interpolated percentile on BOTH engines (Spark `median` ≡
+    * DuckDB `median` on doubles), so the gate is cross-engine
+    * deterministic. Shape: two keyed aggregations with the tiny
+    * per-group stats broadcast back over the fact — the fact shuffles
+    * at most once (for the group-medians; the deviation and gate passes
+    * are map-side against broadcasts). */
+  def statOutlierMad(s: SparkSession, d: String): DataFrame = {
+    def r2(c: Column) = floor(c * 100.0 + 0.5) / 100.0
+    val o = t(s, d, "orders").select("o_orderpriority", "o_totalprice")
+    val med = o.groupBy("o_orderpriority").agg(median(col("o_totalprice")).as("med"))
+    val mad = o.join(broadcast(med), "o_orderpriority")
+      .groupBy("o_orderpriority")
+      .agg(max("med").as("med"),
+        median(abs(col("o_totalprice") - col("med"))).as("mad"))
+    o.join(broadcast(mad), "o_orderpriority")
+      .filter(col("o_totalprice") > col("med") + col("mad") * 2.0)
+      .groupBy("o_orderpriority")
+      .agg(max(r2(col("med"))).as("med"), max(r2(col("mad"))).as("mad"),
+        count(lit(1)).as("n_outliers"))
+      .orderBy("o_orderpriority")
+  }
+
   // --------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -152,7 +204,9 @@ object AdvancedOps {
     "join_shuffle_hash" -> (joinShuffleHash _),
     "stat_skew_report" -> (statSkewReport _),
     "llm_weighted_sample" -> (llmWeightedSample _),
-    "scd2_build" -> (scd2Build _))
+    "scd2_build" -> (scd2Build _),
+    "agg_incremental_rollup" -> (aggIncrementalRollup _),
+    "stat_outlier_mad" -> (statOutlierMad _))
 
   val oracles: Map[String, String] = Map(
     // the bloom prefilter is invisible to the result — the oracle is the
@@ -182,5 +236,19 @@ object AdvancedOps {
         "SELECT user_id, event_id, event_type AS state, ts AS valid_from, " +
         "lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to, " +
         "lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current " +
-        "FROM f ORDER BY user_id, valid_from, event_id"))
+        "FROM f ORDER BY user_id, valid_from, event_id"),
+    // the oracle is the FULL recompute — the invariant incremental ETL
+    // must preserve
+    "agg_incremental_rollup" ->
+      ("SELECT strftime(o_orderdate, '%Y-%m') AS ym, count(*) AS cnt, " +
+        "round(sum(o_totalprice), 2) AS total FROM orders GROUP BY 1 ORDER BY 1"),
+    "stat_outlier_mad" ->
+      ("WITH med AS (SELECT o_orderpriority, median(o_totalprice) AS med FROM orders GROUP BY 1), " +
+        "mad AS (SELECT o.o_orderpriority, max(med.med) AS med, " +
+        "median(abs(o.o_totalprice - med.med)) AS mad " +
+        "FROM orders o JOIN med ON o.o_orderpriority = med.o_orderpriority GROUP BY 1) " +
+        "SELECT o.o_orderpriority, max(floor(mad.med * 100.0 + 0.5) / 100.0) AS med, " +
+        "max(floor(mad.mad * 100.0 + 0.5) / 100.0) AS mad, count(*) AS n_outliers " +
+        "FROM orders o JOIN mad ON o.o_orderpriority = mad.o_orderpriority " +
+        "WHERE o.o_totalprice > mad.med + 2.0 * mad.mad GROUP BY 1 ORDER BY 1"))
 }

@@ -92,8 +92,22 @@ object GraphOps {
       .select(namespaced(col("id")).as("id"), round(col("rank"), 6).as("rank"))
       .orderBy("id")
 
+  /** Degree distribution of the purchase graph, split by node side —
+    * the first diagnostic run on any production graph (it decides
+    * whether PageRank/CC need hub mitigation). Two keyed aggregations
+    * (per-node degree, then histogram), both with map-side partials;
+    * nothing is ever collected per-node. */
+  def graphDegreeDist(s: SparkSession, d: String): DataFrame =
+    purchaseEdges(s, d)
+      .groupBy(col("src")).agg(count(lit(1)).as("degree"))
+      .groupBy(when(col("src") % 2 === 0, lit("customer"))
+        .otherwise(lit("supplier")).as("side"), col("degree"))
+      .agg(count(lit(1)).as("n_nodes"))
+      .orderBy("side", "degree")
+
   val queries: Map[String, Q] = Map(
-    "graph_pagerank" -> (graphPagerank _))
+    "graph_pagerank" -> (graphPagerank _),
+    "graph_degree_dist" -> (graphDegreeDist _))
 
   /** The identical formula with the 5 rounds unrolled as CTE stages. */
   val oracles: Map[String, String] = Map(
@@ -112,5 +126,12 @@ object GraphOps {
       }.mkString(", ", ", ", " ")
       base + steps +
         s"SELECT id, round(rank, 6) AS rank FROM pr$Iters ORDER BY id"
-    })
+    },
+    "graph_degree_dist" ->
+      ("WITH cs AS (SELECT 'c:' || o_custkey AS src, 's:' || l_suppkey AS dst " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1, 2), " +
+        "e AS (SELECT src, dst FROM cs UNION ALL SELECT dst, src FROM cs), " +
+        "deg AS (SELECT src, count(*) AS degree FROM e GROUP BY src) " +
+        "SELECT CASE WHEN src LIKE 'c:%' THEN 'customer' ELSE 'supplier' END AS side, " +
+        "degree, count(*) AS n_nodes FROM deg GROUP BY 1, 2 ORDER BY side, degree"))
 }

@@ -80,11 +80,40 @@ object TableOps {
       .select("o_orderkey", "o_custkey", "o_totalprice")
       .orderBy("o_orderkey")
 
+  /** Small-files fixture: two deliberately fragmented commits (16 files
+    * each — the shape a streaming/CDC writer leaves behind), then a
+    * compaction commit down to 2 files. Built once per (JVM, sfDir). */
+  private def compactTable(s: SparkSession, d: String): VersionedTable = {
+    val root = TempDirs.cached("vtcompact", d) { dir =>
+      val orders = Tables.load(s, d, "orders")
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      val t = VersionedTable.create(s, dir + "/t",
+        orders.filter(col("o_orderkey") % 2 === 0).repartition(16))
+      t.append(orders.filter(col("o_orderkey") % 2 === 1).repartition(16))
+      t.compact(target = 2)
+      ()
+    }
+    VersionedTable.open(s, root + "/t")
+  }
+
+  /** VT5: compaction is a pure LAYOUT rewrite — the graded aggregate over
+    * the compacted snapshot must equal plain SQL over the raw input (the
+    * 32→2 file-count drop itself is asserted in TableOpsSpec via
+    * inputFiles). The small-files problem is THE operational tax of
+    * streaming ingest at 100 TB: without compaction every downstream
+    * scan pays per-file open cost on millions of tiny files. */
+  def vtCompact(s: SparkSession, d: String): DataFrame =
+    compactTable(s, d).read()
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("total"))
+      .orderBy("o_orderpriority")
+
   val queries: Map[String, Q] = Map(
     "vt_source_read" -> (vtSourceRead _),
     "vt_merge_delete" -> (vtMergeDelete _),
     "vt_time_travel" -> (vtTimeTravel _),
     "vt_history" -> (vtHistory _),
+    "vt_compact" -> (vtCompact _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -102,6 +131,10 @@ object TableOps {
          |SELECT id, acctbal FROM merged WHERE NOT (acctbal < 0.0) ORDER BY id""".stripMargin),
     "vt_time_travel" ->
       "SELECT c_custkey AS id, c_acctbal AS acctbal FROM customer ORDER BY id",
+    // compaction must not change content: the oracle is the raw input
+    "vt_compact" ->
+      ("SELECT o_orderpriority, count(*) AS cnt, round(sum(o_totalprice), 2) AS total " +
+        "FROM orders GROUP BY 1 ORDER BY 1"),
     "vt_history" ->
       ("""SELECT CAST(0 AS INTEGER) AS version, (SELECT count(*) FROM customer) AS n_rows
          |UNION ALL SELECT 1, (SELECT count(*) FROM customer) + 1

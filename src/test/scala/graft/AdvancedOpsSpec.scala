@@ -84,6 +84,64 @@ class AdvancedOpsSpec extends SparkTestBase {
     assert(keys.sameElements(keys.sortBy(-(_: Double))))
   }
 
+  test("vt_compact: content survives, file count collapses 32 -> 2") {
+    val before = graft.operators.TableOps.vtCompact(spark, SF) // builds fixture
+    val t = graft.tables.VersionedTable.open(spark,
+      TempDirs.cached("vtcompact", SF)(_ => ()) + "/t")
+    // v0 (16 files) + v1 append (16 more) -> v2 compacted
+    assert(t.versions == Seq(0, 1, 2))
+    assert(t.read(Some(1)).inputFiles.length == 32)
+    assert(t.read(Some(2)).inputFiles.length <= 2)
+    // layout rewrite only: compacted content == pre-compaction content
+    assert(t.read(Some(2)).count() == t.read(Some(1)).count())
+    assert(before.collect().nonEmpty)
+  }
+
+  test("incremental rollup: the mid-month key merges partials, result = full recompute") {
+    val inc = AdvancedOps.aggIncrementalRollup(spark, SF).collect()
+    val full = Tables.load(spark, SF, "orders")
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
+      .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("total"))
+      .orderBy("ym").collect()
+    assert(inc.toSeq == full.toSeq)
+    // the cutoff month is genuinely split across the two partials
+    val o = Tables.load(spark, SF, "orders")
+    assert(o.filter(col("o_orderdate").between("1997-01-01", "1997-01-14")).count() > 0)
+    assert(o.filter(col("o_orderdate").between("1997-01-15", "1997-01-31")).count() > 0)
+  }
+
+  test("MAD outliers: gate agrees with a plain-Scala recomputation per group") {
+    val got = AdvancedOps.statOutlierMad(spark, SF).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    val rows = Tables.load(spark, SF, "orders")
+      .select("o_orderpriority", "o_totalprice").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq
+    def medianOf(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
+    val want = rows.groupBy(_._1).map { case (k, vs) =>
+      val xs = vs.map(_._2)
+      val med = medianOf(xs)
+      val mad = medianOf(xs.map(x => math.abs(x - med)))
+      k -> xs.count(_ > med + 2.0 * mad).toLong
+    }
+    // groups with zero outliers drop out of the grouped-after-filter output
+    assert(got == want.filter(_._2 > 0))
+  }
+
+  test("degree distribution: node counts per side sum to the node totals") {
+    val rows = graft.operators.GraphOps.graphDegreeDist(spark, SF).collect()
+    val custNodes = rows.filter(_.getString(0) == "customer").map(_.getLong(2)).sum
+    val suppNodes = rows.filter(_.getString(0) == "supplier").map(_.getLong(2)).sum
+    // every active customer/supplier appears exactly once in the histogram
+    val li = Tables.load(spark, SF, "lineitem")
+    val o = Tables.load(spark, SF, "orders")
+    val joined = li.join(o, col("l_orderkey") === col("o_orderkey"))
+    assert(custNodes == joined.select("o_custkey").distinct().count())
+    assert(suppNodes == joined.select("l_suppkey").distinct().count())
+  }
+
   test("scd2: intervals tile per user on a constructed change feed") {
     def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
     val ev = Seq(

@@ -87,7 +87,8 @@ class EngineSurfaceSpec extends SparkTestBase {
       "TpchOps" -> TpchOps.queries.keySet,
       "LlmCorpusOps" -> LlmCorpusOps.queries.keySet,
       "PqOps" -> PqOps.queries.keySet,
-      "GraphOps" -> GraphOps.queries.keySet)
+      "GraphOps" -> GraphOps.queries.keySet,
+      "AdvancedOps" -> AdvancedOps.queries.keySet)
     val perRegistry = registries.map(_._2.size).sum
     assert(perRegistry == SparkEntry.queries.size,
       s"key collision across registries: ${
