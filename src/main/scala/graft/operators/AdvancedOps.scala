@@ -30,19 +30,25 @@ object AdvancedOps {
     * impossible — the result is bit-identical to the plain join, which is
     * what the oracle checks.
     *
-    * The driver-side `head` holds only the 4 MB sketch (metadata-scale,
-    * the same payload the injected rule ships via a subquery broadcast);
-    * the fact table never leaves the executors. At 100 TB this is THE
-    * shuffle-reducer for selective dim filters: 4 MB broadcast vs
-    * shuffling the ~80% of fact rows the join would discard anyway. */
+    * The driver-side `head` holds only the sketch (metadata-scale — a few
+    * KB here, ~5 MB at 4M dim keys; the same payload the injected rule
+    * ships via a subquery broadcast); the fact table never leaves the
+    * executors. At 100 TB this is THE shuffle-reducer for selective dim
+    * filters: a megabyte-scale broadcast vs shuffling the ~80% of fact
+    * rows the join would discard anyway. */
   def joinBloomPrefilter(s: SparkSession, d: String): DataFrame = {
     val dim = t(s, d, "orders")
       .filter(col("o_orderpriority") === "1-URGENT")
       .select("o_orderkey")
-    // 2^25 bits = 4 MB sized for ~4M distinct keys (fpp a few % at sf100);
-    // at fixture scale it is effectively exact.
+    // Size the sketch from the ACTUAL creation-side cardinality (the same
+    // thing Catalyst's injection rule reads from plan stats): ~10 bits per
+    // key ≈ 1% fpp, floored at 64 Kbit, capped at Spark's 8 MB maxNumBits.
+    // A fixed 4 MB filter would cost 32 partial 4 MB buffers + their merge
+    // on a 30 K-key dim — sizing tracks the input at any scale factor.
+    val nDim = dim.count()
+    val bits = math.min(math.max(nDim * 10L, 65536L), 67108864L)
     val bytes = dim
-      .agg(BloomBridge.bloomFilterAgg(col("o_orderkey"), 4000000L, 33554432L).as("bf"))
+      .agg(BloomBridge.bloomFilterAgg(col("o_orderkey"), math.max(nDim, 1L), bits).as("bf"))
       .head.getAs[Array[Byte]](0)
     t(s, d, "lineitem")
       .select("l_orderkey", "l_quantity", "l_returnflag")
