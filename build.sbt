@@ -26,5 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default: the full 233-key bench accumulates memoized localCheckpoint
+  // blocks (edge lists, shingle indexes, VT layouts) in ONE JVM running 32
+  // executor threads — at 8g the tail of the run spends more time in GC
+  // than in queries (row-local ops measured 10-25x their fresh-JVM time).
+  // The box has 128 GiB; still env-overridable.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )
