@@ -116,9 +116,110 @@ object GraphOps {
       .agg(count(lit(1)).as("n_nodes"))
       .orderBy("side", "degree")
 
+  val KhopHops = 2
+
+  /** Semi-naive BFS over any (src, dst, …) edge frame: returns the
+    * (seed, id) pairs reachable within `k` hops (the seed itself included
+    * as hop 0). Exposed so constructed-graph tests exercise THIS loop.
+    *
+    * Each hop is one equi-join (frontier ⋈ edges, hash on the node id)
+    * plus one anti-join against the visited set (hash on (seed, id)) —
+    * the frontier-only expansion is what makes BFS feasible at scale: a
+    * naive re-expansion of the WHOLE visited set each round does
+    * O(hops × reached × degree) work, the frontier form only touches
+    * newly-discovered nodes. localCheckpoint per hop truncates the
+    * doubling anti-join/union lineage, same posture as the CC loop. */
+  def khopReach(edges: DataFrame, seeds: DataFrame, k: Int): DataFrame = {
+    var visited = seeds.select(col("seed"), col("seed").as("id"))
+      .distinct().localCheckpoint(true)
+    var frontier = visited
+    (1 to k).foreach { _ =>
+      val expanded = frontier.join(edges, frontier("id") === edges("src"))
+        .select(frontier("seed"), edges("dst").as("id")).distinct()
+      frontier = expanded.join(visited, Seq("seed", "id"), "left_anti")
+        .localCheckpoint(true)
+      visited = visited.union(frontier).localCheckpoint(true)
+    }
+    visited
+  }
+
+  /** Graded entry: per-seed count of distinct nodes within 2 hops on the
+    * purchase graph. Seeds are every 100th customer (src % 200 == 0 on
+    * packed ids ⇔ even ⇔ customer AND custkey % 100 == 0), so the seed
+    * set scales with the data instead of being a fixed list. The DuckDB
+    * twin is a genuine recursive CTE — the depth bound `d < 2` plus
+    * UNION-dedup is what guarantees its termination. */
+  def graphKhop(s: SparkSession, d: String): DataFrame = {
+    val e = purchaseEdges(s, d)
+    val seeds = e.where(col("src") % 200 === 0).select(col("src").as("seed"))
+    khopReach(e, seeds, KhopHops)
+      .where(col("id") =!= col("seed"))
+      .groupBy(namespaced(col("seed")).as("seed"))
+      .agg(count(lit(1)).as("n_reachable"))
+      .orderBy("seed")
+  }
+
+  /** Distinct part-pair co-purchase counts (p1 < p2 canonical order) —
+    * the market-basket edge list. Built by a self-join of lineitem on
+    * l_orderkey: per-order item counts are small (~4), so the per-key
+    * pair expansion is O(items²) with a tiny constant — the standard
+    * itemset trick; a mega-basket guard (cap items per order) would slot
+    * in front of the join at scale. Memoized + checkpointed per
+    * (session, sfDir) like the purchase edge list: three graded ops read
+    * it, and at 100 TB the pair table IS the materialized artifact. */
+  private val pairMemo =
+    new graft.tools.LruMemo[(String, String), DataFrame](16)
+
+  private def partPairs(s: SparkSession, d: String): DataFrame = {
+    val sid = org.apache.spark.sql.graftnative.SessionIds.uuid(s)
+    pairMemo.get((sid, d)) {
+      val li = Tables.load(s, d, "lineitem").select("l_orderkey", "l_partkey")
+      li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
+        .agg(count(lit(1)).as("n_cooccur"))
+        .localCheckpoint(true)
+    }
+  }
+
+  /** Top-100 co-purchased part pairs. Tiebreak (n desc, p1, p2) is a
+    * TOTAL order, so the cut inside the long n=1 band is deterministic;
+    * the sort runs as TakeOrderedAndProject (per-partition top-100 heaps,
+    * only 100 rows per task cross the wire), never a full global sort. */
+  def graphCopurchaseTopk(s: SparkSession, d: String): DataFrame =
+    partPairs(s, d)
+      .orderBy(col("n_cooccur").desc, col("p1"), col("p2")).limit(100)
+
+  /** Triangle count over canonically-oriented (p1 < p2) edges. The
+    * orientation means each triangle a<b<c is counted exactly once as
+    * (a,b)+(b,c)+(a,c) — no /6 correction, no double joins. Exposed for
+    * constructed-graph tests. */
+  def triangleCount(orientedEdges: DataFrame): DataFrame = {
+    val eb = orientedEdges.select("p1", "p2")
+    eb.as("e1").join(eb.as("e2"), col("e1.p2") === col("e2.p1"))
+      .join(eb.as("e3"),
+        col("e1.p1") === col("e3.p1") && col("e2.p2") === col("e3.p2"))
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+
+  /** Graded entry: triangles in the co-purchase BACKBONE (pairs seen in
+    * ≥2 baskets). The ≥2 support threshold is the point at scale: raw
+    * pair edges on a random basket corpus are almost all noise with
+    * count 1, and the wedge join (sum of squared degrees) over them
+    * explodes; the backbone is orders of magnitude sparser, which is
+    * what makes exact triangle counting feasible. At even larger scale
+    * the next step is degree-ordered orientation (point high-degree
+    * nodes at low-degree ones) — noted, not needed at this density. */
+  def graphTriangles(s: SparkSession, d: String): DataFrame =
+    triangleCount(partPairs(s, d).where(col("n_cooccur") >= 2))
+
   val queries: Map[String, Q] = Map(
     "graph_pagerank" -> (graphPagerank _),
-    "graph_degree_dist" -> (graphDegreeDist _))
+    "graph_degree_dist" -> (graphDegreeDist _),
+    "graph_khop" -> (graphKhop _),
+    "graph_copurchase_topk" -> (graphCopurchaseTopk _),
+    "graph_triangles" -> (graphTriangles _))
 
   /** The identical formula with the 5 rounds unrolled as CTE stages. */
   val oracles: Map[String, String] = Map(
@@ -144,5 +245,29 @@ object GraphOps {
         "e AS (SELECT src, dst FROM cs UNION ALL SELECT dst, src FROM cs), " +
         "deg AS (SELECT src, count(*) AS degree FROM e GROUP BY src) " +
         "SELECT CASE WHEN src LIKE 'c:%' THEN 'customer' ELSE 'supplier' END AS side, " +
-        "degree, count(*) AS n_nodes FROM deg GROUP BY 1, 2 ORDER BY side, degree"))
+        "degree, count(*) AS n_nodes FROM deg GROUP BY 1, 2 ORDER BY side, degree"),
+    "graph_khop" ->
+      (s"WITH RECURSIVE cs AS (SELECT 'c:' || o_custkey AS src, 's:' || l_suppkey AS dst " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1, 2), " +
+        "e AS (SELECT src, dst FROM cs UNION ALL SELECT dst, src FROM cs), " +
+        "seeds AS (SELECT DISTINCT 'c:' || o_custkey AS seed FROM lineitem " +
+        "JOIN orders ON l_orderkey = o_orderkey WHERE o_custkey % 100 = 0), " +
+        "reach AS (SELECT seed, seed AS id, 0 AS d FROM seeds " +
+        "UNION SELECT r.seed, e.dst AS id, r.d + 1 AS d FROM reach r " +
+        s"JOIN e ON e.src = r.id WHERE r.d < ${GraphOps.KhopHops}) " +
+        "SELECT seed, count(DISTINCT id) AS n_reachable FROM reach " +
+        "WHERE id <> seed GROUP BY seed ORDER BY seed"),
+    "graph_copurchase_topk" ->
+      ("SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS n_cooccur " +
+        "FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey " +
+        "AND a.l_partkey < b.l_partkey " +
+        "GROUP BY 1, 2 ORDER BY n_cooccur DESC, p1, p2 LIMIT 100"),
+    "graph_triangles" ->
+      ("WITH pairs AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS n " +
+        "FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey " +
+        "AND a.l_partkey < b.l_partkey GROUP BY 1, 2), " +
+        "eb AS (SELECT p1, p2 FROM pairs WHERE n >= 2) " +
+        "SELECT count(*) AS n_triangles FROM eb e1 " +
+        "JOIN eb e2 ON e1.p2 = e2.p1 " +
+        "JOIN eb e3 ON e1.p1 = e3.p1 AND e2.p2 = e3.p2"))
 }

@@ -42,6 +42,43 @@ class GraphOpsSpec extends SparkTestBase {
     assert(math.abs(got.values.sum - 1.0) < 1e-9, s"mass: ${got.values.sum}")
   }
 
+  test("khopReach walks exactly k hops on a constructed chain") {
+    // chain a-b-c-d-e, symmetrized; from a: 1 hop → {b}, 2 → {b,c}, 3 → {b,c,d}
+    val raw = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"))
+    val edges = (raw ++ raw.map(_.swap)).toDF("src", "dst")
+    val seeds = Seq("a").toDF("seed")
+    def reached(k: Int): Set[String] =
+      GraphOps.khopReach(edges, seeds, k).where(col("id") =!= col("seed"))
+        .collect().map(_.getString(1)).toSet
+    assert(reached(1) == Set("b"))
+    assert(reached(2) == Set("b", "c"))
+    assert(reached(3) == Set("b", "c", "d"))
+    // two seeds keep separate reach sets: from d, 1 hop → {c, e}
+    val two = GraphOps.khopReach(edges, Seq("a", "d").toDF("seed"), 1)
+      .where(col("id") =!= col("seed")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toSet
+    assert(two == Set("a" -> "b", "d" -> "c", "d" -> "e"))
+  }
+
+  test("triangleCount on oriented edges counts each triangle once") {
+    // triangles (1,2,3) and (2,3,4); (4,5) is a dangling edge
+    val eb = Seq((1, 2), (1, 3), (2, 3), (2, 4), (3, 4), (4, 5)).toDF("p1", "p2")
+    assert(GraphOps.triangleCount(eb).collect().head.getLong(0) == 2L)
+    // no false positive on a triangle-free square
+    val square = Seq((1, 2), (2, 3), (3, 4), (1, 4)).toDF("p1", "p2")
+    assert(GraphOps.triangleCount(square).collect().head.getLong(0) == 0L)
+  }
+
+  test("graded khop: every 100th customer reaches a nonempty 2-hop set") {
+    val rows = GraphOps.graphKhop(spark, SF).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getString(0).startsWith("c:"))
+      assert(r.getString(0).stripPrefix("c:").toLong % 100 == 0)
+      assert(r.getLong(1) > 0)
+    }
+  }
+
   test("graded purchase-network ranks form a distribution over c:/s: nodes") {
     val rows = GraphOps.graphPagerank(spark, SF).collect()
       .map(r => r.getString(0) -> r.getDouble(1))
