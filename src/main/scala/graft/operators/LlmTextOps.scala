@@ -183,6 +183,40 @@ object LlmTextOps {
   private def hashedShingles(n: Int): Column =
     expr(s"transform(${shinglesSql(n)}, s -> cast(conv(substring(md5(cast(s as binary)), 1, 15), 16, 10) as bigint))")
 
+  /** Cross-document duplicated-SPAN profile — the positional complement
+    * of doc-level dedup (the "dedup at the span level" of Lee et al.
+    * 2022, Deduplicating Training Data Makes Language Models Better):
+    * every 8-word span, keyed by its md5-prefix int64 id WITH its
+    * position, is flagged when the identical span text occurs in ≥2
+    * distinct documents; the output is each affected document's profile
+    * (how many of its positions sit inside cross-doc duplicated text,
+    * how many distinct such spans).
+    *
+    * Scale shape: the exploded frame is 1:~len(doc) rows but never
+    * carries text — only (sid int64, doc_id, pos); the ≥2-distinct-docs
+    * screen is ONE hash aggregation on sid (partial count-distinct via
+    * the two-level agg), and the flagged set joins back on the 8-byte
+    * sid. At 100 TB this is the standard span-dedup sweep: no all-pairs
+    * comparison ever exists, work is linear in corpus token count plus
+    * the (tiny) duplicated-span join. */
+  def llmSpanDup(s: SparkSession, d: String): DataFrame =
+    spanDupProfile(t(s, d, "documents")).orderBy("doc_id")
+
+  /** Core span-dup profile over any (doc_id, text) frame — exposed so
+    * planted-span tests exercise THIS pipeline. */
+  def spanDupProfile(docs: DataFrame, width: Int = 8): DataFrame = {
+    val spans = docs
+      .withColumn("ws", split(col("text"), " "))
+      .select(col("doc_id"), explode(hashedShingles(width)).as("sid"))
+    val dupIds = spans.groupBy("sid")
+      .agg(countDistinct("doc_id").as("nd"))
+      .where(col("nd") >= 2).select("sid")
+    spans.join(dupIds, "sid")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_dup_positions"),
+        countDistinct("sid").as("n_dup_spans"))
+  }
+
   /** Document fingerprint: min MD5 over 5-gram word shingles (MinHash with
     * one hash function) — fully row-local, portable to SQL, and stable
     * under small edits elsewhere in the document. */
@@ -809,6 +843,7 @@ object LlmTextOps {
     "llm_bpe_merges" -> (llmBpeMerges _),
     "llm_quality_score" -> (llmQualityScore _),
     "llm_fingerprint" -> (llmFingerprint _),
+    "llm_span_dup" -> (llmSpanDup _),
     "llm_ngram_jaccard" -> (llmNgramJaccard _),
     "llm_dedup_clusters" -> (llmDedupClusters _),
     "llm_dedup_semantic" -> (llmDedupSemantic _),
@@ -913,6 +948,16 @@ object LlmTextOps {
         "SELECT doc_id, h FROM newb WHERE rn = 1 AND h NOT IN (SELECT h FROM ex) ORDER BY doc_id"),
     "llm_quality_score" ->
       "SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS word_cnt, round(0.6 * least(n_chars / 500.0, 1.0) + 0.4 * least(((n_chars - (len(string_split(text, ' ')) - 1)) / CAST(len(string_split(text, ' ')) AS DOUBLE)) / 10.0, 1.0), 6) AS score FROM documents ORDER BY doc_id",
+    // same md5-prefix span ids as the Spark side; spans repeated at
+    // multiple positions of ONE doc count once per position in
+    // n_dup_positions but once total in n_dup_spans
+    "llm_span_dup" ->
+      ("WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), " +
+        "x AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 7)) AS i FROM w), " +
+        "sp AS (SELECT doc_id, CAST('0x' || substr(md5(array_to_string(ws[i:i+7], ' ')), 1, 15) AS BIGINT) AS sid FROM x), " +
+        "dup AS (SELECT sid FROM sp GROUP BY sid HAVING count(DISTINCT doc_id) >= 2) " +
+        "SELECT doc_id, count(*) AS n_dup_positions, count(DISTINCT sid) AS n_dup_spans " +
+        "FROM sp JOIN dup USING (sid) GROUP BY doc_id ORDER BY doc_id"),
     // LEFT JOIN back to documents so docs shorter than 5 words keep a
     // NULL-fingerprint row, matching Spark's array_min over an empty
     // shingle array (GROUP BY alone would drop them).

@@ -20,6 +20,26 @@ class LlmOpsSpec extends SparkTestBase {
     assert(out.map(_.getAs[Long]("n_dups")).sum == 20L)
   }
 
+  test("span-dup profile flags exactly the planted cross-doc span") {
+    val shared = "alpha bravo charlie delta echo foxtrot golf hotel"   // 8 words
+    val docs = Seq(
+      (1L, s"$shared uniqA uniqB"),            // spans: [shared], [bravo..uniqA], [charlie..uniqB]
+      (2L, s"pre1 pre2 $shared post1"),        // contains shared at offset 2
+      (3L, "nine distinct words that never repeat anywhere else okay")
+    ).toDF("doc_id", "text")
+    val got = LlmTextOps.spanDupProfile(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map(1L -> (1L, 1L), 2L -> (1L, 1L)), s"got $got")
+    // a span repeated at two positions of the SAME doc only is not cross-doc
+    val selfRep = Seq((7L, s"$shared filler $shared")).toDF("doc_id", "text")
+    assert(LlmTextOps.spanDupProfile(selfRep).collect().isEmpty)
+    // ...but counts once per position when it IS also cross-doc
+    val both = Seq((1L, s"$shared x $shared"), (2L, s"y $shared z")).toDF("doc_id", "text")
+    val m = LlmTextOps.spanDupProfile(both).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(m(1L) == (2L, 1L) && m(2L) == (1L, 1L), s"got $m")
+  }
+
   test("ngram jaccard recalls a constructed near-duplicate pair") {
     val base = doc(40)
     val nearDup = base.split(" ").updated(5, "changedword").mkString(" ")
