@@ -69,6 +69,36 @@ class GraphOpsSpec extends SparkTestBase {
     assert(GraphOps.triangleCount(square).collect().head.getLong(0) == 0L)
   }
 
+  test("triangleCount matches a plain-Scala count on seeded random graphs") {
+    val rnd = new scala.util.Random(42)
+    (1 to 3).foreach { _ =>
+      val n = 12
+      val edges = (for {
+        a <- 1 to n; b <- (a + 1) to n if rnd.nextDouble() < 0.35
+      } yield (a, b)).toSeq
+      val eSet = edges.toSet
+      val want = (for {
+        a <- 1 to n; b <- (a + 1) to n; c <- (b + 1) to n
+        if eSet((a, b)) && eSet((b, c)) && eSet((a, c))
+      } yield 1).size.toLong
+      val got = GraphOps.triangleCount(edges.toDF("p1", "p2"))
+        .collect().head.getLong(0)
+      assert(got == want, s"edges=$edges: $got vs $want")
+    }
+  }
+
+  test("copurchase top-k plans TakeOrderedAndProject and keeps p1 < p2") {
+    val df = GraphOps.graphCopurchaseTopk(spark, SF)
+    assert(df.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"),
+      "top-100 should be a bounded-heap take, not a global sort")
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.length <= 100)
+    rows.foreach(r => assert(r.getLong(0) < r.getLong(1)))
+    // counts arrive non-increasing under the (n desc, p1, p2) total order
+    val ns = rows.map(_.getLong(2))
+    assert(ns.zip(ns.tail).forall { case (x, y) => x >= y })
+  }
+
   test("graded khop: every 100th customer reaches a nonempty 2-hop set") {
     val rows = GraphOps.graphKhop(spark, SF).collect()
     assert(rows.nonEmpty)
