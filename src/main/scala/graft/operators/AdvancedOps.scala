@@ -49,7 +49,7 @@ object AdvancedOps {
     val bits = math.min(math.max(nDim * 10L, 65536L), 67108864L)
     val bytes = dim
       .agg(BloomBridge.bloomFilterAgg(col("o_orderkey"), math.max(nDim, 1L), bits).as("bf"))
-      .head.getAs[Array[Byte]](0)
+      .head().getAs[Array[Byte]](0)
     t(s, d, "lineitem")
       .select("l_orderkey", "l_quantity", "l_returnflag")
       .filter(BloomBridge.mightContain(bytes, col("l_orderkey")))
@@ -203,9 +203,110 @@ object AdvancedOps {
       .orderBy("o_orderpriority")
   }
 
+  // --------------------------------------------------------- pareto frontier
+
+  /** Skyline (pareto frontier) over part price/size: the points where no
+    * other part is both cheaper AND at-least-as-large (strict in one
+    * dimension) — the standard multi-objective shortlist query. Computed
+    * in three scalable passes, never a pairwise dominance join:
+    *   1. collapse to one candidate per price (groupBy price → max size):
+    *      any point below its price's max is dominated at equal price;
+    *   2. LOCAL skyline per hash bucket (window: running max of size over
+    *      price-ascending rows). Skylines are distributive over ANY
+    *      partition of the data — a point dominated inside its bucket is
+    *      dominated globally — so this pass only discards, never loses a
+    *      frontier point, and each bucket's window is independent;
+    *   3. GLOBAL skyline over the survivors. For uniform-random data the
+    *      expected frontier is O(log n) points, so the single-partition
+    *      window in pass 3 sees a metadata-sized frame; the heavy lifting
+    *      happened bucket-parallel in pass 2. At 100 TB passes 1-2 are
+    *      one hash shuffle + one bucket-partitioned window; pass 3 is
+    *      driver-scale.
+    * Survival rule everywhere: size strictly greater than the running max
+    * over strictly-lower prices (prices unique after pass 1). */
+  def paretoFrontier(s: SparkSession, d: String): DataFrame = {
+    val pts = t(s, d, "part")
+      .groupBy(col("p_retailprice").as("price"))
+      .agg(max("p_size").as("size"))
+    val wLocal = Window.partitionBy("b").orderBy("price")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = pts.withColumn("b", pmod(hash(col("price")), lit(32)))
+      .withColumn("runmax", max("size").over(wLocal))
+      .filter(col("runmax").isNull || col("size") > col("runmax"))
+      .drop("b", "runmax")
+    val wGlobal = Window.orderBy("price")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    local.withColumn("runmax", max("size").over(wGlobal))
+      .filter(col("runmax").isNull || col("size") > col("runmax"))
+      .select("price", "size")
+      .orderBy("price")
+  }
+
+  // ------------------------------------------------------- rolling regression
+
+  /** Rolling least-squares trend per customer: the slope of totalprice
+    * vs order date over each customer's last 5 orders — the per-entity
+    * trend detector behind spend-trajectory features. The closed form
+    * (n·Σxy − Σx·Σy)/(n·Σx² − (Σx)²) needs only window SUMS over one
+    * frame, so all five statistics ride a single shuffle on o_custkey
+    * and one sort — no self-join, no UDAF state. x is days since a fixed
+    * epoch (small magnitudes keep the cancellation in the denominator
+    * far above double noise). Degenerate frames (n=1, or all orders the
+    * same day → zero variance) yield NULL, not a division blow-up. */
+  def winRollingSlope(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("x", "o_orderkey")
+      .rowsBetween(-4, 0)
+    val o = t(s, d, "orders").select(
+      col("o_custkey"), col("o_orderkey"),
+      datediff(col("o_orderdate"), lit("1992-01-01")).cast("double").as("x"),
+      col("o_totalprice").as("y"))
+    val den = col("n") * col("sxx") - col("sx") * col("sx")
+    o.withColumn("n", count(lit(1)).over(w).cast("double"))
+      .withColumn("sx", sum("x").over(w))
+      .withColumn("sy", sum("y").over(w))
+      .withColumn("sxy", sum(col("x") * col("y")).over(w))
+      .withColumn("sxx", sum(col("x") * col("x")).over(w))
+      .select(col("o_custkey"), col("o_orderkey"),
+        when(col("n") > 1.0 && den =!= 0.0,
+          round((col("n") * col("sxy") - col("sx") * col("sy")) / den, 4))
+          .as("slope"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  // ------------------------------------------------------------- chi-square
+
+  /** Chi-square test of independence for lang × source on documents —
+    * the categorical-drift check a corpus pipeline runs between crawl
+    * snapshots. Observed cell counts come from ONE groupBy over the
+    * fact; marginals and the grand total are re-aggregations of that
+    * (tiny) contingency table, broadcast back over the FULL dim grid —
+    * built row-marginal × col-marginal so zero-observed cells still
+    * contribute their (0−e)²/e term, which a join on observed cells
+    * alone would silently drop. Everything after the first groupBy is
+    * metadata-scale regardless of corpus size. */
+  def statChiSquare(s: SparkSession, d: String): DataFrame = {
+    val obs = t(s, d, "documents")
+      .groupBy("lang", "source").agg(count(lit(1)).cast("double").as("o"))
+    val rows = obs.groupBy("lang").agg(sum("o").as("rt"))
+    val cols = obs.groupBy("source").agg(sum("o").as("ct"))
+    val tot = obs.agg(sum("o").as("n"),
+      ((countDistinct("lang") - 1) * (countDistinct("source") - 1)).as("dof"))
+    val grid = rows.crossJoin(broadcast(cols))
+      .join(obs, Seq("lang", "source"), "left")
+      .na.fill(0.0, Seq("o"))
+      .crossJoin(broadcast(tot))
+      .select((col("rt") * col("ct") / col("n")).as("e"), col("o"), col("dof"))
+    grid.groupBy("dof")
+      .agg(round(sum((col("o") - col("e")) * (col("o") - col("e")) / col("e")), 6).as("chi2"))
+      .select(col("chi2"), col("dof").cast("long").as("dof"))
+  }
+
   // --------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
+    "pareto_frontier" -> (paretoFrontier _),
+    "win_rolling_slope" -> (winRollingSlope _),
+    "stat_chisq" -> (statChiSquare _),
     "join_bloom_prefilter" -> (joinBloomPrefilter _),
     "join_shuffle_hash" -> (joinShuffleHash _),
     "stat_skew_report" -> (statSkewReport _),
@@ -215,6 +316,36 @@ object AdvancedOps {
     "stat_outlier_mad" -> (statOutlierMad _))
 
   val oracles: Map[String, String] = Map(
+    // the oracle is the O(n²) dominance anti-join the Spark side must
+    // NEVER run — the window passes have to reproduce it exactly
+    "pareto_frontier" ->
+      ("WITH pts AS (SELECT p_retailprice AS price, max(p_size) AS size FROM part GROUP BY 1) " +
+        "SELECT price, size FROM pts a WHERE NOT EXISTS (" +
+        "SELECT 1 FROM pts b WHERE b.price < a.price AND b.size >= a.size) " +
+        "ORDER BY price"),
+    "win_rolling_slope" ->
+      ("WITH o AS (SELECT o_custkey, o_orderkey, " +
+        "CAST(date_diff('day', DATE '1992-01-01', o_orderdate) AS DOUBLE) AS x, " +
+        "o_totalprice AS y FROM orders), " +
+        "w AS (SELECT o_custkey, o_orderkey, " +
+        "CAST(count(*) OVER win AS DOUBLE) AS n, sum(x) OVER win AS sx, " +
+        "sum(y) OVER win AS sy, sum(x*y) OVER win AS sxy, sum(x*x) OVER win AS sxx " +
+        "FROM o WINDOW win AS (PARTITION BY o_custkey ORDER BY x, o_orderkey " +
+        "ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)) " +
+        "SELECT o_custkey, o_orderkey, " +
+        "CASE WHEN n > 1.0 AND n*sxx - sx*sx <> 0.0 " +
+        "THEN round((n*sxy - sx*sy) / (n*sxx - sx*sx), 4) END AS slope " +
+        "FROM w ORDER BY o_custkey, o_orderkey"),
+    "stat_chisq" ->
+      ("WITH obs AS (SELECT lang, source, CAST(count(*) AS DOUBLE) AS o FROM documents GROUP BY 1, 2), " +
+        "r AS (SELECT lang, sum(o) AS rt FROM obs GROUP BY 1), " +
+        "c AS (SELECT source, sum(o) AS ct FROM obs GROUP BY 1), " +
+        "tot AS (SELECT sum(o) AS n, (count(DISTINCT lang) - 1) * (count(DISTINCT source) - 1) AS dof FROM obs), " +
+        "grid AS (SELECT r.rt * c.ct / tot.n AS e, coalesce(obs.o, 0.0) AS o, tot.dof " +
+        "FROM r CROSS JOIN c LEFT JOIN obs ON r.lang = obs.lang AND c.source = obs.source " +
+        "CROSS JOIN tot) " +
+        "SELECT round(sum((o - e) * (o - e) / e), 6) AS chi2, CAST(dof AS BIGINT) AS dof " +
+        "FROM grid GROUP BY dof"),
     // the bloom prefilter is invisible to the result — the oracle is the
     // plain join, which is exactly the no-false-negatives guarantee
     "join_bloom_prefilter" ->

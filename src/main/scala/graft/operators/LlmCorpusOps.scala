@@ -310,7 +310,49 @@ object LlmCorpusOps {
       obs)
   }
 
+  /** Pairwise document similarity on SPARSE tf-idf vectors via an
+    * inverted postings index — the lexical twin of the dense-embedding
+    * cosine family (VectorFunctions), and the shape sparse similarity
+    * takes at scale: vectors are never materialized; the dot product is
+    * a JOIN ON TERM over postings (a·b = Σ_shared-terms w_a·w_b), so
+    * only documents sharing a term ever meet, and the candidate work is
+    * Σ_t df_t² instead of n². Weights use the smoothed idf
+    * ln((N+1)/(df+1)) + 1 (sklearn's convention): strictly positive, so
+    * no document has a zero norm and the division is total.
+    *
+    * At 100 TB the posting lists of stop-terms dominate Σ df_t²; the
+    * production guard is the same one llm_ngram_jaccard ships — cap or
+    * drop postings with df above a threshold for candidate generation
+    * and re-score survivors exactly (or DIMSUM-sample the postings).
+    * This fixture's vocabulary is bounded (≤ a few dozen terms), so the
+    * exact index join IS the right plan here; top-25 lands as
+    * TakeOrderedAndProject, never a full sort of the pair frame. */
+  def llmTfidfCosine(s: SparkSession, d: String): DataFrame = {
+    val tf = t(s, d, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("doc_id", "term").agg(count(lit(1)).cast("double").as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val nd = t(s, d, "documents").agg(count(lit(1)).cast("double").as("nd"))
+    val w = tf.join(broadcast(dfreq), "term").crossJoin(broadcast(nd))
+      .select(col("doc_id"), col("term"),
+        (col("tf") * (log((col("nd") + 1.0) / (col("df") + 1.0)) + 1.0)).as("w"))
+    val norms = w.groupBy("doc_id").agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+    val dots = w.select(col("doc_id").as("a_id"), col("term"), col("w").as("wa"))
+      .join(w.select(col("doc_id").as("b_id"), col("term"), col("w").as("wb")), "term")
+      .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id").agg(sum(col("wa") * col("wb")).as("dot"))
+    dots
+      .join(norms.select(col("doc_id").as("a_id"), col("nrm").as("na")), "a_id")
+      .join(norms.select(col("doc_id").as("b_id"), col("nrm").as("nb")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        round(col("dot") / (col("na") * col("nb")), 4).as("sim"))
+      .orderBy(col("sim").desc, col("a_id"), col("b_id"))
+      .limit(25)
+  }
+
   val queries: Map[String, Q] = Map(
+    "llm_tfidf_cosine" -> (llmTfidfCosine _),
     "llm_pipeline_e2e" -> (llmPipelineE2e _),
     "llm_stratified_sample" -> (llmStratifiedSample _),
     "llm_pack_sequences" -> (llmPackSequences _),
@@ -327,6 +369,20 @@ object LlmCorpusOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "llm_tfidf_cosine" ->
+      ("WITH tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM " +
+        "(SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents) " +
+        "WHERE length(term) > 0 GROUP BY 1, 2), " +
+        "dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1), " +
+        "nd AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents), " +
+        "w AS (SELECT doc_id, tf.term, tf.tf * (ln((nd.nd + 1.0) / (dfreq.df + 1.0)) + 1.0) AS w " +
+        "FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN nd), " +
+        "nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY 1), " +
+        "dots AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, sum(a.w * b.w) AS dot " +
+        "FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+        "SELECT a_id, b_id, round(dot / (na.nrm * nb.nrm), 4) AS sim " +
+        "FROM dots JOIN nrm na ON dots.a_id = na.doc_id JOIN nrm nb ON dots.b_id = nb.doc_id " +
+        "ORDER BY sim DESC, a_id, b_id LIMIT 25"),
     "llm_pipeline_e2e" ->
       ("WITH f AS (SELECT doc_id, source, text, " +
         "md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_md5 " +

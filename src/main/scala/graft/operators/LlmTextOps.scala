@@ -111,6 +111,83 @@ object LlmTextOps {
       .limit(20)
   }
 
+  /** Multi-round BPE vocabulary TRAINING — the iterative completion of
+    * [[llmBpeMerges]] (which grades round one): repeat
+    * (count adjacent symbol pairs → merge the argmax) for `rounds`
+    * rounds, exactly the loop that builds a real tokenizer vocabulary.
+    *
+    * Scale shape: the corpus collapses ONCE to its word-frequency table
+    * (one shuffle; vocabulary-sized — millions of rows at 100 TB, not
+    * trillions), and every round after that runs on that table alone:
+    * a row-local pair expansion + a two-phase weighted count whose key
+    * space is bounded by (vocab symbols)², then a single-row argmax read
+    * back to the driver — the same scalar-per-iteration driver pattern
+    * as the connected-components and PageRank loops. Applying the merge
+    * is one codegen'd regexp pass over the word table; `localCheckpoint`
+    * truncates the growing replace lineage each round.
+    *
+    * Segmentation state is the word's symbols joined by U+001F (absent
+    * from the corpus); the merge pattern anchors both symbol boundaries
+    * with zero-width guards `(?<![^sep])...(?![^sep])` so a pair
+    * like (a,b) can never match the tail of a LONGER symbol ("ta"·"b"),
+    * and — because the guards consume no separator — back-to-back
+    * occurrences "a·b·a·b" merge in one left-to-right pass, matching
+    * BPE's greedy application order.
+    *
+    * Returns (merge table: one row per round, ordered; final word
+    * segmentation) — callers grade the first, specs audit the second. */
+  def bpeTrainCore(s: SparkSession, d: String, rounds: Int = 8): (DataFrame, DataFrame) = {
+    val sep = "\u001f"
+    var seg = t(s, d, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      // initial state: one separator between every pair of adjacent chars
+      .select(regexp_replace(col("w"), "(.)(?=.)", "$1" + sep).as("seg"),
+        col("cnt"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var round = 1
+    var exhausted = false
+    while (round <= rounds && !exhausted) {
+      val best = seg
+        .select(col("cnt"), split(col("seg"), sep).as("syms"))
+        .filter(size(col("syms")) >= 2) // sequence(0,-1) would count DOWN
+        .select(col("cnt"), explode(transform(
+          sequence(lit(1), size(col("syms")) - 1),
+          i => concat(element_at(col("syms"), i), lit(sep),
+            element_at(col("syms"), i + 1)))).as("pair"))
+        .groupBy("pair").agg(sum("cnt").as("pcnt"))
+        .orderBy(col("pcnt").desc, col("pair"))
+        .limit(1).collect() // single-row argmax: the per-iteration scalar
+      if (best.isEmpty) exhausted = true
+      else {
+        val parts = best(0).getString(0).split(sep)
+        val (l, r) = (parts(0), parts(1))
+        val pat = "(?<![^" + sep + "])" +
+          java.util.regex.Pattern.quote(l + sep + r) + "(?![^" + sep + "])"
+        merges += ((round, l, r, l + r, best(0).getLong(1)))
+        seg = seg
+          .withColumn("seg", regexp_replace(col("seg"), pat, l + r))
+          .localCheckpoint(true)
+        round += 1
+      }
+    }
+    import s.implicits._
+    val mergeDf = merges.toSeq
+      .toDF("round", "left", "right", "merged", "cnt")
+      .orderBy("round")
+    (mergeDf, seg)
+  }
+
+  /** Graded entry: the merge table of an 8-round training run. No SQL
+    * oracle (the loop is inherently recursive); NoOracleKeysSpec asserts
+    * round-1 agreement with the oracle-graded llm_bpe_merges, the
+    * monotone-decreasing merge counts, boundary-anchoring, and corpus
+    * compression. */
+  def llmBpeTrain(s: SparkSession, d: String): DataFrame =
+    bpeTrainCore(s, d)._1
+
   /** URL-canonicalization dedup — the first pass of every web-corpus
     * pipeline: the same page arrives under case-varied hosts, tracking
     * query params, fragments, and trailing slashes. Raw URLs are
@@ -841,6 +918,7 @@ object LlmTextOps {
     "llm_domain_mix" -> (llmDomainMix _),
     "llm_dedup_url" -> (llmDedupUrl _),
     "llm_bpe_merges" -> (llmBpeMerges _),
+    "llm_bpe_train" -> (llmBpeTrain _),
     "llm_quality_score" -> (llmQualityScore _),
     "llm_fingerprint" -> (llmFingerprint _),
     "llm_span_dup" -> (llmSpanDup _),

@@ -177,4 +177,81 @@ class AdvancedOpsSpec extends SparkTestBase {
     assert(graded.filter(col("valid_to").isNull && !col("is_current")).isEmpty)
     assert(graded.count() > 0)
   }
+
+  test("pareto frontier: equals brute-force dominance; never a pairwise join") {
+    val df = AdvancedOps.paretoFrontier(spark, SF)
+    val got = df.collect().map(r => (r.getDouble(0), r.getInt(1))).toSeq
+    val pts = Tables.load(spark, SF, "part")
+      .groupBy(col("p_retailprice").as("price")).agg(max("p_size").as("size"))
+      .collect().map(r => (r.getDouble(0), r.getInt(1)))
+    val brute = pts.filter { case (p, sz) =>
+      !pts.exists { case (p2, s2) => p2 < p && s2 >= sz }
+    }.sortBy(_._1).toSeq
+    assert(got == brute, s"window skyline != dominance anti-join")
+    assert(got.nonEmpty && got == got.sortBy(_._1))
+    // frontier is strictly increasing in BOTH dims (the skyline shape)
+    got.sliding(2).foreach {
+      case Seq(a, b) => assert(a._1 < b._1 && a._2 < b._2)
+      case _ =>
+    }
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"pareto must stay window-based, not a dominance join:\n$plan")
+  }
+
+  test("rolling slope: closed form matches a direct in-memory least squares") {
+    val got = AdvancedOps.winRollingSlope(spark, SF).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    val orders = Tables.load(spark, SF, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        datediff(col("o_orderdate"), lit("1992-01-01")).cast("double"),
+        col("o_totalprice"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    orders.groupBy(_._1).foreach { case (cust, rows) =>
+      val sorted = rows.sortBy(r => (r._3, r._2))
+      sorted.indices.foreach { i =>
+        val frame = sorted.slice(math.max(0, i - 4), i + 1)
+        val n = frame.length.toDouble
+        val (sx, sy) = (frame.map(_._3).sum, frame.map(_._4).sum)
+        val (sxy, sxx) = (frame.map(r => r._3 * r._4).sum, frame.map(r => r._3 * r._3).sum)
+        val den = n * sxx - sx * sx
+        val want =
+          if (n > 1 && den != 0.0)
+            Some(BigDecimal((n * sxy - sx * sy) / den)
+              .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+          else None
+        val key = (cust, sorted(i)._2)
+        (got(key), want) match {
+          case (Some(g), Some(w)) => assert(math.abs(g - w) < 1e-9, s"$key: $g vs $w")
+          case (None, None) =>
+          case other => fail(s"$key: $other")
+        }
+      }
+    }
+  }
+
+  test("chi-square: matches direct computation, zero-observed cells included") {
+    val out = AdvancedOps.statChiSquare(spark, SF).collect()
+    assert(out.length == 1)
+    val (chi2, dof) = (out(0).getDouble(0), out(0).getLong(1))
+    val obs = Tables.load(spark, SF, "documents")
+      .groupBy("lang", "source").agg(count(lit(1)).cast("double").as("o"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val langs = obs.keys.map(_._1).toSeq.distinct
+    val srcs = obs.keys.map(_._2).toSeq.distinct
+    val n = obs.values.sum
+    val rt = langs.map(l => l -> obs.collect { case ((`l`, _), o) => o }.sum).toMap
+    val ct = srcs.map(c => c -> obs.collect { case ((_, `c`), o) => o }.sum).toMap
+    val want = (for { l <- langs; c <- srcs } yield {
+      val e = rt(l) * ct(c) / n
+      val o = obs.getOrElse((l, c), 0.0)
+      (o - e) * (o - e) / e
+    }).sum
+    assert(dof == (langs.size - 1).toLong * (srcs.size - 1))
+    assert(math.abs(chi2 - want) < 1e-4, s"$chi2 vs $want")
+    // the zero-cell grid matters: at least as many grid cells as observed
+    assert(langs.size * srcs.size >= obs.size)
+  }
 }

@@ -233,4 +233,40 @@ class NoOracleKeysSpec extends SparkTestBase {
       assert(java.lang.Long.bitCount(sk(a) ^ sk(b)) == h, s"hamming value ($a, $b)")
     }
   }
+
+  test("llm_bpe_train: round 1 = graded argmax; counts monotone; corpus compresses") {
+    val (mergeDf, seg) = operators.LlmTextOps.bpeTrainCore(spark, SF)
+    val m = mergeDf.collect()
+    assert(m.length == 8, s"expected 8 training rounds, got ${m.length}")
+    // round 1 must agree with the oracle-graded single-round op
+    // (llm_bpe_merges top-1): same winning pair, same weighted count
+    val top = q("llm_bpe_merges").collect()(0)
+    assert(m(0).getAs[String]("merged") == top.getString(0),
+      s"round-1 winner ${m(0)} vs graded ${top}")
+    assert(m(0).getAs[Long]("cnt") == top.getLong(1))
+    // merges are well-formed and greedy: argmax counts never increase
+    // (a merge can only shrink old pair counts, and pairs born from the
+    // merge are bounded by the number of replacements performed)
+    m.foreach(r => assert(
+      r.getAs[String]("merged") == r.getAs[String]("left") + r.getAs[String]("right")))
+    val cnts = m.map(_.getAs[Long]("cnt")).toSeq
+    assert(cnts.zip(cnts.tail).forall { case (a, b) => a >= b }, s"counts $cnts")
+    // applying 8 merges must strictly compress the weighted symbol count
+    val after = seg.select(
+      sum(size(split(col("seg"), "\u001f")) * col("cnt"))).collect()(0).getLong(0)
+    val before = Tables.load(spark, SF, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .agg(sum(length(col("w")))).collect()(0).getLong(0)
+    assert(after < before, s"no compression: $after vs $before")
+    // boundary anchoring: every final symbol is rebuilt purely from the
+    // merge vocabulary + single chars (no symbol straddles a separator)
+    val vocab = m.map(_.getAs[String]("merged")).toSet
+    seg.select("seg").collect().foreach { r =>
+      r.getString(0).split('\u001f').foreach { sym =>
+        assert(sym.length == 1 || vocab.exists(v => sym == v),
+          s"symbol '$sym' is neither a char nor a trained merge")
+      }
+    }
+  }
 }

@@ -26,11 +26,16 @@ class PlanInvariantsSpec extends SparkTestBase {
     *    can't become an equi-join, so the 1-row broadcast nested loop
     *    IS the right plan).
     */
+  /**  - stat_chisq: marginal-grid build (R-rows × C-rows contingency
+    *    dims, both re-aggregates of the tiny observed table) plus the
+    *    1-row grand-total broadcast.
+    *  - llm_tfidf_cosine: the 1-row corpus-count broadcast feeding the
+    *    idf term (same scalar-subquery shape as llm_tfidf_topk). */
   private val bnlAllowed = Set(
     "join_cross", "event_funnel", "fn_bool_logic_3vl", "join_skew_salted",
     "llm_knn_queries", "llm_lang_temperature", "llm_unigram_logprob",
     "llm_tfidf_topk", "tpch_q22_idle", "tpch_q11_stock", "llm_domain_mix",
-    "stat_skew_report")
+    "stat_skew_report", "stat_chisq", "llm_tfidf_cosine")
 
   test("no graded key plans a CartesianProduct; nested-loop joins only where justified") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
