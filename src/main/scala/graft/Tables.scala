@@ -5,14 +5,19 @@ import org.apache.spark.sql.functions._
 
 /** Central fixture loader. Every operator goes through [[load]]/[[view]] so
   * per-table normalization lives in exactly one place — notably the
-  * `events.parquet` nanosecond-timestamp workaround (SURVEY.md §1.2): the
-  * file carries INT64 TIMESTAMP(NANOS), which Spark's parquet reader rejects
-  * by default; we read the raw ns longs and truncate to microseconds, which
-  * matches DuckDB's own ns→µs truncation.
+  * `events.ts` timestamp normalization: fixture generations have shipped the
+  * column as INT64 TIMESTAMP(NANOS) (pre-2026-08-13) and as TIMESTAMP(MICROS)
+  * (current). We branch on the dtype the reader actually produced —
+  * schema-on-read, not a frozen assumption — so both generations load:
+  *   - LongType (nanosAsLong path): ns longs, truncate to µs (matches
+  *     DuckDB's own ns→µs truncation).
+  *   - TIMESTAMP_NTZ (µs fixtures, no tz in footer): cast to TimestampType;
+  *     the session is pinned UTC so NTZ ≡ LTZ wall-clock.
+  *   - TimestampType: pass through.
   *
   * 100 TB notes: at scale these become partitioned table layouts (date/lang
   * partition columns) registered in a catalog; schema-on-read from parquet
-  * footers either way. The ns normalization is a pure projection, so filter
+  * footers either way. The ts normalization is a pure projection, so filter
   * pushdown and column pruning pass straight through it.
   */
 object Tables {
@@ -49,11 +54,25 @@ object Tables {
 
   private def loadRaw(spark: SparkSession, sfDir: String, name: String): DataFrame = name match {
     case "events" =>
-      // Must be set before the FIRST read of events.parquet in the session
-      // (the footer is parsed at read time). Verified working at runtime.
+      // nanosAsLong must be set before the FIRST read of events.parquet in
+      // the session (the footer is parsed at read time). Harmless when the
+      // file carries µs timestamps — it only changes how TIMESTAMP(NANOS)
+      // footers are surfaced (as raw int64).
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$sfDir/events.parquet")
-        .withColumn("ts", expr("timestamp_micros(cast(ts div 1000 as long))"))
+      val raw = spark.read.parquet(s"$sfDir/events.parquet")
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+      raw.schema("ts").dataType match {
+        case LongType => // ns fixtures surfaced as int64 via nanosAsLong
+          raw.withColumn("ts", expr("timestamp_micros(cast(ts div 1000 as long))"))
+        case TimestampNTZType => // µs fixtures without tz annotation
+          raw.withColumn("ts", col("ts").cast(TimestampType))
+        case TimestampType =>
+          raw
+        case other =>
+          throw new IllegalStateException(
+            s"events.ts has unsupported parquet type $other — expected " +
+              "int64 (TIMESTAMP(NANOS) via nanosAsLong), TIMESTAMP_NTZ, or TIMESTAMP")
+      }
     case n =>
       spark.read.parquet(s"$sfDir/$n.parquet")
   }
