@@ -18,19 +18,36 @@ object Bench {
       spark.read.parquet(s"$sfDir/nation.parquet").count()
     } catch { case _: Throwable => }
     // sorted: Map iteration order is hash-based, which would reorder the
-    // timing sequence (and its cache effects) run-to-run
+    // timing sequence (and its cache effects) run-to-run.
+    // A crashed query must NEVER read as a fast success (round 5: 32 broken
+    // keys were recorded as 0.06-0.35s "wins"): its time is the -1.0
+    // sentinel, it is excluded from the total, and its name lands in an
+    // explicit errors list in both JSON artifacts.
+    // Memoized per-family indexes (shingle index, edge lists, PQ codebooks)
+    // are released at family boundaries: the sorted order means a family's
+    // keys run contiguously, so its memo is dead the moment the prefix
+    // changes. Without this the 240+-key single-JVM run carries EVERY
+    // family's checkpoint blocks to the end and the tail pays 5-20×
+    // GC/eviction inflation (round-5 driver-run measurements).
+    def family(k: String): String = k.takeWhile(_ != '_')
+    var prevFamily = ""
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      if (prevFamily.nonEmpty && family(name) != prevFamily)
+        graft.tools.MemoRegistry.releaseAll()
+      prevFamily = family(name)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+      (name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0, ok)
     }
+    val errors = results.collect { case (name, _, false) => name }
     // 3 dp (ms resolution) keeps the JSON line compact — the driver
     // captures a bounded stdout tail, and sub-ms digits are noise.
     // Locale.ROOT: a comma-decimal default locale would emit broken JSON.
     def f3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def toJson(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => s"\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    def strArr(xs: Seq[String]): String = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = results.collect { case (_, t, true) => t }.sum
     // The driver keeps only a ~2 KB stdout tail; the full 140+-key map is
     // ~4 KB, so printing it all makes the line UNPARSEABLE (BENCH_r02/r03
     // both captured `parsed: null`). Print the headline subset — the
@@ -47,11 +64,16 @@ object Bench {
       "agg_percentile", "vt_history", "mm_frame_sample",
       "join_bucketed", "join_range_binned", "tpch_q18_large", "zorder_key",
       "join_asof_native", "vt_source_read", "fuzzy_join_blocked")
+    val timings = results.map { case (k, t, _) => k -> t }
     val json = s"""{"metric":"total","value":${f3(total)},"unit":"sec",""" +
-      s""""queries":${toJson(results.filter(r => headline(r._1)))},""" +
-      s""""n_queries":${results.length},"full":"BENCH_FULL.json","sf":"$sfDir"}"""
+      s""""queries":${toJson(timings.filter(r => headline(r._1)))},""" +
+      s""""n_queries":${results.length},"n_errors":${errors.length},""" +
+      // cap the inline list so a mass failure can't blow the ~2KB stdout
+      // tail budget; n_errors is the true count, BENCH_FULL.json the full list
+      s""""errors":${strArr(errors.take(10))},"full":"BENCH_FULL.json","sf":"$sfDir"}"""
     val fullJson = s"""{"metric":"total","value":${f3(total)},"unit":"sec",""" +
-      s""""queries":${toJson(results)},"sf":"$sfDir"}"""
+      s""""queries":${toJson(timings)},"n_errors":${errors.length},""" +
+      s""""errors":${strArr(errors)},"sf":"$sfDir"}"""
     for (p <- Seq("/tmp/bench.json", "BENCH_FULL.json"))
       try java.nio.file.Files.write(java.nio.file.Paths.get(p), fullJson.getBytes("UTF-8"))
       catch { case _: Throwable => }

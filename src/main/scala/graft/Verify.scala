@@ -19,13 +19,25 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
+    // Failures go to stderr for the driver AND into a durable artifact —
+    // round 5 proved a stderr-only record lets a 32-key outage go unnoticed
+    // (the failed keys simply vanish from the correctness report).
+    val failed = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    // sorted like Bench: families run contiguously so per-family memos can
+    // be released at the prefix boundary (same memory-hygiene rationale)
+    var prevFamily = ""
+    SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
+      val fam = name.takeWhile(_ != '_')
+      if (prevFamily.nonEmpty && fam != prevFamily)
+        graft.tools.MemoRegistry.releaseAll()
+      prevFamily = fam
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failed += name -> Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -43,6 +55,14 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val failJson = s"""{"n_failed":${failed.length},"failed":""" +
+      failed.map { case (k, m) => s"{${q(k)}: ${q(m)}}" }.mkString("[", ",", "]") + "}"
+    for (p <- Seq(s"$outDir/VERIFY_FAILURES.json", "VERIFY_FAILURES.json"))
+      try Files.writeString(Paths.get(p), failJson)
+      catch { case _: Throwable => }
+    if (failed.nonEmpty)
+      System.err.println(s"[verify] ${failed.length} queries FAILED: " +
+        failed.map(_._1).mkString(", "))
     spark.stop()
   }
 }

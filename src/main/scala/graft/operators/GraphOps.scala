@@ -43,6 +43,8 @@ object GraphOps {
     * the final projection, so the hot loop never carries it. */
   private val edgeMemo =
     new graft.tools.LruMemo[(String, String), DataFrame](16)
+  graft.tools.MemoRegistry.register(() =>
+    edgeMemo.clear(org.apache.spark.sql.graftnative.CheckpointRelease.release))
 
   private def purchaseEdges(s: SparkSession, d: String): DataFrame = {
     // The edge list is a DERIVED TABLE shared by every graph op
@@ -169,6 +171,8 @@ object GraphOps {
     * it, and at 100 TB the pair table IS the materialized artifact. */
   private val pairMemo =
     new graft.tools.LruMemo[(String, String), DataFrame](16)
+  graft.tools.MemoRegistry.register(() =>
+    pairMemo.clear(org.apache.spark.sql.graftnative.CheckpointRelease.release))
 
   private def partPairs(s: SparkSession, d: String): DataFrame = {
     val sid = org.apache.spark.sql.graftnative.SessionIds.uuid(s)

@@ -389,6 +389,8 @@ object LlmTextOps {
     * (preflighted at sf0.01 and sf0.1). */
   private val stageMemo =
     new graft.tools.LruMemo[(String, String, String), DataFrame](64)
+  graft.tools.MemoRegistry.register(() =>
+    stageMemo.clear(org.apache.spark.sql.graftnative.CheckpointRelease.release))
 
   private def memo(s: SparkSession, d: String, tag: String)(build: => DataFrame): DataFrame = {
     // Entries are rebuildable caches: LRU-bound retention so a long-lived

@@ -110,6 +110,8 @@ object PqOps {
 
   private val ivfMemo =
     new graft.tools.LruMemo[(String, String), Seq[Seq[Double]]](8)
+  // driver-side Seqs, no executor blocks to release — clear() alone frees them
+  graft.tools.MemoRegistry.register(() => { codebookMemo.clear(); ivfMemo.clear() })
 
   /** A single FULL-dimension codebook (the IVF coarse quantizer) from the
     * same bounded sample — shared infrastructure with the PQ codebooks:

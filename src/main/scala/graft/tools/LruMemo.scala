@@ -41,4 +41,16 @@ final class LruMemo[K, V](val capacity: Int) {
 
   def contains(k: K): Boolean = map.synchronized(map.containsKey(k))
   def size: Int = map.synchronized(map.size())
+
+  /** Drop every entry, invoking `onDrop` on each value first (e.g. to
+    * unpersist a checkpointed DataFrame's blocks). Entries rebuild on next
+    * get(); callers must not retain previously returned values across a
+    * clear. This is for explicit lifecycle points (Bench between key
+    * families) — steady-state eviction stays LRU-per-insert. */
+  def clear(onDrop: V => Unit = (_: V) => ()): Int = map.synchronized {
+    val n = map.size()
+    map.values().forEach(v => try onDrop(v) catch { case _: Throwable => () })
+    map.clear()
+    n
+  }
 }

@@ -1,0 +1,26 @@
+package graft.tools
+
+/** Process-wide list of memo release hooks.
+  *
+  * Each operator family that memoizes a derived artifact (shingle index,
+  * edge list, PQ codebooks — all [[LruMemo]]s over localCheckpoint'd frames)
+  * registers a release closure here at init. A long single-JVM sweep over
+  * the whole registry (Bench's 240+-key run, Verify's full dump) otherwise
+  * accumulates every family's checkpoint blocks for the entire run: by the
+  * tail, queries pay GC and block-eviction pressure for state no later
+  * query will ever read. Round-5 measurements put that inflation at 5-20×
+  * on tail keys (stat_crosstab 29.4 s driver-run vs 1.5 s isolated).
+  *
+  * [[releaseAll]] is called at family boundaries; memos rebuild on next
+  * use, so this is purely a memory/GC lifecycle hook, never a correctness
+  * one. On a real cluster the analogue is per-pipeline session teardown.
+  */
+object MemoRegistry {
+  private val hooks = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
+
+  def register(release: () => Unit): Unit = synchronized { hooks += release }
+
+  def releaseAll(): Unit = synchronized {
+    hooks.foreach(h => try h() catch { case _: Throwable => () })
+  }
+}

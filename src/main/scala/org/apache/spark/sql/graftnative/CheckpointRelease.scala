@@ -1,0 +1,24 @@
+package org.apache.spark.sql.graftnative
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.LogicalRDD
+
+/** Eagerly free the executor blocks behind a `localCheckpoint(true)` frame.
+  *
+  * `Dataset.unpersist` only talks to the CacheManager, which never saw a
+  * local checkpoint — its blocks are persisted directly on the underlying
+  * RDD inside the [[LogicalRDD]] leaf, and are otherwise released only when
+  * the ContextCleaner notices the RDD got garbage-collected. A long
+  * single-JVM sweep (Bench over the full registry) can't wait for GC luck:
+  * dropping a memoized frame must return its memory NOW so later key
+  * families don't inherit the pressure.
+  *
+  * After release the frame is NOT recomputable (a local checkpoint has no
+  * lineage) — callers must drop every reference to it in the same breath,
+  * which is exactly what `LruMemo.clear` does.
+  */
+object CheckpointRelease {
+  def release(df: DataFrame): Unit =
+    df.queryExecution.logical.collect { case l: LogicalRDD => l.rdd }
+      .foreach(rdd => try rdd.unpersist(blocking = false) catch { case _: Throwable => () })
+}
