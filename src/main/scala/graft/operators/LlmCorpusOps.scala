@@ -336,28 +336,50 @@ object LlmCorpusOps {
     * has. The df-capped postings variant remains the open-vocab scale
     * path (same guard family as llm_ngram_jaccard's stop-shingle cap). */
   def llmTfidfCosine(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val tf = t(s, d, "documents")
+    import s.implicits._
+    val docs = t(s, d, "documents")
+    // The term-frequency table is read by THREE downstream consumers
+    // (dictionary collect, weight join, and — transitively — the vector
+    // build). One eager checkpoint prices the explode+aggregate once;
+    // without it every action re-ran the full upstream (measured: the
+    // dominant cost once the pair materialization below was fixed).
+    // Size: one row per (doc, distinct term) — strictly smaller than the
+    // tokenized corpus, the same artifact a 100 TB pipeline would
+    // materialize as its postings/TF table.
+    val tf = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .filter(length(col("term")) > 0)
       .groupBy("doc_id", "term").agg(count(lit(1)).cast("double").as("tf"))
-    val dfreq = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
-    // dense feature index: alphabetical rank over the bounded dictionary
-    // (dictionary-sized window — metadata scale, like the IVF codebook)
-    val dict = dfreq.withColumn("tid",
-      row_number().over(Window.orderBy("term")) - 1)
-    val dim = dict.count().toInt
-    val nd = t(s, d, "documents").agg(count(lit(1)).cast("double").as("nd"))
-    val w = tf.join(broadcast(dict), "term").crossJoin(broadcast(nd))
+      .localCheckpoint(true)
+    // dense feature index: alphabetical rank over the bounded dictionary.
+    // The dictionary is METADATA SCALE (closed ~31-term vocabulary; the
+    // open-vocab path is the hashing trick, fixing dim up front), so it is
+    // collected once and indexed driver-side — replacing a global window
+    // plus a separate dim-sizing count(), each of which was a full extra
+    // pass over tf's upstream before the checkpoint existed.
+    val dictRows = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).sortBy(_._1)
+    val dim = dictRows.length
+    val nd = docs.count().toDouble
+    val dict = dictRows.zipWithIndex
+      .map { case ((term, df), tid) => (term, df, tid) }.toSeq
+      .toDF("term", "df", "tid")
+    val w = tf.join(broadcast(dict), "term")
       .select(col("doc_id"), col("tid"),
-        (col("tf") * (log((col("nd") + 1.0) / (col("df") + 1.0)) + 1.0))
+        (col("tf") * (log((lit(nd) + 1.0) / (col("df") + 1.0)) + 1.0))
           .cast("float").as("w"))
     val vecs = w.groupBy("doc_id")
       .agg(map_from_entries(collect_list(struct(col("tid"), col("w")))).as("m"))
       .select(col("doc_id").as("vec_id"),
         transform(sequence(lit(0), lit(dim - 1)),
           i => coalesce(element_at(col("m"), i), lit(0.0f))).as("embedding"))
-    graft.functions.VectorFunctions.cosinePairsDistributed(s, vecs, -1.1)
+    // top-25 pushed into the BNL tasks: each pair-group emits its local
+    // best 25 under the final order, so the quadratic pair set is never
+    // materialized as rows (12.5M rows at sf0.1 → ~K(K+1)/2 · 25).
+    // K is sized from the already-known document count — vecs.count()
+    // inside the BNL would re-run the vector build as a fourth action.
+    graft.functions.VectorFunctions.cosineTopKDistributed(s, vecs, 25,
+        numChunks = graft.functions.VectorFunctions.deriveChunks(nd.toLong))
       .orderBy(col("sim").desc, col("a_id"), col("b_id"))
       .limit(25)
   }

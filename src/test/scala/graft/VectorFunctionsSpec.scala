@@ -83,6 +83,28 @@ class VectorFunctionsSpec extends AnyFunSuite {
     assert(derived == expected, "derived-K path diverged from kernel")
   }
 
+  test("top-k pushdown equals all-pairs + sort-limit under the same total order, any K") {
+    val spark0 = TestSpark.spark
+    import spark0.implicits._
+    // tie-heavy input: duplicated vectors produce many equal round4 sims,
+    // so the (sim desc, a_id, b_id) tiebreak is actually exercised
+    val base = Seq.tabulate(12)(_ => randVec(16).toArray)
+    val rows = Seq.tabulate(45)(i => (i.toLong, base(i % 12)))
+    val df = rows.toDF("vec_id", "embedding")
+    val ordKey = (p: (Long, Long, Double)) => (-p._3, p._1, p._2)
+    Seq(5, 25, 2000).foreach { topK =>  // 2000 > pair count: keep-all case
+      val expected = VectorFunctions.cosinePairsDistributed(spark0, df, -2.0)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(ordKey).take(topK).toSeq
+      Seq(1, 4, 64).foreach { k =>
+        val got = VectorFunctions.cosineTopKDistributed(spark0, df, topK, numChunks = k)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+          .sortBy(ordKey).take(topK).toSeq
+        assert(got == expected, s"topK=$topK numChunks=$k diverged from sort-limit")
+      }
+    }
+  }
+
   test("cross-corpus block join matches the self-join kernel on the cross-split subset, any K") {
     val spark0 = TestSpark.spark
     import spark0.implicits._
