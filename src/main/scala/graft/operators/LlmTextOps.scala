@@ -948,7 +948,37 @@ object LlmTextOps {
     l -> ms.map(m => s"'$m'").mkString(", ")
   }
 
+  /** Pinned-constant DuckDB oracle for the banded-SimHash pairs — the same
+    * portable-hash technique as [[MinHashOps.oracles]]: both engines hash
+    * tokens with md5 and run identical integer arithmetic, so the sketch is
+    * engine-independent. The 64-bit sketch is represented as a 64-char
+    * '1'/'0' string (MSB first): bit b of a token's hash is nibble
+    * `substr(md5_hex, 16 - b/4, 1) >> (b%4) & 1`, the 64 sign-sum
+    * accumulators are 64 aggregate expressions in one grouped pass, band b
+    * (sketch bits 16b..16b+15) is `substr(s, 49-16b, 16)`, and Hamming
+    * distance is the count of differing string positions. */
+  private val simhashPairsOracle: String = {
+    val accs = (0 until 64).map { b =>
+      s"sum(CASE WHEN (CAST('0x' || substr(hx, ${16 - b / 4}, 1) AS INTEGER) >> ${b % 4}) & 1 = 1 THEN 1 ELSE -1 END) AS a$b"
+    }.mkString(", ")
+    val sketch = "concat(" +
+      (0 until 64).map(i => s"CASE WHEN a${63 - i} > 0 THEN '1' ELSE '0' END").mkString(", ") + ")"
+    val ham = "CAST(list_sum(list_transform(range(1,65), i -> " +
+      "CASE WHEN substr(a_s, CAST(i AS INTEGER), 1) = substr(b_s, CAST(i AS INTEGER), 1) THEN 0 ELSE 1 END)) AS INTEGER)"
+    "WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\W+')) AS tok FROM documents), " +
+      "th AS (SELECT doc_id, substr(md5(tok), 1, 16) AS hx FROM toks), " +
+      s"acc AS (SELECT doc_id, $accs FROM th GROUP BY doc_id), " +
+      s"sk AS (SELECT doc_id, $sketch AS s FROM acc), " +
+      "bands AS (SELECT doc_id, s, b, substr(s, 49 - 16*CAST(b AS INTEGER), 16) AS key " +
+      "FROM sk CROSS JOIN (SELECT unnest(range(0,4)) AS b)), " +
+      "cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id, a.s AS a_s, b.s AS b_s " +
+      "FROM bands a JOIN bands b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id) " +
+      s"SELECT a_id, b_id, hamming FROM (SELECT a_id, b_id, $ham AS hamming FROM cand) " +
+      "WHERE hamming <= 8 ORDER BY a_id, b_id"
+  }
+
   val oracles: Map[String, String] = Map(
+    "llm_dedup_simhash_pairs" -> simhashPairsOracle,
     "emb_quantize_int8" ->
       ("WITH qd AS (SELECT vec_id, " +
         "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dbl, " +
