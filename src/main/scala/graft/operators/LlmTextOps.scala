@@ -977,8 +977,31 @@ object LlmTextOps {
       "WHERE hamming <= 8 ORDER BY a_id, b_id"
   }
 
+  /** Oracle for the SimHash BUCKET dedup: same portable per-bit sketch as
+    * [[simhashPairsOracle]], but the output carries the sketch as Spark's
+    * signed 64-bit value — reconstructed in DuckDB via HUGEINT (sum of
+    * set-bit powers, minus 2^64 when the sign bit lands). */
+  private val simhashBucketsOracle: String = {
+    val accs = (0 until 64).map { b =>
+      s"sum(CASE WHEN (CAST('0x' || substr(hx, ${16 - b / 4}, 1) AS INTEGER) >> ${b % 4}) & 1 = 1 THEN 1 ELSE -1 END) AS a$b"
+    }.mkString(", ")
+    // powers as string literals: 1L << 63 would overflow signed Long
+    val unsignedTotal = (0 until 64)
+      .map(b => s"(CASE WHEN a$b > 0 THEN CAST('${BigInt(1) << b}' AS HUGEINT) ELSE 0 END)")
+      .mkString(" + ")
+    "WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\W+')) AS tok FROM documents), " +
+      "th AS (SELECT doc_id, substr(md5(tok), 1, 16) AS hx FROM toks), " +
+      s"acc AS (SELECT doc_id, $accs FROM th GROUP BY doc_id), " +
+      s"u AS (SELECT doc_id, $unsignedTotal AS uv FROM acc), " +
+      "sk AS (SELECT doc_id, CAST(CASE WHEN uv >= CAST('9223372036854775808' AS HUGEINT) " +
+      "THEN uv - CAST('18446744073709551616' AS HUGEINT) ELSE uv END AS BIGINT) AS sh64 FROM u) " +
+      "SELECT sh64, min(doc_id) AS survivor_id, count(*) AS n_docs FROM sk " +
+      "GROUP BY sh64 ORDER BY survivor_id"
+  }
+
   val oracles: Map[String, String] = Map(
     "llm_dedup_simhash_pairs" -> simhashPairsOracle,
+    "llm_dedup_simhash" -> simhashBucketsOracle,
     "emb_quantize_int8" ->
       ("WITH qd AS (SELECT vec_id, " +
         "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dbl, " +
