@@ -377,6 +377,32 @@ object LlmTextOps {
   def ngramJaccard(docs: DataFrame, threshold: Double): DataFrame =
     jaccardPairs(shingleIndex(docs), threshold)
 
+  /** CONTAINMENT pairs over a prepared posting list — the directional
+    * complement of [[jaccardPairs]]: inter / min(|A|, |B|) instead of
+    * inter / |A∪B|. Catches EMBEDDED copies that Jaccard structurally
+    * misses: a benchmark question quoted whole inside a long web page has
+    * containment ≈ 1 but Jaccard ≈ |question|/|page| ≈ 0 — exactly the
+    * pair a training-data decontamination sweep must flag (the raw-count
+    * screen [[llmContaminationExact]] is its unnormalized sibling). Same
+    * inverted-index join and stop-shingle considerations as Jaccard; the
+    * min-size denominator is already in the grouping key, so the extra
+    * cost over jaccardPairs is one `least()`. */
+  def containmentPairs(sh: DataFrame, threshold: Double): DataFrame =
+    sh.as("a").hint("merge").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("cont", round(col("inter") / least(col("n_a"), col("n_b")), 4))
+      .filter(col("cont") >= threshold)
+      .select("a_id", "b_id", "cont")
+
+  /** Graded entry: containment ≥ 0.6 over the memoized corpus shingle
+    * index (threshold chosen as a production embedded-copy cut; on the
+    * fixture the planted dups sit at ≈ 1.0 regardless). */
+  def llmContainment(s: SparkSession, d: String): DataFrame =
+    containmentPairs(fixtureShingleIndex(s, d), 0.6).orderBy("a_id", "b_id")
+
   /** Pipeline-stage memo: the corpus shingle index and the near-dup
     * cluster labels are DERIVED TABLES of the dedup pipeline — a real
     * deployment materializes each once and feeds every downstream
@@ -925,6 +951,7 @@ object LlmTextOps {
     "llm_fingerprint" -> (llmFingerprint _),
     "llm_span_dup" -> (llmSpanDup _),
     "llm_ngram_jaccard" -> (llmNgramJaccard _),
+    "llm_containment" -> (llmContainment _),
     "llm_dedup_clusters" -> (llmDedupClusters _),
     "llm_dedup_semantic" -> (llmDedupSemantic _),
     "llm_dedup_survivors" -> (llmDedupSurvivors _),
@@ -1195,5 +1222,7 @@ object LlmTextOps {
         "FROM r GROUP BY cluster_id ORDER BY cluster_id"),
     "llm_ngram_jaccard" ->
       "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), x AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i FROM w), sh AS (SELECT DISTINCT doc_id, CAST('0x' || substr(md5(array_to_string(ws[i:i+2], ' ')), 1, 15) AS BIGINT) AS sh FROM x), sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id), pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT a_id, b_id, round(inter / (sa.n_sh + sb.n_sh - inter), 4) AS jac FROM pairs JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id WHERE round(inter / (sa.n_sh + sb.n_sh - inter), 4) >= 0.2 ORDER BY a_id, b_id",
+    "llm_containment" ->
+      "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), x AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i FROM w), sh AS (SELECT DISTINCT doc_id, CAST('0x' || substr(md5(array_to_string(ws[i:i+2], ' ')), 1, 15) AS BIGINT) AS sh FROM x), sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id), pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT a_id, b_id, round(inter / least(sa.n_sh, sb.n_sh), 4) AS cont FROM pairs JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id WHERE round(inter / least(sa.n_sh, sb.n_sh), 4) >= 0.6 ORDER BY a_id, b_id",
   )
 }

@@ -50,6 +50,25 @@ class LlmOpsSpec extends SparkTestBase {
       s"expected (100,101) in ${pairs.mkString(",")}")
   }
 
+  test("containment flags an embedded copy that Jaccard misses") {
+    // doc 200: a short "benchmark question"; doc 201: a long page QUOTING
+    // it whole. Containment(inter/min) ≈ 1; Jaccard(inter/union) is small
+    // because the page's own shingles dominate the union.
+    val question = doc(12)
+    val page = s"${doc(80)} $question ${doc(80)}"
+    val docs = (Seq((200L, question), (201L, page)) ++
+      Seq.tabulate(20)(i => (i.toLong, doc(40)))).toDF("doc_id", "text")
+    val sh = LlmTextOps.shingleIndex(docs)
+    val cont = LlmTextOps.containmentPairs(sh, 0.6).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")) -> r.getAs[Double]("cont")).toMap
+    assert(cont.contains((200L, 201L)), s"embedded copy not flagged: ${cont.keys}")
+    assert(cont((200L, 201L)) >= 0.9, s"containment ${cont((200L, 201L))} < 0.9")
+    // the same pair sits BELOW a 0.5 Jaccard cut — the gap containment closes
+    val jac = LlmTextOps.jaccardPairs(sh, 0.5).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    assert(!jac.contains((200L, 201L)), "Jaccard unexpectedly caught the embedded copy")
+  }
+
   test("incremental near-dup pairs only ACROSS the existing/new split") {
     val base = doc(40)
     val nearDup = base.split(" ").updated(5, "changedword").mkString(" ")
