@@ -178,6 +178,31 @@ class ScaleOpsSpec extends SparkTestBase {
       }
   }
 
+  test("top-k BNL emits at most K(K+1)/2 * k rows — the pair set is never materialized") {
+    import spark.implicits._
+    // 200 vectors, K=4 explicit -> 10 pair-groups; pre-sort-limit output
+    // must be bounded by pairGroups * k, NOT by the 19900-pair space.
+    val df = Seq.tabulate(200)(i =>
+      (i.toLong, Array.tabulate(16)(j => ((i * 31 + j * 7) % 13 - 6).toFloat)))
+      .toDF("vec_id", "embedding")
+    val k = 4; val topK = 5
+    val out = graft.functions.VectorFunctions
+      .cosineTopKDistributed(spark, df, topK, numChunks = k)
+    val bound = k * (k + 1) / 2 * topK
+    val n = out.count()
+    assert(n <= bound, s"top-k BNL emitted $n rows (> $bound) — quadratic leak")
+    // and the graded consumer's final output is exactly its limit
+    assert(graft.operators.LlmCorpusOps.llmTfidfCosine(spark, SF).count() == 25)
+  }
+
+  test("containment join reuses the Jaccard family's SMJ shape (no broadcast re-build, no BNL)") {
+    val plan = graft.operators.LlmTextOps.llmContainment(spark, SF)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"expected SMJ on the shingle key in:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"containment must stay an equi-join on sh:\n$plan")
+  }
+
   test("AQE re-plans a sort-merge join to broadcast from runtime stats") {
     // static threshold 1 KB forces SMJ at plan time; the adaptive
     // threshold lets AQE convert once the runtime shuffle shows the
