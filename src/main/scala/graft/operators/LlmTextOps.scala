@@ -256,9 +256,14 @@ object LlmTextOps {
 
   /** Shingles as md5-prefix int64 ids (60 bits) — the join-key form; the
     * DuckDB oracle computes the identical hash, so collisions (P ≈ 2⁻⁶⁰
-    * per pair) affect both engines identically. */
+    * per pair) affect both engines identically. Round 6: the SQL
+    * `transform(..., s -> conv(substring(md5(...))))` composition became
+    * the native [[org.apache.spark.sql.graftnative.HashedShingles]]
+    * expression — bit-identical ids (property-tested vs the composition),
+    * but the window loop runs compiled over UTF-8 bytes instead of an
+    * interpreted lambda with four intermediate allocations per window. */
   private def hashedShingles(n: Int): Column =
-    expr(s"transform(${shinglesSql(n)}, s -> cast(conv(substring(md5(cast(s as binary)), 1, 15), 16, 10) as bigint))")
+    org.apache.spark.sql.graftnative.GraftNative.hashedShingles(col("ws"), n)
 
   /** Cross-document duplicated-SPAN profile — the positional complement
     * of doc-level dedup (the "dedup at the span level" of Lee et al.

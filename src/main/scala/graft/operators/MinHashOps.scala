@@ -38,14 +38,18 @@ object MinHashOps {
 
   /** Per-doc 16-slot MinHash signature over distinct 3-gram shingles.
     * No explode over hash functions: the 16 mins are 16 aggregate
-    * expressions in ONE 2-phase hash aggregation (partial min map-side). */
+    * expressions in ONE 2-phase hash aggregation (partial min map-side).
+    * Shingle ids come from the native HashedShingles expression (round
+    * 6) — the same 60-bit md5-prefix value the previous string-form
+    * `conv(substring(md5(sh)))` computed, so h32 and the oracle are
+    * unchanged, but the window construction is compiled, not an
+    * interpreted transform lambda. */
   def minhashSignatures(docs: DataFrame): DataFrame = {
     val sh = docs
       .withColumn("ws", split(col("text"), " "))
-      .select(col("doc_id"), explode(array_distinct(expr(
-        "if(size(ws) >= 3, transform(sequence(1, size(ws) - 2), i -> concat_ws(' ', slice(ws, i, 3))), array())"))).as("sh"))
-      .withColumn("h32",
-        conv(substring(md5(col("sh").cast("binary")), 1, 15), 16, 10).cast("long") % P)
+      .select(col("doc_id"), explode(array_distinct(
+        org.apache.spark.sql.graftnative.GraftNative.hashedShingles(col("ws"), 3))).as("sid"))
+      .withColumn("h32", col("sid") % P)
     val mins = (0 until NumHashes).map(j =>
       min((lit(As(j)) * col("h32") + lit(Bs(j))) % P).as(s"s$j"))
     sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)

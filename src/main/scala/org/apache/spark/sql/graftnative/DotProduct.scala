@@ -71,4 +71,7 @@ object GraftNative {
 
   def chunkWindows(ws: Column, size: Int, stride: Int): Column =
     ExpressionUtils.column(ChunkWindows(ExpressionUtils.expression(ws), size, stride))
+
+  def hashedShingles(ws: Column, n: Int): Column =
+    ExpressionUtils.column(HashedShingles(ExpressionUtils.expression(ws), n))
 }

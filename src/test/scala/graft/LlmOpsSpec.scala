@@ -50,6 +50,32 @@ class LlmOpsSpec extends SparkTestBase {
       s"expected (100,101) in ${pairs.mkString(",")}")
   }
 
+  test("native HashedShingles bit-equals the SQL md5-prefix composition") {
+    import org.apache.spark.sql.functions.{col, expr, split}
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("alpha", "beta", "gamma", "δeλτa", "日本語", "x", "", "w1")
+    val texts = Seq(
+      "", "one", "one two", "one two three",
+      "日本語 テスト 漢字 word mix here",
+      "a b c d e f g h i j") ++
+      Seq.fill(30)(Seq.fill(2 + rnd.nextInt(40))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    for (n <- Seq(3, 5, 8)) {
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+        .withColumn("ws", split(col("text"), " "))
+      val sqlForm = expr(
+        s"transform(if(size(ws) >= $n, transform(sequence(1, size(ws) - ${n - 1}), " +
+          s"i -> concat_ws(' ', slice(ws, i, $n))), array()), " +
+          "s -> cast(conv(substring(md5(cast(s as binary)), 1, 15), 16, 10) as bigint))")
+      val rows = df.select(col("doc_id"),
+          org.apache.spark.sql.graftnative.GraftNative.hashedShingles(col("ws"), n).as("native"),
+          sqlForm.as("sql")).collect()
+      rows.foreach { r =>
+        assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+          s"n=$n doc=${r.getLong(0)}: native ${r.getSeq[Long](1)} != sql ${r.getSeq[Long](2)}")
+      }
+    }
+  }
+
   test("containment flags an embedded copy that Jaccard misses") {
     // doc 200: a short "benchmark question"; doc 201: a long page QUOTING
     // it whole. Containment(inter/min) ≈ 1; Jaccard(inter/union) is small
