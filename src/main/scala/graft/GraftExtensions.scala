@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graftnative.{DotProduct, GraftNative}
+import org.apache.spark.sql.graftnative.{DotProduct, GraftNative, HashedShingles}
 
 /** Session extension installer — the public plug-in point for the engine's
   * native expressions. Activate with
@@ -31,6 +31,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
               "docroot" -> "https://spark.apache.org/docs/latest"))
         DotProduct(children(0), children(1))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_hashed_shingles"),
+      new ExpressionInfo(classOf[HashedShingles].getName, "graft_hashed_shingles"),
+      (children: Seq[Expression]) => {
+        // SQL form: graft_hashed_shingles(ws, n) with n a foldable int
+        def wrongArgs(actual: String) =
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+            messageParameters = Map(
+              "functionName" -> "`graft_hashed_shingles`",
+              "expectedNum" -> "2 (array<string>, int literal)",
+              "actualNum" -> actual,
+              "docroot" -> "https://spark.apache.org/docs/latest"))
+        if (children.size != 2) wrongArgs(children.size.toString)
+        children(1) match {
+          case e if e.foldable && e.dataType == org.apache.spark.sql.types.IntegerType =>
+            HashedShingles(children(0), e.eval().asInstanceOf[Int])
+          case _ => wrongArgs("non-literal shingle width")
+        }
+      }))
   }
 }
 
@@ -51,4 +71,10 @@ object GraftFunctions {
     * Expands each row into (chunk_idx, chunk, n_tokens) rows. */
   def chunkWindows(ws: Column, size: Int, stride: Int): Column =
     GraftNative.chunkWindows(ws, size, stride)
+
+  /** Compiled n-gram shingle ids — every n-word window hashed to the
+    * engine's 60-bit md5-prefix id in one pass
+    * (see [[org.apache.spark.sql.graftnative.HashedShingles]]). */
+  def hashedShingles(ws: Column, n: Int): Column =
+    GraftNative.hashedShingles(ws, n)
 }

@@ -21,6 +21,21 @@ class GraftExtensionsSpec extends SparkTestBase {
     assert(e.getMessage.contains("graft_dot"), s"unhelpful message: ${e.getMessage}")
   }
 
+  test("graft_hashed_shingles is SQL-callable and matches the md5-prefix composition") {
+    val r = spark.sql(
+      "SELECT graft_hashed_shingles(split('a b c d', ' '), 3) AS ids, " +
+        "transform(transform(sequence(1, 2), i -> concat_ws(' ', slice(split('a b c d', ' '), i, 3))), " +
+        "s -> cast(conv(substring(md5(cast(s as binary)), 1, 15), 16, 10) as bigint)) AS expect").head()
+    assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+  }
+
+  test("graft_hashed_shingles rejects a non-literal width with an analysis error") {
+    val e = intercept[AnalysisException] {
+      spark.sql("SELECT graft_hashed_shingles(split('a b c', ' '), cast(rand() * 3 as int))").collect()
+    }
+    assert(e.getMessage.contains("graft_hashed_shingles"), s"unhelpful message: ${e.getMessage}")
+  }
+
   test("RedundantRoundRule drops a finer outer round and keeps an unsafe one") {
     import org.apache.spark.sql.functions._
     val df = Tables.load(spark, SF, "customer")
