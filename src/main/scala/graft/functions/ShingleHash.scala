@@ -25,6 +25,35 @@ object ShingleHash {
     ThreadLocal.withInitial[java.security.MessageDigest](() =>
       java.security.MessageDigest.getInstance("MD5"))
 
+  /** 64-bit SimHash over a token array — per-token md5, sign-sum sketch.
+    * Bit-identical to the historical UDF form (same per-token hash: md5's
+    * first 8 bytes big-endian; same bit-b vote and >0 threshold), but
+    * reads the tokens' UTF-8 bytes straight off the unsafe ArrayData —
+    * no Seq[String] conversion per row, callable from codegen. Null
+    * tokens are skipped (split() never produces them; totality for
+    * arbitrary callers). */
+  def simhash64(toks: ArrayData): Long = {
+    val digest = md5Local.get()
+    val acc = new Array[Int](64)
+    val len = toks.numElements()
+    var i = 0
+    while (i < len) {
+      if (!toks.isNullAt(i)) {
+        val md = digest.digest(toks.getUTF8String(i).getBytes)
+        var h = 0L
+        var b = 0
+        while (b < 8) { h = (h << 8) | (md(b) & 0xffL); b += 1 }
+        b = 0
+        while (b < 64) { if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1; b += 1 }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
   def hashWindows(ws: ArrayData, n: Int): ArrayData = {
     val len = ws.numElements()
     if (len < n) return new GenericArrayData(Array.emptyLongArray)

@@ -713,35 +713,16 @@ object LlmTextOps {
         when(col("bucket") < 90, "train").otherwise("val").as("split"))
       .orderBy("doc_id")
 
-  /** Per-executor-thread MessageDigest for [[simhash64]]: at 100 TB the
-    * sketch pass is a map over every document, and a per-row
-    * getInstance() is a per-row allocation + provider lookup in that hot
-    * loop. digest() resets the instance after each call, so reuse across
-    * rows is safe; thread-local because MessageDigest is not thread-safe
-    * and one Spark task thread runs one row at a time. Referenced from
-    * the UDF closure via the LlmTextOps module (static access — the
-    * ThreadLocal itself is never serialized into the task binary). */
-  @transient private lazy val md5Local =
-    ThreadLocal.withInitial[java.security.MessageDigest](() =>
-      java.security.MessageDigest.getInstance("MD5"))
-
-  /** 64-bit SimHash UDF (per-token MD5, sign-sum sketch). */
-  val simhash64 = udf { (toks: Seq[String]) =>
-    val digest = LlmTextOps.md5Local.get() // digest() resets it; one instance per task thread
-    val acc = new Array[Int](64)
-    toks.foreach { tk =>
-      val md = digest.digest(tk.getBytes("UTF-8"))
-      var h = 0L
-      var i = 0
-      while (i < 8) { h = (h << 8) | (md(i) & 0xffL); i += 1 }
-      var b = 0
-      while (b < 64) { if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1; b += 1 }
-    }
-    var out = 0L
-    var b = 0
-    while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
-    out
-  }
+  /** 64-bit SimHash sketch column — the native
+    * [[org.apache.spark.sql.graftnative.SimHash64]] expression (round 6;
+    * previously a Scala UDF whose per-row ArrayData→Seq[String] conversion
+    * was pure overhead in the sketch pass that maps EVERY document at
+    * 100 TB). Bits unchanged: per-token md5, first 8 digest bytes
+    * big-endian, sign-sum with a >0 threshold — asserted against the
+    * plain-Scala sketch in LlmOpsSpec, and now mirrored by the
+    * llm_dedup_simhash/_pairs DuckDB oracles. */
+  def simhash64(toks: Column): Column =
+    org.apache.spark.sql.graftnative.GraftNative.simhash64(toks)
 
   /** The SimHash sketch table — like [[shingleIndex]], a derived table of
     * the dedup pipeline shared by the bucket-dedup and banded-pair ops
@@ -752,8 +733,9 @@ object LlmTextOps {
   private def fixtureSimhash(s: SparkSession, d: String): DataFrame =
     memo(s, d, "simhash")(simhashSketches(t(s, d, "documents")))
 
-  /** SimHash sketch buckets (no oracle — hash-algorithm specific; recall
-    * unit-tested through [[simhashNearDup]]). */
+  /** SimHash sketch buckets — oracle-graded since round 6
+    * ([[simhashBucketsOracle]] reconstructs the signed sh64 in DuckDB);
+    * recall additionally unit-tested through [[simhashNearDup]]. */
   def llmDedupSimhash(s: SparkSession, d: String): DataFrame =
     fixtureSimhash(s, d)
       .groupBy("sh64")

@@ -74,4 +74,7 @@ object GraftNative {
 
   def hashedShingles(ws: Column, n: Int): Column =
     ExpressionUtils.column(HashedShingles(ExpressionUtils.expression(ws), n))
+
+  def simhash64(toks: Column): Column =
+    ExpressionUtils.column(SimHash64(ExpressionUtils.expression(toks)))
 }

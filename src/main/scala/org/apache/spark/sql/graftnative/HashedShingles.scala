@@ -35,3 +35,25 @@ case class HashedShingles(child: Expression, n: Int)
   override protected def withNewChildInternal(newChild: Expression): HashedShingles =
     copy(child = newChild)
 }
+
+/** Native 64-bit SimHash sketch of a token array (kernel:
+  * [[graft.functions.ShingleHash.simhash64]]) — replaces the Scala UDF
+  * form: same bits, but no per-row ArrayData→Seq[String] conversion and
+  * the call stays inside whole-stage codegen. */
+case class SimHash64(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash64"
+
+  protected override def nullSafeEval(a: Any): Any =
+    graft.functions.ShingleHash.simhash64(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.ShingleHash.simhash64($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}

@@ -160,9 +160,9 @@ object KernelProperties extends Properties("graft.kernels") {
     }
 }
 
-/** Plain-Scala twin of the simhash64 UDF body (the UDF wraps this
-  * computation; order-invariance holds because the sketch is a sum of
-  * per-token sign vectors). */
+/** Plain-Scala twin of the native simhash64 expression's kernel
+  * (order-invariance holds because the sketch is a sum of per-token
+  * sign vectors). */
 object KernelPropertiesHelper {
   def sketch(toks: Seq[String]): Long = {
     val digest = java.security.MessageDigest.getInstance("MD5")

@@ -335,7 +335,7 @@ class LlmOpsSpec extends SparkTestBase {
     assert(same.length == 1 && same.head.getAs[Int]("hamming") == 0)
   }
 
-  test("simhash64 UDF (thread-local digest) bit-equals the plain-Scala sketch") {
+  test("native simhash64 expression bit-equals the plain-Scala sketch") {
     import org.apache.spark.sql.functions.{col, lower, split}
     val docs = Tables.load(spark, SF, "documents").limit(100)
     // tokenize with the SAME Spark expression the sketch op uses, so the
