@@ -254,21 +254,45 @@ object AdvancedOps {
     * far above double noise). Degenerate frames (n=1, or all orders the
     * same day → zero variance) yield NULL, not a division blow-up. */
   def winRollingSlope(s: SparkSession, d: String): DataFrame = {
+    // DETERMINISM: the frame's sums are folded SEQUENTIALLY over
+    // collected lists instead of using windowed sum() — Spark's sliding
+    // ROWS sum maintains add/remove running state while DuckDB windows
+    // aggregate through a segment tree, so the two engines associate the
+    // same doubles differently. The slope formula's cancellation
+    // (n·sxy − sx·sy over ~1e9-magnitude sums) amplifies that last-ulp
+    // gap, and at sf0.1 one row's pre-rounded value landed exactly on a
+    // .xxx5 boundary (spark 664.8997 vs duck 664.8996). Folding
+    // left-to-right over the same values in the same frame order is
+    // bit-identical on both engines at any scale; the frame is 5 rows,
+    // so the per-row lambda fold is O(5).
     val w = Window.partitionBy("o_custkey").orderBy("x", "o_orderkey")
       .rowsBetween(-4, 0)
     val o = t(s, d, "orders").select(
       col("o_custkey"), col("o_orderkey"),
       datediff(col("o_orderdate"), lit("1992-01-01")).cast("double").as("x"),
       col("o_totalprice").as("y"))
+      .withColumn("xy", col("x") * col("y"))
+      .withColumn("xx", col("x") * col("x"))
+    def fold(c: String) = expr(s"aggregate($c, 0D, (a, e) -> a + e)")
     val den = col("n") * col("sxx") - col("sx") * col("sx")
-    o.withColumn("n", count(lit(1)).over(w).cast("double"))
-      .withColumn("sx", sum("x").over(w))
-      .withColumn("sy", sum("y").over(w))
-      .withColumn("sxy", sum(col("x") * col("y")).over(w))
-      .withColumn("sxx", sum(col("x") * col("x")).over(w))
+    o.withColumn("xs", collect_list("x").over(w))
+      .withColumn("ys", collect_list("y").over(w))
+      .withColumn("xys", collect_list("xy").over(w))
+      .withColumn("xxs", collect_list("xx").over(w))
       .select(col("o_custkey"), col("o_orderkey"),
+        size(col("xs")).cast("double").as("n"),
+        fold("xs").as("sx"), fold("ys").as("sy"),
+        fold("xys").as("sxy"), fold("xxs").as("sxx"))
+      .select(col("o_custkey"), col("o_orderkey"),
+        // floor(v*1e4 + 0.5)/1e4, NOT round(v, 4): with bit-identical
+        // inputs the engines' round() still split on boundary values —
+        // Spark rounds the SHORTEST DECIMAL repr (BigDecimal.valueOf:
+        // "…65" → up) while DuckDB rounds the binary value ("…64999…"
+        // → down). The floor form is pure IEEE arithmetic, identical by
+        // construction (same rule as the money rounding in §5.3).
         when(col("n") > 1.0 && den =!= 0.0,
-          round((col("n") * col("sxy") - col("sx") * col("sy")) / den, 4))
+          floor(((col("n") * col("sxy") - col("sx") * col("sy")) / den)
+            * 10000.0 + 0.5) / 10000.0)
           .as("slope"))
       .orderBy("o_custkey", "o_orderkey")
   }
@@ -323,18 +347,28 @@ object AdvancedOps {
         "SELECT price, size FROM pts a WHERE NOT EXISTS (" +
         "SELECT 1 FROM pts b WHERE b.price < a.price AND b.size >= a.size) " +
         "ORDER BY price"),
+    // list(...) OVER + list_reduce mirrors the Spark side's sequential
+    // fold — windowed sum() would aggregate through DuckDB's segment
+    // tree and diverge from Spark by an ulp on cancellation-heavy frames
     "win_rolling_slope" ->
       ("WITH o AS (SELECT o_custkey, o_orderkey, " +
         "CAST(date_diff('day', DATE '1992-01-01', o_orderdate) AS DOUBLE) AS x, " +
-        "o_totalprice AS y FROM orders), " +
-        "w AS (SELECT o_custkey, o_orderkey, " +
-        "CAST(count(*) OVER win AS DOUBLE) AS n, sum(x) OVER win AS sx, " +
-        "sum(y) OVER win AS sy, sum(x*y) OVER win AS sxy, sum(x*x) OVER win AS sxx " +
+        "o_totalprice AS y, " +
+        "CAST(date_diff('day', DATE '1992-01-01', o_orderdate) AS DOUBLE) * o_totalprice AS xy, " +
+        "CAST(date_diff('day', DATE '1992-01-01', o_orderdate) AS DOUBLE) * CAST(date_diff('day', DATE '1992-01-01', o_orderdate) AS DOUBLE) AS xx " +
+        "FROM orders), " +
+        "lw AS (SELECT o_custkey, o_orderkey, " +
+        "list(x) OVER win AS xs, list(y) OVER win AS ys, " +
+        "list(xy) OVER win AS xys, list(xx) OVER win AS xxs " +
         "FROM o WINDOW win AS (PARTITION BY o_custkey ORDER BY x, o_orderkey " +
-        "ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)) " +
+        "ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)), " +
+        "w AS (SELECT o_custkey, o_orderkey, CAST(len(xs) AS DOUBLE) AS n, " +
+        "list_reduce(xs, (a, b) -> a + b) AS sx, list_reduce(ys, (a, b) -> a + b) AS sy, " +
+        "list_reduce(xys, (a, b) -> a + b) AS sxy, list_reduce(xxs, (a, b) -> a + b) AS sxx " +
+        "FROM lw) " +
         "SELECT o_custkey, o_orderkey, " +
         "CASE WHEN n > 1.0 AND n*sxx - sx*sx <> 0.0 " +
-        "THEN round((n*sxy - sx*sy) / (n*sxx - sx*sx), 4) END AS slope " +
+        "THEN floor((n*sxy - sx*sy) / (n*sxx - sx*sx) * 10000.0 + 0.5) / 10000.0 END AS slope " +
         "FROM w ORDER BY o_custkey, o_orderkey"),
     "stat_chisq" ->
       ("WITH obs AS (SELECT lang, source, CAST(count(*) AS DOUBLE) AS o FROM documents GROUP BY 1, 2), " +
