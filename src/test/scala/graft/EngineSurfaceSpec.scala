@@ -6,6 +6,12 @@ import org.apache.spark.sql.functions._
   * layout, and the catalog API. */
 class EngineSurfaceSpec extends SparkTestBase {
 
+  test("driver flagship: SparkEntry.entry returns rows on sf0.001") {
+    // the driver smoke-checks exactly this; covering it here means a
+    // broken flagship fails in OUR suite before it fails in the driver
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("cache() serves repeat reads from InMemoryTableScan") {
     val df = Tables.load(spark, SF, "orders")
       .filter(col("o_totalprice") > 100000).cache()
