@@ -317,9 +317,14 @@ object LlmTextOps {
     * self-join on shingle, |∩| / (|A|+|B|−|∩|). Fixtures have no near-dups
     * so the fixture output is empty; recall on constructed dups is
     * unit-tested. 100 TB: this IS the scale shape — pairs are generated
-    * only for docs sharing a shingle (inverted index), never all-pairs. */
+    * only for docs sharing a shingle (inverted index), never all-pairs,
+    * and the stop-shingle cap ([[StopShingleCap]]) is ACTIVE in this
+    * graded plan: the DuckDB oracle applies the identical df ≤ cap filter
+    * (QUALIFY over the same posting list), so the plan graded here is the
+    * plan that runs at scale. */
   def llmNgramJaccard(s: SparkSession, d: String): DataFrame =
-    jaccardPairs(fixtureShingleIndex(s, d), 0.2).orderBy("a_id", "b_id")
+    jaccardPairs(fixtureShingleIndex(s, d), 0.2, maxPosting = StopShingleCap)
+      .orderBy("a_id", "b_id")
 
   /** Core n-gram Jaccard over any (doc_id, text) frame. Shingle dedup is
     * row-local (array_distinct before explode — no distinct() shuffle) and
@@ -356,19 +361,15 @@ object LlmTextOps {
     * common carries no discriminating signal, and the intersection count
     * it would contribute is bounded by the (unchanged) per-doc n_sh in
     * the denominator, so capped Jaccard only ever UNDER-estimates.
-    * Uncapped (the graded default) skips the window entirely. The window
-    * count partitions by the same `sh` key the join shuffles on, so the
-    * exchange is reused, not doubled. */
+    * The graded entries run WITH the cap ([[StopShingleCap]], mirrored
+    * in the DuckDB oracles) — the graded plan is the 100 TB plan.
+    * Passing Int.MaxValue skips the window entirely (raw path for
+    * callers that pre-capped). The window count partitions by the same
+    * `sh` key the join shuffles on, so the exchange is reused, not
+    * doubled (asserted in ScaleOpsSpec). */
   def jaccardPairs(sh: DataFrame, threshold: Double,
                    maxPosting: Int = Int.MaxValue): DataFrame = {
-    val bounded =
-      if (maxPosting == Int.MaxValue) sh
-      else {
-        val w = org.apache.spark.sql.expressions.Window.partitionBy("sh")
-        sh.withColumn("df", count(lit(1)).over(w))
-          .filter(col("df") <= maxPosting)
-          .drop("df")
-      }
+    val bounded = capPostings(sh, maxPosting)
     bounded.as("a").hint("merge").join(bounded.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
@@ -382,6 +383,29 @@ object LlmTextOps {
   def ngramJaccard(docs: DataFrame, threshold: Double): DataFrame =
     jaccardPairs(shingleIndex(docs), threshold)
 
+  /** The graded stop-shingle cap: postings longer than this are dropped
+    * before any Jaccard/containment self-join. 500 is the StressCheck-
+    * verified value (capped join at 40× corpus finds exactly the planted
+    * pairs — docs/SCALE.md); the DuckDB oracles mirror it with the same
+    * df ≤ cap predicate over the same posting list. */
+  val StopShingleCap = 500
+
+  /** Drop postings whose document frequency exceeds `maxPosting` — the
+    * stop-shingle guard shared by [[jaccardPairs]] and
+    * [[containmentPairs]]. The df window partitions by the same `sh` key
+    * the downstream self-join shuffles on, so the window's exchange IS
+    * the join's exchange (asserted in ScaleOpsSpec): the cap costs one
+    * window pass, not an extra shuffle. `Int.MaxValue` (the raw path)
+    * skips the window entirely. */
+  private def capPostings(sh: DataFrame, maxPosting: Int): DataFrame =
+    if (maxPosting == Int.MaxValue) sh
+    else {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("sh")
+      sh.withColumn("df", count(lit(1)).over(w))
+        .filter(col("df") <= maxPosting)
+        .drop("df")
+    }
+
   /** CONTAINMENT pairs over a prepared posting list — the directional
     * complement of [[jaccardPairs]]: inter / min(|A|, |B|) instead of
     * inter / |A∪B|. Catches EMBEDDED copies that Jaccard structurally
@@ -391,9 +415,17 @@ object LlmTextOps {
     * screen [[llmContaminationExact]] is its unnormalized sibling). Same
     * inverted-index join and stop-shingle considerations as Jaccard; the
     * min-size denominator is already in the grouping key, so the extra
-    * cost over jaccardPairs is one `least()`. */
-  def containmentPairs(sh: DataFrame, threshold: Double): DataFrame =
-    sh.as("a").hint("merge").join(sh.as("b"),
+    * cost over jaccardPairs is one `least()`. `maxPosting` is the same
+    * stop-shingle cap as [[jaccardPairs]] — containment needs it MORE:
+    * the min() denominator means a short doc full of boilerplate
+    * shingles scores high containment against everything sharing them,
+    * so capped df both bounds the join fan-out and removes the
+    * no-signal pairs. Capped containment under-estimates only when the
+    * overlap itself is boilerplate. */
+  def containmentPairs(sh: DataFrame, threshold: Double,
+                       maxPosting: Int = Int.MaxValue): DataFrame = {
+    val bounded = capPostings(sh, maxPosting)
+    bounded.as("a").hint("merge").join(bounded.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
         col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
@@ -401,12 +433,15 @@ object LlmTextOps {
       .withColumn("cont", round(col("inter") / least(col("n_a"), col("n_b")), 4))
       .filter(col("cont") >= threshold)
       .select("a_id", "b_id", "cont")
+  }
 
   /** Graded entry: containment ≥ 0.6 over the memoized corpus shingle
     * index (threshold chosen as a production embedded-copy cut; on the
-    * fixture the planted dups sit at ≈ 1.0 regardless). */
+    * fixture the planted dups sit at ≈ 1.0 regardless). The stop-shingle
+    * cap is active and mirrored in the oracle — see [[llmNgramJaccard]]. */
   def llmContainment(s: SparkSession, d: String): DataFrame =
-    containmentPairs(fixtureShingleIndex(s, d), 0.6).orderBy("a_id", "b_id")
+    containmentPairs(fixtureShingleIndex(s, d), 0.6, maxPosting = StopShingleCap)
+      .orderBy("a_id", "b_id")
 
   /** Pipeline-stage memo: the corpus shingle index and the near-dup
     * cluster labels are DERIVED TABLES of the dedup pipeline — a real
@@ -1209,9 +1244,13 @@ object LlmTextOps {
         "r AS (SELECT *, row_number() OVER (PARTITION BY cluster_id ORDER BY len DESC, doc_id) AS rn FROM m) " +
         "SELECT cluster_id, min(CASE WHEN rn = 1 THEN doc_id END) AS survivor_id, count(*) AS n_docs, max(len) AS max_len " +
         "FROM r GROUP BY cluster_id ORDER BY cluster_id"),
+    // Stop-shingle cap (df <= 500) mirrored from the Spark plan: sizes
+    // (n_sh) come from the UNCAPPED posting list (Spark carries n_sh
+    // per-row before the cap filter); only the pair join reads the
+    // capped list — identical semantics both engines.
     "llm_ngram_jaccard" ->
-      "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), x AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i FROM w), sh AS (SELECT DISTINCT doc_id, CAST('0x' || substr(md5(array_to_string(ws[i:i+2], ' ')), 1, 15) AS BIGINT) AS sh FROM x), sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id), pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT a_id, b_id, round(inter / (sa.n_sh + sb.n_sh - inter), 4) AS jac FROM pairs JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id WHERE round(inter / (sa.n_sh + sb.n_sh - inter), 4) >= 0.2 ORDER BY a_id, b_id",
+      "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), x AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i FROM w), sh AS (SELECT DISTINCT doc_id, CAST('0x' || substr(md5(array_to_string(ws[i:i+2], ' ')), 1, 15) AS BIGINT) AS sh FROM x), sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id), shc AS (SELECT doc_id, sh FROM sh QUALIFY count(*) OVER (PARTITION BY sh) <= 500), pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter FROM shc a JOIN shc b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT a_id, b_id, round(inter / (sa.n_sh + sb.n_sh - inter), 4) AS jac FROM pairs JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id WHERE round(inter / (sa.n_sh + sb.n_sh - inter), 4) >= 0.2 ORDER BY a_id, b_id",
     "llm_containment" ->
-      "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), x AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i FROM w), sh AS (SELECT DISTINCT doc_id, CAST('0x' || substr(md5(array_to_string(ws[i:i+2], ' ')), 1, 15) AS BIGINT) AS sh FROM x), sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id), pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT a_id, b_id, round(inter / least(sa.n_sh, sb.n_sh), 4) AS cont FROM pairs JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id WHERE round(inter / least(sa.n_sh, sb.n_sh), 4) >= 0.6 ORDER BY a_id, b_id",
+      "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), x AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i FROM w), sh AS (SELECT DISTINCT doc_id, CAST('0x' || substr(md5(array_to_string(ws[i:i+2], ' ')), 1, 15) AS BIGINT) AS sh FROM x), sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id), shc AS (SELECT doc_id, sh FROM sh QUALIFY count(*) OVER (PARTITION BY sh) <= 500), pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter FROM shc a JOIN shc b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT a_id, b_id, round(inter / least(sa.n_sh, sb.n_sh), 4) AS cont FROM pairs JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id WHERE round(inter / least(sa.n_sh, sb.n_sh), 4) >= 0.6 ORDER BY a_id, b_id",
   )
 }

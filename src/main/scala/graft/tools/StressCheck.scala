@@ -126,7 +126,10 @@ object StressCheck {
     // stop-shingle cap — the open-vocab guard the 100 TB path uses.
     time("jaccard_capped_200k") {
       val sh = graft.operators.LlmTextOps.shingleIndex(docs)
-      val n = graft.operators.LlmTextOps.jaccardPairs(sh, 0.5, maxPosting = 500).count()
+      // Same cap the graded entries run with — the graded shape IS the
+      // stress shape.
+      val n = graft.operators.LlmTextOps.jaccardPairs(sh, 0.5,
+        maxPosting = graft.operators.LlmTextOps.StopShingleCap).count()
       require(n > 0, "planted near-dups not found"); n
     }
 

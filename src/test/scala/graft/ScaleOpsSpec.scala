@@ -319,4 +319,34 @@ class ScaleOpsSpec extends SparkTestBase {
       spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.enabled")
     }
   }
+
+  test("stop-shingle cap: the df-window's exchange IS the self-join's exchange") {
+    import graft.operators.LlmTextOps
+    // The graded capped plan (llm_ngram_jaccard/llm_containment shape):
+    // Exchange(sh) -> Window(df over sh) -> Filter -> SMJ. The window
+    // partitions by the same key the join shuffles on, so the cap must
+    // cost ZERO additional shuffles: AQE materializes the sh-shuffle
+    // once and the self-join's second side reuses that stage. Reuse is a
+    // RUNTIME decision (isFinalPlan=false shows two identical
+    // exchanges), so materialize first, then read the final plan.
+    def finalPlanOf(df: org.apache.spark.sql.DataFrame): String = {
+      df.collect()
+      // keep only the "== Final Plan ==" section — the appended
+      // "== Initial Plan ==" repeats the pre-reuse exchanges
+      df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    }
+    for ((name, df) <- Seq(
+        "llm_ngram_jaccard" -> LlmTextOps.llmNgramJaccard(spark, SF),
+        "llm_containment" -> LlmTextOps.llmContainment(spark, SF))) {
+      val plan = finalPlanOf(df)
+      assert(plan.contains("isFinalPlan=true"), s"$name: plan not finalized:\n$plan")
+      assert(plan.contains("Window"), s"$name: df cap window missing:\n$plan")
+      val materialized = plan.linesIterator.count(l =>
+        l.contains("Exchange hashpartitioning(sh#") && !l.contains("ReusedExchange"))
+      assert(materialized == 1,
+        s"$name: expected one materialized sh-exchange (cap window must share the join's shuffle), got $materialized in:\n$plan")
+      assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage"),
+        s"$name: self-join's second side must reuse the window's exchange stage:\n$plan")
+    }
+  }
 }
