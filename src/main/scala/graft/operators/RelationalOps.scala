@@ -542,29 +542,72 @@ object RelationalOps {
       .agg(expr("hll_sketch_agg(cast(l_partkey as string))").as("sk"))
       .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("global_nd"))
 
-  /** D4c: approx_top_k sketch — heavy-hitters per group. Exact on the
-    * closed 5-value event_type domain, but tie order inside the sketch
-    * is impl-specific → unit-tested against the exact counts, no oracle. */
-  def aggApproxTopk(s: SparkSession, d: String): DataFrame =
-    t(s, d, "events")
-      .agg(expr("approx_top_k(event_type, 3)").as("top3"))
+  /** Pinned md5 universal-hash bucket shared by the portable CMS ops:
+    * h_j(v) = md5("j:v") 60-bit prefix mod width. md5 is bit-identical
+    * in DuckDB, so the oracle rebuilds the SAME counter table — the
+    * trick that promoted SimHash/MinHash to full hash-match grades. */
+  private def cmsBucket(j: Column, v: Column, width: Int): Column =
+    conv(substring(md5(concat_ws(":", j, v).cast("binary")), 1, 15), 16, 10)
+      .cast("long") % width
 
-  /** D13: count-min sketch (spark-sketch via the count_min_sketch SQL
-    * aggregate): per-returnflag frequency sketch over integer quantities,
-    * eps=0.001 / confidence=0.99 / fixed seed. The serialized sketch is
-    * deterministic (counter sums are order- and partition-independent),
-    * so the rows-only grade is stable; the ≤ eps·N overcount bound and
-    * sketch mergeability are asserted in NoOracleKeysSpec. At 100 TB a
-    * CMS answers point-frequency queries (heavy-hitter token counts,
-    * per-key rate limits) in kilobytes where an exact groupBy would
-    * shuffle the corpus. */
-  def aggCountMin(s: SparkSession, d: String): DataFrame =
-    t(s, d, "lineitem")
-      .groupBy("l_returnflag")
-      .agg(
-        expr("hex(count_min_sketch(cast(l_quantity as int), 0.001d, 0.99d, 42))").as("cms_hex"),
-        count(lit(1)).as("cnt"))
-      .orderBy("l_returnflag")
+  /** D4c: approximate heavy-hitters — PORTABLE count-min variant, graded
+    * with a full DuckDB oracle (round-7 promotion; the Spark builtin
+    * `approx_top_k` library surface stays unit-tested against exact
+    * counts in NoOracleKeysSpec). The CMS build is one 2-phase groupBy
+    * over (hash-row, bucket) — partial sums map-side, d·w counters total
+    * regardless of corpus size; candidates (the distinct event domain)
+    * probe 4 buckets each and take the min, then top-3 by estimate is a
+    * TakeOrderedAndProject. At 100 TB with an open domain the candidate
+    * set comes from a per-partition local top-k instead of distinct();
+    * the closed 5-value fixture domain needs no pre-screen. */
+  def aggApproxTopk(s: SparkSession, d: String): DataFrame = {
+    val width = 1024
+    val js = array((0 until 4).map(lit): _*)
+    val ev = t(s, d, "events").select(col("event_type"))
+    val counters = ev.select(col("event_type"), explode(js).as("j"))
+      .groupBy(col("j"), cmsBucket(col("j"), col("event_type"), width).as("bucket"))
+      .agg(count(lit(1)).as("c"))
+    ev.distinct()
+      .select(col("event_type"), explode(js).as("j"))
+      .withColumn("bucket", cmsBucket(col("j"), col("event_type"), width))
+      .join(counters, Seq("j", "bucket"), "left")
+      .groupBy("event_type")
+      .agg(min(coalesce(col("c"), lit(0L))).as("est_cnt"))
+      .orderBy(col("est_cnt").desc, col("event_type"))
+      .limit(3)
+      .orderBy("event_type")
+  }
+
+  /** D13: count-min sketch — PORTABLE arithmetic variant, graded with a
+    * full DuckDB oracle (round-7 promotion): d=4 pinned md5 hash rows
+    * over a width-2048 counter table per returnflag, built in ONE
+    * 2-phase aggregation (the CMS property that matters at 100 TB:
+    * counters are partial-sum mergeable at every level — map-side,
+    * reducer, cross-day). Point estimates for the full 1..50 quantity
+    * domain are 4 bucket lookups + min each, never undercounting. The
+    * Spark builtin `count_min_sketch` (serialized-sketch library
+    * surface, eps bound, mergeInPlace) stays unit-tested in
+    * NoOracleKeysSpec. */
+  def aggCountMin(s: SparkSession, d: String): DataFrame = {
+    val width = 2048
+    val js = array((0 until 4).map(lit): _*)
+    val li = t(s, d, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity").cast("int").as("qv"))
+    val counters = li
+      .select(col("l_returnflag"), col("qv"), explode(js).as("j"))
+      .groupBy(col("l_returnflag"), col("j"),
+        cmsBucket(col("j"), col("qv"), width).as("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val queries = s.range(1, 51).select(col("id").cast("int").as("qv"))
+      .select(col("qv"), explode(js).as("j"))
+      .withColumn("bucket", cmsBucket(col("j"), col("qv"), width))
+    li.select("l_returnflag").distinct()
+      .crossJoin(queries)
+      .join(counters, Seq("l_returnflag", "j", "bucket"), "left")
+      .groupBy("l_returnflag", "qv")
+      .agg(min(coalesce(col("c"), lit(0L))).as("est"))
+      .orderBy("l_returnflag", "qv")
+  }
 
   /** D5: statistical aggregates per group. */
   def aggStats(s: SparkSession, d: String): DataFrame =
@@ -1024,6 +1067,12 @@ object RelationalOps {
       "SELECT l_returnflag, count(DISTINCT l_partkey) AS nd_part, count(DISTINCT l_suppkey) AS nd_supp, count(*) AS cnt FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
     "agg_stats" ->
       "SELECT l_returnflag, round(stddev_samp(l_quantity), 4) AS sd_qty, round(var_samp(l_quantity), 4) AS var_qty, round(corr(l_extendedprice, l_quantity), 4) AS corr_pq, round(covar_samp(l_extendedprice, l_quantity), 4) AS cov_pq FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
+    // Portable CMS twins (round-7 promotion): identical md5 hash math,
+    // counter build, and min-probe in both engines — see aggCountMin.
+    "agg_count_min" ->
+      "WITH li AS (SELECT l_returnflag, CAST(l_quantity AS INTEGER) AS qv FROM lineitem), js AS (SELECT unnest(generate_series(0,3)) AS j), h AS (SELECT l_returnflag, qv, j, CAST('0x' || substr(md5(j || ':' || qv), 1, 15) AS BIGINT) % 2048 AS bucket FROM li CROSS JOIN js), counters AS (SELECT l_returnflag, j, bucket, count(*) AS c FROM h GROUP BY 1,2,3), qs AS (SELECT unnest(generate_series(1,50)) AS qv), qh AS (SELECT qv, j, CAST('0x' || substr(md5(j || ':' || qv), 1, 15) AS BIGINT) % 2048 AS bucket FROM qs CROSS JOIN js), flags AS (SELECT DISTINCT l_returnflag FROM li) SELECT f.l_returnflag, CAST(q.qv AS INTEGER) AS qv, CAST(min(coalesce(c.c, 0)) AS BIGINT) AS est FROM flags f CROSS JOIN qh q LEFT JOIN counters c ON c.l_returnflag = f.l_returnflag AND c.j = q.j AND c.bucket = q.bucket GROUP BY 1, 2 ORDER BY 1, 2",
+    "agg_approx_topk" ->
+      "WITH ev AS (SELECT event_type FROM events), js AS (SELECT unnest(generate_series(0,3)) AS j), h AS (SELECT event_type, j, CAST('0x' || substr(md5(j || ':' || event_type), 1, 15) AS BIGINT) % 1024 AS bucket FROM ev CROSS JOIN js), counters AS (SELECT j, bucket, count(*) AS c FROM h GROUP BY 1,2), cands AS (SELECT DISTINCT event_type FROM ev), ch AS (SELECT event_type, j, CAST('0x' || substr(md5(j || ':' || event_type), 1, 15) AS BIGINT) % 1024 AS bucket FROM cands CROSS JOIN js), est AS (SELECT ch.event_type, CAST(min(coalesce(c.c, 0)) AS BIGINT) AS est_cnt FROM ch LEFT JOIN counters c ON c.j = ch.j AND c.bucket = ch.bucket GROUP BY 1) SELECT * FROM (SELECT event_type, est_cnt FROM est ORDER BY est_cnt DESC, event_type LIMIT 3) ORDER BY event_type",
     "agg_percentile" ->
       "SELECT o_orderstatus, round(quantile_cont(o_totalprice, 0.5), 4) AS p50, round(quantile_cont(o_totalprice, 0.9), 4) AS p90 FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus",
     "agg_rollup" ->

@@ -62,16 +62,52 @@ class NoOracleKeysSpec extends SparkTestBase {
     }
   }
 
-  test("agg_approx_topk: sketch heavy-hitters match exact counts on the closed domain") {
+  // agg_approx_topk and agg_count_min are oracle-graded since round 7
+  // (portable md5 CMS — see RelationalOps). The Spark builtin sketch
+  // library surface they replaced stays covered here.
+
+  test("approx_top_k builtin (library surface): heavy-hitters match exact counts") {
     // 5-value event_type domain with k=3: the sketch tracks every value
     // exactly, so items AND counts must equal the exact top-3.
-    val rows = q("agg_approx_topk").collect()(0).getSeq[org.apache.spark.sql.Row](0)
+    val rows = Tables.load(spark, SF, "events")
+      .agg(expr("approx_top_k(event_type, 3)").as("top3"))
+      .collect()(0).getSeq[org.apache.spark.sql.Row](0)
     val got = rows.map(r => r.getString(0) -> r.getAs[Number](1).longValue)
     val exact = Tables.load(spark, SF, "events")
       .groupBy("event_type").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("event_type"))
       .limit(3).collect().map(r => r.getString(0) -> r.getLong(1))
     assert(got.toMap == exact.toMap, s"$got vs ${exact.toSeq}")
+  }
+
+  test("agg_approx_topk (portable CMS): graded top-3 equals the exact top-3") {
+    val got = q("agg_approx_topk").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.load(spark, SF, "events")
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("event_type"))
+      .limit(3).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // CMS estimates can only overcount; on the closed fixture domain the
+    // counters don't collide, so items and counts are exact
+    assert(got == exact, s"$got vs $exact")
+  }
+
+  test("agg_count_min (portable CMS): never undercounts, overcount bounded") {
+    val li = Tables.load(spark, SF, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity").cast("int").as("qv"))
+    val n = li.count()
+    val exact = li.groupBy("l_returnflag", "qv").count().collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val rows = q("agg_count_min").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    assert(rows.nonEmpty && rows.map(t => (t._1, t._2)).distinct.size == rows.size)
+    rows.foreach { case (flag, qv, est) =>
+      val ex = exact.getOrElse((flag, qv), 0L)
+      // min-of-d counters: est >= exact always; expected colliding mass
+      // per row is ~ n/width — allow 1% of corpus as generous slack
+      assert(est >= ex && est <= ex + math.max(1L, n / 100),
+        s"($flag, $qv): est $est vs exact $ex")
+    }
   }
 
   test("fn_map_suite: map construction/extraction round-trips the source columns") {
@@ -140,10 +176,16 @@ class NoOracleKeysSpec extends SparkTestBase {
     }
   }
 
-  test("agg_count_min: estimates bounded by exact + eps*N, and sketches merge") {
+  test("count_min_sketch builtin (library surface): estimates bounded by exact + eps*N, and sketches merge") {
     import org.apache.spark.util.sketch.CountMinSketch
-    // the graded entry ships hex for a stable rows-only grade; decode it
-    val rows = q("agg_count_min").collect()
+    // the serialized-sketch surface the portable graded entry replaced
+    val rows = Tables.load(spark, SF, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        expr("hex(count_min_sketch(cast(l_quantity as int), 0.001d, 0.99d, 42))").as("cms_hex"),
+        count(lit(1)).as("cnt"))
+      .orderBy("l_returnflag")
+      .collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
     assert(rows.map(_._1).toSeq == rows.map(_._1).toSeq.sorted && rows.nonEmpty)
     def unhex(s: String): Array[Byte] =

@@ -40,9 +40,9 @@ class RelationalOpsSpec extends SparkTestBase {
       s"merged estimate $est vs exact $exact")
   }
 
-  test("approx_top_k matches exact counts on the closed event_type domain") {
-    import org.apache.spark.sql.functions._
-    val top = RelationalOpsSpecHelper.topkAsMap(RelationalOps.aggApproxTopk(spark, SF))
+  test("approx_top_k (portable CMS) matches exact counts on the closed event_type domain") {
+    val top = RelationalOps.aggApproxTopk(spark, SF).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
     val exact = Tables.load(spark, SF, "events")
       .groupBy("event_type").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -163,14 +163,5 @@ class RelationalOpsSpec extends SparkTestBase {
     val grand = rows.find(r => r.getAs[String]("rf") == "ALL" && r.getAs[String]("ls") == "ALL").get
     val leaves = rows.filter(r => r.getAs[String]("rf") != "ALL" && r.getAs[String]("ls") != "ALL")
     assert(leaves.map(_.getAs[Long]("cnt")).sum == grand.getAs[Long]("cnt"))
-  }
-}
-
-/** Helper: flatten the approx_top_k struct array to item -> count. */
-object RelationalOpsSpecHelper {
-  def topkAsMap(df: org.apache.spark.sql.DataFrame): Map[String, Long] = {
-    import org.apache.spark.sql.functions._
-    df.select(explode(col("top3")).as("e")).select("e.*").collect()
-      .map(r => r.get(0).toString -> r.getLong(1)).toMap
   }
 }
