@@ -45,10 +45,44 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
               "actualNum" -> actual,
               "docroot" -> "https://spark.apache.org/docs/latest"))
         if (children.size != 2) wrongArgs(children.size.toString)
+        // Width must be a foldable integral literal; any integer width
+        // (byte/short/int/long) is accepted and narrowed. A non-foldable
+        // or non-integral width is a TYPE problem, not an arity problem —
+        // use the type-check error classes instead of abusing
+        // WRONG_NUM_ARGS (round-6 advice).
+        import org.apache.spark.sql.types._
+        def badValue(got: String) =
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "DATATYPE_MISMATCH.INVALID_ARG_VALUE",
+            messageParameters = Map(
+              "sqlExpr" -> "\"graft_hashed_shingles\"",
+              "inputName" -> "`width`",
+              "requireType" -> "integer",
+              "validValues" -> "[1, 2147483647]",
+              "inputValue" -> got))
+        def nonFoldable() =
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "NON_FOLDABLE_ARGUMENT",
+            messageParameters = Map(
+              "funcName" -> "`graft_hashed_shingles`",
+              "paramName" -> "`width`",
+              "paramType" -> "\"INT\""))
         children(1) match {
-          case e if e.foldable && e.dataType == org.apache.spark.sql.types.IntegerType =>
-            HashedShingles(children(0), e.eval().asInstanceOf[Int])
-          case _ => wrongArgs("non-literal shingle width")
+          case e if e.foldable =>
+            e.dataType match {
+              case ByteType | ShortType | IntegerType | LongType =>
+                val w = e.eval() match {
+                  case b: java.lang.Byte => b.longValue()
+                  case sh: java.lang.Short => sh.longValue()
+                  case i: java.lang.Integer => i.longValue()
+                  case l: java.lang.Long => l.longValue()
+                  case null => badValue("NULL")
+                }
+                if (w < 1L || w > Int.MaxValue) badValue(w.toString)
+                HashedShingles(children(0), w.toInt)
+              case dt => badValue(s"expression of type ${dt.simpleString}")
+            }
+          case _ => nonFoldable()
         }
       }))
   }

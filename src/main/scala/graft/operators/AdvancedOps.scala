@@ -217,11 +217,17 @@ object AdvancedOps {
     *      dominated globally — so this pass only discards, never loses a
     *      frontier point, and each bucket's window is independent;
     *   3. GLOBAL skyline over the survivors. For uniform-random data the
-    *      expected frontier is O(log n) points, so the single-partition
-    *      window in pass 3 sees a metadata-sized frame; the heavy lifting
-    *      happened bucket-parallel in pass 2. At 100 TB passes 1-2 are
-    *      one hash shuffle + one bucket-partitioned window; pass 3 is
-    *      driver-scale.
+    *      expected frontier is O(log n) points, so pass 3 works on a
+    *      metadata-sized set; the heavy lifting happened bucket-parallel
+    *      in pass 2. Rather than a single-partition window (which logs
+    *      the WindowExec no-partition warning on every run), pass 3 is a
+    *      2-phase collect_list aggregation + a pairwise dominance filter
+    *      lambda over the bounded array: p survives iff no q is cheaper
+    *      with size >= p.size — equivalent to "size strictly above the
+    *      running max over lower prices" because prices are unique after
+    *      pass 1. O(frontier²) work on O(log n) elements, zero extra
+    *      shuffles. At 100 TB passes 1-2 are one hash shuffle + one
+    *      bucket-partitioned window; pass 3 is driver-scale either way.
     * Survival rule everywhere: size strictly greater than the running max
     * over strictly-lower prices (prices unique after pass 1). */
   def paretoFrontier(s: SparkSession, d: String): DataFrame = {
@@ -234,11 +240,11 @@ object AdvancedOps {
       .withColumn("runmax", max("size").over(wLocal))
       .filter(col("runmax").isNull || col("size") > col("runmax"))
       .drop("b", "runmax")
-    val wGlobal = Window.orderBy("price")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    local.withColumn("runmax", max("size").over(wGlobal))
-      .filter(col("runmax").isNull || col("size") > col("runmax"))
-      .select("price", "size")
+    local.agg(collect_list(struct(col("price"), col("size"))).as("pts"))
+      .select(explode(expr(
+        "filter(pts, p -> NOT exists(pts, q -> q.price < p.price AND q.size >= p.size))"))
+        .as("pt"))
+      .select(col("pt.price").as("price"), col("pt.size").as("size"))
       .orderBy("price")
   }
 
@@ -284,16 +290,21 @@ object AdvancedOps {
         fold("xs").as("sx"), fold("ys").as("sy"),
         fold("xys").as("sxy"), fold("xxs").as("sxx"))
       .select(col("o_custkey"), col("o_orderkey"),
-        // floor(v*1e4 + 0.5)/1e4, NOT round(v, 4): with bit-identical
-        // inputs the engines' round() still split on boundary values —
-        // Spark rounds the SHORTEST DECIMAL repr (BigDecimal.valueOf:
-        // "…65" → up) while DuckDB rounds the binary value ("…64999…"
-        // → down). The floor form is pure IEEE arithmetic, identical by
-        // construction (same rule as the money rounding in §5.3).
-        when(col("n") > 1.0 && den =!= 0.0,
-          floor(((col("n") * col("sxy") - col("sx") * col("sy")) / den)
-            * 10000.0 + 0.5) / 10000.0)
-          .as("slope"))
+        // sign(v)*floor(|v|*1e4 + 0.5)/1e4, NOT round(v, 4): with
+        // bit-identical inputs the engines' round() still split on
+        // boundary values — Spark rounds the SHORTEST DECIMAL repr
+        // (BigDecimal.valueOf: "…65" → up) while DuckDB rounds the
+        // binary value ("…64999…" → down). The floor form is pure IEEE
+        // arithmetic, identical by construction; the sign/abs wrap makes
+        // it round half AWAY FROM ZERO for negative slopes, matching the
+        // HALF_UP convention every other rounded column in the engine
+        // uses (a bare floor(v*1e4+0.5) would pull -0.00005 up to 0).
+        // trailing +0.0 normalizes IEEE -0.0 (Java signum(-0.0) = -0.0,
+        // DuckDB sign(-0.0) = 0) so both engines emit +0.0
+        when(col("n") > 1.0 && den =!= 0.0, {
+          val v = (col("n") * col("sxy") - col("sx") * col("sy")) / den
+          signum(v) * (floor(abs(v) * 10000.0 + 0.5) / 10000.0) + 0.0
+        }).as("slope"))
       .orderBy("o_custkey", "o_orderkey")
   }
 
@@ -368,7 +379,7 @@ object AdvancedOps {
         "FROM lw) " +
         "SELECT o_custkey, o_orderkey, " +
         "CASE WHEN n > 1.0 AND n*sxx - sx*sx <> 0.0 " +
-        "THEN floor((n*sxy - sx*sy) / (n*sxx - sx*sx) * 10000.0 + 0.5) / 10000.0 END AS slope " +
+        "THEN sign((n*sxy - sx*sy) / (n*sxx - sx*sx)) * (floor(abs((n*sxy - sx*sy) / (n*sxx - sx*sx)) * 10000.0 + 0.5) / 10000.0) + 0.0 END AS slope " +
         "FROM w ORDER BY o_custkey, o_orderkey"),
     "stat_chisq" ->
       ("WITH obs AS (SELECT lang, source, CAST(count(*) AS DOUBLE) AS o FROM documents GROUP BY 1, 2), " +

@@ -17,6 +17,22 @@ object LlmCorpusOps {
   type Q = (SparkSession, String) => DataFrame
   private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
 
+  /** Stage memo for this family's checkpointed derived tables (the
+    * TF/postings table). Registered with MemoRegistry so Bench's
+    * family-boundary release frees the checkpoint blocks eagerly —
+    * before this, each llm_tfidf_cosine run pinned its TF blocks until
+    * the ContextCleaner happened to notice the GC'd RDD (the same
+    * pattern CheckpointRelease was written to fix). */
+  private val stageMemo =
+    new graft.tools.LruMemo[(String, String, String), DataFrame](64)
+  graft.tools.MemoRegistry.register(() =>
+    stageMemo.clear(org.apache.spark.sql.graftnative.CheckpointRelease.release))
+
+  private def memo(s: SparkSession, d: String, tag: String)(build: => DataFrame): DataFrame = {
+    val sid = org.apache.spark.sql.graftnative.SessionIds.uuid(s)
+    stageMemo.get((sid, d, tag))(build.localCheckpoint(true))
+  }
+
   /** THE canonical normalization expression — one definition shared by
     * llm_normalize_text and the e2e pipeline so their semantics cannot
     * drift apart: lowercase, strip non-alphanumeric (keeping spaces),
@@ -346,11 +362,12 @@ object LlmCorpusOps {
     // Size: one row per (doc, distinct term) — strictly smaller than the
     // tokenized corpus, the same artifact a 100 TB pipeline would
     // materialize as its postings/TF table.
-    val tf = docs
+    // memoized (not a bare localCheckpoint): the blocks release at the
+    // next family boundary instead of pinning until ContextCleaner luck
+    val tf = memo(s, d, "tfidf_tf")(docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .filter(length(col("term")) > 0)
-      .groupBy("doc_id", "term").agg(count(lit(1)).cast("double").as("tf"))
-      .localCheckpoint(true)
+      .groupBy("doc_id", "term").agg(count(lit(1)).cast("double").as("tf")))
     // dense feature index: alphabetical rank over the bounded dictionary.
     // The dictionary is METADATA SCALE (closed ~31-term vocabulary; the
     // open-vocab path is the hashing trick, fixing dim up front), so it is

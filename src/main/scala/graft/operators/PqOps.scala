@@ -93,19 +93,111 @@ object PqOps {
     cent
   }
 
-  /** Train all [[NumSub]] codebooks from a bounded deterministic sample
-    * (first [[TrainSample]] vec_ids — a pure, reproducible choice). */
-  private def codebook(s: SparkSession, d: String): Seq[Seq[Seq[Double]]] =
-    codebookMemo.get((sid(s), d)) {
-      val sample = Tables.load(s, d, "embeddings")
-        .orderBy("vec_id").limit(TrainSample)
-        .select("embedding").collect()
-        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
-      (0 until NumSub).map { m =>
-        val pts = sample.map(v => v.slice(m * SubDim, m * SubDim + SubDim))
-        lloyd(pts, K, graft.ml.MlPipelines.Seed + m)
-          .map(_.toSeq).toSeq
+  /** DISTRIBUTED Lloyd's over a (m, rank, p) training frame: every
+    * subspace group `m` trains concurrently in the same jobs, and the
+    * driver only ever holds MODEL STATE (k centroids per group + the
+    * distinct-point index list), never the training vectors — the last
+    * "driver collects training data" pattern removed (round-7).
+    *
+    * Bit-identical to [[lloyd]] by construction, so the seed-pinned
+    * codebook contract survives the switch (asserted in PqOpsSpec):
+    *  - init: distinct-by-value in first-occurrence (rank) order is
+    *    `groupBy(p).min(rank)` sorted; the seeded shuffle permutes
+    *    INDICES driver-side exactly as lloyd does, and only the k chosen
+    *    vectors are fetched (broadcast semi-join, k rows);
+    *  - assignment: the same position-first argmin over the same
+    *    sequential per-dimension arithmetic ([[nearestCentroid]] shape);
+    *  - re-mean: a deliberate SEQUENTIAL fold over the rank-sorted
+    *    member list per cluster (sort_array(collect_list) + aggregate),
+    *    matching lloyd's ascending-index summation order — a
+    *    treeAggregate of partials would be faster but sums in partition
+    *    order, which is not reproducible bit-for-bit across cluster
+    *    layouts. Cluster membership is bounded by the training sample
+    *    (O(1) in the corpus), so the per-cluster fold is metadata-scale.
+    */
+  private[graft] def lloydDistributedAll(pts: DataFrame, dim: Int, k: Int,
+      seedOf: Int => Long, iters: Int = 8): Map[Int, Array[Array[Double]]] = {
+    val spark = pts.sparkSession
+    import spark.implicits._
+    // the tiny frame is re-read 2 + iters times — checkpoint once
+    val p = pts.localCheckpoint(true)
+    try {
+      val dpts = p.groupBy("m", "p").agg(min("rank").as("r0"))
+      val r0sByM: Map[Int, Array[Long]] = dpts.select("m", "r0").collect()
+        .map(r => (r.getInt(0), r.getLong(1)))
+        .groupBy(_._1).map { case (m, xs) => m -> xs.map(_._2).sorted }
+      val chosenByM: Map[Int, Vector[Long]] = r0sByM.map { case (m, r0s) =>
+        val rnd = new scala.util.Random(seedOf(m))
+        m -> rnd.shuffle(r0s.indices.toVector).take(k).map(r0s)
       }
+      val chosenDf = chosenByM.toSeq
+        .flatMap { case (m, rs) => rs.map(m -> _) }.toDF("m", "r0")
+      val initVecs: Map[(Int, Long), Array[Double]] =
+        dpts.join(broadcast(chosenDf), Seq("m", "r0"))
+          .select("m", "r0", "p").collect()
+          .map(r => (r.getInt(0), r.getLong(1)) -> r.getSeq[Double](2).toArray)
+          .toMap
+      var cent: Map[Int, Array[Array[Double]]] = chosenByM.map { case (m, rs) =>
+        val init = rs.map(r0 => initVecs((m, r0)))
+        // fewer distinct points than k: pad with the FIRST distinct point
+        // (lloyd's rule — the duplicate never wins a position-first tie).
+        // When padding is needed, `rs` covers every distinct index, so
+        // the first-occurrence vector is present in initVecs.
+        m -> (init ++ Vector.fill(math.max(0, k - init.size))(
+          initVecs((m, r0sByM(m).head)))).toArray
+      }
+      val nGroups = cent.keys.max + 1
+      val zero = typedlit(Seq.fill(dim)(0.0))
+      def sq(x: Column) = x * x
+      (0 until iters).foreach { _ =>
+        val centLit = typedlit(Seq.tabulate(nGroups)(m =>
+          cent(m).map(_.toSeq).toSeq))
+        val mine = get(centLit, col("m"))
+        val dists = transform(mine, c =>
+          aggregate(zip_with(col("p"), c, (x, y) => sq(x - y)),
+            lit(0.0), (a, v) => a + v))
+        val sums = p
+          .withColumn("c", (array_position(dists, array_min(dists)) - 1).cast("int"))
+          .groupBy("m", "c")
+          .agg(count(lit(1)).as("n"),
+            aggregate(sort_array(collect_list(struct(col("rank"), col("p")))),
+              zero, (acc, e) => zip_with(acc, e.getField("p"), (a, b) => a + b))
+              .as("sum"))
+          .collect()
+        val next = cent.map { case (m, cs) => m -> cs.clone() }
+        sums.foreach { r =>
+          val (m, c, n) = (r.getInt(0), r.getInt(1), r.getLong(2))
+          next(m)(c) = r.getSeq[Double](3).map(_ / n).toArray
+        }
+        cent = next
+      }
+      cent
+    } finally org.apache.spark.sql.graftnative.CheckpointRelease.release(p)
+  }
+
+  /** The bounded training sample as a distributed frame: the
+    * [[TrainSample]] smallest vec_ids, embeddings widened to double. */
+  private def trainFrame(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "embeddings")
+      .orderBy("vec_id").limit(TrainSample)
+      .select(col("vec_id").as("rank"),
+        expr("transform(embedding, x -> cast(x as double))").as("emb"))
+
+  /** Train all [[NumSub]] codebooks from a bounded deterministic sample
+    * (first [[TrainSample]] vec_ids — a pure, reproducible choice),
+    * distributed: one training-frame pass per Lloyd's round covers every
+    * subspace. */
+  private[graft] def codebook(s: SparkSession, d: String): Seq[Seq[Seq[Double]]] =
+    codebookMemo.get((sid(s), d)) {
+      val pts = trainFrame(s, d)
+        .select(col("rank"), posexplode(expr(
+          s"transform(sequence(0, ${NumSub - 1}), " +
+            s"m -> slice(emb, m * $SubDim + 1, $SubDim))")))
+        .withColumnRenamed("pos", "m")
+        .withColumnRenamed("col", "p")
+      val cbs = lloydDistributedAll(pts, SubDim, K,
+        m => graft.ml.MlPipelines.Seed + m)
+      (0 until NumSub).map(m => cbs(m).map(_.toSeq).toSeq)
     }
 
   private val ivfMemo =
@@ -118,11 +210,11 @@ object PqOps {
     * training is O(1) in the corpus, assignment is a row-local argmin. */
   def ivfCentroids(s: SparkSession, d: String, k: Int = K): Seq[Seq[Double]] =
     ivfMemo.get((sid(s), d)) {
-      val sample = Tables.load(s, d, "embeddings")
-        .orderBy("vec_id").limit(TrainSample)
-        .select("embedding").collect()
-        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
-      lloyd(sample, k, graft.ml.MlPipelines.Seed).map(_.toSeq).toSeq
+      // single-group (m = 0) use of the distributed trainer, full dim
+      val pts = trainFrame(s, d)
+        .select(lit(0).as("m"), col("rank"), col("emb").as("p"))
+      lloydDistributedAll(pts, 64, k, _ => graft.ml.MlPipelines.Seed)(0)
+        .map(_.toSeq).toSeq
     }
 
   /** Nearest-centroid assignment as a pure Column over a driver-local

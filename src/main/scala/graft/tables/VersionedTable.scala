@@ -198,6 +198,16 @@ final class VersionedTable private (val spark: SparkSession, val root: String) {
       case _: java.nio.file.FileAlreadyExistsException =>
         Files.deleteIfExists(tmp)
         throw new VersionedTable.CommitConflict(attempt)
+      case e @ (_: UnsupportedOperationException | _: java.nio.file.FileSystemException) =>
+        // Anything except EEXIST means the filesystem refused link(2)
+        // itself (some NFS/overlay mounts) — surface it as the
+        // environment problem it is instead of letting the rebase loop
+        // spin it into 50 misleading "conflicts".
+        Files.deleteIfExists(tmp)
+        throw new IllegalStateException(
+          s"VersionedTable commit requires hard-link support in $manifestDir " +
+            "(link(2) is the atomic-exclusive commit point); host the table " +
+            "on a POSIX filesystem with hard links", e)
     }
     txn.foreach(recordTxn) // keep the incremental txn cache warm
     // The manifest rename above IS the commit; everything past it is an
@@ -460,10 +470,23 @@ object VersionedTable {
     t
   }
 
-  /** Open an existing table. */
+  /** Open an existing table. Sweeps orphaned commit temp files on the
+    * way in: a writer that crashed between `createTempFile` and the
+    * link/delete leaves a `.tmp-*` behind (harmless — the link, not the
+    * tmp, is the commit point — but they accumulate). A LIVE racer's
+    * tmp exists for milliseconds, so a 10-minute age gate can never eat
+    * an in-flight commit. */
   def open(spark: SparkSession, root: String): VersionedTable = {
     val t = new VersionedTable(spark, root)
     require(Files.isDirectory(t.manifestDir), s"no table at $root")
+    val horizon = System.currentTimeMillis() - 10 * 60 * 1000
+    val s = Files.list(t.manifestDir)
+    try s.iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith(".tmp-"))
+      .filter(p => Files.getLastModifiedTime(p).toMillis < horizon)
+      .foreach(Files.deleteIfExists(_))
+    catch { case scala.util.control.NonFatal(_) => } // sweep is best-effort
+    finally s.close()
     t
   }
 }

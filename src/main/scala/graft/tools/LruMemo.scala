@@ -49,7 +49,12 @@ final class LruMemo[K, V](val capacity: Int) {
     * families) — steady-state eviction stays LRU-per-insert. */
   def clear(onDrop: V => Unit = (_: V) => ()): Int = map.synchronized {
     val n = map.size()
-    map.values().forEach(v => try onDrop(v) catch { case _: Throwable => () })
+    // NonFatal only — see MemoRegistry.releaseAll: fatal errors (OOM,
+    // InterruptedException) must propagate, not vanish in a drop hook.
+    map.values().forEach(v => try onDrop(v) catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[graft] memo drop hook failed: $e")
+    })
     map.clear()
     n
   }

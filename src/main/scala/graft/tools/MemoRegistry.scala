@@ -21,6 +21,13 @@ object MemoRegistry {
   def register(release: () => Unit): Unit = synchronized { hooks += release }
 
   def releaseAll(): Unit = synchronized {
-    hooks.foreach(h => try h() catch { case _: Throwable => () })
+    // NonFatal only: a release hook dying of OOM/StackOverflow must not
+    // have its first symptom swallowed by the very hook meant to relieve
+    // memory pressure. Non-fatal drop failures are logged, not rethrown —
+    // release stays a lifecycle hint, never a correctness gate.
+    hooks.foreach(h => try h() catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[graft] memo release hook failed: $e")
+    })
   }
 }

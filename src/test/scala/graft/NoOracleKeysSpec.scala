@@ -262,6 +262,26 @@ class NoOracleKeysSpec extends SparkTestBase {
       s"pairwise blow-up in the PQ plan:\n$plan")
   }
 
+  test("distributed Lloyd's trainer reproduces the driver-side codebooks bit-for-bit") {
+    // the round-7 switch to executor-side training must preserve the
+    // seed-pinned codebook contract: same sample, same init permutation,
+    // same sequential summation order => identical doubles
+    import operators.PqOps
+    val sample = Tables.load(spark, SF, "embeddings")
+      .orderBy("vec_id").limit(PqOps.TrainSample)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val driverCbs = (0 until PqOps.NumSub).map { m =>
+      val pts = sample.map(v => v.slice(m * PqOps.SubDim, m * PqOps.SubDim + PqOps.SubDim))
+      PqOps.lloyd(pts, PqOps.K, graft.ml.MlPipelines.Seed + m).map(_.toSeq).toSeq
+    }
+    val distCbs = PqOps.codebook(spark, SF)
+    assert(distCbs == driverCbs, "distributed codebooks diverged from driver Lloyd's")
+    val driverIvf = PqOps.lloyd(sample, PqOps.K, graft.ml.MlPipelines.Seed).map(_.toSeq).toSeq
+    assert(PqOps.ivfCentroids(spark, SF) == driverIvf,
+      "distributed IVF coarse quantizer diverged from driver Lloyd's")
+  }
+
   test("llm_dedup_simhash_pairs: hamming column is the true sketch distance, bounded") {
     val sk = operators.LlmTextOps
       .simhashSketches(Tables.load(spark, SF, "documents"))
