@@ -133,6 +133,84 @@ object StressCheck {
       require(n > 0, "planted near-dups not found"); n
     }
 
+    // 8-10. GRAPH family at ~10x the sf0.1 edge volume (round-7): bulk
+    // edges with POWER-LAW out-degree (src drawn via u^3 inverse-CDF, so
+    // a few hub sources own most edges — the skew a real purchase graph
+    // has) and uniform in-degree, PLUS planted probe structure in a
+    // reserved id block (< 1000, disconnected from the bulk) so each op
+    // must find exact planted answers, not just terminate.
+    val nGraphEdges = (5000000 * scale).toLong // sf0.1 purchase edges ~600k
+    val nGraphNodes = (50000 * scale).toLong
+    def bulkEdges: DataFrame = spark.range(nGraphEdges).select(
+      (floor(pow(pmod(xxhash64(col("id"), lit(1)), lit(1000000L)) / 1000000.0, 3.0)
+        * nGraphNodes).cast("long") + 1000L).as("src"),
+      (pmod(xxhash64(col("id"), lit(2)), lit(nGraphNodes)) + 1000L).as("dst"),
+      lit(1.0).as("w"))
+
+    // 8. k-hop BFS: 100 planted 2-chains (i -> i+100 -> i+200) in the
+    // reserved block; every probe seed must reach EXACTLY its 2 chain
+    // nodes — frontier expansion over 5M skewed edges must not leak
+    // between components or drop hops.
+    time("graph_khop_5m") {
+      val probes = spark.range(100).select(col("id").as("src"),
+          (col("id") + 100).as("dst"), lit(1.0).as("w"))
+        .union(spark.range(100).select((col("id") + 100).as("src"),
+          (col("id") + 200).as("dst"), lit(1.0).as("w")))
+      val edges = bulkEdges.union(probes)
+      val seeds = spark.range(100).select(col("id").as("seed"))
+      val reach = graft.operators.GraphOps.khopReach(edges, seeds, 2)
+        .where(col("id") =!= col("seed"))
+        .groupBy("seed").agg(count(lit(1)).as("n")).collect()
+      require(reach.length == 100 && reach.forall(_.getLong(1) == 2L),
+        s"planted 2-hop chains not found exactly: ${reach.take(5).mkString(",")}")
+      reach.length.toLong
+    }
+    // 9. PageRank: planted structure with ANALYTIC answers — 50 isolated
+    // 2-cycles (ids 500..599, disconnected from the bulk) sit at the
+    // fixed point rank = 1/n from round 0, so after 5 rounds each must
+    // still be exactly 1/n (ulp noise only); total mass must stay a
+    // distribution through all 5 join+agg rounds (no dangling leakage);
+    // and the power-law hub must surface with rank far above uniform.
+    time("graph_pagerank_5m") {
+      val cycles = spark.range(50).select(
+        (col("id") * 2 + 500L).as("src"), (col("id") * 2 + 501L).as("dst"), lit(1.0).as("w"))
+      val e0 = bulkEdges.union(cycles)
+      val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+      val pr = graft.operators.GraphOps.pageRank(edges).localCheckpoint(true)
+      val n = pr.count()
+      val mass = pr.agg(sum("rank")).collect()(0).getDouble(0)
+      require(math.abs(mass - 1.0) < 1e-6, s"rank mass drifted: $mass")
+      val planted = pr.filter(col("id").between(500L, 599L)).collect()
+      require(planted.length == 100 &&
+        planted.forall(r => math.abs(r.getDouble(1) - 1.0 / n) < 1e-12),
+        s"isolated 2-cycles drifted off the 1/n fixed point (n=$n): " +
+          planted.take(3).mkString(","))
+      val top = pr.orderBy(col("rank").desc).limit(1).collect()(0)
+      require(top.getDouble(1) > 20.0 / n, s"power-law hub not surfaced: $top (n=$n)")
+      n
+    }
+    // 10. Co-purchase pairs: 4-item uniform baskets plus 500 planted
+    // baskets containing the pair (7, 9) — the top co-occurring pair
+    // must be exactly (7, 9, 500) after the per-basket pair expansion
+    // and TakeOrderedAndProject top-k.
+    time("graph_copurchase_4m") {
+      val nBaskets = (1000000 * scale).toLong
+      val bulk = spark.range(nBaskets * 4).select(
+        (col("id") / 4).as("oid"),
+        (pmod(xxhash64(col("id"), lit(3)), lit(20000L)) + 1000L).as("pid"))
+      val planted = spark.range(500).select((col("id") + nBaskets).as("oid"), lit(7L).as("pid"))
+        .union(spark.range(500).select((col("id") + nBaskets).as("oid"), lit(9L).as("pid")))
+      val items = bulk.union(planted)
+      val pairs = items.as("a").join(items.as("b"),
+          col("a.oid") === col("b.oid") && col("a.pid") < col("b.pid"))
+        .groupBy(col("a.pid").as("p1"), col("b.pid").as("p2"))
+        .agg(count(lit(1)).as("n"))
+      val top = pairs.orderBy(col("n").desc, col("p1"), col("p2")).limit(1).collect()(0)
+      require(top.getLong(0) == 7L && top.getLong(1) == 9L && top.getLong(2) == 500L,
+        s"planted heavy pair not on top: $top")
+      500L
+    }
+
     val total = results.values.sum
     val json = results.map { case (k, v) =>
       "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
