@@ -598,11 +598,13 @@ object RelationalOps {
       .groupBy(col("l_returnflag"), col("j"),
         cmsBucket(col("j"), col("qv"), width).as("bucket"))
       .agg(count(lit(1)).as("c"))
-    val queries = s.range(1, 51).select(col("id").cast("int").as("qv"))
-      .select(col("qv"), explode(js).as("j"))
-      .withColumn("bucket", cmsBucket(col("j"), col("qv"), width))
+    // query grid generated per flag via explode(sequence) — same rows a
+    // cross join would produce, but with no nested-loop join in the plan
     li.select("l_returnflag").distinct()
-      .crossJoin(queries)
+      .select(col("l_returnflag"),
+        explode(sequence(lit(1), lit(50))).as("qv"))
+      .select(col("l_returnflag"), col("qv"), explode(js).as("j"))
+      .withColumn("bucket", cmsBucket(col("j"), col("qv"), width))
       .join(counters, Seq("l_returnflag", "j", "bucket"), "left")
       .groupBy("l_returnflag", "qv")
       .agg(min(coalesce(col("c"), lit(0L))).as("est"))
