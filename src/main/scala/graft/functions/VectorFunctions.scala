@@ -437,25 +437,27 @@ object VectorFunctions {
             else (y.ids(v), x.ids(u), sim)
   }
 
-  /** 16-bit random-hyperplane (SimHash-for-cosine) bucket id. Hyperplane
-    * j's component i is a deterministic pseudo-random value derived from
-    * (j, i) — no RNG state, so buckets are stable across runs and engines.
-    * Used by the ANN scale path: candidates only within a bucket. */
+  /** 16-bit random-hyperplane (SimHash-for-cosine) bucket id — Scala-UDF
+    * twin of the native [[org.apache.spark.sql.graftnative.HyperplaneBucket]]
+    * expression (bit-for-bit parity asserted in VectorFunctionsSpec).
+    * Portable integer form: md5-derived weights, fixed-point dot, exact
+    * int64 arithmetic — reconstructable in DuckDB, so ann_lsh_topk is
+    * fully oracle-graded. Used by the ANN scale path: candidates only
+    * within a bucket. */
   val hyperplaneBucket = udf { (v: Array[Float]) =>
+    import org.apache.spark.sql.graftnative.{HyperplaneBucket => HB}
+    HB.requireDim(v.length)
     var bucket = 0
     var j = 0
     while (j < 16) {
-      var dot = 0.0
+      var dot = 0L
       var i = 0
       while (i < v.length) {
-        // Deterministic "random" weight in [-0.5, 0.5): fractional part of
-        // sin-based hash of (j, i). Public trick (e.g. GLSL one-liners).
-        val h = math.sin(j * 374761.393 + i * 668265.263) * 43758.5453
-        val w = h - math.floor(h) - 0.5
-        dot += v(i) * w
+        val q = math.floor(v(i).toDouble * 1e6 + 0.5).toLong
+        dot += q * HB.flatWeights(j * HB.MaxDim + i)
         i += 1
       }
-      if (dot >= 0) bucket |= (1 << j)
+      if (dot >= 0L) bucket |= (1 << j)
       j += 1
     }
     bucket

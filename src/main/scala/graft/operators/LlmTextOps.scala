@@ -802,9 +802,13 @@ object LlmTextOps {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** ANN scale path (no oracle): random-hyperplane LSH buckets, brute-force
-    * cosine only within buckets, global approximate top-20. At 100 TB the
-    * bucket join replaces the O(n²) candidate generation of llm_cosine_topk. */
+  /** ANN scale path: random-hyperplane LSH buckets, brute-force cosine
+    * only within buckets, global approximate top-20. At 100 TB the bucket
+    * join replaces the O(n²) candidate generation of llm_cosine_topk.
+    * Fully oracle-graded since round 7: the bucket is exact int64 math
+    * over md5-derived hyperplane weights and fixed-point components
+    * ([[org.apache.spark.sql.graftnative.HyperplaneBucket]]), so the
+    * DuckDB twin reconstructs identical buckets — candidate set and all. */
   /** Shared bucketed pairwise-cosine core: same-bucket pairs (a_id <
     * b_id), sim via the codegen DotProduct + per-vector precomputed norms
     * — bit-identical to the fused cosine kernel on equal-length vectors,
@@ -1050,9 +1054,34 @@ object LlmTextOps {
       "GROUP BY sh64 ORDER BY survivor_id"
   }
 
+  /** Oracle for the hyperplane-LSH ANN path: reconstruct the 16-bit
+    * bucket with the IDENTICAL integer math as the native expression —
+    * weight w(j,i) = (md5_60bit('j:i') % 2001) − 1000, component
+    * fixed-point floor(v·10⁶ + 0.5) as BIGINT, bit j set when the int64
+    * dot ≥ 0 — then same-bucket pairs, cosine, top-20. Integer addition
+    * is associative, so SUM needs no ordering discipline, unlike a float
+    * hyperplane. */
+  private val annLshOracle: String =
+    "WITH w AS (SELECT j, i, " +
+      "(CAST(('0x' || substring(md5(j || ':' || i), 1, 15)) AS BIGINT) % 2001) - 1000 AS wt " +
+      "FROM range(16) t1(j) CROSS JOIN range(1024) t2(i)), " +
+      "q AS (SELECT vec_id, i - 1 AS i, " +
+      "CAST(floor(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS qv " +
+      "FROM (SELECT vec_id, embedding, unnest(range(1, len(embedding) + 1)) AS i FROM embeddings)), " +
+      "dots AS (SELECT q.vec_id, w.j, sum(q.qv * w.wt) AS dot " +
+      "FROM q JOIN w ON q.i = w.i GROUP BY 1, 2), " +
+      "b AS (SELECT vec_id, CAST(sum(CASE WHEN dot >= 0 THEN 1 << j ELSE 0 END) AS BIGINT) AS bucket " +
+      "FROM dots GROUP BY 1), " +
+      "e AS (SELECT b.bucket, emb.vec_id, emb.embedding FROM embeddings emb JOIN b USING (vec_id)) " +
+      "SELECT a.vec_id AS a_id, c.vec_id AS b_id, " +
+      "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 4) AS sim " +
+      "FROM e a JOIN e c ON a.bucket = c.bucket AND a.vec_id < c.vec_id " +
+      "ORDER BY sim DESC, a_id, b_id LIMIT 20"
+
   val oracles: Map[String, String] = Map(
     "llm_dedup_simhash_pairs" -> simhashPairsOracle,
     "llm_dedup_simhash" -> simhashBucketsOracle,
+    "ann_lsh_topk" -> annLshOracle,
     "emb_quantize_int8" ->
       ("WITH qd AS (SELECT vec_id, " +
         "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dbl, " +

@@ -50,11 +50,16 @@ case class VectorNorm(child: Expression)
 }
 
 /** Native Catalyst expression: 16-bit random-hyperplane (SimHash-for-
-  * cosine) bucket id. Hyperplane j's component i is the deterministic
-  * sin-hash weight `frac(sin(j·374761.393 + i·668265.263)·43758.5453) −
-  * 0.5` — identical arithmetic to the Scala-UDF `hyperplaneBucket` it
-  * replaces (buckets stay stable across runs and engines), evaluated in
-  * generated code so the ANN bucketing projection is UDF-free.
+  * cosine) bucket id, PORTABLE integer form. Hyperplane j's component i is
+  * the md5-derived integer weight `(md5_60bit("j:i") % 2001) − 1000` and
+  * the input vector is quantized to fixed-point `floor(v·10⁶ + 0.5)`
+  * before the dot product, so the whole bucket computation is exact int64
+  * arithmetic — no float summation order, no libm sin — and a DuckDB
+  * oracle can reconstruct identical buckets from the identical hash math
+  * (same technique as the SimHash64 / CMS promotions). The sign quantizer
+  * is scale-invariant up to the 10⁻⁶ quantization step, which is far
+  * below the fixture's embedding magnitudes (~0.5), so bucket quality
+  * matches the float form it replaces.
   */
 case class HyperplaneBucket(child: Expression)
   extends UnaryExpression with ExpectsInputTypes {
@@ -66,17 +71,19 @@ case class HyperplaneBucket(child: Expression)
   protected override def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val n = x.numElements()
+    HyperplaneBucket.requireDim(n)
+    val w = HyperplaneBucket.flatWeights
     var bucket = 0
     var j = 0
     while (j < 16) {
-      var dot = 0.0
+      var dot = 0L
       var i = 0
       while (i < n) {
-        val h = math.sin(j * 374761.393 + i * 668265.263) * 43758.5453
-        dot += x.getFloat(i) * (h - math.floor(h) - 0.5)
+        val q = math.floor(x.getFloat(i).toDouble * 1e6 + 0.5).toLong
+        dot += q * w(j * HyperplaneBucket.MaxDim + i)
         i += 1
       }
-      if (dot >= 0) bucket |= (1 << j)
+      if (dot >= 0L) bucket |= (1 << j)
       j += 1
     }
     bucket
@@ -84,22 +91,24 @@ case class HyperplaneBucket(child: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
+      val w = ctx.addReferenceObj("hpWeights", HyperplaneBucket.flatWeights, "long[]")
       val i = ctx.freshName("i")
       val j = ctx.freshName("j")
       val n = ctx.freshName("n")
-      val h = ctx.freshName("h")
+      val q = ctx.freshName("q")
       val dot = ctx.freshName("dot")
       val bucket = ctx.freshName("bucket")
       s"""
          |int $n = $a.numElements();
+         |org.apache.spark.sql.graftnative.HyperplaneBucket.requireDim($n);
          |int $bucket = 0;
          |for (int $j = 0; $j < 16; $j++) {
-         |  double $dot = 0.0;
+         |  long $dot = 0L;
          |  for (int $i = 0; $i < $n; $i++) {
-         |    double $h = java.lang.Math.sin($j * 374761.393 + $i * 668265.263) * 43758.5453;
-         |    $dot += $a.getFloat($i) * ($h - java.lang.Math.floor($h) - 0.5);
+         |    long $q = (long) java.lang.Math.floor((double) $a.getFloat($i) * 1e6 + 0.5);
+         |    $dot += $q * $w[$j * ${HyperplaneBucket.MaxDim} + $i];
          |  }
-         |  if ($dot >= 0) $bucket |= (1 << $j);
+         |  if ($dot >= 0L) $bucket |= (1 << $j);
          |}
          |${ev.value} = $bucket;
        """.stripMargin
@@ -107,4 +116,37 @@ case class HyperplaneBucket(child: Expression)
 
   override protected def withNewChildInternal(newChild: Expression): HyperplaneBucket =
     copy(child = newChild)
+}
+
+object HyperplaneBucket {
+  /** Static weight table bound: vectors longer than this fail loudly
+    * (extend the constant, never silently truncate the hyperplane). */
+  val MaxDim = 1024
+
+  def requireDim(n: Int): Unit =
+    if (n > MaxDim) throw new IllegalArgumentException(
+      s"graft_hyperplane_bucket supports vectors up to $MaxDim dims, got $n")
+
+  /** w(j, i) = (md5_60bit("j:i") % 2001) − 1000 ∈ [−1000, 1000] — the
+    * 60-bit value is the first 15 hex chars of md5, the exact integer
+    * Spark's `conv(substring(md5(x),1,15),16,10)` and DuckDB's
+    * `CAST('0x'||substring(md5(x),1,15) AS BIGINT)` both produce. */
+  private def weight(j: Int, i: Int): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$j:$i".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val hex = d.map(b => f"$b%02x").mkString.substring(0, 15)
+    (java.lang.Long.parseLong(hex, 16) % 2001L) - 1000L
+  }
+
+  /** Row-major [16][MaxDim] flattened; computed once per JVM. */
+  lazy val flatWeights: Array[Long] = {
+    val w = new Array[Long](16 * MaxDim)
+    var j = 0
+    while (j < 16) {
+      var i = 0
+      while (i < MaxDim) { w(j * MaxDim + i) = weight(j, i); i += 1 }
+      j += 1
+    }
+    w
+  }
 }
