@@ -211,6 +211,85 @@ object StressCheck {
       500L
     }
 
+    // 11-13. JOIN/WINDOW family at 10-20x fixture row volume (round-7b):
+    // the three shuffle shapes every TPC-H-style workload leans on —
+    // sort-merge as-of, broadcast star, window top-k — each with an
+    // ANALYTIC planted answer so a silently-wrong shuffle can't pass.
+
+    // 11. Native as-of join, 5M ticks x 500k quotes over 1000 keys.
+    // Quotes sit on a regular 1000-tick grid per key (quote q at ts
+    // q*1000, quote_id q), so the backward as-of match for a tick at ts
+    // tau is ANALYTICALLY quote floor(tau/1000) — verified for every one
+    // of the 5M output rows distributively (mismatch count must be 0).
+    time("asof_join_5m") {
+      val nTicks = (5000000 * scale).toLong
+      val ticks = spark.range(nTicks).select(
+        col("id").as("tick_id"),
+        pmod(col("id"), lit(1000L)).as("k"),
+        pmod(xxhash64(col("id"), lit(11)), lit(500000L)).as("tick_ts"))
+      val quotes = spark.range(500L * 1000L).select(
+        pmod(col("id"), lit(1000L)).as("qk"),
+        (floor(col("id") / 1000L) * 1000L).as("quote_ts"),
+        floor(col("id") / 1000L).as("quote_id"))
+      val joined = org.apache.spark.sql.graftnative.AsOfJoinApi
+        .asofJoin(ticks, quotes, "k", "qk", "tick_ts", "quote_ts", "quote_id")
+      val bad = joined.filter(col("quote_id") =!= floor(col("tick_ts") / 1000L)).count()
+      require(bad == 0L, s"as-of matched wrong quote on $bad of $nTicks rows")
+      val n = joined.count()
+      require(n == nTicks, s"as-of dropped/duplicated rows: $n of $nTicks")
+      n
+    }
+    // 12. Broadcast star join, 10M facts x 3 dims. Fact keys are exact
+    // residues (id % 10/7/13) so every per-dim1 group count is EXACTLY
+    // nFact/10 and no row may be lost or fanned out; the plan must
+    // broadcast all three dims (asserted on the executed plan).
+    time("star_join_10m") {
+      val nFact = (10000000 * scale).toLong
+      val fact = spark.range(nFact).select(col("id"),
+        pmod(col("id"), lit(10L)).as("k1"),
+        pmod(col("id"), lit(7L)).as("k2"),
+        pmod(col("id"), lit(13L)).as("k3"),
+        pmod(col("id"), lit(100L)).as("v"))
+      def dim(n: Long, key: String, name: String) =
+        spark.range(n).select(col("id").as(key), concat(lit(name), col("id")).as(s"${name}_nm"))
+      val star = fact
+        .join(broadcast(dim(10, "d1", "a")), col("k1") === col("d1"))
+        .join(broadcast(dim(7, "d2", "b")), col("k2") === col("d2"))
+        .join(broadcast(dim(13, "d3", "c")), col("k3") === col("d3"))
+        .groupBy("a_nm").agg(count(lit(1)).as("n"), sum("v").as("sv"))
+      val plan = star.queryExecution.executedPlan.toString
+      require("BroadcastHashJoin".r.findAllIn(plan).size == 3,
+        "star join did not broadcast all three dims")
+      val rows = star.collect()
+      require(rows.length == 10 && rows.forall(_.getLong(1) == nFact / 10),
+        s"per-group counts drifted: ${rows.take(3).mkString(",")}")
+      // sum(id % 100) over [0, nFact): nFact is a multiple of 100 at any
+      // integer scale arg, so each residue appears nFact/100 times.
+      if (nFact % 100 == 0)
+        require(rows.map(_.getLong(2)).sum == (nFact / 100) * 4950L, "global sum drifted")
+      nFact
+    }
+    // 13. Window top-k, 10M rows over ~10k groups: the rank-1 value from
+    // the sort-based WindowExec must agree with the hash-aggregate max on
+    // EVERY group — two independent physical plans cross-checking each
+    // other at 20x fixture scale.
+    time("win_topk_10m") {
+      val nRows = (10000000 * scale).toLong
+      val rows = spark.range(nRows).select(
+        pmod(xxhash64(col("id"), lit(13)), lit(10000L)).as("g"),
+        pmod(xxhash64(col("id"), lit(17)), lit(1000000000L)).as("v"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("g").orderBy(col("v").desc)
+      val top1 = rows.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).select(col("g"), col("v").as("win_max"))
+      val agg = rows.groupBy("g").agg(max("v").as("agg_max"))
+      val bad = top1.join(agg, "g")
+        .filter(col("win_max") =!= col("agg_max")).count()
+      require(bad == 0L, s"window top-1 disagrees with hash-agg max on $bad groups")
+      val n = agg.count()
+      require(n > 0); n
+    }
+
     val total = results.values.sum
     val json = results.map { case (k, v) =>
       "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
