@@ -510,12 +510,78 @@ object RelationalOps {
         count(lit(1)).as("cnt"))
       .orderBy("l_returnflag")
 
-  /** D4: HLL++ approximate distinct — algorithm-specific, no oracle;
-    * unit-tested against exact counts (rel err ≤ 5%). */
+  /** Portable HyperLogLog (round-7 promotion, same pattern as the CMS and
+    * SimHash promotions): m=512 registers over the pinned 60-bit md5
+    * hash, so the DuckDB oracle rebuilds the SAME registers and the key
+    * grades with a full hash-match instead of rows-only. The register
+    * table per (group, reg) is max-mergeable at every level — map-side,
+    * reducer, cross-day — which is the whole point of HLL at 100 TB.
+    *
+    * Cross-engine determinism, the part that makes the oracle possible:
+    * registers are summed as EXACT scaled integers (2^(52-rank) as
+    * BIGINT, total ≤ 2^61), never as 2^-rank doubles — a float sum's
+    * value depends on aggregation order, which neither engine pins. The
+    * estimate is then two IEEE ops (one literal multiply baked into
+    * [[HllNumerator]], one divide) on identical inputs → bit-identical.
+    * m=512 keeps the GRADED fixture cardinalities (2 k / 20 k distinct)
+    * out of the small-range zone (E > 2.5m) — measured rel-err 3.1%
+    * (sf0.01) / 3.3% (sf0.1); the linear-counting branch in
+    * [[hllEstimate]] covers small cardinalities deterministically.
+    * Bit split: reg = low 9 bits, w = h >> 9 (51 bits), rank =
+    * 52 - bitlen(w) via length(bin(w)) — minimal binary string in BOTH
+    * engines, pure integer/string ops. */
+  private val HllMaxRank = 52
+  /** alpha_512 * 512^2 * 2^52 = 0.7213/(1+1.079/512) * 2^70; the literal
+    * is the shortest double repr, parsed to the same IEEE value by both
+    * engines (the 2^70 factor only shifts the exponent, so this IS
+    * alpha's mantissa). */
+  private val HllNumerator = 8.497699123215257e20
+
+  /** Per-(group, reg) max-rank register table — ONE 2-phase hash
+    * aggregation; at most |groups|·512 rows regardless of input size. */
+  private def hllRegisters(df: DataFrame, group: String, value: Column): DataFrame =
+    df.select(col(group),
+        conv(substring(md5(value.cast("string").cast("binary")), 1, 15), 16, 10)
+          .cast("long").as("h60"))
+      .select(col(group), (col("h60").bitwiseAND(511L)).as("reg"),
+        shiftright(col("h60"), 9).as("w"))
+      .select(col(group), col("reg"),
+        when(col("w") === 0L, HllMaxRank)
+          .otherwise(lit(HllMaxRank) - length(bin(col("w")))).as("rank"))
+      .groupBy(col(group), col("reg")).agg(max("rank").as("mr"))
+
+  /** Registers → estimate: exact integer S_scaled, then 2 IEEE ops for
+    * the raw estimate. Standard small-range correction (linear counting,
+    * E ≤ 2.5m with empty registers): the BRANCH CONDITION tests the raw
+    * estimate, which is bit-identical cross-engine, so both engines
+    * always take the same branch; the ln() inside the branch is the one
+    * sub-ulp engine-libm exposure, and it is INACTIVE at both graded
+    * scales (fixture cardinalities 2 k / 20 k ≫ 2.5m = 1280) — it exists
+    * for small-cardinality accuracy (sf0.001 unit tests: 200 distinct →
+    * raw HLL reads 474, linear counting reads 201). */
+  private def hllEstimate(regs: DataFrame, group: String): DataFrame =
+    regs.groupBy(group)
+      .agg(count(lit(1)).as("np"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), $HllMaxRank - mr)")).as("sp"))
+      .select(col(group),
+        (lit(HllNumerator) /
+          ((lit(512L) - col("np")) * lit(1L << HllMaxRank) + col("sp")).cast("double"))
+          .as("raw"),
+        (lit(512L) - col("np")).as("nv"))
+      .select(col(group),
+        floor(
+          when(col("raw") <= 1280.0 && col("nv") > 0L,
+            lit(512.0) * log(lit(512.0) / col("nv").cast("double")))
+            .otherwise(col("raw")) + 0.5).cast("long").as("est_nd"))
+
+  /** D4: approximate distinct — portable-HLL variant, graded with a full
+    * DuckDB oracle (see [[hllRegisters]]). The Spark builtin
+    * approx_count_distinct (HLL++ library surface) stays unit-tested
+    * against exact counts in RelationalOpsSpec. */
   def aggApproxHll(s: SparkSession, d: String): DataFrame =
-    t(s, d, "lineitem")
-      .groupBy("l_returnflag")
-      .agg(approx_count_distinct("l_partkey").as("approx_nd_part"))
+    hllEstimate(
+      hllRegisters(t(s, d, "lineitem"), "l_returnflag", col("l_partkey")),
+      "l_returnflag")
       .orderBy("l_returnflag")
 
   /** D4b: Apache DataSketches HLL — unlike approx_count_distinct's
@@ -529,18 +595,26 @@ object RelationalOps {
       .agg(expr("hll_sketch_estimate(hll_sketch_agg(cast(l_partkey as string)))").as("sketch_nd"))
       .orderBy("l_returnflag")
 
-  /** D4d: sketch MERGEABILITY — per-group HLL sketches union-merged into
-    * one global estimate without rescanning rows. This is the property
-    * that makes sketches the 100 TB answer: partials combine
-    * associatively at every level (map-side, reducer, cross-partition,
-    * cross-day). Sketch bytes are hash-specific → no SQL oracle; the
-    * union estimate's error bound vs exact is asserted in
-    * RelationalOpsSpec. */
-  def aggHllMerge(s: SparkSession, d: String): DataFrame =
-    t(s, d, "lineitem")
-      .groupBy("l_returnflag")
-      .agg(expr("hll_sketch_agg(cast(l_partkey as string))").as("sk"))
-      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("global_nd"))
+  /** D4d: sketch MERGEABILITY — per-group portable-HLL register tables
+    * union-merged (register-wise max) into one global estimate without
+    * rescanning rows. This is the property that makes sketches the
+    * 100 TB answer: partials combine associatively at every level
+    * (map-side, reducer, cross-partition, cross-day). Graded with a full
+    * DuckDB oracle since round 7 — the oracle rebuilds the same per-group
+    * registers and merges them the same way; RelationalOpsSpec also
+    * asserts the merge invariant (merged estimate == the estimate of a
+    * sketch built directly on the unsplit data, bit-for-bit). The
+    * DataSketches union surface (hll_union_agg) stays unit-tested there
+    * too. */
+  def aggHllMerge(s: SparkSession, d: String): DataFrame = {
+    val perGroup = hllRegisters(t(s, d, "lineitem"), "l_returnflag", col("l_partkey"))
+    val merged = perGroup.groupBy("reg").agg(max("mr").as("mr"))
+      .select(lit("all").as("scope"), col("reg"), col("mr"))
+    val nSketches = perGroup.select(countDistinct("l_returnflag").as("n_sketches"))
+    hllEstimate(merged, "scope")
+      .crossJoin(nSketches)
+      .select(col("n_sketches"), col("est_nd").as("global_nd"))
+  }
 
   /** Pinned md5 universal-hash bucket shared by the portable CMS ops:
     * h_j(v) = md5("j:v") 60-bit prefix mod width. md5 is bit-identical
@@ -1075,6 +1149,23 @@ object RelationalOps {
       "WITH li AS (SELECT l_returnflag, CAST(l_quantity AS INTEGER) AS qv FROM lineitem), js AS (SELECT unnest(generate_series(0,3)) AS j), h AS (SELECT l_returnflag, qv, j, CAST('0x' || substr(md5(j || ':' || qv), 1, 15) AS BIGINT) % 2048 AS bucket FROM li CROSS JOIN js), counters AS (SELECT l_returnflag, j, bucket, count(*) AS c FROM h GROUP BY 1,2,3), qs AS (SELECT unnest(generate_series(1,50)) AS qv), qh AS (SELECT qv, j, CAST('0x' || substr(md5(j || ':' || qv), 1, 15) AS BIGINT) % 2048 AS bucket FROM qs CROSS JOIN js), flags AS (SELECT DISTINCT l_returnflag FROM li) SELECT f.l_returnflag, CAST(q.qv AS INTEGER) AS qv, CAST(min(coalesce(c.c, 0)) AS BIGINT) AS est FROM flags f CROSS JOIN qh q LEFT JOIN counters c ON c.l_returnflag = f.l_returnflag AND c.j = q.j AND c.bucket = q.bucket GROUP BY 1, 2 ORDER BY 1, 2",
     "agg_approx_topk" ->
       "WITH ev AS (SELECT event_type FROM events), js AS (SELECT unnest(generate_series(0,3)) AS j), h AS (SELECT event_type, j, CAST('0x' || substr(md5(j || ':' || event_type), 1, 15) AS BIGINT) % 1024 AS bucket FROM ev CROSS JOIN js), counters AS (SELECT j, bucket, count(*) AS c FROM h GROUP BY 1,2), cands AS (SELECT DISTINCT event_type FROM ev), ch AS (SELECT event_type, j, CAST('0x' || substr(md5(j || ':' || event_type), 1, 15) AS BIGINT) % 1024 AS bucket FROM cands CROSS JOIN js), est AS (SELECT ch.event_type, CAST(min(coalesce(c.c, 0)) AS BIGINT) AS est_cnt FROM ch LEFT JOIN counters c ON c.j = ch.j AND c.bucket = ch.bucket GROUP BY 1) SELECT * FROM (SELECT event_type, est_cnt FROM est ORDER BY est_cnt DESC, event_type LIMIT 3) ORDER BY event_type",
+    "agg_approx_hll" ->
+      ("WITH h AS (SELECT l_returnflag, CAST('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15) AS BIGINT) AS h60 FROM lineitem), " +
+        "r AS (SELECT l_returnflag, h60 & 511 AS reg, CASE WHEN (h60 >> 9) = 0 THEN 52 ELSE 52 - length(bin(h60 >> 9)) END AS rank FROM h), " +
+        "m AS (SELECT l_returnflag, reg, max(rank) AS mr FROM r GROUP BY 1, 2), " +
+        "s AS (SELECT l_returnflag, count(*) AS np, sum(1::BIGINT << (52 - mr)) AS sp FROM m GROUP BY 1), " +
+        "e AS (SELECT l_returnflag, 8.497699123215257e20 / CAST((512 - np) * (1::BIGINT << 52) + sp AS DOUBLE) AS raw, 512 - np AS nv FROM s) " +
+        "SELECT l_returnflag, CAST(floor(CASE WHEN raw <= 1280.0 AND nv > 0 THEN 512.0 * ln(512.0 / nv) ELSE raw END + 0.5) AS BIGINT) AS est_nd " +
+        "FROM e ORDER BY l_returnflag"),
+    "agg_hll_merge" ->
+      ("WITH h AS (SELECT l_returnflag, CAST('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15) AS BIGINT) AS h60 FROM lineitem), " +
+        "r AS (SELECT l_returnflag, h60 & 511 AS reg, CASE WHEN (h60 >> 9) = 0 THEN 52 ELSE 52 - length(bin(h60 >> 9)) END AS rank FROM h), " +
+        "m AS (SELECT l_returnflag, reg, max(rank) AS mr FROM r GROUP BY 1, 2), " +
+        "u AS (SELECT reg, max(mr) AS mr FROM m GROUP BY 1), " +
+        "s AS (SELECT count(*) AS np, sum(1::BIGINT << (52 - mr)) AS sp FROM u), " +
+        "e AS (SELECT 8.497699123215257e20 / CAST((512 - np) * (1::BIGINT << 52) + sp AS DOUBLE) AS raw, 512 - np AS nv FROM s), " +
+        "n AS (SELECT count(DISTINCT l_returnflag) AS n_sketches FROM m) " +
+        "SELECT n.n_sketches, CAST(floor(CASE WHEN raw <= 1280.0 AND nv > 0 THEN 512.0 * ln(512.0 / nv) ELSE raw END + 0.5) AS BIGINT) AS global_nd FROM e, n"),
     "agg_percentile" ->
       "SELECT o_orderstatus, round(quantile_cont(o_totalprice, 0.5), 4) AS p50, round(quantile_cont(o_totalprice, 0.9), 4) AS p90 FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus",
     "agg_rollup" ->

@@ -17,9 +17,15 @@ class NoOracleKeysSpec extends SparkTestBase {
       .groupBy("l_returnflag").agg(countDistinct("l_partkey").as("nd"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
 
-  test("agg_approx_hll: per-group HLL++ estimate within 5% of exact") {
-    val approx = q("agg_approx_hll").collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+  // agg_approx_hll and agg_hll_merge were promoted to full DuckDB oracles
+  // in round 7 (portable register-arithmetic HLL) and left this spec; the
+  // Spark BUILTIN HLL++ surface they previously graded stays covered here
+  // as a library-surface test, like count_min_sketch/approx_top_k below.
+  test("approx_count_distinct builtin (library surface): within 5% of exact per group") {
+    val approx = Tables.load(spark, SF, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(approx_count_distinct("l_partkey").as("nd"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val exact = exactDistinctPerFlag
     assert(approx.keySet == exact.keySet)
     exact.foreach { case (k, nd) =>
@@ -35,13 +41,6 @@ class NoOracleKeysSpec extends SparkTestBase {
     exact.foreach { case (k, nd) =>
       assert(math.abs(approx(k).toDouble - nd) / nd <= 0.05, s"group $k")
     }
-  }
-
-  test("agg_hll_merge: union of per-group sketches within 5% of exact global distinct") {
-    val merged = q("agg_hll_merge").collect()(0).getLong(0)
-    val exact = Tables.load(spark, SF, "lineitem")
-      .agg(countDistinct("l_partkey")).collect()(0).getLong(0)
-    assert(math.abs(merged.toDouble - exact) / exact <= 0.05, s"$merged vs $exact")
   }
 
   test("agg_approx_percentile: estimates bracketed by exact neighbor quantiles") {

@@ -33,11 +33,63 @@ class RelationalOpsSpec extends SparkTestBase {
   }
 
   test("HLL union-merge of per-group sketches estimates the GLOBAL distinct within 5%") {
-    val est = RelationalOps.aggHllMerge(spark, SF).collect().head.getLong(0)
+    val row = RelationalOps.aggHllMerge(spark, SF).collect().head
+    assert(row.getLong(row.fieldIndex("n_sketches")) == 3L)
+    val est = row.getLong(row.fieldIndex("global_nd"))
     val exact = Tables.load(spark, SF, "lineitem")
       .agg(countDistinct("l_partkey")).collect().head.getLong(0)
     assert(math.abs(est - exact) <= math.max(1, exact * 0.05),
       s"merged estimate $est vs exact $exact")
+  }
+
+  test("portable HLL (graded agg_approx_hll): within 5% of exact per group") {
+    val approx = RelationalOps.aggApproxHll(spark, SF).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.load(spark, SF, "lineitem")
+      .groupBy("l_returnflag").agg(countDistinct("l_partkey")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, nd) =>
+      assert(math.abs(approx(k).toDouble - nd) / nd <= 0.05, s"group $k: ${approx(k)} vs $nd")
+    }
+  }
+
+  test("portable HLL merge invariant: register-max merge == direct global sketch, bit-for-bit") {
+    // The defining HLL property: union of per-group sketches must equal
+    // the sketch of the unsplit data EXACTLY (max is associative), not
+    // just approximately — this is what makes cross-day/cross-partition
+    // merging lossless at 100 TB.
+    val merged = RelationalOps.aggHllMerge(spark, SF).collect().head
+    val direct = RelationalOps.aggApproxHll(
+        spark, SF) // per-flag; rebuild the global sketch from raw rows
+    val global = {
+      import org.apache.spark.sql.functions._
+      val li = Tables.load(spark, SF, "lineitem").withColumn("one", lit("g"))
+      // reuse the graded path's register/estimate math via a single group
+      val h = li.select(col("one"),
+        conv(substring(md5(col("l_partkey").cast("string").cast("binary")), 1, 15), 16, 10)
+          .cast("long").as("h60"))
+      val regs = h.select(col("one"), col("h60").bitwiseAND(511L).as("reg"),
+          shiftright(col("h60"), 9).as("w"))
+        .select(col("one"), col("reg"),
+          when(col("w") === 0L, 52).otherwise(lit(52) - length(bin(col("w")))).as("rank"))
+        .groupBy("one", "reg").agg(max("rank").as("mr"))
+      regs.groupBy("one")
+        .agg(count(lit(1)).as("np"),
+          sum(expr("shiftleft(CAST(1 AS BIGINT), 52 - mr)")).as("sp"))
+        .select((lit(8.497699123215257e20) /
+            ((lit(512L) - col("np")) * lit(1L << 52) + col("sp")).cast("double")).as("raw"),
+          (lit(512L) - col("np")).as("nv"))
+        .select(floor(
+            when(col("raw") <= 1280.0 && col("nv") > 0L,
+              lit(512.0) * log(lit(512.0) / col("nv").cast("double")))
+              .otherwise(col("raw")) + 0.5)
+          .cast("long").as("est"))
+        .collect().head.getLong(0)
+    }
+    assert(direct.count() == 3)
+    assert(merged.getLong(merged.fieldIndex("global_nd")) == global,
+      s"merged ${merged.getLong(1)} != direct-global $global")
   }
 
   test("approx_top_k (portable CMS) matches exact counts on the closed event_type domain") {
@@ -105,17 +157,6 @@ class RelationalOpsSpec extends SparkTestBase {
     assert(rows.length == 10)
     val prices = rows.map(_.getAs[Double]("o_totalprice"))
     assert(prices.zip(prices.tail).forall { case (a, b) => a >= b })
-  }
-
-  test("approx_count_distinct within 5% of exact") {
-    val approx = RelationalOps.aggApproxHll(spark, SF).collect()
-      .map(r => r.getAs[String]("l_returnflag") -> r.getAs[Long]("approx_nd_part")).toMap
-    val exact = RelationalOps.aggCountDistinct(spark, SF).collect()
-      .map(r => r.getAs[String]("l_returnflag") -> r.getAs[Long]("nd_part")).toMap
-    exact.foreach { case (flag, ex) =>
-      val ap = approx(flag)
-      assert(math.abs(ap - ex).toDouble / ex <= 0.05, s"$flag: approx $ap vs exact $ex")
-    }
   }
 
   test("stat functions: freqItems finds the frequent flags, sampleBy is seeded") {
