@@ -705,14 +705,38 @@ object RelationalOps {
         round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"))
       .orderBy("o_orderstatus")
 
-  /** D6b: approximate percentiles (algorithm-specific sketch — no oracle;
-    * unit-tested against the exact percentile within tolerance). */
-  def aggApproxPercentile(s: SparkSession, d: String): DataFrame =
-    t(s, d, "orders")
-      .groupBy("o_orderstatus")
-      .agg(expr("approx_percentile(o_totalprice, 0.5, 1000)").as("ap50"),
-        expr("approx_percentile(o_totalprice, 0.9, 1000)").as("ap90"))
+  /** D6b: approximate percentiles — PORTABLE equi-width-histogram variant,
+    * graded with a full DuckDB oracle (round-7 promotion; the Spark
+    * builtin `approx_percentile` GK-sketch surface stays unit-tested in
+    * RelationalOpsSpec). The sketch is 4096 fixed, data-independent
+    * buckets of width exactly 125.0 over o_totalprice's [0, 512000)
+    * domain (out-of-domain values clamp into the last bucket) — counts
+    * are plain-sum mergeable at every level, the property that matters
+    * at 100 TB, and the whole build is ONE 2-phase groupBy. The p-th
+    * estimate is the midpoint of the first bucket whose cumulative count
+    * reaches ceil(p·n): every step (divide by the dyadic 125.0, floor,
+    * integer cums, ceil of one IEEE product, 125·(b+0.5) exact) is
+    * deterministic and identical cross-engine, so the oracle hash-matches
+    * while the estimate stays within half a bucket (±62.5, rel-err
+    * < 0.1% on this domain) of the exact percentile. */
+  def aggApproxPercentile(s: SparkSession, d: String): DataFrame = {
+    val buckets = t(s, d, "orders")
+      .groupBy(col("o_orderstatus"),
+        least(floor(col("o_totalprice") / 125.0), lit(4095L)).cast("int").as("b"))
+      .agg(count(lit(1)).as("c"))
+    val byStatus = org.apache.spark.sql.expressions.Window.partitionBy("o_orderstatus")
+    val cum = buckets
+      .withColumn("cum", sum("c").over(byStatus.orderBy("b")))
+      .withColumn("n", sum("c").over(byStatus))
+    cum.groupBy("o_orderstatus")
+      .agg(
+        min(when(col("cum") >= ceil(lit(0.5) * col("n")), col("b"))).as("b50"),
+        min(when(col("cum") >= ceil(lit(0.9) * col("n")), col("b"))).as("b90"))
+      .select(col("o_orderstatus"),
+        (lit(125.0) * (col("b50") + 0.5)).as("ap50"),
+        (lit(125.0) * (col("b90") + 0.5)).as("ap90"))
       .orderBy("o_orderstatus")
+  }
 
   /** D7: ROLLUP with GROUPING markers; subtotal keys coalesced to 'ALL' so
     * no NULL ever reaches an ORDER BY (SURVEY.md §5.3.4). */
@@ -1168,6 +1192,12 @@ object RelationalOps {
         "SELECT n.n_sketches, CAST(floor(CASE WHEN raw <= 1280.0 AND nv > 0 THEN 512.0 * ln(512.0 / nv) ELSE raw END + 0.5) AS BIGINT) AS global_nd FROM e, n"),
     "agg_percentile" ->
       "SELECT o_orderstatus, round(quantile_cont(o_totalprice, 0.5), 4) AS p50, round(quantile_cont(o_totalprice, 0.9), 4) AS p90 FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus",
+    "agg_approx_percentile" ->
+      ("WITH b AS (SELECT o_orderstatus, LEAST(CAST(floor(o_totalprice / 125.0) AS INT), 4095) AS b FROM orders), " +
+        "c AS (SELECT o_orderstatus, b, count(*) AS c FROM b GROUP BY 1, 2), " +
+        "w AS (SELECT o_orderstatus, b, sum(c) OVER (PARTITION BY o_orderstatus ORDER BY b) AS cum, sum(c) OVER (PARTITION BY o_orderstatus) AS n FROM c), " +
+        "q AS (SELECT o_orderstatus, min(CASE WHEN cum >= ceil(0.5 * n) THEN b END) AS b50, min(CASE WHEN cum >= ceil(0.9 * n) THEN b END) AS b90 FROM w GROUP BY 1) " +
+        "SELECT o_orderstatus, 125.0 * (b50 + 0.5) AS ap50, 125.0 * (b90 + 0.5) AS ap90 FROM q ORDER BY o_orderstatus"),
     "agg_rollup" ->
       "SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls, count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty, CAST(GROUPING(l_returnflag) AS INTEGER) AS g_rf, CAST(GROUPING(l_linestatus) AS INTEGER) AS g_ls FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) ORDER BY rf, ls",
     "agg_cube" ->

@@ -43,10 +43,17 @@ class NoOracleKeysSpec extends SparkTestBase {
     }
   }
 
-  test("agg_approx_percentile: estimates bracketed by exact neighbor quantiles") {
+  // agg_approx_percentile is oracle-graded since round 7 (portable
+  // equi-width histogram quantile — see RelationalOps; graded accuracy
+  // asserted in RelationalOpsSpec). The builtin GK sketch stays covered:
+  test("approx_percentile builtin (library surface): bracketed by exact neighbor quantiles") {
     // accuracy=1000 bounds the RANK error at n/1000; assert each estimate
     // lies within the exact [p-1%, p+1%] quantile envelope per group.
-    val approx = q("agg_approx_percentile").collect()
+    val approx = Tables.load(spark, SF, "orders")
+      .groupBy("o_orderstatus")
+      .agg(expr("approx_percentile(o_totalprice, 0.5, 1000)").as("ap50"),
+        expr("approx_percentile(o_totalprice, 0.9, 1000)").as("ap90"))
+      .collect()
       .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
     val env = Tables.load(spark, SF, "orders")
       .groupBy("o_orderstatus")

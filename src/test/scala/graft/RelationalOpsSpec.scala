@@ -187,7 +187,7 @@ class RelationalOpsSpec extends SparkTestBase {
     assert(r.getAs[Int]("total") == 6)
   }
 
-  test("approx_percentile within 2% of exact percentile") {
+  test("portable histogram quantile (graded agg_approx_percentile) within 2% of exact") {
     val approx = RelationalOps.aggApproxPercentile(spark, SF).collect()
       .map(r => r.getAs[String]("o_orderstatus") -> (r.getAs[Double]("ap50"), r.getAs[Double]("ap90"))).toMap
     val exact = RelationalOps.aggPercentile(spark, SF).collect()
