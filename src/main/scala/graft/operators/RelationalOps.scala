@@ -539,7 +539,7 @@ object RelationalOps {
 
   /** Per-(group, reg) max-rank register table — ONE 2-phase hash
     * aggregation; at most |groups|·512 rows regardless of input size. */
-  private def hllRegisters(df: DataFrame, group: String, value: Column): DataFrame =
+  private[graft] def hllRegisters(df: DataFrame, group: String, value: Column): DataFrame =
     df.select(col(group),
         conv(substring(md5(value.cast("string").cast("binary")), 1, 15), 16, 10)
           .cast("long").as("h60"))
@@ -559,7 +559,7 @@ object RelationalOps {
     * scales (fixture cardinalities 2 k / 20 k ≫ 2.5m = 1280) — it exists
     * for small-cardinality accuracy (sf0.001 unit tests: 200 distinct →
     * raw HLL reads 474, linear counting reads 201). */
-  private def hllEstimate(regs: DataFrame, group: String): DataFrame =
+  private[graft] def hllEstimate(regs: DataFrame, group: String): DataFrame =
     regs.groupBy(group)
       .agg(count(lit(1)).as("np"),
         sum(expr(s"shiftleft(CAST(1 AS BIGINT), $HllMaxRank - mr)")).as("sp"))

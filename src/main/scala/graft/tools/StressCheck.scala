@@ -290,6 +290,32 @@ object StressCheck {
       require(n > 0); n
     }
 
+    // 14. Portable HLL sketch at 20M rows (round-7b, after the oracle
+    // promotion): distinct cardinality is EXACT by construction
+    // (id % nDistinct over a long range covers every residue), so the
+    // estimate has a closed-form truth to land within 5% of; the merge
+    // path (8 partial sketches register-max'd) must equal the direct
+    // global sketch EXACTLY — the mergeability contract at scale.
+    time("hll_sketch_20m") {
+      val nRows = (20000000 * scale).toLong
+      val nDistinct = 3000000L // < nRows so every residue occurs
+      val vals = spark.range(nRows).select(
+        pmod(col("id"), lit(8L)).cast("string").as("part"),
+        pmod(col("id"), lit(nDistinct)).as("v"))
+      val direct = graft.operators.RelationalOps.hllEstimate(
+        graft.operators.RelationalOps.hllRegisters(
+          vals.withColumn("g", lit("all")), "g", col("v")), "g")
+        .collect()(0).getLong(1)
+      val merged = graft.operators.RelationalOps.hllEstimate(
+        graft.operators.RelationalOps.hllRegisters(vals, "part", col("v"))
+          .groupBy("reg").agg(max("mr").as("mr")).withColumn("g", lit("all")), "g")
+        .collect()(0).getLong(1)
+      require(merged == direct, s"merge broke at scale: $merged != $direct")
+      val relErr = math.abs(direct.toDouble - nDistinct) / nDistinct
+      require(relErr <= 0.05, s"HLL estimate $direct vs true $nDistinct (err $relErr)")
+      direct
+    }
+
     val total = results.values.sum
     val json = results.map { case (k, v) =>
       "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
