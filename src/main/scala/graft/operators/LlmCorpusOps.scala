@@ -241,6 +241,59 @@ object LlmCorpusOps {
       .orderBy("doc_id", "rank")
   }
 
+  /** BM25 retrieval: score the corpus against a deterministic query set
+    * (documents with doc_id % 97 == 0 act as queries; standard
+    * query-by-document, the retrieval shape behind RAG corpus curation
+    * and hard-negative mining). Okapi BM25 with k1 = 1.2, b = 0.75 and
+    * the Lucene idf ln(1 + (N - df + 0.5)/(df + 0.5)) — strictly
+    * positive, so scores never cancel. Top-3 hits per query, the query
+    * document itself excluded.
+    *
+    * PLAN, sized for 100 TB: the query-term set is |queries|·|vocab|
+    * bounded (metadata scale) and BROADCAST to the postings table — the
+    * candidate generation is one broadcast hash join on term, never a
+    * shuffle of the corpus; candidates fan out as Σ_{t∈queries} df_t,
+    * the same df-governed envelope as the Jaccard posting join, and the
+    * same stop-term cap applies on an open vocabulary (drop terms with
+    * df > cap BEFORE the join — they contribute ~0 idf anyway, which is
+    * BM25's own justification for the cap). The df/dl side tables are
+    * vocabulary- and corpus-keyed aggregates with map-side partials; the
+    * two global scalars (N, avgdl) ride a broadcast 1-row cross join.
+    * Ranking windows partition by q_id — |queries| independent heaps.
+    *
+    * Cross-engine determinism: per-term contributions are pure IEEE
+    * arithmetic mirrored token-for-token in the oracle; the per-pair sum
+    * is rounded to 4 dp BEFORE ranking so rank order is decided on
+    * identical doubles (same discipline as llm_tfidf_cosine). */
+  def llmBm25Topk(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = t(s, d, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("doc_id", "term").agg(count(lit(1)).cast("double").as("tf"))
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg("dl").as("avgdl"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val qterms = tf.filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("q_id"), col("term")).distinct()
+    val cand = tf.join(broadcast(qterms), Seq("term"))
+      .filter(col("doc_id") =!= col("q_id"))
+    val contrib =
+      log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
+        col("tf") * 2.2 /
+        (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+    val scored = cand.join(dfreq, "term").join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .groupBy("q_id", "doc_id")
+      .agg(round(sum(contrib), 4).as("score"))
+    val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("rank"), col("doc_id"), col("score"))
+      .orderBy("q_id", "rank")
+  }
+
   /** Temperature-scaled language mixture (the multilingual-training
     * resampling rule): per-language share s_l, resampling weight
     * w_l ∝ sqrt(s_l) normalized, and the boost factor w_l / s_l each
@@ -415,6 +468,7 @@ object LlmCorpusOps {
     "llm_top_token_share" -> (llmTopTokenShare _),
     "llm_oov_rate" -> (llmOovRate _),
     "llm_tfidf_topk" -> (llmTfidfTopk _),
+    "llm_bm25_topk" -> (llmBm25Topk _),
     "llm_lang_temperature" -> (llmLangTemperature _),
   )
 
@@ -500,6 +554,28 @@ object LlmCorpusOps {
         "FROM tf JOIN dfreq USING (tok) CROSS JOIN n), " +
         "r AS (SELECT doc_id, tok, tf, df, score, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS rank FROM sc) " +
         "SELECT doc_id, CAST(rank AS INTEGER) AS rank, tok, tf, df, score FROM r WHERE rank <= 3 ORDER BY doc_id, rank"),
+    // idf/tf-saturation arithmetic mirrored token-for-token from the
+    // Spark expression; the pair score rounds to 4 dp BEFORE ranking on
+    // both engines so rank is decided on identical doubles
+    "llm_bm25_topk" ->
+      ("WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents), " +
+        "tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM toks " +
+        "WHERE length(term) > 0 GROUP BY 1, 2), " +
+        "dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1), " +
+        "stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl), " +
+        "dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1), " +
+        "q AS (SELECT DISTINCT doc_id AS q_id, term FROM tf WHERE doc_id % 97 = 0), " +
+        "cand AS (SELECT q.q_id, tf.doc_id, tf.term, tf.tf FROM tf JOIN q ON tf.term = q.term " +
+        "WHERE tf.doc_id <> q.q_id), " +
+        "sc AS (SELECT q_id, cand.doc_id, " +
+        "round(sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * tf * 2.2 / " +
+        "(tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS score " +
+        "FROM cand JOIN dfreq USING (term) JOIN dl ON cand.doc_id = dl.doc_id CROSS JOIN stats " +
+        "GROUP BY 1, 2), " +
+        "r AS (SELECT q_id, doc_id, score, " +
+        "row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rank FROM sc) " +
+        "SELECT q_id, CAST(rank AS INTEGER) AS rank, doc_id, score FROM r " +
+        "WHERE rank <= 3 ORDER BY q_id, rank"),
     "llm_lang_temperature" ->
       ("WITH bl AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1), " +
         "t AS (SELECT CAST(sum(n) AS BIGINT) AS ntot FROM bl), " +

@@ -29,6 +29,10 @@ class PlanInvariantsSpec extends SparkTestBase {
   /**  - stat_chisq: marginal-grid build (R-rows × C-rows contingency
     *    dims, both re-aggregates of the tiny observed table) plus the
     *    1-row grand-total broadcast.
+    *  - agg_hll_merge: the n_sketches count (a 1-row aggregate over the
+    *    3-group register table) rides the same 1-row broadcast.
+    *  - llm_bm25_topk: the (N, avgdl) corpus statistics — one 1-row
+    *    aggregate broadcast into the per-term scoring expression.
     * (llm_tfidf_cosine left the list in round 6: its corpus count became
     * a driver-side literal when the TF table was checkpointed, so no
     * 1-row broadcast survives in the plan.) */
@@ -36,7 +40,7 @@ class PlanInvariantsSpec extends SparkTestBase {
     "join_cross", "event_funnel", "fn_bool_logic_3vl", "join_skew_salted",
     "llm_knn_queries", "llm_lang_temperature", "llm_unigram_logprob",
     "llm_tfidf_topk", "tpch_q22_idle", "tpch_q11_stock", "llm_domain_mix",
-    "stat_skew_report", "stat_chisq")
+    "stat_skew_report", "stat_chisq", "agg_hll_merge", "llm_bm25_topk")
 
   test("no graded key plans a CartesianProduct; nested-loop joins only where justified") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

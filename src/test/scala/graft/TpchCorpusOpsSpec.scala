@@ -28,7 +28,7 @@ class TpchCorpusOpsSpec extends SparkTestBase {
       size(split(col("text"), " ")) >= 20).count()
     assert(m("rows_seen") == seen)
     assert(m("rows_rejected") == seen - kept)
-    val meanChars = docs.agg(avg("n_chars")).head.getDouble(0)
+    val meanChars = docs.agg(avg("n_chars")).head().getDouble(0)
     assert(math.abs(m("mean_chars").asInstanceOf[Double] - meanChars) < 1e-9)
   }
 
@@ -244,5 +244,58 @@ class TpchCorpusOpsSpec extends SparkTestBase {
     val boosts = byShare.map(_.getAs[Double]("boost"))
     assert(boosts.zip(boosts.tail).forall { case (a, b) => a >= b },
       s"boost must be non-increasing in share: ${boosts.toSeq}")
+  }
+
+  test("bm25 candidate generation broadcasts the query-term set") {
+    val plan = LlmCorpusOps.llmBm25Topk(spark, SF)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"query terms should broadcast onto the postings table:\n$plan")
+  }
+
+  test("bm25: ranked shape, no self-hits, top hit matches a from-scratch score") {
+    val rows = LlmCorpusOps.llmBm25Topk(spark, SF).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getAs[Long]("q_id") != r.getAs[Long]("doc_id")),
+      "a query must never retrieve itself")
+    val byQ = rows.groupBy(_.getAs[Long]("q_id"))
+    byQ.foreach { case (q, hits) =>
+      val ranked = hits.sortBy(_.getAs[Int]("rank"))
+      assert(ranked.map(_.getAs[Int]("rank")).toSeq == (1 to ranked.length),
+        s"q=$q ranks not contiguous from 1")
+      val scores = ranked.map(_.getAs[Double]("score"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+        s"q=$q scores not non-increasing: ${scores.toSeq}")
+      assert(scores.forall(_ > 0.0), s"q=$q has a non-positive score")
+    }
+    // independent recomputation: BM25 on driver-side token maps for the
+    // smallest query id must reproduce the engine's top-1 pair score
+    val docs = Tables.load(spark, SF, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text").split(" ").filter(_.nonEmpty))
+      .toMap
+    val tf = docs.map { case (id, ts) =>
+      id -> ts.groupBy(identity).map { case (t, xs) => t -> xs.length.toDouble } }
+    val withTerms = tf.filter(_._2.nonEmpty)
+    val n = withTerms.size.toDouble
+    val avgdl = withTerms.values.map(_.values.sum).sum / n
+    val dfm = withTerms.values.flatMap(_.keys).groupBy(identity)
+      .map { case (t, xs) => t -> xs.size.toDouble }
+    def bm25(q: Long, d: Long): Double = {
+      val dlD = tf(d).values.sum
+      tf(q).keySet.toSeq.sorted.map { t =>
+        tf(d).get(t).fold(0.0) { f =>
+          val df = dfm(t)
+          math.log(1.0 + (n - df + 0.5) / (df + 0.5)) * f * 2.2 /
+            (f + 1.2 * (0.25 + 0.75 * dlD / avgdl))
+        }
+      }.sum
+    }
+    val q0 = byQ.keys.min
+    val top = byQ(q0).minBy(_.getAs[Int]("rank"))
+    val expected = bm25(q0, top.getAs[Long]("doc_id"))
+    assert(math.abs(expected - top.getAs[Double]("score")) < 1e-3,
+      s"engine ${top.getAs[Double]("score")} vs recomputed $expected")
   }
 }
