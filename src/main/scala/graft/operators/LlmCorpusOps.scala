@@ -265,9 +265,16 @@ object LlmCorpusOps {
     * arithmetic mirrored token-for-token in the oracle; the per-pair sum
     * is rounded to 4 dp BEFORE ranking so rank order is decided on
     * identical doubles (same discipline as llm_tfidf_cosine). */
-  def llmBm25Topk(s: SparkSession, d: String): DataFrame = {
+  def llmBm25Topk(s: SparkSession, d: String): DataFrame =
+    bm25TopK(t(s, d, "documents"), col("doc_id") % 97 === 0, 3)
+
+  /** Parameterized BM25 kernel over any (doc_id, text) frame — the
+    * graded key fixes the query predicate; StressCheck drives the same
+    * plan at 40× corpus scale with planted exact-duplicate queries. */
+  def bm25TopK(docsIn: DataFrame, isQuery: org.apache.spark.sql.Column,
+      k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tf = t(s, d, "documents")
+    val tf = docsIn
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .filter(length(col("term")) > 0)
       .groupBy("doc_id", "term").agg(count(lit(1)).cast("double").as("tf"))
@@ -275,7 +282,7 @@ object LlmCorpusOps {
     val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
       avg("dl").as("avgdl"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
-    val qterms = tf.filter(col("doc_id") % 97 === 0)
+    val qterms = tf.filter(isQuery)
       .select(col("doc_id").as("q_id"), col("term")).distinct()
     val cand = tf.join(broadcast(qterms), Seq("term"))
       .filter(col("doc_id") =!= col("q_id"))
@@ -289,7 +296,7 @@ object LlmCorpusOps {
       .agg(round(sum(contrib), 4).as("score"))
     val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("doc_id"))
     scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 3)
+      .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("doc_id"), col("score"))
       .orderBy("q_id", "rank")
   }

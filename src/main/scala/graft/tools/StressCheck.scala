@@ -316,6 +316,59 @@ object StressCheck {
       direct
     }
 
+    // 15. Fact-fact sort-merge join, 20M items x 4M orders (round-7c):
+    // the one shuffle shape the broadcast star (12) can't stand in for —
+    // both sides exceed any broadcast threshold, so the planner MUST
+    // shuffle both on the join key (asserted). Exactly 5 items per order
+    // and 4000 orders per customer by construction, so every per-customer
+    // item count is EXACTLY 20000 and none of the 1000 groups may drift.
+    time("smj_fact_fact_20m") {
+      val nOrders = (4000000 * scale).toLong
+      val items = spark.range(nOrders * 5).select(
+        // floor-div, not `/`: Column./ on longs is DOUBLE division, and a
+        // double oid equi-joined against a long oid silently matches only
+        // the 1-in-5 integral quotients (the planted count caught this)
+        floor(col("id") / 5).cast("long").as("oid"),
+        pmod(col("id"), lit(100L)).as("value"))
+      val orders = spark.range(nOrders).select(
+        col("id").as("oid"), pmod(col("id"), lit(1000L)).as("cust"))
+      val q = items.join(orders, "oid")
+        .groupBy("cust").agg(count(lit(1)).as("n_items"))
+      val plan = q.queryExecution.executedPlan.toString
+      require(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"fact-fact join must shuffle both sides, not broadcast:\n$plan")
+      val rows = q.collect()
+      require(rows.length == 1000 &&
+        rows.forall(_.getLong(1) == nOrders / 1000L * 5L),
+        s"per-customer counts drifted: ${rows.take(3).mkString(",")}")
+      nOrders * 5
+    }
+    // 16. BM25 retrieval at 200k docs (round-7c, with the graded kernel):
+    // 20 query docs chosen from the planted exact-duplicate pairs
+    // (doc q duplicates doc q-1 whenever q % 50 == 1), so each query's
+    // rank-1 hit has a KNOWN identity — its twin, which shares all 40
+    // terms at identical tf and maximal idf mass. The candidate join is
+    // the same broadcast-postings plan the graded key ships; fan-out is
+    // |queries|·Σ df, never corpus².
+    time("bm25_retrieval_200k") {
+      val queryIds = (0 until 20).map(i => 50L * (7 * i + 3) + 1L)
+        .filter(_ < nDocs)
+        // the twin must itself be pristine: a twin in the %73 family has
+        // "changed " prepended, so it is a near- not exact-duplicate
+        .filter(q => (q - 1) % 73 != 2).toSet
+      require(queryIds.nonEmpty)
+      val hits = graft.operators.LlmCorpusOps.bm25TopK(
+          docs, col("doc_id").isInCollection(queryIds), 3)
+        .filter(col("rank") === 1).collect()
+      require(hits.length == queryIds.size,
+        s"expected ${queryIds.size} rank-1 hits, got ${hits.length}")
+      val wrong = hits.filterNot(r =>
+        r.getAs[Long]("doc_id") == r.getAs[Long]("q_id") - 1L)
+      require(wrong.isEmpty,
+        s"planted twin not at rank 1 for: ${wrong.take(3).mkString(",")}")
+      hits.length.toLong
+    }
+
     val total = results.values.sum
     val json = results.map { case (k, v) =>
       "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
