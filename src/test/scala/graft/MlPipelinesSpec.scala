@@ -53,6 +53,27 @@ class MlPipelinesSpec extends SparkTestBase {
     assert(model.stages.length == 6)
   }
 
+  test("fitted pipeline persistence: save/load round-trip transforms identically") {
+    // model persistence is a first-class MLlib user capability (train
+    // once on the cluster, serve elsewhere): the reloaded PipelineModel
+    // must reproduce the original's predictions exactly, stage for stage
+    val (model, _) = MlPipelines.langClassifier(spark, SF)
+    val dir = java.nio.file.Files.createTempDirectory("graft-mlpersist")
+      .resolve("langclf").toString
+    model.write.overwrite().save(dir)
+    val reloaded = org.apache.spark.ml.PipelineModel.load(dir)
+    assert(reloaded.stages.length == model.stages.length)
+    val docs = Tables.load(spark, SF, "documents").limit(100)
+    val a = model.transform(docs)
+      .select("doc_id", "prediction").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val b = reloaded.transform(docs)
+      .select("doc_id", "prediction").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(a == b, "reloaded model predictions diverged")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("ALS trains on synthesized purchase ratings") {
     val rmse = MlPipelines.alsPurchases(spark, SF)
     assert(rmse >= 0 && !rmse.isNaN && !rmse.isInfinite)
