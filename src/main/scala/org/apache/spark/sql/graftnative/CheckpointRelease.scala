@@ -18,6 +18,17 @@ import org.apache.spark.sql.execution.LogicalRDD
   * which is exactly what `LruMemo.clear` does.
   */
 object CheckpointRelease {
+  // Unpersisting a locally-checkpointed RDD logs a WARN ("lineage has been
+  // truncated and cannot be recomputed") on every release. Here that is
+  // the DOCUMENTED contract, not a hazard — the caller drops all
+  // references in the same breath — and ~20 of these per Bench sweep were
+  // crowding real signal out of the driver's bounded stderr tail. Silence
+  // that one logger; everything else stays at WARN.
+  try org.apache.logging.log4j.core.config.Configurator.setLevel(
+    "org.apache.spark.rdd.MapPartitionsRDD",
+    org.apache.logging.log4j.Level.ERROR)
+  catch { case _: Throwable => () } // logging backend absent/different: cosmetic only
+
   def release(df: DataFrame): Unit =
     df.queryExecution.logical.collect { case l: LogicalRDD => l.rdd }
       .foreach(rdd => try rdd.unpersist(blocking = false) catch { case _: Throwable => () })
