@@ -180,13 +180,50 @@ object LlmTextOps {
     (mergeDf, seg)
   }
 
-  /** Graded entry: the merge table of an 8-round training run. No SQL
-    * oracle (the loop is inherently recursive); NoOracleKeysSpec asserts
-    * round-1 agreement with the oracle-graded llm_bpe_merges, the
-    * monotone-decreasing merge counts, boundary-anchoring, and corpus
-    * compression. */
+  /** Graded entry: the merge table of an 8-round training run. Fully
+    * oracle-graded since round 7 via [[bpeTrainOracle]] (the loop
+    * unrolls; fixed rounds). NoOracleKeysSpec additionally asserts
+    * round-1 agreement with llm_bpe_merges, monotone-decreasing merge
+    * counts, boundary-anchoring, and corpus compression. */
   def llmBpeTrain(s: SparkSession, d: String): DataFrame =
     bpeTrainCore(s, d)._1
+
+  /** DuckDB twin of the 8-round BPE trainer (round-7 promotion of the
+    * last iterative no-oracle text key). The driver-side loop UNROLLS
+    * into 8 CTE blocks, the same fixed-rounds discipline as the pagerank
+    * oracle. The merge step needs leftmost non-overlapping BOUNDED
+    * replacement; RE2 has no lookarounds, so the oracle uses the
+    * doubled-separator trick instead: double every separator, wrap the
+    * string in separators, then plain `replace` of `l␟␟r` — each
+    * occurrence keeps one boundary separator on each side for its
+    * neighbor, so adjacent merge sites don't shadow each other — then
+    * unwrap and halve. Verified byte-identical to the Spark
+    * regex-lookaround merge at sf0.01 AND sf0.1. */
+  private def bpeTrainOracle: String = {
+    val p = "\u001f"
+    def mergeCtes(k: Int): String =
+      s"pairs$k AS (SELECT syms[i] || '$p' || syms[i+1] AS pair, sum(cnt) AS pcnt " +
+        s"FROM (SELECT string_split(seg, '$p') AS syms, cnt, " +
+        s"unnest(generate_series(1, len(string_split(seg, '$p')) - 1)) AS i " +
+        s"FROM seg$k WHERE len(string_split(seg, '$p')) >= 2) GROUP BY 1), " +
+        s"best$k AS (SELECT ${k + 1} AS round, string_split(pair, '$p')[1] AS l, " +
+        s"string_split(pair, '$p')[2] AS r, pcnt FROM pairs$k ORDER BY pcnt DESC, pair LIMIT 1), " +
+        s"seg${k + 1} AS (SELECT replace(substr(m, 2, length(m) - 2), '$p$p', '$p') AS seg, cnt " +
+        s"FROM (SELECT replace('$p' || replace(seg, '$p', '$p$p') || '$p', " +
+        s"'$p' || b.l || '$p$p' || b.r || '$p', '$p' || b.l || b.r || '$p') AS m, cnt " +
+        s"FROM seg$k, best$k b))"
+    val rounds = 8
+    val ctes = (0 until rounds).map(mergeCtes).mkString(", ")
+    val union = (0 until rounds).map(k =>
+      s"""SELECT round, l AS "left", r AS "right", l || r AS merged, pcnt AS cnt FROM best$k""")
+      .mkString(" UNION ALL ")
+    s"WITH seg0 AS (SELECT substr(regexp_replace(w, '(.)', '\\1$p', 'g'), 1, " +
+      "2 * length(w) - 1) AS seg, cnt FROM (SELECT w, count(*) AS cnt FROM " +
+      "(SELECT unnest(string_split(text, ' ')) AS w FROM documents) " +
+      s"WHERE length(w) >= 2 GROUP BY 1)), $ctes " +
+      s"""SELECT CAST(round AS INTEGER) AS round, "left", "right", merged, """ +
+      s"CAST(cnt AS BIGINT) AS cnt FROM ($union) ORDER BY round"
+  }
 
   /** URL-canonicalization dedup — the first pass of every web-corpus
     * pipeline: the same page arrives under case-varied hosts, tracking
@@ -1111,6 +1148,7 @@ object LlmTextOps {
         "SELECT unnest(flatten(list_transform(string_split(text, ' '), " +
         "w -> list_transform(range(1, length(w)), i -> substr(w, i, 2))))) AS pair " +
         "FROM documents) GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20"),
+    "llm_bpe_train" -> bpeTrainOracle,
     "llm_dedup_url" ->
       ("WITH u AS (SELECT doc_id, n_chars, 'https://' || " +
         "(CASE WHEN doc_id % 3 = 0 THEN 'WWW.Mirror.' ELSE 'www.mirror.' END) || " +
