@@ -369,6 +369,78 @@ object StressCheck {
       hits.length.toLong
     }
 
+    // 17-18. STRUCTURED STREAMING at 10x fixture volume (round-7c): the
+    // graded streaming cores driven through a REAL multi-micro-batch
+    // execution (file source, maxFilesPerTrigger=1 -> 8 batches), not the
+    // single-batch MemoryStream path the unit specs use. Both have
+    // closed-form answers; 17 additionally cross-checks the incremental
+    // streaming state against the independent batch hash-aggregate.
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-stress-stream")
+    def streamEvents(n: Long, dupEvery: Long): DataFrame = spark.range(n).select(
+      // planted dups: event j (j % dupEvery == 1) replays event j-1
+      when(pmod(col("id"), lit(dupEvery)) === 1, col("id") - 1)
+        .otherwise(col("id")).as("event_id"),
+      timestamp_micros(lit(1700000000000000L) +
+        pmod(col("id"), lit(2000L)) * 3600000000L).as("ts"),
+      // type keyed off id/2000 so (hour, type) is a FULL 2000x50 product
+      // (id % 2000 and id % 50 alone would be nested residues: 50 | 2000)
+      concat(lit("ev"), pmod(floor(col("id") / 2000).cast("long"), lit(50))).as("event_type"))
+
+    // 17. Tumbling agg, 5M events through 8 micro-batches, 100k (window,
+    // type) groups: id % 100000 fixes (hour, type), so every group count
+    // is EXACTLY n/100000; complete-mode output must also equal the batch
+    // twin group-for-group (incremental state vs one-shot hash agg).
+    time("stream_tumbling_5m") {
+      val n = nEvents
+      val src = s"$streamDir/tumbling"
+      streamEvents(n, Long.MaxValue).repartition(8).write.mode("overwrite").parquet(src)
+      val stream = spark.readStream
+        .schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      val q = graft.streaming.StreamingOps.tumblingCounts(stream)
+        .writeStream.format("memory").queryName("stress_tumbling")
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val got = spark.table("stress_tumbling")
+      val groups = got.count()
+      require(groups == 100000L, s"expected 100000 groups, got $groups")
+      val off = got.filter(col("cnt") =!= n / 100000L).count()
+      require(off == 0L, s"$off groups off the closed-form count ${n / 100000L}")
+      val batch = graft.streaming.StreamingOps
+        .tumblingCounts(spark.read.parquet(src))
+      val diff = got.union(batch).groupBy("hour_start", "event_type", "cnt")
+        .agg(count(lit(1)).as("c")).filter(col("c") =!= 2).count()
+      require(diff == 0L, s"streaming state diverged from batch agg on $diff rows")
+      groups
+    }
+    // 18. Watermark dedup, 5M events with 1-in-50 planted replays through
+    // 8 micro-batches: dropDuplicatesWithinWatermark must emit exactly the
+    // distinct event_ids (closed form: n - n/50) and no replay twice.
+    time("stream_dedup_5m") {
+      val n = nEvents
+      val src = s"$streamDir/dedup"
+      streamEvents(n, 50L).repartition(8).write.mode("overwrite").parquet(src)
+      val stream = spark.readStream
+        .schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      // watermark wider than the 2000h event-time span: no replay can be
+      // late-dropped, so the output is exactly the distinct id set
+      val q = graft.streaming.StreamingOps.dedupStream(stream, "4000 hours")
+        .writeStream.format("memory").queryName("stress_dedup")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val got = spark.table("stress_dedup")
+      val distinctIds = got.select("event_id").distinct().count()
+      val emitted = got.count()
+      val expect = n - n / 50L
+      require(emitted == expect && distinctIds == expect,
+        s"dedup emitted $emitted rows / $distinctIds ids, expected $expect")
+      emitted
+    }
+    org.apache.commons.io.FileUtils.deleteQuietly(streamDir.toFile)
+
     val total = results.values.sum
     val json = results.map { case (k, v) =>
       "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
