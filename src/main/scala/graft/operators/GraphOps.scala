@@ -132,6 +132,13 @@ object GraphOps {
     * newly-discovered nodes. localCheckpoint per hop truncates the
     * doubling anti-join/union lineage, same posture as the CC loop. */
   def khopReach(edges: DataFrame, seeds: DataFrame, k: Int): DataFrame = {
+    // ONE eager checkpoint per hop, not three: only the frontier needs
+    // materializing — it both truncates the doubling anti-join lineage
+    // AND gives the next hop's edges-join a fresh leaf (joining the same
+    // edges frame against a frontier derived from it would otherwise trip
+    // the ambiguous-self-join analyzer check). The visited set is then a
+    // LAZY union of already-materialized frontier RDDs — no recompute
+    // risk and no extra jobs (round 7: 3 checkpoint jobs/hop → 1).
     var visited = seeds.select(col("seed"), col("seed").as("id"))
       .distinct().localCheckpoint(true)
     var frontier = visited
@@ -140,7 +147,7 @@ object GraphOps {
         .select(frontier("seed"), edges("dst").as("id")).distinct()
       frontier = expanded.join(visited, Seq("seed", "id"), "left_anti")
         .localCheckpoint(true)
-      visited = visited.union(frontier).localCheckpoint(true)
+      visited = visited.union(frontier)
     }
     visited
   }
