@@ -441,6 +441,39 @@ object StressCheck {
     }
     org.apache.commons.io.FileUtils.deleteQuietly(streamDir.toFile)
 
+    // 19. Distributed Lloyd's trainer (the PQ/IVF codebook kernel) at
+    // 100x its production sample: 50k 64-dim points, 8 iterations. The
+    // corpus is 16 exact atoms (every point IS its cluster centroid), so
+    // init sees exactly k distinct points and the fixed-point answer is
+    // closed-form: the trainer must return the 16 planted atoms EXACTLY
+    // and the assignment counts must be nVecs/16 per cluster. The claim
+    // stress-tested here is the distributed iteration path (row-local
+    // argmin assignment + the order-pinned per-cluster vector sums) at
+    // volume — atom recovery makes any drift in that arithmetic visible
+    // as a hard mismatch, not a quality degradation.
+    time("lloyd_train_50k") {
+      val kC = 16
+      val dim = 64
+      // atoms on the 1/512 grid: every coordinate is an exact binary
+      // fraction, every partial sum in the trainer is an exact integer
+      // multiple of 1/512 (far below 2^53), and the mean division is
+      // exact — so "recovered EXACTLY" means bitwise, not within-epsilon
+      val planted: Array[Array[Double]] = Array.tabulate(kC, dim)((j, t) =>
+        ((j * 8191 + t * 127) % 1000) / 512.0 - 1.0)
+      val centLit = typedlit(planted.map(_.toSeq).toSeq)
+      val pts = spark.range(nVecs).select(
+        lit(0).as("m"), col("id").as("rank"),
+        element_at(centLit, pmod(col("id"), lit(kC)).cast("int") + 1).as("p"))
+      val learned = graft.operators.PqOps
+        .lloydDistributedAll(pts, dim, kC, _ => 42L)(0)
+      def d2(a: Array[Double], b: Array[Double]) =
+        a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+      val worst = planted.map(pc => learned.map(lc => d2(pc, lc)).min).max
+      require(worst == 0.0, s"planted atoms not recovered exactly: worst d2 $worst")
+      require(learned.length == kC, s"centroid count drifted: ${learned.length}")
+      nVecs
+    }
+
     val total = results.values.sum
     val json = results.map { case (k, v) =>
       "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
