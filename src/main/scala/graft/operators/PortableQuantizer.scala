@@ -1,0 +1,330 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Portable INTEGER-EXACT vector quantization — the graded path for the
+  * IVF and PQ ANN entries (round-7 promotion off the no-oracle list, the
+  * same discipline as the portable HLL / CMS / SimHash / LSH promotions:
+  * replace the one non-portable ingredient with exact integer arithmetic
+  * both engines reproduce bit-for-bit, keep the algorithm itself).
+  *
+  * The float k-means trainer ([[PqOps.lloyd]] / the distributed twin) is
+  * seeded with `scala.util.Random.shuffle` — correct, but its init
+  * permutation is JVM-library-specific, so no SQL oracle can replay it.
+  * This trainer swaps exactly two ingredients and keeps Lloyd's:
+  *
+  *  - INIT: instead of a seeded shuffle of the distinct training points,
+  *    rank them by `(md5int60(m ":" r0), r0)` and take the first k — a
+  *    hash IS a portable seeded shuffle (md5 is identical everywhere;
+  *    the engine already uses this for the LSH hyperplanes and the HLL
+  *    register hash). `r0` = first-occurrence vec_id of each distinct
+  *    vector, so duplicate vectors can't waste codebook capacity.
+  *  - ARITHMETIC: components are quantized once to `floor(x*1e6 + 0.5)`
+  *    int64 (the emb_quantize_int8 floor discipline; exact same IEEE ops
+  *    in both engines). All distances are then exact BIGINT sums —
+  *    order-independent, parallel-safe, no float-summation-order hazard
+  *    at any cluster layout. Magnitudes: |qv| ≤ ~1e6, so a 64-dim
+  *    squared distance is ≤ 64·(2e6)² ≈ 2.6e14 ≪ 2^63. Re-mean is the
+  *    one float touch per centroid component: `floor(sum/cnt + 0.5)`
+  *    where sum ≤ 2e9 is exact in a double and the divide is a single
+  *    IEEE op — bit-identical cross-engine by construction.
+  *
+  * Both graded entries keep their 100 TB shape:
+  *  - training reads a bounded sample (first [[PqOps.TrainSample]]
+  *    vec_ids — O(1) in the corpus, the FAISS posture); per Lloyd's round
+  *    the executors do one map + one ≤ groups·k·dim-row reduce, and the
+  *    driver holds MODEL STATE only (the k centroids), never vectors;
+  *  - assignment / encoding is a row-local literal-codebook argmin — a
+  *    map-only projection over the corpus, no shuffle, no training jobs.
+  *
+  * The DuckDB oracles replay training with the iterations unrolled as
+  * CTEs (the llm_bpe_train pattern), in long (id, m, si, qv) form so the
+  * whole replay is joins + group-bys on integers. Validated value-exact
+  * against an independent scalar reference at sf0.001/sf0.01/sf0.1.
+  */
+object PortableQuantizer {
+  import PqOps.{NumSub, SubDim, K, Shortlist, TrainSample}
+
+  /** Component quantization scale: 1e-6 resolution on unit-norm-ish
+    * embedding components keeps full float32 precision (~7 decimal
+    * digits) while making every downstream distance exact int64. */
+  private val Scale = 1e6
+  /** Lloyd's rounds. Measured on the fixtures: recall@10 of the PQ path
+    * is flat from 3 rounds up (the shortlist, not the codebook, binds),
+    * and the IVF buckets are balanced (max/min ≈ 1.9 at sf0.1). */
+  private val Iters = 3
+
+  /** float embedding array → quantized BIGINT array (row-local). */
+  def quantArr(vec: Column): Column =
+    transform(vec, x => floor(x.cast("double") * lit(Scale) + lit(0.5)).cast("long"))
+
+  /** Position-first argmin of exact integer squared distance against a
+    * literal codebook (rides into the plan — no shuffle, no model). */
+  private def argminInt(cbLit: Column, q: Column): Column = {
+    val dists = transform(cbLit, c =>
+      aggregate(zip_with(q, c, (x, y) => (x - y) * (x - y)),
+        lit(0L), (a, v) => a + v))
+    (array_position(dists, array_min(dists)) - 1).cast("int")
+  }
+
+  /** Distributed integer Lloyd's over a grouped training frame
+    * (m, id, q: array<long>): all groups train in the same jobs; the
+    * driver collects only centroids (≤ groups·k·dim values/round). */
+  private[graft] def train(pts: DataFrame, k: Int,
+      iters: Int = Iters): Map[Int, Array[Array[Long]]] = {
+    // the small frame is re-read 1 + iters times — checkpoint once
+    val p = pts.localCheckpoint(true)
+    try {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("m").orderBy("h", "r0") // bounded by TrainSample rows
+      val init = p.groupBy("m", "q").agg(min("id").as("r0"))
+        .withColumn("h",
+          conv(substring(md5(concat(col("m").cast("string"), lit(":"),
+            col("r0").cast("string")).cast("binary")), 1, 15), 16, 10)
+            .cast("long"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k)
+        .select("m", "rn", "q").collect() // ≤ groups·k rows — model state
+      var cent: Map[Int, Array[Array[Long]]] = init
+        .groupBy(_.getInt(0)).map { case (m, rows) =>
+          m -> rows.sortBy(_.getInt(1)).map(_.getSeq[Long](2).toArray)
+        }
+      val nGroups = cent.keys.max + 1
+      (1 to iters).foreach { _ =>
+        val cbLit = typedlit(Seq.tabulate(nGroups)(m =>
+          cent(m).map(_.toSeq).toSeq))
+        val sums = p
+          .withColumn("code", argminInt(get(cbLit, col("m")), col("q")))
+          .select(col("m"), col("code"), posexplode(col("q")))
+          .groupBy("m", "code", "pos")
+          .agg(sum("col").as("s"), count(lit(1)).as("n"))
+          .collect() // ≤ groups·k·dim rows — model state, never vectors
+        // empty clusters keep their previous centroid (absent from sums)
+        val next = cent.map { case (m, cs) => m -> cs.map(_.clone()) }
+        sums.foreach { r =>
+          next(r.getInt(0))(r.getInt(1))(r.getInt(2)) =
+            math.floor(r.getLong(3).toDouble / r.getLong(4) + 0.5).toLong
+        }
+        cent = next
+      }
+      cent
+    } finally org.apache.spark.sql.graftnative.CheckpointRelease.release(p)
+  }
+
+  private def sid(s: SparkSession): String =
+    org.apache.spark.sql.graftnative.SessionIds.uuid(s)
+
+  /** Codebooks are an INDEX — trained once per (session, corpus). */
+  private val ivfMemo =
+    new graft.tools.LruMemo[(String, String), Seq[Seq[Long]]](8)
+  private val pqMemo =
+    new graft.tools.LruMemo[(String, String), Seq[Seq[Seq[Long]]]](8)
+  // driver-side Seqs only — clear() alone frees them
+  graft.tools.MemoRegistry.register(() => { ivfMemo.clear(); pqMemo.clear() })
+
+  private def trainFrame(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "embeddings").filter(col("vec_id") < TrainSample)
+      .select(col("vec_id").as("id"), quantArr(col("embedding")).as("qa"))
+
+  /** IVF coarse quantizer: one full-dimension k-centroid codebook. */
+  def ivfCentroids(s: SparkSession, d: String): Seq[Seq[Long]] =
+    ivfMemo.get((sid(s), d)) {
+      train(trainFrame(s, d)
+        .select(lit(0).as("m"), col("id"), col("qa").as("q")), K)(0)
+        .map(_.toSeq).toSeq
+    }
+
+  /** Row-local IVF bucket assignment against the literal codebook. */
+  def ivfAssign(cb: Seq[Seq[Long]], vec: Column): Column =
+    argminInt(typedlit(cb), quantArr(vec))
+
+  /** PQ codebooks: [[PqOps.NumSub]] subspaces × [[PqOps.K]] codewords,
+    * every subspace trained concurrently in the same Lloyd's jobs. */
+  def pqCodebook(s: SparkSession, d: String): Seq[Seq[Seq[Long]]] =
+    pqMemo.get((sid(s), d)) {
+      val cbs = train(trainFrame(s, d)
+        .select(col("id"), posexplode(expr(
+          s"transform(sequence(0, ${NumSub - 1}), " +
+            s"m -> slice(qa, m * $SubDim + 1, $SubDim))")))
+        .withColumnRenamed("pos", "m")
+        .withColumnRenamed("col", "q"), K)
+      (0 until NumSub).map(m => cbs(m).map(_.toSeq).toSeq)
+    }
+
+  /** PQ-encode as a row-local projection → (vec_id, sub_idx, code). */
+  def pqCodes(s: SparkSession, d: String): DataFrame = {
+    val cb = typedlit(pqCodebook(s, d))
+    val qa = quantArr(col("embedding"))
+    val dall = transform(sequence(lit(0), lit(NumSub - 1)), m =>
+      transform(get(cb, m), c =>
+        aggregate(
+          zip_with(slice(qa, m * lit(SubDim) + 1, lit(SubDim)), c,
+            (x, y) => (x - y) * (x - y)),
+          lit(0L), (a, v) => a + v)))
+    Tables.load(s, d, "embeddings")
+      .withColumn("codes", transform(dall, ds =>
+        (array_position(ds, array_min(ds)) - 1).cast("int")))
+      .select(col("vec_id"), posexplode(col("codes")))
+      .withColumnRenamed("pos", "sub_idx")
+      .withColumnRenamed("col", "code")
+  }
+
+  /** The codebook as a broadcastable (sub_idx, code, cvec) frame. */
+  private def pqCentroidsDf(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    pqCodebook(s, d).zipWithIndex.flatMap { case (cs, m) =>
+      cs.zipWithIndex.map { case (c, k) => (m, k, c) }
+    }.toDF("sub_idx", "code", "cvec")
+  }
+
+  /** Graded PQ-ADC entry: ADC shortlist (top-[[PqOps.Shortlist]] by exact
+    * integer table-lookup distance) → re-rank by the exact quantized
+    * squared L2 → top-10 per query (queries: vec_id ≤ 4, the
+    * llm_knn_queries set). Same two-broadcast plan shape as the float
+    * [[PqOps.pqSearch]]: codes ⋈ broadcast(distance table), then the
+    * shortlist ⋈ broadcast(query vectors) — the corpus is never shuffled
+    * pairwise. `l2q_d2` is exact int64 end-to-end, which is what makes
+    * the full-pipeline DuckDB oracle possible. */
+  def pqAdc(s: SparkSession, d: String): DataFrame = {
+    val queries = Tables.load(s, d, "embeddings").filter(col("vec_id") <= 4)
+      .select(col("vec_id").as("query_id"), quantArr(col("embedding")).as("qa"))
+    val qsub = queries
+      .select(col("query_id"), posexplode(expr(
+        s"transform(sequence(0, ${NumSub - 1}), " +
+          s"m -> slice(qa, m * $SubDim + 1, $SubDim))")))
+      .withColumnRenamed("pos", "sub_idx")
+      .withColumnRenamed("col", "qsub")
+    // per-query distance table: |Q| × NumSub × K rows, broadcast-sized
+    val dist = qsub.join(broadcast(pqCentroidsDf(s, d)), "sub_idx")
+      .select(col("query_id"), col("sub_idx"), col("code"),
+        aggregate(zip_with(col("qsub"), col("cvec"),
+          (x, y) => (x - y) * (x - y)), lit(0L), (a, v) => a + v).as("d2"))
+    val wAdc = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("adc_d2").asc, col("neighbor_id"))
+    val shortlist = pqCodes(s, d).join(broadcast(dist), Seq("sub_idx", "code"))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(sum("d2").as("adc_d2"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc_rank", row_number().over(wAdc))
+      .filter(col("adc_rank") <= Shortlist)
+    val nv = Tables.load(s, d, "embeddings")
+      .select(col("vec_id").as("neighbor_id"), quantArr(col("embedding")).as("na"))
+    val wExact = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("l2q_d2").asc, col("neighbor_id"))
+    shortlist
+      .join(broadcast(queries), "query_id")
+      .join(nv, "neighbor_id")
+      .withColumn("l2q_d2",
+        aggregate(zip_with(col("qa"), col("na"), (x, y) => (x - y) * (x - y)),
+          lit(0L), (a, v) => a + v))
+      .withColumn("rank", row_number().over(wExact))
+      .filter(col("rank") <= 10)
+      .select("query_id", "rank", "neighbor_id", "l2q_d2")
+      .orderBy("query_id", "rank")
+  }
+
+  // ------------------------------------------------------------------
+  // DuckDB oracles: training replayed with the Lloyd's rounds unrolled
+  // as CTEs, long (id, m, si, qv) form — integer joins + group-bys only.
+  // ------------------------------------------------------------------
+
+  /** Quantized long-form CTEs shared by both oracles. */
+  private val oracleBase: String =
+    "allv AS (SELECT vec_id AS id, embedding AS e FROM embeddings), " +
+      s"aq AS (SELECT id, CAST((i-1)//$SubDim AS INTEGER) AS m, " +
+      s"CAST((i-1)%$SubDim AS INTEGER) AS si, " +
+      "CAST(floor(CAST(e[CAST(i AS INTEGER)] AS DOUBLE)*1000000 + 0.5) AS BIGINT) AS qv " +
+      "FROM (SELECT id, e, unnest(range(1, len(e)+1)) AS i FROM allv)), " +
+      s"tq AS (SELECT * FROM aq WHERE id < $TrainSample)"
+
+  /** IVF oracle: portable training replay on the full-dimension vectors
+    * (m collapsed away — join on raw component index i = m*SubDim+si),
+    * then the same inverted-list pair-cosine tail as [[annLshOracle]]. */
+  val ivfOracle: String = {
+    def it(t: Int): String = {
+      val prev = s"c${t - 1}"
+      s"a$t AS (SELECT id, code FROM (" +
+        "SELECT q.id, c.code, row_number() OVER (PARTITION BY q.id ORDER BY " +
+        "sum((q.qv-c.cv)*(q.qv-c.cv)), c.code) AS rn " +
+        s"FROM tql q JOIN $prev c ON q.i = c.i " +
+        "GROUP BY q.id, c.code) WHERE rn = 1), " +
+        s"n$t AS (SELECT a.code, q.i, CAST(floor(sum(q.qv)/count(*) + 0.5) AS BIGINT) AS cv " +
+        s"FROM a$t a JOIN tql q ON a.id = q.id GROUP BY a.code, q.i), " +
+        s"c$t AS (SELECT p.code, p.i, coalesce(n.cv, p.cv) AS cv " +
+        s"FROM $prev p LEFT JOIN n$t n ON p.code = n.code AND p.i = n.i)"
+    }
+    s"WITH $oracleBase, " +
+      s"allql AS (SELECT id, m * $SubDim + si AS i, qv FROM aq), " +
+      s"tql AS (SELECT * FROM allql WHERE id < $TrainSample), " +
+      "dp AS (SELECT p, min(id) AS r0 FROM " +
+      "(SELECT id, list(qv ORDER BY i) AS p FROM tql GROUP BY id) GROUP BY p), " +
+      "init AS (SELECT r0, row_number() OVER (ORDER BY " +
+      "CAST(('0x' || substring(md5('0:' || r0), 1, 15)) AS BIGINT), r0) AS rn FROM dp), " +
+      "c0 AS (SELECT init.rn - 1 AS code, q.i, q.qv AS cv " +
+      s"FROM init JOIN tql q ON q.id = init.r0 WHERE init.rn <= $K), " +
+      (1 to Iters).map(it).mkString(", ") + ", " +
+      "fin AS (SELECT id, code FROM (" +
+      "SELECT q.id, c.code, row_number() OVER (PARTITION BY q.id ORDER BY " +
+      "sum((q.qv-c.cv)*(q.qv-c.cv)), c.code) AS rn " +
+      s"FROM allql q JOIN c$Iters c ON q.i = c.i " +
+      "GROUP BY q.id, c.code) WHERE rn = 1), " +
+      "e AS (SELECT f.code AS bucket, emb.vec_id, emb.embedding " +
+      "FROM embeddings emb JOIN fin f ON emb.vec_id = f.id) " +
+      "SELECT a.vec_id AS a_id, c.vec_id AS b_id, " +
+      "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 4) AS sim " +
+      "FROM e a JOIN e c ON a.bucket = c.bucket AND a.vec_id < c.vec_id " +
+      "ORDER BY sim DESC, a_id, b_id LIMIT 20"
+  }
+
+  /** PQ-ADC oracle: per-subspace training replay (m, si keys), encode,
+    * integer ADC shortlist, integer exact re-rank — the whole graded
+    * pipeline in one SQL statement. */
+  val pqOracle: String = {
+    def it(t: Int): String = {
+      val prev = s"c${t - 1}"
+      s"a$t AS (SELECT id, m, code FROM (" +
+        "SELECT q.id, q.m, c.code, row_number() OVER (PARTITION BY q.id, q.m ORDER BY " +
+        "sum((q.qv-c.cv)*(q.qv-c.cv)), c.code) AS rn " +
+        s"FROM tq q JOIN $prev c ON q.m = c.m AND q.si = c.si " +
+        "GROUP BY q.id, q.m, c.code) WHERE rn = 1), " +
+        s"n$t AS (SELECT a.m, a.code, q.si, CAST(floor(sum(q.qv)/count(*) + 0.5) AS BIGINT) AS cv " +
+        s"FROM a$t a JOIN tq q ON a.id = q.id AND a.m = q.m GROUP BY a.m, a.code, q.si), " +
+        s"c$t AS (SELECT p.m, p.code, p.si, coalesce(n.cv, p.cv) AS cv " +
+        s"FROM $prev p LEFT JOIN n$t n ON p.m = n.m AND p.code = n.code AND p.si = n.si)"
+    }
+    s"WITH $oracleBase, " +
+      "dp AS (SELECT m, p, min(id) AS r0 FROM " +
+      "(SELECT id, m, list(qv ORDER BY si) AS p FROM tq GROUP BY id, m) GROUP BY m, p), " +
+      "init AS (SELECT m, r0, row_number() OVER (PARTITION BY m ORDER BY " +
+      "CAST(('0x' || substring(md5(m || ':' || r0), 1, 15)) AS BIGINT), r0) AS rn FROM dp), " +
+      "c0 AS (SELECT i.m, i.rn - 1 AS code, q.si, q.qv AS cv " +
+      s"FROM init i JOIN tq q ON q.id = i.r0 AND q.m = i.m WHERE i.rn <= $K), " +
+      (1 to Iters).map(it).mkString(", ") + ", " +
+      "codes AS (SELECT id, m, code FROM (" +
+      "SELECT q.id, q.m, c.code, row_number() OVER (PARTITION BY q.id, q.m ORDER BY " +
+      "sum((q.qv-c.cv)*(q.qv-c.cv)), c.code) AS rn " +
+      s"FROM aq q JOIN c$Iters c ON q.m = c.m AND q.si = c.si " +
+      "GROUP BY q.id, q.m, c.code) WHERE rn = 1), " +
+      "qdist AS (SELECT q.id AS query_id, c.m, c.code, sum((q.qv-c.cv)*(q.qv-c.cv)) AS d2 " +
+      s"FROM aq q JOIN c$Iters c ON q.m = c.m AND q.si = c.si " +
+      "WHERE q.id <= 4 GROUP BY 1, 2, 3), " +
+      "shortlist AS (SELECT query_id, neighbor_id FROM (" +
+      "SELECT d.query_id, k.id AS neighbor_id, " +
+      "row_number() OVER (PARTITION BY d.query_id ORDER BY sum(d.d2), k.id) AS rn " +
+      "FROM codes k JOIN qdist d ON k.m = d.m AND k.code = d.code " +
+      "WHERE k.id != d.query_id " +
+      s"GROUP BY d.query_id, k.id) WHERE rn <= $Shortlist), " +
+      "rer AS (SELECT s.query_id, s.neighbor_id, " +
+      "CAST(sum((a.qv-b.qv)*(a.qv-b.qv)) AS BIGINT) AS l2q_d2 " +
+      "FROM shortlist s " +
+      "JOIN aq a ON a.id = s.query_id " +
+      "JOIN aq b ON b.id = s.neighbor_id AND a.m = b.m AND a.si = b.si " +
+      "GROUP BY 1, 2) " +
+      "SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, l2q_d2 FROM (" +
+      "SELECT query_id, neighbor_id, l2q_d2, " +
+      "row_number() OVER (PARTITION BY query_id ORDER BY l2q_d2, neighbor_id) AS rank " +
+      "FROM rer) WHERE rank <= 10 ORDER BY query_id, rank"
+  }
+}

@@ -37,10 +37,13 @@ import graft.Tables
   *    processed in bounded batches so the distance table stays
   *    broadcast-sized.
   *
-  * No DuckDB oracle (codebook-training specific); the graded entry is
-  * backed by NoOracleKeysSpec: recall@10 vs the exact brute-force L2
-  * top-10, rank/shape invariants, and exactness of the re-ranked
-  * distances.
+  * Since round 7 the GRADED emb_pq_adc entry is the portable
+  * integer-exact twin ([[PortableQuantizer.pqAdc]]) with a full DuckDB
+  * oracle that replays training via unrolled Lloyd's CTEs; this float
+  * pipeline remains the streaming enrichment path
+  * (StreamingOps.pqEnrichStream) and keeps its unit evidence: recall@10
+  * vs the exact brute-force L2 top-10, rank/shape invariants, and the
+  * seed-pinned distributed-trainer equivalence.
   */
 object PqOps {
   type Q = (SparkSession, String) => DataFrame
@@ -311,8 +314,9 @@ object PqOps {
       .select("query_id", "rank", "neighbor_id", "l2_d2")
   }
 
-  /** Graded entry: [[pqSearch]] for the same bounded query set
-    * llm_knn_queries uses (vec_id ≤ 4), top-10. */
+  /** The float pipeline over the graded query set (vec_id ≤ 4, the
+    * llm_knn_queries set) — unit-tested; the GRADED emb_pq_adc entry is
+    * [[PortableQuantizer.pqAdc]] (round-7 oracle promotion). */
   def embPqAdc(s: SparkSession, d: String): DataFrame =
     pqSearch(s, d,
       Tables.load(s, d, "embeddings").filter(col("vec_id") <= 4)
@@ -320,8 +324,13 @@ object PqOps {
       .orderBy("query_id", "rank")
 
   val queries: Map[String, Q] = Map(
-    "emb_pq_adc" -> (embPqAdc _))
+    "emb_pq_adc" -> ((s: SparkSession, d: String) => PortableQuantizer.pqAdc(s, d)))
 
-  /** Codebook-training specific — no SQL oracle; see NoOracleKeysSpec. */
-  val oracles: Map[String, String] = Map.empty
+  /** Full-pipeline DuckDB oracle (training replayed with unrolled
+    * Lloyd's rounds) — see [[PortableQuantizer.pqOracle]]. A `def`, not
+    * a `val`: PortableQuantizer reads this object's layout constants
+    * during ITS init, so a val here would close an object-init cycle
+    * and read a null oracle string. */
+  def oracles: Map[String, String] = Map(
+    "emb_pq_adc" -> PortableQuantizer.pqOracle)
 }

@@ -227,8 +227,8 @@ class NoOracleKeysSpec extends SparkTestBase {
     }
   }
 
-  test("emb_pq_adc: shape, exact re-ranked distances, recall@10 vs brute-force L2") {
-    val rows = q("emb_pq_adc").collect()
+  test("float PQ pipeline (streaming twin): shape, exact re-ranked distances, recall@10 vs brute-force L2") {
+    val rows = operators.PqOps.embPqAdc(spark, SF).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
     val queries = rows.map(_._1).distinct.sorted
     assert(queries.toSeq == (0L to 4L), s"query set: ${queries.toSeq}")
@@ -250,6 +250,42 @@ class NoOracleKeysSpec extends SparkTestBase {
     // recall@10 of the ADC-shortlist → exact-re-rank pipeline vs the true
     // top-10 (16 subspaces × 16 centroids, shortlist 40). A codebook bug
     // (wrong slice offsets, mixed-up codes) craters this to ~0.1.
+    val recalls = queries.map { qid =>
+      val exact = emb.keys.filter(_ != qid).toSeq
+        .map(v => (l2(emb(qid), emb(v)), v)).sorted.take(10).map(_._2).toSet
+      val got = rows.filter(_._1 == qid).map(_._3).toSet
+      got.intersect(exact).size / 10.0
+    }
+    val avg = recalls.sum / recalls.size
+    assert(avg >= 0.7, s"avg recall@10 $avg (per-query: ${recalls.toSeq})")
+  }
+
+  test("emb_pq_adc (graded portable): integer re-rank distances exact, recall@10 vs brute-force L2") {
+    val rows = q("emb_pq_adc").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    val queries = rows.map(_._1).distinct.sorted
+    assert(queries.toSeq == (0L to 4L), s"query set: ${queries.toSeq}")
+    val emb = embMap
+    def qz(v: Seq[Float]): Seq[Long] =
+      v.map(x => math.floor(x.toDouble * 1e6 + 0.5).toLong)
+    def l2q(a: Seq[Float], b: Seq[Float]): Long =
+      qz(a).zip(qz(b)).map { case (x, y) => (x - y) * (x - y) }.sum
+    def l2(a: Seq[Float], b: Seq[Float]): Double =
+      a.zip(b).map { case (x, y) => (x.toDouble - y) * (x.toDouble - y) }.sum
+    queries.foreach { qid =>
+      val mine = rows.filter(_._1 == qid).sortBy(_._2)
+      assert(mine.map(_._2).toSeq == (1 to 10), s"q$qid ranks")
+      assert(mine.forall(_._3 != qid), s"q$qid self-match")
+      val d = mine.map(_._4)
+      assert(d.toSeq == d.toSeq.sorted, s"q$qid re-ranked distance not ascending")
+      // the re-rank stage is EXACT int64 on the 1e-6-quantized vectors —
+      // every reported distance must equal the independent recomputation
+      mine.foreach { case (_, _, nid, dd) =>
+        assert(dd == l2q(emb(qid), emb(nid)), s"q$qid → $nid distance $dd")
+      }
+    }
+    // recall@10 vs the FLOAT brute-force truth: the portable integer
+    // quantizer must still be a good quantizer, not just a portable one
     val recalls = queries.map { qid =>
       val exact = emb.keys.filter(_ != qid).toSeq
         .map(v => (l2(emb(qid), emb(v)), v)).sorted.take(10).map(_._2).toSet
