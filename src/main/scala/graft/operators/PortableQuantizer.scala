@@ -136,8 +136,18 @@ object PortableQuantizer {
         .map(_.toSeq).toSeq
     }
 
-  /** Row-local IVF bucket assignment against the literal codebook. */
+  /** Row-local IVF bucket assignment against the literal codebook —
+    * the native codegen kernel (one quantization pass + integer argmin;
+    * [[org.apache.spark.sql.graftnative.QuantizedCodes]]), value-
+    * identical to the HOF formulation (PortableQuantizerSpec). */
   def ivfAssign(cb: Seq[Seq[Long]], vec: Column): Column =
+    element_at(
+      org.apache.spark.sql.graftnative.GraftNative
+        .quantizedCodes(vec, Seq(cb), cb.head.size), 1)
+
+  /** The HOF formulation of [[ivfAssign]] — the cross-engine semantics
+    * spec the native kernel is asserted against. */
+  private[graft] def ivfAssignHof(cb: Seq[Seq[Long]], vec: Column): Column =
     argminInt(typedlit(cb), quantArr(vec))
 
   /** PQ codebooks: [[PqOps.NumSub]] subspaces × [[PqOps.K]] codewords,
@@ -153,19 +163,33 @@ object PortableQuantizer {
       (0 until NumSub).map(m => cbs(m).map(_.toSeq).toSeq)
     }
 
-  /** PQ-encode as a row-local projection → (vec_id, sub_idx, code). */
-  def pqCodes(s: SparkSession, d: String): DataFrame = {
-    val cb = typedlit(pqCodebook(s, d))
-    val qa = quantArr(col("embedding"))
-    val dall = transform(sequence(lit(0), lit(NumSub - 1)), m =>
-      transform(get(cb, m), c =>
-        aggregate(
-          zip_with(slice(qa, m * lit(SubDim) + 1, lit(SubDim)), c,
-            (x, y) => (x - y) * (x - y)),
-          lit(0L), (a, v) => a + v)))
+  /** PQ-encode as a row-local projection → (vec_id, sub_idx, code) —
+    * the native codegen kernel (quantize once, per-subspace integer
+    * argmin). The equivalent HOF tower re-evaluated the quantization
+    * subtree once per codeword (M·K = 256 interpreted copies per row);
+    * see the kernel scaladoc for the measured difference. */
+  def pqCodes(s: SparkSession, d: String): DataFrame =
     Tables.load(s, d, "embeddings")
-      .withColumn("codes", transform(dall, ds =>
-        (array_position(ds, array_min(ds)) - 1).cast("int")))
+      .withColumn("codes", org.apache.spark.sql.graftnative.GraftNative
+        .quantizedCodes(col("embedding"), pqCodebook(s, d), SubDim))
+      .select(col("vec_id"), posexplode(col("codes")))
+      .withColumnRenamed("pos", "sub_idx")
+      .withColumnRenamed("col", "code")
+
+  /** The HOF formulation of the PQ encode — the cross-engine semantics
+    * spec the native kernel is asserted against. */
+  private[graft] def pqCodesHof(s: SparkSession, d: String): DataFrame = {
+    val cb = typedlit(pqCodebook(s, d))
+    Tables.load(s, d, "embeddings")
+      .withColumn("qa", quantArr(col("embedding")))
+      .withColumn("codes", transform(
+        transform(sequence(lit(0), lit(NumSub - 1)), m =>
+          transform(get(cb, m), c =>
+            aggregate(
+              zip_with(slice(col("qa"), m * lit(SubDim) + 1, lit(SubDim)), c,
+                (x, y) => (x - y) * (x - y)),
+              lit(0L), (a, v) => a + v))),
+        ds => (array_position(ds, array_min(ds)) - 1).cast("int")))
       .select(col("vec_id"), posexplode(col("codes")))
       .withColumnRenamed("pos", "sub_idx")
       .withColumnRenamed("col", "code")

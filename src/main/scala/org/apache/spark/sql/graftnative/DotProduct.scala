@@ -77,4 +77,8 @@ object GraftNative {
 
   def simhash64(toks: Column): Column =
     ExpressionUtils.column(SimHash64(ExpressionUtils.expression(toks)))
+
+  def quantizedCodes(vec: Column, codebook: Seq[Seq[Seq[Long]]], subDim: Int): Column =
+    ExpressionUtils.column(QuantizedCodes(ExpressionUtils.expression(vec),
+      codebook.map(_.map(_.toArray).toArray).toArray, subDim))
 }
