@@ -199,7 +199,7 @@ object LlmTextOps {
     * neighbor, so adjacent merge sites don't shadow each other — then
     * unwrap and halve. Verified byte-identical to the Spark
     * regex-lookaround merge at sf0.01 AND sf0.1. */
-  private def bpeTrainOracle: String = {
+  private def bpeOracleCtes(rounds: Int): String = {
     val p = "\u001f"
     def mergeCtes(k: Int): String =
       s"pairs$k AS (SELECT syms[i] || '$p' || syms[i+1] AS pair, sum(cnt) AS pcnt " +
@@ -212,17 +212,66 @@ object LlmTextOps {
         s"FROM (SELECT replace('$p' || replace(seg, '$p', '$p$p') || '$p', " +
         s"'$p' || b.l || '$p$p' || b.r || '$p', '$p' || b.l || b.r || '$p') AS m, cnt " +
         s"FROM seg$k, best$k b))"
-    val rounds = 8
     val ctes = (0 until rounds).map(mergeCtes).mkString(", ")
-    val union = (0 until rounds).map(k =>
-      s"""SELECT round, l AS "left", r AS "right", l || r AS merged, pcnt AS cnt FROM best$k""")
-      .mkString(" UNION ALL ")
     s"WITH seg0 AS (SELECT substr(regexp_replace(w, '(.)', '\\1$p', 'g'), 1, " +
       "2 * length(w) - 1) AS seg, cnt FROM (SELECT w, count(*) AS cnt FROM " +
       "(SELECT unnest(string_split(text, ' ')) AS w FROM documents) " +
-      s"WHERE length(w) >= 2 GROUP BY 1)), $ctes " +
-      s"""SELECT CAST(round AS INTEGER) AS round, "left", "right", merged, """ +
+      s"WHERE length(w) >= 2 GROUP BY 1)), $ctes"
+  }
+
+  private def bpeTrainOracle: String = {
+    val rounds = 8
+    val union = (0 until rounds).map(k =>
+      s"""SELECT round, l AS "left", r AS "right", l || r AS merged, pcnt AS cnt FROM best$k""")
+      .mkString(" UNION ALL ")
+    bpeOracleCtes(rounds) +
+      s""" SELECT CAST(round AS INTEGER) AS round, "left", "right", merged, """ +
       s"CAST(cnt AS BIGINT) AS cnt FROM ($union) ORDER BY round"
+  }
+
+  /** Tokenizer APPLICATION — the op a training pipeline runs over the
+    * whole corpus once the tokenizer is trained: encode every document
+    * with the learned merges and report its token economics (token count,
+    * chars per token). Training already left each distinct word's final
+    * segmentation in the word table ([[bpeTrainCore]]._2), so encoding is
+    * a broadcast join of the corpus word stream against that
+    * vocabulary-sized map — no per-document merge loop; the 100 TB shape
+    * is exact-dedup's: one map-side projection + one hash aggregation on
+    * doc_id. Words under the trainer's 2-char floor are single tokens.
+    * Fertility (chars/token) is the standard tokenizer-quality metric. */
+  def llmBpeEncode(s: SparkSession, d: String): DataFrame = {
+    val sep = "\u001f"
+    val wordTok = bpeTrainCore(s, d)._2.select(
+      translate(col("seg"), sep, "").as("w"),
+      size(split(col("seg"), sep)).cast("long").as("ntok"))
+    t(s, d, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 1)
+      .join(broadcast(wordTok), Seq("w"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(coalesce(col("ntok"), lit(1L))).as("n_tokens"),
+        sum(length(col("w")).cast("long")).as("n_chars"))
+      .withColumn("fertility",
+        floor(col("n_chars").cast("double") / col("n_tokens") * 10000 + 0.5) / 10000.0)
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB twin of the encode: the same unrolled CTE tower up to seg8
+    * (each word recovered from its segmentation by deleting separators),
+    * then the identical left join + per-doc aggregation. */
+  private def bpeEncodeOracle: String = {
+    val p = "\u001f"
+    bpeOracleCtes(8) +
+      s", wordtok AS (SELECT replace(seg, '$p', '') AS w, " +
+      s"CAST(len(string_split(seg, '$p')) AS BIGINT) AS ntok FROM seg8), " +
+      "dw AS (SELECT doc_id, w FROM (SELECT doc_id, " +
+      "unnest(string_split(text, ' ')) AS w FROM documents) WHERE length(w) >= 1) " +
+      "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words, " +
+      "CAST(sum(coalesce(ntok, 1)) AS BIGINT) AS n_tokens, " +
+      "CAST(sum(length(w)) AS BIGINT) AS n_chars, " +
+      "floor(CAST(sum(length(w)) AS DOUBLE) / sum(coalesce(ntok, 1)) * 10000 + 0.5) / 10000.0 AS fertility " +
+      "FROM dw LEFT JOIN wordtok USING (w) GROUP BY doc_id ORDER BY doc_id"
   }
 
   /** URL-canonicalization dedup — the first pass of every web-corpus
@@ -1014,6 +1063,7 @@ object LlmTextOps {
     "llm_dedup_url" -> (llmDedupUrl _),
     "llm_bpe_merges" -> (llmBpeMerges _),
     "llm_bpe_train" -> (llmBpeTrain _),
+    "llm_bpe_encode" -> (llmBpeEncode _),
     "llm_quality_score" -> (llmQualityScore _),
     "llm_fingerprint" -> (llmFingerprint _),
     "llm_span_dup" -> (llmSpanDup _),
@@ -1154,6 +1204,7 @@ object LlmTextOps {
         "w -> list_transform(range(1, length(w)), i -> substr(w, i, 2))))) AS pair " +
         "FROM documents) GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20"),
     "llm_bpe_train" -> bpeTrainOracle,
+    "llm_bpe_encode" -> bpeEncodeOracle,
     "llm_dedup_url" ->
       ("WITH u AS (SELECT doc_id, n_chars, 'https://' || " +
         "(CASE WHEN doc_id % 3 = 0 THEN 'WWW.Mirror.' ELSE 'www.mirror.' END) || " +

@@ -373,4 +373,29 @@ class NoOracleKeysSpec extends SparkTestBase {
       }
     }
   }
+
+  test("llm_bpe_encode: per-doc bounds; totals reconcile with the trained segmentation; broadcast vocab join") {
+    val enc = q("llm_bpe_encode")
+    // vocabulary-sized token map must broadcast, never shuffle the corpus
+    assert(enc.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "encode's vocab join should be a broadcast hash join")
+    val rows = enc.collect()
+    rows.foreach { r =>
+      val (w, tk, ch) = (r.getAs[Long]("n_words"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_chars"))
+      assert(w <= tk && tk <= ch, s"doc ${r.get(0)}: words $w tokens $tk chars $ch")
+      val fert = r.getAs[Double]("fertility")
+      assert(math.abs(fert - math.floor(ch.toDouble / tk * 10000 + 0.5) / 10000.0) == 0.0)
+    }
+    // total tokens = weighted symbol count of the trained word table
+    // (len>=2 words) + one token per 1-char word in the corpus
+    val seg = operators.LlmTextOps.bpeTrainCore(spark, SF)._2
+    val segTokens = seg.select(
+      sum(size(split(col("seg"), "\u001f")).cast("long") * col("cnt")))
+      .collect()(0).getLong(0)
+    val oneCharWords = Tables.load(spark, SF, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) === 1).count()
+    assert(rows.map(_.getAs[Long]("n_tokens")).sum == segTokens + oneCharWords)
+  }
 }
