@@ -136,12 +136,53 @@ object MultimodalOps {
       .agg(sum(length(col("content"))).as("total_bytes"))
   }
 
+  /** Stub-decoded 8×8 luminance grid: cell i accumulates the payload
+    * bytes at positions ≡ i (mod 64) — a deterministic stand-in for a
+    * downscaled grayscale image that preserves content locality (similar
+    * payloads → similar grids), which is exactly what average-hash
+    * needs. Real decode would land in the same per-partition stage. */
+  case class MediaGrid(doc_id: Long, cells: Array[Long])
+
+  def ahashGrid(in: MediaIn): MediaGrid = {
+    val cells = new Array[Long](64)
+    var p = 0
+    while (p < in.payload.length) {
+      cells(p % 64) += (in.payload(p) & 0xffL); p += 1
+    }
+    MediaGrid(in.doc_id, cells)
+  }
+
+  /** mm_ahash_dedup: perceptual near-dup detection for media columns —
+    * the image-side analogue of SimHash dedup. Average-hash over the
+    * stub-decoded grid (bit i set iff cell i is strictly above the grid
+    * mean, integer-exact as 64·cellᵢ > Σcells), then the SAME banded
+    * 4×16 LSH + exact-Hamming verify as the text SimHash family
+    * ([[LlmTextOps.simhashBandedPairs]]): at 100 TB the band key is the
+    * shuffle key and candidate generation never goes all-pairs. */
+  def mmAhashDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val grids = Tables.load(s, d, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[MediaIn]
+      .mapPartitions(_.map(ahashGrid))
+      .toDF()
+    val sketched = grids
+      .withColumn("total", aggregate(col("cells"), lit(0L), _ + _))
+      .withColumn("sh64", expr(
+        "aggregate(sequence(0, 63), CAST(0 AS BIGINT), (acc, i) -> " +
+          "acc | IF(cells[i] * 64 > total, shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))"))
+      .select("doc_id", "sh64")
+    LlmTextOps.simhashBandedPairs(sketched, maxHamming = 8)
+      .orderBy("a_id", "b_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "mm_decode_meta" -> (mmDecodeMeta _),
     "mm_binary_source" -> (mmBinarySource _),
     "mm_resize_stub" -> (mmResizeStub _),
     "mm_feature_extract" -> (mmFeatureExtract _),
     "mm_frame_sample" -> (mmFrameSample _),
+    "mm_ahash_dedup" -> (mmAhashDedup _),
   )
 
   private val nBytes = "octet_length(encode(text))"
@@ -166,5 +207,35 @@ object MultimodalOps {
       (s"WITH m AS (SELECT doc_id, 1 + $nBytes % 30 AS frames FROM documents), " +
         "fr AS (SELECT doc_id, unnest(generate_series(0, frames - 1, 5)) AS frame_idx FROM m) " +
         "SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx, CAST(frame_idx * 40 AS INTEGER) AS t_ms, md5(concat_ws(':', doc_id, frame_idx)) AS frame_fp FROM fr ORDER BY doc_id, frame_idx"),
+    "mm_ahash_dedup" -> ahashDedupOracle,
   )
+
+  /** DuckDB twin of the aHash near-dup. The grid is reconstructed from
+    * the text codepoints (fixture payloads are ASCII, so byte ≡
+    * codepoint; FixtureSchemaCanarySpec would catch a fixture drift),
+    * with absent cells (texts shorter than 64 chars) zero-filled. The
+    * sketch is carried as a 64-char '0'/'1' string — the same
+    * representation trick as the SimHash pairs oracle — so banding is a
+    * substring and Hamming a character compare; band b of Spark's
+    * `(sh64 >> 16b) & 0xffff` is `substr(s, 49 - 16b, 16)`. */
+  private def ahashDedupOracle: String = {
+    val ham = "CAST(list_sum(list_transform(range(1,65), i -> " +
+      "CASE WHEN substr(a_s, CAST(i AS INTEGER), 1) = substr(b_s, CAST(i AS INTEGER), 1) THEN 0 ELSE 1 END)) AS INTEGER)"
+    "WITH cellv AS (SELECT doc_id, (p - 1) % 64 AS cell, unicode(substr(text, CAST(p AS INTEGER), 1)) AS v " +
+      "FROM (SELECT doc_id, text, unnest(generate_series(1, length(text))) AS p FROM documents)), " +
+      "cellsums AS (SELECT doc_id, cell, sum(v) AS cv FROM cellv GROUP BY 1, 2), " +
+      "grid AS (SELECT d.doc_id, g.cell, coalesce(cs.cv, 0) AS cv " +
+      "FROM (SELECT doc_id FROM documents) d " +
+      "CROSS JOIN (SELECT unnest(range(0, 64)) AS cell) g " +
+      "LEFT JOIN cellsums cs ON cs.doc_id = d.doc_id AND cs.cell = g.cell), " +
+      "tot AS (SELECT doc_id, sum(cv) AS total FROM grid GROUP BY 1), " +
+      "sk AS (SELECT g.doc_id, string_agg(CASE WHEN cv * 64 > total THEN '1' ELSE '0' END, '' ORDER BY cell DESC) AS s " +
+      "FROM grid g JOIN tot USING (doc_id) GROUP BY g.doc_id), " +
+      "bands AS (SELECT doc_id, s, b, substr(s, 49 - 16*CAST(b AS INTEGER), 16) AS key " +
+      "FROM sk CROSS JOIN (SELECT unnest(range(0,4)) AS b)), " +
+      "cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id, a.s AS a_s, b.s AS b_s " +
+      "FROM bands a JOIN bands b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id) " +
+      s"SELECT a_id, b_id, hamming FROM (SELECT a_id, b_id, $ham AS hamming FROM cand) " +
+      "WHERE hamming <= 8 ORDER BY a_id, b_id"
+  }
 }

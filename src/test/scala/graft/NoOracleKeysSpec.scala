@@ -338,6 +338,34 @@ class NoOracleKeysSpec extends SparkTestBase {
     }
   }
 
+  test("mm_ahash_dedup: hamming values exact vs recomputed hashes; exact-payload dups surface at hamming 0") {
+    val texts = Tables.load(spark, SF, "documents").select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    def ahash(t: String): Long = {
+      val cells = new Array[Long](64)
+      t.getBytes("UTF-8").zipWithIndex.foreach { case (b, p) => cells(p % 64) += b & 0xffL }
+      val tot = cells.sum
+      (0 until 64).foldLeft(0L)((acc, i) =>
+        if (cells(i) * 64 > tot) acc | (1L << i) else acc)
+    }
+    val hashes = texts.map { case (id, t) => id -> ahash(t) }.toMap
+    val rows = q("mm_ahash_dedup").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).intValue))
+    assert(rows.nonEmpty)
+    rows.foreach { case (a, b, h) =>
+      assert(a < b && h <= 8, s"pair ($a, $b) hamming $h")
+      assert(java.lang.Long.bitCount(hashes(a) ^ hashes(b)) == h, s"hamming value ($a, $b)")
+    }
+    // identical payloads give identical hashes, which share every band —
+    // so each exact-dup pair MUST surface, at hamming 0
+    val pairSet = rows.map(t => (t._1, t._2)).toSet
+    texts.groupBy(_._2).values.filter(_.length > 1).foreach { g =>
+      g.map(_._1).sorted.combinations(2).foreach { p =>
+        assert(pairSet.contains((p(0), p(1))), s"exact dup pair $p missing")
+      }
+    }
+  }
+
   test("llm_bpe_train: round 1 = graded argmax; counts monotone; corpus compresses") {
     val (mergeDf, seg) = operators.LlmTextOps.bpeTrainCore(spark, SF)
     val m = mergeDf.collect()
