@@ -42,7 +42,8 @@ object GraphOps {
     * variable-length UTF8 string — the namespacing only needs to exist in
     * the final projection, so the hot loop never carries it. */
   private val edgeMemo =
-    new graft.tools.LruMemo[(String, String), DataFrame](16)
+    new graft.tools.LruMemo[(String, String), DataFrame](16,
+      org.apache.spark.sql.graftnative.CheckpointRelease.release)
   graft.tools.MemoRegistry.register(() =>
     edgeMemo.clear(org.apache.spark.sql.graftnative.CheckpointRelease.release))
 
@@ -177,7 +178,8 @@ object GraphOps {
     * (session, sfDir) like the purchase edge list: three graded ops read
     * it, and at 100 TB the pair table IS the materialized artifact. */
   private val pairMemo =
-    new graft.tools.LruMemo[(String, String), DataFrame](16)
+    new graft.tools.LruMemo[(String, String), DataFrame](16,
+      org.apache.spark.sql.graftnative.CheckpointRelease.release)
   graft.tools.MemoRegistry.register(() =>
     pairMemo.clear(org.apache.spark.sql.graftnative.CheckpointRelease.release))
 

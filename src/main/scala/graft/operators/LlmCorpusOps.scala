@@ -24,7 +24,8 @@ object LlmCorpusOps {
     * the ContextCleaner happened to notice the GC'd RDD (the same
     * pattern CheckpointRelease was written to fix). */
   private val stageMemo =
-    new graft.tools.LruMemo[(String, String, String), DataFrame](64)
+    new graft.tools.LruMemo[(String, String, String), DataFrame](64,
+      org.apache.spark.sql.graftnative.CheckpointRelease.release)
   graft.tools.MemoRegistry.register(() =>
     stageMemo.clear(org.apache.spark.sql.graftnative.CheckpointRelease.release))
 
@@ -303,10 +304,15 @@ object LlmCorpusOps {
     // postings table; nothing corpus-scale ever shuffles post-expansion.
     val enriched = tf.join(dfreq, "term").join(dl, "doc_id")
       .crossJoin(broadcast(stats))
+    // floor(x*1e4+0.5)/1e4, not round(,4): Spark's round and DuckDB's
+    // split on decimal-boundary doubles (the rolling-slope lesson —
+    // AdvancedOps), while the floor form is pure IEEE on both engines.
+    // Scores are strictly positive (log(1+x) with x>0), so the unsigned
+    // form is safe. Rank is then decided on identical doubles.
     val scored = enriched.join(broadcast(qterms), Seq("term"))
       .filter(col("doc_id") =!= col("q_id"))
       .groupBy("q_id", "doc_id")
-      .agg(round(sum(contrib), 4).as("score"))
+      .agg((floor(sum(contrib) * 10000.0 + 0.5) / 10000.0).as("score"))
     val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("doc_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -588,8 +594,8 @@ object LlmCorpusOps {
         "cand AS (SELECT q.q_id, tf.doc_id, tf.term, tf.tf FROM tf JOIN q ON tf.term = q.term " +
         "WHERE tf.doc_id <> q.q_id), " +
         "sc AS (SELECT q_id, cand.doc_id, " +
-        "round(sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * tf * 2.2 / " +
-        "(tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS score " +
+        "floor(sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * tf * 2.2 / " +
+        "(tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) * 10000.0 + 0.5) / 10000.0 AS score " +
         "FROM cand JOIN dfreq USING (term) JOIN dl ON cand.doc_id = dl.doc_id CROSS JOIN stats " +
         "GROUP BY 1, 2), " +
         "r AS (SELECT q_id, doc_id, score, " +

@@ -167,8 +167,13 @@ object LlmTextOps {
         val pat = "(?<![^" + sep + "])" +
           java.util.regex.Pattern.quote(l + sep + r) + "(?![^" + sep + "])"
         merges += ((round, l, r, l + r, best(0).getLong(1)))
+        // quoteReplacement: a merged symbol containing '$' or '\' would
+        // otherwise be read as a group reference by Java's replaceAll
+        // while the DuckDB twin's plain replace proceeds — the engines
+        // must fail or succeed together
         seg = seg
-          .withColumn("seg", regexp_replace(col("seg"), pat, l + r))
+          .withColumn("seg", regexp_replace(col("seg"), pat,
+            java.util.regex.Matcher.quoteReplacement(l + r)))
           .localCheckpoint(true)
         round += 1
       }
@@ -540,7 +545,8 @@ object LlmTextOps {
     * the checkpoint holds exactly the frame the expression tree defines
     * (preflighted at sf0.01 and sf0.1). */
   private val stageMemo =
-    new graft.tools.LruMemo[(String, String, String), DataFrame](64)
+    new graft.tools.LruMemo[(String, String, String), DataFrame](64,
+      org.apache.spark.sql.graftnative.CheckpointRelease.release)
   graft.tools.MemoRegistry.register(() =>
     stageMemo.clear(org.apache.spark.sql.graftnative.CheckpointRelease.release))
 
@@ -1153,12 +1159,16 @@ object LlmTextOps {
     * is associative, so SUM needs no ordering discipline, unlike a float
     * hyperplane. */
   private val annLshOracle: String =
-    "WITH w AS (SELECT j, i, " +
-      "(CAST(('0x' || substring(md5(j || ':' || i), 1, 15)) AS BIGINT) % 2001) - 1000 AS wt " +
-      "FROM range(16) t1(j) CROSS JOIN range(1024) t2(i)), " +
-      "q AS (SELECT vec_id, i - 1 AS i, " +
+    "WITH q AS (SELECT vec_id, i - 1 AS i, " +
       "CAST(floor(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS qv " +
       "FROM (SELECT vec_id, embedding, unnest(range(1, len(embedding) + 1)) AS i FROM embeddings)), " +
+      // weights only for dims the data actually has (the Spark side's
+      // [16][MaxDim=1024] table is a per-JVM one-off; recomputing 1024
+      // md5s per hyperplane per grading run when the fixtures are
+      // 64-dim was 15/16 discarded work)
+      "w AS (SELECT j, i, " +
+      "(CAST(('0x' || substring(md5(j || ':' || i), 1, 15)) AS BIGINT) % 2001) - 1000 AS wt " +
+      "FROM range(16) t1(j) CROSS JOIN (SELECT DISTINCT i FROM q) t2(i)), " +
       "dots AS (SELECT q.vec_id, w.j, sum(q.qv * w.wt) AS dot " +
       "FROM q JOIN w ON q.i = w.i GROUP BY 1, 2), " +
       "b AS (SELECT vec_id, CAST(sum(CASE WHEN dot >= 0 THEN 1 << j ELSE 0 END) AS BIGINT) AS bucket " +

@@ -214,9 +214,12 @@ object PqOps {
   def ivfCentroids(s: SparkSession, d: String, k: Int = K): Seq[Seq[Double]] =
     ivfMemo.get((sid(s), d)) {
       // single-group (m = 0) use of the distributed trainer, full dim
+      // (NumSub * SubDim — the same layout constant the PQ slicing above
+      // derives from; a hardcoded 64 here would fail as an opaque NPE in
+      // the trainer's zip_with if the dimensions ever diverged)
       val pts = trainFrame(s, d)
         .select(lit(0).as("m"), col("rank"), col("emb").as("p"))
-      lloydDistributedAll(pts, 64, k, _ => graft.ml.MlPipelines.Seed)(0)
+      lloydDistributedAll(pts, NumSub * SubDim, k, _ => graft.ml.MlPipelines.Seed)(0)
         .map(_.toSeq).toSeq
     }
 

@@ -198,6 +198,14 @@ final class VersionedTable private (val spark: SparkSession, val root: String) {
       case _: java.nio.file.FileAlreadyExistsException =>
         Files.deleteIfExists(tmp)
         throw new VersionedTable.CommitConflict(attempt)
+      case _: java.nio.file.NoSuchFileException =>
+        // The tmp vanished between write and link — a writer stalled past
+        // open()'s 10-minute sweep horizon, not a filesystem without
+        // link(2). Transient: surface as a conflict so the rebase loop
+        // retries with a fresh tmp instead of aborting with a wrong
+        // "no hard-link support" diagnosis.
+        Files.deleteIfExists(tmp)
+        throw new VersionedTable.CommitConflict(attempt)
       case e @ (_: UnsupportedOperationException | _: java.nio.file.FileSystemException) =>
         // Anything except EEXIST means the filesystem refused link(2)
         // itself (some NFS/overlay mounts) — surface it as the

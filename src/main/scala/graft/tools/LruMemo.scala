@@ -19,12 +19,23 @@ package graft.tools
   * localCheckpoint job; serializing them across threads is the same order
   * of contention as the shared SparkContext scheduler they all queue on.
   */
-final class LruMemo[K, V](val capacity: Int) {
+final class LruMemo[K, V](val capacity: Int, onEvict: V => Unit = (_: V) => ()) {
   require(capacity > 0, "LruMemo capacity must be positive")
 
   private val map = new java.util.LinkedHashMap[K, V](16, 0.75f, /*accessOrder=*/ true) {
-    override def removeEldestEntry(e: java.util.Map.Entry[K, V]): Boolean =
-      this.size() > capacity
+    override def removeEldestEntry(e: java.util.Map.Entry[K, V]): Boolean = {
+      val evict = this.size() > capacity
+      // Capacity eviction releases the value the same way clear() does —
+      // otherwise an evicted checkpointed frame's blocks stay pinned
+      // until the ContextCleaner happens to collect the GC'd RDD, the
+      // exact leak the drop hooks exist to close. Runs inside the map
+      // lock, same as clear(); NonFatal only, fatal errors propagate.
+      if (evict) try onEvict(e.getValue) catch {
+        case scala.util.control.NonFatal(ex) =>
+          System.err.println(s"[graft] memo evict hook failed: $ex")
+      }
+      evict
+    }
   }
 
   /** The memoized value for `k`, building (and caching) it on first use.

@@ -22,12 +22,33 @@ object CheckpointRelease {
   // truncated and cannot be recomputed") on every release. Here that is
   // the DOCUMENTED contract, not a hazard — the caller drops all
   // references in the same breath — and ~20 of these per Bench sweep were
-  // crowding real signal out of the driver's bounded stderr tail. Silence
-  // that one logger; everything else stays at WARN.
-  try org.apache.logging.log4j.core.config.Configurator.setLevel(
-    "org.apache.spark.rdd.MapPartitionsRDD",
-    org.apache.logging.log4j.Level.ERROR)
-  catch { case _: Throwable => () } // logging backend absent/different: cosmetic only
+  // crowding real signal out of the driver's bounded stderr tail. Deny
+  // exactly that MESSAGE with a string-match filter on the RDD's logger —
+  // a level override would also hide every unrelated WARN that class
+  // emits for the JVM's lifetime. Everything else stays at WARN.
+  try {
+    import org.apache.logging.log4j.core.{Filter, LoggerContext}
+    import org.apache.logging.log4j.core.config.LoggerConfig
+    import org.apache.logging.log4j.core.filter.StringMatchFilter
+    val ctx = org.apache.logging.log4j.LogManager.getContext(false)
+      .asInstanceOf[LoggerContext]
+    val conf = ctx.getConfiguration
+    val name = "org.apache.spark.rdd.MapPartitionsRDD"
+    val nearest = conf.getLoggerConfig(name)
+    val lc =
+      if (nearest.getName == name) nearest
+      else {
+        val fresh = new LoggerConfig(name, nearest.getLevel, /*additive=*/ true)
+        conf.addLogger(name, fresh)
+        fresh
+      }
+    lc.addFilter(StringMatchFilter.newBuilder()
+      .setMatchString("lineage has been truncated")
+      .setOnMatch(Filter.Result.DENY)
+      .setOnMismatch(Filter.Result.NEUTRAL)
+      .build())
+    ctx.updateLoggers()
+  } catch { case _: Throwable => () } // logging backend absent/different: cosmetic only
 
   def release(df: DataFrame): Unit =
     df.queryExecution.logical.collect { case l: LogicalRDD => l.rdd }

@@ -37,6 +37,12 @@ case class QuantizedCodes(child: Expression, codebook: Array[Array[Array[Long]]]
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  // Nullable independent of the child: a too-short vector yields null
+  // (the guard below), and declaring it also makes nullSafeCodeGen emit
+  // `ev.isNull` as an assignable local even when the child is
+  // non-nullable — without this the generated `ev.isNull = true` writes
+  // to the FalseLiteral and janino rejects the whole stage.
+  override def nullable: Boolean = true
   override def prettyName: String = "graft_quantized_codes"
 
   protected override def nullSafeEval(input: Any): Any = {

@@ -26,6 +26,30 @@ class LruMemoSpec extends AnyFunSuite {
     assert(m.contains(1) && m.size == 3)
   }
 
+  test("capacity eviction fires the onEvict hook exactly once per evicted value") {
+    val dropped = scala.collection.mutable.ArrayBuffer.empty[String]
+    val m = new LruMemo[Int, String](2, dropped += _)
+    def b(i: Int): String = m.get(i)(s"v$i")
+    b(1); b(2)
+    assert(dropped.isEmpty)
+    b(3) // evicts 1
+    assert(dropped.toSeq == Seq("v1"))
+    b(2) // hit — no eviction
+    b(4) // evicts 3 (2 was just touched)
+    assert(dropped.toSeq == Seq("v1", "v3"))
+    // clear releases the remainder through ITS hook; onEvict is not re-run
+    val cleared = scala.collection.mutable.ArrayBuffer.empty[String]
+    m.clear(cleared += _)
+    assert(cleared.sorted == Seq("v2", "v4") && dropped.size == 2)
+  }
+
+  test("a throwing onEvict hook does not break the insert that triggered it") {
+    val m = new LruMemo[Int, String](1, _ => sys.error("drop hook boom"))
+    m.get(1)("v1")
+    assert(m.get(2)("v2") == "v2") // eviction hook throws; insert survives
+    assert(!m.contains(1) && m.contains(2))
+  }
+
   test("reentrant build: a build may memoize a prerequisite key") {
     // the cluster-label memo builds on the shingle-index memo; a
     // ConcurrentHashMap.computeIfAbsent would throw on this nesting
