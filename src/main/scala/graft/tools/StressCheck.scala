@@ -132,6 +132,41 @@ object StressCheck {
         maxPosting = graft.operators.LlmTextOps.StopShingleCap).count()
       require(n > 0, "planted near-dups not found"); n
     }
+    // 7b. Perceptual (aHash) dedup over 200k media payloads — the
+    // image-side analogue of SimHash: one typed decode+sketch pass, then
+    // the SAME banded LSH + Hamming verify. Payloads are OPAQUE
+    // pseudo-random bytes (128 B of unhex'd md5 chains), the byte-entropy
+    // profile real encoded media has — NOT the word-salad doc texts: a
+    // first draft sketched those and their near-identical byte-position
+    // distributions put everything within hamming 8 of everything
+    // (20.1M pairs — a measured demonstration that aHash needs
+    // content-diverse input, kept here as the reason for this corpus).
+    // Planted: every 50th payload is byte-identical to its predecessor —
+    // its hash matches in every band and MUST surface at hamming 0;
+    // unrelated random sketches sit at hamming ≈ 32, so the result stays
+    // at planted scale and the band join stays bucket-bounded.
+    time("ahash_dedup_200k") {
+      import spark.implicits._
+      def payloadOf(idCol: org.apache.spark.sql.Column) =
+        unhex(concat((0 until 8).map(i =>
+          md5(concat_ws(":", idCol, lit(i)).cast("binary"))): _*))
+      val media = spark.range(nDocs).select(col("id").as("doc_id"),
+        when(col("id") % 50 === 1, payloadOf(col("id") - 1))
+          .otherwise(payloadOf(col("id"))).as("payload"))
+      val sk = media.as[graft.operators.MultimodalOps.MediaIn]
+        .mapPartitions(_.map(graft.operators.MultimodalOps.ahashSketch))
+        .toDF()
+      val pairs = graft.operators.LlmTextOps.simhashBandedPairs(sk, maxHamming = 8)
+        .localCheckpoint(true)
+      val planted = (nDocs - 2) / 50 // ids with id % 50 == 1 copy id - 1
+      val zero = pairs.filter(col("hamming") === 0).count()
+      require(zero >= planted,
+        s"planted exact-payload dups missing: $zero hamming-0 pairs < $planted planted")
+      val n = pairs.count()
+      require(n < nDocs,
+        s"pair count left planted scale ($n >= $nDocs): sketch space degenerated")
+      n
+    }
 
     // 8-10. GRAPH family at ~10x the sf0.1 edge volume (round-7): bulk
     // edges with POWER-LAW out-degree (src drawn via u^3 inverse-CDF, so
