@@ -370,7 +370,7 @@ object RelationalOps {
       .orderBy("purchase_id")
   }
 
-  /** C12: blocked fuzzy join (entity resolution) — never all-pairs;
+  /** C14: blocked fuzzy join (entity resolution) — never all-pairs;
     * candidates come from equality on cheap blocking keys, the edit
     * distance only runs on candidates. Semantics: lev ≤ 1 pairs within
     * 16-char-prefix blocks. For equal-length names lev = 1 means exactly
@@ -392,21 +392,33 @@ object RelationalOps {
     * matches neither pass key, a silent miss. Rather than silently lose
     * pairs, the op fails loudly; generalizing needs one pass per suffix
     * position (L−16 passes for uniform length L) or deletion-neighborhood
-    * keys for true mixed lengths. */
+    * keys for true mixed lengths. The guard is IN the blocking-key
+    * expression (raise_error under a length test), not a driver-side
+    * pre-scan: the builder stays purely declarative like every sibling
+    * op — no extra Spark job per construction — and the key can't be
+    * pruned away because the join condition consumes it. */
   def fuzzyJoinBlocked(s: SparkSession, d: String): DataFrame = {
-    require(t(s, d, "customer").filter(length(col("c_name")) =!= 18).isEmpty,
-      "fuzzyJoinBlocked: two-pass {17,18} blocking is complete only for 18-char names; " +
-        "this corpus has other lengths — add per-suffix-position passes before trusting it")
     def side(p: String) = t(s, d, "customer")
       .select(col("c_custkey").as(s"${p}_key"), col("c_name").as(s"${p}_name"))
-    def pass(key: Column => Column): DataFrame =
+    def pass(key: Column => Column, extra: Column): DataFrame =
       side("a").withColumn("bk", key(col("a_name")))
         .join(side("b").withColumn("bk2", key(col("b_name"))),
-          col("bk") === col("bk2") && col("a_key") < col("b_key"))
+          col("bk") === col("bk2") && col("a_key") < col("b_key") && extra)
         .select("a_key", "b_key", "a_name", "b_name")
-    val skipPos17 = (n: Column) => concat(substring(n, 1, 16), substring(n, 18, 1))
-    val skipPos18 = (n: Column) => substring(n, 1, 17)
-    pass(skipPos17).unionByName(pass(skipPos18))
+    val checked = (n: Column) => when(length(n) === 18, n).otherwise(raise_error(concat(
+      lit("fuzzyJoinBlocked: two-pass {17,18} blocking is complete only for 18-char " +
+        "names; this corpus has another length in: "), n)).cast("string"))
+    val skipPos17 = (n: Column) => {
+      val c = checked(n); concat(substring(c, 1, 16), substring(c, 18, 1))
+    }
+    val skipPos18 = (n: Column) => substring(checked(n), 1, 17)
+    // pass-A additionally requires char 17 to DIFFER: identical names
+    // (lev 0) match both pass keys, so without this the union emitted
+    // duplicate-name pairs twice (the old "disjoint by construction"
+    // claim held only for lev = 1). With it the passes partition the
+    // qualifying pairs: differ-at-17 vs agree-through-17.
+    pass(skipPos17, substring(col("a_name"), 17, 1) =!= substring(col("b_name"), 17, 1))
+      .unionByName(pass(skipPos18, lit(true)))
       .withColumn("lev", levenshtein(col("a_name"), col("b_name")))
       .filter(col("lev") <= 1)
       .select("a_key", "b_key", "lev")
@@ -796,7 +808,7 @@ object RelationalOps {
     e.groupBy("user_id").agg(aggs.head, aggs.tail: _*).orderBy("user_id")
   }
 
-  /** D12: contingency table via DataFrameStatFunctions.crosstab (counts
+  /** D14: contingency table via DataFrameStatFunctions.crosstab (counts
     * are exact → oracle-able as a manual pivot). */
   def statCrosstab(s: SparkSession, d: String): DataFrame =
     t(s, d, "lineitem").stat.crosstab("l_returnflag", "l_linestatus")
@@ -818,7 +830,7 @@ object RelationalOps {
       .orderBy("user_id")
   }
 
-  /** D13: pairwise Pearson correlation matrix over lineitem's numeric
+  /** D15: pairwise Pearson correlation matrix over lineitem's numeric
     * measures, in tidy (col_a, col_b) long form — the profiling pass run
     * before feature selection. One aggregation computes all 6 pairs
     * (corr is algebraic: partial co-moments combine map-side), then the

@@ -239,7 +239,7 @@ object TpchOps {
       .filter(
         (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) && col("l_quantity").between(1, 11)) ||
         (col("p_brand") === "Brand#23" && col("p_size").between(1, 25) && col("l_quantity").between(10, 20)) ||
-        (col("p_brand") === "Brand#4") && col("p_size").between(1, 35) && col("l_quantity").between(20, 30))
+        (col("p_brand") === "Brand#4" && col("p_size").between(1, 35) && col("l_quantity").between(20, 30)))
       .agg(round(sum(revenue), 2).as("rev"))
 
   /** Q22 idle high-balance customers: global-average scalar broadcast +

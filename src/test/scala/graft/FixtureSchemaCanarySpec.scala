@@ -97,4 +97,29 @@ class FixtureSchemaCanarySpec extends SparkTestBase {
           |contract here after auditing the affected queries.
           |${drift.mkString("\n")}""".stripMargin)
   }
+
+  test("CANARY: id columns the graded ORDER BYs rely on are UNIQUE") {
+    // Several graded keys ORDER BY an id column alone while emitting
+    // other columns (scan_events_ns, win_lag_lead, event_anomaly, every
+    // documents/embeddings key ordered by doc_id/vec_id). That total
+    // order — and therefore the driver's row-by-row compare — is only
+    // total because these ids are unique. The discipline for NON-unique
+    // sort keys is to extend the ORDER BY to all output columns; if this
+    // canary fires, apply that to the keys ordering by the drifted id
+    // instead of weakening the canary.
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val idCols = Seq("events" -> "event_id", "documents" -> "doc_id",
+      "embeddings" -> "vec_id", "customer" -> "c_custkey",
+      "orders" -> "o_orderkey", "part" -> "p_partkey")
+    val dups = idCols.flatMap { case (t, c) =>
+      val n = Tables.load(spark, SF, t).groupBy(col(c))
+        .agg(count(lit(1)).as("n")).filter(col("n") > 1).count()
+      if (n > 0) Some(s"$t.$c: $n duplicated values") else None
+    }
+    assert(dups.isEmpty,
+      s"""|FIXTURE DRIFT — id columns used as standalone sort keys are no
+          |longer unique; extend the affected queries' ORDER BYs (and their
+          |DuckDB oracles) to a total order over all output columns.
+          |${dups.mkString("\n")}""".stripMargin)
+  }
 }

@@ -14,10 +14,32 @@ class RelationalOpsSpec extends SparkTestBase {
     Seq((1L, "Customer#000000001"), (2L, "Customer#00000001"))
       .toDF("c_custkey", "c_name")
       .write.parquet(s"$dir/customer.parquet")
-    val e = intercept[IllegalArgumentException] {
+    // the guard lives IN the blocking-key expression (raise_error), so
+    // it trips at execution — the builder itself stays declarative
+    val e = intercept[org.apache.spark.SparkException] {
       RelationalOps.fuzzyJoinBlocked(spark, dir).collect()
     }
-    assert(e.getMessage.contains("18-char"), e.getMessage)
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("18-char")), messages(e).mkString(" | "))
+  }
+
+  test("fuzzy join emits a duplicate-name (lev 0) pair exactly ONCE") {
+    // identical names match BOTH pass keys; the differ-at-17 filter on
+    // pass A keeps the passes a true partition of the qualifying pairs
+    val dir = java.nio.file.Files.createTempDirectory("graft_fuzzydup").toString
+    Seq((1L, "Customer#000000001"), (2L, "Customer#000000001"), // exact dup
+        (3L, "Customer#000000091"), // differs from #1 at pos 17 only
+        (4L, "Customer#000000002")) // differs from #1 at pos 18 only
+      .toDF("c_custkey", "c_name")
+      .write.parquet(s"$dir/customer.parquet")
+    val rows = RelationalOps.fuzzyJoinBlocked(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).intValue))
+    assert(rows.count { case (a, b, _) => (a, b) == (1L, 2L) } == 1,
+      s"lev-0 pair must appear exactly once: ${rows.mkString(", ")}")
+    assert(rows.toSet == Set((1L, 2L, 0), (1L, 3L, 1), (2L, 3L, 1),
+      (1L, 4L, 1), (2L, 4L, 1)),
+      s"qualifying pairs wrong: ${rows.sorted.mkString(", ")}")
   }
 
   test("datasketches HLL estimate within 5% of exact distinct counts") {
