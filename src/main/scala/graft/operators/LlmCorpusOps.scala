@@ -24,10 +24,7 @@ object LlmCorpusOps {
     * the ContextCleaner happened to notice the GC'd RDD (the same
     * pattern CheckpointRelease was written to fix). */
   private val stageMemo =
-    new graft.tools.LruMemo[(String, String, String), DataFrame](64,
-      org.apache.spark.sql.graftnative.CheckpointRelease.release)
-  graft.tools.MemoRegistry.register(() =>
-    stageMemo.clear(org.apache.spark.sql.graftnative.CheckpointRelease.release))
+    graft.tools.LruMemo.checkpointed[(String, String, String)](64)
 
   private def memo(s: SparkSession, d: String, tag: String)(build: => DataFrame): DataFrame = {
     val sid = org.apache.spark.sql.graftnative.SessionIds.uuid(s)

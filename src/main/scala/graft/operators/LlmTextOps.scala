@@ -545,10 +545,7 @@ object LlmTextOps {
     * the checkpoint holds exactly the frame the expression tree defines
     * (preflighted at sf0.01 and sf0.1). */
   private val stageMemo =
-    new graft.tools.LruMemo[(String, String, String), DataFrame](64,
-      org.apache.spark.sql.graftnative.CheckpointRelease.release)
-  graft.tools.MemoRegistry.register(() =>
-    stageMemo.clear(org.apache.spark.sql.graftnative.CheckpointRelease.release))
+    graft.tools.LruMemo.checkpointed[(String, String, String)](64)
 
   private def memo(s: SparkSession, d: String, tag: String)(build: => DataFrame): DataFrame = {
     // Entries are rebuildable caches: LRU-bound retention so a long-lived

@@ -80,11 +80,14 @@ object MinHashOps {
     val exploded = sig
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-    // Uncapped (the graded default): skip the window entirely — a filter
-    // that cannot fire should not cost a sort. Capped: one window count
-    // over the same (band, key) the join shuffles on.
+    // Uncapped (the graded default, requested via the DefaultMaxBucket
+    // SENTINEL exactly): skip the window entirely — a filter that cannot
+    // fire should not cost a sort. Any other value — including one
+    // LARGER than the sentinel — is an explicit cap and must be applied:
+    // a `>=` guard here silently disabled a caller's 2M-doc cap, leaving
+    // the hot-bucket blowup the parameter exists to prevent.
     val banded =
-      if (maxBucketSize >= DefaultMaxBucket) exploded
+      if (maxBucketSize == DefaultMaxBucket) exploded
       else {
         val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "key")
         exploded.withColumn("bucket_n", count(lit(1)).over(w))

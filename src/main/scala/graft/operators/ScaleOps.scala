@@ -15,13 +15,20 @@ object ScaleOps {
     * that no single reducer owns a hot key's entire volume. AQE's skew
     * handling covers joins; salting is the aggregation-side analogue.
     *
-    * The salt must be deterministic for re-runs: hash of the value row,
-    * not rand(). */
-  def saltedSum(df: DataFrame, key: Column, value: Column, buckets: Int = 16): DataFrame = {
+    * The salt must be deterministic for re-runs (hash, never rand()) and
+    * must come from a column that actually VARIES within a hot key —
+    * `saltSource` is explicit, like [[saltedJoin]]'s, because salting on
+    * the aggregated value alone is a silent no-op when the hot key's
+    * values are constant or low-cardinality (hash(const) is one bucket:
+    * the exact single-reducer straggler this function exists to remove).
+    * Pass a row id / event id; defaulting to the value column is only
+    * safe when the value is high-cardinality. */
+  def saltedSum(df: DataFrame, key: Column, value: Column, saltSource: Column,
+                buckets: Int = 16): DataFrame = {
     val salted = df
       .withColumn("_k", key)
       .withColumn("_v", value)
-      .withColumn("_salt", pmod(hash(value), lit(buckets)))
+      .withColumn("_salt", pmod(hash(saltSource), lit(buckets)))
     salted
       .groupBy(col("_k"), col("_salt"))
       .agg(sum(col("_v")).as("_partial"))
@@ -61,6 +68,10 @@ object ScaleOps {
     * cartesian product. Returns (a_id, b_id, dt_us) with a_id < b_id;
     * binning uses integral `div`, so bin edges are exact (no FP floor). */
   def rangePairsBinned(df: DataFrame, idCol: String, tsCol: String, windowUs: Long): DataFrame = {
+    // div 0 yields NULL bins and a plausible-looking EMPTY join — fail
+    // loudly on the unit mix-up instead (this is a scalar check, not a
+    // data scan, so the builder stays declarative)
+    require(windowUs > 0, s"rangePairsBinned: windowUs must be positive, got $windowUs")
     val a = df.select(col(idCol).as("a_id"), col(tsCol).as("a_us"))
       .withColumn("bin", expr(s"a_us div ${windowUs}L"))
     val b = df.select(col(idCol).as("b_id"), col(tsCol).as("b_us"))

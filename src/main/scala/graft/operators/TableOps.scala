@@ -26,9 +26,14 @@ object TableOps {
       val base = Tables.load(s, d, "customer")
         .select(col("c_custkey").as("id"), col("c_acctbal").as("acctbal"))
       val t = VersionedTable.create(s, dir + "/t", base)
+      // sentinel insert key is NEGATIVE: c_custkey is positive at every
+      // scale factor, so -1 can never collide and silently become an
+      // UPDATE (an additive offset like 999999 is a real customer once
+      // the table outgrows it — same collision class mergeUpsert avoids
+      // with negated keys)
       val updates = base.filter(col("acctbal") > lit(9000.0))
         .select(col("id"), lit(0.0).as("acctbal"))
-        .union(s.range(999999L, 1000000L).select(col("id"), lit(1.0).as("acctbal")))
+        .union(s.range(1).select(lit(-1L).as("id"), lit(1.0).as("acctbal")))
       t.merge(updates, "id")
       t.delete(col("acctbal") < lit(0.0))
       ()
@@ -126,7 +131,7 @@ object TableOps {
          |  SELECT c_custkey AS id,
          |         CASE WHEN c_acctbal > 9000 THEN 0.0 ELSE c_acctbal END AS acctbal
          |  FROM customer
-         |  UNION ALL SELECT CAST(999999 AS BIGINT), CAST(1.0 AS DOUBLE)
+         |  UNION ALL SELECT CAST(-1 AS BIGINT), CAST(1.0 AS DOUBLE)
          |)
          |SELECT id, acctbal FROM merged WHERE NOT (acctbal < 0.0) ORDER BY id""".stripMargin),
     "vt_time_travel" ->

@@ -19,6 +19,21 @@ package graft.tools
   * localCheckpoint job; serializing them across threads is the same order
   * of contention as the shared SparkContext scheduler they all queue on.
   */
+object LruMemo {
+  /** Memo for CHECKPOINTED DataFrames: capacity eviction and the
+    * registry-triggered family-boundary clear both free the frames'
+    * blocks through CheckpointRelease, and the registry hookup happens
+    * here — one constructor call per derived-table cache instead of the
+    * 4-line memo+register pattern repeated (and kept consistent by hand)
+    * at every site. */
+  def checkpointed[K](capacity: Int): LruMemo[K, org.apache.spark.sql.DataFrame] = {
+    val release = org.apache.spark.sql.graftnative.CheckpointRelease.release _
+    val m = new LruMemo[K, org.apache.spark.sql.DataFrame](capacity, release)
+    MemoRegistry.register(() => m.clear(release))
+    m
+  }
+}
+
 final class LruMemo[K, V](val capacity: Int, onEvict: V => Unit = (_: V) => ()) {
   require(capacity > 0, "LruMemo capacity must be positive")
 

@@ -13,7 +13,7 @@ class GraphOpsSpec extends SparkTestBase {
   private def prScala(edges: Seq[(String, String, Double)], iters: Int,
                       d: Double = GraphOps.Damping): Map[String, Double] = {
     val wout = edges.groupBy(_._1).map { case (u, es) => u -> es.map(_._3).sum }
-    val nodes = edges.map(_._1).distinct
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
     val n = nodes.size
     var pr = nodes.map(_ -> 1.0 / n).toMap
     (1 to iters).foreach { _ =>
@@ -40,6 +40,23 @@ class GraphOpsSpec extends SparkTestBase {
     // symmetrized graph with a stochastic transition matrix: ranks are a
     // distribution (total mass conserved, no dangling leak)
     assert(math.abs(got.values.sum - 1.0) < 1e-9, s"mass: ${got.values.sum}")
+  }
+
+  test("pageRank keeps sink and in-degree-0 nodes on a directed graph") {
+    // 1 -> 2: node 2 is a sink, node 1 has no in-edges. The first draft
+    // (nodes from src only, inner join per round) returned an EMPTY
+    // frame by round 2; the contract now is GraphX-style un-normalized
+    // ranks: every node keeps a row, sink mass is not redistributed.
+    val edges = Seq(("1", "2", 1.0))
+    val got = GraphOps.pageRank(edges.toDF("src", "dst", "w"), iters = 5)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val want = prScala(edges, 5)
+    assert(got.keySet == Set("1", "2"), s"nodes dropped: ${got.keySet}")
+    got.foreach { case (k, v) =>
+      assert(math.abs(v - want(k)) < 1e-12, s"node $k: $v vs ${want(k)}")
+    }
+    // node 1 receives nothing: its rank is the bare teleport term
+    assert(math.abs(got("1") - (1 - GraphOps.Damping) / 2) < 1e-12)
   }
 
   test("khopReach walks exactly k hops on a constructed chain") {

@@ -13,7 +13,8 @@ class ScaleOpsSpec extends SparkTestBase {
     val plain = li.groupBy(col("l_returnflag").as("key"))
       .agg(round(sum("l_quantity"), 6).as("sum_v"))
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
-    val salted = ScaleOps.saltedSum(li, col("l_returnflag"), col("l_quantity"))
+    val salted = ScaleOps.saltedSum(li, col("l_returnflag"), col("l_quantity"),
+      saltSource = col("l_orderkey"))
       .select(col("key"), round(col("sum_v"), 6).as("sum_v"))
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(salted == plain)
