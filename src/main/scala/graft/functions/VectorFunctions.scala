@@ -194,20 +194,22 @@ object VectorFunctions {
     * bucketing. Pair output is invariant to K (property-tested across K
     * values including the derived one). */
   def cosinePairsDistributed(s: SparkSession, e: DataFrame, minSim: Double,
-                             numChunks: Int = 0): DataFrame = {
-    import org.apache.spark.sql.functions.{col, lit, pmod}
+                             numChunks: Int = 0): DataFrame =
+    pairGroups(s, e, numChunks)(
+      cross = blockCrossPairs(_, _, minSim), self = blockSelfPairs(_, minSim))
+
+  /** The ONE copy of the self-join blocking scaffold (block assembly via
+    * [[vecBlocks]], ordered pair-key replication, pair-group dispatch) —
+    * [[cosinePairsDistributed]] and [[cosineTopKDistributed]] differ only
+    * in the per-group kernel, and the sortBy(_._1) / diagonal-dedup
+    * invariants the kernels' a_id < b_id logic depends on must hold for
+    * both, so they live exactly once. */
+  private def pairGroups(s: SparkSession, e: DataFrame, numChunks: Int)(
+      cross: (VecBlock, VecBlock) => Iterator[(Long, Long, Double)],
+      self: VecBlock => Iterator[(Long, Long, Double)]): DataFrame = {
     import s.implicits._
     val k = if (numChunks > 0) numChunks else deriveChunks(e.count())
-    val blocks = e
-      .select(pmod(col("vec_id"), lit(k)).cast("int").as("chunk"),
-        col("vec_id"), col("embedding"))
-      .as[(Int, Long, Array[Float])]
-      .groupByKey(_._1)
-      .mapGroups { (c, it) =>
-        val arr = it.map(t => (t._2, t._3)).toArray.sortBy(_._1)
-        VecBlock(c, arr.map(_._1), arr.map(_._2))
-      }
-    blocks
+    vecBlocks(e, k)
       .flatMap(b => (0 until k).iterator.map { o =>
         val lo = math.min(b.chunk, o); val hi = math.max(b.chunk, o)
         (lo * k + hi, b)
@@ -218,11 +220,27 @@ object VectorFunctions {
         // An off-diagonal pair-group (i,j) with one of its chunks EMPTY
         // receives a single block; its self-pairs already ran under the
         // diagonal key (i,i), so emitting them here would duplicate pairs.
-        if (bs.length == 2) blockCrossPairs(bs(0), bs(1), minSim)
-        else if (key / k == key % k) blockSelfPairs(bs(0), minSim)
+        if (bs.length == 2) cross(bs(0), bs(1))
+        else if (key / k == key % k) self(bs(0))
         else Iterator.empty
       }
       .toDF("a_id", "b_id", "sim")
+  }
+
+  /** Chunked block assembly shared by the self-join scaffold and the
+    * cross-corpus search: vectors land in chunk pmod(vec_id, k), each
+    * chunk packs into one id-sorted primitive-array [[VecBlock]]. */
+  private def vecBlocks(e: DataFrame, k: Int): org.apache.spark.sql.Dataset[VecBlock] = {
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    import e.sparkSession.implicits._
+    e.select(pmod(col("vec_id"), lit(k)).cast("int").as("chunk"),
+        col("vec_id"), col("embedding"))
+      .as[(Int, Long, Array[Float])]
+      .groupByKey(_._1)
+      .mapGroups { (c, it) =>
+        val arr = it.map(t => (t._2, t._3)).toArray.sortBy(_._1)
+        VecBlock(c, arr.map(_._1), arr.map(_._2))
+      }
   }
 
   /** Global top-k cosine pairs with the k-selection PUSHED INTO the BNL
@@ -238,31 +256,9 @@ object VectorFunctions {
     * 3 s/key budget); at 100 TB it is the difference between shuffling the
     * quadratic pair set and shuffling K(K+1)/2·k rows. */
   def cosineTopKDistributed(s: SparkSession, e: DataFrame, topK: Int,
-                            numChunks: Int = 0): DataFrame = {
-    import org.apache.spark.sql.functions.{col, lit, pmod}
-    import s.implicits._
-    val k = if (numChunks > 0) numChunks else deriveChunks(e.count())
-    e.select(pmod(col("vec_id"), lit(k)).cast("int").as("chunk"),
-        col("vec_id"), col("embedding"))
-      .as[(Int, Long, Array[Float])]
-      .groupByKey(_._1)
-      .mapGroups { (c, it) =>
-        val arr = it.map(t => (t._2, t._3)).toArray.sortBy(_._1)
-        VecBlock(c, arr.map(_._1), arr.map(_._2))
-      }
-      .flatMap(b => (0 until k).iterator.map { o =>
-        val lo = math.min(b.chunk, o); val hi = math.max(b.chunk, o)
-        (lo * k + hi, b)
-      })
-      .groupByKey(_._1)
-      .flatMapGroups { (key, it) =>
-        val bs = it.map(_._2).toArray
-        if (bs.length == 2) crossTopK(bs(0), bs(1), topK)
-        else if (key / k == key % k) selfTopK(bs(0), topK)
-        else Iterator.empty
-      }
-      .toDF("a_id", "b_id", "sim")
-  }
+                            numChunks: Int = 0): DataFrame =
+    pairGroups(s, e, numChunks)(
+      cross = crossTopK(_, _, topK), self = selfTopK(_, topK))
 
   /** Heap order for the pair total order (sim DESC, a_id ASC, b_id ASC):
     * key (-sim, a_id, b_id) makes "largest key" = "worst pair", so a
@@ -368,25 +364,15 @@ object VectorFunctions {
   def cosineCrossDistributed(s: SparkSession, left: DataFrame, right: DataFrame,
                              minSim: Double, numChunks: Int = 0,
                              numChunksRight: Int = 0): DataFrame = {
-    import org.apache.spark.sql.functions.{col, lit, pmod}
     import s.implicits._
     val kL = if (numChunks > 0) numChunks else deriveChunks(left.count())
     val kR = if (numChunksRight > 0) numChunksRight
              else if (numChunks > 0) numChunks
              else deriveChunks(right.count())
-    def blocksOf(e: DataFrame, k: Int) = e
-      .select(pmod(col("vec_id"), lit(k)).cast("int").as("chunk"),
-        col("vec_id"), col("embedding"))
-      .as[(Int, Long, Array[Float])]
-      .groupByKey(_._1)
-      .mapGroups { (c, it) =>
-        val arr = it.map(t => (t._2, t._3)).toArray.sortBy(_._1)
-        VecBlock(c, arr.map(_._1), arr.map(_._2))
-      }
     // key = leftChunk * kR + rightChunk; each key receives at most one
     // block per side (a side's chunk ids are unique), tagged by side
-    val l = blocksOf(left, kL).flatMap(b => (0 until kR).iterator.map(j => (b.chunk * kR + j, true, b)))
-    val r = blocksOf(right, kR).flatMap(b => (0 until kL).iterator.map(i => (i * kR + b.chunk, false, b)))
+    val l = vecBlocks(left, kL).flatMap(b => (0 until kR).iterator.map(j => (b.chunk * kR + j, true, b)))
+    val r = vecBlocks(right, kR).flatMap(b => (0 until kL).iterator.map(i => (i * kR + b.chunk, false, b)))
     l.union(r)
       .groupByKey(_._1)
       .flatMapGroups { (_, it) =>

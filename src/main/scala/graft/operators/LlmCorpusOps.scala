@@ -74,8 +74,9 @@ object LlmCorpusOps {
   def llmBigramTop(s: SparkSession, d: String): DataFrame =
     t(s, d, "documents")
       .withColumn("ws", split(col("text"), " "))
-      .select(explode(expr(
-        "if(size(ws) >= 2, transform(sequence(1, size(ws) - 1), i -> concat_ws(' ', slice(ws, i, 2))), array())")).as("bigram"))
+      // shared shingle builder (n = 2): the short-document count-down
+      // guard lives in ONE place, not a hand-copied twin
+      .select(explode(expr(LlmTextOps.shinglesSql(2))).as("bigram"))
       .groupBy("bigram").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("bigram"))
       .limit(25)
@@ -527,7 +528,10 @@ object LlmCorpusOps {
     "llm_stratified_sample" ->
       ("SELECT source, count(*) AS n_kept FROM (SELECT source, " +
         "CAST(CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) % 100 AS INTEGER) AS bucket FROM documents) " +
-        "WHERE bucket < (CASE WHEN CAST(regexp_extract(source, '(\\d+)', 1) AS INTEGER) % 2 = 0 THEN 80 ELSE 20 END) " +
+        // TRY_CAST mirrors Spark's null-tolerant cast: on a digit-less
+        // source Spark's ''::int is NULL -> otherwise(20), while a plain
+        // DuckDB CAST('' AS INTEGER) would abort the whole oracle query
+        "WHERE bucket < (CASE WHEN TRY_CAST(regexp_extract(source, '(\\d+)', 1) AS INTEGER) % 2 = 0 THEN 80 ELSE 20 END) " +
         "GROUP BY source ORDER BY source"),
     "llm_pack_sequences" ->
       ("SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS tok, " +

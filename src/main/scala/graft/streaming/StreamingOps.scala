@@ -115,8 +115,13 @@ object StreamingOps {
       val others = batch.columns.toSeq.filter(c => c != key && c != seqCol)
       val w = org.apache.spark.sql.expressions.Window.partitionBy(key)
         .orderBy((col(seqCol).desc +: others.map(c => col(c).desc)): _*)
-      val latest = batch.withColumn("_rn", row_number().over(w))
-        .filter(col("_rn") === 1).drop("_rn")
+      // rank column name probed for collision-freedom (the
+      // VersionedTable.merge marker idiom): a hardcoded "_rn" would
+      // silently overwrite — then DROP — a real batch column of that name
+      val rn = Iterator.from(0).map(i => s"_rn$i")
+        .find(m => !batch.columns.contains(m)).get
+      val latest = batch.withColumn(rn, row_number().over(w))
+        .filter(col(rn) === 1).drop(rn)
       t.merge(latest, key); ()
     }
 
@@ -170,8 +175,9 @@ object StreamingOps {
       .withColumn("sh64",
         graft.operators.LlmTextOps.simhash64(split(lower(col("text")), "\\W+")))
       .select(col("doc_id"), col("sh64"),
-        explode(expr(
-          "transform(sequence(0, 3), b -> named_struct('band', b, 'key', (sh64 >> (b * 16)) & 65535))")).as("bk"))
+        // the shared banding definition — batch and streaming candidate
+        // generation cannot drift apart
+        explode(expr(graft.operators.LlmTextOps.simhashBandSql)).as("bk"))
       .select(col("doc_id").as("docId"), col("sh64").as("sketch"),
         col("bk.band").as("band"), col("bk.key").as("key"))
       .as[(Long, Long, Int, Long)]

@@ -318,6 +318,14 @@ final class VersionedTable private (val spark: SparkSession, val root: String) {
     * Streaming's foreachBatch contract: key txnId by (queryId, batchId).
     * Returns the committed (or already-holding) version. */
   def appendIdempotent(df: DataFrame, txnId: String): Int = {
+    // The txn id rides INSIDE hand-rolled JSON (manifest + _txns.json)
+    // and is recovered by quote-splitting: a '"', '\' or control char
+    // would silently TRUNCATE the stored id, so a replayed micro-batch
+    // no longer matches committedTxns and double-appends — reject loudly
+    // instead of corrupting the exactly-once bookkeeping.
+    require(txnId.nonEmpty && !txnId.exists(c => c == '"' || c == '\\' || c < ' '),
+      s"appendIdempotent: txnId must be non-empty and free of quotes, backslashes " +
+        s"and control characters (it is embedded in manifest JSON verbatim); got: $txnId")
     if (committedTxns.contains(txnId)) return currentVersion
     val fresh = writeDataFiles(df)
     withRebase() {
