@@ -26,6 +26,11 @@ import graft.operators.MlOps
   * raw data to the driver.
   */
 object MlPipelines {
+
+  /** Session-scoped memo for the vectorized embeddings frame KMeans
+    * iterates over — released at family boundaries / on eviction like
+    * every other checkpointed derived table. */
+  private val vecsMemo = graft.tools.LruMemo.checkpointed[(String, String)](4)
   val Seed = 42L
 
   /** J5: tokenize → HashingTF(2^18, murmur3) → IDF. Returns the fitted
@@ -55,11 +60,17 @@ object MlPipelines {
     * converged objective. */
   def kmeansEmbeddings(spark: SparkSession, sfDir: String, k: Int = 10,
                        maxIter: Int = 8): (KMeansModel, DataFrame) = {
-    // cache: KMeans re-scans its input every iteration (one job each) —
-    // without this the parquet read + vector conversion reruns 8×.
-    val vecs = Tables.load(spark, sfDir, "embeddings")
-      .withColumn("features", array_to_vector(col("embedding")))
-      .cache()
+    // materialized once: KMeans re-scans its input every iteration (one
+    // job each) — without this the parquet read + vector conversion
+    // reruns 8×. Routed through a registered memo, NOT a bare .cache():
+    // an unreleased cache pinned a corpus-sized frame in the block
+    // manager for the session's lifetime, the leak the memo/release
+    // machinery exists to close.
+    val vecs = vecsMemo.get((org.apache.spark.sql.graftnative.SessionIds.uuid(spark), sfDir)) {
+      Tables.load(spark, sfDir, "embeddings")
+        .withColumn("features", array_to_vector(col("embedding")))
+        .localCheckpoint(true)
+    }
     // random init: kmeans|| costs extra full passes; for IVF bucketing
     // (and seeded tests) random centroids converge just as usefully
     val model = new KMeans().setK(k).setSeed(Seed).setMaxIter(maxIter)

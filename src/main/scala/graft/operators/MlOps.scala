@@ -1,6 +1,5 @@
 package graft.operators
 
-import org.apache.spark.ml.Pipeline
 import org.apache.spark.ml.feature._
 import org.apache.spark.ml.functions.vector_to_array
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -22,7 +21,14 @@ object MlOps {
   private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
 
   /** Shared tokenizer: lowercase, split on non-word runs, empties dropped
-    * (minTokenLength=1). The corpus-wide token definition (SURVEY.md §2.J1). */
+    * (minTokenLength=1). The corpus-wide token definition (SURVEY.md §2.J1).
+    *
+    * LOCALE HAZARD, documented: RegexTokenizer's setToLowercase uses the
+    * JVM-default-locale String.toLowerCase while the DuckDB oracle's
+    * lower() is locale-free — on a Turkish-locale JVM "I" lowercases to
+    * dotless 'ı' and the J1/J2 oracles mismatch. RegexTokenizer offers no
+    * Locale.ROOT hook, so EngineSurfaceSpec carries a canary that fails
+    * fast with this explanation on such a JVM. */
   def tokenizer(inputCol: String = "text", outputCol: String = "toks"): RegexTokenizer =
     new RegexTokenizer().setInputCol(inputCol).setOutputCol(outputCol)
       .setPattern("\\W+").setGaps(true).setToLowercase(true).setMinTokenLength(1)
@@ -50,8 +56,7 @@ object MlOps {
       .setStringOrderType("frequencyDesc")
       .fit(t(s, d, "events"))
     import s.implicits._
-    model.labelsArray(0).zipWithIndex
-      .map { case (label, i) => (label, i) }.toSeq
+    model.labelsArray(0).zipWithIndex.toSeq
       .toDF("event_type", "idx")
       .orderBy("idx")
   }

@@ -50,7 +50,10 @@ object PortableQuantizer {
   /** Component quantization scale: 1e-6 resolution on unit-norm-ish
     * embedding components keeps full float32 precision (~7 decimal
     * digits) while making every downstream distance exact int64. */
-  private val Scale = 1e6
+  // single-sourced from the native kernel so eval/codegen/HOF/oracle can
+  // never disagree on the fixed-point scale
+  private val Scale = org.apache.spark.sql.graftnative.QuantizedCodes.Scale
+  private val ScaleSql = Scale.toLong.toString
   /** Lloyd's rounds. Measured on the fixtures: recall@10 of the PQ path
     * is flat from 3 rounds up (the shortlist, not the codebook, binds),
     * and the IVF buckets are balanced (max/min ≈ 1.9 at sf0.1). */
@@ -125,7 +128,12 @@ object PortableQuantizer {
   graft.tools.MemoRegistry.register(() => { ivfMemo.clear(); pqMemo.clear() })
 
   private def trainFrame(s: SparkSession, d: String): DataFrame =
-    Tables.load(s, d, "embeddings").filter(col("vec_id") < TrainSample)
+    // the TrainSample SMALLEST ids, not `vec_id < TrainSample`: a corpus
+    // whose ids are offset or sparse would make the filter form return 0
+    // rows and crash training with an opaque empty.max — orderBy/limit
+    // is what the float twin (PqOps.trainFrame) already does, and the
+    // two samplers must pick the same vectors
+    Tables.load(s, d, "embeddings").orderBy("vec_id").limit(TrainSample)
       .select(col("vec_id").as("id"), quantArr(col("embedding")).as("qa"))
 
   /** IVF coarse quantizer: one full-dimension k-centroid codebook. */
@@ -259,9 +267,12 @@ object PortableQuantizer {
     "allv AS (SELECT vec_id AS id, embedding AS e FROM embeddings), " +
       s"aq AS (SELECT id, CAST((i-1)//$SubDim AS INTEGER) AS m, " +
       s"CAST((i-1)%$SubDim AS INTEGER) AS si, " +
-      "CAST(floor(CAST(e[CAST(i AS INTEGER)] AS DOUBLE)*1000000 + 0.5) AS BIGINT) AS qv " +
+      s"CAST(floor(CAST(e[CAST(i AS INTEGER)] AS DOUBLE)*$ScaleSql + 0.5) AS BIGINT) AS qv " +
       "FROM (SELECT id, e, unnest(range(1, len(e)+1)) AS i FROM allv)), " +
-      s"tq AS (SELECT * FROM aq WHERE id < $TrainSample)"
+      // the TrainSample smallest ids — mirrors the Spark orderBy/limit
+      // sampler (id-offset-robust, identical on the dense fixtures)
+      s"tids AS (SELECT id FROM allv ORDER BY id LIMIT $TrainSample), " +
+      "tq AS (SELECT aq.* FROM aq JOIN tids USING (id))"
 
   /** IVF oracle: portable training replay on the full-dimension vectors
     * (m collapsed away — join on raw component index i = m*SubDim+si),
@@ -281,7 +292,7 @@ object PortableQuantizer {
     }
     s"WITH $oracleBase, " +
       s"allql AS (SELECT id, m * $SubDim + si AS i, qv FROM aq), " +
-      s"tql AS (SELECT * FROM allql WHERE id < $TrainSample), " +
+      "tql AS (SELECT allql.* FROM allql JOIN tids USING (id)), " +
       "dp AS (SELECT p, min(id) AS r0 FROM " +
       "(SELECT id, list(qv ORDER BY i) AS p FROM tql GROUP BY id) GROUP BY p), " +
       "init AS (SELECT r0, row_number() OVER (ORDER BY " +

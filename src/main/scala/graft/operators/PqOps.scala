@@ -67,6 +67,10 @@ object PqOps {
     * re-mean rounds, empty clusters keep their previous centroid. */
   private[graft] def lloyd(points: Array[Array[Double]], k: Int,
       seed: Long, iters: Int = 8): Array[Array[Double]] = {
+    // fail with the actual requirement, not distinct.head's bare
+    // NoSuchElementException three lines down
+    require(points.nonEmpty, "lloyd: training point set is empty — " +
+      "the sampler produced no vectors (empty embeddings table?)")
     val rnd = new scala.util.Random(seed)
     // content-distinct: Array equality is by reference, so dedup via an
     // equals-by-value view (duplicate initial centroids would silently

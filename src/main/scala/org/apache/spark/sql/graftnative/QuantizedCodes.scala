@@ -31,9 +31,32 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, FloatT
   * Lives under org.apache.spark.sql because ExpectsInputTypes and the
   * Column bridge are private[sql] (same rationale as [[DotProduct]]).
   */
+object QuantizedCodes {
+  /** THE fixed-point quantization scale — the single source for this
+    * kernel (eval + codegen), the HOF twin, and the DuckDB oracle SQL
+    * (graft.operators.PortableQuantizer interpolates it). Changing it in
+    * one place and not the others silently breaks kernel/spec/oracle
+    * agreement, so there is only one place. */
+  val Scale: Double = 1.0e6
+}
+
 case class QuantizedCodes(child: Expression, codebook: Array[Array[Array[Long]]],
     subDim: Int)
   extends UnaryExpression with ExpectsInputTypes {
+
+  // Array fields get reference equals on a case class, which would make
+  // structurally identical encodes never compare equal in Catalyst and
+  // silently defeat subexpression/subplan reuse — compare content.
+  override def equals(other: Any): Boolean = other match {
+    case q: QuantizedCodes =>
+      q.child == child && q.subDim == subDim &&
+        java.util.Arrays.deepEquals(
+          q.codebook.asInstanceOf[Array[AnyRef]], codebook.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * (31 * child.hashCode() + subDim) +
+      java.util.Arrays.deepHashCode(codebook.asInstanceOf[Array[AnyRef]])
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
@@ -48,11 +71,15 @@ case class QuantizedCodes(child: Expression, codebook: Array[Array[Array[Long]]]
   protected override def nullSafeEval(input: Any): Any = {
     val x = input.asInstanceOf[ArrayData]
     val n = x.numElements()
-    if (n < codebook.length * subDim) return null
+    // EXACT dimension or null — same as the HOF twin (argminInt's
+    // zip_with null-padding yields null for ANY length mismatch). The
+    // first draft truncated LONG vectors to the codebook span, silently
+    // diverging from the formulation this kernel is asserted equal to.
+    if (n != codebook.length * subDim) return null
     val q = new Array[Long](n)
     var i = 0
     while (i < n) {
-      q(i) = math.floor(x.getFloat(i).toDouble * 1.0e6 + 0.5).toLong
+      q(i) = math.floor(x.getFloat(i).toDouble * QuantizedCodes.Scale + 0.5).toLong
       i += 1
     }
     val codes = new Array[Int](codebook.length)
@@ -99,12 +126,12 @@ case class QuantizedCodes(child: Expression, codebook: Array[Array[Array[Long]]]
       val cv = ctx.freshName("cv")
       s"""
          |int $n = $a.numElements();
-         |if ($n < $cbRef.length * $subDim) {
+         |if ($n != $cbRef.length * $subDim) {
          |  ${ev.isNull} = true;
          |} else {
          |  long[] $q = new long[$n];
          |  for (int $i = 0; $i < $n; $i++) {
-         |    $q[$i] = (long) java.lang.Math.floor((double) $a.getFloat($i) * 1.0E6D + 0.5D);
+         |    $q[$i] = (long) java.lang.Math.floor((double) $a.getFloat($i) * ${QuantizedCodes.Scale}D + 0.5D);
          |  }
          |  int[] $codes = new int[$cbRef.length];
          |  for (int $m = 0; $m < $cbRef.length; $m++) {

@@ -6,6 +6,18 @@ import org.apache.spark.sql.functions._
   * layout, and the catalog API. */
 class EngineSurfaceSpec extends SparkTestBase {
 
+  test("CANARY: JVM default locale lowercases like the DuckDB oracle") {
+    // RegexTokenizer's toLowercase uses the JVM default locale; the J1/J2
+    // DuckDB oracles use locale-free lower(). On a Turkish-locale JVM
+    // "I".toLowerCase is dotless 'ı' and those grades silently mismatch —
+    // fail here with the explanation instead (MlOps.tokenizer scaladoc).
+    assert("I".toLowerCase == "i",
+      s"JVM default locale ${java.util.Locale.getDefault} lowercases 'I' to " +
+        s"'${"I".toLowerCase}' — the ml_tokenize/ml_stopwords oracles assume " +
+        "locale-free lowercasing; run with -Duser.language=en or another " +
+        "locale where toLowerCase('I') == 'i'")
+  }
+
   test("driver flagship: SparkEntry.entry returns rows on sf0.001") {
     // the driver smoke-checks exactly this; covering it here means a
     // broken flagship fails in OUR suite before it fails in the driver
