@@ -1,15 +1,14 @@
 package graft
-import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // GraftSession, not a hand-rolled builder: the bench must measure the
+    // configuration the engine ships (extensions incl. RedundantRoundRule,
+    // AQE, UTC) — a bespoke session here benchmarked an engine subtly
+    // different from the one users get.
+    val spark = GraftSession.builder(master = s"local[$cpus]",
+      shufflePartitions = cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the JVM/codegen/parquet-reader paths once so the first timed
     // query doesn't absorb ~5s of startup cost.
@@ -48,9 +47,15 @@ object Bench {
       // needs. Reporting the min makes per-key attribution trustworthy
       // (within ~2x of BenchOne steady-state) instead of shipping
       // whichever rep a GC happened to land in.
+      // Sink = execute the PHYSICAL PLAN AS PLANNED and drain its rows
+      // (toRdd.count iterates every InternalRow). A plain df.count() puts
+      // an Aggregate(count(1)) ON TOP and re-optimizes: EliminateSorts
+      // deletes a top-level orderBy and ColumnPruning strips projection
+      // expressions count never reads — sort- and projection-terminated
+      // keys were being timed WITHOUT the operator under measurement.
       def rep(): Double = {
         val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
+        fn(spark, sfDir).queryExecution.toRdd.count()
         (System.nanoTime() - t0) / 1e9
       }
       try { val t1 = rep(); (name, math.min(t1, rep()), true) }
@@ -62,9 +67,15 @@ object Bench {
     // captures a bounded stdout tail, and sub-ms digits are noise.
     // Locale.ROOT: a comma-decimal default locale would emit broken JSON.
     def f3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    // escape string fields — sfDir comes from the environment, and one
+    // quote/backslash in it would make BOTH artifacts unparseable (the
+    // driver's parse returns null and the run's timings are lost)
+    def esc(s: String): String =
+      s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString }
     def toJson(rs: Seq[(String, Double)]): String =
-      rs.map { case (k, v) => s"\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
-    def strArr(xs: Seq[String]): String = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+      rs.map { case (k, v) => s"\"" + esc(k) + "\":" + f3(v) }.mkString("{", ",", "}")
+    def strArr(xs: Seq[String]): String = xs.map("\"" + esc(_) + "\"").mkString("[", ",", "]")
     val total = results.collect { case (_, t, true) => t }.sum
     // The driver keeps only a ~2 KB stdout tail; the full 140+-key map is
     // ~4 KB, so printing it all makes the line UNPARSEABLE (BENCH_r02/r03
@@ -92,10 +103,10 @@ object Bench {
       // cap the inline list so a mass failure can't blow the ~2KB stdout
       // tail budget; n_errors is the true count, BENCH_FULL.json the full list
       s""""errors":${strArr(errors.take(10))},"reps":2,"agg":"min",""" +
-      s""""wall":${f3(wallSec)},"full":"BENCH_FULL.json","sf":"$sfDir"}"""
+      s""""wall":${f3(wallSec)},"full":"BENCH_FULL.json","sf":"${esc(sfDir)}"}"""
     val fullJson = s"""{"metric":"total","value":${f3(total)},"unit":"sec",""" +
       s""""queries":${toJson(timings)},"n_errors":${errors.length},""" +
-      s""""errors":${strArr(errors)},"reps":2,"agg":"min","wall":${f3(wallSec)},"sf":"$sfDir"}"""
+      s""""errors":${strArr(errors)},"reps":2,"agg":"min","wall":${f3(wallSec)},"sf":"${esc(sfDir)}"}"""
     for (p <- Seq("/tmp/bench.json", "BENCH_FULL.json"))
       try java.nio.file.Files.write(java.nio.file.Paths.get(p), fullJson.getBytes("UTF-8"))
       catch { case _: Throwable => }

@@ -13,18 +13,16 @@ object BenchOne {
     val reps = args.lift(1).map(_.toInt).getOrElse(3)
     val sfDir = args.lift(2).getOrElse("/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // GraftSession + the toRdd sink: measure the shipped configuration
+    // and the plan as planned — same rationale as Bench
+    val spark = GraftSession.builder(master = s"local[$cpus]",
+      shufflePartitions = cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/nation.parquet").count()
     for (r <- 1 to reps; k <- keys) {
       val t0 = System.nanoTime()
-      val n = SparkEntry.queries(k)(spark, sfDir).count()
+      val n = SparkEntry.queries(k)(spark, sfDir).queryExecution.toRdd.count()
       println(f"[benchone] $k rep$r: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
     }
     spark.stop()

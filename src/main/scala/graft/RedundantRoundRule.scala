@@ -21,8 +21,16 @@ import org.apache.spark.sql.types.IntegerType
 object RedundantRoundRule extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
-      case Round(inner @ Round(_, Literal(s1: Int, IntegerType), _),
-          Literal(s2: Int, IntegerType), _) if s2 >= s1 && s1 >= 0 =>
+      // dataType equality guard: optimizer rules must preserve output
+      // types. On DOUBLE both rounds are DoubleType and the rewrite is
+      // free; on DECIMAL the two Rounds carry DIFFERENT precisions
+      // (RoundBase.dataType = p - s + 1 + scale), so dropping the outer
+      // one would change the plan's schema mid-optimization (a hard
+      // failure under spark.sql.planChangeValidation, a silent schema
+      // drift without it).
+      case outer @ Round(inner @ Round(_, Literal(s1: Int, IntegerType), _),
+          Literal(s2: Int, IntegerType), _)
+          if s2 >= s1 && s1 >= 0 && outer.dataType == inner.dataType =>
         inner
     }
 }

@@ -57,8 +57,10 @@ object Tables {
       // nanosAsLong must be set before the FIRST read of events.parquet in
       // the session (the footer is parsed at read time). Harmless when the
       // file carries µs timestamps — it only changes how TIMESTAMP(NANOS)
-      // footers are surfaced (as raw int64).
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // footers are surfaced (as raw int64). Guarded like tune(): conf
+      // sets invalidate cached plans, and this runs on EVERY events load.
+      if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(s"$sfDir/events.parquet")
       import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
       raw.schema("ts").dataType match {

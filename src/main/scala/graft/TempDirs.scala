@@ -17,13 +17,19 @@ object TempDirs {
     dirs.values.forEach(d => rmTree(Paths.get(d)))
   }
 
+  /** Best-effort recursive delete. The WALK is guarded, not just the
+    * per-file deletes: a concurrently-vanishing or unreadable entry makes
+    * Files.walk throw UncheckedIOException, which would (a) abort the
+    * shutdown hook's loop and leak every remaining directory and (b) in
+    * cached()'s failure path mask the original write error with a
+    * cleanup error. */
   private def rmTree(p: Path): Unit =
-    if (Files.exists(p)) {
+    try if (Files.exists(p)) {
       val s = Files.walk(p)
       try s.sorted(Comparator.reverseOrder[Path]())
         .forEach(f => { try Files.delete(f) catch { case _: Throwable => } })
       finally s.close()
-    }
+    } catch { case scala.util.control.NonFatal(_) => }
 
   /** Return the cached directory for (tag, key), running `write` exactly
     * once per JVM to populate it. `write` must fully materialize the

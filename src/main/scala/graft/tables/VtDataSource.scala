@@ -124,7 +124,14 @@ class VtRelation(ctx: SQLContext, root: String, asOf: Option[Int])
       case GreaterThanOrEqual(`c`, v) => num(v).foreach(d => lo = math.max(lo, d))
       case LessThan(`c`, v) => num(v).foreach(d => hi = math.min(hi, d))
       case LessThanOrEqual(`c`, v) => num(v).foreach(d => hi = math.min(hi, d))
-      case _ => // In/Or/IsNull/other columns: no bound contribution
+      case In(`c`, vs) =>
+        // [min, max] of the value list is a valid interval for the IN —
+        // without it an isin() query scanned every file in the snapshot
+        val ds = vs.toSeq.flatMap(num)
+        if (ds.nonEmpty && ds.size == vs.length) {
+          lo = math.max(lo, ds.min); hi = math.min(hi, ds.max)
+        }
+      case _ => // Or/IsNull/other columns: no bound contribution
     }
     (lo, hi)
   }
@@ -159,9 +166,7 @@ class VtRelation(ctx: SQLContext, root: String, asOf: Option[Int])
     val files = t.statsCol match {
       case Some(c) =>
         val (lo, hi) = boundsFor(c, filters)
-        if (lo == Double.NegativeInfinity && hi == Double.PositiveInfinity)
-          t.pruneFiles(Double.NegativeInfinity, Double.PositiveInfinity, asOf)
-        else t.pruneFiles(lo, hi, asOf)
+        t.pruneFiles(lo, hi, asOf)
       case None => t.pruneFiles(Double.NegativeInfinity, Double.PositiveInfinity, asOf)
     }
     VtDataSource.recordScan(root, files.size)
