@@ -552,8 +552,14 @@ object RelationalOps {
   /** Per-(group, reg) max-rank register table — ONE 2-phase hash
     * aggregation; at most |groups|·512 rows regardless of input size. */
   private[graft] def hllRegisters(df: DataFrame, group: String, value: Column): DataFrame =
-    df.select(col(group),
-        conv(substring(md5(value.cast("string").cast("binary")), 1, 15), 16, 10)
+    // distinct BEFORE hashing: duplicate values contribute the same
+    // (reg, rank), so the md5+conv tower only needs to run once per
+    // distinct (group, value) — a cheap integer/narrow-row hash agg
+    // replaces ~30× repeated string-hash work at sf0.1 (and ~85% of the
+    // hash work in the 20M-row stress run). Register table unchanged.
+    df.select(col(group), value.as("v")).distinct()
+      .select(col(group),
+        conv(substring(md5(col("v").cast("string").cast("binary")), 1, 15), 16, 10)
           .cast("long").as("h60"))
       .select(col(group), (col("h60").bitwiseAND(511L)).as("reg"),
         shiftright(col("h60"), 9).as("w"))
@@ -650,9 +656,13 @@ object RelationalOps {
     val width = 1024
     val js = array((0 until 4).map(lit): _*)
     val ev = t(s, d, "events").select(col("event_type"))
-    val counters = ev.select(col("event_type"), explode(js).as("j"))
+    // value-counts first, hash the 5-value domain after (same rationale
+    // as aggCountMin: the bucket depends only on (j, value), so the md5
+    // tower runs ~20 times instead of once per (row, j))
+    val counters = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+      .select(col("event_type"), col("n"), explode(js).as("j"))
       .groupBy(col("j"), cmsBucket(col("j"), col("event_type"), width).as("bucket"))
-      .agg(count(lit(1)).as("c"))
+      .agg(sum("n").as("c"))
     ev.distinct()
       .select(col("event_type"), explode(js).as("j"))
       .withColumn("bucket", cmsBucket(col("j"), col("event_type"), width))
@@ -666,10 +676,11 @@ object RelationalOps {
 
   /** D13: count-min sketch — PORTABLE arithmetic variant, graded with a
     * full DuckDB oracle (round-7 promotion): d=4 pinned md5 hash rows
-    * over a width-2048 counter table per returnflag, built in ONE
-    * 2-phase aggregation (the CMS property that matters at 100 TB:
-    * counters are partial-sum mergeable at every level — map-side,
-    * reducer, cross-day). Point estimates for the full 1..50 quantity
+    * over a width-2048 counter table per returnflag, built as value-
+    * counts → hashed bucket-sums (both 2-phase map-side-mergeable
+    * aggregations — the CMS property that matters at 100 TB: counters
+    * are partial-sum mergeable at every level — map-side, reducer,
+    * cross-day). Point estimates for the full 1..50 quantity
     * domain are 4 bucket lookups + min each, never undercounting. The
     * Spark builtin `count_min_sketch` (serialized-sketch library
     * surface, eps bound, mergeInPlace) stays unit-tested in
@@ -679,11 +690,20 @@ object RelationalOps {
     val js = array((0 until 4).map(lit): _*)
     val li = t(s, d, "lineitem")
       .select(col("l_returnflag"), col("l_quantity").cast("int").as("qv"))
-    val counters = li
-      .select(col("l_returnflag"), col("qv"), explode(js).as("j"))
+    // value-counts FIRST, hash the ~50-value domain after: the md5
+    // bucket depends only on (j, qv), so hashing per ROW evaluated 2.4M
+    // md5+conv towers at sf0.1 where ~600 suffice (honest-sink bench:
+    // 4.5 s → sub-second; the old count() sink had hidden the entire
+    // counter build by pruning the unreferenced min() column and the
+    // left join under it). Counters are IDENTICAL — sum of value-counts
+    // per bucket — and both aggregations stay map-side mergeable, the
+    // CMS property that matters at 100 TB.
+    val vc = li.groupBy("l_returnflag", "qv").agg(count(lit(1)).as("n"))
+    val counters = vc
+      .select(col("l_returnflag"), col("qv"), col("n"), explode(js).as("j"))
       .groupBy(col("l_returnflag"), col("j"),
         cmsBucket(col("j"), col("qv"), width).as("bucket"))
-      .agg(count(lit(1)).as("c"))
+      .agg(sum("n").as("c"))
     // query grid generated per flag via explode(sequence) — same rows a
     // cross join would produce, but with no nested-loop join in the plan
     li.select("l_returnflag").distinct()
