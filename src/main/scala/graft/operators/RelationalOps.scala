@@ -405,9 +405,15 @@ object RelationalOps {
         .join(side("b").withColumn("bk2", key(col("b_name"))),
           col("bk") === col("bk2") && col("a_key") < col("b_key") && extra)
         .select("a_key", "b_key", "a_name", "b_name")
-    val checked = (n: Column) => when(length(n) === 18, n).otherwise(raise_error(concat(
-      lit("fuzzyJoinBlocked: two-pass {17,18} blocking is complete only for 18-char " +
-        "names; this corpus has another length in: "), n)).cast("string"))
+    // Null name → null blocking key → the join condition is null and the
+    // row silently drops out, same as the old driver-side require that
+    // ignored null names. Without the explicit branch, length(null)===18
+    // is null and `otherwise` fired raise_error with the misleading
+    // "another length" message on a merely-absent name.
+    val checked = (n: Column) => when(n.isNull, lit(null).cast("string"))
+      .when(length(n) === 18, n).otherwise(raise_error(concat(
+        lit("fuzzyJoinBlocked: two-pass {17,18} blocking is complete only for 18-char " +
+          "non-null names; this corpus has another length in: "), n)).cast("string"))
     val skipPos17 = (n: Column) => {
       val c = checked(n); concat(substring(c, 1, 16), substring(c, 18, 1))
     }

@@ -54,7 +54,18 @@ final class LruMemo[K, V](val capacity: Int, onEvict: V => Unit = (_: V) => ()) 
   }
 
   /** The memoized value for `k`, building (and caching) it on first use.
-    * Touching a key marks it most-recently-used. */
+    * Touching a key marks it most-recently-used.
+    *
+    * RETENTION CONTRACT (same one clear() carries): when `onEvict`
+    * releases resources — the checkpointed-DataFrame memos release the
+    * frame's blocks — a caller must not retain a returned value across
+    * more than `capacity` further inserts. An evicted checkpointed frame
+    * is a LAZY plan over truncated lineage: its blocks are gone and
+    * cannot be recomputed, so a later action on the stale reference fails
+    * unrecoverably with missing-checkpoint-block errors. Use the value
+    * promptly (or re-get() it, which re-memoizes), and size capacities
+    * comfortably above the per-run key working set — each shipped cache
+    * does (capacities 4-64, all several× their family's live key count). */
   def get(k: K)(build: => V): V = map.synchronized {
     val hit = map.get(k)
     if (hit != null) hit

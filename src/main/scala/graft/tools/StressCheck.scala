@@ -100,7 +100,7 @@ object StressCheck {
     // 4. MinHash LSH candidates: banded bucket join, hot-bucket capped.
     time("minhash_lsh_200k") {
       val n = graft.operators.MinHashOps
-        .minhashCandidates(docs, maxBucketSize = 1000).count()
+        .minhashCandidates(docs, maxBucketSize = Some(1000)).count()
       require(n > 0, "planted near-dups not found"); n
     }
     // 5. SimHash buckets: linear sketch + groupBy.

@@ -79,6 +79,11 @@ case class QuantizedCodes(child: Expression, codebook: Array[Array[Array[Long]]]
     val q = new Array[Long](n)
     var i = 0
     while (i < n) {
+      // Null ELEMENT → null result, matching the HOF twin (transform/
+      // zip_with/aggregate null-propagate); the embeddings schema declares
+      // containsNull=true, so silently reading a null slot as 0.0f would
+      // diverge from the formulation this kernel is asserted equal to.
+      if (x.isNullAt(i)) return null
       q(i) = math.floor(x.getFloat(i).toDouble * QuantizedCodes.Scale + 0.5).toLong
       i += 1
     }
@@ -131,8 +136,10 @@ case class QuantizedCodes(child: Expression, codebook: Array[Array[Array[Long]]]
          |} else {
          |  long[] $q = new long[$n];
          |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
          |    $q[$i] = (long) java.lang.Math.floor((double) $a.getFloat($i) * ${QuantizedCodes.Scale}D + 0.5D);
          |  }
+         |  if (!${ev.isNull}) {
          |  int[] $codes = new int[$cbRef.length];
          |  for (int $m = 0; $m < $cbRef.length; $m++) {
          |    long[][] $cb = $cbRef[$m];
@@ -150,6 +157,7 @@ case class QuantizedCodes(child: Expression, codebook: Array[Array[Array[Long]]]
          |    $codes[$m] = $bc;
          |  }
          |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($codes);
+         |  }
          |}
        """.stripMargin
     })

@@ -122,4 +122,23 @@ class FixtureSchemaCanarySpec extends SparkTestBase {
           |DuckDB oracles) to a total order over all output columns.
           |${dups.mkString("\n")}""".stripMargin)
   }
+
+  test("CANARY: documents.text is pure ASCII (byte ≡ codepoint oracle precondition)") {
+    // mm_ahash_dedup (and the byte-positioned mm_* metadata oracles) sum
+    // UTF-8 BYTES at byte positions on the Spark side while the DuckDB
+    // twin sums CODEPOINTS at character positions — identical only while
+    // every text is ASCII (1 byte per char, byte value == codepoint). A
+    // fixture regeneration that introduces any non-ASCII character would
+    // break oracle parity with no operator-suite test pointing at the
+    // cause; this canary names it.
+    import org.apache.spark.sql.functions.col
+    val nonAscii = Tables.load(spark, SF, "documents")
+      .filter(col("text").rlike("[^\\x00-\\x7F]")).count()
+    assert(nonAscii == 0,
+      s"""|FIXTURE DRIFT — $nonAscii document(s) contain non-ASCII text. The
+          |mm_ahash_dedup oracle (MultimodalOps.ahashDedupOracle) models the
+          |Spark-side UTF-8 byte grid with DuckDB codepoints; either restore
+          |an ASCII fixture or rewrite both sides in one unit (e.g. DuckDB
+          |unnest over string_to_blob bytes) before trusting the grade.""".stripMargin)
+  }
 }

@@ -227,7 +227,7 @@ class LlmOpsSpec extends SparkTestBase {
       Seq.tabulate(10)(i => (200L + i, doc(60)))).toDF("doc_id", "text")
     val uncapped = MinHashOps.minhashCandidates(docs).collect()
     assert(uncapped.count(r => r.getAs[Long]("a_id") < 30L && r.getAs[Long]("b_id") < 30L) == 435)
-    val capped = MinHashOps.minhashCandidates(docs, maxBucketSize = 10).collect()
+    val capped = MinHashOps.minhashCandidates(docs, maxBucketSize = Some(10)).collect()
     // the hot bucket is dropped entirely...
     assert(!capped.exists(r => r.getAs[Long]("a_id") < 30L && r.getAs[Long]("b_id") < 30L),
       s"hot-bucket pairs survived the cap: ${capped.mkString(",")}")

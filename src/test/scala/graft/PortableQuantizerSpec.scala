@@ -57,6 +57,27 @@ class PortableQuantizerSpec extends SparkTestBase {
     assert(df.collect().head.isNullAt(0))
   }
 
+  test("null ELEMENT yields null codes on both eval paths (HOF-twin parity)") {
+    // embeddings declares containsNull=true; the HOF formulation
+    // null-propagates through transform/zip_with, so the kernel must
+    // return null rather than silently reading the slot as 0.0f
+    import spark.implicits._
+    val base = Seq((1L, Seq[Option[Float]](Some(0.1f), None, Some(0.3f), Some(0.4f))),
+                   (2L, Seq[Option[Float]](Some(0.1f), Some(0.2f), Some(0.3f), Some(0.4f))))
+      .toDF("id", "v").select(col("id"), col("v").cast("array<float>").as("v"))
+    val df = base.select(col("id"), org.apache.spark.sql.graftnative.GraftNative
+      .quantizedCodes(col("v"), Seq(Seq(Seq(0L, 0L, 0L, 0L))), 4).as("codes"))
+    def run(): Map[Long, Boolean] =
+      df.collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    val gen = run()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val interp = run()
+      assert(gen == Map(1L -> true, 2L -> false), s"codegen path: $gen")
+      assert(interp == gen, s"interp $interp != codegen $gen")
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+  }
+
   test("trainer is deterministic: same corpus, fresh memo key => identical codebooks") {
     val cb1 = operators.PortableQuantizer.pqCodebook(spark, SF)
     val cb2 = operators.PortableQuantizer.pqCodebook(spark, SF) // memo hit

@@ -24,6 +24,20 @@ class RelationalOpsSpec extends SparkTestBase {
     assert(messages(e).exists(_.contains("18-char")), messages(e).mkString(" | "))
   }
 
+  test("fuzzy join IGNORES null names instead of aborting with the length message") {
+    // length(null) === 18 is null, so without an explicit null branch the
+    // guard's `otherwise` fired raise_error on a merely-absent name; the
+    // contract (matching the old driver-side require) is that null names
+    // simply produce no pairs
+    val dir = java.nio.file.Files.createTempDirectory("graft_fuzzynull").toString
+    Seq((1L, "Customer#000000001"), (2L, null), (3L, "Customer#000000002"))
+      .toDF("c_custkey", "c_name")
+      .write.parquet(s"$dir/customer.parquet")
+    val rows = RelationalOps.fuzzyJoinBlocked(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.toSet == Set((1L, 3L)), s"expected only the 1-3 pair: ${rows.mkString(", ")}")
+  }
+
   test("fuzzy join emits a duplicate-name (lev 0) pair exactly ONCE") {
     // identical names match BOTH pass keys; the differ-at-17 filter on
     // pass A keeps the passes a true partition of the qualifying pairs
