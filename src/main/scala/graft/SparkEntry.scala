@@ -18,7 +18,8 @@ object SparkEntry {
       LlmOps.queries ++ MlOps.queries ++ LlmTextOps.queries ++
       MultimodalOps.queries ++ ExtendedOps.queries ++ MinHashOps.queries ++
       TableOps.queries ++ TpchOps.queries ++ LlmCorpusOps.queries ++
-      PqOps.queries ++ GraphOps.queries ++ AdvancedOps.queries
+      PqOps.queries ++ GraphOps.queries ++ AdvancedOps.queries ++
+      UnigramOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -27,5 +28,6 @@ object SparkEntry {
       LlmOps.oracles ++ MlOps.oracles ++ LlmTextOps.oracles ++
       MultimodalOps.oracles ++ ExtendedOps.oracles ++ MinHashOps.oracles ++
       TableOps.oracles ++ TpchOps.oracles ++ LlmCorpusOps.oracles ++
-      PqOps.oracles ++ GraphOps.oracles ++ AdvancedOps.oracles
+      PqOps.oracles ++ GraphOps.oracles ++ AdvancedOps.oracles ++
+      UnigramOps.oracles
 }

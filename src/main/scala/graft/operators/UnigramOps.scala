@@ -1,0 +1,268 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftnative.{CheckpointRelease, GraftNative, SessionIds, UnigramSegment}
+import graft.Tables
+
+/** Unigram-LM (SentencePiece-style) tokenizer — the second trained
+  * tokenizer family next to BPE (LlmTextOps.bpeTrainCore): modern
+  * training-data pipelines measure token economics under BOTH, because
+  * the two families disagree exactly on the morphology-heavy tail that
+  * drives fertility.
+  *
+  * Algorithm (hard/Viterbi EM — the deterministic member of the EM
+  * family, chosen so a DuckDB oracle can replay every step exactly):
+  *   1. SEED: every substring of length 1..[[LMax]] of every distinct
+  *      corpus word, weighted by word frequency; the vocabulary is all
+  *      single characters (coverage guarantee — no UNK on the training
+  *      domain) plus the [[TopMulti]] most frequent multi-character
+  *      substrings ((f DESC, piece ASC) total order).
+  *   2. EM ×[[EmRounds]]: E-step Viterbi-segments every distinct word
+  *      under the current piece scores (native [[UnigramSegment]]
+  *      expression — exact int64 DP, ties to the longest final piece);
+  *      M-step recounts pieces over the segmentations (weighted by word
+  *      frequency) and re-scores with add-one (Laplace) smoothing:
+  *      s(p) = round(1e6 · ln((c(p)+1)/Σ(c+1))) — the ONE floating op,
+  *      rounded to the integer score domain before any comparison, the
+  *      engine's standard ln() determinism treatment.
+  *   3. ENCODE: Viterbi under the final scores.
+  *
+  * Scale posture (100 TB): everything heavy is distributed — the word
+  * histogram is one hash shuffle over the corpus, seeding is a
+  * projection + one shuffle over the (bounded-fan-out) substring
+  * explode, and each E-step is a map-side Viterbi over the DISTINCT-word
+  * table followed by a vocabulary-sized aggregation. Driver state is the
+  * vocabulary only (≤ [[TopMulti]] + alphabet rows, the same bounded
+  * model-state collect as the PQ codebook); EM rounds are a fixed small
+  * constant. Encoding the full corpus is a broadcast join of the word
+  * stream against the distinct-word segmentation — exact-dedup's shape,
+  * one map-side projection + one hash aggregation on doc_id.
+  */
+object UnigramOps {
+  type Q = (SparkSession, String) => DataFrame
+  private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
+
+  /** Longest candidate piece, in characters. */
+  val LMax = 4
+  /** Multi-character vocabulary budget (single chars ride for free). */
+  val TopMulti = 60
+  /** Viterbi-EM rounds; fixed so the oracle unrolls (BPE discipline). */
+  val EmRounds = 2
+
+  private def fix(x: Double): Long =
+    math.floor(UnigramSegment.Scale * x + 0.5).toLong
+
+  /** Trained model: (vocab rows (piece, final count, final score) in
+    * insertion order; distinct-word table with final token counts,
+    * checkpointed). Memoized per (session, dir) — llm_unigram_train
+    * grades the first, llm_unigram_encode joins the second; without the
+    * memo each grading/bench pass would pay the full EM (2 Viterbi
+    * passes + 3 bounded collects) twice. */
+  def unigramCore(s: SparkSession, d: String): (Seq[(String, Long, Long)], DataFrame) =
+    memo.get((SessionIds.uuid(s), d)) { trainUncached(s, d) }
+
+  private val memo =
+    new graft.tools.LruMemo[(String, String), (Seq[(String, Long, Long)], DataFrame)](8,
+      t => CheckpointRelease.release(t._2))
+  graft.tools.MemoRegistry.register(() =>
+    memo.clear(t => CheckpointRelease.release(t._2)))
+
+  private def trainUncached(s: SparkSession, d: String): (Seq[(String, Long, Long)], DataFrame) = {
+    // Distinct-word histogram — the table every later pass runs over.
+    // Checkpointed once (4 consumers: seed, 2 E-steps, final encode);
+    // released as soon as the final segmentation is materialized.
+    val words = t(s, d, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 1)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
+    try {
+      // SEED: one row per (substring occurrence), then one shuffle on the
+      // piece. Fan-out per word is ≤ LMax · len(w) — bounded, no all-pairs.
+      val subs = words
+        .select(col("cnt"), explode(flatten(transform(
+          sequence(lit(1), least(length(col("w")), lit(LMax))),
+          l => transform(sequence(lit(1), length(col("w")) - l + 1),
+            i => col("w").substr(i, l))))).as("piece"))
+        .groupBy("piece").agg(sum("cnt").as("f"))
+      val singles = subs.filter(length(col("piece")) === 1)
+      val multis = subs.filter(length(col("piece")) > 1)
+        .orderBy(col("f").desc, col("piece")).limit(TopMulti)
+      // Bounded model-state collect: ≤ TopMulti + |alphabet| rows.
+      val seed = singles.unionByName(multis).collect()
+        .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+      val vocabPieces = seed.map(_._1)
+      val t0 = seed.map(_._2).sum
+      var scores: Map[String, Long] =
+        seed.map { case (p, f) => p -> fix(math.log(f.toDouble / t0)) }.toMap
+      var counts: Map[String, Long] = Map.empty
+      def segUnder(sc: Map[String, Long]) = {
+        val (ps, ss) = sc.toSeq.sortBy(_._1).unzip // deterministic arrays
+        GraftNative.unigramSegment(col("w"), ps, ss, LMax)
+      }
+      for (_ <- 1 to EmRounds) {
+        // E-step: map-side Viterbi over distinct words, vocabulary-sized
+        // aggregation; collect is bounded by the vocab (≤ 84 rows here).
+        counts = words.select(explode(segUnder(scores)).as("piece"), col("cnt"))
+          .groupBy("piece").agg(sum("cnt").as("c"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        // M-step: Laplace re-score over the FIXED vocabulary (smoothing
+        // keeps never-chosen pieces finite; no pruning, so the oracle's
+        // vocab CTE is stable across rounds).
+        val tt = vocabPieces.map(p => counts.getOrElse(p, 0L) + 1).sum
+        scores = vocabPieces
+          .map(p => p -> fix(math.log((counts.getOrElse(p, 0L) + 1).toDouble / tt)))
+          .toMap
+      }
+      val vocabOut = vocabPieces.toSeq
+        .map(p => (p, counts.getOrElse(p, 0L), scores(p)))
+      val wordTok = words.select(col("w"),
+          size(segUnder(scores)).cast("long").as("ntok"))
+        .localCheckpoint(true)
+      (vocabOut, wordTok)
+    } finally CheckpointRelease.release(words)
+  }
+
+  /** Graded: the trained vocabulary after 2 Viterbi-EM rounds — piece,
+    * its final E-step count, and its final fixed-point log-prob. */
+  def llmUnigramTrain(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    unigramCore(s, d)._1.toDF("piece", "cnt", "score")
+      .orderBy(col("cnt").desc, col("piece"))
+  }
+
+  /** Graded: corpus token economics under the trained tokenizer — the
+    * same broadcast-join shape (and output contract) as llm_bpe_encode,
+    * so the two families' fertility columns compare directly. */
+  def llmUnigramEncode(s: SparkSession, d: String): DataFrame = {
+    val wordTok = unigramCore(s, d)._2
+    t(s, d, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 1)
+      .join(broadcast(wordTok), Seq("w")) // inner: every corpus word is in wordTok
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum("ntok").as("n_tokens"),
+        sum(length(col("w")).cast("long")).as("n_chars"))
+      .withColumn("fertility",
+        floor(col("n_chars").cast("double") / col("n_tokens") * 10000 + 0.5) / 10000.0)
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "llm_unigram_train" -> (llmUnigramTrain _),
+    "llm_unigram_encode" -> (llmUnigramEncode _),
+  )
+
+  // ------------------------------------------------------------------
+  // DuckDB oracles: the EM loop unrolls (fixed EmRounds, the BPE/pagerank
+  // discipline) and each Viterbi pass is a recursive-CTE integer DP.
+  // The forward pass carries the whole best/pred history as LISTS on the
+  // row (standard recursive CTEs only see the previous step, so the row
+  // carries its own DP table); the backtrack walks pred from len(w) to 0
+  // rebuilding the pieces. Candidate choice is `max score, then min
+  // start` — exactly the kernel's ascending-i strict-> loop. Verified
+  // value-identical to the Spark path at sf0.01 AND sf0.1.
+  // ------------------------------------------------------------------
+
+  /** One Viterbi pass over `words` under the score map `scmapRel` (a
+    * one-row relation with a MAP column m); yields seg_`tag`(w, cnt,
+    * pieces). DuckDB map extraction `m[k]` returns a LIST — `[1]` takes
+    * the value, NULL when the piece is out of vocabulary. */
+  private def tower(tag: String, scmapRel: String): String =
+    s"""vit_$tag AS (
+  SELECT w, cnt, 0 AS j, [CAST(0 AS BIGINT)] AS best, [CAST(0 AS INTEGER)] AS pred
+  FROM words
+  UNION ALL
+  SELECT w, cnt, j + 1, list_append(best, cand_$tag.msc), list_append(pred, cand_$tag.pi)
+  FROM vit_$tag, $scmapRel,
+  LATERAL (
+    SELECT list_max(list_transform(valid, x -> x.sc)) AS msc,
+      list_min(list_transform(list_filter(valid, x ->
+        x.sc = list_max(list_transform(valid, y -> y.sc))), x -> x.i)) AS pi
+    FROM (SELECT list_filter(
+            list_transform(generate_series(greatest(0, j + 1 - $LMax), j),
+              i -> struct_pack(sc := best[i + 1] + m[substr(w, i + 1, j + 1 - i)][1],
+                               i := i)),
+            x -> x.sc IS NOT NULL) AS valid)
+  ) cand_$tag
+  WHERE j < length(w)
+),
+bt_$tag AS (
+  SELECT w, cnt, length(w) AS j, pred, CAST([] AS VARCHAR[]) AS pieces
+  FROM vit_$tag WHERE j = length(w)
+  UNION ALL
+  SELECT w, cnt, pred[j + 1], pred,
+    list_prepend(substr(w, pred[j + 1] + 1, j - pred[j + 1]), pieces)
+  FROM bt_$tag WHERE j > 0
+),
+seg_$tag AS (SELECT w, cnt, pieces FROM bt_$tag WHERE j = 0)"""
+
+  /** M-step from seg_`seg`: counts over the fixed vocab, add-one
+    * smoothing, fixed-point ln scores, and the next score map. */
+  private def mstep(seg: String, out: String): String =
+    s"""c_$out AS (
+  SELECT v.piece, coalesce(u.c, 0) AS c
+  FROM vocab v LEFT JOIN (
+    SELECT piece, CAST(sum(cnt) AS BIGINT) AS c
+    FROM (SELECT cnt, unnest(pieces) AS piece FROM $seg) GROUP BY 1) u
+  ON v.piece = u.piece
+),
+t_$out AS (SELECT sum(c + 1) AS t FROM c_$out),
+sc_$out AS (SELECT piece, c, CAST(floor(1e6 * ln(CAST(c + 1 AS DOUBLE) / t.t) + 0.5) AS BIGINT) AS s
+            FROM c_$out, t_$out t),
+map_$out AS (SELECT map(list(piece), list(s)) AS m FROM sc_$out)"""
+
+  /** Shared prefix: word histogram, seed vocabulary, initial scores, and
+    * the two unrolled EM rounds (tower → M-step, twice). */
+  private def unigramOracleCtes: String =
+    s"""WITH RECURSIVE
+words AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE length(w) >= 1 GROUP BY 1
+),
+subs AS (
+  SELECT substr(w, CAST(i AS INTEGER), CAST(l AS INTEGER)) AS piece, CAST(sum(cnt) AS BIGINT) AS f
+  FROM (SELECT w, cnt, unnest(generate_series(1, $LMax)) AS l FROM words),
+       LATERAL (SELECT unnest(generate_series(1, length(w) - l + 1)) AS i)
+  WHERE l <= length(w)
+  GROUP BY 1
+),
+vocab AS (
+  SELECT piece, f FROM subs WHERE length(piece) = 1
+  UNION ALL
+  SELECT piece, f FROM (
+    SELECT piece, f, row_number() OVER (ORDER BY f DESC, piece) AS rk
+    FROM subs WHERE length(piece) > 1) WHERE rk <= $TopMulti
+),
+t0 AS (SELECT sum(f) AS t FROM vocab),
+sc_0 AS (SELECT piece, CAST(floor(1e6 * ln(CAST(f AS DOUBLE) / t.t) + 0.5) AS BIGINT) AS s
+         FROM vocab, t0 t),
+map_0 AS (SELECT map(list(piece), list(s)) AS m FROM sc_0),
+${tower("r1", "map_0")},
+${mstep("seg_r1", "1")},
+${tower("r2", "map_1")},
+${mstep("seg_r2", "2")}"""
+
+  private def unigramTrainOracle: String =
+    unigramOracleCtes +
+      " SELECT piece, c AS cnt, s AS score FROM sc_2 ORDER BY cnt DESC, piece"
+
+  private def unigramEncodeOracle: String =
+    unigramOracleCtes + s""",
+${tower("enc", "map_2")},
+wordtok AS (SELECT w, CAST(len(pieces) AS BIGINT) AS ntok FROM seg_enc),
+dw AS (SELECT doc_id, w FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) WHERE length(w) >= 1)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+  CAST(sum(ntok) AS BIGINT) AS n_tokens,
+  CAST(sum(length(w)) AS BIGINT) AS n_chars,
+  floor(CAST(sum(length(w)) AS DOUBLE) / sum(ntok) * 10000 + 0.5) / 10000.0 AS fertility
+FROM dw JOIN wordtok USING (w) GROUP BY doc_id ORDER BY doc_id"""
+
+  val oracles: Map[String, String] = Map(
+    "llm_unigram_train" -> unigramTrainOracle,
+    "llm_unigram_encode" -> unigramEncodeOracle,
+  )
+}

@@ -81,4 +81,9 @@ object GraftNative {
   def quantizedCodes(vec: Column, codebook: Seq[Seq[Seq[Long]]], subDim: Int): Column =
     ExpressionUtils.column(QuantizedCodes(ExpressionUtils.expression(vec),
       codebook.map(_.map(_.toArray).toArray).toArray, subDim))
+
+  def unigramSegment(w: Column, pieces: Seq[String], scores: Seq[Long],
+      maxLen: Int): Column =
+    ExpressionUtils.column(UnigramSegment(ExpressionUtils.expression(w),
+      pieces.toArray, scores.toArray, maxLen))
 }
