@@ -985,6 +985,27 @@ object LlmTextOps {
       .limit(20)
   }
 
+  /** [[annIvfTopk]] served from the PERSISTED index: the IVF codebook is
+    * read back through the `graft-vt` versioned table
+    * (PortableQuantizer.indexRoot — trained once, committed like data,
+    * time-travelable) instead of re-trained per session. Same answer,
+    * same oracle; the difference is the operational posture a 100 TB
+    * pipeline needs — a restarted serving job pays one bounded index
+    * lookup (K manifest-pruned rows), zero Lloyd's jobs, before the same
+    * map-only assign + bucketed pair join. Cross-session no-retrain is
+    * asserted in VtDataSourceSpec via the trainRuns counter. */
+  def annIvfPersisted(s: SparkSession, d: String): DataFrame = {
+    val assigned = memo(s, d, "ivf_persisted") {
+      val cb = PortableQuantizer.ivfFromIndex(s, d)
+      t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          PortableQuantizer.ivfAssign(cb, col("embedding")).as("bucket"))
+    }
+    bucketedPairSims(assigned)
+      .orderBy(col("sim").desc, col("a_id"), col("b_id"))
+      .limit(20)
+  }
+
   /** Symmetric int8 embedding quantization — the standard 4× memory/IO
     * reduction for vector search at 100 TB (a 64-dim float corpus shrinks
     * from 256 B to 64 B + one scale per vector; bucketed-ANN candidate
@@ -1092,6 +1113,7 @@ object LlmTextOps {
     "emb_quantize_int8" -> (embQuantizeInt8 _),
     "llm_dedup_embedding" -> (llmDedupEmbedding _),
     "ann_ivf_topk" -> (annIvfTopk _),
+    "ann_ivf_persisted" -> (annIvfPersisted _),
     "llm_lang_id" -> (llmLangId _),
     "llm_token_count" -> (llmTokenCount _),
     "llm_domain_mix" -> (llmDomainMix _),
@@ -1213,6 +1235,11 @@ object LlmTextOps {
     "llm_dedup_simhash" -> simhashBucketsOracle,
     "ann_lsh_topk" -> annLshOracle,
     "ann_ivf_topk" -> PortableQuantizer.ivfOracle,
+    // persisted-index serve: same centroids (write→read roundtrip of
+    // exact BIGINTs), same assignment, same pairs — the oracle is
+    // deliberately IDENTICAL; what the key grades is that the vt
+    // write/read path changes nothing
+    "ann_ivf_persisted" -> PortableQuantizer.ivfOracle,
     "emb_quantize_int8" ->
       ("WITH qd AS (SELECT vec_id, " +
         "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dbl, " +

@@ -113,4 +113,38 @@ class VtDataSourceSpec extends SparkTestBase {
     assert(t.statsCol.contains("o_totalprice"))
     assert(t.pruneFiles(0.0, 1.0).size < t.pruneFiles(Double.NegativeInfinity, Double.PositiveInfinity).size)
   }
+
+  test("persisted ANN index: cross-session serve with ZERO retraining, exact roundtrip") {
+    import graft.operators.{LlmTextOps, PortableQuantizer}
+    // build (and persist) the index under the base session — this may train
+    val root = PortableQuantizer.indexRoot(spark, SF)
+    val trained = PortableQuantizer.ivfCentroids(spark, SF)
+    val trainedPq = PortableQuantizer.pqCodebook(spark, SF)
+    // a FRESH session: new session uuid → every trainer memo is cold, so
+    // any training on the serve path would run Lloyd's again and bump
+    // the counter
+    val s2 = spark.newSession()
+    val before = PortableQuantizer.trainRuns.get()
+    val served = PortableQuantizer.ivfFromIndex(s2, SF)
+    val servedPq = PortableQuantizer.pqFromIndex(s2, SF)
+    val pairs = LlmTextOps.annIvfPersisted(s2, SF).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(PortableQuantizer.trainRuns.get() == before,
+      "serving from the persisted index re-ran Lloyd's training")
+    // exact int64 roundtrip through the versioned table
+    assert(served == trained)
+    assert(servedPq == trainedPq)
+    // and the served answer is the trained-path answer
+    val direct = LlmTextOps.annIvfTopk(spark, SF).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs == direct && pairs.nonEmpty)
+    // time travel: v0 is the IVF-only index, the current version adds PQ
+    val v0 = spark.read.format("graft-vt").option("path", root)
+      .option("asOf", "0").load()
+    assert(v0.filter(col("kind") === "pq").count() == 0)
+    assert(v0.filter(col("kind") === "ivf").count() == trained.size)
+    val v1 = spark.read.format("graft-vt").option("path", root).load()
+    assert(v1.filter(col("kind") === "pq").count() ==
+      trainedPq.map(_.size).sum)
+  }
 }
