@@ -481,4 +481,62 @@ class StreamingOpsSpec extends SparkTestBase {
       assert(t.read().count() == got.size, "replayed ANN batch duplicated rows")
     } finally q.stop()
   }
+
+  test("offline file-source e2e: staged dir → watermark dedup → exactly-once vt sink across restart") {
+    // The closest offline stand-in for a Kafka pipeline this sandbox can
+    // run: a directory-watching file source (files land ATOMICALLY via
+    // rename, the production contract for file ingestion), watermarked
+    // stateful dedup, and the idempotent versioned-table sink — run as
+    // two separate AvailableNow queries over ONE checkpoint, i.e. a
+    // process-exit-and-resume. The restart must (a) restore the dedup
+    // state (a cross-run duplicate id stays suppressed) and (b) not
+    // re-deliver the first run's batches to the table.
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import org.apache.spark.sql.streaming.Trigger
+    val base = Files.createTempDirectory("graft_filestream").toString
+    val inDir = Paths.get(base, "in"); Files.createDirectories(inDir)
+    val t = graft.tables.VersionedTable.create(spark, base + "/t",
+      Seq.empty[Event].toDS.toDF)
+    val sink: (org.apache.spark.sql.DataFrame, Long) => Unit =
+      StreamingOps.versionedTableSink(t, "file-e2e")
+
+    def stage(name: String, rows: Seq[Event]): Unit = {
+      val lines = rows.map(e =>
+        s"""{"event_id":${e.event_id},"ts":"${e.ts.toString.replace(' ', 'T')}",""" +
+          s""""user_id":${e.user_id},"event_type":"${e.event_type}","value":${e.value}}""")
+      val tmp = Files.createTempFile(Paths.get(base), "stage-", ".json")
+      Files.write(tmp, lines.mkString("\n").getBytes("UTF-8"))
+      // write OUTSIDE the watched dir, then atomic rename in — a file
+      // source must never observe a half-written file
+      Files.move(tmp, inDir.resolve(name + ".json"), StandardCopyOption.ATOMIC_MOVE)
+    }
+
+    val schema = implicitly[org.apache.spark.sql.Encoder[Event]].schema
+    def runOnce(): Unit = {
+      val in = spark.readStream.schema(schema).json(inDir.toString)
+      val q = StreamingOps.dedupStream(in)
+        .writeStream.option("checkpointLocation", base + "/ckpt")
+        .foreachBatch(sink)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(120000), "AvailableNow query did not drain")
+    }
+
+    stage("b0", Seq(ev(1, ts(10)), ev(2, ts(10, 1)), ev(1, ts(10)))) // in-file dup of 1
+    runOnce() // run 1, then the query (and its driver-side state) is GONE
+    assert(t.read().select("event_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+
+    stage("b1", Seq(ev(2, ts(10, 2)), ev(3, ts(10, 3)))) // id 2 duplicates RUN 1
+    runOnce() // run 2 resumes from the checkpoint
+    assert(t.read().select("event_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L),
+      "restart must restore dedup state (2 suppressed) and not re-deliver run 1")
+    val versionsAfter = t.versions
+
+    // crash-between-commit-and-checkpoint: Structured Streaming replays
+    // the last micro-batch with the SAME batchId; the txn-stamped append
+    // must be a no-op on both contents and version history
+    sink(Seq(ev(3, ts(10, 3))).toDS.toDF, 1L)
+    assert(t.read().count() == 3, "replayed micro-batch duplicated rows")
+    assert(t.versions == versionsAfter, "replayed micro-batch committed a version")
+  }
 }
