@@ -519,6 +519,34 @@ object RelationalOps {
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
+  /** The Q1 pricing sums on a DECIMAL money path (the one type family
+    * real TPC-H data has that the double fixtures don't): every money
+    * column casts to a tight decimal at the scan (the data is 2-dp by
+    * construction, so the cast recovers exact cents identically in both
+    * engines — the proven tpch_q9_profit treatment) and the per-row
+    * discount/tax arithmetic and the per-group sums all run in EXACT
+    * decimal — no floating accumulation anywhere. Widths are chosen so
+    * the widest product, decimal(12,2)·(5,2)·(5,2) summed over a group,
+    * stays inside 38 digits on BOTH engines (Spark would otherwise
+    * silently truncate scale under allowPrecisionLoss; DuckDB would
+    * overflow). Output is the cent-exact value surfaced as 2-dp doubles
+    * (exact — values ≪ 2^53/100), the cross-engine-stable output type. */
+  def aggGroupbyQ1Decimal(s: SparkSession, d: String): DataFrame = {
+    val price = col("l_extendedprice").cast("decimal(12,2)")
+    val oneMinusDisc = lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(4,2)")
+    val onePlusTax = lit(1).cast("decimal(3,2)") + col("l_tax").cast("decimal(4,2)")
+    t(s, d, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum(col("l_quantity").cast("decimal(8,2)")), 2).cast("double").as("sum_qty"),
+        round(sum(price), 2).cast("double").as("sum_base_price"),
+        round(sum(price * oneMinusDisc), 2).cast("double").as("sum_disc_price"),
+        round(sum(price * oneMinusDisc * onePlusTax), 2).cast("double").as("sum_charge"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
   /** D3: exact multi-distinct aggregation (Expand + 2-phase agg). */
   def aggCountDistinct(s: SparkSession, d: String): DataFrame =
     t(s, d, "lineitem")
@@ -1080,6 +1108,7 @@ object RelationalOps {
     "sub_in_uncorr" -> (subInUncorr _),
     "agg_global" -> (aggGlobal _),
     "agg_groupby_q1" -> (aggGroupbyQ1 _),
+    "agg_groupby_q1_decimal" -> (aggGroupbyQ1Decimal _),
     "agg_count_distinct" -> (aggCountDistinct _),
     "agg_approx_hll" -> (aggApproxHll _),
     "agg_approx_percentile" -> (aggApproxPercentile _),
@@ -1201,6 +1230,18 @@ object RelationalOps {
       "SELECT count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty, round(avg(l_extendedprice), 4) AS avg_price, min(l_quantity) AS min_qty, max(l_quantity) AS max_qty, min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship FROM lineitem",
     "agg_groupby_q1" ->
       "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, round(sum(l_extendedprice), 2) AS sum_base_price, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price, round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2) AS sum_charge, round(avg(l_quantity), 4) AS avg_qty, round(avg(l_extendedprice), 4) AS avg_price, round(avg(l_discount), 4) AS avg_disc, count(*) AS count_order FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus",
+    // decimal money path: identical tight casts on both engines; the
+    // sums are exact decimal end-to-end, only the OUTPUT drops to 2-dp
+    // doubles (exact) for the cross-engine compare
+    "agg_groupby_q1_decimal" ->
+      ("SELECT l_returnflag, l_linestatus, " +
+        "CAST(round(sum(CAST(l_quantity AS DECIMAL(8,2))), 2) AS DOUBLE) AS sum_qty, " +
+        "CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_base_price, " +
+        "CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS sum_disc_price, " +
+        "CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))), 2) AS DOUBLE) AS sum_charge, " +
+        "count(*) AS count_order " +
+        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' " +
+        "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
     "agg_count_distinct" ->
       "SELECT l_returnflag, count(DISTINCT l_partkey) AS nd_part, count(DISTINCT l_suppkey) AS nd_supp, count(*) AS cnt FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
     "agg_stats" ->

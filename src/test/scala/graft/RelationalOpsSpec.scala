@@ -38,6 +38,34 @@ class RelationalOpsSpec extends SparkTestBase {
     assert(rows.toSet == Set((1L, 3L)), s"expected only the 1-3 pair: ${rows.mkString(", ")}")
   }
 
+  test("decimal Q1: sums run in exact decimal and agree with the double path to the cent") {
+    val dec = RelationalOps.aggGroupbyQ1Decimal(spark, SF).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    val dbl = RelationalOps.aggGroupbyQ1(spark, SF).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(dec.keySet == dbl.keySet && dec.nonEmpty)
+    // double accumulation error at fixture scale is far below a cent, so
+    // the exact-decimal answer must round to the same 2-dp values
+    dec.foreach { case (k, (a1, a2, a3, a4)) =>
+      val (b1, b2, b3, b4) = dbl(k)
+      Seq(a1 - b1, a2 - b2, a3 - b3, a4 - b4).foreach(d =>
+        assert(math.abs(d) < 0.011, s"$k drifted by $d"))
+    }
+    // and the aggregation really is decimal: every pricing sum's input
+    // is DecimalType (not a double that was cast after the fact)
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    val agg = RelationalOps.aggGroupbyQ1Decimal(spark, SF)
+      .queryExecution.analyzed.collectFirst { case a: Aggregate => a }.get
+    val sumInputs = agg.aggregateExpressions.flatMap(_.collect {
+      case s: org.apache.spark.sql.catalyst.expressions.aggregate.Sum => s.child.dataType
+    })
+    assert(sumInputs.nonEmpty &&
+      sumInputs.forall(_.isInstanceOf[org.apache.spark.sql.types.DecimalType]),
+      s"non-decimal sum inputs: $sumInputs")
+  }
+
   test("fuzzy join emits a duplicate-name (lev 0) pair exactly ONCE") {
     // identical names match BOTH pass keys; the differ-at-17 filter on
     // pass A keeps the passes a true partition of the qualifying pairs
