@@ -224,6 +224,65 @@ object StressCheck {
       require(top.getDouble(1) > 20.0 / n, s"power-law hub not surfaced: $top (n=$n)")
       n
     }
+    // 9b-9c. GRAPH family at 40x the sf0.1 edge volume (round-8): the
+    // 24M-edge run the 100 TB extrapolation argument actually needs —
+    // same power-law bulk and reserved planted block, DEEPER traversal
+    // (3 hops) on the BFS so the frontier crosses more rounds, and the
+    // same analytic PageRank invariants (fixed-point cycles, conserved
+    // mass, surfaced hub) that cannot pass by accident.
+    val nGraphEdges40 = (24000000 * scale).toLong // 40x sf0.1's ~600k
+    val nGraphNodes40 = (200000 * scale).toLong
+    def bulkEdges40: DataFrame = spark.range(nGraphEdges40).select(
+      (floor(pow(pmod(xxhash64(col("id"), lit(11)), lit(1000000L)) / 1000000.0, 3.0)
+        * nGraphNodes40).cast("long") + 1000L).as("src"),
+      (pmod(xxhash64(col("id"), lit(12)), lit(nGraphNodes40)) + 1000L).as("dst"),
+      lit(1.0).as("w"))
+
+    // 9b. 3-hop BFS over 24M skewed edges: 100 planted 3-chains
+    // (i -> i+100 -> i+200 -> i+300) in the reserved block; every seed
+    // must reach EXACTLY its 3 chain nodes across three frontier rounds.
+    time("graph_khop_24m") {
+      val probes = spark.range(100).select(col("id").as("src"),
+          (col("id") + 100).as("dst"), lit(1.0).as("w"))
+        .union(spark.range(100).select((col("id") + 100).as("src"),
+          (col("id") + 200).as("dst"), lit(1.0).as("w")))
+        .union(spark.range(100).select((col("id") + 200).as("src"),
+          (col("id") + 300).as("dst"), lit(1.0).as("w")))
+      val edges = bulkEdges40.union(probes)
+      val seeds = spark.range(100).select(col("id").as("seed"))
+      val reach = graft.operators.GraphOps.khopReach(edges, seeds, 3)
+        .where(col("id") =!= col("seed"))
+        .groupBy("seed").agg(count(lit(1)).as("n")).collect()
+      require(reach.length == 100 && reach.forall(_.getLong(1) == 3L),
+        s"planted 3-hop chains not found exactly: ${reach.take(5).mkString(",")}")
+      reach.length.toLong
+    }
+    // 9c. PageRank at 24M edges: identical invariants to item 9 — the
+    // isolated 2-cycles must sit on the 1/n fixed point through all 5
+    // rounds, total mass must stay a distribution, and the power-law hub
+    // must surface. What changes at 40x is only what SHOULD change:
+    // shuffle volume per round.
+    time("graph_pagerank_24m") {
+      val cycles = spark.range(50).select(
+        (col("id") * 2 + 500L).as("src"), (col("id") * 2 + 501L).as("dst"), lit(1.0).as("w"))
+      val e0 = bulkEdges40.union(cycles)
+      val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+      val pr = graft.operators.GraphOps.pageRank(edges).localCheckpoint(true)
+      try {
+        val n = pr.count()
+        val mass = pr.agg(sum("rank")).collect()(0).getDouble(0)
+        require(math.abs(mass - 1.0) < 1e-6, s"rank mass drifted: $mass")
+        val planted = pr.filter(col("id").between(500L, 599L)).collect()
+        require(planted.length == 100 &&
+          planted.forall(r => math.abs(r.getDouble(1) - 1.0 / n) < 1e-12),
+          s"isolated 2-cycles drifted off the 1/n fixed point (n=$n): " +
+            planted.take(3).mkString(","))
+        val top = pr.orderBy(col("rank").desc).limit(1).collect()(0)
+        require(top.getDouble(1) > 20.0 / n, s"power-law hub not surfaced: $top (n=$n)")
+        n
+      } finally org.apache.spark.sql.graftnative.CheckpointRelease.release(pr)
+    }
+
     // 10. Co-purchase pairs: 4-item uniform baskets plus 500 planted
     // baskets containing the pair (7, 9) — the top co-occurring pair
     // must be exactly (7, 9, 500) after the per-basket pair expansion
