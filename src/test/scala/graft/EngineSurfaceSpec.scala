@@ -106,7 +106,8 @@ class EngineSurfaceSpec extends SparkTestBase {
       "LlmCorpusOps" -> LlmCorpusOps.queries.keySet,
       "PqOps" -> PqOps.queries.keySet,
       "GraphOps" -> GraphOps.queries.keySet,
-      "AdvancedOps" -> AdvancedOps.queries.keySet)
+      "AdvancedOps" -> AdvancedOps.queries.keySet,
+      "UnigramOps" -> UnigramOps.queries.keySet)
     val perRegistry = registries.map(_._2.size).sum
     assert(perRegistry == SparkEntry.queries.size,
       s"key collision across registries: ${
