@@ -60,13 +60,25 @@ class PortableQuantizerSpec extends SparkTestBase {
   test("null ELEMENT yields null codes on both eval paths (HOF-twin parity)") {
     // embeddings declares containsNull=true; the HOF formulation
     // null-propagates through transform/zip_with, so the kernel must
-    // return null rather than silently reading the slot as 0.0f
+    // return null rather than silently reading the slot as 0.0f.
+    // The rows go through PARQUET, not a local literal relation: a
+    // literal Seq constant-folds into a LocalTableScan that evaluates
+    // interpretedly regardless of the codegen conf, which would leave
+    // the hand-written doGenCode null branch untested.
     import spark.implicits._
-    val base = Seq((1L, Seq[Option[Float]](Some(0.1f), None, Some(0.3f), Some(0.4f))),
-                   (2L, Seq[Option[Float]](Some(0.1f), Some(0.2f), Some(0.3f), Some(0.4f))))
+    val dir = java.nio.file.Files.createTempDirectory("graft_nullvec").toString + "/v"
+    Seq((1L, Seq[Option[Float]](Some(0.1f), None, Some(0.3f), Some(0.4f))),
+        (2L, Seq[Option[Float]](Some(0.1f), Some(0.2f), Some(0.3f), Some(0.4f))))
       .toDF("id", "v").select(col("id"), col("v").cast("array<float>").as("v"))
-    val df = base.select(col("id"), org.apache.spark.sql.graftnative.GraftNative
-      .quantizedCodes(col("v"), Seq(Seq(Seq(0L, 0L, 0L, 0L))), 4).as("codes"))
+      .write.parquet(dir)
+    val df = spark.read.parquet(dir)
+      .select(col("id"), org.apache.spark.sql.graftnative.GraftNative
+        .quantizedCodes(col("v"), Seq(Seq(Seq(0L, 0L, 0L, 0L))), 4).as("codes"))
+    // the codegen run must actually BE codegen: a scan-backed projection
+    // plans a WholeStageCodegen span
+    assert(df.queryExecution.executedPlan.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.WholeStageCodegenExec]),
+      s"no codegen span in:\n${df.queryExecution.executedPlan}")
     def run(): Map[Long, Boolean] =
       df.collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
     val gen = run()

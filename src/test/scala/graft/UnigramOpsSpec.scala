@@ -71,13 +71,22 @@ class UnigramOpsSpec extends SparkTestBase {
       .filter(length(col("c")) === 1).distinct().collect().map(_.getString(0)).toSet
     assert(chars.subsetOf(pieces), s"missing single chars: ${chars -- pieces}")
     assert(vocab.size <= UnigramOps.TopMulti + chars.size)
-    // E-step counts are word-frequency-weighted piece usages: their sum
-    // is the corpus token count, which encode must agree with
-    val totalTokens = vocab.map(_._2).sum
+    // the E-step counts come from the ROUND-2 segmentation (under the
+    // round-1 scores) while encode segments under the FINAL scores, so
+    // Σcounts == encode-total is NOT an invariant. What is: encode's
+    // token total equals an independent Viterbi pass under the final
+    // scores over the word histogram.
+    val (ps, ss) = vocab.map(t => (t._1, t._3)).sortBy(_._1).unzip
+    val expected = Tables.load(spark, SF, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 1)
+      .select(size(GraftNative.unigramSegment(col("w"), ps, ss,
+        UnigramOps.LMax)).cast("long").as("ntok"))
+      .agg(sum("ntok")).collect().head.getLong(0)
     val enc = UnigramOps.llmUnigramEncode(spark, SF)
       .agg(sum("n_tokens")).collect().head.getLong(0)
-    assert(totalTokens == enc,
-      s"train counts sum $totalTokens != encode token total $enc")
+    assert(expected == enc,
+      s"final-score Viterbi total $expected != encode token total $enc")
   }
 
   test("unigram fertility is a real tokenizer: multi-char pieces get used") {

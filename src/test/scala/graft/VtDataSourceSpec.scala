@@ -146,5 +146,14 @@ class VtDataSourceSpec extends SparkTestBase {
     val v1 = spark.read.format("graft-vt").option("path", root).load()
     assert(v1.filter(col("kind") === "pq").count() ==
       trainedPq.map(_.size).sum)
+    // restart-equivalence: bootstrap against an ALREADY-COMMITTED durable
+    // root (what a restarted process does) is a pure open — the
+    // build-if-absent check must see v1 and run zero training jobs
+    val before2 = PortableQuantizer.trainRuns.get()
+    val again = PortableQuantizer.indexRootAt(s2, SF,
+      root.stripSuffix("/t"))
+    assert(again == root)
+    assert(PortableQuantizer.trainRuns.get() == before2,
+      "re-bootstrap of a committed index root re-ran training")
   }
 }
