@@ -149,13 +149,22 @@ object PortableQuantizer {
     * `base` directory. Completeness is judged by the version history:
     * no manifest → full build; only v0 (a crash between the two commits)
     * → append the PQ batch; v1 present → pure open, no training jobs.
-    * Single-writer bootstrap assumption (the VersionedTable commit is
-    * atomic-exclusive, so racing bootstrappers fail loudly rather than
-    * corrupt). */
+    * Race posture: concurrent creators collide on the atomic-exclusive
+    * v0 commit (one wins, the other fails loudly); concurrent PQ
+    * completions share one idempotent txn (one commits, the other
+    * no-ops). Neither interleaving can duplicate or corrupt the index. */
   def indexRootAt(s: SparkSession, d: String, base: String): String = {
     val root = base + "/t"
     import s.implicits._
-    if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(root, "_manifests"))) {
+    // "absent" = no COMMITTED v0 manifest, not a bare directory test:
+    // VersionedTable.create makes _manifests before the v0 commit lands,
+    // so a crashed first build leaves the directory behind — checking it
+    // would wedge the root forever (open succeeds, versions is empty).
+    // The v0 manifest file IS the commit point, so its existence is the
+    // correct resume predicate; racing creators still collide on the
+    // atomic-exclusive v0 link and fail loudly.
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(root, "_manifests", "v00000000.json"))) {
       val ivf = ivfCentroids(s, d).zipWithIndex
         .map { case (c, b) => ("ivf", 0, b, c) }
       graft.tables.VersionedTable.create(s, root, ivf.toDF("kind", "m", "k", "vals"))
@@ -166,7 +175,12 @@ object PortableQuantizer {
       val pq = pqCodebook(s, d).zipWithIndex.flatMap { case (sub, m) =>
         sub.zipWithIndex.map { case (c, code) => ("pq", m, code, c) }
       }
-      t.append(pq.toDF("kind", "m", "k", "vals"))
+      // idempotent, not append: two bootstrappers both inside the
+      // v0-only window would otherwise BOTH succeed (append rebases
+      // through the v1 conflict) and double every PQ row; the fixed txn
+      // id makes the loser a no-op — the same exactly-once machinery the
+      // streaming sink rides.
+      t.appendIdempotent(pq.toDF("kind", "m", "k", "vals"), "ann-index:pq")
       ()
     }
     root

