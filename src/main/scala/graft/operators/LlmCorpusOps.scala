@@ -478,7 +478,53 @@ object LlmCorpusOps {
       .limit(25)
   }
 
+  /** Bigram-LM perplexity per document — THE standard statistical
+    * quality-filter signal (heuristic scores flag boilerplate; perplexity
+    * flags text the corpus's own language model finds improbable). The
+    * model is add-one-smoothed bigram MLE trained on the corpus itself:
+    * p(w2|w1) = (c(w1,w2)+1) / (c(w1)+V). Cross-engine determinism uses
+    * the unigram tokenizer's fixed-point discipline: the ONE ln() per
+    * model bigram rounds to millionth-nats (BIGINT) before anything
+    * sums, the per-doc negative-log-likelihood is then an EXACT integer
+    * total (immune to float summation order), and only the final
+    * exp(nll/1e6/n) drops to a rounded double.
+    *
+    * Scale posture (100 TB): one shuffle on doc_id for the lag bigrams,
+    * one on (w1,w2) for the model build, and a model join whose right
+    * side is bounded by the OBSERVED bigram vocabulary (broadcast when
+    * small, shuffle otherwise — Catalyst/AQE decides from stats); scored
+    * docs never re-shuffle except the final per-doc aggregation. Scoring
+    * the training corpus means every bigram hits the model (inner join
+    * is total); scoring FRESH text against a frozen model would add the
+    * unseen-bigram fallback p = 1/(c(w1)+V) as a left-join coalesce. */
+  def llmPerplexity(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = t(s, d, "documents")
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .withColumnRenamed("col", "word")
+      .filter(length(col("word")) >= 1)
+    val bg = w
+      .withColumn("w1", lag("word", 1).over(
+        Window.partitionBy("doc_id").orderBy("pos")))
+      .filter(col("w1").isNotNull)
+      .select(col("doc_id"), col("w1"), col("word").as("w2"))
+    val model = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val lc = model.groupBy("w1").agg(sum("c12").as("c1"))
+    val v = w.agg(countDistinct("word").as("nv"))
+    val scores = model.join(lc, "w1").crossJoin(broadcast(v))
+      .select(col("w1"), col("w2"),
+        floor(lit(1e6) * log((col("c12") + 1).cast("double") / (col("c1") + col("nv"))) + 0.5)
+          .cast("long").as("s"))
+    bg.join(scores, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), (-sum("s")).cast("long").as("nll6"))
+      .withColumn("perplexity",
+        floor(exp(col("nll6").cast("double") / 1e6 / col("n_bigrams")) * 1e4 + 0.5) / 1e4)
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "llm_perplexity" -> (llmPerplexity _),
     "llm_tfidf_cosine" -> (llmTfidfCosine _),
     "llm_pipeline_e2e" -> (llmPipelineE2e _),
     "llm_stratified_sample" -> (llmStratifiedSample _),
@@ -497,6 +543,25 @@ object LlmCorpusOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // same integer-score discipline as the Spark side: one rounded ln()
+    // per MODEL bigram, exact BIGINT nll sums, rounded exp at the end
+    "llm_perplexity" ->
+      ("""WITH w AS (SELECT doc_id, pos, word FROM (SELECT doc_id, """ +
+        "unnest(string_split(text, ' ')) AS word, " +
+        "generate_subscripts(string_split(text, ' '), 1) AS pos FROM documents) " +
+        "WHERE length(word) >= 1), " +
+        "bg AS (SELECT doc_id, lag(word) OVER (PARTITION BY doc_id ORDER BY pos) AS w1, word AS w2 " +
+        "FROM w QUALIFY w1 IS NOT NULL), " +
+        "model AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2), " +
+        "lc AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM model GROUP BY 1), " +
+        "v AS (SELECT count(DISTINCT word) AS nv FROM w), " +
+        "scores AS (SELECT m.w1, m.w2, CAST(floor(1e6 * ln(CAST(m.c12 + 1 AS DOUBLE) / (lc.c1 + v.nv)) + 0.5) AS BIGINT) AS s " +
+        "FROM model m JOIN lc USING (w1), v) " +
+        "SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, " +
+        "CAST(-sum(s.s) AS BIGINT) AS nll6, " +
+        "floor(exp(CAST(-sum(s.s) AS DOUBLE) / 1e6 / count(*)) * 1e4 + 0.5) / 1e4 AS perplexity " +
+        "FROM bg b JOIN scores s ON b.w1 = s.w1 AND b.w2 = s.w2 " +
+        "GROUP BY b.doc_id ORDER BY b.doc_id"),
     // w is quantized to FLOAT (the Spark side's storage contract), then
     // widened back to DOUBLE before the norm/dot sums — exactly the
     // float->double widening the Scala kernel does per element.

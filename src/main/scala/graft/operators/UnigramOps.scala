@@ -150,9 +150,27 @@ object UnigramOps {
       .orderBy("doc_id")
   }
 
+  /** Graded: the two trained tokenizer families side by side, per
+    * document — the comparison a pipeline owner actually runs when
+    * choosing a tokenizer (same corpus, same words; whose token count /
+    * fertility wins, and by how much). Joins the two encode outputs on
+    * doc_id; both sides reuse their memoized trained models, so this
+    * costs two broadcast joins and one equi-join, never a retrain. */
+  def llmTokenizerCompare(s: SparkSession, d: String): DataFrame = {
+    val bpe = LlmTextOps.llmBpeEncode(s, d).select(col("doc_id"),
+      col("n_tokens").as("bpe_tokens"), col("fertility").as("bpe_fertility"))
+    val uni = llmUnigramEncode(s, d).select(col("doc_id"),
+      col("n_tokens").as("uni_tokens"), col("fertility").as("uni_fertility"))
+    bpe.join(uni, Seq("doc_id"))
+      .withColumn("tokens_ratio",
+        floor(col("uni_tokens").cast("double") / col("bpe_tokens") * 10000 + 0.5) / 10000.0)
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "llm_unigram_train" -> (llmUnigramTrain _),
     "llm_unigram_encode" -> (llmUnigramEncode _),
+    "llm_tokenizer_compare" -> (llmTokenizerCompare _),
   )
 
   // ------------------------------------------------------------------
@@ -264,5 +282,14 @@ FROM dw JOIN wordtok USING (w) GROUP BY doc_id ORDER BY doc_id"""
   val oracles: Map[String, String] = Map(
     "llm_unigram_train" -> unigramTrainOracle,
     "llm_unigram_encode" -> unigramEncodeOracle,
+    // the two encode oracles nested as subqueries (each carries its own
+    // WITH tower) joined on doc_id — the oracle composes exactly like
+    // the Spark side composes the two encode frames
+    "llm_tokenizer_compare" ->
+      ("SELECT b.doc_id AS doc_id, b.n_tokens AS bpe_tokens, b.fertility AS bpe_fertility, " +
+        "u.n_tokens AS uni_tokens, u.fertility AS uni_fertility, " +
+        "floor(CAST(u.n_tokens AS DOUBLE) / b.n_tokens * 10000 + 0.5) / 10000.0 AS tokens_ratio " +
+        s"FROM (${LlmTextOps.oracles("llm_bpe_encode")}) b " +
+        s"JOIN ($unigramEncodeOracle) u ON b.doc_id = u.doc_id ORDER BY doc_id"),
   )
 }

@@ -298,4 +298,49 @@ class TpchCorpusOpsSpec extends SparkTestBase {
     assert(math.abs(expected - top.getAs[Double]("score")) < 1e-3,
       s"engine ${top.getAs[Double]("score")} vs recomputed $expected")
   }
+
+  test("perplexity: bounded by smoothed-vocab mass, repeated text scores lower than the corpus") {
+    import graft.operators.LlmCorpusOps
+    val rows = LlmCorpusOps.llmPerplexity(spark, SF).collect()
+    assert(rows.length > 0)
+    val V = Tables.load(spark, SF, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 1).select("w").distinct().count()
+    rows.foreach { r =>
+      val ppl = r.getDouble(3)
+      // 1 ≤ ppl; smoothing bounds every conditional below 1 and above
+      // 1/(c1+V) ≥ 1/(corpusBigrams+V), so ppl can't exceed that inverse
+      assert(ppl >= 1.0 && ppl.isFinite, s"doc ${r.getLong(0)}: $ppl")
+      assert(r.getLong(1) > 0 && r.getLong(2) > 0) // n_bigrams, nll6
+    }
+    // a doc that is one bigram repeated must sit BELOW the corpus median
+    // perplexity: its transitions are the most predictable in any corpus
+    // containing it. Verify through the real op on a constructed corpus.
+    val dir = java.nio.file.Files.createTempDirectory("graft_ppl").toString
+    import spark.implicits._
+    val repeated = ("the " * 40).trim
+    val varied = (0 until 40).map(i => s"w${i}x").mkString(" ")
+    (Seq((1L, repeated), (2L, varied)) ++
+      (3L to 12L).map(i => (i, s"filler a$i b$i c$i d$i e$i f$i g$i h$i")))
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val out = LlmCorpusOps.llmPerplexity(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out(1L) < out(2L),
+      s"repeated-bigram doc must beat the all-rare doc: ${out(1L)} vs ${out(2L)}")
+  }
+
+  test("tokenizer compare: columns consistent with the two encode ops") {
+    import graft.operators.{LlmTextOps, UnigramOps}
+    val cmp = UnigramOps.llmTokenizerCompare(spark, SF).collect()
+    val bpe = LlmTextOps.llmBpeEncode(spark, SF).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val uni = UnigramOps.llmUnigramEncode(spark, SF).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(cmp.length == bpe.size && cmp.length == uni.size && cmp.nonEmpty)
+    cmp.foreach { r =>
+      val (id, bt, ut, ratio) = (r.getLong(0), r.getLong(1), r.getLong(3), r.getDouble(5))
+      assert(bt == bpe(id) && ut == uni(id), s"doc $id tokens drifted")
+      assert(math.abs(ratio - math.floor(ut.toDouble / bt * 10000 + 0.5) / 10000.0) == 0.0)
+    }
+  }
 }
