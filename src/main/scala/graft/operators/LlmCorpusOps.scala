@@ -523,8 +523,52 @@ object LlmCorpusOps {
       .orderBy("doc_id")
   }
 
+  /** Frozen-model perplexity — the production shape of [[llmPerplexity]]:
+    * the bigram model trains on the EXISTING corpus split (doc_id%10<8,
+    * the incremental-dedup convention) and scores the HELD-OUT split,
+    * where unseen transitions are the point. The add-one smoothing
+    * collapses all three cases into one formula with left-join defaults:
+    * p = (c12+1)/(c1+V) with c12=0 for an unseen bigram and c1=0 for an
+    * unseen left word (→ 1/V). The per-occurrence score still rounds to
+    * integer millionth-nats BEFORE summation, so the doc NLL stays an
+    * exact integer; `oov_bigrams` (transitions the model never saw)
+    * rides along as the contamination-adjacent signal reviewers actually
+    * threshold on. Scale posture matches [[llmPerplexity]] — the extra
+    * cost is two left joins against model-bounded tables. */
+  def llmPerplexityHoldout(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = t(s, d, "documents")
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .withColumnRenamed("col", "word")
+      .filter(length(col("word")) >= 1)
+    val bg = w
+      .withColumn("w1", lag("word", 1).over(
+        Window.partitionBy("doc_id").orderBy("pos")))
+      .filter(col("w1").isNotNull)
+      .select(col("doc_id"), col("w1"), col("word").as("w2"))
+    val train = bg.filter(col("doc_id") % 10 < 8)
+    val model = train.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val lc = model.groupBy("w1").agg(sum("c12").as("c1"))
+    val v = w.filter(col("doc_id") % 10 < 8).agg(countDistinct("word").as("nv"))
+    bg.filter(col("doc_id") % 10 >= 8)
+      .join(model, Seq("w1", "w2"), "left")
+      .join(lc, Seq("w1"), "left")
+      .crossJoin(broadcast(v))
+      .withColumn("s", floor(lit(1e6) *
+        log((coalesce(col("c12"), lit(0L)) + 1).cast("double") /
+          (coalesce(col("c1"), lit(0L)) + col("nv"))) + 0.5).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("c12").isNull, 1L).otherwise(0L)).as("oov_bigrams"),
+        (-sum("s")).cast("long").as("nll6"))
+      .withColumn("perplexity",
+        floor(exp(col("nll6").cast("double") / 1e6 / col("n_bigrams")) * 1e4 + 0.5) / 1e4)
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "llm_perplexity" -> (llmPerplexity _),
+    "llm_perplexity_holdout" -> (llmPerplexityHoldout _),
     "llm_tfidf_cosine" -> (llmTfidfCosine _),
     "llm_pipeline_e2e" -> (llmPipelineE2e _),
     "llm_stratified_sample" -> (llmStratifiedSample _),
@@ -562,6 +606,27 @@ object LlmCorpusOps {
         "floor(exp(CAST(-sum(s.s) AS DOUBLE) / 1e6 / count(*)) * 1e4 + 0.5) / 1e4 AS perplexity " +
         "FROM bg b JOIN scores s ON b.w1 = s.w1 AND b.w2 = s.w2 " +
         "GROUP BY b.doc_id ORDER BY b.doc_id"),
+    // frozen-model variant: model CTEs filter to the train split, the
+    // holdout scores through left-join coalesce defaults (c12=0, c1=0)
+    "llm_perplexity_holdout" ->
+      ("""WITH w AS (SELECT doc_id, pos, word FROM (SELECT doc_id, """ +
+        "unnest(string_split(text, ' ')) AS word, " +
+        "generate_subscripts(string_split(text, ' '), 1) AS pos FROM documents) " +
+        "WHERE length(word) >= 1), " +
+        "bg AS (SELECT doc_id, lag(word) OVER (PARTITION BY doc_id ORDER BY pos) AS w1, word AS w2 " +
+        "FROM w QUALIFY w1 IS NOT NULL), " +
+        "model AS (SELECT w1, w2, count(*) AS c12 FROM bg WHERE doc_id % 10 < 8 GROUP BY 1, 2), " +
+        "lc AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM model GROUP BY 1), " +
+        "v AS (SELECT count(DISTINCT word) AS nv FROM w WHERE doc_id % 10 < 8), " +
+        "scored AS (SELECT b.doc_id, m.c12, " +
+        "CAST(floor(1e6 * ln(CAST(coalesce(m.c12, 0) + 1 AS DOUBLE) / (coalesce(lc.c1, 0) + v.nv)) + 0.5) AS BIGINT) AS s " +
+        "FROM bg b LEFT JOIN model m ON b.w1 = m.w1 AND b.w2 = m.w2 " +
+        "LEFT JOIN lc ON b.w1 = lc.w1 CROSS JOIN v WHERE b.doc_id % 10 >= 8) " +
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, " +
+        "CAST(sum(CASE WHEN c12 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS oov_bigrams, " +
+        "CAST(-sum(s) AS BIGINT) AS nll6, " +
+        "floor(exp(CAST(-sum(s) AS DOUBLE) / 1e6 / count(*)) * 1e4 + 0.5) / 1e4 AS perplexity " +
+        "FROM scored GROUP BY doc_id ORDER BY doc_id"),
     // w is quantized to FLOAT (the Spark side's storage contract), then
     // widened back to DOUBLE before the norm/dot sums — exactly the
     // float->double widening the Scala kernel does per element.

@@ -329,6 +329,30 @@ class TpchCorpusOpsSpec extends SparkTestBase {
       s"repeated-bigram doc must beat the all-rare doc: ${out(1L)} vs ${out(2L)}")
   }
 
+  test("holdout perplexity: all-unseen text pins to ~V, copied train text scores in-model") {
+    import graft.operators.LlmCorpusOps
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_pplh").toString
+    val trainText = "alpha beta gamma delta alpha beta gamma delta alpha beta"
+    // doc_ids 0..7 train (id%10<8); 8 = copied train text, 9 = fully unseen
+    ((0L to 7L).map(i => (i, trainText)) ++ Seq(
+      (8L, trainText),
+      (9L, "zz1 zz2 zz3 zz4 zz5 zz6 zz7 zz8 zz9 zz10")))
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val out = LlmCorpusOps.llmPerplexityHoldout(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(4))).toMap
+    assert(out.keySet == Set(8L, 9L)) // only the holdout split is scored
+    val (n8, oov8, ppl8) = out(8L)
+    val (n9, oov9, ppl9) = out(9L)
+    assert(oov8 == 0L, s"copied train text saw $oov8 OOV bigrams")
+    assert(oov9 == n9, s"fully-unseen text must be all-OOV: $oov9 of $n9")
+    // every unseen transition scores p = 1/V, so perplexity ≈ V (= 4
+    // train words) up to the fixed-point rounding; the in-model doc must
+    // score far below it
+    assert(math.abs(ppl9 - 4.0) < 0.01, s"all-OOV perplexity $ppl9 != ~V=4")
+    assert(ppl8 < ppl9, s"in-model $ppl8 !< all-OOV $ppl9")
+  }
+
   test("tokenizer compare: columns consistent with the two encode ops") {
     import graft.operators.{LlmTextOps, UnigramOps}
     val cmp = UnigramOps.llmTokenizerCompare(spark, SF).collect()
