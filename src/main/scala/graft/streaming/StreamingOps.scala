@@ -112,7 +112,13 @@ object StreamingOps {
   def cdcMergeSink(t: graft.tables.VersionedTable, key: String,
                    seqCol: String): (DataFrame, Long) => Unit =
     (batch, _) => {
+      // tie-break only on ORDERABLE columns: a MapType payload column in
+      // the window's orderBy fails analysis and would kill the query on
+      // its first micro-batch; unorderable columns contribute nothing to
+      // the deterministic order (seqCol remains the primary key of it)
       val others = batch.columns.toSeq.filter(c => c != key && c != seqCol)
+        .filter(c => org.apache.spark.sql.catalyst.expressions.RowOrdering
+          .isOrderable(batch.schema(c).dataType))
       val w = org.apache.spark.sql.expressions.Window.partitionBy(key)
         .orderBy((col(seqCol).desc +: others.map(c => col(c).desc)): _*)
       // rank column name probed for collision-freedom (the
@@ -194,13 +200,20 @@ object StreamingOps {
           // same-batch arrivals, so intra-batch dups are not missed
           val (hits, all) = fresh.foldLeft((List.empty[NearDupHit], existing)) {
             case ((acc, seen), (id, sk)) =>
-              val found = seen.collect {
-                case (oid, osk) if oid != id &&
-                  java.lang.Long.bitCount(sk ^ osk) <= maxHamming =>
-                  NearDupHit(math.min(id, oid), math.max(id, oid),
-                    java.lang.Long.bitCount(sk ^ osk))
+              // at-least-once upstreams REDELIVER: a doc_id already in the
+              // bucket is a replay — inserting it again would re-emit its
+              // hits on every later arrival and grow state with retries
+              // rather than corpus size
+              if (seen.exists(_._1 == id)) (acc, seen)
+              else {
+                val found = seen.collect {
+                  case (oid, osk) if oid != id &&
+                    java.lang.Long.bitCount(sk ^ osk) <= maxHamming =>
+                    NearDupHit(math.min(id, oid), math.max(id, oid),
+                      java.lang.Long.bitCount(sk ^ osk))
+                }
+                (acc ++ found, (id, sk) :: seen)
               }
-              (acc ++ found, (id, sk) :: seen)
           }
           state.update(all)
           hits.iterator
@@ -288,7 +301,12 @@ object StreamingOps {
         (uid: Long, batch: Iterator[Event], state: GroupState[LatestSignup]) =>
           val out = Seq.newBuilder[AsOfMatch]
           var latest = state.getOption
-          batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+          // signups sort BEFORE purchases at equal ts: the batch operator
+          // (AsOfJoinExec) matches the greatest signup ts <= purchase ts
+          // INCLUDING ties, so a same-timestamp signup must be visible to
+          // the purchase regardless of event_id order
+          batch.toSeq.sortBy(e =>
+            (e.ts.getTime, if (e.event_type == "signup") 0 else 1, e.event_id)).foreach { e =>
             if (e.event_type == "signup") {
               val better = latest.forall(l => e.ts.getTime > l.tsMs ||
                 (e.ts.getTime == l.tsMs && e.event_id > l.signup_id))
@@ -325,17 +343,32 @@ object StreamingOps {
             state.remove()
             Iterator.single(SessionAgg(uid, s.n, s.startMs, s.endMs))
           } else {
-            val times = batch.map(_.ts.getTime).toSeq
-            val prev = state.getOption
-            val merged = prev match {
-              case Some(s) => SessionState(s.n + times.size,
-                math.min(s.startMs, times.min), math.max(s.endMs, times.max))
-              case None => SessionState(times.size, times.min, times.max)
+            // fold the batch's times IN ORDER, splitting on gaps: a
+            // backfill batch holding two bursts an hour apart is TWO
+            // sessions (session_window semantics), not one blob — the
+            // old unconditional merge collapsed them, and also extended
+            // an expired-but-not-yet-timed-out session instead of
+            // closing it when the next event arrived past the gap
+            val times = batch.map(_.ts.getTime).toSeq.sorted
+            val out = Seq.newBuilder[SessionAgg]
+            var cur = state.getOption
+            times.foreach { t =>
+              cur = cur match {
+                case Some(c) if t <= c.endMs + gapMs =>
+                  Some(SessionState(c.n + 1,
+                    math.min(c.startMs, t), math.max(c.endMs, t)))
+                case Some(c) =>
+                  out += SessionAgg(uid, c.n, c.startMs, c.endMs)
+                  Some(SessionState(1, t, t))
+                case None => Some(SessionState(1, t, t))
+              }
             }
-            state.update(merged)
-            // emit when the watermark passes session end + gap
-            state.setTimeoutTimestamp(merged.endMs + gapMs)
-            Iterator.empty
+            val open = cur.get // times is non-empty here
+            state.update(open)
+            // the still-open tail session emits when the watermark
+            // passes its end + gap
+            state.setTimeoutTimestamp(open.endMs + gapMs)
+            out.result().iterator
           }
       }
   }

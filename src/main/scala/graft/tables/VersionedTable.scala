@@ -78,10 +78,23 @@ final class VersionedTable private (val spark: SparkSession, val root: String) {
   private def statsPath(v: Int): Path = manifestDir.resolve(f"v$v%08d.stats.json")
 
   /** The numeric column this table keeps per-file min/max for, if any —
-    * recorded in the newest stats sidecar (create(..., statsCol) set it). */
-  def statsCol: Option[String] =
-    versions.reverse.find(v => Files.exists(statsPath(v)))
-      .map(v => readStatsJson(v)._1)
+    * recorded in the newest stats sidecar (create(..., statsCol) set it).
+    * Resolved ONCE per handle: the un-cached scan probed every version's
+    * sidecar path on EVERY commit of a stats-less table (newStatsCol
+    * .orElse(statsCol) in commitOnce), turning N streaming appends into
+    * O(N²) filesystem metadata calls. Stats written through this handle
+    * update the cache; stats appearing from another process are picked
+    * up by the next fresh handle — acceptable staleness for a pure
+    * optimization. */
+  @volatile private var statsColCache: Option[Option[String]] = None
+  def statsCol: Option[String] = statsColCache match {
+    case Some(v) => v
+    case None =>
+      val v = versions.reverse.find(v => Files.exists(statsPath(v)))
+        .map(v => readStatsJson(v)._1)
+      statsColCache = Some(v)
+      v
+  }
 
   private def readStatsJson(v: Int): (String, Map[String, (Double, Double)]) = {
     val s = new String(Files.readAllBytes(statsPath(v)), "UTF-8")
@@ -108,7 +121,7 @@ final class VersionedTable private (val spark: SparkSession, val root: String) {
       // entry — pruneFiles keeps entry-less files, so skipping stays
       // conservative instead of NPEing on getDouble
       .filter(r => !r.isNullAt(1) && !r.isNullAt(2))
-      .map(r => normalize(r.getString(0)) -> (r.getDouble(1), r.getDouble(2))).toSeq
+      .map(r => normalizeUri(r.getString(0)) -> (r.getDouble(1), r.getDouble(2))).toSeq
   }
 
   /** Written ONLY by the winner of the manifest race, after its rename —
@@ -123,6 +136,7 @@ final class VersionedTable private (val spark: SparkSession, val root: String) {
     val tmp = Files.createTempFile(manifestDir, ".tmp-", ".json")
     Files.write(tmp, json.getBytes("UTF-8"))
     Files.move(tmp, statsPath(v), StandardCopyOption.ATOMIC_MOVE)
+    statsColCache = Some(Some(c))
   }
 
   /** File list for version `v` pruned to files whose [min,max] range on
@@ -307,7 +321,12 @@ final class VersionedTable private (val spark: SparkSession, val root: String) {
   def committedTxns: Set[String] = synchronized {
     if (txnScanned < 0) txnCache ++= checkpointTxns
     val fresh = versions.filter(_ > txnScanned)
-    fresh.foreach(v => txnOf(v).foreach(txnCache += _))
+    // a concurrent vacuum may delete a manifest between the versions
+    // listing and the read — its txns were checkpointed FIRST (vacuum's
+    // contract), so re-read the checkpoint instead of crashing the sink
+    fresh.foreach(v =>
+      try txnOf(v).foreach(txnCache += _)
+      catch { case _: java.nio.file.NoSuchFileException => txnCache ++= checkpointTxns })
     txnScanned = math.max(txnScanned, fresh.foldLeft(txnScanned)(math.max))
     txnCache.toSet
   }
@@ -346,6 +365,12 @@ final class VersionedTable private (val spark: SparkSession, val root: String) {
     * file-pruned pattern. One full-outer join, one write, one rename. */
   def merge(updates: DataFrame, key: String): Int = withRebase() {
     val base = currentVersion
+    // merging into an EMPTY snapshot is a pure insert: the zero-column
+    // emptyDataFrame read() returns can't anchor the full-outer join (no
+    // key column), and a CDC sink's first micro-batch into a just-created
+    // table is exactly this case
+    if (readManifest(base).isEmpty)
+      return commitOnce(base, Nil, writeDataFiles(updates))
     val cur = read(Some(base))
     val cols = cur.columns.toSeq
     // join(Seq(key)) outputs ONE coalesced key column. Row-presence is
@@ -370,10 +395,11 @@ final class VersionedTable private (val spark: SparkSession, val root: String) {
   def delete(condition: org.apache.spark.sql.Column): Int = withRebase() {
     val base = currentVersion
     val files = readManifest(base)
+    if (files.isEmpty) return base // empty snapshot: nothing to delete
     val cur = spark.read.parquet(files: _*)
     // metadata-sized collect: the DISTINCT file paths containing hits
     val touched = cur.filter(condition).select(input_file_name().as("f"))
-      .distinct().collect().map(r => normalize(r.getString(0))).toSet
+      .distinct().collect().map(r => normalizeUri(r.getString(0))).toSet
     if (touched.isEmpty) base // no-op: nothing to delete
     else {
       val kept = files.filterNot(f => touched.contains(normalize(f)))
@@ -470,8 +496,27 @@ object VersionedTable {
 
   private val ManifestName = "v(\\d{8})\\.json".r
 
+  /** Manifest-side spelling: raw local path, scheme stripped. */
   private def normalize(p: String): String =
     p.stripPrefix("file://").stripPrefix("file:")
+
+  /** `input_file_name()`-side spelling: Spark returns a PERCENT-ENCODED
+    * URI, while manifests hold raw paths — a root containing a space (or
+    * any URI-encodable char) made delete's touched set and the stats
+    * sidecar keys miss every manifest path, breaking delete outright and
+    * silently disabling file skipping. Decode exactly once, ONLY on the
+    * URI side: a raw path that itself contains '%' arrives double-encoded
+    * (%25…) and decodes back to the raw spelling, so the two sides meet
+    * for every path. */
+  private def normalizeUri(p: String): String = {
+    val s = normalize(p)
+    if (s.indexOf('%') >= 0)
+      // '+' is literal in URI paths (URLDecoder would read it as a form-
+      // encoded space) — shield it before decoding
+      try java.net.URLDecoder.decode(s.replace("+", "%2B"), "UTF-8")
+      catch { case _: IllegalArgumentException => s }
+    else s
+  }
 
   /** Create a new table at `root` with `df` as version 0. `statsCol`
     * (numeric) turns on per-file min/max stats and [[VersionedTable

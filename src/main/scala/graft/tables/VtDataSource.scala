@@ -99,11 +99,22 @@ object VtDataSource {
 class VtRelation(ctx: SQLContext, root: String, asOf: Option[Int])
   extends BaseRelation with PrunedFilteredScan {
 
-  private def table: VersionedTable = VersionedTable.open(ctx.sparkSession, root)
+  // ONE handle per relation, not one open() per call: open re-runs the
+  // stale-tmp sweep and the statsCol resolution, which a scan-per-batch
+  // consumer paid on every buildScan.
+  private lazy val table: VersionedTable = VersionedTable.open(ctx.sparkSession, root)
+
+  // The snapshot is PINNED at relation creation: buildScan used to
+  // re-resolve currentVersion at scan time, so one DataFrame whose plan
+  // scans the relation twice (self-join) could read two different
+  // versions if a writer committed in between — and the creation-time
+  // schema was silently forced onto newer files. A reader wanting the
+  // new version calls load() again.
+  private val pinned: Int = asOf.getOrElse(table.currentVersion)
 
   override def sqlContext: SQLContext = ctx
 
-  override val schema: StructType = table.read(asOf).schema
+  override val schema: StructType = table.read(Some(pinned)).schema
 
   // We only SKIP FILES; Spark must still evaluate every predicate exactly.
   override def unhandledFilters(filters: Array[Filter]): Array[Filter] = filters
@@ -166,8 +177,8 @@ class VtRelation(ctx: SQLContext, root: String, asOf: Option[Int])
     val files = t.statsCol match {
       case Some(c) =>
         val (lo, hi) = boundsFor(c, filters)
-        t.pruneFiles(lo, hi, asOf)
-      case None => t.pruneFiles(Double.NegativeInfinity, Double.PositiveInfinity, asOf)
+        t.pruneFiles(lo, hi, Some(pinned))
+      case None => t.pruneFiles(Double.NegativeInfinity, Double.PositiveInfinity, Some(pinned))
     }
     VtDataSource.recordScan(root, files.size)
     val spark = ctx.sparkSession

@@ -284,6 +284,13 @@ class StreamingOpsSpec extends SparkTestBase {
       val p60 = spark.sql(s"SELECT DISTINCT a_id, hamming FROM $queryName WHERE b_id = 60").collect()
         .map(r => (r.getLong(0), r.getInt(1))).toSet
       assert(p60.contains((1L, 0)), s"identical cross-batch dup missed: $p60")
+      // an at-least-once REPLAY of doc 1 must not re-emit its pairs nor
+      // duplicate it inside the bucket state
+      val before = spark.sql(s"SELECT count(*) FROM $queryName").collect()(0).getLong(0)
+      input.addData(Doc(1, base))
+      drain(q)
+      assert(spark.sql(s"SELECT count(*) FROM $queryName").collect()(0).getLong(0) == before,
+        "replayed doc re-emitted hits")
     } finally q.stop()
   }
 
@@ -480,6 +487,60 @@ class StreamingOpsSpec extends SparkTestBase {
       sink(queries.drop(2).toDF("query_id", "embedding"), 1L)
       assert(t.read().count() == got.size, "replayed ANN batch duplicated rows")
     } finally q.stop()
+  }
+
+  test("sessionizeWithState splits a backfill batch on gaps instead of merging bursts") {
+    val input = MemoryStream[Event]
+    val q = StreamingOps.sessionizeWithState(input.toDS())
+      .writeStream.format("memory").queryName("fmgs_split").outputMode("append").start()
+    try {
+      // ONE batch, two bursts 115 min apart (gap = 30 min): the first
+      // burst is a COMPLETED session and must emit from the batch itself;
+      // the old unconditional merge collapsed both into one 2-hour blob
+      input.addData(ev(1, ts(1, 0)), ev(2, ts(1, 5)), ev(3, ts(3, 0)))
+      drain(q)
+      val sessions = spark.sql("SELECT n_events, startMs, endMs FROM fmgs_split").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(sessions.toSeq == Seq((2L, ts(1, 0).getTime, ts(1, 5).getTime)),
+        s"expected the first burst closed in-batch: ${sessions.mkString(",")}")
+      // the open tail session (the 3:00 event) closes via timeout
+      input.addData(ev(9, ts(9, 0), uid = 2))
+      drain(q)
+      input.addData(ev(10, ts(9, 30), uid = 2))
+      drain(q)
+      val all = spark.sql("SELECT n_events FROM fmgs_split WHERE startMs = " +
+        ts(3, 0).getTime).collect()
+      assert(all.map(_.getLong(0)).toSeq == Seq(1L),
+        "tail session did not close as its own 1-event session")
+    } finally q.stop()
+  }
+
+  test("as-of enrichment matches a same-timestamp signup (batch-operator tie contract)") {
+    val input = MemoryStream[Event]
+    val q = StreamingOps.asofEnrichStream(input.toDS())
+      .writeStream.format("memory").queryName("asof_tie").outputMode("append").start()
+    try {
+      // purchase has the SMALLER event_id: a (ts, event_id) sort processed
+      // it before the signup and missed the tie the batch AsOfJoin includes
+      input.addData(ev(3, ts(2, 0), typ = "purchase"), ev(5, ts(2, 0), typ = "signup"))
+      drain(q)
+      val m = spark.sql("SELECT purchase_id, signup_id FROM asof_tie").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+      assert(m == Map(3L -> Some(5L)), s"tie signup not matched: $m")
+    } finally q.stop()
+  }
+
+  test("cdcMergeSink tolerates unorderable (map) payload columns") {
+    val t = graft.tables.VersionedTable.create(spark,
+      java.nio.file.Files.createTempDirectory("graft_cdcmap").resolve("t").toString,
+      Seq((1L, 0L, Map("a" -> "old"))).toDF("id", "seq", "props"))
+    val sink = StreamingOps.cdcMergeSink(t, "id", "seq")
+    // two same-key rows; the map column would have thrown AnalysisException
+    // from the tie-break window's orderBy before the fix
+    sink(Seq((1L, 2L, Map("a" -> "new")), (1L, 1L, Map("a" -> "mid")))
+      .toDF("id", "seq", "props"), 0L)
+    val rows = t.read().select("id", "seq").as[(Long, Long)].collect()
+    assert(rows.toSeq == Seq((1L, 2L)), s"latest CDC row must win: ${rows.mkString(",")}")
   }
 
   test("offline file-source e2e: staged dir → watermark dedup → exactly-once vt sink across restart") {

@@ -242,4 +242,53 @@ class VersionedTableSpec extends SparkTestBase {
     assert(t.appendIdempotent(sampleDf(5000 until 5010), "cc:1") == v)
     assert(t.read().count() == 220)
   }
+
+  test("delete and merge are total on an EMPTY snapshot (CDC first-batch shape)") {
+    val root = freshRoot()
+    val t = VersionedTable.create(spark, root, sampleDf(0 until 0))
+    assert(t.read().count() == 0)
+    // delete on empty: no-op, no crash on the zero-path parquet read
+    assert(t.delete(col("score") > 0) == 0)
+    // merge into empty: pure insert (the full-outer join has no anchor)
+    t.merge(sampleDf(0 until 5), "id")
+    assert(t.read().count() == 5)
+    // and the normal merge path works from then on
+    t.merge(sampleDf(3 until 8), "id")
+    assert(t.read().count() == 8)
+  }
+
+  test("URI-encodable chars in the table root: delete and file skipping still work") {
+    // input_file_name() returns a percent-encoded URI; the manifest holds
+    // raw paths — a space in the root made delete's touched set miss
+    // every file (delete unusable) and stats keys never match (skipping
+    // silently off)
+    val root = Files.createTempDirectory("graft_vt sp ace").resolve("t").toString
+    assert(root.contains(" "))
+    val t = VersionedTable.create(spark, root,
+      sampleDf(0 until 100).repartitionByRange(4, col("score")),
+      statsCol = Some("score"))
+    // stats pruning: keys were computed from input_file_name — they must
+    // match manifest paths or every range read degrades to a full scan
+    assert(t.pruneFiles(0.0, 100.0).size <
+      t.pruneFiles(Double.NegativeInfinity, Double.PositiveInfinity).size,
+      "stats keys missed the manifest paths: skipping disabled")
+    // delete: touched paths must map back to real files
+    t.delete(col("id") < 10)
+    assert(t.read().count() == 90)
+    assert(t.read().filter(col("id") < 10).count() == 0)
+  }
+
+  test("graft-vt relation pins its snapshot: a concurrent append cannot split one query") {
+    val root = freshRoot()
+    val t = VersionedTable.create(spark, root, sampleDf(0 until 50))
+    val df = spark.read.format("graft-vt").option("path", root).load()
+    t.append(sampleDf(50 until 80))
+    // the relation was created BEFORE the append: both scans of the same
+    // DataFrame (self-join) and a plain count must read the pinned v0
+    assert(df.count() == 50, "relation read a version newer than its pin")
+    val selfJoin = df.as("a").join(df.as("b"), col("a.id") === col("b.id")).count()
+    assert(selfJoin == 50, s"self-join mixed snapshots: $selfJoin")
+    // a FRESH load sees the appended version
+    assert(spark.read.format("graft-vt").option("path", root).load().count() == 80)
+  }
 }
