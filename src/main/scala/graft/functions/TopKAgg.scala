@@ -23,6 +23,9 @@ case class TopBuf(items: Seq[Scored])
   * ties break by ascending id, making the surviving set and its order
   * independent of partitioning. */
 case class TopK(k: Int) extends Aggregator[Scored, TopBuf, TopBuf] {
+  // fail at definition time: k <= 0 otherwise surfaced as an opaque
+  // NoSuchElementException (s.last on Nil) inside the first reduce task
+  require(k > 0, s"TopK requires k > 0, got $k")
   private def lt(a: Scored, b: Scored): Boolean =
     a.score > b.score || (a.score == b.score && a.id < b.id)
   private def trim(s: Seq[Scored]): Seq[Scored] =

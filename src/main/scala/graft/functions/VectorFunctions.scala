@@ -152,7 +152,14 @@ object VectorFunctions {
     val arrs = entries.map(_._2)
     val nrms = arrs.map(normValue)
     val bc = s.sparkContext.broadcast((ids, arrs, nrms))
-    vecs.mapPartitions { it =>
+    // the streamed (outer) side comes from the SAME taken snapshot, not a
+    // second execution of the upstream plan: a nondeterministic source
+    // (sample, monotonically_increasing_id, growth between jobs) would
+    // otherwise disagree with the broadcast — wrong/missing pairs and a
+    // bypassed cap. Bounded by the same cap the broadcast already is.
+    val outer = s.createDataset(entries.toSeq)
+      .repartition(s.sparkContext.defaultParallelism)
+    outer.mapPartitions { it =>
       val (bIds, bArrs, bNrms) = bc.value
       it.flatMap { case (aId, aVec) =>
         val aNrm = normValue(aVec)
@@ -209,10 +216,14 @@ object VectorFunctions {
       self: VecBlock => Iterator[(Long, Long, Double)]): DataFrame = {
     import s.implicits._
     val k = if (numChunks > 0) numChunks else deriveChunks(e.count())
+    // pair keys are LONG: Int lo*k+hi wraps past k = 46340 (deriveChunks
+    // allows far larger), and a wrapped key both collides groups and
+    // breaks the diagonal test — silently dropped pairs at exactly the
+    // corpus sizes the scaffold exists for
     vecBlocks(e, k)
       .flatMap(b => (0 until k).iterator.map { o =>
         val lo = math.min(b.chunk, o); val hi = math.max(b.chunk, o)
-        (lo * k + hi, b)
+        (lo.toLong * k + hi, b)
       })
       .groupByKey(_._1)
       .flatMapGroups { (key, it) =>
@@ -366,13 +377,15 @@ object VectorFunctions {
                              numChunksRight: Int = 0): DataFrame = {
     import s.implicits._
     val kL = if (numChunks > 0) numChunks else deriveChunks(left.count())
-    val kR = if (numChunksRight > 0) numChunksRight
-             else if (numChunks > 0) numChunks
-             else deriveChunks(right.count())
-    // key = leftChunk * kR + rightChunk; each key receives at most one
-    // block per side (a side's chunk ids are unique), tagged by side
-    val l = vecBlocks(left, kL).flatMap(b => (0 until kR).iterator.map(j => (b.chunk * kR + j, true, b)))
-    val r = vecBlocks(right, kR).flatMap(b => (0 until kL).iterator.map(i => (i * kR + b.chunk, false, b)))
+    // the right side derives its OWN K whenever unset — reusing the
+    // left's explicit numChunks made a small-batch-vs-huge-corpus call
+    // pack |R|/K_left vectors into one block, the unbounded-task-memory
+    // shape the per-side contract exists to prevent
+    val kR = if (numChunksRight > 0) numChunksRight else deriveChunks(right.count())
+    // key = leftChunk * kR + rightChunk (LONG — see pairGroups); each key
+    // receives at most one block per side, tagged by side
+    val l = vecBlocks(left, kL).flatMap(b => (0 until kR).iterator.map(j => (b.chunk.toLong * kR + j, true, b)))
+    val r = vecBlocks(right, kR).flatMap(b => (0 until kL).iterator.map(i => (i.toLong * kR + b.chunk, false, b)))
     l.union(r)
       .groupByKey(_._1)
       .flatMapGroups { (_, it) =>

@@ -54,8 +54,14 @@ case class ChunkWindows(child: Expression, size: Int, stride: Int)
       val sb = new java.lang.StringBuilder
       var i = start
       while (i < end) {
-        if (i > start) sb.append(' ')
-        sb.append(ws.getUTF8String(i))
+        // concat_ws semantics (the composition twin's): a null token is
+        // SKIPPED along with its separator — StringBuilder.append(null)
+        // would render the literal text "null" into the chunk
+        val t = ws.getUTF8String(i)
+        if (t != null) {
+          if (sb.length() > 0) sb.append(' ')
+          sb.append(t)
+        }
         i += 1
       }
       out += InternalRow(idx, UTF8String.fromString(sb.toString), end - start)

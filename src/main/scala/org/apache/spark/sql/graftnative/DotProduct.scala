@@ -27,6 +27,11 @@ case class DotProduct(left: Expression, right: Expression)
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType), ArrayType(FloatType))
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_dot"
+  // Nullable regardless of the children: a null ELEMENT null-propagates
+  // (see below), and declaring it keeps nullSafeCodeGen's ev.isNull an
+  // assignable local even over non-nullable inputs (the QuantizedCodes
+  // FalseLiteral lesson).
+  override def nullable: Boolean = true
 
   protected override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -34,7 +39,16 @@ case class DotProduct(left: Expression, right: Expression)
     val n = math.min(x.numElements(), y.numElements())
     var d = 0.0
     var i = 0
-    while (i < n) { d += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+    while (i < n) {
+      // Null element → null result: the declared input type accepts
+      // containsNull arrays, and the previous unguarded getFloat was
+      // REPRESENTATION-dependent — NPE on GenericArrayData, silent 0.0 on
+      // UnsafeArrayData — so the same query could crash or drift with the
+      // physical plan. Null-propagation matches the zip_with HOF twin.
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      d += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
     d
   }
 
@@ -47,9 +61,12 @@ case class DotProduct(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $d = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  $d += (double) $a.getFloat($i) * (double) $b.getFloat($i);
          |}
-         |${ev.value} = $d;
+         |if (!${ev.isNull}) {
+         |  ${ev.value} = $d;
+         |}
        """.stripMargin
     })
 

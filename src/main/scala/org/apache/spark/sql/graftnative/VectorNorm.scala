@@ -18,13 +18,19 @@ case class VectorNorm(child: Expression)
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_norm"
+  // null ELEMENT → null (same containsNull treatment as DotProduct /
+  // QuantizedCodes: the unguarded read was representation-dependent)
+  override def nullable: Boolean = true
 
   protected override def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val n = x.numElements()
     var s = 0.0
     var i = 0
-    while (i < n) { val v = x.getFloat(i).toDouble; s += v * v; i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i)) return null
+      val v = x.getFloat(i).toDouble; s += v * v; i += 1
+    }
     math.sqrt(s)
   }
 
@@ -38,10 +44,13 @@ case class VectorNorm(child: Expression)
          |int $n = $a.numElements();
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  double $v = (double) $a.getFloat($i);
          |  $s += $v * $v;
          |}
-         |${ev.value} = java.lang.Math.sqrt($s);
+         |if (!${ev.isNull}) {
+         |  ${ev.value} = java.lang.Math.sqrt($s);
+         |}
        """.stripMargin
     })
 

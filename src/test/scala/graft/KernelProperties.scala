@@ -63,10 +63,10 @@ object KernelProperties extends Properties("graft.kernels") {
     forAll(positives, Gen.chooseNum(0, 100)) { (xs, cut) =>
       val k = cut % xs.length
       val (l, r) = xs.splitAt(k)
-      val whole = xs.foldLeft(GeoMean.zero)(GeoMean.reduce)
+      val whole = xs.foldLeft(GeoMean.zero)((b, x) => GeoMean.reduce(b, x))
       val split = GeoMean.merge(
-        l.foldLeft(GeoMean.zero)(GeoMean.reduce),
-        r.foldLeft(GeoMean.zero)(GeoMean.reduce))
+        l.foldLeft(GeoMean.zero)((b, x) => GeoMean.reduce(b, x)),
+        r.foldLeft(GeoMean.zero)((b, x) => GeoMean.reduce(b, x)))
       math.abs(GeoMean.finish(whole) - GeoMean.finish(split)) < 1e-9
     }
 

@@ -35,10 +35,10 @@ class VectorFunctionsSpec extends AnyFunSuite {
   test("geomean merge is associative (partial aggregation safe)") {
     (1 to 50).foreach { _ =>
       val xs = Seq.fill(1 + rnd.nextInt(200))(0.1 + rnd.nextDouble() * 100)
-      val whole = xs.foldLeft(GeoMean.zero)(GeoMean.reduce)
+      val whole = xs.foldLeft(GeoMean.zero)((b, x) => GeoMean.reduce(b, x))
       val (l, r) = xs.splitAt(xs.length / 2)
-      val split = GeoMean.merge(l.foldLeft(GeoMean.zero)(GeoMean.reduce),
-        r.foldLeft(GeoMean.zero)(GeoMean.reduce))
+      val split = GeoMean.merge(l.foldLeft(GeoMean.zero)((b, x) => GeoMean.reduce(b, x)),
+        r.foldLeft(GeoMean.zero)((b, x) => GeoMean.reduce(b, x)))
       assert(whole.n == split.n)
       assert(math.abs(whole.sumLn - split.sumLn) < 1e-9)
       val expected = math.exp(xs.map(math.log).sum / xs.length)
@@ -175,5 +175,67 @@ class VectorFunctionsSpec extends AnyFunSuite {
     val buckets = df.collect().map(_.getAs[Int]("b"))
     assert(buckets(0) == buckets(1))
     assert(buckets(0) >= 0 && buckets(0) < 65536)
+  }
+
+  test("dot/norm kernels null-propagate on null ELEMENTS, both eval paths") {
+    // containsNull arrays previously read representation-dependently:
+    // NPE on generic rows, silent 0.0 on unsafe rows. Through parquet so
+    // the codegen branch actually runs (a literal constant-folds).
+    val spark0 = TestSpark.spark
+    import spark0.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_nulldot").toString + "/v"
+    Seq((1L, Seq[Option[Float]](Some(1f), None, Some(3f))),
+        (2L, Seq[Option[Float]](Some(1f), Some(2f), Some(3f))))
+      .toDF("id", "v").select(col("id"), col("v").cast("array<float>").as("v"))
+      .write.parquet(dir)
+    val df = spark0.read.parquet(dir).select(col("id"),
+      org.apache.spark.sql.graftnative.GraftNative.dotProduct(col("v"), col("v")).as("d"),
+      org.apache.spark.sql.graftnative.GraftNative.vectorNorm(col("v")).as("n"))
+    def run(): Map[Long, (Boolean, Boolean)] =
+      df.collect().map(r => r.getLong(0) -> (r.isNullAt(1), r.isNullAt(2))).toMap
+    val gen = run()
+    spark0.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val interp = run()
+      assert(gen == Map(1L -> (true, true), 2L -> (false, false)), s"codegen: $gen")
+      assert(interp == gen, s"interp $interp != codegen $gen")
+    } finally spark0.conf.set("spark.sql.codegen.wholeStage", "true")
+  }
+
+  test("TopK rejects non-positive k at construction, not mid-task") {
+    intercept[IllegalArgumentException](graft.functions.TopK(0))
+    intercept[IllegalArgumentException](graft.functions.TopK(-3))
+  }
+
+  test("GeoMean skips SQL NULLs like its exp(avg(ln(x))) oracle") {
+    val spark0 = TestSpark.spark
+    import spark0.implicits._
+    import org.apache.spark.sql.functions.{col, udaf}
+    val gm = udaf(GeoMean)
+    val df = Seq((1, Some(2.0)), (1, None), (1, Some(8.0)), (2, None))
+      .toDF("g", "x")
+    val got = df.groupBy("g").agg(gm(col("x")).as("gm")).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(math.abs(got(1) - 4.0) < 1e-12, s"nulls not skipped: ${got(1)}")
+    assert(got(2).isNaN, "all-null group must be NaN (empty geomean)")
+  }
+
+  test("ChunkWindows skips null tokens with concat_ws semantics") {
+    val spark0 = TestSpark.spark
+    import spark0.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_nullchunk").toString + "/v"
+    Seq((1L, Seq[Option[String]](Some("a"), None, Some("b"))))
+      .toDF("id", "ws").write.parquet(dir)
+    val rows = spark0.read.parquet(dir)
+      .select(org.apache.spark.sql.graftnative.GraftNative
+        .chunkWindows(col("ws"), 32, 24)) // generator expands to its element schema
+      .collect()
+    assert(rows.length == 1)
+    // chunk text skips the null AND its separator; n_tokens counts the
+    // slice width (the composition's size(slice(...)) does too)
+    assert(rows(0).getString(1) == "a b", s"got '${rows(0).getString(1)}'")
+    assert(rows(0).getInt(2) == 3)
   }
 }
