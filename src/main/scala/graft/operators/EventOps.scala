@@ -196,21 +196,15 @@ object EventOps {
     * besides the window's is the output ORDER BY's range partitioning).
     * Gap arithmetic is integer microseconds on both engines (§5.3.3
     * discipline). */
-  def eventSessionize(s: SparkSession, d: String): DataFrame = {
-    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-    val gapUs = 86400L * 1000000L // 1 day
-    val numbered = ev(s, d).select("user_id", "event_id", "ts")
-      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
-      .withColumn("new_session",
-        when(col("prev_us").isNull || unix_micros(col("ts")) - col("prev_us") > gapUs, 1)
-          .otherwise(0))
-      .withColumn("session_id", sum("new_session")
-        .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    numbered.groupBy("user_id", "session_id")
-      .agg(min("ts").as("session_start"), max("ts").as("session_end"),
-        count(lit(1)).as("n_events"))
+  def eventSessionize(s: SparkSession, d: String): DataFrame =
+    // ONE sessionization kernel in this file: the lag → gap-flag →
+    // running-sum logic is [[sessionize]] (1-day gap here); a second
+    // hand-rolled copy silently diverged from any future fix to the
+    // shared one, invisibly to the oracle gate
+    sessionize(ev(s, d).select("user_id", "event_id", "ts"), gapSeconds = 86400L)
+      .select(col("user_id"), col("sess_id").as("session_id"),
+        col("session_start"), col("session_end"), col("n_events"))
       .orderBy("user_id", "session_id")
-  }
 
   val queries: Map[String, Q] = Map(
     "event_sessionize" -> (eventSessionize _),
@@ -226,10 +220,13 @@ object EventOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // gap test in integer MICROSECONDS (the §5.3.3 discipline the Spark
+    // side runs), not interval comparison — the earlier INTERVAL form
+    // happened to agree but made the stated invariant false
     "event_sessionize" ->
       ("WITH ordered AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, " +
         "CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL " +
-        "OR CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP)) OVER w > INTERVAL 1 DAY THEN 1 ELSE 0 END AS new_session " +
+        "OR epoch_us(CAST(ts AS TIMESTAMP)) - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w > 86400000000 THEN 1 ELSE 0 END AS new_session " +
         "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)), " +
         "numbered AS (SELECT user_id, ts, " +
         "CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id " +

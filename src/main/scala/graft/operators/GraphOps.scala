@@ -81,7 +81,15 @@ object GraphOps {
     * the results are exactly the normalized fixed point. */
   def pageRank(edges: DataFrame, iters: Int = Iters,
                damping: Double = Damping): DataFrame = {
-    val e = edges.localCheckpoint(true)
+    // an input that is ALREADY a materialized leaf (the memoized
+    // purchase edge list graphPagerank passes) is reused as-is — the
+    // unconditional re-checkpoint duplicated the full edge list in block
+    // storage on every call, and unlike the memo's copy those blocks
+    // were reclaimed only by driver-GC luck
+    val e = edges.queryExecution.logical match {
+      case _: org.apache.spark.sql.execution.LogicalRDD => edges
+      case _ => edges.localCheckpoint(true)
+    }
     // per-source total out-weight; edge transition prob = w / wout
     val trans = e.join(e.groupBy(col("src").as("u")).agg(sum("w").as("wout")),
         col("src") === col("u"))

@@ -69,11 +69,14 @@ object WindowOps {
   }
 
   /** E6: trailing-1h event count per user — RANGE frame over integer epoch
-    * seconds (numeric on both engines; peers share the frame). */
+    * seconds (numeric on both engines; peers share the frame). FLOOR
+    * division, not cast-truncation: the oracle's `// 1000000` floors, and
+    * the two only agree for non-negative micros — a pre-1970 backfill
+    * timestamp would silently shift frame membership under truncation. */
   def winRangeFrame(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("epoch_s").rangeBetween(-3600, 0)
     t(s, d, "events")
-      .withColumn("epoch_s", (unix_micros(col("ts")) / lit(1000000L)).cast("long"))
+      .withColumn("epoch_s", floor(unix_micros(col("ts")) / lit(1000000.0)).cast("long"))
       .select(col("event_id"), col("user_id"), col("epoch_s"),
         count(lit(1)).over(w).as("cnt_1h"))
       .orderBy("event_id")
