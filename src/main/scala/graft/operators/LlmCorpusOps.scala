@@ -510,10 +510,14 @@ object LlmCorpusOps {
       .select(col("doc_id"), col("w1"), col("word").as("w2"))
     val model = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
     val lc = model.groupBy("w1").agg(sum("c12").as("c1"))
-    val v = w.agg(countDistinct("word").as("nv"))
-    val scores = model.join(lc, "w1").crossJoin(broadcast(v))
+    // V rides into the plan as a LITERAL (one bounded single-row collect,
+    // the tfidf-dictionary model-state pattern) — a crossJoin(broadcast)
+    // of the 1-row frame planned a BroadcastNestedLoopJoin, which the
+    // plan-invariants gate rightly flags as a scale anti-pattern
+    val nv = w.agg(countDistinct("word")).collect()(0).getLong(0)
+    val scores = model.join(lc, "w1")
       .select(col("w1"), col("w2"),
-        floor(lit(1e6) * log((col("c12") + 1).cast("double") / (col("c1") + col("nv"))) + 0.5)
+        floor(lit(1e6) * log((col("c12") + 1).cast("double") / (col("c1") + lit(nv))) + 0.5)
           .cast("long").as("s"))
     bg.join(scores, Seq("w1", "w2"))
       .groupBy("doc_id")
@@ -549,14 +553,15 @@ object LlmCorpusOps {
     val train = bg.filter(col("doc_id") % 10 < 8)
     val model = train.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
     val lc = model.groupBy("w1").agg(sum("c12").as("c1"))
-    val v = w.filter(col("doc_id") % 10 < 8).agg(countDistinct("word").as("nv"))
+    // V as a literal (see llmPerplexity) — no single-row BNL in the plan
+    val nv = w.filter(col("doc_id") % 10 < 8)
+      .agg(countDistinct("word")).collect()(0).getLong(0)
     bg.filter(col("doc_id") % 10 >= 8)
       .join(model, Seq("w1", "w2"), "left")
       .join(lc, Seq("w1"), "left")
-      .crossJoin(broadcast(v))
       .withColumn("s", floor(lit(1e6) *
         log((coalesce(col("c12"), lit(0L)) + 1).cast("double") /
-          (coalesce(col("c1"), lit(0L)) + col("nv"))) + 0.5).cast("long"))
+          (coalesce(col("c1"), lit(0L)) + lit(nv))) + 0.5).cast("long"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         sum(when(col("c12").isNull, 1L).otherwise(0L)).as("oov_bigrams"),
