@@ -15,7 +15,7 @@ object Bench {
     try {
       spark.range(1000000).selectExpr("sum(id)").collect()
       spark.read.parquet(s"$sfDir/nation.parquet").count()
-    } catch { case _: Throwable => }
+    } catch { case scala.util.control.NonFatal(_) => }
     // sorted: Map iteration order is hash-based, which would reorder the
     // timing sequence (and its cache effects) run-to-run.
     // A crashed query must NEVER read as a fast success (round 5: 32 broken
@@ -28,20 +28,13 @@ object Bench {
     // changes. Without this the 240+-key single-JVM run carries EVERY
     // family's checkpoint blocks to the end and the tail pays 5-20×
     // GC/eviction inflation (round-5 driver-run measurements).
-    def family(k: String): String = k.takeWhile(_ != '_')
-    var prevFamily = ""
+    // (family walk + GC-settle bracket live in FamilyReleaser — ONE copy
+    // shared with Verify; the GC bracket keeps dead-block collection out
+    // of the next key's timing window, the round-6 jitter adjudication)
+    val releaser = new graft.tools.MemoRegistry.FamilyReleaser(gcSettle = true)
     val wall0 = System.nanoTime()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      if (prevFamily.nonEmpty && family(name) != prevFamily) {
-        graft.tools.MemoRegistry.releaseAll()
-        // GC-settle bracket: collect the family's dead memo/checkpoint
-        // blocks NOW so the collection doesn't land inside the next
-        // key's timing window (round-6 adjudication: driver-run per-key
-        // numbers jittered up to ~10s when a GC fired mid-measurement).
-        System.gc()
-        Thread.sleep(150)
-      }
-      prevFamily = family(name)
+      releaser.onKey(name)
       // min-of-2 reps: rep1 absorbs cold codegen / IO / index-memo build
       // for the key, rep2 is the steady state a regression comparison
       // needs. Reporting the min makes per-key attribution trustworthy
@@ -58,8 +51,10 @@ object Bench {
         fn(spark, sfDir).queryExecution.toRdd.count()
         (System.nanoTime() - t0) / 1e9
       }
+      // NonFatal ONLY: an OOM must abort the run, not be recorded as a
+      // clean -1.0 while every later key times a heap-thrashed JVM
       try { val t1 = rep(); (name, math.min(t1, rep()), true) }
-      catch { case _: Throwable => (name, -1.0, false) }
+      catch { case scala.util.control.NonFatal(_) => (name, -1.0, false) }
     }
     val wallSec = (System.nanoTime() - wall0) / 1e9
     val errors = results.collect { case (name, _, false) => name }
@@ -69,10 +64,10 @@ object Bench {
     def f3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     // escape string fields — sfDir comes from the environment, and one
     // quote/backslash in it would make BOTH artifacts unparseable (the
-    // driver's parse returns null and the run's timings are lost)
-    def esc(s: String): String =
-      s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString }
+    // driver's parse returns null and the run's timings are lost).
+    // Shared escaper (graft.tools.Json): Verify writes driver-parsed
+    // artifacts through the same one, so the two can't drift.
+    def esc(s: String): String = graft.tools.Json.esc(s)
     def toJson(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => s"\"" + esc(k) + "\":" + f3(v) }.mkString("{", ",", "}")
     def strArr(xs: Seq[String]): String = xs.map("\"" + esc(_) + "\"").mkString("[", ",", "]")

@@ -12,6 +12,18 @@ import org.apache.spark.sql.graftnative.{DotProduct, GraftNative, HashedShingles
   * [[GraftFunctions]] and needs no session config.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  // ONE arity-error constructor for every injected function — the third
+  // injected builder was about to copy this five-entry map a third time,
+  // and a fix (e.g. the docroot) must reach all of them
+  private def wrongNumArgs(fn: String, expected: String, actual: String): Nothing =
+    throw new org.apache.spark.sql.AnalysisException(
+      errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+      messageParameters = Map(
+        "functionName" -> s"`$fn`",
+        "expectedNum" -> expected,
+        "actualNum" -> actual,
+        "docroot" -> "https://spark.apache.org/docs/latest"))
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => RedundantRoundRule)
     // Whole-operator extension: the native as-of join's planner strategy
@@ -22,13 +34,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (children: Seq[Expression]) => {
         if (children.size != 2)
-          throw new org.apache.spark.sql.AnalysisException(
-            errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
-            messageParameters = Map(
-              "functionName" -> "`graft_dot`",
-              "expectedNum" -> "2",
-              "actualNum" -> children.size.toString,
-              "docroot" -> "https://spark.apache.org/docs/latest"))
+          wrongNumArgs("graft_dot", "2", children.size.toString)
         DotProduct(children(0), children(1))
       }))
     ext.injectFunction((
@@ -37,13 +43,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         // SQL form: graft_hashed_shingles(ws, n) with n a foldable int
         def wrongArgs(actual: String) =
-          throw new org.apache.spark.sql.AnalysisException(
-            errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
-            messageParameters = Map(
-              "functionName" -> "`graft_hashed_shingles`",
-              "expectedNum" -> "2 (array<string>, int literal)",
-              "actualNum" -> actual,
-              "docroot" -> "https://spark.apache.org/docs/latest"))
+          wrongNumArgs("graft_hashed_shingles", "2 (array<string>, int literal)", actual)
         if (children.size != 2) wrongArgs(children.size.toString)
         // Width must be a foldable integral literal; any integer width
         // (byte/short/int/long) is accepted and narrowed. A non-foldable

@@ -22,34 +22,30 @@ object Verify {
     // (the failed keys simply vanish from the correctness report).
     val failed = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     // sorted like Bench: families run contiguously so per-family memos can
-    // be released at the prefix boundary (same memory-hygiene rationale)
-    var prevFamily = ""
+    // be released at the prefix boundary (ONE shared walker — see
+    // MemoRegistry.FamilyReleaser; no GC bracket here, nothing is timed)
+    val releaser = new graft.tools.MemoRegistry.FamilyReleaser(gcSettle = false)
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      val fam = name.takeWhile(_ != '_')
-      if (prevFamily.nonEmpty && fam != prevFamily)
-        graft.tools.MemoRegistry.releaseAll()
-      prevFamily = fam
+      releaser.onKey(name)
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-        failed += name -> Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
+      // NonFatal ONLY (the MemoRegistry discipline): an OOM mid-dump must
+      // abort, not corrupt the failure attribution of every later key
+      catch { case scala.util.control.NonFatal(e) =>
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+        // same null-guard as the artifact: a bare NPE otherwise printed
+        // the useless "failed: null" to the line the driver tails
+        System.err.println(s"[verify] $name failed: $msg")
+        failed += name -> msg.take(300)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+    // Shared with Bench (graft.tools.Json).
+    def q(s: String): String = graft.tools.Json.quote(s)
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

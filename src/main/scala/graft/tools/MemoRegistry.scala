@@ -16,6 +16,25 @@ package graft.tools
   * one. On a real cluster the analogue is per-pipeline session teardown.
   */
 object MemoRegistry {
+  /** The ONE family-boundary release walker Bench and Verify share: keys
+    * arrive sorted, so a family's memoized indexes are dead the moment
+    * the `takeWhile('_')` prefix changes. Previously each tool inlined
+    * its own copy of this walk — a change to the family convention had
+    * to be made twice or the tools silently released at different
+    * boundaries. `gcSettle` adds Bench's collect-now bracket so the
+    * dead blocks' GC doesn't land inside the next key's timing window. */
+  final class FamilyReleaser(gcSettle: Boolean) {
+    private var prev = ""
+    def onKey(name: String): Unit = {
+      val fam = name.takeWhile(_ != '_')
+      if (prev.nonEmpty && fam != prev) {
+        releaseAll()
+        if (gcSettle) { System.gc(); Thread.sleep(150) }
+      }
+      prev = fam
+    }
+  }
+
   private val hooks = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
 
   def register(release: () => Unit): Unit = synchronized { hooks += release }
