@@ -49,6 +49,8 @@ object UnigramOps {
   val TopMulti = 60
   /** Viterbi-EM rounds; fixed so the oracle unrolls (BPE discipline). */
   val EmRounds = 2
+  /** Post-EM multi-char budget for the PRUNE step (llm_unigram_prune). */
+  val PruneMulti = 24
 
   private def fix(x: Double): Long =
     math.floor(UnigramSegment.Scale * x + 0.5).toLong
@@ -150,6 +152,28 @@ object UnigramOps {
       .orderBy("doc_id")
   }
 
+  /** Graded: SentencePiece's third step — PRUNE the EM-trained vocabulary
+    * to a serving budget. Single chars always survive (coverage); the
+    * multi-char tail keeps only the [[PruneMulti]] highest-usage pieces
+    * ((final E-step count DESC, piece ASC) total order — the pieces the
+    * trained model actually segments with), and the survivors re-score
+    * with the same add-one smoothing over the PRUNED vocabulary, so the
+    * output is a complete, self-consistent model ready to encode with.
+    * Driver-side over the memoized ≤84-row vocab: pruning is model-state
+    * arithmetic, not a data pass. */
+  def llmUnigramPrune(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val vocab = unigramCore(s, d)._1
+    val singles = vocab.filter(_._1.length == 1)
+    val multis = vocab.filter(_._1.length > 1)
+      .sortBy { case (p, c, _) => (-c, p) }.take(PruneMulti)
+    val pruned = singles ++ multis
+    val tp = pruned.map(_._2 + 1).sum
+    pruned.map { case (p, c, _) => (p, c, fix(math.log((c + 1).toDouble / tp))) }
+      .toDF("piece", "cnt", "score")
+      .orderBy(col("cnt").desc, col("piece"))
+  }
+
   /** Graded: the two trained tokenizer families side by side, per
     * document — the comparison a pipeline owner actually runs when
     * choosing a tokenizer (same corpus, same words; whose token count /
@@ -170,6 +194,7 @@ object UnigramOps {
   val queries: Map[String, Q] = Map(
     "llm_unigram_train" -> (llmUnigramTrain _),
     "llm_unigram_encode" -> (llmUnigramEncode _),
+    "llm_unigram_prune" -> (llmUnigramPrune _),
     "llm_tokenizer_compare" -> (llmTokenizerCompare _),
   )
 
@@ -279,9 +304,24 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
   floor(CAST(sum(length(w)) AS DOUBLE) / sum(ntok) * 10000 + 0.5) / 10000.0 AS fertility
 FROM dw JOIN wordtok USING (w) GROUP BY doc_id ORDER BY doc_id"""
 
+  private def unigramPruneOracle: String =
+    unigramOracleCtes + s""",
+pruned AS (
+  SELECT piece, c FROM sc_2 WHERE length(piece) = 1
+  UNION ALL
+  SELECT piece, c FROM (
+    SELECT piece, c, row_number() OVER (ORDER BY c DESC, piece) AS rk
+    FROM sc_2 WHERE length(piece) > 1) WHERE rk <= $PruneMulti
+),
+tp AS (SELECT sum(c + 1) AS t FROM pruned)
+SELECT piece, c AS cnt,
+  CAST(floor(1e6 * ln(CAST(c + 1 AS DOUBLE) / tp.t) + 0.5) AS BIGINT) AS score
+FROM pruned, tp ORDER BY cnt DESC, piece"""
+
   val oracles: Map[String, String] = Map(
     "llm_unigram_train" -> unigramTrainOracle,
     "llm_unigram_encode" -> unigramEncodeOracle,
+    "llm_unigram_prune" -> unigramPruneOracle,
     // the two encode oracles nested as subqueries (each carries its own
     // WITH tower) joined on doc_id — the oracle composes exactly like
     // the Spark side composes the two encode frames

@@ -97,6 +97,29 @@ class UnigramOpsSpec extends SparkTestBase {
       s"final-score Viterbi total $expected != encode token total $enc")
   }
 
+  test("prune keeps coverage and the highest-usage multis, rescored over the pruned vocab") {
+    val full = UnigramOps.unigramCore(spark, SF)._1
+    val pruned = UnigramOps.llmUnigramPrune(spark, SF).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val fullMap = full.map(t => t._1 -> t._2).toMap
+    // subset of the trained vocab, counts unchanged
+    pruned.foreach { case (p, c, _) => assert(fullMap.get(p).contains(c), p) }
+    // every single char survives (coverage guarantee); multis capped
+    val singles = full.filter(_._1.length == 1).map(_._1).toSet
+    assert(pruned.map(_._1).toSet.filter(_.length == 1) == singles)
+    assert(pruned.count(_._1.length > 1) ==
+      math.min(UnigramOps.PruneMulti, full.count(_._1.length > 1)))
+    // kept multis are exactly the top-count ones
+    val keptMultis = pruned.filter(_._1.length > 1).map(_._1).toSet
+    val expected = full.filter(_._1.length > 1)
+      .sortBy(t => (-t._2, t._1)).take(UnigramOps.PruneMulti).map(_._1).toSet
+    assert(keptMultis == expected)
+    // rescoring is a proper smoothed distribution over the PRUNED vocab:
+    // Σ exp(score) ≈ 1 (scores are rounded millionth-nats)
+    val mass = pruned.map(t => math.exp(t._3 / 1e6)).sum
+    assert(math.abs(mass - 1.0) < 1e-3, s"pruned model mass $mass")
+  }
+
   test("unigram fertility is a real tokenizer: multi-char pieces get used") {
     val enc = UnigramOps.llmUnigramEncode(spark, SF)
       .agg((sum("n_chars") / sum("n_tokens")).as("f")).collect().head.getDouble(0)
