@@ -497,7 +497,11 @@ object LlmCorpusOps {
     * the training corpus means every bigram hits the model (inner join
     * is total); scoring FRESH text against a frozen model would add the
     * unseen-bigram fallback p = 1/(c(w1)+V) as a left-join coalesce. */
-  def llmPerplexity(s: SparkSession, d: String): DataFrame = {
+  /** ONE word/bigram tower for both perplexity keys (the eventSessionize
+    * lesson: a second hand-rolled copy of the tokenization diverges
+    * silently from any future fix). Returns (per-doc word stream with
+    * positions, in-doc bigrams). */
+  private def bigramTower(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val w = t(s, d, "documents")
       .select(col("doc_id"), posexplode(split(col("text"), " ")))
@@ -508,6 +512,11 @@ object LlmCorpusOps {
         Window.partitionBy("doc_id").orderBy("pos")))
       .filter(col("w1").isNotNull)
       .select(col("doc_id"), col("w1"), col("word").as("w2"))
+    (w, bg)
+  }
+
+  def llmPerplexity(s: SparkSession, d: String): DataFrame = {
+    val (w, bg) = bigramTower(s, d)
     val model = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
     val lc = model.groupBy("w1").agg(sum("c12").as("c1"))
     // V rides into the plan as a LITERAL (one bounded single-row collect,
@@ -540,22 +549,20 @@ object LlmCorpusOps {
     * threshold on. Scale posture matches [[llmPerplexity]] — the extra
     * cost is two left joins against model-bounded tables. */
   def llmPerplexityHoldout(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = t(s, d, "documents")
-      .select(col("doc_id"), posexplode(split(col("text"), " ")))
-      .withColumnRenamed("col", "word")
-      .filter(length(col("word")) >= 1)
-    val bg = w
-      .withColumn("w1", lag("word", 1).over(
-        Window.partitionBy("doc_id").orderBy("pos")))
-      .filter(col("w1").isNotNull)
-      .select(col("doc_id"), col("w1"), col("word").as("w2"))
+    val (w, bg) = bigramTower(s, d)
     val train = bg.filter(col("doc_id") % 10 < 8)
     val model = train.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
     val lc = model.groupBy("w1").agg(sum("c12").as("c1"))
     // V as a literal (see llmPerplexity) — no single-row BNL in the plan
     val nv = w.filter(col("doc_id") % 10 < 8)
       .agg(countDistinct("word")).collect()(0).getLong(0)
+    // An EMPTY train split means there is no model: without the guard
+    // every score computed ln(1/0) = +Infinity, whose Long cast SATURATES
+    // on the Spark side (plausible-looking garbage rows) while DuckDB's
+    // cast throws — fail loudly and identically instead.
+    require(nv > 0,
+      "llm_perplexity_holdout: the train split (doc_id % 10 < 8) is empty — " +
+        "no model exists to score the holdout against")
     bg.filter(col("doc_id") % 10 >= 8)
       .join(model, Seq("w1", "w2"), "left")
       .join(lc, Seq("w1"), "left")
@@ -591,16 +598,21 @@ object LlmCorpusOps {
     "llm_lang_temperature" -> (llmLangTemperature _),
   )
 
+  /** Shared w/bg oracle CTEs for the two perplexity keys — same
+    * one-copy rule as [[bigramTower]] on the Spark side. */
+  private val bigramOracleCtes: String =
+    """WITH w AS (SELECT doc_id, pos, word FROM (SELECT doc_id, """ +
+      "unnest(string_split(text, ' ')) AS word, " +
+      "generate_subscripts(string_split(text, ' '), 1) AS pos FROM documents) " +
+      "WHERE length(word) >= 1), " +
+      "bg AS (SELECT doc_id, lag(word) OVER (PARTITION BY doc_id ORDER BY pos) AS w1, word AS w2 " +
+      "FROM w QUALIFY w1 IS NOT NULL), "
+
   val oracles: Map[String, String] = Map(
     // same integer-score discipline as the Spark side: one rounded ln()
     // per MODEL bigram, exact BIGINT nll sums, rounded exp at the end
     "llm_perplexity" ->
-      ("""WITH w AS (SELECT doc_id, pos, word FROM (SELECT doc_id, """ +
-        "unnest(string_split(text, ' ')) AS word, " +
-        "generate_subscripts(string_split(text, ' '), 1) AS pos FROM documents) " +
-        "WHERE length(word) >= 1), " +
-        "bg AS (SELECT doc_id, lag(word) OVER (PARTITION BY doc_id ORDER BY pos) AS w1, word AS w2 " +
-        "FROM w QUALIFY w1 IS NOT NULL), " +
+      (bigramOracleCtes +
         "model AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2), " +
         "lc AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM model GROUP BY 1), " +
         "v AS (SELECT count(DISTINCT word) AS nv FROM w), " +
@@ -614,12 +626,7 @@ object LlmCorpusOps {
     // frozen-model variant: model CTEs filter to the train split, the
     // holdout scores through left-join coalesce defaults (c12=0, c1=0)
     "llm_perplexity_holdout" ->
-      ("""WITH w AS (SELECT doc_id, pos, word FROM (SELECT doc_id, """ +
-        "unnest(string_split(text, ' ')) AS word, " +
-        "generate_subscripts(string_split(text, ' '), 1) AS pos FROM documents) " +
-        "WHERE length(word) >= 1), " +
-        "bg AS (SELECT doc_id, lag(word) OVER (PARTITION BY doc_id ORDER BY pos) AS w1, word AS w2 " +
-        "FROM w QUALIFY w1 IS NOT NULL), " +
+      (bigramOracleCtes +
         "model AS (SELECT w1, w2, count(*) AS c12 FROM bg WHERE doc_id % 10 < 8 GROUP BY 1, 2), " +
         "lc AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM model GROUP BY 1), " +
         "v AS (SELECT count(DISTINCT word) AS nv FROM w WHERE doc_id % 10 < 8), " +

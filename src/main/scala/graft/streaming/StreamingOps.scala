@@ -337,39 +337,40 @@ object StreamingOps {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(org.apache.spark.sql.streaming.OutputMode.Append(),
         GroupStateTimeout.EventTimeTimeout()) {
-        (uid: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
-          if (batch.isEmpty && state.hasTimedOut) {
-            val s = state.get
-            state.remove()
-            Iterator.single(SessionAgg(uid, s.n, s.startMs, s.endMs))
-          } else {
-            // fold the batch's times IN ORDER, splitting on gaps: a
-            // backfill batch holding two bursts an hour apart is TWO
-            // sessions (session_window semantics), not one blob — the
-            // old unconditional merge collapsed them, and also extended
-            // an expired-but-not-yet-timed-out session instead of
-            // closing it when the next event arrived past the gap
-            val times = batch.map(_.ts.getTime).toSeq.sorted
-            val out = Seq.newBuilder[SessionAgg]
-            var cur = state.getOption
-            times.foreach { t =>
-              cur = cur match {
-                case Some(c) if t <= c.endMs + gapMs =>
-                  Some(SessionState(c.n + 1,
-                    math.min(c.startMs, t), math.max(c.endMs, t)))
-                case Some(c) =>
-                  out += SessionAgg(uid, c.n, c.startMs, c.endMs)
-                  Some(SessionState(1, t, t))
-                case None => Some(SessionState(1, t, t))
-              }
-            }
-            val open = cur.get // times is non-empty here
-            state.update(open)
-            // the still-open tail session emits when the watermark
-            // passes its end + gap
-            state.setTimeoutTimestamp(open.endMs + gapMs)
-            out.result().iterator
+        (uid: Long, batch: Iterator[Event], state: GroupState[Seq[SessionState]]) =>
+          // State is the user's PENDING sessions (plural): a backfill
+          // batch with two bursts past the gap is two sessions, but none
+          // may emit before the WATERMARK passes its end + gap — an
+          // allowed-late event in a later batch can still land between
+          // two pending sessions and BRIDGE them (session_window
+          // semantics; an earlier draft emitted completed-in-batch
+          // sessions immediately and a late bridging event then split
+          // what should have been one session).
+          val wm = state.getCurrentWatermarkMs()
+          var pending = state.getOption.getOrElse(Seq.empty).toList
+          batch.map(_.ts.getTime).toSeq.sorted.foreach { t =>
+            // t may extend one pending session or bridge two adjacent
+            // ones — merge every session within gap of it
+            val (touch, keep) = pending.partition(ss =>
+              t >= ss.startMs - gapMs && t <= ss.endMs + gapMs)
+            val merged =
+              if (touch.isEmpty) SessionState(1, t, t)
+              else SessionState(touch.map(_.n).sum + 1,
+                math.min(touch.map(_.startMs).min, t),
+                math.max(touch.map(_.endMs).max, t))
+            pending = (merged :: keep).sortBy(_.startMs)
           }
+          // a session is SEALED once no valid (non-late) event can extend
+          // it: watermark >= end + gap. Handles both the data path and
+          // the empty-batch timeout firing uniformly.
+          val (closed, open) = pending.partition(ss => ss.endMs + gapMs <= wm)
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(open)
+            state.setTimeoutTimestamp(open.map(_.endMs + gapMs).min)
+          }
+          closed.sortBy(_.startMs)
+            .map(ss => SessionAgg(uid, ss.n, ss.startMs, ss.endMs)).iterator
       }
   }
 }

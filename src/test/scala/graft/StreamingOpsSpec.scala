@@ -494,24 +494,56 @@ class StreamingOpsSpec extends SparkTestBase {
     val q = StreamingOps.sessionizeWithState(input.toDS())
       .writeStream.format("memory").queryName("fmgs_split").outputMode("append").start()
     try {
-      // ONE batch, two bursts 115 min apart (gap = 30 min): the first
-      // burst is a COMPLETED session and must emit from the batch itself;
-      // the old unconditional merge collapsed both into one 2-hour blob
+      // ONE batch, two bursts 115 min apart (gap = 30 min): TWO pending
+      // sessions. The batch itself advances the watermark to 2:50, which
+      // SEALS the first burst (end+gap = 1:35) — so it may emit within
+      // this drain's timeout pass — but the 3:00 burst (sealed at 3:30)
+      // must NOT, and nothing may emit as one merged blob.
       input.addData(ev(1, ts(1, 0)), ev(2, ts(1, 5)), ev(3, ts(3, 0)))
       drain(q)
-      val sessions = spark.sql("SELECT n_events, startMs, endMs FROM fmgs_split").collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-      assert(sessions.toSeq == Seq((2L, ts(1, 0).getTime, ts(1, 5).getTime)),
-        s"expected the first burst closed in-batch: ${sessions.mkString(",")}")
-      // the open tail session (the 3:00 event) closes via timeout
+      val mid = spark.sql("SELECT n_events, startMs, endMs FROM fmgs_split").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(mid.forall(_ == (2L, ts(1, 0).getTime, ts(1, 5).getTime)) && mid.size <= 1,
+        s"only the sealed first burst may emit here: ${mid.mkString(",")}")
+      // advance the watermark well past both sessions' end+gap
       input.addData(ev(9, ts(9, 0), uid = 2))
       drain(q)
       input.addData(ev(10, ts(9, 30), uid = 2))
       drain(q)
-      val all = spark.sql("SELECT n_events FROM fmgs_split WHERE startMs = " +
-        ts(3, 0).getTime).collect()
-      assert(all.map(_.getLong(0)).toSeq == Seq(1L),
-        "tail session did not close as its own 1-event session")
+      val sessions = spark.sql(
+          "SELECT n_events, startMs, endMs FROM fmgs_split WHERE user_id = 1").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(sessions == Set(
+        (2L, ts(1, 0).getTime, ts(1, 5).getTime),
+        (1L, ts(3, 0).getTime, ts(3, 0).getTime)),
+        s"expected the two bursts as separate sealed sessions: ${sessions.mkString(",")}")
+    } finally q.stop()
+  }
+
+  test("sessionizeWithState: a late-but-valid event BRIDGES pending sessions") {
+    val input = MemoryStream[Event]
+    val q = StreamingOps.sessionizeWithState(input.toDS())
+      .writeStream.format("memory").queryName("fmgs_bridge").outputMode("append").start()
+    try {
+      // batch 1: 1:00, 1:05, 1:40 (gap 30m) → two pending sessions;
+      // watermark after the batch = 1:40 - 10m = 1:30
+      input.addData(ev(1, ts(1, 0)), ev(2, ts(1, 5)), ev(3, ts(1, 40)))
+      drain(q)
+      // batch 2: 1:31 is NOT late (>= watermark) and sits within gap of
+      // BOTH pending sessions — session_window semantics merge all three
+      // into ONE session; an early draft emitted [1:00,1:05] already and
+      // split what must be one session
+      input.addData(ev(4, ts(1, 31)))
+      drain(q)
+      input.addData(ev(9, ts(9, 0), uid = 2)) // advance watermark
+      drain(q)
+      input.addData(ev(10, ts(9, 30), uid = 2))
+      drain(q)
+      val sessions = spark.sql(
+          "SELECT n_events, startMs, endMs FROM fmgs_bridge WHERE user_id = 1").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(sessions == Seq((4L, ts(1, 0).getTime, ts(1, 40).getTime)),
+        s"bridged input must seal as ONE session: ${sessions.mkString(",")}")
     } finally q.stop()
   }
 

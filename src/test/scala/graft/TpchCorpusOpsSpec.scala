@@ -351,6 +351,15 @@ class TpchCorpusOpsSpec extends SparkTestBase {
     // score far below it
     assert(math.abs(ppl9 - 4.0) < 0.01, s"all-OOV perplexity $ppl9 != ~V=4")
     assert(ppl8 < ppl9, s"in-model $ppl8 !< all-OOV $ppl9")
+    // an EMPTY train split has no model: fail loudly (the unguarded form
+    // saturated ln(1/0) through the Long cast into plausible garbage)
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_pplh2").toString
+    Seq((8L, "only holdout"), (9L, "rows here"))
+      .toDF("doc_id", "text").write.parquet(s"$dir2/documents.parquet")
+    val e = intercept[IllegalArgumentException] {
+      LlmCorpusOps.llmPerplexityHoldout(spark, dir2).collect()
+    }
+    assert(e.getMessage.contains("train split"), e.getMessage)
   }
 
   test("tokenizer compare: columns consistent with the two encode ops") {
