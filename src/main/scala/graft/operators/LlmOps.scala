@@ -45,7 +45,12 @@ object LlmOps {
     * Exact global top-k is inherently O(n²); past ~10⁵ vectors use the
     * bucketed annLshTopk / annIvfTopk instead. */
   def llmCosineTopk(s: SparkSession, d: String): DataFrame =
-    VectorFunctions.cosinePairsDistributed(s, t(s, d, "embeddings"), -1.1)
+    // top-k PUSHED INTO the pair tasks (each block-pair group emits only
+    // its local best 20 under the final order — property-tested equal to
+    // the all-pairs orderBy/limit spelling): the previous form
+    // materialized and globally sorted the full O(n²) rounded pair set
+    // for the same 20-row answer
+    VectorFunctions.cosineTopKDistributed(s, t(s, d, "embeddings"), 20)
       .orderBy(col("sim").desc, col("a_id"), col("b_id"))
       .limit(20)
 

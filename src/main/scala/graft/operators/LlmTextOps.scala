@@ -675,12 +675,16 @@ object LlmTextOps {
     * bucketed candidates with the same threshold — the CC consumes any
     * edge list. Fully oracle-graded (recursive-CTE closure in DuckDB). */
   def llmDedupSemantic(s: SparkSession, d: String): DataFrame =
-    connectedComponents(
-      graft.functions.VectorFunctions
-        .cosinePairsDistributed(s, t(s, d, "embeddings"), 0.45)
-        .select("a_id", "b_id"))
+    connectedComponents(embeddingPairs(s, d).select("a_id", "b_id"))
       .select(col("id").as("vec_id"), col("comp").as("cluster_id"))
       .orderBy("vec_id")
+
+  /** The 0.45-threshold cosine pair table — ONE O(n²) block join shared
+    * (memoized) by llm_dedup_embedding and llm_dedup_semantic; each
+    * previously recomputed the identical dominant-cost frame. */
+  private def embeddingPairs(s: SparkSession, d: String): DataFrame =
+    memo(s, d, "emb_pairs")(graft.functions.VectorFunctions
+      .cosinePairsDistributed(s, t(s, d, "embeddings"), 0.45))
 
   /** Alternative survivor policy: instead of min doc_id, keep the LONGEST
     * member of each duplicate cluster (ties → smaller doc_id) — the policy
@@ -879,7 +883,12 @@ object LlmTextOps {
     docs.withColumn("sh64", simhash64(split(lower(col("text")), "\\W+")))
 
   private def fixtureSimhash(s: SparkSession, d: String): DataFrame =
-    memo(s, d, "simhash")(simhashSketches(t(s, d, "documents")))
+    // project to (doc_id, sh64) BEFORE the checkpoint: both consumers
+    // read only those two columns, and the unprojected memo materialized
+    // the full document text a second time in block storage — 16 bytes
+    // per row vs corpus-sized at the stated scale
+    memo(s, d, "simhash")(simhashSketches(t(s, d, "documents"))
+      .select(col("doc_id"), col("sh64")))
 
   /** SimHash sketch buckets — oracle-graded since round 6
     * ([[simhashBucketsOracle]] reconstructs the signed sh64 in DuckDB);
@@ -958,8 +967,7 @@ object LlmTextOps {
     * replaced by the LSH/IVF bucketed candidates below with the same
     * threshold filter per bucket. */
   def llmDedupEmbedding(s: SparkSession, d: String): DataFrame =
-    VectorFunctions.cosinePairsDistributed(s, t(s, d, "embeddings"), 0.45)
-      .orderBy("a_id", "b_id")
+    embeddingPairs(s, d).orderBy("a_id", "b_id")
 
   /** IVF ANN scale path, graded with a FULL DuckDB oracle since round 7:
     * sample-trained coarse centroids partition the vectors; pairwise

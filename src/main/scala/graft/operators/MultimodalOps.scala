@@ -23,6 +23,16 @@ object MultimodalOps {
   /** Input row at the typed boundary: id + opaque bytes. */
   case class MediaIn(doc_id: Long, payload: Array[Byte])
 
+  /** THE media input projection — one copy for all five mm_* ops, so a
+    * payload-derivation change (e.g. a real media column replacing the
+    * text stand-in) cannot silently reach only some of them. */
+  private def mediaIn(s: SparkSession, d: String): org.apache.spark.sql.Dataset[MediaIn] = {
+    import s.implicits._
+    Tables.load(s, d, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[MediaIn]
+  }
+
   /** Decoded metadata (the stub "decode" output). */
   case class MediaMeta(doc_id: Long, n_bytes: Int, width: Int, height: Int,
                        frames: Int, format: String)
@@ -45,9 +55,7 @@ object MultimodalOps {
     * batched stub decode → flat metadata. */
   def mmDecodeMeta(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    Tables.load(s, d, "documents")
-      .select(col("doc_id"), col("text").cast("binary").as("payload"))
-      .as[MediaIn]
+    mediaIn(s, d)
       .mapPartitions { rows =>
         // one "decoder" per partition (stub: nothing to init)
         rows.map(decodeStub)
@@ -62,8 +70,14 @@ object MultimodalOps {
                           out_w: Int, out_h: Int, out_bytes: Long)
 
   def resizeStub(m: MediaMeta): MediaResized = {
-    val outW = math.min(m.width, 256)
-    val outH = (m.height.toLong * outW / m.width).toInt
+    // cap the LONG edge (the earlier width-only cap let portrait inputs
+    // exceed 256 on the height, contradicting this scaladoc); all
+    // arithmetic stays integer-floor so the oracle mirrors it exactly
+    val longEdge = math.max(m.width, m.height)
+    val (outW, outH) =
+      if (longEdge <= 256) (m.width, m.height)
+      else ((m.width.toLong * 256 / longEdge).toInt,
+        (m.height.toLong * 256 / longEdge).toInt)
     MediaResized(m.doc_id, m.width, m.height, outW, outH, outW.toLong * outH * 3L)
   }
 
@@ -72,9 +86,7 @@ object MultimodalOps {
     * initialized once per partition, rows streamed through both). */
   def mmResizeStub(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    Tables.load(s, d, "documents")
-      .select(col("doc_id"), col("text").cast("binary").as("payload"))
-      .as[MediaIn]
+    mediaIn(s, d)
       .mapPartitions(_.map(decodeStub))
       .mapPartitions(_.map(resizeStub))
       .toDF()
@@ -90,9 +102,7 @@ object MultimodalOps {
 
   def mmFeatureExtract(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    Tables.load(s, d, "documents")
-      .select(col("doc_id"), col("text").cast("binary").as("payload"))
-      .as[MediaIn]
+    mediaIn(s, d)
       .mapPartitions { rows =>
         // one digest instance per partition, reset per row by digest()
         val md = java.security.MessageDigest.getInstance("MD5")
@@ -112,9 +122,7 @@ object MultimodalOps {
     * one row per sampled frame. */
   def mmFrameSample(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    Tables.load(s, d, "documents")
-      .select(col("doc_id"), col("text").cast("binary").as("payload"))
-      .as[MediaIn]
+    mediaIn(s, d)
       .mapPartitions(_.map(decodeStub))
       .toDF()
       .select(col("doc_id"), explode(expr("sequence(0, frames - 1, 5)")).as("frame_idx"))
@@ -177,9 +185,7 @@ object MultimodalOps {
     * shuffle key and candidate generation never goes all-pairs. */
   def mmAhashDedup(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val sketched = Tables.load(s, d, "documents")
-      .select(col("doc_id"), col("text").cast("binary").as("payload"))
-      .as[MediaIn]
+    val sketched = mediaIn(s, d)
       .mapPartitions(_.map(ahashSketch))
       .toDF()
     LlmTextOps.simhashBandedPairs(sketched, maxHamming = 8)
@@ -204,7 +210,9 @@ object MultimodalOps {
       s"SELECT doc_id, CAST($nBytes AS INTEGER) AS n_bytes, CAST(64 + $nBytes % 512 AS INTEGER) AS width, CAST(64 + ($nBytes * 7) % 512 AS INTEGER) AS height, CAST(1 + $nBytes % 30 AS INTEGER) AS frames, CASE $nBytes % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format FROM documents ORDER BY doc_id",
     "mm_resize_stub" ->
       (s"WITH m AS (SELECT doc_id, 64 + $nBytes % 512 AS width, 64 + ($nBytes * 7) % 512 AS height FROM documents), " +
-        "r AS (SELECT doc_id, width, height, least(width, 256) AS out_w, (height * least(width, 256)) // width AS out_h FROM m) " +
+        "r AS (SELECT doc_id, width, height, " +
+        "CASE WHEN greatest(width, height) <= 256 THEN width ELSE (width * 256) // greatest(width, height) END AS out_w, " +
+        "CASE WHEN greatest(width, height) <= 256 THEN height ELSE (height * 256) // greatest(width, height) END AS out_h FROM m) " +
         "SELECT doc_id, CAST(width AS INTEGER) AS width, CAST(height AS INTEGER) AS height, CAST(out_w AS INTEGER) AS out_w, CAST(out_h AS INTEGER) AS out_h, CAST(out_w * out_h * 3 AS BIGINT) AS out_bytes FROM r ORDER BY doc_id"),
     "mm_feature_extract" ->
       (s"SELECT doc_id, CAST($nBytes AS INTEGER) AS n_bytes, " +
