@@ -593,7 +593,8 @@ object LlmTextOps {
     // nesting would be legal — just longer under the lock)
     val sh = fixtureShingleIndex(s, d)
     memo(s, d, "cc_labels")(
-      connectedComponents(jaccardPairs(sh, 0.8).select("a_id", "b_id")))
+      connectedComponents(jaccardPairs(sh, 0.8, maxPosting = StopShingleCap)
+        .select("a_id", "b_id")))
   }
 
   /** Distributed connected components by min-label propagation WITH
@@ -809,9 +810,11 @@ object LlmTextOps {
     * train/eval split (docs sharing ≥ 0.5 3-gram Jaccard with the held-out
     * set are contaminated training examples). The eval set is simulated as
     * every 50th doc; in production it is the benchmark corpus unioned in.
-    * Same inverted-index shape as ngramJaccard — never all-pairs. */
+    * Same inverted-index shape as ngramJaccard — never all-pairs, and the
+    * stop-shingle cap is ACTIVE here too (round-8: the cap had reached
+    * only 2 of the posting-join consumers). */
   def llmContamination(s: SparkSession, d: String): DataFrame =
-    jaccardPairs(fixtureShingleIndex(s, d), 0.5)
+    jaccardPairs(fixtureShingleIndex(s, d), 0.5, maxPosting = StopShingleCap)
       .filter((col("a_id") % 50 === 0) =!= (col("b_id") % 50 === 0))
       .select(col("a_id"), col("b_id"), col("jac"))
       .orderBy("a_id", "b_id")
@@ -826,7 +829,8 @@ object LlmTextOps {
     * shingle id, one aggregation — candidates only from shared shingles,
     * never eval × train all-pairs. */
   def llmContaminationExact(s: SparkSession, d: String): DataFrame = {
-    val sh = fixtureShingleIndex(s, d)
+    // stop-shingle cap before the split join, same as every posting join
+    val sh = capPostings(fixtureShingleIndex(s, d), StopShingleCap)
     val isEval = col("doc_id") % 50 === 0
     sh.filter(isEval).select(col("doc_id").as("eval_id"), col("sh"))
       .hint("merge")
@@ -1079,22 +1083,28 @@ object LlmTextOps {
     * of the index is fresh work — the existing side's postings are the
     * already-materialized index a deployment keeps between snapshots. */
   def llmDedupIncrementalNear(s: SparkSession, d: String): DataFrame =
-    incrementalNearPairs(fixtureShingleIndex(s, d), col("doc_id") % 10 >= 8, 0.2)
+    incrementalNearPairs(fixtureShingleIndex(s, d), col("doc_id") % 10 >= 8, 0.2,
+      maxPosting = StopShingleCap)
       .orderBy("ex_id", "new_id")
 
   /** Core incremental near-dup over any posting list: `isNew` splits the
     * index into the existing corpus and the fresh batch; candidates come
     * only from shared shingles ACROSS the split (same-side pairs are the
     * full-corpus op's job, not the incremental pass's). */
-  def incrementalNearPairs(sh: DataFrame, isNew: Column, threshold: Double): DataFrame =
-    sh.filter(!isNew).as("a").hint("merge")
-      .join(sh.filter(isNew).as("b"), col("a.sh") === col("b.sh"))
+  def incrementalNearPairs(sh: DataFrame, isNew: Column, threshold: Double,
+                           maxPosting: Int = Int.MaxValue): DataFrame = {
+    // df computed CORPUS-WIDE (both splits) before the split filters —
+    // the boilerplate shingle the cap exists for is hot on both sides
+    val bounded = capPostings(sh, maxPosting)
+    bounded.filter(!isNew).as("a").hint("merge")
+      .join(bounded.filter(isNew).as("b"), col("a.sh") === col("b.sh"))
       .groupBy(col("a.doc_id").as("ex_id"), col("b.doc_id").as("new_id"),
         col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
       .agg(count(lit(1)).as("inter"))
       .withColumn("jac", round(col("inter") / (col("n_a") + col("n_b") - col("inter")), 4))
       .filter(col("jac") >= threshold)
       .select("ex_id", "new_id", "jac")
+  }
 
   /** Incremental dedup — the daily-snapshot shape at 100 TB: dedup a NEW
     * batch (doc_id % 10 >= 8 stands in for today's crawl) first within
@@ -1318,7 +1328,8 @@ object LlmTextOps {
         "x AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i FROM w), " +
         "sh AS (SELECT DISTINCT doc_id, CAST('0x' || substr(md5(array_to_string(ws[i:i+2], ' ')), 1, 15) AS BIGINT) AS sh FROM x), " +
         "sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id), " +
-        "pairs AS (SELECT a.doc_id AS ex_id, b.doc_id AS new_id, count(*) AS inter FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id % 10 < 8 AND b.doc_id % 10 >= 8 GROUP BY 1, 2) " +
+        "shc AS (SELECT doc_id, sh FROM sh QUALIFY count(*) OVER (PARTITION BY sh) <= 500), " +
+        "pairs AS (SELECT a.doc_id AS ex_id, b.doc_id AS new_id, count(*) AS inter FROM shc a JOIN shc b ON a.sh = b.sh AND a.doc_id % 10 < 8 AND b.doc_id % 10 >= 8 GROUP BY 1, 2) " +
         "SELECT ex_id, new_id, round(inter / (sa.n_sh + sb.n_sh - inter), 4) AS jac FROM pairs " +
         "JOIN sizes sa ON sa.doc_id = ex_id JOIN sizes sb ON sb.doc_id = new_id " +
         "WHERE round(inter / (sa.n_sh + sb.n_sh - inter), 4) >= 0.2 ORDER BY ex_id, new_id"),
@@ -1376,7 +1387,8 @@ object LlmTextOps {
       ("WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), " +
         "x AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i FROM w), " +
         "sh AS (SELECT DISTINCT doc_id, CAST('0x' || substr(md5(array_to_string(ws[i:i+2], ' ')), 1, 15) AS BIGINT) AS sh FROM x), " +
-        "pairs AS (SELECT a.doc_id AS eval_id, b.doc_id AS train_id, count(*) AS n_shared FROM sh a JOIN sh b ON a.sh = b.sh " +
+        "shc AS (SELECT doc_id, sh FROM sh QUALIFY count(*) OVER (PARTITION BY sh) <= 500), " +
+        "pairs AS (SELECT a.doc_id AS eval_id, b.doc_id AS train_id, count(*) AS n_shared FROM shc a JOIN shc b ON a.sh = b.sh " +
         "AND a.doc_id % 50 = 0 AND b.doc_id % 50 <> 0 GROUP BY 1, 2) " +
         "SELECT eval_id, train_id, n_shared FROM pairs WHERE n_shared >= 3 ORDER BY eval_id, train_id"),
     "llm_dedup_embedding_incremental" ->
@@ -1386,7 +1398,7 @@ object LlmTextOps {
         "WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) >= 0.45 " +
         "ORDER BY ex_id, new_id"),
     "llm_contamination" ->
-      "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), x AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i FROM w), sh AS (SELECT DISTINCT doc_id, CAST('0x' || substr(md5(array_to_string(ws[i:i+2], ' ')), 1, 15) AS BIGINT) AS sh FROM x), sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id), pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT a_id, b_id, round(inter / (sa.n_sh + sb.n_sh - inter), 4) AS jac FROM pairs JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id WHERE round(inter / (sa.n_sh + sb.n_sh - inter), 4) >= 0.5 AND ((a_id % 50 = 0) <> (b_id % 50 = 0)) ORDER BY a_id, b_id",
+      "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), x AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i FROM w), sh AS (SELECT DISTINCT doc_id, CAST('0x' || substr(md5(array_to_string(ws[i:i+2], ' ')), 1, 15) AS BIGINT) AS sh FROM x), sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id), shc AS (SELECT doc_id, sh FROM sh QUALIFY count(*) OVER (PARTITION BY sh) <= 500), pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter FROM shc a JOIN shc b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT a_id, b_id, round(inter / (sa.n_sh + sb.n_sh - inter), 4) AS jac FROM pairs JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id WHERE round(inter / (sa.n_sh + sb.n_sh - inter), 4) >= 0.5 AND ((a_id % 50 = 0) <> (b_id % 50 = 0)) ORDER BY a_id, b_id",
     // transitive closure by recursive CTE: reach(id, comp) accumulates
     // every id reachable from each node; min over the reachable set is
     // the component minimum — identical to min-label propagation.
@@ -1395,7 +1407,8 @@ object LlmTextOps {
         "x AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i FROM w), " +
         "sh AS (SELECT DISTINCT doc_id, CAST('0x' || substr(md5(array_to_string(ws[i:i+2], ' ')), 1, 15) AS BIGINT) AS sh FROM x), " +
         "sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id), " +
-        "p0 AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+        "shc AS (SELECT doc_id, sh FROM sh QUALIFY count(*) OVER (PARTITION BY sh) <= 500), " +
+        "p0 AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter FROM shc a JOIN shc b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
         "pairs AS (SELECT a_id, b_id FROM p0 JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id " +
         "WHERE round(inter / (sa.n_sh + sb.n_sh - inter), 4) >= 0.8), " +
         "edges AS (SELECT a_id AS src, b_id AS dst FROM pairs UNION ALL SELECT b_id, a_id FROM pairs), " +
@@ -1416,7 +1429,8 @@ object LlmTextOps {
         "x AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i FROM w), " +
         "sh AS (SELECT DISTINCT doc_id, CAST('0x' || substr(md5(array_to_string(ws[i:i+2], ' ')), 1, 15) AS BIGINT) AS sh FROM x), " +
         "sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id), " +
-        "p0 AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+        "shc AS (SELECT doc_id, sh FROM sh QUALIFY count(*) OVER (PARTITION BY sh) <= 500), " +
+        "p0 AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter FROM shc a JOIN shc b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
         "pairs AS (SELECT a_id, b_id FROM p0 JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id " +
         "WHERE round(inter / (sa.n_sh + sb.n_sh - inter), 4) >= 0.8), " +
         "edges AS (SELECT a_id AS src, b_id AS dst FROM pairs UNION ALL SELECT b_id, a_id FROM pairs), " +
@@ -1430,7 +1444,8 @@ object LlmTextOps {
         "x AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i FROM w), " +
         "sh AS (SELECT DISTINCT doc_id, CAST('0x' || substr(md5(array_to_string(ws[i:i+2], ' ')), 1, 15) AS BIGINT) AS sh FROM x), " +
         "sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id), " +
-        "p0 AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+        "shc AS (SELECT doc_id, sh FROM sh QUALIFY count(*) OVER (PARTITION BY sh) <= 500), " +
+        "p0 AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter FROM shc a JOIN shc b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
         "pairs AS (SELECT a_id, b_id FROM p0 JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id " +
         "WHERE round(inter / (sa.n_sh + sb.n_sh - inter), 4) >= 0.8), " +
         "edges AS (SELECT a_id AS src, b_id AS dst FROM pairs UNION ALL SELECT b_id, a_id FROM pairs), " +

