@@ -23,6 +23,14 @@ object ExtendedOps {
 
   /** Typed row for the Dataset[T] pipeline (public: Spark encoder codegen
     * requires a public case class). */
+  /** Exact cents with HALF-AWAY-FROM-ZERO rounding — the convention the
+    * DuckDB oracle's round() uses. `math.round` is floor(x+0.5) (half
+    * UP), which disagrees on negative half-cents (-2.5 → -2 vs -3);
+    * safe-by-accident today only because fixture money is positive —
+    * the same class AdvancedOps' sign-aware slope rounding fixes. */
+  private def centsHalfAwayFromZero(x: Double): Long =
+    (math.signum(x) * math.floor(math.abs(x * 100) + 0.5)).toLong
+
   final case class OrderRow(o_orderkey: Long, o_custkey: Long,
                             o_totalprice: Double, o_orderstatus: String)
 
@@ -414,7 +422,7 @@ object ExtendedOps {
       .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
       .as[OrderRow]
       .filter(_.o_totalprice > 100000.0)
-      .map(o => (o.o_custkey, math.round(o.o_totalprice * 100)))
+      .map(o => (o.o_custkey, centsHalfAwayFromZero(o.o_totalprice)))
       .groupByKey(_._1)
       .mapGroups { (custkey, rows) =>
         var n = 0L; var cents = 0L
@@ -455,7 +463,7 @@ object ExtendedOps {
       .groupByKey(_.c_custkey)
     orders.cogroup(cust) { (key, os, cs) =>
       var n = 0L; var cents = 0L
-      os.foreach { o => n += 1; cents += math.round(o.o_totalprice * 100) }
+      os.foreach { o => n += 1; cents += centsHalfAwayFromZero(o.o_totalprice) }
       Iterator.single((key, n, cents, cs.nonEmpty))
     }
       .toDF("custkey", "n_orders", "total_cents", "known_customer")

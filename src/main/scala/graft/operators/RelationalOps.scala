@@ -49,7 +49,12 @@ object RelationalOps {
   def csvRoundtrip(s: SparkSession, d: String): DataFrame = {
     val r = t(s, d, "region")
     val tmp = graft.TempDirs.cached("csv", d) { dir =>
-      r.write.mode("overwrite").option("header", "true").csv(dir)
+      // pin whitespace handling: Spark's CSV WRITER trims leading/trailing
+      // whitespace by default, which would silently corrupt the roundtrip
+      // the moment a fixture string carries a boundary space
+      r.write.mode("overwrite").option("header", "true")
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false").csv(dir)
     }
     s.read.option("header", "true").schema(r.schema).csv(tmp)
       .orderBy("r_regionkey")
@@ -238,17 +243,24 @@ object RelationalOps {
       .orderBy("a_id", "b_id")
   }
 
+  /** THE purchase/signup projections of the as-of family — ONE copy for
+    * all six operators (the forward variant derives its negated axis from
+    * these), so a fixture schema change cannot reach only some of them. */
+  private def asofPurchases(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events").filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
+
+  private def asofSignups(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events").filter(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"), col("user_id").as("su"), col("ts").as("s_ts"))
+
   /** C10: as-of join — for each purchase, the latest prior-or-equal signup of
     * the same user; tie-break on signup event_id. Spark has no native as-of
     * join, so: conditional join + window argmax (row_number = 1). At 100 TB:
     * range-partition by user, sort by ts, merge within partitions. */
   def joinAsof(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val e = t(s, d, "events")
-    val pur = e.filter(col("event_type") === "purchase")
-      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
-    val sig = e.filter(col("event_type") === "signup")
-      .select(col("event_id").as("signup_id"), col("user_id").as("su"), col("ts").as("s_ts"))
+    val (pur, sig) = (asofPurchases(s, d), asofSignups(s, d))
     val w = Window.partitionBy("purchase_id")
       .orderBy(col("s_ts").desc, col("signup_id").desc)
     pur.join(sig, col("user_id") === col("su") && col("s_ts") <= col("p_ts"))
@@ -265,11 +277,7 @@ object RelationalOps {
     * signup) pair for the window to discard. Same oracle as C10 — the two
     * formulations must agree row-for-row. */
   def joinAsofNative(s: SparkSession, d: String): DataFrame = {
-    val e = t(s, d, "events")
-    val pur = e.filter(col("event_type") === "purchase")
-      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
-    val sig = e.filter(col("event_type") === "signup")
-      .select(col("event_id").as("signup_id"), col("user_id").as("su"), col("ts").as("s_ts"))
+    val (pur, sig) = (asofPurchases(s, d), asofSignups(s, d))
     org.apache.spark.sql.graftnative.AsOfJoinApi
       .asofJoin(pur, sig, "user_id", "su", "p_ts", "s_ts", "signup_id")
       .select("purchase_id", "user_id", "signup_id")
@@ -282,11 +290,7 @@ object RelationalOps {
     * window, no earlier signup can be younger), so filter-after-merge is
     * exactly as-of-with-tolerance, with no second pass. */
   def joinAsofTolerance(s: SparkSession, d: String): DataFrame = {
-    val e = t(s, d, "events")
-    val pur = e.filter(col("event_type") === "purchase")
-      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
-    val sig = e.filter(col("event_type") === "signup")
-      .select(col("event_id").as("signup_id"), col("user_id").as("su"), col("ts").as("s_ts"))
+    val (pur, sig) = (asofPurchases(s, d), asofSignups(s, d))
     org.apache.spark.sql.graftnative.AsOfJoinApi
       .asofJoin(pur, sig, "user_id", "su", "p_ts", "s_ts", "signup_id")
       .filter(col("s_ts") >= col("p_ts") - expr("INTERVAL 3 DAYS"))
@@ -299,11 +303,7 @@ object RelationalOps {
     * shape). Same single merge pass; the outer flag only changes what the
     * merge emits on a miss. */
   def joinAsofOuter(s: SparkSession, d: String): DataFrame = {
-    val e = t(s, d, "events")
-    val pur = e.filter(col("event_type") === "purchase")
-      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
-    val sig = e.filter(col("event_type") === "signup")
-      .select(col("event_id").as("signup_id"), col("user_id").as("su"), col("ts").as("s_ts"))
+    val (pur, sig) = (asofPurchases(s, d), asofSignups(s, d))
     org.apache.spark.sql.graftnative.AsOfJoinApi
       .asofJoin(pur, sig, "user_id", "su", "p_ts", "s_ts", "signup_id", isOuter = true)
       .select("purchase_id", "user_id", "signup_id")
@@ -317,13 +317,11 @@ object RelationalOps {
     * convention (pandas merge_asof direction='forward'). One plan node
     * serves both directions — no second operator to maintain. */
   def joinAsofForward(s: SparkSession, d: String): DataFrame = {
-    val e = t(s, d, "events")
-    val pur = e.filter(col("event_type") === "purchase")
-      .select(col("event_id").as("purchase_id"), col("user_id"),
-        (-unix_micros(col("ts"))).as("neg_p"))
-    val sig = e.filter(col("event_type") === "signup")
-      .select(col("event_id").as("signup_id"), col("user_id").as("su"),
-        (-unix_micros(col("ts"))).as("neg_s"), (-col("event_id")).as("neg_id"))
+    val pur = asofPurchases(s, d)
+      .select(col("purchase_id"), col("user_id"), (-unix_micros(col("p_ts"))).as("neg_p"))
+    val sig = asofSignups(s, d)
+      .select(col("signup_id"), col("su"), (-unix_micros(col("s_ts"))).as("neg_s"),
+        (-col("signup_id")).as("neg_id"))
     org.apache.spark.sql.graftnative.AsOfJoinApi
       .asofJoin(pur, sig, "user_id", "su", "neg_p", "neg_s", "neg_id")
       .select("purchase_id", "user_id", "signup_id")
@@ -343,11 +341,7 @@ object RelationalOps {
     * rank expression. Both merges shuffle once on user_id; the alignment
     * join shuffles two |purchases|-sized sides on purchase_id. */
   def joinAsofNearest(s: SparkSession, d: String): DataFrame = {
-    val e = t(s, d, "events")
-    val pur = e.filter(col("event_type") === "purchase")
-      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
-    val sig = e.filter(col("event_type") === "signup")
-      .select(col("event_id").as("signup_id"), col("user_id").as("su"), col("ts").as("s_ts"))
+    val (pur, sig) = (asofPurchases(s, d), asofSignups(s, d))
     val back = org.apache.spark.sql.graftnative.AsOfJoinApi
       .asofJoin(pur, sig, "user_id", "su", "p_ts", "s_ts", "signup_id", isOuter = true)
       .select(col("purchase_id"), col("user_id"), unix_micros(col("p_ts")).as("p_us"),
@@ -1319,7 +1313,7 @@ object RelationalOps {
     "set_union_by_name" ->
       "SELECT * FROM (SELECT c_nationkey AS nationkey, 'cust' AS side, c_acctbal AS acctbal FROM customer UNION ALL SELECT s_nationkey, 'supp', NULL FROM supplier) ORDER BY nationkey, side, acctbal NULLS FIRST",
     "fn_string_suite" ->
-      "SELECT c_custkey, upper(c_name) AS up_name, lower(c_mktsegment) AS lo_seg, CAST(length(c_name) AS INTEGER) AS name_len, substr(c_name, 10, 4) AS sub4, concat(c_mktsegment, '-', c_name) AS cat, lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded, regexp_replace(c_name, 'Customer', 'C') AS repl, trim(concat(' ', c_mktsegment, ' ')) AS trimmed, split_part(c_name, '#', 1) AS prefix FROM customer ORDER BY c_custkey",
+      "SELECT c_custkey, upper(c_name) AS up_name, lower(c_mktsegment) AS lo_seg, CAST(length(c_name) AS INTEGER) AS name_len, substr(c_name, 10, 4) AS sub4, concat(c_mktsegment, '-', c_name) AS cat, lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded, regexp_replace(c_name, 'Customer', 'C', 'g') AS repl, trim(concat(' ', c_mktsegment, ' ')) AS trimmed, split_part(c_name, '#', 1) AS prefix FROM customer ORDER BY c_custkey",
     "fn_url_suite" ->
       ("WITH u AS (SELECT doc_id, 'https://' || source || '.example.com/docs/' || doc_id || '?lang=' || lang || '&id=' || doc_id AS url FROM documents) " +
         "SELECT doc_id, url, regexp_extract(url, '^([a-z]+)://', 1) AS proto, " +
