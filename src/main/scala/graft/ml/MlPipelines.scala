@@ -87,11 +87,13 @@ object MlPipelines {
     val pipe = new Pipeline().setStages(Array(
       MlOps.tokenizer(),
       new StopWordsRemover().setInputCol("toks").setOutputCol("kept")
-        .setStopWords(Array("the", "a", "of")).setCaseSensitive(true),
+        .setStopWords(MlOps.PinnedStopwords).setCaseSensitive(true),
       new HashingTF().setInputCol("kept").setOutputCol("tf").setNumFeatures(1 << 16),
       new IDF().setInputCol("tf").setOutputCol("features"),
+      // "skip", not the default "error": a rare language landing only in
+      // the test split (or a CV fold) must be skipped, not kill transform
       new StringIndexer().setInputCol("lang").setOutputCol("label")
-        .setStringOrderType("frequencyDesc"),
+        .setStringOrderType("frequencyDesc").setHandleInvalid("skip"),
       new LogisticRegression().setMaxIter(20).setRegParam(0.01)))
     val model = pipe.fit(train)
     val acc = new MulticlassClassificationEvaluator()
@@ -108,6 +110,9 @@ object MlPipelines {
       .select(col("user_id").cast("int").as("user"),
         get_json_object(col("props"), "$.k").cast("int").as("item"),
         col("value").cast("float").as("rating"))
+      // a purchase without $.k (or a non-numeric value) yields nulls that
+      // ALS.fit rejects outright — drop them instead of dying on one row
+      .na.drop(Seq("user", "item", "rating"))
     val model = new ALS().setSeed(Seed).setRank(8).setMaxIter(5)
       .setUserCol("user").setItemCol("item").setRatingCol("rating")
       .fit(ratings)
@@ -126,7 +131,8 @@ object MlPipelines {
       MlOps.tokenizer(),
       new HashingTF().setInputCol("toks").setOutputCol("tf").setNumFeatures(1 << 14),
       new IDF().setInputCol("tf").setOutputCol("features"),
-      new StringIndexer().setInputCol("lang").setOutputCol("label"),
+      new StringIndexer().setInputCol("lang").setOutputCol("label")
+        .setHandleInvalid("skip"), // see langClassifier
       lr))
     val grid = new ParamGridBuilder().addGrid(lr.regParam, Array(0.01, 0.5)).build()
     val cv = new CrossValidator().setSeed(Seed).setNumFolds(2)

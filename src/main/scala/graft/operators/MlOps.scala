@@ -39,11 +39,16 @@ object MlOps {
       .select(col("doc_id"), concat_ws(" ", col("toks")).as("toks"))
       .orderBy("doc_id")
 
+  /** THE pinned stopword list — one copy for the graded J2 op, its
+    * oracle, and the J8 classifier pipeline (MlPipelines), so the
+    * corpus-wide stopword definition cannot drift between them. */
+  val PinnedStopwords: Array[String] = Array("the", "a", "of")
+
   /** J2: stopword removal with a pinned custom list (the library default
     * list would make the oracle library-versioned — always pin). */
   def mlStopwords(s: SparkSession, d: String): DataFrame = {
     val remover = new StopWordsRemover().setInputCol("toks").setOutputCol("kept")
-      .setStopWords(Array("the", "a", "of")).setCaseSensitive(true)
+      .setStopWords(PinnedStopwords).setCaseSensitive(true)
     remover.transform(tokenizer().transform(t(s, d, "documents")))
       .select(col("doc_id"), concat_ws(" ", col("kept")).as("kept"))
       .orderBy("doc_id")

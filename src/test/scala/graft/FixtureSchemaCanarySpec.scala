@@ -123,6 +123,21 @@ class FixtureSchemaCanarySpec extends SparkTestBase {
           |${dups.mkString("\n")}""".stripMargin)
   }
 
+  test("CANARY: embeddings are uniformly 64-dimensional") {
+    // the ml_summarizer oracle unrolls generate_series(1, 64), the PQ
+    // family slices 16×4 subspaces, and the IVF centroids assert width
+    // 64 — a fixture regeneration at another dimension must fail HERE,
+    // once, by name, instead of as scattered row-count mismatches
+    import org.apache.spark.sql.functions.{col, size}
+    val dims = Tables.load(spark, SF, "embeddings")
+      .select(size(col("embedding")).as("d")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(dims == Set(64),
+      s"""|FIXTURE DRIFT — embedding dimensions $dims (expected exactly 64).
+          |Update the ml_summarizer oracle's generate_series bound, PqOps
+          |NumSub/SubDim, and the PortableQuantizer width assertion together.""".stripMargin)
+  }
+
   test("CANARY: documents.text is pure ASCII (byte ≡ codepoint oracle precondition)") {
     // mm_ahash_dedup (and the byte-positioned mm_* metadata oracles) sum
     // UTF-8 BYTES at byte positions on the Spark side while the DuckDB

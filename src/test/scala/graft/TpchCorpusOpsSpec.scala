@@ -25,6 +25,7 @@ class TpchCorpusOpsSpec extends SparkTestBase {
     val docs = Tables.load(spark, SF, "documents")
     val seen = docs.count()
     val kept = docs.filter(col("n_chars").between(100, 500) &&
+      col("lang").isin("en", "fr", "de") &&
       size(split(col("text"), " ")) >= 20).count()
     assert(m("rows_seen") == seen)
     assert(m("rows_rejected") == seen - kept)
