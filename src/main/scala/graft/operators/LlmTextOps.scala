@@ -154,47 +154,30 @@ object LlmTextOps {
     bpeMemo.clear(t => org.apache.spark.sql.graftnative.CheckpointRelease.release(t._2)))
 
   private def bpeTrainUncached(s: SparkSession, d: String, rounds: Int): (DataFrame, DataFrame) = {
-    val sep = "\u001f"
-    var seg = t(s, d, "documents")
-      .select(explode(split(col("text"), " ")).as("w"))
-      .filter(length(col("w")) >= 2)
-      .groupBy("w").agg(count(lit(1)).as("cnt"))
-      // initial state: one separator between every pair of adjacent
-      // chars. (?s) so '.' also matches a newline: split is on ' ' only,
-      // so '\n' can survive INSIDE a word — without DOTALL Java's regex
-      // skips it while the DuckDB twin's substr trick assumes every char
-      // matched, and the engines' seg0 diverge on newline-bearing words
-      .select(regexp_replace(col("w"), "(?s)(.)(?=.)", "$1" + sep).as("seg"),
-        col("cnt"))
+    // merge mechanics (seg init / pair explode / bounded regex merge)
+    // live in TokenizerMerge, shared with the WordPiece trainer -- only
+    // the argmax below (raw pair frequency) is BPE's own
+    val sep = TokenizerMerge.Sep
+    var seg = TokenizerMerge.initialSeg(
+      t(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) >= 2)
+        .groupBy("w").agg(count(lit(1)).as("cnt")))
       .localCheckpoint(true)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
     var round = 1
     var exhausted = false
     while (round <= rounds && !exhausted) {
-      val best = seg
-        .select(col("cnt"), split(col("seg"), sep).as("syms"))
-        .filter(size(col("syms")) >= 2) // sequence(0,-1) would count DOWN
-        .select(col("cnt"), explode(transform(
-          sequence(lit(1), size(col("syms")) - 1),
-          i => concat(element_at(col("syms"), i), lit(sep),
-            element_at(col("syms"), i + 1)))).as("pair"))
-        .groupBy("pair").agg(sum("cnt").as("pcnt"))
+      val best = TokenizerMerge.pairCandidates(seg)
         .orderBy(col("pcnt").desc, col("pair"))
         .limit(1).collect() // single-row argmax: the per-iteration scalar
       if (best.isEmpty) exhausted = true
       else {
         val parts = best(0).getString(0).split(sep)
         val (l, r) = (parts(0), parts(1))
-        val pat = "(?<![^" + sep + "])" +
-          java.util.regex.Pattern.quote(l + sep + r) + "(?![^" + sep + "])"
         merges += ((round, l, r, l + r, best(0).getLong(1)))
-        // quoteReplacement: a merged symbol containing '$' or '\' would
-        // otherwise be read as a group reference by Java's replaceAll
-        // while the DuckDB twin's plain replace proceeds — the engines
-        // must fail or succeed together
         seg = seg
-          .withColumn("seg", regexp_replace(col("seg"), pat,
-            java.util.regex.Matcher.quoteReplacement(l + r)))
+          .withColumn("seg", TokenizerMerge.applyMerge(col("seg"), l, r))
           .localCheckpoint(true)
         round += 1
       }

@@ -174,20 +174,25 @@ object UnigramOps {
       .orderBy(col("cnt").desc, col("piece"))
   }
 
-  /** Graded: the two trained tokenizer families side by side, per
+  /** Graded: the three trained tokenizer families side by side, per
     * document — the comparison a pipeline owner actually runs when
     * choosing a tokenizer (same corpus, same words; whose token count /
-    * fertility wins, and by how much). Joins the two encode outputs on
-    * doc_id; both sides reuse their memoized trained models, so this
-    * costs two broadcast joins and one equi-join, never a retrain. */
+    * fertility wins, and by how much). Joins the three encode outputs on
+    * doc_id; every side reuses its memoized trained model, so this costs
+    * three broadcast joins and two equi-joins, never a retrain. The
+    * WordPiece columns are APPENDED so the (doc_id, bpe, uni, ratio)
+    * prefix keeps its shape for existing consumers. */
   def llmTokenizerCompare(s: SparkSession, d: String): DataFrame = {
     val bpe = LlmTextOps.llmBpeEncode(s, d).select(col("doc_id"),
       col("n_tokens").as("bpe_tokens"), col("fertility").as("bpe_fertility"))
     val uni = llmUnigramEncode(s, d).select(col("doc_id"),
       col("n_tokens").as("uni_tokens"), col("fertility").as("uni_fertility"))
+    val wp = WordPieceOps.llmWordpieceEncode(s, d).select(col("doc_id"),
+      col("n_tokens").as("wp_tokens"), col("fertility").as("wp_fertility"))
     bpe.join(uni, Seq("doc_id"))
       .withColumn("tokens_ratio",
         floor(col("uni_tokens").cast("double") / col("bpe_tokens") * 10000 + 0.5) / 10000.0)
+      .join(wp, Seq("doc_id"))
       .orderBy("doc_id")
   }
 
@@ -322,14 +327,17 @@ FROM pruned, tp ORDER BY cnt DESC, piece"""
     "llm_unigram_train" -> unigramTrainOracle,
     "llm_unigram_encode" -> unigramEncodeOracle,
     "llm_unigram_prune" -> unigramPruneOracle,
-    // the two encode oracles nested as subqueries (each carries its own
-    // WITH tower) joined on doc_id — the oracle composes exactly like
-    // the Spark side composes the two encode frames
+    // the three encode oracles nested as subqueries (each carries its
+    // own WITH tower) joined on doc_id — the oracle composes exactly
+    // like the Spark side composes the three encode frames
     "llm_tokenizer_compare" ->
       ("SELECT b.doc_id AS doc_id, b.n_tokens AS bpe_tokens, b.fertility AS bpe_fertility, " +
         "u.n_tokens AS uni_tokens, u.fertility AS uni_fertility, " +
-        "floor(CAST(u.n_tokens AS DOUBLE) / b.n_tokens * 10000 + 0.5) / 10000.0 AS tokens_ratio " +
+        "floor(CAST(u.n_tokens AS DOUBLE) / b.n_tokens * 10000 + 0.5) / 10000.0 AS tokens_ratio, " +
+        "w.n_tokens AS wp_tokens, w.fertility AS wp_fertility " +
         s"FROM (${LlmTextOps.oracles("llm_bpe_encode")}) b " +
-        s"JOIN ($unigramEncodeOracle) u ON b.doc_id = u.doc_id ORDER BY doc_id"),
+        s"JOIN ($unigramEncodeOracle) u ON b.doc_id = u.doc_id " +
+        s"""JOIN (${WordPieceOps.oracles("llm_wordpiece_encode")}) w ON b.doc_id = w.doc_id """ +
+        "ORDER BY doc_id"),
   )
 }

@@ -107,7 +107,8 @@ class EngineSurfaceSpec extends SparkTestBase {
       "PqOps" -> PqOps.queries.keySet,
       "GraphOps" -> GraphOps.queries.keySet,
       "AdvancedOps" -> AdvancedOps.queries.keySet,
-      "UnigramOps" -> UnigramOps.queries.keySet)
+      "UnigramOps" -> UnigramOps.queries.keySet,
+      "WordPieceOps" -> WordPieceOps.queries.keySet)
     val perRegistry = registries.map(_._2.size).sum
     assert(perRegistry == SparkEntry.queries.size,
       s"key collision across registries: ${
