@@ -587,9 +587,96 @@ object LlmCorpusOps {
       .orderBy("doc_id")
   }
 
+  /** CCNet-style corpus partition: per language, rank documents by their
+    * own-corpus perplexity ([[llmPerplexity]]) and cut into equal-count
+    * head / middle / tail thirds — the quality tiers the CCNet pipeline
+    * (Wenzek et al. 2020) trains on (head = lowest perplexity = most
+    * model-like text). Output is the tier report a corpus owner reads:
+    * per (lang, bucket) document and char volume plus the tier's
+    * perplexity range. Documents with no bigram (single-word) carry no
+    * perplexity and are out of scope, as in CCNet's paragraph filter.
+    *
+    * Determinism: the ntile runs over the ALREADY-rounded 4dp perplexity
+    * with doc_id as the total tie-break, and min/max of identical value
+    * sets are identical — no fresh float op is introduced. Scale: one
+    * window per language partition over doc-level rows (corpus-sized but
+    * thin), then a 6-ish-row aggregation; the heavy lifting is
+    * llmPerplexity's own (already-audited) plan. */
+  def llmCcnetBuckets(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byLang = Window.partitionBy("lang")
+      .orderBy(col("perplexity"), col("doc_id"))
+    llmPerplexity(s, d).select("doc_id", "perplexity")
+      .join(t(s, d, "documents").select("doc_id", "lang", "n_chars"), "doc_id")
+      .withColumn("b", ntile(3).over(byLang))
+      .withColumn("bucket",
+        when(col("b") === 1, "head").when(col("b") === 2, "middle")
+          .otherwise("tail"))
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars").cast("long")).as("n_chars"),
+        min("perplexity").as("ppl_min"),
+        max("perplexity").as("ppl_max"))
+      .orderBy("lang", "bucket")
+  }
+
+  /** DSIR-style importance weighting (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every
+    * document by how much more probable its unigram features are under a
+    * TARGET distribution than under the raw-corpus distribution, then
+    * select the documents the target model prefers. The target here is
+    * the English slice (the fixture's stand-in for a curated domain);
+    * both distributions are add-one-smoothed over the SHARED corpus
+    * vocabulary so the log-ratio is finite for every word.
+    *
+    * Determinism: per-word log-ratio rounds to millionth-nats (BIGINT)
+    * BEFORE summation — the per-doc weight is an exact integer sum,
+    * immune to float ordering (the perplexity discipline). `selected`
+    * is the sign test (target-likelier than corpus), the deterministic
+    * stand-in for DSIR's Gumbel resampling draw.
+    *
+    * Scale posture (100 TB): two vocabulary-sized aggregations (target
+    * and corpus word histograms — map-side partials, one shuffle each),
+    * two scalar totals collected as literals (bounded model state), and
+    * ONE broadcast join of the per-word score table onto the corpus word
+    * stream followed by a hash aggregation on doc_id. The corpus
+    * shuffles once. */
+  def llmDsirWeight(s: SparkSession, d: String): DataFrame = {
+    val words = t(s, d, "documents")
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) >= 1)
+    val corpusCnt = words.groupBy("word").agg(count(lit(1)).as("cc"))
+    val targetCnt = words.filter(col("lang") === "en")
+      .groupBy("word").agg(count(lit(1)).as("tc"))
+    // smoothing denominators as literals: bounded single-row collects
+    // (the llmPerplexity V pattern — a 1-row crossJoin would plan a BNL)
+    val nv = corpusCnt.count() // shared vocab size
+    val Seq(totC, totT) = {
+      val r = words.agg(count(lit(1)).as("n"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("nt")).collect()(0)
+      Seq(r.getLong(0), r.getLong(1))
+    }
+    require(totT > 0, "llm_dsir_weight: the target slice (lang='en') is empty")
+    val scores = corpusCnt.join(targetCnt, Seq("word"), "left")
+      .select(col("word"),
+        (floor(lit(1e6) * log((coalesce(col("tc"), lit(0L)) + 1).cast("double") /
+            lit((totT + nv).toDouble)) + 0.5).cast("long") -
+          floor(lit(1e6) * log((col("cc") + 1).cast("double") /
+            lit((totC + nv).toDouble)) + 0.5).cast("long")).as("s"))
+    words.join(broadcast(scores), "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum("s").cast("long").as("logratio6"))
+      .withColumn("selected", col("logratio6") > 0L)
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "llm_perplexity" -> (llmPerplexity _),
     "llm_perplexity_holdout" -> (llmPerplexityHoldout _),
+    "llm_ccnet_buckets" -> (llmCcnetBuckets _),
+    "llm_dsir_weight" -> (llmDsirWeight _),
     "llm_tfidf_cosine" -> (llmTfidfCosine _),
     "llm_pipeline_e2e" -> (llmPipelineE2e _),
     "llm_stratified_sample" -> (llmStratifiedSample _),
@@ -617,21 +704,53 @@ object LlmCorpusOps {
       "bg AS (SELECT doc_id, lag(word) OVER (PARTITION BY doc_id ORDER BY pos) AS w1, word AS w2 " +
       "FROM w QUALIFY w1 IS NOT NULL), "
 
+  // same integer-score discipline as the Spark side: one rounded ln()
+  // per MODEL bigram, exact BIGINT nll sums, rounded exp at the end.
+  // A def (not inlined in the map) because llm_ccnet_buckets nests it.
+  private def perplexityOracle: String =
+    bigramOracleCtes +
+      "model AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2), " +
+      "lc AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM model GROUP BY 1), " +
+      "v AS (SELECT count(DISTINCT word) AS nv FROM w), " +
+      "scores AS (SELECT m.w1, m.w2, CAST(floor(1e6 * ln(CAST(m.c12 + 1 AS DOUBLE) / (lc.c1 + v.nv)) + 0.5) AS BIGINT) AS s " +
+      "FROM model m JOIN lc USING (w1), v) " +
+      "SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, " +
+      "CAST(-sum(s.s) AS BIGINT) AS nll6, " +
+      "floor(exp(CAST(-sum(s.s) AS DOUBLE) / 1e6 / count(*)) * 1e4 + 0.5) / 1e4 AS perplexity " +
+      "FROM bg b JOIN scores s ON b.w1 = s.w1 AND b.w2 = s.w2 " +
+      "GROUP BY b.doc_id ORDER BY b.doc_id"
+
   val oracles: Map[String, String] = Map(
-    // same integer-score discipline as the Spark side: one rounded ln()
-    // per MODEL bigram, exact BIGINT nll sums, rounded exp at the end
-    "llm_perplexity" ->
-      (bigramOracleCtes +
-        "model AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2), " +
-        "lc AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM model GROUP BY 1), " +
-        "v AS (SELECT count(DISTINCT word) AS nv FROM w), " +
-        "scores AS (SELECT m.w1, m.w2, CAST(floor(1e6 * ln(CAST(m.c12 + 1 AS DOUBLE) / (lc.c1 + v.nv)) + 0.5) AS BIGINT) AS s " +
-        "FROM model m JOIN lc USING (w1), v) " +
-        "SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, " +
-        "CAST(-sum(s.s) AS BIGINT) AS nll6, " +
-        "floor(exp(CAST(-sum(s.s) AS DOUBLE) / 1e6 / count(*)) * 1e4 + 0.5) / 1e4 AS perplexity " +
-        "FROM bg b JOIN scores s ON b.w1 = s.w1 AND b.w2 = s.w2 " +
-        "GROUP BY b.doc_id ORDER BY b.doc_id"),
+    "llm_perplexity" -> perplexityOracle,
+    // the perplexity oracle nested as a subquery (it carries its own
+    // WITH tower), joined to documents for lang/chars, then the same
+    // ntile cut — Spark and DuckDB share SQL-standard ntile semantics
+    // (larger groups first when the partition doesn't divide by 3)
+    "llm_ccnet_buckets" ->
+      (s"WITH j AS (SELECT p.doc_id, d.lang, d.n_chars, p.perplexity, " +
+        "ntile(3) OVER (PARTITION BY d.lang ORDER BY p.perplexity, p.doc_id) AS b " +
+        s"FROM ($perplexityOracle) p JOIN documents d ON p.doc_id = d.doc_id) " +
+        "SELECT lang, CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket, " +
+        "CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars, " +
+        "min(perplexity) AS ppl_min, max(perplexity) AS ppl_max " +
+        "FROM j GROUP BY 1, 2 ORDER BY lang, bucket"),
+    // per-word log-ratios round to millionth-nats BEFORE the doc sum
+    // (exact BIGINT, same as nll6); smoothing totals are plain scalars
+    "llm_dsir_weight" ->
+      ("WITH words AS (SELECT doc_id, lang, word FROM " +
+        "(SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word FROM documents) " +
+        "WHERE length(word) >= 1), " +
+        "cc AS (SELECT word, CAST(count(*) AS BIGINT) AS cc FROM words GROUP BY 1), " +
+        "tc AS (SELECT word, CAST(count(*) AS BIGINT) AS tc FROM words WHERE lang = 'en' GROUP BY 1), " +
+        "tot AS (SELECT count(*) AS totc, sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tott, " +
+        "(SELECT count(*) FROM cc) AS nv FROM words), " +
+        "scores AS (SELECT cc.word, " +
+        "CAST(floor(1e6 * ln(CAST(coalesce(tc.tc, 0) + 1 AS DOUBLE) / (tot.tott + tot.nv)) + 0.5) AS BIGINT) - " +
+        "CAST(floor(1e6 * ln(CAST(cc.cc + 1 AS DOUBLE) / (tot.totc + tot.nv)) + 0.5) AS BIGINT) AS s " +
+        "FROM cc LEFT JOIN tc USING (word), tot) " +
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words, " +
+        "CAST(sum(s) AS BIGINT) AS logratio6, sum(s) > 0 AS selected " +
+        "FROM words JOIN scores USING (word) GROUP BY doc_id ORDER BY doc_id"),
     // frozen-model variant: model CTEs filter to the train split, the
     // holdout scores through left-join coalesce defaults (c12=0, c1=0)
     "llm_perplexity_holdout" ->

@@ -363,6 +363,36 @@ class TpchCorpusOpsSpec extends SparkTestBase {
     assert(e.getMessage.contains("train split"), e.getMessage)
   }
 
+  test("ccnet buckets: equal-count thirds per language, ordered by perplexity") {
+    val rows = LlmCorpusOps.llmCcnetBuckets(spark, SF).collect()
+    val scoreable = LlmCorpusOps.llmPerplexity(spark, SF).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == scoreable)
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (lang, bs) =>
+      assert(bs.length == 3, s"$lang is missing a tier")
+      val byName = bs.map(r => r.getAs[String]("bucket") -> r).toMap
+      val counts = Seq("head", "middle", "tail").map(byName(_).getAs[Long]("n_docs"))
+      assert(counts.max - counts.min <= 1, s"$lang tiers uneven: $counts")
+      // ntile over a total order: tier ranges cannot overlap
+      assert(byName("head").getAs[Double]("ppl_max") <=
+        byName("middle").getAs[Double]("ppl_min"), s"$lang head/middle overlap")
+      assert(byName("middle").getAs[Double]("ppl_max") <=
+        byName("tail").getAs[Double]("ppl_min"), s"$lang middle/tail overlap")
+    }
+  }
+
+  test("dsir weights: the target language scores above every other slice") {
+    val w = LlmCorpusOps.llmDsirWeight(spark, SF)
+    // selected is exactly the sign test
+    assert(w.filter(col("selected") =!= (col("logratio6") > 0L)).count() == 0)
+    val byLang = w.join(Tables.load(spark, SF, "documents")
+        .select("doc_id", "lang"), "doc_id")
+      .groupBy("lang").agg(avg(col("logratio6")).as("m"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val others = byLang.filter(_._1 != "en").values
+    assert(others.forall(_ < byLang("en")),
+      s"target slice not preferred: $byLang")
+  }
+
   test("tokenizer compare: columns consistent with the two encode ops") {
     import graft.operators.{LlmTextOps, UnigramOps}
     val cmp = UnigramOps.llmTokenizerCompare(spark, SF).collect()
