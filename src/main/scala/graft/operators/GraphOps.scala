@@ -246,12 +246,37 @@ object GraphOps {
   def graphTriangles(s: SparkSession, d: String): DataFrame =
     triangleCount(partPairs(s, d).where(col("n_cooccur") >= 2))
 
+  /** Connected components of the repeat-co-purchase graph (pairs bought
+    * together in >= 2 orders — the same threshold the triangle count
+    * uses; at threshold 1 the graph is one giant ball, at 2 it fragments
+    * into the product communities a merchandiser actually reads). The
+    * labeling is the pointer-jumping min-label kernel shared with the
+    * dedup-cluster ops ([[LlmTextOps.connectedComponents]] — O(log n)
+    * rounds, no driver collect); this key reports the component census
+    * (id = min member, node and edge counts) rather than the per-node
+    * labeling, which is what the graph family's summary ops report.
+    * Scale: the census aggregations are two hash shuffles over the
+    * (already thresholded, vastly sub-corpus) edge/label frames. */
+  def graphComponents(s: SparkSession, d: String): DataFrame = {
+    val edges = partPairs(s, d).where(col("n_cooccur") >= 2)
+      .select(col("p1").as("a_id"), col("p2").as("b_id"))
+    val labels = LlmTextOps.connectedComponents(edges)
+    val sizes = labels.groupBy(col("comp").as("component_id"))
+      .agg(count(lit(1)).as("n_nodes"))
+    // every node came from an edge, so the inner joins are total
+    val edgeComp = edges
+      .join(labels.select(col("id").as("a_id"), col("comp").as("component_id")), "a_id")
+      .groupBy("component_id").agg(count(lit(1)).as("n_edges"))
+    sizes.join(edgeComp, Seq("component_id")).orderBy("component_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "graph_pagerank" -> (graphPagerank _),
     "graph_degree_dist" -> (graphDegreeDist _),
     "graph_khop" -> (graphKhop _),
     "graph_copurchase_topk" -> (graphCopurchaseTopk _),
-    "graph_triangles" -> (graphTriangles _))
+    "graph_triangles" -> (graphTriangles _),
+    "graph_components" -> (graphComponents _))
 
   /** The identical formula with the 5 rounds unrolled as CTE stages. */
   val oracles: Map[String, String] = Map(
@@ -301,5 +326,21 @@ object GraphOps {
         "eb AS (SELECT p1, p2 FROM pairs WHERE n >= 2) " +
         "SELECT count(*) AS n_triangles FROM eb e1 " +
         "JOIN eb e2 ON e1.p2 = e2.p1 " +
-        "JOIN eb e3 ON e1.p1 = e3.p1 AND e2.p2 = e3.p2"))
+        "JOIN eb e3 ON e1.p1 = e3.p1 AND e2.p2 = e3.p2"),
+    // transitive closure by recursive CTE (the llm_dedup_clusters
+    // pattern): min over each node's reachable set = the component min,
+    // identical to the Spark side's min-label fixed point
+    "graph_components" ->
+      ("WITH RECURSIVE pairs AS MATERIALIZED (SELECT a.l_partkey AS p1, b.l_partkey AS p2 " +
+        "FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey " +
+        "AND a.l_partkey < b.l_partkey GROUP BY 1, 2 HAVING count(*) >= 2), " +
+        "edges AS (SELECT p1 AS src, p2 AS dst FROM pairs UNION ALL SELECT p2, p1 FROM pairs), " +
+        "reach AS (SELECT src AS id, src AS comp FROM edges " +
+        "UNION SELECT e.src AS id, r.comp FROM edges e JOIN reach r ON e.dst = r.id), " +
+        "labels AS (SELECT id, min(comp) AS component_id FROM reach GROUP BY id), " +
+        "sizes AS (SELECT component_id, CAST(count(*) AS BIGINT) AS n_nodes FROM labels GROUP BY 1), " +
+        "ec AS (SELECT l.component_id, CAST(count(*) AS BIGINT) AS n_edges " +
+        "FROM pairs p JOIN labels l ON p.p1 = l.id GROUP BY 1) " +
+        "SELECT component_id, n_nodes, n_edges FROM sizes JOIN ec USING (component_id) " +
+        "ORDER BY component_id"))
 }

@@ -140,4 +140,39 @@ class GraphOpsSpec extends SparkTestBase {
     val cMax = rows.filter(_._1.startsWith("c:")).map(_._2).max
     assert(sMin > cMax, s"supplier floor $sMin vs customer ceiling $cMax")
   }
+
+  test("graded component census: node/edge totals tie out against the edge table") {
+    val census = GraphOps.graphComponents(spark, SF).collect()
+    // rebuild the thresholded edge table the op consumes
+    val li = Tables.load(spark, SF, "lineitem").select("l_orderkey", "l_partkey")
+    val edges = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .filter(col("n") >= 2)
+      .select("p1", "p2").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    assert(census.map(_.getAs[Long]("n_nodes")).sum == nodes.length)
+    assert(census.map(_.getAs[Long]("n_edges")).sum == edges.length)
+    // each component id is a member node, and components partition nodes
+    census.foreach(r => assert(nodes.contains(r.getAs[Long]("component_id"))))
+    // plain-Scala union-find agrees with the distributed labeling
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expect = nodes.groupBy(find).map { case (root, ms) =>
+      ms.min -> ms.length.toLong // canonical id is the min member
+    }
+    val got = census.map(r =>
+      r.getAs[Long]("component_id") -> r.getAs[Long]("n_nodes")).toMap
+    assert(got == expect)
+  }
 }
