@@ -336,9 +336,48 @@ object AdvancedOps {
       .select(col("chi2"), col("dof").cast("long").as("dof"))
   }
 
+  // ---------------------------------------------------------------- KS test
+
+  /** Two-sample Kolmogorov–Smirnov statistic between the purchase-value
+    * and click-value distributions — the numeric-drift twin of the
+    * chi-square categorical check (the pair a pipeline runs between
+    * crawl/feed snapshots). The statistic is computed EXACTLY in
+    * integers: D = max_x |F_a(x) − F_b(x)| = max |cumA·nb − cumB·na| /
+    * (na·nb), so the graded columns are the integer numerator and
+    * counts; only the final display ratio rounds (floor half-up, 6 dp —
+    * values are ≥ 0). No per-row float comparison can drift cross-engine.
+    *
+    * Scale: one hash aggregation collapses the corpus to the VALUE
+    * DOMAIN (2-dp readings — bounded, the agg_count_min posture), and
+    * the cumulative window runs over that domain table, not the corpus;
+    * the single-partition window is domain-sized by construction. */
+  def statKsTest(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = t(s, d, "events")
+      .filter(col("event_type").isin("purchase", "click"))
+      .groupBy("value")
+      .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("ca"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("cb"))
+    val wCum = Window.orderBy("value")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.orderBy("value")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    per
+      .withColumn("cuma", sum("ca").over(wCum))
+      .withColumn("cumb", sum("cb").over(wCum))
+      .withColumn("na", sum("ca").over(wAll))
+      .withColumn("nb", sum("cb").over(wAll))
+      .groupBy("na", "nb")
+      .agg(max(abs(col("cuma") * col("nb") - col("cumb") * col("na"))).as("d_num"))
+      .select(col("na"), col("nb"), col("d_num"),
+        (floor(col("d_num").cast("double") / (col("na") * col("nb")).cast("double")
+          * 1e6 + 0.5) / 1e6).as("d_stat"))
+  }
+
   // --------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
+    "stat_ks_test" -> (statKsTest _),
     "pareto_frontier" -> (paretoFrontier _),
     "win_rolling_slope" -> (winRollingSlope _),
     "stat_chisq" -> (statChiSquare _),
@@ -351,6 +390,20 @@ object AdvancedOps {
     "stat_outlier_mad" -> (statOutlierMad _))
 
   val oracles: Map[String, String] = Map(
+    // integer KS numerator: DuckDB window sums are HUGEINT, cast back
+    "stat_ks_test" ->
+      ("WITH per AS (SELECT value, " +
+        "sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS ca, " +
+        "sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS cb " +
+        "FROM events WHERE event_type IN ('purchase', 'click') GROUP BY 1), " +
+        "c AS (SELECT value, " +
+        "sum(ca) OVER (ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma, " +
+        "sum(cb) OVER (ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb, " +
+        "sum(ca) OVER () AS na, sum(cb) OVER () AS nb FROM per) " +
+        "SELECT CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb, " +
+        "CAST(max(abs(cuma * nb - cumb * na)) AS BIGINT) AS d_num, " +
+        "floor(CAST(max(abs(cuma * nb - cumb * na)) AS DOUBLE) / CAST(na * nb AS DOUBLE) * 1e6 + 0.5) / 1e6 AS d_stat " +
+        "FROM c GROUP BY na, nb"),
     // the oracle is the O(n²) dominance anti-join the Spark side must
     // NEVER run — the window passes have to reproduce it exactly
     "pareto_frontier" ->

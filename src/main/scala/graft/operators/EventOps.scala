@@ -206,7 +206,39 @@ object EventOps {
         col("session_start"), col("session_end"), col("n_events"))
       .orderBy("user_id", "session_id")
 
+  /** Marketing attribution, batch form: each purchase is credited to the
+    * user's FIRST and LAST preceding touch event (click/view) — the two
+    * canonical attribution models, side by side, per conversion. The
+    * streaming twin (StreamingOps.purchaseAttribution) keeps last-touch
+    * state per user; this is the oracle-checkable replay. Strictly
+    * PRECEDING frame (1 preceding), so a click in the same instant as
+    * the purchase only counts if it sorts earlier on the (ts, event_id)
+    * total order — the same tie discipline sessionize uses. A purchase
+    * with no prior touch keeps NULL attribution (organic conversion).
+    * Scale: one shuffle on user_id, two sorted window passes sharing one
+    * sort — no joins at all. */
+  def eventAttribution(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = col("event_type").isin("click", "view")
+    ev(s, d)
+      .withColumn("first_touch_id",
+        first(when(touch, col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("first_touch_type",
+        first(when(touch, col("event_type")), ignoreNulls = true).over(w))
+      .withColumn("last_touch_id",
+        last(when(touch, col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("last_touch_type",
+        last(when(touch, col("event_type")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("value"),
+        col("first_touch_id"), col("first_touch_type"),
+        col("last_touch_id"), col("last_touch_type"))
+      .orderBy("purchase_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "event_attribution" -> (eventAttribution _),
     "event_sessionize" -> (eventSessionize _),
     "event_dau_wau" -> (eventDauWau _),
     "event_anomaly" -> (eventAnomaly _),
@@ -220,6 +252,20 @@ object EventOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // value passes through untouched (no float op, byte-identical);
+    // IGNORE NULLS first/last over the strictly-preceding frame mirrors
+    // the Spark window exactly
+    "event_attribution" ->
+      ("WITH e AS (SELECT event_id, user_id, event_type, value, CAST(ts AS TIMESTAMP) AS ts FROM events), " +
+        "a AS (SELECT event_id, user_id, event_type, value, " +
+        "first_value(CASE WHEN event_type IN ('click', 'view') THEN event_id END IGNORE NULLS) OVER w AS first_touch_id, " +
+        "first_value(CASE WHEN event_type IN ('click', 'view') THEN event_type END IGNORE NULLS) OVER w AS first_touch_type, " +
+        "last_value(CASE WHEN event_type IN ('click', 'view') THEN event_id END IGNORE NULLS) OVER w AS last_touch_id, " +
+        "last_value(CASE WHEN event_type IN ('click', 'view') THEN event_type END IGNORE NULLS) OVER w AS last_touch_type " +
+        "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)) " +
+        "SELECT event_id AS purchase_id, user_id, value, first_touch_id, first_touch_type, " +
+        "last_touch_id, last_touch_type FROM a WHERE event_type = 'purchase' ORDER BY purchase_id"),
     // gap test in integer MICROSECONDS (the §5.3.3 discipline the Spark
     // side runs), not interval comparison — the earlier INTERVAL form
     // happened to agree but made the stated invariant false

@@ -254,4 +254,24 @@ class AdvancedOpsSpec extends SparkTestBase {
     // the zero-cell grid matters: at least as many grid cells as observed
     assert(langs.size * srcs.size >= obs.size)
   }
+
+  test("KS statistic matches an exact plain-Scala ECDF walk") {
+    val vals = Tables.load(spark, SF, "events")
+      .filter(col("event_type").isin("purchase", "click"))
+      .select("event_type", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val a = vals.filter(_._1 == "purchase").map(_._2).sorted
+    val b = vals.filter(_._1 == "click").map(_._2).sorted
+    val (na, nb) = (a.length.toLong, b.length.toLong)
+    val dNum = (a ++ b).distinct.map { x =>
+      math.abs(a.count(_ <= x) * nb - b.count(_ <= x) * na)
+    }.max
+    val row = AdvancedOps.statKsTest(spark, SF).collect()
+    assert(row.length == 1)
+    assert(row(0).getAs[Long]("na") == na && row(0).getAs[Long]("nb") == nb)
+    assert(row(0).getAs[Long]("d_num") == dNum, s"got ${row(0)}, want $dNum")
+    val d = row(0).getAs[Double]("d_stat")
+    assert(d >= 0.0 && d <= 1.0)
+    assert(math.abs(d - dNum.toDouble / (na * nb)) <= 5e-7)
+  }
 }

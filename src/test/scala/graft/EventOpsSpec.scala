@@ -62,4 +62,39 @@ class EventOpsSpec extends SparkTestBase {
     val total = Tables.load(spark, SF, "events").count()
     assert(slidingTotal == 2 * total)
   }
+
+  test("attribution matches a plain-Scala per-user replay") {
+    val raw = Tables.load(spark, SF, "events")
+      .select("event_id", "user_id", "event_type", "ts")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getAs[Timestamp](3).getTime -> r.getLong(0)))
+    // replay: per user in (ts, event_id) order, track first/last touch
+    type Touch = Option[(Long, String)]
+    val want: Map[Long, (Touch, Touch)] =
+      raw.groupBy(_._2).toSeq.flatMap { case (_, es) =>
+        var firstT: Touch = None
+        var lastT: Touch = None
+        es.sortBy(_._4).toSeq.flatMap { case (id, _, tpe, _) =>
+          val out: Option[(Long, (Touch, Touch))] =
+            if (tpe == "purchase") Some(id -> ((firstT, lastT))) else None
+          if (tpe == "click" || tpe == "view") {
+            if (firstT.isEmpty) firstT = Some((id, tpe))
+            lastT = Some((id, tpe))
+          }
+          out
+        }
+      }.toMap
+    val got = EventOps.eventAttribution(spark, SF).collect()
+    assert(got.length == want.size)
+    got.foreach { r =>
+      val (f, l) = want(r.getAs[Long]("purchase_id"))
+      assert(Option(r.getAs[java.lang.Long]("first_touch_id")).map(_.toLong) == f.map(_._1))
+      assert(Option(r.getAs[String]("first_touch_type")) == f.map(_._2))
+      assert(Option(r.getAs[java.lang.Long]("last_touch_id")).map(_.toLong) == l.map(_._1))
+      assert(Option(r.getAs[String]("last_touch_type")) == l.map(_._2))
+    }
+    // organic purchases (no prior touch) exist and keep NULL attribution
+    assert(got.exists(_.isNullAt(3)) == want.values.exists(_._1.isEmpty))
+  }
 }
