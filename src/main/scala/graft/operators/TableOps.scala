@@ -113,7 +113,32 @@ object TableOps {
       .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("total"))
       .orderBy("o_orderpriority")
 
+  /** VT6: change-data-feed between two snapshots — the read an
+    * incremental downstream consumer runs instead of reprocessing the
+    * whole table (the Delta/Iceberg "CDF" shape). Computed as one full
+    * outer join of the two time-travel reads on the merge key: absent
+    * old → insert, absent new → delete, value drift → update; unchanged
+    * rows are NOT emitted (the point of the feed). The engine's
+    * manifests store row data immutably per version, so the diff is
+    * derivable from any two versions without a change log — at 100 TB
+    * the join is one co-keyed shuffle over the two snapshots, and a
+    * key-bucketed layout makes it co-located. */
+  def vtChanges(s: SparkSession, d: String): DataFrame = {
+    val t = fixtureTable(s, d)
+    val v0 = t.read(asOf = Some(0)).select(col("id"), col("acctbal").as("old_acctbal"))
+    val v2 = t.read().select(col("id"), col("acctbal").as("new_acctbal"))
+    v0.join(v2, Seq("id"), "full_outer")
+      .withColumn("change",
+        when(col("old_acctbal").isNull, "insert")
+          .when(col("new_acctbal").isNull, "delete")
+          .when(col("old_acctbal") =!= col("new_acctbal"), "update"))
+      .filter(col("change").isNotNull)
+      .select(col("change"), col("id"), col("old_acctbal"), col("new_acctbal"))
+      .orderBy("id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "vt_changes" -> (vtChanges _),
     "vt_source_read" -> (vtSourceRead _),
     "vt_merge_delete" -> (vtMergeDelete _),
     "vt_time_travel" -> (vtTimeTravel _),
@@ -136,6 +161,28 @@ object TableOps {
          |SELECT id, acctbal FROM merged WHERE NOT (acctbal < 0.0) ORDER BY id""".stripMargin),
     "vt_time_travel" ->
       "SELECT c_custkey AS id, c_acctbal AS acctbal FROM customer ORDER BY id",
+    // v0 and v2 re-derived relationally (the two oracles above), diffed
+    // by the same full-outer-join classification as the Spark side
+    "vt_changes" ->
+      ("""WITH v0 AS (SELECT c_custkey AS id, c_acctbal AS acctbal FROM customer),
+         |merged AS (
+         |  SELECT c_custkey AS id,
+         |         CASE WHEN c_acctbal > 9000 THEN 0.0 ELSE c_acctbal END AS acctbal
+         |  FROM customer
+         |  UNION ALL SELECT CAST(-1 AS BIGINT), CAST(1.0 AS DOUBLE)
+         |),
+         |v2 AS (SELECT id, acctbal FROM merged WHERE NOT (acctbal < 0.0)),
+         |j AS (SELECT coalesce(v0.id, v2.id) AS id,
+         |             v0.acctbal AS old_acctbal, v2.acctbal AS new_acctbal
+         |      FROM v0 FULL JOIN v2 ON v0.id = v2.id)
+         |SELECT CASE WHEN old_acctbal IS NULL THEN 'insert'
+         |            WHEN new_acctbal IS NULL THEN 'delete'
+         |            ELSE 'update' END AS change,
+         |       id, old_acctbal, new_acctbal
+         |FROM j
+         |WHERE old_acctbal IS NULL OR new_acctbal IS NULL
+         |   OR old_acctbal <> new_acctbal
+         |ORDER BY id""".stripMargin),
     // compaction must not change content: the oracle is the raw input
     "vt_compact" ->
       ("SELECT o_orderpriority, count(*) AS cnt, round(sum(o_totalprice), 2) AS total " +

@@ -291,4 +291,27 @@ class VersionedTableSpec extends SparkTestBase {
     // a FRESH load sees the appended version
     assert(spark.read.format("graft-vt").option("path", root).load().count() == 80)
   }
+
+  test("vt_changes: the change feed ties out against the commit recipe") {
+    import org.apache.spark.sql.functions.col
+    val feed = graft.operators.TableOps.vtChanges(spark, SF).collect()
+    val cust = Tables.load(spark, SF, "customer")
+    val negatives = cust.filter(col("c_acctbal") < 0).count()
+    val rich = cust.filter(col("c_acctbal") > 9000).count()
+    val by = feed.groupBy(_.getAs[String]("change")).view.mapValues(_.length.toLong).toMap
+    assert(by.getOrElse("insert", 0L) == 1L) // the -1 sentinel
+    assert(by.getOrElse("delete", 0L) == negatives)
+    assert(by.getOrElse("update", 0L) == rich)
+    feed.foreach { r =>
+      r.getAs[String]("change") match {
+        case "insert" =>
+          assert(r.getAs[Long]("id") == -1L && r.isNullAt(2))
+        case "delete" =>
+          assert(r.isNullAt(3) && r.getAs[Double]("old_acctbal") < 0)
+        case "update" =>
+          assert(r.getAs[Double]("old_acctbal") > 9000 &&
+            r.getAs[Double]("new_acctbal") == 0.0)
+      }
+    }
+  }
 }
