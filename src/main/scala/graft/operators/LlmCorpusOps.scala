@@ -598,10 +598,16 @@ object LlmCorpusOps {
     *
     * Determinism: the ntile runs over the ALREADY-rounded 4dp perplexity
     * with doc_id as the total tie-break, and min/max of identical value
-    * sets are identical — no fresh float op is introduced. Scale: one
-    * window per language partition over doc-level rows (corpus-sized but
-    * thin), then a 6-ish-row aggregation; the heavy lifting is
-    * llmPerplexity's own (already-audited) plan. */
+    * sets are identical — no fresh float op is introduced.
+    *
+    * Scale: the exact ntile sorts each language's documents in ONE task
+    * (a window partitioned by a 5-value key) — correct and
+    * oracle-checkable here, but at 100 TB the per-lang sort is the
+    * bottleneck; the production form computes the two tertile CUTOFFS
+    * per language (approx_percentile or an exact two-pass quantile — one
+    * aggregation, no global sort) and buckets map-side by comparison,
+    * identical semantics away from cutoff ties. The heavy lifting either
+    * way is llmPerplexity's own (already-audited) plan. */
   def llmCcnetBuckets(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byLang = Window.partitionBy("lang")
@@ -646,24 +652,26 @@ object LlmCorpusOps {
       .select(col("doc_id"), col("lang"),
         explode(split(col("text"), " ")).as("word"))
       .filter(length(col("word")) >= 1)
-    val corpusCnt = words.groupBy("word").agg(count(lit(1)).as("cc"))
-    val targetCnt = words.filter(col("lang") === "en")
-      .groupBy("word").agg(count(lit(1)).as("tc"))
-    // smoothing denominators as literals: bounded single-row collects
-    // (the llmPerplexity V pattern — a 1-row crossJoin would plan a BNL)
-    val nv = corpusCnt.count() // shared vocab size
-    val Seq(totC, totT) = {
-      val r = words.agg(count(lit(1)).as("n"),
-        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("nt")).collect()(0)
-      Seq(r.getLong(0), r.getLong(1))
+    // BOTH histograms from ONE vocabulary-keyed aggregation (target
+    // occurrences ride as a conditional sum), memoized: the vocab-sized
+    // table feeds the scalar collect below AND the score join without
+    // re-scanning the corpus per action
+    val cnt = memo(s, d, "dsir_cnt")(words.groupBy("word")
+      .agg(count(lit(1)).as("cc"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tc")))
+    // smoothing denominators as literals: ONE bounded vocab-sized
+    // aggregation collect (the llmPerplexity V pattern — a 1-row
+    // crossJoin would plan a BNL)
+    val (nv, totC, totT) = {
+      val r = cnt.agg(count(lit(1)), sum("cc"), sum("tc")).collect()(0)
+      (r.getLong(0), r.getLong(1), r.getLong(2))
     }
     require(totT > 0, "llm_dsir_weight: the target slice (lang='en') is empty")
-    val scores = corpusCnt.join(targetCnt, Seq("word"), "left")
-      .select(col("word"),
-        (floor(lit(1e6) * log((coalesce(col("tc"), lit(0L)) + 1).cast("double") /
-            lit((totT + nv).toDouble)) + 0.5).cast("long") -
-          floor(lit(1e6) * log((col("cc") + 1).cast("double") /
-            lit((totC + nv).toDouble)) + 0.5).cast("long")).as("s"))
+    val scores = cnt.select(col("word"),
+      (floor(lit(1e6) * log((col("tc") + 1).cast("double") /
+          lit((totT + nv).toDouble)) + 0.5).cast("long") -
+        floor(lit(1e6) * log((col("cc") + 1).cast("double") /
+          lit((totC + nv).toDouble)) + 0.5).cast("long")).as("s"))
     words.join(broadcast(scores), "word")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"),
