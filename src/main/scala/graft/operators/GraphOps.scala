@@ -202,7 +202,7 @@ object GraphOps {
   private val pairMemo =
     graft.tools.LruMemo.checkpointed[(String, String)](16)
 
-  private def partPairs(s: SparkSession, d: String): DataFrame = {
+  private[graft] def partPairs(s: SparkSession, d: String): DataFrame = {
     val sid = org.apache.spark.sql.graftnative.SessionIds.uuid(s)
     pairMemo.get((sid, d)) {
       val li = Tables.load(s, d, "lineitem").select("l_orderkey", "l_partkey")

@@ -361,9 +361,7 @@ object LlmCorpusOps {
   def llmPipelineE2e(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val filtered = t(s, d, "documents")
-      .filter(col("n_chars").between(100, 500) &&
-        col("lang").isin("en", "fr", "de") && // the FULL K6 gate, langs incl.
-        size(split(col("text"), " ")) >= 20)
+      .filter(LlmOps.qualityGate) // the ONE K6 gate definition
       .withColumn("norm_md5", md5(normExpr.cast("binary")))
     val survivors = filtered
       .withColumn("rn", row_number().over(
@@ -395,9 +393,7 @@ object LlmCorpusOps {
   def llmPipelineObserved(s: SparkSession, d: String):
       (DataFrame, org.apache.spark.sql.Observation) = {
     val obs = new org.apache.spark.sql.Observation("quality_gate")
-    val keep = col("n_chars").between(100, 500) &&
-      col("lang").isin("en", "fr", "de") && // must mirror llm_quality_filter
-      size(split(col("text"), " ")) >= 20
+    val keep = LlmOps.qualityGate // the ONE K6 gate definition
     val observed = t(s, d, "documents").observe(obs,
       count(lit(1)).as("rows_seen"),
       sum(when(!keep, 1L).otherwise(0L)).as("rows_rejected"),

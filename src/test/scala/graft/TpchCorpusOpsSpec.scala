@@ -24,9 +24,7 @@ class TpchCorpusOpsSpec extends SparkTestBase {
     val m = obs.get
     val docs = Tables.load(spark, SF, "documents")
     val seen = docs.count()
-    val kept = docs.filter(col("n_chars").between(100, 500) &&
-      col("lang").isin("en", "fr", "de") &&
-      size(split(col("text"), " ")) >= 20).count()
+    val kept = docs.filter(graft.operators.LlmOps.qualityGate).count()
     assert(m("rows_seen") == seen)
     assert(m("rows_rejected") == seen - kept)
     val meanChars = docs.agg(avg("n_chars")).head().getDouble(0)
