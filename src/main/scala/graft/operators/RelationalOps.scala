@@ -473,6 +473,37 @@ object RelationalOps {
       ORDER BY o_orderkey""")
   }
 
+  /** Correlated EXISTS (Catalyst rewrites to a left-semi join on the
+    * correlation key — the plan join_semi grades, reached from the SQL
+    * subquery surface instead of the DataFrame API). */
+  def subExistsCorr(s: SparkSession, d: String): DataFrame = {
+    Tables.view(s, d, "orders")
+    Tables.view(s, d, "customer")
+    s.sql("""
+      SELECT c_custkey, c_name, c_acctbal
+      FROM customer c
+      WHERE EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderpriority = '1-URGENT')
+      ORDER BY c_custkey""")
+  }
+
+  /** Correlated NOT EXISTS (rewritten to a left-anti join) — customers
+    * with no URGENT order, the classic anti-join formulation (the
+    * unconditioned "never ordered" form is empty on this fixture, which
+    * would grade a degenerate 0-row result). */
+  def subNotExists(s: SparkSession, d: String): DataFrame = {
+    Tables.view(s, d, "orders")
+    Tables.view(s, d, "customer")
+    s.sql("""
+      SELECT c_custkey, c_acctbal
+      FROM customer c
+      WHERE NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_custkey = c.c_custkey
+                          AND o.o_orderpriority = '1-URGENT')
+      ORDER BY c_custkey""")
+  }
+
   /** C13: uncorrelated IN subquery (rewritten to a semi join). */
   def subInUncorr(s: SparkSession, d: String): DataFrame = {
     Tables.view(s, d, "orders")
@@ -1100,6 +1131,8 @@ object RelationalOps {
     "join_star_tpch" -> (joinStarTpch _),
     "sub_scalar_corr" -> (subScalarCorr _),
     "sub_in_uncorr" -> (subInUncorr _),
+    "sub_exists_corr" -> (subExistsCorr _),
+    "sub_not_exists" -> (subNotExists _),
     "agg_global" -> (aggGlobal _),
     "agg_groupby_q1" -> (aggGroupbyQ1 _),
     "agg_groupby_q1_decimal" -> (aggGroupbyQ1Decimal _),
@@ -1220,6 +1253,10 @@ object RelationalOps {
       "SELECT o_orderkey, o_custkey, o_totalprice FROM orders o WHERE o_totalprice > 2 * (SELECT avg(o2.o_totalprice) FROM orders o2 WHERE o2.o_custkey = o.o_custkey) ORDER BY o_orderkey",
     "sub_in_uncorr" ->
       "SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9500) ORDER BY o_orderkey",
+    "sub_exists_corr" ->
+      "SELECT c_custkey, c_name, c_acctbal FROM customer c WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT') ORDER BY c_custkey",
+    "sub_not_exists" ->
+      "SELECT c_custkey, c_acctbal FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT') ORDER BY c_custkey",
     "agg_global" ->
       "SELECT count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty, round(avg(l_extendedprice), 4) AS avg_price, min(l_quantity) AS min_qty, max(l_quantity) AS max_qty, min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship FROM lineitem",
     "agg_groupby_q1" ->

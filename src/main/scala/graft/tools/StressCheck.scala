@@ -283,6 +283,37 @@ object StressCheck {
       } finally org.apache.spark.sql.graftnative.CheckpointRelease.release(pr)
     }
 
+    // 9d. Connected components at the same 24M-edge volume (round-8's
+    // graph_components key): the node universe is partitioned into
+    // 1000-node blocks — intra-block CHAIN edges make each block
+    // connected (and give the labeling a 1000-deep backbone, so the
+    // pointer-jumping O(log n) argument is exercised at volume, not just
+    // on the 60-node unit chain), and 24M random INTRA-block edges add
+    // shuffle volume without ever bridging blocks. The fixed point is
+    // fully analytic: exactly nodes/1000 components, each of size 1000,
+    // labeled by its block's min node id.
+    time("graph_components_24m") {
+      val block = 1000L
+      val chain = spark.range(nGraphNodes40 - 1)
+        .filter((col("id") + 1) % block =!= 0)
+        .select(col("id").as("a_id"), (col("id") + 1).as("b_id"))
+      val bulk = spark.range(nGraphEdges40)
+        .select(pmod(xxhash64(col("id"), lit(21)), lit(nGraphNodes40)).as("a_id"),
+          pmod(xxhash64(col("id"), lit(22)), lit(block)).as("off"))
+        .select(col("a_id"),
+          ((col("a_id") - pmod(col("a_id"), lit(block))) + col("off")).as("b_id"))
+      val labels = graft.operators.LlmTextOps
+        .connectedComponents(chain.union(bulk))
+      try {
+        val census = labels.groupBy("comp").agg(count(lit(1)).as("n")).collect()
+        require(census.length == (nGraphNodes40 / block).toInt,
+          s"expected ${nGraphNodes40 / block} block components, got ${census.length}")
+        require(census.forall(r => r.getLong(0) % block == 0 && r.getLong(1) == block),
+          s"component census off the analytic fixed point: ${census.take(3).mkString(",")}")
+        census.length.toLong
+      } finally org.apache.spark.sql.graftnative.CheckpointRelease.release(labels)
+    }
+
     // 10. Co-purchase pairs: 4-item uniform baskets plus 500 planted
     // baskets containing the pair (7, 9) — the top co-occurring pair
     // must be exactly (7, 9, 500) after the per-basket pair expansion

@@ -361,6 +361,37 @@ class TpchCorpusOpsSpec extends SparkTestBase {
     assert(e.getMessage.contains("train split"), e.getMessage)
   }
 
+  test("gopher rules match a plain-Scala evaluation and each rule discriminates") {
+    val got = LlmCorpusOps.llmGopherRules(spark, SF).collect()
+    val want = Tables.load(spark, SF, "documents")
+      .select("doc_id", "text").collect().map { r =>
+        val ws = r.getString(1).split(" ").filter(_.nonEmpty)
+        val wc = ws.length.toLong
+        val sl = ws.map(_.length.toLong).sum
+        val stop = ws.count(graft.operators.MlOps.PinnedStopwords.contains).toLong
+        val mx = if (ws.isEmpty) 0L else ws.groupBy(identity).values.map(_.length).max.toLong
+        r.getLong(0) -> ((wc >= 30 && wc <= 90,
+          sl * 10 >= wc * 39 && sl * 10 <= wc * 47,
+          stop >= 2, mx * 8 <= wc))
+      }.toMap
+    assert(got.length == want.size)
+    got.foreach { r =>
+      val (r1, r2, r3, r4) = want(r.getAs[Long]("doc_id"))
+      assert(r.getAs[Boolean]("r_word_count") == r1)
+      assert(r.getAs[Boolean]("r_mean_word_len") == r2)
+      assert(r.getAs[Boolean]("r_stopwords") == r3)
+      assert(r.getAs[Boolean]("r_top_token") == r4)
+      assert(r.getAs[Boolean]("pass") == (r1 && r2 && r3 && r4))
+    }
+    // a gate that never fires (or always fires) is a dead rule on this
+    // corpus — every rule must split the fixture
+    Seq("r_word_count", "r_mean_word_len", "r_stopwords", "r_top_token")
+      .foreach { c =>
+        val passed = got.count(_.getAs[Boolean](c))
+        assert(passed > 0 && passed < got.length, s"$c does not discriminate")
+      }
+  }
+
   test("ccnet buckets: equal-count thirds per language, ordered by perplexity") {
     val rows = LlmCorpusOps.llmCcnetBuckets(spark, SF).collect()
     val scoreable = LlmCorpusOps.llmPerplexity(spark, SF).count()
