@@ -581,6 +581,24 @@ object RelationalOps {
         count(lit(1)).as("cnt"))
       .orderBy("l_returnflag")
 
+  /** EXACT distinct counting through the bitmap aggregate family
+    * (Spark 4 natives: bitmap_bucket_number / bitmap_bit_position /
+    * bitmap_construct_agg / bitmap_count) — the scalable exact-distinct
+    * shape: level 1 aggregates per (group, bucket) so no single reducer
+    * ever holds a whole group's distinct set (a plain count(DISTINCT)
+    * concentrates each group on one task; HLL is the approximate twin
+    * when 4 KB/bucket is still too much), level 2 sums the per-bucket
+    * bitmap cardinalities. Result is exactly count(DISTINCT). */
+  def aggBitmapDistinct(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .select(col("l_returnflag"), col("l_orderkey"))
+      .groupBy(col("l_returnflag"),
+        expr("bitmap_bucket_number(l_orderkey)").as("bucket"))
+      .agg(expr("bitmap_construct_agg(bitmap_bit_position(l_orderkey))").as("bm"))
+      .groupBy("l_returnflag")
+      .agg(sum(expr("bitmap_count(bm)")).as("nd_orders"))
+      .orderBy("l_returnflag")
+
   /** Portable HyperLogLog (round-7 promotion, same pattern as the CMS and
     * SimHash promotions): m=512 registers over the pinned 60-bit md5
     * hash, so the DuckDB oracle rebuilds the SAME registers and the key
@@ -1137,6 +1155,7 @@ object RelationalOps {
     "agg_groupby_q1" -> (aggGroupbyQ1 _),
     "agg_groupby_q1_decimal" -> (aggGroupbyQ1Decimal _),
     "agg_count_distinct" -> (aggCountDistinct _),
+    "agg_bitmap_distinct" -> (aggBitmapDistinct _),
     "agg_approx_hll" -> (aggApproxHll _),
     "agg_approx_percentile" -> (aggApproxPercentile _),
     "agg_hll_sketch" -> (aggHllSketch _),
@@ -1176,6 +1195,8 @@ object RelationalOps {
   val oracles: Map[String, String] = Map(
     "scan_parquet" ->
       "SELECT * FROM nation ORDER BY n_nationkey",
+    "agg_bitmap_distinct" ->
+      "SELECT l_returnflag, count(DISTINCT l_orderkey) AS nd_orders FROM lineitem GROUP BY 1 ORDER BY 1",
     "scan_pruned" ->
       "SELECT l_orderkey, l_partkey, l_quantity FROM lineitem WHERE l_orderkey % 500 = 0 ORDER BY l_orderkey, l_partkey, l_quantity",
     "scan_events_ns" ->

@@ -12,7 +12,8 @@ class ThreeWayConsistencySpec extends SparkTestBase {
     "filter_combo", "join_inner_equi", "join_semi", "join_anti",
     "agg_groupby_q1", "agg_count_distinct", "case_bucketing",
     "set_union_distinct", "set_intersect", "set_except", "topk_limit",
-    "sub_in_uncorr", "sub_scalar_corr", "join_lateral",
+    "sub_in_uncorr", "sub_scalar_corr", "sub_exists_corr",
+    "sub_not_exists", "agg_bitmap_distinct", "join_lateral",
     "tpch_q3_shipping", "tpch_q6_revenue", "tpch_q10_returns",
     "tpch_q14_promo", "tpch_q18_large")
 
