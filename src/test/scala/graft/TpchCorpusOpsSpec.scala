@@ -392,6 +392,15 @@ class TpchCorpusOpsSpec extends SparkTestBase {
       }
   }
 
+  test("gopher rules plan is map-side only (no hash exchange before the output sort)") {
+    // the scaladoc claims zero shuffles/joins — hold the plan to it
+    // (the final orderBy legitimately adds ONE range exchange)
+    val plan = LlmCorpusOps.llmGopherRules(spark, SF)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("hashpartitioning"), s"unexpected hash exchange:\n$plan")
+    assert(!plan.contains("Join"), s"unexpected join:\n$plan")
+  }
+
   test("ccnet buckets: equal-count thirds per language, ordered by perplexity") {
     val rows = LlmCorpusOps.llmCcnetBuckets(spark, SF).collect()
     val scoreable = LlmCorpusOps.llmPerplexity(spark, SF).count()
