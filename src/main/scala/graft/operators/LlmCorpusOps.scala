@@ -793,9 +793,9 @@ object LlmCorpusOps {
     "llm_gopher_rules" ->
       ("WITH d AS (SELECT doc_id, list_filter(string_split(text, ' '), w -> length(w) >= 1) AS ws FROM documents), " +
         "m AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words, " +
-        "CAST(list_sum(list_transform(ws, w -> length(w))) AS BIGINT) AS sum_len, " +
+        "CAST(coalesce(list_sum(list_transform(ws, w -> length(w))), 0) AS BIGINT) AS sum_len, " +
         s"len(list_filter(ws, w -> w IN (${MlOps.PinnedStopwords.map(w => s"'$w'").mkString(", ")}))) AS n_stop, " +
-        "(SELECT max(c) FROM (SELECT count(*) AS c FROM unnest(ws) AS t(w) GROUP BY w)) AS max_cnt " +
+        "coalesce((SELECT max(c) FROM (SELECT count(*) AS c FROM unnest(ws) AS t(w) GROUP BY w)), 0) AS max_cnt " +
         "FROM d) " +
         "SELECT doc_id, n_words, " +
         "n_words BETWEEN 30 AND 90 AS r_word_count, " +

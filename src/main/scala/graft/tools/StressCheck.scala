@@ -294,11 +294,17 @@ object StressCheck {
     // labeled by its block's min node id.
     time("graph_components_24m") {
       val block = 1000L
-      val chain = spark.range(nGraphNodes40 - 1)
+      // the analytic census needs a whole number of blocks: round the
+      // node universe DOWN to a block multiple (a free-form rowsScale
+      // like 1.2345 would otherwise generate trailing-partial-block
+      // edges to phantom ids and fail the require with a misleading
+      // "off the fixed point" message)
+      val nCcNodes = math.max(block, (nGraphNodes40 / block) * block)
+      val chain = spark.range(nCcNodes - 1)
         .filter((col("id") + 1) % block =!= 0)
         .select(col("id").as("a_id"), (col("id") + 1).as("b_id"))
       val bulk = spark.range(nGraphEdges40)
-        .select(pmod(xxhash64(col("id"), lit(21)), lit(nGraphNodes40)).as("a_id"),
+        .select(pmod(xxhash64(col("id"), lit(21)), lit(nCcNodes)).as("a_id"),
           pmod(xxhash64(col("id"), lit(22)), lit(block)).as("off"))
         .select(col("a_id"),
           ((col("a_id") - pmod(col("a_id"), lit(block))) + col("off")).as("b_id"))
@@ -306,8 +312,8 @@ object StressCheck {
         .connectedComponents(chain.union(bulk))
       try {
         val census = labels.groupBy("comp").agg(count(lit(1)).as("n")).collect()
-        require(census.length == (nGraphNodes40 / block).toInt,
-          s"expected ${nGraphNodes40 / block} block components, got ${census.length}")
+        require(census.length == (nCcNodes / block).toInt,
+          s"expected ${nCcNodes / block} block components, got ${census.length}")
         require(census.forall(r => r.getLong(0) % block == 0 && r.getLong(1) == block),
           s"component census off the analytic fixed point: ${census.take(3).mkString(",")}")
         census.length.toLong

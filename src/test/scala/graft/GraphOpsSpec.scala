@@ -143,11 +143,24 @@ class GraphOpsSpec extends SparkTestBase {
 
   test("graded component census: node/edge totals tie out against the edge table") {
     val census = GraphOps.graphComponents(spark, SF).collect()
-    // the SAME thresholded edge table the op consumes (the exposed
-    // kernel, not a reimplementation that could drift)
+    // INDEPENDENT rebuild of the co-purchase edge table (kept alongside
+    // the kernel read below: using partPairs alone would make the
+    // census tie-out circular — broken edges would produce a matching
+    // broken expectation)
+    val li = Tables.load(spark, SF, "lineitem").select("l_orderkey", "l_partkey")
+    val rebuilt = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .filter(col("n") >= 2)
+      .select("p1", "p2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the exposed kernel must agree with the independent rebuild...
     val edges = GraphOps.partPairs(spark, SF)
       .filter(col("n_cooccur") >= 2)
       .select("p1", "p2").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(edges.toSet == rebuilt, "partPairs drifted from the direct self-join")
     val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
     assert(census.map(_.getAs[Long]("n_nodes")).sum == nodes.length)
     assert(census.map(_.getAs[Long]("n_edges")).sum == edges.length)

@@ -392,6 +392,28 @@ class TpchCorpusOpsSpec extends SparkTestBase {
       }
   }
 
+  test("gopher rules: zero-word documents keep the pinned fold-init semantics") {
+    // ws = [] must yield (r_word_count=false, r_mean_word_len=true,
+    // r_top_token=true, pass=false) — the fold inits (sum_len=0,
+    // max_cnt=0) make the band/cap rules vacuously true; the DuckDB
+    // oracle coalesces its empty-list NULLs to 0 to match, so this test
+    // pins the side the oracle mirrors
+    val dir = java.nio.file.Files.createTempDirectory("graft_gopher0").toString
+    import spark.implicits._
+    Seq((1L, ""), (2L, "   "), (3L, ("the a of " + "word " * 40).trim))
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val rows = LlmCorpusOps.llmGopherRules(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    Seq(1L, 2L).foreach { id =>
+      val r = rows(id)
+      assert(!r.getAs[Boolean]("r_word_count"))
+      assert(r.getAs[Boolean]("r_mean_word_len"))
+      assert(r.getAs[Boolean]("r_top_token"))
+      assert(!r.getAs[Boolean]("pass"))
+    }
+    assert(rows(3L).getAs[Boolean]("r_word_count")) // sanity: 43 words
+  }
+
   test("gopher rules plan is map-side only (no hash exchange before the output sort)") {
     // the scaladoc claims zero shuffles/joins — hold the plan to it
     // (the final orderBy legitimately adds ONE range exchange)
