@@ -31,6 +31,34 @@ class WordPieceOpsSpec extends SparkTestBase {
     assert(greedy("zzz", vocab) == 3)
   }
 
+  test("greedy encode matches a plain-Scala walk on 300 seeded-random words") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val rnd = new scala.util.Random(12345)
+    val alpha = "abcde"
+    def rword(n: Int) = (1 to n).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+    val vocab = (alpha.map(_.toString) ++ Seq.fill(12)(rword(2 + rnd.nextInt(3)))).distinct
+    // a 'z' tail exercises the UNK advance (z is not in the vocab)
+    val words = Seq.fill(300)(rword(1 + rnd.nextInt(10))) ++
+      Seq("zab", "az", "zzz").filter(_ => true)
+    val maxLen = vocab.map(_.length).max
+    def scalaGreedy(w: String): Long = {
+      var pos = 0; var n = 0L
+      while (pos < w.length) {
+        val l = (math.min(maxLen, w.length - pos) to 1 by -1)
+          .find(k => vocab.contains(w.substring(pos, pos + k))).getOrElse(1)
+        pos += l; n += 1
+      }
+      n
+    }
+    val got = words.distinct.toDF("w")
+      .select(col("w"), WordPieceOps.greedyNtok(col("w"), vocab).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    got.foreach { case (w, n) =>
+      assert(n == scalaGreedy(w), s"word '$w': kernel $n vs scala ${scalaGreedy(w)}")
+    }
+  }
+
   test("trainer argmax is the likelihood score, not raw pair frequency") {
     // crafted corpus: pair (a,a) is the FREQUENCY winner (100 occurrences,
     // but 'a' is everywhere so its likelihood is diluted); pair (x,y) is
