@@ -676,6 +676,49 @@ object LlmCorpusOps {
       .orderBy("doc_id")
   }
 
+  /** Interpolated Kneser–Ney bigram perplexity — the canonical n-gram
+    * smoothing (Kneser & Ney 1995; Chen & Goodman 1999's interpolated
+    * form), next to [[llmPerplexity]]'s add-one baseline: instead of
+    * pretending unseen mass is uniform, the backoff weight redistributes
+    * it by CONTINUATION probability (how many distinct left-contexts a
+    * word completes), with absolute discount d = 0.75 — exactly
+    * representable in binary, so the discount introduces no rounding of
+    * its own. Scoring the training corpus means every bigram is
+    * observed: p(w2|w1) = (c12−d)/c1 + d·N1+(w1·)/c1 · N1+(·w2)/NT.
+    * The ONE ln() per model bigram rounds to millionth-nats (BIGINT)
+    * before anything sums — the per-doc NLL is an exact integer, the
+    * family's standard determinism treatment. The arithmetic is written
+    * with explicit parenthesization mirrored character-for-character in
+    * the oracle so both engines execute the identical IEEE op sequence.
+    *
+    * Scale posture: identical to llmPerplexity plus one more
+    * model-bounded aggregation (continuation counts) and join — all
+    * keyed on the OBSERVED bigram/unigram vocabulary, never the corpus;
+    * NT is a bounded scalar collected as a literal. */
+  def llmPerplexityKn(s: SparkSession, d: String): DataFrame = {
+    val (_, bg) = bigramTower(s, d)
+    val model = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val lc = model.groupBy("w1")
+      .agg(sum("c12").as("c1"), count(lit(1)).as("n1p_w1"))
+    val cont = model.groupBy("w2").agg(count(lit(1)).as("n1p_w2"))
+    val nt = model.count() // distinct bigram types: model-bounded scalar
+    require(nt > 0, "llm_perplexity_kn: no bigrams in the corpus")
+    val disc = 0.75
+    val scores = model.join(lc, "w1").join(cont, "w2")
+      .select(col("w1"), col("w2"),
+        floor(lit(1e6) * log(
+          (col("c12").cast("double") - lit(disc)) / col("c1").cast("double") +
+            (lit(disc) * col("n1p_w1").cast("double") / col("c1").cast("double")) *
+              (col("n1p_w2").cast("double") / lit(nt.toDouble))) + 0.5)
+          .cast("long").as("s"))
+    bg.join(scores, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), (-sum("s")).cast("long").as("nll6"))
+      .withColumn("perplexity",
+        floor(exp(col("nll6").cast("double") / 1e6 / col("n_bigrams")) * 1e4 + 0.5) / 1e4)
+      .orderBy("doc_id")
+  }
+
   /** Gopher-style rule-based quality filter (Rae et al. 2021, Appendix A
     * — the named heuristic rule set most corpus pipelines start from),
     * with the bounds adapted to the fixture's text ranges (the paper's
@@ -728,6 +771,7 @@ object LlmCorpusOps {
     "llm_perplexity" -> (llmPerplexity _),
     "llm_perplexity_holdout" -> (llmPerplexityHoldout _),
     "llm_ccnet_buckets" -> (llmCcnetBuckets _),
+    "llm_perplexity_kn" -> (llmPerplexityKn _),
     "llm_dsir_weight" -> (llmDsirWeight _),
     "llm_gopher_rules" -> (llmGopherRules _),
     "llm_tfidf_cosine" -> (llmTfidfCosine _),
@@ -775,6 +819,24 @@ object LlmCorpusOps {
 
   val oracles: Map[String, String] = Map(
     "llm_perplexity" -> perplexityOracle,
+    // KN: same tower, the score formula parenthesized exactly as the
+    // Spark side (identical IEEE op sequence); d = 0.75 is binary-exact
+    "llm_perplexity_kn" ->
+      (bigramOracleCtes +
+        "model AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2), " +
+        "lc AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1, count(*) AS n1p_w1 FROM model GROUP BY 1), " +
+        "cont AS (SELECT w2, count(*) AS n1p_w2 FROM model GROUP BY 1), " +
+        "nt AS (SELECT CAST(count(*) AS DOUBLE) AS nt FROM model), " +
+        "scores AS (SELECT m.w1, m.w2, CAST(floor(1e6 * ln(" +
+        "(CAST(m.c12 AS DOUBLE) - 0.75) / CAST(lc.c1 AS DOUBLE) + " +
+        "(0.75 * CAST(lc.n1p_w1 AS DOUBLE) / CAST(lc.c1 AS DOUBLE)) * " +
+        "(CAST(cont.n1p_w2 AS DOUBLE) / nt.nt)) + 0.5) AS BIGINT) AS s " +
+        "FROM model m JOIN lc USING (w1) JOIN cont USING (w2), nt) " +
+        "SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, " +
+        "CAST(-sum(s.s) AS BIGINT) AS nll6, " +
+        "floor(exp(CAST(-sum(s.s) AS DOUBLE) / 1e6 / count(*)) * 1e4 + 0.5) / 1e4 AS perplexity " +
+        "FROM bg b JOIN scores s ON b.w1 = s.w1 AND b.w2 = s.w2 " +
+        "GROUP BY b.doc_id ORDER BY b.doc_id"),
     // the perplexity oracle nested as a subquery (it carries its own
     // WITH tower), joined to documents for lang/chars, then the same
     // ntile cut — Spark and DuckDB share SQL-standard ntile semantics

@@ -361,6 +361,21 @@ class TpchCorpusOpsSpec extends SparkTestBase {
     assert(e.getMessage.contains("train split"), e.getMessage)
   }
 
+  test("KN perplexity: same doc coverage as add-one, sane and distinct scores") {
+    val kn = LlmCorpusOps.llmPerplexityKn(spark, SF).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("perplexity")).toMap
+    val addone = LlmCorpusOps.llmPerplexity(spark, SF).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("perplexity")).toMap
+    assert(kn.keySet == addone.keySet) // both score exactly the bigram-bearing docs
+    kn.values.foreach(p => assert(p >= 1.0 && p.isFinite))
+    // the discount/continuation terms must actually change the model —
+    // identical outputs would mean the formula collapsed to add-one
+    assert(kn.exists { case (id, p) => p != addone(id) })
+    // closed 31-word vocab: no perplexity can exceed the vocab size by
+    // much (add-one's own ceiling is ~V); KN redistributes, not inflates
+    kn.values.foreach(p => assert(p < 62.0, s"ppl $p out of range"))
+  }
+
   test("gopher rules match a plain-Scala evaluation and each rule discriminates") {
     val got = LlmCorpusOps.llmGopherRules(spark, SF).collect()
     val want = Tables.load(spark, SF, "documents")
