@@ -697,12 +697,18 @@ object LlmCorpusOps {
     * NT is a bounded scalar collected as a literal. */
   def llmPerplexityKn(s: SparkSession, d: String): DataFrame = {
     val (_, bg) = bigramTower(s, d)
-    val model = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    // memoized (the dsir_cnt pattern): the model feeds three
+    // re-aggregations, the scalar count, and the score join — without
+    // the memo each action re-ran the corpus-wide bigram aggregation
+    val model = memo(s, d, "kn_model")(
+      bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12")))
     val lc = model.groupBy("w1")
       .agg(sum("c12").as("c1"), count(lit(1)).as("n1p_w1"))
     val cont = model.groupBy("w2").agg(count(lit(1)).as("n1p_w2"))
     val nt = model.count() // distinct bigram types: model-bounded scalar
-    require(nt > 0, "llm_perplexity_kn: no bigrams in the corpus")
+    // nt == 0 (bigram-free corpus) needs NO guard: with zero model rows
+    // the score expression never evaluates, and the key returns the
+    // same empty frame as llm_perplexity and the oracle
     val disc = 0.75
     val scores = model.join(lc, "w1").join(cont, "w2")
       .select(col("w1"), col("w2"),
@@ -823,7 +829,7 @@ object LlmCorpusOps {
     // Spark side (identical IEEE op sequence); d = 0.75 is binary-exact
     "llm_perplexity_kn" ->
       (bigramOracleCtes +
-        "model AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2), " +
+        "model AS MATERIALIZED (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2), " +
         "lc AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1, count(*) AS n1p_w1 FROM model GROUP BY 1), " +
         "cont AS (SELECT w2, count(*) AS n1p_w2 FROM model GROUP BY 1), " +
         "nt AS (SELECT CAST(count(*) AS DOUBLE) AS nt FROM model), " +

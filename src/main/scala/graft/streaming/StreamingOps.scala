@@ -90,10 +90,11 @@ object StreamingOps {
   }
 
   /** Streaming corpus quality gate — the ingest-time form of the batch
-    * K6 gate + Gopher rule columns: a crawler feed is filtered and
-    * rule-annotated AS IT ARRIVES, before anything lands in the lake.
-    * Deliberately zero new logic: the SAME Column predicates the batch
-    * keys grade (LlmOps.qualityGate; stateless projections/filters are
+    * K6 gate: a crawler feed is filtered AS IT ARRIVES, before anything
+    * lands in the lake, emitting the same (doc_id, lang, n_chars,
+    * word_cnt) projection the graded llm_quality_filter key emits.
+    * Deliberately zero new logic: the SAME Column predicate the batch
+    * key grades (LlmOps.qualityGate; stateless projections/filters are
     * streaming-safe verbatim), so the batch oracle grades the streaming
     * semantics too — the engine-unification argument, demonstrated.
     * Stateless ⇒ no watermark, no state store; scales as the source. */

@@ -143,24 +143,30 @@ class GraphOpsSpec extends SparkTestBase {
 
   test("graded component census: node/edge totals tie out against the edge table") {
     val census = GraphOps.graphComponents(spark, SF).collect()
-    // INDEPENDENT rebuild of the co-purchase edge table (kept alongside
-    // the kernel read below: using partPairs alone would make the
-    // census tie-out circular — broken edges would produce a matching
-    // broken expectation)
-    val li = Tables.load(spark, SF, "lineitem").select("l_orderkey", "l_partkey")
-    val rebuilt = li.as("a").join(li.as("b"),
-        col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_partkey") < col("b.l_partkey"))
-      .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
-      .agg(org.apache.spark.sql.functions.count(
-        org.apache.spark.sql.functions.lit(1)).as("n"))
-      .filter(col("n") >= 2)
-      .select("p1", "p2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // INDEPENDENT rebuild of the co-purchase edge table with DIFFERENT
+    // mechanics (plain-Scala per-order pair expansion over collected
+    // rows, not a Spark self-join): using partPairs alone would make
+    // the census tie-out circular, and a rebuild that copies the
+    // self-join formulation line-for-line would reproduce any defect in
+    // it — this derivation shares only the SEMANTICS (count row pairs
+    // per order, p1 < p2, threshold 2)
+    val li = Tables.load(spark, SF, "lineitem")
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val pairCounts = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    li.groupBy(_._1).values.foreach { rows =>
+      val parts = rows.map(_._2)
+      for (i <- parts.indices; j <- parts.indices
+           if parts(i) < parts(j))
+        pairCounts((parts(i), parts(j))) =
+          pairCounts.getOrElse((parts(i), parts(j)), 0L) + 1L
+    }
+    val rebuilt = pairCounts.filter(_._2 >= 2).keySet.toSet
     // the exposed kernel must agree with the independent rebuild...
     val edges = GraphOps.partPairs(spark, SF)
       .filter(col("n_cooccur") >= 2)
       .select("p1", "p2").collect().map(r => (r.getLong(0), r.getLong(1)))
-    assert(edges.toSet == rebuilt, "partPairs drifted from the direct self-join")
+    assert(edges.toSet == rebuilt, "partPairs drifted from the reference pair expansion")
     val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
     assert(census.map(_.getAs[Long]("n_nodes")).sum == nodes.length)
     assert(census.map(_.getAs[Long]("n_edges")).sum == edges.length)

@@ -40,7 +40,7 @@ class WordPieceOpsSpec extends SparkTestBase {
     val vocab = (alpha.map(_.toString) ++ Seq.fill(12)(rword(2 + rnd.nextInt(3)))).distinct
     // a 'z' tail exercises the UNK advance (z is not in the vocab)
     val words = Seq.fill(300)(rword(1 + rnd.nextInt(10))) ++
-      Seq("zab", "az", "zzz").filter(_ => true)
+      Seq("zab", "az", "zzz")
     val maxLen = vocab.map(_.length).max
     def scalaGreedy(w: String): Long = {
       var pos = 0; var n = 0L
