@@ -374,10 +374,53 @@ object AdvancedOps {
           * 1e6 + 0.5) / 1e6).as("d_stat"))
   }
 
+  /** Two-sample Mann–Whitney U (Wilcoxon rank-sum) on the same
+    * purchase-vs-click value pair the KS key tests — KS asks "do the
+    * distributions differ anywhere", U asks "does one stochastically
+    * dominate". Rank arithmetic is EXACT in integers throughout: with
+    * ties assigned midrank, 2·midrank = 2·cum_before + cnt + 1 is an
+    * integer, so the graded statistic is u2_a = 2·U_a (BIGINT) and
+    * U_a + U_b = na·nb is an exact identity the spec asserts. The
+    * normal-approximation z rides along as the one rounded float
+    * (inputs exact, IEEE sqrt correctly rounded, sign-aware floor
+    * half-up 6 dp — the win_rolling_slope convention). Same
+    * value-domain-bounded aggregation + domain-sized window as the KS
+    * key. */
+  def statMannWhitney(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = t(s, d, "events")
+      .filter(col("event_type").isin("purchase", "click"))
+      .groupBy("value")
+      .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("ca"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("cb"))
+    val wCum = Window.orderBy("value")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.orderBy("value")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    per
+      .withColumn("cnt", col("ca") + col("cb"))
+      .withColumn("cumBefore", sum("cnt").over(wCum) - col("cnt"))
+      .withColumn("na", sum("ca").over(wAll))
+      .withColumn("nb", sum("cb").over(wAll))
+      // Σ ca·(2·cum_before + cnt + 1) = 2·R_a (twice the rank sum)
+      .groupBy("na", "nb")
+      .agg(sum(col("ca") * (lit(2L) * col("cumBefore") + col("cnt") + 1L)).as("r2a"))
+      .select(col("na"), col("nb"),
+        (col("r2a") - col("na") * (col("na") + 1L)).as("u2_a"))
+      .select(col("na"), col("nb"), col("u2_a"), {
+        val z = (col("u2_a").cast("double") / lit(2.0) -
+          col("na").cast("double") * col("nb").cast("double") / lit(2.0)) /
+          sqrt(col("na").cast("double") * col("nb").cast("double") *
+            (col("na").cast("double") + col("nb").cast("double") + lit(1.0)) / lit(12.0))
+        (signum(z) * (floor(abs(z) * 1000000.0 + 0.5) / 1000000.0) + lit(0.0)).as("z")
+      })
+  }
+
   // --------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
     "stat_ks_test" -> (statKsTest _),
+    "stat_mannwhitney" -> (statMannWhitney _),
     "pareto_frontier" -> (paretoFrontier _),
     "win_rolling_slope" -> (winRollingSlope _),
     "stat_chisq" -> (statChiSquare _),
@@ -390,6 +433,24 @@ object AdvancedOps {
     "stat_outlier_mad" -> (statOutlierMad _))
 
   val oracles: Map[String, String] = Map(
+    // exact integer rank arithmetic (2·midrank is an integer); the z
+    // expression mirrors the Spark parenthesization character-for-
+    // character, sign-aware floor half-up (the rolling-slope form)
+    "stat_mannwhitney" ->
+      ("WITH per AS (SELECT value, " +
+        "sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS ca, " +
+        "sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS cb " +
+        "FROM events WHERE event_type IN ('purchase', 'click') GROUP BY 1), " +
+        "c AS (SELECT value, ca, cb, ca + cb AS cnt, " +
+        "sum(ca + cb) OVER (ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - (ca + cb) AS cum_before, " +
+        "sum(ca) OVER () AS na, sum(cb) OVER () AS nb FROM per), " +
+        "g AS (SELECT na, nb, sum(ca * (2 * cum_before + cnt + 1)) AS r2a FROM c GROUP BY na, nb), " +
+        "f AS (SELECT na, nb, r2a - na * (na + 1) AS u2_a FROM g), " +
+        "zz AS (SELECT na, nb, u2_a, " +
+        "(CAST(u2_a AS DOUBLE) / 2.0 - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 2.0) / " +
+        "sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) * (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) + 1.0) / 12.0) AS z FROM f) " +
+        "SELECT CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb, CAST(u2_a AS BIGINT) AS u2_a, " +
+        "sign(z) * (floor(abs(z) * 1000000.0 + 0.5) / 1000000.0) + 0.0 AS z FROM zz"),
     // integer KS numerator: DuckDB window sums are HUGEINT, cast back
     "stat_ks_test" ->
       ("WITH per AS (SELECT value, " +

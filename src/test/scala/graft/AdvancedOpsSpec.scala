@@ -274,4 +274,29 @@ class AdvancedOpsSpec extends SparkTestBase {
     assert(d >= 0.0 && d <= 1.0)
     assert(math.abs(d - dNum.toDouble / (na * nb)) <= 5e-7)
   }
+
+  test("Mann-Whitney U matches an exact midrank replay; U_a + U_b = na*nb") {
+    val vals = Tables.load(spark, SF, "events")
+      .filter(col("event_type").isin("purchase", "click"))
+      .select("event_type", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val pooled = vals.map(_._2).sorted
+    // 2·midrank of v = positions-before·2 + count-of-v + 1 (exact int)
+    def rank2(v: Double): Long =
+      2L * pooled.count(_ < v) + pooled.count(_ == v) + 1L
+    val a = vals.filter(_._1 == "purchase").map(_._2)
+    val b = vals.filter(_._1 == "click").map(_._2)
+    val (na, nb) = (a.length.toLong, b.length.toLong)
+    val u2a = a.map(rank2).sum - na * (na + 1)
+    val u2b = b.map(rank2).sum - nb * (nb + 1)
+    assert(u2a + u2b == 2 * na * nb) // the rank-sum identity, exactly
+    val row = AdvancedOps.statMannWhitney(spark, SF).collect()
+    assert(row.length == 1)
+    assert(row(0).getAs[Long]("na") == na && row(0).getAs[Long]("nb") == nb)
+    assert(row(0).getAs[Long]("u2_a") == u2a, s"got ${row(0)}, want $u2a")
+    val z = row(0).getAs[Double]("z")
+    val wantZ = (u2a / 2.0 - na.toDouble * nb / 2.0) /
+      math.sqrt(na.toDouble * nb * (na + nb + 1.0) / 12.0)
+    assert(math.abs(z - wantZ) <= 5e-7)
+  }
 }
