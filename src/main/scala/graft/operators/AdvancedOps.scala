@@ -416,11 +416,58 @@ object AdvancedOps {
       })
   }
 
+  /** Welch's unequal-variance t-test on the same purchase-vs-click value
+    * pair — the parametric member of the drift trilogy (KS: any
+    * difference; U: stochastic dominance; t: difference of means). The
+    * fixture's 2-dp readings quantize to integer CENTS via
+    * floor(v·100+0.5) on both engines, so BOTH moments (Σc, Σc²) are
+    * EXACT BIGINT sums — immune to float summation order at any
+    * parallelism, the trick that makes a mean-based test deterministic
+    * where naive sum(double) is not. Everything after the moments is a
+    * fixed mirrored IEEE expression over exact integers: sample
+    * variance via the (Σc² − (Σc)²/n)/(n−1) form, t, and the
+    * Welch–Satterthwaite df, each rounded sign-aware half-up at the
+    * end. Scale: one hash aggregation over the corpus (map-side
+    * partials), a 2-row pivot, one row out — no window, no sort. */
+  def statTtestWelch(s: SparkSession, d: String): DataFrame = {
+    val cents = floor(col("value") * 100.0 + 0.5).cast("long")
+    val m = t(s, d, "events")
+      .filter(col("event_type").isin("purchase", "click"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(cents).as("s1"),
+        sum(cents * cents).as("s2"))
+    // two one-row sides pivoted into one row: a conditional-aggregate
+    // pivot over the 2-row frame, never a join
+    val p = m.agg(
+      sum(when(col("event_type") === "purchase", col("n"))).as("na"),
+      sum(when(col("event_type") === "purchase", col("s1"))).as("sa1"),
+      sum(when(col("event_type") === "purchase", col("s2"))).as("sa2"),
+      sum(when(col("event_type") === "click", col("n"))).as("nb"),
+      sum(when(col("event_type") === "click", col("s1"))).as("sb1"),
+      sum(when(col("event_type") === "click", col("s2"))).as("sb2"))
+    def dbl(c: String) = col(c).cast("double")
+    val va = (dbl("sa2") - dbl("sa1") * dbl("sa1") / dbl("na")) / (dbl("na") - 1.0)
+    val vb = (dbl("sb2") - dbl("sb1") * dbl("sb1") / dbl("nb")) / (dbl("nb") - 1.0)
+    val se2 = va / dbl("na") + vb / dbl("nb")
+    val tStat = (dbl("sa1") / dbl("na") - dbl("sb1") / dbl("nb")) / sqrt(se2)
+    val dfW = se2 * se2 /
+      ((va / dbl("na")) * (va / dbl("na")) / (dbl("na") - 1.0) +
+        (vb / dbl("nb")) * (vb / dbl("nb")) / (dbl("nb") - 1.0))
+    def r6(c: org.apache.spark.sql.Column) =
+      signum(c) * (floor(abs(c) * 1000000.0 + 0.5) / 1000000.0) + lit(0.0)
+    p.select(col("na"), col("nb"),
+      // means in CENTS (exact integers divided once, rounded 4 dp)
+      (floor(dbl("sa1") / dbl("na") * 10000.0 + 0.5) / 10000.0).as("mean_a_cents"),
+      (floor(dbl("sb1") / dbl("nb") * 10000.0 + 0.5) / 10000.0).as("mean_b_cents"),
+      r6(tStat).as("t_stat"), r6(dfW).as("df"))
+  }
+
   // --------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
     "stat_ks_test" -> (statKsTest _),
     "stat_mannwhitney" -> (statMannWhitney _),
+    "stat_ttest_welch" -> (statTtestWelch _),
     "pareto_frontier" -> (paretoFrontier _),
     "win_rolling_slope" -> (winRollingSlope _),
     "stat_chisq" -> (statChiSquare _),
@@ -433,6 +480,36 @@ object AdvancedOps {
     "stat_outlier_mad" -> (statOutlierMad _))
 
   val oracles: Map[String, String] = Map(
+    // exact integer cent-moments (floor(v*100+0.5) quantization, BIGINT
+    // sums), then the identical mirrored IEEE expression tree
+    "stat_ttest_welch" ->
+      ("WITH m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(c) AS BIGINT) AS s1, CAST(sum(c * c) AS BIGINT) AS s2 FROM " +
+        "(SELECT event_type, CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c " +
+        "FROM events WHERE event_type IN ('purchase', 'click')) GROUP BY 1), " +
+        "p AS (SELECT " +
+        "sum(CASE WHEN event_type = 'purchase' THEN n END) AS na, " +
+        "sum(CASE WHEN event_type = 'purchase' THEN s1 END) AS sa1, " +
+        "sum(CASE WHEN event_type = 'purchase' THEN s2 END) AS sa2, " +
+        "sum(CASE WHEN event_type = 'click' THEN n END) AS nb, " +
+        "sum(CASE WHEN event_type = 'click' THEN s1 END) AS sb1, " +
+        "sum(CASE WHEN event_type = 'click' THEN s2 END) AS sb2 FROM m), " +
+        "e AS (SELECT na, nb, sa1, sb1, " +
+        "(CAST(sa2 AS DOUBLE) - CAST(sa1 AS DOUBLE) * CAST(sa1 AS DOUBLE) / CAST(na AS DOUBLE)) / (CAST(na AS DOUBLE) - 1.0) AS va, " +
+        "(CAST(sb2 AS DOUBLE) - CAST(sb1 AS DOUBLE) * CAST(sb1 AS DOUBLE) / CAST(nb AS DOUBLE)) / (CAST(nb AS DOUBLE) - 1.0) AS vb " +
+        "FROM p), " +
+        "f AS (SELECT na, nb, sa1, sb1, va, vb, " +
+        "va / CAST(na AS DOUBLE) + vb / CAST(nb AS DOUBLE) AS se2 FROM e), " +
+        "g AS (SELECT na, nb, " +
+        "CAST(sa1 AS DOUBLE) / CAST(na AS DOUBLE) AS ma, CAST(sb1 AS DOUBLE) / CAST(nb AS DOUBLE) AS mb, " +
+        "(CAST(sa1 AS DOUBLE) / CAST(na AS DOUBLE) - CAST(sb1 AS DOUBLE) / CAST(nb AS DOUBLE)) / sqrt(se2) AS t, " +
+        "se2 * se2 / ((va / CAST(na AS DOUBLE)) * (va / CAST(na AS DOUBLE)) / (CAST(na AS DOUBLE) - 1.0) + " +
+        "(vb / CAST(nb AS DOUBLE)) * (vb / CAST(nb AS DOUBLE)) / (CAST(nb AS DOUBLE) - 1.0)) AS df FROM f) " +
+        "SELECT CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb, " +
+        "floor(ma * 10000.0 + 0.5) / 10000.0 AS mean_a_cents, " +
+        "floor(mb * 10000.0 + 0.5) / 10000.0 AS mean_b_cents, " +
+        "sign(t) * (floor(abs(t) * 1000000.0 + 0.5) / 1000000.0) + 0.0 AS t_stat, " +
+        "sign(df) * (floor(abs(df) * 1000000.0 + 0.5) / 1000000.0) + 0.0 AS df FROM g"),
     // exact integer rank arithmetic (2·midrank is an integer); the z
     // expression mirrors the Spark parenthesization character-for-
     // character, sign-aware floor half-up (the rolling-slope form)

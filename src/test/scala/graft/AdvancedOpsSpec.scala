@@ -299,4 +299,31 @@ class AdvancedOpsSpec extends SparkTestBase {
       math.sqrt(na.toDouble * nb * (na + nb + 1.0) / 12.0)
     assert(math.abs(z - wantZ) <= 5e-7)
   }
+
+  test("Welch t-test matches an exact cent-moment replay") {
+    val vals = Tables.load(spark, SF, "events")
+      .filter(col("event_type").isin("purchase", "click"))
+      .select("event_type", "value").collect()
+      .map(r => (r.getString(0), math.floor(r.getDouble(1) * 100.0 + 0.5).toLong))
+    def moments(t: String) = {
+      val cs = vals.filter(_._1 == t).map(_._2)
+      (cs.length.toLong, cs.sum, cs.map(c => c * c).sum)
+    }
+    val (na, sa1, sa2) = moments("purchase")
+    val (nb, sb1, sb2) = moments("click")
+    val va = (sa2.toDouble - sa1.toDouble * sa1 / na) / (na - 1.0)
+    val vb = (sb2.toDouble - sb1.toDouble * sb1 / nb) / (nb - 1.0)
+    val se2 = va / na + vb / nb
+    val wantT = (sa1.toDouble / na - sb1.toDouble / nb) / math.sqrt(se2)
+    val wantDf = se2 * se2 /
+      ((va / na) * (va / na) / (na - 1.0) + (vb / nb) * (vb / nb) / (nb - 1.0))
+    val row = AdvancedOps.statTtestWelch(spark, SF).collect()
+    assert(row.length == 1)
+    assert(row(0).getAs[Long]("na") == na && row(0).getAs[Long]("nb") == nb)
+    assert(math.abs(row(0).getAs[Double]("t_stat") - wantT) <= 5e-7)
+    assert(math.abs(row(0).getAs[Double]("df") - wantDf) <= 5e-7)
+    // Welch df must land between min(na,nb)-1 and na+nb-2
+    val df = row(0).getAs[Double]("df")
+    assert(df >= math.min(na, nb) - 1.0 && df <= na + nb - 2.0, s"df $df")
+  }
 }
