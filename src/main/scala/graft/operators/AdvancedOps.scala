@@ -462,12 +462,114 @@ object AdvancedOps {
       r6(tStat).as("t_stat"), r6(dfW).as("df"))
   }
 
+  // -------------------------------------------------------------------- PSI
+
+  /** Population Stability Index between the first- and second-half
+    * purchase-value distributions — the production drift GAUGE next to
+    * the hypothesis-test trilogy (KS/U/t answer "did it drift?"; PSI
+    * answers "by how much, and in which value band", against the
+    * industry 0.1/0.25 action thresholds). Fixed-width 25-unit bins
+    * capped at bin 19 (range-complete for the fixture's value domain;
+    * fixed edges, not quantiles, so binning is a pure map needing no
+    * cutoff pass at any scale), add-one smoothing over the full 20-bin
+    * spine so every log is finite even for empty bins.
+    *
+    * Determinism: each bin's (p−q) and ln(p/q) are built from EXACT
+    * integer counts — (p−q) as the integer cross-product difference over
+    * the common denominator, ln of a single exact-integer-ratio double —
+    * and each rounds to millionths (BIGINT) BEFORE their product, so the
+    * per-bin contribution `psi12` (units 1e-12) and the total are exact
+    * integer arithmetic, immune to summation order (the perplexity-
+    * family discipline). Every term is ≥ 0 by Gibbs' inequality — the
+    * spec's invariant.
+    *
+    * Scale: one hash aggregation collapses the corpus to the 20-bin
+    * domain (map-side partials); the spine join and both windows run on
+    * 20 rows. The corpus shuffles once, at bin granularity. */
+  def statPsi(s: SparkSession, d: String): DataFrame = {
+    val split = lit("2024-01-16 00:00:00").cast("timestamp")
+    val agg = t(s, d, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy(least(floor(col("value") / 25.0), lit(19.0)).cast("long").as("bin"))
+      .agg(sum(when(col("ts") < split, 1L).otherwise(0L)).as("nb0"),
+        sum(when(col("ts") < split, 0L).otherwise(1L)).as("nc0"))
+    val spine = s.range(0, 20).select(col("id").as("bin"))
+    val wAll = Window.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    def flr6(c: Column) = (signum(c) * floor(abs(c) * 1000000.0 + 0.5)).cast("long")
+    spine.join(agg, Seq("bin"), "left")
+      .na.fill(0L, Seq("nb0", "nc0"))
+      .withColumn("tb", sum("nb0").over(wAll) + 20L)
+      .withColumn("tc", sum("nc0").over(wAll) + 20L)
+      .withColumn("xp", (col("nb0") + 1L) * col("tc"))
+      .withColumn("xq", (col("nc0") + 1L) * col("tb"))
+      .select(col("bin"), col("nb0").as("n_base"), col("nc0").as("n_cur"),
+        (flr6((col("xp") - col("xq")).cast("double") / (col("tb") * col("tc")).cast("double")) *
+          flr6(log(col("xp").cast("double") / col("xq").cast("double")))).as("psi12"))
+      .withColumn("psi_total", sum("psi12").over(wAll).cast("double") / 1e12)
+      .orderBy("bin")
+  }
+
+  // --------------------------------------------------- multivariate OLS
+
+  /** Multivariate OLS — extendedprice ~ quantity + discount with
+    * intercept, per return flag — the 3-unknown normal-equation solve
+    * Spark's regr_* family (one regressor, [[aggRegression]]) cannot
+    * express. X'X / X'y are EXACT integer moment sums (price quantized
+    * to cents, discount to integer percent via floor(v·100+0.5); Σy² in
+    * DECIMAL(38,0) / HUGEINT since 2e19 overflows int64), so the only
+    * float arithmetic is the fixed Cramer's-rule expression tree over
+    * exact-integer-valued doubles, mirrored character-for-character in
+    * the oracle — bit-identical at any parallelism (the Welch-key
+    * discipline scaled up from 1 unknown to 3). R² comes from the same
+    * moments (SSE = Σy² − b·X'y), no second data pass.
+    *
+    * Scale: ONE map-side-partial hash aggregation over the corpus into
+    * 3 moment rows; the solve is a per-row projection. This is the
+    * textbook distributed-OLS shape — sufficient statistics, not data,
+    * cross the network (d²/2 sums per group, d = 3 ≪ shuffle width). */
+  def aggRegressionMulti(s: SparkSession, d: String): DataFrame = {
+    val y = floor(col("l_extendedprice") * 100.0 + 0.5).cast("long")
+    val x1 = col("l_quantity").cast("long")
+    val x2 = floor(col("l_discount") * 100.0 + 0.5).cast("long")
+    val m = t(s, d, "lineitem").groupBy("l_returnflag").agg(
+      count(lit(1)).as("n"),
+      sum(x1).as("s1"), sum(x2).as("s2"), sum(y).as("sy"),
+      sum(x1 * x1).as("s11"), sum(x1 * x2).as("s12"), sum(x2 * x2).as("s22"),
+      sum(x1 * y).as("s1y"), sum(x2 * y).as("s2y"),
+      sum((y * y).cast("decimal(38,0)")).as("syy"))
+    def db(c: String) = col(c).cast("double")
+    val (n, s1, s2, sy) = (db("n"), db("s1"), db("s2"), db("sy"))
+    val (s11, s12, s22) = (db("s11"), db("s12"), db("s22"))
+    val (s1y, s2y, syy) = (db("s1y"), db("s2y"), db("syy"))
+    // Cramer's rule on [[n,s1,s2],[s1,s11,s12],[s2,s12,s22]] b = [sy,s1y,s2y]
+    val det = n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) +
+      s2 * (s1 * s12 - s11 * s2)
+    val d0 = sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y) +
+      s2 * (s1y * s12 - s11 * s2y)
+    val d1 = n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2) +
+      s2 * (s1 * s2y - s1y * s2)
+    val d2 = n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2) +
+      sy * (s1 * s12 - s11 * s2)
+    val (b0, b1, b2) = (d0 / det, d1 / det, d2 / det)
+    val r2 = lit(1.0) - (syy - (b0 * sy + b1 * s1y + b2 * s2y)) /
+      (syy - sy * sy / n)
+    def r4(c: Column) = signum(c) * (floor(abs(c) * 10000.0 + 0.5) / 10000.0) + lit(0.0)
+    def r6(c: Column) = signum(c) * (floor(abs(c) * 1000000.0 + 0.5) / 1000000.0) + lit(0.0)
+    m.select(col("l_returnflag"), col("n"),
+      r4(b0).as("intercept_c"), r4(b1).as("b_qty_c"), r4(b2).as("b_disc_c"),
+      r6(r2).as("r2"))
+      .orderBy("l_returnflag")
+  }
+
   // --------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
     "stat_ks_test" -> (statKsTest _),
     "stat_mannwhitney" -> (statMannWhitney _),
     "stat_ttest_welch" -> (statTtestWelch _),
+    "stat_psi" -> (statPsi _),
+    "agg_regression_multi" -> (aggRegressionMulti _),
     "pareto_frontier" -> (paretoFrontier _),
     "win_rolling_slope" -> (winRollingSlope _),
     "stat_chisq" -> (statChiSquare _),
@@ -480,6 +582,61 @@ object AdvancedOps {
     "stat_outlier_mad" -> (statOutlierMad _))
 
   val oracles: Map[String, String] = Map(
+    // per-bin (p−q) and ln(p/q) each from exact integer cross-products,
+    // rounded to millionths (BIGINT) BEFORE the product — psi12 and its
+    // total are exact integers; the ln input is one exact-int ratio
+    "stat_psi" ->
+      ("WITH agg AS (SELECT CAST(least(floor(value / 25.0), 19.0) AS BIGINT) AS bin, " +
+        "CAST(sum(CASE WHEN CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END) AS BIGINT) AS nb0, " +
+        "CAST(sum(CASE WHEN CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16 00:00:00' THEN 0 ELSE 1 END) AS BIGINT) AS nc0 " +
+        "FROM events WHERE event_type = 'purchase' GROUP BY 1), " +
+        "spine AS (SELECT CAST(range AS BIGINT) AS bin FROM range(0, 20)), " +
+        "j AS (SELECT s.bin, coalesce(nb0, 0) AS nb0, coalesce(nc0, 0) AS nc0 " +
+        "FROM spine s LEFT JOIN agg a ON s.bin = a.bin), " +
+        "e AS (SELECT bin, nb0, nc0, CAST(sum(nb0) OVER () AS BIGINT) + 20 AS tb, " +
+        "CAST(sum(nc0) OVER () AS BIGINT) + 20 AS tc FROM j), " +
+        "x AS (SELECT bin, nb0, nc0, tb, tc, (nb0 + 1) * tc AS xp, (nc0 + 1) * tb AS xq FROM e), " +
+        "r AS (SELECT bin, nb0, nc0, " +
+        "CAST(xp - xq AS DOUBLE) / CAST(tb * tc AS DOUBLE) AS pd, " +
+        "ln(CAST(xp AS DOUBLE) / CAST(xq AS DOUBLE)) AS lr FROM x), " +
+        "terms AS (SELECT bin, nb0 AS n_base, nc0 AS n_cur, " +
+        "CAST(sign(pd) * floor(abs(pd) * 1000000.0 + 0.5) AS BIGINT) * " +
+        "CAST(sign(lr) * floor(abs(lr) * 1000000.0 + 0.5) AS BIGINT) AS psi12 FROM r) " +
+        "SELECT bin, n_base, n_cur, psi12, " +
+        "CAST(sum(psi12) OVER () AS DOUBLE) / 1e12 AS psi_total FROM terms ORDER BY bin"),
+    // exact integer moments (cents / percent quantization; Σy² needs
+    // int128 — HUGEINT here, DECIMAL(38,0) on the Spark side), then the
+    // identical Cramer's-rule IEEE expression tree over exact doubles
+    "agg_regression_multi" ->
+      ("WITH q AS (SELECT l_returnflag, " +
+        "CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS y, " +
+        "CAST(l_quantity AS BIGINT) AS x1, " +
+        "CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT) AS x2 FROM lineitem), " +
+        "m AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(x1) AS BIGINT) AS s1, CAST(sum(x2) AS BIGINT) AS s2, CAST(sum(y) AS BIGINT) AS sy, " +
+        "CAST(sum(x1 * x1) AS BIGINT) AS s11, CAST(sum(x1 * x2) AS BIGINT) AS s12, " +
+        "CAST(sum(x2 * x2) AS BIGINT) AS s22, " +
+        "CAST(sum(x1 * y) AS BIGINT) AS s1y, CAST(sum(x2 * y) AS BIGINT) AS s2y, " +
+        "CAST(sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS DOUBLE) AS syy FROM q GROUP BY 1), " +
+        "c AS (SELECT l_returnflag, n, " +
+        "CAST(n AS DOUBLE) AS dn, CAST(s1 AS DOUBLE) AS d1, CAST(s2 AS DOUBLE) AS d2, " +
+        "CAST(sy AS DOUBLE) AS dy, CAST(s11 AS DOUBLE) AS d11, CAST(s12 AS DOUBLE) AS d12, " +
+        "CAST(s22 AS DOUBLE) AS d22, CAST(s1y AS DOUBLE) AS d1y, CAST(s2y AS DOUBLE) AS d2y, syy FROM m), " +
+        "k AS (SELECT l_returnflag, n, dy, d1y, d2y, syy, dn, " +
+        "dn * (d11 * d22 - d12 * d12) - d1 * (d1 * d22 - d12 * d2) + d2 * (d1 * d12 - d11 * d2) AS det, " +
+        "dy * (d11 * d22 - d12 * d12) - d1 * (d1y * d22 - d12 * d2y) + d2 * (d1y * d12 - d11 * d2y) AS det0, " +
+        "dn * (d1y * d22 - d12 * d2y) - dy * (d1 * d22 - d12 * d2) + d2 * (d1 * d2y - d1y * d2) AS det1, " +
+        "dn * (d11 * d2y - d1y * d12) - d1 * (d1 * d2y - d1y * d2) + dy * (d1 * d12 - d11 * d2) AS det2 FROM c), " +
+        "b AS (SELECT l_returnflag, n, dy, d1y, d2y, syy, dn, " +
+        "det0 / det AS b0, det1 / det AS b1, det2 / det AS b2 FROM k), " +
+        "f AS (SELECT l_returnflag, n, b0, b1, b2, " +
+        "1.0 - (syy - (b0 * dy + b1 * d1y + b2 * d2y)) / (syy - dy * dy / dn) AS r2 FROM b) " +
+        "SELECT l_returnflag, n, " +
+        "sign(b0) * (floor(abs(b0) * 10000.0 + 0.5) / 10000.0) + 0.0 AS intercept_c, " +
+        "sign(b1) * (floor(abs(b1) * 10000.0 + 0.5) / 10000.0) + 0.0 AS b_qty_c, " +
+        "sign(b2) * (floor(abs(b2) * 10000.0 + 0.5) / 10000.0) + 0.0 AS b_disc_c, " +
+        "sign(r2) * (floor(abs(r2) * 1000000.0 + 0.5) / 1000000.0) + 0.0 AS r2 " +
+        "FROM f ORDER BY l_returnflag"),
     // exact integer cent-moments (floor(v*100+0.5) quantization, BIGINT
     // sums), then the identical mirrored IEEE expression tree
     "stat_ttest_welch" ->

@@ -237,7 +237,83 @@ object EventOps {
       .orderBy("purchase_id")
   }
 
+  /** Linear gap-fill of each user's daily purchase series — the
+    * regularization step every downstream feature/forecast job needs (a
+    * model wants a dense grid; the raw stream is sparse). Each user's
+    * observed [first, last]-day range becomes a dense daily spine;
+    * missing days interpolate linearly between the two neighboring
+    * observed days (win_fill_forward is the step-function sibling; this
+    * is the C0-continuous one).
+    *
+    * Determinism: daily sums are exact integer CENTS (floor(v·100+0.5)
+    * BIGINT, immune to summation order); the interpolation fraction is a
+    * ratio of small day-offset integers, and the one float expression is
+    * mirrored character-for-character in the oracle, rounded half-up
+    * 4 dp (values ≥ 0). Endpoint days are observed by construction, so
+    * interior gaps always have both neighbors.
+    *
+    * Scale: the explode is bounded by users × span-days (GRAIN rows, not
+    * events); one shuffle keys the corpus to (user, day), then two
+    * window passes per user share one sort of the grain table. */
+  def tsInterpolate(s: SparkSession, d: String): DataFrame = {
+    val daily = ev(s, d)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 100.0 + 0.5).cast("long")).as("v"))
+    val grid = daily.groupBy("user_id")
+      .agg(min("day").as("d0"), max("day").as("d1"))
+      .select(col("user_id"), explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    val wP = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wN = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    grid.join(daily, Seq("user_id", "day"), "left")
+      .withColumn("pv", last("v", ignoreNulls = true).over(wP))
+      .withColumn("pd", last(when(col("v").isNotNull, col("day")), ignoreNulls = true).over(wP))
+      .withColumn("nv", first("v", ignoreNulls = true).over(wN))
+      .withColumn("nd", first(when(col("v").isNotNull, col("day")), ignoreNulls = true).over(wN))
+      .select(col("user_id"), col("day"),
+        when(col("v").isNotNull, lit("obs")).otherwise(lit("gap")).as("kind"),
+        (floor(when(col("v").isNotNull, col("v").cast("double"))
+          .otherwise(col("pv").cast("double") + (col("nv") - col("pv")).cast("double") *
+            (datediff(col("day"), col("pd")).cast("double") /
+              datediff(col("nd"), col("pd")).cast("double"))) * 10000.0 + 0.5) / 10000.0)
+          .as("value_cents"))
+      .orderBy("user_id", "day")
+  }
+
+  /** Top-25 user-journey prefixes: the first 4 events of every user's
+    * (ts, event_id)-ordered stream joined into a path string, counted
+    * across users — the pathing report next to [[eventTransitions]]'s
+    * first-order Markov table (paths keep the ORDER context a bigram
+    * table marginalizes away; 4 steps over 5 event types bounds the path
+    * domain at 5⁴ keys).
+    *
+    * Determinism: the per-user sequence is the (ts, event_id) total
+    * order; path assembly sorts the collected (rn, type) structs, so no
+    * collect_list arrival-order nondeterminism reaches the output; the
+    * ranking breaks count ties on the path string.
+    *
+    * Scale: one shuffle on user_id (window + per-user agg share the
+    * sort), one on the bounded path domain; collect_list is capped at 4
+    * structs per user by the rn filter, so per-group state is O(1). */
+  def eventPathTopk(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    ev(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 4)
+      .groupBy("user_id")
+      .agg(array_join(transform(array_sort(collect_list(struct(col("rn"), col("event_type")))),
+        x => x.getField("event_type")), ">").as("path"))
+      .groupBy("path")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path"))
+      .limit(25)
+  }
+
   val queries: Map[String, Q] = Map(
+    "ts_interpolate" -> (tsInterpolate _),
+    "event_path_topk" -> (eventPathTopk _),
     "event_attribution" -> (eventAttribution _),
     "event_sessionize" -> (eventSessionize _),
     "event_dau_wau" -> (eventDauWau _),
@@ -252,6 +328,39 @@ object EventOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // daily sums are exact integer cents; the interpolation expression
+    // mirrors the Spark parenthesization character-for-character
+    "ts_interpolate" ->
+      ("WITH daily AS (SELECT user_id, CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day, " +
+        "CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS v " +
+        "FROM events WHERE event_type = 'purchase' GROUP BY 1, 2), " +
+        "grid AS (SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day " +
+        "FROM (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1)), " +
+        "j AS (SELECT g.user_id, g.day, v FROM grid g LEFT JOIN daily dd " +
+        "ON g.user_id = dd.user_id AND g.day = dd.day), " +
+        "f AS (SELECT user_id, day, v, " +
+        "last_value(v IGNORE NULLS) OVER wp AS pv, " +
+        "last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER wp AS pd, " +
+        "first_value(v IGNORE NULLS) OVER wn AS nv, " +
+        "first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER wn AS nd " +
+        "FROM j WINDOW " +
+        "wp AS (PARTITION BY user_id ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), " +
+        "wn AS (PARTITION BY user_id ORDER BY day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) " +
+        "SELECT user_id, day, CASE WHEN v IS NOT NULL THEN 'obs' ELSE 'gap' END AS kind, " +
+        "floor((CASE WHEN v IS NOT NULL THEN CAST(v AS DOUBLE) " +
+        "ELSE CAST(pv AS DOUBLE) + CAST(nv - pv AS DOUBLE) * " +
+        "(CAST(date_diff('day', pd, day) AS DOUBLE) / CAST(date_diff('day', pd, nd) AS DOUBLE)) END) " +
+        "* 10000.0 + 0.5) / 10000.0 AS value_cents " +
+        "FROM f ORDER BY user_id, day"),
+    // string_agg ORDER BY rn mirrors the sorted-struct path assembly;
+    // the (n_users DESC, path) order is total, so LIMIT 25 is stable
+    "event_path_topk" ->
+      ("WITH e AS (SELECT user_id, event_type, " +
+        "row_number() OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn FROM events), " +
+        "p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path " +
+        "FROM e WHERE rn <= 4 GROUP BY user_id) " +
+        "SELECT path, count(*) AS n_users FROM p GROUP BY path " +
+        "ORDER BY n_users DESC, path LIMIT 25"),
     // value passes through untouched (no float op, byte-identical);
     // IGNORE NULLS first/last over the strictly-preceding frame mirrors
     // the Spark window exactly

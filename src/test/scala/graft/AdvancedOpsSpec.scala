@@ -326,4 +326,80 @@ class AdvancedOpsSpec extends SparkTestBase {
     val df = row(0).getAs[Double]("df")
     assert(df >= math.min(na, nb) - 1.0 && df <= na + nb - 2.0, s"df $df")
   }
+
+  test("PSI matches an exact integer replay; every bin term is >= 0 (Gibbs)") {
+    // session tz is pinned UTC, so the split literal is this instant
+    val splitMs = java.time.Instant.parse("2024-01-16T00:00:00Z").toEpochMilli
+    val nb = Array.fill(20)(0L); val nc = Array.fill(20)(0L)
+    Tables.load(spark, SF, "events")
+      .filter(col("event_type") === "purchase")
+      .select("ts", "value").collect()
+      .foreach { r =>
+        val bin = math.min(math.floor(r.getDouble(1) / 25.0), 19.0).toInt
+        if (r.getTimestamp(0).getTime < splitMs) nb(bin) += 1 else nc(bin) += 1
+      }
+    val tb = nb.sum + 20; val tc = nc.sum + 20
+    def flr6(x: Double) = (math.signum(x) * math.floor(math.abs(x) * 1e6 + 0.5)).toLong
+    val psi12 = (0 until 20).map { i =>
+      val xp = (nb(i) + 1) * tc; val xq = (nc(i) + 1) * tb
+      flr6((xp - xq).toDouble / (tb * tc).toDouble) *
+        flr6(math.log(xp.toDouble / xq.toDouble))
+    }
+    val got = AdvancedOps.statPsi(spark, SF).collect()
+    assert(got.length == 20)
+    got.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Long]("bin") == i)
+      assert(r.getAs[Long]("n_base") == nb(i) && r.getAs[Long]("n_cur") == nc(i))
+      assert(r.getAs[Long]("psi12") == psi12(i), s"bin $i: ${r.getAs[Long]("psi12")} want ${psi12(i)}")
+      // (p−q) and ln(p/q) always share sign, and sign-aware rounding
+      // preserves sign-or-zero — so every contribution is ≥ 0
+      assert(r.getAs[Long]("psi12") >= 0L)
+      assert(r.getAs[Double]("psi_total") == psi12.sum.toDouble / 1e12)
+    }
+    // both halves are populated (the split actually splits the fixture)
+    assert(nb.sum > 0 && nc.sum > 0)
+  }
+
+  test("multivariate OLS: exact moment replay + residual orthogonality") {
+    val rows = Tables.load(spark, SF, "lineitem")
+      .select("l_returnflag", "l_extendedprice", "l_quantity", "l_discount").collect()
+      .map(r => (r.getString(0), math.floor(r.getDouble(1) * 100.0 + 0.5).toLong,
+        r.getDouble(2).toLong, math.floor(r.getDouble(3) * 100.0 + 0.5).toLong))
+    val got = AdvancedOps.aggRegressionMulti(spark, SF).collect()
+    assert(got.map(_.getString(0)).toSeq == rows.map(_._1).distinct.sorted.toSeq)
+    got.foreach { out =>
+      val g = rows.filter(_._1 == out.getString(0))
+      val n = g.length.toDouble
+      assert(out.getAs[Long]("n") == g.length.toLong)
+      val s1 = g.map(_._3).sum.toDouble; val s2 = g.map(_._4).sum.toDouble
+      val sy = g.map(_._2).sum.toDouble
+      val s11 = g.map(x => x._3 * x._3).sum.toDouble
+      val s12 = g.map(x => x._3 * x._4).sum.toDouble
+      val s22 = g.map(x => x._4 * x._4).sum.toDouble
+      val s1y = g.map(x => x._3 * x._2).sum.toDouble
+      val s2y = g.map(x => x._4 * x._2).sum.toDouble
+      val syy = g.map(x => BigInt(x._2) * BigInt(x._2)).sum.toDouble
+      val det = n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) +
+        s2 * (s1 * s12 - s11 * s2)
+      val b0 = (sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y) +
+        s2 * (s1y * s12 - s11 * s2y)) / det
+      val b1 = (n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2) +
+        s2 * (s1 * s2y - s1y * s2)) / det
+      val b2 = (n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2) +
+        sy * (s1 * s12 - s11 * s2)) / det
+      assert(math.abs(out.getAs[Double]("intercept_c") - b0) <= 5e-5)
+      assert(math.abs(out.getAs[Double]("b_qty_c") - b1) <= 5e-5)
+      assert(math.abs(out.getAs[Double]("b_disc_c") - b2) <= 5e-5)
+      val r2 = 1.0 - (syy - (b0 * sy + b1 * s1y + b2 * s2y)) / (syy - sy * sy / n)
+      assert(math.abs(out.getAs[Double]("r2") - r2) <= 5e-7)
+      assert(r2 > 0.0 && r2 < 1.0, s"r2 $r2") // qty genuinely predicts price
+      // independent least-squares certificate (not a formula replay):
+      // residuals are orthogonal to 1, x1, x2 up to float tolerance
+      val res = g.map(x => x._2.toDouble - (b0 + b1 * x._3 + b2 * x._4))
+      val scale = g.map(_._2.toDouble.abs).sum
+      assert(math.abs(res.sum) / scale < 1e-9)
+      assert(math.abs(res.zip(g).map { case (e, x) => e * x._3 }.sum) / (scale * 50) < 1e-9)
+      assert(math.abs(res.zip(g).map { case (e, x) => e * x._4 }.sum) / (scale * 10) < 1e-9)
+    }
+  }
 }

@@ -97,4 +97,64 @@ class EventOpsSpec extends SparkTestBase {
     // organic purchases (no prior touch) exist and keep NULL attribution
     assert(got.exists(_.isNullAt(3)) == want.values.exists(_._1.isEmpty))
   }
+
+  test("ts_interpolate: dense grid, obs endpoints, exact obs cents, linear gaps") {
+    // independent daily-cents replay (Spark's own to_date on both sides,
+    // so the check is tz-representation-agnostic)
+    val daily: Map[(Long, String), Long] = Tables.load(spark, SF, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), to_date(col("ts")).cast("string").as("day"), col("value"))
+      .collect()
+      .groupBy(r => (r.getLong(0), r.getString(1)))
+      .map { case (k, rs) =>
+        k -> rs.map(r => math.floor(r.getDouble(2) * 100.0 + 0.5).toLong).sum
+      }
+    val out = EventOps.tsInterpolate(spark, SF).collect()
+    assert(out.nonEmpty && out.exists(_.getString(2) == "gap"))
+    out.groupBy(_.getLong(0)).foreach { case (u, rs0) =>
+      val rs = rs0.sortBy(_.getDate(1).toLocalDate.toEpochDay)
+      // dense: exactly one row per day of the user's observed span
+      rs.map(_.getDate(1).toLocalDate.toEpochDay).toSeq.sliding(2).foreach {
+        case Seq(a, b) => assert(b == a + 1, s"user $u grid gap")
+        case _ =>
+      }
+      assert(rs.head.getString(2) == "obs" && rs.last.getString(2) == "obs")
+      val obsIdx = rs.indices.filter(i => rs(i).getString(2) == "obs")
+      rs.indices.foreach { i =>
+        val r = rs(i)
+        val key = (u, r.getDate(1).toString)
+        if (r.getString(2) == "obs") {
+          assert(daily(key).toDouble == r.getDouble(3), s"user $u day $key")
+        } else {
+          assert(!daily.contains(key))
+          // linear between the neighboring observed days, same rounding
+          val p = obsIdx.filter(_ < i).max; val nx = obsIdx.filter(_ > i).min
+          val pv = daily((u, rs(p).getDate(1).toString)).toDouble
+          val nv = daily((u, rs(nx).getDate(1).toString)).toDouble
+          val want = math.floor((pv + (nv - pv) * ((i - p).toDouble / (nx - p).toDouble)) * 10000.0 + 0.5) / 10000.0
+          assert(r.getDouble(3) == want, s"user $u idx $i: ${r.getDouble(3)} want $want")
+        }
+      }
+    }
+  }
+
+  test("event_path_topk matches a direct in-memory path count") {
+    val raw = Tables.load(spark, SF, "events")
+      .select("user_id", "ts", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0),
+        (r.getAs[Timestamp](1).getTime, r.getAs[Timestamp](1).getNanos, r.getLong(2)),
+        r.getString(3)))
+    val counts: Map[String, Long] = raw.groupBy(_._1).map { case (_, es) =>
+      es.sortBy(_._2).take(4).map(_._3).mkString(">")
+    }.groupBy(identity).map { case (p, ps) => p -> ps.size.toLong }
+    val want = counts.toSeq.sortBy { case (p, n) => (-n, p) }.take(25)
+    val got = EventOps.eventPathTopk(spark, SF).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == want, s"got ${got.take(3)}... want ${want.take(3)}...")
+    // path strings are 1..4 known event types joined by '>'
+    val tpe = "(click|error|purchase|signup|view)"
+    got.foreach { case (p, n) =>
+      assert(p.matches(s"$tpe(>$tpe){0,3}"), p); assert(n >= 1L)
+    }
+  }
 }
