@@ -282,6 +282,38 @@ object EventOps {
       .orderBy("user_id", "day")
   }
 
+  /** Exponentially weighted moving average (α = 1/2) over each user's
+    * observed daily purchase series — the standard smoothing baseline an
+    * anomaly detector compares the next reading against. The recurrence
+    * s_k = α·x_k + (1−α)·s_{k−1} has the closed window form
+    * s_k = (x_0 + Σ_{i=1..k} x_i·2^{i−1}) / 2^k, and with α = 1/2,
+    * integer-cent inputs, and a ≤ 31-day fixture span EVERY term is an
+    * exact double (weights are powers of two; the numerator stays far
+    * below 2^53; the final division by 2^k only shifts the exponent) —
+    * the one key in the family needing NO rounding discipline at all:
+    * both engines produce bit-identical doubles by construction.
+    *
+    * Scale: one shuffle on user_id; one window pass per user over its
+    * observed-day grain. The 2^k weights cap the usable window at ~900
+    * days of history (past that, production chunks by epoch or carries
+    * the recurrence as streaming state — mapGroupsWithState — instead of
+    * a window); the fixture span is 30 days, asserted in the spec. */
+  def tsEwma(s: SparkSession, d: String): DataFrame = {
+    val daily = ev(s, d)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 100.0 + 0.5).cast("long")).as("v"))
+    val wOrd = Window.partitionBy("user_id").orderBy("day")
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("k", row_number().over(wOrd) - 1)
+      .withColumn("num", sum(when(col("k") === 0, col("v").cast("double"))
+        .otherwise(col("v").cast("double") * pow(lit(2.0), col("k") - 1))).over(wCum))
+      .select(col("user_id"), col("day"), col("v").as("v_cents"),
+        (col("num") / pow(lit(2.0), col("k"))).as("ewma_cents"))
+      .orderBy("user_id", "day")
+  }
+
   /** Top-25 user-journey prefixes: the first 4 events of every user's
     * (ts, event_id)-ordered stream joined into a path string, counted
     * across users — the pathing report next to [[eventTransitions]]'s
@@ -313,6 +345,7 @@ object EventOps {
 
   val queries: Map[String, Q] = Map(
     "ts_interpolate" -> (tsInterpolate _),
+    "ts_ewma" -> (tsEwma _),
     "event_path_topk" -> (eventPathTopk _),
     "event_attribution" -> (eventAttribution _),
     "event_sessionize" -> (eventSessionize _),
@@ -352,6 +385,19 @@ object EventOps {
         "(CAST(date_diff('day', pd, day) AS DOUBLE) / CAST(date_diff('day', pd, nd) AS DOUBLE)) END) " +
         "* 10000.0 + 0.5) / 10000.0 AS value_cents " +
         "FROM f ORDER BY user_id, day"),
+    // power-of-two weights over integer cents: every double is exact,
+    // so there is no rounding anywhere in this oracle by design
+    "ts_ewma" ->
+      ("WITH daily AS (SELECT user_id, CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day, " +
+        "CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS v " +
+        "FROM events WHERE event_type = 'purchase' GROUP BY 1, 2), " +
+        "k AS (SELECT user_id, day, v, " +
+        "row_number() OVER (PARTITION BY user_id ORDER BY day) - 1 AS k FROM daily), " +
+        "n AS (SELECT user_id, day, v, k, " +
+        "sum(CASE WHEN k = 0 THEN CAST(v AS DOUBLE) ELSE CAST(v AS DOUBLE) * pow(2.0, k - 1) END) " +
+        "OVER (PARTITION BY user_id ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS num FROM k) " +
+        "SELECT user_id, day, v AS v_cents, num / pow(2.0, k) AS ewma_cents " +
+        "FROM n ORDER BY user_id, day"),
     // string_agg ORDER BY rn mirrors the sorted-struct path assembly;
     // the (n_users DESC, path) order is total, so LIMIT 25 is stable
     "event_path_topk" ->

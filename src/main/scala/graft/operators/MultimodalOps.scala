@@ -176,6 +176,79 @@ object MultimodalOps {
     MediaSketch(in.doc_id, sh)
   }
 
+  /** Quantized DCT-II basis for the pHash sketch: T(u,r) =
+    * floor(1e4·cos(π·(2r+1)·u/32) + 0.5), u ∈ [0,8), r ∈ [0,16).
+    * Computed ONCE here and inlined into the DuckDB oracle as literal
+    * VALUES — neither engine evaluates cos() at query time, so there is
+    * no cross-engine libm surface at all; every downstream coefficient
+    * is exact int64 arithmetic (|coef| ≤ 16·1e4·(16·765·1e4) ≈ 2e13). */
+  private[graft] val DctT: Array[Array[Long]] = Array.tabulate(8, 16) { (u, r) =>
+    math.floor(1e4 * math.cos(math.Pi * (2 * r + 1) * u / 32.0) + 0.5).toLong
+  }
+
+  /** pHash sketch row: 64-bit hash as a '0'/'1' bitstring (bit 63 first —
+    * the SimHash-oracle representation trick) + its popcount. */
+  case class MediaPhash(doc_id: Long, ph_bits: String, n_ones: Int)
+
+  /** DCT perceptual hash of one payload: fold bytes into a 16×16 grid
+    * (byte p → cell p mod 256, the aHash folding at 4× resolution), take
+    * the top-left 8×8 of the unnormalized 2D DCT-II, threshold each
+    * coefficient against the coefficient median — the classic pHash
+    * recipe (aHash thresholds raw cells on the mean; pHash thresholds
+    * FREQUENCY components on the median, which survives brightness and
+    * local-noise edits that flip aHash bits). Median is carried as
+    * med2 = a₍₃₁₎+a₍₃₂₎ so the bit test 2·coef > med2 stays in exact
+    * integers. One arithmetic pass per payload byte plus a fixed
+    * 128-multiply-per-cell DCT — O(bytes) per row, map-only. */
+  def phashSketch(in: MediaIn): MediaPhash = {
+    val g = new Array[Long](256)
+    var p = 0
+    while (p < in.payload.length) { g(p % 256) += (in.payload(p) & 0xffL); p += 1 }
+    // row pass: part(r)(v) = Σ_c g(r,c)·T(v,c), then column pass on top
+    val part = Array.ofDim[Long](16, 8)
+    var r = 0
+    while (r < 16) {
+      var v = 0
+      while (v < 8) {
+        var sum = 0L; var c = 0
+        while (c < 16) { sum += g(r * 16 + c) * DctT(v)(c); c += 1 }
+        part(r)(v) = sum; v += 1
+      }
+      r += 1
+    }
+    val coef = new Array[Long](64)
+    var u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        var sum = 0L; var rr = 0
+        while (rr < 16) { sum += DctT(u)(rr) * part(rr)(v); rr += 1 }
+        coef(u * 8 + v) = sum; v += 1
+      }
+      u += 1
+    }
+    val sorted = coef.sorted
+    val med2 = sorted(31) + sorted(32)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 63
+    while (i >= 0) { sb.append(if (2 * coef(i) > med2) '1' else '0'); i -= 1 }
+    val bits = sb.toString
+    MediaPhash(in.doc_id, bits, bits.count(_ == '1'))
+  }
+
+  /** mm_phash_dct: the DCT perceptual hash per document — the industry-
+    * standard pHash next to [[mmAhashDedup]]'s average-hash (same opaque-
+    * payload plumbing, same per-partition batch stage a real decoder
+    * would occupy; the downstream banded-LSH pair join is shared with
+    * the aHash/SimHash family, so this key grades the HASH itself). */
+  def mmPhashDct(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    mediaIn(s, d)
+      .mapPartitions(_.map(phashSketch))
+      .toDF()
+      .orderBy("doc_id")
+  }
+
   /** mm_ahash_dedup: perceptual near-dup detection for media columns —
     * the image-side analogue of SimHash dedup. Average-hash over the
     * stub-decoded grid (bit i set iff cell i is strictly above the grid
@@ -199,6 +272,7 @@ object MultimodalOps {
     "mm_feature_extract" -> (mmFeatureExtract _),
     "mm_frame_sample" -> (mmFrameSample _),
     "mm_ahash_dedup" -> (mmAhashDedup _),
+    "mm_phash_dct" -> (mmPhashDct _),
   )
 
   private val nBytes = "octet_length(encode(text))"
@@ -226,7 +300,37 @@ object MultimodalOps {
         "fr AS (SELECT doc_id, unnest(generate_series(0, frames - 1, 5)) AS frame_idx FROM m) " +
         "SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx, CAST(frame_idx * 40 AS INTEGER) AS t_ms, md5(concat_ws(':', doc_id, frame_idx)) AS frame_fp FROM fr ORDER BY doc_id, frame_idx"),
     "mm_ahash_dedup" -> ahashDedupOracle,
+    "mm_phash_dct" -> phashOracle,
   )
+
+  /** DuckDB twin of the pHash: the [[DctT]] table rides in as literal
+    * VALUES (no cos() in either engine), the grid is reconstructed from
+    * text codepoints (ASCII canary, as in [[ahashDedupOracle]]), and the
+    * two DCT passes are integer join+group-by sums. med2 = a₍₃₁₎+a₍₃₂₎
+    * of the per-doc coefficient sort, so the bit test is exact. */
+  private def phashOracle: String = {
+    val values = (for (u <- 0 until 8; r <- 0 until 16)
+      yield s"($u, $r, ${DctT(u)(r)})").mkString(", ")
+    s"WITH ct(u, r, t) AS (VALUES $values), " +
+      "cellv AS (SELECT doc_id, (p - 1) % 256 AS cell, unicode(substr(text, CAST(p AS INTEGER), 1)) AS v " +
+      "FROM (SELECT doc_id, text, unnest(generate_series(1, length(text))) AS p FROM documents)), " +
+      "cellsums AS (SELECT doc_id, cell, CAST(sum(v) AS BIGINT) AS g FROM cellv GROUP BY 1, 2), " +
+      "grid AS (SELECT d.doc_id, gc.cell, coalesce(cs.g, 0) AS g " +
+      "FROM (SELECT doc_id FROM documents) d " +
+      "CROSS JOIN (SELECT unnest(range(0, 256)) AS cell) gc " +
+      "LEFT JOIN cellsums cs ON cs.doc_id = d.doc_id AND cs.cell = gc.cell), " +
+      "part AS (SELECT doc_id, cell // 16 AS r, tv.u AS v, CAST(sum(g * tv.t) AS BIGINT) AS pv " +
+      "FROM grid JOIN ct tv ON tv.r = cell % 16 GROUP BY 1, 2, 3), " +
+      "coef AS (SELECT doc_id, tu.u AS u, part.v AS v, CAST(sum(tu.t * pv) AS BIGINT) AS cf " +
+      "FROM part JOIN ct tu ON tu.r = part.r GROUP BY 1, 2, 3), " +
+      "med AS (SELECT doc_id, CAST(sum(cf) AS BIGINT) AS med2 FROM " +
+      "(SELECT doc_id, cf, row_number() OVER (PARTITION BY doc_id ORDER BY cf) AS rn FROM coef) " +
+      "WHERE rn IN (32, 33) GROUP BY doc_id), " +
+      "bits AS (SELECT c.doc_id, string_agg(CASE WHEN 2 * cf > med2 THEN '1' ELSE '0' END, '' ORDER BY u * 8 + v DESC) AS ph_bits " +
+      "FROM coef c JOIN med USING (doc_id) GROUP BY c.doc_id) " +
+      "SELECT doc_id, ph_bits, CAST(length(replace(ph_bits, '0', '')) AS INTEGER) AS n_ones " +
+      "FROM bits ORDER BY doc_id"
+  }
 
   /** DuckDB twin of the aHash near-dup. The grid is reconstructed from
     * the text codepoints (fixture payloads are ASCII, so byte ≡

@@ -138,6 +138,23 @@ class EventOpsSpec extends SparkTestBase {
     }
   }
 
+  test("ts_ewma: BIT-EXACT equality with the textbook recurrence") {
+    val out = EventOps.tsEwma(spark, SF).collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getLong(0)).foreach { case (u, rs0) =>
+      val rs = rs0.sortBy(_.getDate(1).toLocalDate.toEpochDay)
+      assert(rs.length <= 31, s"user $u span ${rs.length} exceeds fixture month")
+      var sPrev = 0.0
+      rs.zipWithIndex.foreach { case (r, k) =>
+        val x = r.getLong(2).toDouble
+        val sK = if (k == 0) x else 0.5 * x + 0.5 * sPrev
+        // exact == : power-of-two weights over integer cents never round
+        assert(r.getDouble(3) == sK, s"user $u k=$k: ${r.getDouble(3)} != $sK")
+        sPrev = sK
+      }
+    }
+  }
+
   test("event_path_topk matches a direct in-memory path count") {
     val raw = Tables.load(spark, SF, "events")
       .select("user_id", "ts", "event_id", "event_type").collect()

@@ -20,4 +20,32 @@ class MultimodalOpsSpec extends AnyFunSuite {
       assert(r.out_bytes == r.out_w.toLong * r.out_h * 3)
     }
   }
+
+  test("phashSketch: median-split popcount, determinism, edit tolerance") {
+    import graft.operators.MultimodalOps.{phashSketch, MediaIn, DctT}
+    // the quantized DCT basis: row u=0 is the constant 1e4 vector and
+    // every other row sums to ~0 (orthogonality survives quantization
+    // up to the rounding residue)
+    assert(DctT(0).forall(_ == 10000L))
+    (1 until 8).foreach(u => assert(math.abs(DctT(u).sum) <= 8, s"u=$u"))
+    val payload = ("the quick brown fox jumps over the lazy dog, " * 12).getBytes("UTF-8")
+    val a = phashSketch(MediaIn(1L, payload))
+    assert(a.ph_bits.length == 64)
+    assert(a.n_ones == a.ph_bits.count(_ == '1'))
+    // bit i is set iff 2·coef > a31+a32: at most 32 coefficients can sit
+    // strictly above the median pair
+    assert(a.n_ones <= 32)
+    // deterministic across calls and doc ids
+    assert(phashSketch(MediaIn(99L, payload.clone())).ph_bits == a.ph_bits)
+    // a one-byte edit flips few bits (the perceptual-hash property the
+    // banded near-dup join downstream relies on)...
+    val edited = payload.clone(); edited(7) = 'X'.toByte
+    val b = phashSketch(MediaIn(2L, edited))
+    val ham = a.ph_bits.zip(b.ph_bits).count { case (x, y) => x != y }
+    assert(ham <= 16, s"hamming $ham after a 1-byte edit")
+    // ...while unrelated content lands far away
+    val other = phashSketch(MediaIn(3L, ("completely different content with other bytes! " * 11).getBytes("UTF-8")))
+    val hamFar = a.ph_bits.zip(other.ph_bits).count { case (x, y) => x != y }
+    assert(hamFar > 16, s"hamming $hamFar for unrelated content")
+  }
 }
