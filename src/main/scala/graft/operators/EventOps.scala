@@ -282,6 +282,35 @@ object EventOps {
       .orderBy("user_id", "day")
   }
 
+  /** Consecutive-active-day streaks per user — the gaps-and-islands
+    * idiom (island key = epoch-day − dense row index, constant exactly
+    * while days are consecutive) that engagement metrics (longest
+    * streak) and SLA reports are built on. All arithmetic is integer
+    * day-epochs; no float appears anywhere in the key.
+    * Scale: the corpus collapses to the (user, day) grain first (one
+    * hash aggregation); the window and both census aggregations run on
+    * grain rows. One shuffle on user_id covers the window and the
+    * island group-by (same key, Catalyst reuses the exchange). */
+  def eventStreaks(s: SparkSession, d: String): DataFrame = {
+    val days = ev(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val w = Window.partitionBy("user_id").orderBy("day")
+    val islands = days
+      .withColumn("grp", datediff(col("day"), lit("1970-01-01").cast("date")) -
+        row_number().over(w))
+      .groupBy("user_id", "grp")
+      .agg(count(lit(1)).as("len"), min("day").as("streak_start"))
+    islands
+      .withColumn("mx", max("len").over(Window.partitionBy("user_id")))
+      .groupBy("user_id")
+      .agg(sum("len").as("n_active_days"),
+        count(lit(1)).as("n_streaks"),
+        max("len").as("max_streak"),
+        // start day of the longest streak (earliest on ties)
+        min(when(col("len") === col("mx"), col("streak_start"))).as("max_streak_start"))
+      .orderBy("user_id")
+  }
+
   /** Exponentially weighted moving average (α = 1/2) over each user's
     * observed daily purchase series — the standard smoothing baseline an
     * anomaly detector compares the next reading against. The recurrence
@@ -346,6 +375,7 @@ object EventOps {
   val queries: Map[String, Q] = Map(
     "ts_interpolate" -> (tsInterpolate _),
     "ts_ewma" -> (tsEwma _),
+    "event_streaks" -> (eventStreaks _),
     "event_path_topk" -> (eventPathTopk _),
     "event_attribution" -> (eventAttribution _),
     "event_sessionize" -> (eventSessionize _),
@@ -385,6 +415,19 @@ object EventOps {
         "(CAST(date_diff('day', pd, day) AS DOUBLE) / CAST(date_diff('day', pd, nd) AS DOUBLE)) END) " +
         "* 10000.0 + 0.5) / 10000.0 AS value_cents " +
         "FROM f ORDER BY user_id, day"),
+    // pure integer day-epoch arithmetic end to end; the island key is
+    // epoch-day − row_number, mirrored exactly
+    "event_streaks" ->
+      ("WITH days AS (SELECT DISTINCT user_id, CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day FROM events), " +
+        "isl AS (SELECT user_id, date_diff('day', DATE '1970-01-01', day) - " +
+        "row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp, day FROM days), " +
+        "st AS (SELECT user_id, grp, CAST(count(*) AS BIGINT) AS len, min(day) AS streak_start " +
+        "FROM isl GROUP BY 1, 2), " +
+        "mx AS (SELECT user_id, grp, len, streak_start, max(len) OVER (PARTITION BY user_id) AS m FROM st) " +
+        "SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days, " +
+        "CAST(count(*) AS BIGINT) AS n_streaks, CAST(max(len) AS BIGINT) AS max_streak, " +
+        "min(CASE WHEN len = m THEN streak_start END) AS max_streak_start " +
+        "FROM mx GROUP BY user_id ORDER BY user_id"),
     // power-of-two weights over integer cents: every double is exact,
     // so there is no rounding anywhere in this oracle by design
     "ts_ewma" ->

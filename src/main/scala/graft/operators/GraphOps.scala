@@ -270,7 +270,47 @@ object GraphOps {
     sizes.join(edgeComp, Seq("component_id")).orderBy("component_id")
   }
 
+  /** Jaccard neighbor-similarity link prediction over the repeat-co-
+    * purchase backbone: for every NON-adjacent part pair with at least
+    * one shared neighbor, |N(a)∩N(b)| / |N(a)∪N(b)| — the classic
+    * "products that should be merchandised together but aren't yet"
+    * score (and the standard common-neighbors baseline every link-
+    * prediction paper starts from). Top-50 by (score, pair).
+    *
+    * Exactness: common/degree counts are integers; the one division is a
+    * single mirrored IEEE op rounded half-up 6 dp, and the ranking
+    * orders by the ROUNDED score + ids, so the cut is total.
+    *
+    * Scale: candidate generation is the same wedge join the triangle
+    * count runs — quadratic in per-node degree on the THRESHOLDED
+    * backbone, never on raw pairs; the anti-join that drops existing
+    * edges and the degree joins are all equi-joins on node ids. At
+    * higher densities the next step is the triangles key's documented
+    * degree-ordered orientation; same posture here. */
+  def graphJaccardNeighbors(s: SparkSession, d: String): DataFrame = {
+    val e = partPairs(s, d).where(col("n_cooccur") >= 2).select("p1", "p2")
+    // undirected adjacency (both directions) + degrees
+    val adj = e.union(e.select(col("p2").as("p1"), col("p1").as("p2")))
+    val deg = adj.groupBy(col("p1").as("node")).agg(count(lit(1)).as("deg"))
+    val wedges = adj.as("x").join(adj.as("y"),
+        col("x.p2") === col("y.p1") && col("x.p1") < col("y.p2"))
+      .groupBy(col("x.p1").as("a_id"), col("y.p2").as("b_id"))
+      .agg(count(lit(1)).as("common"))
+    val cand = wedges.join(e,
+        wedges("a_id") === e("p1") && wedges("b_id") === e("p2"), "left_anti")
+    cand
+      .join(deg.select(col("node").as("a_id"), col("deg").as("deg_a")), "a_id")
+      .join(deg.select(col("node").as("b_id"), col("deg").as("deg_b")), "b_id")
+      .select(col("a_id"), col("b_id"), col("common"), col("deg_a"), col("deg_b"),
+        (floor(col("common").cast("double") /
+          (col("deg_a") + col("deg_b") - col("common")).cast("double") * 1000000.0 + 0.5)
+          / 1000000.0).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("a_id"), col("b_id"))
+      .limit(50)
+  }
+
   val queries: Map[String, Q] = Map(
+    "graph_jaccard_neighbors" -> (graphJaccardNeighbors _),
     "graph_pagerank" -> (graphPagerank _),
     "graph_degree_dist" -> (graphDegreeDist _),
     "graph_khop" -> (graphKhop _),
@@ -280,6 +320,23 @@ object GraphOps {
 
   /** The identical formula with the 5 rounds unrolled as CTE stages. */
   val oracles: Map[String, String] = Map(
+    // integer wedge/degree counts; the one division mirrors the Spark
+    // parenthesization, and the order-by uses the ROUNDED score
+    "graph_jaccard_neighbors" ->
+      ("WITH pp AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS n " +
+        "FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey " +
+        "GROUP BY 1, 2), " +
+        "e AS (SELECT p1, p2 FROM pp WHERE n >= 2), " +
+        "adj AS (SELECT p1, p2 FROM e UNION ALL SELECT p2 AS p1, p1 AS p2 FROM e), " +
+        "deg AS (SELECT p1 AS node, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY 1), " +
+        "wedges AS (SELECT x.p1 AS a_id, y.p2 AS b_id, CAST(count(*) AS BIGINT) AS common " +
+        "FROM adj x JOIN adj y ON x.p2 = y.p1 AND x.p1 < y.p2 GROUP BY 1, 2), " +
+        "cand AS (SELECT w.* FROM wedges w WHERE NOT EXISTS " +
+        "(SELECT 1 FROM e WHERE e.p1 = w.a_id AND e.p2 = w.b_id)) " +
+        "SELECT c.a_id, c.b_id, c.common, da.deg AS deg_a, db.deg AS deg_b, " +
+        "floor(CAST(c.common AS DOUBLE) / CAST(da.deg + db.deg - c.common AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS jaccard " +
+        "FROM cand c JOIN deg da ON da.node = c.a_id JOIN deg db ON db.node = c.b_id " +
+        "ORDER BY jaccard DESC, a_id, b_id LIMIT 50"),
     "graph_pagerank" -> {
       val base =
         "WITH cs AS (SELECT 'c:' || o_custkey AS src, 's:' || l_suppkey AS dst, CAST(count(*) AS DOUBLE) AS w " +

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -773,7 +773,56 @@ object LlmCorpusOps {
       .orderBy("doc_id")
   }
 
+  /** Zipf's-law fit over the corpus word-frequency distribution: OLS of
+    * ln(freq) on ln(rank) — slope ≈ −1 is the signature of natural
+    * language, and deviation from it is a cheap corpus-health gauge
+    * (template/boilerplate floods flatten the head; OCR noise fattens
+    * the tail). Reported: vocab size, token count, slope, intercept, R².
+    *
+    * Determinism: both logs round to millionth-nats (BIGINT) per VOCAB
+    * ROW before any moment sum (the perplexity discipline), so the five
+    * OLS moments are exact integers and the closed-form slope/intercept/
+    * R² is one mirrored IEEE expression tree over exact doubles.
+    *
+    * On THIS fixture the gauge fires: the synthetic corpus draws words
+    * near-uniformly from a 31-word vocab, so it reports slope ≈ −0.18,
+    * R² ≈ 0.06 — a flat-head, no-power-law reading (natural text gives
+    * slope ≈ −1, R² > 0.9), which is exactly the "not natural language"
+    * alarm the spec pins.
+    *
+    * Scale: ONE vocabulary-sized aggregation over the corpus word
+    * stream (map-side partials); the rank window and the moment fold
+    * run on the vocab table, which is bounded (Heaps' law) — the same
+    * posture as llm_dsir_weight's score table. */
+  def llmZipfFit(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val freqs = t(s, d, "documents")
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) >= 1)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    def ln6(c: Column) = floor(lit(1e6) * log(c.cast("double")) + 0.5).cast("long")
+    val xy = freqs
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("freq").desc, col("word"))))
+      .select(col("freq"), ln6(col("rank")).as("x"), ln6(col("freq")).as("y"))
+    val m = xy.agg(count(lit(1)).as("nv"), sum("freq").as("n_tokens"),
+      sum("x").as("sx"), sum("y").as("sy"),
+      sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"),
+      sum(col("y") * col("y")).as("syy"))
+    def db(c: String) = col(c).cast("double")
+    val (n, sx, sy) = (db("nv"), db("sx"), db("sy"))
+    val (sxx, sxy, syy) = (db("sxx"), db("sxy"), db("syy"))
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val icept = (sy - slope * sx) / n
+    val r2 = ((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
+      ((n * sxx - sx * sx) * (n * syy - sy * sy))
+    def r6(c: Column) = signum(c) * (floor(abs(c) * 1000000.0 + 0.5) / 1000000.0) + lit(0.0)
+    m.select(col("nv").as("n_vocab"), col("n_tokens"),
+      r6(slope).as("slope"), r6(icept).as("intercept"), r6(r2).as("r2"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "llm_zipf_fit" -> (llmZipfFit _),
     "llm_perplexity" -> (llmPerplexity _),
     "llm_perplexity_holdout" -> (llmPerplexityHoldout _),
     "llm_ccnet_buckets" -> (llmCcnetBuckets _),
@@ -824,6 +873,30 @@ object LlmCorpusOps {
       "GROUP BY b.doc_id ORDER BY b.doc_id"
 
   val oracles: Map[String, String] = Map(
+    // per-vocab-row millionth-nat logs (BIGINT) before any moment sum;
+    // the closed-form OLS mirrors the Spark expression tree exactly
+    "llm_zipf_fit" ->
+      ("WITH freqs AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM " +
+        "(SELECT unnest(string_split(text, ' ')) AS word FROM documents) " +
+        "WHERE length(word) >= 1 GROUP BY 1), " +
+        "xy AS (SELECT freq, " +
+        "CAST(floor(1e6 * ln(CAST(row_number() OVER (ORDER BY freq DESC, word) AS DOUBLE)) + 0.5) AS BIGINT) AS x, " +
+        "CAST(floor(1e6 * ln(CAST(freq AS DOUBLE)) + 0.5) AS BIGINT) AS y FROM freqs), " +
+        "m AS (SELECT CAST(count(*) AS BIGINT) AS nv, CAST(sum(freq) AS BIGINT) AS n_tokens, " +
+        "CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy, " +
+        "CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(x * y) AS BIGINT) AS sxy, " +
+        "CAST(sum(y * y) AS BIGINT) AS syy FROM xy), " +
+        "c AS (SELECT nv, n_tokens, CAST(nv AS DOUBLE) AS n, CAST(sx AS DOUBLE) AS dx, " +
+        "CAST(sy AS DOUBLE) AS dy, CAST(sxx AS DOUBLE) AS dxx, CAST(sxy AS DOUBLE) AS dxy, " +
+        "CAST(syy AS DOUBLE) AS dyy FROM m), " +
+        "f AS (SELECT nv, n_tokens, (n * dxy - dx * dy) / (n * dxx - dx * dx) AS slope, " +
+        "((n * dxy - dx * dy) * (n * dxy - dx * dy)) / ((n * dxx - dx * dx) * (n * dyy - dy * dy)) AS r2, " +
+        "n, dx, dy FROM c), " +
+        "g AS (SELECT nv, n_tokens, slope, (dy - slope * dx) / n AS intercept, r2 FROM f) " +
+        "SELECT nv AS n_vocab, n_tokens, " +
+        "sign(slope) * (floor(abs(slope) * 1000000.0 + 0.5) / 1000000.0) + 0.0 AS slope, " +
+        "sign(intercept) * (floor(abs(intercept) * 1000000.0 + 0.5) / 1000000.0) + 0.0 AS intercept, " +
+        "sign(r2) * (floor(abs(r2) * 1000000.0 + 0.5) / 1000000.0) + 0.0 AS r2 FROM g"),
     "llm_perplexity" -> perplexityOracle,
     // KN: same tower, the score formula parenthesized exactly as the
     // Spark side (identical IEEE op sequence); d = 0.75 is binary-exact

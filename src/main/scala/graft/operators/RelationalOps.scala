@@ -444,6 +444,33 @@ object RelationalOps {
     med.join(mode, "o_orderstatus").orderBy("o_orderstatus")
   }
 
+  /** D13: weighted median — the value at which cumulative weight first
+    * reaches half the total (lower weighted median): quantity-weighted
+    * extendedprice per return flag. Spark ships no weighted quantile at
+    * all (median/percentile are unweighted), yet pricing and survey
+    * pipelines need exactly this. EXACT integer arithmetic end to end:
+    * weights are integral quantities, the crossing test is 2·cumw ≥
+    * totw, and the selected price passes through untouched (no float
+    * op anywhere). Scale: one hash aggregation collapses the corpus to
+    * the (flag, price) value domain; the cumulative window runs on that
+    * domain table per flag — the KS-key posture. */
+  def aggWeightedMedian(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = t(s, d, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_extendedprice").as("price"))
+      .agg(sum(col("l_quantity").cast("long")).as("w"))
+    val wCum = Window.partitionBy("l_returnflag").orderBy("price")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("l_returnflag")
+    per
+      .withColumn("cumw", sum("w").over(wCum))
+      .withColumn("totw", sum("w").over(wAll))
+      .filter(col("cumw") * 2 >= col("totw"))
+      .groupBy(col("l_returnflag"))
+      .agg(min(col("price")).as("w_median"), max(col("totw")).as("total_weight"))
+      .orderBy("l_returnflag")
+  }
+
   /** C11: TPC-H-Q5-shaped star join — revenue by nation for one region and
     * one order-date year, with the supplier-nation co-location condition. */
   def joinStarTpch(s: SparkSession, d: String): DataFrame =
@@ -1146,6 +1173,7 @@ object RelationalOps {
     "join_asof_outer" -> (joinAsofOuter _),
     "fuzzy_join_blocked" -> (fuzzyJoinBlocked _),
     "agg_median_mode" -> (aggMedianMode _),
+    "agg_weighted_median" -> (aggWeightedMedian _),
     "join_star_tpch" -> (joinStarTpch _),
     "sub_scalar_corr" -> (subScalarCorr _),
     "sub_in_uncorr" -> (subInUncorr _),
@@ -1268,6 +1296,16 @@ object RelationalOps {
         "FROM p LEFT JOIN (SELECT * FROM r WHERE rn = 1) r ON p.purchase_id = r.purchase_id ORDER BY p.purchase_id"),
     "agg_median_mode" ->
       "WITH med AS (SELECT o_orderstatus, round(median(o_totalprice), 4) AS med_price FROM orders GROUP BY o_orderstatus), c AS (SELECT o_orderstatus, o_orderpriority, count(*) AS cnt FROM orders GROUP BY o_orderstatus, o_orderpriority), m AS (SELECT o_orderstatus, o_orderpriority AS mode_prio, row_number() OVER (PARTITION BY o_orderstatus ORDER BY cnt DESC, o_orderpriority) AS rn FROM c) SELECT med.o_orderstatus, med.med_price, m.mode_prio FROM med JOIN m ON med.o_orderstatus = m.o_orderstatus AND m.rn = 1 ORDER BY med.o_orderstatus",
+    // integer weights, integer crossing test, price passes through
+    // untouched — no float op anywhere in the key
+    "agg_weighted_median" ->
+      ("WITH per AS (SELECT l_returnflag, l_extendedprice AS price, " +
+        "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w FROM lineitem GROUP BY 1, 2), " +
+        "c AS (SELECT l_returnflag, price, w, " +
+        "CAST(sum(w) OVER (PARTITION BY l_returnflag ORDER BY price ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumw, " +
+        "CAST(sum(w) OVER (PARTITION BY l_returnflag) AS BIGINT) AS totw FROM per) " +
+        "SELECT l_returnflag, min(price) AS w_median, CAST(max(totw) AS BIGINT) AS total_weight " +
+        "FROM c WHERE cumw * 2 >= totw GROUP BY l_returnflag ORDER BY l_returnflag"),
     "join_star_tpch" ->
       "SELECT n_name, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue FROM region JOIN nation ON n_regionkey = r_regionkey JOIN customer ON c_nationkey = n_nationkey JOIN orders ON o_custkey = c_custkey JOIN lineitem ON l_orderkey = o_orderkey JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01' GROUP BY n_name ORDER BY revenue DESC, n_name",
     "sub_scalar_corr" ->

@@ -155,6 +155,33 @@ class EventOpsSpec extends SparkTestBase {
     }
   }
 
+  test("event_streaks matches a direct gaps-and-islands replay") {
+    val byUser: Map[Long, Seq[Long]] = Tables.load(spark, SF, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct().collect()
+      .groupBy(_.getLong(0))
+      .map { case (u, rs) =>
+        u -> rs.map(_.getDate(1).toLocalDate.toEpochDay).sorted.toSeq
+      }
+    val got = EventOps.eventStreaks(spark, SF).collect()
+    assert(got.length == byUser.size)
+    got.foreach { r =>
+      val days = byUser(r.getLong(0))
+      // split into consecutive runs
+      val runs = days.foldLeft(List.empty[List[Long]]) {
+        case (acc @ (h :: t), d2) if h.head == d2 - 1 => (d2 :: h) :: t
+        case (acc, d2) => List(d2) :: acc
+      }.map(_.reverse).reverse
+      assert(r.getAs[Long]("n_active_days") == days.length.toLong)
+      assert(r.getAs[Long]("n_streaks") == runs.length.toLong)
+      val mx = runs.map(_.length).max
+      assert(r.getAs[Long]("max_streak") == mx.toLong)
+      val wantStart = runs.filter(_.length == mx).map(_.head).min
+      assert(r.getDate(4).toLocalDate.toEpochDay == wantStart)
+      // streak partition invariants
+      assert(runs.map(_.length).sum == days.length)
+    }
+  }
+
   test("event_path_topk matches a direct in-memory path count") {
     val raw = Tables.load(spark, SF, "events")
       .select("user_id", "ts", "event_id", "event_type").collect()

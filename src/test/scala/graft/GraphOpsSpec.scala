@@ -189,4 +189,32 @@ class GraphOpsSpec extends SparkTestBase {
       r.getAs[Long]("component_id") -> r.getAs[Long]("n_nodes")).toMap
     assert(got == expect)
   }
+
+  test("jaccard link prediction matches a neighbor-set replay; no existing edges") {
+    val edges = GraphOps.partPairs(spark, SF)
+      .filter(col("n_cooccur") >= 2).select("p1", "p2").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nbrs: Map[Long, Set[Long]] = (edges.map(e => e._1 -> e._2) ++
+      edges.map(e => e._2 -> e._1))
+      .groupBy(_._1).map { case (n, es) => n -> es.map(_._2).toSet }
+    val existing = edges.toSet
+    val cands = for {
+      (a, na) <- nbrs.toSeq; (b, nb2) <- nbrs.toSeq
+      if a < b && !existing.contains((a, b))
+      common = (na & nb2).size if common > 0
+    } yield {
+      val j = math.floor(common.toDouble / (na.size + nb2.size - common).toDouble
+        * 1000000.0 + 0.5) / 1000000.0
+      (a, b, common.toLong, na.size.toLong, nb2.size.toLong, j)
+    }
+    val want = cands.sortBy { case (a, b, _, _, _, j) => (-j, a, b) }.take(50)
+    val got = GraphOps.graphJaccardNeighbors(spark, SF).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toSeq
+    assert(got == want, s"got ${got.take(3)}... want ${want.take(3)}...")
+    got.foreach { case (a, b, common, da, db2, j) =>
+      assert(!existing.contains((a, b))) // predicts only ABSENT links
+      assert(j > 0.0 && j <= 1.0 && common <= math.min(da, db2))
+    }
+  }
 }

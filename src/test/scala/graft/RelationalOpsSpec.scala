@@ -269,4 +269,25 @@ class RelationalOpsSpec extends SparkTestBase {
     val leaves = rows.filter(r => r.getAs[String]("rf") != "ALL" && r.getAs[String]("ls") != "ALL")
     assert(leaves.map(_.getAs[Long]("cnt")).sum == grand.getAs[Long]("cnt"))
   }
+
+  test("weighted median satisfies its defining mass inequalities exactly") {
+    val byFlag = Tables.load(spark, SF, "lineitem")
+      .select("l_returnflag", "l_extendedprice", "l_quantity").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2).toLong))
+      .groupBy(_._1)
+    val got = RelationalOps.aggWeightedMedian(spark, SF).collect()
+    assert(got.map(_.getString(0)).toSeq == byFlag.keys.toSeq.sorted)
+    got.foreach { r =>
+      val g = byFlag(r.getString(0))
+      val med = r.getDouble(1); val tot = r.getLong(2)
+      assert(tot == g.map(_._3).sum)
+      val below = g.filter(_._2 < med).map(_._3).sum
+      val atOrBelow = g.filter(_._2 <= med).map(_._3).sum
+      // lower weighted median: strictly-below mass < half ≤ at-or-below mass
+      assert(2 * below < tot, s"${r.getString(0)}: below=$below tot=$tot")
+      assert(2 * atOrBelow >= tot, s"${r.getString(0)}: atOrBelow=$atOrBelow tot=$tot")
+      // and the median is an observed price
+      assert(g.exists(_._2 == med))
+    }
+  }
 }

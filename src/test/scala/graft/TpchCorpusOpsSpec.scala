@@ -482,4 +482,40 @@ class TpchCorpusOpsSpec extends SparkTestBase {
       assert(math.abs(ratio - math.floor(ut.toDouble / bt * 10000 + 0.5) / 10000.0) == 0.0)
     }
   }
+
+  test("zipf fit matches an exact integer-moment replay; slope is negative") {
+    val freqs = Tables.load(spark, SF, "documents")
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.col("text"), " ")).as("w"))
+      .filter("length(w) >= 1").groupBy("w").count().collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    def ln6(v: Double) = math.floor(1e6 * math.log(v) + 0.5).toLong
+    val ranked = freqs.sortBy { case (w, f) => (-f, w) }.zipWithIndex
+      .map { case ((_, f), i) => (ln6((i + 1).toDouble), ln6(f.toDouble), f) }
+    val n = ranked.length.toDouble
+    val sx = ranked.map(_._1).sum.toDouble; val sy = ranked.map(_._2).sum.toDouble
+    val sxx = ranked.map(t => t._1 * t._1).sum.toDouble
+    val sxy = ranked.map(t => t._1 * t._2).sum.toDouble
+    val syy = ranked.map(t => t._2 * t._2).sum.toDouble
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val icept = (sy - slope * sx) / n
+    val r2 = ((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
+      ((n * sxx - sx * sx) * (n * syy - sy * sy))
+    val row = LlmCorpusOps.llmZipfFit(spark, SF).collect()
+    assert(row.length == 1)
+    assert(row(0).getAs[Long]("n_vocab") == ranked.length.toLong)
+    assert(row(0).getAs[Long]("n_tokens") == ranked.map(_._3).sum)
+    assert(math.abs(row(0).getAs[Double]("slope") - slope) <= 5e-7)
+    assert(math.abs(row(0).getAs[Double]("intercept") - icept) <= 5e-7)
+    assert(math.abs(row(0).getAs[Double]("r2") - r2) <= 5e-7)
+    // frequency decays with rank, so the fit slopes down — but the
+    // synthetic fixture draws words near-uniformly from a 31-word vocab,
+    // so the power law does NOT hold (measured: slope ≈ −0.18, R² ≈
+    // 0.06, vs slope ≈ −1, R² > 0.9 on natural text). A flat-head,
+    // low-R² report is precisely the "this corpus is not natural
+    // language" alarm the gauge exists to raise; pin that reading.
+    assert(slope < 0.0 && slope > -0.5, s"slope $slope")
+    assert(r2 > 0.0 && r2 < 0.3, s"r2 $r2")
+  }
 }
