@@ -510,6 +510,50 @@ object AdvancedOps {
       .orderBy("bin")
   }
 
+  // ---------------------------------------------------- Poisson bootstrap
+
+  /** Poisson bootstrap of the mean purchase value — THE way to bootstrap
+    * a dataset too large to resample (Chamandy et al., Google 2012;
+    * Owen & Eckles 2012): instead of drawing n rows with replacement per
+    * replicate (a shuffle per replicate), every row independently
+    * contributes Poisson(1) copies to each of B=32 replicates. One
+    * map-side fan-out (×B) and ONE B-key aggregation replace B resample
+    * passes; the replicate-mean spread IS the sampling distribution of
+    * the estimator.
+    *
+    * Determinism: the Poisson draw is an inverse-CDF lookup on a
+    * portable md5-derived uniform (exact 60-bit integer / 2⁶⁰, the
+    * llm_sample_split hash-coin), against hard-coded CDF literals both
+    * engines parse to identical doubles; weights and cent-values are
+    * exact integers, so each replicate's (Σw, Σw·x) is summation-order-
+    * free and the one division rounds half-up 4 dp. */
+  def statBootstrapCi(s: SparkSession, d: String): DataFrame = {
+    val rows = t(s, d, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), floor(col("value") * 100.0 + 0.5).cast("long").as("c"))
+      .select(col("event_id"), col("c"),
+        explode(sequence(lit(0), lit(31))).as("b"))
+    val h = conv(substring(md5(concat(col("event_id").cast("string"), lit(":"),
+      col("b").cast("string")).cast("binary")), 1, 15), 16, 10).cast("long")
+    val u = h.cast("double") / lit(1.152921504606846976e18) // exact 2^60
+    // Poisson(1) CDF: P(X ≤ k) = e⁻¹·Σ_{i≤k} 1/i!, capped at 7
+    val wgt = when(u < 0.36787944117144233, 0L)
+      .when(u < 0.7357588823428847, 1L)
+      .when(u < 0.9196986029286058, 2L)
+      .when(u < 0.9810118431238462, 3L)
+      .when(u < 0.9963401531726563, 4L)
+      .when(u < 0.9994058151824183, 5L)
+      .when(u < 0.9998407620127588, 6L)
+      .otherwise(7L)
+    rows.withColumn("w", wgt)
+      .groupBy("b")
+      .agg(sum("w").as("n_eff"), sum(col("w") * col("c")).as("swx"))
+      .select(col("b"), col("n_eff"),
+        (floor(col("swx").cast("double") / col("n_eff").cast("double") * 10000.0 + 0.5)
+          / 10000.0).as("mean_cents"))
+      .orderBy("b")
+  }
+
   // --------------------------------------------------- multivariate OLS
 
   /** Multivariate OLS — extendedprice ~ quantity + discount with
@@ -569,6 +613,7 @@ object AdvancedOps {
     "stat_mannwhitney" -> (statMannWhitney _),
     "stat_ttest_welch" -> (statTtestWelch _),
     "stat_psi" -> (statPsi _),
+    "stat_bootstrap_ci" -> (statBootstrapCi _),
     "agg_regression_multi" -> (aggRegressionMulti _),
     "pareto_frontier" -> (paretoFrontier _),
     "win_rolling_slope" -> (winRollingSlope _),
@@ -582,6 +627,26 @@ object AdvancedOps {
     "stat_outlier_mad" -> (statOutlierMad _))
 
   val oracles: Map[String, String] = Map(
+    // md5-derived exact uniforms against literal Poisson(1) CDF cuts;
+    // integer weights/cents so each replicate is summation-order-free
+    "stat_bootstrap_ci" ->
+      ("WITH p AS (SELECT event_id, CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c " +
+        "FROM events WHERE event_type = 'purchase'), " +
+        "e AS (SELECT event_id, c, b FROM p CROSS JOIN (SELECT unnest(range(0, 32)) AS b)), " +
+        "h AS (SELECT b, c, CAST('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':' || CAST(b AS VARCHAR)), 1, 15) AS BIGINT) AS hv FROM e), " +
+        "u AS (SELECT b, c, CAST(hv AS DOUBLE) / 1152921504606846976.0 AS u FROM h), " +
+        "w AS (SELECT b, c, CASE " +
+        "WHEN u < 0.36787944117144233 THEN 0 " +
+        "WHEN u < 0.7357588823428847 THEN 1 " +
+        "WHEN u < 0.9196986029286058 THEN 2 " +
+        "WHEN u < 0.9810118431238462 THEN 3 " +
+        "WHEN u < 0.9963401531726563 THEN 4 " +
+        "WHEN u < 0.9994058151824183 THEN 5 " +
+        "WHEN u < 0.9998407620127588 THEN 6 ELSE 7 END AS w FROM u), " +
+        "g AS (SELECT b, CAST(sum(w) AS BIGINT) AS n_eff, CAST(sum(w * c) AS BIGINT) AS swx FROM w GROUP BY b) " +
+        "SELECT CAST(b AS INTEGER) AS b, n_eff, " +
+        "floor(CAST(swx AS DOUBLE) / CAST(n_eff AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS mean_cents " +
+        "FROM g ORDER BY b"),
     // per-bin (p−q) and ln(p/q) each from exact integer cross-products,
     // rounded to millionths (BIGINT) BEFORE the product — psi12 and its
     // total are exact integers; the ln input is one exact-int ratio

@@ -821,8 +821,49 @@ object LlmCorpusOps {
       r6(slope).as("slope"), r6(icept).as("intercept"), r6(r2).as("r2"))
   }
 
+  /** Heaps'-law vocabulary-growth curve: cumulative distinct-word count
+    * as the corpus accumulates in doc_id order, reported at power-of-two
+    * document checkpoints (plus the final total) — the companion gauge
+    * to [[llmZipfFit]] (natural text grows V ≈ K·n^β, β ≈ 0.5; a
+    * closed-vocabulary corpus saturates flat, which is what THIS fixture
+    * does — V hits all 31 words almost immediately). Pure integer
+    * counts end to end; no float exists in the key.
+    *
+    * The idiom is first-occurrence attribution: each word contributes
+    * +1 to the doc where min(doc_id) saw it — one vocab-sized
+    * aggregation, never a per-doc distinct scan. Scale: the cumulative
+    * windows run on the DOC grain; at 100 TB the doc-grain prefix sum
+    * becomes a two-pass range-partitioned scan (per-partition totals →
+    * broadcast offsets), identical semantics — noted, not needed at
+    * fixture scale. */
+  def llmHeapsGrowth(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = t(s, d, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) >= 1)
+    val perDoc = words.groupBy("doc_id").agg(count(lit(1)).as("n_tok"))
+    val firstOcc = words.groupBy("word").agg(min("doc_id").as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_new"))
+    val wCum = Window.orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    perDoc.join(firstOcc, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_new"))
+      .withColumn("rank", row_number().over(Window.orderBy("doc_id")))
+      .withColumn("cum_tokens", sum("n_tok").over(wCum))
+      .withColumn("cum_vocab", sum("n_new").over(wCum))
+      .withColumn("n_total", count(lit(1)).over(wAll))
+      .filter(col("rank").bitwiseAND(col("rank") - 1) === 0 ||
+        col("rank") === col("n_total"))
+      .select(col("rank").cast("long").as("n_docs_seen"),
+        col("cum_tokens"), col("cum_vocab"))
+      .orderBy("n_docs_seen")
+  }
+
   val queries: Map[String, Q] = Map(
     "llm_zipf_fit" -> (llmZipfFit _),
+    "llm_heaps_growth" -> (llmHeapsGrowth _),
     "llm_perplexity" -> (llmPerplexity _),
     "llm_perplexity_holdout" -> (llmPerplexityHoldout _),
     "llm_ccnet_buckets" -> (llmCcnetBuckets _),
@@ -873,6 +914,22 @@ object LlmCorpusOps {
       "GROUP BY b.doc_id ORDER BY b.doc_id"
 
   val oracles: Map[String, String] = Map(
+    // pure integer counts; first-occurrence attribution mirrored, the
+    // power-of-two checkpoint test is the same rank & (rank-1) trick
+    "llm_heaps_growth" ->
+      ("WITH words AS (SELECT doc_id, word FROM " +
+        "(SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents) " +
+        "WHERE length(word) >= 1), " +
+        "perdoc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok FROM words GROUP BY 1), " +
+        "fo AS (SELECT min(doc_id) AS doc_id FROM words GROUP BY word), " +
+        "nn AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_new FROM fo GROUP BY 1), " +
+        "j AS (SELECT p.doc_id, n_tok, coalesce(n_new, 0) AS n_new FROM perdoc p LEFT JOIN nn USING (doc_id)), " +
+        "c AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rank, " +
+        "CAST(sum(n_tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens, " +
+        "CAST(sum(n_new) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_vocab, " +
+        "CAST(count(*) OVER () AS BIGINT) AS n_total FROM j) " +
+        "SELECT CAST(rank AS BIGINT) AS n_docs_seen, cum_tokens, cum_vocab FROM c " +
+        "WHERE (rank & (rank - 1)) = 0 OR rank = n_total ORDER BY n_docs_seen"),
     // per-vocab-row millionth-nat logs (BIGINT) before any moment sum;
     // the closed-form OLS mirrors the Spark expression tree exactly
     "llm_zipf_fit" ->

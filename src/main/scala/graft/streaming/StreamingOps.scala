@@ -169,6 +169,9 @@ object StreamingOps {
   final case class Doc(doc_id: Long, text: String)
   final case class NearDupHit(a_id: Long, b_id: Long, hamming: Int)
 
+  final case class DailyCents(user_id: Long, day: java.sql.Date, cents: Long)
+  final case class EwmaPoint(user_id: Long, day: java.sql.Date, ewma_cents: Double)
+
   /** Streaming near-dup — the streaming half of the incremental-dedup
     * story (batch twin: LlmTextOps.llmDedupIncrementalNear): each
     * micro-batch's documents are checked against the ACCUMULATED corpus
@@ -231,6 +234,38 @@ object StreamingOps {
           }
           state.update(all)
           hits.iterator
+      }
+  }
+
+  /** Streaming twin of EventOps.tsEwma: the α = 1/2 EWMA recurrence as
+    * per-user streaming state — the form the batch key's Scaladoc
+    * promises for unbounded history, where the window formulation's 2^k
+    * weights overflow but the recurrence costs O(1) state per key.
+    * Emits one point per (user, day); bit-identical to the batch closed
+    * form on integer cents (the EventOpsSpec proof), asserted by the
+    * MemoryStream spec across micro-batch boundaries. Rows within one
+    * micro-batch sort by day; ACROSS batches the feed must be day-
+    * ordered per user (the date-keyed sharding every daily ingest has —
+    * same contract as the asof enrichment stream). */
+  def ewmaStream(daily: Dataset[DailyCents]): Dataset[EwmaPoint] = {
+    import daily.sparkSession.implicits._
+    daily
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (uid: Long, batch: Iterator[DailyCents], state: GroupState[Double]) =>
+          val rows = batch.toArray.sortBy(_.day.getTime)
+          var s = state.getOption
+          val out = rows.map { r =>
+            val next = s match {
+              case None => r.cents.toDouble
+              case Some(prev) => 0.5 * r.cents.toDouble + 0.5 * prev
+            }
+            s = Some(next)
+            EwmaPoint(uid, r.day, next)
+          }
+          s.foreach(state.update)
+          out.iterator
       }
   }
 

@@ -360,6 +360,42 @@ class AdvancedOpsSpec extends SparkTestBase {
     assert(nb.sum > 0 && nc.sum > 0)
   }
 
+  test("poisson bootstrap: exact hash replay; replicate spread brackets the mean") {
+    val purchases = Tables.load(spark, SF, "events")
+      .filter(col("event_type") === "purchase")
+      .select("event_id", "value").collect()
+      .map(r => (r.getLong(0), math.floor(r.getDouble(1) * 100.0 + 0.5).toLong))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val cdf = Array(0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+      0.9810118431238462, 0.9963401531726563, 0.9994058151824183, 0.9998407620127588)
+    val reps = (0 until 32).map { b =>
+      var sw = 0L; var swx = 0L
+      purchases.foreach { case (id, c) =>
+        val h = java.lang.Long.parseLong(md5hex(s"$id:$b").take(15), 16)
+        val u = h.toDouble / 1.152921504606846976e18
+        val i = cdf.indexWhere(u < _); val k = if (i < 0) 7L else i.toLong
+        sw += k; swx += k * c
+      }
+      (b, sw, math.floor(swx.toDouble / sw.toDouble * 10000.0 + 0.5) / 10000.0)
+    }
+    val got = AdvancedOps.statBootstrapCi(spark, SF).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == reps, s"got ${got.take(2)}... want ${reps.take(2)}...")
+    // the replicate spread is a sampling distribution around the truth
+    val trueMean = purchases.map(_._2).sum.toDouble / purchases.length
+    val means = got.map(_._3)
+    assert(means.min < trueMean && trueMean < means.max,
+      s"[${means.min}, ${means.max}] must bracket $trueMean")
+    assert(means.distinct.size > 1)
+    // each replicate draws ~Poisson(n) rows in total
+    val n = purchases.length.toDouble
+    got.foreach { case (b, neff, _) =>
+      assert(math.abs(neff - n) <= 5 * math.sqrt(n) + 5, s"replicate $b n_eff $neff vs $n")
+    }
+  }
+
   test("multivariate OLS: exact moment replay + residual orthogonality") {
     val rows = Tables.load(spark, SF, "lineitem")
       .select("l_returnflag", "l_extendedprice", "l_quantity", "l_discount").collect()

@@ -660,6 +660,32 @@ class StreamingOpsSpec extends SparkTestBase {
       assert(got.keySet == Set(1L, 5L), s"gate drift: $got")
     } finally q.stop()
   }
+
+  test("streaming EWMA equals the batch closed form bit-for-bit across batch splits") {
+    import graft.streaming.StreamingOps.DailyCents
+    val batch = graft.operators.EventOps.tsEwma(spark, SF).collect()
+      .map(r => (r.getLong(0), r.getDate(1), r.getLong(2), r.getDouble(3)))
+    val daily = batch.map { case (u, day, v, _) => DailyCents(u, day, v) }
+    // split mid-month: the recurrence must survive the micro-batch
+    // boundary through per-user state
+    val cut = java.sql.Date.valueOf("2024-01-15")
+    val (early, late) = daily.partition(_.day.before(cut))
+    assert(early.nonEmpty && late.nonEmpty)
+    val input = MemoryStream[DailyCents]
+    val q = StreamingOps.ewmaStream(input.toDS())
+      .writeStream.format("memory").queryName("ewmastream").outputMode("append").start()
+    try {
+      input.addData(early.toSeq: _*); drain(q)
+      input.addData(late.toSeq: _*); drain(q)
+      val got = spark.sql("SELECT user_id, day, ewma_cents FROM ewmastream").collect()
+        .map(r => (r.getLong(0), r.getDate(1).toString) -> r.getDouble(2)).toMap
+      assert(got.size == batch.length)
+      batch.foreach { case (u, day, _, want) =>
+        // EXACT ==: recurrence and closed form are bit-identical on cents
+        assert(got((u, day.toString)) == want, s"user $u day $day")
+      }
+    } finally q.stop()
+  }
 }
 
 object StreamingOpsSpec {

@@ -483,6 +483,29 @@ class TpchCorpusOpsSpec extends SparkTestBase {
     }
   }
 
+  test("heaps growth: checkpoint replay; the fixture vocabulary saturates") {
+    val docs = Tables.load(spark, SF, "documents").select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ").filter(_.nonEmpty)))
+      .sortBy(_._1)
+    val seen = scala.collection.mutable.Set.empty[String]
+    var cumTok = 0L
+    val pts = docs.zipWithIndex.map { case ((_, ws), i) =>
+      cumTok += ws.length; ws.foreach(seen += _)
+      (i + 1L, cumTok, seen.size.toLong)
+    }
+    val total = docs.length.toLong
+    val want = pts.filter { case (r, _, _) => (r & (r - 1)) == 0 || r == total }.toSeq
+    val got = LlmCorpusOps.llmHeapsGrowth(spark, SF).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want, s"got ${got.take(4)}... want ${want.take(4)}...")
+    // monotone growth; the closed 31-word fixture vocab saturates early —
+    // the anti-Heaps alarm this gauge raises on non-natural corpora
+    assert(got.map(_._3).sliding(2).forall { case Seq(a, b) => a <= b; case _ => true })
+    assert(got.last._3 == seen.size.toLong)
+    assert(pts(math.min(15, pts.length - 1))._3 == seen.size.toLong,
+      "fixture vocab should saturate within 16 docs")
+  }
+
   test("zipf fit matches an exact integer-moment replay; slope is negative") {
     val freqs = Tables.load(spark, SF, "documents")
       .select(org.apache.spark.sql.functions.explode(
