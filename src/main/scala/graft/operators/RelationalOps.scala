@@ -738,6 +738,35 @@ object RelationalOps {
       .select(col("n_sketches"), col("est_nd").as("global_nd"))
   }
 
+  /** D4e: sketch INTERSECTION via inclusion–exclusion — |A∩B| ≈ est(A) +
+    * est(B) − est(A∪B), the audience-overlap question ("orders with
+    * lines under BOTH flags") answered from mergeable sketches without a
+    * pairwise join. Union is register-wise max (the [[aggHllMerge]]
+    * kernel); all three estimates are exact BIGINTs from the shared
+    * portable-HLL tower, so the subtraction is integer-exact. The exact
+    * intersection rides along as its own column — both the oracle's
+    * cross-check and the honest statement of I–E's error (it compounds
+    * three estimates; fine at 512 registers for same-order sets, and the
+    * 100 TB posture is the same one-pass register tables). */
+  def aggHllIntersect(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem").filter(col("l_returnflag").isin("A", "R"))
+    val regs = hllRegisters(li, "l_returnflag", col("l_orderkey"))
+    val per = hllEstimate(regs, "l_returnflag").agg(
+      sum(when(col("l_returnflag") === "A", col("est_nd"))).as("est_a"),
+      sum(when(col("l_returnflag") === "R", col("est_nd"))).as("est_b"))
+    val union = hllEstimate(
+      regs.groupBy("reg").agg(max("mr").as("mr"))
+        .select(lit("u").as("scope"), col("reg"), col("mr")),
+      "scope").select(col("est_nd").as("est_union"))
+    val exact = li.select("l_returnflag", "l_orderkey").distinct()
+      .groupBy("l_orderkey").agg(count(lit(1)).as("nf"))
+      .filter(col("nf") === 2).agg(count(lit(1)).as("exact_intersect"))
+    per.crossJoin(union).crossJoin(exact)
+      .select(col("est_a"), col("est_b"), col("est_union"),
+        (col("est_a") + col("est_b") - col("est_union")).as("est_intersect"),
+        col("exact_intersect"))
+  }
+
   /** Pinned md5 universal-hash bucket shared by the portable CMS ops:
     * h_j(v) = md5("j:v") 60-bit prefix mod width. md5 is bit-identical
     * in DuckDB, so the oracle rebuilds the SAME counter table — the
@@ -1188,6 +1217,7 @@ object RelationalOps {
     "agg_approx_percentile" -> (aggApproxPercentile _),
     "agg_hll_sketch" -> (aggHllSketch _),
     "agg_hll_merge" -> (aggHllMerge _),
+    "agg_hll_intersect" -> (aggHllIntersect _),
     "agg_approx_topk" -> (aggApproxTopk _),
     "agg_count_min" -> (aggCountMin _),
     "agg_stats" -> (aggStats _),
@@ -1359,6 +1389,24 @@ object RelationalOps {
         "e AS (SELECT 8.497699123215257e20 / CAST((512 - np) * (1::BIGINT << 52) + sp AS DOUBLE) AS raw, 512 - np AS nv FROM s), " +
         "n AS (SELECT count(DISTINCT l_returnflag) AS n_sketches FROM m) " +
         "SELECT n.n_sketches, CAST(floor(CASE WHEN raw <= 1280.0 AND nv > 0 THEN 512.0 * ln(512.0 / nv) ELSE raw END + 0.5) AS BIGINT) AS global_nd FROM e, n"),
+    "agg_hll_intersect" ->
+      ("WITH h AS (SELECT l_returnflag, CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15) AS BIGINT) AS h60 " +
+        "FROM lineitem WHERE l_returnflag IN ('A', 'R')), " +
+        "r AS (SELECT l_returnflag, h60 & 511 AS reg, CASE WHEN (h60 >> 9) = 0 THEN 52 ELSE 52 - length(bin(h60 >> 9)) END AS rank FROM h), " +
+        "m AS (SELECT l_returnflag, reg, max(rank) AS mr FROM r GROUP BY 1, 2), " +
+        "s AS (SELECT l_returnflag, count(*) AS np, sum(1::BIGINT << (52 - mr)) AS sp FROM m GROUP BY 1), " +
+        "e AS (SELECT l_returnflag, 8.497699123215257e20 / CAST((512 - np) * (1::BIGINT << 52) + sp AS DOUBLE) AS raw, 512 - np AS nv FROM s), " +
+        "est AS (SELECT l_returnflag, CAST(floor(CASE WHEN raw <= 1280.0 AND nv > 0 THEN 512.0 * ln(512.0 / nv) ELSE raw END + 0.5) AS BIGINT) AS est_nd FROM e), " +
+        "p AS (SELECT CAST(sum(CASE WHEN l_returnflag = 'A' THEN est_nd END) AS BIGINT) AS est_a, " +
+        "CAST(sum(CASE WHEN l_returnflag = 'R' THEN est_nd END) AS BIGINT) AS est_b FROM est), " +
+        "u AS (SELECT reg, max(mr) AS mr FROM m GROUP BY 1), " +
+        "su AS (SELECT count(*) AS np, sum(1::BIGINT << (52 - mr)) AS sp FROM u), " +
+        "eu AS (SELECT 8.497699123215257e20 / CAST((512 - np) * (1::BIGINT << 52) + sp AS DOUBLE) AS raw, 512 - np AS nv FROM su), " +
+        "uu AS (SELECT CAST(floor(CASE WHEN raw <= 1280.0 AND nv > 0 THEN 512.0 * ln(512.0 / nv) ELSE raw END + 0.5) AS BIGINT) AS est_union FROM eu), " +
+        "x AS (SELECT CAST(count(*) AS BIGINT) AS exact_intersect FROM " +
+        "(SELECT l_orderkey FROM (SELECT DISTINCT l_returnflag, l_orderkey FROM lineitem WHERE l_returnflag IN ('A', 'R')) " +
+        "GROUP BY l_orderkey HAVING count(*) = 2)) " +
+        "SELECT est_a, est_b, est_union, est_a + est_b - est_union AS est_intersect, exact_intersect FROM p, uu, x"),
     "agg_percentile" ->
       "SELECT o_orderstatus, round(quantile_cont(o_totalprice, 0.5), 4) AS p50, round(quantile_cont(o_totalprice, 0.9), 4) AS p90 FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus",
     "agg_approx_percentile" ->

@@ -137,7 +137,40 @@ object TableOps {
       .orderBy("id")
   }
 
+  /** Range-layout lineitem slice with per-file blooms on l_orderkey —
+    * built once per (JVM, sfDir). repartitionByRange gives each data
+    * file a narrow key range, the layout optimizeLayout would produce;
+    * the bloom sidecar is what readWhereEq probes. */
+  private def bloomTable(s: SparkSession, d: String): VersionedTable = {
+    val root = TempDirs.cached("vtbloom", d) { dir =>
+      val li = Tables.load(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"),
+          col("l_extendedprice"))
+        .repartitionByRange(8, col("l_orderkey"))
+      VersionedTable.create(s, dir + "/t", li, bloomCol = Some("l_orderkey"))
+      ()
+    }
+    VersionedTable.open(s, root + "/t")
+  }
+
+  /** VT7: bloom point lookup — one order's lines read through per-file
+    * bloom skipping (pruneFilesEq lists only possibly-matching files
+    * before the exact predicate runs; VersionedTableSpec asserts files
+    * are actually skipped and that a hash-layout table — where min/max
+    * ranges all overlap and CANNOT skip — still prunes). The graded
+    * check is result equality with a plain filter, i.e. skipping loses
+    * nothing. */
+  def vtBloomLookup(s: SparkSession, d: String): DataFrame = {
+    val t = bloomTable(s, d)
+    // bounded scalar (one long) — the established literal-fetch pattern
+    val key = Tables.load(s, d, "lineitem").agg(min("l_orderkey")).head().getLong(0)
+    t.readWhereEq(key)
+      .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
+      .orderBy("l_partkey", "l_quantity", "l_extendedprice")
+  }
+
   val queries: Map[String, Q] = Map(
+    "vt_bloom_lookup" -> (vtBloomLookup _),
     "vt_changes" -> (vtChanges _),
     "vt_source_read" -> (vtSourceRead _),
     "vt_merge_delete" -> (vtMergeDelete _),
@@ -147,6 +180,12 @@ object TableOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // skipping must lose nothing: the bloom-pruned read equals the
+    // plain filter over the raw input
+    "vt_bloom_lookup" ->
+      ("SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice FROM lineitem " +
+        "WHERE l_orderkey = (SELECT min(l_orderkey) FROM lineitem) " +
+        "ORDER BY l_partkey, l_quantity, l_extendedprice"),
     "vt_source_read" ->
       "SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_totalprice >= 100000.0 AND o_totalprice < 150000.0 ORDER BY o_orderkey",
     // v2 = customer with rich accounts zeroed, sentinel inserted, then

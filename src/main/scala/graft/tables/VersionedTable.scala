@@ -108,6 +108,97 @@ final class VersionedTable private (val spark: SparkSession, val root: String) {
     (c, fs.lazyZip(mins).lazyZip(maxs).map((f, lo, hi) => f -> (lo, hi)).toMap)
   }
 
+  // ------------------------------------------------- bloom file skipping
+
+  private def bloomPath(v: Int): Path = manifestDir.resolve(f"v$v%08d.bloom.json")
+
+  /** Bits per per-file bloom: 64 Kbit = 8 KB ≈ 1% fpp at ~6k keys/file.
+    * The sidecar stays metadata-scale (8 KB × files), and a probe is a
+    * driver-side bit test — the point-lookup complement to the min/max
+    * range stats ([[readWhere]] skips on RANGES; equality probes on a
+    * hash-distributed key overlap every range, which is exactly where
+    * blooms win). */
+  private val BloomBits = 65536L
+
+  /** The long-typed key column this table keeps per-file blooms for, if
+    * any — create(..., bloomCol) set it. Same one-probe caching
+    * discipline as [[statsCol]]. */
+  @volatile private var bloomColCache: Option[Option[String]] = None
+  def bloomCol: Option[String] = bloomColCache match {
+    case Some(v) => v
+    case None =>
+      val v = versions.reverse.find(v => Files.exists(bloomPath(v)))
+        .map(v => readBloomJson(v)._1)
+      bloomColCache = Some(v)
+      v
+  }
+
+  private def readBloomJson(v: Int): (String, Map[String, Array[Byte]]) = {
+    val s = new String(Files.readAllBytes(bloomPath(v)), "UTF-8")
+    def arr(field: String): Seq[String] =
+      s.split("\"" + field + "\":\\[", 2)(1).split("]", 2)(0)
+        .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty).toSeq
+    val c = s.split("\"col\":\"", 2)(1).split("\"", 2)(0)
+    val dec = java.util.Base64.getDecoder
+    (c, arr("files").zip(arr("blooms").map(dec.decode)).toMap)
+  }
+
+  /** One aggregate job over just the fresh files: per file, Spark's own
+    * serialized bloom sketch of the key column (BloomBridge — the same
+    * XxHash64 path the runtime-filter expressions use, so the driver
+    * probe can never hash differently). */
+  private def computeBlooms(files: Seq[String], c: String): Seq[(String, Array[Byte])] = {
+    if (files.isEmpty) return Seq.empty
+    spark.read.parquet(files: _*)
+      .groupBy(input_file_name().as("f"))
+      .agg(org.apache.spark.sql.graftnative.BloomBridge
+        .bloomFilterAgg(col(c), BloomBits / 10, BloomBits).as("bf"))
+      .collect()
+      .filter(!_.isNullAt(1)) // all-NULL key file: no entry → kept conservatively
+      .map(r => normalizeUri(r.getString(0)) -> r.getAs[Array[Byte]](1)).toSeq
+  }
+
+  private def writeBlooms(v: Int, c: String, entries: Seq[(String, Array[Byte])]): Unit = {
+    val enc = java.util.Base64.getEncoder
+    val json = "{\"col\":\"" + c + "\"," +
+      entries.map(_._1).mkString("\"files\":[\"", "\",\"", "\"],") +
+      entries.map(e => enc.encodeToString(e._2)).mkString("\"blooms\":[\"", "\",\"", "\"]}")
+    val tmp = Files.createTempFile(manifestDir, ".tmp-", ".json")
+    Files.write(tmp, json.getBytes("UTF-8"))
+    Files.move(tmp, bloomPath(v), StandardCopyOption.ATOMIC_MOVE)
+    bloomColCache = Some(Some(c))
+  }
+
+  /** File list for version `v` pruned to files whose bloom POSSIBLY
+    * contains `key`. Files without an entry are kept — skipping must
+    * never lose rows; false positives only cost a file read. */
+  def pruneFilesEq(key: Long, asOf: Option[Int] = None): Seq[String] = {
+    val v = asOf.getOrElse(currentVersion)
+    val files = readManifest(v)
+    if (!Files.exists(bloomPath(v))) return files
+    val (_, blooms) = readBloomJson(v)
+    files.filter { f =>
+      blooms.get(normalize(f)) match {
+        case Some(bytes) =>
+          org.apache.spark.sql.graftnative.BloomBridge.mightContainDriver(bytes, key)
+        case None => true
+      }
+    }
+  }
+
+  /** Point-lookup read with bloom file skipping: only possibly-matching
+    * files are LISTED in the scan, then the exact predicate applies. At
+    * 100 TB with a hash-distributed key this is the difference between
+    * touching every file (min/max ranges all overlap) and touching the
+    * 1-2 files that can actually hold the key. */
+  def readWhereEq(key: Long, asOf: Option[Int] = None): DataFrame = {
+    val c = bloomCol.getOrElse(
+      throw new IllegalStateException("table has no bloom column; use read().filter"))
+    val pruned = pruneFilesEq(key, asOf)
+    if (pruned.isEmpty) read(asOf).filter(lit(false))
+    else spark.read.parquet(pruned: _*).filter(col(c) === key)
+  }
+
   /** Compute (min,max) of `c` per fresh data file — one aggregate job over
     * just the new files (production formats collect this in the writer;
     * recomputing over freshly-written files is the same I/O order). */
@@ -192,7 +283,8 @@ final class VersionedTable private (val spark: SparkSession, val root: String) {
     * next slot would silently drop the winner's files (lost update). */
   private def commitOnce(base: Int, carried: Seq[String], fresh: Seq[String],
                          newStatsCol: Option[String] = None,
-                         txn: Option[String] = None): Int = {
+                         txn: Option[String] = None,
+                         newBloomCol: Option[String] = None): Int = {
     val files = carried ++ fresh
     val attempt = base + 1
     val tmp = Files.createTempFile(manifestDir, ".tmp-", ".json")
@@ -245,6 +337,16 @@ final class VersionedTable private (val spark: SparkSession, val root: String) {
       val entries = carried.flatMap(f => prev.get(normalize(f)).map(normalize(f) -> _)) ++
         computeStats(fresh, c)
       writeStats(attempt, c, entries)
+    } catch { case scala.util.control.NonFatal(_) => }
+    // same contract as the stats sidecar: post-commit optimization only,
+    // carried files inherit entries, a failure never unwinds the commit
+    try newBloomCol.orElse(bloomCol).foreach { c =>
+      val prev: Map[String, Array[Byte]] =
+        if (base >= 0 && Files.exists(bloomPath(base))) readBloomJson(base)._2
+        else Map.empty
+      val entries = carried.flatMap(f => prev.get(normalize(f)).map(normalize(f) -> _)) ++
+        computeBlooms(fresh, c)
+      writeBlooms(attempt, c, entries)
     } catch { case scala.util.control.NonFatal(_) => }
     attempt
   }
@@ -522,12 +624,13 @@ object VersionedTable {
     * (numeric) turns on per-file min/max stats and [[VersionedTable
     * .readWhere]] file skipping for the table's whole life. */
   def create(spark: SparkSession, root: String, df: DataFrame,
-             statsCol: Option[String] = None): VersionedTable = {
+             statsCol: Option[String] = None,
+             bloomCol: Option[String] = None): VersionedTable = {
     val t = new VersionedTable(spark, root)
     Files.createDirectories(t.manifestDir)
     require(t.versions.isEmpty, s"table already exists at $root")
     val files = t.writeDataFiles(df)
-    t.commitOnce(-1, Nil, files, newStatsCol = statsCol)
+    t.commitOnce(-1, Nil, files, newStatsCol = statsCol, newBloomCol = bloomCol)
     t
   }
 

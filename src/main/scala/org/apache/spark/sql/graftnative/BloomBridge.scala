@@ -34,4 +34,18 @@ object BloomBridge {
     ExpressionUtils.column(BloomFilterMightContain(
       Literal(bloomBytes, BinaryType),
       new XxHash64(Seq(ExpressionUtils.expression(key)))))
+
+  /** DRIVER-side probe of the same serialized sketch — what file-level
+    * skipping needs (the manifest is driver state; no job may run just
+    * to decide which files to list). Mirrors the SQL expression pair
+    * exactly: the aggregate puts XxHash64(key) longs into the filter, so
+    * the probe hashes the key through the same expression before
+    * mightContainLong — a mismatch here would silently break skipping
+    * (false negatives), which is why both paths share this one bridge. */
+  def mightContainDriver(bloomBytes: Array[Byte], key: Long): Boolean = {
+    val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(bloomBytes))
+    val hashed = new XxHash64(Seq(Literal(key))).eval(null).asInstanceOf[Long]
+    bf.mightContainLong(hashed)
+  }
 }

@@ -31,6 +31,9 @@ class PlanInvariantsSpec extends SparkTestBase {
     *    1-row grand-total broadcast.
     *  - agg_hll_merge: the n_sketches count (a 1-row aggregate over the
     *    3-group register table) rides the same 1-row broadcast.
+    *  - agg_hll_intersect: three 1-row frames (per-flag estimates, the
+    *    union estimate, the exact count) cross-joined into the one
+    *    output row — the agg_hll_merge shape twice over.
     *  - llm_bm25_topk: the (N, avgdl) corpus statistics — one 1-row
     *    aggregate broadcast into the per-term scoring expression.
     * (llm_tfidf_cosine left the list in round 6: its corpus count became
@@ -40,7 +43,8 @@ class PlanInvariantsSpec extends SparkTestBase {
     "join_cross", "event_funnel", "fn_bool_logic_3vl", "join_skew_salted",
     "llm_knn_queries", "llm_lang_temperature", "llm_unigram_logprob",
     "llm_tfidf_topk", "tpch_q22_idle", "tpch_q11_stock", "llm_domain_mix",
-    "stat_skew_report", "stat_chisq", "agg_hll_merge", "llm_bm25_topk")
+    "stat_skew_report", "stat_chisq", "agg_hll_merge", "agg_hll_intersect",
+    "llm_bm25_topk")
 
   test("no graded key plans a CartesianProduct; nested-loop joins only where justified") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

@@ -15,8 +15,13 @@ class RelationalOpsSpec extends SparkTestBase {
       .toDF("c_custkey", "c_name")
       .write.parquet(s"$dir/customer.parquet")
     // the guard lives IN the blocking-key expression (raise_error), so
-    // it trips at execution — the builder itself stays declarative
-    val e = intercept[org.apache.spark.SparkException] {
+    // it trips at execution — the builder itself stays declarative.
+    // Exception class varies with WHERE the expression runs (executor
+    // task failure wraps in SparkException; a driver-side/broadcast
+    // evaluation throws SparkRuntimeException directly, which run order
+    // across suites can flip) — the contract is the MESSAGE, not the
+    // wrapper.
+    val e = intercept[Exception] {
       RelationalOps.fuzzyJoinBlocked(spark, dir).collect()
     }
     def messages(t: Throwable): Seq[String] =
@@ -268,6 +273,18 @@ class RelationalOpsSpec extends SparkTestBase {
     val grand = rows.find(r => r.getAs[String]("rf") == "ALL" && r.getAs[String]("ls") == "ALL").get
     val leaves = rows.filter(r => r.getAs[String]("rf") != "ALL" && r.getAs[String]("ls") != "ALL")
     assert(leaves.map(_.getAs[Long]("cnt")).sum == grand.getAs[Long]("cnt"))
+  }
+
+  test("hll intersection: inclusion-exclusion identity and accuracy vs exact") {
+    val r = RelationalOps.aggHllIntersect(spark, SF).collect()
+    assert(r.length == 1)
+    val (a, b, u, i, exact) = (r(0).getLong(0), r(0).getLong(1), r(0).getLong(2),
+      r(0).getLong(3), r(0).getLong(4))
+    assert(i == a + b - u) // I-E is an exact integer identity over the estimates
+    assert(u <= a + b && u >= math.max(a, b) * 98 / 100) // union sane vs parts
+    // 512-register HLL: ~4.6% per estimate; I-E compounds three of them
+    assert(exact > 0 && math.abs(i - exact).toDouble / exact < 0.15,
+      s"est $i vs exact $exact")
   }
 
   test("weighted median satisfies its defining mass inequalities exactly") {

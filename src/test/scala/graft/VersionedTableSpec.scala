@@ -105,6 +105,37 @@ class VersionedTableSpec extends SparkTestBase {
     intercept[IllegalStateException] { plain.readWhere(1, 2) }
   }
 
+  test("bloom skipping: point lookups prune files even on a HASH layout") {
+    // hash layout: every file's [min,max] id range spans the whole key
+    // domain, so min/max stats can never skip — the case blooms exist for
+    val t = VersionedTable.create(spark, freshRoot(),
+      sampleDf(0 until 4000).repartition(8, col("id")),
+      statsCol = Some("id"), bloomCol = Some("id"))
+    assert(t.bloomCol.contains("id"))
+    assert(t.pruneFiles(17.0, 17.0).size == 8, "hash layout must defeat range stats")
+    val pruned = t.pruneFilesEq(17L)
+    assert(pruned.size < 8, s"bloom should skip most of 8 files, got ${pruned.size}")
+    assert(pruned.nonEmpty, "the owning file can never be skipped (no false negatives)")
+    // skipping loses nothing
+    val viaSkip = t.readWhereEq(17L).collect().map(_.getLong(0)).toSeq
+    assert(viaSkip == Seq(17L))
+    // absent key: exact emptiness regardless of bloom false positives
+    assert(t.readWhereEq(999999L).count() == 0)
+    // blooms follow the table through append: carried files inherit
+    // entries, fresh files are scanned once
+    t.append(sampleDf(4000 until 4100).repartition(2, col("id")))
+    assert(t.pruneFilesEq(17L).size < 10, "carried blooms lost by append")
+    assert(t.readWhereEq(4050L).collect().map(_.getLong(0)).toSeq == Seq(4050L))
+    // a bloom-less table refuses the point-lookup path loudly
+    val plain = VersionedTable.create(spark, freshRoot(), sampleDf(0 until 10))
+    intercept[IllegalStateException] { plain.readWhereEq(1L) }
+    // false-negative audit across the whole key domain: every present
+    // key's owning file survives pruning (sampled every 97th key)
+    (0 until 4000 by 97).foreach { k =>
+      assert(t.readWhereEq(k.toLong).count() == 1L, s"key $k lost by skipping")
+    }
+  }
+
   test("change feed: addedBetween returns exactly the appended rows") {
     val t = VersionedTable.create(spark, freshRoot(), sampleDf(0 until 30))
     t.append(sampleDf(30 until 45))
