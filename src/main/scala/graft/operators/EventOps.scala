@@ -343,6 +343,119 @@ object EventOps {
       .orderBy("user_id", "day")
   }
 
+  /** RFM segmentation — the marketing-analytics classic: per user,
+    * Recency (days since last purchase, measured against the corpus'
+    * last day), Frequency (purchase count), Monetary (total integer
+    * cents), each cut into quintiles; a CASE ladder maps the three
+    * scores to the standard segment names. Determinism: all three
+    * metrics are exact integers; every ntile orders by (metric,
+    * user_id) so tie assignment is total; recency quintiles invert
+    * (recent = high score) by ordering recency DESC.
+    * Scale: one hash aggregation to user grain, three window passes
+    * over the user-grain table (at 100 TB: grain ≪ corpus; the windows
+    * re-sort a bounded table, or become cutoff-by-quantile + map-side
+    * compare — the ccnet-buckets note). */
+  def eventRfm(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pur = ev(s, d).filter(col("event_type") === "purchase")
+    val perUser = pur.groupBy("user_id").agg(
+      max(to_date(col("ts"))).as("last_day"),
+      count(lit(1)).as("frequency"),
+      sum(floor(col("value") * 100.0 + 0.5).cast("long")).as("monetary_c"))
+    val horizon = Window.orderBy("user_id")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val scored = perUser
+      .withColumn("recency_d",
+        datediff(max("last_day").over(horizon), col("last_day")).cast("long"))
+      .withColumn("r_score",
+        ntile(5).over(Window.orderBy(col("recency_d").desc, col("user_id"))))
+      .withColumn("f_score",
+        ntile(5).over(Window.orderBy(col("frequency"), col("user_id"))))
+      .withColumn("m_score",
+        ntile(5).over(Window.orderBy(col("monetary_c"), col("user_id"))))
+    scored.select(col("user_id"), col("recency_d"), col("frequency"),
+      col("monetary_c"), col("r_score"), col("f_score"), col("m_score"),
+      when(col("r_score") >= 4 && col("f_score") >= 4 && col("m_score") >= 4, "champion")
+        .when(col("r_score") >= 4 && col("f_score") >= 3, "loyal")
+        .when(col("r_score") >= 4, "recent")
+        .when(col("r_score") <= 2 && col("f_score") >= 4, "at_risk")
+        .when(col("r_score") <= 2 && col("f_score") <= 2, "hibernating")
+        .otherwise("regular").as("segment"))
+      .orderBy("user_id")
+  }
+
+  /** The corpus-wide daily purchase total in exact integer cents — the
+    * shared series under the ACF and CUSUM keys (one definition, so a
+    * binning change can never reach only one of them). */
+  private def dailyTotals(s: SparkSession, d: String): DataFrame =
+    ev(s, d)
+      .filter(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 100.0 + 0.5).cast("long")).as("x"))
+
+  /** Autocorrelation function of daily revenue at lags 1..7 — THE
+    * first question against any KPI series ("is there weekly
+    * structure?"). r_k is the Pearson correlation over the (x_t,
+    * x_{t+k}) pair set: all five moments are exact BIGINT sums of
+    * integer cents, and the one sqrt/divide expression is mirrored
+    * character-for-character, rounded sign-aware 6 dp.
+    * Scale: the corpus collapses to day grain first; the lag spine
+    * EXPLODES onto the grain rows (×7), and the pairing is then a pure
+    * equi-join on the computed day+k key — no nested-loop node anywhere,
+    * and never a corpus operation. */
+  def tsAutocorr(s: SparkSession, d: String): DataFrame = {
+    val daily = dailyTotals(s, d)
+    val pairs = daily
+      .select(col("day"), col("x").as("xa"),
+        explode(sequence(lit(1), lit(7))).as("lag"))
+      .join(daily.select(col("day").as("bday"), col("x").as("xb")),
+        col("bday") === date_add(col("day"), col("lag")))
+      .select(col("lag"), col("xa"), col("xb"))
+    val m = pairs.groupBy("lag").agg(count(lit(1)).as("n_pairs"),
+      sum("xa").as("sa"), sum("xb").as("sb"),
+      sum(col("xa") * col("xa")).as("saa"),
+      sum(col("xb") * col("xb")).as("sbb"),
+      sum(col("xa") * col("xb")).as("sab"))
+    def db(c: String) = col(c).cast("double")
+    val r = (db("n_pairs") * db("sab") - db("sa") * db("sb")) /
+      sqrt((db("n_pairs") * db("saa") - db("sa") * db("sa")) *
+        (db("n_pairs") * db("sbb") - db("sb") * db("sb")))
+    m.select(col("lag"), col("n_pairs"),
+      (signum(r) * (floor(abs(r) * 1000000.0 + 0.5) / 1000000.0) + lit(0.0)).as("r"))
+      .orderBy("lag")
+  }
+
+  /** CUSUM changepoint detection on daily revenue — where did the level
+    * shift? The scan statistic is kept EXACTLY integer by scaling: with
+    * prefix sum P_t and total T over n days, n·P_t − t·T is n times the
+    * centered CUSUM, so argmax |n·P_t − t·T| needs no float at all; the
+    * split means (4 dp) and the normalized peak ride along as mirrored
+    * divisions of exact integers. Earliest day wins ties. One day-grain
+    * aggregation + one window pass; at 100 TB only the grain table sorts. */
+  def tsChangepoint(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wCum = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wOrd = Window.orderBy("day")
+    dailyTotals(s, d)
+      .withColumn("t", row_number().over(wOrd).cast("long"))
+      .withColumn("p", sum("x").over(wCum))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("tt", sum("x").over(wAll))
+      .filter(col("t") < col("n")) // a "change after the last day" is no change
+      .withColumn("s_abs", abs(col("n") * col("p") - col("t") * col("tt")))
+      .orderBy(col("s_abs").desc, col("day"))
+      .limit(1)
+      .select(col("day").as("cp_day"), col("t").as("t_idx"), col("n").as("n_days"),
+        col("s_abs"),
+        (floor(col("p").cast("double") / col("t").cast("double") * 10000.0 + 0.5)
+          / 10000.0).as("mean_before"),
+        (floor((col("tt") - col("p")).cast("double") /
+          (col("n") - col("t")).cast("double") * 10000.0 + 0.5) / 10000.0).as("mean_after"))
+  }
+
   /** Top-25 user-journey prefixes: the first 4 events of every user's
     * (ts, event_id)-ordered stream joined into a path string, counted
     * across users — the pathing report next to [[eventTransitions]]'s
@@ -375,6 +488,9 @@ object EventOps {
   val queries: Map[String, Q] = Map(
     "ts_interpolate" -> (tsInterpolate _),
     "ts_ewma" -> (tsEwma _),
+    "ts_autocorr" -> (tsAutocorr _),
+    "ts_changepoint" -> (tsChangepoint _),
+    "event_rfm" -> (eventRfm _),
     "event_streaks" -> (eventStreaks _),
     "event_path_topk" -> (eventPathTopk _),
     "event_attribution" -> (eventAttribution _),
@@ -415,6 +531,60 @@ object EventOps {
         "(CAST(date_diff('day', pd, day) AS DOUBLE) / CAST(date_diff('day', pd, nd) AS DOUBLE)) END) " +
         "* 10000.0 + 0.5) / 10000.0 AS value_cents " +
         "FROM f ORDER BY user_id, day"),
+    // integer metrics; every ntile orders by (metric, user_id) so the
+    // quintile cut is total; the CASE ladder mirrors verbatim
+    "event_rfm" ->
+      ("WITH pu AS (SELECT user_id, " +
+        "max(CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)) AS last_day, " +
+        "CAST(count(*) AS BIGINT) AS frequency, " +
+        "CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS monetary_c " +
+        "FROM events WHERE event_type = 'purchase' GROUP BY user_id), " +
+        "r AS (SELECT user_id, CAST(date_diff('day', last_day, max(last_day) OVER ()) AS BIGINT) AS recency_d, " +
+        "frequency, monetary_c FROM pu), " +
+        "sc AS (SELECT user_id, recency_d, frequency, monetary_c, " +
+        "CAST(ntile(5) OVER (ORDER BY recency_d DESC, user_id) AS INTEGER) AS r_score, " +
+        "CAST(ntile(5) OVER (ORDER BY frequency, user_id) AS INTEGER) AS f_score, " +
+        "CAST(ntile(5) OVER (ORDER BY monetary_c, user_id) AS INTEGER) AS m_score FROM r) " +
+        "SELECT user_id, recency_d, frequency, monetary_c, r_score, f_score, m_score, " +
+        "CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4 THEN 'champion' " +
+        "WHEN r_score >= 4 AND f_score >= 3 THEN 'loyal' " +
+        "WHEN r_score >= 4 THEN 'recent' " +
+        "WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk' " +
+        "WHEN r_score <= 2 AND f_score <= 2 THEN 'hibernating' " +
+        "ELSE 'regular' END AS segment FROM sc ORDER BY user_id"),
+    // exact BIGINT cent-moments per lag; the Pearson expression mirrors
+    // the Spark parenthesization; DATE + INT adds days in DuckDB
+    "ts_autocorr" ->
+      ("WITH daily AS (SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day, " +
+        "CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS x " +
+        "FROM events WHERE event_type = 'purchase' GROUP BY 1), " +
+        "lags AS (SELECT CAST(range AS INTEGER) AS lag FROM range(1, 8)), " +
+        "pairs AS (SELECT lag, a.x AS xa, b.x AS xb FROM daily a CROSS JOIN lags " +
+        "JOIN daily b ON b.day = a.day + lag), " +
+        "m AS (SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs, " +
+        "CAST(sum(xa) AS BIGINT) AS sa, CAST(sum(xb) AS BIGINT) AS sb, " +
+        "CAST(sum(xa * xa) AS BIGINT) AS saa, CAST(sum(xb * xb) AS BIGINT) AS sbb, " +
+        "CAST(sum(xa * xb) AS BIGINT) AS sab FROM pairs GROUP BY lag), " +
+        "c AS (SELECT lag, n_pairs, " +
+        "(CAST(n_pairs AS DOUBLE) * CAST(sab AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE)) / " +
+        "sqrt((CAST(n_pairs AS DOUBLE) * CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)) * " +
+        "(CAST(n_pairs AS DOUBLE) * CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))) AS r FROM m) " +
+        "SELECT lag, n_pairs, sign(r) * (floor(abs(r) * 1000000.0 + 0.5) / 1000000.0) + 0.0 AS r " +
+        "FROM c ORDER BY lag"),
+    // the scan statistic n*P_t - t*T is exact BIGINT; argmax needs no
+    // float; earliest day breaks ties
+    "ts_changepoint" ->
+      ("WITH daily AS (SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day, " +
+        "CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS x " +
+        "FROM events WHERE event_type = 'purchase' GROUP BY 1), " +
+        "c AS (SELECT day, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t, " +
+        "CAST(sum(x) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS p, " +
+        "CAST(count(*) OVER () AS BIGINT) AS n, CAST(sum(x) OVER () AS BIGINT) AS tt FROM daily), " +
+        "f AS (SELECT day, t, n, p, tt, abs(n * p - t * tt) AS s_abs FROM c WHERE t < n) " +
+        "SELECT day AS cp_day, t AS t_idx, n AS n_days, CAST(s_abs AS BIGINT) AS s_abs, " +
+        "floor(CAST(p AS DOUBLE) / CAST(t AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS mean_before, " +
+        "floor(CAST(tt - p AS DOUBLE) / CAST(n - t AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS mean_after " +
+        "FROM f ORDER BY s_abs DESC, cp_day LIMIT 1"),
     // pure integer day-epoch arithmetic end to end; the island key is
     // epoch-day − row_number, mirrored exactly
     "event_streaks" ->

@@ -155,6 +155,87 @@ class EventOpsSpec extends SparkTestBase {
     }
   }
 
+  private def dailyCentsReplay(): Seq[(String, Long)] =
+    Tables.load(spark, SF, "events")
+      .filter(col("event_type") === "purchase")
+      .select(to_date(col("ts")).cast("string").as("day"), col("value")).collect()
+      .groupBy(_.getString(0))
+      .map { case (d, rs) =>
+        d -> rs.map(r => math.floor(r.getDouble(1) * 100.0 + 0.5).toLong).sum
+      }.toSeq.sortBy(_._1)
+
+  test("event_rfm: metric replay, balanced quintiles, segment ladder consistency") {
+    val pur = Tables.load(spark, SF, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), to_date(col("ts")).cast("string").as("day"), col("value"))
+      .collect().groupBy(_.getLong(0))
+    val lastDayAll = pur.values.flatten.map(_.getString(1)).max
+    val got = EventOps.eventRfm(spark, SF).collect()
+    assert(got.length == pur.size)
+    got.foreach { r =>
+      val g = pur(r.getLong(0))
+      assert(r.getLong(2) == g.size.toLong) // frequency
+      assert(r.getLong(3) == g.map(x => math.floor(x.getDouble(2) * 100.0 + 0.5).toLong).sum)
+      val lastDay = g.map(_.getString(1)).max
+      val wantRec = java.time.LocalDate.parse(lastDayAll).toEpochDay -
+        java.time.LocalDate.parse(lastDay).toEpochDay
+      assert(r.getLong(1) == wantRec, s"user ${r.getLong(0)} recency")
+      val (rs, fs, ms) = (r.getInt(4), r.getInt(5), r.getInt(6))
+      val want =
+        if (rs >= 4 && fs >= 4 && ms >= 4) "champion"
+        else if (rs >= 4 && fs >= 3) "loyal"
+        else if (rs >= 4) "recent"
+        else if (rs <= 2 && fs >= 4) "at_risk"
+        else if (rs <= 2 && fs <= 2) "hibernating"
+        else "regular"
+      assert(r.getString(7) == want)
+    }
+    // ntile(5) balance: bucket sizes differ by at most one
+    Seq(4, 5, 6).foreach { c =>
+      val sizes = got.groupBy(_.getInt(c)).view.mapValues(_.size).toMap
+      assert(sizes.keySet == (1 to 5).toSet)
+      assert(sizes.values.max - sizes.values.min <= 1, s"col $c: $sizes")
+    }
+  }
+
+  test("ts_autocorr matches an exact moment replay over lag pairs") {
+    val xs = dailyCentsReplay().map(_._2)
+    val got = EventOps.tsAutocorr(spark, SF).collect()
+    assert(got.length == 7)
+    got.foreach { row =>
+      val k = row.getInt(0)
+      val pairs = xs.dropRight(k).zip(xs.drop(k))
+      val n = pairs.length.toDouble
+      val sa = pairs.map(_._1).sum.toDouble; val sb = pairs.map(_._2).sum.toDouble
+      val saa = pairs.map(p => p._1 * p._1).sum.toDouble
+      val sbb = pairs.map(p => p._2 * p._2).sum.toDouble
+      val sab = pairs.map(p => p._1 * p._2).sum.toDouble
+      val r = (n * sab - sa * sb) / math.sqrt((n * saa - sa * sa) * (n * sbb - sb * sb))
+      assert(row.getLong(1) == pairs.length.toLong)
+      assert(math.abs(row.getDouble(2) - r) <= 5e-7, s"lag $k")
+      assert(row.getDouble(2) >= -1.0 && row.getDouble(2) <= 1.0)
+    }
+  }
+
+  test("ts_changepoint matches an exact integer CUSUM replay") {
+    val xs = dailyCentsReplay()
+    val n = xs.length.toLong; val tt = xs.map(_._2).sum
+    var p = 0L
+    val scans = xs.dropRight(1).zipWithIndex.map { case ((d, x), i) =>
+      p += x; (d, i + 1L, math.abs(n * p - (i + 1L) * tt), p)
+    }
+    // maxBy keeps the FIRST max in ascending-day order = earliest tie-break
+    val best = scans.maxBy(_._3)
+    val row = EventOps.tsChangepoint(spark, SF).collect()
+    assert(row.length == 1)
+    assert(row(0).getDate(0).toString == best._1, s"${row(0)} vs $best")
+    assert(row(0).getLong(1) == best._2 && row(0).getLong(2) == n)
+    assert(row(0).getLong(3) == best._3)
+    val mb = math.floor(best._4.toDouble / best._2.toDouble * 10000.0 + 0.5) / 10000.0
+    val ma = math.floor((tt - best._4).toDouble / (n - best._2).toDouble * 10000.0 + 0.5) / 10000.0
+    assert(row(0).getDouble(4) == mb && row(0).getDouble(5) == ma)
+  }
+
   test("event_streaks matches a direct gaps-and-islands replay") {
     val byUser: Map[Long, Seq[Long]] = Tables.load(spark, SF, "events")
       .select(col("user_id"), to_date(col("ts")).as("day")).distinct().collect()
