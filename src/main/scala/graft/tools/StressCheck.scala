@@ -605,6 +605,37 @@ object StressCheck {
       nVecs
     }
 
+    // 12. Bloom file skipping at 192 files / 1M keys (hash layout — the
+    // case where min/max range stats are provably useless). Claims: (a)
+    // every present key found exactly once THROUGH the pruned file list
+    // (no false negatives at volume), (b) the average point lookup LISTS
+    // a small fraction of the table's files (~1 owning file + ~1% fpp
+    // over the rest; per-file key counts here sit at the sidecar's
+    // designed ~5k-keys/file operating point).
+    time("vt_bloom_1m") {
+      val vroot = java.nio.file.Files
+        .createTempDirectory("graft_stress_bloom").toString + "/t"
+      val nB = (1000000 * scale).toLong
+      val tb = graft.tables.VersionedTable.create(spark, vroot,
+        spark.range(nB).select(col("id"), pmod(col("id"), lit(1000)).as("v"))
+          .repartition(192, col("id")),
+        bloomCol = Some("id"))
+      val nFiles = tb.read().inputFiles.length
+      require(nFiles >= 150, s"expected ~192 data files, got $nFiles")
+      val keys = (0 until 20).map(i => (nB / 20) * i + i)
+      var listed = 0
+      keys.foreach { k =>
+        listed += tb.pruneFilesEq(k).size
+        val got = tb.readWhereEq(k).collect()
+        require(got.length == 1 && got(0).getLong(0) == k,
+          s"bloom lookup lost/duplicated key $k: ${got.mkString(",")}")
+      }
+      val avg = listed.toDouble / keys.size
+      require(avg <= nFiles * 0.15,
+        s"bloom skipping ineffective: avg $avg of $nFiles files listed")
+      nB
+    }
+
     val total = results.values.sum
     val json = results.map { case (k, v) =>
       "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
