@@ -501,10 +501,14 @@ object AdvancedOps {
       .na.fill(0L, Seq("nb0", "nc0"))
       .withColumn("tb", sum("nb0").over(wAll) + 20L)
       .withColumn("tc", sum("nc0").over(wAll) + 20L)
-      .withColumn("xp", (col("nb0") + 1L) * col("tc"))
-      .withColumn("xq", (col("nc0") + 1L) * col("tb"))
+      // cross-products in DECIMAL(38,0): past ~3e9 rows per half the
+      // int64 products (nb0+1)*tc and tb*tc wrap silently while DuckDB's
+      // HUGEINT does not — the agg_regression_multi discipline
+      .withColumn("xp", (col("nb0") + 1L).cast("decimal(19,0)") * col("tc").cast("decimal(19,0)"))
+      .withColumn("xq", (col("nc0") + 1L).cast("decimal(19,0)") * col("tb").cast("decimal(19,0)"))
       .select(col("bin"), col("nb0").as("n_base"), col("nc0").as("n_cur"),
-        (flr6((col("xp") - col("xq")).cast("double") / (col("tb") * col("tc")).cast("double")) *
+        (flr6((col("xp") - col("xq")).cast("double") /
+            (col("tb").cast("decimal(19,0)") * col("tc").cast("decimal(19,0)")).cast("double")) *
           flr6(log(col("xp").cast("double") / col("xq").cast("double")))).as("psi12"))
       .withColumn("psi_total", sum("psi12").over(wAll).cast("double") / 1e12)
       .orderBy("bin")
@@ -658,8 +662,8 @@ object AdvancedOps {
         "spine AS (SELECT CAST(range AS BIGINT) AS bin FROM range(0, 20)), " +
         "j AS (SELECT s.bin, coalesce(nb0, 0) AS nb0, coalesce(nc0, 0) AS nc0 " +
         "FROM spine s LEFT JOIN agg a ON s.bin = a.bin), " +
-        "e AS (SELECT bin, nb0, nc0, CAST(sum(nb0) OVER () AS BIGINT) + 20 AS tb, " +
-        "CAST(sum(nc0) OVER () AS BIGINT) + 20 AS tc FROM j), " +
+        "e AS (SELECT bin, nb0, nc0, sum(nb0) OVER () + 20 AS tb, " +
+        "sum(nc0) OVER () + 20 AS tc FROM j), " +
         "x AS (SELECT bin, nb0, nc0, tb, tc, (nb0 + 1) * tc AS xp, (nc0 + 1) * tb AS xq FROM e), " +
         "r AS (SELECT bin, nb0, nc0, " +
         "CAST(xp - xq AS DOUBLE) / CAST(tb * tc AS DOUBLE) AS pd, " +

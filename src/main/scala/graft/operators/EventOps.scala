@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -237,6 +237,16 @@ object EventOps {
       .orderBy("purchase_id")
   }
 
+  /** Each user's daily purchase total in exact integer cents — ONE
+    * definition under the interpolation and EWMA keys (and, through the
+    * EWMA spec, the streaming twin), so a quantization or filter change
+    * can never reach only one of them. */
+  private def perUserDailyCents(s: SparkSession, d: String): DataFrame =
+    ev(s, d)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 100.0 + 0.5).cast("long")).as("v"))
+
   /** Linear gap-fill of each user's daily purchase series — the
     * regularization step every downstream feature/forecast job needs (a
     * model wants a dense grid; the raw stream is sparse). Each user's
@@ -256,10 +266,7 @@ object EventOps {
     * events); one shuffle keys the corpus to (user, day), then two
     * window passes per user share one sort of the grain table. */
   def tsInterpolate(s: SparkSession, d: String): DataFrame = {
-    val daily = ev(s, d)
-      .filter(col("event_type") === "purchase")
-      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
-      .agg(sum(floor(col("value") * 100.0 + 0.5).cast("long")).as("v"))
+    val daily = perUserDailyCents(s, d)
     val grid = daily.groupBy("user_id")
       .agg(min("day").as("d0"), max("day").as("d1"))
       .select(col("user_id"), explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
@@ -328,10 +335,7 @@ object EventOps {
     * the recurrence as streaming state — mapGroupsWithState — instead of
     * a window); the fixture span is 30 days, asserted in the spec. */
   def tsEwma(s: SparkSession, d: String): DataFrame = {
-    val daily = ev(s, d)
-      .filter(col("event_type") === "purchase")
-      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
-      .agg(sum(floor(col("value") * 100.0 + 0.5).cast("long")).as("v"))
+    val daily = perUserDailyCents(s, d)
     val wOrd = Window.partitionBy("user_id").orderBy("day")
     val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     daily
@@ -362,11 +366,14 @@ object EventOps {
       max(to_date(col("ts"))).as("last_day"),
       count(lit(1)).as("frequency"),
       sum(floor(col("value") * 100.0 + 0.5).cast("long")).as("monetary_c"))
-    val horizon = Window.orderBy("user_id")
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // the measurement horizon is ONE date — a bounded driver literal (the
+    // vt_bloom_lookup key-fetch pattern), not an unbounded window whose
+    // single-partition sort would re-order the whole user grain just to
+    // broadcast a scalar
+    val horizon = pur.agg(max(to_date(col("ts")))).head().getDate(0)
     val scored = perUser
       .withColumn("recency_d",
-        datediff(max("last_day").over(horizon), col("last_day")).cast("long"))
+        datediff(lit(horizon), col("last_day")).cast("long"))
       .withColumn("r_score",
         ntile(5).over(Window.orderBy(col("recency_d").desc, col("user_id"))))
       .withColumn("f_score",
@@ -396,8 +403,10 @@ object EventOps {
   /** Autocorrelation function of daily revenue at lags 1..7 — THE
     * first question against any KPI series ("is there weekly
     * structure?"). r_k is the Pearson correlation over the (x_t,
-    * x_{t+k}) pair set: all five moments are exact BIGINT sums of
-    * integer cents, and the one sqrt/divide expression is mirrored
+    * x_{t+k}) pair set: all five moments are exact integer sums of
+    * integer cents — the squared/cross moments ride in DECIMAL(38,0) /
+    * HUGEINT, since a corpus-wide daily total past ~3e9 cents squares
+    * beyond int64 (the agg_regression_multi Σy² discipline), and the one sqrt/divide expression is mirrored
     * character-for-character, rounded sign-aware 6 dp.
     * Scale: the corpus collapses to day grain first; the lag spine
     * EXPLODES onto the grain rows (×7), and the pairing is then a pure
@@ -411,11 +420,13 @@ object EventOps {
       .join(daily.select(col("day").as("bday"), col("x").as("xb")),
         col("bday") === date_add(col("day"), col("lag")))
       .select(col("lag"), col("xa"), col("xb"))
+    def m2(a: Column, b: Column) =
+      sum(a.cast("decimal(19,0)") * b.cast("decimal(19,0)"))
     val m = pairs.groupBy("lag").agg(count(lit(1)).as("n_pairs"),
       sum("xa").as("sa"), sum("xb").as("sb"),
-      sum(col("xa") * col("xa")).as("saa"),
-      sum(col("xb") * col("xb")).as("sbb"),
-      sum(col("xa") * col("xb")).as("sab"))
+      m2(col("xa"), col("xa")).as("saa"),
+      m2(col("xb"), col("xb")).as("sbb"),
+      m2(col("xa"), col("xb")).as("sab"))
     def db(c: String) = col(c).cast("double")
     val r = (db("n_pairs") * db("sab") - db("sa") * db("sb")) /
       sqrt((db("n_pairs") * db("saa") - db("sa") * db("sa")) *
@@ -563,8 +574,8 @@ object EventOps {
         "JOIN daily b ON b.day = a.day + lag), " +
         "m AS (SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs, " +
         "CAST(sum(xa) AS BIGINT) AS sa, CAST(sum(xb) AS BIGINT) AS sb, " +
-        "CAST(sum(xa * xa) AS BIGINT) AS saa, CAST(sum(xb * xb) AS BIGINT) AS sbb, " +
-        "CAST(sum(xa * xb) AS BIGINT) AS sab FROM pairs GROUP BY lag), " +
+        "sum(CAST(xa AS HUGEINT) * xa) AS saa, sum(CAST(xb AS HUGEINT) * xb) AS sbb, " +
+        "sum(CAST(xa AS HUGEINT) * xb) AS sab FROM pairs GROUP BY lag), " +
         "c AS (SELECT lag, n_pairs, " +
         "(CAST(n_pairs AS DOUBLE) * CAST(sab AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE)) / " +
         "sqrt((CAST(n_pairs AS DOUBLE) * CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)) * " +

@@ -805,10 +805,14 @@ object LlmCorpusOps {
       .withColumn("rank", row_number().over(
         Window.orderBy(col("freq").desc, col("word"))))
       .select(col("freq"), ln6(col("rank")).as("x"), ln6(col("freq")).as("y"))
+    // squared-log sums in DECIMAL(38,0)/HUGEINT: per-term x·y ≤ ~8e14
+    // fits int64, but a web-scale vocabulary overflows their SUM (the
+    // agg_regression_multi Σy² discipline)
     val m = xy.agg(count(lit(1)).as("nv"), sum("freq").as("n_tokens"),
       sum("x").as("sx"), sum("y").as("sy"),
-      sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"),
-      sum(col("y") * col("y")).as("syy"))
+      sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
+      sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"),
+      sum((col("y") * col("y")).cast("decimal(38,0)")).as("syy"))
     def db(c: String) = col(c).cast("double")
     val (n, sx, sy) = (db("nv"), db("sx"), db("sy"))
     val (sxx, sxy, syy) = (db("sxx"), db("sxy"), db("syy"))
@@ -941,8 +945,8 @@ object LlmCorpusOps {
         "CAST(floor(1e6 * ln(CAST(freq AS DOUBLE)) + 0.5) AS BIGINT) AS y FROM freqs), " +
         "m AS (SELECT CAST(count(*) AS BIGINT) AS nv, CAST(sum(freq) AS BIGINT) AS n_tokens, " +
         "CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy, " +
-        "CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(x * y) AS BIGINT) AS sxy, " +
-        "CAST(sum(y * y) AS BIGINT) AS syy FROM xy), " +
+        "sum(x * x) AS sxx, sum(x * y) AS sxy, " +
+        "sum(y * y) AS syy FROM xy), " +
         "c AS (SELECT nv, n_tokens, CAST(nv AS DOUBLE) AS n, CAST(sx AS DOUBLE) AS dx, " +
         "CAST(sy AS DOUBLE) AS dy, CAST(sxx AS DOUBLE) AS dxx, CAST(sxy AS DOUBLE) AS dxy, " +
         "CAST(syy AS DOUBLE) AS dyy FROM m), " +

@@ -246,23 +246,34 @@ object StreamingOps {
     * MemoryStream spec across micro-batch boundaries. Rows within one
     * micro-batch sort by day; ACROSS batches the feed must be day-
     * ordered per user (the date-keyed sharding every daily ingest has —
-    * same contract as the asof enrichment stream). */
+    * same contract as the asof enrichment stream) — and the contract is
+    * ENFORCED: state carries the last folded day, and a regressing batch
+    * fails loudly instead of silently corrupting the recurrence. */
   def ewmaStream(daily: Dataset[DailyCents]): Dataset[EwmaPoint] = {
     import daily.sparkSession.implicits._
     daily
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(org.apache.spark.sql.streaming.OutputMode.Append(),
         GroupStateTimeout.NoTimeout()) {
-        (uid: Long, batch: Iterator[DailyCents], state: GroupState[Double]) =>
+        (uid: Long, batch: Iterator[DailyCents], state: GroupState[(Double, Long)]) =>
           val rows = batch.toArray.sortBy(_.day.getTime)
           var s = state.getOption
           val out = rows.map { r =>
+            val day = r.day.toLocalDate.toEpochDay
             val next = s match {
-              case None => r.cents.toDouble
-              case Some(prev) => 0.5 * r.cents.toDouble + 0.5 * prev
+              case None => (r.cents.toDouble, day)
+              case Some((prev, lastDay)) =>
+                // ENFORCE the cross-batch day-order contract: a late /
+                // backfill row folded as-if-current would silently
+                // corrupt the recurrence — fail loudly instead
+                if (day <= lastDay) throw new IllegalStateException(
+                  s"ewmaStream: user $uid received day ${r.day} at or " +
+                    s"before the last folded epoch-day $lastDay — the feed " +
+                    "must be day-ordered per user across micro-batches")
+                (0.5 * r.cents.toDouble + 0.5 * prev, day)
             }
             s = Some(next)
-            EwmaPoint(uid, r.day, next)
+            EwmaPoint(uid, r.day, next._1)
           }
           s.foreach(state.update)
           out.iterator

@@ -149,7 +149,17 @@ final class VersionedTable private (val spark: SparkSession, val root: String) {
     * probe can never hash differently). */
   private def computeBlooms(files: Seq[String], c: String): Seq[(String, Array[Byte])] = {
     if (files.isEmpty) return Seq.empty
-    spark.read.parquet(files: _*)
+    val df = spark.read.parquet(files: _*)
+    // The driver probe hashes Literal(key: Long); XxHash64 of an INT and
+    // of a LONG differ, so a non-long bloom column would produce
+    // systematic FALSE NEGATIVES (silently lost rows) — fail loudly at
+    // write time instead.
+    val dt = df.schema(c).dataType
+    require(dt == org.apache.spark.sql.types.LongType,
+      s"bloom column '$c' must be LongType (got $dt): the driver-side probe " +
+        "hashes long keys, and XxHash64(int) != XxHash64(long) would turn " +
+        "type mismatch into silent false-negative skipping")
+    df
       .groupBy(input_file_name().as("f"))
       .agg(org.apache.spark.sql.graftnative.BloomBridge
         .bloomFilterAgg(col(c), BloomBits / 10, BloomBits).as("bf"))
