@@ -514,6 +514,76 @@ object AdvancedOps {
       .orderBy("bin")
   }
 
+  // ------------------------------------------------------------ ANOVA F
+
+  /** One-way ANOVA F across day-of-week groups on purchase cents — the
+    * k-group generalization closing the test family (Welch: 2 means; U:
+    * 2 distributions; this: k means at once, "does weekday matter?").
+    * Group moments are exact integers (cents; Σc² in DECIMAL(38,0) /
+    * HUGEINT); the 7 per-group s²/n terms reduce through an ORDERED fold
+    * (sort_array→aggregate vs list(ORDER BY)→list_reduce — the
+    * win_rolling_slope discipline), so no float summation-order reaches
+    * the statistic at any parallelism. Day-of-week is epoch-day mod 7 —
+    * pure integer, immune to the engines' dayofweek() origin mismatch.
+    * Scale: one corpus aggregation to 7 group rows; everything after is
+    * constant-size. */
+  def statAnovaF(s: SparkSession, d: String): DataFrame = {
+    val cents = floor(col("value") * 100.0 + 0.5).cast("long")
+    val g = t(s, d, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy(pmod(datediff(to_date(col("ts")), lit("1970-01-01").cast("date")),
+        lit(7)).as("dow"))
+      .agg(count(lit(1)).as("n"), sum(cents).as("sc"),
+        sum((cents * cents).cast("decimal(38,0)")).as("q"))
+      .withColumn("s2n",
+        col("sc").cast("double") * col("sc").cast("double") / col("n").cast("double"))
+    val one = g.agg(count(lit(1)).as("k"),
+      sum("n").as("nn"), sum("sc").as("tt"), sum("q").cast("double").as("qq"),
+      aggregate(sort_array(collect_list(struct(col("dow"), col("s2n")))),
+        lit(0.0), (acc, e) => acc + e.getField("s2n")).as("sbsum"))
+    def db(c: String) = col(c).cast("double")
+    val ssb = col("sbsum") - db("tt") * db("tt") / db("nn")
+    val ssw = col("qq") - col("sbsum")
+    val f = (ssb / (db("k") - 1.0)) / (ssw / (db("nn") - db("k")))
+    val eta2 = ssb / (ssb + ssw)
+    def r6(c: Column) = signum(c) * (floor(abs(c) * 1000000.0 + 0.5) / 1000000.0) + lit(0.0)
+    one.select(col("k"), col("nn").as("n"), r6(f).as("f_stat"), r6(eta2).as("eta2"))
+  }
+
+  // ------------------------------------------------------------- Benford
+
+  /** Benford's-law audit of order totals — the fraud/data-entry screen
+    * every financial pipeline runs: the observed first-significant-digit
+    * distribution against log₁₀(1+1/d), with per-digit χ² contributions.
+    * The digit comes from the INTEGER STRING of floor(price) (values ≥ 1
+    * here), never from log10 — a log-based extraction can flip at exact
+    * powers of ten on a sub-ulp libm difference; string heads cannot.
+    * Expected shares are shared decimal literals both engines parse to
+    * identical doubles. One hash aggregation to 9 digit rows. */
+  def statBenford(s: SparkSession, d: String): DataFrame = {
+    val benford = Seq(0.3010299956639812, 0.17609125905568124, 0.12493873660829993,
+      0.09691001300805642, 0.07918124604762482, 0.06694678963061322,
+      0.05799194697768673, 0.05115252244738129, 0.04575749056067514)
+    val pLit = typedlit(benford)
+    val obs = t(s, d, "orders")
+      .groupBy(substring(floor(col("o_totalprice")).cast("long").cast("string"), 1, 1)
+        .cast("int").as("digit"))
+      .agg(count(lit(1)).as("observed"))
+    val wAll = Window.orderBy("digit")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    obs
+      .withColumn("n", sum("observed").over(wAll))
+      .withColumn("e", get(pLit, col("digit") - 1) * col("n").cast("double"))
+      .select(col("digit"), col("observed"),
+        (floor(col("observed").cast("double") / col("n").cast("double") * 10000.0 + 0.5)
+          / 10000.0).as("obs_share"),
+        (floor(get(pLit, col("digit") - 1) * 10000.0 + 0.5) / 10000.0).as("benford_share"),
+        (floor((col("observed").cast("double") - col("e")) *
+          (col("observed").cast("double") - col("e")) / col("e") * 1000000.0 + 0.5)
+          / 1000000.0).as("chi2_contrib"))
+      .orderBy("digit")
+  }
+
   // ---------------------------------------------------- Poisson bootstrap
 
   /** Poisson bootstrap of the mean purchase value — THE way to bootstrap
@@ -618,6 +688,8 @@ object AdvancedOps {
     "stat_ttest_welch" -> (statTtestWelch _),
     "stat_psi" -> (statPsi _),
     "stat_bootstrap_ci" -> (statBootstrapCi _),
+    "stat_anova_f" -> (statAnovaF _),
+    "stat_benford" -> (statBenford _),
     "agg_regression_multi" -> (aggRegressionMulti _),
     "pareto_frontier" -> (paretoFrontier _),
     "win_rolling_slope" -> (winRollingSlope _),
@@ -631,6 +703,46 @@ object AdvancedOps {
     "stat_outlier_mad" -> (statOutlierMad _))
 
   val oracles: Map[String, String] = Map(
+    // exact integer group moments (HUGEINT Σc²); the 7 s²/n terms reduce
+    // through list(ORDER BY dow) + list_reduce — the ordered-fold
+    // discipline — so no float summation order exists on either engine
+    "stat_anova_f" ->
+      ("WITH g AS (SELECT (date_diff('day', DATE '1970-01-01', " +
+        "CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE))) % 7 AS dow, " +
+        "CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS sc, sum(c * c) AS q " +
+        "FROM (SELECT ts, CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c " +
+        "FROM events WHERE event_type = 'purchase') GROUP BY 1), " +
+        "g2 AS (SELECT dow, n, sc, q, " +
+        "CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE) / CAST(n AS DOUBLE) AS s2n FROM g), " +
+        "one AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n) AS BIGINT) AS nn, " +
+        "CAST(sum(sc) AS BIGINT) AS tt, CAST(sum(q) AS DOUBLE) AS qq, " +
+        "list_reduce(list(s2n ORDER BY dow), (a, b) -> a + b) AS sbsum FROM g2), " +
+        "f AS (SELECT k, nn, " +
+        "(sbsum - CAST(tt AS DOUBLE) * CAST(tt AS DOUBLE) / CAST(nn AS DOUBLE)) AS ssb, " +
+        "(qq - sbsum) AS ssw FROM one), " +
+        "r AS (SELECT k, nn, " +
+        "(ssb / (CAST(k AS DOUBLE) - 1.0)) / (ssw / (CAST(nn AS DOUBLE) - CAST(k AS DOUBLE))) AS fs, " +
+        "ssb / (ssb + ssw) AS eta2 FROM f) " +
+        "SELECT k, nn AS n, " +
+        "sign(fs) * (floor(abs(fs) * 1000000.0 + 0.5) / 1000000.0) + 0.0 AS f_stat, " +
+        "sign(eta2) * (floor(abs(eta2) * 1000000.0 + 0.5) / 1000000.0) + 0.0 AS eta2 FROM r"),
+    // digit from the integer STRING head (log10-free); expected shares
+    // are the same decimal literals, parsed identically
+    "stat_benford" ->
+      ("WITH p(digit, share) AS (VALUES (1, 0.3010299956639812), (2, 0.17609125905568124), " +
+        "(3, 0.12493873660829993), (4, 0.09691001300805642), (5, 0.07918124604762482), " +
+        "(6, 0.06694678963061322), (7, 0.05799194697768673), (8, 0.05115252244738129), " +
+        "(9, 0.04575749056067514)), " +
+        "o AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit, " +
+        "CAST(count(*) AS BIGINT) AS observed FROM orders GROUP BY 1), " +
+        "w AS (SELECT o.digit, observed, CAST(sum(observed) OVER () AS BIGINT) AS n, share " +
+        "FROM o JOIN p ON p.digit = o.digit), " +
+        "e AS (SELECT digit, observed, n, CAST(share AS DOUBLE) AS share, CAST(share AS DOUBLE) * CAST(n AS DOUBLE) AS exp FROM w) " +
+        "SELECT digit, observed, " +
+        "floor(CAST(observed AS DOUBLE) / CAST(n AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS obs_share, " +
+        "floor(share * 10000.0 + 0.5) / 10000.0 AS benford_share, " +
+        "floor((CAST(observed AS DOUBLE) - exp) * (CAST(observed AS DOUBLE) - exp) / exp * 1000000.0 + 0.5) " +
+        "/ 1000000.0 AS chi2_contrib FROM e ORDER BY digit"),
     // md5-derived exact uniforms against literal Poisson(1) CDF cuts;
     // integer weights/cents so each replicate is summation-order-free
     "stat_bootstrap_ci" ->

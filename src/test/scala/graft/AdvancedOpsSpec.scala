@@ -360,6 +360,59 @@ class AdvancedOpsSpec extends SparkTestBase {
     assert(nb.sum > 0 && nc.sum > 0)
   }
 
+  test("ANOVA F matches an exact moment replay; variance decomposition ties out") {
+    val rows = Tables.load(spark, SF, "events")
+      .filter(col("event_type") === "purchase")
+      .select(to_date(col("ts")).as("day"), col("value")).collect()
+      .map(r => ((r.getDate(0).toLocalDate.toEpochDay % 7 + 7) % 7,
+        math.floor(r.getDouble(1) * 100.0 + 0.5).toLong))
+    val g = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (dow, xs) =>
+      val cs = xs.map(_._2)
+      (dow, cs.length.toLong, cs.sum, cs.map(c => BigInt(c) * BigInt(c)).sum)
+    }
+    val k = g.length.toDouble
+    val nn = g.map(_._2).sum.toDouble; val tt = g.map(_._3).sum.toDouble
+    val qq = g.map(_._4).sum.toDouble
+    val sbsum = g.map(x => x._3.toDouble * x._3.toDouble / x._2.toDouble)
+      .foldLeft(0.0)(_ + _) // ordered fold, same as both engines
+    val ssb = sbsum - tt * tt / nn
+    val ssw = qq - sbsum
+    val f = (ssb / (k - 1.0)) / (ssw / (nn - k))
+    val row = AdvancedOps.statAnovaF(spark, SF).collect()
+    assert(row.length == 1)
+    assert(row(0).getAs[Long]("k") == g.length.toLong)
+    assert(row(0).getAs[Long]("n") == g.map(_._2).sum)
+    assert(math.abs(row(0).getAs[Double]("f_stat") - f) <= 5e-7)
+    assert(math.abs(row(0).getAs[Double]("eta2") - ssb / (ssb + ssw)) <= 5e-7)
+    // decomposition: SSB + SSW == SST from raw moments (fp tolerance)
+    val sst = qq - tt * tt / nn
+    assert(math.abs((ssb + ssw) - sst) / sst < 1e-9)
+    assert(row(0).getAs[Double]("f_stat") >= 0.0)
+  }
+
+  test("benford audit matches a string-digit replay; shares are a distribution") {
+    val prices = Tables.load(spark, SF, "orders").select("o_totalprice").collect()
+      .map(r => math.floor(r.getDouble(0)).toLong.toString.take(1).toInt)
+    val counts = prices.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = prices.length.toDouble
+    val benford = Seq(0.3010299956639812, 0.17609125905568124, 0.12493873660829993,
+      0.09691001300805642, 0.07918124604762482, 0.06694678963061322,
+      0.05799194697768673, 0.05115252244738129, 0.04575749056067514)
+    val got = AdvancedOps.statBenford(spark, SF).collect()
+    assert(got.map(_.getInt(0)).toSeq == counts.keys.toSeq.sorted)
+    got.foreach { r =>
+      val d = r.getInt(0); val obs = counts(d)
+      assert(d >= 1 && d <= 9)
+      assert(r.getLong(1) == obs)
+      assert(r.getDouble(2) == math.floor(obs / n * 10000.0 + 0.5) / 10000.0)
+      assert(r.getDouble(3) == math.floor(benford(d - 1) * 10000.0 + 0.5) / 10000.0)
+      val e = benford(d - 1) * n
+      val want = math.floor((obs - e) * (obs - e) / e * 1000000.0 + 0.5) / 1000000.0
+      assert(r.getDouble(4) == want, s"digit $d")
+    }
+    assert(math.abs(got.map(_.getDouble(2)).sum - 1.0) < 2e-3) // obs shares ≈ 1
+  }
+
   test("poisson bootstrap: exact hash replay; replicate spread brackets the mean") {
     val purchases = Tables.load(spark, SF, "events")
       .filter(col("event_type") === "purchase")
