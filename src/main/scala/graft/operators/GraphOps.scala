@@ -309,7 +309,43 @@ object GraphOps {
       .limit(50)
   }
 
+  /** Market-basket association rules: top-25 part pairs by LIFT =
+    * P(a,b) / (P(a)·P(b)) with confidence(a→b) alongside — the classic
+    * the raw co-occurrence top-k ([[graphCopurchaseTopk]]) is only the
+    * numerator of. Counts are DISTINCT-basket counts (a part appearing
+    * on two lines of one order counts once — unlike the graph family's
+    * line-pair semantics, which is the right weight for edges but not
+    * for probabilities). lift and confidence are single mirrored
+    * divisions of exact integer products (n_ab·N ≤ ~1e10, n_a·n_b ≤
+    * ~1e8 at sf0.1 — int64-safe by orders of magnitude); ranking is by
+    * the ROUNDED lift + ids, so the cut is total.
+    * Scale: one distinct (basket, item) projection, a self-equi-join on
+    * basket (bounded by basket width), two broadcast-size dimension
+    * joins; N is a bounded scalar literal. */
+  def basketAffinity(s: SparkSession, d: String): DataFrame = {
+    val dpk = Tables.load(s, d, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val n = dpk.select(countDistinct("ok")).head().getLong(0)
+    val cnt = dpk.groupBy("pk").agg(count(lit(1)).as("np"))
+    val pairs = dpk.as("a")
+      .join(dpk.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("a_id"), col("b.pk").as("b_id"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= 2)
+    pairs
+      .join(cnt.select(col("pk").as("a_id"), col("np").as("n_a")), "a_id")
+      .join(cnt.select(col("pk").as("b_id"), col("np").as("n_b")), "b_id")
+      .select(col("a_id"), col("b_id"), col("n_ab"), col("n_a"), col("n_b"),
+        (floor((col("n_ab") * lit(n)).cast("double") /
+          (col("n_a") * col("n_b")).cast("double") * 1000000.0 + 0.5) / 1000000.0).as("lift"),
+        (floor(col("n_ab").cast("double") / col("n_a").cast("double") * 1000000.0 + 0.5)
+          / 1000000.0).as("confidence"))
+      .orderBy(col("lift").desc, col("a_id"), col("b_id"))
+      .limit(25)
+  }
+
   val queries: Map[String, Q] = Map(
+    "basket_affinity" -> (basketAffinity _),
     "graph_jaccard_neighbors" -> (graphJaccardNeighbors _),
     "graph_pagerank" -> (graphPagerank _),
     "graph_degree_dist" -> (graphDegreeDist _),
@@ -320,6 +356,20 @@ object GraphOps {
 
   /** The identical formula with the 5 rounds unrolled as CTE stages. */
   val oracles: Map[String, String] = Map(
+    // DISTINCT-basket counts; lift/confidence are single mirrored
+    // divisions of exact integer products; order-by uses ROUNDED lift
+    "basket_affinity" ->
+      ("WITH dpk AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem), " +
+        "nb AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n FROM dpk), " +
+        "cnt AS (SELECT pk, CAST(count(*) AS BIGINT) AS np FROM dpk GROUP BY 1), " +
+        "pairs AS (SELECT a.pk AS a_id, b.pk AS b_id, CAST(count(*) AS BIGINT) AS n_ab " +
+        "FROM dpk a JOIN dpk b ON a.ok = b.ok AND a.pk < b.pk GROUP BY 1, 2 " +
+        "HAVING count(*) >= 2) " +
+        "SELECT a_id, b_id, n_ab, ca.np AS n_a, cb.np AS n_b, " +
+        "floor(CAST(n_ab * nb.n AS DOUBLE) / CAST(ca.np * cb.np AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS lift, " +
+        "floor(CAST(n_ab AS DOUBLE) / CAST(ca.np AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS confidence " +
+        "FROM pairs JOIN cnt ca ON ca.pk = a_id JOIN cnt cb ON cb.pk = b_id CROSS JOIN nb " +
+        "ORDER BY lift DESC, a_id, b_id LIMIT 25"),
     // integer wedge/degree counts; the one division mirrors the Spark
     // parenthesization, and the order-by uses the ROUNDED score
     "graph_jaccard_neighbors" ->

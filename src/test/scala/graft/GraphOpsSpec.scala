@@ -190,6 +190,34 @@ class GraphOpsSpec extends SparkTestBase {
     assert(got == expect)
   }
 
+  test("basket affinity matches a distinct-basket replay; rules are well-formed") {
+    val dpk = Tables.load(spark, SF, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val n = dpk.map(_._1).distinct.length.toLong
+    val byBasket = dpk.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val np = dpk.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val nab = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    byBasket.values.foreach { pks =>
+      for (i <- pks.indices; j <- (i + 1) until pks.length)
+        nab((pks(i), pks(j))) = nab.getOrElse((pks(i), pks(j)), 0L) + 1L
+    }
+    val rules = nab.toSeq.filter(_._2 >= 2).map { case ((a, b), ab) =>
+      val lift = math.floor(ab * n / (np(a) * np(b)).toDouble * 1000000.0 + 0.5) / 1000000.0
+      val conf = math.floor(ab.toDouble / np(a).toDouble * 1000000.0 + 0.5) / 1000000.0
+      (a, b, ab, np(a), np(b), lift, conf)
+    }
+    val want = rules.sortBy { case (a, b, _, _, _, l, _) => (-l, a, b) }.take(25)
+    val got = GraphOps.basketAffinity(spark, SF).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6))).toSeq
+    assert(got == want, s"got ${got.take(2)}... want ${want.take(2)}...")
+    got.foreach { case (a, b, ab, na, nb2, lift, conf) =>
+      assert(a < b && ab >= 2 && ab <= math.min(na, nb2))
+      assert(conf > 0.0 && conf <= 1.0 && lift > 0.0)
+    }
+  }
+
   test("jaccard link prediction matches a neighbor-set replay; no existing edges") {
     val edges = GraphOps.partPairs(spark, SF)
       .filter(col("n_cooccur") >= 2).select("p1", "p2").collect()
