@@ -435,7 +435,8 @@ object AdvancedOps {
       .filter(col("event_type").isin("purchase", "click"))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), sum(cents).as("s1"),
-        sum(cents * cents).as("s2"))
+        // operand-first decimal: cents² wraps int64 past ~3e9 cents
+        sum(cents.cast("decimal(19,0)") * cents.cast("decimal(19,0)")).as("s2"))
     // two one-row sides pivoted into one row: a conditional-aggregate
     // pivot over the 2-row frame, never a join
     val p = m.agg(
@@ -534,7 +535,9 @@ object AdvancedOps {
       .groupBy(pmod(datediff(to_date(col("ts")), lit("1970-01-01").cast("date")),
         lit(7)).as("dow"))
       .agg(count(lit(1)).as("n"), sum(cents).as("sc"),
-        sum((cents * cents).cast("decimal(38,0)")).as("q"))
+        // operands cast BEFORE the multiply: cents*cents would wrap int64
+        // silently past ~3e9 cents (the m2 discipline)
+        sum(cents.cast("decimal(19,0)") * cents.cast("decimal(19,0)")).as("q"))
       .withColumn("s2n",
         col("sc").cast("double") * col("sc").cast("double") / col("n").cast("double"))
     val one = g.agg(count(lit(1)).as("k"),
@@ -566,6 +569,10 @@ object AdvancedOps {
       0.05799194697768673, 0.05115252244738129, 0.04575749056067514)
     val pLit = typedlit(benford)
     val obs = t(s, d, "orders")
+      // explicit domain: totals in (0,1) would yield digit 0 (counted in
+      // N by Spark but dropped by the oracle's digit join) and negatives
+      // would '-'-head — guard the contract instead of commenting it
+      .filter(col("o_totalprice") >= 1.0)
       .groupBy(substring(floor(col("o_totalprice")).cast("long").cast("string"), 1, 1)
         .cast("int").as("digit"))
       .agg(count(lit(1)).as("observed"))
@@ -655,7 +662,8 @@ object AdvancedOps {
       sum(x1).as("s1"), sum(x2).as("s2"), sum(y).as("sy"),
       sum(x1 * x1).as("s11"), sum(x1 * x2).as("s12"), sum(x2 * x2).as("s22"),
       sum(x1 * y).as("s1y"), sum(x2 * y).as("s2y"),
-      sum((y * y).cast("decimal(38,0)")).as("syy"))
+      // operand-first decimal (y² wraps int64 past ~3e9 cents/line)
+      sum(y.cast("decimal(19,0)") * y.cast("decimal(19,0)")).as("syy"))
     def db(c: String) = col(c).cast("double")
     val (n, s1, s2, sy) = (db("n"), db("s1"), db("s2"), db("sy"))
     val (s11, s12, s22) = (db("s11"), db("s12"), db("s22"))
@@ -709,13 +717,13 @@ object AdvancedOps {
     "stat_anova_f" ->
       ("WITH g AS (SELECT (date_diff('day', DATE '1970-01-01', " +
         "CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE))) % 7 AS dow, " +
-        "CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS sc, sum(c * c) AS q " +
+        "CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS sc, sum(CAST(c AS HUGEINT) * c) AS q " +
         "FROM (SELECT ts, CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c " +
         "FROM events WHERE event_type = 'purchase') GROUP BY 1), " +
         "g2 AS (SELECT dow, n, sc, q, " +
         "CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE) / CAST(n AS DOUBLE) AS s2n FROM g), " +
         "one AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n) AS BIGINT) AS nn, " +
-        "CAST(sum(sc) AS BIGINT) AS tt, CAST(sum(q) AS DOUBLE) AS qq, " +
+        "CAST(sum(sc) AS BIGINT) AS tt, CAST(CAST(sum(q) AS VARCHAR) AS DOUBLE) AS qq, " +
         "list_reduce(list(s2n ORDER BY dow), (a, b) -> a + b) AS sbsum FROM g2), " +
         "f AS (SELECT k, nn, " +
         "(sbsum - CAST(tt AS DOUBLE) * CAST(tt AS DOUBLE) / CAST(nn AS DOUBLE)) AS ssb, " +
@@ -729,12 +737,12 @@ object AdvancedOps {
     // digit from the integer STRING head (log10-free); expected shares
     // are the same decimal literals, parsed identically
     "stat_benford" ->
-      ("WITH p(digit, share) AS (VALUES (1, 0.3010299956639812), (2, 0.17609125905568124), " +
-        "(3, 0.12493873660829993), (4, 0.09691001300805642), (5, 0.07918124604762482), " +
-        "(6, 0.06694678963061322), (7, 0.05799194697768673), (8, 0.05115252244738129), " +
-        "(9, 0.04575749056067514)), " +
+      ("WITH p(digit, share) AS (VALUES (1, 0.3010299956639812e0), (2, 0.17609125905568124e0), " +
+        "(3, 0.12493873660829993e0), (4, 0.09691001300805642e0), (5, 0.07918124604762482e0), " +
+        "(6, 0.06694678963061322e0), (7, 0.05799194697768673e0), (8, 0.05115252244738129e0), " +
+        "(9, 0.04575749056067514e0)), " +
         "o AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit, " +
-        "CAST(count(*) AS BIGINT) AS observed FROM orders GROUP BY 1), " +
+        "CAST(count(*) AS BIGINT) AS observed FROM orders WHERE o_totalprice >= 1.0 GROUP BY 1), " +
         "w AS (SELECT o.digit, observed, CAST(sum(observed) OVER () AS BIGINT) AS n, share " +
         "FROM o JOIN p ON p.digit = o.digit), " +
         "e AS (SELECT digit, observed, n, CAST(share AS DOUBLE) AS share, CAST(share AS DOUBLE) * CAST(n AS DOUBLE) AS exp FROM w) " +
@@ -778,8 +786,8 @@ object AdvancedOps {
         "sum(nc0) OVER () + 20 AS tc FROM j), " +
         "x AS (SELECT bin, nb0, nc0, tb, tc, (nb0 + 1) * tc AS xp, (nc0 + 1) * tb AS xq FROM e), " +
         "r AS (SELECT bin, nb0, nc0, " +
-        "CAST(xp - xq AS DOUBLE) / CAST(tb * tc AS DOUBLE) AS pd, " +
-        "ln(CAST(xp AS DOUBLE) / CAST(xq AS DOUBLE)) AS lr FROM x), " +
+        "CAST(CAST(xp - xq AS VARCHAR) AS DOUBLE) / CAST(CAST(tb * tc AS VARCHAR) AS DOUBLE) AS pd, " +
+        "ln(CAST(CAST(xp AS VARCHAR) AS DOUBLE) / CAST(CAST(xq AS VARCHAR) AS DOUBLE)) AS lr FROM x), " +
         "terms AS (SELECT bin, nb0 AS n_base, nc0 AS n_cur, " +
         "CAST(sign(pd) * floor(abs(pd) * 1000000.0 + 0.5) AS BIGINT) * " +
         "CAST(sign(lr) * floor(abs(lr) * 1000000.0 + 0.5) AS BIGINT) AS psi12 FROM r) " +
@@ -798,7 +806,7 @@ object AdvancedOps {
         "CAST(sum(x1 * x1) AS BIGINT) AS s11, CAST(sum(x1 * x2) AS BIGINT) AS s12, " +
         "CAST(sum(x2 * x2) AS BIGINT) AS s22, " +
         "CAST(sum(x1 * y) AS BIGINT) AS s1y, CAST(sum(x2 * y) AS BIGINT) AS s2y, " +
-        "CAST(sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS DOUBLE) AS syy FROM q GROUP BY 1), " +
+        "CAST(CAST(sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS VARCHAR) AS DOUBLE) AS syy FROM q GROUP BY 1), " +
         "c AS (SELECT l_returnflag, n, " +
         "CAST(n AS DOUBLE) AS dn, CAST(s1 AS DOUBLE) AS d1, CAST(s2 AS DOUBLE) AS d2, " +
         "CAST(sy AS DOUBLE) AS dy, CAST(s11 AS DOUBLE) AS d11, CAST(s12 AS DOUBLE) AS d12, " +
@@ -822,7 +830,7 @@ object AdvancedOps {
     // sums), then the identical mirrored IEEE expression tree
     "stat_ttest_welch" ->
       ("WITH m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n, " +
-        "CAST(sum(c) AS BIGINT) AS s1, CAST(sum(c * c) AS BIGINT) AS s2 FROM " +
+        "CAST(sum(c) AS BIGINT) AS s1, sum(CAST(c AS HUGEINT) * c) AS s2 FROM " +
         "(SELECT event_type, CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c " +
         "FROM events WHERE event_type IN ('purchase', 'click')) GROUP BY 1), " +
         "p AS (SELECT " +
@@ -833,8 +841,8 @@ object AdvancedOps {
         "sum(CASE WHEN event_type = 'click' THEN s1 END) AS sb1, " +
         "sum(CASE WHEN event_type = 'click' THEN s2 END) AS sb2 FROM m), " +
         "e AS (SELECT na, nb, sa1, sb1, " +
-        "(CAST(sa2 AS DOUBLE) - CAST(sa1 AS DOUBLE) * CAST(sa1 AS DOUBLE) / CAST(na AS DOUBLE)) / (CAST(na AS DOUBLE) - 1.0) AS va, " +
-        "(CAST(sb2 AS DOUBLE) - CAST(sb1 AS DOUBLE) * CAST(sb1 AS DOUBLE) / CAST(nb AS DOUBLE)) / (CAST(nb AS DOUBLE) - 1.0) AS vb " +
+        "(CAST(CAST(sa2 AS VARCHAR) AS DOUBLE) - CAST(sa1 AS DOUBLE) * CAST(sa1 AS DOUBLE) / CAST(na AS DOUBLE)) / (CAST(na AS DOUBLE) - 1.0) AS va, " +
+        "(CAST(CAST(sb2 AS VARCHAR) AS DOUBLE) - CAST(sb1 AS DOUBLE) * CAST(sb1 AS DOUBLE) / CAST(nb AS DOUBLE)) / (CAST(nb AS DOUBLE) - 1.0) AS vb " +
         "FROM p), " +
         "f AS (SELECT na, nb, sa1, sb1, va, vb, " +
         "va / CAST(na AS DOUBLE) + vb / CAST(nb AS DOUBLE) AS se2 FROM e), " +

@@ -420,6 +420,12 @@ object EventOps {
       .join(daily.select(col("day").as("bday"), col("x").as("xb")),
         col("bday") === date_add(col("day"), col("lag")))
       .select(col("lag"), col("xa"), col("xb"))
+    // exact DECIMAL summation. Conversion discipline: Spark's
+    // decimal→double is correctly rounded (BigInteger.doubleValue), but
+    // DuckDB's HUGEINT→DOUBLE cast is NOT (verified empirically:
+    // ~0.8% of >2^53 values off by 1 ulp) — the oracle must route
+    // HUGEINT sums through VARCHAR, whose parse IS correctly rounded,
+    // so both engines read the identical double at any magnitude
     def m2(a: Column, b: Column) =
       sum(a.cast("decimal(19,0)") * b.cast("decimal(19,0)"))
     val m = pairs.groupBy("lag").agg(count(lit(1)).as("n_pairs"),
@@ -577,9 +583,9 @@ object EventOps {
         "sum(CAST(xa AS HUGEINT) * xa) AS saa, sum(CAST(xb AS HUGEINT) * xb) AS sbb, " +
         "sum(CAST(xa AS HUGEINT) * xb) AS sab FROM pairs GROUP BY lag), " +
         "c AS (SELECT lag, n_pairs, " +
-        "(CAST(n_pairs AS DOUBLE) * CAST(sab AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE)) / " +
-        "sqrt((CAST(n_pairs AS DOUBLE) * CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)) * " +
-        "(CAST(n_pairs AS DOUBLE) * CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))) AS r FROM m) " +
+        "(CAST(n_pairs AS DOUBLE) * CAST(CAST(sab AS VARCHAR) AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE)) / " +
+        "sqrt((CAST(n_pairs AS DOUBLE) * CAST(CAST(saa AS VARCHAR) AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)) * " +
+        "(CAST(n_pairs AS DOUBLE) * CAST(CAST(sbb AS VARCHAR) AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))) AS r FROM m) " +
         "SELECT lag, n_pairs, sign(r) * (floor(abs(r) * 1000000.0 + 0.5) / 1000000.0) + 0.0 AS r " +
         "FROM c ORDER BY lag"),
     // the scan statistic n*P_t - t*T is exact BIGINT; argmax needs no

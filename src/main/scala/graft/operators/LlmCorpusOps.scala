@@ -948,8 +948,9 @@ object LlmCorpusOps {
         "sum(x * x) AS sxx, sum(x * y) AS sxy, " +
         "sum(y * y) AS syy FROM xy), " +
         "c AS (SELECT nv, n_tokens, CAST(nv AS DOUBLE) AS n, CAST(sx AS DOUBLE) AS dx, " +
-        "CAST(sy AS DOUBLE) AS dy, CAST(sxx AS DOUBLE) AS dxx, CAST(sxy AS DOUBLE) AS dxy, " +
-        "CAST(syy AS DOUBLE) AS dyy FROM m), " +
+        "CAST(sy AS DOUBLE) AS dy, CAST(CAST(sxx AS VARCHAR) AS DOUBLE) AS dxx, " +
+        "CAST(CAST(sxy AS VARCHAR) AS DOUBLE) AS dxy, " +
+        "CAST(CAST(syy AS VARCHAR) AS DOUBLE) AS dyy FROM m), " +
         "f AS (SELECT nv, n_tokens, (n * dxy - dx * dy) / (n * dxx - dx * dx) AS slope, " +
         "((n * dxy - dx * dy) * (n * dxy - dx * dy)) / ((n * dxx - dx * dx) * (n * dyy - dy * dy)) AS r2, " +
         "n, dx, dy FROM c), " +
