@@ -368,9 +368,14 @@ object AdvancedOps {
       .withColumn("na", sum("ca").over(wAll))
       .withColumn("nb", sum("cb").over(wAll))
       .groupBy("na", "nb")
-      .agg(max(abs(col("cuma") * col("nb") - col("cumb") * col("na"))).as("d_num"))
-      .select(col("na"), col("nb"), col("d_num"),
-        (floor(col("d_num").cast("double") / (col("na") * col("nb")).cast("double")
+      // products in DECIMAL: cum·n is n²-scale and wraps int64 silently
+      // past ~3e9 rows/side (the m2 discipline); d_num keeps its BIGINT
+      // schema through an explicit gate
+      .agg(max(abs(col("cuma").cast("decimal(19,0)") * col("nb").cast("decimal(19,0)") -
+        col("cumb").cast("decimal(19,0)") * col("na").cast("decimal(19,0)"))).as("dn"))
+      .select(col("na"), col("nb"), col("dn").cast("long").as("d_num"),
+        (floor(col("dn").cast("double") /
+          (col("na").cast("decimal(19,0)") * col("nb").cast("decimal(19,0)")).cast("double")
           * 1e6 + 0.5) / 1e6).as("d_stat"))
   }
 
@@ -404,9 +409,14 @@ object AdvancedOps {
       .withColumn("nb", sum("cb").over(wAll))
       // Σ ca·(2·cum_before + cnt + 1) = 2·R_a (twice the rank sum)
       .groupBy("na", "nb")
-      .agg(sum(col("ca") * (lit(2L) * col("cumBefore") + col("cnt") + 1L)).as("r2a"))
+      // rank products in DECIMAL: ca·(2·cum+cnt+1) is 2n²-scale and
+      // wraps int64 silently past ~2e9 rows (the m2 discipline); u2_a
+      // keeps its BIGINT schema through an explicit gate
+      .agg(sum(col("ca").cast("decimal(19,0)") *
+        (lit(2L) * col("cumBefore") + col("cnt") + 1L).cast("decimal(19,0)")).as("r2a"))
       .select(col("na"), col("nb"),
-        (col("r2a") - col("na") * (col("na") + 1L)).as("u2_a"))
+        (col("r2a") - col("na").cast("decimal(19,0)") *
+          (col("na") + 1L).cast("decimal(19,0)")).cast("long").as("u2_a"))
       .select(col("na"), col("nb"), col("u2_a"), {
         val z = (col("u2_a").cast("double") / lit(2.0) -
           col("na").cast("double") * col("nb").cast("double") / lit(2.0)) /
@@ -870,7 +880,7 @@ object AdvancedOps {
         "g AS (SELECT na, nb, sum(ca * (2 * cum_before + cnt + 1)) AS r2a FROM c GROUP BY na, nb), " +
         "f AS (SELECT na, nb, r2a - na * (na + 1) AS u2_a FROM g), " +
         "zz AS (SELECT na, nb, u2_a, " +
-        "(CAST(u2_a AS DOUBLE) / 2.0 - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 2.0) / " +
+        "(CAST(CAST(u2_a AS VARCHAR) AS DOUBLE) / 2.0 - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 2.0) / " +
         "sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) * (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) + 1.0) / 12.0) AS z FROM f) " +
         "SELECT CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb, CAST(u2_a AS BIGINT) AS u2_a, " +
         "sign(z) * (floor(abs(z) * 1000000.0 + 0.5) / 1000000.0) + 0.0 AS z FROM zz"),
@@ -886,7 +896,7 @@ object AdvancedOps {
         "sum(ca) OVER () AS na, sum(cb) OVER () AS nb FROM per) " +
         "SELECT CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb, " +
         "CAST(max(abs(cuma * nb - cumb * na)) AS BIGINT) AS d_num, " +
-        "floor(CAST(max(abs(cuma * nb - cumb * na)) AS DOUBLE) / CAST(na * nb AS DOUBLE) * 1e6 + 0.5) / 1e6 AS d_stat " +
+        "floor(CAST(CAST(max(abs(cuma * nb - cumb * na)) AS VARCHAR) AS DOUBLE) / CAST(CAST(na * nb AS VARCHAR) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS d_stat " +
         "FROM c GROUP BY na, nb"),
     // the oracle is the O(n²) dominance anti-join the Spark side must
     // NEVER run — the window passes have to reproduce it exactly
