@@ -319,22 +319,45 @@ object AdvancedOps {
     * contribute their (0−e)²/e term, which a join on observed cells
     * alone would silently drop. Everything after the first groupBy is
     * metadata-scale regardless of corpus size. */
-  def statChiSquare(s: SparkSession, d: String): DataFrame = {
+  /** The (o, e) contingency cells with marginal metadata — ONE grid
+    * under both the χ² statistic and its Cramér's-V effect size, so a
+    * marginal/zero-cell change can never reach only one of them. */
+  private def chisqCells(s: SparkSession, d: String): DataFrame = {
     val obs = t(s, d, "documents")
       .groupBy("lang", "source").agg(count(lit(1)).cast("double").as("o"))
     val rows = obs.groupBy("lang").agg(sum("o").as("rt"))
     val cols = obs.groupBy("source").agg(sum("o").as("ct"))
     val tot = obs.agg(sum("o").as("n"),
-      ((countDistinct("lang") - 1) * (countDistinct("source") - 1)).as("dof"))
-    val grid = rows.crossJoin(broadcast(cols))
+      countDistinct("lang").as("r"), countDistinct("source").as("c"))
+    rows.crossJoin(broadcast(cols))
       .join(obs, Seq("lang", "source"), "left")
       .na.fill(0.0, Seq("o"))
       .crossJoin(broadcast(tot))
-      .select((col("rt") * col("ct") / col("n")).as("e"), col("o"), col("dof"))
-    grid.groupBy("dof")
+      .select((col("rt") * col("ct") / col("n")).as("e"), col("o"),
+        ((col("r") - 1) * (col("c") - 1)).as("dof"),
+        col("n"), col("r"), col("c"))
+  }
+
+  def statChiSquare(s: SparkSession, d: String): DataFrame =
+    chisqCells(s, d).groupBy("dof")
       .agg(round(sum((col("o") - col("e")) * (col("o") - col("e")) / col("e")), 6).as("chi2"))
       .select(col("chi2"), col("dof").cast("long").as("dof"))
-  }
+
+  /** Cramér's V — the [0,1] EFFECT SIZE the χ² statistic lacks (χ²
+    * grows with n; V = sqrt(χ²/(n·min(r−1,c−1))) answers "how strongly
+    * associated", comparable across corpus sizes). Shares [[chisqCells]]
+    * verbatim; the unrounded cell sum feeds the sqrt and only the final
+    * values round (6 dp), the stat_chisq precedent for the ~1e-13
+    * summation-order noise a 5×4 grid can carry. */
+  def statCramersV(s: SparkSession, d: String): DataFrame =
+    chisqCells(s, d).groupBy("dof", "n", "r", "c")
+      .agg(sum((col("o") - col("e")) * (col("o") - col("e")) / col("e")).as("chi2raw"))
+      .select(round(col("chi2raw"), 6).as("chi2"),
+        col("dof").cast("long").as("dof"),
+        col("n").cast("long").as("n"),
+        (floor(sqrt(col("chi2raw") /
+          (col("n") * least(col("r") - 1, col("c") - 1).cast("double"))) * 1000000.0 + 0.5)
+          / 1000000.0).as("cramers_v"))
 
   // ---------------------------------------------------------------- KS test
 
@@ -712,6 +735,7 @@ object AdvancedOps {
     "pareto_frontier" -> (paretoFrontier _),
     "win_rolling_slope" -> (winRollingSlope _),
     "stat_chisq" -> (statChiSquare _),
+    "stat_cramers_v" -> (statCramersV _),
     "join_bloom_prefilter" -> (joinBloomPrefilter _),
     "join_shuffle_hash" -> (joinShuffleHash _),
     "stat_skew_report" -> (statSkewReport _),
@@ -928,6 +952,22 @@ object AdvancedOps {
         "CASE WHEN n > 1.0 AND n*sxx - sx*sx <> 0.0 " +
         "THEN sign((n*sxy - sx*sy) / (n*sxx - sx*sx)) * (floor(abs((n*sxy - sx*sy) / (n*sxx - sx*sx)) * 10000.0 + 0.5) / 10000.0) + 0.0 END AS slope " +
         "FROM w ORDER BY o_custkey, o_orderkey"),
+    // same grid as stat_chisq, with the marginal metadata the effect
+    // size needs; the unrounded sum feeds sqrt, finals round 6 dp
+    "stat_cramers_v" ->
+      ("WITH obs AS (SELECT lang, source, CAST(count(*) AS DOUBLE) AS o FROM documents GROUP BY 1, 2), " +
+        "r AS (SELECT lang, sum(o) AS rt FROM obs GROUP BY 1), " +
+        "c AS (SELECT source, sum(o) AS ct FROM obs GROUP BY 1), " +
+        "tot AS (SELECT sum(o) AS n, count(DISTINCT lang) AS rr, count(DISTINCT source) AS cc FROM obs), " +
+        "grid AS (SELECT r.rt * c.ct / tot.n AS e, coalesce(obs.o, 0.0) AS o, " +
+        "(tot.rr - 1) * (tot.cc - 1) AS dof, tot.n, tot.rr, tot.cc " +
+        "FROM r CROSS JOIN c LEFT JOIN obs ON r.lang = obs.lang AND c.source = obs.source " +
+        "CROSS JOIN tot), " +
+        "g AS (SELECT dof, n, rr, cc, sum((o - e) * (o - e) / e) AS chi2raw " +
+        "FROM grid GROUP BY dof, n, rr, cc) " +
+        "SELECT round(chi2raw, 6) AS chi2, CAST(dof AS BIGINT) AS dof, CAST(n AS BIGINT) AS n, " +
+        "floor(sqrt(chi2raw / (n * CAST(least(rr - 1, cc - 1) AS DOUBLE))) * 1000000.0 + 0.5) / 1000000.0 AS cramers_v " +
+        "FROM g"),
     "stat_chisq" ->
       ("WITH obs AS (SELECT lang, source, CAST(count(*) AS DOUBLE) AS o FROM documents GROUP BY 1, 2), " +
         "r AS (SELECT lang, sum(o) AS rt FROM obs GROUP BY 1), " +

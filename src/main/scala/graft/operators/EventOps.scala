@@ -347,6 +347,29 @@ object EventOps {
       .orderBy("user_id", "day")
   }
 
+  /** Cohort LTV matrix — revenue by (signup-week cohort × age-in-weeks):
+    * the retention table's money twin, THE report subscription/commerce
+    * teams steer by. Cohort = ISO week of each user's first event (any
+    * type); a purchase lands in cell (cohort, weeks since). Revenue is
+    * exact integer cents; ages are exact integer week offsets (week
+    * starts differ by multiples of 7 days, so the /7 is exact).
+    * Scale: one user-grain aggregation (first-seen), one join back on
+    * user_id, one (cohort, age) hash aggregation — all on the same key
+    * family, so one partitioning serves every stage. */
+  def eventCohortLtv(s: SparkSession, d: String): DataFrame = {
+    val cohorts = ev(s, d).groupBy("user_id")
+      .agg(date_trunc("week", min(col("ts"))).cast("date").as("cw"))
+    ev(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("pw"),
+        floor(col("value") * 100.0 + 0.5).cast("long").as("c"))
+      .join(cohorts, "user_id")
+      .groupBy(col("cw").as("cohort_week"),
+        (datediff(col("pw"), col("cw")) / 7).cast("int").as("age_w"))
+      .agg(countDistinct("user_id").as("n_buyers"), sum("c").as("revenue_c"))
+      .orderBy("cohort_week", "age_w")
+  }
+
   /** RFM segmentation — the marketing-analytics classic: per user,
     * Recency (days since last purchase, measured against the corpus'
     * last day), Frequency (purchase count), Monetary (total integer
@@ -508,6 +531,7 @@ object EventOps {
     "ts_autocorr" -> (tsAutocorr _),
     "ts_changepoint" -> (tsChangepoint _),
     "event_rfm" -> (eventRfm _),
+    "event_cohort_ltv" -> (eventCohortLtv _),
     "event_streaks" -> (eventStreaks _),
     "event_path_topk" -> (eventPathTopk _),
     "event_attribution" -> (eventAttribution _),
@@ -548,6 +572,17 @@ object EventOps {
         "(CAST(date_diff('day', pd, day) AS DOUBLE) / CAST(date_diff('day', pd, nd) AS DOUBLE)) END) " +
         "* 10000.0 + 0.5) / 10000.0 AS value_cents " +
         "FROM f ORDER BY user_id, day"),
+    // exact integer cents and week offsets; week starts differ by
+    // multiples of 7 days, so the // 7 is exact on both engines
+    "event_cohort_ltv" ->
+      ("WITH c AS (SELECT user_id, CAST(date_trunc('week', min(CAST(ts AS TIMESTAMP))) AS DATE) AS cw " +
+        "FROM events GROUP BY 1), " +
+        "p AS (SELECT user_id, CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS pw, " +
+        "CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cc " +
+        "FROM events WHERE event_type = 'purchase') " +
+        "SELECT c.cw AS cohort_week, CAST(date_diff('day', c.cw, p.pw) // 7 AS INTEGER) AS age_w, " +
+        "CAST(count(DISTINCT p.user_id) AS BIGINT) AS n_buyers, CAST(sum(cc) AS BIGINT) AS revenue_c " +
+        "FROM p JOIN c USING (user_id) GROUP BY 1, 2 ORDER BY 1, 2"),
     // integer metrics; every ntile orders by (metric, user_id) so the
     // quintile cut is total; the CASE ladder mirrors verbatim
     "event_rfm" ->

@@ -360,6 +360,25 @@ class AdvancedOpsSpec extends SparkTestBase {
     assert(nb.sum > 0 && nc.sum > 0)
   }
 
+  test("cramers V shares the chi-square grid and lands in [0,1]") {
+    val chi = AdvancedOps.statChiSquare(spark, SF).collect()(0)
+    val v = AdvancedOps.statCramersV(spark, SF).collect()
+    assert(v.length == 1)
+    // shared grid: the chi2 column must be IDENTICAL, not merely close
+    assert(v(0).getAs[Double]("chi2") == chi.getAs[Double]("chi2"))
+    assert(v(0).getAs[Long]("dof") == chi.getAs[Long]("dof"))
+    val n = Tables.load(spark, SF, "documents").count()
+    assert(v(0).getAs[Long]("n") == n)
+    val cv = v(0).getAs[Double]("cramers_v")
+    assert(cv >= 0.0 && cv <= 1.0, s"V $cv")
+    // V consistent with the reported chi2 (rounded input → loose bound)
+    val minDim = math.min(
+      Tables.load(spark, SF, "documents").select("lang").distinct().count(),
+      Tables.load(spark, SF, "documents").select("source").distinct().count()) - 1
+    val approx = math.sqrt(chi.getAs[Double]("chi2") / (n * minDim))
+    assert(math.abs(cv - approx) < 1e-5, s"V $cv vs $approx")
+  }
+
   test("ANOVA F matches an exact moment replay; variance decomposition ties out") {
     val rows = Tables.load(spark, SF, "events")
       .filter(col("event_type") === "purchase")

@@ -164,6 +164,34 @@ class EventOpsSpec extends SparkTestBase {
         d -> rs.map(r => math.floor(r.getDouble(1) * 100.0 + 0.5).toLong).sum
       }.toSeq.sortBy(_._1)
 
+  test("cohort LTV matches a first-week replay; revenue is conserved") {
+    val rows = Tables.load(spark, SF, "events")
+      .select(col("user_id"), date_trunc("week", col("ts")).cast("date").cast("string").as("w"),
+        col("event_type"), col("value")).collect()
+    val cohort: Map[Long, String] = rows.groupBy(_.getLong(0))
+      .map { case (u, rs) => u -> rs.map(_.getString(1)).min }
+    val cells = scala.collection.mutable.Map.empty[(String, Int), (Set[Long], Long)]
+    rows.filter(_.getString(2) == "purchase").foreach { r =>
+      val u = r.getLong(0)
+      val cw = cohort(u)
+      val age = ((java.time.LocalDate.parse(r.getString(1)).toEpochDay -
+        java.time.LocalDate.parse(cw).toEpochDay) / 7).toInt
+      val c = math.floor(r.getDouble(3) * 100.0 + 0.5).toLong
+      val (us, rev) = cells.getOrElse((cw, age), (Set.empty[Long], 0L))
+      cells((cw, age)) = (us + u, rev + c)
+    }
+    val want = cells.toSeq.map { case ((cw, a), (us, rev)) => (cw, a, us.size.toLong, rev) }
+      .sortBy(x => (x._1, x._2))
+    val got = EventOps.eventCohortLtv(spark, SF).collect()
+      .map(r => (r.getDate(0).toString, r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == want, s"got ${got.take(3)} want ${want.take(3)}")
+    got.foreach { case (_, age, nb, rev) => assert(age >= 0 && nb > 0 && rev > 0) }
+    // conservation: matrix total == all purchase cents (every buyer has a cohort)
+    val totalCents = rows.filter(_.getString(2) == "purchase")
+      .map(r => math.floor(r.getDouble(3) * 100.0 + 0.5).toLong).sum
+    assert(got.map(_._4).sum == totalCents)
+  }
+
   test("event_rfm: metric replay, balanced quintiles, segment ladder consistency") {
     val pur = Tables.load(spark, SF, "events")
       .filter(col("event_type") === "purchase")

@@ -43,8 +43,8 @@ class PlanInvariantsSpec extends SparkTestBase {
     "join_cross", "event_funnel", "fn_bool_logic_3vl", "join_skew_salted",
     "llm_knn_queries", "llm_lang_temperature", "llm_unigram_logprob",
     "llm_tfidf_topk", "tpch_q22_idle", "tpch_q11_stock", "llm_domain_mix",
-    "stat_skew_report", "stat_chisq", "agg_hll_merge", "agg_hll_intersect",
-    "llm_bm25_topk")
+    "stat_skew_report", "stat_chisq", "stat_cramers_v", "agg_hll_merge",
+    "agg_hll_intersect", "llm_bm25_topk")
 
   test("no graded key plans a CartesianProduct; nested-loop joins only where justified") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
