@@ -355,9 +355,13 @@ object AdvancedOps {
       .select(round(col("chi2raw"), 6).as("chi2"),
         col("dof").cast("long").as("dof"),
         col("n").cast("long").as("n"),
-        (floor(sqrt(col("chi2raw") /
-          (col("n") * least(col("r") - 1, col("c") - 1).cast("double"))) * 1000000.0 + 0.5)
-          / 1000000.0).as("cramers_v"))
+        // degenerate 1×k grid: min(r−1,c−1)=0 → V is undefined; report
+        // 0.0 (no measurable association) instead of Inf/ANSI error —
+        // the same graceful degradation statChiSquare has (chi2=0, dof=0)
+        when(least(col("r") - 1, col("c") - 1) === 0, lit(0.0))
+          .otherwise(floor(sqrt(col("chi2raw") /
+            (col("n") * least(col("r") - 1, col("c") - 1).cast("double"))) * 1000000.0 + 0.5)
+            / 1000000.0).as("cramers_v"))
 
   // ---------------------------------------------------------------- KS test
 
@@ -966,7 +970,7 @@ object AdvancedOps {
         "g AS (SELECT dof, n, rr, cc, sum((o - e) * (o - e) / e) AS chi2raw " +
         "FROM grid GROUP BY dof, n, rr, cc) " +
         "SELECT round(chi2raw, 6) AS chi2, CAST(dof AS BIGINT) AS dof, CAST(n AS BIGINT) AS n, " +
-        "floor(sqrt(chi2raw / (n * CAST(least(rr - 1, cc - 1) AS DOUBLE))) * 1000000.0 + 0.5) / 1000000.0 AS cramers_v " +
+        "CASE WHEN least(rr - 1, cc - 1) = 0 THEN 0.0 ELSE floor(sqrt(chi2raw / (n * CAST(least(rr - 1, cc - 1) AS DOUBLE))) * 1000000.0 + 0.5) / 1000000.0 END AS cramers_v " +
         "FROM g"),
     "stat_chisq" ->
       ("WITH obs AS (SELECT lang, source, CAST(count(*) AS DOUBLE) AS o FROM documents GROUP BY 1, 2), " +
