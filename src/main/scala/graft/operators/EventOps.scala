@@ -370,20 +370,65 @@ object EventOps {
       .orderBy("cohort_week", "age_w")
   }
 
+  /** Exact distributed `ntile(k) OVER (ORDER BY ord…)` — without the
+    * single-partition WindowExec the built-in global form plans.
+    *
+    * The tile of a row is a pure function of its GLOBAL rank, so the
+    * work is computing that rank in parallel: a global `orderBy` (a
+    * range-shuffled, all-task parallel sort — NOT a single-partition
+    * WindowExec), then `zipWithIndex` for the exact rank. The one
+    * deliberate RDD hop is load-bearing for determinism, not style:
+    * range boundaries come from SAMPLING, and sampling reads shuffle
+    * output whose row order is nondeterministic — so any design where
+    * two separately-planned jobs must agree on partition boundaries
+    * (a counts collect + a scoring job; or two in-plan branches whose
+    * exchange reuse is best-effort) was observed LIVE at sf0.1
+    * assigning rows to different ranges per job and corrupting the
+    * offsets. `Dataset.rdd` pins one physical plan: its
+    * RangePartitioner is constructed exactly once, and every job below
+    * (zipWithIndex's count job, the scoring pass, downstream chained
+    * calls) reuses that same partitioner and the same shuffle files.
+    * The ntile bucket formula (first n%k buckets take one extra row)
+    * then maps rank → tile in integer arithmetic, so the output is
+    * bit-identical to `ntile(k) OVER (ORDER BY ord…)` — the DuckDB
+    * oracle keeps plain ntile — and deterministic because callers
+    * make `ord` a total order.
+    * Scale: one count job + one parallel sort over the input grain;
+    * nothing driver-side but the row count. */
+  private[graft] def distNtile(df: DataFrame, k: Int, out: String, ord: Column*): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+    val n = df.count()
+    val base = n / k; val rem = n % k; val big = base + 1
+    val rowRdd = df.orderBy(ord: _*).rdd // planned ONCE — see above
+    val withTile = rowRdd.zipWithIndex().map { case (r, i) =>
+      val rank = i + 1
+      val tile =
+        if (base == 0L) rank.toInt // n < k: occupied buckets hold 1 row each
+        else if (rank <= rem * big) ((rank + big - 1) / big).toInt
+        else (rem + (rank - rem * big + base - 1) / base).toInt
+      Row.fromSeq(r.toSeq :+ tile)
+    }
+    df.sparkSession.createDataFrame(withTile,
+      StructType(df.schema.fields :+ StructField(out, IntegerType, nullable = false)))
+  }
+
   /** RFM segmentation — the marketing-analytics classic: per user,
     * Recency (days since last purchase, measured against the corpus'
     * last day), Frequency (purchase count), Monetary (total integer
     * cents), each cut into quintiles; a CASE ladder maps the three
     * scores to the standard segment names. Determinism: all three
-    * metrics are exact integers; every ntile orders by (metric,
-    * user_id) so tie assignment is total; recency quintiles invert
+    * metrics are exact integers; every quintile cut orders by (metric,
+    * user_id) so tile assignment is total; recency quintiles invert
     * (recent = high score) by ordering recency DESC.
-    * Scale: one hash aggregation to user grain, three window passes
-    * over the user-grain table (at 100 TB: grain ≪ corpus; the windows
-    * re-sort a bounded table, or become cutoff-by-quantile + map-side
-    * compare — the ccnet-buckets note). */
+    * Scale: one hash aggregation to user grain, then three
+    * [[distNtile]] passes — each a parallel range shuffle + PARTITIONED
+    * window, never a single-partition sort. The user grain is the
+    * largest dimension in the system at 100 TB; a global
+    * `ntile() OVER (ORDER BY …)` would sort all of it on one task,
+    * which is exactly what this formulation avoids while staying
+    * bit-identical to the plain-ntile oracle. */
   def eventRfm(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val pur = ev(s, d).filter(col("event_type") === "purchase")
     val perUser = pur.groupBy("user_id").agg(
       max(to_date(col("ts"))).as("last_day"),
@@ -394,15 +439,13 @@ object EventOps {
     // single-partition sort would re-order the whole user grain just to
     // broadcast a scalar
     val horizon = pur.agg(max(to_date(col("ts")))).head().getDate(0)
-    val scored = perUser
-      .withColumn("recency_d",
-        datediff(lit(horizon), col("last_day")).cast("long"))
-      .withColumn("r_score",
-        ntile(5).over(Window.orderBy(col("recency_d").desc, col("user_id"))))
-      .withColumn("f_score",
-        ntile(5).over(Window.orderBy(col("frequency"), col("user_id"))))
-      .withColumn("m_score",
-        ntile(5).over(Window.orderBy(col("monetary_c"), col("user_id"))))
+    val withRec = perUser.withColumn("recency_d",
+      datediff(lit(horizon), col("last_day")).cast("long"))
+    val scored = Seq[(String, Seq[Column])](
+      ("r_score", Seq(col("recency_d").desc, col("user_id"))),
+      ("f_score", Seq(col("frequency"), col("user_id"))),
+      ("m_score", Seq(col("monetary_c"), col("user_id")))
+    ).foldLeft(withRec) { case (df, (out, ord)) => distNtile(df, 5, out, ord: _*) }
     scored.select(col("user_id"), col("recency_d"), col("frequency"),
       col("monetary_c"), col("r_score"), col("f_score"), col("m_score"),
       when(col("r_score") >= 4 && col("f_score") >= 4 && col("m_score") >= 4, "champion")

@@ -310,4 +310,38 @@ class EventOpsSpec extends SparkTestBase {
       assert(p.matches(s"$tpe(>$tpe){0,3}"), p); assert(n >= 1L)
     }
   }
+
+  test("distNtile is bit-identical to the built-in global ntile (n%k!=0, heavy ties, n<k)") {
+    import org.apache.spark.sql.expressions.Window
+    // n=23, k=5 -> base 4, rem 3: first 3 buckets take 5 rows; ties on the
+    // metric (m = i%4) force the user_id tiebreak to decide bucket edges
+    val df = (1 to 23).map(i => (i % 4, f"u$i%03d")).toDF("m", "uid")
+    val got = EventOps.distNtile(df, 5, "t", col("m"), col("uid"))
+      .orderBy("uid").collect().toSeq
+    val want = df.withColumn("t", ntile(5).over(Window.orderBy(col("m"), col("uid"))))
+      .orderBy("uid").collect().toSeq
+    assert(got == want)
+    // n < k: every occupied bucket holds exactly one row
+    val small = Seq((9, "a"), (1, "b"), (5, "c")).toDF("m", "uid")
+    val gotS = EventOps.distNtile(small, 5, "t", col("m").desc, col("uid"))
+      .orderBy("uid").collect().toSeq
+    val wantS = small.withColumn("t",
+        ntile(5).over(Window.orderBy(col("m").desc, col("uid"))))
+      .orderBy("uid").collect().toSeq
+    assert(gotS == wantS)
+  }
+
+  test("event_rfm plans no unpartitioned window — the user-grain quintiles ride distNtile") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LogicalWindow}
+    val qe = EventOps.eventRfm(spark, SF).queryExecution
+    val global = qe.optimizedPlan.collect {
+      case w: LogicalWindow if w.partitionSpec.isEmpty => w
+    }
+    assert(global.isEmpty,
+      s"unpartitioned window(s) would sort the whole user grain on one task:\n${global.mkString("\n")}")
+    // and the physical plan carries no single-partition WindowExec either
+    val winExec = qe.executedPlan.toString.linesIterator
+      .filter(_.contains("Window ")).toSeq
+    assert(winExec.isEmpty, s"unexpected WindowExec nodes:\n${winExec.mkString("\n")}")
+  }
 }
