@@ -10,6 +10,10 @@ object Bench {
     val spark = GraftSession.builder(master = s"local[$cpus]",
       shufflePartitions = cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // bounded-grain windows (see PlanInvariantsSpec.globalWindowAllowed)
+    // would otherwise print ~20 benign single-partition WARNs into the
+    // driver's bounded stderr tail
+    graft.tools.LogHygiene.suppressBoundedGrainWindowWarn()
     // Warm the JVM/codegen/parquet-reader paths once so the first timed
     // query doesn't absorb ~5s of startup cost.
     try {

@@ -16,6 +16,9 @@ object Verify {
     val spark = GraftSession.builder(master = s"local[$cpus]",
       shufflePartitions = cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // same bounded-stderr-tail hygiene as Bench (PlanInvariantsSpec's
+    // globalWindowAllowed test is the guard that keeps this safe)
+    graft.tools.LogHygiene.suppressBoundedGrainWindowWarn()
     new java.io.File(outDir).mkdirs()
     // Failures go to stderr for the driver AND into a durable artifact —
     // round 5 proved a stderr-only record lets a 32-key outage go unnoticed

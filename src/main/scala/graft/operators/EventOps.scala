@@ -370,49 +370,6 @@ object EventOps {
       .orderBy("cohort_week", "age_w")
   }
 
-  /** Exact distributed `ntile(k) OVER (ORDER BY ord…)` — without the
-    * single-partition WindowExec the built-in global form plans.
-    *
-    * The tile of a row is a pure function of its GLOBAL rank, so the
-    * work is computing that rank in parallel: a global `orderBy` (a
-    * range-shuffled, all-task parallel sort — NOT a single-partition
-    * WindowExec), then `zipWithIndex` for the exact rank. The one
-    * deliberate RDD hop is load-bearing for determinism, not style:
-    * range boundaries come from SAMPLING, and sampling reads shuffle
-    * output whose row order is nondeterministic — so any design where
-    * two separately-planned jobs must agree on partition boundaries
-    * (a counts collect + a scoring job; or two in-plan branches whose
-    * exchange reuse is best-effort) was observed LIVE at sf0.1
-    * assigning rows to different ranges per job and corrupting the
-    * offsets. `Dataset.rdd` pins one physical plan: its
-    * RangePartitioner is constructed exactly once, and every job below
-    * (zipWithIndex's count job, the scoring pass, downstream chained
-    * calls) reuses that same partitioner and the same shuffle files.
-    * The ntile bucket formula (first n%k buckets take one extra row)
-    * then maps rank → tile in integer arithmetic, so the output is
-    * bit-identical to `ntile(k) OVER (ORDER BY ord…)` — the DuckDB
-    * oracle keeps plain ntile — and deterministic because callers
-    * make `ord` a total order.
-    * Scale: one count job + one parallel sort over the input grain;
-    * nothing driver-side but the row count. */
-  private[graft] def distNtile(df: DataFrame, k: Int, out: String, ord: Column*): DataFrame = {
-    import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
-    val n = df.count()
-    val base = n / k; val rem = n % k; val big = base + 1
-    val rowRdd = df.orderBy(ord: _*).rdd // planned ONCE — see above
-    val withTile = rowRdd.zipWithIndex().map { case (r, i) =>
-      val rank = i + 1
-      val tile =
-        if (base == 0L) rank.toInt // n < k: occupied buckets hold 1 row each
-        else if (rank <= rem * big) ((rank + big - 1) / big).toInt
-        else (rem + (rank - rem * big + base - 1) / base).toInt
-      Row.fromSeq(r.toSeq :+ tile)
-    }
-    df.sparkSession.createDataFrame(withTile,
-      StructType(df.schema.fields :+ StructField(out, IntegerType, nullable = false)))
-  }
-
   /** RFM segmentation — the marketing-analytics classic: per user,
     * Recency (days since last purchase, measured against the corpus'
     * last day), Frequency (purchase count), Monetary (total integer
@@ -422,8 +379,9 @@ object EventOps {
     * user_id) so tile assignment is total; recency quintiles invert
     * (recent = high score) by ordering recency DESC.
     * Scale: one hash aggregation to user grain, then three
-    * [[distNtile]] passes — each a parallel range shuffle + PARTITIONED
-    * window, never a single-partition sort. The user grain is the
+    * [[ScalePrimitives.distNtile]] passes — each a parallel range
+    * sort + pinned-partitioner rank, never a single-partition
+    * window. The user grain is the
     * largest dimension in the system at 100 TB; a global
     * `ntile() OVER (ORDER BY …)` would sort all of it on one task,
     * which is exactly what this formulation avoids while staying
@@ -445,7 +403,8 @@ object EventOps {
       ("r_score", Seq(col("recency_d").desc, col("user_id"))),
       ("f_score", Seq(col("frequency"), col("user_id"))),
       ("m_score", Seq(col("monetary_c"), col("user_id")))
-    ).foldLeft(withRec) { case (df, (out, ord)) => distNtile(df, 5, out, ord: _*) }
+    ).foldLeft(withRec) { case (df, (out, ord)) =>
+      ScalePrimitives.distNtile(df, 5, out, ord: _*) }
     scored.select(col("user_id"), col("recency_d"), col("frequency"),
       col("monetary_c"), col("r_score"), col("f_score"), col("m_score"),
       when(col("r_score") >= 4 && col("f_score") >= 4 && col("m_score") >= 4, "champion")

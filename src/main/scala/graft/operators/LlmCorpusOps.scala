@@ -836,32 +836,26 @@ object LlmCorpusOps {
     * The idiom is first-occurrence attribution: each word contributes
     * +1 to the doc where min(doc_id) saw it — one vocab-sized
     * aggregation, never a per-doc distinct scan. Scale: the cumulative
-    * windows run on the DOC grain; at 100 TB the doc-grain prefix sum
-    * becomes a two-pass range-partitioned scan (per-partition totals →
-    * broadcast offsets), identical semantics — noted, not needed at
-    * fixture scale. */
+    * sums run on the DOC grain, which is the data grain — so they ride
+    * [[ScalePrimitives.distRunning]]'s two-pass range-partitioned scan
+    * (parallel sort, per-partition totals, broadcast offsets) instead
+    * of an unpartitioned window that would re-sort every document on
+    * one task. */
   def llmHeapsGrowth(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val words = t(s, d, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .filter(length(col("word")) >= 1)
     val perDoc = words.groupBy("doc_id").agg(count(lit(1)).as("n_tok"))
     val firstOcc = words.groupBy("word").agg(min("doc_id").as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_new"))
-    val wCum = Window.orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    perDoc.join(firstOcc, Seq("doc_id"), "left")
+    val joined = perDoc.join(firstOcc, Seq("doc_id"), "left")
       .na.fill(0L, Seq("n_new"))
-      .withColumn("rank", row_number().over(Window.orderBy("doc_id")))
-      .withColumn("cum_tokens", sum("n_tok").over(wCum))
-      .withColumn("cum_vocab", sum("n_new").over(wCum))
-      .withColumn("n_total", count(lit(1)).over(wAll))
+    val nDocs = joined.count() // deterministic scalar; the checkpoint spine's tail
+    ScalePrimitives.distRunning(joined, Seq(col("doc_id")), "rank",
+        Seq("n_tok", "n_new"), Seq("cum_tokens", "cum_vocab"))
       .filter(col("rank").bitwiseAND(col("rank") - 1) === 0 ||
-        col("rank") === col("n_total"))
-      .select(col("rank").cast("long").as("n_docs_seen"),
-        col("cum_tokens"), col("cum_vocab"))
+        col("rank") === nDocs)
+      .select(col("rank").as("n_docs_seen"), col("cum_tokens"), col("cum_vocab"))
       .orderBy("n_docs_seen")
   }
 

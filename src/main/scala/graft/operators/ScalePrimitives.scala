@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+
+/** Distributed order-statistics primitives — exact global rank, running
+  * (prefix) sums, and ntile — WITHOUT the single-partition WindowExec the
+  * built-in unpartitioned window functions plan.
+  *
+  * All three ride one machinery: a global `orderBy` (a range-shuffled,
+  * all-task parallel sort) pinned through `Dataset.rdd`, then one bounded
+  * per-partition-totals pass and one streaming output pass. The one
+  * deliberate RDD hop is load-bearing for determinism, not style: range
+  * boundaries come from SAMPLING, and sampling reads shuffle output whose
+  * row order is nondeterministic — so any design where separately-planned
+  * jobs must agree on partition boundaries (a counts collect + a scoring
+  * job, or two in-plan branches relying on best-effort exchange reuse)
+  * was observed LIVE at sf0.1 assigning rows to different ranges per job
+  * and corrupting rank offsets. `Dataset.rdd` pins ONE physical plan: its
+  * RangePartitioner is constructed exactly once and every job below (the
+  * totals pass, the output pass, chained downstream calls) reuses that
+  * partitioner and its shuffle files.
+  *
+  * Scale: the only driver-side state is one (count, Σ…) tuple PER
+  * PARTITION — bounded by the cluster's partition count, never the data
+  * grain — and the sort itself is the same parallel range sort a global
+  * `orderBy` costs anywhere else.
+  */
+object ScalePrimitives {
+
+  /** `df` extended with an exact 1-based global rank over `ord` (named
+    * `rankOut`) and, for each `sumCols(i)` (must be LongType), the
+    * inclusive running sum in `ord` order (named `sumOuts(i)`).
+    * Deterministic when `ord` is a total order. */
+  def distRunning(df: DataFrame, ord: Seq[Column], rankOut: String,
+                  sumCols: Seq[String] = Nil, sumOuts: Seq[String] = Nil): DataFrame = {
+    require(sumCols.length == sumOuts.length, "one output name per running-sum column")
+    val idx = sumCols.map(df.schema.fieldIndex).toArray
+    idx.foreach { i =>
+      require(df.schema(i).dataType == LongType,
+        s"distRunning sums LongType columns only; ${df.schema(i).name} is ${df.schema(i).dataType}")
+    }
+    val rowRdd = df.orderBy(ord: _*).rdd // planned ONCE — see object doc
+    // pass 1: per-partition (row count, per-column totals); |partitions| rows
+    val totals = rowRdd.mapPartitionsWithIndex { case (pid, it) =>
+      var cnt = 0L
+      val acc = new Array[Long](idx.length)
+      it.foreach { r =>
+        cnt += 1
+        var j = 0
+        while (j < idx.length) { acc(j) += r.getLong(idx(j)); j += 1 }
+      }
+      Iterator((pid, cnt, acc))
+    }.collect().sortBy(_._1)
+    // exclusive prefix offsets per partition, dense over 0..maxPid
+    val nParts = rowRdd.getNumPartitions
+    val rankOff = new Array[Long](nParts)
+    val sumOff = Array.ofDim[Long](nParts, idx.length)
+    var rk = 0L
+    val run = new Array[Long](idx.length)
+    var p = 0
+    val byPid = totals.map(t => t._1 -> t).toMap
+    while (p < nParts) {
+      rankOff(p) = rk
+      var j = 0
+      while (j < idx.length) { sumOff(p)(j) = run(j); j += 1 }
+      byPid.get(p).foreach { case (_, cnt, acc) =>
+        rk += cnt
+        var j = 0
+        while (j < idx.length) { run(j) += acc(j); j += 1 }
+      }
+      p += 1
+    }
+    val localIdx = idx // avoid closing over `df`
+    // pass 2: stream each partition once, carrying rank + running sums
+    val outRdd = rowRdd.mapPartitionsWithIndex { case (pid, it) =>
+      var rank = rankOff(pid)
+      val acc = sumOff(pid).clone()
+      it.map { r =>
+        rank += 1
+        var j = 0
+        while (j < localIdx.length) { acc(j) += r.getLong(localIdx(j)); j += 1 }
+        Row.fromSeq((r.toSeq :+ rank) ++ acc)
+      }
+    }
+    val fields = df.schema.fields :+ StructField(rankOut, LongType, nullable = false)
+    val sumFields = sumOuts.map(n => StructField(n, LongType, nullable = false))
+    df.sparkSession.createDataFrame(outRdd, StructType(fields ++ sumFields))
+  }
+
+  /** Exact distributed `ntile(k) OVER (ORDER BY ord…)`: the global rank
+    * from [[distRunning]], then the ntile bucket formula (first n%k
+    * buckets take one extra row) in integer arithmetic — bit-identical
+    * to the built-in, so DuckDB oracles keep plain ntile. */
+  def distNtile(df: DataFrame, k: Int, out: String, ord: Column*): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    val n = df.count()
+    val base = n / k; val rem = n % k; val big = base + 1
+    val tile =
+      if (base == 0L) expr("CAST(__rnk AS INT)") // n < k: occupied buckets hold 1 row each
+      else expr(s"CAST(IF(__rnk <= ${rem * big}, (__rnk + ${big - 1}) DIV $big, " +
+        s"$rem + ((__rnk - ${rem * big} + ${base - 1}) DIV $base)) AS INT)")
+    distRunning(df, ord, "__rnk").withColumn(out, tile).drop("__rnk")
+  }
+}

@@ -316,19 +316,35 @@ class EventOpsSpec extends SparkTestBase {
     // n=23, k=5 -> base 4, rem 3: first 3 buckets take 5 rows; ties on the
     // metric (m = i%4) force the user_id tiebreak to decide bucket edges
     val df = (1 to 23).map(i => (i % 4, f"u$i%03d")).toDF("m", "uid")
-    val got = EventOps.distNtile(df, 5, "t", col("m"), col("uid"))
+    val got = graft.operators.ScalePrimitives.distNtile(df, 5, "t", col("m"), col("uid"))
       .orderBy("uid").collect().toSeq
     val want = df.withColumn("t", ntile(5).over(Window.orderBy(col("m"), col("uid"))))
       .orderBy("uid").collect().toSeq
     assert(got == want)
     // n < k: every occupied bucket holds exactly one row
     val small = Seq((9, "a"), (1, "b"), (5, "c")).toDF("m", "uid")
-    val gotS = EventOps.distNtile(small, 5, "t", col("m").desc, col("uid"))
+    val gotS = graft.operators.ScalePrimitives.distNtile(small, 5, "t", col("m").desc, col("uid"))
       .orderBy("uid").collect().toSeq
     val wantS = small.withColumn("t",
         ntile(5).over(Window.orderBy(col("m").desc, col("uid"))))
       .orderBy("uid").collect().toSeq
     assert(gotS == wantS)
+  }
+
+  test("distRunning rank + running sums equal the unpartitioned-window reference") {
+    import org.apache.spark.sql.expressions.Window
+    val df = (1 to 37).map(i => ((i * 7) % 11, i.toLong, (i % 5).toLong)).toDF("ord", "a", "b")
+    val got = graft.operators.ScalePrimitives
+      .distRunning(df, Seq(col("ord"), col("a")), "rk", Seq("a", "b"), Seq("ca", "cb"))
+      .orderBy("rk").collect().toSeq
+    val w = Window.orderBy(col("ord"), col("a"))
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = df
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("ca", sum("a").over(cum))
+      .withColumn("cb", sum("b").over(cum))
+      .orderBy("rk").collect().toSeq
+    assert(got == want)
   }
 
   test("event_rfm plans no unpartitioned window — the user-grain quintiles ride distNtile") {

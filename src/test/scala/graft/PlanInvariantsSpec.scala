@@ -57,6 +57,48 @@ class PlanInvariantsSpec extends SparkTestBase {
     assert(offenders.isEmpty, s"scale anti-patterns:\n${offenders.mkString("\n")}")
   }
 
+  /** Keys that legitimately plan an UNPARTITIONED window — every entry
+    * runs it over a provably BOUNDED grain, never the data grain, so the
+    * "Moving all data to a single partition" WARN is benign by
+    * construction for exactly these keys (Bench filters the message on
+    * the strength of this test):
+    *  - stat_psi: 20 fixed value bins (fixed-width binning, range-capped).
+    *  - stat_benford: 9 first-digit rows.
+    *  - ts_changepoint: calendar-day grain — bounded by the corpus'
+    *    time span, not its volume.
+    *  - stat_ks_test / stat_mannwhitney: the distinct-value domain of
+    *    2-dp purchase amounts — bounded by the price domain.
+    *  - llm_zipf_fit: the vocabulary grain — sublinear in corpus size
+    *    (Heaps' law), the same posture as llm_dsir_weight's score table.
+    * Data-grain running totals (event_rfm's user-grain quintiles,
+    * llm_heaps_growth's doc-grain growth curve) must instead ride
+    * ScalePrimitives.distNtile/distRunning and stay OUT of this list. */
+  private val globalWindowAllowed: Set[String] = Set(
+    "stat_psi", "stat_benford", "ts_changepoint",
+    "stat_ks_test", "stat_mannwhitney", "llm_zipf_fit")
+
+  test("unpartitioned windows only over provably bounded grains") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LogicalWindow}
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val wins = fn(spark, SF).queryExecution.optimizedPlan.collect {
+        case w: LogicalWindow if w.partitionSpec.isEmpty => w
+      }
+      if (wins.nonEmpty && !globalWindowAllowed(name)) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"keys planning an unpartitioned window outside the bounded-grain allowlist: $offenders")
+  }
+
+  test("the global-window allowlist is tight: every allowlisted key still plans one") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LogicalWindow}
+    val stale = globalWindowAllowed.toSeq.sorted.filterNot { name =>
+      SparkEntry.queries(name)(spark, SF).queryExecution.optimizedPlan.collect {
+        case w: LogicalWindow if w.partitionSpec.isEmpty => w
+      }.nonEmpty
+    }
+    assert(stale.isEmpty, s"allowlist entries no longer planning a global window: $stale")
+  }
+
   test("the BNL allowlist is tight: every allowlisted key still plans a BNL") {
     // an allowlist entry whose plan improved should be REMOVED, so the
     // allowlist never silently grows stale
