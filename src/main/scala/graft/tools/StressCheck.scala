@@ -636,6 +636,64 @@ object StressCheck {
       nB
     }
 
+    // 20. Basket-affinity pair kernel at 24M (basket, item) rows — 40x
+    // the sf0.1 lineitem grain behind round-8's basket_affinity key. The
+    // scale claim under test: candidate fan-out is Σ(basket-width²),
+    // NEVER corpus² — widths control everything. Three planted
+    // populations make that analytic:
+    //  - 4M organic 6-item baskets over a 100k-item catalog (pair
+    //    support across baskets is birthday-rare at this catalog size);
+    //  - 50 wide-basket ADVERSARIES (width 200, each on its own disjoint
+    //    item block): they must contribute EXACTLY 50·C(200,2) = 995,000
+    //    candidate pairs — the Σwidth² bound, verified as an equality,
+    //    not a ceiling — and ZERO survivors, because every adversary
+    //    pair occurs once and the n_ab ≥ 2 support filter is what holds
+    //    the output at planted scale;
+    //  - one winner pair co-occurring in 100 dedicated 2-item baskets
+    //    and nowhere else: lift = N/100, far above any organic pair
+    //    (an organic lift rival would need an item seen ~2 times in 24M
+    //    draws of mean 240 — Poisson-impossible), so it must rank 1.
+    time("basket_pairs_24m") {
+      val nRows = (24000000 * scale).toLong
+      val nCat = 100000L
+      val advBase = 10000000000L // basket-id block far above the organic range
+      val w1 = 9000000L
+      val regular = spark.range(nRows).select(
+        expr("id DIV 6").as("ok"),
+        pmod(xxhash64(col("id"), lit(21)), lit(nCat)).as("pk"))
+      val adversary = spark.range(50L * 200L).select(
+        (lit(advBase) + expr("id DIV 200")).as("ok"),
+        (lit(nCat) + col("id")).as("pk")) // items unique per row: width 200, support 1
+      val winner = spark.range(200).select(
+        (lit(advBase) + 1000L + expr("id DIV 2")).as("ok"),
+        (lit(w1) + pmod(col("id"), lit(2))).as("pk"))
+      val dpk = regular.union(adversary).union(winner).distinct()
+      val n = dpk.select(countDistinct("ok")).head().getLong(0)
+      val pairsAll = dpk.as("a")
+        .join(dpk.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("a_id"), col("b.pk").as("b_id"))
+      val inAdv = col("a_id") >= nCat && col("a_id") < nCat + 50L * 200L
+      val advCand = pairsAll.filter(inAdv).count()
+      require(advCand == 50L * (200L * 199L / 2L),
+        s"adversary candidate volume broke the exact Σwidth² bound: $advCand")
+      val pairs = pairsAll.groupBy("a_id", "b_id")
+        .agg(count(lit(1)).as("n_ab")).filter(col("n_ab") >= 2)
+      val advSurvivors = pairs.filter(inAdv).count()
+      require(advSurvivors == 0L,
+        s"support filter leaked $advSurvivors single-occurrence adversary pairs")
+      val cnt = dpk.groupBy("pk").agg(count(lit(1)).as("np"))
+      val top = pairs
+        .join(cnt.select(col("pk").as("a_id"), col("np").as("n_a")), "a_id")
+        .join(cnt.select(col("pk").as("b_id"), col("np").as("n_b")), "b_id")
+        .select(col("a_id"), col("b_id"), col("n_ab"),
+          ((col("n_ab") * lit(n)).cast("double") /
+            (col("n_a") * col("n_b")).cast("double")).as("lift"))
+        .orderBy(col("lift").desc, col("a_id"), col("b_id")).limit(1).collect()(0)
+      require(top.getLong(0) == w1 && top.getLong(1) == w1 + 1 && top.getLong(2) == 100L,
+        s"planted winner pair not at rank 1: $top")
+      advCand + pairs.count()
+    }
+
     val total = results.values.sum
     val json = results.map { case (k, v) =>
       "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
