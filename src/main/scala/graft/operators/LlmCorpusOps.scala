@@ -850,9 +850,9 @@ object LlmCorpusOps {
       .groupBy("doc_id").agg(count(lit(1)).as("n_new"))
     val joined = perDoc.join(firstOcc, Seq("doc_id"), "left")
       .na.fill(0L, Seq("n_new"))
-    val nDocs = joined.count() // deterministic scalar; the checkpoint spine's tail
-    ScalePrimitives.distRunning(joined, Seq(col("doc_id")), "rank",
-        Seq("n_tok", "n_new"), Seq("cum_tokens", "cum_vocab"))
+    val (cum, nDocs) = ScalePrimitives.distRunningWithCount(joined,
+      Seq(col("doc_id")), "rank", Seq("n_tok", "n_new"), Seq("cum_tokens", "cum_vocab"))
+    cum
       .filter(col("rank").bitwiseAND(col("rank") - 1) === 0 ||
         col("rank") === nDocs)
       .select(col("rank").as("n_docs_seen"), col("cum_tokens"), col("cum_vocab"))

@@ -33,7 +33,16 @@ object ScalePrimitives {
     * inclusive running sum in `ord` order (named `sumOuts(i)`).
     * Deterministic when `ord` is a total order. */
   def distRunning(df: DataFrame, ord: Seq[Column], rankOut: String,
-                  sumCols: Seq[String] = Nil, sumOuts: Seq[String] = Nil): DataFrame = {
+                  sumCols: Seq[String] = Nil, sumOuts: Seq[String] = Nil): DataFrame =
+    distRunningWithCount(df, ord, rankOut, sumCols, sumOuts)._1
+
+  /** [[distRunning]] plus the total row count — already known from the
+    * per-partition totals pass, so callers needing n (the ntile formula,
+    * a last-row filter) don't pay a separate count job that would
+    * recompute the whole upstream plan. */
+  def distRunningWithCount(df: DataFrame, ord: Seq[Column], rankOut: String,
+                           sumCols: Seq[String] = Nil,
+                           sumOuts: Seq[String] = Nil): (DataFrame, Long) = {
     require(sumCols.length == sumOuts.length, "one output name per running-sum column")
     val idx = sumCols.map(df.schema.fieldIndex).toArray
     idx.foreach { i =>
@@ -85,7 +94,8 @@ object ScalePrimitives {
     }
     val fields = df.schema.fields :+ StructField(rankOut, LongType, nullable = false)
     val sumFields = sumOuts.map(n => StructField(n, LongType, nullable = false))
-    df.sparkSession.createDataFrame(outRdd, StructType(fields ++ sumFields))
+    (df.sparkSession.createDataFrame(outRdd, StructType(fields ++ sumFields)),
+      totals.map(_._2).sum)
   }
 
   /** Exact distributed `ntile(k) OVER (ORDER BY ord…)`: the global rank
@@ -93,13 +103,13 @@ object ScalePrimitives {
     * buckets take one extra row) in integer arithmetic — bit-identical
     * to the built-in, so DuckDB oracles keep plain ntile. */
   def distNtile(df: DataFrame, k: Int, out: String, ord: Column*): DataFrame = {
-    import org.apache.spark.sql.functions.{col, expr}
-    val n = df.count()
+    import org.apache.spark.sql.functions.expr
+    val (ranked, n) = distRunningWithCount(df, ord, "__rnk")
     val base = n / k; val rem = n % k; val big = base + 1
     val tile =
       if (base == 0L) expr("CAST(__rnk AS INT)") // n < k: occupied buckets hold 1 row each
       else expr(s"CAST(IF(__rnk <= ${rem * big}, (__rnk + ${big - 1}) DIV $big, " +
         s"$rem + ((__rnk - ${rem * big} + ${base - 1}) DIV $base)) AS INT)")
-    distRunning(df, ord, "__rnk").withColumn(out, tile).drop("__rnk")
+    ranked.withColumn(out, tile).drop("__rnk")
   }
 }
