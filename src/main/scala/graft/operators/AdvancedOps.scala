@@ -725,6 +725,46 @@ object AdvancedOps {
       .orderBy("l_returnflag")
   }
 
+  // ------------------------------------------------------------------ Gini
+
+  /** Gini coefficient core over any (key, spend_c) frame: the rank-form
+    * identity G = (2·Σ rᵢxᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ) with x ascending —
+    * every moment an exact integer. The global rank rides
+    * [[ScalePrimitives.distRunning]] (parallel range sort + pinned
+    * partitioner), NOT an unpartitioned window — the key grain is the
+    * data grain. Σrx in DECIMAL(38,0) (rank·cents products overflow
+    * int64's sum at warehouse scale — the agg_regression_multi Σy²
+    * discipline; the oracle rides HUGEINT with the VARCHAR→DOUBLE
+    * bridge, since DuckDB's HUGEINT→DOUBLE cast is not correctly
+    * rounded). One mirrored IEEE division, sign-aware 6 dp rounding. */
+  private[graft] def giniFrame(per: DataFrame, key: String, value: String): DataFrame = {
+    val (ranked, n) = ScalePrimitives.distRunningWithCount(
+      per, Seq(col(value), col(key)), "__rnk")
+    val m = ranked.agg(
+      sum(col(value)).as("sx"),
+      sum((col("__rnk").cast("decimal(19,0)") *
+        col(value).cast("decimal(19,0)")).cast("decimal(38,0)")).as("srx"))
+    def r6(c: Column) = signum(c) * (floor(abs(c) * 1000000.0 + 0.5) / 1000000.0) + lit(0.0)
+    // sx cast to decimal BEFORE the n-multiplies: Σcents·n wraps int64
+    // silently in Spark past ~1e15 cents of revenue
+    val sxD = col("sx").cast("decimal(19,0)")
+    val num = (col("srx") * 2 - (sxD * (n + 1)).cast("decimal(38,0)")).cast("decimal(38,0)")
+    val den = (sxD * n).cast("decimal(38,0)")
+    m.select(lit(n).as("n_keys"), col("sx").cast("long").as("total_c"),
+      r6(num.cast("double") / den.cast("double")).as("gini"))
+  }
+
+  /** stat_gini: inequality of per-customer total spend — the Lorenz-curve
+    * summary every revenue-concentration dashboard carries ("do 20% of
+    * customers drive 80% of revenue?"). Integer cents per order, one hash
+    * aggregation to the customer grain, then [[giniFrame]]. */
+  def statGini(s: SparkSession, d: String): DataFrame = {
+    val per = t(s, d, "orders")
+      .groupBy(col("o_custkey").as("ck"))
+      .agg(sum(floor(col("o_totalprice") * 100.0 + 0.5).cast("long")).as("spend_c"))
+    giniFrame(per, "ck", "spend_c")
+  }
+
   // --------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -746,9 +786,25 @@ object AdvancedOps {
     "llm_weighted_sample" -> (llmWeightedSample _),
     "scd2_build" -> (scd2Build _),
     "agg_incremental_rollup" -> (aggIncrementalRollup _),
-    "stat_outlier_mad" -> (statOutlierMad _))
+    "stat_outlier_mad" -> (statOutlierMad _),
+    "stat_gini" -> (statGini _))
 
   val oracles: Map[String, String] = Map(
+    // exact integer moments over the rank-sorted spend vector; Σrx in
+    // HUGEINT with the VARCHAR→DOUBLE bridge (HUGEINT→DOUBLE casts are
+    // not correctly rounded in DuckDB); one mirrored IEEE division
+    "stat_gini" ->
+      ("WITH per AS (SELECT o_custkey AS ck, " +
+        "CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS spend_c " +
+        "FROM orders GROUP BY 1), " +
+        "r AS (SELECT spend_c, CAST(row_number() OVER (ORDER BY spend_c, ck) AS BIGINT) AS rnk FROM per), " +
+        "m AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(spend_c) AS BIGINT) AS sx, " +
+        "sum(CAST(rnk AS HUGEINT) * spend_c) AS srx FROM r), " +
+        "g AS (SELECT n, sx, " +
+        "CAST(CAST(2 * srx - CAST(n + 1 AS HUGEINT) * sx AS VARCHAR) AS DOUBLE) / " +
+        "CAST(CAST(CAST(n AS HUGEINT) * sx AS VARCHAR) AS DOUBLE) AS gv FROM m) " +
+        "SELECT n AS n_keys, sx AS total_c, " +
+        "sign(gv) * floor(abs(gv) * 1000000.0 + 0.5) / 1000000.0 + 0.0 AS gini FROM g"),
     // exact integer group moments (HUGEINT Σc²); the 7 s²/n terms reduce
     // through list(ORDER BY dow) + list_reduce — the ordered-fold
     // discipline — so no float summation order exists on either engine

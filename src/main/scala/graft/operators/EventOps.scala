@@ -527,7 +527,37 @@ object EventOps {
       .limit(25)
   }
 
+  /** Peak session concurrency — the capacity-planning question every
+    * serving team asks of an event log ("how many sessions were live at
+    * the worst moment?"). [[sessionize]] (the I3 30-min kernel) yields
+    * [start, end] intervals; the classic sweep-line turns each into a
+    * +1 boundary at start and a −1 at end+1µs (sessions are active
+    * through their last event's instant), collapses boundaries to the
+    * timestamp grain, and takes the running sum — which is the live
+    * count at each instant. Peak = lexicographic top-1 by (count DESC,
+    * ts ASC), so ties resolve to the EARLIEST peak moment and the
+    * output is total-order deterministic.
+    * Scale: the boundary running sum is over the timestamp grain — the
+    * data grain — so it rides [[ScalePrimitives.distRunning]]'s
+    * two-pass range-partitioned scan, never an unpartitioned window;
+    * the top-1 is a TakeOrdered, never a global sort. */
+  def eventPeakConcurrency(s: SparkSession, d: String): DataFrame = {
+    val sess = sessionize(ev(s, d))
+    val bounds = sess.select(col("session_start").as("ts"), lit(1L).as("delta"))
+      .unionAll(sess.select(
+        (col("session_end") + expr("INTERVAL 1 MICROSECOND")).as("ts"),
+        lit(-1L).as("delta")))
+      .groupBy("ts").agg(sum("delta").as("delta"))
+    val run = ScalePrimitives.distRunning(bounds, Seq(col("ts")), "__rnk",
+      Seq("delta"), Seq("conc"))
+    val nSess = sess.count() // deterministic scalar, the vt_bloom key-fetch pattern
+    run.orderBy(col("conc").desc, col("ts")).limit(1)
+      .select(lit(nSess).as("n_sessions"), col("conc").as("peak_concurrent"),
+        col("ts").as("peak_at"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "event_peak_concurrency" -> (eventPeakConcurrency _),
     "ts_interpolate" -> (tsInterpolate _),
     "ts_ewma" -> (tsEwma _),
     "ts_autocorr" -> (tsAutocorr _),
@@ -550,6 +580,26 @@ object EventOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // the same 30-min sessionize kernel as event_sessionize's oracle,
+    // then the sweep-line: ±1 boundaries (end + 1µs), timestamp-grain
+    // net deltas, running sum, lexicographic top-1 (peak DESC, ts ASC)
+    "event_peak_concurrency" ->
+      ("WITH ordered AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, " +
+        "CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL OR " +
+        "epoch_us(CAST(ts AS TIMESTAMP)) - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w > 1800000000 " +
+        "THEN 1 ELSE 0 END AS new_session FROM events " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)), " +
+        "numbered AS (SELECT user_id, ts, CAST(sum(new_session) OVER " +
+        "(PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_id " +
+        "FROM ordered), " +
+        "sessions AS (SELECT user_id, sess_id, min(ts) AS session_start, max(ts) AS session_end " +
+        "FROM numbered GROUP BY 1, 2), " +
+        "bounds AS (SELECT session_start AS ts, 1 AS delta FROM sessions " +
+        "UNION ALL SELECT session_end + INTERVAL 1 MICROSECOND, -1 FROM sessions), " +
+        "net AS (SELECT ts, CAST(sum(delta) AS BIGINT) AS delta FROM bounds GROUP BY 1), " +
+        "cum AS (SELECT ts, CAST(sum(delta) OVER (ORDER BY ts ROWS UNBOUNDED PRECEDING) AS BIGINT) AS conc FROM net) " +
+        "SELECT (SELECT CAST(count(*) AS BIGINT) FROM sessions) AS n_sessions, " +
+        "conc AS peak_concurrent, ts AS peak_at FROM cum ORDER BY conc DESC, ts LIMIT 1"),
     // daily sums are exact integer cents; the interpolation expression
     // mirrors the Spark parenthesization character-for-character
     "ts_interpolate" ->

@@ -512,4 +512,18 @@ class AdvancedOpsSpec extends SparkTestBase {
       assert(math.abs(res.zip(g).map { case (e, x) => e * x._4 }.sum) / (scale * 10) < 1e-9)
     }
   }
+
+  test("giniFrame hits the analytic poles: perfect equality 0, one-owner (n-1)/n") {
+    val equal = (1L to 40L).map(i => (i, 250L)).toDF("ck", "spend_c")
+    val eq = AdvancedOps.giniFrame(equal, "ck", "spend_c").collect()(0)
+    assert(eq.getLong(0) == 40L && eq.getLong(1) == 10000L)
+    assert(eq.getDouble(2) == 0.0)
+    // one customer owns everything: G = (n-1)/n exactly
+    val onePct = (1L to 40L).map(i => (i, if (i == 40L) 7777L else 0L)).toDF("ck", "spend_c")
+    val op = AdvancedOps.giniFrame(onePct, "ck", "spend_c").collect()(0)
+    assert(op.getDouble(2) == math.floor(39.0 / 40.0 * 1e6 + 0.5) / 1e6)
+    // and a hand-checkable middle case: x = (1,2,3,4) -> G = 0.25
+    val mid = Seq((1L, 1L), (2L, 2L), (3L, 3L), (4L, 4L)).toDF("ck", "spend_c")
+    assert(AdvancedOps.giniFrame(mid, "ck", "spend_c").collect()(0).getDouble(2) == 0.25)
+  }
 }

@@ -331,6 +331,26 @@ class EventOpsSpec extends SparkTestBase {
     assert(gotS == wantS)
   }
 
+  test("peak concurrency on constructed sessions: overlap of 2 found at the right instant") {
+    // u7: events at 0 and 10 min (one session [0,10]); u8: one event at
+    // 5 min (session [5,5]); u9: one at 60 min. Live counts: 2 on [5,5],
+    // 1 elsewhere -> peak 2 at 00:05, 3 sessions total.
+    val df = Seq(
+      (1L, ts(0), 7L), (2L, ts(10), 7L), (3L, ts(5), 8L), (4L, ts(60), 9L)
+    ).toDF("event_id", "ts", "user_id")
+    val sess = EventOps.sessionize(df)
+    val bounds = sess.select(col("session_start").as("ts"), lit(1L).as("delta"))
+      .unionAll(sess.select(
+        (col("session_end") + expr("INTERVAL 1 MICROSECOND")).as("ts"), lit(-1L).as("delta")))
+      .groupBy("ts").agg(sum("delta").as("delta"))
+    val run = graft.operators.ScalePrimitives
+      .distRunning(bounds, Seq(col("ts")), "__rnk", Seq("delta"), Seq("conc"))
+    val top = run.orderBy(col("conc").desc, col("ts")).limit(1).collect()(0)
+    assert(top.getAs[Long]("conc") == 2L)
+    assert(top.getAs[Timestamp]("ts") == ts(5))
+    assert(sess.count() == 3L)
+  }
+
   test("distRunning rank + running sums equal the unpartitioned-window reference") {
     import org.apache.spark.sql.expressions.Window
     val df = (1 to 37).map(i => ((i * 7) % 11, i.toLong, (i % 5).toLong)).toDF("ord", "a", "b")
