@@ -765,6 +765,33 @@ object AdvancedOps {
     giniFrame(per, "ck", "spend_c")
   }
 
+  /** stat_lorenz: the decile table behind [[statGini]]'s scalar — "the
+    * top decile holds X% of revenue", the operational form of the
+    * inequality question. Customers cut into spend deciles by
+    * [[ScalePrimitives.distNtile]] (the user grain is the data grain —
+    * never a global ntile window), then per-decile exact integer sums.
+    * The share/cumulative-share divisions are the only floats, each a
+    * mirrored exact-integer ratio rounded 6 dp; the cumulative window
+    * runs over exactly 10 decile rows (bounded by construction —
+    * allowlisted in PlanInvariantsSpec). */
+  def statLorenz(s: SparkSession, d: String): DataFrame = {
+    val per = t(s, d, "orders")
+      .groupBy(col("o_custkey").as("ck"))
+      .agg(sum(floor(col("o_totalprice") * 100.0 + 0.5).cast("long")).as("spend_c"))
+    val total = per.agg(sum("spend_c")).head().getLong(0)
+    val g = ScalePrimitives.distNtile(per, 10, "decile", col("spend_c"), col("ck"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_cust"), sum("spend_c").as("spend_c"))
+    val wCum = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def shr(c: Column) =
+      floor(c.cast("double") / lit(total).cast("double") * 1000000.0 + 0.5) / 1000000.0
+    g.withColumn("cum_c", sum("spend_c").over(wCum))
+      .select(col("decile"), col("n_cust"), col("spend_c"),
+        shr(col("spend_c")).as("share"), shr(col("cum_c")).as("cum_share"))
+      .orderBy("decile")
+  }
+
   // --------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -787,7 +814,8 @@ object AdvancedOps {
     "scd2_build" -> (scd2Build _),
     "agg_incremental_rollup" -> (aggIncrementalRollup _),
     "stat_outlier_mad" -> (statOutlierMad _),
-    "stat_gini" -> (statGini _))
+    "stat_gini" -> (statGini _),
+    "stat_lorenz" -> (statLorenz _))
 
   val oracles: Map[String, String] = Map(
     // exact integer moments over the rank-sorted spend vector; Σrx in
@@ -805,6 +833,21 @@ object AdvancedOps {
         "CAST(CAST(CAST(n AS HUGEINT) * sx AS VARCHAR) AS DOUBLE) AS gv FROM m) " +
         "SELECT n AS n_keys, sx AS total_c, " +
         "sign(gv) * floor(abs(gv) * 1000000.0 + 0.5) / 1000000.0 + 0.0 AS gini FROM g"),
+    // plain ntile mirrors distNtile bit-for-bit; shares are exact-integer
+    // ratios rounded 6 dp, cumulative over the 10 decile rows
+    "stat_lorenz" ->
+      ("WITH per AS (SELECT o_custkey AS ck, " +
+        "CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS spend_c " +
+        "FROM orders GROUP BY 1), " +
+        "r AS (SELECT spend_c, CAST(ntile(10) OVER (ORDER BY spend_c, ck) AS INT) AS decile FROM per), " +
+        "g AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_cust, " +
+        "CAST(sum(spend_c) AS BIGINT) AS spend_c FROM r GROUP BY 1), " +
+        "t AS (SELECT CAST(sum(spend_c) AS BIGINT) AS tot FROM g) " +
+        "SELECT decile, n_cust, spend_c, " +
+        "floor(CAST(spend_c AS DOUBLE) / CAST(tot AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS share, " +
+        "floor(CAST(sum(spend_c) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING) AS DOUBLE) " +
+        "/ CAST(tot AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS cum_share " +
+        "FROM g, t ORDER BY decile"),
     // exact integer group moments (HUGEINT Σc²); the 7 s²/n terms reduce
     // through list(ORDER BY dow) + list_reduce — the ordered-fold
     // discipline — so no float summation order exists on either engine

@@ -556,8 +556,30 @@ object EventOps {
         col("ts").as("peak_at"))
   }
 
+  /** Inter-arrival gap profile per event type — the latency/engagement
+    * gauge behind session-gap tuning ("is 30 min the right cut?") and
+    * anomaly baselines. The gap attaches to the LATER event's type; the
+    * lag window partitions by user (the I3 sessionize shape — shuffles
+    * once on user_id, never a global sort), and every statistic is an
+    * exact integer microsecond (mean as floor division, mirrored as
+    * DuckDB's `//`). */
+  def eventInterArrival(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev(s, d)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("gap", col("us") - lag("us", 1).over(w))
+      .filter(col("gap").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_gaps"), min("gap").as("min_us"),
+        max("gap").as("max_us"), sum("gap").as("sum_us"))
+      .withColumn("mean_us", expr("sum_us DIV n_gaps"))
+      .select("event_type", "n_gaps", "min_us", "max_us", "mean_us")
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, Q] = Map(
     "event_peak_concurrency" -> (eventPeakConcurrency _),
+    "event_inter_arrival" -> (eventInterArrival _),
     "ts_interpolate" -> (tsInterpolate _),
     "ts_ewma" -> (tsEwma _),
     "ts_autocorr" -> (tsAutocorr _),
@@ -600,6 +622,17 @@ object EventOps {
         "cum AS (SELECT ts, CAST(sum(delta) OVER (ORDER BY ts ROWS UNBOUNDED PRECEDING) AS BIGINT) AS conc FROM net) " +
         "SELECT (SELECT CAST(count(*) AS BIGINT) FROM sessions) AS n_sessions, " +
         "conc AS peak_concurrent, ts AS peak_at FROM cum ORDER BY conc DESC, ts LIMIT 1"),
+    // gap = µs to the previous event of the SAME user, attributed to the
+    // later event's type; all-integer stats, mean as floor division
+    "event_inter_arrival" ->
+      ("WITH e AS (SELECT user_id, event_id, event_type, " +
+        "epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events), " +
+        "g AS (SELECT event_type, us - lag(us) OVER " +
+        "(PARTITION BY user_id ORDER BY us, event_id) AS gap FROM e) " +
+        "SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps, " +
+        "CAST(min(gap) AS BIGINT) AS min_us, CAST(max(gap) AS BIGINT) AS max_us, " +
+        "CAST(sum(gap) AS BIGINT) // CAST(count(*) AS BIGINT) AS mean_us " +
+        "FROM g WHERE gap IS NOT NULL GROUP BY 1 ORDER BY 1"),
     // daily sums are exact integer cents; the interpolation expression
     // mirrors the Spark parenthesization character-for-character
     "ts_interpolate" ->

@@ -1106,7 +1106,28 @@ object LlmTextOps {
       .orderBy("doc_id")
   }
 
+  /** Code-vs-prose heuristic — the standard pretraining-corpus router
+    * (code to the code pipeline, prose to the text one) built from
+    * character-class densities: syntax characters ({}();=) weighted 2×
+    * plus digits, per million characters. Counts via mirrored
+    * regexp_replace-and-length (no UDF, fully codegen'd); the score is
+    * an exact integer ratio (floor), so the flag threshold (2% ≡
+    * 20000/1e6) cannot sit on a float boundary. Map-only: projections
+    * over the scan, no shuffle but the output ORDER BY — the shape
+    * every per-document gauge in this family ships. */
+  def llmCodeDetect(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        length(regexp_replace(col("text"), "[^{}();=]", "")).cast("long").as("n_syntax"),
+        length(regexp_replace(col("text"), "[^0-9]", "")).cast("long").as("n_digit"))
+      .withColumn("code_score6",
+        expr("((2 * n_syntax + n_digit) * 1000000) DIV greatest(n_chars, 1)"))
+      .withColumn("is_code", col("code_score6") >= 20000L)
+      .orderBy("doc_id")
+
   val queries: Map[String, Q] = Map(
+    "llm_code_detect" -> (llmCodeDetect _),
     "llm_repetition" -> (llmRepetition _),
     "llm_entropy" -> (llmEntropy _),
     "llm_dedup_incremental" -> (llmDedupIncremental _),
@@ -1232,6 +1253,19 @@ object LlmTextOps {
       "ORDER BY sim DESC, a_id, b_id LIMIT 20"
 
   val oracles: Map[String, String] = Map(
+    // mirrored char-class counts (regexp_replace + length), exact
+    // integer score per million chars, integer threshold compare
+    "llm_code_detect" ->
+      ("SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, " +
+        "CAST(length(regexp_replace(text, '[^{}();=]', '', 'g')) AS BIGINT) AS n_syntax, " +
+        "CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digit, " +
+        "((2 * CAST(length(regexp_replace(text, '[^{}();=]', '', 'g')) AS BIGINT) + " +
+        "CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT)) * 1000000) // " +
+        "greatest(CAST(length(text) AS BIGINT), 1) AS code_score6, " +
+        "(((2 * CAST(length(regexp_replace(text, '[^{}();=]', '', 'g')) AS BIGINT) + " +
+        "CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT)) * 1000000) // " +
+        "greatest(CAST(length(text) AS BIGINT), 1)) >= 20000 AS is_code " +
+        "FROM documents ORDER BY doc_id"),
     "llm_dedup_simhash_pairs" -> simhashPairsOracle,
     "llm_dedup_simhash" -> simhashBucketsOracle,
     "ann_lsh_topk" -> annLshOracle,

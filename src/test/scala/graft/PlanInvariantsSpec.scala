@@ -70,12 +70,14 @@ class PlanInvariantsSpec extends SparkTestBase {
     *    2-dp purchase amounts — bounded by the price domain.
     *  - llm_zipf_fit: the vocabulary grain — sublinear in corpus size
     *    (Heaps' law), the same posture as llm_dsir_weight's score table.
+    *  - stat_lorenz: the cumulative-share window runs over exactly 10
+    *    decile rows (the customer-grain cut itself rides distNtile).
     * Data-grain running totals (event_rfm's user-grain quintiles,
     * llm_heaps_growth's doc-grain growth curve) must instead ride
     * ScalePrimitives.distNtile/distRunning and stay OUT of this list. */
   private val globalWindowAllowed: Set[String] = Set(
     "stat_psi", "stat_benford", "ts_changepoint",
-    "stat_ks_test", "stat_mannwhitney", "llm_zipf_fit")
+    "stat_ks_test", "stat_mannwhitney", "llm_zipf_fit", "stat_lorenz")
 
   test("unpartitioned windows only over provably bounded grains") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LogicalWindow}
