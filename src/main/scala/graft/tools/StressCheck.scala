@@ -694,6 +694,37 @@ object StressCheck {
       advCand + pairs.count()
     }
 
+    // 21. ScalePrimitives.distRunning/distNtile at 8M rows (round-9's
+    // pinned-partitioner rank/prefix-sum machinery, the replacement for
+    // every data-grain unpartitioned window). The input value column is
+    // a PERMUTATION of 0..n-1 (id·P mod n, P coprime to n), so the truth
+    // is closed-form AT EVERY ROW: rank(v) = v+1, running sum = v(v+1)/2,
+    // and with 40 | n each ntile(5) bucket holds exactly n/5 rows. Any
+    // boundary-resampling inconsistency between the totals pass and the
+    // output pass (the failure mode the pinned .rdd plan exists to
+    // prevent — observed live on the in-plan design at sf0.1) lands as a
+    // hard per-row mismatch here, at 5333x that scale.
+    time("dist_running_8m") {
+      val n = math.max(40L, (8000000 * scale).toLong / 40L * 40L)
+      // id·p mod n is a permutation iff gcd(p, n) = 1 — a free-form
+      // rowsScale can hand n any factor, so find the first coprime odd p
+      val p = Iterator.iterate(2654435761L)(_ + 2)
+        .find(x => BigInt(x).gcd(BigInt(n)) == 1).get
+      val perm = spark.range(n).select(col("id").as("k"),
+        pmod(col("id") * p, lit(n)).as("v"))
+      val run = graft.operators.ScalePrimitives
+        .distRunning(perm, Seq(col("v")), "rnk", Seq("v"), Seq("cv"))
+      val bad = run.filter(col("rnk") =!= col("v") + 1 ||
+        col("cv") =!= expr("(v * (v + 1)) DIV 2")).count()
+      require(bad == 0L, s"$bad rows off the closed-form rank/prefix truth")
+      val tiles = graft.operators.ScalePrimitives
+        .distNtile(perm, 5, "t", col("v"))
+        .groupBy("t").count().collect().sortBy(_.getInt(0))
+      require(tiles.length == 5 && tiles.forall(_.getLong(1) == n / 5),
+        s"ntile buckets drifted from n/5: ${tiles.mkString(",")}")
+      n
+    }
+
     val total = results.values.sum
     val json = results.map { case (k, v) =>
       "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
