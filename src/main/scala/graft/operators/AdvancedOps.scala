@@ -754,16 +754,20 @@ object AdvancedOps {
       r6(num.cast("double") / den.cast("double")).as("gini"))
   }
 
+  /** Per-customer total spend in exact integer cents — the shared input
+    * grain of [[statGini]] and [[statLorenz]] (one definition, so the
+    * two keys can never disagree on what "spend" means). */
+  private def custSpendCents(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .groupBy(col("o_custkey").as("ck"))
+      .agg(sum(floor(col("o_totalprice") * 100.0 + 0.5).cast("long")).as("spend_c"))
+
   /** stat_gini: inequality of per-customer total spend — the Lorenz-curve
     * summary every revenue-concentration dashboard carries ("do 20% of
     * customers drive 80% of revenue?"). Integer cents per order, one hash
     * aggregation to the customer grain, then [[giniFrame]]. */
-  def statGini(s: SparkSession, d: String): DataFrame = {
-    val per = t(s, d, "orders")
-      .groupBy(col("o_custkey").as("ck"))
-      .agg(sum(floor(col("o_totalprice") * 100.0 + 0.5).cast("long")).as("spend_c"))
-    giniFrame(per, "ck", "spend_c")
-  }
+  def statGini(s: SparkSession, d: String): DataFrame =
+    giniFrame(custSpendCents(s, d), "ck", "spend_c")
 
   /** stat_lorenz: the decile table behind [[statGini]]'s scalar — "the
     * top decile holds X% of revenue", the operational form of the
@@ -775,18 +779,21 @@ object AdvancedOps {
     * runs over exactly 10 decile rows (bounded by construction —
     * allowlisted in PlanInvariantsSpec). */
   def statLorenz(s: SparkSession, d: String): DataFrame = {
-    val per = t(s, d, "orders")
-      .groupBy(col("o_custkey").as("ck"))
-      .agg(sum(floor(col("o_totalprice") * 100.0 + 0.5).cast("long")).as("spend_c"))
-    val total = per.agg(sum("spend_c")).head().getLong(0)
-    val g = ScalePrimitives.distNtile(per, 10, "decile", col("spend_c"), col("ck"))
+    val g = ScalePrimitives.distNtile(
+        custSpendCents(s, d), 10, "decile", col("spend_c"), col("ck"))
       .groupBy("decile")
       .agg(count(lit(1)).as("n_cust"), sum("spend_c").as("spend_c"))
     val wCum = Window.orderBy("decile")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // the grand total folds over the SAME 10-row decile table as a
+    // broadcast single-row branch (exactly the oracle's `t AS (SELECT
+    // sum(spend_c) FROM g)`) — not a separate orders scan + customer
+    // aggregation whose only output is one driver scalar; both branches
+    // re-read distNtile's pinned RDD, so they cannot disagree
     def shr(c: Column) =
-      floor(c.cast("double") / lit(total).cast("double") * 1000000.0 + 0.5) / 1000000.0
+      floor(c.cast("double") / col("__tot").cast("double") * 1000000.0 + 0.5) / 1000000.0
     g.withColumn("cum_c", sum("spend_c").over(wCum))
+      .crossJoin(broadcast(g.agg(sum("spend_c").as("__tot"))))
       .select(col("decile"), col("n_cust"), col("spend_c"),
         shr(col("spend_c")).as("share"), shr(col("cum_c")).as("cum_share"))
       .orderBy("decile")

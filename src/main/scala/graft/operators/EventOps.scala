@@ -550,9 +550,14 @@ object EventOps {
       .groupBy("ts").agg(sum("delta").as("delta"))
     val run = ScalePrimitives.distRunning(bounds, Seq(col("ts")), "__rnk",
       Seq("delta"), Seq("conc"))
-    val nSess = sess.count() // deterministic scalar, the vt_bloom key-fetch pattern
+    // n_sessions rides the same job as a broadcast single-row branch (a
+    // count is order-independent, so the in-plan second reference to the
+    // sessionize aggregation carries none of the range-sampling hazard
+    // distRunning's doc warns about) — not a separate count() job that
+    // would recompute the whole sessionize pipeline first.
     run.orderBy(col("conc").desc, col("ts")).limit(1)
-      .select(lit(nSess).as("n_sessions"), col("conc").as("peak_concurrent"),
+      .crossJoin(broadcast(sess.agg(count(lit(1)).as("n_sessions"))))
+      .select(col("n_sessions"), col("conc").as("peak_concurrent"),
         col("ts").as("peak_at"))
   }
 

@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, Row}
-import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Distributed order-statistics primitives — exact global rank, running
   * (prefix) sums, and ntile — WITHOUT the single-partition WindowExec the
@@ -44,6 +44,10 @@ object ScalePrimitives {
                            sumCols: Seq[String] = Nil,
                            sumOuts: Seq[String] = Nil): (DataFrame, Long) = {
     require(sumCols.length == sumOuts.length, "one output name per running-sum column")
+    (rankOut +: sumOuts).foreach { n =>
+      require(!df.columns.contains(n),
+        s"distRunning output column '$n' collides with an input column; rename one")
+    }
     val idx = sumCols.map(df.schema.fieldIndex).toArray
     idx.foreach { i =>
       require(df.schema(i).dataType == LongType,
@@ -60,24 +64,25 @@ object ScalePrimitives {
         while (j < idx.length) { acc(j) += r.getLong(idx(j)); j += 1 }
       }
       Iterator((pid, cnt, acc))
-    }.collect().sortBy(_._1)
-    // exclusive prefix offsets per partition, dense over 0..maxPid
+    }.collect()
+    // exclusive prefix offsets, indexed by the dense pids 0..nParts-1
+    // (an empty partition yields no totals row — its slot stays (0, zeros))
     val nParts = rowRdd.getNumPartitions
+    val cntByPid = new Array[Long](nParts)
+    val accByPid = Array.ofDim[Long](nParts, idx.length)
+    totals.foreach { case (pid, cnt, acc) => cntByPid(pid) = cnt; accByPid(pid) = acc }
     val rankOff = new Array[Long](nParts)
     val sumOff = Array.ofDim[Long](nParts, idx.length)
     var rk = 0L
     val run = new Array[Long](idx.length)
     var p = 0
-    val byPid = totals.map(t => t._1 -> t).toMap
     while (p < nParts) {
       rankOff(p) = rk
       var j = 0
       while (j < idx.length) { sumOff(p)(j) = run(j); j += 1 }
-      byPid.get(p).foreach { case (_, cnt, acc) =>
-        rk += cnt
-        var j = 0
-        while (j < idx.length) { run(j) += acc(j); j += 1 }
-      }
+      rk += cntByPid(p)
+      j = 0
+      while (j < idx.length) { run(j) += accByPid(p)(j); j += 1 }
       p += 1
     }
     val localIdx = idx // avoid closing over `df`

@@ -667,17 +667,24 @@ object StressCheck {
       val winner = spark.range(200).select(
         (lit(advBase) + 1000L + expr("id DIV 2")).as("ok"),
         (lit(w1) + pmod(col("id"), lit(2))).as("pk"))
+      // persisted: four verification actions below (adversary candidate
+      // count, survivor count, top-1, final census) would otherwise each
+      // replay the 24M-row distinct + self-join — the timing would then
+      // measure ~4 kernel recomputations, not the kernel
       val dpk = regular.union(adversary).union(winner).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val n = dpk.select(countDistinct("ok")).head().getLong(0)
       val pairsAll = dpk.as("a")
         .join(dpk.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
         .select(col("a.pk").as("a_id"), col("b.pk").as("b_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val inAdv = col("a_id") >= nCat && col("a_id") < nCat + 50L * 200L
       val advCand = pairsAll.filter(inAdv).count()
       require(advCand == 50L * (200L * 199L / 2L),
         s"adversary candidate volume broke the exact Σwidth² bound: $advCand")
       val pairs = pairsAll.groupBy("a_id", "b_id")
         .agg(count(lit(1)).as("n_ab")).filter(col("n_ab") >= 2)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val advSurvivors = pairs.filter(inAdv).count()
       require(advSurvivors == 0L,
         s"support filter leaked $advSurvivors single-occurrence adversary pairs")
@@ -691,7 +698,9 @@ object StressCheck {
         .orderBy(col("lift").desc, col("a_id"), col("b_id")).limit(1).collect()(0)
       require(top.getLong(0) == w1 && top.getLong(1) == w1 + 1 && top.getLong(2) == 100L,
         s"planted winner pair not at rank 1: $top")
-      advCand + pairs.count()
+      val out = advCand + pairs.count()
+      pairs.unpersist(); pairsAll.unpersist(); dpk.unpersist()
+      out
     }
 
     // 21. ScalePrimitives.distRunning/distNtile at 8M rows (round-9's

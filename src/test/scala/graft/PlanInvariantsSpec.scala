@@ -36,6 +36,12 @@ class PlanInvariantsSpec extends SparkTestBase {
     *    output row — the agg_hll_merge shape twice over.
     *  - llm_bm25_topk: the (N, avgdl) corpus statistics — one 1-row
     *    aggregate broadcast into the per-term scoring expression.
+    *  - event_peak_concurrency: the n_sessions count — a 1-row aggregate
+    *    broadcast onto the 1-row peak (replaced the separate count() job
+    *    that recomputed the sessionize pipeline).
+    *  - stat_lorenz: the spend grand total — a 1-row re-aggregate of the
+    *    10-row decile table broadcast into the share divisions (replaced
+    *    a separate full orders scan whose only output was one scalar).
     * (llm_tfidf_cosine left the list in round 6: its corpus count became
     * a driver-side literal when the TF table was checkpointed, so no
     * 1-row broadcast survives in the plan.) */
@@ -44,7 +50,8 @@ class PlanInvariantsSpec extends SparkTestBase {
     "llm_knn_queries", "llm_lang_temperature", "llm_unigram_logprob",
     "llm_tfidf_topk", "tpch_q22_idle", "tpch_q11_stock", "llm_domain_mix",
     "stat_skew_report", "stat_chisq", "stat_cramers_v", "agg_hll_merge",
-    "agg_hll_intersect", "llm_bm25_topk")
+    "agg_hll_intersect", "llm_bm25_topk", "event_peak_concurrency",
+    "stat_lorenz")
 
   test("no graded key plans a CartesianProduct; nested-loop joins only where justified") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
