@@ -19,7 +19,7 @@ object SparkEntry {
       MultimodalOps.queries ++ ExtendedOps.queries ++ MinHashOps.queries ++
       TableOps.queries ++ TpchOps.queries ++ LlmCorpusOps.queries ++
       PqOps.queries ++ GraphOps.queries ++ AdvancedOps.queries ++
-      UnigramOps.queries ++ WordPieceOps.queries
+      UnigramOps.queries ++ WordPieceOps.queries ++ DataQualityOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -29,5 +29,5 @@ object SparkEntry {
       MultimodalOps.oracles ++ ExtendedOps.oracles ++ MinHashOps.oracles ++
       TableOps.oracles ++ TpchOps.oracles ++ LlmCorpusOps.oracles ++
       PqOps.oracles ++ GraphOps.oracles ++ AdvancedOps.oracles ++
-      UnigramOps.oracles ++ WordPieceOps.oracles
+      UnigramOps.oracles ++ WordPieceOps.oracles ++ DataQualityOps.oracles
 }

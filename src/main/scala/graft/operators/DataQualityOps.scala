@@ -1,0 +1,329 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Data-quality audit suite — the Deequ-style constraint checks every
+  * 100 TB ingest pipeline runs BEFORE the data reaches training or BI:
+  * completeness (null/blank rates), key uniqueness, referential
+  * integrity, accepted-value domains, numeric/cross-field bounds, and
+  * event-time freshness. Each audit is one declarative aggregation per
+  * table — a single scan producing a handful of audit rows, never a
+  * row-level materialization — so the cost at any scale is the scan the
+  * pipeline already pays, and every violation count is an exact integer
+  * with a DuckDB oracle.
+  *
+  * 100 TB notes: the per-table audits are map-side partial aggregations
+  * (one row out per executor, merged on the driver-side single group);
+  * the multi-metric passes share ONE scan per table via `stack` over a
+  * 1-row aggregate, not one scan per metric. The referential audit is a
+  * left join counted on the null side — shuffle on the key, orphan
+  * count as a map-side CASE, no row-level orphan materialization (the
+  * exact-orphan drilldown is a follow-up anti-join a user runs on the
+  * one relation that reports non-zero). The exact count-distincts in
+  * the uniqueness audit are partial-agg friendly; at extreme
+  * cardinality the portable-HLL twin (agg_approx_hll's machinery) is
+  * the documented approximate path.
+  */
+object DataQualityOps {
+  type Q = (SparkSession, String) => DataFrame
+  private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
+
+  private def r6(c: Column): Column =
+    floor(c * 1000000.0 + 0.5) / 1000000.0 // rates are non-negative: no sign term
+
+  /** One scan: per-column null/blank tallies for `strCols` (blank =
+    * non-null with empty trim) and null tallies for `numCols`, shaped to
+    * one audit row per column via `stack` over the 1-row aggregate. */
+  private[graft] def completenessFor(df: DataFrame, tbl: String,
+      strCols: Seq[String], numCols: Seq[String]): DataFrame = {
+    val aggs = strCols.flatMap(c => Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__null"),
+        sum(when(col(c).isNotNull && trim(col(c)) === "", 1L).otherwise(0L)).as(s"${c}__blank"))) ++
+      numCols.map(c => sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__null"))
+    val g = df.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    val args = (strCols.map(c => s"'$tbl.$c', `${c}__null`, `${c}__blank`") ++
+      numCols.map(c => s"'$tbl.$c', `${c}__null`, CAST(0 AS BIGINT)")).mkString(", ")
+    val k = strCols.length + numCols.length
+    g.select(col("n_rows"),
+      expr(s"stack($k, $args) AS (column_name, n_null, n_blank)"))
+  }
+
+  /** dq_completeness: null/blank audit over the two ingest-shaped tables
+    * (documents, events) — the first gate of any corpus intake. */
+  def dqCompleteness(s: SparkSession, d: String): DataFrame =
+    completenessFor(t(s, d, "documents"), "documents",
+        Seq("text", "lang", "source"), Seq("n_chars"))
+      .unionAll(completenessFor(t(s, d, "events"), "events",
+        Seq("event_type", "props"), Seq("user_id", "value")))
+      .select(col("column_name"), col("n_rows"), col("n_null"), col("n_blank"),
+        r6(col("n_null").cast("double") / col("n_rows").cast("double")).as("null_rate"))
+      .orderBy("column_name")
+
+  private def uniq(df: DataFrame, nm: String, keys: Seq[String]): DataFrame =
+    df.agg(count(lit(1)).as("n_rows"),
+        countDistinct(keys.head, keys.tail: _*).as("n_keys"))
+      .select(lit(nm).as("key_name"), col("n_rows"), col("n_keys"),
+        (col("n_rows") - col("n_keys")).as("n_dup_rows"))
+
+  /** dq_uniqueness: candidate-key audit — row count vs exact distinct
+    * count per declared key (the composite lineitem key included; the
+    * fixture genuinely violates it, so the audit reports real findings,
+    * not a tautological zero column). */
+  def dqUniqueness(s: SparkSession, d: String): DataFrame =
+    uniq(t(s, d, "orders"), "orders.o_orderkey", Seq("o_orderkey"))
+      .unionAll(uniq(t(s, d, "customer"), "customer.c_custkey", Seq("c_custkey")))
+      .unionAll(uniq(t(s, d, "part"), "part.p_partkey", Seq("p_partkey")))
+      .unionAll(uniq(t(s, d, "supplier"), "supplier.s_suppkey", Seq("s_suppkey")))
+      .unionAll(uniq(t(s, d, "events"), "events.event_id", Seq("event_id")))
+      .unionAll(uniq(t(s, d, "documents"), "documents.doc_id", Seq("doc_id")))
+      .unionAll(uniq(t(s, d, "lineitem"), "lineitem.(l_orderkey,l_linenumber)",
+        Seq("l_orderkey", "l_linenumber")))
+      .orderBy("key_name")
+
+  /** One relation: child rows left-joined to the parent's (distinct)
+    * key; an unmatched parent key IS the orphan signal, counted map-side
+    * — no orphan rows are materialized. A NULL child key matches nothing
+    * and counts as an orphan, same as the oracle's NOT EXISTS. */
+  private[graft] def refCheck(child: DataFrame, ckey: String,
+      parent: DataFrame, pkey: String, nm: String): DataFrame =
+    child.select(col(ckey).as("__ck"))
+      .join(parent.select(col(pkey).as("__pk")).distinct(),
+        col("__ck") === col("__pk"), "left")
+      .agg(count(lit(1)).as("n_child"),
+        sum(when(col("__pk").isNull, 1L).otherwise(0L)).as("n_orphans"))
+      .select(lit(nm).as("rel_name"), col("n_child"), col("n_orphans"))
+
+  /** dq_referential: foreign-key orphan audit across the star schema
+    * plus the events→customer bridge. */
+  def dqReferential(s: SparkSession, d: String): DataFrame =
+    refCheck(t(s, d, "orders"), "o_custkey", t(s, d, "customer"), "c_custkey",
+        "orders.o_custkey->customer.c_custkey")
+      .unionAll(refCheck(t(s, d, "lineitem"), "l_orderkey", t(s, d, "orders"),
+        "o_orderkey", "lineitem.l_orderkey->orders.o_orderkey"))
+      .unionAll(refCheck(t(s, d, "lineitem"), "l_partkey", t(s, d, "part"),
+        "p_partkey", "lineitem.l_partkey->part.p_partkey"))
+      .unionAll(refCheck(t(s, d, "lineitem"), "l_suppkey", t(s, d, "supplier"),
+        "s_suppkey", "lineitem.l_suppkey->supplier.s_suppkey"))
+      .unionAll(refCheck(t(s, d, "events"), "user_id", t(s, d, "customer"),
+        "c_custkey", "events.user_id->customer.c_custkey"))
+      .orderBy("rel_name")
+
+  /** Audit-row shaper shared by the accepted-values and bounds audits:
+    * each rule is (name, pass-predicate [, watched column]); a NULL
+    * predicate result (null input) counts as a violation on both
+    * engines (`when(pass, 0).otherwise(1)` ≡ CASE WHEN pass THEN 0 ELSE
+    * 1 END). With a watched column, the distinct violating values are
+    * also counted (nulls excluded by count-distinct on both engines). */
+  private[graft] def ruleAudit(df: DataFrame,
+      rules: Seq[(String, Column, Option[Column])]): DataFrame = {
+    val aggs = rules.zipWithIndex.flatMap { case ((_, pass, watched), i) =>
+      sum(when(pass, 0L).otherwise(1L)).as(s"v$i") +:
+        watched.map(c => countDistinct(when(!pass, c)).as(s"d$i")).toSeq
+    }
+    val g = df.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    val args = rules.zipWithIndex.map { case ((nm, _, watched), i) =>
+      s"'$nm', `v$i`, " + (if (watched.isDefined) s"`d$i`" else "CAST(0 AS BIGINT)")
+    }.mkString(", ")
+    g.select(col("n_rows"),
+      expr(s"stack(${rules.length}, $args) AS (rule_name, n_violations, n_bad_values)"))
+  }
+
+  /** dq_accepted_values: categorical-domain conformance — every value of
+    * the watched column must sit in its declared domain; NULL is a
+    * violation; the distinct out-of-domain values are tallied so a
+    * domain drift shows its width, not just its volume. */
+  def dqAcceptedValues(s: SparkSession, d: String): DataFrame = {
+    def in(c: String, vs: String*) = col(c).isin(vs.map(x => x: Any): _*)
+    ruleAudit(t(s, d, "orders"), Seq(
+        ("accepted:orders.o_orderstatus", in("o_orderstatus", "F", "O", "P"),
+          Some(col("o_orderstatus"))),
+        ("accepted:orders.o_orderpriority", in("o_orderpriority", "1-URGENT",
+          "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"),
+          Some(col("o_orderpriority")))))
+      .unionAll(ruleAudit(t(s, d, "lineitem"), Seq(
+        ("accepted:lineitem.l_returnflag", in("l_returnflag", "A", "N", "R"),
+          Some(col("l_returnflag"))),
+        ("accepted:lineitem.l_linestatus", in("l_linestatus", "F", "O"),
+          Some(col("l_linestatus"))))))
+      .unionAll(ruleAudit(t(s, d, "events"), Seq(
+        ("accepted:events.event_type", in("event_type", "click", "error",
+          "purchase", "signup", "view"), Some(col("event_type"))))))
+      .unionAll(ruleAudit(t(s, d, "documents"), Seq(
+        ("accepted:documents.lang", in("lang", "de", "en", "es", "fr", "zh"),
+          Some(col("lang"))))))
+      .select("rule_name", "n_rows", "n_violations", "n_bad_values")
+      .orderBy("rule_name")
+  }
+
+  /** dq_bounds: numeric-range and cross-field invariants (the TPC-H
+    * value contracts plus documents' n_chars = length(text) redundancy
+    * check); NULL on either side of a rule is a violation. */
+  def dqBounds(s: SparkSession, d: String): DataFrame =
+    ruleAudit(t(s, d, "lineitem"), Seq(
+        ("bounds:lineitem.l_discount[0,0.1]",
+          col("l_discount") >= 0.0 && col("l_discount") <= 0.1, None),
+        ("bounds:lineitem.l_quantity[1,50]",
+          col("l_quantity") >= 1.0 && col("l_quantity") <= 50.0, None),
+        ("bounds:lineitem.l_extendedprice>0", col("l_extendedprice") > 0.0, None)))
+      .unionAll(ruleAudit(t(s, d, "orders"), Seq(
+        ("bounds:orders.o_totalprice>0", col("o_totalprice") > 0.0, None))))
+      .unionAll(ruleAudit(t(s, d, "events"), Seq(
+        ("bounds:events.value>0", col("value") > 0.0, None))))
+      .unionAll(ruleAudit(t(s, d, "documents"), Seq(
+        ("bounds:documents.n_chars=len(text)",
+          col("n_chars") === length(col("text")), None))))
+      .select("rule_name", "n_rows", "n_violations")
+      .orderBy("rule_name")
+
+  /** dq_freshness: event-time span per time-bearing table — the "is the
+    * feed still flowing, and how far back does it reach" gauge. All
+    * integer µs; span_days is a truncating division of a non-negative
+    * span (Spark DIV ≡ DuckDB // there). */
+  def dqFreshness(s: SparkSession, d: String): DataFrame = {
+    // the UTC-session cast covers TIMESTAMP_NTZ columns (o_orderdate);
+    // a no-op for events' already-normalized TIMESTAMP
+    def span(df: DataFrame, nm: String, ts: String) =
+      df.agg(min(unix_micros(col(ts).cast("timestamp"))).as("min_us"),
+          max(unix_micros(col(ts).cast("timestamp"))).as("max_us"))
+        .select(lit(nm).as("src"), col("min_us"), col("max_us"),
+          expr("(max_us - min_us) DIV 86400000000").as("span_days"))
+    span(t(s, d, "events"), "events.ts", "ts")
+      .unionAll(span(t(s, d, "orders"), "orders.o_orderdate", "o_orderdate"))
+      .orderBy("src")
+  }
+
+  // --------------------------------------------------------------- registry
+
+  val queries: Map[String, Q] = Map(
+    "dq_completeness" -> (dqCompleteness _),
+    "dq_uniqueness" -> (dqUniqueness _),
+    "dq_referential" -> (dqReferential _),
+    "dq_accepted_values" -> (dqAcceptedValues _),
+    "dq_bounds" -> (dqBounds _),
+    "dq_freshness" -> (dqFreshness _))
+
+  val oracles: Map[String, String] = Map(
+    // per-table 1-row aggregate CTE, unpivoted by UNION ALL — one scan
+    // per table, same as the stack() form; blank = non-null empty trim
+    "dq_completeness" ->
+      ("WITH dd AS (SELECT CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS tn, " +
+        "CAST(sum(CASE WHEN text IS NOT NULL AND trim(text) = '' THEN 1 ELSE 0 END) AS BIGINT) AS tb, " +
+        "CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS ln, " +
+        "CAST(sum(CASE WHEN lang IS NOT NULL AND trim(lang) = '' THEN 1 ELSE 0 END) AS BIGINT) AS lb, " +
+        "CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS sn, " +
+        "CAST(sum(CASE WHEN source IS NOT NULL AND trim(source) = '' THEN 1 ELSE 0 END) AS BIGINT) AS sb, " +
+        "CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS cn FROM documents), " +
+        "ee AS (SELECT CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS etn, " +
+        "CAST(sum(CASE WHEN event_type IS NOT NULL AND trim(event_type) = '' THEN 1 ELSE 0 END) AS BIGINT) AS etb, " +
+        "CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS pn, " +
+        "CAST(sum(CASE WHEN props IS NOT NULL AND trim(props) = '' THEN 1 ELSE 0 END) AS BIGINT) AS pb, " +
+        "CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS un, " +
+        "CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS vn FROM events), " +
+        "rows_ AS (" +
+        "SELECT 'documents.text' AS column_name, n, tn AS n_null, tb AS n_blank FROM dd " +
+        "UNION ALL SELECT 'documents.lang', n, ln, lb FROM dd " +
+        "UNION ALL SELECT 'documents.source', n, sn, sb FROM dd " +
+        "UNION ALL SELECT 'documents.n_chars', n, cn, CAST(0 AS BIGINT) FROM dd " +
+        "UNION ALL SELECT 'events.event_type', n, etn, etb FROM ee " +
+        "UNION ALL SELECT 'events.props', n, pn, pb FROM ee " +
+        "UNION ALL SELECT 'events.user_id', n, un, CAST(0 AS BIGINT) FROM ee " +
+        "UNION ALL SELECT 'events.value', n, vn, CAST(0 AS BIGINT) FROM ee) " +
+        "SELECT column_name, n AS n_rows, n_null, n_blank, " +
+        "floor(CAST(n_null AS DOUBLE) / CAST(n AS DOUBLE) * 1000000 + 0.5) / 1000000 AS null_rate " +
+        "FROM rows_ ORDER BY column_name"),
+    "dq_uniqueness" ->
+      ("SELECT * FROM (" +
+        "SELECT 'orders.o_orderkey' AS key_name, CAST(count(*) AS BIGINT) AS n_rows, " +
+        "CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_keys, " +
+        "CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS n_dup_rows FROM orders " +
+        "UNION ALL SELECT 'customer.c_custkey', CAST(count(*) AS BIGINT), " +
+        "CAST(count(DISTINCT c_custkey) AS BIGINT), " +
+        "CAST(count(*) - count(DISTINCT c_custkey) AS BIGINT) FROM customer " +
+        "UNION ALL SELECT 'part.p_partkey', CAST(count(*) AS BIGINT), " +
+        "CAST(count(DISTINCT p_partkey) AS BIGINT), " +
+        "CAST(count(*) - count(DISTINCT p_partkey) AS BIGINT) FROM part " +
+        "UNION ALL SELECT 'supplier.s_suppkey', CAST(count(*) AS BIGINT), " +
+        "CAST(count(DISTINCT s_suppkey) AS BIGINT), " +
+        "CAST(count(*) - count(DISTINCT s_suppkey) AS BIGINT) FROM supplier " +
+        "UNION ALL SELECT 'events.event_id', CAST(count(*) AS BIGINT), " +
+        "CAST(count(DISTINCT event_id) AS BIGINT), " +
+        "CAST(count(*) - count(DISTINCT event_id) AS BIGINT) FROM events " +
+        "UNION ALL SELECT 'documents.doc_id', CAST(count(*) AS BIGINT), " +
+        "CAST(count(DISTINCT doc_id) AS BIGINT), " +
+        "CAST(count(*) - count(DISTINCT doc_id) AS BIGINT) FROM documents " +
+        "UNION ALL SELECT 'lineitem.(l_orderkey,l_linenumber)', CAST(count(*) AS BIGINT), " +
+        "CAST(count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT), " +
+        "CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT) FROM lineitem" +
+        ") ORDER BY key_name"),
+    "dq_referential" ->
+      ("SELECT * FROM (" +
+        "SELECT 'orders.o_custkey->customer.c_custkey' AS rel_name, " +
+        "CAST(count(*) AS BIGINT) AS n_child, " +
+        "CAST(sum(CASE WHEN NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey) " +
+        "THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans FROM orders o " +
+        "UNION ALL SELECT 'lineitem.l_orderkey->orders.o_orderkey', CAST(count(*) AS BIGINT), " +
+        "CAST(sum(CASE WHEN NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey) " +
+        "THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem l " +
+        "UNION ALL SELECT 'lineitem.l_partkey->part.p_partkey', CAST(count(*) AS BIGINT), " +
+        "CAST(sum(CASE WHEN NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey) " +
+        "THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem l " +
+        "UNION ALL SELECT 'lineitem.l_suppkey->supplier.s_suppkey', CAST(count(*) AS BIGINT), " +
+        "CAST(sum(CASE WHEN NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey) " +
+        "THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem l " +
+        "UNION ALL SELECT 'events.user_id->customer.c_custkey', CAST(count(*) AS BIGINT), " +
+        "CAST(sum(CASE WHEN NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id) " +
+        "THEN 1 ELSE 0 END) AS BIGINT) FROM events e" +
+        ") ORDER BY rel_name"),
+    // NULL never passes (CASE pass-predicate ELSE-counts it); distinct
+    // violating values exclude NULL on both engines
+    "dq_accepted_values" ->
+      ("SELECT * FROM (" +
+        "SELECT 'accepted:orders.o_orderstatus' AS rule_name, CAST(count(*) AS BIGINT) AS n_rows, " +
+        "CAST(sum(CASE WHEN o_orderstatus IN ('F','O','P') THEN 0 ELSE 1 END) AS BIGINT) AS n_violations, " +
+        "CAST(count(DISTINCT CASE WHEN NOT (o_orderstatus IN ('F','O','P')) THEN o_orderstatus END) AS BIGINT) AS n_bad_values FROM orders " +
+        "UNION ALL SELECT 'accepted:orders.o_orderpriority', CAST(count(*) AS BIGINT), " +
+        "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW') THEN 0 ELSE 1 END) AS BIGINT), " +
+        "CAST(count(DISTINCT CASE WHEN NOT (o_orderpriority IN ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW')) THEN o_orderpriority END) AS BIGINT) FROM orders " +
+        "UNION ALL SELECT 'accepted:lineitem.l_returnflag', CAST(count(*) AS BIGINT), " +
+        "CAST(sum(CASE WHEN l_returnflag IN ('A','N','R') THEN 0 ELSE 1 END) AS BIGINT), " +
+        "CAST(count(DISTINCT CASE WHEN NOT (l_returnflag IN ('A','N','R')) THEN l_returnflag END) AS BIGINT) FROM lineitem " +
+        "UNION ALL SELECT 'accepted:lineitem.l_linestatus', CAST(count(*) AS BIGINT), " +
+        "CAST(sum(CASE WHEN l_linestatus IN ('F','O') THEN 0 ELSE 1 END) AS BIGINT), " +
+        "CAST(count(DISTINCT CASE WHEN NOT (l_linestatus IN ('F','O')) THEN l_linestatus END) AS BIGINT) FROM lineitem " +
+        "UNION ALL SELECT 'accepted:events.event_type', CAST(count(*) AS BIGINT), " +
+        "CAST(sum(CASE WHEN event_type IN ('click','error','purchase','signup','view') THEN 0 ELSE 1 END) AS BIGINT), " +
+        "CAST(count(DISTINCT CASE WHEN NOT (event_type IN ('click','error','purchase','signup','view')) THEN event_type END) AS BIGINT) FROM events " +
+        "UNION ALL SELECT 'accepted:documents.lang', CAST(count(*) AS BIGINT), " +
+        "CAST(sum(CASE WHEN lang IN ('de','en','es','fr','zh') THEN 0 ELSE 1 END) AS BIGINT), " +
+        "CAST(count(DISTINCT CASE WHEN NOT (lang IN ('de','en','es','fr','zh')) THEN lang END) AS BIGINT) FROM documents" +
+        ") ORDER BY rule_name"),
+    "dq_bounds" ->
+      ("SELECT * FROM (" +
+        "SELECT 'bounds:lineitem.l_discount[0,0.1]' AS rule_name, CAST(count(*) AS BIGINT) AS n_rows, " +
+        "CAST(sum(CASE WHEN l_discount >= 0.0 AND l_discount <= 0.1 THEN 0 ELSE 1 END) AS BIGINT) AS n_violations FROM lineitem " +
+        "UNION ALL SELECT 'bounds:lineitem.l_quantity[1,50]', CAST(count(*) AS BIGINT), " +
+        "CAST(sum(CASE WHEN l_quantity >= 1.0 AND l_quantity <= 50.0 THEN 0 ELSE 1 END) AS BIGINT) FROM lineitem " +
+        "UNION ALL SELECT 'bounds:lineitem.l_extendedprice>0', CAST(count(*) AS BIGINT), " +
+        "CAST(sum(CASE WHEN l_extendedprice > 0.0 THEN 0 ELSE 1 END) AS BIGINT) FROM lineitem " +
+        "UNION ALL SELECT 'bounds:orders.o_totalprice>0', CAST(count(*) AS BIGINT), " +
+        "CAST(sum(CASE WHEN o_totalprice > 0.0 THEN 0 ELSE 1 END) AS BIGINT) FROM orders " +
+        "UNION ALL SELECT 'bounds:events.value>0', CAST(count(*) AS BIGINT), " +
+        "CAST(sum(CASE WHEN value > 0.0 THEN 0 ELSE 1 END) AS BIGINT) FROM events " +
+        "UNION ALL SELECT 'bounds:documents.n_chars=len(text)', CAST(count(*) AS BIGINT), " +
+        "CAST(sum(CASE WHEN n_chars = length(text) THEN 0 ELSE 1 END) AS BIGINT) FROM documents" +
+        ") ORDER BY rule_name"),
+    "dq_freshness" ->
+      ("SELECT * FROM (" +
+        "SELECT 'events.ts' AS src, " +
+        "CAST(min(epoch_us(CAST(ts AS TIMESTAMP))) AS BIGINT) AS min_us, " +
+        "CAST(max(epoch_us(CAST(ts AS TIMESTAMP))) AS BIGINT) AS max_us, " +
+        "CAST((max(epoch_us(CAST(ts AS TIMESTAMP))) - min(epoch_us(CAST(ts AS TIMESTAMP)))) // 86400000000 AS BIGINT) AS span_days FROM events " +
+        "UNION ALL SELECT 'orders.o_orderdate', " +
+        "CAST(min(epoch_us(o_orderdate)) AS BIGINT), CAST(max(epoch_us(o_orderdate)) AS BIGINT), " +
+        "CAST((max(epoch_us(o_orderdate)) - min(epoch_us(o_orderdate))) // 86400000000 AS BIGINT) FROM orders" +
+        ") ORDER BY src"))
+}

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.operators.DataQualityOps
+
+/** The dq_* audit keys on the sf0.001 fixtures (golden shapes + the one
+  * genuine fixture defect they must surface), plus planted-dirty frames
+  * through the package-visible rule kernels — proving each rule FIRES,
+  * not just that clean data audits clean. */
+class DataQualityOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("dq_uniqueness surfaces the fixture's real composite-key duplicates") {
+    val rows = DataQualityOps.dqUniqueness(spark, SF).collect()
+    assert(rows.length == 7)
+    val byKey = rows.map(r => r.getString(0) -> r).toMap
+    // single-column PKs are clean in the fixture
+    Seq("orders.o_orderkey", "customer.c_custkey", "part.p_partkey",
+      "supplier.s_suppkey", "events.event_id", "documents.doc_id").foreach { k =>
+      assert(byKey(k).getLong(3) == 0L, s"$k expected unique")
+    }
+    // the composite lineitem key is genuinely violated (6000 rows,
+    // 4599 distinct pairs at sf0.001) — the audit must say so
+    val li = byKey("lineitem.(l_orderkey,l_linenumber)")
+    assert(li.getLong(1) == 6000L && li.getLong(2) == 4599L && li.getLong(3) == 1401L)
+  }
+
+  test("dq_referential: fixture star schema has zero orphans; planted orphans counted") {
+    assert(DataQualityOps.dqReferential(spark, SF).collect()
+      .forall(_.getLong(2) == 0L))
+    val child = Seq(1L, 2L, 3L, 99L, 98L).toDF("k")
+    val parent = Seq(1L, 2L, 3L).toDF("p")
+    val r = DataQualityOps.refCheck(child, "k", parent, "p", "t").head()
+    assert(r.getLong(1) == 5L && r.getLong(2) == 2L)
+    // a NULL child key is an orphan (matches the oracle's NOT EXISTS)
+    val withNull = Seq(Some(1L), None).toDF("k")
+    assert(DataQualityOps.refCheck(withNull, "k", parent, "p", "t")
+      .head().getLong(2) == 1L)
+  }
+
+  test("dq_completeness: fixture is fully populated; planted nulls/blanks tallied") {
+    val rows = DataQualityOps.dqCompleteness(spark, SF).collect()
+    assert(rows.length == 8)
+    assert(rows.forall(r => r.getLong(2) == 0L && r.getLong(3) == 0L &&
+      r.getDouble(4) == 0.0))
+    val dirty = Seq(
+      (Some("ok"), Some(1L)), (None, Some(2L)), (Some("  "), None), (Some(""), Some(4L))
+    ).toDF("s", "v")
+    val audit = DataQualityOps.completenessFor(dirty, "t", Seq("s"), Seq("v"))
+      .collect().map(r => r.getString(1) -> r).toMap
+    val sRow = audit("t.s")
+    assert(sRow.getLong(0) == 4L && sRow.getLong(2) == 1L && sRow.getLong(3) == 2L)
+    assert(audit("t.v").getLong(2) == 1L && audit("t.v").getLong(3) == 0L)
+  }
+
+  test("dq_accepted_values / dq_bounds: fixture conforms; planted violations fire") {
+    assert(DataQualityOps.dqAcceptedValues(spark, SF).collect()
+      .forall(r => r.getLong(2) == 0L && r.getLong(3) == 0L))
+    assert(DataQualityOps.dqBounds(spark, SF).collect()
+      .forall(_.getLong(2) == 0L))
+    // planted: 2 out-of-domain values (one twice) + a NULL → 4 violations,
+    // 2 distinct bad values (NULL excluded from the distinct tally)
+    val dirty = Seq(Some("ok"), Some("bad1"), Some("bad1"), Some("bad2"), None)
+      .toDF("v")
+    val r = DataQualityOps.ruleAudit(dirty,
+      Seq(("r", col("v").isin("ok"), Some(col("v"))))).head()
+    assert(r.getLong(0) == 5L && r.getLong(2) == 4L && r.getLong(3) == 2L)
+    // bounds: NULL counts as a violation even without a watched column
+    val nums = Seq(Some(1.0), Some(-1.0), None).toDF("x")
+    val b = DataQualityOps.ruleAudit(nums, Seq(("b", col("x") > 0.0, None))).head()
+    assert(b.getLong(2) == 2L)
+  }
+
+  test("dq_freshness spans are non-negative integer microseconds") {
+    val rows = DataQualityOps.dqFreshness(spark, SF).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("events.ts", "orders.o_orderdate"))
+    rows.foreach { r =>
+      assert(r.getLong(1) <= r.getLong(2))
+      assert(r.getLong(3) == (r.getLong(2) - r.getLong(1)) / 86400000000L)
+    }
+  }
+
+  test("single-scan shape: one audit pass plans exactly one scan per table") {
+    // the stack-over-1-row-aggregate form must not fan one scan per metric
+    Seq(DataQualityOps.dqBounds(spark, SF),
+        DataQualityOps.dqAcceptedValues(spark, SF)).foreach { df =>
+      val scans = "FileScan parquet".r
+        .findAllIn(df.queryExecution.executedPlan.toString).length
+      assert(scans == 4, s"expected 4 table scans (one per audited table), got $scans")
+    }
+  }
+}
