@@ -347,6 +347,66 @@ object EventOps {
       .orderBy("user_id", "day")
   }
 
+  /** Holt's double-exponential smoothing (level + trend, α = β = 1/2)
+    * over each user's daily purchase series — [[tsEwma]]'s
+    * trend-aware sibling, the standard short-horizon forecaster. The
+    * coupled recursion
+    *   l_t = (x_t + l_{t−1} + b_{t−1}) / 2,  b_t = (l_t − l_{t−1} + b_{t−1}) / 2
+    * has no closed window form (unlike EWMA's power-of-two sum), so it
+    * runs as an exact INTEGER micro-cent fold: inputs scale by 10⁶ and
+    * every halving is a truncating BIGINT division — Spark's `DIV` and
+    * DuckDB's `//` both truncate toward zero (negative trends
+    * included), so the replayed recursive-CTE oracle is bit-identical.
+    *
+    * Scale: one shuffle on user_id; each group folds its own observed
+    * days (≤ fixture-span 31, asserted by the EWMA spec) through one
+    * `aggregate` HOF — per-group state is the state array, never the
+    * corpus. Past ~10⁴ days of history production carries (l, b) as
+    * streaming state (the ewmaStream shape) instead of a fold. */
+  def tsHoltWinters(s: SparkSession, d: String): DataFrame =
+    perUserDailyCents(s, d)
+      .groupBy("user_id")
+      .agg(array_sort(collect_list(struct(col("day"), col("v")))).as("xs"))
+      .withColumn("st", expr(
+        """aggregate(
+             xs,
+             CAST(array() AS ARRAY<STRUCT<day: DATE, lvl: BIGINT, trd: BIGINT>>),
+             (acc, x) -> CASE WHEN size(acc) = 0
+               THEN array(named_struct('day', x.day, 'lvl', x.v * 1000000L, 'trd', 0L))
+               ELSE concat(acc, array(named_struct(
+                 'day', x.day,
+                 'lvl', (x.v * 1000000L + element_at(acc, -1).lvl + element_at(acc, -1).trd) DIV 2L,
+                 'trd', ((x.v * 1000000L + element_at(acc, -1).lvl + element_at(acc, -1).trd) DIV 2L
+                          - element_at(acc, -1).lvl + element_at(acc, -1).trd) DIV 2L)))
+             END)"""))
+      .select(col("user_id"), explode(col("st")).as("s"))
+      .select(col("user_id"), col("s.day").as("day"),
+        col("s.lvl").as("level_uc"), col("s.trd").as("trend_uc"),
+        (col("s.lvl") + col("s.trd")).as("forecast_uc"))
+      .orderBy("user_id", "day")
+
+  /** Day-of-week seasonal decomposition of corpus daily revenue — the
+    * additive "weekday effect" split every ops dashboard applies before
+    * comparing a Saturday to a Tuesday. Daily totals are exact integer
+    * cents; each weekday's mean is a truncating integer division
+    * (mirrored `DIV` ≡ `//` on non-negative sums); deseasonalized =
+    * day − its weekday mean. Scale: one day-grain aggregation, then an
+    * equi-join against the 7-row weekday means — broadcast by size, a
+    * map-side subtraction. */
+  def tsSeasonalDow(s: SparkSession, d: String): DataFrame = {
+    val daily = ev(s, d)
+      .filter(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 100.0 + 0.5).cast("long")).as("rev_c"))
+      .withColumn("dow", dayofweek(col("day")))
+    val dowMean = daily.groupBy("dow")
+      .agg(expr("sum(rev_c) DIV count(*)").as("dow_mean_c"))
+    daily.join(broadcast(dowMean), "dow")
+      .select(col("day"), col("dow"), col("rev_c"), col("dow_mean_c"),
+        (col("rev_c") - col("dow_mean_c")).as("deseason_c"))
+      .orderBy("day")
+  }
+
   /** Cohort LTV matrix — revenue by (signup-week cohort × age-in-weeks):
     * the retention table's money twin, THE report subscription/commerce
     * teams steer by. Cohort = ISO week of each user's first event (any
@@ -587,6 +647,8 @@ object EventOps {
     "event_inter_arrival" -> (eventInterArrival _),
     "ts_interpolate" -> (tsInterpolate _),
     "ts_ewma" -> (tsEwma _),
+    "ts_holtwinters" -> (tsHoltWinters _),
+    "ts_seasonal_dow" -> (tsSeasonalDow _),
     "ts_autocorr" -> (tsAutocorr _),
     "ts_changepoint" -> (tsChangepoint _),
     "event_rfm" -> (eventRfm _),
@@ -753,6 +815,36 @@ object EventOps {
         "OVER (PARTITION BY user_id ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS num FROM k) " +
         "SELECT user_id, day, v AS v_cents, num / pow(2.0, k) AS ewma_cents " +
         "FROM n ORDER BY user_id, day"),
+    // the micro-cent Holt fold replayed as a recursive CTE: row 1 seeds
+    // (l, b) = (v·10⁶, 0); each step joins the next rn and applies the
+    // same truncating-division recursion (// ≡ Spark DIV on negatives)
+    "ts_holtwinters" ->
+      ("WITH RECURSIVE daily AS (SELECT user_id, " +
+        "CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day, " +
+        "CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS v " +
+        "FROM events WHERE event_type = 'purchase' GROUP BY 1, 2), " +
+        "k AS (SELECT user_id, day, v, " +
+        "row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn FROM daily), " +
+        "rec AS (" +
+        "SELECT user_id, day, rn, CAST(v * 1000000 AS BIGINT) AS lvl, CAST(0 AS BIGINT) AS trd " +
+        "FROM k WHERE rn = 1 " +
+        "UNION ALL SELECT k.user_id, k.day, k.rn, " +
+        "CAST((k.v * 1000000 + rec.lvl + rec.trd) // 2 AS BIGINT), " +
+        "CAST(((k.v * 1000000 + rec.lvl + rec.trd) // 2 - rec.lvl + rec.trd) // 2 AS BIGINT) " +
+        "FROM k JOIN rec ON k.user_id = rec.user_id AND k.rn = rec.rn + 1) " +
+        "SELECT user_id, day, lvl AS level_uc, trd AS trend_uc, " +
+        "CAST(lvl + trd AS BIGINT) AS forecast_uc FROM rec ORDER BY user_id, day"),
+    // DuckDB dayofweek is 0-based Sunday; +1 matches Spark's 1-based
+    "ts_seasonal_dow" ->
+      ("WITH daily AS (SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day, " +
+        "CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS rev_c " +
+        "FROM events WHERE event_type = 'purchase' GROUP BY 1), " +
+        "dd AS (SELECT day, CAST(dayofweek(day) + 1 AS INT) AS dow, rev_c FROM daily), " +
+        "m AS (SELECT dow, CAST(sum(rev_c) // count(*) AS BIGINT) AS dow_mean_c " +
+        "FROM dd GROUP BY 1) " +
+        "SELECT dd.day, dd.dow, dd.rev_c, m.dow_mean_c, " +
+        "CAST(dd.rev_c - m.dow_mean_c AS BIGINT) AS deseason_c " +
+        "FROM dd JOIN m ON dd.dow = m.dow ORDER BY dd.day"),
     // string_agg ORDER BY rn mirrors the sorted-struct path assembly;
     // the (n_users DESC, path) order is total, so LIMIT 25 is stable
     "event_path_topk" ->

@@ -380,4 +380,52 @@ class EventOpsSpec extends SparkTestBase {
       .filter(_.contains("Window ")).toSeq
     assert(winExec.isEmpty, s"unexpected WindowExec nodes:\n${winExec.mkString("\n")}")
   }
+
+  test("ts_holtwinters: integer recursion matches a hand-rolled fold; DIV truncates like //") {
+    // the cross-engine contract the oracle relies on: Spark DIV truncates
+    // toward zero on negatives, same as DuckDB's // (verified there)
+    assert(spark.sql("SELECT -7 DIV 2").head().getLong(0) == -3L)
+    val rows = EventOps.tsHoltWinters(spark, SF).collect()
+    assert(rows.nonEmpty)
+    val byUser = rows.groupBy(_.getLong(0)).values
+    // forecast is definitionally level + trend on every row
+    rows.foreach(r => assert(r.getLong(4) == r.getLong(2) + r.getLong(3)))
+    // seed rows (each user's first day) carry trend 0 and level = v·10⁶:
+    // recompute the daily inputs and check the seeds exactly
+    val daily = graft.Tables.load(spark, SF, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 100.0 + 0.5).cast("long")).as("v"))
+      .collect().map(r => (r.getLong(0), r.getDate(1).toString) -> r.getLong(2)).toMap
+    byUser.foreach { rs =>
+      val sorted = rs.sortBy(_.getDate(1).toString)
+      val head = sorted.head
+      assert(head.getLong(3) == 0L)
+      assert(head.getLong(2) == daily((head.getLong(0), head.getDate(1).toString)) * 1000000L)
+      // and every later row obeys the two-halving recursion exactly
+      sorted.sliding(2).foreach {
+        case Array(p, c) =>
+          val x = daily((c.getLong(0), c.getDate(1).toString)) * 1000000L
+          val l = (x + p.getLong(2) + p.getLong(3)) / 2
+          val b = (l - p.getLong(2) + p.getLong(3)) / 2
+          assert(c.getLong(2) == l && c.getLong(3) == b)
+        case _ => ()
+      }
+    }
+  }
+
+  test("ts_seasonal_dow: weekday means decompose daily revenue additively") {
+    val rows = EventOps.tsSeasonalDow(spark, SF).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) - r.getLong(3) == r.getLong(4))
+      assert(r.getInt(1) >= 1 && r.getInt(1) <= 7)
+    }
+    // each weekday's mean is the truncating integer mean of its days
+    val byDow = rows.groupBy(_.getInt(1))
+    byDow.foreach { case (_, rs) =>
+      val mean = rs.map(_.getLong(2)).sum / rs.length
+      assert(rs.forall(_.getLong(3) == mean))
+    }
+  }
 }
