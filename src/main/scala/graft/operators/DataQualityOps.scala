@@ -130,6 +130,15 @@ object DataQualityOps {
       expr(s"stack(${rules.length}, $args) AS (rule_name, n_violations, n_bad_values)"))
   }
 
+  /** The two event-stream rule predicates, shared VERBATIM with the
+    * streaming twin ([[graft.streaming.StreamingOps.dqAuditStream]]) —
+    * stateless Columns are streaming-safe, so the batch oracle grades
+    * the streaming audit's semantics too (the qualityGateStream
+    * argument, applied to data quality). */
+  private[graft] val eventTypeAccepted: Column =
+    col("event_type").isin("click", "error", "purchase", "signup", "view")
+  private[graft] val eventValuePositive: Column = col("value") > 0.0
+
   /** dq_accepted_values: categorical-domain conformance — every value of
     * the watched column must sit in its declared domain; NULL is a
     * violation; the distinct out-of-domain values are tallied so a
@@ -148,8 +157,7 @@ object DataQualityOps {
         ("accepted:lineitem.l_linestatus", in("l_linestatus", "F", "O"),
           Some(col("l_linestatus"))))))
       .unionAll(ruleAudit(t(s, d, "events"), Seq(
-        ("accepted:events.event_type", in("event_type", "click", "error",
-          "purchase", "signup", "view"), Some(col("event_type"))))))
+        ("accepted:events.event_type", eventTypeAccepted, Some(col("event_type"))))))
       .unionAll(ruleAudit(t(s, d, "documents"), Seq(
         ("accepted:documents.lang", in("lang", "de", "en", "es", "fr", "zh"),
           Some(col("lang"))))))
@@ -170,7 +178,7 @@ object DataQualityOps {
       .unionAll(ruleAudit(t(s, d, "orders"), Seq(
         ("bounds:orders.o_totalprice>0", col("o_totalprice") > 0.0, None))))
       .unionAll(ruleAudit(t(s, d, "events"), Seq(
-        ("bounds:events.value>0", col("value") > 0.0, None))))
+        ("bounds:events.value>0", eventValuePositive, None))))
       .unionAll(ruleAudit(t(s, d, "documents"), Seq(
         ("bounds:documents.n_chars=len(text)",
           col("n_chars") === length(col("text")), None))))

@@ -686,6 +686,26 @@ class StreamingOpsSpec extends SparkTestBase {
       }
     } finally q.stop()
   }
+
+  test("streaming dq audit counts violations per window with the batch rule columns") {
+    val input = MemoryStream[Event]
+    val q = StreamingOps.dqAuditStream(input.toDF())
+      .writeStream.format("memory").queryName("dqaudit").outputMode("append").start()
+    try {
+      input.addData(
+        ev(1, ts(10, 5)),                               // clean
+        Event(2, ts(10, 10), 1L, "bogus", 1.0),         // out-of-domain type
+        Event(3, ts(10, 20), 1L, "view", 0.0),          // non-positive value
+        Event(4, ts(10, 30), 1L, null, -1.0))           // both rules fire
+      drain(q)
+      input.addData(ev(9, ts(13, 0))) // push the watermark past 11:00
+      drain(q)
+      val r = spark.sql(
+        "SELECT n_rows, n_bad_type, n_bad_value FROM dqaudit " +
+          "WHERE hour_start = TIMESTAMP '2024-01-01 10:00:00'").head()
+      assert(r.getLong(0) == 4L && r.getLong(1) == 2L && r.getLong(2) == 2L)
+    } finally q.stop()
+  }
 }
 
 object StreamingOpsSpec {
