@@ -146,7 +146,40 @@ object MlOps {
       .orderBy("pos")
   }
 
+  /** Smoothed target encoding of a categorical feature — the standard
+    * tabular-ML replacement for one-hot on high-cardinality columns:
+    * enc(c) = (Σ_c y + m·prior) / (n_c + m) with prior = the global
+    * target mean and m = 20 pseudo-observations. Computed as one exact
+    * integer ratio, enc = (Σ_c·N + m·S) / (N·(n_c + m)) with all four
+    * moments exact BIGINT cents/counts and the products in
+    * DECIMAL(38,0) (Σ·N reaches ~10²⁵ at warehouse scale — the
+    * agg_regression_multi overflow discipline); ONE mirrored IEEE
+    * division, 6 dp rounding. The oracle rides HUGEINT with the
+    * VARCHAR→DOUBLE bridge (DuckDB's HUGEINT→DOUBLE cast is not
+    * correctly rounded; VARCHAR→DOUBLE is).
+    *
+    * Scale: one hash aggregation to the category grain plus a 1-row
+    * global-moments branch broadcast into the arithmetic — the same
+    * shape fitted encoders ship as "fit statistics"; transform is then
+    * a broadcast map-side join of this table. */
+  def mlTargetEncode(s: SparkSession, d: String): DataFrame = {
+    val o = t(s, d, "orders").select(col("o_orderpriority").as("cat"),
+      floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("c"))
+    val per = o.groupBy("cat").agg(count(lit(1)).as("n"), sum("c").as("sum_c"))
+    val gl = o.agg(count(lit(1)).as("gn"), sum("c").as("gs"))
+    val num = (col("sum_c").cast("decimal(19,0)") * col("gn").cast("decimal(19,0)") +
+      lit(20).cast("decimal(19,0)") * col("gs").cast("decimal(19,0)")).cast("decimal(38,0)")
+    val den = (col("gn").cast("decimal(19,0)") *
+      (col("n") + 20).cast("decimal(19,0)")).cast("decimal(38,0)")
+    per.crossJoin(broadcast(gl))
+      .select(col("cat"), col("n"), col("sum_c"),
+        (floor(num.cast("double") / den.cast("double") * 1000000.0 + 0.5) / 1000000.0)
+          .as("enc_c"))
+      .orderBy("cat")
+  }
+
   val queries: Map[String, Q] = Map(
+    "ml_target_encode" -> (mlTargetEncode _),
     "ml_tokenize" -> (mlTokenize _),
     "ml_summarizer" -> (mlSummarizer _),
     "ml_stopwords" -> (mlStopwords _),
@@ -159,6 +192,18 @@ object MlOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // exact integer moments; HUGEINT products with the VARCHAR→DOUBLE
+    // bridge on both division operands (HUGEINT→DOUBLE mis-rounds)
+    "ml_target_encode" ->
+      ("WITH o AS (SELECT o_orderpriority AS cat, " +
+        "CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS c FROM orders), " +
+        "per AS (SELECT cat, CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS sum_c " +
+        "FROM o GROUP BY 1), " +
+        "gl AS (SELECT CAST(count(*) AS BIGINT) AS gn, CAST(sum(c) AS BIGINT) AS gs FROM o) " +
+        "SELECT cat, n, sum_c, " +
+        "floor(CAST(CAST(CAST(sum_c AS HUGEINT) * gn + 20 * CAST(gs AS HUGEINT) AS VARCHAR) AS DOUBLE) / " +
+        "CAST(CAST(CAST(gn AS HUGEINT) * (n + 20) AS VARCHAR) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS enc_c " +
+        "FROM per, gl ORDER BY cat"),
     "ml_tokenize" ->
       "SELECT doc_id, array_to_string(list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> ''), ' ') AS toks FROM documents ORDER BY doc_id",
     "ml_stopwords" ->
