@@ -202,6 +202,38 @@ object DataQualityOps {
       .orderBy("src")
   }
 
+  /** dq_volume_anomaly: ingest-volume 3σ gauge — flags days whose event
+    * count deviates from the feed's mean by more than three standard
+    * deviations (the "did yesterday's load silently half-arrive" check
+    * run before any freshness-passing feed is trusted). The test is the
+    * cross-multiplied INTEGER form of |c − μ| > 3σ:
+    *   (N·c_d − S)² > 9·(N·Q − S²)
+    * with S = Σc, Q = Σc² — every moment exact (DECIMAL(38,0) products;
+    * day-counts at warehouse scale put c² past int64), so the verdict
+    * is an exact integer comparison on BOTH engines (HUGEINT in the
+    * oracle) — no float, no σ, no rounding discipline at all.
+    * Scale: one day-grain aggregation plus a broadcast 1-row moments
+    * branch; the flag is a map-side comparison. */
+  def dqVolumeAnomaly(s: SparkSession, d: String): DataFrame = {
+    val daily = t(s, d, "events")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val m = daily.agg(count(lit(1)).as("nd"), sum("n_events").as("sv"),
+      sum((col("n_events").cast("decimal(19,0)") *
+        col("n_events").cast("decimal(19,0)")).cast("decimal(38,0)")).as("q"))
+    val dev = (col("nd").cast("decimal(19,0)") * col("n_events").cast("decimal(19,0)") -
+      col("sv").cast("decimal(19,0)")).cast("decimal(19,0)")
+    val lhs = (dev * dev).cast("decimal(38,0)")
+    val rhs = (lit(9).cast("decimal(19,0)") *
+      (col("nd").cast("decimal(19,0)") * col("q") -
+        (col("sv").cast("decimal(19,0)") * col("sv").cast("decimal(19,0)")).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")).cast("decimal(38,0)")
+    daily.crossJoin(broadcast(m))
+      .select(col("day"), col("n_events"),
+        when(lhs > rhs, 1L).otherwise(0L).as("is_anomaly"))
+      .orderBy("day")
+  }
+
   // --------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -210,7 +242,8 @@ object DataQualityOps {
     "dq_referential" -> (dqReferential _),
     "dq_accepted_values" -> (dqAcceptedValues _),
     "dq_bounds" -> (dqBounds _),
-    "dq_freshness" -> (dqFreshness _))
+    "dq_freshness" -> (dqFreshness _),
+    "dq_volume_anomaly" -> (dqVolumeAnomaly _))
 
   val oracles: Map[String, String] = Map(
     // per-table 1-row aggregate CTE, unpivoted by UNION ALL — one scan
@@ -333,5 +366,17 @@ object DataQualityOps {
         "UNION ALL SELECT 'orders.o_orderdate', " +
         "CAST(min(epoch_us(o_orderdate)) AS BIGINT), CAST(max(epoch_us(o_orderdate)) AS BIGINT), " +
         "CAST((max(epoch_us(o_orderdate)) - min(epoch_us(o_orderdate))) // 86400000000 AS BIGINT) FROM orders" +
-        ") ORDER BY src"))
+        ") ORDER BY src"),
+    // the cross-multiplied integer 3σ test in HUGEINT — exact on both
+    // engines, no float σ anywhere
+    "dq_volume_anomaly" ->
+      ("WITH daily AS (SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day, " +
+        "CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1), " +
+        "m AS (SELECT CAST(count(*) AS BIGINT) AS nd, CAST(sum(c) AS BIGINT) AS sv, " +
+        "CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS q FROM daily) " +
+        "SELECT day, c AS n_events, " +
+        "CASE WHEN (CAST(nd AS HUGEINT) * c - sv) * (CAST(nd AS HUGEINT) * c - sv) > " +
+        "9 * (CAST(nd AS HUGEINT) * q - CAST(sv AS HUGEINT) * sv) " +
+        "THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS is_anomaly " +
+        "FROM daily, m ORDER BY day"))
 }

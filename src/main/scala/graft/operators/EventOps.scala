@@ -93,9 +93,10 @@ object EventOps {
   def eventFunnel(s: SparkSession, d: String): DataFrame =
     funnelCounts(ev(s, d))
 
-  /** Core funnel over any (user_id, event_type, ts) frame — exposed so
-    * constructed-input tests exercise THIS code, not a reimplementation. */
-  def funnelCounts(events: DataFrame): DataFrame = {
+  /** The three funnel step frames (first signup, first view after it,
+    * first purchase after that) — ONE definition under the funnel count
+    * and the funnel latency keys. */
+  private def funnelSteps(events: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     val e = events.select("user_id", "event_type", "ts")
     val su = e.filter(col("event_type") === "signup")
       .groupBy("user_id").agg(min("ts").as("s_ts"))
@@ -105,9 +106,38 @@ object EventOps {
     val pu = e.filter(col("event_type") === "purchase").join(vu, "user_id")
       .filter(col("ts") > col("v_ts"))
       .groupBy("user_id").agg(min("ts").as("p_ts"))
+    (su, vu, pu)
+  }
+
+  /** Core funnel over any (user_id, event_type, ts) frame — exposed so
+    * constructed-input tests exercise THIS code, not a reimplementation. */
+  def funnelCounts(events: DataFrame): DataFrame = {
+    val (su, vu, pu) = funnelSteps(events)
     su.agg(count(lit(1)).as("n_signup"))
       .crossJoin(vu.agg(count(lit(1)).as("n_view_after")))
       .crossJoin(pu.agg(count(lit(1)).as("n_purchase_after")))
+  }
+
+  /** Funnel transition latency — "how long does a converting user take
+    * between steps", the companion every funnel-count dashboard needs
+    * for SLA and drop-off-cause analysis. Gaps are exact integer µs
+    * between the SAME step timestamps the graded event_funnel counts
+    * ([[funnelSteps]] is shared); stats are all-integer with the
+    * truncating mean, guarded for an empty step. Scale: the step
+    * frames' user_id joins, then two global 1-row aggregations. */
+  def eventFunnelTime(s: SparkSession, d: String): DataFrame = {
+    val (su, vu, pu) = funnelSteps(ev(s, d))
+    def stats(gaps: DataFrame, step: String) =
+      gaps.agg(count(lit(1)).as("n_users"), min("gap").as("min_us"),
+          max("gap").as("max_us"), sum("gap").as("sum_us"))
+        .select(lit(step).as("step"), col("n_users"), col("min_us"), col("max_us"),
+          when(col("n_users") > 0, expr("sum_us DIV n_users")).as("mean_us"))
+    val g1 = vu.join(su, "user_id")
+      .select((unix_micros(col("v_ts")) - unix_micros(col("s_ts"))).as("gap"))
+    val g2 = pu.join(vu, "user_id")
+      .select((unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).as("gap"))
+    stats(g1, "signup->view").unionAll(stats(g2, "view->purchase"))
+      .orderBy("step")
   }
 
   /** Retention cohorts: users grouped by first-active day; per cohort, how
@@ -664,6 +694,7 @@ object EventOps {
     "stream_session" -> (streamSession _),
     "stream_dedup" -> (streamDedup _),
     "event_funnel" -> (eventFunnel _),
+    "event_funnel_time" -> (eventFunnelTime _),
     "event_retention" -> (eventRetention _),
     "event_transitions" -> (eventTransitions _),
   )
@@ -815,6 +846,25 @@ object EventOps {
         "OVER (PARTITION BY user_id ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS num FROM k) " +
         "SELECT user_id, day, v AS v_cents, num / pow(2.0, k) AS ewma_cents " +
         "FROM n ORDER BY user_id, day"),
+    // the same three step frames as event_funnel's oracle, folded to
+    // per-transition integer-µs latency stats; the mean guards n = 0
+    "event_funnel_time" ->
+      ("WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events), " +
+        "su AS (SELECT user_id, min(ts) AS s_ts FROM e WHERE event_type = 'signup' GROUP BY 1), " +
+        "vu AS (SELECT e.user_id, min(e.ts) AS v_ts FROM e JOIN su ON e.user_id = su.user_id " +
+        "WHERE e.event_type = 'view' AND e.ts > su.s_ts GROUP BY 1), " +
+        "pu AS (SELECT e.user_id, min(e.ts) AS p_ts FROM e JOIN vu ON e.user_id = vu.user_id " +
+        "WHERE e.event_type = 'purchase' AND e.ts > vu.v_ts GROUP BY 1), " +
+        "g1 AS (SELECT epoch_us(v_ts) - epoch_us(s_ts) AS gap FROM vu JOIN su USING (user_id)), " +
+        "g2 AS (SELECT epoch_us(p_ts) - epoch_us(v_ts) AS gap FROM pu JOIN vu USING (user_id)) " +
+        "SELECT * FROM (" +
+        "SELECT 'signup->view' AS step, CAST(count(*) AS BIGINT) AS n_users, " +
+        "CAST(min(gap) AS BIGINT) AS min_us, CAST(max(gap) AS BIGINT) AS max_us, " +
+        "CASE WHEN count(*) > 0 THEN CAST(sum(gap) AS BIGINT) // CAST(count(*) AS BIGINT) END AS mean_us FROM g1 " +
+        "UNION ALL SELECT 'view->purchase', CAST(count(*) AS BIGINT), " +
+        "CAST(min(gap) AS BIGINT), CAST(max(gap) AS BIGINT), " +
+        "CASE WHEN count(*) > 0 THEN CAST(sum(gap) AS BIGINT) // CAST(count(*) AS BIGINT) END FROM g2" +
+        ") ORDER BY step"),
     // the micro-cent Holt fold replayed as a recursive CTE: row 1 seeds
     // (l, b) = (v·10⁶, 0); each step joins the next rn and applies the
     // same truncating-division recursion (// ≡ Spark DIV on negatives)

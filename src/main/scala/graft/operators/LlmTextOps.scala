@@ -649,6 +649,27 @@ object LlmTextOps {
       .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
       .orderBy("doc_id")
 
+  /** SoftDeDup-style sampling weights: instead of DROPPING near-dups,
+    * every document keeps weight 1/|its duplicate cluster| (singletons
+    * weigh 1.0) — the training sampler then sees each duplicated
+    * content unit with total mass 1, preserving corpus diversity
+    * without a hard survivor cut. Cluster sizes come from the SAME
+    * components the graded llm_dedup_clusters key labels (shared
+    * memoized pair table + CC), joined back to the corpus as a
+    * broadcast-sized membership table; the weight is the one float —
+    * a mirrored IEEE 1/n, 6 dp. */
+  def llmDedupSoftweight(s: SparkSession, d: String): DataFrame = {
+    val labels = dedupLabels(s, d)
+    val sizes = labels.groupBy("comp").agg(count(lit(1)).as("csz"))
+    t(s, d, "documents").select("doc_id")
+      .join(labels.join(sizes, "comp").select(col("id").as("doc_id"), col("csz")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("csz"), lit(1L)).as("cluster_size"))
+      .withColumn("weight",
+        floor(lit(1.0) / col("cluster_size").cast("double") * 1000000.0 + 0.5) / 1000000.0)
+      .orderBy("doc_id")
+  }
+
   /** SemDeDup-style SEMANTIC dedup clusters: embedding-cosine near-dup
     * pairs (the same thresholded, rounded pair set llm_dedup_embedding
     * grades) closed under transitivity via the distributed connected
@@ -1149,6 +1170,7 @@ object LlmTextOps {
     "llm_ngram_jaccard" -> (llmNgramJaccard _),
     "llm_containment" -> (llmContainment _),
     "llm_dedup_clusters" -> (llmDedupClusters _),
+    "llm_dedup_softweight" -> (llmDedupSoftweight _),
     "llm_dedup_semantic" -> (llmDedupSemantic _),
     "llm_dedup_survivors" -> (llmDedupSurvivors _),
     "llm_dedup_keep_longest" -> (llmDedupKeepLongest _),
@@ -1251,6 +1273,24 @@ object LlmTextOps {
       "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 4) AS sim " +
       "FROM e a JOIN e c ON a.bucket = c.bucket AND a.vec_id < c.vec_id " +
       "ORDER BY sim DESC, a_id, b_id LIMIT 20"
+
+  /** The near-dup cluster closure CTE chain (shingle → banded-capped
+    * posting join → jaccard-thresholded pairs → recursive transitive
+    * closure `reach`) — ONE definition shared by the llm_dedup_clusters
+    * and llm_dedup_softweight oracles, mirroring the shared Spark-side
+    * dedupLabels frame. */
+  private val DedupClusterCte: String =
+    "WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), " +
+      "x AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i FROM w), " +
+      "sh AS (SELECT DISTINCT doc_id, CAST('0x' || substr(md5(array_to_string(ws[i:i+2], ' ')), 1, 15) AS BIGINT) AS sh FROM x), " +
+      "sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id), " +
+      "shc AS (SELECT doc_id, sh FROM sh QUALIFY count(*) OVER (PARTITION BY sh) <= 500), " +
+      "p0 AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter FROM shc a JOIN shc b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+      "pairs AS (SELECT a_id, b_id FROM p0 JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id " +
+      "WHERE round(inter / (sa.n_sh + sb.n_sh - inter), 4) >= 0.8), " +
+      "edges AS (SELECT a_id AS src, b_id AS dst FROM pairs UNION ALL SELECT b_id, a_id FROM pairs), " +
+      "reach AS (SELECT src AS id, src AS comp FROM edges " +
+      "UNION SELECT e.src AS id, r.comp FROM edges e JOIN reach r ON e.dst = r.id)"
 
   val oracles: Map[String, String] = Map(
     // mirrored char-class counts (regexp_replace + length), exact
@@ -1419,19 +1459,20 @@ object LlmTextOps {
     // transitive closure by recursive CTE: reach(id, comp) accumulates
     // every id reachable from each node; min over the reachable set is
     // the component minimum — identical to min-label propagation.
+    // (the CTE chain itself is DedupClusterCte, shared with softweight)
     "llm_dedup_clusters" ->
-      ("WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), " +
-        "x AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i FROM w), " +
-        "sh AS (SELECT DISTINCT doc_id, CAST('0x' || substr(md5(array_to_string(ws[i:i+2], ' ')), 1, 15) AS BIGINT) AS sh FROM x), " +
-        "sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id), " +
-        "shc AS (SELECT doc_id, sh FROM sh QUALIFY count(*) OVER (PARTITION BY sh) <= 500), " +
-        "p0 AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter FROM shc a JOIN shc b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
-        "pairs AS (SELECT a_id, b_id FROM p0 JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id " +
-        "WHERE round(inter / (sa.n_sh + sb.n_sh - inter), 4) >= 0.8), " +
-        "edges AS (SELECT a_id AS src, b_id AS dst FROM pairs UNION ALL SELECT b_id, a_id FROM pairs), " +
-        "reach AS (SELECT src AS id, src AS comp FROM edges " +
-        "UNION SELECT e.src AS id, r.comp FROM edges e JOIN reach r ON e.dst = r.id) " +
-        "SELECT id AS doc_id, min(comp) AS cluster_id FROM reach GROUP BY id ORDER BY doc_id"),
+      (DedupClusterCte +
+        " SELECT id AS doc_id, min(comp) AS cluster_id FROM reach GROUP BY id ORDER BY doc_id"),
+    // the same closure, folded to cluster sizes and joined back to the
+    // whole corpus: singletons COALESCE to size 1 / weight 1.0
+    "llm_dedup_softweight" ->
+      (DedupClusterCte +
+        ", cl AS (SELECT id AS doc_id, min(comp) AS cluster_id FROM reach GROUP BY id), " +
+        "sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n FROM cl GROUP BY 1) " +
+        "SELECT d.doc_id, CAST(COALESCE(sz.n, 1) AS BIGINT) AS cluster_size, " +
+        "floor(1.0 / COALESCE(sz.n, 1) * 1000000 + 0.5) / 1000000 AS weight " +
+        "FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id " +
+        "LEFT JOIN sz ON sz.cluster_id = cl.cluster_id ORDER BY d.doc_id"),
     // same pair predicate as llm_dedup_embedding, same closure as
     // llm_dedup_clusters — the composed oracle for the semantic twin
     "llm_dedup_semantic" ->

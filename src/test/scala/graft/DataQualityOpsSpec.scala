@@ -81,6 +81,19 @@ class DataQualityOpsSpec extends SparkTestBase {
     }
   }
 
+  test("dq_volume_anomaly: flags agree with the driver-recomputed integer 3-sigma test") {
+    val rows = DataQualityOps.dqVolumeAnomaly(spark, SF).collect()
+    assert(rows.nonEmpty)
+    val cs = rows.map(_.getLong(1))
+    val nd = BigInt(cs.length); val sv = cs.map(BigInt(_)).sum
+    val q = cs.map(c => BigInt(c) * BigInt(c)).sum
+    rows.foreach { r =>
+      val dev = nd * BigInt(r.getLong(1)) - sv
+      val want = if (dev * dev > 9 * (nd * q - sv * sv)) 1L else 0L
+      assert(r.getLong(2) == want, s"day ${r.get(0)}: flag ${r.getLong(2)} != $want")
+    }
+  }
+
   test("single-scan shape: one audit pass plans exactly one scan per table") {
     // the stack-over-1-row-aggregate form must not fan one scan per metric
     Seq(DataQualityOps.dqBounds(spark, SF),

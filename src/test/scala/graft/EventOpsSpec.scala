@@ -414,6 +414,22 @@ class EventOpsSpec extends SparkTestBase {
     }
   }
 
+  test("event_funnel_time: converting-user counts match event_funnel; gap stats are consistent") {
+    val ft = EventOps.eventFunnelTime(spark, SF).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(ft.keySet == Set("signup->view", "view->purchase"))
+    val fc = EventOps.eventFunnel(spark, SF).head()
+    assert(ft("signup->view").getLong(1) == fc.getLong(1))   // n_view_after
+    assert(ft("view->purchase").getLong(1) == fc.getLong(2)) // n_purchase_after
+    ft.values.foreach { r =>
+      if (r.getLong(1) > 0) {
+        assert(r.getLong(2) > 0L) // step gaps are strictly-after, so > 0
+        assert(r.getLong(2) <= r.getLong(4) && r.getLong(4) <= r.getLong(3),
+          s"mean outside [min, max]: $r")
+      }
+    }
+  }
+
   test("ts_seasonal_dow: weekday means decompose daily revenue additively") {
     val rows = EventOps.tsSeasonalDow(spark, SF).collect()
     assert(rows.nonEmpty)

@@ -212,6 +212,18 @@ class LlmOpsSpec extends SparkTestBase {
     clusters.foreach { case (id, c) =>
       assert(survivors.contains(id) == (id == c), s"doc $id survivor status wrong")
     }
+    // softweight: full corpus coverage; weight = r6(1/|cluster|) with
+    // |cluster| from the SAME labeling, singletons at exactly 1.0
+    val weights = LlmTextOps.llmDedupSoftweight(spark, SF).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(weights.size == total)
+    val sizeOf = clusters.values.groupBy(identity).map { case (c, xs) => c -> xs.size.toLong }
+    weights.foreach { case (id, (sz, w)) =>
+      val wantSz = clusters.get(id).map(sizeOf).getOrElse(1L)
+      assert(sz == wantSz, s"doc $id cluster size $sz != $wantSz")
+      assert(w == math.floor(1.0 / wantSz * 1e6 + 0.5) / 1e6, s"doc $id weight $w")
+      if (!clusters.contains(id)) assert(w == 1.0)
+    }
   }
 
   test("minhash hot-bucket cap bounds fan-out without losing cold-bucket pairs") {
