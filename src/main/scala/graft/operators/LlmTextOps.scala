@@ -968,6 +968,30 @@ object LlmTextOps {
       .orderBy(col("sim").desc, col("a_id"), col("b_id"))
       .limit(20)
 
+  /** ANN self-evaluation: recall of the hyperplane-LSH bucketing
+    * against the EXACT global top-20 cosine pairs (the graded
+    * llm_cosine_topk truth) — a retrieval index is only as good as its
+    * measured recall, and this key makes the engine grade its own.
+    * recall = |truth pairs whose endpoints share an LSH bucket| / 20.
+    * Both sides are already-graded deterministic frames; the one float
+    * is a mirrored n/20 division, 6 dp. Scale: the truth is 20 rows
+    * (broadcast), the bucket table one row per vector — two broadcast
+    * equi-joins, no pairwise work beyond what the graded keys already
+    * bound. */
+  def annPairRecall(s: SparkSession, d: String): DataFrame = {
+    val truth = VectorFunctions.cosineTopKDistributed(s, t(s, d, "embeddings"), 20)
+      .orderBy(col("sim").desc, col("a_id"), col("b_id")).limit(20)
+    val b = t(s, d, "embeddings").select(col("vec_id"),
+      graft.GraftFunctions.hyperplaneBucket(col("embedding")).as("bucket"))
+    truth
+      .join(b.select(col("vec_id").as("a_id"), col("bucket").as("ba")), "a_id")
+      .join(b.select(col("vec_id").as("b_id"), col("bucket").as("bb")), "b_id")
+      .agg(sum(when(col("ba") === col("bb"), 1L).otherwise(0L)).as("n_hit"))
+      .select(lit(20L).as("n_truth"), col("n_hit"),
+        (floor(col("n_hit").cast("double") / 20.0 * 1000000.0 + 0.5) / 1000000.0)
+          .as("recall"))
+  }
+
   /** Embedding-cosine near-dup pairs (threshold form of the similarity
     * join): all pairs with rounded cosine ≥ 0.45, computed by the
     * distributed block-nested-loop join (no driver collect; per-task
@@ -1189,6 +1213,7 @@ object LlmTextOps {
     "llm_dedup_simhash_pairs" -> ((s: SparkSession, d: String) =>
       simhashBandedPairs(fixtureSimhash(s, d), maxHamming = 8).orderBy("a_id", "b_id")),
     "ann_lsh_topk" -> (annLshTopk _),
+    "ann_pair_recall" -> (annPairRecall _),
   )
 
   private val markerSql: Map[String, String] = langs.toMap.map { case (l, ms) =>
@@ -1253,7 +1278,10 @@ object LlmTextOps {
     * dot ≥ 0 — then same-bucket pairs, cosine, top-20. Integer addition
     * is associative, so SUM needs no ordering discipline, unlike a float
     * hyperplane. */
-  private val annLshOracle: String =
+  /** The hyperplane-LSH bucket assignment CTE chain (per-dim fixed-point
+    * components → md5 hyperplane weights → sign bits → bucket) — shared
+    * by the ann_lsh_topk and ann_pair_recall oracles. */
+  private val AnnBucketCte: String =
     "WITH q AS (SELECT vec_id, i - 1 AS i, " +
       "CAST(floor(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS qv " +
       "FROM (SELECT vec_id, embedding, unnest(range(1, len(embedding) + 1)) AS i FROM embeddings)), " +
@@ -1267,8 +1295,11 @@ object LlmTextOps {
       "dots AS (SELECT q.vec_id, w.j, sum(q.qv * w.wt) AS dot " +
       "FROM q JOIN w ON q.i = w.i GROUP BY 1, 2), " +
       "b AS (SELECT vec_id, CAST(sum(CASE WHEN dot >= 0 THEN 1 << j ELSE 0 END) AS BIGINT) AS bucket " +
-      "FROM dots GROUP BY 1), " +
-      "e AS (SELECT b.bucket, emb.vec_id, emb.embedding FROM embeddings emb JOIN b USING (vec_id)) " +
+      "FROM dots GROUP BY 1)"
+
+  private val annLshOracle: String =
+    AnnBucketCte +
+      ", e AS (SELECT b.bucket, emb.vec_id, emb.embedding FROM embeddings emb JOIN b USING (vec_id)) " +
       "SELECT a.vec_id AS a_id, c.vec_id AS b_id, " +
       "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 4) AS sim " +
       "FROM e a JOIN e c ON a.bucket = c.bucket AND a.vec_id < c.vec_id " +
@@ -1309,6 +1340,18 @@ object LlmTextOps {
     "llm_dedup_simhash_pairs" -> simhashPairsOracle,
     "llm_dedup_simhash" -> simhashBucketsOracle,
     "ann_lsh_topk" -> annLshOracle,
+    // the shared bucket CTE + the llm_cosine_topk truth pairs; recall
+    // is the one mirrored float (n/20, 6 dp)
+    "ann_pair_recall" ->
+      (AnnBucketCte +
+        ", truth AS (SELECT a.vec_id AS a_id, c.vec_id AS b_id " +
+        "FROM embeddings a JOIN embeddings c ON a.vec_id < c.vec_id " +
+        "ORDER BY round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 4) DESC, a_id, b_id LIMIT 20), " +
+        "hit AS (SELECT t.a_id FROM truth t " +
+        "JOIN b ba ON ba.vec_id = t.a_id JOIN b bb ON bb.vec_id = t.b_id " +
+        "WHERE ba.bucket = bb.bucket) " +
+        "SELECT CAST(20 AS BIGINT) AS n_truth, CAST(count(*) AS BIGINT) AS n_hit, " +
+        "floor(count(*) / 20.0 * 1000000 + 0.5) / 1000000 AS recall FROM hit"),
     "ann_ivf_topk" -> PortableQuantizer.ivfOracle,
     // persisted-index serve: same centroids (write→read roundtrip of
     // exact BIGINTs), same assignment, same pairs — the oracle is

@@ -108,7 +108,8 @@ class EngineSurfaceSpec extends SparkTestBase {
       "GraphOps" -> GraphOps.queries.keySet,
       "AdvancedOps" -> AdvancedOps.queries.keySet,
       "UnigramOps" -> UnigramOps.queries.keySet,
-      "WordPieceOps" -> WordPieceOps.queries.keySet)
+      "WordPieceOps" -> WordPieceOps.queries.keySet,
+      "DataQualityOps" -> DataQualityOps.queries.keySet)
     val perRegistry = registries.map(_._2.size).sum
     assert(perRegistry == SparkEntry.queries.size,
       s"key collision across registries: ${

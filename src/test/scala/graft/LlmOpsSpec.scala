@@ -226,6 +226,24 @@ class LlmOpsSpec extends SparkTestBase {
     }
   }
 
+  test("ann_pair_recall measures LSH recall of the exact top-20 consistently") {
+    val r = LlmTextOps.annPairRecall(spark, SF).head()
+    assert(r.getLong(0) == 20L)
+    val hits = r.getLong(1)
+    assert(hits >= 0L && hits <= 20L)
+    assert(r.getDouble(2) == math.floor(hits / 20.0 * 1e6 + 0.5) / 1e6)
+    // cross-check against the graded frames: every truth pair that IS
+    // co-bucketed must be counted, none that isn't
+    val buckets = graft.Tables.load(spark, SF, "embeddings")
+      .select(col("vec_id"), graft.GraftFunctions.hyperplaneBucket(col("embedding")).as("b"))
+      .collect().map(r2 => r2.getAs[Number]("vec_id").longValue ->
+        r2.getAs[Number]("b").longValue).toMap
+    val truth = graft.operators.LlmOps.llmCosineTopk(spark, SF).collect()
+      .map(r2 => (r2.getAs[Number]("a_id").longValue, r2.getAs[Number]("b_id").longValue))
+    val want = truth.count(p => buckets(p._1) == buckets(p._2)).toLong
+    assert(hits == want, s"recall hits $hits != recomputed $want")
+  }
+
   test("minhash hot-bucket cap bounds fan-out without losing cold-bucket pairs") {
     import graft.operators.MinHashOps
     // 30 identical boilerplate docs -> one bucket of 30 in EVERY band
