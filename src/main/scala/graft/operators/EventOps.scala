@@ -140,6 +140,39 @@ object EventOps {
       .orderBy("step")
   }
 
+  /** Time-decay attribution — the fourth standard credit model next to
+    * event_attribution's first/last-touch: every click/view BEFORE a
+    * user's first purchase earns weight 2^(−days-before-purchase), so
+    * recent touches dominate but older ones keep credit. Weights are
+    * EXACT integers scaled by 2³⁰ (halving per day, floored to 0 past
+    * 30 days — the fixture span; production re-anchors the scale to its
+    * own horizon), summed wide (DECIMAL — Σ of 2³⁰-scaled weights
+    * overflows int64 at warehouse touch volumes, the agg_regression
+    * lesson) and gated to BIGINT; the credit share is ONE mirrored IEEE
+    * division, 6 dp (oracle: HUGEINT sums + the VARCHAR→DOUBLE bridge).
+    * Scale: one user-grain purchase aggregation, one join back on
+    * user_id, one tiny (2-row) type aggregation + a 1-row broadcast
+    * total. */
+  def eventAttributionDecay(s: SparkSession, d: String): DataFrame = {
+    val e = ev(s, d)
+    val fp = e.filter(col("event_type") === "purchase")
+      .groupBy("user_id").agg(min("ts").as("fp_ts"))
+    val touches = e.filter(col("event_type").isin("click", "view"))
+      .join(fp, "user_id").filter(col("ts") < col("fp_ts"))
+      .select(col("event_type"),
+        datediff(to_date(col("fp_ts")), to_date(col("ts"))).as("d"))
+      .select(col("event_type"),
+        expr("IF(d <= 30, shiftleft(CAST(1 AS BIGINT), 30 - d), CAST(0 AS BIGINT))").as("w"))
+    val per = touches.groupBy("event_type")
+      .agg(count(lit(1)).as("n_touches"),
+        sum(col("w").cast("decimal(19,0)")).as("ws"))
+    per.crossJoin(broadcast(per.agg(sum("ws").as("tt"))))
+      .select(col("event_type"), col("n_touches"), col("ws").cast("long").as("w_sum"),
+        (floor(col("ws").cast("double") / col("tt").cast("double") * 1000000.0 + 0.5)
+          / 1000000.0).as("share"))
+      .orderBy("event_type")
+  }
+
   /** Retention cohorts: users grouped by first-active day; per cohort, how
     * many returned exactly 1 day and 7 days later. distinct (user, day)
     * first — one shuffle — then cohort assignment and the conditional
@@ -686,6 +719,7 @@ object EventOps {
     "event_streaks" -> (eventStreaks _),
     "event_path_topk" -> (eventPathTopk _),
     "event_attribution" -> (eventAttribution _),
+    "event_attribution_decay" -> (eventAttributionDecay _),
     "event_sessionize" -> (eventSessionize _),
     "event_dau_wau" -> (eventDauWau _),
     "event_anomaly" -> (eventAnomaly _),
@@ -846,6 +880,22 @@ object EventOps {
         "OVER (PARTITION BY user_id ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS num FROM k) " +
         "SELECT user_id, day, v AS v_cents, num / pow(2.0, k) AS ewma_cents " +
         "FROM n ORDER BY user_id, day"),
+    // exact 2^(30-d) integer weights, HUGEINT sums, VARCHAR→DOUBLE
+    // bridge on the one share division
+    "event_attribution_decay" ->
+      ("WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events), " +
+        "fp AS (SELECT user_id, min(ts) AS fp_ts FROM e WHERE event_type = 'purchase' GROUP BY 1), " +
+        "t AS (SELECT e.event_type, datediff('day', CAST(e.ts AS DATE), CAST(fp.fp_ts AS DATE)) AS d " +
+        "FROM e JOIN fp ON e.user_id = fp.user_id " +
+        "WHERE e.event_type IN ('click', 'view') AND e.ts < fp.fp_ts), " +
+        "w AS (SELECT event_type, CASE WHEN d <= 30 THEN CAST(1 AS BIGINT) << (30 - d) " +
+        "ELSE CAST(0 AS BIGINT) END AS w FROM t), " +
+        "per AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_touches, " +
+        "CAST(sum(CAST(w AS HUGEINT)) AS HUGEINT) AS ws FROM w GROUP BY 1), " +
+        "tot AS (SELECT CAST(sum(ws) AS HUGEINT) AS tt FROM per) " +
+        "SELECT event_type, n_touches, CAST(ws AS BIGINT) AS w_sum, " +
+        "floor(CAST(CAST(ws AS VARCHAR) AS DOUBLE) / CAST(CAST(tt AS VARCHAR) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS share " +
+        "FROM per, tot ORDER BY event_type"),
     // the same three step frames as event_funnel's oracle, folded to
     // per-transition integer-µs latency stats; the mean guards n = 0
     "event_funnel_time" ->

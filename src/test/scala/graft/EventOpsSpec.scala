@@ -430,6 +430,30 @@ class EventOpsSpec extends SparkTestBase {
     }
   }
 
+  test("event_attribution_decay: integer weight masses match a driver-side replay") {
+    val rows = EventOps.eventAttributionDecay(spark, SF).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("click", "view"))
+    // replay: first purchase per user, then 2^(30-d) per prior touch
+    val ev = graft.Tables.load(spark, SF, "events")
+      .select("user_id", "event_type", "ts").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2)))
+    val fp = ev.filter(_._2 == "purchase").groupBy(_._1)
+      .map { case (u, xs) => u -> xs.map(_._3).min }
+    def day(t: java.sql.Timestamp) = t.toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDate
+    val want = ev.filter(e => Set("click", "view")(e._2))
+      .flatMap { case (u, ty, ts) =>
+        fp.get(u).filter(ts.before(_)).map { f =>
+          val d = java.time.temporal.ChronoUnit.DAYS.between(day(ts), day(f)).toInt
+          ty -> (if (d <= 30) 1L << (30 - d) else 0L)
+        }
+      }.groupBy(_._1).map { case (ty, xs) => ty -> (xs.length.toLong, xs.map(_._2).sum) }
+    rows.foreach { r =>
+      val (n, w) = want(r.getString(0))
+      assert(r.getLong(1) == n && r.getLong(2) == w, s"${r.getString(0)}: $r != ($n, $w)")
+    }
+    assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) <= 2e-6)
+  }
+
   test("ts_seasonal_dow: weekday means decompose daily revenue additively") {
     val rows = EventOps.tsSeasonalDow(spark, SF).collect()
     assert(rows.nonEmpty)

@@ -46,6 +46,9 @@ class PlanInvariantsSpec extends SparkTestBase {
     *    aggregate broadcast into the smoothing arithmetic.
     *  - dq_volume_anomaly: the (N, S, Q) feed moments — one 1-row
     *    aggregate broadcast into the integer 3σ comparison.
+    *  - event_attribution_decay: the total weight mass — a 1-row
+    *    re-aggregate of the 2-row type table broadcast into the share
+    *    division.
     * (llm_tfidf_cosine left the list in round 6: its corpus count became
     * a driver-side literal when the TF table was checkpointed, so no
     * 1-row broadcast survives in the plan.) */
@@ -55,7 +58,8 @@ class PlanInvariantsSpec extends SparkTestBase {
     "llm_tfidf_topk", "tpch_q22_idle", "tpch_q11_stock", "llm_domain_mix",
     "stat_skew_report", "stat_chisq", "stat_cramers_v", "agg_hll_merge",
     "agg_hll_intersect", "llm_bm25_topk", "event_peak_concurrency",
-    "stat_lorenz", "ml_target_encode", "dq_volume_anomaly")
+    "stat_lorenz", "ml_target_encode", "dq_volume_anomaly",
+    "event_attribution_decay")
 
   test("no graded key plans a CartesianProduct; nested-loop joins only where justified") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
