@@ -61,11 +61,19 @@ object DataQualityOps {
         r6(col("n_null").cast("double") / col("n_rows").cast("double")).as("null_rate"))
       .orderBy("column_name")
 
-  private def uniq(df: DataFrame, nm: String, keys: Seq[String]): DataFrame =
-    df.agg(count(lit(1)).as("n_rows"),
-        countDistinct(keys.head, keys.tail: _*).as("n_keys"))
+  /** NULL semantics pinned to the oracle's: a single-column key drops
+    * NULL rows from the distinct count on both engines, while a
+    * COMPOSITE key counts rows with NULL components — Spark's multi-arg
+    * countDistinct would silently drop those rows where DuckDB's
+    * row-value `count(DISTINCT (a, b))` keeps them, so the composite
+    * path goes through a struct (non-null container, null fields
+    * compare positionally — the row-value behavior exactly). */
+  private[graft] def uniq(df: DataFrame, nm: String, keys: Seq[String]): DataFrame = {
+    val key = if (keys.lengthIs == 1) col(keys.head) else struct(keys.map(col): _*)
+    df.agg(count(lit(1)).as("n_rows"), countDistinct(key).as("n_keys"))
       .select(lit(nm).as("key_name"), col("n_rows"), col("n_keys"),
         (col("n_rows") - col("n_keys")).as("n_dup_rows"))
+  }
 
   /** dq_uniqueness: candidate-key audit — row count vs exact distinct
     * count per declared key (the composite lineitem key included; the
@@ -221,8 +229,10 @@ object DataQualityOps {
     val m = daily.agg(count(lit(1)).as("nd"), sum("n_events").as("sv"),
       sum((col("n_events").cast("decimal(19,0)") *
         col("n_events").cast("decimal(19,0)")).cast("decimal(38,0)")).as("q"))
+    // dev stays at the decimal(38,0) the multiply produced — narrowing
+    // to (19,0) would NULL past 10^19 and report a real anomaly as 0
     val dev = (col("nd").cast("decimal(19,0)") * col("n_events").cast("decimal(19,0)") -
-      col("sv").cast("decimal(19,0)")).cast("decimal(19,0)")
+      col("sv").cast("decimal(19,0)")).cast("decimal(38,0)")
     val lhs = (dev * dev).cast("decimal(38,0)")
     val rhs = (lit(9).cast("decimal(19,0)") *
       (col("nd").cast("decimal(19,0)") * col("q") -

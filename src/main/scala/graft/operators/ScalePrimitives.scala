@@ -66,7 +66,8 @@ object ScalePrimitives {
       Iterator((pid, cnt, acc))
     }.collect()
     // exclusive prefix offsets, indexed by the dense pids 0..nParts-1
-    // (an empty partition yields no totals row — its slot stays (0, zeros))
+    // (mapPartitionsWithIndex emits one row per partition — an empty
+    // partition still contributes its (pid, 0, zeros) row)
     val nParts = rowRdd.getNumPartitions
     val cntByPid = new Array[Long](nParts)
     val accByPid = Array.ofDim[Long](nParts, idx.length)

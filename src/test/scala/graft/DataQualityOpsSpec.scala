@@ -26,6 +26,16 @@ class DataQualityOpsSpec extends SparkTestBase {
     assert(li.getLong(1) == 6000L && li.getLong(2) == 4599L && li.getLong(3) == 1401L)
   }
 
+  test("composite-key distinct keeps NULL-component rows (the oracle's row-value semantics)") {
+    // DuckDB: count(DISTINCT (a,b)) over {(1,1),(1,NULL),(NULL,2),(1,1)} = 3;
+    // Spark's multi-arg countDistinct would return 1 — the struct path
+    // must match the oracle, not that
+    val dirty = Seq((Some(1L), Some(1L)), (Some(1L), None), (None, Some(2L)),
+      (Some(1L), Some(1L))).toDF("a", "b")
+    val r = DataQualityOps.uniq(dirty, "t", Seq("a", "b")).head()
+    assert(r.getLong(1) == 4L && r.getLong(2) == 3L && r.getLong(3) == 1L)
+  }
+
   test("dq_referential: fixture star schema has zero orphans; planted orphans counted") {
     assert(DataQualityOps.dqReferential(spark, SF).collect()
       .forall(_.getLong(2) == 0L))
