@@ -646,12 +646,12 @@ object RelationalOps {
     * Bit split: reg = low 9 bits, w = h >> 9 (51 bits), rank =
     * 52 - bitlen(w) via length(bin(w)) — minimal binary string in BOTH
     * engines, pure integer/string ops. */
-  private val HllMaxRank = 52
+  private[graft] val HllMaxRank = 52
   /** alpha_512 * 512^2 * 2^52 = 0.7213/(1+1.079/512) * 2^70; the literal
     * is the shortest double repr, parsed to the same IEEE value by both
     * engines (the 2^70 factor only shifts the exponent, so this IS
     * alpha's mantissa). */
-  private val HllNumerator = 8.497699123215257e20
+  private[graft] val HllNumerator = 8.497699123215257e20
 
   /** Per-(group, reg) max-rank register table — ONE 2-phase hash
     * aggregation; at most |groups|·512 rows regardless of input size. */
@@ -661,16 +661,40 @@ object RelationalOps {
     // distinct (group, value) — a cheap integer/narrow-row hash agg
     // replaces ~30× repeated string-hash work at sf0.1 (and ~85% of the
     // hash work in the 20M-row stress run). Register table unchanged.
-    df.select(col(group), value.as("v")).distinct()
-      .select(col(group),
-        conv(substring(md5(col("v").cast("string").cast("binary")), 1, 15), 16, 10)
-          .cast("long").as("h60"))
-      .select(col(group), (col("h60").bitwiseAND(511L)).as("reg"),
-        shiftright(col("h60"), 9).as("w"))
-      .select(col(group), col("reg"),
-        when(col("w") === 0L, HllMaxRank)
-          .otherwise(lit(HllMaxRank) - length(bin(col("w")))).as("rank"))
+    withHllRegRank(df.select(col(group), value.as("v")).distinct(), col("v"))
       .groupBy(col(group), col("reg")).agg(max("rank").as("mr"))
+
+  /** The stateless (reg, rank) projection under [[hllRegisters]] and the
+    * streaming HLL twin — one definition of the md5 tower, so the batch
+    * oracle grades the streaming registers too. Appends `reg`/`rank`. */
+  private[graft] def withHllRegRank(df: DataFrame, value: Column): DataFrame =
+    df.withColumn("__h60",
+        conv(substring(md5(value.cast("string").cast("binary")), 1, 15), 16, 10)
+          .cast("long"))
+      .withColumn("__w", shiftright(col("__h60"), 9))
+      .withColumn("reg", col("__h60").bitwiseAND(511L))
+      .withColumn("rank",
+        when(col("__w") === 0L, HllMaxRank)
+          .otherwise(lit(HllMaxRank) - length(bin(col("__w")))))
+      .drop("__h60", "__w")
+
+  /** Driver/state-side twin of [[hllEstimate]] for the streaming op:
+    * the SAME scaled-integer sum and the same two-IEEE-op estimate
+    * (java.lang.Math on both paths), so a register table folded in
+    * streaming state estimates bit-identically to the batch frame.
+    * `regs(i)` = max rank of register i, or -1 if never hit. */
+  private[graft] def hllEstimateScalar(regs: Array[Int]): Long = {
+    var np = 0L; var sp = 0L
+    var i = 0
+    while (i < regs.length) {
+      if (regs(i) >= 0) { np += 1; sp += 1L << (HllMaxRank - regs(i)) }
+      i += 1
+    }
+    val nv = 512L - np
+    val raw = HllNumerator / ((nv * (1L << HllMaxRank) + sp).toDouble)
+    val est = if (raw <= 1280.0 && nv > 0L) 512.0 * math.log(512.0 / nv.toDouble) else raw
+    math.floor(est + 0.5).toLong
+  }
 
   /** Registers → estimate: exact integer S_scaled, then 2 IEEE ops for
     * the raw estimate. Standard small-range correction (linear counting,

@@ -400,6 +400,55 @@ object StreamingOps {
       }
   }
 
+  final case class RegHit(ts: java.sql.Timestamp, reg: Int, rank: Int)
+  final case class HllWindowCount(wstartMs: Long, est_nd: Long)
+
+  /** Streaming approximate-distinct per tumbling hour — the portable-HLL
+    * register fold as CUSTOM STATE: each window's state is its 512
+    * max-rank registers (a fixed ~2 KB per open window, independent of
+    * cardinality — THE reason sketches are the 100 TB distinct-count
+    * pattern), updated per micro-batch from the SAME md5 register
+    * projection the graded agg_approx_hll key computes
+    * ([[graft.operators.RelationalOps.withHllRegRank]]) and estimated on
+    * window close by the same two-IEEE-op formula
+    * ([[graft.operators.RelationalOps.hllEstimateScalar]]) — so the
+    * batch DuckDB oracle grades the streaming estimate bit-for-bit.
+    * Emission only when the watermark passes the window end (event-time
+    * timeout), exactly-once per window. */
+  def hllDistinctStream(events: DataFrame, value: String = "user_id",
+                        watermark: String = "10 minutes"): Dataset[HllWindowCount] = {
+    import events.sparkSession.implicits._
+    val windowMs = 3600000L
+    graft.operators.RelationalOps.withHllRegRank(
+        events.withWatermark("ts", watermark)
+          .select(col("ts"), col(value).as("__v")), col("__v"))
+      // the WATERMARKED ts column itself rides into the typed Dataset
+      // (a projected window.start loses the watermark tag and
+      // EventTimeTimeout refuses the plan); the epoch-aligned hour is
+      // computed in the grouping key
+      .select(col("ts"),
+        col("reg").cast("int").as("reg"), col("rank").cast("int").as("rank"))
+      .as[RegHit]
+      .groupByKey(h => h.ts.getTime - math.floorMod(h.ts.getTime, windowMs))
+      .flatMapGroupsWithState(org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (wstartMs: Long, batch: Iterator[RegHit], state: GroupState[Array[Int]]) =>
+          if (state.hasTimedOut) {
+            val est = graft.operators.RelationalOps.hllEstimateScalar(
+              state.getOption.getOrElse(Array.fill(512)(-1)))
+            state.remove()
+            Iterator.single(HllWindowCount(wstartMs, est))
+          } else {
+            val regs = state.getOption.getOrElse(Array.fill(512)(-1))
+            batch.foreach(h => if (h.rank > regs(h.reg)) regs(h.reg) = h.rank)
+            state.update(regs)
+            // fire once the watermark passes the window end
+            state.setTimeoutTimestamp(wstartMs + windowMs)
+            Iterator.empty
+          }
+      }
+  }
+
   final case class SessionAgg(user_id: Long, n_events: Long, startMs: Long, endMs: Long)
   final case class SessionState(n: Long, startMs: Long, endMs: Long)
 

@@ -687,6 +687,31 @@ class StreamingOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming HLL distinct: state-folded registers estimate bit-identically to batch") {
+    import org.apache.spark.sql.functions.{col, max => smax}
+    val input = MemoryStream[Event]
+    val q = StreamingOps.hllDistinctStream(input.toDF())
+      .writeStream.format("memory").queryName("hllstream").outputMode("append").start()
+    val evs = (1 to 120).map(i => Event(i.toLong, ts(10, i % 60), (i % 37).toLong, "view", 1.0))
+    try {
+      // split ACROSS micro-batches (duplicates straddle the split), then
+      // advance the watermark far past 11:00 to close the window
+      input.addData(evs.take(50): _*); drain(q)
+      input.addData(evs.drop(50): _*); drain(q)
+      input.addData(ev(999, ts(13, 0))); drain(q)
+      val got = spark.sql("SELECT est_nd FROM hllstream WHERE wstartMs = " +
+        ts(10).getTime).collect().map(_.getLong(0)).toSeq
+      // batch truth: the SAME shared projection + the scalar estimator
+      val regs = graft.operators.RelationalOps.withHllRegRank(
+          spark.createDataset(evs).toDF().select(col("user_id").as("__v")).distinct(), col("__v"))
+        .groupBy("reg").agg(smax("rank").as("mr")).collect()
+      val arr = Array.fill(512)(-1)
+      regs.foreach(r => arr(r.getAs[Number]("reg").intValue) = r.getAs[Number]("mr").intValue)
+      val want = graft.operators.RelationalOps.hllEstimateScalar(arr)
+      assert(got == Seq(want), s"streaming estimate $got != batch $want")
+    } finally q.stop()
+  }
+
   test("streaming dq audit counts violations per window with the batch rule columns") {
     val input = MemoryStream[Event]
     val q = StreamingOps.dqAuditStream(input.toDF())
