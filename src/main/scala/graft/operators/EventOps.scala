@@ -456,7 +456,12 @@ object EventOps {
     * day − its weekday mean. Scale: one day-grain aggregation, then an
     * equi-join against the 7-row weekday means — broadcast by size, a
     * map-side subtraction. */
-  def tsSeasonalDow(s: SparkSession, d: String): DataFrame = {
+  def tsSeasonalDow(s: SparkSession, d: String): DataFrame =
+    seasonalDowFrame(s, d).orderBy("day")
+
+  /** The decomposed (day, dow, rev_c, dow_mean_c, deseason_c) frame —
+    * shared by [[tsSeasonalDow]] and [[statSeasonalityStrength]]. */
+  private def seasonalDowFrame(s: SparkSession, d: String): DataFrame = {
     val daily = ev(s, d)
       .filter(col("event_type") === "purchase")
       .groupBy(to_date(col("ts")).as("day"))
@@ -467,7 +472,32 @@ object EventOps {
     daily.join(broadcast(dowMean), "dow")
       .select(col("day"), col("dow"), col("rev_c"), col("dow_mean_c"),
         (col("rev_c") - col("dow_mean_c")).as("deseason_c"))
-      .orderBy("day")
+  }
+
+  /** Seasonality strength — the one-number answer to "does the weekday
+    * pattern actually explain this series": 1 − Var(residual)/Var(raw)
+    * over [[seasonalDowFrame]]'s decomposition, computed on the
+    * variance cross-product form N·Σx² − (Σx)² so every moment is an
+    * exact integer (cents² products in DECIMAL(38,0) / HUGEINT — the
+    * established overflow discipline) and the ONE float is the mirrored
+    * variance ratio (VARCHAR→DOUBLE bridge in the oracle), sign-aware
+    * 6 dp. Scale: the day-grain frame, one global 1-row aggregation. */
+  def statSeasonalityStrength(s: SparkSession, d: String): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(19,0)")
+    val m = seasonalDowFrame(s, d).agg(
+      count(lit(1)).as("n_days"),
+      sum("rev_c").as("sr"),
+      sum((dec(col("rev_c")) * dec(col("rev_c"))).cast("decimal(38,0)")).as("srr"),
+      sum("deseason_c").as("se"),
+      sum((dec(col("deseason_c")) * dec(col("deseason_c"))).cast("decimal(38,0)")).as("see"))
+    val num = (dec(col("n_days")) * col("see") -
+      (dec(col("se")) * dec(col("se"))).cast("decimal(38,0)")).cast("decimal(38,0)")
+    val den = (dec(col("n_days")) * col("srr") -
+      (dec(col("sr")) * dec(col("sr"))).cast("decimal(38,0)")).cast("decimal(38,0)")
+    val strength = lit(1.0) - num.cast("double") / den.cast("double")
+    m.select(col("n_days"),
+      (signum(strength) * (floor(abs(strength) * 1000000.0 + 0.5) / 1000000.0) + lit(0.0))
+        .as("strength"))
   }
 
   /** Cohort LTV matrix — revenue by (signup-week cohort × age-in-weeks):
@@ -712,6 +742,7 @@ object EventOps {
     "ts_ewma" -> (tsEwma _),
     "ts_holtwinters" -> (tsHoltWinters _),
     "ts_seasonal_dow" -> (tsSeasonalDow _),
+    "stat_seasonality_strength" -> (statSeasonalityStrength _),
     "ts_autocorr" -> (tsAutocorr _),
     "ts_changepoint" -> (tsChangepoint _),
     "event_rfm" -> (eventRfm _),
@@ -934,6 +965,22 @@ object EventOps {
         "FROM k JOIN rec ON k.user_id = rec.user_id AND k.rn = rec.rn + 1) " +
         "SELECT user_id, day, lvl AS level_uc, trd AS trend_uc, " +
         "CAST(lvl + trd AS BIGINT) AS forecast_uc FROM rec ORDER BY user_id, day"),
+    // the ts_seasonal_dow decomposition folded to the variance ratio:
+    // exact HUGEINT cross-products, VARCHAR→DOUBLE bridge, sign-aware 6dp
+    "stat_seasonality_strength" ->
+      ("WITH daily AS (SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day, " +
+        "CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS rev_c " +
+        "FROM events WHERE event_type = 'purchase' GROUP BY 1), " +
+        "dd AS (SELECT day, CAST(dayofweek(day) + 1 AS INT) AS dow, rev_c FROM daily), " +
+        "mn AS (SELECT dow, CAST(sum(rev_c) // count(*) AS BIGINT) AS dow_mean_c FROM dd GROUP BY 1), " +
+        "f AS (SELECT dd.rev_c, dd.rev_c - mn.dow_mean_c AS e FROM dd JOIN mn ON dd.dow = mn.dow), " +
+        "m AS (SELECT CAST(count(*) AS BIGINT) AS n_days, " +
+        "CAST(sum(rev_c) AS HUGEINT) AS sr, sum(CAST(rev_c AS HUGEINT) * rev_c) AS srr, " +
+        "CAST(sum(e) AS HUGEINT) AS se, sum(CAST(e AS HUGEINT) * e) AS see FROM f), " +
+        "v AS (SELECT n_days, 1.0 - " +
+        "CAST(CAST(n_days * see - se * se AS VARCHAR) AS DOUBLE) / " +
+        "CAST(CAST(n_days * srr - sr * sr AS VARCHAR) AS DOUBLE) AS st FROM m) " +
+        "SELECT n_days, sign(st) * floor(abs(st) * 1000000.0 + 0.5) / 1000000.0 + 0.0 AS strength FROM v"),
     // DuckDB dayofweek is 0-based Sunday; +1 matches Spark's 1-based
     "ts_seasonal_dow" ->
       ("WITH daily AS (SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day, " +

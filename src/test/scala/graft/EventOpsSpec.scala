@@ -381,6 +381,19 @@ class EventOpsSpec extends SparkTestBase {
     assert(winExec.isEmpty, s"unexpected WindowExec nodes:\n${winExec.mkString("\n")}")
   }
 
+  test("stat_seasonality_strength equals the variance ratio of the decomposition frame") {
+    val f = EventOps.tsSeasonalDow(spark, SF).collect()
+    val n = BigInt(f.length)
+    val sr = f.map(r => BigInt(r.getLong(2))).sum
+    val srr = f.map(r => BigInt(r.getLong(2)) * BigInt(r.getLong(2))).sum
+    val se = f.map(r => BigInt(r.getLong(4))).sum
+    val see = f.map(r => BigInt(r.getLong(4)) * BigInt(r.getLong(4))).sum
+    val st = 1.0 - (n * see - se * se).toDouble / (n * srr - sr * sr).toDouble
+    val want = math.signum(st) * math.floor(math.abs(st) * 1e6 + 0.5) / 1e6 + 0.0
+    val r = EventOps.statSeasonalityStrength(spark, SF).head()
+    assert(r.getLong(0) == f.length.toLong && r.getDouble(1) == want)
+  }
+
   test("ts_holtwinters: integer recursion matches a hand-rolled fold; DIV truncates like //") {
     // the cross-engine contract the oracle relies on: Spark DIV truncates
     // toward zero on negatives, same as DuckDB's // (verified there)
