@@ -679,10 +679,15 @@ object RelationalOps {
       .drop("__h60", "__w")
 
   /** Driver/state-side twin of [[hllEstimate]] for the streaming op:
-    * the SAME scaled-integer sum and the same two-IEEE-op estimate
-    * (java.lang.Math on both paths), so a register table folded in
-    * streaming state estimates bit-identically to the batch frame.
-    * `regs(i)` = max rank of register i, or -1 if never hit. */
+    * the SAME scaled-integer sum and the same two-IEEE-op estimate, so
+    * a register table folded in streaming state estimates
+    * bit-identically to the batch frame. The ln is STRICTMATH.log —
+    * Spark's `log` expression compiles to StrictMath.log, while
+    * Math.log is a HotSpot intrinsic that differs from it by 1 ulp on
+    * ~7% of the 511 linear-counting inputs on this host; the
+    * bit-identity contract must not hang on which of those ulps sits
+    * next to a half-integer on some JDK. `regs(i)` = max rank of
+    * register i, or -1 if never hit. */
   private[graft] def hllEstimateScalar(regs: Array[Int]): Long = {
     var np = 0L; var sp = 0L
     var i = 0
@@ -692,7 +697,8 @@ object RelationalOps {
     }
     val nv = 512L - np
     val raw = HllNumerator / ((nv * (1L << HllMaxRank) + sp).toDouble)
-    val est = if (raw <= 1280.0 && nv > 0L) 512.0 * math.log(512.0 / nv.toDouble) else raw
+    val est =
+      if (raw <= 1280.0 && nv > 0L) 512.0 * StrictMath.log(512.0 / nv.toDouble) else raw
     math.floor(est + 0.5).toLong
   }
 

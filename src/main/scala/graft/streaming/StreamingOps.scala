@@ -434,8 +434,10 @@ object StreamingOps {
         GroupStateTimeout.EventTimeTimeout()) {
         (wstartMs: Long, batch: Iterator[RegHit], state: GroupState[Array[Int]]) =>
           if (state.hasTimedOut) {
-            val est = graft.operators.RelationalOps.hllEstimateScalar(
-              state.getOption.getOrElse(Array.fill(512)(-1)))
+            // state.get, not a fallback: a timeout only ever fires after
+            // state.update + setTimeoutTimestamp, so absent state here is
+            // an invariant violation that should fail loudly
+            val est = graft.operators.RelationalOps.hllEstimateScalar(state.get)
             state.remove()
             Iterator.single(HllWindowCount(wstartMs, est))
           } else {

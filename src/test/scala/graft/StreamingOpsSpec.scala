@@ -688,7 +688,7 @@ class StreamingOpsSpec extends SparkTestBase {
   }
 
   test("streaming HLL distinct: state-folded registers estimate bit-identically to batch") {
-    import org.apache.spark.sql.functions.{col, max => smax}
+    import org.apache.spark.sql.functions.{col, lit, max => smax}
     val input = MemoryStream[Event]
     val q = StreamingOps.hllDistinctStream(input.toDF())
       .writeStream.format("memory").queryName("hllstream").outputMode("append").start()
@@ -709,6 +709,15 @@ class StreamingOpsSpec extends SparkTestBase {
       regs.foreach(r => arr(r.getAs[Number]("reg").intValue) = r.getAs[Number]("mr").intValue)
       val want = graft.operators.RelationalOps.hllEstimateScalar(arr)
       assert(got == Seq(want), s"streaming estimate $got != batch $want")
+      // and the scalar twin must equal the CATALYST estimate frame on the
+      // same registers — this is where a Math.log-vs-StrictMath.log drift
+      // would land (Spark's log expression is StrictMath; the 37-distinct
+      // window sits squarely in the linear-counting branch)
+      val frameEst = graft.operators.RelationalOps.hllEstimate(
+          graft.operators.RelationalOps.hllRegisters(
+            spark.createDataset(evs).toDF().withColumn("g", lit(1)), "g", col("user_id")),
+          "g").head().getLong(1)
+      assert(want == frameEst, s"scalar estimator $want != Catalyst frame $frameEst")
     } finally q.stop()
   }
 
