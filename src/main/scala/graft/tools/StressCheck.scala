@@ -570,6 +570,60 @@ object StressCheck {
         s"dedup emitted $emitted rows / $distinctIds ids, expected $expect")
       emitted
     }
+
+    // 18b. Streaming portable-HLL distinct (round-9's hllDistinctStream)
+    // at 5M events / 48 hourly windows through 9 ordered micro-batches.
+    // Unlike rows 17-18 (complete mode, where the watermark drops
+    // nothing), this op is Append + EventTimeTimeout, so event time must
+    // be MONOTONE across batches: chunks are written sequentially (file
+    // source orders by modification time), each covering the next 6
+    // hours, plus a far-future sentinel to close the tail windows. The
+    // claim under test: per-window register state folded incrementally
+    // across micro-batches estimates EXACTLY what the batch
+    // hllRegisters→hllEstimate frame computes on the same rows (the
+    // bit-identity contract, at 10x volume and in the raw-HLL branch the
+    // fixture unit test can't reach), and every estimate lands within
+    // HLL's error envelope of the true distinct.
+    time("stream_hll_5m") {
+      val n = nEvents
+      val src = s"$streamDir/hll"
+      val hoursPerChunk = 6L
+      def chunk(c: Long): DataFrame = spark.range(n / 8).select(
+        timestamp_micros(lit(1700000000000000L) +
+          (lit(c * hoursPerChunk) + pmod(col("id"), lit(hoursPerChunk))) * 3600000000L).as("ts"),
+        pmod(xxhash64(col("id") + lit(c * 7777777L)), lit(200000L)).as("user_id"))
+      (0L until 8L).foreach(c => chunk(c).coalesce(1).write.mode("append").parquet(src))
+      spark.range(1).select(
+        timestamp_micros(lit(1700000000000000L + 100L * 3600000000L)).as("ts"),
+        lit(0L).as("user_id")).coalesce(1).write.mode("append").parquet(src)
+      val stream = spark.readStream
+        .schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      val q = graft.streaming.StreamingOps.hllDistinctStream(stream)
+        .writeStream.format("memory").queryName("stress_hll")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val got = spark.table("stress_hll").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      require(got.size == 48, s"expected 48 closed windows, got ${got.size}")
+      // batch truth on the same rows (sentinel's unclosed window excluded)
+      val batchDf = spark.read.parquet(src)
+        .filter(col("ts") < timestamp_micros(lit(1700000000000000L + 48L * 3600000000L)))
+        .withColumn("w", expr("date_trunc('hour', ts)"))
+      val est = graft.operators.RelationalOps.hllEstimate(
+          graft.operators.RelationalOps.hllRegisters(batchDf, "w", col("user_id")), "w")
+        .collect().map(r => r.getTimestamp(0).getTime -> r.getLong(1)).toMap
+      require(est.keySet == got.keySet, "window sets diverged")
+      val off = got.count { case (w, e) => est(w) != e }
+      require(off == 0L, s"$off windows: streaming state != batch register frame")
+      val exact = batchDf.groupBy("w").agg(countDistinct("user_id").as("nd"))
+        .collect().map(r => r.getTimestamp(0).getTime -> r.getLong(1)).toMap
+      val worst = got.map { case (w, e) =>
+        math.abs(e - exact(w)).toDouble / exact(w) }.max
+      require(worst <= 0.2, f"worst window rel-err $worst%.3f beyond the HLL envelope")
+      got.size.toLong
+    }
     org.apache.commons.io.FileUtils.deleteQuietly(streamDir.toFile)
 
     // 19. Distributed Lloyd's trainer (the PQ/IVF codebook kernel) at
