@@ -592,10 +592,24 @@ object StressCheck {
         timestamp_micros(lit(1700000000000000L) +
           (lit(c * hoursPerChunk) + pmod(col("id"), lit(hoursPerChunk))) * 3600000000L).as("ts"),
         pmod(xxhash64(col("id") + lit(c * 7777777L)), lit(200000L)).as("user_id"))
-      (0L until 8L).foreach(c => chunk(c).coalesce(1).write.mode("append").parquet(src))
+      // the file source orders batches by modification time with
+      // path-order tie-breaking — stamp each append with an explicitly
+      // increasing mtime so a same-millisecond tie can never schedule
+      // the sentinel (or any chunk) early and late-drop real windows
+      val stamped = scala.collection.mutable.Set.empty[String]
+      def stampNew(order: Int): Unit =
+        new java.io.File(src).listFiles()
+          .filter(f => f.getName.endsWith(".parquet") && !stamped(f.getName))
+          .foreach { f =>
+            f.setLastModified(1700000000000L + order * 60000L); stamped += f.getName
+          }
+      (0L until 8L).foreach { c =>
+        chunk(c).coalesce(1).write.mode("append").parquet(src); stampNew(c.toInt)
+      }
       spark.range(1).select(
         timestamp_micros(lit(1700000000000000L + 100L * 3600000000L)).as("ts"),
         lit(0L).as("user_id")).coalesce(1).write.mode("append").parquet(src)
+      stampNew(8)
       val stream = spark.readStream
         .schema(spark.read.parquet(src).schema)
         .option("maxFilesPerTrigger", 1).parquet(src)
@@ -604,8 +618,11 @@ object StressCheck {
         .outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
       q.awaitTermination()
-      val got = spark.table("stress_hll").collect()
-        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val rows = spark.table("stress_hll").collect()
+      // length BEFORE toMap: a duplicate per-window emission must fail
+      // the exactly-once claim, not be silently collapsed by the Map
+      require(rows.length == 48, s"expected 48 exactly-once windows, got ${rows.length}")
+      val got = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
       require(got.size == 48, s"expected 48 closed windows, got ${got.size}")
       // batch truth on the same rows (sentinel's unclosed window excluded)
       val batchDf = spark.read.parquet(src)
