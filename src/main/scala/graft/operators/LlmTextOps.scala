@@ -46,6 +46,25 @@ object LlmTextOps {
       .orderBy("doc_id")
   }
 
+  /** Language-ID confusion matrix — the evaluation every lang-ID gate
+    * needs before its output routes a corpus: predicted vs labeled
+    * language counts with per-actual-language shares, over the SAME
+    * scored/argmax frame the graded llm_lang_id key computes (shared
+    * core in both engines, so the eval can never drift from the model
+    * it evaluates). On this fixture the matrix makes the documented
+    * 'en'-skew honest and quantified rather than a prose caveat.
+    * Scale: one (lang, pred) hash aggregation — a ≤ |langs|² grid. */
+  def llmLangConfusion(s: SparkSession, d: String): DataFrame = {
+    val pred = llmLangId(s, d).select(col("lang"), col("pred_lang"))
+    val cell = pred.groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
+    val tot = pred.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+    cell.join(tot, "lang")
+      .select(col("lang"), col("pred_lang"), col("n"),
+        (floor(col("n").cast("double") / col("n_lang").cast("double") * 1000000.0 + 0.5)
+          / 1000000.0).as("share"))
+      .orderBy("lang", "pred_lang")
+  }
+
   /** Token counting: whitespace tokens + a BPE-ish subword estimate
     * (⌈len/4⌉ pieces per word, via higher-order aggregate — codegen'd,
     * no UDF). */
@@ -1182,6 +1201,7 @@ object LlmTextOps {
     "ann_ivf_topk" -> (annIvfTopk _),
     "ann_ivf_persisted" -> (annIvfPersisted _),
     "llm_lang_id" -> (llmLangId _),
+    "llm_lang_confusion" -> (llmLangConfusion _),
     "llm_token_count" -> (llmTokenCount _),
     "llm_domain_mix" -> (llmDomainMix _),
     "llm_dedup_url" -> (llmDedupUrl _),
@@ -1323,6 +1343,20 @@ object LlmTextOps {
       "reach AS (SELECT src AS id, src AS comp FROM edges " +
       "UNION SELECT e.src AS id, r.comp FROM edges e JOIN reach r ON e.dst = r.id)"
 
+  /** The llm_lang_id scored/argmax core (no ORDER BY) — shared with the
+    * llm_lang_confusion oracle. */
+  private val langIdCoreSql: String = {
+    val scoreCols = langs.map { case (l, _) =>
+      s"CAST(len(list_filter(string_split(text, ' '), t -> t IN (${markerSql(l)}))) AS INTEGER) AS s_$l"
+    }.mkString(", ")
+    val caseExpr = langs.map { case (l, _) =>
+      val conds = langs.map { case (o, _) => s"s_$l >= s_$o" }.mkString(" AND ")
+      s"WHEN $conds THEN '$l'"
+    }.mkString(" ")
+    s"SELECT doc_id, s_en, s_fr, s_de, s_es, s_zh, CASE $caseExpr ELSE 'und' END AS pred_lang, lang " +
+      s"FROM (SELECT doc_id, lang, $scoreCols FROM documents)"
+  }
+
   val oracles: Map[String, String] = Map(
     // mirrored char-class counts (regexp_replace + length), exact
     // integer score per million chars, integer threshold compare
@@ -1370,16 +1404,16 @@ object LlmTextOps {
         "FROM qd ORDER BY vec_id"),
     "llm_dedup_embedding" ->
       "SELECT a.vec_id AS a_id, b.vec_id AS b_id, round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS sim FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) >= 0.45 ORDER BY a_id, b_id",
-    "llm_lang_id" -> {
-      val scoreCols = langs.map { case (l, _) =>
-        s"CAST(len(list_filter(string_split(text, ' '), t -> t IN (${markerSql(l)}))) AS INTEGER) AS s_$l"
-      }.mkString(", ")
-      val caseExpr = langs.map { case (l, _) =>
-        val conds = langs.map { case (o, _) => s"s_$l >= s_$o" }.mkString(" AND ")
-        s"WHEN $conds THEN '$l'"
-      }.mkString(" ")
-      s"SELECT doc_id, s_en, s_fr, s_de, s_es, s_zh, CASE $caseExpr ELSE 'und' END AS pred_lang, lang FROM (SELECT doc_id, lang, $scoreCols FROM documents) ORDER BY doc_id"
-    },
+    "llm_lang_id" -> (langIdCoreSql + " ORDER BY doc_id"),
+    // the same scored/argmax core, folded to the (actual, predicted)
+    // confusion grid with per-actual-language shares (mirrored 6 dp)
+    "llm_lang_confusion" ->
+      (s"WITH p AS ($langIdCoreSql), " +
+        "cell AS (SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY 1, 2), " +
+        "tot AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_lang FROM p GROUP BY 1) " +
+        "SELECT cell.lang, cell.pred_lang, cell.n, " +
+        "floor(CAST(cell.n AS DOUBLE) / CAST(tot.n_lang AS DOUBLE) * 1000000 + 0.5) / 1000000 AS share " +
+        "FROM cell JOIN tot ON cell.lang = tot.lang ORDER BY cell.lang, cell.pred_lang"),
     "llm_token_count" ->
       "SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_cnt, CAST(list_sum(list_transform(string_split(text, ' '), x -> ceil(length(x) / 4.0))) AS BIGINT) AS bpe_cnt FROM documents ORDER BY doc_id",
     "llm_bpe_merges" ->

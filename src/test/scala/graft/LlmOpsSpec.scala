@@ -226,6 +226,17 @@ class LlmOpsSpec extends SparkTestBase {
     }
   }
 
+  test("llm_lang_confusion cells recount the lang-id frame; shares sum to 1 per language") {
+    val pred = LlmTextOps.llmLangId(spark, SF).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("pred_lang")))
+    val wantCells = pred.groupBy(identity).map { case (k, xs) => k -> xs.length.toLong }
+    val rows = LlmTextOps.llmLangConfusion(spark, SF).collect()
+    assert(rows.map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap == wantCells)
+    rows.groupBy(_.getString(0)).foreach { case (lang, rs) =>
+      assert(math.abs(rs.map(_.getDouble(3)).sum - 1.0) <= rs.length * 1e-6, s"$lang shares")
+    }
+  }
+
   test("ann_pair_recall measures LSH recall of the exact top-20 consistently") {
     val r = LlmTextOps.annPairRecall(spark, SF).head()
     assert(r.getLong(0) == 20L)
