@@ -173,6 +173,40 @@ object EventOps {
       .orderBy("event_type")
   }
 
+  /** Growth accounting — the weekly new / retained / resurrected /
+    * churned ledger every growth team reads before any other chart
+    * (the identity: actives(w) = new + retained + resurrected;
+    * churned(w) = actives(w−1) − retained(w)). A user's week status
+    * comes from the lag/lead of their distinct active weeks: first
+    * week → new; exactly-previous week active → retained; an older gap
+    * → resurrected; churn lands on the week AFTER the last week of an
+    * activity run. All exact integer counts over the ISO week grain
+    * (date_trunc('week') is Monday-start on both engines).
+    * Scale: one distinct (user, week) shuffle, user-partitioned
+    * windows, week-grain aggregations — one key family end to end. */
+  def eventLifecycle(s: SparkSession, d: String): DataFrame = {
+    val uw = ev(s, d)
+      .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("wk"))
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy("wk")
+    val lab = uw
+      .withColumn("prev", lag("wk", 1).over(w))
+      .withColumn("nxt", lead("wk", 1).over(w))
+    val act = lab.groupBy("wk").agg(
+      sum(when(col("prev").isNull, 1L).otherwise(0L)).as("n_new"),
+      sum(when(col("prev").isNotNull && datediff(col("wk"), col("prev")) === 7, 1L)
+        .otherwise(0L)).as("n_retained"),
+      sum(when(col("prev").isNotNull && datediff(col("wk"), col("prev")) > 7, 1L)
+        .otherwise(0L)).as("n_resurrected"))
+    val churn = lab
+      .filter(col("nxt").isNull || datediff(col("nxt"), col("wk")) > 7)
+      .select(date_add(col("wk"), 7).as("wk"))
+      .groupBy("wk").agg(count(lit(1)).as("n_churned"))
+    act.join(churn, Seq("wk"), "full")
+      .na.fill(0L, Seq("n_new", "n_retained", "n_resurrected", "n_churned"))
+      .orderBy("wk")
+  }
+
   /** Retention cohorts: users grouped by first-active day; per cohort, how
     * many returned exactly 1 day and 7 days later. distinct (user, day)
     * first — one shuffle — then cohort assignment and the conditional
@@ -761,6 +795,7 @@ object EventOps {
     "event_funnel" -> (eventFunnel _),
     "event_funnel_time" -> (eventFunnelTime _),
     "event_retention" -> (eventRetention _),
+    "event_lifecycle" -> (eventLifecycle _),
     "event_transitions" -> (eventTransitions _),
   )
 
@@ -911,6 +946,27 @@ object EventOps {
         "OVER (PARTITION BY user_id ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS num FROM k) " +
         "SELECT user_id, day, v AS v_cents, num / pow(2.0, k) AS ewma_cents " +
         "FROM n ORDER BY user_id, day"),
+    // distinct user-weeks, lag/lead status labels, week-grain counts;
+    // churn attributed to run-end week + 7; DATE subtraction yields
+    // integer days in DuckDB, mirrored by Spark's datediff
+    "event_lifecycle" ->
+      ("WITH uw AS (SELECT DISTINCT user_id, " +
+        "CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS wk FROM events), " +
+        "l AS (SELECT user_id, wk, lag(wk) OVER (PARTITION BY user_id ORDER BY wk) AS prev, " +
+        "lead(wk) OVER (PARTITION BY user_id ORDER BY wk) AS nxt FROM uw), " +
+        "act AS (SELECT wk, " +
+        "CAST(sum(CASE WHEN prev IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_new, " +
+        "CAST(sum(CASE WHEN prev IS NOT NULL AND wk - prev = 7 THEN 1 ELSE 0 END) AS BIGINT) AS n_retained, " +
+        "CAST(sum(CASE WHEN prev IS NOT NULL AND wk - prev > 7 THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected " +
+        "FROM l GROUP BY 1), " +
+        "ch AS (SELECT wk + 7 AS wk, CAST(count(*) AS BIGINT) AS n_churned FROM l " +
+        "WHERE nxt IS NULL OR nxt - wk > 7 GROUP BY 1) " +
+        "SELECT COALESCE(act.wk, ch.wk) AS wk, " +
+        "CAST(COALESCE(n_new, 0) AS BIGINT) AS n_new, " +
+        "CAST(COALESCE(n_retained, 0) AS BIGINT) AS n_retained, " +
+        "CAST(COALESCE(n_resurrected, 0) AS BIGINT) AS n_resurrected, " +
+        "CAST(COALESCE(n_churned, 0) AS BIGINT) AS n_churned " +
+        "FROM act FULL OUTER JOIN ch ON act.wk = ch.wk ORDER BY wk"),
     // exact 2^(30-d) integer weights, HUGEINT sums, VARCHAR→DOUBLE
     // bridge on the one share division
     "event_attribution_decay" ->

@@ -427,6 +427,25 @@ class EventOpsSpec extends SparkTestBase {
     }
   }
 
+  test("event_lifecycle: the growth-accounting identities hold on every week") {
+    val rows = EventOps.eventLifecycle(spark, SF).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    // total new across all weeks = distinct users in the corpus
+    val users = graft.Tables.load(spark, SF, "events")
+      .select("user_id").distinct().count()
+    assert(rows.map(_._2).sum == users)
+    // churned(w) = actives(w-1) - retained(w), for consecutive weeks
+    val byWk = rows.map(r => r._1 -> r).toMap
+    rows.foreach { case (wk, _, ret, _, churned) =>
+      val prev = java.time.LocalDate.parse(wk).minusDays(7).toString
+      byWk.get(prev).foreach { case (_, pn, pr, ps, _) =>
+        assert(churned == (pn + pr + ps) - ret,
+          s"week $wk: churn $churned != actives(prev) ${pn + pr + ps} - retained $ret")
+      }
+    }
+  }
+
   test("event_funnel_time: converting-user counts match event_funnel; gap stats are consistent") {
     val ft = EventOps.eventFunnelTime(spark, SF).collect()
       .map(r => r.getString(0) -> r).toMap
