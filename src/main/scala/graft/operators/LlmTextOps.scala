@@ -55,10 +55,13 @@ object LlmTextOps {
     * 'en'-skew honest and quantified rather than a prose caveat.
     * Scale: one (lang, pred) hash aggregation — a ≤ |langs|² grid. */
   def llmLangConfusion(s: SparkSession, d: String): DataFrame = {
-    val pred = llmLangId(s, d).select(col("lang"), col("pred_lang"))
-    val cell = pred.groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
-    val tot = pred.groupBy("lang").agg(count(lit(1)).as("n_lang"))
-    cell.join(tot, "lang")
+    // per-language totals as a window over the tiny cell grid — not a
+    // second aggregation of the scoring frame (which would re-run the
+    // 5-language marker pass over every document) joined back
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+    llmLangId(s, d).select(col("lang"), col("pred_lang"))
+      .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
+      .withColumn("n_lang", sum("n").over(w))
       .select(col("lang"), col("pred_lang"), col("n"),
         (floor(col("n").cast("double") / col("n_lang").cast("double") * 1000000.0 + 0.5)
           / 1000000.0).as("share"))
