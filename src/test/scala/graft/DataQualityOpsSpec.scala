@@ -104,6 +104,26 @@ class DataQualityOpsSpec extends SparkTestBase {
     }
   }
 
+  test("audit history rides the versioned table: quality drift is time-travelable") {
+    // the operational loop a 100 TB pipeline runs: each ingest's audit
+    // row-set appends to a graft-vt table, so "when did quality regress"
+    // is a time-travel read, not a log archaeology session
+    val root = java.nio.file.Files.createTempDirectory("dq-vt").toString + "/audits"
+    def audit(df: org.apache.spark.sql.DataFrame, ver: Long) =
+      DataQualityOps.ruleAudit(df, Seq(("bounds:x>0", col("x") > 0.0, None)))
+        .select(lit(ver).as("audit_v"), col("rule_name"), col("n_rows"), col("n_violations"))
+    val clean = Seq(Some(1.0), Some(2.0)).toDF("x")
+    val t = graft.tables.VersionedTable.create(spark, root, audit(clean, 1L))
+    val dirty = Seq(Some(1.0), Some(-5.0), None).toDF("x") // a regression lands
+    t.append(audit(dirty, 2L))
+    // v0 = the clean era; HEAD shows the drift, rule kernel unchanged
+    assert(t.read(Some(0)).count() == 1L)
+    val head = t.read().orderBy("audit_v").collect()
+    assert(head.length == 2)
+    assert(head(0).getLong(3) == 0L, s"clean audit flagged: ${head(0)}")
+    assert(head(1).getLong(3) == 2L, s"dirty audit missed: ${head(1)}")
+  }
+
   test("single-scan shape: one audit pass plans exactly one scan per table") {
     // the stack-over-1-row-aggregate form must not fan one scan per metric
     Seq(DataQualityOps.dqBounds(spark, SF),
