@@ -100,6 +100,11 @@ object GraftFunctions {
     * (see [[org.apache.spark.sql.graftnative.HyperplaneBucket]]). */
   def hyperplaneBucket(a: Column): Column = GraftNative.hyperplaneBucket(a)
 
+  /** Codegen'd band-OR amplified hyperplane LSH: array of 24 independent
+    * 6-bit band bucket ids (see
+    * [[org.apache.spark.sql.graftnative.HyperplaneBands]]). */
+  def hyperplaneBands(a: Column): Column = GraftNative.hyperplaneBands(a)
+
   /** Custom sliding-window UDTF over a token array — a true Catalyst
     * `Generator` (see [[org.apache.spark.sql.graftnative.ChunkWindows]]).
     * Expands each row into (chunk_idx, chunk, n_tokens) rows. */

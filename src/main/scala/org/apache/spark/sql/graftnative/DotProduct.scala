@@ -86,6 +86,9 @@ object GraftNative {
   def hyperplaneBucket(a: Column): Column =
     ExpressionUtils.column(HyperplaneBucket(ExpressionUtils.expression(a)))
 
+  def hyperplaneBands(a: Column): Column =
+    ExpressionUtils.column(HyperplaneBands(ExpressionUtils.expression(a)))
+
   def chunkWindows(ws: Column, size: Int, stride: Int): Column =
     ExpressionUtils.column(ChunkWindows(ExpressionUtils.expression(ws), size, stride))
 

@@ -2,7 +2,7 @@ package org.apache.spark.sql.graftnative
 
 import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType, IntegerType}
 
 /** Native Catalyst expression: double-accumulated L2 norm of a float-array
@@ -140,22 +140,139 @@ object HyperplaneBucket {
     * 60-bit value is the first 15 hex chars of md5, the exact integer
     * Spark's `conv(substring(md5(x),1,15),16,10)` and DuckDB's
     * `CAST('0x'||substring(md5(x),1,15) AS BIGINT)` both produce. */
-  private def weight(j: Int, i: Int): Long = {
+  private[graftnative] def weight(j: Int, i: Int): Long = {
     val d = java.security.MessageDigest.getInstance("MD5")
       .digest(s"$j:$i".getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val hex = d.map(b => f"$b%02x").mkString.substring(0, 15)
     (java.lang.Long.parseLong(hex, 16) % 2001L) - 1000L
   }
 
-  /** Row-major [16][MaxDim] flattened; computed once per JVM. */
-  lazy val flatWeights: Array[Long] = {
-    val w = new Array[Long](16 * MaxDim)
+  private[graftnative] def flatWeightTable(nj: Int): Array[Long] = {
+    val w = new Array[Long](nj * MaxDim)
     var j = 0
-    while (j < 16) {
+    while (j < nj) {
       var i = 0
       while (i < MaxDim) { w(j * MaxDim + i) = weight(j, i); i += 1 }
       j += 1
     }
     w
   }
+
+  /** Row-major [16][MaxDim] flattened; computed once per JVM. */
+  lazy val flatWeights: Array[Long] = flatWeightTable(16)
+}
+
+/** Native Catalyst expression: band-OR amplified random-hyperplane LSH —
+  * an ARRAY of [[HyperplaneBands.NumBands]] independent
+  * [[HyperplaneBands.BandBits]]-bit hyperplane bucket ids (band t's bit k
+  * is hyperplane j = t·BandBits + k of the SAME portable md5-weight
+  * family as [[HyperplaneBucket]]). A pair is an ANN candidate when it
+  * collides in ANY band — the classic OR-of-ANDs amplification (the
+  * MinHash banding pattern applied to the hyperplane family), which
+  * turns the single-table recall p^16 into 1 − (1 − p^BandBits)^NumBands.
+  * All integer math (fixed-point components × md5 weights), so a DuckDB
+  * oracle reconstructs every band bucket — candidate set and all.
+  */
+case class HyperplaneBands(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_hyperplane_bands"
+  // null ELEMENT → null row result (QuantizedCodes discipline: the
+  // unguarded getFloat on a null slot is representation-dependent)
+  override def nullable: Boolean = true
+
+  protected override def nullSafeEval(a: Any): Any = {
+    import HyperplaneBands.{BandBits, NumBands}
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    HyperplaneBucket.requireDim(n)
+    val w = HyperplaneBands.flatWeights
+    val q = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i)) return null
+      q(i) = math.floor(x.getFloat(i).toDouble * 1e6 + 0.5).toLong
+      i += 1
+    }
+    val out = new Array[Int](NumBands)
+    var t = 0
+    while (t < NumBands) {
+      var bucket = 0
+      var k = 0
+      while (k < BandBits) {
+        val j = t * BandBits + k
+        var dot = 0L
+        i = 0
+        while (i < n) { dot += q(i) * w(j * HyperplaneBucket.MaxDim + i); i += 1 }
+        if (dot >= 0L) bucket |= (1 << k)
+        k += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      import HyperplaneBands.{BandBits, NumBands}
+      val w = ctx.addReferenceObj("hpBandWeights", HyperplaneBands.flatWeights, "long[]")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val k = ctx.freshName("k")
+      val tb = ctx.freshName("t")
+      val n = ctx.freshName("n")
+      val q = ctx.freshName("q")
+      val dot = ctx.freshName("dot")
+      val bucket = ctx.freshName("bucket")
+      val out = ctx.freshName("out")
+      s"""
+         |int $n = $a.numElements();
+         |org.apache.spark.sql.graftnative.HyperplaneBucket.requireDim($n);
+         |long[] $q = new long[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  $q[$i] = (long) java.lang.Math.floor((double) $a.getFloat($i) * 1e6 + 0.5);
+         |}
+         |if (!${ev.isNull}) {
+         |  int[] $out = new int[$NumBands];
+         |  for (int $tb = 0; $tb < $NumBands; $tb++) {
+         |    int $bucket = 0;
+         |    for (int $k = 0; $k < $BandBits; $k++) {
+         |      int $j = $tb * $BandBits + $k;
+         |      long $dot = 0L;
+         |      for (int $i = 0; $i < $n; $i++) {
+         |        $dot += $q[$i] * $w[$j * ${HyperplaneBucket.MaxDim} + $i];
+         |      }
+         |      if ($dot >= 0L) $bucket |= (1 << $k);
+         |    }
+         |    $out[$tb] = $bucket;
+         |  }
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBands =
+    copy(child = newChild)
+}
+
+object HyperplaneBands {
+  /** 24 bands × 6 bits — chosen empirically on the fixture corpus (64-dim
+    * embeddings whose exact top-20 cosine pairs sit at sim ≈ 0.44–0.60,
+    * barely above the random-pair floor): measured recall of the exact
+    * top-20 is 0.85 at BOTH sf0.01 and sf0.1 (vs 0.05 for the single
+    * 16-bit table), with the candidate set a band-bucket equi-join, never
+    * all-pairs. For corpora whose near-dup pairs sit at sim ≥ 0.8 the same
+    * recall needs far fewer candidates with MORE bits per band (the
+    * random-pair candidate fraction is ≈ NumBands / 2^BandBits) — see
+    * docs/SCALE.md for the measured trade-off curve. */
+  val NumBands = 24
+  val BandBits = 6
+
+  /** Row-major [NumBands·BandBits][MaxDim] flattened; once per JVM. */
+  lazy val flatWeights: Array[Long] =
+    HyperplaneBucket.flatWeightTable(NumBands * BandBits)
 }

@@ -243,16 +243,21 @@ class LlmOpsSpec extends SparkTestBase {
     val hits = r.getLong(1)
     assert(hits >= 0L && hits <= 20L)
     assert(r.getDouble(2) == math.floor(hits / 20.0 * 1e6 + 0.5) / 1e6)
-    // cross-check against the graded frames: every truth pair that IS
-    // co-bucketed must be counted, none that isn't
-    val buckets = graft.Tables.load(spark, SF, "embeddings")
-      .select(col("vec_id"), graft.GraftFunctions.hyperplaneBucket(col("embedding")).as("b"))
+    // cross-check against the graded frames: every truth pair colliding
+    // in ANY of the 24 bands must be counted, none that doesn't
+    val bands = graft.Tables.load(spark, SF, "embeddings")
+      .select(col("vec_id"), graft.GraftFunctions.hyperplaneBands(col("embedding")).as("b"))
       .collect().map(r2 => r2.getAs[Number]("vec_id").longValue ->
-        r2.getAs[Number]("b").longValue).toMap
+        r2.getSeq[Int](1)).toMap
     val truth = graft.operators.LlmOps.llmCosineTopk(spark, SF).collect()
       .map(r2 => (r2.getAs[Number]("a_id").longValue, r2.getAs[Number]("b_id").longValue))
-    val want = truth.count(p => buckets(p._1) == buckets(p._2)).toLong
+    val want = truth.count(p =>
+      bands(p._1).zip(bands(p._2)).exists { case (x, y) => x == y }).toLong
     assert(hits == want, s"recall hits $hits != recomputed $want")
+    // the round-10 done-bar: band-OR amplification must lift recall to
+    // >= 0.8 (the single 16-bit table measured 0.05) — deterministic
+    // integer buckets, so this is an equality-grade floor, not flaky
+    assert(r.getDouble(2) >= 0.8, s"banded LSH recall ${r.getDouble(2)} < 0.8")
   }
 
   test("minhash hot-bucket cap bounds fan-out without losing cold-bucket pairs") {

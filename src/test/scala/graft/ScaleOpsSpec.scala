@@ -163,6 +163,18 @@ class ScaleOpsSpec extends SparkTestBase {
       s"expected native expressions only in:\n$plan")
   }
 
+  test("banded ANN LSH candidates come from a (band, bucket) equi-join, never all-pairs") {
+    import graft.operators.LlmTextOps
+    val plan = LlmTextOps.annLshTopk(spark, SF).queryExecution.executedPlan.toString
+    // the band-OR amplification must keep the band key AS the join key —
+    // a regression to a nested-loop/cartesian candidate generator is the
+    // exact failure mode banding exists to prevent at 100 TB
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"banded LSH planned a pairwise join:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"), s"expected a hash/merge equi-join in:\n$plan")
+  }
+
   test("no graded query collects vectors to the driver (distributed cosine)") {
     import graft.operators.LlmOps
     import graft.functions.VectorFunctions

@@ -165,6 +165,41 @@ class VectorFunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("hyperplane BANDS: codegen matches interpreted, band t = hyperplanes 6t..6t+5") {
+    import org.apache.spark.sql.graftnative.{HyperplaneBands, HyperplaneBucket}
+    val spark0 = TestSpark.spark
+    import spark0.implicits._
+    import org.apache.spark.sql.functions.col
+    val vecs = Seq.tabulate(40)(i => (i.toLong, randVec(64)))
+    val df = vecs.toDF("id", "a")
+      .select(col("id"), graft.GraftFunctions.hyperplaneBands(col("a")).as("b"))
+    def run(): Map[Long, Seq[Int]] =
+      df.collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val gen = run()
+    spark0.conf.set("spark.sql.codegen.wholeStage", "false")
+    val interp = try run() finally
+      spark0.conf.set("spark.sql.codegen.wholeStage", "true")
+    assert(gen == interp, "codegen vs interpreted band buckets")
+    // closed-form twin: band t's bit k is the sign of the exact int64 dot
+    // of hyperplane j = t*6 + k (same md5 weight family as the 16-bit op)
+    vecs.foreach { case (id, a) =>
+      val bands = gen(id)
+      assert(bands.length == HyperplaneBands.NumBands)
+      val q = a.map(v => math.floor(v.toDouble * 1e6 + 0.5).toLong)
+      val w = HyperplaneBands.flatWeights
+      (0 until HyperplaneBands.NumBands).foreach { t =>
+        var want = 0
+        (0 until HyperplaneBands.BandBits).foreach { k =>
+          val j = t * HyperplaneBands.BandBits + k
+          val dot = q.indices.map(i => q(i) * w(j * HyperplaneBucket.MaxDim + i)).sum
+          if (dot >= 0L) want |= (1 << k)
+        }
+        assert(bands(t) == want, s"id $id band $t")
+        assert(bands(t) >= 0 && bands(t) < 64)
+      }
+    }
+  }
+
   test("hyperplane buckets are deterministic and 16-bit") {
     val v = randVec(64)
     val spark0 = TestSpark.spark
