@@ -116,4 +116,13 @@ object GraftFunctions {
     * (see [[org.apache.spark.sql.graftnative.HashedShingles]]). */
   def hashedShingles(ws: Column, n: Int): Column =
     GraftNative.hashedShingles(ws, n)
+
+  /** Epoch micros of a TIMESTAMP_NTZ wall clock read AS UTC, independent
+    * of the session timezone — a zero-cost codegen reinterpretation of
+    * the NTZ internal representation
+    * (see [[org.apache.spark.sql.graftnative.NtzMicros]]). Used by the
+    * NTZ ingestion normalization ([[graft.Tables.load]]) and the
+    * freshness audit; `cast("timestamp")` would shift every value for a
+    * non-UTC embedder. */
+  def ntzUtcMicros(c: Column): Column = GraftNative.ntzMicros(c)
 }

@@ -67,7 +67,13 @@ object Tables {
         case LongType => // ns fixtures surfaced as int64 via nanosAsLong
           raw.withColumn("ts", expr("timestamp_micros(cast(ts div 1000 as long))"))
         case TimestampNTZType => // µs fixtures without tz annotation
-          raw.withColumn("ts", col("ts").cast(TimestampType))
+          // wall clock read AS UTC regardless of the session zone — the
+          // bare cast(TimestampType) interprets it in the SESSION zone,
+          // shifting every event instant for a non-UTC embedder
+          // (spec-asserted in DataQualityOpsSpec's timezone test)
+          raw.withColumn("ts",
+            org.apache.spark.sql.functions.timestamp_micros(
+              GraftFunctions.ntzUtcMicros(col("ts"))))
         case TimestampType =>
           raw
         case other =>

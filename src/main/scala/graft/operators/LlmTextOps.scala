@@ -1445,14 +1445,20 @@ object LlmTextOps {
       "SELECT a.vec_id AS a_id, b.vec_id AS b_id, round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS sim FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) >= 0.45 ORDER BY a_id, b_id",
     "llm_lang_id" -> (langIdCoreSql + " ORDER BY doc_id"),
     // the same scored/argmax core, folded to the (actual, predicted)
-    // confusion grid with per-actual-language shares (mirrored 6 dp)
+    // confusion grid with per-actual-language shares (mirrored 6 dp).
+    // NULL discipline (r10, matching the dq_* keys): the totals join is
+    // NULL-safe (IS NOT DISTINCT FROM — Spark's window keeps a NULL lang
+    // group, an inner equi-join would drop it) and the sort pins NULLS
+    // FIRST (Spark's ASC default; DuckDB's is NULLS LAST), so a fixture
+    // with unlabeled documents stays hash-green
     "llm_lang_confusion" ->
       (s"WITH p AS ($langIdCoreSql), " +
         "cell AS (SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY 1, 2), " +
         "tot AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_lang FROM p GROUP BY 1) " +
         "SELECT cell.lang, cell.pred_lang, cell.n, " +
         "floor(CAST(cell.n AS DOUBLE) / CAST(tot.n_lang AS DOUBLE) * 1000000 + 0.5) / 1000000 AS share " +
-        "FROM cell JOIN tot ON cell.lang = tot.lang ORDER BY cell.lang, cell.pred_lang"),
+        "FROM cell JOIN tot ON cell.lang IS NOT DISTINCT FROM tot.lang " +
+        "ORDER BY cell.lang NULLS FIRST, cell.pred_lang NULLS FIRST"),
     "llm_token_count" ->
       "SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_cnt, CAST(list_sum(list_transform(string_split(text, ' '), x -> ceil(length(x) / 4.0))) AS BIGINT) AS bpe_cnt FROM documents ORDER BY doc_id",
     "llm_bpe_merges" ->

@@ -89,6 +89,9 @@ object GraftNative {
   def hyperplaneBands(a: Column): Column =
     ExpressionUtils.column(HyperplaneBands(ExpressionUtils.expression(a)))
 
+  def ntzMicros(a: Column): Column =
+    ExpressionUtils.column(NtzMicros(ExpressionUtils.expression(a)))
+
   def chunkWindows(ws: Column, size: Int, stride: Int): Column =
     ExpressionUtils.column(ChunkWindows(ExpressionUtils.expression(ws), size, stride))
 

@@ -36,6 +36,42 @@ class DataQualityOpsSpec extends SparkTestBase {
     assert(r.getLong(1) == 4L && r.getLong(2) == 3L && r.getLong(3) == 1L)
   }
 
+  test("nullsDistinct mode: each NULL key row is its own key (SQL UNIQUE semantics)") {
+    // planted NULL-PK table: {1, 1, NULL, NULL, 2}
+    val dirty = Seq(Some(1L), Some(1L), None, None, Some(2L)).toDF("k")
+    // default count(DISTINCT) semantics: 2 keys, every NULL row a "dup"
+    val std = DataQualityOps.uniq(dirty, "t", Seq("k")).head()
+    assert(std.getLong(1) == 5L && std.getLong(2) == 2L && std.getLong(3) == 3L)
+    // NULLS DISTINCT: the two NULL rows are two distinct keys — only the
+    // genuine duplicate 1 remains
+    val nd = DataQualityOps.uniq(dirty, "t", Seq("k"), nullsDistinct = true).head()
+    assert(nd.getLong(1) == 5L && nd.getLong(2) == 4L && nd.getLong(3) == 1L)
+    // composite: any-NULL-component rows are each distinct under the mode
+    val comp = Seq((Some(1L), Some(1L)), (Some(1L), None), (Some(1L), None),
+      (Some(1L), Some(1L))).toDF("a", "b")
+    val cStd = DataQualityOps.uniq(comp, "t", Seq("a", "b")).head()
+    assert(cStd.getLong(2) == 2L && cStd.getLong(3) == 2L) // row-value: (1,NULL) groups
+    val cNd = DataQualityOps.uniq(comp, "t", Seq("a", "b"), nullsDistinct = true).head()
+    assert(cNd.getLong(2) == 3L && cNd.getLong(3) == 1L)
+    // empty table: both modes report clean zeros, no NULL sums
+    val empty = Seq.empty[Option[Long]].toDF("k")
+    Seq(false, true).foreach { m =>
+      val e = DataQualityOps.uniq(empty, "t", Seq("k"), nullsDistinct = m).head()
+      assert(e.getLong(1) == 0L && e.getLong(2) == 0L && e.getLong(3) == 0L)
+    }
+  }
+
+  test("dq_freshness is session-timezone independent (NTZ wall clock read as UTC)") {
+    val utc = DataQualityOps.dqFreshness(spark, SF).collect().map(_.toSeq).toSeq
+    // a non-UTC embedder: same context, separate session conf — exactly
+    // the integration GraftSession cannot control
+    val tokyo = spark.newSession()
+    tokyo.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+    val shifted = DataQualityOps.dqFreshness(tokyo, SF).collect().map(_.toSeq).toSeq
+    assert(utc == shifted,
+      s"freshness audit drifted with the session timezone:\n$utc\nvs\n$shifted")
+  }
+
   test("dq_referential: fixture star schema has zero orphans; planted orphans counted") {
     assert(DataQualityOps.dqReferential(spark, SF).collect()
       .forall(_.getLong(2) == 0L))
