@@ -370,6 +370,65 @@ object LlmCorpusOps {
     packBins(survivors.select("doc_id", "source", "text")).orderBy("doc_id")
   }
 
+  /** The FULL curation funnel as ONE graded key (round 10) — the closest
+    * thing to "the 100 TB nightly job" the grading harness can express:
+    * quality gate → normalized exact dedup → shingle/Jaccard NEAR-dup
+    * survivors (computed on the exact survivors only, the funnel order a
+    * real job uses: exact dedup shrinks the pair workload first) →
+    * per-source domain-mix report with tokenizer economics. Every stage
+    * reuses the SAME shared definition its individually-graded key runs
+    * ([[graft.operators.LlmOps.qualityGate]], [[normExpr]] + min-doc_id
+    * survivor, [[graft.operators.LlmTextOps.shingleIndex]]/
+    * [[graft.operators.LlmTextOps.jaccardPairs]] at 0.8 with the
+    * stop-shingle cap, the llm_token_count ceil(len/4) BPE-ish cost) and
+    * the oracle is the CTE-tower composition of those stages' verified
+    * oracles.
+    *
+    * Output grain: one row per source — raw/gated/exact-surviving/kept
+    * doc counts, kept word + BPE-ish token totals, and each source's
+    * share of the final token budget (the domain-mix statistic). All
+    * exact integers except the one mirrored share (floor half-up, 6 dp).
+    *
+    * Scale: ONE corpus scan carries the gate flag, the (gate, norm_md5)
+    * dedup window, and the final per-source aggregation; the quadratic
+    * near-dup machinery runs only on the gated+deduped survivor subset
+    * and its loser set joins back as a broadcast-sized frame. The share
+    * is a window over the per-source grid (≤ |sources| rows). */
+  def llmCurationE2e(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val flagged = t(s, d, "documents")
+      .withColumn("gate", LlmOps.qualityGate)
+      .withColumn("norm_md5", md5(normExpr.cast("binary")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("gate", "norm_md5").orderBy("doc_id")))
+      .withColumn("is_exact", col("gate") && col("rn") === 1)
+    val exact = flagged.filter(col("is_exact")).select("doc_id", "text")
+    val losers = memo(s, d, "curation_losers")(
+      LlmTextOps.connectedComponents(
+          LlmTextOps.jaccardPairs(LlmTextOps.shingleIndex(exact), 0.8,
+            maxPosting = LlmTextOps.StopShingleCap).select("a_id", "b_id"))
+        .filter(col("id") =!= col("comp"))
+        .select(col("id").as("doc_id"), lit(true).as("is_loser")))
+    val ws = split(col("text"), " ")
+    val perSrc = flagged
+      .join(broadcast(losers), Seq("doc_id"), "left")
+      .withColumn("is_kept", col("is_exact") && col("is_loser").isNull)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_raw"),
+        sum(when(col("gate"), 1L).otherwise(0L)).as("n_gated"),
+        sum(when(col("is_exact"), 1L).otherwise(0L)).as("n_exact"),
+        sum(when(col("is_kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("is_kept"), size(ws).cast("long")).otherwise(0L)).as("n_words"),
+        sum(when(col("is_kept"), aggregate(ws, lit(0L),
+          (acc, x) => acc + ceil(length(x) / lit(4.0)))).otherwise(0L)).as("n_bpe_tokens"))
+    perSrc
+      .withColumn("token_share",
+        floor(col("n_bpe_tokens").cast("double") /
+          sum("n_bpe_tokens").over(Window.partitionBy()).cast("double") *
+          1000000.0 + 0.5) / 1000000.0)
+      .orderBy("source")
+  }
+
   /** The e2e pipeline with DATA-QUALITY OBSERVABILITY: the same plan as
     * [[llmPipelineE2e]] plus an `observe` node on the raw scan capturing
     * the gate's audit counters (rows seen, rows the quality filter will
@@ -870,6 +929,7 @@ object LlmCorpusOps {
     "llm_gopher_rules" -> (llmGopherRules _),
     "llm_tfidf_cosine" -> (llmTfidfCosine _),
     "llm_pipeline_e2e" -> (llmPipelineE2e _),
+    "llm_curation_e2e" -> (llmCurationE2e _),
     "llm_stratified_sample" -> (llmStratifiedSample _),
     "llm_pack_sequences" -> (llmPackSequences _),
     "llm_normalize_text" -> (llmNormalizeText _),
@@ -1063,6 +1123,34 @@ object LlmCorpusOps {
         "SELECT doc_id, source, tok, CAST(floor((sum(tok) OVER " +
         "(PARTITION BY source ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tok) / 512.0) AS INTEGER) AS bin " +
         "FROM p ORDER BY doc_id"),
+    // the funnel tower: each CTE is the verified oracle of its stage key
+    // (gate = llm_quality_filter's WHERE, norm-md5 window = the
+    // llm_pipeline_e2e dedup CTE, cluster chain = the llm_dedup_survivors
+    // closure via LlmTextOps.dedupClusterChain over the funnel's `ex`,
+    // token cost = llm_token_count's ceil(len/4)); the one float is the
+    // mirrored 6 dp share. DuckDB sums of BIGINT go HUGEINT, hence the
+    // CASTs back.
+    "llm_curation_e2e" ->
+      ("WITH RECURSIVE g AS (SELECT doc_id, source, text FROM documents " +
+        "WHERE n_chars BETWEEN 100 AND 500 AND lang IN ('en', 'fr', 'de') AND len(string_split(text, ' ')) >= 20), " +
+        "ex AS (SELECT doc_id, source, text FROM " +
+        "(SELECT *, row_number() OVER (PARTITION BY md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) ORDER BY doc_id) AS rn FROM g) WHERE rn = 1), " +
+        LlmTextOps.dedupClusterChain("ex") + ", " +
+        "comps AS (SELECT id, min(comp) AS cluster_id FROM reach GROUP BY id), " +
+        "kept AS (SELECT doc_id, source, text FROM ex WHERE doc_id NOT IN (SELECT id FROM comps WHERE id <> cluster_id)), " +
+        "ktok AS (SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words, " +
+        "CAST(list_sum(list_transform(string_split(text, ' '), x -> ceil(length(x) / 4.0))) AS BIGINT) AS bpe FROM kept), " +
+        "ragg AS (SELECT source, CAST(count(*) AS BIGINT) AS n_raw FROM documents GROUP BY 1), " +
+        "gagg AS (SELECT source, CAST(count(*) AS BIGINT) AS n_gated FROM g GROUP BY 1), " +
+        "eagg AS (SELECT source, CAST(count(*) AS BIGINT) AS n_exact FROM ex GROUP BY 1), " +
+        "kagg AS (SELECT source, CAST(count(*) AS BIGINT) AS n_kept, " +
+        "CAST(sum(n_words) AS BIGINT) AS n_words, CAST(sum(bpe) AS BIGINT) AS n_bpe_tokens FROM ktok GROUP BY 1), " +
+        "j AS (SELECT r.source, n_raw, COALESCE(n_gated, 0) AS n_gated, COALESCE(n_exact, 0) AS n_exact, " +
+        "COALESCE(n_kept, 0) AS n_kept, COALESCE(n_words, 0) AS n_words, COALESCE(n_bpe_tokens, 0) AS n_bpe_tokens " +
+        "FROM ragg r LEFT JOIN gagg USING (source) LEFT JOIN eagg USING (source) LEFT JOIN kagg USING (source)) " +
+        "SELECT source, n_raw, n_gated, n_exact, n_kept, n_words, n_bpe_tokens, " +
+        "floor(CAST(n_bpe_tokens AS DOUBLE) / CAST(sum(n_bpe_tokens) OVER () AS DOUBLE) * 1000000 + 0.5) / 1000000 AS token_share " +
+        "FROM j ORDER BY source"),
     "llm_stratified_sample" ->
       ("SELECT source, count(*) AS n_kept FROM (SELECT source, " +
         "CAST(CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) % 100 AS INTEGER) AS bucket FROM documents) " +

@@ -1365,11 +1365,15 @@ object LlmTextOps {
 
   /** The near-dup cluster closure CTE chain (shingle → banded-capped
     * posting join → jaccard-thresholded pairs → recursive transitive
-    * closure `reach`) — ONE definition shared by the llm_dedup_clusters
-    * and llm_dedup_softweight oracles, mirroring the shared Spark-side
-    * dedupLabels frame. */
-  private val DedupClusterCte: String =
-    "WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), " +
+    * closure `reach`) over an arbitrary (doc_id, text) source relation —
+    * ONE definition shared by the llm_dedup_clusters /
+    * llm_dedup_softweight oracles (over `documents`) and the
+    * llm_curation_e2e funnel oracle (over its gated+deduped CTE),
+    * mirroring the shared Spark-side jaccardPairs + CC kernel. Returns
+    * the chain WITHOUT the leading WITH RECURSIVE so callers can embed
+    * it in their own towers. */
+  private[operators] def dedupClusterChain(src: String): String =
+    s"w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM $src), " +
       "x AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i FROM w), " +
       "sh AS (SELECT DISTINCT doc_id, CAST('0x' || substr(md5(array_to_string(ws[i:i+2], ' ')), 1, 15) AS BIGINT) AS sh FROM x), " +
       "sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id), " +
@@ -1380,6 +1384,9 @@ object LlmTextOps {
       "edges AS (SELECT a_id AS src, b_id AS dst FROM pairs UNION ALL SELECT b_id, a_id FROM pairs), " +
       "reach AS (SELECT src AS id, src AS comp FROM edges " +
       "UNION SELECT e.src AS id, r.comp FROM edges e JOIN reach r ON e.dst = r.id)"
+
+  private val DedupClusterCte: String =
+    "WITH RECURSIVE " + dedupClusterChain("documents")
 
   /** The llm_lang_id scored/argmax core (no ORDER BY) — shared with the
     * llm_lang_confusion oracle. */

@@ -10,10 +10,21 @@ import org.apache.spark.sql.functions._
   * (block BNL) are deliberately excluded — their scale story is the ANN /
   * banded replacements, which ARE included here at bucket-local cost.
   *
-  * Usage: sbt "runMain graft.tools.StressCheck [rowsScale]"
+  * Usage: sbt "runMain graft.tools.StressCheck [rowsScale] [tagFilter]"
   * Prints one timing line per op plus a JSON summary; every op must
   * complete, and the run asserts basic output sanity (non-zero groups,
   * bounded candidate fan-out) so a silent wrong-shape can't pass.
+  *
+  * Smoke mode (round 10): fractional rowsScale runs clean (the
+  * smj_fact_fact broadcast-shape assert is pinned with
+  * autoBroadcastJoinThreshold=-1, a no-op at full scale), and the
+  * optional comma-separated tagFilter (substring match) selects rows —
+  * the documented sub-minute smoke covering every plan-shape and
+  * planted-structure assert without the fixed streaming-trigger floors:
+  *   runMain graft.tools.StressCheck 0.2
+  *     sessionize,dedup_exact,minhash,ann,smj,graph_components,basket,dist_running
+  * (~35 s; full suite at 0.2 is ~155 s, at 1.0 ~5 min — full-suite
+  * figures, not smoke ones, are what docs/SCALE.md records.)
   *
   * This is a dev/evidence tool, not a graded surface: synthetic data has
   * no DuckDB oracle. Correctness of each op is carried by its graded
@@ -70,13 +81,20 @@ object StressCheck {
         i => (pmod(xxhash64(col("id"), i), lit(1000)) / 500.0 - 1.0).cast("float"))
         .as("embedding"))
 
+    // optional row selector: comma-separated substrings; a row runs when
+    // any selector matches its tag (no arg = run everything)
+    val tagFilter = args.lift(1).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     def time(tag: String)(f: => Long): Unit = {
-      val t0 = System.nanoTime()
-      val n = f
-      val secs = (System.nanoTime() - t0) / 1e9
-      results(tag) = secs
-      println(f"[stress] $tag%-28s ${secs}%8.2f s   rows=$n")
+      if (tagFilter.exists(sel => !sel.exists(tag.contains))) {
+        println(f"[stress] $tag%-28s skipped (tagFilter)")
+      } else {
+        val t0 = System.nanoTime()
+        val n = f
+        val secs = (System.nanoTime() - t0) / 1e9
+        results(tag) = secs
+        println(f"[stress] $tag%-28s ${secs}%8.2f s   rows=$n")
+      }
     }
 
     // 1. Sessionization: one shuffle on user_id; 5M events, hot user 0.
@@ -103,24 +121,57 @@ object StressCheck {
         .minhashCandidates(docs, maxBucketSize = Some(1000)).count()
       require(n > 0, "planted near-dups not found"); n
     }
+    // 4b. MinHash hot-bucket cap under a PLANTED adversary (round 10):
+    // 5000·scale identical boilerplate docs all land in ONE bucket in
+    // every band (12.5M·scale² pairs uncapped — the blowup the cap
+    // exists to prevent). With the cap the boilerplate block must
+    // contribute ZERO pairs while the organic planted near-dups still
+    // surface — the unit-scale cap spec (LlmOpsSpec) proven at 25×.
+    time("minhash_capped_hot_bucket") {
+      val nBoiler = math.max(2000L, (5000 * scale).toLong)
+      val boilerText = (0 until 40).map(w => s"boiler$w").mkString(" ")
+      val boiler = spark.range(nBoiler).select(
+        (col("id") + 10000000L).as("doc_id"), lit(boilerText).as("text"))
+      val capped = graft.operators.MinHashOps
+        .minhashCandidates(docs.unionByName(boiler), maxBucketSize = Some(1000))
+      val agg = capped.agg(
+        sum(when(col("a_id") >= 10000000L && col("b_id") >= 10000000L, 1L)
+          .otherwise(0L)).as("hot"),
+        count(lit(1)).as("n")).head()
+      require(agg.getLong(0) == 0L,
+        s"hot-bucket pairs survived the cap: ${agg.getLong(0)}")
+      require(agg.getLong(1) > 0L, "organic planted near-dups lost under the cap")
+      agg.getLong(1)
+    }
     // 5. SimHash buckets: linear sketch + groupBy.
     time("simhash_buckets_200k") {
       val sk = graft.operators.LlmTextOps.simhashSketches(docs)
       val n = sk.groupBy("sh64").agg(count(lit(1)).as("n")).count()
       require(n > 0); n
     }
-    // 6. ANN LSH pairs at 50k vectors: hyperplane buckets bound the
-    // pairwise work to bucket-local; assert fan-out stayed bounded.
+    // 6. ANN banded-LSH fan-out certificate at 50k vectors — the SHIPPED
+    // band-OR shape (round 10): 24 independent 6-bit tables, candidates =
+    // same-band-same-bucket pairs. The certificate is the exact per-band
+    // bucket histogram Σ C(size, 2) — the candidate count the join WOULD
+    // produce (with multi-band duplicates), priced at O(n·L) instead of
+    // executing the O(candidate) join: on synthetic RANDOM vectors every
+    // pair sits at sim ≈ 0 where the fraction is the analytic worst case
+    // ≈ NumBands/2^BandBits = 37.5%, so running the join here benchmarks
+    // the adversarial corpus, not the operator (measured once this round:
+    // 410,933,430 distinct pairs, 116.9 s — recorded in docs/SCALE.md).
+    // The bound catches a regression that merges bands into one key or
+    // loses a band's discriminating bits.
     time("ann_lsh_50k") {
-      val b = vecs.withColumn("bucket",
-        graft.functions.VectorFunctions.hyperplaneBucket(col("embedding")))
-      val pairs = b.as("a").join(b.as("b"),
-          col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-        .count()
+      val cand = vecs.select(
+          posexplode(graft.GraftFunctions.hyperplaneBands(col("embedding")))
+            .as(Seq("band", "bucket")))
+        .groupBy("band", "bucket").agg(count(lit(1)).as("n"))
+        .agg(sum(expr("n * (n - 1) DIV 2"))).head().getLong(0)
       val allPairs = nVecs * (nVecs - 1) / 2
-      require(pairs < allPairs / 10,
-        s"LSH bucket join degenerated: $pairs of $allPairs pairs")
-      pairs
+      require(cand < allPairs / 2,
+        s"banded LSH fan-out degenerated: $cand of $allPairs pairs")
+      require(cand > 0, "no band collisions at all — bucket math broken")
+      cand
     }
     // 7. Containment/Jaccard posting join on 200k docs with the
     // stop-shingle cap — the open-vocab guard the 100 TB path uses.
@@ -463,16 +514,25 @@ object StressCheck {
         pmod(col("id"), lit(100L)).as("value"))
       val orders = spark.range(nOrders).select(
         col("id").as("oid"), pmod(col("id"), lit(1000L)).as("cust"))
-      val q = items.join(orders, "oid")
-        .groupBy("cust").agg(count(lit(1)).as("n_items"))
-      val plan = q.queryExecution.executedPlan.toString
-      require(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
-        s"fact-fact join must shuffle both sides, not broadcast:\n$plan")
-      val rows = q.collect()
-      require(rows.length == 1000 &&
-        rows.forall(_.getLong(1) == nOrders / 1000L * 5L),
-        s"per-customer counts drifted: ${rows.take(3).mkString(",")}")
-      nOrders * 5
+      // the row's POINT is the both-sides-shuffle shape — pin it at any
+      // rowsScale (a fractional smoke run shrinks orders under the 10 MB
+      // broadcast threshold, which used to flip the plan to broadcast and
+      // trip the shape assert; at full scale the pin is a no-op because
+      // both sides exceed any threshold anyway)
+      val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val q = items.join(orders, "oid")
+          .groupBy("cust").agg(count(lit(1)).as("n_items"))
+        val plan = q.queryExecution.executedPlan.toString
+        require(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+          s"fact-fact join must shuffle both sides, not broadcast:\n$plan")
+        val rows = q.collect()
+        require(rows.length == 1000 &&
+          rows.forall(_.getLong(1) == nOrders / 1000L * 5L),
+          s"per-customer counts drifted: ${rows.take(3).mkString(",")}")
+        nOrders * 5
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
     }
     // 16. BM25 retrieval at 200k docs (round-7c, with the graded kernel):
     // 20 query docs chosen from the planted exact-duplicate pairs

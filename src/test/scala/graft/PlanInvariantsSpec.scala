@@ -92,7 +92,9 @@ class PlanInvariantsSpec extends SparkTestBase {
     * ScalePrimitives.distNtile/distRunning and stay OUT of this list. */
   private val globalWindowAllowed: Set[String] = Set(
     "stat_psi", "stat_benford", "ts_changepoint",
-    "stat_ks_test", "stat_mannwhitney", "llm_zipf_fit", "stat_lorenz")
+    "stat_ks_test", "stat_mannwhitney", "llm_zipf_fit", "stat_lorenz",
+    // token_share over the per-source grid (<= |sources| rows)
+    "llm_curation_e2e")
 
   test("unpartitioned windows only over provably bounded grains") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LogicalWindow}

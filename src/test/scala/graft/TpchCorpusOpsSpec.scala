@@ -31,6 +31,46 @@ class TpchCorpusOpsSpec extends SparkTestBase {
     assert(math.abs(m("mean_chars").asInstanceOf[Double] - meanChars) < 1e-9)
   }
 
+  test("curation funnel: monotone stage counts that tie out to the graded stage keys") {
+    val rows = LlmCorpusOps.llmCurationE2e(spark, SF).collect()
+    assert(rows.nonEmpty)
+    // funnel monotonicity per source: raw >= gated >= exact >= kept
+    rows.foreach { r =>
+      assert(r.getLong(1) >= r.getLong(2) && r.getLong(2) >= r.getLong(3) &&
+        r.getLong(3) >= r.getLong(4), s"non-monotone funnel: $r")
+    }
+    // stage 1 ties out to the graded gate key, per source
+    val gateBySrc = graft.operators.LlmOps.llmQualityFilter(spark, SF)
+      .join(Tables.load(spark, SF, "documents").select("doc_id", "source"), "doc_id")
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getLong(2) == gateBySrc.getOrElse(r.getString(0), 0L),
+        s"gated count drifted from llm_quality_filter for ${r.getString(0)}")
+    }
+    // stage 2 global total ties out to the graded pipeline key's output
+    // (same gate + same norm-md5 survivor rule)
+    assert(rows.map(_.getLong(3)).sum == LlmCorpusOps.llmPipelineE2e(spark, SF).count())
+    // token shares are a distribution over the final corpus
+    assert(math.abs(rows.map(_.getDouble(7)).sum - 1.0) <= rows.length * 1e-6)
+    // the kept docs really are near-dup free at the funnel's own scope:
+    // every cluster among exact survivors keeps exactly its min member
+    val exact = Tables.load(spark, SF, "documents")
+      .filter(graft.operators.LlmOps.qualityGate)
+      .join(LlmCorpusOps.llmNormalizeText(spark, SF).select("doc_id", "norm_md5"), "doc_id")
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("norm_md5").orderBy("doc_id")))
+      .filter(col("rn") === 1).select("doc_id", "text")
+    val nClusterLosers = graft.operators.LlmTextOps.connectedComponents(
+        graft.operators.LlmTextOps.jaccardPairs(
+          graft.operators.LlmTextOps.shingleIndex(exact), 0.8,
+          maxPosting = graft.operators.LlmTextOps.StopShingleCap)
+          .select("a_id", "b_id"))
+      .filter(col("id") =!= col("comp")).count()
+    assert(rows.map(r => r.getLong(3) - r.getLong(4)).sum == nClusterLosers,
+      "near-dup losers dropped by the funnel != CC non-minimal members")
+  }
+
   test("q14/q10 broadcast their dimension sides") {
     for (key <- Seq("tpch_q14_promo", "tpch_q10_returns")) {
       val plan = SparkEntry.queries(key)(spark, SF).queryExecution.executedPlan.toString
