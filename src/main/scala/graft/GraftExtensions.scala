@@ -97,7 +97,14 @@ object GraftFunctions {
   def vectorNorm(a: Column): Column = GraftNative.vectorNorm(a)
 
   /** Codegen'd 16-bit random-hyperplane LSH bucket id
-    * (see [[org.apache.spark.sql.graftnative.HyperplaneBucket]]). */
+    * (see [[org.apache.spark.sql.graftnative.HyperplaneBucket]]).
+    * Since round 10 this single-table form is a SKETCH primitive (a
+    * 16-bit cosine signature — partition key, coarse clustering), NOT a
+    * candidate generator: its measured recall of near-threshold pairs is
+    * 0.05, which is why every graded ANN path uses [[hyperplaneBands]].
+    * Kept as the banded family's single-table spec ground truth (the
+    * UDF-twin bit-parity test) and the md5-weight family's minimal
+    * form. */
   def hyperplaneBucket(a: Column): Column = GraftNative.hyperplaneBucket(a)
 
   /** Codegen'd band-OR amplified hyperplane LSH: array of 24 independent

@@ -805,7 +805,7 @@ object LlmCorpusOps {
     val ws = filter(split(col("text"), " "), w => length(w) >= 1)
     val wc = size(ws).cast("long")
     val sumLen = aggregate(ws, lit(0L), (a, w) => a + length(w))
-    val stopw = size(filter(ws, w => w.isin(MlOps.PinnedStopwords: _*)))
+    val stopw = size(filter(ws, w => w.isin(MlOps.PinnedStopwords.toIndexedSeq: _*)))
     // longest run in the sorted array = the max per-word count; "" can
     // never match a real word (all kept words have length >= 1)
     val maxCnt = aggregate(array_sort(ws),
@@ -1145,12 +1145,17 @@ object LlmCorpusOps {
         "eagg AS (SELECT source, CAST(count(*) AS BIGINT) AS n_exact FROM ex GROUP BY 1), " +
         "kagg AS (SELECT source, CAST(count(*) AS BIGINT) AS n_kept, " +
         "CAST(sum(n_words) AS BIGINT) AS n_words, CAST(sum(bpe) AS BIGINT) AS n_bpe_tokens FROM ktok GROUP BY 1), " +
-        "j AS (SELECT r.source, n_raw, COALESCE(n_gated, 0) AS n_gated, COALESCE(n_exact, 0) AS n_exact, " +
-        "COALESCE(n_kept, 0) AS n_kept, COALESCE(n_words, 0) AS n_words, COALESCE(n_bpe_tokens, 0) AS n_bpe_tokens " +
-        "FROM ragg r LEFT JOIN gagg USING (source) LEFT JOIN eagg USING (source) LEFT JOIN kagg USING (source)) " +
+        // NULL-safe joins + NULLS FIRST: Spark's single groupBy keeps a
+        // NULL source group and sorts it first — the lang-confusion NULL
+        // discipline, applied from day one here
+        "j AS (SELECT r.source, n_raw, COALESCE(g2.n_gated, 0) AS n_gated, COALESCE(e2.n_exact, 0) AS n_exact, " +
+        "COALESCE(k2.n_kept, 0) AS n_kept, COALESCE(k2.n_words, 0) AS n_words, COALESCE(k2.n_bpe_tokens, 0) AS n_bpe_tokens " +
+        "FROM ragg r LEFT JOIN gagg g2 ON r.source IS NOT DISTINCT FROM g2.source " +
+        "LEFT JOIN eagg e2 ON r.source IS NOT DISTINCT FROM e2.source " +
+        "LEFT JOIN kagg k2 ON r.source IS NOT DISTINCT FROM k2.source) " +
         "SELECT source, n_raw, n_gated, n_exact, n_kept, n_words, n_bpe_tokens, " +
         "floor(CAST(n_bpe_tokens AS DOUBLE) / CAST(sum(n_bpe_tokens) OVER () AS DOUBLE) * 1000000 + 0.5) / 1000000 AS token_share " +
-        "FROM j ORDER BY source"),
+        "FROM j ORDER BY source NULLS FIRST"),
     "llm_stratified_sample" ->
       ("SELECT source, count(*) AS n_kept FROM (SELECT source, " +
         "CAST(CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) % 100 AS INTEGER) AS bucket FROM documents) " +

@@ -991,27 +991,34 @@ object LlmTextOps {
     * measured recall of the exact top-20 was 0.05 (near-threshold pairs
     * at sim ≈ 0.5 almost never share one full 16-bit signature); the
     * banded form measures 0.85 at both sf0.01 and sf0.1 (`ann_pair_recall`).
-    * Plan shape: posexplode to (band, bucket) rows, ONE (band, bucket)
-    * equi-join — the band key IS the shuffle key; never all-pairs. A pair
-    * colliding in several bands is computed per collision and collapsed
-    * by distinct on the deterministic rounded sim (the
-    * simhashBandedPairs discipline). */
+    * Plan shape (the oracle's own): the band self-join carries ONLY
+    * (band, bucket, vec_id) — 24 copies of an 8-byte id per vector, not
+    * 24 copies of the vector — collapses multi-band collisions with a
+    * DISTINCT on the bare id pairs, and only THEN joins the embeddings
+    * back, so each surviving pair's cosine is computed exactly once
+    * (~20 % of band collisions are multi-band duplicates at the
+    * documented operating point). The (band, bucket) key IS the shuffle
+    * key; never all-pairs. */
   def annLshTopk(s: SparkSession, d: String): DataFrame = {
     val e = t(s, d, "embeddings")
-      .withColumn("nrm", graft.GraftFunctions.vectorNorm(col("embedding")))
-      .select(col("vec_id"), col("embedding"), col("nrm"),
+      .select(col("vec_id"),
         posexplode(graft.GraftFunctions.hyperplaneBands(col("embedding")))
           .as(Seq("band", "bucket")))
-    val a = e.select(col("band"), col("bucket"), col("vec_id").as("a_id"),
-      col("embedding").as("a_vec"), col("nrm").as("a_nrm"))
-    val b = e.select(col("band").as("band_b"), col("bucket").as("bucket_b"),
-      col("vec_id").as("b_id"), col("embedding").as("b_vec"), col("nrm").as("b_nrm"))
-    a.join(b, col("band") === col("band_b") && col("bucket") === col("bucket_b") &&
-        col("a_id") < col("b_id"))
+    val pairs = e.as("a").join(e.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
+      .distinct() // a pair can collide in multiple bands
+    val v = t(s, d, "embeddings")
+      .withColumn("nrm", graft.GraftFunctions.vectorNorm(col("embedding")))
+    pairs
+      .join(v.select(col("vec_id").as("a_id"), col("embedding").as("a_vec"),
+        col("nrm").as("a_nrm")), "a_id")
+      .join(v.select(col("vec_id").as("b_id"), col("embedding").as("b_vec"),
+        col("nrm").as("b_nrm")), "b_id")
       .select(col("a_id"), col("b_id"),
         VectorFunctions.cosineSimPrecomputed(col("a_vec"), col("b_vec"),
           col("a_nrm"), col("b_nrm")).as("sim"))
-      .distinct() // a pair can collide in multiple bands
       .orderBy(col("sim").desc, col("a_id"), col("b_id"))
       .limit(20)
   }

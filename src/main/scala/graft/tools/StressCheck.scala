@@ -18,13 +18,16 @@ import org.apache.spark.sql.functions._
   * Smoke mode (round 10): fractional rowsScale runs clean (the
   * smj_fact_fact broadcast-shape assert is pinned with
   * autoBroadcastJoinThreshold=-1, a no-op at full scale), and the
-  * optional comma-separated tagFilter (substring match) selects rows —
-  * the documented sub-minute smoke covering every plan-shape and
-  * planted-structure assert without the fixed streaming-trigger floors:
+  * optional comma-separated tagFilter (substring match) selects rows.
+  * The documented sub-minute smoke SUBSET — a quick regression pulse
+  * over the dedup/LSH caps, the fact-fact shuffle shape, and the
+  * iterative-kernel rows, NOT a replacement for the full suite (rows it
+  * skips carry their own plan-shape/planted asserts: star-join
+  * broadcasts, as-of grid, PageRank fixed points, streaming cores):
   *   runMain graft.tools.StressCheck 0.2
   *     sessionize,dedup_exact,minhash,ann,smj,graph_components,basket,dist_running
-  * (~35 s; full suite at 0.2 is ~155 s, at 1.0 ~5 min — full-suite
-  * figures, not smoke ones, are what docs/SCALE.md records.)
+  * (~40 s measured / ~56 s wall; full suite at 0.2 is ~155 s, at 1.0
+  * ~6-10 min — full-suite figures are what docs/SCALE.md records.)
   *
   * This is a dev/evidence tool, not a graded surface: synthetic data has
   * no DuckDB oracle. Correctness of each op is carried by its graded
@@ -134,9 +137,12 @@ object StressCheck {
         (col("id") + 10000000L).as("doc_id"), lit(boilerText).as("text"))
       val capped = graft.operators.MinHashOps
         .minhashCandidates(docs.unionByName(boiler), maxBucketSize = Some(1000))
+      // coalesce: sum over ZERO rows is NULL, and an empty candidate set
+      // is exactly the regression this row exists to catch — it must land
+      // in the require message, not a Row.getLong NPE
       val agg = capped.agg(
-        sum(when(col("a_id") >= 10000000L && col("b_id") >= 10000000L, 1L)
-          .otherwise(0L)).as("hot"),
+        coalesce(sum(when(col("a_id") >= 10000000L && col("b_id") >= 10000000L, 1L)
+          .otherwise(0L)), lit(0L)).as("hot"),
         count(lit(1)).as("n")).head()
       require(agg.getLong(0) == 0L,
         s"hot-bucket pairs survived the cap: ${agg.getLong(0)}")
