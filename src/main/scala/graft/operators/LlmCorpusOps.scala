@@ -325,6 +325,63 @@ object LlmCorpusOps {
       .orderBy("q_id", "rank")
   }
 
+  /** Hybrid retrieval fusion — reciprocal-rank fusion (RRF, the
+    * Cormack/Clarke k=60 form every RAG curation stack runs) of the
+    * engine's two graded retrieval stacks over the SAME query set
+    * (documents with doc_id % 97 == 0): lexical BM25 top-10 (the
+    * [[bm25TopK]] kernel, sharing the memoized TF table with the graded
+    * llm_bm25_topk) and dense cosine top-10 over the aligned embeddings
+    * (doc_id ↔ vec_id, the llm_multimodal_join contract). rrf =
+    * Σ_stacks 1/(60 + rank) with an absent stack contributing 0 — a doc
+    * only one stack surfaces still fuses (the fixture's embeddings cover
+    * a subset of the corpus, so partial-stack docs are REAL here, not a
+    * theoretical case). Final cut: top-5 per query by (rrf, doc_id).
+    *
+    * Determinism: ranks are integers; 1/(60+r) is one IEEE division and
+    * the two-stack sum is pinned lexical-first, rounded floor-half-up
+    * 6 dp BEFORE the final ranking — both mirrored token-for-token in
+    * the oracle.
+    *
+    * Scale: the BM25 side is the graded broadcast-postings plan; the
+    * dense side broadcasts the |queries|-sized vector set against the
+    * embeddings scan (at 100 TB the dense candidates come from the
+    * banded-LSH/IVF index instead of the brute scan — same fusion);
+    * fusion itself joins two ≤ |queries|·10 rank lists. */
+  def llmHybridRrf(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val K = 10
+    val lex = bm25TopK(t(s, d, "documents"), col("doc_id") % 97 === 0, K,
+        tf => memo(s, d, "bm25_tf")(tf))
+      .select(col("q_id"), col("doc_id"), col("rank").as("r_lex"))
+    val e = t(s, d, "embeddings").select(col("vec_id"), col("embedding"),
+      graft.GraftFunctions.vectorNorm(col("embedding")).as("nrm"))
+    val q = e.filter(col("vec_id") % 97 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+        col("nrm").as("q_nrm"))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("doc_id"))
+    val dense = broadcast(q)
+      .join(e.select(col("vec_id").as("doc_id"), col("embedding").as("n_vec"),
+        col("nrm").as("n_nrm")), col("q_id") =!= col("doc_id"))
+      .select(col("q_id"), col("doc_id"),
+        graft.functions.VectorFunctions.cosineSimPrecomputed(
+          col("q_vec"), col("n_vec"), col("q_nrm"), col("n_nrm")).as("sim"))
+      .withColumn("r_dense", row_number().over(w))
+      .filter(col("r_dense") <= K)
+      .select("q_id", "doc_id", "r_dense")
+    val rrf = floor(
+      (coalesce(lit(1.0) / (lit(60) + col("r_lex")), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(60) + col("r_dense")), lit(0.0))) * 1000000.0 + 0.5
+    ) / 1000000.0
+    val fw = Window.partitionBy("q_id").orderBy(col("rrf").desc, col("doc_id"))
+    lex.join(dense, Seq("q_id", "doc_id"), "full_outer")
+      .select(col("q_id"), col("doc_id"), col("r_lex"), col("r_dense"),
+        rrf.as("rrf"))
+      .withColumn("rank", row_number().over(fw))
+      .filter(col("rank") <= 5)
+      .select("q_id", "rank", "doc_id", "r_lex", "r_dense", "rrf")
+      .orderBy("q_id", "rank")
+  }
+
   /** Temperature-scaled language mixture (the multilingual-training
     * resampling rule): per-language share s_l, resampling weight
     * w_l ∝ sqrt(s_l) normalized, and the boost factor w_l / s_l each
@@ -942,6 +999,7 @@ object LlmCorpusOps {
     "llm_oov_rate" -> (llmOovRate _),
     "llm_tfidf_topk" -> (llmTfidfTopk _),
     "llm_bm25_topk" -> (llmBm25Topk _),
+    "llm_hybrid_rrf" -> (llmHybridRrf _),
     "llm_lang_temperature" -> (llmLangTemperature _),
   )
 
@@ -970,6 +1028,28 @@ object LlmCorpusOps {
       "floor(exp(CAST(-sum(s.s) AS DOUBLE) / 1e6 / count(*)) * 1e4 + 0.5) / 1e4 AS perplexity " +
       "FROM bg b JOIN scores s ON b.w1 = s.w1 AND b.w2 = s.w2 " +
       "GROUP BY b.doc_id ORDER BY b.doc_id"
+
+  /** The BM25 scoring tower (toks → tf → dl/stats/dfreq → q → cand →
+    * sc → ranked r) — ONE definition shared by the llm_bm25_topk and
+    * llm_hybrid_rrf oracles, mirroring the shared Spark-side
+    * [[bm25TopK]] kernel. */
+  private val bm25OracleTower: String =
+    "WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents), " +
+      "tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM toks " +
+      "WHERE length(term) > 0 GROUP BY 1, 2), " +
+      "dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1), " +
+      "stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl), " +
+      "dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1), " +
+      "q AS (SELECT DISTINCT doc_id AS q_id, term FROM tf WHERE doc_id % 97 = 0), " +
+      "cand AS (SELECT q.q_id, tf.doc_id, tf.term, tf.tf FROM tf JOIN q ON tf.term = q.term " +
+      "WHERE tf.doc_id <> q.q_id), " +
+      "sc AS (SELECT q_id, cand.doc_id, " +
+      "floor(sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * tf * 2.2 / " +
+      "(tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) * 10000.0 + 0.5) / 10000.0 AS score " +
+      "FROM cand JOIN dfreq USING (term) JOIN dl ON cand.doc_id = dl.doc_id CROSS JOIN stats " +
+      "GROUP BY 1, 2), " +
+      "r AS (SELECT q_id, doc_id, score, " +
+      "row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rank FROM sc) "
 
   val oracles: Map[String, String] = Map(
     // pure integer counts; first-occurrence attribution mirrored, the
@@ -1216,24 +1296,30 @@ object LlmCorpusOps {
     // Spark expression; the pair score rounds to 4 dp BEFORE ranking on
     // both engines so rank is decided on identical doubles
     "llm_bm25_topk" ->
-      ("WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents), " +
-        "tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM toks " +
-        "WHERE length(term) > 0 GROUP BY 1, 2), " +
-        "dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1), " +
-        "stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl), " +
-        "dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1), " +
-        "q AS (SELECT DISTINCT doc_id AS q_id, term FROM tf WHERE doc_id % 97 = 0), " +
-        "cand AS (SELECT q.q_id, tf.doc_id, tf.term, tf.tf FROM tf JOIN q ON tf.term = q.term " +
-        "WHERE tf.doc_id <> q.q_id), " +
-        "sc AS (SELECT q_id, cand.doc_id, " +
-        "floor(sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * tf * 2.2 / " +
-        "(tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) * 10000.0 + 0.5) / 10000.0 AS score " +
-        "FROM cand JOIN dfreq USING (term) JOIN dl ON cand.doc_id = dl.doc_id CROSS JOIN stats " +
-        "GROUP BY 1, 2), " +
-        "r AS (SELECT q_id, doc_id, score, " +
-        "row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rank FROM sc) " +
+      (bm25OracleTower +
         "SELECT q_id, CAST(rank AS INTEGER) AS rank, doc_id, score FROM r " +
         "WHERE rank <= 3 ORDER BY q_id, rank"),
+    // the two graded retrieval stacks fused: the bm25 tower (rank <= 10)
+    // + a dense cosine rank list (the llm_knn discipline: 4 dp sim, tie
+    // by doc_id), full-outer joined and scored 1/(60+r_lex)+1/(60+r_dense)
+    // with an absent stack contributing 0 via the NULL-propagating
+    // division; lexical-first addition and floor-half-up 6 dp mirror the
+    // Spark side exactly
+    "llm_hybrid_rrf" ->
+      (bm25OracleTower +
+        ", lex AS (SELECT q_id, doc_id, CAST(rank AS INTEGER) AS r_lex FROM r WHERE rank <= 10), " +
+        "eq AS (SELECT vec_id AS q_id, embedding FROM embeddings WHERE vec_id % 97 = 0), " +
+        "dsim AS (SELECT eq.q_id, e.vec_id AS doc_id, " +
+        "round(list_cosine_similarity(CAST(eq.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 4) AS sim " +
+        "FROM eq JOIN embeddings e ON e.vec_id <> eq.q_id), " +
+        "dr AS (SELECT q_id, doc_id, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, doc_id) AS INTEGER) AS r_dense FROM dsim), " +
+        "dense AS (SELECT q_id, doc_id, r_dense FROM dr WHERE r_dense <= 10), " +
+        "f AS (SELECT COALESCE(lex.q_id, dense.q_id) AS q_id, COALESCE(lex.doc_id, dense.doc_id) AS doc_id, r_lex, r_dense " +
+        "FROM lex FULL OUTER JOIN dense ON lex.q_id = dense.q_id AND lex.doc_id = dense.doc_id), " +
+        "sc2 AS (SELECT q_id, doc_id, r_lex, r_dense, " +
+        "floor((COALESCE(1.0 / (60 + r_lex), 0.0) + COALESCE(1.0 / (60 + r_dense), 0.0)) * 1000000 + 0.5) / 1000000 AS rrf FROM f), " +
+        "rr AS (SELECT sc2.*, CAST(row_number() OVER (PARTITION BY q_id ORDER BY rrf DESC, doc_id) AS INTEGER) AS rank FROM sc2) " +
+        "SELECT q_id, rank, doc_id, r_lex, r_dense, rrf FROM rr WHERE rank <= 5 ORDER BY q_id, rank"),
     "llm_lang_temperature" ->
       ("WITH bl AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1), " +
         "t AS (SELECT CAST(sum(n) AS BIGINT) AS ntot FROM bl), " +

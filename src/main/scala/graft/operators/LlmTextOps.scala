@@ -1070,16 +1070,97 @@ object LlmTextOps {
     * with no training jobs. The seeded float trainer (PqOps.lloyd and
     * its distributed twin) stays unit-tested; the full-corpus MLlib
     * KMeans remains as the graded J7 pipeline. */
-  def annIvfTopk(s: SparkSession, d: String): DataFrame = {
-    val assigned = memo(s, d, "ivf") {
+  /** The memoized IVF assignment (vec_id, embedding, bucket) — one
+    * index build per (session, corpus), shared by the top-k and the
+    * recall self-evaluation. */
+  private def ivfAssigned(s: SparkSession, d: String): DataFrame =
+    memo(s, d, "ivf") {
       val cb = PortableQuantizer.ivfCentroids(s, d)
       t(s, d, "embeddings")
         .select(col("vec_id"), col("embedding"),
           PortableQuantizer.ivfAssign(cb, col("embedding")).as("bucket"))
     }
-    bucketedPairSims(assigned)
+
+  def annIvfTopk(s: SparkSession, d: String): DataFrame =
+    bucketedPairSims(ivfAssigned(s, d))
       .orderBy(col("sim").desc, col("a_id"), col("b_id"))
       .limit(20)
+
+  /** IVF self-evaluation — the [[annPairRecall]] discipline applied to
+    * the IVF index: recall of the exact top-20 cosine pairs among
+    * co-listed (same inverted list) pairs. Together the recall keys make
+    * EVERY graded ANN index grade itself, so the LSH-vs-IVF quality
+    * comparison is a queryable fact, not a prose claim (measured at
+    * sf0.1: banded LSH 0.85, single-probe IVF 0.25, 3-probe IVF 0.90).
+    * Scale: the truth is 20 broadcast rows against the memoized
+    * assignment — two broadcast equi-joins. */
+  def annIvfRecall(s: SparkSession, d: String): DataFrame = {
+    val truth = VectorFunctions.cosineTopKDistributed(s, t(s, d, "embeddings"), 20)
+      .orderBy(col("sim").desc, col("a_id"), col("b_id")).limit(20)
+    val b = ivfAssigned(s, d).select(col("vec_id"), col("bucket"))
+    truth
+      .join(b.select(col("vec_id").as("a_id"), col("bucket").as("ba")), "a_id")
+      .join(b.select(col("vec_id").as("b_id"), col("bucket").as("bb")), "b_id")
+      .agg(sum(when(col("ba") === col("bb"), 1L).otherwise(0L)).as("n_hit"))
+      .select(lit(20L).as("n_truth"), col("n_hit"),
+        (floor(col("n_hit").cast("double") / 20.0 * 1000000.0 + 0.5) / 1000000.0)
+          .as("recall"))
+  }
+
+  /** The memoized 3-probe IVF assignment (vec_id, embedding, probe,
+    * bucket) — each vector in its 3 nearest inverted lists, the FAISS
+    * nprobe knob applied to pair-finding. */
+  private def ivfAssignedMp(s: SparkSession, d: String): DataFrame =
+    memo(s, d, "ivf_mp") {
+      val cb = PortableQuantizer.ivfCentroids(s, d)
+      t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          posexplode(PortableQuantizer.ivfAssignMulti(cb, col("embedding"), 3))
+            .as(Seq("probe", "bucket")))
+    }
+
+  /** Multi-probe IVF top-k: candidates = DISTINCT pairs sharing ANY of
+    * their 3 assigned lists, then the id-only-join/distinct/join-back
+    * tail the banded-LSH key uses. Lifts the single-probe key's measured
+    * top-20-pair recall 0.25 → 0.90 at sf0.1 (`ann_ivf_recall_mp`) for a
+    * ≤ 9× candidate fan-out bound (3 lists a side) — the classic
+    * recall-vs-probes trade, here a graded fact. */
+  def annIvfMultiprobe(s: SparkSession, d: String): DataFrame = {
+    val e = ivfAssignedMp(s, d).select(col("vec_id"), col("bucket"))
+    val pairs = e.as("a").join(e.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
+      .distinct()
+    val v = t(s, d, "embeddings")
+      .withColumn("nrm", graft.GraftFunctions.vectorNorm(col("embedding")))
+    pairs
+      .join(v.select(col("vec_id").as("a_id"), col("embedding").as("a_vec"),
+        col("nrm").as("a_nrm")), "a_id")
+      .join(v.select(col("vec_id").as("b_id"), col("embedding").as("b_vec"),
+        col("nrm").as("b_nrm")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        VectorFunctions.cosineSimPrecomputed(col("a_vec"), col("b_vec"),
+          col("a_nrm"), col("b_nrm")).as("sim"))
+      .orderBy(col("sim").desc, col("a_id"), col("b_id"))
+      .limit(20)
+  }
+
+  /** [[annIvfRecall]] for the 3-probe assignment: hit = assignment SETS
+    * intersect (arrays_overlap over the 3-element code arrays). */
+  def annIvfRecallMp(s: SparkSession, d: String): DataFrame = {
+    val truth = VectorFunctions.cosineTopKDistributed(s, t(s, d, "embeddings"), 20)
+      .orderBy(col("sim").desc, col("a_id"), col("b_id")).limit(20)
+    val cb = PortableQuantizer.ivfCentroids(s, d)
+    val b = t(s, d, "embeddings").select(col("vec_id"),
+      PortableQuantizer.ivfAssignMulti(cb, col("embedding"), 3).as("codes"))
+    truth
+      .join(b.select(col("vec_id").as("a_id"), col("codes").as("ca")), "a_id")
+      .join(b.select(col("vec_id").as("b_id"), col("codes").as("cb")), "b_id")
+      .agg(sum(when(arrays_overlap(col("ca"), col("cb")), 1L).otherwise(0L))
+        .as("n_hit"))
+      .select(lit(20L).as("n_truth"), col("n_hit"),
+        (floor(col("n_hit").cast("double") / 20.0 * 1000000.0 + 0.5) / 1000000.0)
+          .as("recall"))
   }
 
   /** [[annIvfTopk]] served from the PERSISTED index: the IVF codebook is
@@ -1272,6 +1353,9 @@ object LlmTextOps {
       simhashBandedPairs(fixtureSimhash(s, d), maxHamming = 8).orderBy("a_id", "b_id")),
     "ann_lsh_topk" -> (annLshTopk _),
     "ann_pair_recall" -> (annPairRecall _),
+    "ann_ivf_recall" -> (annIvfRecall _),
+    "ann_ivf_multiprobe" -> (annIvfMultiprobe _),
+    "ann_ivf_recall_mp" -> (annIvfRecallMp _),
   )
 
   private val markerSql: Map[String, String] = langs.toMap.map { case (l, ms) =>
@@ -1440,6 +1524,9 @@ object LlmTextOps {
         "SELECT CAST(20 AS BIGINT) AS n_truth, CAST(count(*) AS BIGINT) AS n_hit, " +
         "floor(count(*) / 20.0 * 1000000 + 0.5) / 1000000 AS recall FROM hit"),
     "ann_ivf_topk" -> PortableQuantizer.ivfOracle,
+    "ann_ivf_recall" -> PortableQuantizer.ivfRecallOracle,
+    "ann_ivf_multiprobe" -> PortableQuantizer.ivfMultiprobeOracle,
+    "ann_ivf_recall_mp" -> PortableQuantizer.ivfRecallMpOracle,
     // persisted-index serve: same centroids (write→read roundtrip of
     // exact BIGINTs), same assignment, same pairs — the oracle is
     // deliberately IDENTICAL; what the key grades is that the vt

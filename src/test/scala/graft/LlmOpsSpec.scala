@@ -260,6 +260,31 @@ class LlmOpsSpec extends SparkTestBase {
     assert(r.getDouble(2) >= 0.8, s"banded LSH recall ${r.getDouble(2)} < 0.8")
   }
 
+  test("IVF recall family: multi-probe dominates single-probe; every hit set is consistent") {
+    val single = LlmTextOps.annIvfRecall(spark, SF).head()
+    val mp = LlmTextOps.annIvfRecallMp(spark, SF).head()
+    assert(single.getLong(0) == 20L && mp.getLong(0) == 20L)
+    // probe-1 IS the single-probe list, so the 3-probe hit set is a superset
+    assert(mp.getLong(1) >= single.getLong(1),
+      s"multi-probe recall ${mp.getLong(1)} < single-probe ${single.getLong(1)}")
+    Seq(single, mp).foreach { r =>
+      assert(r.getDouble(2) == math.floor(r.getLong(1) / 20.0 * 1e6 + 0.5) / 1e6)
+    }
+    // and the same dominance holds for the reported pair lists: every
+    // single-probe top-20 pair at sim above the mp cut must be co-listed
+    // there too (both candidate sets share the probe-1 list)
+    val mpPairs = LlmTextOps.annIvfMultiprobe(spark, SF).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mpMinSim = LlmTextOps.annIvfMultiprobe(spark, SF).collect()
+      .map(_.getDouble(2)).min
+    LlmTextOps.annIvfTopk(spark, SF).collect()
+      .filter(_.getDouble(2) > mpMinSim)
+      .foreach { r =>
+        assert(mpPairs((r.getLong(0), r.getLong(1))),
+          s"single-probe pair (${r.getLong(0)}, ${r.getLong(1)}) above the mp cut is missing")
+      }
+  }
+
   test("minhash hot-bucket cap bounds fan-out without losing cold-bucket pairs") {
     import graft.operators.MinHashOps
     // 30 identical boilerplate docs -> one bucket of 30 in EVERY band

@@ -59,7 +59,10 @@ class PlanInvariantsSpec extends SparkTestBase {
     "stat_skew_report", "stat_chisq", "stat_cramers_v", "agg_hll_merge",
     "agg_hll_intersect", "llm_bm25_topk", "event_peak_concurrency",
     "stat_lorenz", "ml_target_encode", "dq_volume_anomaly",
-    "event_attribution_decay")
+    // the dense stack broadcasts the |queries|-sized vector set against
+    // the embeddings scan with a != predicate — the llm_knn_queries
+    // posture exactly (bounded broadcast side)
+    "event_attribution_decay", "llm_hybrid_rrf")
 
   test("no graded key plans a CartesianProduct; nested-loop joins only where justified") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

@@ -71,6 +71,42 @@ class TpchCorpusOpsSpec extends SparkTestBase {
       "near-dup losers dropped by the funnel != CC non-minimal members")
   }
 
+  test("hybrid RRF: fusion arithmetic is self-consistent and lexical ranks tie out to BM25") {
+    val fused = LlmCorpusOps.llmHybridRrf(spark, SF).collect()
+    assert(fused.nonEmpty)
+    // the independent lexical stack at the fusion's K
+    val lex = LlmCorpusOps.bm25TopK(
+        Tables.load(spark, SF, "documents"), col("doc_id") % 97 === 0, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getInt(1)).toMap
+    fused.foreach { r =>
+      val (qid, doc) = (r.getLong(0), r.getLong(2))
+      val rLex = if (r.isNullAt(3)) None else Some(r.getInt(3))
+      val rDense = if (r.isNullAt(4)) None else Some(r.getInt(4))
+      // a fused row exists only because at least one stack ranked it
+      assert(rLex.isDefined || rDense.isDefined, s"stackless row: $r")
+      // lexical ranks are exactly the BM25 kernel's (absent = not top-10)
+      assert(lex.get((qid, doc)) == rLex, s"r_lex drift at ($qid, $doc)")
+      // the fusion formula, recomputed from the row's own ranks
+      val want = math.floor(
+        (rLex.map(x => 1.0 / (60 + x)).getOrElse(0.0) +
+          rDense.map(x => 1.0 / (60 + x)).getOrElse(0.0)) * 1e6 + 0.5) / 1e6
+      assert(r.getDouble(5) == want, s"rrf arithmetic at ($qid, $doc)")
+    }
+    // per-query: ranks are 1..n and ordered by (rrf desc, doc_id)
+    fused.groupBy(_.getLong(0)).foreach { case (qid, rs) =>
+      val sorted = rs.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq == (1 to rs.length),
+        s"rank gap for query $qid")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getDouble(5) > b.getDouble(5) ||
+            (a.getDouble(5) == b.getDouble(5) && a.getLong(2) < b.getLong(2)),
+            s"fusion order violated for query $qid")
+        case _ =>
+      }
+    }
+  }
+
   test("q14/q10 broadcast their dimension sides") {
     for (key <- Seq("tpch_q14_promo", "tpch_q10_returns")) {
       val plan = SparkEntry.queries(key)(spark, SF).queryExecution.executedPlan.toString
