@@ -1035,8 +1035,7 @@ object LlmTextOps {
     * equi-joins and a zip_with over 24-element arrays, no pairwise work
     * beyond what the graded keys already bound. */
   def annPairRecall(s: SparkSession, d: String): DataFrame = {
-    val truth = VectorFunctions.cosineTopKDistributed(s, t(s, d, "embeddings"), 20)
-      .orderBy(col("sim").desc, col("a_id"), col("b_id")).limit(20)
+    val truth = annTruth(s, d)
     val b = t(s, d, "embeddings").select(col("vec_id"),
       graft.GraftFunctions.hyperplaneBands(col("embedding")).as("bands"))
     truth
@@ -1070,6 +1069,15 @@ object LlmTextOps {
     * with no training jobs. The seeded float trainer (PqOps.lloyd and
     * its distributed twin) stays unit-tested; the full-corpus MLlib
     * KMeans remains as the graded J7 pipeline. */
+  /** The exact top-20 cosine-pair truth (the llm_cosine_topk frame) —
+    * memoized because all three ANN recall keys grade against the SAME
+    * 20 rows; the O(n²) truth pass is priced once per (session, corpus),
+    * not once per index. */
+  private def annTruth(s: SparkSession, d: String): DataFrame =
+    memo(s, d, "ann_truth")(
+      VectorFunctions.cosineTopKDistributed(s, t(s, d, "embeddings"), 20)
+        .orderBy(col("sim").desc, col("a_id"), col("b_id")).limit(20))
+
   /** The memoized IVF assignment (vec_id, embedding, bucket) — one
     * index build per (session, corpus), shared by the top-k and the
     * recall self-evaluation. */
@@ -1095,8 +1103,7 @@ object LlmTextOps {
     * Scale: the truth is 20 broadcast rows against the memoized
     * assignment — two broadcast equi-joins. */
   def annIvfRecall(s: SparkSession, d: String): DataFrame = {
-    val truth = VectorFunctions.cosineTopKDistributed(s, t(s, d, "embeddings"), 20)
-      .orderBy(col("sim").desc, col("a_id"), col("b_id")).limit(20)
+    val truth = annTruth(s, d)
     val b = ivfAssigned(s, d).select(col("vec_id"), col("bucket"))
     truth
       .join(b.select(col("vec_id").as("a_id"), col("bucket").as("ba")), "a_id")
@@ -1145,11 +1152,45 @@ object LlmTextOps {
       .limit(20)
   }
 
+  /** Index-SERVED per-query retrieval — the serving shape of the ANN
+    * story (what a RAG lookup actually runs at 100 TB, where the
+    * llm_knn_queries brute scan is impossible): each query (the
+    * doc_id % 97 == 0 set shared with BM25/RRF) probes its 3 nearest
+    * inverted lists, candidates are the lists' members, rank by exact
+    * cosine within candidates, top-3 per query. Every join is a
+    * bucket/id equi-join; candidate fan-out per query is the 3 probed
+    * lists' sizes, never the corpus. The graded twin of the posture
+    * sentence "at scale the dense candidates come from the index". */
+  def annIvfQueryTopk(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val a = ivfAssignedMp(s, d).select(col("vec_id"), col("bucket"))
+    val qa = a.filter(col("vec_id") % 97 === 0)
+      .select(col("vec_id").as("q_id"), col("bucket"))
+    val cand = qa
+      .join(a.select(col("vec_id").as("neighbor_id"), col("bucket")), Seq("bucket"))
+      .filter(col("q_id") =!= col("neighbor_id"))
+      .select("q_id", "neighbor_id").distinct()
+    val v = t(s, d, "embeddings")
+      .withColumn("nrm", graft.GraftFunctions.vectorNorm(col("embedding")))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("neighbor_id"))
+    cand
+      .join(v.select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+        col("nrm").as("q_nrm")), "q_id")
+      .join(v.select(col("vec_id").as("neighbor_id"), col("embedding").as("n_vec"),
+        col("nrm").as("n_nrm")), "neighbor_id")
+      .select(col("q_id"), col("neighbor_id"),
+        VectorFunctions.cosineSimPrecomputed(col("q_vec"), col("n_vec"),
+          col("q_nrm"), col("n_nrm")).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select("q_id", "rank", "neighbor_id", "sim")
+      .orderBy("q_id", "rank")
+  }
+
   /** [[annIvfRecall]] for the 3-probe assignment: hit = assignment SETS
     * intersect (arrays_overlap over the 3-element code arrays). */
   def annIvfRecallMp(s: SparkSession, d: String): DataFrame = {
-    val truth = VectorFunctions.cosineTopKDistributed(s, t(s, d, "embeddings"), 20)
-      .orderBy(col("sim").desc, col("a_id"), col("b_id")).limit(20)
+    val truth = annTruth(s, d)
     val cb = PortableQuantizer.ivfCentroids(s, d)
     val b = t(s, d, "embeddings").select(col("vec_id"),
       PortableQuantizer.ivfAssignMulti(cb, col("embedding"), 3).as("codes"))
@@ -1356,6 +1397,7 @@ object LlmTextOps {
     "ann_ivf_recall" -> (annIvfRecall _),
     "ann_ivf_multiprobe" -> (annIvfMultiprobe _),
     "ann_ivf_recall_mp" -> (annIvfRecallMp _),
+    "ann_ivf_query_topk" -> (annIvfQueryTopk _),
   )
 
   private val markerSql: Map[String, String] = langs.toMap.map { case (l, ms) =>
@@ -1527,6 +1569,7 @@ object LlmTextOps {
     "ann_ivf_recall" -> PortableQuantizer.ivfRecallOracle,
     "ann_ivf_multiprobe" -> PortableQuantizer.ivfMultiprobeOracle,
     "ann_ivf_recall_mp" -> PortableQuantizer.ivfRecallMpOracle,
+    "ann_ivf_query_topk" -> PortableQuantizer.ivfQueryTopkOracle,
     // persisted-index serve: same centroids (write→read roundtrip of
     // exact BIGINTs), same assignment, same pairs — the oracle is
     // deliberately IDENTICAL; what the key grades is that the vt

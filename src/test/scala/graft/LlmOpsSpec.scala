@@ -285,6 +285,34 @@ class LlmOpsSpec extends SparkTestBase {
       }
   }
 
+  test("index-served query top-k: neighbors share a probed list, sims match the scala kernel") {
+    val served = LlmTextOps.annIvfQueryTopk(spark, SF).collect()
+    assert(served.nonEmpty)
+    val emb = graft.Tables.load(spark, SF, "embeddings").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Float](1).toArray).toMap
+    served.foreach { r =>
+      val (q, n) = (r.getLong(0), r.getLong(2))
+      assert(q % 97 == 0 && q != n)
+      // independent value check via the bit-identical Scala kernels
+      val want = BigDecimal(
+        graft.functions.VectorFunctions.dotValue(emb(q), emb(n)) /
+          (graft.functions.VectorFunctions.normValue(emb(q)) *
+            graft.functions.VectorFunctions.normValue(emb(n))))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(3) == want, s"sim drift for ($q, $n)")
+    }
+    // per-query ranks are 1..k ordered by (sim desc, neighbor_id)
+    served.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq == (1 to rs.length), s"rank gap for $q")
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a.getDouble(3) > b.getDouble(3) ||
+          (a.getDouble(3) == b.getDouble(3) && a.getLong(2) < b.getLong(2)))
+        case _ =>
+      }
+    }
+  }
+
   test("minhash hot-bucket cap bounds fan-out without losing cold-bucket pairs") {
     import graft.operators.MinHashOps
     // 30 identical boilerplate docs -> one bucket of 30 in EVERY band
