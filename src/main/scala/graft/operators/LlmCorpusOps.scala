@@ -350,9 +350,6 @@ object LlmCorpusOps {
   def llmHybridRrf(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val K = 10
-    val lex = bm25TopK(t(s, d, "documents"), col("doc_id") % 97 === 0, K,
-        tf => memo(s, d, "bm25_tf")(tf))
-      .select(col("q_id"), col("doc_id"), col("rank").as("r_lex"))
     val e = t(s, d, "embeddings").select(col("vec_id"), col("embedding"),
       graft.GraftFunctions.vectorNorm(col("embedding")).as("nrm"))
     val q = e.filter(col("vec_id") % 97 === 0)
@@ -368,6 +365,22 @@ object LlmCorpusOps {
       .withColumn("r_dense", row_number().over(w))
       .filter(col("r_dense") <= K)
       .select("q_id", "doc_id", "r_dense")
+    rrfFuse(lexTop10(s, d), dense)
+  }
+
+  /** The BM25 top-10 rank list both fusion variants share. */
+  private def lexTop10(s: SparkSession, d: String): DataFrame =
+    bm25TopK(t(s, d, "documents"), col("doc_id") % 97 === 0, 10,
+        tf => memo(s, d, "bm25_tf")(tf))
+      .select(col("q_id"), col("doc_id"), col("rank").as("r_lex"))
+
+  /** The RRF fusion tail — ONE definition shared by the brute-force and
+    * index-served fusion keys (and mirrored by the shared oracle tail):
+    * full-outer on (q_id, doc_id), rrf = 1/(60+r_lex) + 1/(60+r_dense)
+    * with an absent stack's NULL rank propagating to a 0 contribution,
+    * lexical-first addition, floor-half-up 6 dp, top-5 per query. */
+  private def rrfFuse(lex: DataFrame, dense: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val rrf = floor(
       (coalesce(lit(1.0) / (lit(60) + col("r_lex")), lit(0.0)) +
         coalesce(lit(1.0) / (lit(60) + col("r_dense")), lit(0.0))) * 1000000.0 + 0.5
@@ -381,6 +394,22 @@ object LlmCorpusOps {
       .select("q_id", "rank", "doc_id", "r_lex", "r_dense", "rrf")
       .orderBy("q_id", "rank")
   }
+
+  /** [[llmHybridRrf]] with the dense stack SERVED FROM THE ANN INDEX
+    * (the 3-probe IVF lists via [[LlmTextOps.servedTopK]]) instead of
+    * the brute-force scan — the fusion a 100 TB RAG stack actually runs,
+    * graded end-to-end: BM25 candidates from the broadcast postings
+    * join, dense candidates from the probed inverted lists, identical
+    * fusion arithmetic. Where the index's bounded candidate set misses a
+    * brute-force dense hit, the fusion degrades exactly as RRF
+    * prescribes (the rank is absent, the lexical stack still votes) —
+    * the quality delta vs [[llmHybridRrf]] is itself queryable by
+    * diffing the two graded keys. */
+  def llmHybridRrfIndexed(s: SparkSession, d: String): DataFrame =
+    rrfFuse(lexTop10(s, d),
+      LlmTextOps.servedTopK(s, d, col("vec_id") % 97 === 0, 10)
+        .select(col("q_id"), col("neighbor_id").as("doc_id"),
+          col("rank").as("r_dense")))
 
   /** Temperature-scaled language mixture (the multilingual-training
     * resampling rule): per-language share s_l, resampling weight
@@ -1000,6 +1029,7 @@ object LlmCorpusOps {
     "llm_tfidf_topk" -> (llmTfidfTopk _),
     "llm_bm25_topk" -> (llmBm25Topk _),
     "llm_hybrid_rrf" -> (llmHybridRrf _),
+    "llm_hybrid_rrf_indexed" -> (llmHybridRrfIndexed _),
     "llm_lang_temperature" -> (llmLangTemperature _),
   )
 
@@ -1050,6 +1080,20 @@ object LlmCorpusOps {
       "GROUP BY 1, 2), " +
       "r AS (SELECT q_id, doc_id, score, " +
       "row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rank FROM sc) "
+
+  /** The BM25 top-10 lexical rank-list CTE and the RRF fusion tail —
+    * shared by the two hybrid-fusion oracles, mirroring the Spark-side
+    * lexTop10/rrfFuse factoring. */
+  private val lexTop10Cte: String =
+    "lex AS (SELECT q_id, doc_id, CAST(rank AS INTEGER) AS r_lex FROM r WHERE rank <= 10)"
+
+  private val rrfFusionTailSql: String =
+    "f AS (SELECT COALESCE(lex.q_id, dense.q_id) AS q_id, COALESCE(lex.doc_id, dense.doc_id) AS doc_id, r_lex, r_dense " +
+      "FROM lex FULL OUTER JOIN dense ON lex.q_id = dense.q_id AND lex.doc_id = dense.doc_id), " +
+      "sc2 AS (SELECT q_id, doc_id, r_lex, r_dense, " +
+      "floor((COALESCE(1.0 / (60 + r_lex), 0.0) + COALESCE(1.0 / (60 + r_dense), 0.0)) * 1000000 + 0.5) / 1000000 AS rrf FROM f), " +
+      "rr AS (SELECT sc2.*, CAST(row_number() OVER (PARTITION BY q_id ORDER BY rrf DESC, doc_id) AS INTEGER) AS rank FROM sc2) " +
+      "SELECT q_id, rank, doc_id, r_lex, r_dense, rrf FROM rr WHERE rank <= 5 ORDER BY q_id, rank"
 
   val oracles: Map[String, String] = Map(
     // pure integer counts; first-occurrence attribution mirrored, the
@@ -1304,22 +1348,33 @@ object LlmCorpusOps {
     // by doc_id), full-outer joined and scored 1/(60+r_lex)+1/(60+r_dense)
     // with an absent stack contributing 0 via the NULL-propagating
     // division; lexical-first addition and floor-half-up 6 dp mirror the
-    // Spark side exactly
+    // Spark side exactly (shared fusion tail, like the Spark rrfFuse)
     "llm_hybrid_rrf" ->
-      (bm25OracleTower +
-        ", lex AS (SELECT q_id, doc_id, CAST(rank AS INTEGER) AS r_lex FROM r WHERE rank <= 10), " +
+      (bm25OracleTower + ", " + lexTop10Cte + ", " +
         "eq AS (SELECT vec_id AS q_id, embedding FROM embeddings WHERE vec_id % 97 = 0), " +
         "dsim AS (SELECT eq.q_id, e.vec_id AS doc_id, " +
         "round(list_cosine_similarity(CAST(eq.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 4) AS sim " +
         "FROM eq JOIN embeddings e ON e.vec_id <> eq.q_id), " +
         "dr AS (SELECT q_id, doc_id, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, doc_id) AS INTEGER) AS r_dense FROM dsim), " +
         "dense AS (SELECT q_id, doc_id, r_dense FROM dr WHERE r_dense <= 10), " +
-        "f AS (SELECT COALESCE(lex.q_id, dense.q_id) AS q_id, COALESCE(lex.doc_id, dense.doc_id) AS doc_id, r_lex, r_dense " +
-        "FROM lex FULL OUTER JOIN dense ON lex.q_id = dense.q_id AND lex.doc_id = dense.doc_id), " +
-        "sc2 AS (SELECT q_id, doc_id, r_lex, r_dense, " +
-        "floor((COALESCE(1.0 / (60 + r_lex), 0.0) + COALESCE(1.0 / (60 + r_dense), 0.0)) * 1000000 + 0.5) / 1000000 AS rrf FROM f), " +
-        "rr AS (SELECT sc2.*, CAST(row_number() OVER (PARTITION BY q_id ORDER BY rrf DESC, doc_id) AS INTEGER) AS rank FROM sc2) " +
-        "SELECT q_id, rank, doc_id, r_lex, r_dense, rrf FROM rr WHERE rank <= 5 ORDER BY q_id, rank"),
+        rrfFusionTailSql),
+    // the same lexical list + fusion tail, dense list from the 3-probe
+    // IVF inverted lists (the index-served twin; chain CTE names are
+    // disjoint from the bm25 tower's)
+    "llm_hybrid_rrf_indexed" ->
+      (bm25OracleTower + ", " + lexTop10Cte + ", " +
+        PortableQuantizer.ivfAssignChain(3) + ", " +
+        "qa AS (SELECT id AS q_id, code FROM fin WHERE id % 97 = 0), " +
+        "dcand AS (SELECT DISTINCT qa.q_id, f2.id AS doc_id " +
+        "FROM qa JOIN fin f2 ON f2.code = qa.code AND f2.id <> qa.q_id), " +
+        "dsc AS (SELECT c.q_id, c.doc_id, " +
+        "round(list_cosine_similarity(CAST(eq.embedding AS DOUBLE[]), CAST(en.embedding AS DOUBLE[])), 4) AS sim " +
+        "FROM dcand c JOIN embeddings eq ON eq.vec_id = c.q_id " +
+        "JOIN embeddings en ON en.vec_id = c.doc_id), " +
+        "dense AS (SELECT q_id, doc_id, r_dense FROM " +
+        "(SELECT q_id, doc_id, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, doc_id) AS INTEGER) AS r_dense FROM dsc) " +
+        "WHERE r_dense <= 10), " +
+        rrfFusionTailSql),
     "llm_lang_temperature" ->
       ("WITH bl AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1), " +
         "t AS (SELECT CAST(sum(n) AS BIGINT) AS ntot FROM bl), " +

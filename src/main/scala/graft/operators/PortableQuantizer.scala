@@ -419,6 +419,13 @@ object PortableQuantizer {
 
   private val ivfAssignCte: String = ivfAssignCteP(1)
 
+  /** The p-probe assignment chain WITHOUT the leading WITH — for
+    * embedding inside composed oracle towers (the hybrid indexed
+    * fusion). Its CTE names (allv, aq, tids, tq, allql, tql, dp, init,
+    * cN, aN, nN, fin) are disjoint from the BM25 tower's by
+    * construction. */
+  def ivfAssignChain(p: Int): String = ivfAssignCteP(p).stripPrefix("WITH ")
+
   /** IVF oracle: the assignment tower, then the same inverted-list
     * pair-cosine tail as the banded-LSH oracle. */
   val ivfOracle: String =

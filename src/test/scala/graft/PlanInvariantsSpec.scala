@@ -61,8 +61,9 @@ class PlanInvariantsSpec extends SparkTestBase {
     "stat_lorenz", "ml_target_encode", "dq_volume_anomaly",
     // the dense stack broadcasts the |queries|-sized vector set against
     // the embeddings scan with a != predicate — the llm_knn_queries
-    // posture exactly (bounded broadcast side)
-    "event_attribution_decay", "llm_hybrid_rrf")
+    // posture exactly (bounded broadcast side); the indexed variant
+    // inherits only the bm25 kernel's 1-row stats cross join
+    "event_attribution_decay", "llm_hybrid_rrf", "llm_hybrid_rrf_indexed")
 
   test("no graded key plans a CartesianProduct; nested-loop joins only where justified") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
