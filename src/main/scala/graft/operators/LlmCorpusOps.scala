@@ -347,9 +347,15 @@ object LlmCorpusOps {
     * embeddings scan (at 100 TB the dense candidates come from the
     * banded-LSH/IVF index instead of the brute scan — same fusion);
     * fusion itself joins two ≤ |queries|·10 rank lists. */
+  /** Per-stack candidate depth of the hybrid fusion — ONE constant for
+    * the brute dense list, the BM25 lexical list, the index-served dense
+    * list, AND the oracle CTE (interpolated into [[lexTop10Cte]]); a
+    * depth change cannot silently fuse asymmetric stacks. */
+  private val FusionDepth = 10
+
   def llmHybridRrf(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val K = 10
+    val K = FusionDepth
     val e = t(s, d, "embeddings").select(col("vec_id"), col("embedding"),
       graft.GraftFunctions.vectorNorm(col("embedding")).as("nrm"))
     val q = e.filter(col("vec_id") % 97 === 0)
@@ -368,9 +374,9 @@ object LlmCorpusOps {
     rrfFuse(lexTop10(s, d), dense)
   }
 
-  /** The BM25 top-10 rank list both fusion variants share. */
+  /** The BM25 top-[[FusionDepth]] rank list both fusion variants share. */
   private def lexTop10(s: SparkSession, d: String): DataFrame =
-    bm25TopK(t(s, d, "documents"), col("doc_id") % 97 === 0, 10,
+    bm25TopK(t(s, d, "documents"), col("doc_id") % 97 === 0, FusionDepth,
         tf => memo(s, d, "bm25_tf")(tf))
       .select(col("q_id"), col("doc_id"), col("rank").as("r_lex"))
 
@@ -407,7 +413,7 @@ object LlmCorpusOps {
     * diffing the two graded keys. */
   def llmHybridRrfIndexed(s: SparkSession, d: String): DataFrame =
     rrfFuse(lexTop10(s, d),
-      LlmTextOps.servedTopK(s, d, col("vec_id") % 97 === 0, 10)
+      LlmTextOps.servedTopK(s, d, col("vec_id") % 97 === 0, FusionDepth)
         .select(col("q_id"), col("neighbor_id").as("doc_id"),
           col("rank").as("r_dense")))
 
@@ -1085,7 +1091,7 @@ object LlmCorpusOps {
     * shared by the two hybrid-fusion oracles, mirroring the Spark-side
     * lexTop10/rrfFuse factoring. */
   private val lexTop10Cte: String =
-    "lex AS (SELECT q_id, doc_id, CAST(rank AS INTEGER) AS r_lex FROM r WHERE rank <= 10)"
+    s"lex AS (SELECT q_id, doc_id, CAST(rank AS INTEGER) AS r_lex FROM r WHERE rank <= $FusionDepth)"
 
   private val rrfFusionTailSql: String =
     "f AS (SELECT COALESCE(lex.q_id, dense.q_id) AS q_id, COALESCE(lex.doc_id, dense.doc_id) AS doc_id, r_lex, r_dense " +
@@ -1356,7 +1362,7 @@ object LlmCorpusOps {
         "round(list_cosine_similarity(CAST(eq.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 4) AS sim " +
         "FROM eq JOIN embeddings e ON e.vec_id <> eq.q_id), " +
         "dr AS (SELECT q_id, doc_id, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, doc_id) AS INTEGER) AS r_dense FROM dsim), " +
-        "dense AS (SELECT q_id, doc_id, r_dense FROM dr WHERE r_dense <= 10), " +
+        s"dense AS (SELECT q_id, doc_id, r_dense FROM dr WHERE r_dense <= $FusionDepth), " +
         rrfFusionTailSql),
     // the same lexical list + fusion tail, dense list from the 3-probe
     // IVF inverted lists (the index-served twin; chain CTE names are
@@ -1373,7 +1379,7 @@ object LlmCorpusOps {
         "JOIN embeddings en ON en.vec_id = c.doc_id), " +
         "dense AS (SELECT q_id, doc_id, r_dense FROM " +
         "(SELECT q_id, doc_id, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, doc_id) AS INTEGER) AS r_dense FROM dsc) " +
-        "WHERE r_dense <= 10), " +
+        s"WHERE r_dense <= $FusionDepth), " +
         rrfFusionTailSql),
     "llm_lang_temperature" ->
       ("WITH bl AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1), " +

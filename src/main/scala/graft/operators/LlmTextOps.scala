@@ -1173,16 +1173,25 @@ object LlmTextOps {
     * graded key fixes the fixture predicate (the bm25TopK pattern), a
     * library user passes their own. Unordered; callers pin the sort. */
   def servedTopK(s: SparkSession, d: String,
+      isQuery: Column, k: Int): DataFrame =
+    servedTopKFrames(ivfAssignedMp(s, d), t(s, d, "embeddings"), isQuery, k)
+
+  /** The frame-parameterized form of [[servedTopK]] — ONE body shared by
+    * the graded fixture key and the 50 k-vector StressCheck row, so the
+    * scale evidence can never drift from the kernel it claims to
+    * exercise. `assigned` needs (vec_id, bucket) rows (one per probe),
+    * `vectors` needs (vec_id, embedding). */
+  def servedTopKFrames(assigned: DataFrame, vectors: DataFrame,
       isQuery: Column, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val a = ivfAssignedMp(s, d).select(col("vec_id"), col("bucket"))
+    val a = assigned.select(col("vec_id"), col("bucket"))
     val qa = a.filter(isQuery)
       .select(col("vec_id").as("q_id"), col("bucket"))
     val cand = qa
       .join(a.select(col("vec_id").as("neighbor_id"), col("bucket")), Seq("bucket"))
       .filter(col("q_id") =!= col("neighbor_id"))
       .select("q_id", "neighbor_id").distinct()
-    val v = t(s, d, "embeddings")
+    val v = vectors
       .withColumn("nrm", graft.GraftFunctions.vectorNorm(col("embedding")))
     val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("neighbor_id"))
     cand

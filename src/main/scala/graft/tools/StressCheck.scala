@@ -187,41 +187,26 @@ object StressCheck {
     // stays list-local (the brute-force alternative would be 50 × 50k
     // cosines; the probed lists bound it at 3 lists/query).
     time("ivf_served_topk_50k") {
-      // bounded-sample Lloyd's on the synthetic corpus (the FAISS
-      // posture the graded path uses: training O(1) in the corpus)
+      // bounded-sample Lloyd's on the synthetic corpus — the SAME
+      // TrainSample/K recipe the graded codebook build runs (the FAISS
+      // posture: training O(1) in the corpus)
       val cb = graft.operators.PortableQuantizer.train(
-        vecs.orderBy("vec_id").limit(1024)
+        vecs.orderBy("vec_id").limit(graft.operators.PqOps.TrainSample)
           .select(lit(0).as("m"), col("vec_id").as("id"),
             graft.operators.PortableQuantizer.quantArr(col("embedding")).as("q")),
         graft.operators.PqOps.K)(0).map(_.toSeq).toSeq
-      val assigned = vecs.select(col("vec_id"), col("embedding"),
+      val assigned = vecs.select(col("vec_id"),
         posexplode(graft.operators.PortableQuantizer
           .ivfAssignMulti(cb, col("embedding"), 3)).as(Seq("probe", "bucket")))
-      val a = assigned.select(col("vec_id"), col("bucket"))
-      val qa = a.filter(col("vec_id") % 997 === 0)
-        .select(col("vec_id").as("q_id"), col("bucket"))
-      val cand = qa.join(a.select(col("vec_id").as("n_id"), col("bucket")), Seq("bucket"))
-        .filter(col("q_id") =!= col("n_id"))
-        .select("q_id", "n_id").distinct()
-      val v = vecs.withColumn("nrm",
-        graft.GraftFunctions.vectorNorm(col("embedding")))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("q_id").orderBy(col("sim").desc, col("n_id"))
-      val served = cand
-        .join(v.select(col("vec_id").as("q_id"), col("embedding").as("qv"),
-          col("nrm").as("qn")), "q_id")
-        .join(v.select(col("vec_id").as("n_id"), col("embedding").as("nv"),
-          col("nrm").as("nn")), "n_id")
-        .select(col("q_id"), col("n_id"),
-          graft.functions.VectorFunctions.cosineSimPrecomputed(
-            col("qv"), col("nv"), col("qn"), col("nn")).as("sim"))
-        .withColumn("rank", org.apache.spark.sql.functions.row_number().over(w))
-        .filter(col("rank") <= 3)
-        .collect()
+      // the GRADED kernel body itself — servedTopKFrames is one
+      // definition for the fixture key and this row, so the scale
+      // evidence cannot drift from the kernel it claims to exercise
+      val served = graft.operators.LlmTextOps.servedTopKFrames(
+        assigned, vecs, col("vec_id") % 997 === 0, 3).collect()
       val nq = (nVecs + 996) / 997
       val byQ = served.groupBy(_.getLong(0))
       require(byQ.size == nq, s"served ${byQ.size} of $nq queries")
-      require(served.forall(r => r.getLong(0) != r.getLong(1)), "self-hit served")
+      require(served.forall(r => r.getLong(0) != r.getLong(2)), "self-hit served")
       require(byQ.values.forall(_.length <= 3), "over-k results")
       served.length
     }

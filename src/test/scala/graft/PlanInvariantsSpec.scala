@@ -122,6 +122,17 @@ class PlanInvariantsSpec extends SparkTestBase {
     assert(stale.isEmpty, s"allowlist entries no longer planning a global window: $stale")
   }
 
+  test("llm_hybrid_rrf_indexed: the ONLY nested-loop is the bm25 1-row stats join") {
+    // the allowlist is a boolean, so it could not tell the justified
+    // 1-row stats cross join from a regressed corpus-scale nested loop
+    // in the index-served dense side (which must stay pure equi-joins) —
+    // this pins the exact count
+    val plan = SparkEntry.queries("llm_hybrid_rrf_indexed")(spark, SF)
+      .queryExecution.executedPlan.toString
+    val n = "BroadcastNestedLoopJoin".r.findAllMatchIn(plan).length
+    assert(n == 1, s"expected exactly the bm25 stats BNL, found $n in:\n$plan")
+  }
+
   test("the BNL allowlist is tight: every allowlisted key still plans a BNL") {
     // an allowlist entry whose plan improved should be REMOVED, so the
     // allowlist never silently grows stale
