@@ -112,6 +112,14 @@ object GraftFunctions {
     * [[org.apache.spark.sql.graftnative.HyperplaneBands]]). */
   def hyperplaneBands(a: Column): Column = GraftNative.hyperplaneBands(a)
 
+  /** [[hyperplaneBands]] at an explicit operating point — the recall /
+    * candidate-fraction dial (fraction ≈ numBands / 2^bandBits on
+    * random pairs; corpora targeting sim ≥ 0.8 run more bits per band,
+    * see docs/SCALE.md). Every (l, b) shares the one md5 hyperplane
+    * family, so any point stays oracle-replayable. */
+  def hyperplaneBands(a: Column, numBands: Int, bandBits: Int): Column =
+    GraftNative.hyperplaneBands(a, numBands, bandBits)
+
   /** Custom sliding-window UDTF over a token array — a true Catalyst
     * `Generator` (see [[org.apache.spark.sql.graftnative.ChunkWindows]]).
     * Expands each row into (chunk_idx, chunk, n_tokens) rows. */

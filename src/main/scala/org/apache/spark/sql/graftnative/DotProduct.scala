@@ -89,6 +89,10 @@ object GraftNative {
   def hyperplaneBands(a: Column): Column =
     ExpressionUtils.column(HyperplaneBands(ExpressionUtils.expression(a)))
 
+  def hyperplaneBands(a: Column, numBands: Int, bandBits: Int): Column =
+    ExpressionUtils.column(
+      HyperplaneBands(ExpressionUtils.expression(a), numBands, bandBits))
+
   def ntzMicros(a: Column): Column =
     ExpressionUtils.column(NtzMicros(ExpressionUtils.expression(a)))
 

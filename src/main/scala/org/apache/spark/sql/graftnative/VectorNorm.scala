@@ -173,8 +173,14 @@ object HyperplaneBucket {
   * All integer math (fixed-point components × md5 weights), so a DuckDB
   * oracle reconstructs every band bucket — candidate set and all.
   */
-case class HyperplaneBands(child: Expression)
+case class HyperplaneBands(child: Expression,
+    numBands: Int = HyperplaneBands.NumBands,
+    bandBits: Int = HyperplaneBands.BandBits)
   extends UnaryExpression with ExpectsInputTypes {
+
+  require(numBands >= 1 && bandBits >= 1 && bandBits <= 30,
+    s"graft_hyperplane_bands needs numBands >= 1 and 1 <= bandBits <= 30, " +
+      s"got ($numBands, $bandBits)")
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
@@ -183,12 +189,14 @@ case class HyperplaneBands(child: Expression)
   // unguarded getFloat on a null slot is representation-dependent)
   override def nullable: Boolean = true
 
+  private val NumBands = numBands
+  private val BandBits = bandBits
+
   protected override def nullSafeEval(a: Any): Any = {
-    import HyperplaneBands.{BandBits, NumBands}
     val x = a.asInstanceOf[ArrayData]
     val n = x.numElements()
     HyperplaneBucket.requireDim(n)
-    val w = HyperplaneBands.flatWeights
+    val w = HyperplaneBands.weightsFor(NumBands * BandBits)
     val q = new Array[Long](n)
     var i = 0
     while (i < n) {
@@ -217,8 +225,8 @@ case class HyperplaneBands(child: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
-      import HyperplaneBands.{BandBits, NumBands}
-      val w = ctx.addReferenceObj("hpBandWeights", HyperplaneBands.flatWeights, "long[]")
+      val w = ctx.addReferenceObj("hpBandWeights",
+        HyperplaneBands.weightsFor(NumBands * BandBits), "long[]")
       val i = ctx.freshName("i")
       val j = ctx.freshName("j")
       val k = ctx.freshName("k")
@@ -260,19 +268,31 @@ case class HyperplaneBands(child: Expression)
 }
 
 object HyperplaneBands {
-  /** 24 bands × 6 bits — chosen empirically on the fixture corpus (64-dim
-    * embeddings whose exact top-20 cosine pairs sit at sim ≈ 0.44–0.60,
-    * barely above the random-pair floor): measured recall of the exact
-    * top-20 is 0.85 at BOTH sf0.01 and sf0.1 (vs 0.05 for the single
-    * 16-bit table), with the candidate set a band-bucket equi-join, never
-    * all-pairs. For corpora whose near-dup pairs sit at sim ≥ 0.8 the same
-    * recall needs far fewer candidates with MORE bits per band (the
-    * random-pair candidate fraction is ≈ NumBands / 2^BandBits) — see
-    * docs/SCALE.md for the measured trade-off curve. */
+  /** DEFAULT operating point, 24 bands × 6 bits — chosen empirically on
+    * the fixture corpus (64-dim embeddings whose exact top-20 cosine
+    * pairs sit at sim ≈ 0.44–0.60, barely above the random-pair floor):
+    * measured recall of the exact top-20 is 0.85 at BOTH sf0.01 and
+    * sf0.1 (vs 0.05 for the single 16-bit table), with the candidate set
+    * a band-bucket equi-join, never all-pairs. The expression is
+    * parameterized (round 10): corpora whose near-dup pairs sit at
+    * sim ≥ 0.8 should run MORE bits per band and fewer candidates (the
+    * random-pair candidate fraction is ≈ numBands / 2^bandBits, e.g.
+    * b=12/L=28 at ~0.7 %) — see docs/SCALE.md for the measured
+    * trade-off curve. All operating points share the one md5 hyperplane
+    * family (hyperplane j = band·bits + bit), so any (l, b) is
+    * oracle-replayable with the same integer math. */
   val NumBands = 24
   val BandBits = 6
 
-  /** Row-major [NumBands·BandBits][MaxDim] flattened; once per JVM. */
-  lazy val flatWeights: Array[Long] =
-    HyperplaneBucket.flatWeightTable(NumBands * BandBits)
+  /** Row-major [nj][MaxDim] flattened weight tables, one per requested
+    * hyperplane count; built once per JVM per size (operating points
+    * share prefixes of the same j-indexed family, not storage). */
+  private val weightTables =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Long]]()
+
+  def weightsFor(nj: Int): Array[Long] =
+    weightTables.computeIfAbsent(nj, n => HyperplaneBucket.flatWeightTable(n))
+
+  /** The default operating point's table (spec convenience). */
+  lazy val flatWeights: Array[Long] = weightsFor(NumBands * BandBits)
 }

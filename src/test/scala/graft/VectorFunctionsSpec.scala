@@ -198,6 +198,34 @@ class VectorFunctionsSpec extends AnyFunSuite {
         assert(bands(t) >= 0 && bands(t) < 64)
       }
     }
+    // a NON-default operating point (the scale dial): same md5 family,
+    // band t = hyperplanes t*b..t*b+b-1 at (l=8, b=9), range 2^9
+    val alt = vecs.toDF("id", "a")
+      .select(col("id"), graft.GraftFunctions.hyperplaneBands(col("a"), 8, 9).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val wAlt = HyperplaneBands.weightsFor(8 * 9)
+    vecs.foreach { case (id, a) =>
+      val bands = alt(id)
+      assert(bands.length == 8)
+      val q = a.map(v => math.floor(v.toDouble * 1e6 + 0.5).toLong)
+      (0 until 8).foreach { t =>
+        var want = 0
+        (0 until 9).foreach { k =>
+          val dot = q.indices.map(i =>
+            q(i) * wAlt((t * 9 + k) * HyperplaneBucket.MaxDim + i)).sum
+          if (dot >= 0L) want |= (1 << k)
+        }
+        assert(bands(t) == want && bands(t) >= 0 && bands(t) < 512,
+          s"id $id alt band $t")
+      }
+    }
+    // invalid operating points fail at construction, not mid-task
+    intercept[IllegalArgumentException] {
+      graft.GraftFunctions.hyperplaneBands(col("a"), 0, 6)
+    }
+    intercept[IllegalArgumentException] {
+      graft.GraftFunctions.hyperplaneBands(col("a"), 8, 31)
+    }
   }
 
   test("hyperplane buckets are deterministic and 16-bit") {
