@@ -224,9 +224,19 @@ object DataQualityOps {
       df.agg(min(us).as("min_us"), max(us).as("max_us"))
         .select(lit(nm).as("src"), col("min_us"), col("max_us"),
           expr("(max_us - min_us) DIV 86400000000").as("span_days"))
+    // Dispatch on the column's ACTUAL type, the way Tables.load does for
+    // events.ts: the driver fixture ships o_orderdate as TIMESTAMP_NTZ
+    // (→ the zone-free native NtzMicros; ExpectsInputTypes would reject
+    // any cast), but a tz-annotated parquet file loads as TimestampType,
+    // where unix_micros already reads the stored instant zone-free.
+    val orders = t(s, d, "orders")
+    val odUs = orders.schema("o_orderdate").dataType match {
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        graft.GraftFunctions.ntzUtcMicros(col("o_orderdate"))
+      case _ => unix_micros(col("o_orderdate"))
+    }
     span(t(s, d, "events"), "events.ts", unix_micros(col("ts")))
-      .unionAll(span(t(s, d, "orders"), "orders.o_orderdate",
-        graft.GraftFunctions.ntzUtcMicros(col("o_orderdate"))))
+      .unionAll(span(orders, "orders.o_orderdate", odUs))
       .orderBy("src")
   }
 

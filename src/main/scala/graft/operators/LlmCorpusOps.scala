@@ -353,25 +353,32 @@ object LlmCorpusOps {
     * depth change cannot silently fuse asymmetric stacks. */
   private val FusionDepth = 10
 
-  def llmHybridRrf(s: SparkSession, d: String): DataFrame = {
+  def llmHybridRrf(s: SparkSession, d: String): DataFrame =
+    rrfFuse(lexTop10(s, d), denseBruteTopK(s, d, FusionDepth))
+
+  /** The brute-force dense rank list over the fixture query set — the
+    * exact per-query cosine ranking both [[llmHybridRrf]]'s dense stack
+    * and [[llmRerankRecall]]'s truth frame use (ONE definition, two
+    * depths). At 100 TB this is the frame the index replaces; here it
+    * doubles as the ground truth the index-served pipeline is graded
+    * against. */
+  private def denseBruteTopK(s: SparkSession, d: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val K = FusionDepth
     val e = t(s, d, "embeddings").select(col("vec_id"), col("embedding"),
       graft.GraftFunctions.vectorNorm(col("embedding")).as("nrm"))
     val q = e.filter(col("vec_id") % 97 === 0)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
         col("nrm").as("q_nrm"))
     val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("doc_id"))
-    val dense = broadcast(q)
+    broadcast(q)
       .join(e.select(col("vec_id").as("doc_id"), col("embedding").as("n_vec"),
         col("nrm").as("n_nrm")), col("q_id") =!= col("doc_id"))
       .select(col("q_id"), col("doc_id"),
         graft.functions.VectorFunctions.cosineSimPrecomputed(
           col("q_vec"), col("n_vec"), col("q_nrm"), col("n_nrm")).as("sim"))
       .withColumn("r_dense", row_number().over(w))
-      .filter(col("r_dense") <= K)
+      .filter(col("r_dense") <= k)
       .select("q_id", "doc_id", "r_dense")
-    rrfFuse(lexTop10(s, d), dense)
   }
 
   /** The BM25 top-[[FusionDepth]] rank list both fusion variants share. */
@@ -412,10 +419,69 @@ object LlmCorpusOps {
     * the quality delta vs [[llmHybridRrf]] is itself queryable by
     * diffing the two graded keys. */
   def llmHybridRrfIndexed(s: SparkSession, d: String): DataFrame =
-    rrfFuse(lexTop10(s, d),
-      LlmTextOps.servedTopK(s, d, col("vec_id") % 97 === 0, FusionDepth)
+    hybridRrfIndexedOn(s, d,
+      col("doc_id") % 97 === 0, col("vec_id") % 97 === 0)
+
+  /** The query-set-parameterized body of [[llmHybridRrfIndexed]] — ONE
+    * kernel shared by the graded batch key (fixture predicate
+    * doc_id % 97 == 0) and the streaming per-micro-batch fusion sink
+    * ([[graft.streaming.StreamingOps.hybridRrfSink]], which passes the
+    * batch's bounded query-id set), so the streaming and batch fused
+    * rankings cannot drift: RRF is computed per query independently, so
+    * fusing any query subset yields exactly the batch answer's rows for
+    * those queries. `lexQ` filters the BM25 TF table (doc_id), `denseQ`
+    * the IVF assignment (vec_id) — two spellings of the same query set
+    * over differently-keyed frames. */
+  private[graft] def hybridRrfIndexedOn(s: SparkSession, d: String,
+      lexQ: Column, denseQ: Column): DataFrame =
+    rrfFuse(
+      bm25TopK(t(s, d, "documents"), lexQ, FusionDepth,
+          tf => memo(s, d, "bm25_tf")(tf))
+        .select(col("q_id"), col("doc_id"), col("rank").as("r_lex")),
+      LlmTextOps.servedTopK(s, d, denseQ, FusionDepth)
         .select(col("q_id"), col("neighbor_id").as("doc_id"),
           col("rank").as("r_dense")))
+
+  /** Two-stage serving, stage two graded end-to-end: the fused RRF
+    * candidates ([[llmHybridRrfIndexed]]'s top-5 per query — BM25 +
+    * index-served dense, already graded) re-ranked by EXACT cosine and
+    * cut to top-3 — the standard candidate-generation → exact-re-rank
+    * shape every production retrieval stack runs (cheap index recall
+    * first, precise scoring only on the shortlist). The re-rank body is
+    * the shared [[graft.operators.LlmTextOps.exactRerank]] kernel (the
+    * same tail `servedTopKFrames` uses), so the serving stages cannot
+    * drift from their graded parts. Lexical-only candidates (no
+    * embedding) drop out of the re-rank — there is nothing exact to
+    * score them with; RRF already gave them their fused chance.
+    * Scale: the re-rank joins the ≤ 5·|queries| candidate list against
+    * the vector table twice by id — bounded by the fusion cut, never
+    * corpus-quadratic. */
+  def llmRerankTopk(s: SparkSession, d: String): DataFrame =
+    LlmTextOps.exactRerank(
+        llmHybridRrfIndexed(s, d)
+          .select(col("q_id"), col("doc_id").as("neighbor_id")),
+        t(s, d, "embeddings"), 3)
+      .select(col("q_id"), col("rank"), col("neighbor_id").as("doc_id"),
+        col("sim"))
+      .orderBy("q_id", "rank")
+
+  /** The re-rank stage's self-evaluation (the ann_*_recall discipline
+    * applied to the END of the serving pipeline): recall of the exact
+    * brute-force dense top-3 per query among [[llmRerankTopk]]'s rows.
+    * Truth and candidate sides share their kernels with already-graded
+    * keys ([[denseBruteTopK]] / the fusion+re-rank tower), so this key
+    * measures the pipeline, not a reimplementation of it. One broadcast
+    * join of two ≤ 3·|queries| rank lists. */
+  def llmRerankRecall(s: SparkSession, d: String): DataFrame =
+    denseBruteTopK(s, d, 3).select("q_id", "doc_id")
+      .join(llmRerankTopk(s, d)
+        .select(col("q_id"), col("doc_id"), lit(1L).as("hit")),
+        Seq("q_id", "doc_id"), "left")
+      .agg(count(lit(1)).as("n_truth"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .select(col("n_truth"), col("n_hit"),
+        (floor(col("n_hit").cast("double") / col("n_truth").cast("double") *
+          1000000.0 + 0.5) / 1000000.0).as("recall"))
 
   /** Temperature-scaled language mixture (the multilingual-training
     * resampling rule): per-language share s_l, resampling weight
@@ -483,19 +549,33 @@ object LlmCorpusOps {
     *
     * Scale: ONE corpus scan carries the gate flag, the (gate, norm_md5)
     * dedup window, and the final per-source aggregation; the quadratic
-    * near-dup machinery runs only on the gated+deduped survivor subset
-    * and its loser set joins back as a broadcast-sized frame. The share
-    * is a window over the per-source grid (≤ |sources| rows). */
-  def llmCurationE2e(s: SparkSession, d: String): DataFrame = {
+    * near-dup machinery runs only on the gated+deduped survivor subset.
+    * The loser set is corpus-PROPORTIONAL (it grows with the duplicate
+    * rate), so it joins back UNHINTED — a shuffled left join on doc_id
+    * that AQE demotes to broadcast only when the runtime size permits;
+    * an unconditional broadcast hint here would OOM the driver at
+    * 100 TB. The share is a window over the per-source grid
+    * (≤ |sources| rows). */
+  def llmCurationE2e(s: SparkSession, d: String): DataFrame =
+    curationFunnel(t(s, d, "documents"),
+      losers => memo(s, d, "curation_losers")(losers))
+
+  /** The frame-parameterized funnel body — ONE kernel shared by the
+    * graded fixture key and the StressCheck 40× planted-corpus row, so
+    * the scale evidence exercises exactly the graded plan. `docs` needs
+    * (doc_id, text, source, lang, n_chars); `pinLosers` lets the graded
+    * key memoize the near-dup loser frame per (session, corpus). */
+  def curationFunnel(docs: DataFrame,
+      pinLosers: DataFrame => DataFrame = identity): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val flagged = t(s, d, "documents")
+    val flagged = docs
       .withColumn("gate", LlmOps.qualityGate)
       .withColumn("norm_md5", md5(normExpr.cast("binary")))
       .withColumn("rn", row_number().over(
         Window.partitionBy("gate", "norm_md5").orderBy("doc_id")))
       .withColumn("is_exact", col("gate") && col("rn") === 1)
     val exact = flagged.filter(col("is_exact")).select("doc_id", "text")
-    val losers = memo(s, d, "curation_losers")(
+    val losers = pinLosers(
       LlmTextOps.connectedComponents(
           LlmTextOps.jaccardPairs(LlmTextOps.shingleIndex(exact), 0.8,
             maxPosting = LlmTextOps.StopShingleCap).select("a_id", "b_id"))
@@ -503,7 +583,7 @@ object LlmCorpusOps {
         .select(col("id").as("doc_id"), lit(true).as("is_loser")))
     val ws = split(col("text"), " ")
     val perSrc = flagged
-      .join(broadcast(losers), Seq("doc_id"), "left")
+      .join(losers, Seq("doc_id"), "left")
       .withColumn("is_kept", col("is_exact") && col("is_loser").isNull)
       .groupBy("source")
       .agg(count(lit(1)).as("n_raw"),
@@ -1036,6 +1116,8 @@ object LlmCorpusOps {
     "llm_bm25_topk" -> (llmBm25Topk _),
     "llm_hybrid_rrf" -> (llmHybridRrf _),
     "llm_hybrid_rrf_indexed" -> (llmHybridRrfIndexed _),
+    "llm_rerank_topk" -> (llmRerankTopk _),
+    "llm_rerank_recall" -> (llmRerankRecall _),
     "llm_lang_temperature" -> (llmLangTemperature _),
   )
 
@@ -1093,13 +1175,46 @@ object LlmCorpusOps {
   private val lexTop10Cte: String =
     s"lex AS (SELECT q_id, doc_id, CAST(rank AS INTEGER) AS r_lex FROM r WHERE rank <= $FusionDepth)"
 
-  private val rrfFusionTailSql: String =
+  private val rrfFusionCtes: String =
     "f AS (SELECT COALESCE(lex.q_id, dense.q_id) AS q_id, COALESCE(lex.doc_id, dense.doc_id) AS doc_id, r_lex, r_dense " +
       "FROM lex FULL OUTER JOIN dense ON lex.q_id = dense.q_id AND lex.doc_id = dense.doc_id), " +
       "sc2 AS (SELECT q_id, doc_id, r_lex, r_dense, " +
       "floor((COALESCE(1.0 / (60 + r_lex), 0.0) + COALESCE(1.0 / (60 + r_dense), 0.0)) * 1000000 + 0.5) / 1000000 AS rrf FROM f), " +
-      "rr AS (SELECT sc2.*, CAST(row_number() OVER (PARTITION BY q_id ORDER BY rrf DESC, doc_id) AS INTEGER) AS rank FROM sc2) " +
-      "SELECT q_id, rank, doc_id, r_lex, r_dense, rrf FROM rr WHERE rank <= 5 ORDER BY q_id, rank"
+      "rr AS (SELECT sc2.*, CAST(row_number() OVER (PARTITION BY q_id ORDER BY rrf DESC, doc_id) AS INTEGER) AS rank FROM sc2)"
+
+  private val rrfFusionTailSql: String = rrfFusionCtes +
+    " SELECT q_id, rank, doc_id, r_lex, r_dense, rrf FROM rr WHERE rank <= 5 ORDER BY q_id, rank"
+
+  /** The full indexed-fusion oracle tower ENDING IN CTEs (bm25 tower +
+    * 3-probe IVF chain + dense list + fusion `rr`) — shared by the
+    * llm_hybrid_rrf_indexed key (adds the final select) and the two
+    * re-rank keys (add the exact-re-rank tail on `rr`). */
+  private val indexedFusionCtes: String =
+    bm25OracleTower + ", " + lexTop10Cte + ", " +
+      PortableQuantizer.ivfAssignChain(3) + ", " +
+      "qa AS (SELECT id AS q_id, code FROM fin WHERE id % 97 = 0), " +
+      "dcand AS (SELECT DISTINCT qa.q_id, f2.id AS doc_id " +
+      "FROM qa JOIN fin f2 ON f2.code = qa.code AND f2.id <> qa.q_id), " +
+      "dsc AS (SELECT c.q_id, c.doc_id, " +
+      "round(list_cosine_similarity(CAST(eq.embedding AS DOUBLE[]), CAST(en.embedding AS DOUBLE[])), 4) AS sim " +
+      "FROM dcand c JOIN embeddings eq ON eq.vec_id = c.q_id " +
+      "JOIN embeddings en ON en.vec_id = c.doc_id), " +
+      "dense AS (SELECT q_id, doc_id, r_dense FROM " +
+      "(SELECT q_id, doc_id, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, doc_id) AS INTEGER) AS r_dense FROM dsc) " +
+      s"WHERE r_dense <= $FusionDepth), " +
+      rrfFusionCtes
+
+  /** The exact-re-rank chain over the fused candidates (`rr` rank ≤ 5 →
+    * exact cosine → `rrk`) — mirrors the Spark-side exactRerank kernel;
+    * shared by llm_rerank_topk and llm_rerank_recall. */
+  private val rerankCtes: String =
+    "cand5 AS (SELECT q_id, doc_id FROM rr WHERE rank <= 5), " +
+      "rsc AS (SELECT c.q_id, c.doc_id, " +
+      "round(list_cosine_similarity(CAST(eq2.embedding AS DOUBLE[]), CAST(en2.embedding AS DOUBLE[])), 4) AS sim " +
+      "FROM cand5 c JOIN embeddings eq2 ON eq2.vec_id = c.q_id " +
+      "JOIN embeddings en2 ON en2.vec_id = c.doc_id), " +
+      "rrk AS (SELECT q_id, doc_id, sim, " +
+      "CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, doc_id) AS INTEGER) AS rank FROM rsc)"
 
   val oracles: Map[String, String] = Map(
     // pure integer counts; first-occurrence attribution mirrored, the
@@ -1368,19 +1483,29 @@ object LlmCorpusOps {
     // IVF inverted lists (the index-served twin; chain CTE names are
     // disjoint from the bm25 tower's)
     "llm_hybrid_rrf_indexed" ->
-      (bm25OracleTower + ", " + lexTop10Cte + ", " +
-        PortableQuantizer.ivfAssignChain(3) + ", " +
-        "qa AS (SELECT id AS q_id, code FROM fin WHERE id % 97 = 0), " +
-        "dcand AS (SELECT DISTINCT qa.q_id, f2.id AS doc_id " +
-        "FROM qa JOIN fin f2 ON f2.code = qa.code AND f2.id <> qa.q_id), " +
-        "dsc AS (SELECT c.q_id, c.doc_id, " +
-        "round(list_cosine_similarity(CAST(eq.embedding AS DOUBLE[]), CAST(en.embedding AS DOUBLE[])), 4) AS sim " +
-        "FROM dcand c JOIN embeddings eq ON eq.vec_id = c.q_id " +
-        "JOIN embeddings en ON en.vec_id = c.doc_id), " +
-        "dense AS (SELECT q_id, doc_id, r_dense FROM " +
-        "(SELECT q_id, doc_id, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, doc_id) AS INTEGER) AS r_dense FROM dsc) " +
-        s"WHERE r_dense <= $FusionDepth), " +
-        rrfFusionTailSql),
+      (indexedFusionCtes +
+        " SELECT q_id, rank, doc_id, r_lex, r_dense, rrf FROM rr WHERE rank <= 5 ORDER BY q_id, rank"),
+    // the two-stage serving tail: fused candidates re-ranked by exact
+    // cosine (shared rerank chain), top-3 per query
+    "llm_rerank_topk" ->
+      (indexedFusionCtes + ", " + rerankCtes +
+        " SELECT q_id, rank, doc_id, sim FROM rrk WHERE rank <= 3 ORDER BY q_id, rank"),
+    // recall of the brute-force dense top-3 truth among the re-ranked
+    // pipeline rows (single-row report, mirrored 6 dp division)
+    "llm_rerank_recall" ->
+      (indexedFusionCtes + ", " + rerankCtes + ", " +
+        "rk AS (SELECT q_id, doc_id FROM rrk WHERE rank <= 3), " +
+        "bq AS (SELECT vec_id AS q_id, embedding FROM embeddings WHERE vec_id % 97 = 0), " +
+        "bsim AS (SELECT bq.q_id, e.vec_id AS doc_id, " +
+        "round(list_cosine_similarity(CAST(bq.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 4) AS sim " +
+        "FROM bq JOIN embeddings e ON e.vec_id <> bq.q_id), " +
+        "btr AS (SELECT q_id, doc_id FROM " +
+        "(SELECT q_id, doc_id, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, doc_id) AS rn FROM bsim) " +
+        "WHERE rn <= 3), " +
+        "agg AS (SELECT CAST(count(*) AS BIGINT) AS n_truth, " +
+        "CAST(count(rk.doc_id) AS BIGINT) AS n_hit " +
+        "FROM btr LEFT JOIN rk ON btr.q_id = rk.q_id AND btr.doc_id = rk.doc_id) " +
+        "SELECT n_truth, n_hit, floor(n_hit / CAST(n_truth AS DOUBLE) * 1000000 + 0.5) / 1000000 AS recall FROM agg"),
     "llm_lang_temperature" ->
       ("WITH bl AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1), " +
         "t AS (SELECT CAST(sum(n) AS BIGINT) AS ntot FROM bl), " +

@@ -1095,7 +1095,21 @@ object LlmTextOps {
           PortableQuantizer.ivfAssign(cb, col("embedding")).as("bucket"))
     }
 
+  /** The GRADED default IVF top-k — serves at the 3-probe operating
+    * point (measured top-20-pair recall 0.90 at sf0.1,
+    * `ann_ivf_recall_mp`) since round 11: a user calling the obvious key
+    * gets the good index, not the 0.25-recall single-probe baseline.
+    * The single-probe twin stays graded as [[annIvfTopkSp]] /
+    * `ann_ivf_recall` — the honesty baseline that prices what the extra
+    * probes buy. */
   def annIvfTopk(s: SparkSession, d: String): DataFrame =
+    multiProbePairTopk(s, d, ivfAssignedMp(s, d))
+
+  /** Single-probe IVF top-k — the honesty BASELINE operating point
+    * (recall 0.25 at sf0.1, `ann_ivf_recall`), kept graded so the
+    * recall-vs-probes trade stays a queryable fact; the serving default
+    * is the 3-probe [[annIvfTopk]]. */
+  def annIvfTopkSp(s: SparkSession, d: String): DataFrame =
     bucketedPairSims(ivfAssigned(s, d))
       .orderBy(col("sim").desc, col("a_id"), col("b_id"))
       .limit(20)
@@ -1130,14 +1144,18 @@ object LlmTextOps {
             .as(Seq("probe", "bucket")))
     }
 
-  /** Multi-probe IVF top-k: candidates = DISTINCT pairs sharing ANY of
-    * their 3 assigned lists, then the id-only-join/distinct/join-back
-    * tail the banded-LSH key uses. Lifts the single-probe key's measured
-    * top-20-pair recall 0.25 → 0.90 at sf0.1 (`ann_ivf_recall_mp`) for a
-    * ≤ 9× candidate fan-out bound (3 lists a side) — the classic
-    * recall-vs-probes trade, here a graded fact. */
-  def annIvfMultiprobe(s: SparkSession, d: String): DataFrame = {
-    val e = ivfAssignedMp(s, d).select(col("vec_id"), col("bucket"))
+  /** Multi-probe IVF pair top-k kernel: candidates = DISTINCT pairs
+    * sharing ANY of their assigned lists, then the
+    * id-only-join/distinct/join-back tail the banded-LSH key uses. At
+    * 3 probes this lifts the single-probe measured top-20-pair recall
+    * 0.25 → 0.90 at sf0.1 (`ann_ivf_recall_mp`) for a ≤ 9× candidate
+    * fan-out bound (3 lists a side) — the classic recall-vs-probes
+    * trade, here a graded fact. ONE body shared by the graded default
+    * [[annIvfTopk]] and the persisted-index serve [[annIvfPersisted]];
+    * `assigned` needs (vec_id, bucket) rows, one per probe. */
+  private def multiProbePairTopk(s: SparkSession, d: String,
+      assigned: DataFrame): DataFrame = {
+    val e = assigned.select(col("vec_id"), col("bucket"))
     val pairs = e.as("a").join(e.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
@@ -1183,7 +1201,6 @@ object LlmTextOps {
     * `vectors` needs (vec_id, embedding). */
   def servedTopKFrames(assigned: DataFrame, vectors: DataFrame,
       isQuery: Column, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val a = assigned.select(col("vec_id"), col("bucket"))
     val qa = a.filter(isQuery)
       .select(col("vec_id").as("q_id"), col("bucket"))
@@ -1191,10 +1208,25 @@ object LlmTextOps {
       .join(a.select(col("vec_id").as("neighbor_id"), col("bucket")), Seq("bucket"))
       .filter(col("q_id") =!= col("neighbor_id"))
       .select("q_id", "neighbor_id").distinct()
+    exactRerank(cand, vectors, k)
+  }
+
+  /** The exact-cosine re-rank stage — the second half of EVERY two-stage
+    * serving pipeline here: given bounded (q_id, neighbor_id) candidate
+    * pairs from ANY cheap first stage (probed inverted lists for
+    * [[servedTopKFrames]], the fused RRF ranking for
+    * [[graft.operators.LlmCorpusOps.llmRerankTopk]]), score each pair
+    * with the exact cosine and keep the top-k per query. Candidates
+    * without a vector drop out (inner joins) — a lexical-only candidate
+    * has nothing to re-rank with. Scale: two id equi-joins against the
+    * vector table; the quadratic work is bounded by the candidate list
+    * the first stage already bounded. Unordered; callers pin the sort. */
+  def exactRerank(cand: DataFrame, vectors: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val v = vectors
       .withColumn("nrm", graft.GraftFunctions.vectorNorm(col("embedding")))
     val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("neighbor_id"))
-    cand
+    cand.select("q_id", "neighbor_id")
       .join(v.select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
         col("nrm").as("q_nrm")), "q_id")
       .join(v.select(col("vec_id").as("neighbor_id"), col("embedding").as("n_vec"),
@@ -1227,22 +1259,23 @@ object LlmTextOps {
   /** [[annIvfTopk]] served from the PERSISTED index: the IVF codebook is
     * read back through the `graft-vt` versioned table
     * (PortableQuantizer.indexRoot — trained once, committed like data,
-    * time-travelable) instead of re-trained per session. Same answer,
-    * same oracle; the difference is the operational posture a 100 TB
+    * time-travelable) instead of re-trained per session. Same answer
+    * (the 3-probe operating point, like the graded default), same
+    * oracle; the difference is the operational posture a 100 TB
     * pipeline needs — a restarted serving job pays one bounded index
     * lookup (K manifest-pruned rows), zero Lloyd's jobs, before the same
-    * map-only assign + bucketed pair join. Cross-session no-retrain is
-    * asserted in VtDataSourceSpec via the trainRuns counter. */
+    * map-only multi-probe assign + bucketed pair join. Cross-session
+    * no-retrain is asserted in VtDataSourceSpec via the trainRuns
+    * counter. */
   def annIvfPersisted(s: SparkSession, d: String): DataFrame = {
     val assigned = memo(s, d, "ivf_persisted") {
       val cb = PortableQuantizer.ivfFromIndex(s, d)
       t(s, d, "embeddings")
         .select(col("vec_id"), col("embedding"),
-          PortableQuantizer.ivfAssign(cb, col("embedding")).as("bucket"))
+          posexplode(PortableQuantizer.ivfAssignMulti(cb, col("embedding"), 3))
+            .as(Seq("probe", "bucket")))
     }
-    bucketedPairSims(assigned)
-      .orderBy(col("sim").desc, col("a_id"), col("b_id"))
-      .limit(20)
+    multiProbePairTopk(s, d, assigned)
   }
 
   /** Symmetric int8 embedding quantization — the standard 4× memory/IO
@@ -1415,7 +1448,7 @@ object LlmTextOps {
     "ann_lsh_topk" -> (annLshTopk _),
     "ann_pair_recall" -> (annPairRecall _),
     "ann_ivf_recall" -> (annIvfRecall _),
-    "ann_ivf_multiprobe" -> (annIvfMultiprobe _),
+    "ann_ivf_topk_sp" -> (annIvfTopkSp _),
     "ann_ivf_recall_mp" -> (annIvfRecallMp _),
     "ann_ivf_query_topk" -> (annIvfQueryTopk _),
   )
@@ -1585,16 +1618,16 @@ object LlmTextOps {
         "WHERE ba.bucket = bb.bucket) " +
         "SELECT CAST(20 AS BIGINT) AS n_truth, CAST(count(*) AS BIGINT) AS n_hit, " +
         "floor(count(*) / 20.0 * 1000000 + 0.5) / 1000000 AS recall FROM hit"),
-    "ann_ivf_topk" -> PortableQuantizer.ivfOracle,
+    "ann_ivf_topk" -> PortableQuantizer.ivfMultiprobeOracle,
+    "ann_ivf_topk_sp" -> PortableQuantizer.ivfOracle,
     "ann_ivf_recall" -> PortableQuantizer.ivfRecallOracle,
-    "ann_ivf_multiprobe" -> PortableQuantizer.ivfMultiprobeOracle,
     "ann_ivf_recall_mp" -> PortableQuantizer.ivfRecallMpOracle,
     "ann_ivf_query_topk" -> PortableQuantizer.ivfQueryTopkOracle,
     // persisted-index serve: same centroids (write→read roundtrip of
     // exact BIGINTs), same assignment, same pairs — the oracle is
     // deliberately IDENTICAL; what the key grades is that the vt
     // write/read path changes nothing
-    "ann_ivf_persisted" -> PortableQuantizer.ivfOracle,
+    "ann_ivf_persisted" -> PortableQuantizer.ivfMultiprobeOracle,
     "emb_quantize_int8" ->
       ("WITH qd AS (SELECT vec_id, " +
         "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dbl, " +

@@ -181,6 +181,38 @@ object StreamingOps {
       t.appendIdempotent(res, s"$queryId:$batchId"); ()
     }
 
+  /** Streaming HYBRID retrieval: each micro-batch of query ids gets the
+    * full two-stack fused ranking — lexical BM25 over the static corpus
+    * + dense candidates served from the 3-probe IVF index, reciprocal-
+    * rank fusion — through the SAME kernel the graded batch key runs
+    * ([[graft.operators.LlmCorpusOps.hybridRrfIndexedOn]]), so the
+    * per-micro-batch fused rankings are bit-identical to
+    * `llm_hybrid_rrf_indexed` rows for the same queries (RRF is
+    * per-query independent; spec-asserted). Results append to a
+    * [[graft.tables.VersionedTable]] via idempotent txn-stamped commits:
+    * a replayed micro-batch (at-least-once delivery) lands exactly once.
+    *
+    * The batch frame must carry a `q_id` column (long). Collecting the
+    * batch's DISTINCT ids to the driver is bounded by construction — a
+    * micro-batch of SERVING REQUESTS is trigger-sized (ids are 8 bytes
+    * each), never corpus data; the corpus-scale work (postings join,
+    * inverted-list probe) stays fully distributed inside the shared
+    * kernel, and the memoized TF table / IVF index are built once and
+    * served from the LRU cache across batches, not rebuilt per batch. */
+  def hybridRrfSink(sfDir: String, t: graft.tables.VersionedTable,
+                    queryId: String): (DataFrame, Long) => Unit =
+    (batch, batchId) => {
+      val ids = batch.select(col("q_id").cast("long")).distinct()
+        .collect().map(_.getLong(0)).toSeq
+      if (ids.nonEmpty) {
+        val res = graft.operators.LlmCorpusOps.hybridRrfIndexedOn(
+          batch.sparkSession, sfDir,
+          col("doc_id").isInCollection(ids), col("vec_id").isInCollection(ids))
+        t.appendIdempotent(res, s"$queryId:$batchId")
+      }
+      ()
+    }
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                          event_type: String, value: Double)
   final case class UserCount(user_id: Long, count: Long)

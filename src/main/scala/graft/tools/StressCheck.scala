@@ -19,15 +19,21 @@ import org.apache.spark.sql.functions._
   * smj_fact_fact broadcast-shape assert is pinned with
   * autoBroadcastJoinThreshold=-1, a no-op at full scale), and the
   * optional comma-separated tagFilter (substring match) selects rows.
-  * The documented sub-minute smoke SUBSET — a quick regression pulse
-  * over the dedup/LSH caps, the fact-fact shuffle shape, and the
-  * iterative-kernel rows, NOT a replacement for the full suite (rows it
-  * skips carry their own plan-shape/planted asserts: star-join
-  * broadcasts, as-of grid, PageRank fixed points, streaming cores):
+  * TWO documented sub-minute smoke SUBSETS cover the suite between full
+  * runs — neither replaces the full suite (full-suite figures are what
+  * docs/SCALE.md records; full at 0.2 is ~155 s, at 1.0 ~6-10 min):
+  *
+  * Subset 1 — dedup/LSH caps, fact-fact shuffle shape, iterative
+  * kernels (~40 s measured / ~56 s wall):
   *   runMain graft.tools.StressCheck 0.2
   *     sessionize,dedup_exact,minhash,ann,smj,graph_components,basket,dist_running
-  * (~40 s measured / ~56 s wall; full suite at 0.2 is ~155 s, at 1.0
-  * ~6-10 min — full-suite figures are what docs/SCALE.md records.)
+  *
+  * Subset 2 (round 11) — the join/window/graph/stream rows subset 1
+  * skips, each with its own plan-shape/planted assert (star-join
+  * broadcast, as-of grid, PageRank fixed points, window top-k,
+  * streaming tumbling core; ~30 s measured / ~39 s wall):
+  *   runMain graft.tools.StressCheck 0.2
+  *     asof,star,win_topk,pagerank_5m,stream_tumbling
   *
   * This is a dev/evidence tool, not a graded surface: synthetic data has
   * no DuckDB oracle. Correctness of each op is carried by its graded
@@ -85,8 +91,12 @@ object StressCheck {
         .as("embedding"))
 
     // optional row selector: comma-separated substrings; a row runs when
-    // any selector matches its tag (no arg = run everything)
+    // any selector matches its tag (no arg = run everything). An arg that
+    // parses to ZERO selectors ("" or ",") also means run-everything —
+    // otherwise every row would be silently skipped and the run would
+    // exit green having asserted nothing.
     val tagFilter = args.lift(1).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty)
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     def time(tag: String)(f: => Long): Unit = {
       if (tagFilter.exists(sel => !sel.exists(tag.contains))) {
@@ -219,6 +229,52 @@ object StressCheck {
       val n = graft.operators.LlmTextOps.jaccardPairs(sh, 0.5,
         maxPosting = graft.operators.LlmTextOps.StopShingleCap).count()
       require(n > 0, "planted near-dups not found"); n
+    }
+    // 7a'. The FULL curation funnel (the graded llm_curation_e2e plan via
+    // the shared curationFunnel kernel) at 40× with a CLASS-LABELED
+    // corpus: source names the planted class, so every funnel counter has
+    // a closed-form expected value. 85% organic docs (all pass, all
+    // kept), 5% language-gate failures (lang "xx"), 5% exact duplicates
+    // of organic bases (gated, then exact-deduped away — the lower-id
+    // base survives), 5% "changed "-prefixed near-dups of organic bases
+    // (survive exact dedup at distinct texts, then lose the 3-shingle
+    // Jaccard-0.8 CC to their base: 36 shared of 41 union shingles
+    // ≈ 0.878). Organic docs are exactly 40 one-token words, so kept
+    // word/token totals are exact products and organic's token share is
+    // exactly 1.0.
+    time("curation_funnel_200k") {
+      val clsN = nDocs / 20
+      val g = nDocs - 3 * clsN
+      val corpus = spark.range(nDocs).select(
+        col("id").as("doc_id"),
+        when(col("id") < g + clsN, docText(col("id")))
+          .when(col("id") < g + 2 * clsN, docText(col("id") - (g + clsN)))
+          .otherwise(concat(lit("changed "), docText(col("id") - (g + 2 * clsN)))).as("text"),
+        when(col("id") < g, lit("organic"))
+          .when(col("id") < g + clsN, lit("fail"))
+          .when(col("id") < g + 2 * clsN, lit("dup"))
+          .otherwise(lit("near")).as("source"),
+        when(col("id") >= g && col("id") < g + clsN, lit("xx"))
+          .otherwise(lit("en")).as("lang"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+      val got = graft.operators.LlmCorpusOps.curationFunnel(corpus).collect()
+      val bySrc = got.map(r => r.getString(0) -> r).toMap
+      def chk(src: String, raw: Long, gated: Long, exact: Long, kept: Long,
+              words: Long, toks: Long, share: Double): Unit = {
+        val r = bySrc(src)
+        require(r.getLong(1) == raw && r.getLong(2) == gated &&
+          r.getLong(3) == exact && r.getLong(4) == kept &&
+          r.getLong(5) == words && r.getLong(6) == toks &&
+          r.getDouble(7) == share,
+          s"funnel $src row off closed form: $r (want raw=$raw gated=$gated " +
+            s"exact=$exact kept=$kept words=$words toks=$toks share=$share)")
+      }
+      chk("organic", g, g, g, g, 40 * g, 40 * g, 1.0)
+      chk("fail", clsN, 0, 0, 0, 0, 0, 0.0)
+      chk("dup", clsN, clsN, 0, 0, 0, 0, 0.0)
+      chk("near", clsN, clsN, clsN, 0, 0, 0, 0.0)
+      require(got.length == 4, s"expected 4 source rows, got ${got.length}")
+      got.length.toLong
     }
     // 7b. Perceptual (aHash) dedup over 200k media payloads — the
     // image-side analogue of SimHash: one typed decode+sketch pass, then

@@ -133,8 +133,13 @@ object HyperplaneBucket {
   val MaxDim = 1024
 
   def requireDim(n: Int): Unit =
-    if (n > MaxDim) throw new IllegalArgumentException(
-      s"graft_hyperplane_bucket supports vectors up to $MaxDim dims, got $n")
+    if (n > MaxDim || n == 0) throw new IllegalArgumentException(
+      s"graft_hyperplane_bucket supports vectors of 1 to $MaxDim dims, got $n")
+      // n == 0 is rejected (not bucketed): an empty dot product is 0,
+      // so every sign test would fire and a zero-length vector would
+      // land in the all-bits-set bucket of EVERY band — while the
+      // DuckDB oracle's unnest-based chain drops such vectors entirely.
+      // Failing loudly keeps the two engines from silently diverging.
 
   /** w(j, i) = (md5_60bit("j:i") % 2001) − 1000 ∈ [−1000, 1000] — the
     * 60-bit value is the first 15 hex chars of md5, the exact integer

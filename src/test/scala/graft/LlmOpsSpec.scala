@@ -273,10 +273,10 @@ class LlmOpsSpec extends SparkTestBase {
     // and the same dominance holds for the reported pair lists: every
     // single-probe top-20 pair at sim above the mp cut must be co-listed
     // there too (both candidate sets share the probe-1 list)
-    val mpRows = LlmTextOps.annIvfMultiprobe(spark, SF).collect()
+    val mpRows = LlmTextOps.annIvfTopk(spark, SF).collect()
     val mpPairs = mpRows.map(r => (r.getLong(0), r.getLong(1))).toSet
     val mpMinSim = mpRows.map(_.getDouble(2)).min
-    LlmTextOps.annIvfTopk(spark, SF).collect()
+    LlmTextOps.annIvfTopkSp(spark, SF).collect()
       .filter(_.getDouble(2) > mpMinSim)
       .foreach { r =>
         assert(mpPairs((r.getLong(0), r.getLong(1))),

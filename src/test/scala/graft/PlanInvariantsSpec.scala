@@ -62,8 +62,12 @@ class PlanInvariantsSpec extends SparkTestBase {
     // the dense stack broadcasts the |queries|-sized vector set against
     // the embeddings scan with a != predicate — the llm_knn_queries
     // posture exactly (bounded broadcast side); the indexed variant
-    // inherits only the bm25 kernel's 1-row stats cross join
-    "event_attribution_decay", "llm_hybrid_rrf", "llm_hybrid_rrf_indexed")
+    // inherits only the bm25 kernel's 1-row stats cross join, and the
+    // two re-rank keys build on the indexed fusion so they inherit the
+    // SAME single stats BNL (llm_rerank_recall adds the brute truth's
+    // justified bounded-broadcast != join, the llm_hybrid_rrf posture)
+    "event_attribution_decay", "llm_hybrid_rrf", "llm_hybrid_rrf_indexed",
+    "llm_rerank_topk", "llm_rerank_recall")
 
   test("no graded key plans a CartesianProduct; nested-loop joins only where justified") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
@@ -131,6 +135,21 @@ class PlanInvariantsSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     val n = "BroadcastNestedLoopJoin".r.findAllMatchIn(plan).length
     assert(n == 1, s"expected exactly the bm25 stats BNL, found $n in:\n$plan")
+  }
+
+  test("re-rank keys: nested-loop count pinned (stats join; + the recall truth's bounded != join)") {
+    // llm_rerank_topk builds on the indexed fusion → exactly the one
+    // bm25 stats BNL; llm_rerank_recall adds the brute-force truth's
+    // bounded-broadcast != join (the llm_hybrid_rrf posture) → exactly 2.
+    // The exact-cosine re-rank itself must stay pure id equi-joins.
+    def bnls(key: String): Int =
+      "BroadcastNestedLoopJoin".r.findAllMatchIn(
+        SparkEntry.queries(key)(spark, SF)
+          .queryExecution.executedPlan.toString).length
+    assert(bnls("llm_rerank_topk") == 1,
+      "llm_rerank_topk: the re-rank stage added a nested loop beyond the bm25 stats join")
+    assert(bnls("llm_rerank_recall") == 2,
+      "llm_rerank_recall: expected exactly stats BNL + brute-truth != join")
   }
 
   test("the BNL allowlist is tight: every allowlisted key still plans a BNL") {

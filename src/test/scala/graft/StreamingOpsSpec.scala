@@ -489,6 +489,83 @@ class StreamingOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming hybrid RRF fusion: per-micro-batch rows bit-identical to the batch key, exactly once") {
+    import org.apache.spark.sql.functions.col
+    // the graded batch key's query universe (doc_id % 97 == 0; the
+    // fixture's embeddings are an id-aligned subset of documents, so
+    // this covers both stacks' query sets)
+    val qids = Tables.load(spark, SF, "documents")
+      .filter(col("doc_id") % 97 === 0).select("doc_id")
+      .as[Long].collect().sorted.toSeq
+    assert(qids.size >= 2, s"need >= 2 fixture queries, got ${qids.size}")
+    val root = java.nio.file.Files.createTempDirectory("graft_rrfvt").toString + "/t"
+    val t = graft.tables.VersionedTable.create(spark, root,
+      Seq.empty[(Long, Int, Long, Option[Int], Option[Int], Double)]
+        .toDF("q_id", "rank", "doc_id", "r_lex", "r_dense", "rrf"))
+    val sink = StreamingOps.hybridRrfSink(SF, t, "rrfq")
+    val input = MemoryStream[Long]
+    val q = input.toDF().toDF("q_id").writeStream.foreachBatch(sink).start()
+    try {
+      val (b1, b2) = qids.splitAt(qids.size / 2)
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+      def rows(df: org.apache.spark.sql.DataFrame) = df
+        .select("q_id", "rank", "doc_id", "r_lex", "r_dense", "rrf")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          Option(r.get(3)), Option(r.get(4)), r.getDouble(5)))
+        .sortBy(x => (x._1, x._2)).toSeq
+      // RRF is per-query independent, so the union of the two
+      // micro-batches' fused rankings must BE the batch key's rows
+      val got = rows(t.read())
+      val expected = rows(
+        graft.operators.LlmCorpusOps.llmHybridRrfIndexed(spark, SF))
+      assert(got.nonEmpty && got == expected,
+        s"streaming fusion drifted from llm_hybrid_rrf_indexed: got ${got.size} rows")
+      // post-crash replay of the last micro-batch: same (query, batchId)
+      // txn → the idempotent append is a no-op
+      sink(b2.toDF("q_id"), 1L)
+      assert(t.read().count() == got.size, "replayed fusion batch duplicated rows")
+    } finally q.stop()
+  }
+
+  test("RocksDB state store: stateful dedup runs on RocksDBStateStoreProvider, same answers") {
+    // The 100 TB posture for the streaming family: HDFS-backed in-memory
+    // state dies at large keyspaces; RocksDB spills to local disk. This
+    // asserts the provider this Spark build ships actually RUNS our
+    // stateful ops and yields the same answers — not just that the conf
+    // is settable.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[Event]
+      val q = StreamingOps.dedupStream(input.toDF())
+        .writeStream.format("memory").queryName("rocksdedup")
+        .outputMode("append").start()
+      try {
+        input.addData(ev(1, ts(1)), ev(1, ts(1)), ev(2, ts(1, 5)))
+        drain(q)
+        input.addData(ev(1, ts(1)), ev(3, ts(2)))
+        drain(q)
+        val ids = spark.sql("SELECT event_id FROM rocksdedup").collect()
+          .map(_.getLong(0)).sorted.toSeq
+        assert(ids == Seq(1L, 2L, 3L), s"dedup answers drifted on RocksDB: $ids")
+        // prove the provider engaged: RocksDB-specific state metrics exist
+        val metrics = Option(q.lastProgress).toSeq
+          .flatMap(_.stateOperators.toSeq)
+          .flatMap(_.customMetrics.keySet().toArray(Array.empty[String]))
+        assert(metrics.exists(_.toLowerCase.contains("rocksdb")),
+          s"no rocksdb state metrics — provider did not engage: $metrics")
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("sessionizeWithState splits a backfill batch on gaps instead of merging bursts") {
     val input = MemoryStream[Event]
     val q = StreamingOps.sessionizeWithState(input.toDS())

@@ -146,6 +146,25 @@ class VectorFunctionsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("cosinePairsDistributed"))
   }
 
+  test("hyperplane bucketing rejects zero-length vectors (oracle drops them; all-bands bucket would diverge)") {
+    // an empty dot product is 0, so every sign test would fire and the
+    // vector would land in the all-bits-set bucket of EVERY band — while
+    // the DuckDB oracle's unnest chain drops such vectors entirely.
+    // requireDim(0) fails loudly instead of silently diverging.
+    val e = intercept[IllegalArgumentException] {
+      org.apache.spark.sql.graftnative.HyperplaneBucket.requireDim(0)
+    }
+    assert(e.getMessage.contains("1 to"))
+    val spark0 = TestSpark.spark
+    import spark0.implicits._
+    import org.apache.spark.sql.functions.col
+    val err = intercept[Exception] {
+      Seq((1L, Array.empty[Float])).toDF("id", "a")
+        .select(graft.GraftFunctions.hyperplaneBands(col("a"))).collect()
+    }
+    assert(err.getMessage != null)
+  }
+
   test("native VectorNorm and HyperplaneBucket match their scala twins bit-for-bit") {
     val spark0 = TestSpark.spark
     import spark0.implicits._
