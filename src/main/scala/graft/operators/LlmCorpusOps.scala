@@ -363,22 +363,29 @@ object LlmCorpusOps {
     * doubles as the ground truth the index-served pipeline is graded
     * against. */
   private def denseBruteTopK(s: SparkSession, d: String, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val e = t(s, d, "embeddings").select(col("vec_id"), col("embedding"),
-      graft.GraftFunctions.vectorNorm(col("embedding")).as("nrm"))
-    val q = e.filter(col("vec_id") % 97 === 0)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
-        col("nrm").as("q_nrm"))
-    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("doc_id"))
-    broadcast(q)
-      .join(e.select(col("vec_id").as("doc_id"), col("embedding").as("n_vec"),
-        col("nrm").as("n_nrm")), col("q_id") =!= col("doc_id"))
-      .select(col("q_id"), col("doc_id"),
-        graft.functions.VectorFunctions.cosineSimPrecomputed(
-          col("q_vec"), col("n_vec"), col("q_nrm"), col("n_nrm")).as("sim"))
-      .withColumn("r_dense", row_number().over(w))
-      .filter(col("r_dense") <= k)
-      .select("q_id", "doc_id", "r_dense")
+    require(k <= FusionDepth,
+      s"denseBruteTopK memoizes the depth-$FusionDepth list; got k=$k")
+    // ONE memoized brute pass at the deepest depth used; a shallower k
+    // is a rank-prefix filter of the same list (rank lists nest), so the
+    // O(|queries|·n) scan is priced once per (session, corpus)
+    memo(s, d, "dense_brute")({
+      import org.apache.spark.sql.expressions.Window
+      val e = t(s, d, "embeddings").select(col("vec_id"), col("embedding"),
+        graft.GraftFunctions.vectorNorm(col("embedding")).as("nrm"))
+      val q = e.filter(col("vec_id") % 97 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+          col("nrm").as("q_nrm"))
+      val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("doc_id"))
+      broadcast(q)
+        .join(e.select(col("vec_id").as("doc_id"), col("embedding").as("n_vec"),
+          col("nrm").as("n_nrm")), col("q_id") =!= col("doc_id"))
+        .select(col("q_id"), col("doc_id"),
+          graft.functions.VectorFunctions.cosineSimPrecomputed(
+            col("q_vec"), col("n_vec"), col("q_nrm"), col("n_nrm")).as("sim"))
+        .withColumn("r_dense", row_number().over(w))
+        .filter(col("r_dense") <= FusionDepth)
+        .select("q_id", "doc_id", "r_dense")
+    }).filter(col("r_dense") <= k)
   }
 
   /** The BM25 top-[[FusionDepth]] rank list both fusion variants share. */
@@ -419,8 +426,12 @@ object LlmCorpusOps {
     * the quality delta vs [[llmHybridRrf]] is itself queryable by
     * diffing the two graded keys. */
   def llmHybridRrfIndexed(s: SparkSession, d: String): DataFrame =
-    hybridRrfIndexedOn(s, d,
-      col("doc_id") % 97 === 0, col("vec_id") % 97 === 0)
+    // the fused frame is memoized per (session, corpus): it is the
+    // shared first stage of three graded keys (this one, llm_rerank_topk,
+    // llm_rerank_recall) — fuse once, re-rank on top, exactly the serving
+    // posture
+    memo(s, d, "rrf_fused")(hybridRrfIndexedOn(s, d,
+      col("doc_id") % 97 === 0, col("vec_id") % 97 === 0))
 
   /** The query-set-parameterized body of [[llmHybridRrfIndexed]] — ONE
     * kernel shared by the graded batch key (fixture predicate

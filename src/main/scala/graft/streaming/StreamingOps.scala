@@ -202,16 +202,49 @@ object StreamingOps {
   def hybridRrfSink(sfDir: String, t: graft.tables.VersionedTable,
                     queryId: String): (DataFrame, Long) => Unit =
     (batch, batchId) => {
-      val ids = batch.select(col("q_id").cast("long")).distinct()
-        .collect().map(_.getLong(0)).toSeq
+      val ids = batchQueryIds(batch)
       if (ids.nonEmpty) {
-        val res = graft.operators.LlmCorpusOps.hybridRrfIndexedOn(
-          batch.sparkSession, sfDir,
-          col("doc_id").isInCollection(ids), col("vec_id").isInCollection(ids))
+        val res = batchFusion(batch.sparkSession, sfDir, ids)
         t.appendIdempotent(res, s"$queryId:$batchId")
       }
       ()
     }
+
+  /** The COMPLETE two-stage serving pipeline per micro-batch: hybrid RRF
+    * fusion ([[hybridRrfSink]]'s stage) followed by the exact-cosine
+    * re-rank of the fused candidates — the streaming twin of the graded
+    * `llm_rerank_topk`, through the same two shared kernels
+    * (`hybridRrfIndexedOn` + `exactRerank`), so the streamed reranked
+    * rows are bit-identical to the batch key's for the same queries
+    * (both stages are per-query independent; spec-asserted). Same
+    * idempotent txn-stamped exactly-once appends. */
+  def hybridRerankSink(sfDir: String, t: graft.tables.VersionedTable,
+                       queryId: String, k: Int = 3): (DataFrame, Long) => Unit =
+    (batch, batchId) => {
+      val ids = batchQueryIds(batch)
+      if (ids.nonEmpty) {
+        val s = batch.sparkSession
+        val res = graft.operators.LlmTextOps.exactRerank(
+            batchFusion(s, sfDir, ids)
+              .select(col("q_id"), col("doc_id").as("neighbor_id")),
+            graft.Tables.load(s, sfDir, "embeddings"), k)
+          .select(col("q_id"), col("rank"),
+            col("neighbor_id").as("doc_id"), col("sim"))
+        t.appendIdempotent(res, s"$queryId:$batchId")
+      }
+      ()
+    }
+
+  /** The bounded driver-side id pull both serving sinks share — a
+    * micro-batch of requests, never corpus data. */
+  private def batchQueryIds(batch: DataFrame): Seq[Long] =
+    batch.select(col("q_id").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+
+  private def batchFusion(s: org.apache.spark.sql.SparkSession,
+                          sfDir: String, ids: Seq[Long]): DataFrame =
+    graft.operators.LlmCorpusOps.hybridRrfIndexedOn(s, sfDir,
+      col("doc_id").isInCollection(ids), col("vec_id").isInCollection(ids))
 
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                          event_type: String, value: Double)

@@ -61,13 +61,12 @@ class PlanInvariantsSpec extends SparkTestBase {
     "stat_lorenz", "ml_target_encode", "dq_volume_anomaly",
     // the dense stack broadcasts the |queries|-sized vector set against
     // the embeddings scan with a != predicate — the llm_knn_queries
-    // posture exactly (bounded broadcast side); the indexed variant
-    // inherits only the bm25 kernel's 1-row stats cross join, and the
-    // two re-rank keys build on the indexed fusion so they inherit the
-    // SAME single stats BNL (llm_rerank_recall adds the brute truth's
-    // justified bounded-broadcast != join, the llm_hybrid_rrf posture)
-    "event_attribution_decay", "llm_hybrid_rrf", "llm_hybrid_rrf_indexed",
-    "llm_rerank_topk", "llm_rerank_recall")
+    // posture exactly (bounded broadcast side). llm_hybrid_rrf_indexed
+    // and the re-rank keys are NOT here: their fused/brute frames are
+    // memoized (checkpoint-backed), so no BNL survives in the served
+    // plan — the build-plan BNLs are pinned in the dedicated test below
+    // (the llm_tfidf_cosine round-6 precedent)
+    "event_attribution_decay", "llm_hybrid_rrf")
 
   test("no graded key plans a CartesianProduct; nested-loop joins only where justified") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
@@ -126,30 +125,32 @@ class PlanInvariantsSpec extends SparkTestBase {
     assert(stale.isEmpty, s"allowlist entries no longer planning a global window: $stale")
   }
 
-  test("llm_hybrid_rrf_indexed: the ONLY nested-loop is the bm25 1-row stats join") {
-    // the allowlist is a boolean, so it could not tell the justified
-    // 1-row stats cross join from a regressed corpus-scale nested loop
-    // in the index-served dense side (which must stay pure equi-joins) —
-    // this pins the exact count
-    val plan = SparkEntry.queries("llm_hybrid_rrf_indexed")(spark, SF)
+  test("indexed fusion BUILD plan: the ONLY nested-loop is the bm25 1-row stats join") {
+    // the served key is checkpoint-backed (memoized fused frame), so its
+    // executedPlan carries no joins at all — the invariant that matters
+    // is the plan the memo BUILDS once per (session, corpus): exactly the
+    // justified 1-row stats cross join, with the index-served dense side
+    // staying pure equi-joins
+    val plan = graft.operators.LlmCorpusOps.hybridRrfIndexedOn(spark, SF,
+        org.apache.spark.sql.functions.col("doc_id") % 97 === 0,
+        org.apache.spark.sql.functions.col("vec_id") % 97 === 0)
       .queryExecution.executedPlan.toString
     val n = "BroadcastNestedLoopJoin".r.findAllMatchIn(plan).length
     assert(n == 1, s"expected exactly the bm25 stats BNL, found $n in:\n$plan")
   }
 
-  test("re-rank keys: nested-loop count pinned (stats join; + the recall truth's bounded != join)") {
-    // llm_rerank_topk builds on the indexed fusion → exactly the one
-    // bm25 stats BNL; llm_rerank_recall adds the brute-force truth's
-    // bounded-broadcast != join (the llm_hybrid_rrf posture) → exactly 2.
-    // The exact-cosine re-rank itself must stay pure id equi-joins.
+  test("re-rank keys serve from the memoized fused/brute frames: zero nested loops") {
+    // the exact-cosine re-rank stage must stay pure id equi-joins on top
+    // of the checkpoint-backed first stage — a BNL appearing here means
+    // the re-rank itself regressed to a nested loop
     def bnls(key: String): Int =
       "BroadcastNestedLoopJoin".r.findAllMatchIn(
         SparkEntry.queries(key)(spark, SF)
           .queryExecution.executedPlan.toString).length
-    assert(bnls("llm_rerank_topk") == 1,
-      "llm_rerank_topk: the re-rank stage added a nested loop beyond the bm25 stats join")
-    assert(bnls("llm_rerank_recall") == 2,
-      "llm_rerank_recall: expected exactly stats BNL + brute-truth != join")
+    assert(bnls("llm_rerank_topk") == 0,
+      "llm_rerank_topk: the re-rank stage planned a nested loop")
+    assert(bnls("llm_rerank_recall") == 0,
+      "llm_rerank_recall: the recall join planned a nested loop")
   }
 
   test("the BNL allowlist is tight: every allowlisted key still plans a BNL") {

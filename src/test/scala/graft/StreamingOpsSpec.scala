@@ -530,6 +530,37 @@ class StreamingOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming two-stage re-rank: per-micro-batch rows bit-identical to llm_rerank_topk, exactly once") {
+    import org.apache.spark.sql.functions.col
+    val qids = Tables.load(spark, SF, "documents")
+      .filter(col("doc_id") % 97 === 0).select("doc_id")
+      .as[Long].collect().sorted.toSeq
+    val root = java.nio.file.Files.createTempDirectory("graft_rrkvt").toString + "/t"
+    val t = graft.tables.VersionedTable.create(spark, root,
+      Seq.empty[(Long, Int, Long, Double)].toDF("q_id", "rank", "doc_id", "sim"))
+    val sink = StreamingOps.hybridRerankSink(SF, t, "rrkq")
+    val input = MemoryStream[Long]
+    val q = input.toDF().toDF("q_id").writeStream.foreachBatch(sink).start()
+    try {
+      val (b1, b2) = qids.splitAt(qids.size / 2)
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+      def rows(df: org.apache.spark.sql.DataFrame) = df
+        .select("q_id", "rank", "doc_id", "sim")
+        .as[(Long, Int, Long, Double)].collect()
+        .sortBy(x => (x._1, x._2)).toSeq
+      val got = rows(t.read())
+      val expected = rows(
+        graft.operators.LlmCorpusOps.llmRerankTopk(spark, SF))
+      assert(got.nonEmpty && got == expected,
+        s"streaming re-rank drifted from llm_rerank_topk: got ${got.size} rows")
+      sink(b2.toDF("q_id"), 1L)
+      assert(t.read().count() == got.size, "replayed re-rank batch duplicated rows")
+    } finally q.stop()
+  }
+
   test("RocksDB state store: stateful dedup runs on RocksDBStateStoreProvider, same answers") {
     // The 100 TB posture for the streaming family: HDFS-backed in-memory
     // state dies at large keyspaces; RocksDB spills to local disk. This
