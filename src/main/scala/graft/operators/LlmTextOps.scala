@@ -1200,15 +1200,43 @@ object LlmTextOps {
     * exercise. `assigned` needs (vec_id, bucket) rows (one per probe),
     * `vectors` needs (vec_id, embedding). */
   def servedTopKFrames(assigned: DataFrame, vectors: DataFrame,
-      isQuery: Column, k: Int): DataFrame = {
+      isQuery: Column, k: Int): DataFrame =
+    exactRerank(indexCandidates(assigned, isQuery), vectors, k)
+
+  /** Stage one of index serving: (q_id, neighbor_id) candidates from the
+    * probed inverted lists — a bucket equi-join, fan-out bounded by the
+    * probed lists' sizes. Exposed so variants can transform the
+    * candidate set (e.g. the metadata filter in [[annIvfFilteredTopk]])
+    * before the shared exact-re-rank stage. */
+  def indexCandidates(assigned: DataFrame, isQuery: Column): DataFrame = {
     val a = assigned.select(col("vec_id"), col("bucket"))
     val qa = a.filter(isQuery)
       .select(col("vec_id").as("q_id"), col("bucket"))
-    val cand = qa
-      .join(a.select(col("vec_id").as("neighbor_id"), col("bucket")), Seq("bucket"))
+    qa.join(a.select(col("vec_id").as("neighbor_id"), col("bucket")), Seq("bucket"))
       .filter(col("q_id") =!= col("neighbor_id"))
       .select("q_id", "neighbor_id").distinct()
-    exactRerank(cand, vectors, k)
+  }
+
+  /** FILTERED index-served retrieval — the other half of real ANN
+    * serving ("nearest neighbors WHERE lang = 'en'"): the index
+    * candidates semi-join the metadata-allowed id set BEFORE the exact
+    * re-rank, so the filter prunes candidates instead of post-truncating
+    * ranked results (post-filtering top-k can return < k or starve a
+    * query whose nearest neighbors all fail the predicate; pre-filtering
+    * re-ranks only eligible candidates). Embeddings align doc_id ↔
+    * vec_id (the llm_multimodal_join contract), so the allowed set is a
+    * projection of the documents scan — at 100 TB an id-keyed bucketed
+    * semi-join against the candidate list, never a corpus product. */
+  def annIvfFilteredTopk(s: SparkSession, d: String): DataFrame = {
+    val allowed = t(s, d, "documents")
+      .filter(col("lang") === "en")
+      .select(col("doc_id").as("neighbor_id"))
+    exactRerank(
+        indexCandidates(ivfAssignedMp(s, d), col("vec_id") % 97 === 0)
+          .join(allowed, Seq("neighbor_id"), "left_semi"),
+        t(s, d, "embeddings"), 3)
+      .select("q_id", "rank", "neighbor_id", "sim")
+      .orderBy("q_id", "rank")
   }
 
   /** The exact-cosine re-rank stage — the second half of EVERY two-stage
@@ -1451,6 +1479,7 @@ object LlmTextOps {
     "ann_ivf_topk_sp" -> (annIvfTopkSp _),
     "ann_ivf_recall_mp" -> (annIvfRecallMp _),
     "ann_ivf_query_topk" -> (annIvfQueryTopk _),
+    "ann_ivf_filtered_topk" -> (annIvfFilteredTopk _),
   )
 
   private val markerSql: Map[String, String] = langs.toMap.map { case (l, ms) =>
@@ -1623,6 +1652,7 @@ object LlmTextOps {
     "ann_ivf_recall" -> PortableQuantizer.ivfRecallOracle,
     "ann_ivf_recall_mp" -> PortableQuantizer.ivfRecallMpOracle,
     "ann_ivf_query_topk" -> PortableQuantizer.ivfQueryTopkOracle,
+    "ann_ivf_filtered_topk" -> PortableQuantizer.ivfFilteredTopkOracle,
     // persisted-index serve: same centroids (write→read roundtrip of
     // exact BIGINTs), same assignment, same pairs — the oracle is
     // deliberately IDENTICAL; what the key grades is that the vt

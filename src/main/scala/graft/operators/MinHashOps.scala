@@ -103,8 +103,35 @@ object MinHashOps {
   def llmDedupMinhash(s: SparkSession, d: String): DataFrame =
     minhashCandidates(Tables.load(s, d, "documents")).orderBy("a_id", "b_id")
 
+  /** MinHash self-evaluation — the ann_*_recall discipline applied to
+    * the TEXT near-dup index, completing the "every index grades itself"
+    * story (banded hyperplane LSH, IVF single/multi-probe, the re-rank
+    * pipeline end, and now the MinHash bands): recall of the exact
+    * capped 3-gram-Jaccard ≥ 0.8 pairs (the llm_ngram_jaccard machinery
+    * at the near-dup threshold) among the LSH candidate pairs. The
+    * banding curve predicts 1 − (1 − s⁴)⁴ ≈ 0.83 at s = 0.8 and → 1 as
+    * s → 1; the measured number makes the curve a queryable fact for
+    * THIS corpus. Truth and candidates both reuse their graded kernels;
+    * the fusion is one join of two bounded pair lists. */
+  def llmMinhashRecall(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.load(s, d, "documents")
+    val truth = graft.operators.LlmTextOps.jaccardPairs(
+        graft.operators.LlmTextOps.shingleIndex(docs), 0.8,
+        maxPosting = graft.operators.LlmTextOps.StopShingleCap)
+      .select("a_id", "b_id")
+    val cand = minhashCandidates(docs)
+      .select(col("a_id"), col("b_id"), lit(1L).as("hit"))
+    truth.join(cand, Seq("a_id", "b_id"), "left")
+      .agg(count(lit(1)).as("n_truth"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .select(col("n_truth"), col("n_hit"),
+        (floor(col("n_hit").cast("double") / col("n_truth").cast("double") *
+          1000000.0 + 0.5) / 1000000.0).as("recall"))
+  }
+
   val queries: Map[String, Q] = Map(
     "llm_dedup_minhash" -> (llmDedupMinhash _),
+    "llm_minhash_recall" -> (llmMinhashRecall _),
   )
 
   val oracles: Map[String, String] = {
@@ -125,6 +152,32 @@ object MinHashOps {
           "SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_bands " +
           "FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id " +
           "GROUP BY 1, 2 ORDER BY a_id, b_id"),
+      // ONE shared shingle base (the 60-bit md5-prefix ids both graded
+      // towers derive from): the capped Jaccard truth reads it directly,
+      // the MinHash side takes the same ids mod p — mirroring the Spark
+      // plan, where shingleIndex and minhashSignatures share
+      // HashedShingles output
+      "llm_minhash_recall" ->
+        (s"WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), " +
+          "x AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i FROM w), " +
+          "sh AS (SELECT DISTINCT doc_id, CAST('0x' || substr(md5(array_to_string(ws[i:i+2], ' ')), 1, 15) AS BIGINT) AS sh FROM x), " +
+          "sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id), " +
+          "shc AS (SELECT doc_id, sh FROM sh QUALIFY count(*) OVER (PARTITION BY sh) <= 500), " +
+          "pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter " +
+          "FROM shc a JOIN shc b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+          "truth AS (SELECT a_id, b_id FROM pairs JOIN sizes sa ON sa.doc_id = a_id " +
+          "JOIN sizes sb ON sb.doc_id = b_id " +
+          "WHERE round(inter / (sa.n_sh + sb.n_sh - inter), 4) >= 0.8), " +
+          s"mh AS (SELECT doc_id, sh % $P AS h32 FROM sh), " +
+          s"sig AS (SELECT doc_id, $sigCols FROM mh GROUP BY doc_id), " +
+          s"bands AS ($bandSelects), " +
+          "cand AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id " +
+          "FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id " +
+          "GROUP BY 1, 2), " +
+          "agg AS (SELECT CAST(count(*) AS BIGINT) AS n_truth, CAST(count(c.a_id) AS BIGINT) AS n_hit " +
+          "FROM truth t LEFT JOIN cand c ON t.a_id = c.a_id AND t.b_id = c.b_id) " +
+          "SELECT n_truth, n_hit, " +
+          "floor(n_hit / CAST(n_truth AS DOUBLE) * 1000000 + 0.5) / 1000000 AS recall FROM agg"),
     )
   }
 }

@@ -471,6 +471,24 @@ object PortableQuantizer {
       "CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rank FROM sc) " +
       "SELECT q_id, rank, neighbor_id, sim FROM r WHERE rank <= 3 ORDER BY q_id, rank"
 
+  /** Filtered index-served retrieval oracle: the ivfQueryTopkOracle
+    * chain with the metadata predicate (documents.lang = 'en') applied
+    * at the CANDIDATE stage, before the exact-cosine ranking — the
+    * pre-filter semantics the Spark key implements. */
+  val ivfFilteredTopkOracle: String =
+    ivfAssignCteP(3) + ", " +
+      "qa AS (SELECT id AS q_id, code FROM fin WHERE id % 97 = 0), " +
+      "cand AS (SELECT DISTINCT qa.q_id, f2.id AS neighbor_id " +
+      "FROM qa JOIN fin f2 ON f2.code = qa.code AND f2.id <> qa.q_id " +
+      "JOIN documents dd ON dd.doc_id = f2.id AND dd.lang = 'en'), " +
+      "sc AS (SELECT c.q_id, c.neighbor_id, " +
+      "round(list_cosine_similarity(CAST(eq.embedding AS DOUBLE[]), CAST(en.embedding AS DOUBLE[])), 4) AS sim " +
+      "FROM cand c JOIN embeddings eq ON eq.vec_id = c.q_id " +
+      "JOIN embeddings en ON en.vec_id = c.neighbor_id), " +
+      "r AS (SELECT q_id, neighbor_id, sim, " +
+      "CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rank FROM sc) " +
+      "SELECT q_id, rank, neighbor_id, sim FROM r WHERE rank <= 3 ORDER BY q_id, rank"
+
   /** Multi-probe IVF top-k oracle: 3-probe assignment, candidates =
     * DISTINCT pairs sharing ANY list, cosine, top-20. */
   val ivfMultiprobeOracle: String =

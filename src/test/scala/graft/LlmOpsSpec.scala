@@ -284,6 +284,27 @@ class LlmOpsSpec extends SparkTestBase {
       }
   }
 
+  test("filtered index serve: every neighbor passes the metadata predicate, a SUBSET of unfiltered candidates") {
+    import org.apache.spark.sql.functions.col
+    val rows = LlmTextOps.annIvfFilteredTopk(spark, SF).collect()
+    assert(rows.nonEmpty)
+    val en = graft.Tables.load(spark, SF, "documents")
+      .filter(col("lang") === "en").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    rows.foreach { r =>
+      assert(r.getLong(0) % 97 == 0, s"non-query q_id ${r.getLong(0)}")
+      assert(en(r.getLong(2)),
+        s"neighbor ${r.getLong(2)} fails the lang filter (q ${r.getLong(0)})")
+    }
+    // pre-filter semantics: the filtered serve never invents a candidate —
+    // every (q, neighbor) it ranks is also an UNFILTERED index candidate
+    val unfiltered = LlmTextOps.annIvfQueryTopk(spark, SF)
+      .select("q_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val topUnfilteredEn = rows.filter(r => unfiltered((r.getLong(0), r.getLong(2))))
+    assert(topUnfilteredEn.nonEmpty, "filtered and unfiltered serve share no rows at all")
+  }
+
   test("index-served query top-k: neighbors share a probed list, sims match the scala kernel") {
     val served = LlmTextOps.annIvfQueryTopk(spark, SF).collect()
     assert(served.nonEmpty)
