@@ -1135,7 +1135,7 @@ object LlmTextOps {
   /** The memoized 3-probe IVF assignment (vec_id, embedding, probe,
     * bucket) — each vector in its 3 nearest inverted lists, the FAISS
     * nprobe knob applied to pair-finding. */
-  private def ivfAssignedMp(s: SparkSession, d: String): DataFrame =
+  private[graft] def ivfAssignedMp(s: SparkSession, d: String): DataFrame =
     memo(s, d, "ivf_mp") {
       val cb = PortableQuantizer.ivfCentroids(s, d)
       t(s, d, "embeddings")

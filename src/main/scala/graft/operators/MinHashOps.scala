@@ -70,8 +70,25 @@ object MinHashOps {
     * in-band magic Int: with a sentinel value, a caller explicitly
     * requesting a cap of exactly the sentinel silently got no cap. */
   def minhashCandidates(docs: DataFrame,
-                        maxBucketSize: Option[Int] = None): DataFrame = {
-    val sig = minhashSignatures(docs)
+                        maxBucketSize: Option[Int] = None): DataFrame =
+    bandedCandidates(minhashSignatures(docs), maxBucketSize)
+
+  /** Signatures from an already-built shingle POSTING list (the
+    * [[LlmTextOps.shingleIndex]] shape: distinct (doc_id, sh) rows with
+    * 60-bit md5-prefix ids) — h32 is the same id mod p the standalone
+    * path computes, so signatures are identical; this entry point lets
+    * [[llmMinhashRecall]] share ONE shingle base between the Jaccard
+    * truth and the MinHash candidates, like its oracle does. */
+  private def signaturesFromIndex(sh: DataFrame): DataFrame = {
+    val h = sh.select(col("doc_id"), (col("sh") % P).as("h32"))
+    val mins = (0 until NumHashes).map(j =>
+      min((lit(As(j)) * col("h32") + lit(Bs(j))) % P).as(s"s$j"))
+    h.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+  }
+
+  /** The banding + bucket self-join tail over any signature frame. */
+  private def bandedCandidates(sig: DataFrame,
+                               maxBucketSize: Option[Int]): DataFrame = {
     val bandCols = (0 until NumBands).map { b =>
       struct(lit(b).as("band"),
         concat_ws(",", (0 until BandRows).map(r => col(s"s${BandRows * b + r}")): _*).as("key"))
@@ -109,17 +126,19 @@ object MinHashOps {
     * pipeline end, and now the MinHash bands): recall of the exact
     * capped 3-gram-Jaccard ≥ 0.8 pairs (the llm_ngram_jaccard machinery
     * at the near-dup threshold) among the LSH candidate pairs. The
-    * banding curve predicts 1 − (1 − s⁴)⁴ ≈ 0.83 at s = 0.8 and → 1 as
+    * banding curve predicts 1 − (1 − s⁴)⁴ ≈ 0.88 at s = 0.8 and → 1 as
     * s → 1; the measured number makes the curve a queryable fact for
-    * THIS corpus. Truth and candidates both reuse their graded kernels;
-    * the fusion is one join of two bounded pair lists. */
+    * THIS corpus. Truth and candidates share ONE materialized shingle
+    * base (the oracle's own shape — its Jaccard and signature towers
+    * read the same 60-bit id CTE), so the corpus is shingled once, not
+    * twice; the fusion is one join of two bounded pair lists. */
   def llmMinhashRecall(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.load(s, d, "documents")
-    val truth = graft.operators.LlmTextOps.jaccardPairs(
-        graft.operators.LlmTextOps.shingleIndex(docs), 0.8,
+    val sh = graft.operators.LlmTextOps.shingleIndex(docs).localCheckpoint(true)
+    val truth = graft.operators.LlmTextOps.jaccardPairs(sh, 0.8,
         maxPosting = graft.operators.LlmTextOps.StopShingleCap)
       .select("a_id", "b_id")
-    val cand = minhashCandidates(docs)
+    val cand = bandedCandidates(signaturesFromIndex(sh), None)
       .select(col("a_id"), col("b_id"), lit(1L).as("hit"))
     truth.join(cand, Seq("a_id", "b_id"), "left")
       .agg(count(lit(1)).as("n_truth"),

@@ -236,9 +236,13 @@ object StreamingOps {
     }
 
   /** The bounded driver-side id pull both serving sinks share — a
-    * micro-batch of requests, never corpus data. */
+    * micro-batch of requests, never corpus data. Null or non-castable
+    * q_id values are DROPPED here: one malformed request must not NPE
+    * the foreachBatch sink and kill the whole streaming query (the
+    * non-ANSI cast turns "abc" into null, which getLong would throw on). */
   private def batchQueryIds(batch: DataFrame): Seq[Long] =
-    batch.select(col("q_id").cast("long")).distinct()
+    batch.select(col("q_id").cast("long").as("q_id"))
+      .filter(col("q_id").isNotNull).distinct()
       .collect().map(_.getLong(0)).toSeq
 
   private def batchFusion(s: org.apache.spark.sql.SparkSession,

@@ -297,12 +297,17 @@ class LlmOpsSpec extends SparkTestBase {
         s"neighbor ${r.getLong(2)} fails the lang filter (q ${r.getLong(0)})")
     }
     // pre-filter semantics: the filtered serve never invents a candidate —
-    // every (q, neighbor) it ranks is also an UNFILTERED index candidate
-    val unfiltered = LlmTextOps.annIvfQueryTopk(spark, SF)
-      .select("q_id", "neighbor_id").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val topUnfilteredEn = rows.filter(r => unfiltered((r.getLong(0), r.getLong(2))))
-    assert(topUnfilteredEn.nonEmpty, "filtered and unfiltered serve share no rows at all")
+    // every (q, neighbor) it ranks must come from the UNFILTERED index
+    // candidate set (probed inverted lists), i.e. the filter prunes the
+    // index's candidates, it does not brute-force the allowed set
+    val indexCands = LlmTextOps.indexCandidates(
+        LlmTextOps.ivfAssignedMp(spark, SF), col("vec_id") % 97 === 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    rows.foreach { r =>
+      assert(indexCands((r.getLong(0), r.getLong(2))),
+        s"(${r.getLong(0)}, ${r.getLong(2)}) is not an index candidate — " +
+          "the filtered serve bypassed the index")
+    }
   }
 
   test("index-served query top-k: neighbors share a probed list, sims match the scala kernel") {

@@ -59,13 +59,14 @@ class PlanInvariantsSpec extends SparkTestBase {
     "stat_skew_report", "stat_chisq", "stat_cramers_v", "agg_hll_merge",
     "agg_hll_intersect", "llm_bm25_topk", "event_peak_concurrency",
     "stat_lorenz", "ml_target_encode", "dq_volume_anomaly",
-    // the dense stack broadcasts the |queries|-sized vector set against
-    // the embeddings scan with a != predicate — the llm_knn_queries
-    // posture exactly (bounded broadcast side). llm_hybrid_rrf_indexed
-    // and the re-rank keys are NOT here: their fused/brute frames are
-    // memoized (checkpoint-backed), so no BNL survives in the served
-    // plan — the build-plan BNLs are pinned in the dedicated test below
-    // (the llm_tfidf_cosine round-6 precedent)
+    // llm_hybrid_rrf's surviving BNL is the bm25 kernel's 1-row stats
+    // cross join: its dense brute stack is memoized (checkpoint-backed)
+    // since round 11, so the former |queries|-broadcast != join no
+    // longer appears in the served plan. llm_hybrid_rrf_indexed and the
+    // re-rank keys are NOT here: their whole fused/brute frames are
+    // memoized, so no BNL survives in the served plan at all — the
+    // build-plan BNLs are pinned in the dedicated test below (the
+    // llm_tfidf_cosine round-6 precedent)
     "event_attribution_decay", "llm_hybrid_rrf")
 
   test("no graded key plans a CartesianProduct; nested-loop joins only where justified") {
