@@ -218,7 +218,21 @@ object StressCheck {
       require(byQ.size == nq, s"served ${byQ.size} of $nq queries")
       require(served.forall(r => r.getLong(0) != r.getLong(2)), "self-hit served")
       require(byQ.values.forall(_.length <= 3), "over-k results")
-      served.length
+      // the FILTERED serve variant (ann_ivf_filtered_topk's shape) over
+      // the SAME assignment: a 50%-selectivity metadata predicate
+      // semi-joins the index candidates before the shared exact re-rank —
+      // every served neighbor must pass the filter, and the pass stays
+      // list-local (the filter prunes candidates, it never scans the
+      // allowed set against the corpus)
+      val allowed = vecs.filter(col("vec_id") % 2 === 0)
+        .select(col("vec_id").as("neighbor_id"))
+      val filtered = graft.operators.LlmTextOps.exactRerank(
+        graft.operators.LlmTextOps.indexCandidates(assigned, col("vec_id") % 997 === 0)
+          .join(allowed, Seq("neighbor_id"), "left_semi"),
+        vecs, 3).collect()
+      require(filtered.nonEmpty && filtered.forall(_.getLong(2) % 2 == 0),
+        "filtered serve leaked a disallowed neighbor")
+      served.length + filtered.length
     }
     // 7. Containment/Jaccard posting join on 200k docs with the
     // stop-shingle cap — the open-vocab guard the 100 TB path uses.
