@@ -224,20 +224,32 @@ object DataQualityOps {
       df.agg(min(us).as("min_us"), max(us).as("max_us"))
         .select(lit(nm).as("src"), col("min_us"), col("max_us"),
           expr("(max_us - min_us) DIV 86400000000").as("span_days"))
-    // Dispatch on the column's ACTUAL type, the way Tables.load does for
-    // events.ts: the driver fixture ships o_orderdate as TIMESTAMP_NTZ
-    // (→ the zone-free native NtzMicros; ExpectsInputTypes would reject
-    // any cast), but a tz-annotated parquet file loads as TimestampType,
-    // where unix_micros already reads the stored instant zone-free.
     val orders = t(s, d, "orders")
-    val odUs = orders.schema("o_orderdate").dataType match {
-      case org.apache.spark.sql.types.TimestampNTZType =>
-        graft.GraftFunctions.ntzUtcMicros(col("o_orderdate"))
-      case _ => unix_micros(col("o_orderdate"))
-    }
     span(t(s, d, "events"), "events.ts", unix_micros(col("ts")))
-      .unionAll(span(orders, "orders.o_orderdate", odUs))
+      .unionAll(span(orders, "orders.o_orderdate",
+        zoneFreeMicros(orders, "o_orderdate")))
       .orderBy("src")
+  }
+
+  /** Zone-independent epoch-µs for a time-bearing column, dispatched on
+    * its ACTUAL type the way Tables.load does for events.ts: the driver
+    * fixture ships o_orderdate as TIMESTAMP_NTZ (→ the zone-free native
+    * NtzMicros; its ExpectsInputTypes would reject any cast), a
+    * tz-annotated parquet loads as TimestampType (unix_micros reads the
+    * stored instant zone-free), and the TPC-H-native DATE shape is
+    * days-since-epoch (unix_date, zone-free by construction — a bare
+    * cast to timestamp would shift per the session zone). Anything else
+    * fails loudly rather than silently reading zone-dependent values. */
+  private[graft] def zoneFreeMicros(df: DataFrame, name: String): Column = {
+    import org.apache.spark.sql.types.{DateType, TimestampNTZType, TimestampType}
+    df.schema(name).dataType match {
+      case TimestampNTZType => graft.GraftFunctions.ntzUtcMicros(col(name))
+      case TimestampType => unix_micros(col(name))
+      case DateType => unix_date(col(name)).cast("long") * 86400000000L
+      case other => throw new IllegalStateException(
+        s"$name has unsupported time type $other — expected " +
+          "TIMESTAMP_NTZ, TIMESTAMP, or DATE")
+    }
   }
 
   /** dq_volume_anomaly: ingest-volume 3σ gauge — flags days whose event

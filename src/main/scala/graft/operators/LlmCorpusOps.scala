@@ -388,11 +388,17 @@ object LlmCorpusOps {
     }).filter(col("r_dense") <= k)
   }
 
-  /** The BM25 top-[[FusionDepth]] rank list both fusion variants share. */
-  private def lexTop10(s: SparkSession, d: String): DataFrame =
-    bm25TopK(t(s, d, "documents"), col("doc_id") % 97 === 0, FusionDepth,
+  /** The BM25 top-[[FusionDepth]] rank list every fusion variant shares —
+    * ONE definition of the lexical stack (kernel call, TF memo, r_lex
+    * shape), parameterized by the query predicate: the graded keys pass
+    * the fixture predicate, the streaming sinks their batch's id set. */
+  private def lexTopOn(s: SparkSession, d: String, lexQ: Column): DataFrame =
+    bm25TopK(t(s, d, "documents"), lexQ, FusionDepth,
         tf => memo(s, d, "bm25_tf")(tf))
       .select(col("q_id"), col("doc_id"), col("rank").as("r_lex"))
+
+  private def lexTop10(s: SparkSession, d: String): DataFrame =
+    lexTopOn(s, d, col("doc_id") % 97 === 0)
 
   /** The RRF fusion tail — ONE definition shared by the brute-force and
     * index-served fusion keys (and mirrored by the shared oracle tail):
@@ -446,9 +452,7 @@ object LlmCorpusOps {
   private[graft] def hybridRrfIndexedOn(s: SparkSession, d: String,
       lexQ: Column, denseQ: Column): DataFrame =
     rrfFuse(
-      bm25TopK(t(s, d, "documents"), lexQ, FusionDepth,
-          tf => memo(s, d, "bm25_tf")(tf))
-        .select(col("q_id"), col("doc_id"), col("rank").as("r_lex")),
+      lexTopOn(s, d, lexQ),
       LlmTextOps.servedTopK(s, d, denseQ, FusionDepth)
         .select(col("q_id"), col("neighbor_id").as("doc_id"),
           col("rank").as("r_dense")))

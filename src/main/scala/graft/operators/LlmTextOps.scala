@@ -589,7 +589,7 @@ object LlmTextOps {
     stageMemo.get((sid, d, tag))(build.localCheckpoint(true))
   }
 
-  private def fixtureShingleIndex(s: SparkSession, d: String): DataFrame =
+  private[graft] def fixtureShingleIndex(s: SparkSession, d: String): DataFrame =
     memo(s, d, "shingles")(shingleIndex(t(s, d, "documents")))
 
   private def dedupLabels(s: SparkSession, d: String): DataFrame = {

