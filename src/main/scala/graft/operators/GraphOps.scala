@@ -207,6 +207,21 @@ object GraphOps {
   private val ccLabelMemo =
     graft.tools.LruMemo.checkpointed[(String, String)](16)
 
+  /** Distinct (basket, item) projection — the probability base
+    * [[basketAffinity]] reads FOUR times in one call (the N scalar
+    * action, both pair-join sides, the per-item counts); memoized like
+    * [[pairMemo]] so the lineitem distinct shuffle is priced once per
+    * (session, corpus) instead of per read. */
+  private val dpkMemo =
+    graft.tools.LruMemo.checkpointed[(String, String)](16)
+
+  private def distinctBasketItems(s: SparkSession, d: String): DataFrame = {
+    val sid = org.apache.spark.sql.graftnative.SessionIds.uuid(s)
+    dpkMemo.get((sid, d))(Tables.load(s, d, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      .localCheckpoint(true))
+  }
+
   private[graft] def partPairs(s: SparkSession, d: String): DataFrame = {
     val sid = org.apache.spark.sql.graftnative.SessionIds.uuid(s)
     pairMemo.get((sid, d)) {
@@ -335,8 +350,7 @@ object GraphOps {
     * basket (bounded by basket width), two broadcast-size dimension
     * joins; N is a bounded scalar literal. */
   def basketAffinity(s: SparkSession, d: String): DataFrame = {
-    val dpk = Tables.load(s, d, "lineitem")
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val dpk = distinctBasketItems(s, d)
     val n = dpk.select(countDistinct("ok")).head().getLong(0)
     val cnt = dpk.groupBy("pk").agg(count(lit(1)).as("np"))
     val pairs = dpk.as("a")
