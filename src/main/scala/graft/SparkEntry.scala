@@ -19,7 +19,8 @@ object SparkEntry {
       MultimodalOps.queries ++ ExtendedOps.queries ++ MinHashOps.queries ++
       TableOps.queries ++ TpchOps.queries ++ LlmCorpusOps.queries ++
       PqOps.queries ++ GraphOps.queries ++ AdvancedOps.queries ++
-      UnigramOps.queries ++ WordPieceOps.queries ++ DataQualityOps.queries
+      UnigramOps.queries ++ WordPieceOps.queries ++ DataQualityOps.queries ++
+      GeoOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -29,5 +30,6 @@ object SparkEntry {
       MultimodalOps.oracles ++ ExtendedOps.oracles ++ MinHashOps.oracles ++
       TableOps.oracles ++ TpchOps.oracles ++ LlmCorpusOps.oracles ++
       PqOps.oracles ++ GraphOps.oracles ++ AdvancedOps.oracles ++
-      UnigramOps.oracles ++ WordPieceOps.oracles ++ DataQualityOps.oracles
+      UnigramOps.oracles ++ WordPieceOps.oracles ++ DataQualityOps.oracles ++
+      GeoOps.oracles
 }

@@ -1,0 +1,243 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Geospatial analytics suite — the distance/density operators every
+  * location-bearing warehouse runs (store-coverage radius joins, grid
+  * heat-maps, nearest-facility assignment, bounded KNN), expressed with
+  * the engine's blocking discipline: great-circle distance is only ever
+  * evaluated on GRID-BLOCKED candidate pairs (3×3 one-degree cell
+  * neighborhoods, antimeridian-wrapped), never all-pairs — the exact
+  * posture the text family uses for LSH bands (docs/SCALE.md
+  * principle 3).
+  *
+  * The fixtures carry no coordinate columns, so every operator derives
+  * deterministic lat/lon from the entity keys in PURE INTEGER
+  * arithmetic (`(key·a) mod span`, then one exact division by 1000.0),
+  * giving bit-identical coordinates in Spark and the DuckDB oracle —
+  * the same derived-column discipline as the hash-derived families.
+  * Points land in a [-5°,5°)×[-10°,10°) region (cell grid 10×20), so
+  * radius/cell geometry is realistic (1° lat ≈ 111.2 km; 1° lon ≥
+  * 110.8 km at |lat| ≤ 5°) and a 50 km radius is always contained in
+  * the 3×3 cell neighborhood of its center.
+  *
+  * Float discipline: haversine is transcendental, so raw distances can
+  * differ between engines in the last ulp. Every surfaced distance is
+  * rounded to 1 m (`floor(d·1000+0.5)/1000`), every ORDER/rank uses the
+  * ROUNDED value + ids, and the 50 km radius cut sits 9.9 m away from
+  * the nearest fixture pair (probed over sf0.1's 609k candidates) —
+  * 10 orders of magnitude above cross-engine libm divergence. The
+  * formula is written with IDENTICAL operation order on both engines
+  * (explicit `sin·sin`, no `pow`), and the asin argument is clamped
+  * with `least(1.0, ·)` against ulp overshoot near antipodes.
+  *
+  * 100 TB notes: `geo_grid_density` is one map-side partial
+  * aggregation. `geo_radius_join`/`geo_knn` explode the SMALLER
+  * (facility) side ×9 and shuffle both sides on the integer cell key —
+  * candidate volume is bounded by cell occupancy, and the cell size
+  * should track the query radius (cell ≈ R keeps the candidate ratio
+  * near the geometric optimum ~π/9·(R/cell)²·9); skewed megacity cells
+  * ride AQE skew splitting like every other key. `geo_nearest_hub` is
+  * the IVF coarse-assign shape: a |hubs|-row broadcast (bounded by the
+  * nation dimension) against one customer scan, argmin via a
+  * partial-agg-friendly `min(struct(dist, hub))` — no window shuffle at
+  * the data grain.
+  */
+object GeoOps {
+  type Q = (SparkSession, String) => DataFrame
+  private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
+
+  /** 1 m rounding for surfaced km distances (non-negative). */
+  private def r3(c: Column): Column = floor(c * 1000.0 + 0.5) / 1000.0
+  /** µ-degree-grade rounding for argmin comparisons (non-negative). */
+  private def r6(c: Column): Column = floor(c * 1000000.0 + 0.5) / 1000000.0
+
+  /** Great-circle km, mean earth radius 6371.0088 (IUGG) — operation
+    * order mirrors the oracle text exactly (see file scaladoc). */
+  private[graft] def haversineKm(lat1: Column, lon1: Column,
+      lat2: Column, lon2: Column): Column = {
+    val sdlat = sin(((lat2 - lat1) * lit(Math.PI)) / 360.0)
+    val sdlon = sin(((lon2 - lon1) * lit(Math.PI)) / 360.0)
+    val h = sdlat * sdlat +
+      cos((lat1 * lit(Math.PI)) / 180.0) * cos((lat2 * lit(Math.PI)) / 180.0) *
+        sdlon * sdlon
+    lit(12742.0176) * asin(sqrt(least(lit(1.0), h)))
+  }
+
+  /** The shared haversine text of every oracle: same operation order as
+    * [[haversineKm]] (explicit sin·sin, left-assoc products, clamped
+    * asin), with `$a`/`$b` the FROM aliases carrying lat/lon. */
+  private def havSql(a: String, b: String): String =
+    s"12742.0176 * asin(sqrt(least(1.0, " +
+      s"sin((($b.lat - $a.lat) * pi()) / 360.0) * sin((($b.lat - $a.lat) * pi()) / 360.0) + " +
+      s"cos(($a.lat * pi()) / 180.0) * cos(($b.lat * pi()) / 180.0) * " +
+      s"sin((($b.lon - $a.lon) * pi()) / 360.0) * sin((($b.lon - $a.lon) * pi()) / 360.0))))"
+
+  /** Derived point for an entity key: integer milli-degrees first (so
+    * the CELL is pure integer arithmetic), one exact /1000.0 for the
+    * double coordinate. lat ∈ [-5,5), lon ∈ [-10,10). */
+  private def points(df: DataFrame, key: String): DataFrame =
+    df.selectExpr(
+      s"$key AS k",
+      s"(($key * 48271) % 10000) / 1000.0 - 5.0 AS lat",
+      s"(($key * 16807) % 20000) / 1000.0 - 10.0 AS lon",
+      s"(($key * 48271) % 10000) DIV 1000 - 5 AS latc",
+      s"(($key * 16807) % 20000) DIV 1000 - 10 AS lonc")
+
+  /** The same derivation as a DuckDB CTE body (`//` = integer div). */
+  private def pointsSql(table: String, key: String): String =
+    s"SELECT $key AS k, " +
+      s"(($key * 48271) % 10000) / 1000.0 - 5.0 AS lat, " +
+      s"(($key * 16807) % 20000) / 1000.0 - 10.0 AS lon, " +
+      s"(($key * 48271) % 10000) // 1000 - 5 AS latc, " +
+      s"(($key * 16807) % 20000) // 1000 - 10 AS lonc FROM $table"
+
+  /** Grid-blocked supplier→customer candidate pairs with exact
+    * haversine ≤ 50 km. The supplier (smaller) side explodes ×9 over
+    * its 3×3 cell neighborhood — lon cells wrap at the antimeridian
+    * (`((c+dl+540) % 360) - 180`), lat cells clamp naturally (latitude
+    * does not wrap; out-of-range neighbors simply never match). Each
+    * customer occupies exactly ONE cell, and the 9 neighbor cells are
+    * distinct (the lon span is 20 cells ≫ 3), so no candidate pair is
+    * produced twice — no post-join dedup needed. */
+  private[graft] def radiusPairs(s: SparkSession, d: String): DataFrame = {
+    val supp = points(t(s, d, "supplier"), "s_suppkey")
+      .withColumn("dlat", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("dlon", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .select(col("k").as("sk"), col("lat").as("slat"), col("lon").as("slon"),
+        (col("latc") + col("dlat")).as("nlatc"),
+        (((col("lonc") + col("dlon") + 540L) % 360L) - 180L).as("nlonc"))
+    val cust = points(t(s, d, "customer"), "c_custkey")
+    supp.join(cust,
+        supp("nlatc") === cust("latc") && supp("nlonc") === cust("lonc"))
+      .select(col("sk"), col("k").as("ck"),
+        haversineKm(col("slat"), col("slon"), col("lat"), col("lon")).as("d"))
+      .filter(col("d") <= 50.0)
+  }
+
+  /** The oracle twin of [[radiusPairs]] as a WITH-clause prefix ending
+    * in a `cand(sk, ck, d)` CTE. DuckDB's unnest runs in the FROM list
+    * (one row per offset pair via two generated columns). */
+  private def radiusPairsSql: String =
+    "WITH sp AS (" + pointsSql("supplier", "s_suppkey") + "), " +
+      "cp AS (" + pointsSql("customer", "c_custkey") + "), " +
+      "se AS (SELECT sp.k AS sk, sp.lat, sp.lon, " +
+      "sp.latc + dl.d AS nlatc, ((sp.lonc + dn.d + 540) % 360) - 180 AS nlonc " +
+      "FROM sp, (SELECT unnest([-1, 0, 1]) AS d) dl, (SELECT unnest([-1, 0, 1]) AS d) dn), " +
+      "cand AS (SELECT se.sk, c.k AS ck, " + havSql("se", "c") + " AS d " +
+      "FROM se JOIN cp c ON se.nlatc = c.latc AND se.nlonc = c.lonc " +
+      "WHERE " + havSql("se", "c") + " <= 50.0) "
+
+  /** geo_grid_density: customers per one-degree grid cell with the
+    * cell's average account balance — the heat-map aggregation. One
+    * scan, map-side partial agg on the integer cell key, top-50 cells
+    * by count. */
+  def geoGridDensity(s: SparkSession, d: String): DataFrame =
+    t(s, d, "customer")
+      .selectExpr(
+        "((c_custkey * 48271) % 10000) DIV 1000 - 5 AS latc",
+        "((c_custkey * 16807) % 20000) DIV 1000 - 10 AS lonc",
+        "c_acctbal")
+      .groupBy(col("latc"), col("lonc"))
+      .agg(count(lit(1)).as("n_cust"),
+        (floor(avg(col("c_acctbal")) * 100.0 + 0.5) / 100.0).as("avg_acctbal"))
+      .orderBy(col("n_cust").desc, col("latc"), col("lonc"))
+      .limit(50)
+
+  /** geo_radius_join: per supplier, how many customers sit within 50 km
+    * and how near the closest one is — the store-coverage question.
+    * Grid-blocked (see [[radiusPairs]]); counts are exact integers and
+    * the min distance is rounded to 1 m AFTER the min (r3 is monotone,
+    * so min-then-round ≡ round-then-min). */
+  def geoRadiusJoin(s: SparkSession, d: String): DataFrame =
+    radiusPairs(s, d)
+      .groupBy(col("sk").as("s_suppkey"))
+      .agg(count(lit(1)).as("n_within"), r3(min(col("d"))).as("min_dist_km"))
+      .orderBy(col("s_suppkey"))
+
+  /** geo_knn: the 3 nearest customers within 50 km of each supplier —
+    * radius-bounded KNN (the standard serving shape: blocking bounds
+    * the candidate set, so "k nearest within R" is the honest contract,
+    * not unbounded KNN). Rank by ROUNDED distance + customer id; the
+    * per-supplier window partitions on the facility grain. */
+  def geoKnn(s: SparkSession, d: String): DataFrame = {
+    val ranked = radiusPairs(s, d)
+      .select(col("sk").as("s_suppkey"), col("ck").as("c_custkey"),
+        r3(col("d")).as("dist_km"))
+      .withColumn("nn_rank", row_number().over(
+        Window.partitionBy("s_suppkey").orderBy(col("dist_km"), col("c_custkey"))))
+    ranked.filter(col("nn_rank") <= 3)
+      .select("s_suppkey", "nn_rank", "c_custkey", "dist_km")
+      .orderBy("s_suppkey", "nn_rank")
+  }
+
+  /** geo_nearest_hub: assign every customer to its nearest of the 25
+    * nation-derived hub points and report per-hub membership + mean
+    * assignment distance — the IVF coarse-assign shape (a bounded
+    * broadcast against one fact scan, argmin via min(struct), per-hub
+    * rollup). Argmin compares µ-rounded distances with the hub key as
+    * the total tie-break. */
+  def geoNearestHub(s: SparkSession, d: String): DataFrame = {
+    val hubs = t(s, d, "nation").selectExpr(
+      "n_nationkey AS hk",
+      "((n_nationkey * 7919 + 13) % 10000) / 1000.0 - 5.0 AS hlat",
+      "(((n_nationkey * 7919 + 13) * 31) % 20000) / 1000.0 - 10.0 AS hlon")
+    val cust = points(t(s, d, "customer"), "c_custkey")
+    val assigned = cust.crossJoin(broadcast(hubs))
+      .select(col("k"),
+        struct(r6(haversineKm(col("lat"), col("lon"), col("hlat"), col("hlon"))).as("d"),
+          col("hk")).as("cand"))
+      .groupBy("k").agg(min(col("cand")).as("best"))
+    assigned
+      .groupBy(col("best.hk").as("hub_key"))
+      .agg(count(lit(1)).as("n_assigned"),
+        r3(avg(col("best.d"))).as("avg_dist_km"))
+      .orderBy("hub_key")
+  }
+
+  // --------------------------------------------------------------- registry
+
+  val queries: Map[String, Q] = Map(
+    "geo_grid_density" -> (geoGridDensity _),
+    "geo_radius_join" -> (geoRadiusJoin _),
+    "geo_knn" -> (geoKnn _),
+    "geo_nearest_hub" -> (geoNearestHub _))
+
+  val oracles: Map[String, String] = Map(
+    "geo_grid_density" ->
+      ("SELECT ((c_custkey * 48271) % 10000) // 1000 - 5 AS latc, " +
+        "((c_custkey * 16807) % 20000) // 1000 - 10 AS lonc, " +
+        "CAST(count(*) AS BIGINT) AS n_cust, " +
+        "floor(avg(c_acctbal) * 100.0 + 0.5) / 100.0 AS avg_acctbal " +
+        "FROM customer GROUP BY 1, 2 ORDER BY n_cust DESC, latc, lonc LIMIT 50"),
+    "geo_radius_join" ->
+      (radiusPairsSql +
+        "SELECT sk AS s_suppkey, CAST(count(*) AS BIGINT) AS n_within, " +
+        "floor(min(d) * 1000.0 + 0.5) / 1000.0 AS min_dist_km " +
+        "FROM cand GROUP BY 1 ORDER BY s_suppkey"),
+    "geo_knn" ->
+      (radiusPairsSql + ", ranked AS (" +
+        "SELECT sk AS s_suppkey, ck AS c_custkey, " +
+        "floor(d * 1000.0 + 0.5) / 1000.0 AS dist_km, " +
+        "CAST(row_number() OVER (PARTITION BY sk " +
+        "ORDER BY floor(d * 1000.0 + 0.5) / 1000.0, ck) AS INTEGER) AS nn_rank " +
+        "FROM cand) " +
+        "SELECT s_suppkey, nn_rank, c_custkey, dist_km FROM ranked " +
+        "WHERE nn_rank <= 3 ORDER BY s_suppkey, nn_rank"),
+    "geo_nearest_hub" ->
+      ("WITH h AS (SELECT n_nationkey AS hk, " +
+        "((n_nationkey * 7919 + 13) % 10000) / 1000.0 - 5.0 AS lat, " +
+        "(((n_nationkey * 7919 + 13) * 31) % 20000) / 1000.0 - 10.0 AS lon FROM nation), " +
+        "cp AS (" + pointsSql("customer", "c_custkey") + "), " +
+        "scored AS (SELECT cp.k, h.hk, " +
+        "floor(" + havSql("cp", "h") + " * 1000000.0 + 0.5) / 1000000.0 AS d, " +
+        "row_number() OVER (PARTITION BY cp.k ORDER BY " +
+        "floor(" + havSql("cp", "h") + " * 1000000.0 + 0.5) / 1000000.0, h.hk) AS rn " +
+        "FROM cp CROSS JOIN h) " +
+        "SELECT hk AS hub_key, CAST(count(*) AS BIGINT) AS n_assigned, " +
+        "floor(avg(d) * 1000.0 + 0.5) / 1000.0 AS avg_dist_km " +
+        "FROM scored WHERE rn = 1 GROUP BY 1 ORDER BY hub_key"))
+}

@@ -109,7 +109,8 @@ class EngineSurfaceSpec extends SparkTestBase {
       "AdvancedOps" -> AdvancedOps.queries.keySet,
       "UnigramOps" -> UnigramOps.queries.keySet,
       "WordPieceOps" -> WordPieceOps.queries.keySet,
-      "DataQualityOps" -> DataQualityOps.queries.keySet)
+      "DataQualityOps" -> DataQualityOps.queries.keySet,
+      "GeoOps" -> GeoOps.queries.keySet)
     val perRegistry = registries.map(_._2.size).sum
     assert(perRegistry == SparkEntry.queries.size,
       s"key collision across registries: ${

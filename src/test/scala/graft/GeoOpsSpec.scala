@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.GeoOps
+
+/** The geo_* family on the sf0.001 fixtures: blocking completeness
+  * against brute force (the invariant that makes grid blocking safe at
+  * any scale), haversine sanity against closed-form geodesy, rank/
+  * assignment totality, and the plan shapes the scaladocs claim. */
+class GeoOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def pts(table: String, key: String) =
+    Tables.load(spark, SF, table).selectExpr(
+      s"$key AS k",
+      s"(($key * 48271) % 10000) / 1000.0 - 5.0 AS lat",
+      s"(($key * 16807) % 20000) / 1000.0 - 10.0 AS lon")
+
+  test("haversine matches closed-form geodesy on known points") {
+    // 1 degree of longitude on the equator = R * pi/180 = 111.1949 km
+    val d = Seq((0.0, 0.0, 0.0, 1.0)).toDF("lat1", "lon1", "lat2", "lon2")
+      .select(GeoOps.haversineKm(col("lat1"), col("lon1"), col("lat2"), col("lon2")))
+      .head().getDouble(0)
+    assert(math.abs(d - 6371.0088 * math.Pi / 180.0) < 1e-9)
+    // symmetric, zero on identical points, positive otherwise
+    val z = Seq((3.2, -7.1)).toDF("lat", "lon")
+      .select(GeoOps.haversineKm(col("lat"), col("lon"), col("lat"), col("lon")))
+      .head().getDouble(0)
+    assert(z == 0.0)
+  }
+
+  test("grid blocking is COMPLETE: blocked pairs == brute-force pairs within 50 km") {
+    val blocked = GeoOps.radiusPairs(spark, SF)
+      .select("sk", "ck").as[(Long, Long)].collect().toSet
+    val s = pts("supplier", "s_suppkey")
+      .select(col("k").as("sk"), col("lat").as("slat"), col("lon").as("slon"))
+    val brute = s.crossJoin(pts("customer", "c_custkey"))
+      .select(col("sk"), col("k").as("ck"),
+        GeoOps.haversineKm(col("slat"), col("slon"), col("lat"), col("lon")).as("d"))
+      .filter(col("d") <= 50.0)
+      .select("sk", "ck").as[(Long, Long)].collect().toSet
+    assert(brute.nonEmpty, "fixture should produce at least one within-radius pair")
+    assert(blocked == brute,
+      s"blocking dropped ${(brute -- blocked).size} / invented ${(blocked -- brute).size} pairs")
+  }
+
+  test("antimeridian wrap: neighbor lon cells wrap -180/+179 onto each other") {
+    // the wrap expression used by radiusPairs, evaluated standalone
+    val wrap = Seq((-180L, -1L), (179L, 1L), (0L, 1L)).toDF("lonc", "dlon")
+      .selectExpr("((lonc + dlon + 540) % 360) - 180 AS n")
+      .as[Long].collect()
+    assert(wrap.toSeq == Seq(179L, -180L, 1L))
+  }
+
+  test("geo_knn: ranks are 1..3, distances nondecreasing within supplier, all <= 50 km") {
+    val rows = GeoOps.geoKnn(spark, SF).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val byRank = rs.sortBy(_.getInt(1))
+      assert(byRank.map(_.getInt(1)).toSeq == (1 to byRank.length))
+      val ds = byRank.map(_.getDouble(3))
+      assert(ds.zip(ds.tail).forall { case (a, b) => a <= b })
+      assert(ds.forall(_ <= 50.0))
+    }
+  }
+
+  test("geo_nearest_hub: every customer assigned exactly once, to its true argmin hub") {
+    val out = GeoOps.geoNearestHub(spark, SF).collect()
+    val nCust = Tables.load(spark, SF, "customer").count()
+    assert(out.map(_.getLong(1)).sum == nCust)
+    // brute-force argmin on the same derivation must agree per hub
+    val hubs = Tables.load(spark, SF, "nation").selectExpr(
+      "n_nationkey AS hk",
+      "((n_nationkey * 7919 + 13) % 10000) / 1000.0 - 5.0 AS hlat",
+      "(((n_nationkey * 7919 + 13) * 31) % 20000) / 1000.0 - 10.0 AS hlon")
+    val brute = pts("customer", "c_custkey").crossJoin(hubs)
+      .select(col("k"), col("hk"),
+        GeoOps.haversineKm(col("lat"), col("lon"), col("hlat"), col("hlon")).as("d"))
+      .collect().groupBy(_.getLong(0)).map { case (_, rs) =>
+        rs.minBy(r => (r.getDouble(2), r.getInt(1))).getInt(1)
+      }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = out.map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got == brute)
+  }
+
+  test("geo_grid_density: cells in the derived range, counts total the table") {
+    val rows = GeoOps.geoGridDensity(spark, SF).collect()
+    assert(rows.forall { r =>
+      val (la, lo) = (r.getLong(0), r.getLong(1))
+      la >= -5 && la <= 4 && lo >= -10 && lo <= 9
+    })
+    // sf0.001 has 150 customers over 200 cells; top-50 cells can't exceed it
+    assert(rows.map(_.getLong(2)).sum <= Tables.load(spark, SF, "customer").count())
+    assert(rows.map(_.getLong(2)).sum > 0)
+  }
+
+  test("plan shapes: radius join shuffles on cell keys (no cartesian), hub assign is one bounded BNL") {
+    val radius = GeoOps.geoRadiusJoin(spark, SF).queryExecution.executedPlan.toString
+    assert(!radius.contains("CartesianProduct") && !radius.contains("BroadcastNestedLoopJoin"))
+    val hub = GeoOps.geoNearestHub(spark, SF).queryExecution.executedPlan.toString
+    assert(hub.contains("BroadcastNestedLoopJoin"), "hub assign should broadcast the 25-row hub table")
+  }
+}
