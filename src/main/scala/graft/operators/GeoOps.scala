@@ -41,10 +41,11 @@ import graft.Tables
   * should track the query radius (cell ≈ R keeps the candidate ratio
   * near the geometric optimum ~π/9·(R/cell)²·9); skewed megacity cells
   * ride AQE skew splitting like every other key. `geo_nearest_hub` is
-  * the IVF coarse-assign shape: a |hubs|-row broadcast (bounded by the
-  * nation dimension) against one customer scan, argmin via a
-  * partial-agg-friendly `min(struct(dist, hub))` — no window shuffle at
-  * the data grain.
+  * the IVF coarse-assign shape taken to its bounded-dimension limit:
+  * the 25 hubs are collected driver-side (the PQ/IVF-codebook
+  * treatment), the argmin is one stateless `array_min` projection per
+  * row — no join, no per-row shuffle — and the only exchange is the
+  * 25-key rollup.
   */
 object GeoOps {
   type Q = (SparkSession, String) => DataFrame
@@ -82,16 +83,21 @@ object GeoOps {
   private def points(df: DataFrame, key: String): DataFrame =
     df.selectExpr(
       s"$key AS k",
-      s"(($key * 48271) % 10000) / 1000.0 - 5.0 AS lat",
-      s"(($key * 16807) % 20000) / 1000.0 - 10.0 AS lon",
+      s"CAST(($key * 48271) % 10000 AS DOUBLE) / 1000.0 - 5.0 AS lat",
+      s"CAST(($key * 16807) % 20000 AS DOUBLE) / 1000.0 - 10.0 AS lon",
       s"(($key * 48271) % 10000) DIV 1000 - 5 AS latc",
       s"(($key * 16807) % 20000) DIV 1000 - 10 AS lonc")
 
-  /** The same derivation as a DuckDB CTE body (`//` = integer div). */
+  /** The same derivation as a DuckDB CTE body (`//` = integer div).
+    * The coordinate arithmetic is EXPLICIT-DOUBLE on both engines
+    * (Spark parses `1000.0` as a DECIMAL literal, so an uncast quotient
+    * would ride an exact-decimal path whose later double cast can land
+    * one ulp away from DuckDB's IEEE division — the CAST pins both
+    * engines to the identical correctly-rounded double sequence). */
   private def pointsSql(table: String, key: String): String =
     s"SELECT $key AS k, " +
-      s"(($key * 48271) % 10000) / 1000.0 - 5.0 AS lat, " +
-      s"(($key * 16807) % 20000) / 1000.0 - 10.0 AS lon, " +
+      s"CAST(($key * 48271) % 10000 AS DOUBLE) / 1000.0 - 5.0 AS lat, " +
+      s"CAST(($key * 16807) % 20000 AS DOUBLE) / 1000.0 - 10.0 AS lon, " +
       s"(($key * 48271) % 10000) // 1000 - 5 AS latc, " +
       s"(($key * 16807) % 20000) // 1000 - 10 AS lonc FROM $table"
 
@@ -183,24 +189,41 @@ object GeoOps {
       .orderBy("s_suppkey", "nn_rank")
   }
 
+  /** The 25 nation-derived hub points, collected driver-side — a
+    * BOUNDED dimension (|nation| = 25 at every SF), the same
+    * model-state treatment as the PQ/IVF codebooks. */
+  private[graft] def hubsOf(s: SparkSession, d: String): Seq[(Int, Double, Double)] =
+    t(s, d, "nation").selectExpr(
+        "n_nationkey AS hk",
+        "CAST((n_nationkey * 7919 + 13) % 10000 AS DOUBLE) / 1000.0 - 5.0 AS hlat",
+        "CAST(((n_nationkey * 7919 + 13) * 31) % 20000 AS DOUBLE) / 1000.0 - 10.0 AS hlon")
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2))).toSeq
+      .sortBy(_._1)
+
+  /** Per-row nearest-hub argmin as ONE stateless projection: an
+    * `array_min` over the hub-literal struct array, ordered by
+    * (µ-rounded distance, hub key) — so the argmin and its tie-break
+    * are the struct ordering itself. Stateless ⇒ streaming-safe
+    * verbatim; the streaming twin ([[graft.streaming.StreamingOps]])
+    * reuses this Column, and the batch oracle grades both. */
+  private[graft] def nearestHubStruct(hubs: Seq[(Int, Double, Double)],
+      lat: Column, lon: Column): Column =
+    array_min(array(hubs.map { case (hk, hlat, hlon) =>
+      struct(r6(haversineKm(lat, lon, lit(hlat), lit(hlon))).as("d"),
+        lit(hk).as("hk"))
+    }: _*))
+
   /** geo_nearest_hub: assign every customer to its nearest of the 25
     * nation-derived hub points and report per-hub membership + mean
-    * assignment distance — the IVF coarse-assign shape (a bounded
-    * broadcast against one fact scan, argmin via min(struct), per-hub
-    * rollup). Argmin compares µ-rounded distances with the hub key as
-    * the total tie-break. */
+    * assignment distance. The hub set is a bounded dimension, so the
+    * assign is a pure map-side projection ([[nearestHubStruct]] — no
+    * join, no per-customer shuffle) followed by one partial-agg-friendly
+    * rollup on the 25-key hub grain: strictly one scan + one 25-group
+    * aggregation at any corpus size. */
   def geoNearestHub(s: SparkSession, d: String): DataFrame = {
-    val hubs = t(s, d, "nation").selectExpr(
-      "n_nationkey AS hk",
-      "((n_nationkey * 7919 + 13) % 10000) / 1000.0 - 5.0 AS hlat",
-      "(((n_nationkey * 7919 + 13) * 31) % 20000) / 1000.0 - 10.0 AS hlon")
-    val cust = points(t(s, d, "customer"), "c_custkey")
-    val assigned = cust.crossJoin(broadcast(hubs))
-      .select(col("k"),
-        struct(r6(haversineKm(col("lat"), col("lon"), col("hlat"), col("hlon"))).as("d"),
-          col("hk")).as("cand"))
-      .groupBy("k").agg(min(col("cand")).as("best"))
-    assigned
+    val hubs = hubsOf(s, d)
+    points(t(s, d, "customer"), "c_custkey")
+      .select(nearestHubStruct(hubs, col("lat"), col("lon")).as("best"))
       .groupBy(col("best.hk").as("hub_key"))
       .agg(count(lit(1)).as("n_assigned"),
         r3(avg(col("best.d"))).as("avg_dist_km"))

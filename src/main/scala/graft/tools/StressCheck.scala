@@ -306,8 +306,8 @@ object StressCheck {
       def ptsOf(n: Long, mul: Long) = spark.range(n)
         .selectExpr(s"id * $mul + 17 AS k")
         .selectExpr("k",
-          "((k * 48271) % 120000) / 1000.0 - 60.0 AS lat",
-          "((k * 16807) % 360000) / 1000.0 - 180.0 AS lon",
+          "CAST((k * 48271) % 120000 AS DOUBLE) / 1000.0 - 60.0 AS lat",
+          "CAST((k * 16807) % 360000 AS DOUBLE) / 1000.0 - 180.0 AS lon",
           "((k * 48271) % 120000) DIV 1000 - 60 AS latc",
           "((k * 16807) % 360000) DIV 1000 - 180 AS lonc")
       val fac = ptsOf(nFac, 13L)

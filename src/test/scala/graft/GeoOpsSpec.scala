@@ -13,8 +13,8 @@ class GeoOpsSpec extends SparkTestBase {
   private def pts(table: String, key: String) =
     Tables.load(spark, SF, table).selectExpr(
       s"$key AS k",
-      s"(($key * 48271) % 10000) / 1000.0 - 5.0 AS lat",
-      s"(($key * 16807) % 20000) / 1000.0 - 10.0 AS lon")
+      s"CAST(($key * 48271) % 10000 AS DOUBLE) / 1000.0 - 5.0 AS lat",
+      s"CAST(($key * 16807) % 20000 AS DOUBLE) / 1000.0 - 10.0 AS lon")
 
   test("haversine matches closed-form geodesy on known points") {
     // 1 degree of longitude on the equator = R * pi/180 = 111.1949 km
@@ -94,10 +94,12 @@ class GeoOpsSpec extends SparkTestBase {
     assert(rows.map(_.getLong(2)).sum > 0)
   }
 
-  test("plan shapes: radius join shuffles on cell keys (no cartesian), hub assign is one bounded BNL") {
+  test("plan shapes: radius join shuffles on cell keys, hub assign plans NO join at all") {
     val radius = GeoOps.geoRadiusJoin(spark, SF).queryExecution.executedPlan.toString
     assert(!radius.contains("CartesianProduct") && !radius.contains("BroadcastNestedLoopJoin"))
+    // the hub argmin is a map-side projection over the bounded hub
+    // literal array — no join operator of any kind in the plan
     val hub = GeoOps.geoNearestHub(spark, SF).queryExecution.executedPlan.toString
-    assert(hub.contains("BroadcastNestedLoopJoin"), "hub assign should broadcast the 25-row hub table")
+    assert(!hub.contains("Join"), s"hub assign should be join-free:\n$hub")
   }
 }

@@ -67,11 +67,7 @@ class PlanInvariantsSpec extends SparkTestBase {
     // memoized, so no BNL survives in the served plan at all — the
     // build-plan BNLs are pinned in the dedicated test below (the
     // llm_tfidf_cosine round-6 precedent)
-    "event_attribution_decay", "llm_hybrid_rrf",
-    // geo_nearest_hub: the |nation|-row (25) hub table broadcast against
-    // one customer scan — the IVF coarse-assign shape, bounded by the
-    // nation dimension exactly like llm_knn_queries' bounded query set
-    "geo_nearest_hub")
+    "event_attribution_decay", "llm_hybrid_rrf")
 
   test("no graded key plans a CartesianProduct; nested-loop joins only where justified") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

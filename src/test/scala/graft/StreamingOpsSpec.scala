@@ -769,6 +769,36 @@ class StreamingOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming geo hub enrich equals the batch argmin kernel bit-for-bit") {
+    import org.apache.spark.sql.functions.col
+    import StreamingOpsSpec.GPoint
+    // the REAL fixture derivation: sf0.001 customer points
+    val pts = Tables.load(spark, SF, "customer").selectExpr(
+        "c_custkey AS k",
+        "CAST((c_custkey * 48271) % 10000 AS DOUBLE) / 1000.0 - 5.0 AS lat",
+        "CAST((c_custkey * 16807) % 20000 AS DOUBLE) / 1000.0 - 10.0 AS lon")
+      .collect().map(r => GPoint(r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
+    val hubs = graft.operators.GeoOps.hubsOf(spark, SF)
+    val input = MemoryStream[GPoint]
+    val q = StreamingOps.geoHubEnrichStream(input.toDF(), hubs)
+      .writeStream.format("memory").queryName("geohub").outputMode("append").start()
+    try {
+      // two batches to prove per-micro-batch statelessness
+      val (b1, b2) = pts.splitAt(pts.length / 2)
+      input.addData(b1: _*); drain(q)
+      input.addData(b2: _*); drain(q)
+      val got = spark.sql("SELECT k, hub_key, dist_km FROM geohub").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+      // identical to the same stateless Column over the same rows in batch
+      val best = graft.operators.GeoOps.nearestHubStruct(hubs, col("lat"), col("lon"))
+      val want = spark.createDataset(pts).toDF()
+        .select(col("k"), best.getField("hk"), best.getField("d"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+      assert(got == want)
+      assert(got.size == pts.length, "every streamed point assigned exactly once")
+    } finally q.stop()
+  }
+
   test("streaming EWMA equals the batch closed form bit-for-bit across batch splits") {
     import graft.streaming.StreamingOps.DailyCents
     val batch = graft.operators.EventOps.tsEwma(spark, SF).collect()
@@ -854,4 +884,5 @@ object StreamingOpsSpec {
   /** Top-level so Spark can derive its product encoder (a method-local
     * case class cannot get one). */
   final case class QDoc(doc_id: Long, lang: String, n_chars: Int, text: String)
+  final case class GPoint(k: Long, lat: Double, lon: Double)
 }
