@@ -158,6 +158,61 @@ object KernelProperties extends Properties("graft.kernels") {
         cent.exists(c => c.zip(p).map { case (x, y) => (x - y) * (x - y) }.sum < 1e-12)
       }
     }
+
+  // --- geo grid-blocking invariants (GeoOps' 3×3 cell discipline) ---
+
+  /** Plain-Scala twin of GeoOps.haversineKm (same operation order). */
+  private def hav(lat1: Double, lon1: Double, lat2: Double, lon2: Double): Double = {
+    val sdlat = math.sin(((lat2 - lat1) * math.Pi) / 360.0)
+    val sdlon = math.sin(((lon2 - lon1) * math.Pi) / 360.0)
+    val h = sdlat * sdlat +
+      ((math.cos((lat1 * math.Pi) / 180.0) * math.cos((lat2 * math.Pi) / 180.0)) * sdlon) * sdlon
+    12742.0176 * math.asin(math.sqrt(math.min(1.0, h)))
+  }
+
+  /** The mathematical core of blocking COMPLETENESS: at |lat| ≤ 60 any
+    * two points within 50 km share a 3×3 one-degree cell neighborhood
+    * (lat cells differ ≤ 1; lon cells differ ≤ 1 after antimeridian
+    * wrap). Proof sketch: Δlat ≤ 50/111.19 < 0.45°, and d ≥
+    * R·sin(Δlon/2)·2·√(cosλ₁cosλ₂) ≥ R·sin(Δlon/2) at cosλ ≥ 0.5 ⇒
+    * Δlon ≤ 0.9°. The generator plants the second point NEAR the first
+    * (±0.8° each axis, lon wrapped) so the ≤50 km branch is exercised,
+    * not vacuous. */
+  property("within-50km points always land in adjacent grid cells (|lat|<=60, wrap-aware)") =
+    forAll(Gen.chooseNum(-59.999, 59.999), Gen.chooseNum(-180.0, 179.999),
+      Gen.chooseNum(-0.8, 0.8), Gen.chooseNum(-0.8, 0.8)) { (la1, lo1, dLat, dLon) =>
+      val la2 = math.max(-59.999, math.min(59.999, la1 + dLat))
+      val lo2raw = lo1 + dLon
+      val lo2 = if (lo2raw >= 180.0) lo2raw - 360.0
+        else if (lo2raw < -180.0) lo2raw + 360.0 else lo2raw
+      val d = hav(la1, lo1, la2, lo2)
+      d > 50.0 || {
+        val dlatCells = math.abs(math.floor(la1).toLong - math.floor(la2).toLong)
+        val raw = math.abs(math.floor(lo1).toLong - math.floor(lo2).toLong)
+        val dlonCells = math.min(raw, 360L - raw)
+        dlatCells <= 1 && dlonCells <= 1
+      }
+    }
+
+  /** The integer cell derivation equals floor of the double coordinate —
+    * the invariant that lets the shuffle key stay pure-integer while the
+    * distance math runs on doubles. */
+  property("integer milli-degree cell == floor(double coordinate)") =
+    forAll(Gen.chooseNum(1L, 1L << 40)) { k =>
+      val latMilli = (k * 48271) % 120000
+      val lonMilli = (k * 16807) % 360000
+      (latMilli / 1000 - 60) == math.floor(latMilli.toDouble / 1000.0 - 60.0).toLong &&
+        (lonMilli / 1000 - 180) == math.floor(lonMilli.toDouble / 1000.0 - 180.0).toLong
+    }
+
+  /** The neighbor-cell wrap expression stays in [-180,179] and is the
+    * true mod-360 neighborhood. */
+  property("lon neighbor-cell wrap is total and correct") =
+    forAll(Gen.chooseNum(-180L, 179L), Gen.oneOf(-1L, 0L, 1L)) { (lonc, dl) =>
+      val n = ((lonc + dl + 540L) % 360L) - 180L
+      n >= -180L && n <= 179L &&
+        ((n - (lonc + dl)) % 360L == 0L)
+    }
 }
 
 /** Plain-Scala twin of the native simhash64 expression's kernel
