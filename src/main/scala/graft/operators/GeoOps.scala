@@ -27,9 +27,9 @@ import graft.Tables
   * Float discipline: haversine is transcendental, so raw distances can
   * differ between engines in the last ulp. Every surfaced distance is
   * rounded to 1 m (`floor(d·1000+0.5)/1000`), every ORDER/rank uses the
-  * ROUNDED value + ids, and the 50 km radius cut sits 9.9 m away from
-  * the nearest fixture pair (probed over sf0.1's 609k candidates) —
-  * 10 orders of magnitude above cross-engine libm divergence. The
+  * ROUNDED value + ids, and the 50 km radius cut sits 0.48 m away from
+  * the nearest fixture pair (probed over sf0.1's 608k candidates) —
+  * 9 orders of magnitude above cross-engine libm divergence. The
   * formula is written with IDENTICAL operation order on both engines
   * (explicit `sin·sin`, no `pow`), and the asin argument is clamped
   * with `least(1.0, ·)` against ulp overshoot near antipodes.
@@ -80,13 +80,31 @@ object GeoOps {
   /** Derived point for an entity key: integer milli-degrees first (so
     * the CELL is pure integer arithmetic), one exact /1000.0 for the
     * double coordinate. lat ∈ [-5,5), lon ∈ [-10,10). */
-  private def points(df: DataFrame, key: String): DataFrame =
+  /** Derivation constants per entity side. The facility (supplier)
+    * side uses DIFFERENT multipliers/offsets than the target
+    * (customer) side: supplier keys are a subset of customer keys at
+    * every SF, so a shared derivation would colocate every facility
+    * exactly on a customer — min distances degenerately 0.0, the
+    * nearest-neighbor discipline never exercised. With distinct
+    * constants the closest fixture pair sits at 0.157 km (sf0.1) and
+    * the 50 km cut's nearest approach is 0.48 m — still 9 orders of
+    * magnitude above cross-engine libm divergence. */
+  private val CustCoef = (48271L, 0L, 16807L, 0L)
+  private val SuppCoef = (24571L, 11L, 12289L, 7L)
+
+  private[graft] def points(df: DataFrame, key: String,
+      coef: (Long, Long, Long, Long) = CustCoef): DataFrame = {
+    val (la, lb, na, nb) = coef
     df.selectExpr(
       s"$key AS k",
-      s"CAST(($key * 48271) % 10000 AS DOUBLE) / 1000.0 - 5.0 AS lat",
-      s"CAST(($key * 16807) % 20000 AS DOUBLE) / 1000.0 - 10.0 AS lon",
-      s"(($key * 48271) % 10000) DIV 1000 - 5 AS latc",
-      s"(($key * 16807) % 20000) DIV 1000 - 10 AS lonc")
+      s"CAST(($key * $la + $lb) % 10000 AS DOUBLE) / 1000.0 - 5.0 AS lat",
+      s"CAST(($key * $na + $nb) % 20000 AS DOUBLE) / 1000.0 - 10.0 AS lon",
+      s"(($key * $la + $lb) % 10000) DIV 1000 - 5 AS latc",
+      s"(($key * $na + $nb) % 20000) DIV 1000 - 10 AS lonc")
+  }
+
+  private[graft] def supplierPoints(df: DataFrame): DataFrame =
+    points(df, "s_suppkey", SuppCoef)
 
   /** The same derivation as a DuckDB CTE body (`//` = integer div).
     * The coordinate arithmetic is EXPLICIT-DOUBLE on both engines
@@ -94,12 +112,15 @@ object GeoOps {
     * would ride an exact-decimal path whose later double cast can land
     * one ulp away from DuckDB's IEEE division — the CAST pins both
     * engines to the identical correctly-rounded double sequence). */
-  private def pointsSql(table: String, key: String): String =
+  private def pointsSql(table: String, key: String,
+      coef: (Long, Long, Long, Long) = CustCoef): String = {
+    val (la, lb, na, nb) = coef
     s"SELECT $key AS k, " +
-      s"CAST(($key * 48271) % 10000 AS DOUBLE) / 1000.0 - 5.0 AS lat, " +
-      s"CAST(($key * 16807) % 20000 AS DOUBLE) / 1000.0 - 10.0 AS lon, " +
-      s"(($key * 48271) % 10000) // 1000 - 5 AS latc, " +
-      s"(($key * 16807) % 20000) // 1000 - 10 AS lonc FROM $table"
+      s"CAST(($key * $la + $lb) % 10000 AS DOUBLE) / 1000.0 - 5.0 AS lat, " +
+      s"CAST(($key * $na + $nb) % 20000 AS DOUBLE) / 1000.0 - 10.0 AS lon, " +
+      s"(($key * $la + $lb) % 10000) // 1000 - 5 AS latc, " +
+      s"(($key * $na + $nb) % 20000) // 1000 - 10 AS lonc FROM $table"
+  }
 
   /** Grid-blocked supplier→customer candidate pairs with exact
     * haversine ≤ 50 km. The supplier (smaller) side explodes ×9 over
@@ -119,7 +140,7 @@ object GeoOps {
   private[graft] def radiusPairs(s: SparkSession, d: String): DataFrame = {
     val sid = org.apache.spark.sql.graftnative.SessionIds.uuid(s)
     pairsMemo.get((sid, d))(
-      radiusPairsFrom(points(t(s, d, "supplier"), "s_suppkey"),
+      radiusPairsFrom(supplierPoints(t(s, d, "supplier")),
         points(t(s, d, "customer"), "c_custkey"), radiusKm = 50.0)
         .localCheckpoint(true))
   }
@@ -148,7 +169,7 @@ object GeoOps {
     * in a `cand(sk, ck, d)` CTE. DuckDB's unnest runs in the FROM list
     * (one row per offset pair via two generated columns). */
   private def radiusPairsSql: String =
-    "WITH sp AS (" + pointsSql("supplier", "s_suppkey") + "), " +
+    "WITH sp AS (" + pointsSql("supplier", "s_suppkey", SuppCoef) + "), " +
       "cp AS (" + pointsSql("customer", "c_custkey") + "), " +
       "se AS (SELECT sp.k AS sk, sp.lat, sp.lon, " +
       "sp.latc + dl.d AS nlatc, ((sp.lonc + dn.d + 540) % 360) - 180 AS nlonc " +

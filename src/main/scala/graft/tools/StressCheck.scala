@@ -312,12 +312,15 @@ object StressCheck {
           "((k * 16807) % 360000) DIV 1000 - 180 AS lonc")
       val fac = ptsOf(nFac, 13L)
       val tgt = ptsOf(nTgt, 7L)
-      val pairs = graft.operators.GeoOps.radiusPairsFrom(fac, tgt, 50.0)
+      // run the blocked join ONCE at an unbounded radius (= the raw
+      // candidate set with distances), cache it, and derive both the
+      // within-50 pair set and the never-all-pairs candidate count from
+      // the same materialization
+      val cand = graft.operators.GeoOps.radiusPairsFrom(fac, tgt, 1e9).cache()
+      val pairs = cand.filter(col("d") <= 50.0)
       val nPairs = pairs.count()
       require(nPairs > 0, "no within-radius pairs at stress scale")
-      // never-all-pairs: the unfiltered candidate volume is the blocked
-      // join's output — assert it sits at cell-occupancy scale
-      val nCand = graft.operators.GeoOps.radiusPairsFrom(fac, tgt, 1e9).count()
+      val nCand = cand.count()
       require(nCand.toDouble < 0.01 * nFac.toDouble * nTgt.toDouble,
         s"blocked candidates $nCand not << ${nFac * nTgt} all-pairs")
       // sampled completeness: brute force 20 facilities over ALL targets
@@ -334,6 +337,7 @@ object StressCheck {
       val blocked = pairs.filter(col("sk").isInCollection(keys))
         .select("sk", "ck").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       sampleFac.unpersist()
+      cand.unpersist()
       require(blocked == brute,
         s"blocking at stress scale dropped ${(brute -- blocked).size} " +
           s"/ invented ${(blocked -- brute).size} pairs")

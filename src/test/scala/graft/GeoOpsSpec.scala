@@ -6,17 +6,15 @@ import graft.operators.GeoOps
 /** The geo_* family on the sf0.001 fixtures: blocking completeness
   * against brute force (the invariant that makes grid blocking safe at
   * any scale), haversine sanity against closed-form geodesy, rank/
-  * assignment totality, and the plan shapes the scaladocs claim. */
+  * assignment totality, and the plan shapes the scaladocs claim. Point
+  * frames come from the SAME private[graft] derivation kernel the
+  * operators use (GeoOps.points/supplierPoints) — no copy-pasted
+  * constants to drift. */
 class GeoOpsSpec extends SparkTestBase {
   import spark.implicits._
 
-  private def pts(table: String, key: String) =
-    Tables.load(spark, SF, table).selectExpr(
-      s"$key AS k",
-      s"CAST(($key * 48271) % 10000 AS DOUBLE) / 1000.0 - 5.0 AS lat",
-      s"CAST(($key * 16807) % 20000 AS DOUBLE) / 1000.0 - 10.0 AS lon",
-      s"(($key * 48271) % 10000) DIV 1000 - 5 AS latc",
-      s"(($key * 16807) % 20000) DIV 1000 - 10 AS lonc")
+  private def custPts = GeoOps.points(Tables.load(spark, SF, "customer"), "c_custkey")
+  private def suppPts = GeoOps.supplierPoints(Tables.load(spark, SF, "supplier"))
 
   test("haversine matches closed-form geodesy on known points") {
     // 1 degree of longitude on the equator = R * pi/180 = 111.1949 km
@@ -31,12 +29,22 @@ class GeoOpsSpec extends SparkTestBase {
     assert(z == 0.0)
   }
 
+  test("facility and target derivations are distinct: no degenerate zero-distance colocation") {
+    // supplier keys are a SUBSET of customer keys at every SF — with a
+    // shared derivation every facility would sit exactly on a customer
+    // and min_dist would be 0.0 everywhere, never exercising the
+    // nearest-neighbor discipline
+    val rows = GeoOps.geoRadiusJoin(spark, SF).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getDouble(2) > 0.0),
+      "degenerate 0.0 min-distance: facility derivation collides with targets")
+  }
+
   test("grid blocking is COMPLETE: blocked pairs == brute-force pairs within 50 km") {
     val blocked = GeoOps.radiusPairs(spark, SF)
       .select("sk", "ck").as[(Long, Long)].collect().toSet
-    val s = pts("supplier", "s_suppkey")
-      .select(col("k").as("sk"), col("lat").as("slat"), col("lon").as("slon"))
-    val brute = s.crossJoin(pts("customer", "c_custkey"))
+    val s = suppPts.select(col("k").as("sk"), col("lat").as("slat"), col("lon").as("slon"))
+    val brute = s.crossJoin(custPts)
       .select(col("sk"), col("k").as("ck"),
         GeoOps.haversineKm(col("slat"), col("slon"), col("lat"), col("lon")).as("d"))
       .filter(col("d") <= 50.0)
@@ -62,7 +70,7 @@ class GeoOpsSpec extends SparkTestBase {
       assert(byRank.map(_.getInt(1)).toSeq == (1 to byRank.length))
       val ds = byRank.map(_.getDouble(3))
       assert(ds.zip(ds.tail).forall { case (a, b) => a <= b })
-      assert(ds.forall(_ <= 50.0))
+      assert(ds.forall(d => d <= 50.0 && d > 0.0))
     }
   }
 
@@ -70,24 +78,23 @@ class GeoOpsSpec extends SparkTestBase {
     val out = GeoOps.geoNearestHub(spark, SF).collect()
     val nCust = Tables.load(spark, SF, "customer").count()
     assert(out.map(_.getLong(1)).sum == nCust)
-    // brute-force argmin on the same derivation must agree per hub
-    val hubs = Tables.load(spark, SF, "nation").selectExpr(
-      "n_nationkey AS hk",
-      "((n_nationkey * 7919 + 13) % 10000) / 1000.0 - 5.0 AS hlat",
-      "(((n_nationkey * 7919 + 13) * 31) % 20000) / 1000.0 - 10.0 AS hlon")
-    val brute = pts("customer", "c_custkey").crossJoin(hubs)
-      .select(col("k"), col("hk"),
-        GeoOps.haversineKm(col("lat"), col("lon"), col("hlat"), col("hlon")).as("d"))
-      .collect().groupBy(_.getLong(0)).map { case (_, rs) =>
-        rs.minBy(r => (r.getDouble(2), r.getInt(1))).getInt(1)
-      }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    // independent argmin over the SAME hub values the kernel uses
+    // (hubsOf — not a re-derivation that could ride a different float
+    // path), via the composed builtin-only Column with the kernel's own
+    // µ-rounded-distance + hub-key ordering — identical float path,
+    // different evaluation machinery
+    val hubs = GeoOps.hubsOf(spark, SF)
+    val comp = custPts.select(
+        GeoOps.nearestHubComposed(hubs, col("lat"), col("lon")).as("b"))
+      .groupBy(col("b.hk")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val got = out.map(r => r.getInt(0) -> r.getLong(1)).toMap
-    assert(got == brute)
+    assert(got == comp)
   }
 
   test("native NearestHub loop: bit-identical to the composed array_min form, and codegen'd") {
     val hubs = GeoOps.hubsOf(spark, SF)
-    val p = pts("customer", "c_custkey")
+    val p = custPts
     def run(c: org.apache.spark.sql.Column) =
       p.select(col("k"), c.as("b")).select(col("k"), col("b.d"), col("b.hk"))
         .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSet
@@ -95,12 +102,24 @@ class GeoOpsSpec extends SparkTestBase {
     val composed = run(GeoOps.nearestHubComposed(hubs, col("lat"), col("lon")))
     assert(native == composed, "native loop drifted from the composed argmin")
     // the whole point of the native loop: the projection stays inside
-    // whole-stage codegen (the composed form falls out past ~25 hubs)
+    // whole-stage codegen. Plan-string '*' proves placement only — run
+    // it with codegen fallback DISABLED so a janino rejection of the
+    // generated source fails loudly instead of silently interpreting.
     val plan = p.select(GeoOps.nearestHubStruct(hubs, col("lat"), col("lon")))
       .queryExecution.executedPlan.toString
     val projLine = plan.linesIterator.find(_.contains("graft_nearest_hub")).get
     assert(projLine.trim.startsWith("*"),
       s"nearest-hub projection not codegen'd:\n$plan")
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val n = p.select(GeoOps.nearestHubStruct(hubs, col("lat"), col("lon")).as("b"))
+        .select(col("b.hk")).distinct().count()
+      assert(n > 0)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+      case None => spark.conf.unset("spark.sql.codegen.fallback")
+    }
   }
 
   test("geo_grid_density: cells in the derived range, counts total the table") {
@@ -117,8 +136,7 @@ class GeoOpsSpec extends SparkTestBase {
   test("plan shapes: radius join shuffles on cell keys, hub assign plans NO join at all") {
     // the BUILD plan (the served radiusPairs frame is checkpoint-memoized,
     // so the graded key's plan is a checkpoint scan — assert the builder)
-    val radius = GeoOps.radiusPairsFrom(
-        pts("supplier", "s_suppkey"), pts("customer", "c_custkey"), 50.0)
+    val radius = GeoOps.radiusPairsFrom(suppPts, custPts, 50.0)
       .queryExecution.executedPlan.toString
     assert(!radius.contains("CartesianProduct") && !radius.contains("BroadcastNestedLoopJoin"))
     // the hub argmin is a map-side projection over the bounded hub

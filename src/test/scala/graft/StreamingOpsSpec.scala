@@ -772,11 +772,10 @@ class StreamingOpsSpec extends SparkTestBase {
   test("streaming geo hub enrich equals the batch argmin kernel bit-for-bit") {
     import org.apache.spark.sql.functions.col
     import StreamingOpsSpec.GPoint
-    // the REAL fixture derivation: sf0.001 customer points
-    val pts = Tables.load(spark, SF, "customer").selectExpr(
-        "c_custkey AS k",
-        "CAST((c_custkey * 48271) % 10000 AS DOUBLE) / 1000.0 - 5.0 AS lat",
-        "CAST((c_custkey * 16807) % 20000 AS DOUBLE) / 1000.0 - 10.0 AS lon")
+    // the REAL fixture derivation, via the operators' own shared kernel
+    val pts = graft.operators.GeoOps
+      .points(Tables.load(spark, SF, "customer"), "c_custkey")
+      .select("k", "lat", "lon")
       .collect().map(r => GPoint(r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
     val hubs = graft.operators.GeoOps.hubsOf(spark, SF)
     val input = MemoryStream[GPoint]
