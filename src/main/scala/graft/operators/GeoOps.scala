@@ -276,13 +276,58 @@ object GeoOps {
       .orderBy("hub_key")
   }
 
+  /** Build-if-absent PERSISTED geo layout: customer points plus a
+    * single-dimension cell id (`(latc+5)·20 + (lonc+10)` ∈ [0,200) —
+    * row-major over the grid, so one latitude strip of the 3×3
+    * neighborhood is one CONTIGUOUS cell range), committed as a
+    * `graft-vt` versioned table and range-clustered on the cell id
+    * (`optimizeLayout`) with per-file min/max stats on it. This is the
+    * geo analogue of the persisted IVF index: the layout is paid once,
+    * committed like data, and every region query after that prunes at
+    * the FILE level before any row is read. Same crash/race posture as
+    * PortableQuantizer.indexRootAt: the v0 manifest is the build
+    * predicate, the v1 cluster commit is resumed if absent. */
+  private[graft] def geoTableRoot(s: SparkSession, d: String): String = {
+    val base = graft.TempDirs.cached("vtgeo", d) { _ => () }
+    val root = base + "/t"
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(root, "_manifests", "v00000000.json"))) {
+      val pts = points(t(s, d, "customer"), "c_custkey")
+        .withColumn("cell", (col("latc") + 5L) * 20L + (col("lonc") + 10L))
+      graft.tables.VersionedTable.create(s, root, pts, statsCol = Some("cell"))
+      ()
+    }
+    val vt = graft.tables.VersionedTable.open(s, root)
+    if (vt.currentVersion < 1) vt.optimizeLayout("cell", 8)
+    root
+  }
+
+  /** geo_bbox_persisted: a region query SERVED from the persisted
+    * cell-clustered layout — the operational posture a 100 TB geo table
+    * needs. The box lat ∈ [1,3) × lon ∈ [2,6) is exactly cells
+    * {1,2}×{2..5}, i.e. two contiguous cell ranges ([132,135] and
+    * [152,155] row-major); each becomes one stats-pruned `readWhere`
+    * scan that never lists the non-overlapping files (spec-asserted:
+    * files read < files total). The residual exact box filter stays on
+    * top — cell pruning is coarse in general even though this box is
+    * cell-aligned. */
+  def geoBboxPersisted(s: SparkSession, d: String): DataFrame = {
+    val vt = graft.tables.VersionedTable.open(s, geoTableRoot(s, d))
+    vt.readWhere(132.0, 135.0).unionAll(vt.readWhere(152.0, 155.0))
+      .filter(col("lat") >= 1.0 && col("lat") < 3.0 &&
+        col("lon") >= 2.0 && col("lon") < 6.0)
+      .select("k", "lat", "lon")
+      .orderBy("k")
+  }
+
   // --------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
     "geo_grid_density" -> (geoGridDensity _),
     "geo_radius_join" -> (geoRadiusJoin _),
     "geo_knn" -> (geoKnn _),
-    "geo_nearest_hub" -> (geoNearestHub _))
+    "geo_nearest_hub" -> (geoNearestHub _),
+    "geo_bbox_persisted" -> (geoBboxPersisted _))
 
   val oracles: Map[String, String] = Map(
     "geo_grid_density" ->
@@ -305,6 +350,11 @@ object GeoOps {
         "FROM cand) " +
         "SELECT s_suppkey, nn_rank, c_custkey, dist_km FROM ranked " +
         "WHERE nn_rank <= 3 ORDER BY s_suppkey, nn_rank"),
+    "geo_bbox_persisted" ->
+      ("WITH cp AS (" + pointsSql("customer", "c_custkey") + ") " +
+        "SELECT k, lat, lon FROM cp " +
+        "WHERE lat >= 1.0 AND lat < 3.0 AND lon >= 2.0 AND lon < 6.0 " +
+        "ORDER BY k"),
     "geo_nearest_hub" ->
       ("WITH h AS (SELECT n_nationkey AS hk, " +
         "((n_nationkey * 7919 + 13) % 10000) / 1000.0 - 5.0 AS lat, " +

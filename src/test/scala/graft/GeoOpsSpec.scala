@@ -133,6 +133,31 @@ class GeoOpsSpec extends SparkTestBase {
     assert(rows.map(_.getLong(2)).sum > 0)
   }
 
+  test("geo_bbox_persisted: equals the direct derivation filter, and actually skips files") {
+    val served = GeoOps.geoBboxPersisted(spark, SF).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
+    val direct = custPts
+      .filter(col("lat") >= 1.0 && col("lat") < 3.0 &&
+        col("lon") >= 2.0 && col("lon") < 6.0)
+      .select("k", "lat", "lon").orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
+    assert(served.nonEmpty, "fixture box should be non-empty")
+    assert(served == direct, "persisted serve drifted from the derivation")
+    // the layout's whole point: the two cell-range scans never list the
+    // files outside their stat range
+    val vt = graft.tables.VersionedTable.open(spark, GeoOps.geoTableRoot(spark, SF))
+    val total = vt.read().inputFiles.length
+    val scanned = (vt.readWhere(132.0, 135.0).inputFiles ++
+      vt.readWhere(152.0, 155.0).inputFiles).distinct.length
+    assert(scanned < total,
+      s"no file skipping: scanned $scanned of $total clustered files")
+    // build-if-absent: a second serve call must not add versions
+    val vBefore = vt.currentVersion
+    GeoOps.geoBboxPersisted(spark, SF).collect()
+    assert(graft.tables.VersionedTable.open(spark, GeoOps.geoTableRoot(spark, SF))
+      .currentVersion == vBefore, "repeat serve re-built the layout")
+  }
+
   test("plan shapes: radius join shuffles on cell keys, hub assign plans NO join at all") {
     // the BUILD plan (the served radiusPairs frame is checkpoint-memoized,
     // so the graded key's plan is a checkpoint scan — assert the builder)
