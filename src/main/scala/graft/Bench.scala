@@ -91,7 +91,10 @@ object Bench {
       "typed_cogroup", "ann_lsh_topk", "stream_dedup", "llm_dedup_survivors",
       "agg_percentile", "vt_history", "mm_frame_sample",
       "join_bucketed", "join_range_binned", "tpch_q18_large", "zorder_key",
-      "join_asof_native", "vt_source_read", "fuzzy_join_blocked")
+      "join_asof_native", "vt_source_read", "fuzzy_join_blocked",
+      // round 11's geo family: the blocked radius join and the
+      // persisted-layout region serve
+      "geo_radius_join", "geo_bbox_persisted")
     val timings = results.map { case (k, t, _) => k -> t }
     // "value" is the steady-state total (sum of per-key min-of-2);
     // "wall" is the loop's true elapsed seconds including both reps and
