@@ -451,21 +451,29 @@ object RelationalOps {
     * pipelines need exactly this. EXACT integer arithmetic end to end:
     * weights are integral quantities, the crossing test is 2·cumw ≥
     * totw, and the selected price passes through untouched (no float
-    * op anywhere). Scale: one hash aggregation collapses the corpus to
-    * the (flag, price) value domain; the cumulative window runs on that
-    * domain table per flag — the KS-key posture. */
+    * op anywhere). Scale: prices are NEAR-UNIQUE (the (flag, price)
+    * "domain" is ~the row count — unlike the KS keys' bounded 2-dp
+    * domain), so a window PARTITION BY flag would put the whole corpus
+    * into |flags| window tasks at any size — a hidden data-grain
+    * window. The cumulative weight instead rides
+    * [[ScalePrimitives.distRunning]] (parallel range-partitioned
+    * prefix sums) in global (flag, price) order; per-flag cums are
+    * recovered by subtracting each flag's exclusive offset, computed
+    * on the |flags|-row totals grain (bounded-grain global window,
+    * stat_lorenz posture) and broadcast. */
   def aggWeightedMedian(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val per = t(s, d, "lineitem")
       .groupBy(col("l_returnflag"), col("l_extendedprice").as("price"))
       .agg(sum(col("l_quantity").cast("long")).as("w"))
-    val wCum = Window.partitionBy("l_returnflag").orderBy("price")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.partitionBy("l_returnflag")
-    per
-      .withColumn("cumw", sum("w").over(wCum))
-      .withColumn("totw", sum("w").over(wAll))
-      .filter(col("cumw") * 2 >= col("totw"))
+    val run = ScalePrimitives.distRunning(
+      per, Seq(col("l_returnflag"), col("price")), "rk", Seq("w"), Seq("gcum"))
+    val wOff = Window.orderBy("l_returnflag")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = per.groupBy("l_returnflag").agg(sum("w").as("totw"))
+      .withColumn("off", coalesce(sum("totw").over(wOff), lit(0L)))
+    run.join(broadcast(offs), "l_returnflag")
+      .filter((col("gcum") - col("off")) * 2 >= col("totw"))
       .groupBy(col("l_returnflag"))
       .agg(min(col("price")).as("w_median"), max(col("totw")).as("total_weight"))
       .orderBy("l_returnflag")
