@@ -842,21 +842,21 @@ object LlmCorpusOps {
     * with doc_id as the total tie-break, and min/max of identical value
     * sets are identical — no fresh float op is introduced.
     *
-    * Scale: the exact ntile sorts each language's documents in ONE task
-    * (a window partitioned by a 5-value key) — correct and
-    * oracle-checkable here, but at 100 TB the per-lang sort is the
-    * bottleneck; the production form computes the two tertile CUTOFFS
-    * per language (approx_percentile or an exact two-pass quantile — one
-    * aggregation, no global sort) and buckets map-side by comparison,
-    * identical semantics away from cutoff ties. The heavy lifting either
-    * way is llmPerplexity's own (already-audited) plan. */
+    * Scale: a window `PARTITION BY lang` would sort each language's
+    * documents in ONE task — a 5-value partition key over near-unique
+    * perplexities is the hidden data-grain window (the
+    * agg_weighted_median lesson), catastrophic at 100 TB. The exact
+    * per-lang ntile instead rides [[ScalePrimitives.distNtileBy]]:
+    * range-partitioned parallel prefix ranks in (lang, perplexity,
+    * doc_id) order with each language's size/offset recovered on the
+    * |langs|-row grain — bit-identical buckets, no window anywhere.
+    * The heavy lifting either way is llmPerplexity's own
+    * (already-audited) plan. */
   def llmCcnetBuckets(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val byLang = Window.partitionBy("lang")
-      .orderBy(col("perplexity"), col("doc_id"))
-    llmPerplexity(s, d).select("doc_id", "perplexity")
+    val scored = llmPerplexity(s, d).select("doc_id", "perplexity")
       .join(t(s, d, "documents").select("doc_id", "lang", "n_chars"), "doc_id")
-      .withColumn("b", ntile(3).over(byLang))
+    ScalePrimitives.distNtileBy(scored, "lang", 3, "b",
+        col("perplexity"), col("doc_id"))
       .withColumn("bucket",
         when(col("b") === 1, "head").when(col("b") === 2, "middle")
           .otherwise("tail"))

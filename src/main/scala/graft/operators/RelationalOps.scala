@@ -458,20 +458,19 @@ object RelationalOps {
     * window. The cumulative weight instead rides
     * [[ScalePrimitives.distRunning]] (parallel range-partitioned
     * prefix sums) in global (flag, price) order; per-flag cums are
-    * recovered by subtracting each flag's exclusive offset, computed
-    * on the |flags|-row totals grain (bounded-grain global window,
-    * stat_lorenz posture) and broadcast. */
+    * recovered by subtracting each flag's exclusive offset — off =
+    * max(gcum) − total, a |flags|-row aggregate OF the ranked frame
+    * itself (no window anywhere, no second corpus pass), broadcast
+    * back. */
   def aggWeightedMedian(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val per = t(s, d, "lineitem")
       .groupBy(col("l_returnflag"), col("l_extendedprice").as("price"))
       .agg(sum(col("l_quantity").cast("long")).as("w"))
     val run = ScalePrimitives.distRunning(
       per, Seq(col("l_returnflag"), col("price")), "rk", Seq("w"), Seq("gcum"))
-    val wOff = Window.orderBy("l_returnflag")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offs = per.groupBy("l_returnflag").agg(sum("w").as("totw"))
-      .withColumn("off", coalesce(sum("totw").over(wOff), lit(0L)))
+    val offs = run.groupBy("l_returnflag")
+      .agg(sum("w").as("totw"), max("gcum").as("hi"))
+      .withColumn("off", col("hi") - col("totw")).drop("hi")
     run.join(broadcast(offs), "l_returnflag")
       .filter((col("gcum") - col("off")) * 2 >= col("totw"))
       .groupBy(col("l_returnflag"))

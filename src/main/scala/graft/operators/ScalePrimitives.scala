@@ -118,4 +118,34 @@ object ScalePrimitives {
         s"$rem + ((__rnk - ${rem * big} + ${base - 1}) DIV $base)) AS INT)")
     ranked.withColumn(out, tile).drop("__rnk")
   }
+
+  /** Exact distributed `ntile(k) OVER (PARTITION BY grp ORDER BY ord…)`
+    * — the PER-GROUP twin of [[distNtile]] for the hidden-data-grain
+    * window case: a low-cardinality partition key over near-unique
+    * ordering puts the whole corpus into |groups| window tasks at any
+    * size. One [[distRunning]] pass in (grp, ord…) order instead; each
+    * group's size and exclusive offset are recovered FROM the ranked
+    * frame itself (off = max(rank) − count, a |groups|-row aggregate,
+    * broadcast back — no window anywhere), and the ntile bucket formula
+    * runs in per-row integer arithmetic with the group's own n —
+    * bit-identical to the built-in, so DuckDB oracles keep plain ntile.
+    * `ord` must total-order rows WITHIN each group (add a unique id as
+    * the last key, same contract as distNtile). */
+  def distNtileBy(df: DataFrame, grp: String, k: Int, out: String, ord: Column*): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(k >= 1, "ntile bucket count must be positive")
+    val ranked = distRunning(df, col(grp) +: ord, "__grnk")
+    val sizes = ranked.groupBy(grp)
+      .agg(count(lit(1)).as("__n"), max("__grnk").as("__hi"))
+      .withColumn("__off", col("__hi") - col("__n"))
+      .drop("__hi")
+    ranked.join(broadcast(sizes), grp)
+      .withColumn(out, expr(
+        s"CAST(CASE WHEN __n DIV $k = 0 THEN __grnk - __off " +
+          s"WHEN __grnk - __off <= (__n % $k) * (__n DIV $k + 1) " +
+          s"THEN (__grnk - __off + __n DIV $k) DIV (__n DIV $k + 1) " +
+          s"ELSE (__n % $k) + ((__grnk - __off - (__n % $k) * (__n DIV $k + 1) " +
+          s"+ __n DIV $k - 1) DIV (__n DIV $k)) END AS INT)"))
+      .drop("__grnk", "__n", "__off")
+  }
 }

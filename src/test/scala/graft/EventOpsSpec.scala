@@ -331,6 +331,24 @@ class EventOpsSpec extends SparkTestBase {
     assert(gotS == wantS)
   }
 
+  test("distNtileBy is bit-identical to the built-in per-group ntile (uneven groups, ties, n<k)") {
+    import org.apache.spark.sql.expressions.Window
+    // groups of size 23, 7, 2 (one smaller than k=3), ties on the metric
+    // so the uid tiebreak decides bucket edges; column order differs from
+    // the window form's output, so compare (uid -> bucket) maps
+    val rows = (1 to 23).map(i => ("ga", i % 4, f"a$i%03d")) ++
+      (1 to 7).map(i => ("gb", i % 2, f"b$i%03d")) ++
+      (1 to 2).map(i => ("gc", 0, f"c$i%03d"))
+    val df = rows.toDF("g", "m", "uid")
+    val got = graft.operators.ScalePrimitives
+      .distNtileBy(df, "g", 3, "t", col("m"), col("uid"))
+      .select("uid", "t").collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    val want = df.withColumn("t",
+        ntile(3).over(Window.partitionBy("g").orderBy(col("m"), col("uid"))))
+      .select("uid", "t").collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(got == want)
+  }
+
   test("peak concurrency on constructed sessions: overlap of 2 found at the right instant") {
     // u7: events at 0 and 10 min (one session [0,10]); u8: one event at
     // 5 min (session [5,5]); u9: one at 60 min. Live counts: 2 on [5,5],

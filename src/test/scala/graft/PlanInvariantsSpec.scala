@@ -102,10 +102,7 @@ class PlanInvariantsSpec extends SparkTestBase {
     "stat_psi", "stat_benford", "ts_changepoint",
     "stat_ks_test", "stat_mannwhitney", "llm_zipf_fit", "stat_lorenz",
     // token_share over the per-source grid (<= |sources| rows)
-    "llm_curation_e2e",
-    // the exclusive flag-offset prefix over the |returnflags|-row (3)
-    // totals grain — the data-grain cumulative itself rides distRunning
-    "agg_weighted_median")
+    "llm_curation_e2e")
 
   test("unpartitioned windows only over provably bounded grains") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LogicalWindow}
