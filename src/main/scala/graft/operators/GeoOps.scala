@@ -43,8 +43,9 @@ import graft.Tables
   * ride AQE skew splitting like every other key. `geo_nearest_hub` is
   * the IVF coarse-assign shape taken to its bounded-dimension limit:
   * the 25 hubs are collected driver-side (the PQ/IVF-codebook
-  * treatment), the argmin is one stateless `array_min` projection per
-  * row — no join, no per-row shuffle — and the only exchange is the
+  * treatment), the argmin is one stateless codegen'd projection per
+  * row (the native [[org.apache.spark.sql.graftnative.NearestHub]]
+  * loop — no join, no per-row shuffle) and the only exchange is the
   * 25-key rollup.
   */
 object GeoOps {
@@ -77,9 +78,6 @@ object GeoOps {
       s"cos(($a.lat * pi()) / 180.0) * cos(($b.lat * pi()) / 180.0) * " +
       s"sin((($b.lon - $a.lon) * pi()) / 360.0) * sin((($b.lon - $a.lon) * pi()) / 360.0))))"
 
-  /** Derived point for an entity key: integer milli-degrees first (so
-    * the CELL is pure integer arithmetic), one exact /1000.0 for the
-    * double coordinate. lat ∈ [-5,5), lon ∈ [-10,10). */
   /** Derivation constants per entity side. The facility (supplier)
     * side uses DIFFERENT multipliers/offsets than the target
     * (customer) side: supplier keys are a subset of customer keys at
@@ -92,15 +90,21 @@ object GeoOps {
   private val CustCoef = (48271L, 0L, 16807L, 0L)
   private val SuppCoef = (24571L, 11L, 12289L, 7L)
 
+  /** Derived point frame for an entity key: integer milli-degrees
+    * first (so the CELL is pure integer arithmetic), one explicit
+    * double division for the coordinate. lat ∈ [-5,5), lon ∈ [-10,10);
+    * `keep` columns pass through for consumers that aggregate over
+    * more than the point (Catalyst prunes whatever they don't use). */
   private[graft] def points(df: DataFrame, key: String,
-      coef: (Long, Long, Long, Long) = CustCoef): DataFrame = {
+      coef: (Long, Long, Long, Long) = CustCoef,
+      keep: Seq[String] = Nil): DataFrame = {
     val (la, lb, na, nb) = coef
-    df.selectExpr(
+    df.selectExpr(Seq(
       s"$key AS k",
       s"CAST(($key * $la + $lb) % 10000 AS DOUBLE) / 1000.0 - 5.0 AS lat",
       s"CAST(($key * $na + $nb) % 20000 AS DOUBLE) / 1000.0 - 10.0 AS lon",
       s"(($key * $la + $lb) % 10000) DIV 1000 - 5 AS latc",
-      s"(($key * $na + $nb) % 20000) DIV 1000 - 10 AS lonc")
+      s"(($key * $na + $nb) % 20000) DIV 1000 - 10 AS lonc") ++ keep: _*)
   }
 
   private[graft] def supplierPoints(df: DataFrame): DataFrame =
@@ -113,23 +117,17 @@ object GeoOps {
     * one ulp away from DuckDB's IEEE division — the CAST pins both
     * engines to the identical correctly-rounded double sequence). */
   private def pointsSql(table: String, key: String,
-      coef: (Long, Long, Long, Long) = CustCoef): String = {
+      coef: (Long, Long, Long, Long) = CustCoef,
+      keep: Seq[String] = Nil): String = {
     val (la, lb, na, nb) = coef
     s"SELECT $key AS k, " +
       s"CAST(($key * $la + $lb) % 10000 AS DOUBLE) / 1000.0 - 5.0 AS lat, " +
       s"CAST(($key * $na + $nb) % 20000 AS DOUBLE) / 1000.0 - 10.0 AS lon, " +
       s"(($key * $la + $lb) % 10000) // 1000 - 5 AS latc, " +
-      s"(($key * $na + $nb) % 20000) // 1000 - 10 AS lonc FROM $table"
+      s"(($key * $na + $nb) % 20000) // 1000 - 10 AS lonc" +
+      keep.map(c => s", $c").mkString + s" FROM $table"
   }
 
-  /** Grid-blocked supplier→customer candidate pairs with exact
-    * haversine ≤ 50 km. The supplier (smaller) side explodes ×9 over
-    * its 3×3 cell neighborhood — lon cells wrap at the antimeridian
-    * (`((c+dl+540) % 360) - 180`), lat cells clamp naturally (latitude
-    * does not wrap; out-of-range neighbors simply never match). Each
-    * customer occupies exactly ONE cell, and the 9 neighbor cells are
-    * distinct (the lon span is 20 cells ≫ 3), so no candidate pair is
-    * produced twice — no post-join dedup needed. */
   /** Within-50 km pair set, memoized + checkpointed per (session,
     * sfDir) like the graph family's edge/pair frames: TWO graded keys
     * (geo_radius_join, geo_knn) read it, so the blocked candidate join
@@ -145,11 +143,19 @@ object GeoOps {
         .localCheckpoint(true))
   }
 
-  /** The kernel behind [[radiusPairs]], parameterized on the point
-    * frames (both shaped `(k, lat, lon, latc, lonc)`) so StressCheck
-    * can drive the same plan at above-fixture scale. The radius must
-    * not exceed the 1-cell guarantee (≈55 km at the fixture latitudes;
-    * in general min(111·1°cell, 111·cos(maxlat)) minus slack). */
+  /** The grid-blocked candidate kernel behind [[radiusPairs]],
+    * parameterized on the point frames (both shaped `(k, lat, lon,
+    * latc, lonc)`) so StressCheck can drive the same plan at
+    * above-fixture scale: the facility (smaller) side explodes ×9 over
+    * its 3×3 cell neighborhood — lon cells wrap at the antimeridian
+    * (`((c+dl+540) % 360) - 180`), lat cells clamp naturally (latitude
+    * does not wrap; out-of-range neighbors simply never match) — and
+    * exact haversine ≤ radius runs only on cell-matched pairs. Each
+    * target occupies exactly ONE cell and the 9 neighbor cells are
+    * distinct (the lon span is ≫ 3 cells), so no candidate pair is
+    * produced twice — no post-join dedup needed. The radius must not
+    * exceed the 1-cell guarantee (≈55 km at the fixture latitudes; in
+    * general min(111·1°cell, 111·cos(maxlat)) minus slack). */
   private[graft] def radiusPairsFrom(facilities: DataFrame, targets: DataFrame,
       radiusKm: Double): DataFrame = {
     val fac = facilities
@@ -183,11 +189,7 @@ object GeoOps {
     * scan, map-side partial agg on the integer cell key, top-50 cells
     * by count. */
   def geoGridDensity(s: SparkSession, d: String): DataFrame =
-    t(s, d, "customer")
-      .selectExpr(
-        "((c_custkey * 48271) % 10000) DIV 1000 - 5 AS latc",
-        "((c_custkey * 16807) % 20000) DIV 1000 - 10 AS lonc",
-        "c_acctbal")
+    points(t(s, d, "customer"), "c_custkey", keep = Seq("c_acctbal"))
       .groupBy(col("latc"), col("lonc"))
       .agg(count(lit(1)).as("n_cust"),
         (floor(avg(col("c_acctbal")) * 100.0 + 0.5) / 100.0).as("avg_acctbal"))
@@ -331,11 +333,11 @@ object GeoOps {
 
   val oracles: Map[String, String] = Map(
     "geo_grid_density" ->
-      ("SELECT ((c_custkey * 48271) % 10000) // 1000 - 5 AS latc, " +
-        "((c_custkey * 16807) % 20000) // 1000 - 10 AS lonc, " +
-        "CAST(count(*) AS BIGINT) AS n_cust, " +
+      ("WITH cp AS (" +
+        pointsSql("customer", "c_custkey", keep = Seq("c_acctbal")) + ") " +
+        "SELECT latc, lonc, CAST(count(*) AS BIGINT) AS n_cust, " +
         "floor(avg(c_acctbal) * 100.0 + 0.5) / 100.0 AS avg_acctbal " +
-        "FROM customer GROUP BY 1, 2 ORDER BY n_cust DESC, latc, lonc LIMIT 50"),
+        "FROM cp GROUP BY 1, 2 ORDER BY n_cust DESC, latc, lonc LIMIT 50"),
     "geo_radius_join" ->
       (radiusPairsSql +
         "SELECT sk AS s_suppkey, CAST(count(*) AS BIGINT) AS n_within, " +
