@@ -798,6 +798,36 @@ class StreamingOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming geo radius join (stream-static) equals the batch kernel across batch splits") {
+    import StreamingOpsSpec.GCellPoint
+    // the REAL fixture derivations via the operators' own shared kernel:
+    // suppliers stream in, customers are the static side
+    val statics = graft.operators.GeoOps
+      .points(Tables.load(spark, SF, "customer"), "c_custkey")
+    val facRows = graft.operators.GeoOps
+      .supplierPoints(Tables.load(spark, SF, "supplier"))
+      .collect().map(r => GCellPoint(r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    val input = MemoryStream[GCellPoint]
+    val q = StreamingOps.geoRadiusStream(input.toDF(), statics)
+      .writeStream.format("memory").queryName("georad").outputMode("append").start()
+    try {
+      // two micro-batches: the stream-static join is stateless, so the
+      // union of per-batch outputs must equal the one-shot batch kernel
+      val (b1, b2) = facRows.splitAt(facRows.length / 2)
+      input.addData(b1: _*); drain(q)
+      input.addData(b2: _*); drain(q)
+      val got = spark.sql("SELECT sk, ck FROM georad").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = graft.operators.GeoOps.radiusPairsFrom(
+          graft.operators.GeoOps.supplierPoints(Tables.load(spark, SF, "supplier")),
+          statics, 50.0)
+        .select("sk", "ck").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(want.nonEmpty)
+      assert(got == want)
+    } finally q.stop()
+  }
+
   test("streaming EWMA equals the batch closed form bit-for-bit across batch splits") {
     import graft.streaming.StreamingOps.DailyCents
     val batch = graft.operators.EventOps.tsEwma(spark, SF).collect()
@@ -884,4 +914,5 @@ object StreamingOpsSpec {
     * case class cannot get one). */
   final case class QDoc(doc_id: Long, lang: String, n_chars: Int, text: String)
   final case class GPoint(k: Long, lat: Double, lon: Double)
+  final case class GCellPoint(k: Long, lat: Double, lon: Double, latc: Long, lonc: Long)
 }
