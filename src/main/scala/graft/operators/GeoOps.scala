@@ -286,22 +286,43 @@ object GeoOps {
     * (`optimizeLayout`) with per-file min/max stats on it. This is the
     * geo analogue of the persisted IVF index: the layout is paid once,
     * committed like data, and every region query after that prunes at
-    * the FILE level before any row is read. Same crash/race posture as
-    * PortableQuantizer.indexRootAt: the v0 manifest is the build
-    * predicate, the v1 cluster commit is resumed if absent. */
-  private[graft] def geoTableRoot(s: SparkSession, d: String): String = {
+    * the FILE level before any row is read. Crash posture: the v0
+    * manifest is the build predicate and the v1 cluster commit is
+    * resumed if absent; a v0 whose stats sidecar went missing (stats
+    * write failures are swallowed by design, and a crash can land
+    * between the manifest link and the sidecar write) would wedge
+    * every future `readWhere`, so an opened table WITHOUT a stats
+    * column is wiped and rebuilt — safe because the whole table is a
+    * DERIVED index over re-derivable points, never source data. Race
+    * posture differs from PortableQuantizer.indexRootAt's
+    * idempotent-txn v1: two concurrent first-serves racing into the v1
+    * rewrite both succeed (withRebase) — content stays correct, the
+    * loser just burns one extra rewrite; fine for a per-JVM cache
+    * root. */
+  private[graft] def geoTable(s: SparkSession, d: String): graft.tables.VersionedTable = {
     val base = graft.TempDirs.cached("vtgeo", d) { _ => () }
     val root = base + "/t"
-    if (!java.nio.file.Files.exists(
-        java.nio.file.Paths.get(root, "_manifests", "v00000000.json"))) {
+    def build(): graft.tables.VersionedTable = {
       val pts = points(t(s, d, "customer"), "c_custkey")
         .withColumn("cell", (col("latc") + 5L) * 20L + (col("lonc") + 10L))
       graft.tables.VersionedTable.create(s, root, pts, statsCol = Some("cell"))
-      ()
     }
-    val vt = graft.tables.VersionedTable.open(s, root)
+    val v0 = java.nio.file.Paths.get(root, "_manifests", "v00000000.json")
+    var vt =
+      if (!java.nio.file.Files.exists(v0)) build()
+      else graft.tables.VersionedTable.open(s, root)
+    if (vt.statsCol.isEmpty) {
+      // half-built index (v0 committed, sidecar lost): derived data —
+      // wipe and rebuild rather than serve a permanently unprunable table
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+      vt = build()
+    }
     if (vt.currentVersion < 1) vt.optimizeLayout("cell", 8)
-    root
+    vt
   }
 
   /** geo_bbox_persisted: a region query SERVED from the persisted
@@ -314,7 +335,7 @@ object GeoOps {
     * top — cell pruning is coarse in general even though this box is
     * cell-aligned. */
   def geoBboxPersisted(s: SparkSession, d: String): DataFrame = {
-    val vt = graft.tables.VersionedTable.open(s, geoTableRoot(s, d))
+    val vt = geoTable(s, d)
     vt.readWhere(132.0, 135.0).unionAll(vt.readWhere(152.0, 155.0))
       .filter(col("lat") >= 1.0 && col("lat") < 3.0 &&
         col("lon") >= 2.0 && col("lon") < 6.0)

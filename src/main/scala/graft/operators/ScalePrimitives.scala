@@ -134,18 +134,24 @@ object ScalePrimitives {
   def distNtileBy(df: DataFrame, grp: String, k: Int, out: String, ord: Column*): DataFrame = {
     import org.apache.spark.sql.functions._
     require(k >= 1, "ntile bucket count must be positive")
+    val internal = Seq("__grnk", "__n", "__off", "__grp")
+    internal.foreach { n =>
+      require(!df.columns.contains(n),
+        s"distNtileBy internal column '$n' collides with an input column; rename one")
+    }
     val ranked = distRunning(df, col(grp) +: ord, "__grnk")
-    val sizes = ranked.groupBy(grp)
-      .agg(count(lit(1)).as("__n"), max("__grnk").as("__hi"))
-      .withColumn("__off", col("__hi") - col("__n"))
-      .drop("__hi")
-    ranked.join(broadcast(sizes), grp)
+    val sizes = ranked.groupBy(col(grp).as("__grp"))
+      .agg(count(lit(1)).as("__n"), (max("__grnk") - count(lit(1))).as("__off"))
+    // null-SAFE group equality: the built-in window treats a NULL
+    // partition key as its own partition (and groupBy gives it its own
+    // sizes row), so a plain equi-join would silently DROP those rows
+    ranked.join(broadcast(sizes), col(grp) <=> col("__grp"))
       .withColumn(out, expr(
         s"CAST(CASE WHEN __n DIV $k = 0 THEN __grnk - __off " +
           s"WHEN __grnk - __off <= (__n % $k) * (__n DIV $k + 1) " +
           s"THEN (__grnk - __off + __n DIV $k) DIV (__n DIV $k + 1) " +
           s"ELSE (__n % $k) + ((__grnk - __off - (__n % $k) * (__n DIV $k + 1) " +
           s"+ __n DIV $k - 1) DIV (__n DIV $k)) END AS INT)"))
-      .drop("__grnk", "__n", "__off")
+      .drop("__grnk", "__n", "__off", "__grp")
   }
 }

@@ -336,9 +336,12 @@ class EventOpsSpec extends SparkTestBase {
     // groups of size 23, 7, 2 (one smaller than k=3), ties on the metric
     // so the uid tiebreak decides bucket edges; column order differs from
     // the window form's output, so compare (uid -> bucket) maps
+    // includes a NULL group: the built-in treats NULL as its own
+    // partition, and distNtileBy must keep (not drop) those rows
     val rows = (1 to 23).map(i => ("ga", i % 4, f"a$i%03d")) ++
       (1 to 7).map(i => ("gb", i % 2, f"b$i%03d")) ++
-      (1 to 2).map(i => ("gc", 0, f"c$i%03d"))
+      (1 to 2).map(i => ("gc", 0, f"c$i%03d")) ++
+      (1 to 5).map(i => (null.asInstanceOf[String], i % 3, f"n$i%03d"))
     val df = rows.toDF("g", "m", "uid")
     val got = graft.operators.ScalePrimitives
       .distNtileBy(df, "g", 3, "t", col("m"), col("uid"))

@@ -145,7 +145,7 @@ class GeoOpsSpec extends SparkTestBase {
     assert(served == direct, "persisted serve drifted from the derivation")
     // the layout's whole point: the two cell-range scans never list the
     // files outside their stat range
-    val vt = graft.tables.VersionedTable.open(spark, GeoOps.geoTableRoot(spark, SF))
+    val vt = GeoOps.geoTable(spark, SF)
     val total = vt.read().inputFiles.length
     val scanned = (vt.readWhere(132.0, 135.0).inputFiles ++
       vt.readWhere(152.0, 155.0).inputFiles).distinct.length
@@ -154,8 +154,8 @@ class GeoOpsSpec extends SparkTestBase {
     // build-if-absent: a second serve call must not add versions
     val vBefore = vt.currentVersion
     GeoOps.geoBboxPersisted(spark, SF).collect()
-    assert(graft.tables.VersionedTable.open(spark, GeoOps.geoTableRoot(spark, SF))
-      .currentVersion == vBefore, "repeat serve re-built the layout")
+    assert(GeoOps.geoTable(spark, SF).currentVersion == vBefore,
+      "repeat serve re-built the layout")
   }
 
   test("plan shapes: radius join shuffles on cell keys, hub assign plans NO join at all") {
