@@ -28,12 +28,13 @@ import org.apache.spark.sql.functions._
   *   runMain graft.tools.StressCheck 0.2
   *     sessionize,dedup_exact,minhash,ann,smj,graph_components,basket,dist_running
   *
-  * Subset 2 (round 11) — the join/window/graph/stream rows subset 1
-  * skips, each with its own plan-shape/planted assert (star-join
+  * Subset 2 (round 11) — the join/window/graph/stream/geo rows subset
+  * 1 skips, each with its own plan-shape/planted assert (star-join
   * broadcast, as-of grid, PageRank fixed points, window top-k,
-  * streaming tumbling core; ~30 s measured / ~39 s wall):
+  * streaming tumbling core, geo blocking completeness; ~26 s measured
+  * / ~35 s wall):
   *   runMain graft.tools.StressCheck 0.2
-  *     asof,star,win_topk,pagerank_5m,stream_tumbling
+  *     asof,star,win_topk,pagerank_5m,stream_tumbling,geo_radius
   *
   * This is a dev/evidence tool, not a graded surface: synthetic data has
   * no DuckDB oracle. Correctness of each op is carried by its graded
