@@ -301,18 +301,19 @@ object StressCheck {
     // completeness is re-proven at THIS scale against brute force on a
     // 20-facility sample (blocking finds exactly the brute-force
     // within-50 km set for those facilities).
+    // shared synthetic full-earth point generator for the geo rows
+    def geoPtsOf(n: Long, mul: Long) = spark.range(n)
+      .selectExpr(s"id * $mul + 17 AS k")
+      .selectExpr("k",
+        "CAST((k * 48271) % 120000 AS DOUBLE) / 1000.0 - 60.0 AS lat",
+        "CAST((k * 16807) % 360000 AS DOUBLE) / 1000.0 - 180.0 AS lon",
+        "((k * 48271) % 120000) DIV 1000 - 60 AS latc",
+        "((k * 16807) % 360000) DIV 1000 - 180 AS lonc")
     time("geo_radius_600k") {
       val nTgt = 3L * nDocs
       val nFac = (nDocs / 20).toLong
-      def ptsOf(n: Long, mul: Long) = spark.range(n)
-        .selectExpr(s"id * $mul + 17 AS k")
-        .selectExpr("k",
-          "CAST((k * 48271) % 120000 AS DOUBLE) / 1000.0 - 60.0 AS lat",
-          "CAST((k * 16807) % 360000 AS DOUBLE) / 1000.0 - 180.0 AS lon",
-          "((k * 48271) % 120000) DIV 1000 - 60 AS latc",
-          "((k * 16807) % 360000) DIV 1000 - 180 AS lonc")
-      val fac = ptsOf(nFac, 13L)
-      val tgt = ptsOf(nTgt, 7L)
+      val fac = geoPtsOf(nFac, 13L)
+      val tgt = geoPtsOf(nTgt, 7L)
       // run the blocked join ONCE at an unbounded radius (= the raw
       // candidate set with distances), cache it, and derive both the
       // within-50 pair set and the never-all-pairs candidate count from
@@ -343,6 +344,38 @@ object StressCheck {
         s"blocking at stress scale dropped ${(brute -- blocked).size} " +
           s"/ invented ${(blocked -- brute).size} pairs")
       nPairs
+    }
+    // 7a'''. The persisted cell-clustered layout (geo_bbox_persisted's
+    // shape) at 40×: 600k full-earth points committed to a graft-vt
+    // table keyed by the row-major cell id ((latc+60)·360 + lonc+180 ∈
+    // [0, 43200)), range-clustered into 16 files; a 2°×4° box serve is
+    // two contiguous cell ranges ([25400,25403] and [25760,25763]),
+    // each a stats-pruned readWhere — FILE skipping asserted at this
+    // scale, and the served id set equals the direct derivation filter
+    // exactly.
+    time("geo_persisted_600k") {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_stressgeo").toString + "/t"
+      val pts = geoPtsOf(3L * nDocs, 7L)
+        .withColumn("cell", (col("latc") + 60L) * 360L + (col("lonc") + 180L))
+      val vt = graft.tables.VersionedTable.create(
+        spark, root, pts, statsCol = Some("cell"))
+      vt.optimizeLayout("cell", 16)
+      def box(df: org.apache.spark.sql.DataFrame) =
+        df.filter(col("lat") >= 10.0 && col("lat") < 12.0 &&
+          col("lon") >= 20.0 && col("lon") < 24.0)
+      val served = box(vt.readWhere(25400.0, 25403.0)
+          .unionAll(vt.readWhere(25760.0, 25763.0)))
+        .select("k").collect().map(_.getLong(0)).toSet
+      val want = box(pts).select("k").collect().map(_.getLong(0)).toSet
+      require(served.nonEmpty && served == want,
+        s"persisted serve drift: served ${served.size} want ${want.size}")
+      val total = vt.read().inputFiles.length
+      val scanned = (vt.readWhere(25400.0, 25403.0).inputFiles ++
+        vt.readWhere(25760.0, 25763.0).inputFiles).distinct.length
+      require(scanned < total,
+        s"no file skipping at stress scale: scanned $scanned of $total")
+      served.size.toLong
     }
     // 7b. Perceptual (aHash) dedup over 200k media payloads — the
     // image-side analogue of SimHash: one typed decode+sketch pass, then
