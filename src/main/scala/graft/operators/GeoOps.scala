@@ -270,11 +270,19 @@ object GeoOps {
     * aggregation at any corpus size. */
   def geoNearestHub(s: SparkSession, d: String): DataFrame = {
     val hubs = hubsOf(s, d)
+    // the mean distance is computed in EXACT micro-km integers: best.d
+    // is µ-rounded, so floor(d·1e6+0.5) recovers its integer micro value
+    // bit-identically on both engines, the per-hub sum is exact, and the
+    // surfaced mean is ONE correctly-rounded double division — immune to
+    // the engine-specific summation order a float avg() would ride
     points(t(s, d, "customer"), "c_custkey")
       .select(nearestHubStruct(hubs, col("lat"), col("lon")).as("best"))
       .groupBy(col("best.hk").as("hub_key"))
       .agg(count(lit(1)).as("n_assigned"),
-        r3(avg(col("best.d"))).as("avg_dist_km"))
+        sum(floor(col("best.d") * 1000000.0 + 0.5).cast("long")).as("sum_micro"))
+      .select(col("hub_key"), col("n_assigned"),
+        (floor(col("sum_micro").cast("double") /
+          (col("n_assigned").cast("double") * 1000.0) + 0.5) / 1000.0).as("avg_dist_km"))
       .orderBy("hub_key")
   }
 
@@ -293,37 +301,36 @@ object GeoOps {
     * between the manifest link and the sidecar write) would wedge
     * every future `readWhere`, so an opened table WITHOUT a stats
     * column is wiped and rebuilt — safe because the whole table is a
-    * DERIVED index over re-derivable points, never source data. Race
-    * posture differs from PortableQuantizer.indexRootAt's
-    * idempotent-txn v1: two concurrent first-serves racing into the v1
-    * rewrite both succeed (withRebase) — content stays correct, the
-    * loser just burns one extra rewrite; fine for a per-JVM cache
-    * root. */
-  private[graft] def geoTable(s: SparkSession, d: String): graft.tables.VersionedTable = {
-    val base = graft.TempDirs.cached("vtgeo", d) { _ => () }
-    val root = base + "/t"
-    def build(): graft.tables.VersionedTable = {
-      val pts = points(t(s, d, "customer"), "c_custkey")
-        .withColumn("cell", (col("latc") + 5L) * 20L + (col("lonc") + 10L))
-      graft.tables.VersionedTable.create(s, root, pts, statsCol = Some("cell"))
+    * DERIVED index over re-derivable points, never source data. The
+    * whole check-build section is synchronized on this object: within
+    * one JVM (the cache root's lifetime) concurrent first-serves
+    * serialize instead of racing VersionedTable.create's
+    * single-attempt v0 commit (whose loser would THROW, not retry) or
+    * reading files mid-wipe; cross-process coordination is the durable
+    * deployment's problem, which PortableQuantizer.indexRootAt's
+    * idempotent-txn pattern shows how to solve. */
+  private[graft] def geoTable(s: SparkSession, d: String): graft.tables.VersionedTable =
+    GeoOps.synchronized {
+      val base = graft.TempDirs.cached("vtgeo", d) { _ => () }
+      val root = base + "/t"
+      def build(): graft.tables.VersionedTable = {
+        val pts = points(t(s, d, "customer"), "c_custkey")
+          .withColumn("cell", (col("latc") + 5L) * 20L + (col("lonc") + 10L))
+        graft.tables.VersionedTable.create(s, root, pts, statsCol = Some("cell"))
+      }
+      val v0 = java.nio.file.Paths.get(root, "_manifests", "v00000000.json")
+      var vt =
+        if (!java.nio.file.Files.exists(v0)) build()
+        else graft.tables.VersionedTable.open(s, root)
+      if (vt.statsCol.isEmpty) {
+        // half-built index (v0 committed, sidecar lost): derived data —
+        // wipe and rebuild rather than serve a permanently unprunable table
+        graft.TempDirs.rmTree(java.nio.file.Paths.get(root))
+        vt = build()
+      }
+      if (vt.currentVersion < 1) vt.optimizeLayout("cell", 8)
+      vt
     }
-    val v0 = java.nio.file.Paths.get(root, "_manifests", "v00000000.json")
-    var vt =
-      if (!java.nio.file.Files.exists(v0)) build()
-      else graft.tables.VersionedTable.open(s, root)
-    if (vt.statsCol.isEmpty) {
-      // half-built index (v0 committed, sidecar lost): derived data —
-      // wipe and rebuild rather than serve a permanently unprunable table
-      import scala.jdk.CollectionConverters._
-      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(root))
-      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
-      finally walk.close()
-      vt = build()
-    }
-    if (vt.currentVersion < 1) vt.optimizeLayout("cell", 8)
-    vt
-  }
 
   /** geo_bbox_persisted: a region query SERVED from the persisted
     * cell-clustered layout — the operational posture a 100 TB geo table
@@ -389,6 +396,7 @@ object GeoOps {
         "floor(" + havSql("cp", "h") + " * 1000000.0 + 0.5) / 1000000.0, h.hk) AS rn " +
         "FROM cp CROSS JOIN h) " +
         "SELECT hk AS hub_key, CAST(count(*) AS BIGINT) AS n_assigned, " +
-        "floor(avg(d) * 1000.0 + 0.5) / 1000.0 AS avg_dist_km " +
+        "floor(CAST(sum(CAST(floor(d * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) " +
+        "/ (CAST(count(*) AS DOUBLE) * 1000.0) + 0.5) / 1000.0 AS avg_dist_km " +
         "FROM scored WHERE rn = 1 GROUP BY 1 ORDER BY hub_key"))
 }

@@ -58,7 +58,13 @@ case class NearestHub(left: Expression, right: Expression,
       val sdlon = java.lang.Math.sin(((hubLons(i) - lon) * java.lang.Math.PI) / 360.0)
       val h = sdlat * sdlat +
         ((java.lang.Math.cos((lat * java.lang.Math.PI) / 180.0) * cosHlats(i)) * sdlon) * sdlon
-      val d = 12742.0176 * java.lang.Math.asin(java.lang.Math.sqrt(java.lang.Math.min(1.0, h)))
+      // Spark's least(1.0, h) clamp, INCLUDING its NaN ordering (NaN is
+      // the LARGEST double in Spark, so least picks 1.0) — Java's
+      // Math.min(1.0, NaN) = NaN would instead make every comparison
+      // false and silently return (Infinity, hubKeys(0)), diverging
+      // from the composed twin on a NaN coordinate
+      val hc = if (h != h || h > 1.0) 1.0 else h
+      val d = 12742.0176 * java.lang.Math.asin(java.lang.Math.sqrt(hc))
       val d6 = java.lang.Math.floor(d * 1000000.0 + 0.5) / 1000000.0
       if (d6 < bestD) { bestD = d6; bestHk = hubKeys(i) }
       i += 1
@@ -88,7 +94,8 @@ case class NearestHub(left: Expression, right: Expression,
          |  double $sdlat = java.lang.Math.sin((($lats[$i] - $lat) * java.lang.Math.PI) / 360.0);
          |  double $sdlon = java.lang.Math.sin((($lons[$i] - $lon) * java.lang.Math.PI) / 360.0);
          |  double $h = $sdlat * $sdlat + (($cosLat * $coss[$i]) * $sdlon) * $sdlon;
-         |  double $d = 12742.0176 * java.lang.Math.asin(java.lang.Math.sqrt(java.lang.Math.min(1.0, $h)));
+         |  if ($h != $h || $h > 1.0) { $h = 1.0; } // Spark least() NaN ordering — see eval
+         |  double $d = 12742.0176 * java.lang.Math.asin(java.lang.Math.sqrt($h));
          |  $d = java.lang.Math.floor($d * 1000000.0 + 0.5) / 1000000.0;
          |  if ($d < $bd) { $bd = $d; $bk = $keys[$i]; }
          |}
