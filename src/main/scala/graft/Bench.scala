@@ -36,6 +36,9 @@ object Bench {
     // shared with Verify; the GC bracket keeps dead-block collection out
     // of the next key's timing window, the round-6 jitter adjudication)
     val releaser = new graft.tools.MemoRegistry.FamilyReleaser(gcSettle = true)
+    // per-key memo-BUILD attribution (BASELINE.md "memo_builds" scheme):
+    // a fresh log so the warmup can't leak a phantom build onto key #1
+    graft.tools.MemoRegistry.BuildLog.reset()
     val wall0 = System.nanoTime()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       releaser.onKey(name)
@@ -99,15 +102,25 @@ object Bench {
     // "value" is the steady-state total (sum of per-key min-of-2);
     // "wall" is the loop's true elapsed seconds including both reps and
     // the GC-settle brackets — comparable to pre-round-7 totals.
+    // which keys paid for shared memoized family builds this run — the
+    // per-key steady-state number for regression diffs is
+    // t_key − memo_builds[key].sec (scheme recorded in BASELINE.md)
+    val builds = graft.tools.MemoRegistry.BuildLog.snapshot()
+    val buildSec = builds.map(_._2._2).sum
+    val buildsJson = builds.map { case (k, (n, sec)) =>
+      "\"" + esc(k) + "\":{\"n\":" + n + ",\"sec\":" + f3(sec) + "}"
+    }.mkString("{", ",", "}")
     val json = s"""{"metric":"total","value":${f3(total)},"unit":"sec",""" +
       s""""queries":${toJson(timings.filter(r => headline(r._1)))},""" +
+      s""""memo_build_sec":${f3(buildSec)},""" +
       s""""n_queries":${results.length},"n_errors":${errors.length},""" +
       // cap the inline list so a mass failure can't blow the ~2KB stdout
       // tail budget; n_errors is the true count, BENCH_FULL.json the full list
       s""""errors":${strArr(errors.take(10))},"reps":2,"agg":"min",""" +
       s""""wall":${f3(wallSec)},"full":"BENCH_FULL.json","sf":"${esc(sfDir)}"}"""
     val fullJson = s"""{"metric":"total","value":${f3(total)},"unit":"sec",""" +
-      s""""queries":${toJson(timings)},"n_errors":${errors.length},""" +
+      s""""queries":${toJson(timings)},"memo_builds":$buildsJson,""" +
+      s""""memo_build_sec":${f3(buildSec)},"n_errors":${errors.length},""" +
       s""""errors":${strArr(errors)},"reps":2,"agg":"min","wall":${f3(wallSec)},"sf":"${esc(sfDir)}"}"""
     for (p <- Seq("/tmp/bench.json", "BENCH_FULL.json"))
       try java.nio.file.Files.write(java.nio.file.Paths.get(p), fullJson.getBytes("UTF-8"))

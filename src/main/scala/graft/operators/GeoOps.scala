@@ -153,11 +153,32 @@ object GeoOps {
     * exact haversine ≤ radius runs only on cell-matched pairs. Each
     * target occupies exactly ONE cell and the 9 neighbor cells are
     * distinct (the lon span is ≫ 3 cells), so no candidate pair is
-    * produced twice — no post-join dedup needed. The radius must not
-    * exceed the 1-cell guarantee (≈55 km at the fixture latitudes; in
-    * general min(111·1°cell, 111·cos(maxlat)) minus slack). */
+    * produced twice — no post-join dedup needed.
+    *
+    * COMPLETENESS CONTRACT (enforced, not just documented): pairs beyond
+    * the 3×3 neighborhood are never examined, so the result is complete
+    * only when the radius cannot reach past one cell — radius ≤
+    * 111.045·cos(maxAbsLatDeg), the shortest 1° lon span any point may
+    * occupy (1° lat is always ≥ 110.5 km). A larger radius would return
+    * silently INCOMPLETE pairs; it now throws instead. Callers needing
+    * the raw blocked candidate set (StressCheck's never-all-pairs
+    * accounting) use [[cellCandidates]], which makes no radius claim. */
   private[graft] def radiusPairsFrom(facilities: DataFrame, targets: DataFrame,
-      radiusKm: Double): DataFrame = {
+      radiusKm: Double, maxAbsLatDeg: Double = 60.0): DataFrame = {
+    val oneCellKm = 111.045 * math.cos(math.toRadians(maxAbsLatDeg))
+    require(radiusKm <= oneCellKm,
+      f"radiusKm=$radiusKm%.1f exceeds the 1-cell completeness guarantee " +
+        f"($oneCellKm%.1f km at |lat| <= $maxAbsLatDeg%.0f°): the 3x3 cell " +
+        "neighborhood cannot cover it — pairs would be silently dropped")
+    cellCandidates(facilities, targets).filter(col("d") <= radiusKm)
+  }
+
+  /** The raw 3×3-cell-blocked candidate pairs with exact distances, NO
+    * radius bound claimed or enforced — candidate ENUMERATION only
+    * (candidate volume = cell co-occupancy, never all-pairs). Radius
+    * semantics live in [[radiusPairsFrom]], which is where the 1-cell
+    * completeness contract is checked. */
+  private[graft] def cellCandidates(facilities: DataFrame, targets: DataFrame): DataFrame = {
     val fac = facilities
       .withColumn("dlat", explode(array(lit(-1L), lit(0L), lit(1L))))
       .withColumn("dlon", explode(array(lit(-1L), lit(0L), lit(1L))))
@@ -168,7 +189,6 @@ object GeoOps {
         fac("nlatc") === targets("latc") && fac("nlonc") === targets("lonc"))
       .select(col("sk"), col("k").as("ck"),
         haversineKm(col("slat"), col("slon"), col("lat"), col("lon")).as("d"))
-      .filter(col("d") <= radiusKm)
   }
 
   /** The oracle twin of [[radiusPairs]] as a WITH-clause prefix ending
@@ -187,12 +207,17 @@ object GeoOps {
   /** geo_grid_density: customers per one-degree grid cell with the
     * cell's average account balance — the heat-map aggregation. One
     * scan, map-side partial agg on the integer cell key, top-50 cells
-    * by count. */
+    * by count. The mean aggregates EXACT integer cents (c_acctbal is a
+    * 2-dp quantity) with one final double division — geo_nearest_hub's
+    * avg_dist_km discipline — because a double avg() accumulates in
+    * engine-specific partial order and a cell mean within ~1 ulp of a
+    * half-cent boundary could flip the last cent cross-engine. */
   def geoGridDensity(s: SparkSession, d: String): DataFrame =
     points(t(s, d, "customer"), "c_custkey", keep = Seq("c_acctbal"))
       .groupBy(col("latc"), col("lonc"))
       .agg(count(lit(1)).as("n_cust"),
-        (floor(avg(col("c_acctbal")) * 100.0 + 0.5) / 100.0).as("avg_acctbal"))
+        (floor(sum(floor(col("c_acctbal") * 100.0 + 0.5).cast("long")).cast("double")
+          / count(lit(1)) + 0.5) / 100.0).as("avg_acctbal"))
       .orderBy(col("n_cust").desc, col("latc"), col("lonc"))
       .limit(50)
 
@@ -364,7 +389,8 @@ object GeoOps {
       ("WITH cp AS (" +
         pointsSql("customer", "c_custkey", keep = Seq("c_acctbal")) + ") " +
         "SELECT latc, lonc, CAST(count(*) AS BIGINT) AS n_cust, " +
-        "floor(avg(c_acctbal) * 100.0 + 0.5) / 100.0 AS avg_acctbal " +
+        "floor(CAST(sum(CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) " +
+        "/ count(*) + 0.5) / 100.0 AS avg_acctbal " +
         "FROM cp GROUP BY 1, 2 ORDER BY n_cust DESC, latc, lonc LIMIT 50"),
     "geo_radius_join" ->
       (radiusPairsSql +

@@ -39,17 +39,21 @@ object LlmCorpusOps {
     trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
 
   /** 512-token contiguous-fill packing over any (doc_id, source, text)
-    * frame — shared by llm_pack_sequences and the e2e pipeline. One
-    * window over (source, doc_id): a single shuffle by source; at 100 TB
-    * the partition key is (source, day-bucket) so no stream per source
-    * grows unbounded. */
+    * frame — shared by llm_pack_sequences and the e2e pipeline.
+    *
+    * The per-source token prefix sum rides
+    * [[ScalePrimitives.distRunningBy]] (parallel range sort in (source,
+    * doc_id) order; per-source carry-in offsets recovered from bounded
+    * per-partition suffix partials) instead of a window partitioned by
+    * `source` — the window form put each source's ENTIRE stream into one
+    * task, so a corpus dominated by a few big sources serialized at any
+    * scale. Token counts are exact longs, so bins are bit-identical. */
   def packBins(docs: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("source").orderBy("doc_id")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    docs
+    val toks = docs
       .withColumn("tok", size(split(col("text"), " ")).cast("long"))
-      .withColumn("cum", sum("tok").over(w))
+      .select(col("doc_id"), col("source"), col("tok"))
+    ScalePrimitives.distRunningBy(toks, "source", Seq(col("doc_id")), "__rnk",
+        sumCols = Seq("tok"), sumOuts = Seq("cum"))
       .select(col("doc_id"), col("source"), col("tok"),
         floor((col("cum") - col("tok")) / lit(512.0)).cast("int").as("bin"))
   }
@@ -582,6 +586,33 @@ object LlmCorpusOps {
     * key memoize the near-dup loser frame per (session, corpus). */
   def curationFunnel(docs: DataFrame,
       pinLosers: DataFrame => DataFrame = identity): DataFrame = {
+    val ws = split(col("text"), " ")
+    val perSrc = curationFlags(docs, pinLosers)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_raw"),
+        sum(when(col("gate"), 1L).otherwise(0L)).as("n_gated"),
+        sum(when(col("is_exact"), 1L).otherwise(0L)).as("n_exact"),
+        sum(when(col("is_kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("is_kept"), size(ws).cast("long")).otherwise(0L)).as("n_words"),
+        sum(when(col("is_kept"), aggregate(ws, lit(0L),
+          (acc, x) => acc + ceil(length(x) / lit(4.0)))).otherwise(0L)).as("n_bpe_tokens"))
+    perSrc
+      .withColumn("token_share",
+        floor(col("n_bpe_tokens").cast("double") /
+          sum("n_bpe_tokens").over(
+            org.apache.spark.sql.expressions.Window.partitionBy()).cast("double") *
+          1000000.0 + 0.5) / 1000000.0)
+      .orderBy("source")
+  }
+
+  /** The funnel's DOC-GRAIN stage flags — every input row annotated with
+    * gate / is_exact / is_kept (kept = survived the quality gate, the
+    * normalized exact dedup, AND the near-dup closure). Shared by
+    * [[curationFunnel]] (which aggregates it per source) and
+    * llm_gate_agreement (which grades the cheap gates against it), so
+    * "survivor truth" has exactly one definition. */
+  private[graft] def curationFlags(docs: DataFrame,
+      pinLosers: DataFrame => DataFrame = identity): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val flagged = docs
       .withColumn("gate", LlmOps.qualityGate)
@@ -596,24 +627,57 @@ object LlmCorpusOps {
             maxPosting = LlmTextOps.StopShingleCap).select("a_id", "b_id"))
         .filter(col("id") =!= col("comp"))
         .select(col("id").as("doc_id"), lit(true).as("is_loser")))
-    val ws = split(col("text"), " ")
-    val perSrc = flagged
+    flagged
       .join(losers, Seq("doc_id"), "left")
       .withColumn("is_kept", col("is_exact") && col("is_loser").isNull)
-      .groupBy("source")
-      .agg(count(lit(1)).as("n_raw"),
-        sum(when(col("gate"), 1L).otherwise(0L)).as("n_gated"),
-        sum(when(col("is_exact"), 1L).otherwise(0L)).as("n_exact"),
-        sum(when(col("is_kept"), 1L).otherwise(0L)).as("n_kept"),
-        sum(when(col("is_kept"), size(ws).cast("long")).otherwise(0L)).as("n_words"),
-        sum(when(col("is_kept"), aggregate(ws, lit(0L),
-          (acc, x) => acc + ceil(length(x) / lit(4.0)))).otherwise(0L)).as("n_bpe_tokens"))
-    perSrc
-      .withColumn("token_share",
-        floor(col("n_bpe_tokens").cast("double") /
-          sum("n_bpe_tokens").over(Window.partitionBy()).cast("double") *
-          1000000.0 + 0.5) / 1000000.0)
-      .orderBy("source")
+  }
+
+  /** llm_gate_agreement: the ann_pair_recall honesty discipline applied
+    * to CURATION — how well do the two cheap per-doc gates (the Gopher
+    * rule pack, the 0-1 quality score at τ = 0.55) predict the FULL
+    * funnel's survivor set (quality gate → exact dedup → near-dup
+    * closure, [[curationFlags]]' is_kept — the expensive truth)? One
+    * confusion row per gate: TP/FP/FN/TN counts plus floor-6dp precision
+    * and recall. This is the measurement a curation owner uses to decide
+    * whether a cheap gate can PRE-FILTER the corpus before the expensive
+    * dedup tower at 100 TB — a high-recall gate can cut the near-dup
+    * input safely, a low-precision one cannot replace it.
+    *
+    * Scale: the gates are row-local projections over the same corpus
+    * scan; the truth side is the funnel the e2e key already prices
+    * (loser frame memoized per (session, corpus) under the SAME tag, so
+    * Bench's sorted order builds it once at llm_curation_e2e and this
+    * key reuses it); the confusion matrix is a 2-row aggregate. */
+  def llmGateAgreement(s: SparkSession, d: String): DataFrame = {
+    val kept = curationFlags(t(s, d, "documents"),
+        losers => memo(s, d, "curation_losers")(losers))
+      .select(col("doc_id"), col("is_kept"))
+    val gopher = llmGopherRules(s, d).select(col("doc_id"), col("pass").as("g_pass"))
+    val qscore = LlmTextOps.llmQualityScore(s, d)
+      .select(col("doc_id"), (col("score") >= 0.55).as("q_pass"))
+    val conf = kept
+      .join(gopher, Seq("doc_id"))
+      .join(qscore, Seq("doc_id"))
+      .select(col("is_kept"), explode(array(
+        struct(lit("gopher").as("gate"), col("g_pass").as("pass")),
+        struct(lit("quality_score").as("gate"), col("q_pass").as("pass")))).as("e"))
+      .select(col("is_kept"), col("e").getField("gate").as("gate"),
+        col("e").getField("pass").as("pass"))
+      .groupBy("gate")
+      .agg(
+        sum(when(col("pass") && col("is_kept"), 1L).otherwise(0L)).as("n_tp"),
+        sum(when(col("pass") && !col("is_kept"), 1L).otherwise(0L)).as("n_fp"),
+        sum(when(!col("pass") && col("is_kept"), 1L).otherwise(0L)).as("n_fn"),
+        sum(when(!col("pass") && !col("is_kept"), 1L).otherwise(0L)).as("n_tn"))
+    conf
+      .select(col("gate"), col("n_tp"), col("n_fp"), col("n_fn"), col("n_tn"),
+        when(col("n_tp") + col("n_fp") > 0,
+          floor(col("n_tp").cast("double") / (col("n_tp") + col("n_fp")).cast("double") *
+            1000000.0 + 0.5) / 1000000.0).as("precision"),
+        when(col("n_tp") + col("n_fn") > 0,
+          floor(col("n_tp").cast("double") / (col("n_tp") + col("n_fn")).cast("double") *
+            1000000.0 + 0.5) / 1000000.0).as("recall"))
+      .orderBy("gate")
   }
 
   /** The e2e pipeline with DATA-QUALITY OBSERVABILITY: the same plan as
@@ -1106,6 +1170,7 @@ object LlmCorpusOps {
   }
 
   val queries: Map[String, Q] = Map(
+    "llm_gate_agreement" -> (llmGateAgreement _),
     "llm_zipf_fit" -> (llmZipfFit _),
     "llm_heaps_growth" -> (llmHeapsGrowth _),
     "llm_perplexity" -> (llmPerplexity _),
@@ -1231,7 +1296,51 @@ object LlmCorpusOps {
       "rrk AS (SELECT q_id, doc_id, sim, " +
       "CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, doc_id) AS INTEGER) AS rank FROM rsc)"
 
+  /** The funnel's survivor tower as a reusable WITH-prefix ending in a
+    * `kept(doc_id, source, text)` CTE — each stage is the verified oracle
+    * of its graded key (gate = llm_quality_filter's WHERE, norm-md5
+    * window = llm_pipeline_e2e's dedup, cluster chain =
+    * llm_dedup_survivors' closure). Shared by llm_curation_e2e and
+    * llm_gate_agreement so "survivor truth" has one SQL spelling too. */
+  private def curationKeptSql: String =
+    "WITH RECURSIVE g AS (SELECT doc_id, source, text FROM documents " +
+      "WHERE n_chars BETWEEN 100 AND 500 AND lang IN ('en', 'fr', 'de') AND len(string_split(text, ' ')) >= 20), " +
+      "ex AS (SELECT doc_id, source, text FROM " +
+      "(SELECT *, row_number() OVER (PARTITION BY md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) ORDER BY doc_id) AS rn FROM g) WHERE rn = 1), " +
+      LlmTextOps.dedupClusterChain("ex") + ", " +
+      "comps AS (SELECT id, min(comp) AS cluster_id FROM reach GROUP BY id), " +
+      "kept AS (SELECT doc_id, source, text FROM ex WHERE doc_id NOT IN (SELECT id FROM comps WHERE id <> cluster_id))"
+
   val oracles: Map[String, String] = Map(
+    // the truth side is the shared survivor tower; the gate sides are
+    // the llm_gopher_rules oracle's rule arithmetic and the
+    // llm_quality_score oracle's 6-dp score at the same tau = 0.55
+    "llm_gate_agreement" ->
+      (curationKeptSql + ", " +
+        "gws AS (SELECT doc_id, list_filter(string_split(text, ' '), w -> length(w) >= 1) AS ws FROM documents), " +
+        "gm AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words, " +
+        "CAST(coalesce(list_sum(list_transform(ws, w -> length(w))), 0) AS BIGINT) AS sum_len, " +
+        s"len(list_filter(ws, w -> w IN (${MlOps.PinnedStopwords.map(w => s"'$w'").mkString(", ")}))) AS n_stop, " +
+        "coalesce((SELECT max(c) FROM (SELECT count(*) AS c FROM unnest(ws) AS t(w) GROUP BY w)), 0) AS max_cnt " +
+        "FROM gws), " +
+        "gop AS (SELECT doc_id, (n_words BETWEEN 30 AND 90) AND (sum_len * 10 >= n_words * 39 AND sum_len * 10 <= n_words * 47) " +
+        "AND n_stop >= 2 AND max_cnt * 8 <= n_words AS g_pass FROM gm), " +
+        "qs AS (SELECT doc_id, round(0.6 * least(n_chars / 500.0, 1.0) + 0.4 * least(((n_chars - (len(string_split(text, ' ')) - 1)) / CAST(len(string_split(text, ' ')) AS DOUBLE)) / 10.0, 1.0), 6) >= 0.55 AS q_pass FROM documents), " +
+        "flags AS (SELECT d.doc_id, (k.doc_id IS NOT NULL) AS is_kept, gop.g_pass, qs.q_pass " +
+        "FROM documents d LEFT JOIN kept k ON d.doc_id = k.doc_id " +
+        "JOIN gop ON d.doc_id = gop.doc_id JOIN qs ON d.doc_id = qs.doc_id), " +
+        "c AS (SELECT 'gopher' AS gate, g_pass AS pass, is_kept FROM flags " +
+        "UNION ALL SELECT 'quality_score' AS gate, q_pass AS pass, is_kept FROM flags), " +
+        "agg AS (SELECT gate, " +
+        "CAST(sum(CASE WHEN pass AND is_kept THEN 1 ELSE 0 END) AS BIGINT) AS n_tp, " +
+        "CAST(sum(CASE WHEN pass AND NOT is_kept THEN 1 ELSE 0 END) AS BIGINT) AS n_fp, " +
+        "CAST(sum(CASE WHEN NOT pass AND is_kept THEN 1 ELSE 0 END) AS BIGINT) AS n_fn, " +
+        "CAST(sum(CASE WHEN NOT pass AND NOT is_kept THEN 1 ELSE 0 END) AS BIGINT) AS n_tn " +
+        "FROM c GROUP BY gate) " +
+        "SELECT gate, n_tp, n_fp, n_fn, n_tn, " +
+        "CASE WHEN n_tp + n_fp > 0 THEN floor(CAST(n_tp AS DOUBLE) / CAST(n_tp + n_fp AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 END AS precision, " +
+        "CASE WHEN n_tp + n_fn > 0 THEN floor(CAST(n_tp AS DOUBLE) / CAST(n_tp + n_fn AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 END AS recall " +
+        "FROM agg ORDER BY gate"),
     // pure integer counts; first-occurrence attribution mirrored, the
     // power-of-two checkpoint test is the same rank & (rank-1) trick
     "llm_heaps_growth" ->
@@ -1391,13 +1500,7 @@ object LlmCorpusOps {
     // mirrored 6 dp share. DuckDB sums of BIGINT go HUGEINT, hence the
     // CASTs back.
     "llm_curation_e2e" ->
-      ("WITH RECURSIVE g AS (SELECT doc_id, source, text FROM documents " +
-        "WHERE n_chars BETWEEN 100 AND 500 AND lang IN ('en', 'fr', 'de') AND len(string_split(text, ' ')) >= 20), " +
-        "ex AS (SELECT doc_id, source, text FROM " +
-        "(SELECT *, row_number() OVER (PARTITION BY md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) ORDER BY doc_id) AS rn FROM g) WHERE rn = 1), " +
-        LlmTextOps.dedupClusterChain("ex") + ", " +
-        "comps AS (SELECT id, min(comp) AS cluster_id FROM reach GROUP BY id), " +
-        "kept AS (SELECT doc_id, source, text FROM ex WHERE doc_id NOT IN (SELECT id FROM comps WHERE id <> cluster_id)), " +
+      (curationKeptSql + ", " +
         "ktok AS (SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words, " +
         "CAST(list_sum(list_transform(string_split(text, ' '), x -> ceil(length(x) / 4.0))) AS BIGINT) AS bpe FROM kept), " +
         "ragg AS (SELECT source, CAST(count(*) AS BIGINT) AS n_raw FROM documents GROUP BY 1), " +

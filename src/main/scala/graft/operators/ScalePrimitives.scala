@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, Row}
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
 
 /** Distributed order-statistics primitives — exact global rank, running
   * (prefix) sums, and ntile — WITHOUT the single-partition WindowExec the
@@ -102,6 +102,141 @@ object ScalePrimitives {
     val sumFields = sumOuts.map(n => StructField(n, LongType, nullable = false))
     (df.sparkSession.createDataFrame(outRdd, StructType(fields ++ sumFields)),
       totals.map(_._2).sum)
+  }
+
+  /** PER-GROUP running rank and running sums — the scale-safe form of
+    * `… OVER (PARTITION BY grp ORDER BY ord…)` when `grp` has FEW distinct
+    * values over a data-grain input (the hidden-data-grain window: a
+    * 3-value status key over the full fact table routes the whole corpus
+    * into 3 window tasks at any size).
+    *
+    * One [[distRunning]]-style pass in (grp, ord…) order. The carry-in a
+    * partition needs for its FIRST group is recovered from per-partition
+    * SUFFIX partials (only a partition's last group can straddle into the
+    * next partition, because the sort makes groups contiguous), chained on
+    * the driver in partition order — driver state is O(partitions), never
+    * O(groups) and never the data grain, so `grp`'s cardinality is
+    * unconstrained.
+    *
+    * Numerics: `rankOut` and the LongType running sums are EXACT.
+    * DoubleType running sums accumulate sequentially within each
+    * partition and re-associate only at partition boundaries — each
+    * group's prefix starts from 0.0 at the group's own first row (no
+    * global-offset subtraction), so early-group rows are bit-exact vs a
+    * sequential reference and deep rows differ by O(#boundaries) ulps.
+    * Sum columns must be non-null (same contract as [[distRunning]]).
+    */
+  def distRunningBy(df: DataFrame, grp: String, ord: Seq[Column], rankOut: String,
+                    sumCols: Seq[String] = Nil, sumOuts: Seq[String] = Nil,
+                    dblCols: Seq[String] = Nil, dblOuts: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    require(sumCols.length == sumOuts.length, "one output name per running-sum column")
+    require(dblCols.length == dblOuts.length, "one output name per double running-sum column")
+    (rankOut +: (sumOuts ++ dblOuts)).foreach { n =>
+      require(!df.columns.contains(n),
+        s"distRunningBy output column '$n' collides with an input column; rename one")
+    }
+    val gIdx = df.schema.fieldIndex(grp)
+    val lIdx = sumCols.map(df.schema.fieldIndex).toArray
+    lIdx.foreach { i =>
+      require(df.schema(i).dataType == LongType,
+        s"distRunningBy exact sums LongType columns only; ${df.schema(i).name} is ${df.schema(i).dataType}")
+    }
+    val dIdx = dblCols.map(df.schema.fieldIndex).toArray
+    dIdx.foreach { i =>
+      require(df.schema(i).dataType == DoubleType,
+        s"distRunningBy double sums DoubleType columns only; ${df.schema(i).name} is ${df.schema(i).dataType}")
+    }
+    val rowRdd = df.orderBy((col(grp) +: ord): _*).rdd // planned ONCE — see object doc
+    val (locG, locL, locD) = (gIdx, lIdx, dIdx)
+    // pass 1: per partition — first/last group values plus the SUFFIX
+    // partial (count + sums over the last group's rows only); the suffix
+    // accumulators reset at every group change, so by iterator end they
+    // hold exactly the trailing group's contribution
+    val infos = rowRdd.mapPartitionsWithIndex { case (pid, it) =>
+      var nonEmpty = false
+      var first: Any = null
+      var cur: Any = null
+      var cnt = 0L
+      val accL = new Array[Long](locL.length)
+      val accD = new Array[Double](locD.length)
+      it.foreach { r =>
+        val g = r.get(locG)
+        if (!nonEmpty) { nonEmpty = true; first = g; cur = g }
+        else if (!java.util.Objects.equals(g, cur)) {
+          cur = g; cnt = 0L
+          java.util.Arrays.fill(accL, 0L); java.util.Arrays.fill(accD, 0.0)
+        }
+        cnt += 1
+        var j = 0
+        while (j < locL.length) { accL(j) += r.getLong(locL(j)); j += 1 }
+        j = 0
+        while (j < locD.length) { accD(j) += r.getDouble(locD(j)); j += 1 }
+      }
+      Iterator((pid, nonEmpty, first, cur, cnt, accL, accD))
+    }.collect()
+    // driver chain in partition order: carry-in for partition p applies to
+    // its first group IFF that group is the running group at p's entry
+    val nParts = rowRdd.getNumPartitions
+    val carryCnt = new Array[Long](nParts)
+    val carryL = Array.fill(nParts)(new Array[Long](lIdx.length))
+    val carryD = Array.fill(nParts)(new Array[Double](dIdx.length))
+    val byPid = infos.sortBy(_._1)
+    var hasCur = false
+    var curGrp: Any = null
+    var runCnt = 0L
+    var runL = new Array[Long](lIdx.length)
+    var runD = new Array[Double](dIdx.length)
+    byPid.foreach { case (pid, nonEmpty, first, last, cnt, accL, accD) =>
+      if (nonEmpty) {
+        val continues = hasCur && java.util.Objects.equals(first, curGrp)
+        if (continues) {
+          carryCnt(pid) = runCnt
+          carryL(pid) = runL.clone(); carryD(pid) = runD.clone()
+        }
+        if (continues && java.util.Objects.equals(last, curGrp)) {
+          // whole partition stayed inside the running group (sorted
+          // contiguity: first==last means every row between is that group)
+          runCnt += cnt
+          var j = 0
+          while (j < lIdx.length) { runL(j) += accL(j); j += 1 }
+          j = 0
+          while (j < dIdx.length) { runD(j) += accD(j); j += 1 }
+        } else {
+          // the trailing group started inside this partition
+          runCnt = cnt; runL = accL.clone(); runD = accD.clone()
+        }
+        curGrp = last; hasCur = true
+      }
+    }
+    // pass 2: stream each partition once, carrying rank + running sums,
+    // resetting at every group boundary (carry-ins only seed the first
+    // group; a fresh group starts from zero by construction)
+    val outRdd = rowRdd.mapPartitionsWithIndex { case (pid, it) =>
+      var started = false
+      var cur: Any = null
+      var rank = carryCnt(pid)
+      val accL = carryL(pid).clone()
+      val accD = carryD(pid).clone()
+      it.map { r =>
+        val g = r.get(locG)
+        if (!started) { started = true; cur = g }
+        else if (!java.util.Objects.equals(g, cur)) {
+          cur = g; rank = 0L
+          java.util.Arrays.fill(accL, 0L); java.util.Arrays.fill(accD, 0.0)
+        }
+        rank += 1
+        var j = 0
+        while (j < locL.length) { accL(j) += r.getLong(locL(j)); j += 1 }
+        j = 0
+        while (j < locD.length) { accD(j) += r.getDouble(locD(j)); j += 1 }
+        Row.fromSeq(((r.toSeq :+ rank) ++ accL) ++ accD)
+      }
+    }
+    val fields = df.schema.fields :+ StructField(rankOut, LongType, nullable = false)
+    val sumFields = sumOuts.map(n => StructField(n, LongType, nullable = false)) ++
+      dblOuts.map(n => StructField(n, DoubleType, nullable = false))
+    df.sparkSession.createDataFrame(outRdd, StructType(fields ++ sumFields))
   }
 
   /** Exact distributed `ntile(k) OVER (ORDER BY ord…)`: the global rank

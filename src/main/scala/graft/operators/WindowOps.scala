@@ -82,16 +82,28 @@ object WindowOps {
       .orderBy("event_id")
   }
 
-  /** E7: ntile + first_value/last_value with explicit full frames. */
+  /** E7: ntile + first_value/last_value with explicit full frames.
+    *
+    * Scale-safe formulation: `o_orderstatus` has 3 distinct values, so a
+    * data-grain window partitioned by it routes the whole fact table into
+    * 3 tasks at any size. The ntile instead rides
+    * [[ScalePrimitives.distNtileBy]] (parallel range sort + integer
+    * bucket formula, bit-identical to the built-in), and the full-frame
+    * first/last values are per-group ARGMIN/ARGMAX aggregates — min_by /
+    * max_by over the (−price, key) ordering struct reproduces the
+    * (price DESC, key ASC) frame's first and last rows exactly — joined
+    * back from a |status|-row broadcast. Oracle unchanged. */
   def winNtileFirstLast(s: SparkSession, d: String): DataFrame = {
-    val wOrder = Window.partitionBy("o_orderstatus")
-      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-    val wFull = wOrder.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    t(s, d, "orders")
+    val o = t(s, d, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val tiled = graft.operators.ScalePrimitives.distNtileBy(
+      o, "o_orderstatus", 4, "quartile", col("o_totalprice").desc, col("o_orderkey"))
+    val ordKey = struct((-col("o_totalprice")).as("np"), col("o_orderkey").as("k"))
+    val ends = o.groupBy(col("o_orderstatus").as("__st")).agg(
+      min_by(col("o_orderkey"), ordKey).as("top_key"),
+      max_by(col("o_orderkey"), ordKey).as("bottom_key"))
+    tiled.join(broadcast(ends), col("o_orderstatus") <=> col("__st"))
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
-        ntile(4).over(wOrder).as("quartile"),
-        first_value(col("o_orderkey")).over(wFull).as("top_key"),
-        last_value(col("o_orderkey")).over(wFull).as("bottom_key"))
+        col("quartile"), col("top_key"), col("bottom_key"))
       .orderBy("o_orderkey")
   }
 
@@ -111,45 +123,97 @@ object WindowOps {
   }
 
   /** E9: exact percentiles as WINDOW aggregates — every row carries its
-    * partition's median and p90 (no orderBy → frame = whole partition). */
+    * partition's median and p90.
+    *
+    * Scale-safe formulation: the previous `percentile(…).over(partitionBy
+    * status)` buffered the full fact table in 3 window tasks. Instead the
+    * exact quantile is computed by VALUE-AT-RANK over
+    * [[ScalePrimitives.distRunning]]'s parallel range sort: per-status
+    * sizes/offsets are a |status|-row aggregate, each quantile's two
+    * bracketing GLOBAL ranks become a ≤4·|status|-row broadcast probe
+    * table equi-joined on the unique rank, and the quantile_cont
+    * interpolation lov + frac·(hiv−lov) runs on those exact values. The
+    * |status|-row result broadcasts back onto orders. Oracle unchanged. */
   def winMedian(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy("o_orderstatus")
-    t(s, d, "orders")
+    val o = t(s, d, "orders")
+    val ranked = graft.operators.ScalePrimitives.distRunning(
+      o.select(col("o_orderstatus").as("__st"), col("o_totalprice").as("__v")),
+      Seq(col("__st"), col("__v")), "__rnk")
+    val sizes = ranked.groupBy("__st")
+      .agg(count(lit(1)).as("__n"), (max("__rnk") - count(lit(1))).as("__off"))
+    // (status, p) → bracketing 1-based global ranks + interpolation frac
+    val targets = sizes
+      .select(col("__st"), col("__n"), col("__off"),
+        explode(array(lit(0.5), lit(0.9))).as("__p"))
+      .withColumn("__pos", col("__off") + lit(1) + (col("__n") - 1) * col("__p"))
+      .withColumn("__lo", floor(col("__pos")).cast("long"))
+      .withColumn("__hi", ceil(col("__pos")).cast("long"))
+      .withColumn("__frac", col("__pos") - col("__lo"))
+    // rank-role rows: globally unique ranks make this a broadcast EQUI-join
+    val probes = targets
+      .select(col("__st").as("__pst"), col("__p"), col("__frac"),
+        explode(array(struct(col("__lo").as("__r"), lit(true).as("__isLo")),
+          struct(col("__hi").as("__r"), lit(false).as("__isLo")))).as("__e"))
+      .select(col("__pst"), col("__p"), col("__frac"),
+        col("__e").getField("__r").as("__r"), col("__e").getField("__isLo").as("__isLo"))
+    val quants = ranked.join(broadcast(probes), col("__rnk") === col("__r"))
+      .groupBy(col("__pst"), col("__p"), col("__frac"))
+      .agg(min(when(col("__isLo"), col("__v"))).as("__lov"),
+        min(when(!col("__isLo"), col("__v"))).as("__hiv"))
+      .withColumn("__q", col("__lov") + col("__frac") * (col("__hiv") - col("__lov")))
+      .groupBy(col("__pst").as("__qst"))
+      .agg(min(when(col("__p") === 0.5, col("__q"))).as("__med"),
+        min(when(col("__p") === 0.9, col("__q"))).as("__p90"))
+    o.join(broadcast(quants), col("o_orderstatus") <=> col("__qst"))
       .select(col("o_orderkey"), col("o_orderstatus"),
-        round(expr("percentile(o_totalprice, 0.5)").over(w), 4).as("status_median"),
-        round(expr("percentile(o_totalprice, 0.9)").over(w), 4).as("status_p90"))
+        round(col("__med"), 4).as("status_median"),
+        round(col("__p90"), 4).as("status_p90"))
       .orderBy("o_orderkey")
   }
 
-  /** E10: the custom typed UDAF ([[graft.functions.GeoMean]]) as a WINDOW
-    * aggregate — running geometric mean of quantity per returnflag. The
-    * Aggregator's associative merge is what lets one definition serve
-    * groupBy (udaf_geomean), window frames (here), and partial map-side
-    * combine at 100 TB. Frame order is pinned, so the log-sum
-    * accumulation order matches the oracle's exp(avg(ln)). */
+  /** E10: running geometric mean of order price per status — the window
+    * twin of the GeoMean UDAF (still graded as udaf_geomean), re-expressed
+    * as a per-group running log-sum on ScalePrimitives. */
   def winUdafGeomean(s: SparkSession, d: String): DataFrame = {
-    val geomean = udaf(graft.functions.GeoMean)
-    // o_orderkey is the one fixture key that is globally unique, so the
-    // frame order (and thus the running log-sum) is cross-engine exact
-    val w = Window.partitionBy("o_orderstatus").orderBy("o_orderkey")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    t(s, d, "orders")
+    // Scale-safe formulation: the UDAF-over-window form partitioned the
+    // fact table by the 3-value status key (3 window tasks at any size).
+    // The running geometric mean is a running log-sum, so it rides
+    // [[ScalePrimitives.distRunningBy]]: per-status rank + per-status
+    // running ln-sum, accumulated SEQUENTIALLY in (status, o_orderkey)
+    // order with each group's prefix starting from 0.0 at its own first
+    // row — no global-offset subtraction, so early rows stay bit-exact
+    // vs the oracle's sequential exp(avg(ln)). The GeoMean Aggregator
+    // itself remains graded via udaf_geomean. Oracle unchanged.
+    val o = t(s, d, "orders")
       .filter(col("o_orderkey") % 20 === 0)
       .select(col("o_orderkey"), col("o_orderstatus"),
-        round(geomean(col("o_totalprice")).over(w), 4).as("run_gm"))
+        log(col("o_totalprice")).as("__ln"))
+    graft.operators.ScalePrimitives.distRunningBy(
+        o, "o_orderstatus", Seq(col("o_orderkey")), "__grnk",
+        dblCols = Seq("__ln"), dblOuts = Seq("__lncum"))
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        round(exp(col("__lncum") / col("__grnk")), 4).as("run_gm"))
       .orderBy("o_orderkey")
   }
 
-  /** E11: ratio-to-report — each order's share of its status partition's
-    * FULL total (the classic BI window; the window runs before the output
-    * filter, so shares are relative to the whole partition). Whole-
-    * partition sums accumulate in engine-specific order; the 1e-15
-    * relative noise sits far inside the 6 dp rounding on a ≤1 ratio
-    * (same discipline as win_median's full-partition quantile). */
+  /** E11: ratio-to-report — each order's share of its status group's FULL
+    * total (shares computed before the output filter, so they are
+    * relative to the whole group).
+    *
+    * Scale-safe formulation: the full-partition window totaled the fact
+    * table in 3 window tasks; a per-status SUM is just a |status|-row
+    * aggregate broadcast back. The total is accumulated in EXACT integer
+    * cents (o_totalprice is a 2-dp quantity — geo_nearest_hub's
+    * discipline), so the Spark-side value is deterministic under any
+    * partial-agg order; vs the oracle's double sum the difference is
+    * ~1e-14 relative on the denominator, far inside the 6 dp rounding on
+    * a ≤1 ratio. Oracle unchanged. */
   def winShareOfTotal(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy("o_orderstatus")
-    t(s, d, "orders")
-      .withColumn("share", round(col("o_totalprice") / sum("o_totalprice").over(w), 6))
+    val o = t(s, d, "orders")
+    val totals = o.groupBy(col("o_orderstatus").as("__st"))
+      .agg((sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")) / 100.0).as("__tot"))
+    o.join(broadcast(totals), col("o_orderstatus") <=> col("__st"))
+      .withColumn("share", round(col("o_totalprice") / col("__tot"), 6))
       .filter(col("o_orderkey") % 10 === 0)
       .select("o_orderkey", "o_orderstatus", "o_totalprice", "share")
       .orderBy("o_orderkey")

@@ -70,7 +70,12 @@ final class LruMemo[K, V](val capacity: Int, onEvict: V => Unit = (_: V) => ()) 
     val hit = map.get(k)
     if (hit != null) hit
     else {
+      // report the build's wall seconds to the attribution log — this is
+      // how Bench knows which registry key paid for a shared family index
+      // (including LRU-eviction REBUILDS, which land on arbitrary keys)
+      val t0 = System.nanoTime()
       val v = build
+      MemoRegistry.BuildLog.record((System.nanoTime() - t0) / 1e9)
       map.put(k, v)
       v
     }

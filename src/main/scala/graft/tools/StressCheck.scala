@@ -314,11 +314,11 @@ object StressCheck {
       val nFac = (nDocs / 20).toLong
       val fac = geoPtsOf(nFac, 13L)
       val tgt = geoPtsOf(nTgt, 7L)
-      // run the blocked join ONCE at an unbounded radius (= the raw
-      // candidate set with distances), cache it, and derive both the
-      // within-50 pair set and the never-all-pairs candidate count from
-      // the same materialization
-      val cand = graft.operators.GeoOps.radiusPairsFrom(fac, tgt, 1e9).cache()
+      // enumerate the blocked candidates ONCE (cellCandidates = the raw
+      // candidate set with distances, no radius claim), cache it, and
+      // derive both the within-50 pair set and the never-all-pairs
+      // candidate count from the same materialization
+      val cand = graft.operators.GeoOps.cellCandidates(fac, tgt).cache()
       val pairs = cand.filter(col("d") <= 50.0)
       val nPairs = pairs.count()
       require(nPairs > 0, "no within-radius pairs at stress scale")

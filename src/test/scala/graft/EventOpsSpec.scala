@@ -388,6 +388,47 @@ class EventOpsSpec extends SparkTestBase {
     assert(got == want)
   }
 
+  test("distRunningBy per-group rank + running sums equal the partitioned-window reference") {
+    import org.apache.spark.sql.expressions.Window
+    // groups of very different sizes (one spans many range partitions at
+    // 32 shuffle partitions, one holds a single row) plus a NULL group —
+    // the built-in window treats NULL as its own partition and
+    // distRunningBy must too. Double values are integer-valued, so the
+    // running double sums must be BIT-identical under any association.
+    val rows = (1 to 41).map(i => ("ga", i.toLong, (i % 7).toLong, (i % 5).toDouble)) ++
+      (1 to 9).map(i => ("gb", i.toLong, (i % 3).toLong, (2 * i % 4).toDouble)) ++
+      Seq(("gc", 1L, 5L, 3.0)) ++
+      (1 to 4).map(i => (null.asInstanceOf[String], i.toLong, 1L, 1.0))
+    val df = rows.toDF("g", "id", "a", "x")
+    val got = graft.operators.ScalePrimitives
+      .distRunningBy(df, "g", Seq(col("id")), "rk", Seq("a"), Seq("ca"), Seq("x"), Seq("cx"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(4), r.getLong(5), r.getDouble(6))).toMap
+    val w = Window.partitionBy("g").orderBy("id")
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = df
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("ca", sum("a").over(cum))
+      .withColumn("cx", sum("x").over(cum))
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(4), r.getLong(5), r.getDouble(6))).toMap
+    assert(got == want)
+    // non-integer doubles: sequential-vs-boundary reassociation stays
+    // inside 1e-12 relative (the documented double contract)
+    val df2 = (1 to 50).map(i => (s"g${i % 3}", i.toLong, math.log(i + 1.0))).toDF("g", "id", "x")
+    val got2 = graft.operators.ScalePrimitives
+      .distRunningBy(df2, "g", Seq(col("id")), "rk", dblCols = Seq("x"), dblOuts = Seq("cx"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(4)).toMap
+    val want2 = df2.withColumn("cx", sum("x").over(
+        Window.partitionBy("g").orderBy("id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    got2.foreach { case (k, v) =>
+      assert(math.abs(v - want2(k)) <= 1e-12 * math.max(1.0, math.abs(want2(k))),
+        s"$k: $v vs ${want2(k)}")
+    }
+  }
+
   test("event_rfm plans no unpartitioned window — the user-grain quintiles ride distNtile") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LogicalWindow}
     val qe = EventOps.eventRfm(spark, SF).queryExecution

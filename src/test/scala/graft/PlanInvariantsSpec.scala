@@ -116,6 +116,92 @@ class PlanInvariantsSpec extends SparkTestBase {
       s"keys planning an unpartitioned window outside the bounded-grain allowlist: $offenders")
   }
 
+  /** Keys allowed to plan a PARTITIONED window whose partition key has
+    * tiny, non-scaling NDV over a >=1000-row input. Every entry must
+    * prove its window CHILD is bounded by something other than the data
+    * volume (the globalWindowAllowed discipline):
+    *  - agg_approx_percentile: the window runs over the pre-aggregated
+    *    bucket grid — `b` is clamped into 4096 fixed buckets
+    *    (RelationalOps.scala least(..., 4095)), so the child is
+    *    <= |status|·4096 rows at ANY corpus size. The fact table itself
+    *    is reduced by ONE 2-phase groupBy before the window.
+    * The four round-11 offenders (win_median, win_share_of_total,
+    * win_udaf_geomean, win_ntile_first_last — `partitionBy(o_orderstatus)`
+    * over the full orders table = 3 window tasks at 100 TB) are NOT here:
+    * they ride ScalePrimitives now, and this guard keeps the pattern out. */
+  private val tinyNdvWindowAllowed: Set[String] = Set("agg_approx_percentile")
+
+  test("no data-grain window partitions by a tiny-NDV key") {
+    import org.apache.spark.sql.catalyst.expressions.Expression
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Window => LogicalWindow}
+    // a 3-value partition key over a fact-table-sized input routes the
+    // whole input into 3 window tasks at any scale — the pattern the
+    // empty-partitionSpec check above is structurally blind to. Two-scale
+    // measurement: a window is flagged when its partition key's NDV is
+    // tiny (<= 16) over a data-grain child (>= 1000 rows) at sf0.001 AND
+    // the NDV stays tiny (<= 32) at sf0.01 — a genuinely scaling key
+    // (user_id: 15 -> 150 between the fixtures) escapes, a fixed enum
+    // (o_orderstatus: 3 -> 3) does not. Identical (child, partitionSpec)
+    // pairs across keys are measured once.
+    val SF1 = "/root/testdata/sf0.01"
+    def windows(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame,
+                dir: String): Seq[LogicalWindow] =
+      fn(spark, dir).queryExecution.optimizedPlan.collect {
+        case w: LogicalWindow if w.partitionSpec.nonEmpty => w
+      }
+    val seen = scala.collection.mutable.HashMap
+      .empty[(LogicalPlan, Seq[Expression]), Option[(Long, Long)]]
+    def stats(w: LogicalWindow): Option[(Long, Long)] =
+      seen.getOrElseUpdate((w.child.canonicalized, w.partitionSpec.map(_.canonicalized)), {
+        val n = org.apache.spark.sql.graftnative.PlanFrames.ofRows(spark, w.child).count()
+        if (n < 1000L) None // bounded child at fixture scale: no NDV job
+        else Some((n, org.apache.spark.sql.graftnative.PlanFrames
+          .projectExprs(spark, w.child, w.partitionSpec).distinct().count()))
+      })
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      if (tinyNdvWindowAllowed(name)) Nil
+      else {
+        val flagged = windows(fn, SF).flatMap { w =>
+          stats(w) match {
+            case Some((n, ndv)) if ndv <= 16 => Some((w.partitionSpec.map(_.sql), n, ndv))
+            case _ => None
+          }
+        }
+        if (flagged.isEmpty) Nil
+        else {
+          // scaling-key escape: the same window's partition NDV at the
+          // 10x fixture (matched by partitionSpec SQL across the two
+          // plan instantiations; max over matches = benefit of the doubt)
+          val ndvAt1 = windows(fn, SF1)
+            .groupBy(_.partitionSpec.map(_.sql))
+            .map { case (spec, ws) => spec -> ws.flatMap(stats).map(_._2).maxOption.getOrElse(0L) }
+          flagged
+            .filterNot { case (spec, _, _) => ndvAt1.get(spec).exists(_ > 32L) }
+            .map { case (spec, n, ndv) =>
+              s"$name: window over $n rows partitioned by ${spec.mkString(", ")} " +
+                s"(ndv=$ndv at sf0.001, ${ndvAt1.getOrElse(spec, 0L)} at sf0.01)"
+            }
+        }
+      }
+    }
+    assert(offenders.isEmpty,
+      s"tiny-NDV data-grain windows (3-task wall at scale):\n${offenders.distinct.mkString("\n")}")
+  }
+
+  test("the tiny-NDV window allowlist is tight: every entry still plans a tiny-NDV window") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LogicalWindow}
+    val stale = tinyNdvWindowAllowed.toSeq.sorted.filterNot { name =>
+      SparkEntry.queries(name)(spark, SF).queryExecution.optimizedPlan.collect {
+        case w: LogicalWindow if w.partitionSpec.nonEmpty => w
+      }.exists { w =>
+        val child = org.apache.spark.sql.graftnative.PlanFrames.ofRows(spark, w.child)
+        child.count() >= 1000L && org.apache.spark.sql.graftnative.PlanFrames
+          .projectExprs(spark, w.child, w.partitionSpec).distinct().count() <= 16L
+      }
+    }
+    assert(stale.isEmpty, s"allowlist entries no longer planning a tiny-NDV window: $stale")
+  }
+
   test("the global-window allowlist is tight: every allowlisted key still plans one") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LogicalWindow}
     val stale = globalWindowAllowed.toSeq.sorted.filterNot { name =>
