@@ -138,6 +138,22 @@ object StreamingOps {
       radiusKm: Double = 50.0): DataFrame =
     graft.operators.GeoOps.radiusPairsFrom(facPoints, staticTargets, radiusKm)
 
+  /** [[geoRadiusStream]]'s EXACTLY-ONCE table form — the annEnrichSink
+    * pattern applied to the geo family: each micro-batch of facility
+    * points runs the SAME blocked radius kernel against the static
+    * cell-indexed target table and appends its (sk, ck, d) pairs to a
+    * [[graft.tables.VersionedTable]] via an idempotent txn-stamped
+    * commit, so an at-least-once replay of a micro-batch (crash between
+    * sink commit and checkpoint) lands exactly once. The kernel is
+    * stateless per facility, so the union of per-batch outputs IS the
+    * batch key's answer for the streamed facilities (spec-asserted). */
+  def geoRadiusSink(staticTargets: DataFrame, t: graft.tables.VersionedTable,
+                    queryId: String, radiusKm: Double = 50.0): (DataFrame, Long) => Unit =
+    (batch, batchId) => {
+      val pairs = graft.operators.GeoOps.radiusPairsFrom(batch, staticTargets, radiusKm)
+      t.appendIdempotent(pairs, s"$queryId:$batchId"); ()
+    }
+
   /** Streaming data-quality gauge: per tumbling hour, row volume plus
     * violation counts for the SAME two event rules the graded batch
     * audits check (domain membership of event_type, value > 0 — the

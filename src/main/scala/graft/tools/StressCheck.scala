@@ -377,6 +377,38 @@ object StressCheck {
         s"no file skipping at stress scale: scanned $scanned of $total")
       served.size.toLong
     }
+    // 7a''''. The STREAMING side of the geo radius join at the same 40×
+    // shapes (round-12): the exactly-once geoRadiusSink driven directly
+    // with 4 facility micro-batches (the foreachBatch body IS what a
+    // running query executes per trigger) against the 600k static
+    // targets, plus one crash-replayed batch. Closed-form accounting:
+    // the versioned table's pair set must equal the one-shot batch
+    // kernel's EXACTLY (the kernel is stateless per facility, batches
+    // partition the facilities), and the replay must change neither
+    // contents nor version history.
+    time("geo_stream_600k") {
+      val nTgt = 3L * nDocs
+      val nFac = (nDocs / 20).toLong
+      val tgt = geoPtsOf(nTgt, 7L).localCheckpoint(true)
+      val fac = geoPtsOf(nFac, 13L)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_stressgeostream").toString + "/t"
+      import spark.implicits._
+      val vt = graft.tables.VersionedTable.create(spark, root,
+        Seq.empty[(Long, Long, Double)].toDF("sk", "ck", "d"))
+      val sink = graft.streaming.StreamingOps.geoRadiusSink(tgt, vt, "stressgeo")
+      (0L until 4L).foreach { b =>
+        sink(fac.filter(pmod(col("k"), lit(4L)) === b), b)
+      }
+      val want = graft.operators.GeoOps.radiusPairsFrom(fac, tgt, 50.0).count()
+      val got = vt.read().count()
+      require(got == want, s"streamed pair total $got != batch kernel $want")
+      val versionsBefore = vt.versions
+      sink(fac.filter(pmod(col("k"), lit(4L)) === 3L), 3L) // replay batch 3
+      require(vt.read().count() == want, "replayed geo batch duplicated pairs")
+      require(vt.versions == versionsBefore, "replayed geo batch committed a version")
+      got
+    }
     // 7b. Perceptual (aHash) dedup over 200k media payloads — the
     // image-side analogue of SimHash: one typed decode+sketch pass, then
     // the SAME banded LSH + Hamming verify. Payloads are OPAQUE
@@ -959,6 +991,62 @@ object StressCheck {
       require(avg <= nFiles * 0.15,
         s"bloom skipping ineffective: avg $avg of $nFiles files listed")
       nB
+    }
+
+    // 19b. Compaction UNDER CONCURRENT APPEND churn (round-12): 4
+    // appender threads × 5 disjoint-range appends race a maintenance
+    // thread running compact(4) three times, then a vacuum reclaims the
+    // churn. Closed-form accounting: the final snapshot must hold
+    // exactly initial + 20·perAppend rows (no commit race and no
+    // compaction rewrite may lose a writer's rows), the PRE-churn
+    // version must time-travel to its exact (count, sum) AFTER the
+    // compactions (compaction commits new manifests, it never touches
+    // old versions' files until vacuum), idempotent txns must survive
+    // the vacuum, and the vacuum must actually reclaim the superseded
+    // pre-compaction files.
+    time("vt_compact_churn") {
+      val vroot = java.nio.file.Files
+        .createTempDirectory("graft_stress_compact").toString + "/t"
+      val per = math.max(1000L, nDocs / 10)
+      def slab(w: Int, i: Int) = spark.range(per).select(
+        (col("id") + lit((w * 5 + i + 1) * per * 10)).as("id"),
+        pmod(col("id"), lit(1000)).as("v"))
+      val tc = graft.tables.VersionedTable.create(spark, vroot,
+        spark.range(per).select(col("id"), pmod(col("id"), lit(1000)).as("v")))
+      val v0 = tc.currentVersion
+      val c0 = tc.read(Some(v0)).count()
+      val s0 = tc.read(Some(v0)).agg(sum("v")).collect()(0).getLong(0)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(5)
+      try {
+        val writers = (0 until 4).map { w =>
+          pool.submit(new Runnable {
+            def run(): Unit = (0 until 5).foreach(i => tc.append(slab(w, i)))
+          })
+        }
+        val maintenance = pool.submit(new Runnable {
+          def run(): Unit = (0 until 3).foreach { _ =>
+            tc.compact(target = 4); Thread.sleep(50)
+          }
+        })
+        (writers :+ maintenance).foreach(_.get())
+      } finally pool.shutdown()
+      val want = c0 + 4L * 5L * per
+      val got = tc.read().count()
+      require(got == want, s"rows lost under compaction churn: $got != $want")
+      // time-travel across the compaction boundary: the pre-churn
+      // version still reads its exact snapshot
+      require(tc.read(Some(v0)).count() == c0 &&
+        tc.read(Some(v0)).agg(sum("v")).collect()(0).getLong(0) == s0,
+        "pre-compaction version drifted under churn")
+      // txn -> vacuum -> replay: exactly-once must survive retention
+      val vtxn = tc.appendIdempotent(slab(9, 0), "churn:1")
+      val reclaimed = tc.vacuum(keepVersions = 1, retentionMs = 0L)
+      require(reclaimed > 0, "vacuum reclaimed nothing after 3 compactions")
+      require(tc.appendIdempotent(slab(9, 0), "churn:1") == tc.currentVersion &&
+        tc.read().count() == want + per,
+        "idempotent txn lost across vacuum")
+      require(vtxn <= tc.currentVersion, "version counter went backwards")
+      got
     }
 
     // 20. Basket-affinity pair kernel at 24M (basket, item) rows — 40x

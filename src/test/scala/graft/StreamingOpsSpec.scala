@@ -828,6 +828,67 @@ class StreamingOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming geo radius sink: checkpoint-restart exactly-once onto the versioned table") {
+    import StreamingOpsSpec.GCellPoint
+    import org.apache.spark.sql.streaming.Trigger
+    // the annEnrichSink restart pattern applied to the geo twin: two
+    // separate AvailableNow queries over ONE checkpoint (a process
+    // exit-and-resume), facility points landing as files between runs;
+    // the restart must not re-deliver run 1's pairs, the union must
+    // equal the batch kernel, and a crash-replayed micro-batch must be
+    // an idempotent no-op on contents AND version history.
+    val statics = graft.operators.GeoOps
+      .points(Tables.load(spark, SF, "customer"), "c_custkey")
+    val facRows = graft.operators.GeoOps
+      .supplierPoints(Tables.load(spark, SF, "supplier"))
+      .collect().map(r => GCellPoint(r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    val base = java.nio.file.Files.createTempDirectory("graft_georadvt").toString
+    val inDir = java.nio.file.Paths.get(base, "in")
+    java.nio.file.Files.createDirectories(inDir)
+    val t = graft.tables.VersionedTable.create(spark, base + "/t",
+      Seq.empty[(Long, Long, Double)].toDF("sk", "ck", "d"))
+    val sink = StreamingOps.geoRadiusSink(statics, t, "georad")
+    def stage(name: String, rows: Seq[GCellPoint]): Unit = {
+      val lines = rows.map(p =>
+        s"""{"k":${p.k},"lat":${p.lat},"lon":${p.lon},"latc":${p.latc},"lonc":${p.lonc}}""")
+      val tmp = java.nio.file.Files.createTempFile(java.nio.file.Paths.get(base), "st-", ".json")
+      java.nio.file.Files.write(tmp, lines.mkString("\n").getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp, inDir.resolve(name + ".json"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    val schema = implicitly[org.apache.spark.sql.Encoder[GCellPoint]].schema
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(schema).json(inDir.toString)
+        .writeStream.option("checkpointLocation", base + "/ckpt")
+        .foreachBatch(sink)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(120000), "AvailableNow query did not drain")
+    }
+    val (b1, b2) = facRows.splitAt(facRows.length / 2)
+    stage("b0", b1)
+    runOnce() // run 1, then the query (and its source state) is GONE
+    val afterRun1 = t.read().count()
+    stage("b1", b2)
+    runOnce() // run 2 resumes from the checkpoint
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.select("sk", "ck")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = pairs(t.read())
+    val want = pairs(graft.operators.GeoOps.radiusPairsFrom(
+      graft.operators.GeoOps.supplierPoints(Tables.load(spark, SF, "supplier")),
+      statics, 50.0))
+    assert(want.nonEmpty && got == want,
+      s"restart re-delivered or dropped pairs: got ${got.size} want ${want.size}")
+    assert(t.read().count() > afterRun1, "run 2 appended nothing")
+    // crash-between-commit-and-checkpoint: the replayed micro-batch
+    // carries the SAME batchId (run 2 resumed at batchId 1) -> no-op
+    val versionsBefore = t.versions
+    sink(b2.toDF("k", "lat", "lon", "latc", "lonc"), 1L)
+    assert(pairs(t.read()) == want, "replayed geo micro-batch duplicated pairs")
+    assert(t.versions == versionsBefore, "replayed geo micro-batch committed a version")
+  }
+
   test("streaming EWMA equals the batch closed form bit-for-bit across batch splits") {
     import graft.streaming.StreamingOps.DailyCents
     val batch = graft.operators.EventOps.tsEwma(spark, SF).collect()
