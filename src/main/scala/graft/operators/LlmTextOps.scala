@@ -1041,8 +1041,9 @@ object LlmTextOps {
     truth
       .join(b.select(col("vec_id").as("a_id"), col("bands").as("ba")), "a_id")
       .join(b.select(col("vec_id").as("b_id"), col("bands").as("bb")), "b_id")
-      .agg(sum(when(exists(zip_with(col("ba"), col("bb"), (x, y) => x === y),
-        h => h), 1L).otherwise(0L)).as("n_hit"))
+      .agg(count(lit(1)).as("n_truth"),
+        sum(when(exists(zip_with(col("ba"), col("bb"), (x, y) => x === y),
+          h => h), 1L).otherwise(0L)).as("n_hit"))
       .transform(recallReport)
   }
 
@@ -1076,13 +1077,17 @@ object LlmTextOps {
       VectorFunctions.cosineTopKDistributed(s, t(s, d, "embeddings"), 20)
         .orderBy(col("sim").desc, col("a_id"), col("b_id")).limit(20))
 
-  /** The shared recall report shape (n_truth = 20, n_hit, recall 6 dp) —
-    * ONE definition of the graded recall arithmetic across the three
-    * recall keys, like the oracle side's shared ivfRecallOracleP. */
+  /** The shared recall report shape (n_truth, n_hit, recall 6 dp) — ONE
+    * definition of the graded recall arithmetic across the three recall
+    * keys, like the oracle side's shared ivfRecallOracleP. `agged` must
+    * carry a MEASURED n_truth (count over the truth frame), never a
+    * hardcoded constant: the fixture truth is 20 pairs, but a corpus
+    * whose exact-truth pass returns fewer would silently mis-normalize
+    * recall against a phantom denominator (round-12 sweep finding). */
   private def recallReport(agged: DataFrame): DataFrame =
-    agged.select(lit(20L).as("n_truth"), col("n_hit"),
-      (floor(col("n_hit").cast("double") / 20.0 * 1000000.0 + 0.5) / 1000000.0)
-        .as("recall"))
+    agged.select(col("n_truth"), col("n_hit"),
+      (floor(col("n_hit").cast("double") / col("n_truth").cast("double") *
+        1000000.0 + 0.5) / 1000000.0).as("recall"))
 
   /** The memoized IVF assignment (vec_id, embedding, bucket) — one
     * index build per (session, corpus), shared by the top-k and the
@@ -1128,7 +1133,8 @@ object LlmTextOps {
     truth
       .join(b.select(col("vec_id").as("a_id"), col("bucket").as("ba")), "a_id")
       .join(b.select(col("vec_id").as("b_id"), col("bucket").as("bb")), "b_id")
-      .agg(sum(when(col("ba") === col("bb"), 1L).otherwise(0L)).as("n_hit"))
+      .agg(count(lit(1)).as("n_truth"),
+        sum(when(col("ba") === col("bb"), 1L).otherwise(0L)).as("n_hit"))
       .transform(recallReport)
   }
 
@@ -1275,12 +1281,19 @@ object LlmTextOps {
   def annIvfRecallMp(s: SparkSession, d: String): DataFrame = {
     val truth = annTruth(s, d)
     val e = ivfAssignedMp(s, d).select(col("vec_id"), col("bucket"))
-    truth.select("a_id", "b_id")
+    // hit set first (distinct absorbs multi-probe bucket multiplicity),
+    // then a LEFT join from truth so n_truth is MEASURED in the same
+    // aggregate (the llm_minhash_recall shape)
+    val hits = truth.select("a_id", "b_id")
       .join(e.select(col("vec_id").as("a_id"), col("bucket")), "a_id")
       .join(e.select(col("vec_id").as("b_id"), col("bucket").as("bucket_b")), "b_id")
       .filter(col("bucket") === col("bucket_b"))
       .select("a_id", "b_id").distinct()
-      .agg(count(lit(1)).as("n_hit"))
+      .withColumn("hit", lit(1L))
+    truth.select("a_id", "b_id")
+      .join(hits, Seq("a_id", "b_id"), "left")
+      .agg(count(lit(1)).as("n_truth"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
       .transform(recallReport)
   }
 
@@ -1645,8 +1658,11 @@ object LlmTextOps {
         "hit AS (SELECT DISTINCT t.a_id, t.b_id FROM truth t " +
         "JOIN b ba ON ba.vec_id = t.a_id JOIN b bb ON bb.vec_id = t.b_id AND bb.band = ba.band " +
         "WHERE ba.bucket = bb.bucket) " +
-        "SELECT CAST(20 AS BIGINT) AS n_truth, CAST(count(*) AS BIGINT) AS n_hit, " +
-        "floor(count(*) / 20.0 * 1000000 + 0.5) / 1000000 AS recall FROM hit"),
+        // n_truth MEASURED from the truth CTE, mirroring the Spark side
+        "SELECT (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth, " +
+        "CAST(count(*) AS BIGINT) AS n_hit, " +
+        "floor(CAST(count(*) AS DOUBLE) / (SELECT CAST(count(*) AS DOUBLE) FROM truth) " +
+        "* 1000000 + 0.5) / 1000000 AS recall FROM hit"),
     "ann_ivf_topk" -> PortableQuantizer.ivfMultiprobeOracle,
     "ann_ivf_topk_sp" -> PortableQuantizer.ivfOracle,
     "ann_ivf_recall" -> PortableQuantizer.ivfRecallOracle,

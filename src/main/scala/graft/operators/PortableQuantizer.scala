@@ -449,8 +449,11 @@ object PortableQuantizer {
       "hit AS (SELECT DISTINCT t.a_id, t.b_id FROM truth t " +
       "JOIN fin fa ON fa.id = t.a_id JOIN fin fb ON fb.id = t.b_id " +
       "WHERE fa.code = fb.code) " +
-      "SELECT CAST(20 AS BIGINT) AS n_truth, CAST(count(*) AS BIGINT) AS n_hit, " +
-      "floor(count(*) / 20.0 * 1000000 + 0.5) / 1000000 AS recall FROM hit"
+      // n_truth MEASURED from the truth CTE, mirroring the Spark side
+      "SELECT (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth, " +
+      "CAST(count(*) AS BIGINT) AS n_hit, " +
+      "floor(CAST(count(*) AS DOUBLE) / (SELECT CAST(count(*) AS DOUBLE) FROM truth) " +
+      "* 1000000 + 0.5) / 1000000 AS recall FROM hit"
 
   val ivfRecallOracle: String = ivfRecallOracleP(1)
   val ivfRecallMpOracle: String = ivfRecallOracleP(3)
