@@ -11,8 +11,13 @@ import graft.Tables
   * columns only (Spark range frames are numeric-only).
   *
   * 100 TB notes: window partitions shuffle on partitionBy keys — per-user /
-  * per-customer cardinality keeps partitions small; AQE handles skewed
-  * users. No unpartitioned global windows except the bounded E7 ntile.
+  * per-customer cardinality keeps partitions small (and SCALES with the
+  * data); AQE handles skewed users. No unpartitioned global windows, and
+  * no data-grain window partitioned by a tiny fixed-NDV key: the four
+  * per-status analytics (E7 ntile/first/last, E9 percentiles, E10 running
+  * geomean, E11 ratio-to-report) ride ScalePrimitives / per-group
+  * aggregates instead — PlanInvariantsSpec's two-scale NDV guard enforces
+  * this registry-wide.
   */
 object WindowOps {
   type Q = (SparkSession, String) => DataFrame

@@ -28,13 +28,15 @@ import org.apache.spark.sql.functions._
   *   runMain graft.tools.StressCheck 0.2
   *     sessionize,dedup_exact,minhash,ann,smj,graph_components,basket,dist_running
   *
-  * Subset 2 (round 11) — the join/window/graph/stream/geo rows subset
-  * 1 skips, each with its own plan-shape/planted assert (star-join
-  * broadcast, as-of grid, PageRank fixed points, window top-k,
-  * streaming tumbling core, geo blocking completeness; ~26 s measured
-  * / ~35 s wall):
+  * Subset 2 (round 11; round 12 adds the exactly-once geo stream row
+  * and the compaction-churn row) — the join/window/graph/stream/geo/
+  * table-maintenance rows subset 1 skips, each with its own
+  * plan-shape/planted assert (star-join broadcast, as-of grid, PageRank
+  * fixed points, window top-k, streaming tumbling core, geo blocking
+  * completeness, streamed-vs-batch geo pair accounting, compact-under-
+  * append row conservation; ~41 s measured at 0.2):
   *   runMain graft.tools.StressCheck 0.2
-  *     asof,star,win_topk,pagerank_5m,stream_tumbling,geo_radius
+  *     asof,star,win_topk,pagerank_5m,stream_tumbling,geo_radius,geo_stream,vt_compact
   *
   * This is a dev/evidence tool, not a graded surface: synthetic data has
   * no DuckDB oracle. Correctness of each op is carried by its graded
@@ -1144,6 +1146,36 @@ object StressCheck {
         .groupBy("t").count().collect().sortBy(_.getInt(0))
       require(tiles.length == 5 && tiles.forall(_.getLong(1) == n / 5),
         s"ntile buckets drifted from n/5: ${tiles.mkString(",")}")
+      n
+    }
+
+    // 21b. ScalePrimitives.distRunningBy at 8M rows over FIVE groups —
+    // the round-12 per-group twin, at exactly the shape the retired
+    // o_orderstatus windows now ride (a handful of groups over a
+    // data-grain input, each group spanning MANY range partitions, so
+    // the per-partition suffix-partial carry chain is the load-bearing
+    // machinery). Within each group the value column is a permutation
+    // of 0..m-1, so the per-group truth is closed-form at every row:
+    // rank(v) = v+1 and running-sum(v) = v(v+1)/2 — for the exact LONG
+    // sums AND the double sums (integer-valued doubles < 2^53 add
+    // exactly under any association, so the double column's closed form
+    // is BIT-exact, carry boundaries included).
+    time("dist_running_by_8m") {
+      val g = 5L
+      val n = math.max(200L, (8000000 * scale).toLong / 200L * 200L)
+      val m = n / g
+      val p = Iterator.iterate(2654435761L)(_ + 2)
+        .find(x => BigInt(x).gcd(BigInt(m)) == 1).get
+      val perm = spark.range(n).select(
+          concat(lit("s"), pmod(col("id"), lit(g))).as("grp"),
+          pmod(expr(s"id DIV $g") * p, lit(m)).as("v"))
+        .withColumn("x", col("v").cast("double"))
+      val run = graft.operators.ScalePrimitives.distRunningBy(perm, "grp",
+        Seq(col("v")), "rnk", Seq("v"), Seq("cv"), Seq("x"), Seq("cx"))
+      val bad = run.filter(col("rnk") =!= col("v") + 1 ||
+        col("cv") =!= expr("(v * (v + 1)) DIV 2") ||
+        col("cx") =!= expr("CAST((v * (v + 1)) DIV 2 AS DOUBLE)")).count()
+      require(bad == 0L, s"$bad rows off the per-group closed-form truth")
       n
     }
 
