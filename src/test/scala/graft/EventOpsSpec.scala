@@ -427,6 +427,17 @@ class EventOpsSpec extends SparkTestBase {
       assert(math.abs(v - want2(k)) <= 1e-12 * math.max(1.0, math.abs(want2(k))),
         s"$k: $v vs ${want2(k)}")
     }
+    // edge shapes: an EMPTY input (no partitions carry rows — the driver
+    // chain must handle all-empty infos) and a single-row group
+    val empty = Seq.empty[(String, Long, Long, Double)].toDF("g", "id", "a", "x")
+    assert(graft.operators.ScalePrimitives
+      .distRunningBy(empty, "g", Seq(col("id")), "rk", Seq("a"), Seq("ca"), Seq("x"), Seq("cx"))
+      .count() == 0L)
+    val one = Seq(("g", 1L, 7L, 2.5)).toDF("g", "id", "a", "x")
+    val r1 = graft.operators.ScalePrimitives
+      .distRunningBy(one, "g", Seq(col("id")), "rk", Seq("a"), Seq("ca"), Seq("x"), Seq("cx"))
+      .collect()(0)
+    assert(r1.getLong(4) == 1L && r1.getLong(5) == 7L && r1.getDouble(6) == 2.5)
   }
 
   test("event_rfm plans no unpartitioned window — the user-grain quintiles ride distNtile") {

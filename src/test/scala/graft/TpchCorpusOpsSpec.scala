@@ -71,6 +71,37 @@ class TpchCorpusOpsSpec extends SparkTestBase {
       "near-dup losers dropped by the funnel != CC non-minimal members")
   }
 
+  test("gate agreement: confusion counts tie out to the funnel flags and the graded gate keys") {
+    val rows = LlmCorpusOps.llmGateAgreement(spark, SF).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("gopher", "quality_score"))
+    // each gate's confusion matrix PARTITIONS the corpus
+    val n = Tables.load(spark, SF, "documents").count()
+    rows.foreach(r =>
+      assert(r.getLong(1) + r.getLong(2) + r.getLong(3) + r.getLong(4) == n, s"not a partition: $r"))
+    // the kept marginal (tp + fn) is gate-independent: both rows must
+    // agree, and equal the funnel's kept total from the graded e2e key
+    val keptMarginals = rows.map(r => r.getLong(1) + r.getLong(3)).distinct
+    assert(keptMarginals.length == 1, s"kept marginal differs per gate: ${rows.mkString(",")}")
+    val keptWant = LlmCorpusOps.llmCurationE2e(spark, SF).collect().map(_.getLong(4)).sum
+    assert(keptMarginals.head == keptWant, "survivor truth drifted from llm_curation_e2e")
+    // each gate's pass marginal (tp + fp) ties out to its graded key
+    val g = rows.find(_.getString(0) == "gopher").get
+    assert(g.getLong(1) + g.getLong(2) ==
+      LlmCorpusOps.llmGopherRules(spark, SF).filter(col("pass")).count(),
+      "gopher pass marginal drifted from llm_gopher_rules")
+    val q = rows.find(_.getString(0) == "quality_score").get
+    assert(q.getLong(1) + q.getLong(2) ==
+      graft.operators.LlmTextOps.llmQualityScore(spark, SF)
+        .filter(col("score") >= 0.55).count(),
+      "quality-score pass marginal drifted from llm_quality_score at tau")
+    // precision/recall are the floor-6dp arithmetic of the counts
+    rows.foreach { r =>
+      val (tp, fp, fn) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(r.getDouble(5) == math.floor(tp.toDouble / (tp + fp) * 1e6 + 0.5) / 1e6)
+      assert(r.getDouble(6) == math.floor(tp.toDouble / (tp + fn) * 1e6 + 0.5) / 1e6)
+    }
+  }
+
   test("hybrid RRF: fusion arithmetic is self-consistent and lexical ranks tie out to BM25") {
     val fused = LlmCorpusOps.llmHybridRrf(spark, SF).collect()
     assert(fused.nonEmpty)
