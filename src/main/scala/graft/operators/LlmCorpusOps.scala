@@ -680,6 +680,37 @@ object LlmCorpusOps {
       .orderBy("gate")
   }
 
+  /** llm_gate_pr_curve: [[llmGateAgreement]]'s quality-score gate swept
+    * over a τ grid (0.1 … 0.9) — the precision/recall CURVE against the
+    * funnel survivor truth, i.e. the data a curation owner reads to PICK
+    * the single τ the agreement key grades. One corpus scan joined to
+    * the memoized survivor truth, each row exploded over the 9 bounded
+    * thresholds (never a join), one 9-group aggregate. */
+  def llmGatePrCurve(s: SparkSession, d: String): DataFrame = {
+    val kept = curationFlags(t(s, d, "documents"),
+        losers => memo(s, d, "curation_losers")(losers))
+      .select(col("doc_id"), col("is_kept"))
+    val qs = LlmTextOps.llmQualityScore(s, d).select(col("doc_id"), col("score"))
+    val taus = (1 to 9).map(i => lit(i / 10.0))
+    kept.join(qs, Seq("doc_id"))
+      .select(col("is_kept"), col("score"), explode(array(taus: _*)).as("tau"))
+      .withColumn("pass", col("score") >= col("tau"))
+      .groupBy("tau")
+      .agg(
+        sum(when(col("pass") && col("is_kept"), 1L).otherwise(0L)).as("n_tp"),
+        sum(when(col("pass") && !col("is_kept"), 1L).otherwise(0L)).as("n_fp"),
+        sum(when(!col("pass") && col("is_kept"), 1L).otherwise(0L)).as("n_fn"),
+        sum(when(!col("pass") && !col("is_kept"), 1L).otherwise(0L)).as("n_tn"))
+      .select(col("tau"), col("n_tp"), col("n_fp"), col("n_fn"), col("n_tn"),
+        when(col("n_tp") + col("n_fp") > 0,
+          floor(col("n_tp").cast("double") / (col("n_tp") + col("n_fp")).cast("double") *
+            1000000.0 + 0.5) / 1000000.0).as("precision"),
+        when(col("n_tp") + col("n_fn") > 0,
+          floor(col("n_tp").cast("double") / (col("n_tp") + col("n_fn")).cast("double") *
+            1000000.0 + 0.5) / 1000000.0).as("recall"))
+      .orderBy("tau")
+  }
+
   /** The e2e pipeline with DATA-QUALITY OBSERVABILITY: the same plan as
     * [[llmPipelineE2e]] plus an `observe` node on the raw scan capturing
     * the gate's audit counters (rows seen, rows the quality filter will
@@ -1171,6 +1202,7 @@ object LlmCorpusOps {
 
   val queries: Map[String, Q] = Map(
     "llm_gate_agreement" -> (llmGateAgreement _),
+    "llm_gate_pr_curve" -> (llmGatePrCurve _),
     "llm_zipf_fit" -> (llmZipfFit _),
     "llm_heaps_growth" -> (llmHeapsGrowth _),
     "llm_perplexity" -> (llmPerplexity _),
@@ -1341,6 +1373,28 @@ object LlmCorpusOps {
         "CASE WHEN n_tp + n_fp > 0 THEN floor(CAST(n_tp AS DOUBLE) / CAST(n_tp + n_fp AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 END AS precision, " +
         "CASE WHEN n_tp + n_fn > 0 THEN floor(CAST(n_tp AS DOUBLE) / CAST(n_tp + n_fn AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 END AS recall " +
         "FROM agg ORDER BY gate"),
+    // the same survivor tower and score expression as llm_gate_agreement,
+    // swept over the 9-value unnest grid; identical floor-6dp arithmetic
+    "llm_gate_pr_curve" ->
+      (curationKeptSql + ", " +
+        "qs AS (SELECT doc_id, round(0.6 * least(n_chars / 500.0, 1.0) + 0.4 * least(((n_chars - (len(string_split(text, ' ')) - 1)) / CAST(len(string_split(text, ' ')) AS DOUBLE)) / 10.0, 1.0), 6) AS score FROM documents), " +
+        "flags AS (SELECT d.doc_id, (k.doc_id IS NOT NULL) AS is_kept, qs.score " +
+        "FROM documents d LEFT JOIN kept k ON d.doc_id = k.doc_id " +
+        "JOIN qs ON d.doc_id = qs.doc_id), " +
+        // CAST: DuckDB parses the list literals as DECIMAL(2,1); the
+        // output column (and the >= comparison) must be DOUBLE like Spark
+        "t AS (SELECT CAST(unnest([0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS DOUBLE) AS tau), " +
+        "c AS (SELECT t.tau, f.is_kept, f.score >= t.tau AS pass FROM flags f CROSS JOIN t), " +
+        "agg AS (SELECT tau, " +
+        "CAST(sum(CASE WHEN pass AND is_kept THEN 1 ELSE 0 END) AS BIGINT) AS n_tp, " +
+        "CAST(sum(CASE WHEN pass AND NOT is_kept THEN 1 ELSE 0 END) AS BIGINT) AS n_fp, " +
+        "CAST(sum(CASE WHEN NOT pass AND is_kept THEN 1 ELSE 0 END) AS BIGINT) AS n_fn, " +
+        "CAST(sum(CASE WHEN NOT pass AND NOT is_kept THEN 1 ELSE 0 END) AS BIGINT) AS n_tn " +
+        "FROM c GROUP BY tau) " +
+        "SELECT tau, n_tp, n_fp, n_fn, n_tn, " +
+        "CASE WHEN n_tp + n_fp > 0 THEN floor(CAST(n_tp AS DOUBLE) / CAST(n_tp + n_fp AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 END AS precision, " +
+        "CASE WHEN n_tp + n_fn > 0 THEN floor(CAST(n_tp AS DOUBLE) / CAST(n_tp + n_fn AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 END AS recall " +
+        "FROM agg ORDER BY tau"),
     // pure integer counts; first-occurrence attribution mirrored, the
     // power-of-two checkpoint test is the same rank & (rank-1) trick
     "llm_heaps_growth" ->

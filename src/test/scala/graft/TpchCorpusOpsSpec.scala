@@ -102,6 +102,27 @@ class TpchCorpusOpsSpec extends SparkTestBase {
     }
   }
 
+  test("gate PR curve: monotone in tau, constant kept marginal, ties out to the agreement key") {
+    val curve = LlmCorpusOps.llmGatePrCurve(spark, SF).collect()
+    assert(curve.length == 9)
+    // the kept marginal (tp + fn) is tau-independent and equals the
+    // agreement key's survivor-truth marginal
+    val keptMarginals = curve.map(r => r.getLong(1) + r.getLong(3)).distinct
+    assert(keptMarginals.length == 1)
+    val agreeKept = LlmCorpusOps.llmGateAgreement(spark, SF).collect()
+      .map(r => r.getLong(1) + r.getLong(3)).head
+    assert(keptMarginals.head == agreeKept)
+    // raising tau can only shrink the pass set: tp and fp non-increasing
+    curve.sliding(2).foreach { case Array(lo, hi) =>
+      assert(hi.getLong(1) <= lo.getLong(1), s"tp rose with tau: $lo -> $hi")
+      assert(hi.getLong(2) <= lo.getLong(2), s"fp rose with tau: $lo -> $hi")
+    }
+    // every row partitions the corpus
+    val n = Tables.load(spark, SF, "documents").count()
+    curve.foreach(r =>
+      assert(r.getLong(1) + r.getLong(2) + r.getLong(3) + r.getLong(4) == n))
+  }
+
   test("hybrid RRF: fusion arithmetic is self-consistent and lexical ranks tie out to BM25") {
     val fused = LlmCorpusOps.llmHybridRrf(spark, SF).collect()
     assert(fused.nonEmpty)
