@@ -239,6 +239,53 @@ object ScalePrimitives {
     df.sparkSession.createDataFrame(outRdd, StructType(fields ++ sumFields))
   }
 
+  /** Exact per-group `quantile_cont` by VALUE-AT-RANK — the scale-safe
+    * form of `percentile(value, p) OVER (PARTITION BY grp)` when `grp`
+    * has FEW distinct values over a data-grain input (the win_median
+    * case: a full-partition percentile window routes the whole fact
+    * table into |groups| tasks and buffers it there).
+    *
+    * One [[distRunning]] parallel range sort in (grp, value) order; each
+    * group's size and exclusive offset are a |groups|-row aggregate; each
+    * quantile's two bracketing GLOBAL ranks become a 2·|groups|·|ps|-row
+    * broadcast probe table equi-joined on the unique rank; the standard
+    * linear interpolation lo + frac·(hi − lo) runs on those exact values.
+    * Returns one row per (group, p): (`grp`, p, q). Groups must be
+    * broadcast-bounded (the low-NDV case this primitive exists for —
+    * per-group windows handle high-NDV keys fine on their own). */
+  def distQuantilesBy(df: DataFrame, grp: String, value: String,
+                      ps: Seq[Double]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
+      s"quantiles must lie in [0,1]; got $ps")
+    val ranked = distRunning(
+      df.select(col(grp).as("__st"), col(value).as("__v")),
+      Seq(col("__st"), col("__v")), "__rnk")
+    val sizes = ranked.groupBy("__st")
+      .agg(count(lit(1)).as("__n"), (max("__rnk") - count(lit(1))).as("__off"))
+    // (group, p) → bracketing 1-based global ranks + interpolation frac
+    val targets = sizes
+      .select(col("__st"), col("__n"), col("__off"),
+        explode(array(ps.map(lit): _*)).as("__p"))
+      .withColumn("__pos", col("__off") + lit(1) + (col("__n") - 1) * col("__p"))
+      .withColumn("__lo", floor(col("__pos")).cast("long"))
+      .withColumn("__hi", ceil(col("__pos")).cast("long"))
+      .withColumn("__frac", col("__pos") - col("__lo"))
+    // rank-role rows: globally unique ranks make this a broadcast EQUI-join
+    val probes = targets
+      .select(col("__st").as("__pst"), col("__p"), col("__frac"),
+        explode(array(struct(col("__lo").as("__r"), lit(true).as("__isLo")),
+          struct(col("__hi").as("__r"), lit(false).as("__isLo")))).as("__e"))
+      .select(col("__pst"), col("__p"), col("__frac"),
+        col("__e").getField("__r").as("__r"), col("__e").getField("__isLo").as("__isLo"))
+    ranked.join(org.apache.spark.sql.functions.broadcast(probes), col("__rnk") === col("__r"))
+      .groupBy(col("__pst"), col("__p"), col("__frac"))
+      .agg(min(when(col("__isLo"), col("__v"))).as("__lov"),
+        min(when(!col("__isLo"), col("__v"))).as("__hiv"))
+      .select(col("__pst").as(grp), col("__p").as("p"),
+        (col("__lov") + col("__frac") * (col("__hiv") - col("__lov"))).as("q"))
+  }
+
   /** Exact distributed `ntile(k) OVER (ORDER BY ord…)`: the global rank
     * from [[distRunning]], then the ntile bucket formula (first n%k
     * buckets take one extra row) in integer arithmetic — bit-identical

@@ -131,44 +131,19 @@ object WindowOps {
     * partition's median and p90.
     *
     * Scale-safe formulation: the previous `percentile(…).over(partitionBy
-    * status)` buffered the full fact table in 3 window tasks. Instead the
-    * exact quantile is computed by VALUE-AT-RANK over
-    * [[ScalePrimitives.distRunning]]'s parallel range sort: per-status
-    * sizes/offsets are a |status|-row aggregate, each quantile's two
-    * bracketing GLOBAL ranks become a ≤4·|status|-row broadcast probe
-    * table equi-joined on the unique rank, and the quantile_cont
-    * interpolation lov + frac·(hiv−lov) runs on those exact values. The
-    * |status|-row result broadcasts back onto orders. Oracle unchanged. */
+    * status)` buffered the full fact table in 3 window tasks. The exact
+    * quantiles instead come from [[ScalePrimitives.distQuantilesBy]]
+    * (value-at-rank over a parallel range sort; |status|·|ps|-row
+    * broadcast probes; quantile_cont interpolation on exact bracketing
+    * values), pivoted to a |status|-row frame and broadcast back onto
+    * orders. Oracle unchanged. */
   def winMedian(s: SparkSession, d: String): DataFrame = {
     val o = t(s, d, "orders")
-    val ranked = graft.operators.ScalePrimitives.distRunning(
-      o.select(col("o_orderstatus").as("__st"), col("o_totalprice").as("__v")),
-      Seq(col("__st"), col("__v")), "__rnk")
-    val sizes = ranked.groupBy("__st")
-      .agg(count(lit(1)).as("__n"), (max("__rnk") - count(lit(1))).as("__off"))
-    // (status, p) → bracketing 1-based global ranks + interpolation frac
-    val targets = sizes
-      .select(col("__st"), col("__n"), col("__off"),
-        explode(array(lit(0.5), lit(0.9))).as("__p"))
-      .withColumn("__pos", col("__off") + lit(1) + (col("__n") - 1) * col("__p"))
-      .withColumn("__lo", floor(col("__pos")).cast("long"))
-      .withColumn("__hi", ceil(col("__pos")).cast("long"))
-      .withColumn("__frac", col("__pos") - col("__lo"))
-    // rank-role rows: globally unique ranks make this a broadcast EQUI-join
-    val probes = targets
-      .select(col("__st").as("__pst"), col("__p"), col("__frac"),
-        explode(array(struct(col("__lo").as("__r"), lit(true).as("__isLo")),
-          struct(col("__hi").as("__r"), lit(false).as("__isLo")))).as("__e"))
-      .select(col("__pst"), col("__p"), col("__frac"),
-        col("__e").getField("__r").as("__r"), col("__e").getField("__isLo").as("__isLo"))
-    val quants = ranked.join(broadcast(probes), col("__rnk") === col("__r"))
-      .groupBy(col("__pst"), col("__p"), col("__frac"))
-      .agg(min(when(col("__isLo"), col("__v"))).as("__lov"),
-        min(when(!col("__isLo"), col("__v"))).as("__hiv"))
-      .withColumn("__q", col("__lov") + col("__frac") * (col("__hiv") - col("__lov")))
-      .groupBy(col("__pst").as("__qst"))
-      .agg(min(when(col("__p") === 0.5, col("__q"))).as("__med"),
-        min(when(col("__p") === 0.9, col("__q"))).as("__p90"))
+    val quants = graft.operators.ScalePrimitives
+      .distQuantilesBy(o, "o_orderstatus", "o_totalprice", Seq(0.5, 0.9))
+      .groupBy(col("o_orderstatus").as("__qst"))
+      .agg(min(when(col("p") === 0.5, col("q"))).as("__med"),
+        min(when(col("p") === 0.9, col("q"))).as("__p90"))
     o.join(broadcast(quants), col("o_orderstatus") <=> col("__qst"))
       .select(col("o_orderkey"), col("o_orderstatus"),
         round(col("__med"), 4).as("status_median"),

@@ -440,6 +440,32 @@ class EventOpsSpec extends SparkTestBase {
     assert(r1.getLong(4) == 1L && r1.getLong(5) == 7L && r1.getDouble(6) == 2.5)
   }
 
+  test("distQuantilesBy equals the built-in percentile per group (ties, n=1, endpoints)") {
+    // group sizes 1, 2, 23, 40 with heavy value ties; dyadic quantiles
+    // over integer-valued doubles interpolate EXACTLY on both
+    // formulations, so equality is bit-level; the non-dyadic 0.9 gets a
+    // 1e-9 tolerance (lo + t·(hi−lo) vs the built-in's two-sided form
+    // differ only in final-ulp rounding)
+    val rows = Seq(("g1", 7.0)) ++
+      Seq(("g2", 3.0), ("g2", 9.0)) ++
+      (1 to 23).map(i => ("g3", (i % 5).toDouble)) ++
+      (1 to 40).map(i => ("g4", (i % 7 * 3).toDouble))
+    val df = rows.toDF("g", "x")
+    val ps = Seq(0.0, 0.25, 0.5, 0.75, 0.9, 1.0)
+    val got = graft.operators.ScalePrimitives.distQuantilesBy(df, "g", "x", ps)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    val want = df.groupBy("g")
+      .agg(expr(s"percentile(x, array(${ps.mkString(",")}))").as("qs"))
+      .collect().flatMap { r =>
+        r.getSeq[Double](1).zip(ps).map { case (q, p) => (r.getString(0), p) -> q }
+      }.toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (k, v) =>
+      val tol = if (k._2 == 0.9) 1e-9 else 0.0
+      assert(math.abs(v - want(k)) <= tol, s"$k: $v vs ${want(k)}")
+    }
+  }
+
   test("event_rfm plans no unpartitioned window — the user-grain quintiles ride distNtile") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LogicalWindow}
     val qe = EventOps.eventRfm(spark, SF).queryExecution
