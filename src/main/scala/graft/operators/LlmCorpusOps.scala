@@ -634,7 +634,8 @@ object LlmCorpusOps {
 
   /** llm_gate_agreement: the ann_pair_recall honesty discipline applied
     * to CURATION — how well do the two cheap per-doc gates (the Gopher
-    * rule pack, the 0-1 quality score at τ = 0.55) predict the FULL
+    * rule pack, the 0-1 quality score at τ = 0.55 — the fixture-median
+    * operating point; [[llmGatePrCurve]] sweeps the full τ grid) predict the FULL
     * funnel's survivor set (quality gate → exact dedup → near-dup
     * closure, [[curationFlags]]' is_kept — the expensive truth)? One
     * confusion row per gate: TP/FP/FN/TN counts plus floor-6dp precision
