@@ -649,10 +649,20 @@ object LlmCorpusOps {
     * (loser frame memoized per (session, corpus) under the SAME tag, so
     * Bench's sorted order builds it once at llm_curation_e2e and this
     * key reuses it); the confusion matrix is a 2-row aggregate. */
+  /** The memoized doc-grain survivor truth (doc_id, is_kept) — built
+    * once per (session, corpus) and shared by both gate-evaluation keys
+    * (the flags pass re-runs the funnel's norm-md5 window + loser join,
+    * ~2 s at sf0.1, so the second key serves from the checkpoint). Text
+    * is dropped BEFORE the checkpoint: the truth frame is two columns,
+    * never a corpus copy. */
+  private def keptFlags(s: SparkSession, d: String): DataFrame =
+    memo(s, d, "curation_kept")(
+      curationFlags(t(s, d, "documents"),
+          losers => memo(s, d, "curation_losers")(losers))
+        .select(col("doc_id"), col("is_kept")))
+
   def llmGateAgreement(s: SparkSession, d: String): DataFrame = {
-    val kept = curationFlags(t(s, d, "documents"),
-        losers => memo(s, d, "curation_losers")(losers))
-      .select(col("doc_id"), col("is_kept"))
+    val kept = keptFlags(s, d)
     val gopher = llmGopherRules(s, d).select(col("doc_id"), col("pass").as("g_pass"))
     val qscore = LlmTextOps.llmQualityScore(s, d)
       .select(col("doc_id"), (col("score") >= 0.55).as("q_pass"))
@@ -688,9 +698,7 @@ object LlmCorpusOps {
     * the memoized survivor truth, each row exploded over the 9 bounded
     * thresholds (never a join), one 9-group aggregate. */
   def llmGatePrCurve(s: SparkSession, d: String): DataFrame = {
-    val kept = curationFlags(t(s, d, "documents"),
-        losers => memo(s, d, "curation_losers")(losers))
-      .select(col("doc_id"), col("is_kept"))
+    val kept = keptFlags(s, d)
     val qs = LlmTextOps.llmQualityScore(s, d).select(col("doc_id"), col("score"))
     val taus = (1 to 9).map(i => lit(i / 10.0))
     kept.join(qs, Seq("doc_id"))
