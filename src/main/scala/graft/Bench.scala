@@ -106,9 +106,20 @@ object Bench {
     // per-key steady-state number for regression diffs is
     // t_key − memo_builds[key].sec (scheme recorded in BASELINE.md)
     val builds = graft.tools.MemoRegistry.BuildLog.snapshot()
-    val buildSec = builds.map(_._2._2).sum
-    val buildsJson = builds.map { case (k, (n, sec)) =>
-      "\"" + esc(k) + "\":{\"n\":" + n + ",\"sec\":" + f3(sec) + "}"
+    val buildSec = builds.flatMap(_._2).map(_._3).sum
+    // per-key {n, sec} (the BASELINE.md regression-arithmetic fields,
+    // sec now SELF-time so nested builds don't double-count) plus the
+    // per-TAG breakdown: two tags at n=1 = two prerequisite indexes,
+    // one tag at n=2 = a mid-run LRU eviction rebuild (a sizing bug) —
+    // the ambiguity the round-12 verdict flagged.
+    val buildsJson = builds.map { case (k, tags) =>
+      val n = tags.map(_._2).sum
+      val sec = tags.map(_._3).sum
+      val tagsJson = tags.map { case (t, tn, ts) =>
+        "\"" + esc(t) + "\":{\"n\":" + tn + ",\"sec\":" + f3(ts) + "}"
+      }.mkString("{", ",", "}")
+      "\"" + esc(k) + "\":{\"n\":" + n + ",\"sec\":" + f3(sec) +
+        ",\"tags\":" + tagsJson + "}"
     }.mkString("{", ",", "}")
     val json = s"""{"metric":"total","value":${f3(total)},"unit":"sec",""" +
       s""""queries":${toJson(timings.filter(r => headline(r._1)))},""" +

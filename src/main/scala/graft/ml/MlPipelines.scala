@@ -30,7 +30,7 @@ object MlPipelines {
   /** Session-scoped memo for the vectorized embeddings frame KMeans
     * iterates over — released at family boundaries / on eviction like
     * every other checkpointed derived table. */
-  private val vecsMemo = graft.tools.LruMemo.checkpointed[(String, String)](4)
+  private val vecsMemo = graft.tools.LruMemo.checkpointed[(String, String)](4, "ml_vecs")
   val Seed = 42L
 
   /** J5: tokenize → HashingTF(2^18, murmur3) → IDF. Returns the fitted

@@ -133,7 +133,7 @@ object GeoOps {
     * (geo_radius_join, geo_knn) read it, so the blocked candidate join
     * is priced once per corpus instead of per read. */
   private val pairsMemo =
-    graft.tools.LruMemo.checkpointed[(String, String)](16)
+    graft.tools.LruMemo.checkpointed[(String, String)](16, "geo_radius_pairs")
 
   private[graft] def radiusPairs(s: SparkSession, d: String): DataFrame = {
     val sid = org.apache.spark.sql.graftnative.SessionIds.uuid(s)
@@ -162,7 +162,19 @@ object GeoOps {
     * occupy (1° lat is always ≥ 110.5 km). A larger radius would return
     * silently INCOMPLETE pairs; it now throws instead. Callers needing
     * the raw blocked candidate set (StressCheck's never-all-pairs
-    * accounting) use [[cellCandidates]], which makes no radius claim. */
+    * accounting) use [[cellCandidates]], which makes no radius claim.
+    *
+    * `maxAbsLatDeg` is a CALLER-ASSERTED bound on the DATA's latitudes,
+    * not something this kernel scans for (validating it would add a full
+    * pass over both point frames per call — per micro-batch in the
+    * streaming twin — to re-check a property of the source): a caller
+    * whose points exceed the asserted band still gets silently
+    * incomplete pairs. Every in-repo call site's data bound is therefore
+    * planted as an explicit max(abs(lat)) ≤ maxAbsLatDeg assertion where
+    * the frames are cheap to scan once — GeoOpsSpec for the fixture
+    * coefficients (|lat| < 5), StressCheck's geo rows for the synthetic
+    * full-earth generator (|lat| < 60) — so the asserted band is a
+    * TESTED fact about each generator, not a comment. */
   private[graft] def radiusPairsFrom(facilities: DataFrame, targets: DataFrame,
       radiusKm: Double, maxAbsLatDeg: Double = 60.0): DataFrame = {
     val oneCellKm = 111.045 * math.cos(math.toRadians(maxAbsLatDeg))

@@ -42,7 +42,7 @@ object GraphOps {
     * variable-length UTF8 string — the namespacing only needs to exist in
     * the final projection, so the hot loop never carries it. */
   private val edgeMemo =
-    graft.tools.LruMemo.checkpointed[(String, String)](16)
+    graft.tools.LruMemo.checkpointed[(String, String)](16, "graph_edges")
 
   private def purchaseEdges(s: SparkSession, d: String): DataFrame = {
     // The edge list is a DERIVED TABLE shared by every graph op
@@ -200,12 +200,12 @@ object GraphOps {
     * (session, sfDir) like the purchase edge list: three graded ops read
     * it, and at 100 TB the pair table IS the materialized artifact. */
   private val pairMemo =
-    graft.tools.LruMemo.checkpointed[(String, String)](16)
+    graft.tools.LruMemo.checkpointed[(String, String)](16, "basket_pairs")
 
   /** Backbone CC labels, memoized like [[pairMemo]] — the pointer-jumping
     * rounds run once per (session, corpus); consumers price the reads. */
   private val ccLabelMemo =
-    graft.tools.LruMemo.checkpointed[(String, String)](16)
+    graft.tools.LruMemo.checkpointed[(String, String)](16, "graph_cc_labels")
 
   /** Distinct (basket, item) projection — the probability base
     * [[basketAffinity]] reads FOUR times in one call (the N scalar
@@ -213,7 +213,7 @@ object GraphOps {
     * [[pairMemo]] so the lineitem distinct shuffle is priced once per
     * (session, corpus) instead of per read. */
   private val dpkMemo =
-    graft.tools.LruMemo.checkpointed[(String, String)](16)
+    graft.tools.LruMemo.checkpointed[(String, String)](16, "basket_items")
 
   private def distinctBasketItems(s: SparkSession, d: String): DataFrame = {
     val sid = org.apache.spark.sql.graftnative.SessionIds.uuid(s)

@@ -24,11 +24,11 @@ object LlmCorpusOps {
     * the ContextCleaner happened to notice the GC'd RDD (the same
     * pattern CheckpointRelease was written to fix). */
   private val stageMemo =
-    graft.tools.LruMemo.checkpointed[(String, String, String)](64)
+    graft.tools.LruMemo.checkpointed[(String, String, String)](64, "corpus_stage")
 
   private def memo(s: SparkSession, d: String, tag: String)(build: => DataFrame): DataFrame = {
     val sid = org.apache.spark.sql.graftnative.SessionIds.uuid(s)
-    stageMemo.get((sid, d, tag))(build.localCheckpoint(true))
+    stageMemo.getAs(tag, (sid, d, tag))(build.localCheckpoint(true))
   }
 
   /** THE canonical normalization expression — one definition shared by
@@ -720,6 +720,50 @@ object LlmCorpusOps {
       .orderBy("tau")
   }
 
+  /** llm_gate_tau_adaptive: [[llmGateAgreement]]'s quality-score gate at
+    * a τ DERIVED FROM THE CORPUS AT HAND instead of the fixture-median
+    * literal 0.55 — the ccnet cutoffs-by-quantile pattern applied to the
+    * gate, which is the 100 TB form: a fixed literal tuned on one
+    * fixture drifts the moment the corpus mix shifts, while "keep the
+    * top-40 % band" (τ = the score at ascending rank ⌈0.6·n⌉, an exact
+    * order statistic — no interpolation, so no cross-engine float
+    * hazard) re-derives itself on every corpus. Output: one confusion
+    * row (τ, TP/FP/FN/TN, floor-6dp precision/recall) against the same
+    * memoized funnel-survivor truth the fixed-τ key grades.
+    *
+    * Scale: the τ derivation is ONE [[ScalePrimitives.distRunning]]
+    * parallel range sort in (score, doc_id) order — the same cost as
+    * any global orderBy — and τ comes back to the driver as a single
+    * scalar (O(1) driver state, the hub-centroid/codebook posture), so
+    * the gate itself stays a row-local projection joined to the
+    * doc-grain truth; the confusion matrix is a 1-row aggregate. Ties
+    * at the rank are deterministic (doc_id tiebreak) and `score ≥ τ`
+    * admits equal-score docs below the rank identically on both
+    * engines. */
+  def llmGateTauAdaptive(s: SparkSession, d: String): DataFrame = {
+    val qs = LlmTextOps.llmQualityScore(s, d).select(col("doc_id"), col("score"))
+    val (ranked, n) = ScalePrimitives.distRunningWithCount(
+      qs.select("score", "doc_id"), Seq(col("score"), col("doc_id")), "__rnk")
+    val tauV = ranked.filter(col("__rnk") === lit((6L * n + 9L) / 10L))
+      .head().getDouble(0)
+    keptFlags(s, d)
+      .join(qs, Seq("doc_id"))
+      .withColumn("pass", col("score") >= lit(tauV))
+      .agg(
+        sum(when(col("pass") && col("is_kept"), 1L).otherwise(0L)).as("n_tp"),
+        sum(when(col("pass") && !col("is_kept"), 1L).otherwise(0L)).as("n_fp"),
+        sum(when(!col("pass") && col("is_kept"), 1L).otherwise(0L)).as("n_fn"),
+        sum(when(!col("pass") && !col("is_kept"), 1L).otherwise(0L)).as("n_tn"))
+      .select(lit(tauV).as("tau"), col("n_tp"), col("n_fp"), col("n_fn"), col("n_tn"),
+        when(col("n_tp") + col("n_fp") > 0,
+          floor(col("n_tp").cast("double") / (col("n_tp") + col("n_fp")).cast("double") *
+            1000000.0 + 0.5) / 1000000.0).as("precision"),
+        when(col("n_tp") + col("n_fn") > 0,
+          floor(col("n_tp").cast("double") / (col("n_tp") + col("n_fn")).cast("double") *
+            1000000.0 + 0.5) / 1000000.0).as("recall"))
+      .orderBy("tau")
+  }
+
   /** The e2e pipeline with DATA-QUALITY OBSERVABILITY: the same plan as
     * [[llmPipelineE2e]] plus an `observe` node on the raw scan capturing
     * the gate's audit counters (rows seen, rows the quality filter will
@@ -1212,6 +1256,7 @@ object LlmCorpusOps {
   val queries: Map[String, Q] = Map(
     "llm_gate_agreement" -> (llmGateAgreement _),
     "llm_gate_pr_curve" -> (llmGatePrCurve _),
+    "llm_gate_tau_adaptive" -> (llmGateTauAdaptive _),
     "llm_zipf_fit" -> (llmZipfFit _),
     "llm_heaps_growth" -> (llmHeapsGrowth _),
     "llm_perplexity" -> (llmPerplexity _),
@@ -1400,6 +1445,29 @@ object LlmCorpusOps {
         "CAST(sum(CASE WHEN NOT pass AND is_kept THEN 1 ELSE 0 END) AS BIGINT) AS n_fn, " +
         "CAST(sum(CASE WHEN NOT pass AND NOT is_kept THEN 1 ELSE 0 END) AS BIGINT) AS n_tn " +
         "FROM c GROUP BY tau) " +
+        "SELECT tau, n_tp, n_fp, n_fn, n_tn, " +
+        "CASE WHEN n_tp + n_fp > 0 THEN floor(CAST(n_tp AS DOUBLE) / CAST(n_tp + n_fp AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 END AS precision, " +
+        "CASE WHEN n_tp + n_fn > 0 THEN floor(CAST(n_tp AS DOUBLE) / CAST(n_tp + n_fn AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 END AS recall " +
+        "FROM agg ORDER BY tau"),
+    // the same survivor tower and score expression; tau is the exact
+    // order statistic at ascending rank ceil(0.6 n) — integer rank
+    // arithmetic ((6n + 9) // 10) and a stored score value on both
+    // engines, no interpolation
+    "llm_gate_tau_adaptive" ->
+      (curationKeptSql + ", " +
+        "qs AS (SELECT doc_id, round(0.6 * least(n_chars / 500.0, 1.0) + 0.4 * least(((n_chars - (len(string_split(text, ' ')) - 1)) / CAST(len(string_split(text, ' ')) AS DOUBLE)) / 10.0, 1.0), 6) AS score FROM documents), " +
+        "nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM qs), " +
+        "rk AS (SELECT score, row_number() OVER (ORDER BY score, doc_id) AS r FROM qs), " +
+        "tv AS (SELECT score AS tau FROM rk, nn WHERE r = (6 * nn.n + 9) // 10), " +
+        "flags AS (SELECT d.doc_id, (k.doc_id IS NOT NULL) AS is_kept, qs.score " +
+        "FROM documents d LEFT JOIN kept k ON d.doc_id = k.doc_id " +
+        "JOIN qs ON d.doc_id = qs.doc_id), " +
+        "agg AS (SELECT tv.tau, " +
+        "CAST(sum(CASE WHEN score >= tv.tau AND is_kept THEN 1 ELSE 0 END) AS BIGINT) AS n_tp, " +
+        "CAST(sum(CASE WHEN score >= tv.tau AND NOT is_kept THEN 1 ELSE 0 END) AS BIGINT) AS n_fp, " +
+        "CAST(sum(CASE WHEN score < tv.tau AND is_kept THEN 1 ELSE 0 END) AS BIGINT) AS n_fn, " +
+        "CAST(sum(CASE WHEN score < tv.tau AND NOT is_kept THEN 1 ELSE 0 END) AS BIGINT) AS n_tn " +
+        "FROM flags CROSS JOIN tv GROUP BY tv.tau) " +
         "SELECT tau, n_tp, n_fp, n_fn, n_tn, " +
         "CASE WHEN n_tp + n_fp > 0 THEN floor(CAST(n_tp AS DOUBLE) / CAST(n_tp + n_fp AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 END AS precision, " +
         "CASE WHEN n_tp + n_fn > 0 THEN floor(CAST(n_tp AS DOUBLE) / CAST(n_tp + n_fn AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 END AS recall " +

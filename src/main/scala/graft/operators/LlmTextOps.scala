@@ -171,7 +171,8 @@ object LlmTextOps {
     * table is a driver-local toDF, nothing to release. */
   private val bpeMemo =
     new graft.tools.LruMemo[(String, String, Int), (DataFrame, DataFrame)](8,
-      t => org.apache.spark.sql.graftnative.CheckpointRelease.release(t._2))
+      t => org.apache.spark.sql.graftnative.CheckpointRelease.release(t._2),
+      tag = "bpe_train")
   graft.tools.MemoRegistry.register(() =>
     bpeMemo.clear(t => org.apache.spark.sql.graftnative.CheckpointRelease.release(t._2)))
 
@@ -574,7 +575,7 @@ object LlmTextOps {
     * the checkpoint holds exactly the frame the expression tree defines
     * (preflighted at sf0.01 and sf0.1). */
   private val stageMemo =
-    graft.tools.LruMemo.checkpointed[(String, String, String)](64)
+    graft.tools.LruMemo.checkpointed[(String, String, String)](64, "llm_stage")
 
   private def memo(s: SparkSession, d: String, tag: String)(build: => DataFrame): DataFrame = {
     // Entries are rebuildable caches: LRU-bound retention so a long-lived
@@ -586,7 +587,7 @@ object LlmTextOps {
     // collide across sessions within one JVM and hand a caller a frame
     // bound to a dead session.
     val sid = org.apache.spark.sql.graftnative.SessionIds.uuid(s)
-    stageMemo.get((sid, d, tag))(build.localCheckpoint(true))
+    stageMemo.getAs(tag, (sid, d, tag))(build.localCheckpoint(true))
   }
 
   private[graft] def fixtureShingleIndex(s: SparkSession, d: String): DataFrame =
@@ -1038,12 +1039,23 @@ object LlmTextOps {
     val truth = annTruth(s, d)
     val b = t(s, d, "embeddings").select(col("vec_id"),
       graft.GraftFunctions.hyperplaneBands(col("embedding")).as("bands"))
-    truth
+    // hit set via INNER joins to the band frame, then a LEFT join back
+    // from truth (the annIvfRecallMp / llm_minhash_recall shape): the
+    // previous truth⋈bands inner join made n_truth the JOINED row count,
+    // so a truth vec_id absent from the index frame silently shrank the
+    // denominator while the DuckDB oracle counts the truth CTE directly
+    // (round-12 advice). Here n_truth is always the truth-frame count
+    // and an unindexed truth vector counts as a MISS, as it should.
+    val hits = truth.select("a_id", "b_id")
       .join(b.select(col("vec_id").as("a_id"), col("bands").as("ba")), "a_id")
       .join(b.select(col("vec_id").as("b_id"), col("bands").as("bb")), "b_id")
+      .filter(exists(zip_with(col("ba"), col("bb"), (x, y) => x === y), h => h))
+      .select("a_id", "b_id")
+      .withColumn("hit", lit(1L))
+    truth.select("a_id", "b_id")
+      .join(hits, Seq("a_id", "b_id"), "left")
       .agg(count(lit(1)).as("n_truth"),
-        sum(when(exists(zip_with(col("ba"), col("bb"), (x, y) => x === y),
-          h => h), 1L).otherwise(0L)).as("n_hit"))
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
       .transform(recallReport)
   }
 
@@ -1083,11 +1095,19 @@ object LlmTextOps {
     * carry a MEASURED n_truth (count over the truth frame), never a
     * hardcoded constant: the fixture truth is 20 pairs, but a corpus
     * whose exact-truth pass returns fewer would silently mis-normalize
-    * recall against a phantom denominator (round-12 sweep finding). */
+    * recall against a phantom denominator (round-12 sweep finding).
+    * An EMPTY truth frame raise_errors instead of emitting NaN/null —
+    * the measured denominator reopened the degenerate case the old
+    * hardcoded 20 could never hit, and a silent NaN recall would defeat
+    * the self-grading the keys exist for (fail-loudly discipline). */
   private def recallReport(agged: DataFrame): DataFrame =
     agged.select(col("n_truth"), col("n_hit"),
-      (floor(col("n_hit").cast("double") / col("n_truth").cast("double") *
-        1000000.0 + 0.5) / 1000000.0).as("recall"))
+      when(col("n_truth") > 0,
+        floor(col("n_hit").cast("double") / col("n_truth").cast("double") *
+          1000000.0 + 0.5) / 1000000.0)
+        .otherwise(raise_error(lit(
+          "recall denominator is zero: empty exact-truth frame")))
+        .as("recall"))
 
   /** The memoized IVF assignment (vec_id, embedding, bucket) — one
     * index build per (session, corpus), shared by the top-k and the
@@ -1130,11 +1150,18 @@ object LlmTextOps {
   def annIvfRecall(s: SparkSession, d: String): DataFrame = {
     val truth = annTruth(s, d)
     val b = ivfAssigned(s, d).select(col("vec_id"), col("bucket"))
-    truth
+    // left-join-from-truth so n_truth is the truth-frame count even if a
+    // truth vec_id is missing from the assignment (see annPairRecall)
+    val hits = truth.select("a_id", "b_id")
       .join(b.select(col("vec_id").as("a_id"), col("bucket").as("ba")), "a_id")
       .join(b.select(col("vec_id").as("b_id"), col("bucket").as("bb")), "b_id")
+      .filter(col("ba") === col("bb"))
+      .select("a_id", "b_id")
+      .withColumn("hit", lit(1L))
+    truth.select("a_id", "b_id")
+      .join(hits, Seq("a_id", "b_id"), "left")
       .agg(count(lit(1)).as("n_truth"),
-        sum(when(col("ba") === col("bb"), 1L).otherwise(0L)).as("n_hit"))
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
       .transform(recallReport)
   }
 

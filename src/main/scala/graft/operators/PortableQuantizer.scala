@@ -209,9 +209,9 @@ object PortableQuantizer {
 
   /** Codebooks are an INDEX — trained once per (session, corpus). */
   private val ivfMemo =
-    new graft.tools.LruMemo[(String, String), Seq[Seq[Long]]](8)
+    new graft.tools.LruMemo[(String, String), Seq[Seq[Long]]](8, tag = "vt_ivf_centroids")
   private val pqMemo =
-    new graft.tools.LruMemo[(String, String), Seq[Seq[Seq[Long]]]](8)
+    new graft.tools.LruMemo[(String, String), Seq[Seq[Seq[Long]]]](8, tag = "vt_pq_codebooks")
   // driver-side Seqs only — clear() alone frees them
   graft.tools.MemoRegistry.register(() => { ivfMemo.clear(); pqMemo.clear() })
 

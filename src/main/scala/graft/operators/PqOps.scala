@@ -57,7 +57,7 @@ object PqOps {
   /** Codebooks are an INDEX — trained once per (session, corpus), queried
     * many times; constant size (16 × 16 × 4 doubles). */
   private val codebookMemo =
-    new graft.tools.LruMemo[(String, String), Seq[Seq[Seq[Double]]]](8)
+    new graft.tools.LruMemo[(String, String), Seq[Seq[Seq[Double]]]](8, tag = "pq_codebooks")
 
   private def sid(s: SparkSession): String =
     org.apache.spark.sql.graftnative.SessionIds.uuid(s)
@@ -208,7 +208,7 @@ object PqOps {
     }
 
   private val ivfMemo =
-    new graft.tools.LruMemo[(String, String), Seq[Seq[Double]]](8)
+    new graft.tools.LruMemo[(String, String), Seq[Seq[Double]]](8, tag = "ivf_centroids")
   // driver-side Seqs, no executor blocks to release — clear() alone frees them
   graft.tools.MemoRegistry.register(() => { codebookMemo.clear(); ivfMemo.clear() })
 

@@ -88,6 +88,30 @@ object RelationalOps {
       .orderBy("r_regionkey")
   }
 
+  /** A5e: TYPED JSON file source — the region roundtrip only exercises
+    * flat strings+ints on 5 rows; this one ingests the events table
+    * (timestamp, double, strings, 60 k rows at sf0.1) through JSON lines
+    * with an EXPLICIT schema (schema-on-read, no inference job — at
+    * 100 TB inference is a full extra pass) and aggregates per type, so
+    * the JSON reader's type coercion (ISO timestamp parse, full-precision
+    * double) is oracle-checked, not just its string identity.
+    * timestampFormat is pinned to literal microseconds on BOTH write and
+    * read: the default JSON format truncates to milliseconds, which
+    * would silently lose the µs precision the events fixtures carry. */
+  def scanJsonTyped(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    val tmp = graft.TempDirs.cached("json_events", d)(dir =>
+      ev.write.mode("overwrite").option("timestampFormat", fmt).json(dir))
+    s.read.schema(ev.schema).option("timestampFormat", fmt).json(tmp)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"),
+        round(sum("value"), 2).as("sum_v"),
+        min("ts").as("min_ts"), max("ts").as("max_ts"))
+      .orderBy("event_type")
+  }
+
   // ------------------------------------------------- B. projection / filter
 
   /** B1: per-row computed net revenue. NOTE: (l_orderkey, l_linenumber) is
@@ -1216,6 +1240,7 @@ object RelationalOps {
     "json_roundtrip" -> (jsonRoundtrip _),
     "orc_roundtrip" -> (orcRoundtrip _),
     "xml_roundtrip" -> (xmlRoundtrip _),
+    "scan_json_typed" -> (scanJsonTyped _),
     "project_compute" -> (projectCompute _),
     "filter_combo" -> (filterCombo _),
     "filter_like_regex" -> (filterLikeRegex _),
@@ -1306,6 +1331,10 @@ object RelationalOps {
       "SELECT * FROM region ORDER BY r_regionkey",
     "xml_roundtrip" ->
       "SELECT * FROM region ORDER BY r_regionkey",
+    // the roundtrip is lossless (pinned microsecond timestampFormat), so
+    // the oracle aggregates the parquet source directly
+    "scan_json_typed" ->
+      "SELECT event_type, CAST(count(*) AS BIGINT) AS cnt, round(sum(value), 2) AS sum_v, min(CAST(ts AS TIMESTAMP)) AS min_ts, max(CAST(ts AS TIMESTAMP)) AS max_ts FROM events GROUP BY 1 ORDER BY event_type",
     "project_compute" ->
       "SELECT l_orderkey, l_linenumber, floor(l_extendedprice * (1.0 - l_discount) * 100 + 0.5) / 100.0 AS net_price FROM lineitem ORDER BY l_orderkey, l_linenumber, net_price",
     "filter_combo" ->

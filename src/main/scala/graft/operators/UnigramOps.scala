@@ -66,7 +66,7 @@ object UnigramOps {
 
   private val memo =
     new graft.tools.LruMemo[(String, String), (Seq[(String, Long, Long)], DataFrame)](8,
-      t => CheckpointRelease.release(t._2))
+      t => CheckpointRelease.release(t._2), tag = "unigram_train")
   graft.tools.MemoRegistry.register(() =>
     memo.clear(t => CheckpointRelease.release(t._2)))
 

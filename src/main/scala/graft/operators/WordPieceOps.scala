@@ -63,7 +63,8 @@ object WordPieceOps {
   private val memo = new graft.tools.LruMemo[
       (String, String),
       (Seq[(Int, String, String, String, Long, Long)], Seq[String], DataFrame)](8,
-    t => org.apache.spark.sql.graftnative.CheckpointRelease.release(t._3))
+    t => org.apache.spark.sql.graftnative.CheckpointRelease.release(t._3),
+    tag = "wordpiece_train")
   graft.tools.MemoRegistry.register(() =>
     memo.clear(t => org.apache.spark.sql.graftnative.CheckpointRelease.release(t._3)))
 

@@ -26,15 +26,22 @@ object LruMemo {
     * here — one constructor call per derived-table cache instead of the
     * 4-line memo+register pattern repeated (and kept consistent by hand)
     * at every site. */
-  def checkpointed[K](capacity: Int): LruMemo[K, org.apache.spark.sql.DataFrame] = {
+  def checkpointed[K](capacity: Int, tag: String): LruMemo[K, org.apache.spark.sql.DataFrame] = {
     val release = org.apache.spark.sql.graftnative.CheckpointRelease.release _
-    val m = new LruMemo[K, org.apache.spark.sql.DataFrame](capacity, release)
+    val m = new LruMemo[K, org.apache.spark.sql.DataFrame](capacity, release, tag)
     MemoRegistry.register(() => m.clear(release))
     m
   }
 }
 
-final class LruMemo[K, V](val capacity: Int, onEvict: V => Unit = (_: V) => ()) {
+/** @param tag the memo's name in [[MemoRegistry.BuildLog]] — BENCH_FULL's
+  *            memo_builds records WHICH memo each build belongs to, so
+  *            an n=2 under one bench key reads as either two distinct
+  *            prerequisite indexes (two tags) or one eviction rebuild
+  *            (same tag twice). Memos whose key already carries a stage
+  *            name pass it per-call via [[LruMemo.getAs]] instead. */
+final class LruMemo[K, V](val capacity: Int, onEvict: V => Unit = (_: V) => (),
+                          tag: String = "memo") {
   require(capacity > 0, "LruMemo capacity must be positive")
 
   private val map = new java.util.LinkedHashMap[K, V](16, 0.75f, /*accessOrder=*/ true) {
@@ -66,16 +73,27 @@ final class LruMemo[K, V](val capacity: Int, onEvict: V => Unit = (_: V) => ()) 
     * promptly (or re-get() it, which re-memoizes), and size capacities
     * comfortably above the per-run key working set — each shipped cache
     * does (capacities 4-64, all several× their family's live key count). */
-  def get(k: K)(build: => V): V = map.synchronized {
+  def get(k: K)(build: => V): V = getAs(tag, k)(build)
+
+  /** [[get]] with a per-call BuildLog tag, for memos whose key already
+    * names the stage being built (the LLM stageMemo keys on
+    * (session, corpus, stage)) — the instance tag would collapse every
+    * stage into one log line and re-create the n-ambiguity the tags fix. */
+  def getAs(buildTag: String, k: K)(build: => V): V = map.synchronized {
     val hit = map.get(k)
     if (hit != null) hit
     else {
       // report the build's wall seconds to the attribution log — this is
       // how Bench knows which registry key paid for a shared family index
-      // (including LRU-eviction REBUILDS, which land on arbitrary keys)
+      // (including LRU-eviction REBUILDS, which land on arbitrary keys).
+      // enter/exit bracket so a nested prerequisite build records SELF
+      // time, not double-counted wall (see BuildLog).
       val t0 = System.nanoTime()
-      val v = build
-      MemoRegistry.BuildLog.record((System.nanoTime() - t0) / 1e9)
+      MemoRegistry.BuildLog.enter()
+      var ok = false
+      val v = try { val r = build; ok = true; r }
+              finally MemoRegistry.BuildLog.exit(
+                buildTag, (System.nanoTime() - t0) / 1e9, ok)
       map.put(k, v)
       v
     }

@@ -320,6 +320,15 @@ object StressCheck {
       // candidate set with distances, no radius claim), cache it, and
       // derive both the within-50 pair set and the never-all-pairs
       // candidate count from the same materialization
+      // planted data-side half of radiusPairsFrom's caller-asserted
+      // |lat| band (see its scaladoc): prove the synthetic full-earth
+      // generator actually stays inside the 60° band the kernel's
+      // radius require() is checked against — one cheap max() per side
+      for ((nm, pts) <- Seq("fac" -> fac, "tgt" -> tgt)) {
+        val maxAbs = pts.agg(max(abs(col("lat")))).head().getDouble(0)
+        require(maxAbs <= 60.0,
+          s"$nm lat $maxAbs exceeds the asserted 60-degree band")
+      }
       val cand = graft.operators.GeoOps.cellCandidates(fac, tgt).cache()
       val pairs = cand.filter(col("d") <= 50.0)
       val nPairs = pairs.count()

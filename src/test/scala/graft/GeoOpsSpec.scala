@@ -40,6 +40,21 @@ class GeoOpsSpec extends SparkTestBase {
       "degenerate 0.0 min-distance: facility derivation collides with targets")
   }
 
+  test("fixture data honors the caller-asserted latitude band (maxAbsLatDeg)") {
+    // radiusPairsFrom's 1-cell completeness require() checks the radius
+    // against a CALLER-ASSERTED |lat| bound — it never scans the data
+    // (scaladoc contract). This is the planted data-side half for the
+    // fixture generator: both point derivations stay far inside the
+    // default 60° band (they derive lat ∈ [-5, 5), so |lat| ≤ 5 — the
+    // lower endpoint IS attained), so the graded keys' completeness
+    // claim rests on a tested fact, not a comment.
+    for (pts <- Seq(custPts, suppPts)) {
+      val maxAbs = pts.agg(max(abs(col("lat")))).head().getDouble(0)
+      assert(maxAbs <= 60.0, s"fixture lat $maxAbs exceeds the asserted band")
+      assert(maxAbs <= 5.0, s"fixture generator drifted: |lat| $maxAbs > 5")
+    }
+  }
+
   test("grid blocking is COMPLETE: blocked pairs == brute-force pairs within 50 km") {
     val blocked = GeoOps.radiusPairs(spark, SF)
       .select("sk", "ck").as[(Long, Long)].collect().toSet

@@ -58,6 +58,61 @@ class LruMemoSpec extends AnyFunSuite {
     assert(r == 42 && m.contains("inner") && m.contains("outer"))
   }
 
+  test("BuildLog attributes builds per memo tag with nested self-time") {
+    import graft.tools.MemoRegistry.BuildLog
+    BuildLog.reset()
+    BuildLog.setKey("bench_key")
+    val inner = new LruMemo[String, Int](4, tag = "inner_idx")
+    val outer = new LruMemo[String, Int](4, tag = "outer_frame")
+    // outer's thunk builds inner (the fused-retrieval-frame shape) and
+    // then sleeps: the outer bracket's wall CONTAINS inner's, so without
+    // self-time subtraction the composite would double-count (r12 advice)
+    outer.get("k") {
+      val v = inner.get("k") { Thread.sleep(60); 21 }
+      Thread.sleep(60)
+      v * 2
+    }
+    val snap = BuildLog.snapshot().toMap
+    val tags = snap("bench_key").map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(tags.keySet == Set("inner_idx", "outer_frame"))
+    assert(tags("inner_idx")._1 == 1 && tags("outer_frame")._1 == 1)
+    val innerSec = tags("inner_idx")._2
+    val outerSec = tags("outer_frame")._2
+    assert(innerSec >= 0.05, s"inner self-time $innerSec")
+    // outer SELF time excludes inner's ~60ms: ~60ms, never ~120ms
+    assert(outerSec >= 0.05 && outerSec < 0.11,
+      s"outer self-time $outerSec should exclude the nested build")
+    BuildLog.reset()
+  }
+
+  test("BuildLog: per-call tags (getAs) separate stages sharing one memo") {
+    import graft.tools.MemoRegistry.BuildLog
+    BuildLog.reset()
+    BuildLog.setKey("k1")
+    val stageMemo = new LruMemo[String, Int](8)
+    stageMemo.getAs("shingles", "shingles")(1)
+    stageMemo.getAs("labels", "labels")(2)
+    // an eviction-style REBUILD of the same stage under a later key reads
+    // as n=2 on ONE tag — distinguishable from two distinct prerequisites
+    BuildLog.setKey("k2")
+    stageMemo.getAs("shingles", "shingles2")(3)
+    stageMemo.getAs("shingles", "shingles3")(4)
+    val snap = BuildLog.snapshot().toMap
+    assert(snap("k1").map(_._1).sorted == Seq("labels", "shingles"))
+    assert(snap("k1").forall(_._2 == 1))
+    assert(snap("k2") match {
+      case Seq(("shingles", 2, _)) => true
+      case _ => false
+    })
+    // a failed build pops the bracket without recording, and the stack
+    // survives for the retry
+    intercept[RuntimeException](stageMemo.getAs("boom", "b")(sys.error("x")))
+    assert(stageMemo.getAs("boom", "b")(7) == 7)
+    val snap2 = BuildLog.snapshot().toMap
+    assert(snap2("k2").collect { case ("boom", n, _) => n }.sum == 1)
+    BuildLog.reset()
+  }
+
   test("each key builds exactly once under concurrent access") {
     val m = new LruMemo[Int, Int](8)
     val builds = new java.util.concurrent.atomic.AtomicInteger
