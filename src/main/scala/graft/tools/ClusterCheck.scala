@@ -1,0 +1,145 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+
+/** Multi-executor validation on one box: run a cross-family subset of the
+  * graded registry under `local-cluster[2,4,2048]` — Spark's standalone
+  * scheduler with TWO SEPARATE EXECUTOR JVMs — and assert every result is
+  * bit-identical to the same key under the shipped `local[8]` mode.
+  *
+  * Why this exists: every other artifact in this repo (oracle gate,
+  * bench, stress suite) runs in a single-JVM local master, where tasks
+  * share the driver's heap. That mode never exercises the boundaries a
+  * real cluster has: closures/Encoders/custom Catalyst expressions must
+  * SERIALIZE across process lines, broadcasts and shuffle blocks move
+  * over a real transport, localCheckpoint blocks live in executor block
+  * managers and are fetched remotely, and driver-side state (codebooks,
+  * carry arrays, the adaptive τ scalar) must genuinely be O(1) data that
+  * ships in task binaries. local-cluster is the standard-cluster
+  * scheduler minus only the network between machines, so a pass here
+  * narrows "no multi-executor validation" (docs/SCALE.md) to exactly the
+  * multi-HOST concerns (locality, stragglers, dynamic allocation) that a
+  * single box cannot represent.
+  *
+  * Determinism across modes is not luck — it is the repo's oracle
+  * discipline paying off twice: every graded key is engineered to be
+  * partial-order independent (exact integer/cents accumulation, floor-dp
+  * rounding, total ORDER BY), so its rows must match across ANY executor
+  * placement, bit for bit. Doubles are compared via doubleToLongBits.
+  *
+  * Environment contract (set by the sbt runner): `SPARK_SCALA_VERSION`
+  * must be set (the in-process Worker builds executor commands through
+  * the launcher library without `load-spark-env.sh`, which normally
+  * derives it), and `SPARK_HOME` should point at a WRITABLE shim of the
+  * Spark distribution (symlinked `jars`/`conf` plus an empty `work`
+  * dir) because the in-process Worker ignores `SPARK_WORKER_DIR` and
+  * drops executor work dirs under `$SPARK_HOME/work`:
+  *
+  *   mkdir -p /tmp/graft-spark-home/work
+  *   ln -sfn /opt/spark/{jars,conf,bin,sbin} /tmp/graft-spark-home/
+  *   SPARK_HOME=/tmp/graft-spark-home SPARK_SCALA_VERSION=2.13 \
+  *     sbt "runMain graft.tools.ClusterCheck"
+  *
+  * Usage: sbt "runMain graft.tools.ClusterCheck [sfDir] [key1,key2,...]"
+  */
+object ClusterCheck {
+
+  /** Cross-family subset: every custom kernel family with a distinct
+    * serialization surface — native Catalyst expressions (shingles,
+    * vector ops), the distRunning/distRunningBy RDD kernels and their
+    * driver-side carry arrays, checkpoint-memoized derived tables,
+    * broadcast postings, the literal-codebook IVF assign, the pointer-
+    * jumping CC loop, a driver-derived scalar (adaptive τ), file-source
+    * roundtrips, and the full curation funnel that composes most of the
+    * above. */
+  val DefaultKeys: Seq[String] = Seq(
+    "scan_pruned", "csv_roundtrip", "scan_json_typed", "join_star_tpch",
+    "agg_groupby_q1", "agg_count_distinct", "win_topk_group", "win_median",
+    "sort_multicol", "set_except", "stream_tumbling", "llm_dedup_exact",
+    "llm_dedup_minhash", "llm_dedup_clusters", "ann_ivf_topk",
+    "llm_bm25_topk", "geo_radius_join", "llm_pack_sequences",
+    "graph_components", "llm_gate_tau_adaptive", "llm_curation_e2e")
+
+  private def render(v: Any): String = v match {
+    case null => "␀"
+    case d: Double => java.lang.Double.doubleToLongBits(d).toString
+    case f: Float => java.lang.Float.floatToIntBits(f).toString
+    case r: Row => r.toSeq.map(render).mkString("{", "", "}")
+    case s: scala.collection.Seq[_] => s.map(render).mkString("[", ",", "]")
+    case m: scala.collection.Map[_, _] =>
+      m.map { case (k, x) => render(k) + "=" + render(x) }.toSeq.sorted
+        .mkString("<", ",", ">")
+    case b: Array[Byte] => java.util.Base64.getEncoder.encodeToString(b)
+    case x => x.toString
+  }
+
+  /** (row count, md5 over schema + canonically-rendered sorted rows). */
+  private def fingerprint(df: DataFrame): (Long, String) = {
+    val rows = df.collect()
+    val body = rows.map(r => r.toSeq.map(render).mkString("")).sorted
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(df.schema.map(f => s"${f.name}:${f.dataType.sql}")
+      .mkString("|").getBytes("UTF-8"))
+    body.foreach(s => md.update((s + "\n").getBytes("UTF-8")))
+    (rows.length.toLong, md.digest().map("%02x".format(_)).mkString)
+  }
+
+  private def runMode(master: String, sfDir: String, keys: Seq[String],
+      extraConf: Map[String, String]): Map[String, (Long, String, Double)] = {
+    val b = graft.GraftSession.builder(master = master, shufflePartitions = 8)
+    extraConf.foreach { case (k, v) => b.config(k, v) }
+    val spark = b.getOrCreate()
+    try {
+      spark.sparkContext.setLogLevel("WARN")
+      LogHygiene.suppressBoundedGrainWindowWarn()
+      // warm + executor-registration barrier: a real distributed job must
+      // complete before the mode claim means anything
+      spark.range(0L, 1000000L, 1L, 8).selectExpr("sum(id)").collect()
+      if (master.startsWith("local-cluster")) {
+        val n = spark.sparkContext.getExecutorMemoryStatus.size
+        require(n >= 3, // driver block manager + 2 executors
+          s"local-cluster did not register 2 executors (saw ${n - 1})")
+      }
+      val releaser = new MemoRegistry.FamilyReleaser(gcSettle = false)
+      keys.sorted.map { k =>
+        releaser.onKey(k)
+        val t0 = System.nanoTime()
+        val (n, h) = fingerprint(graft.SparkEntry.queries(k)(spark, sfDir))
+        k -> ((n, h, (System.nanoTime() - t0) / 1e9))
+      }.toMap
+    } finally {
+      // free checkpoint blocks while their context is still alive, then
+      // tear the whole context down so the next mode starts clean
+      MemoRegistry.releaseAll()
+      spark.stop()
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val keys = args.lift(1)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(DefaultKeys)
+    val unknown = keys.filterNot(graft.SparkEntry.queries.keySet)
+    require(unknown.isEmpty, s"unknown keys: ${unknown.mkString(", ")}")
+    val jar = getClass.getProtectionDomain.getCodeSource.getLocation.getPath
+    // cluster mode FIRST (fails loudly if executors can't launch), then
+    // the reference local mode in a fresh context in the same JVM
+    val cluster = runMode("local-cluster[2,4,2048]", sfDir, keys,
+      Map("spark.executor.extraClassPath" -> jar))
+    val local = runMode("local[8]", sfDir, keys, Map.empty)
+    var bad = 0
+    keys.sorted.foreach { k =>
+      val (cn, ch, ct) = cluster(k)
+      val (ln, lh, lt) = local(k)
+      val ok = cn == ln && ch == lh
+      if (!ok) bad += 1
+      println(f"[cluster] $k%-24s ${if (ok) "MATCH" else "MISMATCH"}%-8s " +
+        f"rows=$cn%-7d cluster=$ct%6.2fs local=$lt%6.2fs" +
+        (if (ok) "" else s"  cluster=($cn,$ch) local=($ln,$lh)"))
+    }
+    println(s"""[cluster-summary] {"keys":${keys.length},"mismatches":$bad,""" +
+      s""""sf":"$sfDir"}""")
+    require(bad == 0, s"$bad keys differ between local-cluster and local mode")
+  }
+}
