@@ -117,9 +117,16 @@ object ClusterCheck {
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    // "all" sweeps the ENTIRE registry through both modes — the full
+    // claim ("every graded key is executor-placement independent") at
+    // roughly 2× a Verify dump's cost; the default subset is the
+    // per-round pulse.
     val keys = args.lift(1)
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-      .getOrElse(DefaultKeys)
+      .getOrElse(DefaultKeys) match {
+      case Seq("all") => graft.SparkEntry.queries.keys.toSeq.sorted
+      case ks => ks
+    }
     val unknown = keys.filterNot(graft.SparkEntry.queries.keySet)
     require(unknown.isEmpty, s"unknown keys: ${unknown.mkString(", ")}")
     val jar = getClass.getProtectionDomain.getCodeSource.getLocation.getPath
