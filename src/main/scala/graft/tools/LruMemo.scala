@@ -28,7 +28,14 @@ object LruMemo {
     * at every site. */
   def checkpointed[K](capacity: Int, tag: String): LruMemo[K, org.apache.spark.sql.DataFrame] = {
     val release = org.apache.spark.sql.graftnative.CheckpointRelease.release _
-    val m = new LruMemo[K, org.apache.spark.sql.DataFrame](capacity, release, tag)
+    // rebuild-on-miss: a hit whose checkpoint blocks are no longer all
+    // resident (an executor died — routine at 1000 executors; a local
+    // checkpoint has no lineage to recompute from) is dropped and
+    // rebuilt instead of being handed to a consumer whose action would
+    // fail unrecoverably. The probe is driver-side block-manager
+    // metadata (CheckpointRelease.isLive), no job per hit.
+    val m = new LruMemo[K, org.apache.spark.sql.DataFrame](capacity, release, tag,
+      revalidate = org.apache.spark.sql.graftnative.CheckpointRelease.isLive)
     MemoRegistry.register(() => m.clear(release))
     m
   }
@@ -39,9 +46,17 @@ object LruMemo {
   *            an n=2 under one bench key reads as either two distinct
   *            prerequisite indexes (two tags) or one eviction rebuild
   *            (same tag twice). Memos whose key already carries a stage
-  *            name pass it per-call via [[LruMemo.getAs]] instead. */
+  *            name pass it per-call via [[LruMemo.getAs]] instead.
+  * @param revalidate hit-time liveness probe: a cached value this
+  *            returns false for is released (via `onEvict`) and REBUILT
+  *            instead of returned — the executor-loss recovery path for
+  *            checkpointed frames, whose blocks die with their executor
+  *            and cannot recompute (no lineage). Must be cheap (runs
+  *            under the memo lock on every hit) and side-effect free;
+  *            default accepts every hit. */
 final class LruMemo[K, V](val capacity: Int, onEvict: V => Unit = (_: V) => (),
-                          tag: String = "memo") {
+                          tag: String = "memo",
+                          revalidate: V => Boolean = (_: V) => true) {
   require(capacity > 0, "LruMemo capacity must be positive")
 
   private val map = new java.util.LinkedHashMap[K, V](16, 0.75f, /*accessOrder=*/ true) {
@@ -81,8 +96,19 @@ final class LruMemo[K, V](val capacity: Int, onEvict: V => Unit = (_: V) => (),
     * stage into one log line and re-create the n-ambiguity the tags fix. */
   def getAs(buildTag: String, k: K)(build: => V): V = map.synchronized {
     val hit = map.get(k)
-    if (hit != null) hit
+    if (hit != null && revalidate(hit)) hit
     else {
+      if (hit != null) {
+        // stale survivor (an executor died with this checkpointed
+        // frame's blocks): release what remains and fall through to the
+        // rebuild — the BuildLog then shows a same-tag n=2, which is
+        // exactly the signal an operator should see for executor churn
+        map.remove(k)
+        try onEvict(hit) catch {
+          case scala.util.control.NonFatal(ex) =>
+            System.err.println(s"[graft] memo revalidate-drop hook failed: $ex")
+        }
+      }
       // report the build's wall seconds to the attribution log — this is
       // how Bench knows which registry key paid for a shared family index
       // (including LRU-eviction REBUILDS, which land on arbitrary keys).

@@ -53,4 +53,25 @@ object CheckpointRelease {
   def release(df: DataFrame): Unit =
     df.queryExecution.logical.collect { case l: LogicalRDD => l.rdd }
       .foreach(rdd => try rdd.unpersist(blocking = false) catch { case _: Throwable => () })
+
+  /** Are ALL of the frame's checkpoint blocks still resident? A local
+    * checkpoint has no lineage: when an executor dies (routine at 1000
+    * executors), its blocks are simply GONE and any later action on the
+    * frame fails unrecoverably with missing-block errors. This is the
+    * cheap driver-side probe behind the memo rebuild-on-miss path
+    * (LruMemo revalidation): every [[LogicalRDD]] leaf must report its
+    * full partition count cached in the block-manager status store —
+    * O(#cached RDDs) driver metadata, no job. Errors (e.g. a stopped
+    * context) report NOT live: the failure mode of a false negative is
+    * one redundant rebuild, of a false positive an unrecoverable query. */
+  def isLive(df: DataFrame): Boolean =
+    try {
+      val rdds = df.queryExecution.logical.collect { case l: LogicalRDD => l.rdd }
+      rdds.forall { rdd =>
+        rdd.partitions.isEmpty || {
+          val info = rdd.sparkContext.getRDDStorageInfo(_.id == rdd.id)
+          info.nonEmpty && info.head.numCachedPartitions == rdd.partitions.length
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => false }
 }

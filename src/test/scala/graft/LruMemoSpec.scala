@@ -113,6 +113,23 @@ class LruMemoSpec extends AnyFunSuite {
     BuildLog.reset()
   }
 
+  test("revalidate: a stale hit is released and rebuilt, a live hit is served") {
+    val dead = scala.collection.mutable.Set.empty[String]
+    val released = scala.collection.mutable.ArrayBuffer.empty[String]
+    var builds = 0
+    val m = new LruMemo[Int, String](4, released += _,
+      revalidate = v => !dead.contains(v))
+    def b(i: Int): String = m.get(i) { builds += 1; s"v$i-$builds" }
+    assert(b(1) == "v1-1" && b(1) == "v1-1" && builds == 1)
+    // simulate executor loss: the cached value's blocks are gone
+    dead += "v1-1"
+    assert(b(1) == "v1-2", "stale hit was served instead of rebuilt")
+    assert(builds == 2 && released.toSeq == Seq("v1-1"),
+      "stale value must be released exactly once before the rebuild")
+    // the rebuilt value is live again and serves without rebuilding
+    assert(b(1) == "v1-2" && builds == 2)
+  }
+
   test("each key builds exactly once under concurrent access") {
     val m = new LruMemo[Int, Int](8)
     val builds = new java.util.concurrent.atomic.AtomicInteger
