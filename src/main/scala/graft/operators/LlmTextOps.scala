@@ -176,7 +176,13 @@ object LlmTextOps {
   graft.tools.MemoRegistry.register(() =>
     bpeMemo.clear(t => org.apache.spark.sql.graftnative.CheckpointRelease.release(t._2)))
 
+  /** Trainer-invocation counter — the spec hook proving the persisted-
+    * tokenizer serve path (llm_bpe_persisted) never retrains, the
+    * PortableQuantizer.trainRuns discipline applied to tokenizers. */
+  private[graft] val bpeTrainRuns = new java.util.concurrent.atomic.AtomicLong
+
   private def bpeTrainUncached(s: SparkSession, d: String, rounds: Int): (DataFrame, DataFrame) = {
+    bpeTrainRuns.incrementAndGet()
     // merge mechanics (seg init / pair explode / bounded regex merge)
     // live in TokenizerMerge, shared with the WordPiece trainer -- only
     // the argmax below (raw pair frequency) is BPE's own
@@ -274,9 +280,16 @@ object LlmTextOps {
     * is exact-dedup's: one map-side projection + one hash aggregation on
     * doc_id. Words under the trainer's 2-char floor are single tokens.
     * Fertility (chars/token) is the standard tokenizer-quality metric. */
-  def llmBpeEncode(s: SparkSession, d: String): DataFrame = {
+  def llmBpeEncode(s: SparkSession, d: String): DataFrame =
+    bpeEncodeEconomics(s, d, bpeTrainCore(s, d)._2)
+
+  /** The encode tail shared by the trained-path key and the
+    * persisted-tokenizer serve: given ANY (seg) word-segmentation table,
+    * broadcast-join the corpus word stream against it and aggregate the
+    * per-document token economics. */
+  private def bpeEncodeEconomics(s: SparkSession, d: String, seg: DataFrame): DataFrame = {
     val sep = "\u001f"
-    val wordTok = bpeTrainCore(s, d)._2.select(
+    val wordTok = seg.select(
       translate(col("seg"), sep, "").as("w"),
       size(split(col("seg"), sep)).cast("long").as("ntok"))
     t(s, d, "documents")
@@ -290,6 +303,53 @@ object LlmTextOps {
       .withColumn("fertility",
         floor(col("n_chars").cast("double") / col("n_tokens") * 10000 + 0.5) / 10000.0)
       .orderBy("doc_id")
+  }
+
+  /** Persist the trained BPE merge list into a `graft-vt` versioned
+    * table (build-if-absent; the "absent" predicate is the committed v0
+    * manifest, the PortableQuantizer.indexRootAt discipline) -- a trained
+    * TOKENIZER is a pipeline artifact exactly like an ANN index:
+    * committed once, versioned like data, reopened by every later
+    * serving job with zero training jobs. The merge list is 8 rows. */
+  private[graft] def bpeIndexRoot(s: SparkSession, d: String): String = {
+    val root = graft.TempDirs.cached("vtbpe", d)(_ => ()) + "/t"
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(root, "_manifests", "v00000000.json"))) {
+      graft.tables.VersionedTable.create(s, root, bpeTrainCore(s, d)._1)
+      ()
+    }
+    root
+  }
+
+  /** The ordered merge list read back from the persisted tokenizer -- a
+    * bounded index LOOKUP (8 rows through the graft-vt reader), never
+    * training. */
+  private[graft] def bpeMergesFromIndex(s: SparkSession, d: String): Seq[(String, String)] =
+    s.read.format("graft-vt").option("path", bpeIndexRoot(s, d)).load()
+      .orderBy("round").select("left", "right").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+
+  /** llm_bpe_encode SERVED FROM THE PERSISTED TOKENIZER: the merge list
+    * comes back from the graft-vt table and segmentation is re-derived
+    * by APPLYING those merges in order to the corpus's distinct words --
+    * 8 row-local bounded-replace projections over a vocabulary-grain
+    * frame, zero pair-candidate aggregations, zero argmax collects
+    * (asserted via [[bpeTrainRuns]] in VtDataSourceSpec). Same answer,
+    * same oracle as llm_bpe_encode; the difference is the operational
+    * posture: a restarted 100 TB encode job pays one 8-row lookup, not
+    * a corpus-scale training rerun -- the annIvfPersisted discipline
+    * applied to the tokenizer family. */
+  def llmBpePersisted(s: SparkSession, d: String): DataFrame = {
+    val merges = bpeMergesFromIndex(s, d)
+    var seg = TokenizerMerge.initialSeg(
+      t(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) >= 2)
+        .groupBy("w").agg(count(lit(1)).as("cnt")))
+    merges.foreach { case (l, r) =>
+      seg = seg.withColumn("seg", TokenizerMerge.applyMerge(col("seg"), l, r))
+    }
+    bpeEncodeEconomics(s, d, seg)
   }
 
   /** DuckDB twin of the encode: the same unrolled CTE tower up to seg8
@@ -1489,6 +1549,7 @@ object LlmTextOps {
     "llm_bpe_merges" -> (llmBpeMerges _),
     "llm_bpe_train" -> (llmBpeTrain _),
     "llm_bpe_encode" -> (llmBpeEncode _),
+    "llm_bpe_persisted" -> (llmBpePersisted _),
     "llm_quality_score" -> (llmQualityScore _),
     "llm_fingerprint" -> (llmFingerprint _),
     "llm_span_dup" -> (llmSpanDup _),
@@ -1738,6 +1799,9 @@ object LlmTextOps {
         "FROM documents) GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20"),
     "llm_bpe_train" -> bpeTrainOracle,
     "llm_bpe_encode" -> bpeEncodeOracle,
+    // same oracle as the trained-path encode: the persisted serve must
+    // reproduce it exactly (zero-retrain asserted in VtDataSourceSpec)
+    "llm_bpe_persisted" -> bpeEncodeOracle,
     "llm_dedup_url" ->
       ("WITH u AS (SELECT doc_id, n_chars, 'https://' || " +
         "(CASE WHEN doc_id % 3 = 0 THEN 'WWW.Mirror.' ELSE 'www.mirror.' END) || " +

@@ -114,6 +114,25 @@ class VtDataSourceSpec extends SparkTestBase {
     assert(t.pruneFiles(0.0, 1.0).size < t.pruneFiles(Double.NegativeInfinity, Double.PositiveInfinity).size)
   }
 
+  test("persisted BPE tokenizer: cross-session serve with ZERO retraining, identical encode") {
+    import graft.operators.LlmTextOps
+    // build (and persist) the merge list under the base session — this
+    // may train once
+    LlmTextOps.bpeIndexRoot(spark, SF)
+    val trained = LlmTextOps.llmBpeEncode(spark, SF).collect().map(_.toString).toSeq
+    // fresh session: cold trainer memos, so any training on the serve
+    // path would rerun the 8-round argmax loop and bump the counter
+    val s2 = spark.newSession()
+    val before = LlmTextOps.bpeTrainRuns.get()
+    val merges = LlmTextOps.bpeMergesFromIndex(s2, SF)
+    val served = LlmTextOps.llmBpePersisted(s2, SF).collect().map(_.toString).toSeq
+    assert(LlmTextOps.bpeTrainRuns.get() == before,
+      "serving from the persisted tokenizer re-ran BPE training")
+    assert(merges.size == 8, s"expected the 8 committed merges, got ${merges.size}")
+    // the served encode is the trained-path encode, row for row
+    assert(served == trained && served.nonEmpty)
+  }
+
   test("persisted ANN index: cross-session serve with ZERO retraining, exact roundtrip") {
     import graft.operators.{LlmTextOps, PortableQuantizer}
     // build (and persist) the index under the base session — this may train
