@@ -340,14 +340,20 @@ object LlmTextOps {
     * a corpus-scale training rerun -- the annIvfPersisted discipline
     * applied to the tokenizer family. */
   def llmBpePersisted(s: SparkSession, d: String): DataFrame = {
-    val merges = bpeMergesFromIndex(s, d)
-    var seg = TokenizerMerge.initialSeg(
-      t(s, d, "documents")
-        .select(explode(split(col("text"), " ")).as("w"))
-        .filter(length(col("w")) >= 2)
-        .groupBy("w").agg(count(lit(1)).as("cnt")))
-    merges.foreach { case (l, r) =>
-      seg = seg.withColumn("seg", TokenizerMerge.applyMerge(col("seg"), l, r))
+    // the served segmentation is a derived table like annIvfPersisted's
+    // assigned frame: memoized + checkpointed per (session, corpus) so
+    // repeated serves price the 8-projection derivation once
+    val seg = memo(s, d, "bpe_served_seg") {
+      val merges = bpeMergesFromIndex(s, d)
+      var sg = TokenizerMerge.initialSeg(
+        t(s, d, "documents")
+          .select(explode(split(col("text"), " ")).as("w"))
+          .filter(length(col("w")) >= 2)
+          .groupBy("w").agg(count(lit(1)).as("cnt")))
+      merges.foreach { case (l, r) =>
+        sg = sg.withColumn("seg", TokenizerMerge.applyMerge(col("seg"), l, r))
+      }
+      sg
     }
     bpeEncodeEconomics(s, d, seg)
   }
