@@ -70,7 +70,13 @@ object UnigramOps {
   graft.tools.MemoRegistry.register(() =>
     memo.clear(t => CheckpointRelease.release(t._2)))
 
+  /** Trainer-invocation counter — the spec hook proving the persisted-
+    * tokenizer serve path (llm_unigram_persisted) never re-runs EM, the
+    * bpeTrainRuns discipline applied to the second tokenizer family. */
+  private[graft] val unigramTrainRuns = new java.util.concurrent.atomic.AtomicLong
+
   private def trainUncached(s: SparkSession, d: String): (Seq[(String, Long, Long)], DataFrame) = {
+    unigramTrainRuns.incrementAndGet()
     // Distinct-word histogram — the table every later pass runs over.
     // Checkpointed once (4 consumers: seed, 2 E-steps, final encode);
     // released as soon as the final segmentation is materialized.
@@ -137,8 +143,13 @@ object UnigramOps {
   /** Graded: corpus token economics under the trained tokenizer — the
     * same broadcast-join shape (and output contract) as llm_bpe_encode,
     * so the two families' fertility columns compare directly. */
-  def llmUnigramEncode(s: SparkSession, d: String): DataFrame = {
-    val wordTok = unigramCore(s, d)._2
+  def llmUnigramEncode(s: SparkSession, d: String): DataFrame =
+    encodeEconomics(s, d, unigramCore(s, d)._2)
+
+  /** The encode tail shared by the trained-path key and the persisted
+    * serve: broadcast-join the corpus word stream against ANY (w, ntok)
+    * table and aggregate per-document token economics. */
+  private def encodeEconomics(s: SparkSession, d: String, wordTok: DataFrame): DataFrame =
     t(s, d, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) >= 1)
@@ -150,7 +161,62 @@ object UnigramOps {
       .withColumn("fertility",
         floor(col("n_chars").cast("double") / col("n_tokens") * 10000 + 0.5) / 10000.0)
       .orderBy("doc_id")
+
+  /** Persist the trained unigram model (piece, cnt, score — ≤ 84 rows)
+    * into a `graft-vt` versioned table, build-if-absent on the committed
+    * v0 manifest (the bpeIndexRoot / PortableQuantizer discipline): a
+    * trained tokenizer is a committed pipeline artifact, reopened by
+    * serving jobs with zero training jobs. */
+  private[graft] def unigramIndexRoot(s: SparkSession, d: String): String = {
+    val root = graft.TempDirs.cached("vtuni", d)(_ => ()) + "/t"
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(root, "_manifests", "v00000000.json"))) {
+      import s.implicits._
+      graft.tables.VersionedTable.create(s, root,
+        unigramCore(s, d)._1.toDF("piece", "cnt", "score"))
+      ()
+    }
+    root
   }
+
+  /** The trained scores read back from the persisted model — a bounded
+    * lookup (≤ 84 rows through the graft-vt reader), never training. */
+  private[graft] def unigramScoresFromIndex(s: SparkSession, d: String): Seq[(String, Long)] =
+    s.read.format("graft-vt").option("path", unigramIndexRoot(s, d)).load()
+      .orderBy("piece").select("piece", "score").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+
+  /** llm_unigram_encode SERVED FROM THE PERSISTED MODEL: the scores come
+    * back from the graft-vt table and the corpus encodes under ONE
+    * map-side Viterbi pass over the distinct-word table — zero EM rounds,
+    * zero substring-seeding shuffles, zero model-state collects beyond
+    * the 84-row lookup (asserted via [[unigramTrainRuns]] in
+    * VtDataSourceSpec). Same answer, same oracle as llm_unigram_encode;
+    * together with llm_bpe_persisted this makes the tokenizer-artifact
+    * posture a FAMILY property, not a BPE special case. */
+  def llmUnigramPersisted(s: SparkSession, d: String): DataFrame = {
+    val seg = servedSegMemo.get((SessionIds.uuid(s), d)) {
+      val (ps, ss) = unigramScoresFromIndex(s, d).unzip
+      t(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) >= 1)
+        .groupBy("w").agg(count(lit(1)).as("cnt"))
+        .select(col("w"),
+          size(GraftNative.unigramSegment(col("w"), ps, ss, LMax))
+            .cast("long").as("ntok"))
+        .localCheckpoint(true)
+    }
+    encodeEconomics(s, d, seg)
+  }
+
+  /** The served word-token table is a derived table like the trained
+    * one — memoized + checkpointed per (session, corpus) with the same
+    * release hooks. */
+  private val servedSegMemo =
+    new graft.tools.LruMemo[(String, String), DataFrame](8,
+      CheckpointRelease.release, tag = "unigram_served_seg")
+  graft.tools.MemoRegistry.register(() =>
+    servedSegMemo.clear(CheckpointRelease.release))
 
   /** Graded: SentencePiece's third step — PRUNE the EM-trained vocabulary
     * to a serving budget. Single chars always survive (coverage); the
@@ -199,6 +265,7 @@ object UnigramOps {
   val queries: Map[String, Q] = Map(
     "llm_unigram_train" -> (llmUnigramTrain _),
     "llm_unigram_encode" -> (llmUnigramEncode _),
+    "llm_unigram_persisted" -> (llmUnigramPersisted _),
     "llm_unigram_prune" -> (llmUnigramPrune _),
     "llm_tokenizer_compare" -> (llmTokenizerCompare _),
   )
@@ -326,6 +393,9 @@ FROM pruned, tp ORDER BY cnt DESC, piece"""
   val oracles: Map[String, String] = Map(
     "llm_unigram_train" -> unigramTrainOracle,
     "llm_unigram_encode" -> unigramEncodeOracle,
+    // same oracle as the trained-path encode: the persisted serve must
+    // reproduce it exactly (zero-retrain asserted in VtDataSourceSpec)
+    "llm_unigram_persisted" -> unigramEncodeOracle,
     "llm_unigram_prune" -> unigramPruneOracle,
     // the three encode oracles nested as subqueries (each carries its
     // own WITH tower) joined on doc_id — the oracle composes exactly

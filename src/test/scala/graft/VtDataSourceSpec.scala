@@ -133,6 +133,21 @@ class VtDataSourceSpec extends SparkTestBase {
     assert(served == trained && served.nonEmpty)
   }
 
+  test("persisted unigram model: cross-session serve with ZERO retraining, identical encode") {
+    import graft.operators.UnigramOps
+    UnigramOps.unigramIndexRoot(spark, SF)
+    val trained = UnigramOps.llmUnigramEncode(spark, SF).collect().map(_.toString).toSeq
+    val s2 = spark.newSession()
+    val before = UnigramOps.unigramTrainRuns.get()
+    val scores = UnigramOps.unigramScoresFromIndex(s2, SF)
+    val served = UnigramOps.llmUnigramPersisted(s2, SF).collect().map(_.toString).toSeq
+    assert(UnigramOps.unigramTrainRuns.get() == before,
+      "serving from the persisted model re-ran Viterbi-EM training")
+    assert(scores.nonEmpty && scores.size <= UnigramOps.TopMulti + 64,
+      s"vocab lookup out of bounds: ${scores.size}")
+    assert(served == trained && served.nonEmpty)
+  }
+
   test("persisted ANN index: cross-session serve with ZERO retraining, exact roundtrip") {
     import graft.operators.{LlmTextOps, PortableQuantizer}
     // build (and persist) the index under the base session — this may train
