@@ -68,9 +68,15 @@ object WordPieceOps {
   graft.tools.MemoRegistry.register(() =>
     memo.clear(t => org.apache.spark.sql.graftnative.CheckpointRelease.release(t._3)))
 
+  /** Trainer-invocation counter — the spec hook proving the persisted-
+    * tokenizer serve path (llm_wordpiece_persisted) never retrains, the
+    * bpeTrainRuns / unigramTrainRuns discipline on the third family. */
+  private[graft] val wordpieceTrainRuns = new java.util.concurrent.atomic.AtomicLong
+
   private def trainUncached(s: SparkSession, d: String):
       (Seq[(Int, String, String, String, Long, Long)], Seq[String], DataFrame) = {
     val sep = TokenizerMerge.Sep
+    wordpieceTrainRuns.incrementAndGet()
     // Same trainer word floor as BPE (length >= 2: a 1-char word has no
     // pair to merge); the ENCODE table below is total over length >= 1.
     var seg = TokenizerMerge.initialSeg(
@@ -177,8 +183,12 @@ object WordPieceOps {
     * so all three families' fertility columns compare directly. Inner
     * join: the word table is total over length >= 1 corpus words by
     * construction. */
-  def llmWordpieceEncode(s: SparkSession, d: String): DataFrame = {
-    val wordTok = wordpieceCore(s, d)._3
+  def llmWordpieceEncode(s: SparkSession, d: String): DataFrame =
+    encodeEconomics(s, d, wordpieceCore(s, d)._3)
+
+  /** The encode tail shared by the trained-path key and the persisted
+    * serve (the family-wide contract shape). */
+  private def encodeEconomics(s: SparkSession, d: String, wordTok: DataFrame): DataFrame =
     t(s, d, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) >= 1)
@@ -190,11 +200,61 @@ object WordPieceOps {
       .withColumn("fertility",
         floor(col("n_chars").cast("double") / col("n_tokens") * 10000 + 0.5) / 10000.0)
       .orderBy("doc_id")
+
+  /** Persist the trained encode vocabulary (alphabet ∪ merged symbols,
+    * ≤ |alphabet| + 8 rows) into a `graft-vt` versioned table,
+    * build-if-absent on the committed v0 manifest — the same
+    * tokenizer-artifact posture as llm_bpe_persisted /
+    * llm_unigram_persisted, completing all three trained families. */
+  private[graft] def wordpieceIndexRoot(s: SparkSession, d: String): String = {
+    val root = graft.TempDirs.cached("vtwp", d)(_ => ()) + "/t"
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(root, "_manifests", "v00000000.json"))) {
+      import s.implicits._
+      graft.tables.VersionedTable.create(s, root,
+        wordpieceCore(s, d)._2.toDF("piece"))
+      ()
+    }
+    root
   }
+
+  /** The vocabulary read back from the persisted tokenizer — a bounded
+    * lookup, never training. */
+  private[graft] def wordpieceVocabFromIndex(s: SparkSession, d: String): Seq[String] =
+    s.read.format("graft-vt").option("path", wordpieceIndexRoot(s, d)).load()
+      .orderBy("piece").select("piece").collect().map(_.getString(0)).toSeq
+
+  /** llm_wordpiece_encode SERVED FROM THE PERSISTED VOCABULARY: the
+    * greedy longest-match encoder needs only the vocab, so the serve is
+    * one bounded lookup plus ONE map-side codegen'd fold over the
+    * distinct-word table — zero merge rounds, zero argmax collects
+    * (asserted via [[wordpieceTrainRuns]] in VtDataSourceSpec). Same
+    * answer, same oracle as llm_wordpiece_encode. */
+  def llmWordpiecePersisted(s: SparkSession, d: String): DataFrame = {
+    val seg = servedSegMemo.get(
+        (org.apache.spark.sql.graftnative.SessionIds.uuid(s), d)) {
+      val vocab = wordpieceVocabFromIndex(s, d)
+      t(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) >= 1)
+        .distinct()
+        .select(col("w"), greedyNtok(col("w"), vocab).as("ntok"))
+        .localCheckpoint(true)
+    }
+    encodeEconomics(s, d, seg)
+  }
+
+  private val servedSegMemo =
+    new graft.tools.LruMemo[(String, String), DataFrame](8,
+      org.apache.spark.sql.graftnative.CheckpointRelease.release,
+      tag = "wordpiece_served_seg")
+  graft.tools.MemoRegistry.register(() =>
+    servedSegMemo.clear(org.apache.spark.sql.graftnative.CheckpointRelease.release))
 
   val queries: Map[String, Q] = Map(
     "llm_wordpiece_train" -> (llmWordpieceTrain _),
     "llm_wordpiece_encode" -> (llmWordpieceEncode _),
+    "llm_wordpiece_persisted" -> (llmWordpiecePersisted _),
   )
 
   // ------------------------------------------------------------------
@@ -282,5 +342,8 @@ FROM dw JOIN wordtok USING (w) GROUP BY doc_id ORDER BY doc_id"""
   val oracles: Map[String, String] = Map(
     "llm_wordpiece_train" -> trainOracle,
     "llm_wordpiece_encode" -> encodeOracle,
+    // same oracle as the trained-path encode: the persisted serve must
+    // reproduce it exactly (zero-retrain asserted in VtDataSourceSpec)
+    "llm_wordpiece_persisted" -> encodeOracle,
   )
 }

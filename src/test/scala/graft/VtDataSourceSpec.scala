@@ -148,6 +148,20 @@ class VtDataSourceSpec extends SparkTestBase {
     assert(served == trained && served.nonEmpty)
   }
 
+  test("persisted WordPiece vocabulary: cross-session serve with ZERO retraining, identical encode") {
+    import graft.operators.WordPieceOps
+    WordPieceOps.wordpieceIndexRoot(spark, SF)
+    val trained = WordPieceOps.llmWordpieceEncode(spark, SF).collect().map(_.toString).toSeq
+    val s2 = spark.newSession()
+    val before = WordPieceOps.wordpieceTrainRuns.get()
+    val vocab = WordPieceOps.wordpieceVocabFromIndex(s2, SF)
+    val served = WordPieceOps.llmWordpiecePersisted(s2, SF).collect().map(_.toString).toSeq
+    assert(WordPieceOps.wordpieceTrainRuns.get() == before,
+      "serving from the persisted vocabulary re-ran WordPiece training")
+    assert(vocab.nonEmpty && vocab == vocab.sorted && vocab == vocab.distinct)
+    assert(served == trained && served.nonEmpty)
+  }
+
   test("persisted ANN index: cross-session serve with ZERO retraining, exact roundtrip") {
     import graft.operators.{LlmTextOps, PortableQuantizer}
     // build (and persist) the index under the base session — this may train
