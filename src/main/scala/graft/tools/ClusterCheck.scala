@@ -60,7 +60,13 @@ object ClusterCheck {
     "llm_bm25_topk", "geo_radius_join", "llm_pack_sequences",
     "graph_components", "llm_gate_tau_adaptive", "llm_curation_e2e")
 
-  private def render(v: Any): String = v match {
+  /** Canonical cell rendering for the parity fingerprint. INJECTIVITY is
+    * the load-bearing property (spec'd in ClusterCheckRenderSpec): a
+    * renderer that collapsed two distinct values into one string would
+    * make the sweep pass on results that actually differ — doubles are
+    * rendered by their IEEE bits (so −0.0 ≠ 0.0 and every ulp counts),
+    * null by a sentinel no fixture string contains, binary by Base64. */
+  private[graft] def render(v: Any): String = v match {
     case null => "␀"
     case d: Double => java.lang.Double.doubleToLongBits(d).toString
     case f: Float => java.lang.Float.floatToIntBits(f).toString
@@ -69,7 +75,9 @@ object ClusterCheck {
     case m: scala.collection.Map[_, _] =>
       m.map { case (k, x) => render(k) + "=" + render(x) }.toSeq.sorted
         .mkString("<", ",", ">")
-    case b: Array[Byte] => java.util.Base64.getEncoder.encodeToString(b)
+    // prefixed: bare Base64 of an EMPTY byte array is "" — identical to
+    // the empty string (the collapse ClusterCheckRenderSpec caught)
+    case b: Array[Byte] => "b64:" + java.util.Base64.getEncoder.encodeToString(b)
     case x => x.toString
   }
 

@@ -1,0 +1,46 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.tools.ClusterCheck.render
+
+/** The multi-executor parity sweep compares md5 fingerprints of
+  * canonically RENDERED rows (ClusterCheck.render), so the renderer's
+  * injectivity is what the 336/336 claim rests on: two values that
+  * render identically would let a real local-vs-cluster divergence pass
+  * silently. These are the collapses that would be easiest to ship by
+  * accident. */
+class ClusterCheckRenderSpec extends AnyFunSuite {
+
+  test("doubles render by IEEE bits: ulps, signed zero, NaN all distinct") {
+    val d = 0.1 + 0.2
+    assert(render(d) != render(0.3), "one-ulp difference must be visible")
+    assert(render(0.0) != render(-0.0), "signed zero must be visible")
+    assert(render(Double.NaN) == render(Double.NaN), "NaN must be stable")
+    assert(render(1.0f) != render(1.0), "float and double are different cells")
+  }
+
+  test("null is a sentinel, not the string forms it could collapse into") {
+    assert(render(null) != render("null"))
+    assert(render(null) != render(""))
+    assert(render(null) != render(0L))
+  }
+
+  test("nested structure renders with boundaries: [a,bc] != [ab,c], nesting visible") {
+    assert(render(Seq("a", "bc")) != render(Seq("ab", "c")))
+    assert(render(Seq(Seq(1L), Seq(2L))) != render(Seq(Seq(1L, 2L))))
+    assert(render(Seq.empty[Long]) != render(null))
+    // maps render order-independently (Spark map iteration order is
+    // unspecified) but still distinguish keys from values
+    assert(render(Map("a" -> 1L, "b" -> 2L)) == render(Map("b" -> 2L, "a" -> 1L)))
+    assert(render(Map("a" -> 1L)) != render(Map("1" -> "a".asInstanceOf[Any])))
+  }
+
+  test("binary renders by content, numeric types keep their identity") {
+    assert(render(Array[Byte](1, 2)) != render(Array[Byte](1, 3)))
+    assert(render(Array[Byte]()) != render(""))
+    // Long vs String spelling of the same digits must differ is NOT
+    // guaranteed (both toString) — rows carry a schema hash alongside,
+    // which is what separates same-spelling cross-type columns
+    assert(render(42L) == "42")
+  }
+}
