@@ -213,10 +213,7 @@ object UnigramOps {
     * one — memoized + checkpointed per (session, corpus) with the same
     * release hooks. */
   private val servedSegMemo =
-    new graft.tools.LruMemo[(String, String), DataFrame](8,
-      CheckpointRelease.release, tag = "unigram_served_seg")
-  graft.tools.MemoRegistry.register(() =>
-    servedSegMemo.clear(CheckpointRelease.release))
+    graft.tools.LruMemo.checkpointed[(String, String)](8, tag = "unigram_served_seg")
 
   /** Graded: SentencePiece's third step — PRUNE the EM-trained vocabulary
     * to a serving budget. Single chars always survive (coverage); the

@@ -245,11 +245,7 @@ object WordPieceOps {
   }
 
   private val servedSegMemo =
-    new graft.tools.LruMemo[(String, String), DataFrame](8,
-      org.apache.spark.sql.graftnative.CheckpointRelease.release,
-      tag = "wordpiece_served_seg")
-  graft.tools.MemoRegistry.register(() =>
-    servedSegMemo.clear(org.apache.spark.sql.graftnative.CheckpointRelease.release))
+    graft.tools.LruMemo.checkpointed[(String, String)](8, tag = "wordpiece_served_seg")
 
   val queries: Map[String, Q] = Map(
     "llm_wordpiece_train" -> (llmWordpieceTrain _),

@@ -70,7 +70,7 @@ object ClusterCheck {
     case null => "␀"
     case d: Double => java.lang.Double.doubleToLongBits(d).toString
     case f: Float => java.lang.Float.floatToIntBits(f).toString
-    case r: Row => r.toSeq.map(render).mkString("{", "", "}")
+    case r: Row => "{" + joinCells(r.toSeq.map(render)) + "}"
     case s: scala.collection.Seq[_] => s.map(render).mkString("[", ",", "]")
     case m: scala.collection.Map[_, _] =>
       m.map { case (k, x) => render(k) + "=" + render(x) }.toSeq.sorted
@@ -81,10 +81,23 @@ object ClusterCheck {
     case x => x.toString
   }
 
+  /** Unambiguous multi-cell join for row renderings (the Row branch of
+    * [[render]] and the top-level row body in fingerprint): each cell is
+    * LENGTH-PREFIXED before joining, so boundaries stay injective even
+    * when a rendered cell itself contains any would-be separator —
+    * ("12","3") vs ("1","23") and ("a\u001eb") vs ("a","b") all differ.
+    * (r13 ADVICE: the previous join used a raw \u0001 control byte as
+    * separator — correct for fixture data but invisible in source, which
+    * is exactly how it got misread as separator-free; and non-injective
+    * in principle for strings containing that byte. Length prefixes need
+    * neither caveat.) */
+  private[graft] def joinCells(cells: Seq[String]): String =
+    cells.map(c => c.length.toString + ":" + c).mkString("|")
+
   /** (row count, md5 over schema + canonically-rendered sorted rows). */
   private def fingerprint(df: DataFrame): (Long, String) = {
     val rows = df.collect()
-    val body = rows.map(r => r.toSeq.map(render).mkString("")).sorted
+    val body = rows.map(r => joinCells(r.toSeq.map(render))).sorted
     val md = java.security.MessageDigest.getInstance("MD5")
     md.update(df.schema.map(f => s"${f.name}:${f.dataType.sql}")
       .mkString("|").getBytes("UTF-8"))

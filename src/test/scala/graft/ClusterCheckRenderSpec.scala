@@ -35,6 +35,24 @@ class ClusterCheckRenderSpec extends AnyFunSuite {
     assert(render(Map("a" -> 1L)) != render(Map("1" -> "a".asInstanceOf[Any])))
   }
 
+  test("Row cells and top-level row joins are length-prefixed: no boundary collapse") {
+    import org.apache.spark.sql.Row
+    // the r13 ADVICE collapse classes — digit drift and string drift
+    // across a cell boundary, in the Row branch specifically
+    assert(render(Row(12L, 3L)) != render(Row(1L, 23L)))
+    assert(render(Row("ab", "c")) != render(Row("a", "bc")))
+    // a cell CONTAINING the join separator still can't fake a boundary
+    assert(render(Row("1:a")) != render(Row("1", "a").toSeq.map(render).mkString("|"))
+      && render(Row("a|b")) != render(Row("a", "b")))
+    // the top-level row body join in fingerprint() uses the same joinCells
+    import graft.tools.ClusterCheck.joinCells
+    assert(joinCells(Seq("12", "3")) != joinCells(Seq("1", "23")))
+    assert(joinCells(Seq("a|b")) != joinCells(Seq("a", "b")))
+    assert(joinCells(Seq("2:ab")) != joinCells(Seq("ab", "")))
+    assert(joinCells(Seq("")) != joinCells(Seq("", "")))
+    assert(joinCells(Nil) != joinCells(Seq("")))
+  }
+
   test("binary renders by content, numeric types keep their identity") {
     assert(render(Array[Byte](1, 2)) != render(Array[Byte](1, 3)))
     assert(render(Array[Byte]()) != render(""))
