@@ -1188,6 +1188,59 @@ object StressCheck {
       n
     }
 
+    // 21c. ScalePrimitives.distQuantilesBy at 8M rows — the round-12
+    // order its siblings (21/21b) already delivered, two rounds late. It
+    // is load-bearing under win_median and llm_ccnet_buckets, and its
+    // boundary arithmetic (per-group size/offset → bracketing GLOBAL
+    // ranks → broadcast rank-probe join → linear interpolation) is
+    // exactly the kind that works at fixture scale and drifts at range-
+    // partition boundaries. Plant: five groups, each a PERMUTATION of
+    // 0..m-1, so the value at global rank r in group i is r − i·m − 1
+    // and EVERY quantile has a closed form. The truth below replicates
+    // the engine's own double-op order (pos = (off+1)+(n−1)·p, frac =
+    // pos − ⌊pos⌋, q = lo + frac·(hi − lo)) so the assert is BIT-exact —
+    // any off-by-one in a bracketing rank lands as a full ±1.0 error,
+    // far above any representation noise.
+    time("dist_quantiles_by_8m") {
+      val g = 5L
+      val n = math.max(200L, (8000000 * scale).toLong / 200L * 200L)
+      val m = n / g
+      val p = Iterator.iterate(2654435761L)(_ + 2)
+        .find(x => BigInt(x).gcd(BigInt(m)) == 1).get
+      val perm = spark.range(n).select(
+        concat(lit("s"), pmod(col("id"), lit(g))).as("grp"),
+        pmod(expr(s"id DIV $g") * p, lit(m)).as("v"))
+      val ps = Seq(0.0, 0.1, 0.25, 0.5, 0.9, 1.0)
+      val got = graft.operators.ScalePrimitives
+        .distQuantilesBy(perm, "grp", "v", ps)
+        .collect() // bounded: |groups|·|ps| = 30 rows
+      require(got.length == (g * ps.length).toInt,
+        s"expected ${g * ps.length} (group,p) rows, got ${got.length}")
+      // groups sort lexicographically "s0" < … < "s4" (= numerically for
+      // g ≤ 10), so group i's exclusive global-rank offset is i·m
+      val truth: Map[(String, Long), Long] = (for {
+        i <- 0L until g; pq <- ps
+      } yield {
+        val pos = (i * m + 1).toDouble + ((m - 1).toDouble * pq)
+        val lo = math.floor(pos).toLong
+        val hi = math.ceil(pos).toLong
+        val frac = pos - lo.toDouble
+        val lov = lo - i * m - 1
+        val hiv = hi - i * m - 1
+        val q = lov.toDouble + frac * (hiv - lov).toDouble
+        (s"s$i", java.lang.Double.doubleToLongBits(pq)) ->
+          java.lang.Double.doubleToLongBits(q)
+      }).toMap
+      val off = got.filterNot { r =>
+        truth.get((r.getString(0),
+          java.lang.Double.doubleToLongBits(r.getDouble(1))))
+          .contains(java.lang.Double.doubleToLongBits(r.getDouble(2)))
+      }
+      require(off.isEmpty,
+        s"${off.length} (group,p) quantiles off the closed form, e.g. ${off.take(3).mkString("; ")}")
+      n
+    }
+
     val total = results.values.sum
     val json = results.map { case (k, v) =>
       "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
