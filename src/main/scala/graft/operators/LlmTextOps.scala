@@ -486,6 +486,67 @@ object LlmTextOps {
         countDistinct("sid").as("n_dup_spans"))
   }
 
+  /** Exact SUBSTRING-level dedup report — the boilerplate-stripping pass
+    * LLM curation runs INSIDE otherwise-unique documents (the span-level
+    * dedup of Lee et al. 2022, as a survivor-policy dedup rather than a
+    * profile): every [[SubstringWindow]]-token window (stride 1) is keyed
+    * by the md5 of its text; a window whose hash occurs ≥ 2 times
+    * ANYWHERE in the corpus — another doc or elsewhere in the SAME doc,
+    * unlike [[llmSpanDup]] which profiles only cross-document spans — is
+    * duplicated, and its deterministic survivor span is the smallest
+    * (doc_id, pos) occurrence. Output is each document's curation row:
+    * window count, duplicated-window count, removable count (duplicated
+    * minus survivor — what the strip pass would cut), duplicated-window
+    * fraction. Docs shorter than the window have 0 windows, frac 0.0. */
+  def llmDedupSubstring(s: SparkSession, d: String): DataFrame =
+    substringDedupProfile(t(s, d, "documents")).orderBy("doc_id")
+
+  /** Fixture window width: 16 tokens (docs run 10–99 tokens; Lee et al.
+    * use 50 on web-scale docs — the width is a parameter, the machinery
+    * is identical). */
+  val SubstringWindow = 16
+
+  /** Core substring-dedup report over any (doc_id, text) frame.
+    *
+    * Scale shape: the window TEXT exists only map-side — it is joined and
+    * hashed in the same projection that enumerates positions, so the
+    * shuffle carries (h, doc_id, pos) and never a window string. The
+    * window hash is the shuffle key: one PARTIAL-AGGREGATABLE groupBy(h)
+    * for (n_occ, survivor), a join back on h, then groupBy(doc_id) —
+    * linear in corpus token count, never all-pairs, same banded
+    * discipline as MinHashOps. This is deliberately NOT spelled as
+    * count/row_number windows over h: a real boilerplate window repeated
+    * 10⁸ times at 100 TB makes one h partition hot, and a Window exec
+    * cannot split it, while the aggregate absorbs the hot key map-side
+    * and AQE skew-splits the join's fact side. md5 (vs an 8-byte
+    * xxhash64) is the cross-engine-parity choice, the same trade
+    * llm_dedup_exact makes; a production sweep would swap the hash. */
+  def substringDedupProfile(docs: DataFrame, width: Int = SubstringWindow): DataFrame = {
+    val nw = size(col("ws")) - (width - 1)
+    val wins = docs
+      .withColumn("ws", split(col("text"), " "))
+      // sequence(1, nw) is DESCENDING for nw ≤ 0 (Spark counts down), so
+      // short docs must take the null branch, not an empty array
+      .select(col("doc_id"), explode_outer(when(nw >= 1,
+        transform(sequence(lit(1), nw), i => struct(i.as("pos"),
+          md5(array_join(slice(col("ws"), i, lit(width)), " ").cast("binary")).as("h"))))).as("w"))
+      .select(col("doc_id"), col("w.pos").as("pos"), col("w.h").as("h"))
+    val byHash = wins.where(col("h").isNotNull)
+      .groupBy("h")
+      .agg(count(lit(1)).as("n_occ"),
+        min(struct(col("doc_id"), col("pos"))).as("surv"))
+    wins.join(byHash, Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(col("h")).as("n_windows"),
+        count(when(col("n_occ") >= 2, lit(1))).as("n_dup_windows"),
+        count(when(col("n_occ") >= 2 &&
+          !(col("surv.doc_id") === col("doc_id") && col("surv.pos") === col("pos")),
+          lit(1))).as("n_removable_windows"))
+      .withColumn("dup_win_frac", when(col("n_windows") === 0, lit(0.0))
+        .otherwise(round(col("n_dup_windows").cast("double") / col("n_windows"), 6)))
+  }
+
   /** Document fingerprint: min MD5 over 5-gram word shingles (MinHash with
     * one hash function) — fully row-local, portable to SQL, and stable
     * under small edits elsewhere in the document. */
@@ -1559,6 +1620,7 @@ object LlmTextOps {
     "llm_quality_score" -> (llmQualityScore _),
     "llm_fingerprint" -> (llmFingerprint _),
     "llm_span_dup" -> (llmSpanDup _),
+    "llm_dedup_substring" -> (llmDedupSubstring _),
     "llm_ngram_jaccard" -> (llmNgramJaccard _),
     "llm_containment" -> (llmContainment _),
     "llm_dedup_clusters" -> (llmDedupClusters _),
@@ -1859,6 +1921,24 @@ object LlmTextOps {
         "SELECT doc_id, h FROM newb WHERE rn = 1 AND h NOT IN (SELECT h FROM ex) ORDER BY doc_id"),
     "llm_quality_score" ->
       "SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS word_cnt, round(0.6 * least(n_chars / 500.0, 1.0) + 0.4 * least(((n_chars - (len(string_split(text, ' ')) - 1)) / CAST(len(string_split(text, ' ')) AS DOUBLE)) / 10.0, 1.0), 6) AS score FROM documents ORDER BY doc_id",
+    // full md5 of the joined window text, exactly the Spark spelling;
+    // LEFT JOIN back to documents keeps the zero-window short docs that
+    // unnest(generate_series(1, ≤0)) drops (Spark keeps them via
+    // explode_outer); survivor = row_number 1 under (doc_id, pos)
+    "llm_dedup_substring" ->
+      ("WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), " +
+        "x AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 15)) AS i FROM w), " +
+        "r AS (SELECT doc_id, i, md5(array_to_string(ws[i:i+15], ' ')) AS h FROM x), " +
+        "f AS (SELECT doc_id, count(*) OVER (PARTITION BY h) AS n_occ, " +
+        "row_number() OVER (PARTITION BY h ORDER BY doc_id, i) AS rk FROM r), " +
+        "d AS (SELECT doc_id, count(*) AS n_windows, " +
+        "count(*) FILTER (n_occ >= 2) AS n_dup_windows, " +
+        "count(*) FILTER (n_occ >= 2 AND rk > 1) AS n_removable_windows FROM f GROUP BY doc_id) " +
+        "SELECT doc_id, coalesce(n_windows, CAST(0 AS BIGINT)) AS n_windows, " +
+        "coalesce(n_dup_windows, CAST(0 AS BIGINT)) AS n_dup_windows, " +
+        "coalesce(n_removable_windows, CAST(0 AS BIGINT)) AS n_removable_windows, " +
+        "coalesce(round(n_dup_windows / CAST(n_windows AS DOUBLE), 6), 0.0) AS dup_win_frac " +
+        "FROM documents LEFT JOIN d USING (doc_id) ORDER BY doc_id"),
     // same md5-prefix span ids as the Spark side; spans repeated at
     // multiple positions of ONE doc count once per position in
     // n_dup_positions but once total in n_dup_spans

@@ -131,6 +131,54 @@ object StressCheck {
         .filter(col("n_docs") > 1).count()
       require(n > 0, "planted exact dups not found"); n
     }
+    // 3b. Substring-level dedup (llm_dedup_substring's core) on planted
+    // repeated boilerplate, 200k docs / ~5M windows. Three closed-form
+    // classes over per-doc-UNIQUE filler tokens (u<doc>x<pos>, so the
+    // only colliding windows are the planted ones):
+    //   A (id%10==0): a shared 16-token boilerplate block then 24 unique
+    //     tokens — exactly ONE fully-boiler window at pos 1 per doc
+    //     (pos ≥ 2 mixes in a doc-unique token), duplicated across all
+    //     of class A; survivor = doc 0's occurrence.
+    //   B (id%10==5): a doc-unique 16-token block, a separator, the same
+    //     block again (33 tokens) — the WITHIN-doc repeat: dup windows
+    //     at pos 1 and 18 only, survivor pos 1, one removable.
+    //   C (rest): 40 unique tokens — zero duplicated windows.
+    time("substring_dedup_200k") {
+      val uniq = (off: Int, k: Int) => (off until off + k).map(w =>
+        concat(lit("u"), col("id"), lit("x"), lit(w)))
+      val boiler = (0 until 16).map(w => lit(s"b$w"))
+      val blk = uniq(100, 16)
+      val txt = when(col("id") % 10 === 0, concat_ws(" ", boiler ++ uniq(0, 24): _*))
+        .when(col("id") % 10 === 5,
+          concat_ws(" ", (blk :+ concat(lit("sep"), col("id"))) ++ blk: _*))
+        .otherwise(concat_ws(" ", uniq(0, 40): _*))
+      val d = spark.range(nDocs).select(col("id").as("doc_id"), txt.as("text"))
+      val out = graft.operators.LlmTextOps.substringDedupProfile(d)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nA = nDocs / 10 + (if (nDocs % 10 >= 1) 1L else 0L) // ids ≡ 0 (mod 10)
+      val nB = (nDocs + 4) / 10                               // ids ≡ 5 (mod 10)
+      val byClass = out.groupBy(
+          when(pmod(col("doc_id"), lit(10)) === 0, "A")
+            .when(pmod(col("doc_id"), lit(10)) === 5, "B").otherwise("C").as("cls"))
+        .agg(count(lit(1)).as("n"), sum("n_windows").as("w"),
+          sum("n_dup_windows").as("dup"), sum("n_removable_windows").as("rem"),
+          countDistinct("dup_win_frac").as("nfrac"), max("dup_win_frac").as("frac"))
+        .collect().map(r => r.getString(0) -> r).toMap
+      val a = byClass("A"); val b = byClass("B"); val c = byClass("C")
+      require(a.getLong(1) == nA && a.getLong(2) == 25L * nA && a.getLong(3) == nA &&
+        a.getLong(4) == nA - 1 && a.getLong(5) == 1L && a.getDouble(6) == 0.04,
+        s"class A off closed form: $a (expected n=$nA)")
+      require(b.getLong(1) == nB && b.getLong(2) == 18L * nB && b.getLong(3) == 2L * nB &&
+        b.getLong(4) == nB && b.getLong(5) == 1L && b.getDouble(6) == 0.111111,
+        s"class B off closed form: $b (expected n=$nB)")
+      require(c.getLong(1) == nDocs - nA - nB && c.getLong(3) == 0L && c.getLong(4) == 0L,
+        s"class C must be dup-free: $c")
+      // the deterministic survivor: doc 0 keeps its boilerplate window
+      val d0 = out.filter(col("doc_id") === 0).head()
+      require(d0.getLong(2) == 1L && d0.getLong(3) == 0L,
+        s"doc 0 must be class A's survivor: $d0")
+      val total = out.count(); out.unpersist(); total
+    }
     // 4. MinHash LSH candidates: banded bucket join, hot-bucket capped.
     time("minhash_lsh_200k") {
       val n = graft.operators.MinHashOps

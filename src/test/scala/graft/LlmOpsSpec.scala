@@ -40,6 +40,33 @@ class LlmOpsSpec extends SparkTestBase {
     assert(m(1L) == (2L, 1L) && m(2L) == (1L, 1L), s"got $m")
   }
 
+  test("substring dedup: planted boilerplate window, survivor policy, short docs") {
+    // width 4 so the plant is compact; the graded key runs the same core
+    // at SubstringWindow. boiler = exactly one window per occurrence.
+    val boiler = "b1 b2 b3 b4"
+    val docs = Seq(
+      (1L, s"u1 u2 $boiler u3"),        // 7 toks → 4 windows, boiler at pos 3
+      (2L, s"$boiler v1 v2"),           // 6 toks → 3 windows, boiler at pos 1
+      (3L, s"$boiler w $boiler"),       // within-doc repeat: boiler at pos 1 AND 6
+      (4L, "s1 s2 s3")                  // shorter than the window → 0 windows
+    ).toDF("doc_id", "text")
+    val got = LlmTextOps.substringDedupProfile(docs, width = 4).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // survivor of the boiler hash = min (doc_id, pos) = doc 1's occurrence,
+    // so doc 1's duplicated window is NOT removable while every other is
+    assert(got(1L) == ((4L, 1L, 0L, 0.25)), s"doc1: ${got(1L)}")
+    assert(got(2L) == ((3L, 1L, 1L, 0.333333)), s"doc2: ${got(2L)}")
+    assert(got(3L) == ((6L, 2L, 2L, 0.333333)), s"doc3: ${got(3L)}")
+    assert(got(4L) == ((0L, 0L, 0L, 0.0)), s"doc4: ${got(4L)}")
+    // a repeat confined to ONE doc is still a duplicate here (the
+    // within-doc boilerplate case llmSpanDup deliberately excludes),
+    // and its first occurrence survives
+    val self = Seq((9L, s"$boiler q $boiler")).toDF("doc_id", "text")
+    val s9 = LlmTextOps.substringDedupProfile(self, width = 4).collect()(0)
+    assert((s9.getLong(1), s9.getLong(2), s9.getLong(3)) == ((6L, 2L, 1L)), s"got $s9")
+  }
+
   test("ngram jaccard recalls a constructed near-duplicate pair") {
     val base = doc(40)
     val nearDup = base.split(" ").updated(5, "changedword").mkString(" ")
