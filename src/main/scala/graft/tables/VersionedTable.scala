@@ -64,13 +64,34 @@ final class VersionedTable private (val spark: SparkSession, val root: String) {
       .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty).toSeq
   }
 
+  /** Every parquet read of manifest-listed files goes through here: it
+    * pins the READER side of the vacuum contract. A DataFrame planned on
+    * version v whose files a later `vacuum(retentionMs = 0)` reclaims
+    * must fail LOUDLY at execution (Spark's default FileNotFoundException
+    * → task failure), never return a torn subset of v — but that default
+    * is a session conf, and `spark.sql.files.ignoreMissingFiles = true`
+    * (legitimate for ingest-directory scans) would silently convert the
+    * race into partial rows. Snapshot semantics are this table's whole
+    * point, so a handle refuses to plan reads under that conf rather
+    * than hope no vacuum ever races. Checked at PLAN time per read —
+    * execution-time re-checks can't help (the conf is driver-side) and
+    * the torn-read spec in VersionedTableSpec proves the execution-time
+    * failure mode is loud with the conf at its required value. */
+  private def snapshotRead(files: Seq[String]): DataFrame = {
+    require(spark.conf.get("spark.sql.files.ignoreMissingFiles", "false") == "false",
+      "VersionedTable reads require spark.sql.files.ignoreMissingFiles=false: " +
+        "with it on, a read racing a vacuum would silently return a torn " +
+        "subset of the snapshot instead of failing")
+    spark.read.parquet(files: _*)
+  }
+
   /** Snapshot read. `asOf` = time travel to an older version. */
   def read(asOf: Option[Int] = None): DataFrame = {
     val v = asOf.getOrElse(currentVersion)
     require(versions.contains(v), s"version $v not in ${versions.mkString(",")}")
     val files = readManifest(v)
     if (files.isEmpty) spark.emptyDataFrame
-    else spark.read.parquet(files: _*)
+    else snapshotRead(files)
   }
 
   // ------------------------------------------------------ file skipping
@@ -206,7 +227,7 @@ final class VersionedTable private (val spark: SparkSession, val root: String) {
       throw new IllegalStateException("table has no bloom column; use read().filter"))
     val pruned = pruneFilesEq(key, asOf)
     if (pruned.isEmpty) read(asOf).filter(lit(false))
-    else spark.read.parquet(pruned: _*).filter(col(c) === key)
+    else snapshotRead(pruned).filter(col(c) === key)
   }
 
   /** Compute (min,max) of `c` per fresh data file — one aggregate job over
@@ -266,7 +287,7 @@ final class VersionedTable private (val spark: SparkSession, val root: String) {
       throw new IllegalStateException("table has no stats column; use read().filter"))
     val pruned = pruneFiles(lo, hi, asOf)
     if (pruned.isEmpty) read(asOf).filter(lit(false))
-    else spark.read.parquet(pruned: _*).filter(col(c).cast("double").between(lo, hi))
+    else snapshotRead(pruned).filter(col(c).cast("double").between(lo, hi))
   }
 
   /** Write `df` as fresh immutable data files; returns their paths. */
@@ -508,7 +529,7 @@ final class VersionedTable private (val spark: SparkSession, val root: String) {
     val base = currentVersion
     val files = readManifest(base)
     if (files.isEmpty) return base // empty snapshot: nothing to delete
-    val cur = spark.read.parquet(files: _*)
+    val cur = snapshotRead(files)
     // metadata-sized collect: the DISTINCT file paths containing hits
     val touched = cur.filter(condition).select(input_file_name().as("f"))
       .distinct().collect().map(r => normalizeUri(r.getString(0))).toSet
@@ -518,7 +539,7 @@ final class VersionedTable private (val spark: SparkSession, val root: String) {
       // SQL DELETE removes rows where the condition is TRUE; a NULL
       // predicate keeps the row (bare !condition would drop it)
       val rewritten = writeDataFiles(
-        spark.read.parquet(touched.toSeq: _*).filter(!coalesce(condition, lit(false))))
+        snapshotRead(touched.toSeq).filter(!coalesce(condition, lit(false))))
       commitOnce(base, kept, rewritten)
     }
   }
@@ -553,7 +574,21 @@ final class VersionedTable private (val spark: SparkSession, val root: String) {
     * lakehouse vacuum-retention rule). Dropped manifests' txn ids are
     * checkpointed first, so [[appendIdempotent]] stays exactly-once
     * across vacuums. Time travel before the horizon is gone afterwards,
-    * by design. Returns the number of data files deleted. */
+    * by design. Returns the number of data files deleted.
+    *
+    * Reader-race contract: a DataFrame already PLANNED on a version this
+    * vacuum reclaims (planned before, executed after — the torn-read
+    * window that is routine with concurrent readers at 100 TB) fails
+    * LOUDLY at execution with a FileNotFoundException-caused task
+    * failure; it can never silently return a subset of the snapshot,
+    * because [[snapshotRead]] refuses to plan any read while
+    * `spark.sql.files.ignoreMissingFiles` (the one conf that would
+    * convert the failure into partial rows) is set. Both halves are
+    * pinned by the reader-vs-vacuum spec in VersionedTableSpec. The
+    * `retentionMs` default (10 min) exists precisely so that in-flight
+    * plans and in-flight commits age past the window before their files
+    * become reclaimable — retentionMs = 0 is for tests and for tables
+    * with provably no concurrent readers. */
   def vacuum(keepVersions: Int = 1, retentionMs: Long = 10 * 60 * 1000L): Int = {
     require(keepVersions >= 1, "must keep at least the current version")
     committedTxns // warm the cache from manifests before any are dropped
@@ -594,7 +629,7 @@ final class VersionedTable private (val spark: SparkSession, val root: String) {
     val before = readManifest(fromV).toSet
     val added = readManifest(toV).filterNot(before)
     if (added.isEmpty) read(Some(toV)).filter(lit(false))
-    else spark.read.parquet(added: _*)
+    else snapshotRead(added)
   }
 
   /** (version, fileCount) per committed version — the audit trail. */

@@ -233,6 +233,33 @@ class VersionedTableSpec extends SparkTestBase {
     assert(t.vacuum(keepVersions = 1, retentionMs = 0L) == 0)
   }
 
+  test("reader-vs-vacuum race: a plan on a vacuumed version fails loudly, never torn") {
+    val t = VersionedTable.create(spark, freshRoot(), sampleDf(0 until 40))
+    t.compact(2) // v1 = new files; v0's files become vacuum-reclaimable
+    // the race: a reader PLANS (and even executes once) against v0...
+    val planned = t.read(Some(0))
+    assert(planned.count() == 40)
+    // ...then a concurrent maintenance job vacuums past the horizon
+    assert(t.vacuum(keepVersions = 1, retentionMs = 0L) > 0)
+    // executing the already-planned DataFrame must now fail LOUDLY — a
+    // FileNotFoundException in the cause chain — never return a torn
+    // subset of v0's rows (the silent outcome ignoreMissingFiles=true
+    // would produce; snapshotRead pins that conf off, checked below)
+    val thrown =
+      try { val n = planned.count(); fail(s"torn read returned $n rows instead of failing") }
+      catch { case e: Throwable => e }
+    val causes = Iterator.iterate(thrown)(_.getCause).takeWhile(_ != null).take(20).toSeq
+    assert(causes.exists(c => c.isInstanceOf[java.io.FileNotFoundException] ||
+      Option(c.getMessage).exists(_.contains("FileNotFoundException"))),
+      s"expected FileNotFoundException in the cause chain, got: $thrown")
+    // the conf guard: with ignoreMissingFiles on, the same race would be
+    // SILENT (partial rows), so planning a read under it must refuse
+    spark.conf.set("spark.sql.files.ignoreMissingFiles", "true")
+    try intercept[IllegalArgumentException] { t.read() }
+    finally spark.conf.unset("spark.sql.files.ignoreMissingFiles")
+    assert(t.read().count() == 40) // guard lifted, current snapshot intact
+  }
+
   test("exactly-once survives vacuum: dropped manifests' txns checkpoint forward") {
     val root = freshRoot()
     val t = VersionedTable.create(spark, root, sampleDf(0 until 10))
