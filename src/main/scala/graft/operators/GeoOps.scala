@@ -350,18 +350,23 @@ object GeoOps {
     GeoOps.synchronized {
       val base = graft.TempDirs.cached("vtgeo", d) { _ => () }
       val root = base + "/t"
+      val fp = graft.tables.CorpusStamp.fingerprint(d, "customer")
       def build(): graft.tables.VersionedTable = {
         val pts = points(t(s, d, "customer"), "c_custkey")
           .withColumn("cell", (col("latc") + 5L) * 20L + (col("lonc") + 10L))
-        graft.tables.VersionedTable.create(s, root, pts, statsCol = Some("cell"))
+        val vt = graft.tables.VersionedTable.create(s, root, pts, statsCol = Some("cell"))
+        graft.tables.CorpusStamp.write(root, fp)
+        vt
       }
       val v0 = java.nio.file.Paths.get(root, "_manifests", "v00000000.json")
       var vt =
         if (!java.nio.file.Files.exists(v0)) build()
         else graft.tables.VersionedTable.open(s, root)
-      if (vt.statsCol.isEmpty) {
-        // half-built index (v0 committed, sidecar lost): derived data —
-        // wipe and rebuild rather than serve a permanently unprunable table
+      if (vt.statsCol.isEmpty || !graft.tables.CorpusStamp.isFresh(root, fp)) {
+        // half-built index (v0 committed, sidecar lost) OR a source table
+        // mutated in place under the same path (stale CorpusStamp):
+        // derived data — wipe and rebuild rather than serve a permanently
+        // unprunable (or stale) layout
         graft.TempDirs.rmTree(java.nio.file.Paths.get(root))
         vt = build()
       }

@@ -159,7 +159,10 @@ object LlmTextOps {
     * Returns (merge table: one row per round, ordered; final word
     * segmentation) — callers grade the first, specs audit the second. */
   def bpeTrainCore(s: SparkSession, d: String, rounds: Int = 8): (DataFrame, DataFrame) =
-    bpeMemo.get((org.apache.spark.sql.graftnative.SessionIds.uuid(s), d, rounds)) {
+    // corpus fingerprint in the key: a corpus mutated in place at the
+    // same path must MISS and retrain, not serve the stale model
+    bpeMemo.get((org.apache.spark.sql.graftnative.SessionIds.uuid(s),
+        d + "|" + graft.tables.CorpusStamp.fingerprint(d, "documents"), rounds)) {
       bpeTrainUncached(s, d, rounds)
     }
 
@@ -313,10 +316,16 @@ object LlmTextOps {
     * serving job with zero training jobs. The merge list is 8 rows. */
   private[graft] def bpeIndexRoot(s: SparkSession, d: String): String = {
     val root = graft.TempDirs.cached("vtbpe", d)(_ => ()) + "/t"
+    val fp = graft.tables.CorpusStamp.fingerprint(d, "documents")
     if (!java.nio.file.Files.exists(
         java.nio.file.Paths.get(root, "_manifests", "v00000000.json"))) {
       graft.tables.VersionedTable.create(s, root, bpeTrainCore(s, d)._1)
-      ()
+      graft.tables.CorpusStamp.write(root, fp)
+    } else if (!graft.tables.CorpusStamp.isFresh(root, fp)) {
+      // corpus mutated in place: retrain (fp-keyed bpeMemo) and
+      // RE-VERSION the persisted merge list, then seal the corpus state
+      graft.tables.VersionedTable.open(s, root).overwrite(bpeTrainCore(s, d)._1)
+      graft.tables.CorpusStamp.write(root, fp)
     }
     root
   }
@@ -341,9 +350,13 @@ object LlmTextOps {
     * applied to the tokenizer family. */
   def llmBpePersisted(s: SparkSession, d: String): DataFrame = {
     // the served segmentation is a derived table like annIvfPersisted's
-    // assigned frame: memoized + checkpointed per (session, corpus) so
-    // repeated serves price the 8-projection derivation once
-    val seg = memo(s, d, "bpe_served_seg") {
+    // assigned frame: memoized + checkpointed per (session, corpus STATE)
+    // — the corpus fingerprint rides in the key so an in-place corpus
+    // mutation re-derives from the retrained index instead of serving
+    // the stale frame — so repeated serves price the derivation once
+    val seg = memo(s,
+        d + "|" + graft.tables.CorpusStamp.fingerprint(d, "documents"),
+        "bpe_served_seg") {
       val merges = bpeMergesFromIndex(s, d)
       var sg = TokenizerMerge.initialSeg(
         t(s, d, "documents")
@@ -1463,7 +1476,12 @@ object LlmTextOps {
     * no-retrain is asserted in VtDataSourceSpec via the trainRuns
     * counter. */
   def annIvfPersisted(s: SparkSession, d: String): DataFrame = {
-    val assigned = memo(s, d, "ivf_persisted") {
+    // corpus fingerprint in the memo key (CorpusStamp): an in-place
+    // corpus mutation re-assigns against the retrained index instead of
+    // serving the stale assigned frame
+    val assigned = memo(s,
+        d + "|" + graft.tables.CorpusStamp.fingerprint(d, "embeddings"),
+        "ivf_persisted") {
       val cb = PortableQuantizer.ivfFromIndex(s, d)
       t(s, d, "embeddings")
         .select(col("vec_id"), col("embedding"),

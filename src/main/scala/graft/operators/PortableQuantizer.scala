@@ -156,6 +156,16 @@ object PortableQuantizer {
   def indexRootAt(s: SparkSession, d: String, base: String): String = {
     val root = base + "/t"
     import s.implicits._
+    val fp = graft.tables.CorpusStamp.fingerprint(d, "embeddings")
+    def ivfDf = ivfCentroids(s, d).zipWithIndex
+      .map { case (c, b) => ("ivf", 0, b, c) }.toDF("kind", "m", "k", "vals")
+    def pqDf = pqCodebook(s, d).zipWithIndex.flatMap { case (sub, m) =>
+      sub.zipWithIndex.map { case (c, code) => ("pq", m, code, c) }
+    }.toDF("kind", "m", "k", "vals")
+    // the PQ-completion txn id is FINGERPRINT-scoped: after a staleness
+    // overwrite the fresh PQ batch must commit (new id) while replays of
+    // the same corpus state still no-op (same id)
+    val pqTxn = s"ann-index:pq:$fp"
     // "absent" = no COMMITTED v0 manifest, not a bare directory test:
     // VersionedTable.create makes _manifests before the v0 commit lands,
     // so a crashed first build leaves the directory behind — checking it
@@ -165,22 +175,25 @@ object PortableQuantizer {
     // atomic-exclusive v0 link and fail loudly.
     if (!java.nio.file.Files.exists(
         java.nio.file.Paths.get(root, "_manifests", "v00000000.json"))) {
-      val ivf = ivfCentroids(s, d).zipWithIndex
-        .map { case (c, b) => ("ivf", 0, b, c) }
-      graft.tables.VersionedTable.create(s, root, ivf.toDF("kind", "m", "k", "vals"))
-      ()
+      graft.tables.VersionedTable.create(s, root, ivfDf)
+      graft.tables.CorpusStamp.write(root, fp)
     }
     val t = graft.tables.VersionedTable.open(s, root)
-    if (t.currentVersion < 1) {
-      val pq = pqCodebook(s, d).zipWithIndex.flatMap { case (sub, m) =>
-        sub.zipWithIndex.map { case (c, code) => ("pq", m, code, c) }
-      }
+    if (!graft.tables.CorpusStamp.isFresh(root, fp)) {
+      // corpus mutated in place at the same path (CorpusStamp): retrain
+      // both codebooks (the trainer memos are fp-keyed) and RE-VERSION
+      // the index — overwrite replaces the whole snapshot, the PQ batch
+      // re-commits under the new fp-scoped txn, then the state is sealed
+      t.overwrite(ivfDf)
+      t.appendIdempotent(pqDf, pqTxn)
+      graft.tables.CorpusStamp.write(root, fp)
+    } else if (!t.committedTxns.contains(pqTxn)) {
       // idempotent, not append: two bootstrappers both inside the
-      // v0-only window would otherwise BOTH succeed (append rebases
-      // through the v1 conflict) and double every PQ row; the fixed txn
-      // id makes the loser a no-op — the same exactly-once machinery the
-      // streaming sink rides.
-      t.appendIdempotent(pq.toDF("kind", "m", "k", "vals"), "ann-index:pq")
+      // IVF-only window would otherwise BOTH succeed (append rebases
+      // through the version conflict) and double every PQ row; the fixed
+      // txn id makes the loser a no-op — the same exactly-once machinery
+      // the streaming sink rides.
+      t.appendIdempotent(pqDf, pqTxn)
       ()
     }
     root
@@ -207,11 +220,13 @@ object PortableQuantizer {
       .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
       .map(_._2.map(_.getSeq[Long](1).toSeq).toSeq)
 
-  /** Codebooks are an INDEX — trained once per (session, corpus). */
+  /** Codebooks are an INDEX — trained once per (session, corpus STATE):
+    * the corpus fingerprint rides in the key (CorpusStamp) so an
+    * in-place corpus mutation retrains instead of serving stale. */
   private val ivfMemo =
-    new graft.tools.LruMemo[(String, String), Seq[Seq[Long]]](8, tag = "vt_ivf_centroids")
+    new graft.tools.LruMemo[(String, String, String), Seq[Seq[Long]]](8, tag = "vt_ivf_centroids")
   private val pqMemo =
-    new graft.tools.LruMemo[(String, String), Seq[Seq[Seq[Long]]]](8, tag = "vt_pq_codebooks")
+    new graft.tools.LruMemo[(String, String, String), Seq[Seq[Seq[Long]]]](8, tag = "vt_pq_codebooks")
   // driver-side Seqs only — clear() alone frees them
   graft.tools.MemoRegistry.register(() => { ivfMemo.clear(); pqMemo.clear() })
 
@@ -226,7 +241,7 @@ object PortableQuantizer {
 
   /** IVF coarse quantizer: one full-dimension k-centroid codebook. */
   def ivfCentroids(s: SparkSession, d: String): Seq[Seq[Long]] =
-    ivfMemo.get((sid(s), d)) {
+    ivfMemo.get((sid(s), d, graft.tables.CorpusStamp.fingerprint(d, "embeddings"))) {
       train(trainFrame(s, d)
         .select(lit(0).as("m"), col("id"), col("qa").as("q")), K)(0)
         .map(_.toSeq).toSeq
@@ -269,7 +284,7 @@ object PortableQuantizer {
   /** PQ codebooks: [[PqOps.NumSub]] subspaces × [[PqOps.K]] codewords,
     * every subspace trained concurrently in the same Lloyd's jobs. */
   def pqCodebook(s: SparkSession, d: String): Seq[Seq[Seq[Long]]] =
-    pqMemo.get((sid(s), d)) {
+    pqMemo.get((sid(s), d, graft.tables.CorpusStamp.fingerprint(d, "embeddings"))) {
       val cbs = train(trainFrame(s, d)
         .select(col("id"), posexplode(expr(
           s"transform(sequence(0, ${NumSub - 1}), " +

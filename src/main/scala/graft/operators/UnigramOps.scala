@@ -62,10 +62,13 @@ object UnigramOps {
     * memo each grading/bench pass would pay the full EM (2 Viterbi
     * passes + 3 bounded collects) twice. */
   def unigramCore(s: SparkSession, d: String): (Seq[(String, Long, Long)], DataFrame) =
-    memo.get((SessionIds.uuid(s), d)) { trainUncached(s, d) }
+    // corpus fingerprint in the key: a corpus mutated in place at the
+    // same path must MISS and retrain, not serve the stale model
+    memo.get((SessionIds.uuid(s), d,
+        graft.tables.CorpusStamp.fingerprint(d, "documents"))) { trainUncached(s, d) }
 
   private val memo =
-    new graft.tools.LruMemo[(String, String), (Seq[(String, Long, Long)], DataFrame)](8,
+    new graft.tools.LruMemo[(String, String, String), (Seq[(String, Long, Long)], DataFrame)](8,
       t => CheckpointRelease.release(t._2), tag = "unigram_train")
   graft.tools.MemoRegistry.register(() =>
     memo.clear(t => CheckpointRelease.release(t._2)))
@@ -168,13 +171,20 @@ object UnigramOps {
     * trained tokenizer is a committed pipeline artifact, reopened by
     * serving jobs with zero training jobs. */
   private[graft] def unigramIndexRoot(s: SparkSession, d: String): String = {
+    import s.implicits._
     val root = graft.TempDirs.cached("vtuni", d)(_ => ()) + "/t"
+    val fp = graft.tables.CorpusStamp.fingerprint(d, "documents")
     if (!java.nio.file.Files.exists(
         java.nio.file.Paths.get(root, "_manifests", "v00000000.json"))) {
-      import s.implicits._
       graft.tables.VersionedTable.create(s, root,
         unigramCore(s, d)._1.toDF("piece", "cnt", "score"))
-      ()
+      graft.tables.CorpusStamp.write(root, fp)
+    } else if (!graft.tables.CorpusStamp.isFresh(root, fp)) {
+      // corpus mutated in place: retrain (fp-keyed core memo) and
+      // RE-VERSION the persisted model, then seal the new corpus state
+      graft.tables.VersionedTable.open(s, root)
+        .overwrite(unigramCore(s, d)._1.toDF("piece", "cnt", "score"))
+      graft.tables.CorpusStamp.write(root, fp)
     }
     root
   }
@@ -195,7 +205,8 @@ object UnigramOps {
     * together with llm_bpe_persisted this makes the tokenizer-artifact
     * posture a FAMILY property, not a BPE special case. */
   def llmUnigramPersisted(s: SparkSession, d: String): DataFrame = {
-    val seg = servedSegMemo.get((SessionIds.uuid(s), d)) {
+    val seg = servedSegMemo.get((SessionIds.uuid(s), d,
+        graft.tables.CorpusStamp.fingerprint(d, "documents"))) {
       val (ps, ss) = unigramScoresFromIndex(s, d).unzip
       t(s, d, "documents")
         .select(explode(split(col("text"), " ")).as("w"))
@@ -213,7 +224,7 @@ object UnigramOps {
     * one — memoized + checkpointed per (session, corpus) with the same
     * release hooks. */
   private val servedSegMemo =
-    graft.tools.LruMemo.checkpointed[(String, String)](8, tag = "unigram_served_seg")
+    graft.tools.LruMemo.checkpointed[(String, String, String)](8, tag = "unigram_served_seg")
 
   /** Graded: SentencePiece's third step — PRUNE the EM-trained vocabulary
     * to a serving budget. Single chars always survive (coverage); the

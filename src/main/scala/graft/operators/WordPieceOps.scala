@@ -56,12 +56,15 @@ object WordPieceOps {
     * collects + 9 eager checkpoints) twice. */
   def wordpieceCore(s: SparkSession, d: String):
       (Seq[(Int, String, String, String, Long, Long)], Seq[String], DataFrame) =
-    memo.get((org.apache.spark.sql.graftnative.SessionIds.uuid(s), d)) {
+    // corpus fingerprint in the key: a corpus mutated in place at the
+    // same path must MISS and retrain, not serve the stale model
+    memo.get((org.apache.spark.sql.graftnative.SessionIds.uuid(s), d,
+        graft.tables.CorpusStamp.fingerprint(d, "documents"))) {
       trainUncached(s, d)
     }
 
   private val memo = new graft.tools.LruMemo[
-      (String, String),
+      (String, String, String),
       (Seq[(Int, String, String, String, Long, Long)], Seq[String], DataFrame)](8,
     t => org.apache.spark.sql.graftnative.CheckpointRelease.release(t._3),
     tag = "wordpiece_train")
@@ -207,13 +210,21 @@ object WordPieceOps {
     * tokenizer-artifact posture as llm_bpe_persisted /
     * llm_unigram_persisted, completing all three trained families. */
   private[graft] def wordpieceIndexRoot(s: SparkSession, d: String): String = {
+    import s.implicits._
     val root = graft.TempDirs.cached("vtwp", d)(_ => ()) + "/t"
+    val fp = graft.tables.CorpusStamp.fingerprint(d, "documents")
     if (!java.nio.file.Files.exists(
         java.nio.file.Paths.get(root, "_manifests", "v00000000.json"))) {
-      import s.implicits._
       graft.tables.VersionedTable.create(s, root,
         wordpieceCore(s, d)._2.toDF("piece"))
-      ()
+      graft.tables.CorpusStamp.write(root, fp)
+    } else if (!graft.tables.CorpusStamp.isFresh(root, fp)) {
+      // corpus mutated in place under the same path: retrain (the core
+      // memo key carries fp, so this is a real retrain) and RE-VERSION
+      // the artifact, then seal the new corpus state
+      graft.tables.VersionedTable.open(s, root)
+        .overwrite(wordpieceCore(s, d)._2.toDF("piece"))
+      graft.tables.CorpusStamp.write(root, fp)
     }
     root
   }
@@ -232,7 +243,8 @@ object WordPieceOps {
     * answer, same oracle as llm_wordpiece_encode. */
   def llmWordpiecePersisted(s: SparkSession, d: String): DataFrame = {
     val seg = servedSegMemo.get(
-        (org.apache.spark.sql.graftnative.SessionIds.uuid(s), d)) {
+        (org.apache.spark.sql.graftnative.SessionIds.uuid(s), d,
+          graft.tables.CorpusStamp.fingerprint(d, "documents"))) {
       val vocab = wordpieceVocabFromIndex(s, d)
       t(s, d, "documents")
         .select(explode(split(col("text"), " ")).as("w"))
@@ -245,7 +257,7 @@ object WordPieceOps {
   }
 
   private val servedSegMemo =
-    graft.tools.LruMemo.checkpointed[(String, String)](8, tag = "wordpiece_served_seg")
+    graft.tools.LruMemo.checkpointed[(String, String, String)](8, tag = "wordpiece_served_seg")
 
   val queries: Map[String, Q] = Map(
     "llm_wordpiece_train" -> (llmWordpieceTrain _),

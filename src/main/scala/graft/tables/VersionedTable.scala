@@ -400,6 +400,17 @@ final class VersionedTable private (val spark: SparkSession, val root: String) {
     -1 // unreachable
   }
 
+  /** Replace the table contents in one commit (INSERT OVERWRITE): the new
+    * manifest lists only the fresh files, so the flip is atomic for
+    * readers and prior snapshots stay time-travelable until a vacuum
+    * reclaims them. The retrain path of stale persisted models
+    * ([[CorpusStamp]]) re-versions through here, so the index history
+    * records every retrain. */
+  def overwrite(df: DataFrame): Int = {
+    val fresh = writeDataFiles(df)
+    withRebase() { commitOnce(currentVersion, Nil, fresh) }
+  }
+
   /** Append-only commit: previous files stay, new files join the manifest.
     * Data files are written ONCE; a lost race only re-reads the new head
     * and re-publishes the (rebased) manifest. */

@@ -205,6 +205,40 @@ class VtDataSourceSpec extends SparkTestBase {
       "re-bootstrap of a committed index root re-ran training")
   }
 
+  test("corpus stamp: in-place corpus mutation retrains the persisted tokenizer exactly once") {
+    import graft.operators.WordPieceOps
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    // a WRITABLE copy of the corpus, so it can be mutated at the same path
+    val dir = Files.createTempDirectory("graft_fpcorpus").toString
+    Files.copy(Paths.get(SF, "documents.parquet"),
+      Paths.get(dir, "documents.parquet"))
+    val before = WordPieceOps.wordpieceTrainRuns.get()
+    val out1 = WordPieceOps.llmWordpiecePersisted(spark, dir).collect().map(_.toString).toSeq
+    assert(WordPieceOps.wordpieceTrainRuns.get() == before + 1, "first build trains once")
+    WordPieceOps.llmWordpiecePersisted(spark, dir).collect()
+    assert(WordPieceOps.wordpieceTrainRuns.get() == before + 1,
+      "unchanged corpus must serve with zero trains")
+    val root = WordPieceOps.wordpieceIndexRoot(spark, dir)
+    val vBefore = VersionedTable.open(spark, root).currentVersion
+    // mutate the corpus IN PLACE at the same path (different content,
+    // size and mtime — the staleness the metadata fingerprint detects)
+    Files.copy(Paths.get("/root/testdata/sf0.01", "documents.parquet"),
+      Paths.get(dir, "documents.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val out2 = WordPieceOps.llmWordpiecePersisted(spark, dir).collect().map(_.toString).toSeq
+    assert(WordPieceOps.wordpieceTrainRuns.get() == before + 2,
+      "mutated corpus must retrain EXACTLY once")
+    assert(VersionedTable.open(spark, root).currentVersion == vBefore + 1,
+      "the retrain must RE-VERSION the persisted vocabulary")
+    assert(out2 != out1, "the serve must reflect the mutated corpus")
+    // the served answer equals the trained-path answer on the NEW corpus,
+    // from the SAME fp-keyed memo — no third training run
+    val direct = WordPieceOps.llmWordpieceEncode(spark, dir).collect().map(_.toString).toSeq
+    assert(out2 == direct && WordPieceOps.wordpieceTrainRuns.get() == before + 2)
+    // re-sealed: the post-retrain state serves with zero trains again
+    WordPieceOps.llmWordpiecePersisted(spark, dir).collect()
+    assert(WordPieceOps.wordpieceTrainRuns.get() == before + 2)
+  }
+
   test("index bootstrap recovers a crashed create and completes a v0-only root") {
     import graft.operators.PortableQuantizer
     import spark.implicits._
@@ -215,13 +249,16 @@ class VtDataSourceSpec extends SparkTestBase {
       java.nio.file.Paths.get(base, "t", "_manifests"))
     val root = PortableQuantizer.indexRootAt(spark, SF, base)
     assert(VersionedTable.open(spark, root).currentVersion == 1)
-    // crash between the two commits: a v0-only (IVF-committed) root must
+    // crash between the two commits: a v0-only (IVF-committed, stamped —
+    // indexRootAt seals the corpus state right after create) root must
     // be COMPLETED with the PQ batch, and a replayed completion (same
-    // fixed txn) must be a no-op on contents and history
+    // fp-scoped txn) must be a no-op on contents and history
     val base2 = java.nio.file.Files.createTempDirectory("graft_annboot2").toString
     val ivf = PortableQuantizer.ivfCentroids(spark, SF).zipWithIndex
       .map { case (c, b) => ("ivf", 0, b, c) }
     VersionedTable.create(spark, base2 + "/t", ivf.toDF("kind", "m", "k", "vals"))
+    graft.tables.CorpusStamp.write(base2 + "/t",
+      graft.tables.CorpusStamp.fingerprint(SF, "embeddings"))
     val root2 = PortableQuantizer.indexRootAt(spark, SF, base2)
     val t2 = VersionedTable.open(spark, root2)
     assert(t2.currentVersion == 1)
