@@ -136,6 +136,63 @@ object ClusterCheck {
     }
   }
 
+  /** Planted power-law skew-join proof under REAL executors — the one
+    * AQE behavior the parity sweep cannot witness (every graded fixture
+    * key is far too small to trip the skew thresholds). An 8 M-row fact
+    * with 75 % of its rows on ONE key joins a 998-key side with
+    * broadcast disabled, so the sort-merge join's hot partition is
+    * ~20× the median; the skew thresholds are scaled to the data (2 MB /
+    * default factor 5 — at 100 TB the 256 MB defaults engage the same
+    * way, this is the same knob at a different scale). Asserts
+    * (a) OptimizeSkewedJoin actually FIRED — the executed plan's SMJ
+    * carries skew=true — and (b) the skew-split answer equals the truth
+    * computed WITHOUT the join: the probe side carries w = k, so
+    * sum(w) over the join is sum(k) over the fact, one map-side
+    * aggregation no skew machinery touches. The fact rows carry an
+    * incompressible-ish payload column so the hot partition's SHUFFLE
+    * bytes (what the threshold meters — post-compression) stay well
+    * above it; the payload also rides through the join into the
+    * aggregate so column pruning cannot drop it from the exchange. */
+  private def skewSplitCheck(jar: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val spark = graft.GraftSession
+      .builder(master = "local-cluster[2,4,2048]", shufflePartitions = 8)
+      .config("spark.executor.extraClassPath", jar)
+      .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+      .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      .config("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "2m")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
+      .getOrCreate()
+    try {
+      spark.sparkContext.setLogLevel("WARN")
+      spark.range(0L, 1000000L, 1L, 8).selectExpr("sum(id)").collect()
+      require(spark.sparkContext.getExecutorMemoryStatus.size >= 3,
+        "local-cluster did not register 2 executors")
+      val n = 8000000L
+      def fact = spark.range(n).select(
+        when(col("id") % 4 =!= 0, 0L)
+          .otherwise(pmod(col("id"), lit(997L)) + 1).as("k"),
+        pmod(org.apache.spark.sql.functions.xxhash64(col("id")), lit(1000000L)).as("p"))
+      val dim = spark.range(998).select(col("id").as("k"), col("id").as("w"))
+      val t0 = System.nanoTime()
+      val joined = fact.join(dim, "k")
+        .agg(count(lit(1)).as("n"), sum("w").as("sw"), sum("p").as("sp"))
+      // collect(), not head(): head plans a SEPARATE limit-1 query, so
+      // the plan inspected below would still read isFinalPlan=false
+      val got = joined.collect()(0)
+      val secs = (System.nanoTime() - t0) / 1e9
+      val plan = joined.queryExecution.executedPlan.toString
+      require(plan.contains("skew=true"),
+        s"AQE skew split did not engage — no skew=true in the executed plan:\n$plan")
+      val truth = fact.agg(count(lit(1)), sum("k"), sum("p")).head()
+      require(got.getLong(0) == truth.getLong(0) &&
+        got.getLong(1) == truth.getLong(1) && got.getLong(2) == truth.getLong(2),
+        s"skew-split join diverged from the join-free truth: $got vs $truth")
+      println(f"""[cluster-skew] {"rows":$n,"skew_split":true,"match":true,""" +
+        f""""secs":$secs%.2f}""")
+    } finally spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     // "all" sweeps the ENTIRE registry through both modes — the full
@@ -147,6 +204,12 @@ object ClusterCheck {
       .getOrElse(DefaultKeys) match {
       case Seq("all") => graft.SparkEntry.queries.keys.toSeq.sorted
       case ks => ks
+    }
+    // "skew" runs ONLY the planted skew-split proof (fast iteration);
+    // a normal run appends it after the parity sweep
+    if (keys == Seq("skew")) {
+      skewSplitCheck(getClass.getProtectionDomain.getCodeSource.getLocation.getPath)
+      return
     }
     val unknown = keys.filterNot(graft.SparkEntry.queries.keySet)
     require(unknown.isEmpty, s"unknown keys: ${unknown.mkString(", ")}")
@@ -169,5 +232,6 @@ object ClusterCheck {
     println(s"""[cluster-summary] {"keys":${keys.length},"mismatches":$bad,""" +
       s""""sf":"$sfDir"}""")
     require(bad == 0, s"$bad keys differ between local-cluster and local mode")
+    skewSplitCheck(jar)
   }
 }
