@@ -560,6 +560,62 @@ object LlmTextOps {
         .otherwise(round(col("n_dup_windows").cast("double") / col("n_windows"), 6)))
   }
 
+  /** The substring-dedup PRODUCT — [[llmDedupSubstring]] is the report,
+    * this is the strip: every token position covered by at least one
+    * REMOVABLE window (duplicated, not the survivor) is cut, and each
+    * document comes back as (doc_id, n_tokens, n_cut_tokens,
+    * text_stripped) — the de-boilerplated corpus a curation pipeline
+    * actually trains on. The survivor occurrence keeps its text, so one
+    * copy of every duplicated span survives corpus-wide (Lee et al.
+    * 2022's span-dedup contract). Docs shorter than the window (and
+    * docs with nothing cut) pass through unchanged. */
+  def llmDedupSubstringStrip(s: SparkSession, d: String): DataFrame =
+    substringDedupStrip(t(s, d, "documents")).orderBy("doc_id")
+
+  /** Core strip over any (doc_id, text) frame.
+    *
+    * Scale shape: the window/hash machinery is [[substringDedupProfile]]'s
+    * (hash-keyed shuffle, never all-pairs); the cut set is the removable
+    * windows exploded to covered positions (≤ width rows per removable
+    * window, deduplicated) and subtracted from the token table by a
+    * LEFT ANTI join on (doc_id, p) — doc-grain keys, linear, no skew
+    * hazard. Reassembly is one doc-grain aggregation whose state is
+    * bounded by the document length (the same bound any text column
+    * already imposes); order is restored by array_sort on the carried
+    * position, so the result is deterministic under any partitioning. */
+  def substringDedupStrip(docs: DataFrame, width: Int = SubstringWindow): DataFrame = {
+    val nw = size(col("ws")) - (width - 1)
+    val wins = docs
+      .withColumn("ws", split(col("text"), " "))
+      .select(col("doc_id"), explode(when(nw >= 1,
+        transform(sequence(lit(1), nw), i => struct(i.as("pos"),
+          md5(array_join(slice(col("ws"), i, lit(width)), " ").cast("binary")).as("h"))))).as("w"))
+      .select(col("doc_id"), col("w.pos").as("pos"), col("w.h").as("h"))
+    val byHash = wins.groupBy("h")
+      .agg(count(lit(1)).as("n_occ"),
+        min(struct(col("doc_id"), col("pos"))).as("surv"))
+    val cut = wins.join(byHash, Seq("h"))
+      .where(col("n_occ") >= 2 &&
+        !(col("surv.doc_id") === col("doc_id") && col("surv.pos") === col("pos")))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (width - 1))).as("p"))
+      .distinct()
+    val toks = docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1).as("p"), col("tok"))
+    val kept = toks.join(cut, Seq("doc_id", "p"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(struct(col("p"), col("tok")))),
+          e => e.getField("tok")), " ").as("text_stripped"))
+    docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_cut_tokens"),
+        coalesce(col("text_stripped"), lit("")).as("text_stripped"))
+  }
+
   /** Document fingerprint: min MD5 over 5-gram word shingles (MinHash with
     * one hash function) — fully row-local, portable to SQL, and stable
     * under small edits elsewhere in the document. */
@@ -1639,6 +1695,7 @@ object LlmTextOps {
     "llm_fingerprint" -> (llmFingerprint _),
     "llm_span_dup" -> (llmSpanDup _),
     "llm_dedup_substring" -> (llmDedupSubstring _),
+    "llm_dedup_substring_strip" -> (llmDedupSubstringStrip _),
     "llm_ngram_jaccard" -> (llmNgramJaccard _),
     "llm_containment" -> (llmContainment _),
     "llm_dedup_clusters" -> (llmDedupClusters _),
@@ -1957,6 +2014,26 @@ object LlmTextOps {
         "coalesce(n_removable_windows, CAST(0 AS BIGINT)) AS n_removable_windows, " +
         "coalesce(round(n_dup_windows / CAST(n_windows AS DOUBLE), 6), 0.0) AS dup_win_frac " +
         "FROM documents LEFT JOIN d USING (doc_id) ORDER BY doc_id"),
+    // the strip product: cut = positions covered by removable windows
+    // (DISTINCT over the exploded spans); kept tokens reassemble in
+    // position order; zipped unnests give (token, position) pairs
+    "llm_dedup_substring_strip" ->
+      ("WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), " +
+        "x AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 15)) AS i FROM w), " +
+        "r AS (SELECT doc_id, i, md5(array_to_string(ws[i:i+15], ' ')) AS h FROM x), " +
+        "f AS (SELECT doc_id, i, count(*) OVER (PARTITION BY h) AS n_occ, " +
+        "row_number() OVER (PARTITION BY h ORDER BY doc_id, i) AS rk FROM r), " +
+        "cut AS (SELECT DISTINCT doc_id, unnest(generate_series(i, i + 15)) AS p " +
+        "FROM f WHERE n_occ >= 2 AND rk > 1), " +
+        "tok AS (SELECT doc_id, unnest(ws) AS t, unnest(generate_series(1, len(ws))) AS p FROM w), " +
+        "kept AS (SELECT tok.doc_id, tok.p, tok.t FROM tok LEFT JOIN cut " +
+        "ON tok.doc_id = cut.doc_id AND tok.p = cut.p WHERE cut.p IS NULL), " +
+        "agg AS (SELECT doc_id, count(*) AS n_kept, " +
+        "array_to_string(list(t ORDER BY p), ' ') AS text_stripped FROM kept GROUP BY doc_id) " +
+        "SELECT d.doc_id, CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens, " +
+        "CAST(len(string_split(d.text, ' ')) AS BIGINT) - coalesce(n_kept, CAST(0 AS BIGINT)) AS n_cut_tokens, " +
+        "coalesce(text_stripped, '') AS text_stripped " +
+        "FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id"),
     // same md5-prefix span ids as the Spark side; spans repeated at
     // multiple positions of ONE doc count once per position in
     // n_dup_positions but once total in n_dup_spans

@@ -177,6 +177,27 @@ object StressCheck {
       val d0 = out.filter(col("doc_id") === 0).head()
       require(d0.getLong(2) == 1L && d0.getLong(3) == 0L,
         s"doc 0 must be class A's survivor: $d0")
+      // the STRIP product on the same plant, same closed forms: class A
+      // cuts its 16 boiler tokens except the survivor doc 0 (0 cut),
+      // class B cuts only its SECOND block occurrence (16 tokens at
+      // positions 18..33 — pos 1 is the within-doc survivor), class C
+      // cuts nothing; and reassembly is position-exact (doc 5's kept
+      // text is its first block + separator, verbatim)
+      val st = graft.operators.LlmTextOps.substringDedupStrip(d)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sByClass = st.groupBy(
+          when(pmod(col("doc_id"), lit(10)) === 0, "A")
+            .when(pmod(col("doc_id"), lit(10)) === 5, "B").otherwise("C").as("cls"))
+        .agg(sum("n_tokens").as("nt"), sum("n_cut_tokens").as("nc"))
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      require(sByClass("A") == ((40L * nA, 16L * (nA - 1))) &&
+        sByClass("B") == ((33L * nB, 16L * nB)) &&
+        sByClass("C") == ((40L * (nDocs - nA - nB), 0L)),
+        s"strip class sums off closed form: $sByClass (nA=$nA nB=$nB)")
+      val doc5 = st.filter(col("doc_id") === 5).head().getString(3)
+      val want5 = (100 until 116).map(w => s"u5x$w").mkString(" ") + " sep5"
+      require(doc5 == want5, s"doc 5 reassembly drifted: '$doc5'")
+      st.unpersist()
       val total = out.count(); out.unpersist(); total
     }
     // 4. MinHash LSH candidates: banded bucket join, hot-bucket capped.

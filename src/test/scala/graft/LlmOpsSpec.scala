@@ -67,6 +67,29 @@ class LlmOpsSpec extends SparkTestBase {
     assert((s9.getLong(1), s9.getLong(2), s9.getLong(3)) == ((6L, 2L, 1L)), s"got $s9")
   }
 
+  test("substring strip: cuts exactly the removable spans, survivor keeps its text") {
+    val boiler = "b1 b2 b3 b4"
+    val docs = Seq(
+      (1L, s"u1 u2 $boiler u3"),   // survivor occurrence (min doc_id): NOTHING cut
+      (2L, s"$boiler v1 v2"),      // removable window at pos 1 → tokens 1-4 cut
+      (3L, s"$boiler w $boiler"),  // pos 1 survives? no — survivor is doc 1, BOTH cut
+      (4L, "s1 s2 s3")             // no windows → untouched
+    ).toDF("doc_id", "text")
+    val got = LlmTextOps.substringDedupStrip(docs, width = 4).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) == ((7L, 0L, s"u1 u2 $boiler u3")), s"doc1: ${got(1L)}")
+    assert(got(2L) == ((6L, 4L, "v1 v2")), s"doc2: ${got(2L)}")
+    // doc 3: windows at pos 1 AND pos 6 are both non-survivor dups →
+    // tokens 1-4 and 6-9 cut, only the separator survives
+    assert(got(3L) == ((9L, 8L, "w")), s"doc3: ${got(3L)}")
+    assert(got(4L) == ((3L, 0L, "s1 s2 s3")), s"doc4: ${got(4L)}")
+    // a doc that IS exactly one removable window strips to the empty string
+    val all = Seq((1L, boiler), (9L, boiler)).toDF("doc_id", "text")
+    val g9 = LlmTextOps.substringDedupStrip(all, width = 4).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(g9 == Map(1L -> boiler, 9L -> ""), s"got $g9")
+  }
+
   test("ngram jaccard recalls a constructed near-duplicate pair") {
     val base = doc(40)
     val nearDup = base.split(" ").updated(5, "changedword").mkString(" ")
