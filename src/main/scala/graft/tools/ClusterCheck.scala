@@ -58,7 +58,11 @@ object ClusterCheck {
     "sort_multicol", "set_except", "stream_tumbling", "llm_dedup_exact",
     "llm_dedup_minhash", "llm_dedup_clusters", "ann_ivf_topk",
     "llm_bm25_topk", "geo_radius_join", "llm_pack_sequences",
-    "graph_components", "llm_gate_tau_adaptive", "llm_curation_e2e")
+    "graph_components", "llm_gate_tau_adaptive", "llm_curation_e2e",
+    // round 14: the strip's reassembly (collect_list → array_sort on the
+    // carried position) is exactly the shape whose determinism depends
+    // on NOT inheriting any partition/arrival order — pulse it
+    "llm_dedup_substring_strip")
 
   /** Canonical cell rendering for the parity fingerprint. INJECTIVITY is
     * the load-bearing property (spec'd in ClusterCheckRenderSpec): a
