@@ -182,18 +182,33 @@ object PortableQuantizer {
     if (!graft.tables.CorpusStamp.isFresh(root, fp)) {
       // corpus mutated in place at the same path (CorpusStamp): retrain
       // both codebooks (the trainer memos are fp-keyed) and RE-VERSION
-      // the index — overwrite replaces the whole snapshot, the PQ batch
-      // re-commits under the new fp-scoped txn, then the state is sealed
-      t.overwrite(ivfDf)
-      t.appendIdempotent(pqDf, pqTxn)
+      // the index in ONE commit carrying IVF and PQ together. It must be
+      // one commit, not overwrite(ivf)+appendIdempotent(pq): committed
+      // txn ids survive overwrites (by design — that is what keeps
+      // appends exactly-once across vacuums), so a crash-retry of this
+      // branch, a corpus REVERT to a fingerprint whose pq txn already
+      // committed, or a racing stale bootstrapper would find the pq txn
+      // consumed, no-op the append, and seal a PQ-less index forever.
+      t.overwrite(ivfDf.unionByName(pqDf))
       graft.tables.CorpusStamp.write(root, fp)
     } else if (!t.committedTxns.contains(pqTxn)) {
-      // idempotent, not append: two bootstrappers both inside the
-      // IVF-only window would otherwise BOTH succeed (append rebases
-      // through the version conflict) and double every PQ row; the fixed
-      // txn id makes the loser a no-op — the same exactly-once machinery
-      // the streaming sink rides.
-      t.appendIdempotent(pqDf, pqTxn)
+      // A missing txn does NOT imply a missing PQ batch: the stale
+      // retrain above commits the FULL index without consuming the txn
+      // (deliberately — see that branch), so check the snapshot before
+      // completing. A genuinely PQ-less snapshot (the create-crash
+      // window) gets the batch via the idempotent append — two
+      // bootstrappers both inside that window would otherwise BOTH
+      // succeed (append rebases through the version conflict) and
+      // double every PQ row; the fixed txn id makes the loser a no-op,
+      // the same exactly-once machinery the streaming sink rides. A
+      // complete snapshot just RECORDS the txn with an empty idempotent
+      // append (schema-only frame — built without touching the
+      // trainers) so later serves take the metadata fast path again.
+      val hasPq = t.read().filter(col("kind") === "pq").limit(1).count() > 0
+      if (hasPq)
+        t.appendIdempotent(
+          Seq.empty[(String, Int, Int, Seq[Long])].toDF("kind", "m", "k", "vals"), pqTxn)
+      else t.appendIdempotent(pqDf, pqTxn)
       ()
     }
     root

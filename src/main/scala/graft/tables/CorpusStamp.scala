@@ -58,6 +58,18 @@ object CorpusStamp {
     * unsealed (stale-reading) artifact that the next serve re-derives —
     * an extra version, never a stale serve. */
   def write(tableRoot: String, fp: String): Unit = {
+    // sweep aged .fp-*.tmp orphans first (a crash between createTempFile
+    // and the atomic move leaves one; vacuum never walks the root) —
+    // same 10-minute age gate as VersionedTable.open's commit-tmp sweep,
+    // so a LIVE racer's milliseconds-old tmp is never eaten. Best-effort.
+    val horizon = System.currentTimeMillis() - 10 * 60 * 1000
+    val ls = Files.list(Paths.get(tableRoot))
+    try ls.iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith(".fp-"))
+      .filter(p => Files.getLastModifiedTime(p).toMillis < horizon)
+      .foreach(Files.deleteIfExists(_))
+    catch { case scala.util.control.NonFatal(_) => }
+    finally ls.close()
     val tmp = Files.createTempFile(Paths.get(tableRoot), ".fp-", ".tmp")
     Files.write(tmp, fp.getBytes("UTF-8"))
     Files.move(tmp, stampPath(tableRoot),

@@ -78,7 +78,10 @@ final class VersionedTable private (val spark: SparkSession, val root: String) {
     * the torn-read spec in VersionedTableSpec proves the execution-time
     * failure mode is loud with the conf at its required value. */
   private def snapshotRead(files: Seq[String]): DataFrame = {
-    require(spark.conf.get("spark.sql.files.ignoreMissingFiles", "false") == "false",
+    // case-insensitive: Spark parses boolean confs case-insensitively,
+    // so "FALSE" must pass the guard and any spelling of true must not
+    require(!spark.conf.get("spark.sql.files.ignoreMissingFiles", "false")
+        .trim.equalsIgnoreCase("true"),
       "VersionedTable reads require spark.sql.files.ignoreMissingFiles=false: " +
         "with it on, a read racing a vacuum would silently return a torn " +
         "subset of the snapshot instead of failing")

@@ -75,10 +75,14 @@ object ClusterCheck {
     case d: Double => java.lang.Double.doubleToLongBits(d).toString
     case f: Float => java.lang.Float.floatToIntBits(f).toString
     case r: Row => "{" + joinCells(r.toSeq.map(render)) + "}"
-    case s: scala.collection.Seq[_] => s.map(render).mkString("[", ",", "]")
+    // Seq/Map elements join through joinCells too (round-14 review): a
+    // plain "," / "=" join collapsed Seq("a,b") with Seq("a","b") and
+    // Map("a=1"->"x") with Map("a"->"1=x") — string-array/map columns
+    // could fingerprint-match across modes on genuinely different data
+    case s: scala.collection.Seq[_] => "[" + joinCells(s.map(render).toSeq) + "]"
     case m: scala.collection.Map[_, _] =>
-      m.map { case (k, x) => render(k) + "=" + render(x) }.toSeq.sorted
-        .mkString("<", ",", ">")
+      "<" + joinCells(
+        m.map { case (k, x) => joinCells(Seq(render(k), render(x))) }.toSeq.sorted) + ">"
     // prefixed: bare Base64 of an EMPTY byte array is "" — identical to
     // the empty string (the collapse ClusterCheckRenderSpec caught)
     case b: Array[Byte] => "b64:" + java.util.Base64.getEncoder.encodeToString(b)

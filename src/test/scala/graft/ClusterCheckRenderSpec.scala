@@ -53,6 +53,16 @@ class ClusterCheckRenderSpec extends AnyFunSuite {
     assert(joinCells(Nil) != joinCells(Seq("")))
   }
 
+  test("Seq/Map element boundaries are length-prefixed too: separator chars can't fake them") {
+    // the round-14 review collapse classes: a plain "," / "=" join made
+    // these pairs render identically
+    assert(render(Seq("a,b")) != render(Seq("a", "b")))
+    assert(render(Map("a=1" -> "x")) != render(Map("a" -> "1=x")))
+    assert(render(Map("a|b" -> "c")) != render(Map("a" -> "b|c")))
+    // order-independence of map rendering survives the change
+    assert(render(Map("a" -> 1L, "b" -> 2L)) == render(Map("b" -> 2L, "a" -> 1L)))
+  }
+
   test("binary renders by content, numeric types keep their identity") {
     assert(render(Array[Byte](1, 2)) != render(Array[Byte](1, 3)))
     assert(render(Array[Byte]()) != render(""))

@@ -239,6 +239,41 @@ class VtDataSourceSpec extends SparkTestBase {
     assert(WordPieceOps.wordpieceTrainRuns.get() == before + 2)
   }
 
+  test("stale retrain: one atomic IVF+PQ commit; completion records, never duplicates") {
+    import graft.operators.PortableQuantizer
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val dir = Files.createTempDirectory("graft_annfp").toString
+    Files.copy(Paths.get(SF, "embeddings.parquet"), Paths.get(dir, "embeddings.parquet"))
+    val base = Files.createTempDirectory("graft_annstale").toString
+    val root = PortableQuantizer.indexRootAt(spark, dir, base) // full build, fpA
+    val t0 = VersionedTable.open(spark, root)
+    val vFull = t0.currentVersion
+    val nPq = t0.read().filter(col("kind") === "pq").count()
+    assert(nPq > 0)
+    // mutate the corpus IN PLACE → fpB, whose pq txn has never committed.
+    // The retrain must land IVF+PQ in ONE commit: an overwrite+append
+    // pair would no-op the append whenever the txn pre-exists (crash
+    // retry, corpus revert, racing bootstrapper) and seal a PQ-less
+    // index forever — the round-14 review finding.
+    Files.copy(Paths.get("/root/testdata/sf0.01", "embeddings.parquet"),
+      Paths.get(dir, "embeddings.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    PortableQuantizer.indexRootAt(spark, dir, base)
+    val t1 = VersionedTable.open(spark, root)
+    assert(t1.currentVersion == vFull + 1, "retrain must be ONE commit")
+    assert(t1.read().filter(col("kind") === "pq").count() == nPq,
+      "retrained snapshot must carry the FULL index atomically")
+    // fpB's txn is unrecorded: the next serve sees a COMPLETE snapshot,
+    // records the txn with an empty idempotent append (one version,
+    // zero trainer touches), and must NOT duplicate the PQ batch...
+    PortableQuantizer.indexRootAt(spark, dir, base)
+    val t2 = VersionedTable.open(spark, root)
+    assert(t2.read().filter(col("kind") === "pq").count() == nPq, "PQ batch duplicated")
+    assert(t2.currentVersion == vFull + 2, "txn recording is one empty append")
+    // ...after which serves are pure metadata: no new versions
+    PortableQuantizer.indexRootAt(spark, dir, base)
+    assert(VersionedTable.open(spark, root).currentVersion == vFull + 2)
+  }
+
   test("index bootstrap recovers a crashed create and completes a v0-only root") {
     import graft.operators.PortableQuantizer
     import spark.implicits._
