@@ -546,6 +546,23 @@ object LlmTextOps {
   def substringDedupProfile(docs: DataFrame, width: Int = SubstringWindow): DataFrame =
     profileFromSpans(docs, substringSpans(docs, width))
 
+  /** Window enumeration shared by the whole substring family:
+    * (doc_id, pos 1-based, h = md5 of the window text). The window TEXT
+    * exists only inside this map-side projection — nothing downstream
+    * ever shuffles it. */
+  private def substringWindows(docs: DataFrame, width: Int): DataFrame = {
+    val nw = size(col("ws")) - (width - 1)
+    // sequence(1, nw) is DESCENDING for nw ≤ 0 (Spark counts down), so
+    // short docs must take the null branch (explode drops them; the
+    // consumers recover zero-window docs by left-joining `docs`)
+    docs
+      .withColumn("ws", split(col("text"), " "))
+      .select(col("doc_id"), explode(when(nw >= 1,
+        transform(sequence(lit(1), nw), i => struct(i.as("pos"),
+          md5(array_join(slice(col("ws"), i, lit(width)), " ").cast("binary")).as("h"))))).as("w"))
+      .select(col("doc_id"), col("w.pos").as("pos"), col("w.h").as("h"))
+  }
+
   /** Shared kernel of the substring family: every window classified as
     * (doc_id, pos, dup, removable) — dup = its hash occurs ≥ 2 times
     * corpus-wide, removable = dup and NOT the (min doc_id, min pos)
@@ -553,16 +570,7 @@ object LlmTextOps {
     * ([[profileFromSpans]], [[stripFromSpans]]); the graded keys share
     * one memoized build of it per (session, corpus). */
   private[graft] def substringSpans(docs: DataFrame, width: Int): DataFrame = {
-    val nw = size(col("ws")) - (width - 1)
-    // sequence(1, nw) is DESCENDING for nw ≤ 0 (Spark counts down), so
-    // short docs must take the null branch (explode drops them; the
-    // consumers recover zero-window docs by left-joining `docs`)
-    val wins = docs
-      .withColumn("ws", split(col("text"), " "))
-      .select(col("doc_id"), explode(when(nw >= 1,
-        transform(sequence(lit(1), nw), i => struct(i.as("pos"),
-          md5(array_join(slice(col("ws"), i, lit(width)), " ").cast("binary")).as("h"))))).as("w"))
-      .select(col("doc_id"), col("w.pos").as("pos"), col("w.h").as("h"))
+    val wins = substringWindows(docs, width)
     val byHash = wins.groupBy("h")
       .agg(count(lit(1)).as("n_occ"),
         min(struct(col("doc_id"), col("pos"))).as("surv"))
@@ -633,6 +641,64 @@ object LlmTextOps {
       .select(col("doc_id"), col("n_tokens"),
         (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_cut_tokens"),
         coalesce(col("text_stripped"), lit("")).as("text_stripped"))
+  }
+
+  /** INCREMENTAL substring dedup — the daily-snapshot shape of the
+    * family ([[llmDedupIncremental]]'s split applied at window grain):
+    * only the NEW batch (doc_id % 10 ≥ 8, the fixture's standing
+    * existing/new split) is windowed and classified against (a) the
+    * EXISTING corpus's distinct window hashes — a "known" window is
+    * boilerplate already ingested, cut unconditionally by a strip — and
+    * (b) the new batch itself — an unknown window duplicated within the
+    * batch keeps its min-(doc_id, pos) survivor and cuts the rest.
+    * Output per new doc: window count, known count, batch-removable
+    * count, and the fraction a combined-corpus strip would cut.
+    *
+    * Scale shape: the existing corpus contributes ONE distinct-hash
+    * table (hash-partitioned; at 100 TB it would be persisted once in a
+    * graft-vt table and reopened per batch, the ann_ivf_persisted
+    * posture — here it is derived in-plan, same join shape either way);
+    * the new batch is windowed once, classified by two hash-keyed
+    * equi-joins, aggregated to doc grain. Work is linear in the NEW
+    * batch plus one build over the existing hashes — never a rescan of
+    * old-vs-old. */
+  def llmDedupSubstringIncremental(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    substringIncremental(docs.filter(col("doc_id") % 10 < 8),
+      docs.filter(col("doc_id") % 10 >= 8)).orderBy("doc_id")
+  }
+
+  /** Core incremental pass over any (existing, fresh) pair of
+    * (doc_id, text) frames — exposed so planted-truth specs exercise
+    * THIS pipeline. */
+  def substringIncremental(existing: DataFrame, fresh: DataFrame,
+                           width: Int = SubstringWindow): DataFrame = {
+    val exH = substringWindows(existing, width)
+      .select(col("h").as("eh")).distinct()
+    val wins = substringWindows(fresh, width)
+    val byHash = wins.groupBy("h")
+      .agg(count(lit(1)).as("n_occ"),
+        min(struct(col("doc_id"), col("pos"))).as("surv"))
+    val flagged = wins
+      .join(exH, col("h") === col("eh"), "left")
+      .join(byHash, Seq("h"))
+      .select(col("doc_id"),
+        col("eh").isNotNull.as("known"),
+        (col("eh").isNull && col("n_occ") >= 2 &&
+          !(col("surv.doc_id") === col("doc_id") && col("surv.pos") === col("pos")))
+          .as("batch_removable"))
+    fresh.select(col("doc_id"))
+      .join(flagged.groupBy("doc_id")
+        .agg(count(lit(1)).as("nw"),
+          count(when(col("known"), lit(1))).as("nk"),
+          count(when(col("batch_removable"), lit(1))).as("nr")), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("nw"), lit(0L)).as("n_windows"),
+        coalesce(col("nk"), lit(0L)).as("n_known_windows"),
+        coalesce(col("nr"), lit(0L)).as("n_batch_removable_windows"))
+      .withColumn("cut_frac", when(col("n_windows") === 0, lit(0.0))
+        .otherwise(round((col("n_known_windows") + col("n_batch_removable_windows"))
+          .cast("double") / col("n_windows"), 6)))
   }
 
   /** Document fingerprint: min MD5 over 5-gram word shingles (MinHash with
@@ -1715,6 +1781,7 @@ object LlmTextOps {
     "llm_span_dup" -> (llmSpanDup _),
     "llm_dedup_substring" -> (llmDedupSubstring _),
     "llm_dedup_substring_strip" -> (llmDedupSubstringStrip _),
+    "llm_dedup_substring_incremental" -> (llmDedupSubstringIncremental _),
     "llm_ngram_jaccard" -> (llmNgramJaccard _),
     "llm_containment" -> (llmContainment _),
     "llm_dedup_clusters" -> (llmDedupClusters _),
@@ -2033,6 +2100,28 @@ object LlmTextOps {
         "coalesce(n_removable_windows, CAST(0 AS BIGINT)) AS n_removable_windows, " +
         "coalesce(round(n_dup_windows / CAST(n_windows AS DOUBLE), 6), 0.0) AS dup_win_frac " +
         "FROM documents LEFT JOIN d USING (doc_id) ORDER BY doc_id"),
+    // incremental: new-batch windows against existing distinct hashes
+    // (known) and within-batch survivor policy (removable) — the
+    // existing/new split is llm_dedup_incremental's doc_id % 10
+    "llm_dedup_substring_incremental" ->
+      ("WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), " +
+        "x AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 15)) AS i FROM w), " +
+        "r AS (SELECT doc_id, i, md5(array_to_string(ws[i:i+15], ' ')) AS h FROM x), " +
+        "ex AS (SELECT DISTINCT h FROM r WHERE doc_id % 10 < 8), " +
+        "nw AS (SELECT doc_id, i, h, (h IN (SELECT h FROM ex)) AS known, " +
+        "count(*) OVER (PARTITION BY h) AS n_occ, " +
+        "row_number() OVER (PARTITION BY h ORDER BY doc_id, i) AS rk " +
+        "FROM r WHERE doc_id % 10 >= 8), " +
+        "agg AS (SELECT doc_id, count(*) AS nw, " +
+        "count(*) FILTER (known) AS nk, " +
+        "count(*) FILTER (NOT known AND n_occ >= 2 AND rk > 1) AS nr " +
+        "FROM nw GROUP BY doc_id) " +
+        "SELECT d.doc_id, coalesce(nw, CAST(0 AS BIGINT)) AS n_windows, " +
+        "coalesce(nk, CAST(0 AS BIGINT)) AS n_known_windows, " +
+        "coalesce(nr, CAST(0 AS BIGINT)) AS n_batch_removable_windows, " +
+        "coalesce(round((nk + nr) / CAST(nw AS DOUBLE), 6), 0.0) AS cut_frac " +
+        "FROM (SELECT doc_id FROM documents WHERE doc_id % 10 >= 8) d " +
+        "LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id"),
     // the strip product: cut = positions covered by removable windows
     // (DISTINCT over the exploded spans); kept tokens reassemble in
     // position order; zipped unnests give (token, position) pairs

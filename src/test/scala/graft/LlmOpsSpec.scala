@@ -90,6 +90,38 @@ class LlmOpsSpec extends SparkTestBase {
     assert(g9 == Map(1L -> boiler, 9L -> ""), s"got $g9")
   }
 
+  test("incremental substring dedup: known vs batch-removable vs clean, per planted class") {
+    val boiler = "b1 b2 b3 b4"            // lives in the EXISTING corpus
+    val batchBlk = "c1 c2 c3 c4"          // duplicated only WITHIN the new batch
+    val existing = Seq((1L, s"x1 $boiler x2"), (2L, "y1 y2 y3 y4 y5")).toDF("doc_id", "text")
+    val fresh = Seq(
+      (11L, s"n1 $boiler n2"),            // 6 toks → 3 windows, the boiler one KNOWN
+      (12L, s"$batchBlk m1"),             // batch dup, survivor (min doc_id)
+      (13L, s"m2 $batchBlk"),             // batch dup, removable
+      (14L, "q1 q2 q3 q4 q5"),            // clean: 2 windows, nothing flagged
+      (15L, "s1 s2")                      // shorter than the window: 0 windows
+    ).toDF("doc_id", "text")
+    val got = LlmTextOps.substringIncremental(existing, fresh, width = 4).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got(11L) == ((3L, 1L, 0L, 0.333333)), s"known: ${got(11L)}")
+    assert(got(12L) == ((2L, 0L, 0L, 0.0)), s"batch survivor: ${got(12L)}")
+    assert(got(13L) == ((2L, 0L, 1L, 0.5)), s"batch removable: ${got(13L)}")
+    assert(got(14L) == ((2L, 0L, 0L, 0.0)), s"clean: ${got(14L)}")
+    assert(got(15L) == ((0L, 0L, 0L, 0.0)), s"short: ${got(15L)}")
+    // a window BOTH known and batch-duplicated counts as known only —
+    // every batch occurrence is cut against the corpus, none survives
+    val fresh2 = Seq((21L, s"$boiler z1"), (22L, s"z2 $boiler")).toDF("doc_id", "text")
+    val g2 = incRows(existing, fresh2)
+    assert(g2 == Map(21L -> ((2L, 1L, 0L, 0.5)), 22L -> ((2L, 1L, 0L, 0.5))), s"got $g2")
+  }
+
+  private def incRows(existing: org.apache.spark.sql.DataFrame,
+                          fresh: org.apache.spark.sql.DataFrame) =
+    LlmTextOps.substringIncremental(existing, fresh, width = 4).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+
   test("ngram jaccard recalls a constructed near-duplicate pair") {
     val base = doc(40)
     val nearDup = base.split(" ").updated(5, "changedword").mkString(" ")
