@@ -62,7 +62,11 @@ object ClusterCheck {
     // round 14: the strip's reassembly (collect_list → array_sort on the
     // carried position) is exactly the shape whose determinism depends
     // on NOT inheriting any partition/arrival order — pulse it
-    "llm_dedup_substring_strip")
+    "llm_dedup_substring_strip",
+    // round 14: the incremental pass joins two independently-planned
+    // window frames (existing-distinct vs fresh) — the cross-frame hash
+    // agreement is exactly what executor-side serialization could break
+    "llm_dedup_substring_incremental")
 
   /** Canonical cell rendering for the parity fingerprint. INJECTIVITY is
     * the load-bearing property (spec'd in ClusterCheckRenderSpec): a

@@ -200,6 +200,62 @@ object StressCheck {
       st.unpersist()
       val total = out.count(); out.unpersist(); total
     }
+    // 3c. INCREMENTAL substring dedup (llm_dedup_substring_incremental's
+    // core) — planted truth across the existing/fresh boundary, 200k
+    // docs total (4:1 existing:fresh). Existing: each doc the shared
+    // 16-token boiler block + 24 doc-unique tokens (e<id>x<w>), so the
+    // corpus-known hash set is {boiler} ∪ 24·nE uniques and the boiler
+    // hash is HOT in the distinct build (absorbed map-side). Fresh
+    // classes by id % 10:
+    //   K (0): boiler + 24 fresh-unique — exactly ONE known window
+    //     (pos 1), which is ALSO batch-duplicated across class K:
+    //     proves at scale that known precedence zeroes batch_removable.
+    //   B (5): a batch-shared c-block + 24 unique — ONE batch-dup
+    //     window unknown to the corpus; survivor = min doc_id in class.
+    //   C (rest): 40 uniques — clean.
+    time("substring_incremental_200k") {
+      val nExist = nDocs * 4 / 5
+      val nFresh = nDocs - nExist
+      val boiler = (0 until 16).map(w => lit(s"b$w"))
+      val cblk = (0 until 16).map(w => lit(s"c$w"))
+      val uniq = (p: String, off: Int, k: Int) => (off until off + k).map(w =>
+        concat(lit(p), col("id"), lit("x"), lit(w)))
+      val existing = spark.range(nExist).select(col("id").as("doc_id"),
+        concat_ws(" ", boiler ++ uniq("e", 0, 24): _*).as("text"))
+      val ftxt = when(col("id") % 10 === 0, concat_ws(" ", boiler ++ uniq("f", 0, 24): _*))
+        .when(col("id") % 10 === 5, concat_ws(" ", cblk ++ uniq("f", 0, 24): _*))
+        .otherwise(concat_ws(" ", uniq("f", 0, 40): _*))
+      // +10M keeps fresh ids disjoint from existing WITHOUT changing
+      // id % 10 (10M ≡ 0 mod 10) — class and survivor math read off id
+      val fresh = spark.range(nFresh).select(
+        (col("id") + 10000000L).as("doc_id"), ftxt.as("text"))
+      val out = graft.operators.LlmTextOps.substringIncremental(existing, fresh)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nK = nFresh / 10 + (if (nFresh % 10 >= 1) 1L else 0L)
+      val nB = (nFresh + 4) / 10
+      val byClass = out.groupBy(
+          when(pmod(col("doc_id"), lit(10)) === 0, "K")
+            .when(pmod(col("doc_id"), lit(10)) === 5, "B").otherwise("C").as("cls"))
+        .agg(count(lit(1)).as("n"), sum("n_windows").as("w"),
+          sum("n_known_windows").as("nk"), sum("n_batch_removable_windows").as("nr"),
+          countDistinct("cut_frac").as("nfrac"), max("cut_frac").as("frac"))
+        .collect().map(r => r.getString(0) -> r).toMap
+      val k = byClass("K"); val b = byClass("B"); val c = byClass("C")
+      require(k.getLong(1) == nK && k.getLong(2) == 25L * nK && k.getLong(3) == nK &&
+        k.getLong(4) == 0L && k.getLong(5) == 1L && k.getDouble(6) == 0.04,
+        s"class K off closed form: $k (expected n=$nK)")
+      require(b.getLong(1) == nB && b.getLong(2) == 25L * nB && b.getLong(3) == 0L &&
+        b.getLong(4) == nB - 1 && b.getLong(5) == 2L && b.getDouble(6) == 0.04,
+        s"class B off closed form: $b (expected n=$nB)")
+      require(c.getLong(1) == nFresh - nK - nB && c.getLong(3) == 0L &&
+        c.getLong(4) == 0L && c.getDouble(6) == 0.0,
+        s"class C must be clean: $c")
+      // the deterministic within-batch survivor: class B's min doc_id
+      val s5 = out.filter(col("doc_id") === 10000005L).head()
+      require(s5.getLong(3) == 0L && s5.getDouble(4) == 0.0,
+        s"class B survivor must keep its window: $s5")
+      val total = out.count(); out.unpersist(); total
+    }
     // 4. MinHash LSH candidates: banded bucket join, hot-bucket capped.
     time("minhash_lsh_200k") {
       val n = graft.operators.MinHashOps
