@@ -664,31 +664,50 @@ object LlmTextOps {
     * old-vs-old. */
   def llmDedupSubstringIncremental(s: SparkSession, d: String): DataFrame = {
     val docs = t(s, d, "documents")
-    substringIncremental(docs.filter(col("doc_id") % 10 < 8),
-      docs.filter(col("doc_id") % 10 >= 8)).orderBy("doc_id")
+    incrementalProfileFromSpans(docs.filter(col("doc_id") % 10 >= 8),
+      fixtureIncrementalSpans(s, d)).orderBy("doc_id")
   }
 
-  /** Core incremental pass over any (existing, fresh) pair of
-    * (doc_id, text) frames — exposed so planted-truth specs exercise
-    * THIS pipeline. */
-  def substringIncremental(existing: DataFrame, fresh: DataFrame,
-                           width: Int = SubstringWindow): DataFrame = {
+  /** The incremental family's fixture split (llm_dedup_incremental's
+    * standing doc_id % 10 boundary), span-classified ONCE per
+    * (session, corpus) and shared by the profile and strip keys. */
+  private def fixtureIncrementalSpans(s: SparkSession, d: String): DataFrame =
+    memo(s, d, "substring_inc_spans") {
+      val docs = t(s, d, "documents")
+      incrementalSpans(docs.filter(col("doc_id") % 10 < 8),
+        docs.filter(col("doc_id") % 10 >= 8), SubstringWindow)
+    }
+
+  /** Shared kernel of the incremental pair: every FRESH window
+    * classified as (doc_id, pos, known, batch_removable) — known = its
+    * hash exists anywhere in the EXISTING corpus (cut unconditionally:
+    * the corpus already holds a copy), batch_removable = unknown but
+    * duplicated within the batch and not the batch's (min doc_id,
+    * min pos) survivor. Two consumers: the per-doc profile and the
+    * strip. The existing corpus contributes only ONE distinct-hash
+    * build (the hot boiler hashes partial-aggregate map-side); nothing
+    * here ever rescans old-vs-old. */
+  private[graft] def incrementalSpans(existing: DataFrame, fresh: DataFrame,
+                                      width: Int): DataFrame = {
     val exH = substringWindows(existing, width)
       .select(col("h").as("eh")).distinct()
     val wins = substringWindows(fresh, width)
     val byHash = wins.groupBy("h")
       .agg(count(lit(1)).as("n_occ"),
         min(struct(col("doc_id"), col("pos"))).as("surv"))
-    val flagged = wins
+    wins
       .join(exH, col("h") === col("eh"), "left")
       .join(byHash, Seq("h"))
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("pos"),
         col("eh").isNotNull.as("known"),
         (col("eh").isNull && col("n_occ") >= 2 &&
           !(col("surv.doc_id") === col("doc_id") && col("surv.pos") === col("pos")))
           .as("batch_removable"))
+  }
+
+  private def incrementalProfileFromSpans(fresh: DataFrame, spans: DataFrame): DataFrame =
     fresh.select(col("doc_id"))
-      .join(flagged.groupBy("doc_id")
+      .join(spans.groupBy("doc_id")
         .agg(count(lit(1)).as("nw"),
           count(when(col("known"), lit(1))).as("nk"),
           count(when(col("batch_removable"), lit(1))).as("nr")), Seq("doc_id"), "left")
@@ -699,6 +718,37 @@ object LlmTextOps {
       .withColumn("cut_frac", when(col("n_windows") === 0, lit(0.0))
         .otherwise(round((col("n_known_windows") + col("n_batch_removable_windows"))
           .cast("double") / col("n_windows"), 6)))
+
+  /** Core incremental pass over any (existing, fresh) pair of
+    * (doc_id, text) frames — exposed so planted-truth specs exercise
+    * THIS pipeline. */
+  def substringIncremental(existing: DataFrame, fresh: DataFrame,
+                           width: Int = SubstringWindow): DataFrame =
+    incrementalProfileFromSpans(fresh, incrementalSpans(existing, fresh, width))
+
+  /** The incremental STRIP — [[substringIncremental]] is the report,
+    * this is the cleaned new batch a daily-ingest pipeline appends to
+    * the training corpus: every fresh token position covered by a
+    * known-to-the-corpus window OR a non-survivor batch duplicate is
+    * cut. Within the batch one copy of each new duplicated span
+    * survives (the min-(doc_id, pos) occurrence); spans the corpus
+    * already holds keep NO copy here — their survivor lives in the
+    * existing data. Same position-exact reassembly contract as
+    * [[substringDedupStrip]]. */
+  def substringIncrementalStrip(existing: DataFrame, fresh: DataFrame,
+                                width: Int = SubstringWindow): DataFrame =
+    stripFromSpans(fresh,
+      incrementalSpans(existing, fresh, width)
+        .select(col("doc_id"), col("pos"),
+          (col("known") || col("batch_removable")).as("removable")), width)
+
+  def llmDedupSubstringStripIncremental(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    stripFromSpans(docs.filter(col("doc_id") % 10 >= 8),
+      fixtureIncrementalSpans(s, d)
+        .select(col("doc_id"), col("pos"),
+          (col("known") || col("batch_removable")).as("removable")),
+      SubstringWindow).orderBy("doc_id")
   }
 
   /** Document fingerprint: min MD5 over 5-gram word shingles (MinHash with
@@ -1782,6 +1832,7 @@ object LlmTextOps {
     "llm_dedup_substring" -> (llmDedupSubstring _),
     "llm_dedup_substring_strip" -> (llmDedupSubstringStrip _),
     "llm_dedup_substring_incremental" -> (llmDedupSubstringIncremental _),
+    "llm_dedup_substring_strip_incremental" -> (llmDedupSubstringStripIncremental _),
     "llm_ngram_jaccard" -> (llmNgramJaccard _),
     "llm_containment" -> (llmContainment _),
     "llm_dedup_clusters" -> (llmDedupClusters _),
@@ -2121,6 +2172,32 @@ object LlmTextOps {
         "coalesce(nr, CAST(0 AS BIGINT)) AS n_batch_removable_windows, " +
         "coalesce(round((nk + nr) / CAST(nw AS DOUBLE), 6), 0.0) AS cut_frac " +
         "FROM (SELECT doc_id FROM documents WHERE doc_id % 10 >= 8) d " +
+        "LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id"),
+    // the incremental strip: cut = positions covered by corpus-known
+    // windows OR non-survivor batch duplicates; same reassembly
+    // discipline as llm_dedup_substring_strip, restricted to the fresh
+    // batch (doc_id % 10 >= 8)
+    "llm_dedup_substring_strip_incremental" ->
+      ("WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), " +
+        "x AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 15)) AS i FROM w), " +
+        "r AS (SELECT doc_id, i, md5(array_to_string(ws[i:i+15], ' ')) AS h FROM x), " +
+        "ex AS (SELECT DISTINCT h FROM r WHERE doc_id % 10 < 8), " +
+        "nw AS (SELECT doc_id, i, (h IN (SELECT h FROM ex)) AS known, " +
+        "count(*) OVER (PARTITION BY h) AS n_occ, " +
+        "row_number() OVER (PARTITION BY h ORDER BY doc_id, i) AS rk " +
+        "FROM r WHERE doc_id % 10 >= 8), " +
+        "cut AS (SELECT DISTINCT doc_id, unnest(generate_series(i, i + 15)) AS p " +
+        "FROM nw WHERE known OR (NOT known AND n_occ >= 2 AND rk > 1)), " +
+        "tok AS (SELECT doc_id, unnest(ws) AS t, unnest(generate_series(1, len(ws))) AS p " +
+        "FROM w WHERE doc_id % 10 >= 8), " +
+        "kept AS (SELECT tok.doc_id, tok.p, tok.t FROM tok LEFT JOIN cut " +
+        "ON tok.doc_id = cut.doc_id AND tok.p = cut.p WHERE cut.p IS NULL), " +
+        "agg AS (SELECT doc_id, count(*) AS n_kept, " +
+        "array_to_string(list(t ORDER BY p), ' ') AS text_stripped FROM kept GROUP BY doc_id) " +
+        "SELECT d.doc_id, CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens, " +
+        "CAST(len(string_split(d.text, ' ')) AS BIGINT) - coalesce(n_kept, CAST(0 AS BIGINT)) AS n_cut_tokens, " +
+        "coalesce(text_stripped, '') AS text_stripped " +
+        "FROM (SELECT doc_id, text FROM documents WHERE doc_id % 10 >= 8) d " +
         "LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id"),
     // the strip product: cut = positions covered by removable windows
     // (DISTINCT over the exploded spans); kept tokens reassemble in

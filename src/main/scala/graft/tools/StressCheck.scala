@@ -254,6 +254,31 @@ object StressCheck {
       val s5 = out.filter(col("doc_id") === 10000005L).head()
       require(s5.getLong(3) == 0L && s5.getDouble(4) == 0.0,
         s"class B survivor must keep its window: $s5")
+      // the incremental STRIP on the same plant: class K cuts its 16
+      // corpus-known boiler tokens in EVERY doc (the surviving copy
+      // lives in the existing corpus, not the batch), class B cuts 16
+      // in every doc but the batch survivor, class C cuts nothing —
+      // and reassembly is position-exact (the survivor keeps its full
+      // text verbatim, a non-survivor keeps only its unique tail)
+      val st = graft.operators.LlmTextOps.substringIncrementalStrip(existing, fresh)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sByClass = st.groupBy(
+          when(pmod(col("doc_id"), lit(10)) === 0, "K")
+            .when(pmod(col("doc_id"), lit(10)) === 5, "B").otherwise("C").as("cls"))
+        .agg(sum("n_tokens").as("nt"), sum("n_cut_tokens").as("nc"))
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      require(sByClass("K") == ((40L * nK, 16L * nK)) &&
+        sByClass("B") == ((40L * nB, 16L * (nB - 1))) &&
+        sByClass("C") == ((40L * (nFresh - nK - nB), 0L)),
+        s"incremental strip off closed form: $sByClass (nK=$nK nB=$nB)")
+      val surv = st.filter(col("doc_id") === 10000005L).head().getString(3)
+      val wantSurv = (0 until 16).map(w => s"c$w").mkString(" ") + " " +
+        (0 until 24).map(w => s"f5x$w").mkString(" ")
+      require(surv == wantSurv, s"survivor reassembly drifted: '$surv'")
+      val cutDoc = st.filter(col("doc_id") === 10000015L).head().getString(3)
+      require(cutDoc == (0 until 24).map(w => s"f15x$w").mkString(" "),
+        s"non-survivor must keep only its unique tail: '$cutDoc'")
+      st.unpersist()
       val total = out.count(); out.unpersist(); total
     }
     // 4. MinHash LSH candidates: banded bucket join, hot-bucket capped.

@@ -122,6 +122,32 @@ class LlmOpsSpec extends SparkTestBase {
       .map(r => r.getLong(0) ->
         ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
 
+  test("incremental substring strip: corpus-known spans keep NO batch copy, batch dups keep one") {
+    val boiler = "b1 b2 b3 b4"
+    val batchBlk = "c1 c2 c3 c4"
+    val existing = Seq((1L, s"x1 $boiler x2")).toDF("doc_id", "text")
+    val fresh = Seq(
+      (11L, s"n1 $boiler n2"),            // known span cut even though doc 11 is its batch-min
+      (12L, s"$batchBlk m1"),             // batch survivor: keeps its copy
+      (13L, s"m2 $batchBlk"),             // batch non-survivor: cut
+      (14L, "q1 q2 q3 q4 q5"),            // clean
+      (15L, "s1 s2")                      // shorter than the window
+    ).toDF("doc_id", "text")
+    val got = LlmTextOps.substringIncrementalStrip(existing, fresh, width = 4).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(11L) == ((6L, 4L, "n1 n2")), s"known cut: ${got(11L)}")
+    assert(got(12L) == ((5L, 0L, s"$batchBlk m1")), s"batch survivor: ${got(12L)}")
+    assert(got(13L) == ((5L, 4L, "m2")), s"batch removable: ${got(13L)}")
+    assert(got(14L) == ((5L, 0L, "q1 q2 q3 q4 q5")), s"clean: ${got(14L)}")
+    assert(got(15L) == ((2L, 0L, "s1 s2")), s"short doc passes through: ${got(15L)}")
+    // overlapping known+batch windows: both occurrences cut fully (the
+    // corpus holds the surviving copy), partial overlap cuts the union
+    val fresh2 = Seq((21L, s"$boiler z1"), (22L, s"z2 $boiler")).toDF("doc_id", "text")
+    val g2 = LlmTextOps.substringIncrementalStrip(existing, fresh2, width = 4).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3)))).toMap
+    assert(g2 == Map(21L -> ((4L, "z1")), 22L -> ((4L, "z2"))), s"got $g2")
+  }
+
   test("ngram jaccard recalls a constructed near-duplicate pair") {
     val base = doc(40)
     val nearDup = base.split(" ").updated(5, "changedword").mkString(" ")
