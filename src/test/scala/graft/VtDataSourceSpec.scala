@@ -239,6 +239,55 @@ class VtDataSourceSpec extends SparkTestBase {
     assert(WordPieceOps.wordpieceTrainRuns.get() == before + 2)
   }
 
+  test("persisted substring known-hash index: cross-session serve with ZERO rebuilds, identical profile") {
+    import graft.operators.LlmTextOps
+    LlmTextOps.substringIndexRoot(spark, SF) // may build once
+    val derived = LlmTextOps.llmDedupSubstringIncremental(spark, SF)
+      .collect().map(_.toString).toSeq
+    // fresh session: cold memos, so any scan of the existing corpus on
+    // the serve path would re-derive the hash table and bump the counter
+    val s2 = spark.newSession()
+    val before = LlmTextOps.substringIndexBuilds.get()
+    val served = LlmTextOps.llmDedupSubstringPersisted(s2, SF)
+      .collect().map(_.toString).toSeq
+    assert(LlmTextOps.substringIndexBuilds.get() == before,
+      "serving from the persisted index re-derived the known-hash table")
+    assert(served == derived && served.nonEmpty)
+  }
+
+  test("corpus stamp: in-place corpus mutation rebuilds the substring index exactly once") {
+    import graft.operators.LlmTextOps
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val dir = Files.createTempDirectory("graft_subfp").toString
+    Files.copy(Paths.get(SF, "documents.parquet"),
+      Paths.get(dir, "documents.parquet"))
+    val before = LlmTextOps.substringIndexBuilds.get()
+    val out1 = LlmTextOps.llmDedupSubstringPersisted(spark, dir).collect().map(_.toString).toSeq
+    assert(LlmTextOps.substringIndexBuilds.get() == before + 1, "first serve builds once")
+    LlmTextOps.llmDedupSubstringPersisted(spark, dir).collect()
+    assert(LlmTextOps.substringIndexBuilds.get() == before + 1,
+      "unchanged corpus must serve with zero builds")
+    val root = LlmTextOps.substringIndexRoot(spark, dir)
+    val vBefore = VersionedTable.open(spark, root).currentVersion
+    Files.copy(Paths.get("/root/testdata/sf0.01", "documents.parquet"),
+      Paths.get(dir, "documents.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val out2 = LlmTextOps.llmDedupSubstringPersisted(spark, dir).collect().map(_.toString).toSeq
+    assert(LlmTextOps.substringIndexBuilds.get() == before + 2,
+      "mutated corpus must rebuild EXACTLY once")
+    assert(VersionedTable.open(spark, root).currentVersion == vBefore + 1,
+      "the rebuild must RE-VERSION the persisted hash table")
+    assert(out2 != out1, "the serve must reflect the mutated corpus")
+    // the served answer equals the derived path on the NEW corpus — via
+    // a fresh session, since the derived key's spans memo is keyed by
+    // (session, dir) and still holds the pre-mutation frame here
+    val direct = LlmTextOps.llmDedupSubstringIncremental(spark.newSession(), dir)
+      .collect().map(_.toString).toSeq
+    assert(out2 == direct && LlmTextOps.substringIndexBuilds.get() == before + 2)
+    // re-sealed: the post-rebuild state serves with zero builds again
+    LlmTextOps.llmDedupSubstringPersisted(spark, dir).collect()
+    assert(LlmTextOps.substringIndexBuilds.get() == before + 2)
+  }
+
   test("stale retrain: one atomic IVF+PQ commit; completion records, never duplicates") {
     import graft.operators.PortableQuantizer
     import java.nio.file.{Files, Paths, StandardCopyOption}
