@@ -715,6 +715,23 @@ object LlmTextOps {
           .as("batch_removable"))
   }
 
+  /** Streaming-sink surface ([[graft.streaming.StreamingOps
+    * .substringDedupSink]]): the incremental profile of a fresh batch
+    * against an arbitrary known-hash table — the same classification
+    * plan the graded keys run. */
+  private[graft] def incrementalProfileAgainst(exH: DataFrame, fresh: DataFrame,
+                                               width: Int = SubstringWindow): DataFrame =
+    incrementalProfileFromSpans(fresh, spansAgainstKnown(exH, fresh, width))
+
+  /** The batch's previously-UNKNOWN distinct window hashes — the append
+    * that advances the known-hash table between micro-batches (anti-join
+    * keeps the table globally distinct, so its size tracks distinct
+    * corpus windows, not deliveries). */
+  private[graft] def newHashesAgainst(exH: DataFrame, fresh: DataFrame,
+                                      width: Int = SubstringWindow): DataFrame =
+    substringWindows(fresh, width).select(col("h")).distinct()
+      .join(exH, col("h") === col("eh"), "left_anti")
+
   /** Index-build counter — the spec hook proving the persisted serve
     * path never re-derives the known-hash table (the bpeTrainRuns /
     * unigramTrainRuns discipline applied to the dedup index). */

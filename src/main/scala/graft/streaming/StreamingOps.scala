@@ -154,6 +154,44 @@ object StreamingOps {
       t.appendIdempotent(pairs, s"$queryId:$batchId"); ()
     }
 
+  /** Streaming INCREMENTAL SUBSTRING DEDUP — the daily-ingest shape of
+    * the substring family run continuously: each micro-batch of fresh
+    * (doc_id, text) documents is classified against the known-hash
+    * table (the `llm_dedup_substring_persisted` artifact) through the
+    * SAME span-classification plan as the graded batch keys, its
+    * per-doc profile appended to `outT`, and THEN the batch's
+    * previously-unknown window hashes appended to `hashT` — so batch
+    * N+1's boilerplate detection sees every span batch N introduced.
+    *
+    * Ordering is load-bearing: profile-first means an at-least-once
+    * REPLAY of a micro-batch (crash between the two commits, or between
+    * commit and checkpoint) re-reads the same pre-batch hash state —
+    * a batch can never classify against its own hashes. Both appends
+    * carry per-batch txn stamps, so each lands exactly once; the
+    * replayed profile append no-ops on its held txn and the hash append
+    * completes idempotently (spec-asserted on contents AND versions).
+    *
+    * Scale shape: identical to the batch twin — the hash table is read
+    * (not rebuilt) per batch, the batch is windowed once, two
+    * hash-keyed equi-joins, one anti-join for the new hashes. Work per
+    * trigger is linear in the batch; the table grows by distinct new
+    * windows only. */
+  def substringDedupSink(hashT: graft.tables.VersionedTable,
+                         outT: graft.tables.VersionedTable,
+                         queryId: String): (DataFrame, Long) => Unit =
+    (batch, batchId) => {
+      import graft.operators.LlmTextOps
+      val exH = hashT.read().select(col("h").as("eh"))
+      // the read snapshot must be STABLE across the two uses below (the
+      // profile and the anti-join) — both plan against the same version,
+      // VersionedTable reads being manifest-pinned at plan time
+      outT.appendIdempotent(
+        LlmTextOps.incrementalProfileAgainst(exH, batch), s"$queryId:out:$batchId")
+      hashT.appendIdempotent(
+        LlmTextOps.newHashesAgainst(exH, batch), s"$queryId:hash:$batchId")
+      ()
+    }
+
   /** Streaming data-quality gauge: per tumbling hour, row volume plus
     * violation counts for the SAME two event rules the graded batch
     * audits check (domain membership of event_type, value > 0 — the

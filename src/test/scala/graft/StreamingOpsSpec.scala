@@ -889,6 +889,50 @@ class StreamingOpsSpec extends SparkTestBase {
     assert(t.versions == versionsBefore, "replayed geo micro-batch committed a version")
   }
 
+  test("streaming substring dedup: per-batch profiles equal the batch twins; replay no-ops on contents and versions") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.LlmTextOps
+    val docs = Tables.load(spark, SF, "documents").select("doc_id", "text")
+    val existing = docs.filter(col("doc_id") % 10 < 8)
+    val fresh = docs.filter(col("doc_id") % 10 >= 8)
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(fresh.size >= 4)
+    val (b1, b2) = fresh.splitAt(fresh.size / 2)
+    val base = java.nio.file.Files.createTempDirectory("graft_subsink").toString
+    // bootstrap: the known-hash table starts as the existing corpus's
+    // distinct window hashes (an empty eh frame anti-joins away nothing)
+    val hashT = graft.tables.VersionedTable.create(spark, base + "/h",
+      LlmTextOps.newHashesAgainst(Seq.empty[String].toDF("eh"), existing))
+    val outT = graft.tables.VersionedTable.create(spark, base + "/o",
+      Seq.empty[(Long, Long, Long, Long, Double)].toDF("doc_id", "n_windows",
+        "n_known_windows", "n_batch_removable_windows", "cut_frac"))
+    val sink = StreamingOps.substringDedupSink(hashT, outT, "subdd")
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text").writeStream.foreachBatch(sink).start()
+    try {
+      input.addData(b1: _*); drain(q)
+      input.addData(b2: _*); drain(q)
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSet
+      val got = rows(outT.read())
+      // per-batch semantics ARE the graded batch twin's: batch 1 against
+      // the existing corpus, batch 2 against existing ∪ batch 1 (the
+      // hash append between triggers is what makes the union hold)
+      val b1df = b1.toDF("doc_id", "text"); val b2df = b2.toDF("doc_id", "text")
+      val want1 = rows(LlmTextOps.substringIncremental(existing, b1df))
+      val want2 = rows(LlmTextOps.substringIncremental(existing.unionByName(b1df), b2df))
+      assert(got == (want1 ++ want2) && got.size == fresh.size,
+        s"streamed profiles drifted from the batch twins (got ${got.size})")
+      // crash-replay of the last micro-batch: both txns held → no-op on
+      // contents AND version history of BOTH tables
+      val hv = hashT.versions; val ov = outT.versions
+      sink(b2df, 1L)
+      assert(rows(outT.read()) == got, "replayed batch changed profiles")
+      assert(hashT.versions == hv && outT.versions == ov,
+        "replayed batch committed a version")
+    } finally q.stop()
+  }
+
   test("streaming EWMA equals the batch closed form bit-for-bit across batch splits") {
     import graft.streaming.StreamingOps.DailyCents
     val batch = graft.operators.EventOps.tsEwma(spark, SF).collect()
