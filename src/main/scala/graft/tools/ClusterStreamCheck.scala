@@ -10,7 +10,8 @@ import org.apache.spark.sql.functions._
   * not the driver), watermark progress is aggregated from executor-side
   * event-time stats, and every micro-batch re-serializes the stateful
   * processor (the transformWithState handle) to wherever its partition
-  * lands. This tool drives three stateful kernels through a REAL
+  * lands. This tool drives three stateful kernels (plus the curation
+  * sink, whose cross-trigger state is a versioned table) through a REAL
   * file-source multi-batch execution under `local-cluster[2,4,2048]`
   * with the RocksDB provider pinned, and asserts each agrees exactly
   * with its batch twin computed in the same session:
@@ -23,6 +24,14 @@ import org.apache.spark.sql.functions._
   *      per-user running count equals the batch per-user count for
   *      EVERY user (max over update-mode emissions joined against the
   *      batch groupBy).
+  *   4. substringDedupSink (foreachBatch onto two versioned tables) —
+  *      fresh documents delivered as real micro-batches, each profiled
+  *      against the hash table state the PREVIOUS batches advanced;
+  *      the union of streamed profiles equals the per-batch batch
+  *      twins recomputed in delivery order. The state here is not a
+  *      state store but the versioned table itself — the commit path
+  *      (executor-written parquet, driver manifest rename) crossing
+  *      executor JVMs per trigger.
   *
   * Same environment contract as [[ClusterCheck]] (SPARK_SCALA_VERSION,
   * writable SPARK_HOME shim).
@@ -111,7 +120,53 @@ object ClusterStreamCheck {
         s"transformWithState: $diff3 users' running counts diverged from batch")
       println(s"[cluster-stream] tws_counts  MATCH users=${batchCounts.count()}")
 
-      println(s"""[cluster-stream-summary] {"checks":3,"mismatches":0,""" +
+      // 4. the curation sink: incremental substring dedup with the
+      // known-hash table advanced between real micro-batches
+      val docsAll = graft.Tables.load(spark, sfDir, "documents")
+        .select("doc_id", "text")
+      val existingDocs = docsAll.filter(col("doc_id") % 10 < 8)
+      val freshDocs = docsAll.filter(col("doc_id") % 10 >= 8)
+      val dsrc = java.nio.file.Files
+        .createTempDirectory("graft_cs_subsrc").toString + "/docs"
+      freshDocs.repartition(2).write.mode("overwrite").parquet(dsrc)
+      val dschema = spark.read.parquet(dsrc).schema
+      val vroot = java.nio.file.Files.createTempDirectory("graft_cs_subvt").toString
+      val hashT = graft.tables.VersionedTable.create(spark, vroot + "/h",
+        graft.operators.LlmTextOps.newHashesAgainst(
+          Seq.empty[String].toDF("eh"), existingDocs))
+      val outT = graft.tables.VersionedTable.create(spark, vroot + "/o",
+        Seq.empty[(Long, Long, Long, Long, Double)].toDF("doc_id", "n_windows",
+          "n_known_windows", "n_batch_removable_windows", "cut_frac"))
+      val sink = graft.streaming.StreamingOps.substringDedupSink(hashT, outT, "cs_sub")
+      // record each batch's doc ids (driver-side, trigger-bounded) so the
+      // per-batch twins can be recomputed in delivery order afterwards
+      val delivered = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Long])]
+      val q4 = spark.readStream.schema(dschema).option("maxFilesPerTrigger", 1)
+        .parquet(dsrc).writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+          delivered += id -> df.select("doc_id").as[Long].collect().toSeq
+          sink(df, id)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q4.awaitTermination()
+      require(delivered.size >= 2, s"expected >= 2 micro-batches, got ${delivered.size}")
+      def profRows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+        .toSet
+      var known = existingDocs
+      var want = Set.empty[(Long, Long, Long, Long, Double)]
+      for ((_, ids) <- delivered.sortBy(_._1)) {
+        val b = freshDocs.filter(col("doc_id").isin(ids: _*))
+        want ++= profRows(graft.operators.LlmTextOps.substringIncremental(known, b))
+        known = known.unionByName(b)
+      }
+      val got = profRows(outT.read())
+      require(got == want && got.size == freshDocs.count(),
+        s"substring sink diverged: got ${got.size} rows, want ${want.size}")
+      println(s"[cluster-stream] substring   MATCH docs=${got.size} batches=${delivered.size}")
+
+      println(s"""[cluster-stream-summary] {"checks":4,"mismatches":0,""" +
         s""""stateStore":"rocksdb","sf":"$sfDir"}""")
     } finally spark.stop()
   }
