@@ -57,8 +57,15 @@ object GraphOps {
         .groupBy((col("o_custkey").cast("long") * 2).as("src"),
           (col("l_suppkey").cast("long") * 2 + 1).as("dst"))
         .agg(count(lit(1)).cast("double").as("w"))
-      cs.union(cs.select(col("dst").as("src"), col("src").as("dst"), col("w")))
-        .localCheckpoint(true)
+      // Layout-preserving checkpoint (r15): every consumer keys on src —
+      // PageRank's per-round join, k-hop's frontier expansion, the degree
+      // aggregation — so the edge list is shuffled into its src layout
+      // ONCE here instead of once per consumer stage (a plain
+      // localCheckpoint came back as UnknownPartitioning and was
+      // re-exchanged in all 5 PageRank rounds).
+      graft.tools.Layout.checkpointBy(
+        cs.union(cs.select(col("dst").as("src"), col("src").as("dst"), col("w"))),
+        col("src"))
     }
   }
 
@@ -90,14 +97,22 @@ object GraphOps {
       case _: org.apache.spark.sql.execution.LogicalRDD => edges
       case _ => edges.localCheckpoint(true)
     }
-    // per-source total out-weight; edge transition prob = w / wout
-    val trans = e.join(e.groupBy(col("src").as("u")).agg(sum("w").as("wout")),
-        col("src") === col("u"))
-      .select(col("src"), col("dst"), (col("w") / col("wout")).as("p"))
-      .localCheckpoint(true)
-    val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id")))
-      .distinct().localCheckpoint(true)
+    // per-source total out-weight; edge transition prob = w / wout.
+    // trans and nodes are the loop's STATIC frames: both are
+    // layout-checkpointed (r15) on their join keys so the 5 rounds join
+    // against them without re-exchanging or re-sorting — only the rank
+    // vector and each round's received-mass aggregation still shuffle,
+    // which is the "edges move once" posture a 100 TB graph needs.
+    val trans = graft.tools.Layout.checkpointBy(
+      e.join(e.groupBy(col("src").as("u")).agg(sum("w").as("wout")),
+          col("src") === col("u"))
+        .select(col("src"), col("dst"), (col("w") / col("wout")).as("p")),
+      col("src"))
+    val nodes = graft.tools.Layout.checkpointBy(
+      e.select(col("src").as("id"))
+        .union(e.select(col("dst").as("id")))
+        .distinct(),
+      col("id"))
     val n = nodes.count()
     var pr = nodes.withColumn("rank", lit(1.0 / n))
     // NO per-round checkpoint: the round count is FIXED (no data-dependent

@@ -586,16 +586,18 @@ object LlmCorpusOps {
     * key memoize the near-dup loser frame per (session, corpus). */
   def curationFunnel(docs: DataFrame,
       pinLosers: DataFrame => DataFrame = identity): DataFrame = {
-    val ws = split(col("text"), " ")
+    // r15: the word/BPE-token metrics are computed map-side inside
+    // [[curationFlags]]' scan projection (and text dropped there), so this
+    // aggregation sums precomputed integers instead of re-splitting every
+    // kept document's text.
     val perSrc = curationFlags(docs, pinLosers)
       .groupBy("source")
       .agg(count(lit(1)).as("n_raw"),
         sum(when(col("gate"), 1L).otherwise(0L)).as("n_gated"),
         sum(when(col("is_exact"), 1L).otherwise(0L)).as("n_exact"),
         sum(when(col("is_kept"), 1L).otherwise(0L)).as("n_kept"),
-        sum(when(col("is_kept"), size(ws).cast("long")).otherwise(0L)).as("n_words"),
-        sum(when(col("is_kept"), aggregate(ws, lit(0L),
-          (acc, x) => acc + ceil(length(x) / lit(4.0)))).otherwise(0L)).as("n_bpe_tokens"))
+        sum(when(col("is_kept"), col("__n_words")).otherwise(0L)).as("n_words"),
+        sum(when(col("is_kept"), col("__n_bpe")).otherwise(0L)).as("n_bpe_tokens"))
     perSrc
       .withColumn("token_share",
         floor(col("n_bpe_tokens").cast("double") /
@@ -614,13 +616,28 @@ object LlmCorpusOps {
   private[graft] def curationFlags(docs: DataFrame,
       pinLosers: DataFrame => DataFrame = identity): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // r15: text DIES IN THE SCAN PROJECTION. The funnel's dedup window and
+    // the loser join previously carried the full document text through two
+    // exchanges and a window sort just so the final aggregation could
+    // re-split it — the guide-§2.3/§8 anti-pattern (shuffling the payload
+    // to move a decision). The gate, the norm-md5, and the word/BPE
+    // metrics the funnel sums are all row-local, so they are computed
+    // map-side here and only ~40 B/row of flags+integers ever shuffles;
+    // the near-dup loser build (memoized) re-reads text for the exact
+    // survivors via a doc_id join instead.
+    val ws = split(col("text"), " ")
     val flagged = docs
       .withColumn("gate", LlmOps.qualityGate)
       .withColumn("norm_md5", md5(normExpr.cast("binary")))
+      .withColumn("__n_words", size(ws).cast("long"))
+      .withColumn("__n_bpe", aggregate(ws, lit(0L),
+        (acc, x) => acc + ceil(length(x) / lit(4.0))))
+      .drop("text")
       .withColumn("rn", row_number().over(
         Window.partitionBy("gate", "norm_md5").orderBy("doc_id")))
       .withColumn("is_exact", col("gate") && col("rn") === 1)
-    val exact = flagged.filter(col("is_exact")).select("doc_id", "text")
+    val exact = flagged.filter(col("is_exact")).select("doc_id")
+      .join(docs.select("doc_id", "text"), "doc_id")
     val losers = pinLosers(
       LlmTextOps.connectedComponents(
           LlmTextOps.jaccardPairs(LlmTextOps.shingleIndex(exact), 0.8,
@@ -901,16 +918,36 @@ object LlmCorpusOps {
     * silently from any future fix). Returns (per-doc word stream with
     * positions, in-doc bigrams). */
   private def bigramTower(s: SparkSession, d: String): (DataFrame, DataFrame) = {
-    import org.apache.spark.sql.expressions.Window
-    val w = t(s, d, "documents")
-      .select(col("doc_id"), posexplode(split(col("text"), " ")))
-      .withColumnRenamed("col", "word")
-      .filter(length(col("word")) >= 1)
-    val bg = w
-      .withColumn("w1", lag("word", 1).over(
-        Window.partitionBy("doc_id").orderBy("pos")))
-      .filter(col("w1").isNotNull)
-      .select(col("doc_id"), col("w1"), col("word").as("w2"))
+    // r15: bigrams are formed ARRAY-SIDE (zip_with over the filtered word
+    // array) instead of posexplode + lag over a per-doc Window. The window
+    // form shuffled and sorted the exploded corpus on doc_id — and because
+    // the bigram subtree appears 2-3× in one perplexity plan (model branch,
+    // score join-back, vocab scalar), every evaluation paid that Exchange+Sort
+    // again (llm_perplexity's before-plan carries three Generate→Window
+    // towers, plans/r15/llm_perplexity_before.txt). Adjacency in the
+    // filtered array is exactly the lag-over-position adjacency (empty
+    // words are dropped BEFORE pairing in both forms), so the pairs are
+    // bit-identical; the zip_with form is map-side, shuffle-free, and
+    // whole-stage-codegen'd. At 100 TB this removes a corpus-grain
+    // shuffle×3 from every perplexity-family run.
+    // The frame is additionally MEMOIZED per (session, corpus): one
+    // perplexity plan evaluates the bigram subtree 2-3 times (model
+    // branch, score join-back), and four graded keys (llm_perplexity,
+    // _holdout, _kn, llm_ccnet_buckets) all start from it — the memo
+    // turns ~10 corpus tokenization passes into one build plus cheap
+    // checkpoint scans, the same shared-stage pattern as the TF and
+    // kn_model memos (attributed in BENCH_FULL's memo_builds as
+    // "bigrams").
+    val docs = t(s, d, "documents")
+    val wsF = filter(split(col("text"), " "), x => length(x) >= 1)
+    val w = docs.select(col("doc_id"), explode(wsF).as("word"))
+    val nb = greatest(size(col("ws")) - 1, lit(0))
+    val bg = memo(s, d, "bigrams")(docs
+      .select(col("doc_id"), wsF.as("ws"))
+      .select(col("doc_id"), explode(zip_with(
+        slice(col("ws"), lit(1), nb), slice(col("ws"), lit(2), nb),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2")))
     (w, bg)
   }
 

@@ -830,7 +830,10 @@ object LlmTextOps {
     * one hash function) — fully row-local, portable to SQL, and stable
     * under small edits elsewhere in the document. */
   def llmFingerprint(s: SparkSession, d: String): DataFrame =
-    fingerprint(t(s, d, "documents")).orderBy("doc_id")
+    // r15: sort the raw rows, fingerprint after — the range exchange's
+    // sampling pass otherwise runs the per-shingle md5 tower a second
+    // time (see llmRepetition). Same rows, same order, one tower pass.
+    fingerprint(t(s, d, "documents").select("doc_id", "text").orderBy("doc_id"))
 
   /** Core fingerprint over any (doc_id, text) frame; docs shorter than 5
     * words have no 5-gram shingles and fingerprint NULL. */
@@ -1785,7 +1788,17 @@ object LlmTextOps {
     * Fully row-local (no shuffle at all) — at 100 TB this is a map-only
     * pass over the corpus. */
   def llmRepetition(s: SparkSession, d: String): DataFrame =
+    // r15: heavy projection ABOVE the output sort. A global orderBy is a
+    // range exchange whose boundary SAMPLING pass executes the child once
+    // before the real shuffle executes it again — with the shingle +
+    // array_distinct tower below the sort, every document paid that tower
+    // twice per run. Sorting the raw (doc_id, text) rows first and
+    // projecting after computes the tower exactly once; output rows and
+    // order are identical (the projection is row-wise over the sorted
+    // stream).
     t(s, d, "documents")
+      .select("doc_id", "text")
+      .orderBy("doc_id")
       .withColumn("ws", split(col("text"), " "))
       .withColumn("sh", shingles(5))
       .select(col("doc_id"),
@@ -1794,7 +1807,6 @@ object LlmTextOps {
         round(when(size(col("sh")) > 0,
           lit(1.0) - size(array_distinct(col("sh"))) / size(col("sh")).cast("double"))
           .otherwise(lit(0.0)), 6).as("dup_frac"))
-      .orderBy("doc_id")
 
   /** Word-entropy quality signal: Shannon entropy (base 2) of each
     * document's word distribution — low entropy flags repetitive /

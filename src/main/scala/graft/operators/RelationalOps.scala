@@ -790,7 +790,12 @@ object RelationalOps {
     * DataSketches union surface (hll_union_agg) stays unit-tested there
     * too. */
   def aggHllMerge(s: SparkSession, d: String): DataFrame = {
+    // r15: the per-group register table feeds both the merge and the
+    // n_sketches scalar — one lazy plan re-ran the full corpus distinct +
+    // md5 tower per branch; the eager checkpoint (≤ |groups|·512 rows)
+    // prices the corpus pass once.
     val perGroup = hllRegisters(t(s, d, "lineitem"), "l_returnflag", col("l_partkey"))
+      .localCheckpoint(true)
     val merged = perGroup.groupBy("reg").agg(max("mr").as("mr"))
       .select(lit("all").as("scope"), col("reg"), col("mr"))
     val nSketches = perGroup.select(countDistinct("l_returnflag").as("n_sketches"))
@@ -811,7 +816,20 @@ object RelationalOps {
     * 100 TB posture is the same one-pass register tables). */
   def aggHllIntersect(s: SparkSession, d: String): DataFrame = {
     val li = t(s, d, "lineitem").filter(col("l_returnflag").isin("A", "R"))
-    val regs = hllRegisters(li, "l_returnflag", col("l_orderkey"))
+    // r15: the distinct (flag, orderkey) pair set is the shared input of
+    // ALL FOUR branches (A/R registers, union registers, exact
+    // intersection) — as one lazy plan it was recomputed per branch, i.e.
+    // three full lineitem scans + three distinct shuffles per run. One
+    // eager checkpoint of the ~distinct-pair frame (2·|orders| rows max,
+    // register-table-adjacent grain) makes every branch a cheap re-read;
+    // identical expressions, one corpus pass.
+    val dd = li.select(col("l_returnflag"), col("l_orderkey").as("v"))
+      .distinct().localCheckpoint(true)
+    // registers likewise feed two branches (per-flag + union estimates);
+    // the checkpointed register table is ≤ 2·512 rows
+    val regs = withHllRegRank(dd, col("v"))
+      .groupBy(col("l_returnflag"), col("reg")).agg(max("rank").as("mr"))
+      .localCheckpoint(true)
     val per = hllEstimate(regs, "l_returnflag").agg(
       sum(when(col("l_returnflag") === "A", col("est_nd"))).as("est_a"),
       sum(when(col("l_returnflag") === "R", col("est_nd"))).as("est_b"))
@@ -819,8 +837,8 @@ object RelationalOps {
       regs.groupBy("reg").agg(max("mr").as("mr"))
         .select(lit("u").as("scope"), col("reg"), col("mr")),
       "scope").select(col("est_nd").as("est_union"))
-    val exact = li.select("l_returnflag", "l_orderkey").distinct()
-      .groupBy("l_orderkey").agg(count(lit(1)).as("nf"))
+    val exact = dd
+      .groupBy("v").agg(count(lit(1)).as("nf"))
       .filter(col("nf") === 2).agg(count(lit(1)).as("exact_intersect"))
     per.crossJoin(union).crossJoin(exact)
       .select(col("est_a"), col("est_b"), col("est_union"),

@@ -1,25 +1,41 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
-import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow, UnsafeProjection}
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Distributed order-statistics primitives — exact global rank, running
   * (prefix) sums, and ntile — WITHOUT the single-partition WindowExec the
   * built-in unpartitioned window functions plan.
   *
   * All three ride one machinery: a global `orderBy` (a range-shuffled,
-  * all-task parallel sort) pinned through `Dataset.rdd`, then one bounded
-  * per-partition-totals pass and one streaming output pass. The one
-  * deliberate RDD hop is load-bearing for determinism, not style: range
+  * all-task parallel sort) pinned through ONE physical plan, then one
+  * bounded per-partition-totals pass and one streaming output pass. The
+  * single pinned RDD is load-bearing for determinism, not style: range
   * boundaries come from SAMPLING, and sampling reads shuffle output whose
   * row order is nondeterministic — so any design where separately-planned
   * jobs must agree on partition boundaries (a counts collect + a scoring
   * job, or two in-plan branches relying on best-effort exchange reuse)
   * was observed LIVE at sf0.1 assigning rows to different ranges per job
-  * and corrupting rank offsets. `Dataset.rdd` pins ONE physical plan: its
-  * RangePartitioner is constructed exactly once and every job below (the
-  * totals pass, the output pass, chained downstream calls) reuses that
-  * partitioner and its shuffle files.
+  * and corrupting rank offsets. `queryExecution.toRdd` pins ONE physical
+  * plan: its RangePartitioner is constructed exactly once and every job
+  * below (the totals pass, the output pass, chained downstream calls)
+  * reuses that partitioner and its shuffle files.
+  *
+  * r15: both passes run on **InternalRow** (`queryExecution.toRdd` +
+  * `UnsafeProjection`, materialized via [[org.apache.spark.sql.graftnative.InternalRows]])
+  * instead of `Dataset.rdd` + `createDataFrame(RDD[Row])`. The old path
+  * deserialized every sorted row into a boxed external Row and re-encoded
+  * it through the RowEncoder — pure per-row overhead the optimization
+  * guide (§1.4) calls out for `df.rdd`; at the 8 M-row stress grain that
+  * was 8 M boxed rows per pass. Tungsten rows now flow end to end; the
+  * appended rank/prefix fields ride a JoinedRow through one generated
+  * projection, and each output row is `.copy()`'d (one byte-array copy)
+  * because the downstream scan does not re-copy reused projection buffers.
+  * toRdd's iterator REUSES row buffers, so pass 1 only reads primitives
+  * and pass 2 retains nothing across rows except the (copied) group key.
   *
   * Scale: the only driver-side state is one (count, Σ…) tuple PER
   * PARTITION — bounded by the cluster's partition count, never the data
@@ -27,6 +43,16 @@ import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType
   * `orderBy` costs anywhere else.
   */
 object ScalePrimitives {
+
+  /** Retain a value read from a reused InternalRow buffer across rows:
+    * UTF8Strings point into the buffer and must be copied; primitives and
+    * immutable boxed values are safe as-is. (Group keys here are strings
+    * or primitives by usage; other buffer-backed types would need their
+    * own copy arm.) */
+  private def retain(v: Any): Any = v match {
+    case s: UTF8String => s.copy()
+    case other => other
+  }
 
   /** `df` extended with an exact 1-based global rank over `ord` (named
     * `rankOut`) and, for each `sumCols(i)` (must be LongType), the
@@ -53,15 +79,21 @@ object ScalePrimitives {
       require(df.schema(i).dataType == LongType,
         s"distRunning sums LongType columns only; ${df.schema(i).name} is ${df.schema(i).dataType}")
     }
-    val rowRdd = df.orderBy(ord: _*).rdd // planned ONCE — see object doc
+    val sorted = df.orderBy(ord: _*)
+    // planned ONCE (see object doc) under a TRACKED execution id — the
+    // Dataset.rdd parity that keeps observe()/Observation working on
+    // plans upstream of the pin (InternalRows.toRddTracked scaladoc)
+    val rowRdd = org.apache.spark.sql.graftnative.InternalRows
+      .toRddTracked(sorted, "distRunning")
     // pass 1: per-partition (row count, per-column totals); |partitions| rows
+    val localIdx = idx // avoid closing over `df`
     val totals = rowRdd.mapPartitionsWithIndex { case (pid, it) =>
       var cnt = 0L
-      val acc = new Array[Long](idx.length)
+      val acc = new Array[Long](localIdx.length)
       it.foreach { r =>
         cnt += 1
         var j = 0
-        while (j < idx.length) { acc(j) += r.getLong(idx(j)); j += 1 }
+        while (j < localIdx.length) { acc(j) += r.getLong(localIdx(j)); j += 1 }
       }
       Iterator((pid, cnt, acc))
     }.collect()
@@ -86,21 +118,30 @@ object ScalePrimitives {
       while (j < idx.length) { run(j) += accByPid(p)(j); j += 1 }
       p += 1
     }
-    val localIdx = idx // avoid closing over `df`
+    val fields = df.schema.fields :+ StructField(rankOut, LongType, nullable = false)
+    val sumFields = sumOuts.map(n => StructField(n, LongType, nullable = false))
+    val outSchema = StructType(fields ++ sumFields)
+    val outTypes: Array[DataType] = outSchema.fields.map(_.dataType)
+    val nExtra = 1 + idx.length
     // pass 2: stream each partition once, carrying rank + running sums
     val outRdd = rowRdd.mapPartitionsWithIndex { case (pid, it) =>
+      val proj = UnsafeProjection.create(outTypes)
+      val extra = new GenericInternalRow(nExtra)
+      val joined = new JoinedRow
       var rank = rankOff(pid)
       val acc = sumOff(pid).clone()
       it.map { r =>
         rank += 1
         var j = 0
         while (j < localIdx.length) { acc(j) += r.getLong(localIdx(j)); j += 1 }
-        Row.fromSeq((r.toSeq :+ rank) ++ acc)
+        extra.update(0, rank)
+        j = 0
+        while (j < localIdx.length) { extra.update(j + 1, acc(j)); j += 1 }
+        proj(joined(r, extra)).copy(): InternalRow
       }
     }
-    val fields = df.schema.fields :+ StructField(rankOut, LongType, nullable = false)
-    val sumFields = sumOuts.map(n => StructField(n, LongType, nullable = false))
-    (df.sparkSession.createDataFrame(outRdd, StructType(fields ++ sumFields)),
+    (org.apache.spark.sql.graftnative.InternalRows.ofRows(
+      df.sparkSession, outRdd, outSchema),
       totals.map(_._2).sum)
   }
 
@@ -137,6 +178,7 @@ object ScalePrimitives {
         s"distRunningBy output column '$n' collides with an input column; rename one")
     }
     val gIdx = df.schema.fieldIndex(grp)
+    val gType = df.schema(gIdx).dataType
     val lIdx = sumCols.map(df.schema.fieldIndex).toArray
     lIdx.foreach { i =>
       require(df.schema(i).dataType == LongType,
@@ -147,12 +189,18 @@ object ScalePrimitives {
       require(df.schema(i).dataType == DoubleType,
         s"distRunningBy double sums DoubleType columns only; ${df.schema(i).name} is ${df.schema(i).dataType}")
     }
-    val rowRdd = df.orderBy((col(grp) +: ord): _*).rdd // planned ONCE — see object doc
-    val (locG, locL, locD) = (gIdx, lIdx, dIdx)
+    val sorted = df.orderBy((col(grp) +: ord): _*)
+    // planned ONCE (see object doc) under a TRACKED execution id — see
+    // [[distRunningWithCount]] / InternalRows.toRddTracked
+    val rowRdd = org.apache.spark.sql.graftnative.InternalRows
+      .toRddTracked(sorted, "distRunningBy")
+    val (locG, locL, locD, locT) = (gIdx, lIdx, dIdx, gType)
     // pass 1: per partition — first/last group values plus the SUFFIX
     // partial (count + sums over the last group's rows only); the suffix
     // accumulators reset at every group change, so by iterator end they
-    // hold exactly the trailing group's contribution
+    // hold exactly the trailing group's contribution. Group values are
+    // RETAINED (copied) out of the reused row buffer before they outlive
+    // the current row.
     val infos = rowRdd.mapPartitionsWithIndex { case (pid, it) =>
       var nonEmpty = false
       var first: Any = null
@@ -161,10 +209,10 @@ object ScalePrimitives {
       val accL = new Array[Long](locL.length)
       val accD = new Array[Double](locD.length)
       it.foreach { r =>
-        val g = r.get(locG)
-        if (!nonEmpty) { nonEmpty = true; first = g; cur = g }
+        val g = if (r.isNullAt(locG)) null else r.get(locG, locT)
+        if (!nonEmpty) { nonEmpty = true; first = retain(g); cur = first }
         else if (!java.util.Objects.equals(g, cur)) {
-          cur = g; cnt = 0L
+          cur = retain(g); cnt = 0L
           java.util.Arrays.fill(accL, 0L); java.util.Arrays.fill(accD, 0.0)
         }
         cnt += 1
@@ -209,20 +257,29 @@ object ScalePrimitives {
         curGrp = last; hasCur = true
       }
     }
+    val fields = df.schema.fields :+ StructField(rankOut, LongType, nullable = false)
+    val sumFields = sumOuts.map(n => StructField(n, LongType, nullable = false)) ++
+      dblOuts.map(n => StructField(n, DoubleType, nullable = false))
+    val outSchema = StructType(fields ++ sumFields)
+    val outTypes: Array[DataType] = outSchema.fields.map(_.dataType)
+    val nExtra = 1 + lIdx.length + dIdx.length
     // pass 2: stream each partition once, carrying rank + running sums,
     // resetting at every group boundary (carry-ins only seed the first
     // group; a fresh group starts from zero by construction)
     val outRdd = rowRdd.mapPartitionsWithIndex { case (pid, it) =>
+      val proj = UnsafeProjection.create(outTypes)
+      val extra = new GenericInternalRow(nExtra)
+      val joined = new JoinedRow
       var started = false
       var cur: Any = null
       var rank = carryCnt(pid)
       val accL = carryL(pid).clone()
       val accD = carryD(pid).clone()
       it.map { r =>
-        val g = r.get(locG)
-        if (!started) { started = true; cur = g }
+        val g = if (r.isNullAt(locG)) null else r.get(locG, locT)
+        if (!started) { started = true; cur = retain(g) }
         else if (!java.util.Objects.equals(g, cur)) {
-          cur = g; rank = 0L
+          cur = retain(g); rank = 0L
           java.util.Arrays.fill(accL, 0L); java.util.Arrays.fill(accD, 0.0)
         }
         rank += 1
@@ -230,13 +287,16 @@ object ScalePrimitives {
         while (j < locL.length) { accL(j) += r.getLong(locL(j)); j += 1 }
         j = 0
         while (j < locD.length) { accD(j) += r.getDouble(locD(j)); j += 1 }
-        Row.fromSeq(((r.toSeq :+ rank) ++ accL) ++ accD)
+        extra.update(0, rank)
+        j = 0
+        while (j < locL.length) { extra.update(j + 1, accL(j)); j += 1 }
+        j = 0
+        while (j < locD.length) { extra.update(j + 1 + locL.length, accD(j)); j += 1 }
+        proj(joined(r, extra)).copy(): InternalRow
       }
     }
-    val fields = df.schema.fields :+ StructField(rankOut, LongType, nullable = false)
-    val sumFields = sumOuts.map(n => StructField(n, LongType, nullable = false)) ++
-      dblOuts.map(n => StructField(n, DoubleType, nullable = false))
-    df.sparkSession.createDataFrame(outRdd, StructType(fields ++ sumFields))
+    org.apache.spark.sql.graftnative.InternalRows.ofRows(
+      df.sparkSession, outRdd, outSchema)
   }
 
   /** Exact per-group `quantile_cont` by VALUE-AT-RANK — the scale-safe

@@ -294,10 +294,19 @@ object TpchOps {
     * the exchange the groupBy's output already has modulo the suppkey
     * column, and no branch rescans lineitem. */
   def tpchQ21Waiting(s: SparkSession, d: String): DataFrame = {
+    // r15: ONE exchange instead of two. The pair aggregation used to hash
+    // on (l_orderkey, l_suppkey) and the window then re-exchanged on
+    // l_orderkey (HashPartitioning(k1,k2) does NOT satisfy
+    // ClusteredDistribution(k1)). Repartitioning by l_orderkey FIRST
+    // satisfies both the aggregation's (orderkey, suppkey) clustering
+    // (subset key) and the window's — the fact rows cross the network
+    // once. No explicit partition count: the session's shuffle-partition
+    // conf + AQE coalescing stay in charge.
     val flagged = t(s, d, "lineitem")
       .select("l_orderkey", "l_suppkey", "l_shipdate")
       .join(t(s, d, "orders").select("o_orderkey", "o_orderdate"),
         col("l_orderkey") === col("o_orderkey"))
+      .repartition(col("l_orderkey"))
       .groupBy("l_orderkey", "l_suppkey")
       .agg(max(when(datediff(col("l_shipdate"), col("o_orderdate")) > 90, 1).otherwise(0))
         .as("supp_late"))
