@@ -121,19 +121,40 @@ object DataQualityOps {
       .select(lit(nm).as("rel_name"), col("n_child"), col("n_orphans"))
 
   /** dq_referential: foreign-key orphan audit across the star schema
-    * plus the events→customer bridge. */
-  def dqReferential(s: SparkSession, d: String): DataFrame =
+    * plus the events→customer bridge.
+    *
+    * r15: lineitem anchors THREE of the five relations — one fact-table
+    * scan with three distinct-parent-key left joins and ONE stacked
+    * aggregation replaces three full lineitem scans (don't read the
+    * biggest table three times). Each parent key set is distinct, so the
+    * chained left joins add at most one match per row and n_child stays
+    * exactly count(lineitem); a NULL child key matches nothing and counts
+    * as an orphan, per-relation, same as the refCheck twin. */
+  def dqReferential(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem").select("l_orderkey", "l_partkey", "l_suppkey")
+      .join(t(s, d, "orders").select(col("o_orderkey").as("__pk_o")).distinct(),
+        col("l_orderkey") === col("__pk_o"), "left")
+      .join(t(s, d, "part").select(col("p_partkey").as("__pk_p")).distinct(),
+        col("l_partkey") === col("__pk_p"), "left")
+      .join(t(s, d, "supplier").select(col("s_suppkey").as("__pk_s")).distinct(),
+        col("l_suppkey") === col("__pk_s"), "left")
+      .agg(count(lit(1)).as("n_child"),
+        sum(when(col("__pk_o").isNull, 1L).otherwise(0L)).as("o_orph"),
+        sum(when(col("__pk_p").isNull, 1L).otherwise(0L)).as("p_orph"),
+        sum(when(col("__pk_s").isNull, 1L).otherwise(0L)).as("s_orph"))
+      .select(expr("stack(3, " +
+        "'lineitem.l_orderkey->orders.o_orderkey', o_orph, " +
+        "'lineitem.l_partkey->part.p_partkey', p_orph, " +
+        "'lineitem.l_suppkey->supplier.s_suppkey', s_orph) " +
+        "AS (rel_name, n_orphans)"), col("n_child"))
+      .select(col("rel_name"), col("n_child"), col("n_orphans"))
     refCheck(t(s, d, "orders"), "o_custkey", t(s, d, "customer"), "c_custkey",
         "orders.o_custkey->customer.c_custkey")
-      .unionAll(refCheck(t(s, d, "lineitem"), "l_orderkey", t(s, d, "orders"),
-        "o_orderkey", "lineitem.l_orderkey->orders.o_orderkey"))
-      .unionAll(refCheck(t(s, d, "lineitem"), "l_partkey", t(s, d, "part"),
-        "p_partkey", "lineitem.l_partkey->part.p_partkey"))
-      .unionAll(refCheck(t(s, d, "lineitem"), "l_suppkey", t(s, d, "supplier"),
-        "s_suppkey", "lineitem.l_suppkey->supplier.s_suppkey"))
+      .unionAll(li)
       .unionAll(refCheck(t(s, d, "events"), "user_id", t(s, d, "customer"),
         "c_custkey", "events.user_id->customer.c_custkey"))
       .orderBy("rel_name")
+  }
 
   /** Audit-row shaper shared by the accepted-values and bounds audits:
     * each rule is (name, pass-predicate [, watched column]); a NULL

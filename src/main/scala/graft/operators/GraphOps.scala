@@ -232,6 +232,11 @@ object GraphOps {
 
   private def distinctBasketItems(s: SparkSession, d: String): DataFrame = {
     val sid = org.apache.spark.sql.graftnative.SessionIds.uuid(s)
+    // r15 note: Layout.checkpointBy(ok) was tried here and reverted — AQE
+    // plans the pair self-join as a BROADCAST hash join (the distinct
+    // basket-item frame is small), so there is no ok-keyed SMJ to
+    // de-exchange, and the fixed-width repartition only added task
+    // overhead (0.94 -> 1.74 s floor at sf0.1).
     dpkMemo.get((sid, d))(Tables.load(s, d, "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
       .localCheckpoint(true))

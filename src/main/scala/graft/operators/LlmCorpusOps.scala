@@ -322,6 +322,12 @@ object LlmCorpusOps {
       .filter(col("doc_id") =!= col("q_id"))
       .groupBy("q_id", "doc_id")
       .agg((floor(sum(contrib) * 10000.0 + 0.5) / 10000.0).as("score"))
+    // r15 note: a bounded-heap TopK tail (the agg_topk_heap Aggregator)
+    // was tried here and MEASURED SLOWER (2.04 vs 1.37 s floor at sf0.1):
+    // the ObjectHashAggregate's typed boundary breaks whole-stage codegen
+    // around the candidate stage, costing more than the ~|queries|·|docs|
+    // row_number exchange saves at this scale. The window stays; the heap
+    // posture lives in agg_topk_heap where k ≪ group size actually bites.
     val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("doc_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -1189,7 +1195,13 @@ object LlmCorpusOps {
           greatest(acc.getField("best"), run).as("best"))
       },
       acc => acc.getField("best"))
+    // r15: sort the raw (doc_id, text) rows FIRST — with the HOF towers
+    // below the global sort, the range exchange's sampling pass evaluated
+    // every fold twice per run (the llmRepetition sort-lift). Rows and
+    // order identical; the projection is row-wise over the sorted stream.
     t(s, d, "documents")
+      .select("doc_id", "text")
+      .orderBy("doc_id")
       .select(col("doc_id"), wc.as("n_words"), sumLen.as("sum_len"),
         stopw.as("n_stop"), maxCnt.as("max_cnt"))
       .select(col("doc_id"), col("n_words"),
@@ -1201,7 +1213,6 @@ object LlmCorpusOps {
       .withColumn("pass",
         col("r_word_count") && col("r_mean_word_len") &&
           col("r_stopwords") && col("r_top_token"))
-      .orderBy("doc_id")
   }
 
   /** Zipf's-law fit over the corpus word-frequency distribution: OLS of

@@ -37,7 +37,13 @@ object RelationalOps {
       .select("event_id", "ts", "user_id", "event_type", "value")
       .orderBy("event_id")
 
-  /** A4: JSON extraction from the props string column. */
+  /** A4: JSON extraction from the props string column.
+    *
+    * r15 note: the llmRepetition sort-lift (sort raw, parse after) was
+    * tried and reverted — this parse is one cheap get_json_object, so
+    * paying it twice in the range-sampling pass beats shuffling the whole
+    * `props` string column through the sort (0.58 -> ~1.2 s at sf0.1).
+    * The lift only wins when the projection is the expensive side. */
   def jsonExtractProps(s: SparkSession, d: String): DataFrame =
     t(s, d, "events")
       .select(col("event_id"),
@@ -446,6 +452,13 @@ object RelationalOps {
       .withColumn("lev", levenshtein(col("a_name"), col("b_name")))
       .filter(col("lev") <= 1)
       .select("a_key", "b_key", "lev")
+      // r15: materialize the matched pairs BEFORE the output sort — the
+      // range exchange's sampling pass otherwise re-executes both blocked
+      // join passes and every levenshtein a second time per run. The
+      // checkpoint holds only the qualifying (a_key, b_key, lev) triples
+      // (output-sized, ~|customers| rows here), so at 100 TB it is the
+      // result set, never the candidate set.
+      .localCheckpoint(true)
       .orderBy("a_key", "b_key")
   }
 
