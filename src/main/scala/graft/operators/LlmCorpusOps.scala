@@ -276,11 +276,15 @@ object LlmCorpusOps {
     * is rounded to 4 dp BEFORE ranking so rank order is decided on
     * identical doubles (same discipline as llm_tfidf_cosine). */
   def llmBm25Topk(s: SparkSession, d: String): DataFrame =
-    bm25TopK(t(s, d, "documents"), col("doc_id") % 97 === 0, 3,
-      // the TF/postings table feeds FOUR consumers (dl, df, query terms,
-      // scoring join) — memoized checkpoint prices the explode+agg once
-      // and releases at the family boundary (same pattern as tfidf)
-      tf => memo(s, d, "bm25_tf")(tf))
+    // r15: rank lists nest — the graded top-3 is a rank-prefix filter of
+    // the memoized depth-10 fixture rank list the hybrid fusion already
+    // builds (the denseBruteTopK pattern applied to the lexical stack),
+    // so the |queries|·df candidate expansion + scoring is priced ONCE
+    // per (session, corpus) across llm_bm25_topk AND llm_hybrid_rrf.
+    // Same scores, same tiebreak, same prefix => bit-identical rows.
+    lexFixtureList(s, d).filter(col("rank") <= 3)
+      .select(col("q_id"), col("rank"), col("doc_id"), col("score"))
+      .orderBy("q_id", "rank")
 
   /** Parameterized BM25 kernel over any (doc_id, text) frame — the
     * graded key fixes the query predicate; StressCheck drives the same
@@ -407,8 +411,20 @@ object LlmCorpusOps {
         tf => memo(s, d, "bm25_tf")(tf))
       .select(col("q_id"), col("doc_id"), col("rank").as("r_lex"))
 
+  /** The memoized depth-[[FusionDepth]] BM25 rank list for the FIXTURE
+    * query set (doc_id % 97 == 0) — the shared first stage of
+    * llm_bm25_topk (rank-prefix 3) and llm_hybrid_rrf's lexical leg,
+    * priced once per (session, corpus) like its dense twin
+    * [[denseBruteTopK]]. The TF memo stays: the streaming sink's
+    * per-batch query sets reuse it through [[lexTopOn]]. */
+  private def lexFixtureList(s: SparkSession, d: String): DataFrame =
+    memo(s, d, "bm25_lex10")(
+      bm25TopK(t(s, d, "documents"), col("doc_id") % 97 === 0, FusionDepth,
+        tf => memo(s, d, "bm25_tf")(tf)))
+
   private def lexTop10(s: SparkSession, d: String): DataFrame =
-    lexTopOn(s, d, col("doc_id") % 97 === 0)
+    lexFixtureList(s, d)
+      .select(col("q_id"), col("doc_id"), col("rank").as("r_lex"))
 
   /** The RRF fusion tail — ONE definition shared by the brute-force and
     * index-served fusion keys (and mirrored by the shared oracle tail):
