@@ -57,17 +57,15 @@ class PlanInvariantsSpec extends SparkTestBase {
     "llm_knn_queries", "llm_lang_temperature", "llm_unigram_logprob",
     "llm_tfidf_topk", "tpch_q22_idle", "tpch_q11_stock", "llm_domain_mix",
     "stat_skew_report", "stat_chisq", "stat_cramers_v", "agg_hll_merge",
-    "agg_hll_intersect", "llm_bm25_topk", "event_peak_concurrency",
+    "agg_hll_intersect", "event_peak_concurrency",
     "stat_lorenz", "ml_target_encode", "dq_volume_anomaly",
-    // llm_hybrid_rrf's surviving BNL is the bm25 kernel's 1-row stats
-    // cross join: its dense brute stack is memoized (checkpoint-backed)
-    // since round 11, so the former |queries|-broadcast != join no
-    // longer appears in the served plan. llm_hybrid_rrf_indexed and the
-    // re-rank keys are NOT here: their whole fused/brute frames are
-    // memoized, so no BNL survives in the served plan at all — the
-    // build-plan BNLs are pinned in the dedicated test below (the
-    // llm_tfidf_cosine round-6 precedent)
-    "event_attribution_decay", "llm_hybrid_rrf")
+    // llm_bm25_topk and llm_hybrid_rrf are NOT here since r15: both now
+    // serve from the memoized depth-10 lexical rank list (checkpoint
+    // leaf), so the bm25 kernel's 1-row stats cross join only appears in
+    // the memo BUILD plan — pinned in the dedicated bm25-kernel test
+    // below (the llm_tfidf_cosine round-6 precedent, same as the indexed
+    // fusion / re-rank keys whose fused frames were memoized earlier)
+    "event_attribution_decay")
 
   test("no graded key plans a CartesianProduct; nested-loop joins only where justified") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
