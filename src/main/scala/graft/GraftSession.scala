@@ -17,6 +17,13 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
+      // r15: the default 100-entry whole-stage-codegen class cache
+      // thrashes on long multi-query sessions (this engine's own surface
+      // is 340+ distinct plan shapes), recompiling Janino classes that
+      // were hot minutes ago. Generated classes are KB-sized; 1000
+      // entries is still a bounded few MB and is workload-, not
+      // scale-dependent (a cluster driver benefits identically).
+      .config("spark.sql.codegen.cache.maxEntries", "1000")
 
   def get(): SparkSession = builder().getOrCreate()
 }
